@@ -1,0 +1,304 @@
+"""Batch compiler — executes a topology dict over batch DataFrames.
+
+This is the engine's analogue of the reference's pure in-memory
+interpreter ``run-experiment`` (experiment.clj:241-255): seed topics
+with input records, topsort the workflow, fold over nodes computing
+each entity's full output changelog from its parents. It doubles as
+(a) the REPL/debug engine and (b) the correctness oracle for the
+streaming compiler — mirroring the reference's experiment-vs-
+TopologyTestDriver strategy (SURVEY §5).
+
+Differences from the reference's interpreter, by design:
+- Everything is a lazy Spark DataFrame — nothing is materialized until
+  a sink/collect; Catalyst optimizes across entity boundaries (filter
+  pushdown through upstream transforms, join reordering, broadcast
+  selection). The reference interprets eagerly, record-by-record.
+- Arrival order is explicit: every record carries a ``__seq`` ordinal
+  (per-entity offset + input index) because distributed DataFrames have
+  no implicit input order; (timestamp, __seq) is the canonical record
+  order everywhere the reference sorts by timestamp with a stable sort.
+
+Record contract: every entity output is a DataFrame with columns
+(key, value, timestamp:bigint epoch-millis, __seq:bigint).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import model
+from .model import KEY, TIMESTAMP, VALUE
+from .operators.aggregates import SEQ, running_fold, final_only
+from .operators import joins as J
+from .operators.windows import (
+    WINDOW_END,
+    WINDOW_START,
+    HoppingWindow,
+    SessionWindow,
+    TumblingWindow,
+    assign_session_windows,
+    assign_time_windows,
+)
+from .transforms import apply_xform
+from .validate import validate
+
+GKEY = "__gkey"
+_ENTITY_SEQ_STRIDE = 1 << 33  # seq-space per entity: keeps arrival ordinals disjoint
+
+
+def seed_records(
+    spark: SparkSession,
+    records,
+    key_type: str = "string",
+    value_type: str = "bigint",
+    seq_offset: int = 0,
+) -> DataFrame:
+    """Build a record DataFrame from a list of (key, value, ts_ms)
+    tuples or {key,value,timestamp} dicts; list order = arrival order."""
+    rows = []
+    for i, r in enumerate(records):
+        if isinstance(r, dict):
+            k, v, ts = r[KEY], r[VALUE], r[TIMESTAMP]
+        else:
+            k, v, ts = r
+        rows.append((k, v, int(ts), seq_offset + i))
+    schema = f"{KEY} {key_type}, {VALUE} {value_type}, {TIMESTAMP} bigint, {SEQ} bigint"
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def normalize_records(df: DataFrame, seq_offset: int = 0) -> DataFrame:
+    """Coerce an arbitrary (key, value, timestamp[, __seq]) DataFrame to
+    the internal record contract: ms-long timestamps + arrival seq.
+
+    The seq for DataFrame sources is a DETERMINISTIC content hash, not
+    ``monotonically_increasing_id``: a nondeterministic projection at
+    the source would block Catalyst from pushing any downstream filter
+    into the scan (verified on the physical plan — PushedFilters went
+    empty), which is unacceptable at 100 TB. Distributed files have no
+    meaningful arrival order anyway; list-seeded test inputs get exact
+    arrival ordinals via ``seed_records`` instead."""
+    if isinstance(df.schema[TIMESTAMP].dataType, T.TimestampType):
+        df = df.withColumn(TIMESTAMP, F.unix_millis(F.col(TIMESTAMP)))
+    else:
+        df = df.withColumn(TIMESTAMP, F.col(TIMESTAMP).cast("bigint"))
+    if SEQ not in df.columns:
+        df = df.withColumn(
+            SEQ,
+            F.xxhash64(F.col(KEY).cast("string"), F.col(VALUE).cast("string"), F.col(TIMESTAMP))
+            + F.lit(seq_offset),
+        )
+    return df.select(KEY, VALUE, TIMESTAMP, SEQ)
+
+
+class TopologyRunner:
+    """Compile + run a topology over batch inputs.
+
+    ``inputs``: {entity_id: DataFrame | list-of-records}; alternatively
+    each topic entity may carry a ``source`` (DataFrame, path str, or
+    callable(spark) -> DataFrame).
+    """
+
+    def __init__(self, spark: SparkSession, topology: dict):
+        self.spark = spark
+        self.topology = topology
+        self.order = validate(topology)
+        self.entities = topology["entities"]
+
+    # -- seeding ---------------------------------------------------------
+    def _seed(self, eid: str, ent: dict, inputs: dict, seq_offset: int) -> DataFrame | None:
+        src = inputs.get(eid, ent.get("source"))
+        if src is None:
+            return None
+        if callable(src) and not isinstance(src, DataFrame):
+            src = src(self.spark)
+        if isinstance(src, DataFrame):
+            return normalize_records(src, seq_offset)
+        if isinstance(src, str):
+            return normalize_records(self.spark.read.parquet(src), seq_offset)
+        key_type = ent.get("key_type", "string")
+        value_type = ent.get("value_type", "bigint")
+        return seed_records(self.spark, src, key_type, value_type, seq_offset)
+
+    # -- join / merge of parents ----------------------------------------
+    def _joinable_type(self, eid: str) -> str:
+        t = self.entities[eid]["type"]
+        return model.KSTREAM if t == model.TOPIC else t  # experiment.clj:134-138
+
+    def _combine_parents(self, node: str, outputs: dict) -> tuple[DataFrame | None, int]:
+        parents = model.parents_of(self.topology, node)
+        parents = [p for p in parents if outputs.get(p) is not None]
+        if not parents:
+            return None, 1
+        order, cfg = model.get_join(self.topology, model.parents_of(self.topology, node))
+        if order is None or cfg is None or cfg.get("type", "merge") == "merge":
+            if len(parents) == 1:
+                return outputs[parents[0]], 1
+            return J.merge([outputs[p] for p in parents]), 1
+        # fold pairwise in join-config order (streams.clj:115-123);
+        # within one fold the tuple widens ([v1 v2] conj v3 ...); across
+        # nodes every entity's value is opaque again (arity 1).
+        ordered = [p for p in order if outputs.get(p) is not None]
+        acc_df = outputs[ordered[0]]
+        acc_type = self._joinable_type(ordered[0])
+        acc_arity = 1
+        for other_id in ordered[1:]:
+            acc_df = self._join_pair(
+                cfg, acc_df, acc_type, acc_arity, outputs[other_id], other_id
+            )
+            acc_arity += 1
+            # accumulated entity keeps the first leg's type (experiment.clj:141-149)
+        return acc_df, acc_arity
+
+    def _join_pair(
+        self, cfg: dict, left_df: DataFrame, left_type: str, left_arity: int,
+        right_df: DataFrame, right_id: str,
+    ) -> DataFrame:
+        jt = cfg.get("type", "merge")
+        right_type = self._joinable_type(right_id)
+        right_arity = 1
+        if right_type == model.GLOBAL_KTABLE:
+            # J7: broadcast lookup join; only inner/left exist (streams.clj:104-112)
+            return J.global_table_join(
+                left_df, right_df, jt, cfg.get("kv_mapper"), left_arity
+            )
+        if left_type == model.KSTREAM and right_type == model.KSTREAM:
+            before, after = cfg.get("window", (0, 0))
+            flags = {"inner": (False, False), "left": (True, False), "outer": (True, True)}[jt]
+            return J.windowed_stream_join(
+                left_df, right_df, before, after, *flags,
+                left_arity=left_arity, right_arity=right_arity,
+            )
+        if left_type == model.KTABLE and right_type == model.KTABLE:
+            # inverted flag semantics for tables (experiment.clj:108-121)
+            req = {"inner": (True, True), "left": (True, False), "outer": (False, False)}[jt]
+            return J.table_table_join(
+                left_df, right_df, *req, left_arity=left_arity, right_arity=right_arity
+            )
+        if left_type == model.KSTREAM and right_type == model.KTABLE:
+            require_table = {"inner": True, "left": False}[jt]
+            return J.stream_table_join(
+                left_df, right_df, require_table,
+                left_arity=left_arity, right_arity=right_arity,
+            )
+        raise ValueError(
+            f"unsupported join shape: {jt} {left_type}⋈{right_type} (right={right_id!r})"
+        )
+
+    # -- per-entity-type node builders ----------------------------------
+    def _ktable_output(self, ent: dict, df: DataFrame) -> DataFrame:
+        has_agg = "aggregate" in ent
+        if not has_agg:
+            return df  # changelog passthrough (F5); latest-state derived at join time
+        group_by = ent.get("group_by")
+        if group_by is not None:
+            df = df.withColumn(GKEY, group_by(F.col(KEY), F.col(VALUE)))
+        else:
+            df = df.withColumn(GKEY, F.col(KEY))  # group-by-key default (streams.clj:36)
+        group_cols = [GKEY]
+        win = ent.get("window")
+        if win is not None:
+            if isinstance(win, (TumblingWindow, HoppingWindow)):
+                df = assign_time_windows(df, TIMESTAMP, win.size_ms, win.advance_ms)
+            elif isinstance(win, SessionWindow):
+                df = assign_session_windows(
+                    df, TIMESTAMP, win.gap_ms, [GKEY], [F.col(TIMESTAMP).asc(), F.col(SEQ).asc()]
+                )
+            else:
+                raise ValueError(f"unknown window spec: {win!r}")
+            group_cols = [GKEY, WINDOW_START, WINDOW_END]
+        agg = ent["aggregate"]
+        retract = bool(ent.get("retract"))
+        if retract:
+            df = self._with_retractions(df)
+        folded = running_fold(df, agg, group_cols, F.col(GKEY), with_retraction=retract)
+        if ent.get("suppress"):
+            folded = final_only(folded, group_cols)  # A6: emit-final-only
+        return folded.select(KEY, VALUE, TIMESTAMP, SEQ)
+
+    @staticmethod
+    def _with_retractions(df: DataFrame) -> DataFrame:
+        """A5 subtractor support: a re-grouped upsert retracts the old
+        value's contribution from its old group (streams.clj:44-50).
+        Emits a sign=-1 event carrying the previous (value, group) next
+        to each update that replaces one."""
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(KEY).orderBy(F.col(TIMESTAMP).asc(), F.col(SEQ).asc())
+        tagged = df.withColumn("__prev_v", F.lag(F.col(VALUE)).over(w)).withColumn(
+            "__prev_g", F.lag(F.col(GKEY)).over(w)
+        )
+        adds = tagged.select(
+            KEY, VALUE, TIMESTAMP, SEQ, GKEY, F.lit(1).alias("__sign")
+        )
+        subs = (
+            tagged.filter(F.col("__prev_v").isNotNull())
+            .select(
+                F.col(KEY),
+                F.col("__prev_v").alias(VALUE),
+                F.col(TIMESTAMP),
+                F.col(SEQ),
+                F.col("__prev_g").alias(GKEY),
+                F.lit(-1).alias("__sign"),
+            )
+        )
+        return adds.unionByName(subs)
+
+    # -- run -------------------------------------------------------------
+    def run(self, inputs: dict[str, Any] | None = None) -> dict[str, DataFrame]:
+        inputs = inputs or {}
+        outputs: dict[str, DataFrame | None] = {}
+        seeds: dict[str, DataFrame] = {}
+        for i, (eid, ent) in enumerate(self.entities.items()):
+            seeded = self._seed(eid, ent, inputs, seq_offset=i * _ENTITY_SEQ_STRIDE)
+            if seeded is not None:
+                seeds[eid] = seeded
+        for node in self.order:
+            ent = self.entities[node]
+            etype = ent["type"]
+            combined, arity = self._combine_parents(node, outputs)
+            if etype == model.TOPIC:
+                computed = combined  # experiment.clj:196-202
+            elif etype == model.KSTREAM:
+                computed = apply_xform(combined, ent.get("xform")) if combined is not None else None
+            elif etype == model.KTABLE:
+                computed = self._ktable_output(ent, combined) if combined is not None else None
+            elif etype == model.GLOBAL_KTABLE:
+                computed = combined  # passthrough; latest-state at join time (core.clj:109-118)
+            else:  # pragma: no cover
+                raise AssertionError(etype)
+            seed = seeds.get(node)
+            if seed is not None and computed is not None:
+                out = seed.unionByName(computed.select(KEY, VALUE, TIMESTAMP, SEQ))
+            elif computed is not None:
+                out = computed.select(KEY, VALUE, TIMESTAMP, SEQ)
+            else:
+                out = seed
+            outputs[node] = out
+        return {k: v for k, v in outputs.items() if v is not None}
+
+
+def run_topology(
+    spark: SparkSession, topology: dict, inputs: dict[str, Any] | None = None
+) -> dict[str, DataFrame]:
+    """One-shot convenience: validate, compile, run; returns
+    {entity_id: record DataFrame} for every entity with output
+    (the reference's ``results-only``, experiment.clj:258-263)."""
+    return TopologyRunner(spark, topology).run(inputs)
+
+
+def collect_records(df: DataFrame, with_timestamp: bool = False) -> list[tuple]:
+    """Deterministic materialization for tests: sorted by (timestamp,
+    __seq) like the reference's output ordering (experiment.clj:253-254),
+    projected to (key, value[, timestamp])."""
+    rows = df.orderBy(F.col(TIMESTAMP).asc(), F.col(SEQ).asc()).collect()
+
+    def _hashable(v):
+        return tuple(v) if isinstance(v, list) else v
+
+    if with_timestamp:
+        return [(r[KEY], _hashable(r[VALUE]), r[TIMESTAMP]) for r in rows]
+    return [(r[KEY], _hashable(r[VALUE])) for r in rows]

@@ -1,0 +1,12 @@
+from .windows import HoppingWindow, SessionWindow, TumblingWindow
+from .aggregates import Aggregate
+from . import joins, tables
+
+__all__ = [
+    "TumblingWindow",
+    "HoppingWindow",
+    "SessionWindow",
+    "Aggregate",
+    "joins",
+    "tables",
+]

@@ -1,0 +1,255 @@
+"""Join operators — batch forms of the reference's five join shapes
+(SURVEY §2.5, J1-J9). Behavioral contract comes from the reference's
+in-memory oracle (experiment.clj:10-81); implementation is Spark-first:
+
+- Windowed stream-stream joins are a key-equi join with a time-band
+  predicate — Catalyst executes them as a sort-merge join on key with
+  the band as a post-filter (one shuffle per side).
+- As-of (table) joins do NOT use a range join (quadratic blowup at
+  scale); they use the union + running ``last(ignorenulls)`` window
+  trick: one shuffle by key total, linear state, the canonical
+  big-data as-of pattern.
+- Global-table joins broadcast the (small) latest state — no shuffle
+  on the stream side at all.
+
+Record contract: inputs/outputs are record DataFrames with columns
+(key, value, timestamp, __seq); join values are positional ARRAYs
+[v_left, v_right(, v_n...)] with NULL for the unmatched side, matching
+the reference's tuple values (streams.clj:118-122, FIXTURES.md §1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..model import KEY, TIMESTAMP, VALUE
+from .aggregates import SEQ
+from .tables import latest_per_key
+
+RECORD_COLS = [KEY, VALUE, TIMESTAMP, SEQ]
+
+
+def _records(df: DataFrame) -> DataFrame:
+    return df.select(*RECORD_COLS)
+
+
+def merge(dfs: list[DataFrame]) -> DataFrame:
+    """J4: plain union of streams (streams.clj:79-82; also the implicit
+    multi-parent combine, experiment.clj:196-208)."""
+    out = _records(dfs[0])
+    for d in dfs[1:]:
+        out = out.unionByName(_records(d))
+    return out
+
+
+def _tuple_value(left_v: Column, right_v: Column, left_arity: int, right_arity: int) -> Column:
+    """Positional join tuple as an array. A side that is itself a join
+    tuple (arity > 1) is concatenated, reproducing the reference's
+    n-ary ``conj`` fold (streams.clj:115-123, experiment.clj:141-149).
+    A NULL side becomes ``arity`` NULL elements."""
+    def side(v: Column, arity: int) -> Column:
+        if arity == 1:
+            return F.array(v)
+        # null tuple -> [null, null, ...]; else the tuple itself
+        return F.coalesce(v, F.array(*[F.lit(None) for _ in range(arity)]))
+
+    return F.concat(side(left_v, left_arity), side(right_v, right_arity))
+
+
+def windowed_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    before_ms: int,
+    after_ms: int,
+    emit_unjoined_left: bool,
+    emit_unjoined_right: bool,
+    left_arity: int = 1,
+    right_arity: int = 1,
+) -> DataFrame:
+    """J1-J3 (streams.clj:60-76; oracle experiment.clj:10-34).
+
+    Matches keys with t_r ∈ [t_l − before, t_l + after]; joined value =
+    [v_l, v_r], ts = max(t_l, t_r). Left/outer also emit every
+    left/right record with a NULL partner — then the oracle's dedup
+    rule: group results by (timestamp, key) and, where a group has >1
+    record, drop the ones containing NULL (experiment.clj:27-34).
+    """
+    l = _records(left).select(
+        F.col(KEY), F.col(VALUE).alias("__lv"), F.col(TIMESTAMP).alias("__lts"), F.col(SEQ).alias("__lseq")
+    )
+    r = _records(right).select(
+        F.col(KEY).alias("__rkey"), F.col(VALUE).alias("__rv"), F.col(TIMESTAMP).alias("__rts"), F.col(SEQ).alias("__rseq")
+    )
+    cond = (
+        (F.col(KEY) == F.col("__rkey"))
+        & (F.col("__rts") >= F.col("__lts") - F.lit(int(before_ms)))
+        & (F.col("__rts") <= F.col("__lts") + F.lit(int(after_ms)))
+    )
+    joined = l.join(r, cond, "inner").select(
+        F.col(KEY),
+        _tuple_value(F.col("__lv"), F.col("__rv"), left_arity, right_arity).alias(VALUE),
+        F.greatest(F.col("__lts"), F.col("__rts")).alias(TIMESTAMP),
+        F.greatest(F.col("__lseq"), F.col("__rseq")).alias(SEQ),
+    )
+    parts = [joined]
+    null_right = F.lit(None).cast(r.schema["__rv"].dataType)
+    null_left = F.lit(None).cast(l.schema["__lv"].dataType)
+    if emit_unjoined_left:
+        parts.append(
+            l.select(
+                F.col(KEY),
+                _tuple_value(F.col("__lv"), null_right, left_arity, right_arity).alias(VALUE),
+                F.col("__lts").alias(TIMESTAMP),
+                F.col("__lseq").alias(SEQ),
+            )
+        )
+    if emit_unjoined_right:
+        parts.append(
+            r.select(
+                F.col("__rkey").alias(KEY),
+                _tuple_value(null_left, F.col("__rv"), left_arity, right_arity).alias(VALUE),
+                F.col("__rts").alias(TIMESTAMP),
+                F.col("__rseq").alias(SEQ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    if len(parts) == 1:
+        return out
+    # oracle dedup rule (experiment.clj:30-34)
+    grp = W.partitionBy(F.col(TIMESTAMP), F.col(KEY))
+    has_null = F.exists(F.col(VALUE), lambda x: x.isNull())
+    return (
+        out.withColumn("__n", F.count(F.lit(1)).over(grp))
+        .filter(~((F.col("__n") > 1) & has_null))
+        .drop("__n")
+    )
+
+
+def _as_of_lookup(driving: DataFrame, other: DataFrame) -> DataFrame:
+    """For every ``driving`` record, find the latest ``other`` record
+    with the same key and ts ≤ driving.ts (ties: other-side first, then
+    arrival order) — the oracle's lookup (experiment.clj:44-47,70-73).
+
+    Union + running ``last(..., ignorenulls)`` — one shuffle by key,
+    linear, skew-tolerant; never a range join.
+
+    Returns the driving records plus ``__other`` (struct value/ts/seq,
+    NULL when no match yet).
+    """
+    d = _records(driving).withColumn("__other_in", F.lit(None).cast(
+        f"struct<{VALUE}:{other.schema[VALUE].dataType.simpleString()},{TIMESTAMP}:bigint,{SEQ}:bigint>"
+    )).withColumn("__side", F.lit(1))
+    o = _records(other).select(
+        F.col(KEY),
+        F.lit(None).cast(driving.schema[VALUE].dataType).alias(VALUE),
+        F.col(TIMESTAMP),
+        F.col(SEQ),
+        F.struct(
+            F.col(VALUE).alias(VALUE), F.col(TIMESTAMP).alias(TIMESTAMP), F.col(SEQ).alias(SEQ)
+        ).alias("__other_in"),
+        F.lit(0).alias("__side"),
+    )
+    u = d.unionByName(o)
+    w = (
+        W.partitionBy(KEY)
+        .orderBy(F.col(TIMESTAMP).asc(), F.col("__side").asc(), F.col(SEQ).asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        u.withColumn("__other", F.last(F.col("__other_in"), ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+        .drop("__other_in", "__side")
+    )
+
+
+def table_table_join(
+    left: DataFrame,
+    right: DataFrame,
+    require_left: bool,
+    require_right: bool,
+    left_arity: int = 1,
+    right_arity: int = 1,
+) -> DataFrame:
+    """J5 (streams.clj:84-97; oracle experiment.clj:37-62): every update
+    on either side emits a record joining it with the other side's
+    latest state as of that update's timestamp — both directions are
+    emitted (experiment.clj:55), then filtered by the presence flags.
+    NOTE the reference's flag naming is inverted for tables: 'inner'
+    requires both sides present, 'left' requires the left side, 'outer'
+    requires nothing (experiment.clj:108-121); we take explicit
+    require_* booleans to avoid the trap (SURVEY §2.5 wrinkles)."""
+    left_driven = _as_of_lookup(left, right).select(
+        F.col(KEY),
+        _tuple_value(F.col(VALUE), F.col(f"__other.{VALUE}"), left_arity, right_arity).alias(VALUE),
+        F.greatest(F.col(TIMESTAMP), F.coalesce(F.col(f"__other.{TIMESTAMP}"), F.lit(0))).alias(TIMESTAMP),
+        F.col(SEQ),
+        F.lit(True).alias("__l_present"),
+        F.col("__other").isNotNull().alias("__r_present"),
+    )
+    right_driven = _as_of_lookup(right, left).select(
+        F.col(KEY),
+        _tuple_value(F.col(f"__other.{VALUE}"), F.col(VALUE), left_arity, right_arity).alias(VALUE),
+        F.greatest(F.col(TIMESTAMP), F.coalesce(F.col(f"__other.{TIMESTAMP}"), F.lit(0))).alias(TIMESTAMP),
+        F.col(SEQ),
+        F.col("__other").isNotNull().alias("__l_present"),
+        F.lit(True).alias("__r_present"),
+    )
+    out = left_driven.unionByName(right_driven)
+    if require_left:
+        out = out.filter(F.col("__l_present"))
+    if require_right:
+        out = out.filter(F.col("__r_present"))
+    return out.drop("__l_present", "__r_present")
+
+
+def stream_table_join(
+    stream: DataFrame,
+    table: DataFrame,
+    require_table: bool,
+    left_arity: int = 1,
+    right_arity: int = 1,
+) -> DataFrame:
+    """J6 (streams.clj:100-102; oracle experiment.clj:64-81): enrich each
+    stream record with the table's latest value as of the record's
+    timestamp. Stream-driven only — table updates alone emit nothing."""
+    out = _as_of_lookup(stream, table).select(
+        F.col(KEY),
+        _tuple_value(F.col(VALUE), F.col(f"__other.{VALUE}"), left_arity, right_arity).alias(VALUE),
+        F.col(TIMESTAMP),
+        F.col(SEQ),
+        F.col("__other").isNotNull().alias("__r_present"),
+    )
+    if require_table:
+        out = out.filter(F.col("__r_present"))
+    return out.drop("__r_present")
+
+
+def global_table_join(
+    stream: DataFrame,
+    table_records: DataFrame,
+    how: str,
+    kv_mapper=None,
+    left_arity: int = 1,
+) -> DataFrame:
+    """J7 (streams.clj:104-112, core.clj:52-53; golden tests
+    core_test.clj:99-152): lookup-join against a fully-replicated table.
+    Join key = kv_mapper(key_col, value_col), default the record key.
+    The table side is the topic's latest state per key, broadcast —
+    at scale this is the classic dim-table broadcast join, zero shuffle
+    on the fact stream."""
+    assert how in ("inner", "left")
+    dim = latest_per_key(_records(table_records)).select(
+        F.col(KEY).alias("__tkey"), F.col(VALUE).alias("__tv")
+    )
+    join_key = kv_mapper(F.col(KEY), F.col(VALUE)) if kv_mapper else F.col(KEY)
+    s = _records(stream).withColumn("__jk", join_key)
+    joined = s.join(F.broadcast(dim), F.col("__jk") == F.col("__tkey"), how)
+    return joined.select(
+        F.col(KEY),
+        _tuple_value(F.col(VALUE), F.col("__tv"), left_arity, 1).alias(VALUE),
+        F.col(TIMESTAMP),
+        F.col(SEQ),
+    )
