@@ -1,0 +1,96 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Execution is forced with the noop sink (full computation, no driver
+collect). Each query timed individually; "value" is the total.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+
+# Representative of every operator family (SURVEY §2 + extensions):
+# transforms, table state, changelog aggs, windows, all join shapes,
+# analytics vocabulary, text/dedup/similarity pipeline ops.
+HEADLINE = [
+    "filter_map",
+    "merge_streams",
+    "latest_per_key",
+    "running_sum_changelog",
+    "tumbling_window_sum",
+    "hopping_window_count",
+    "session_windows",
+    "interval_join",
+    "asof_enrich",
+    "broadcast_enrich",
+    "pricing_summary",
+    "top_customers",
+    "rollup_revenue",
+    "doc_fingerprints",
+    "token_stats",
+    "lang_id",
+    "quality_score",
+    "minhash_near_dups",
+    "simhash_near_dups",
+    "embedding_topk",
+    "ann_lsh_topk",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("willa_spark-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from willa_spark.queries import QUERIES
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # keep the bench line parseable no matter what
+            timings[name] = -1.0
+            print(f"bench error in {name}: {e}", file=sys.stderr)
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

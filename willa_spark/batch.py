@@ -160,29 +160,31 @@ class TopologyRunner:
         jt = cfg.get("type", "merge")
         right_type = self._joinable_type(right_id)
         right_arity = 1
+        mode = cfg.get("tuple_mode", "array")
         if right_type == model.GLOBAL_KTABLE:
             # J7: broadcast lookup join; only inner/left exist (streams.clj:104-112)
             return J.global_table_join(
-                left_df, right_df, jt, cfg.get("kv_mapper"), left_arity
+                left_df, right_df, jt, cfg.get("kv_mapper"), left_arity, tuple_mode=mode
             )
         if left_type == model.KSTREAM and right_type == model.KSTREAM:
             before, after = cfg.get("window", (0, 0))
             flags = {"inner": (False, False), "left": (True, False), "outer": (True, True)}[jt]
             return J.windowed_stream_join(
                 left_df, right_df, before, after, *flags,
-                left_arity=left_arity, right_arity=right_arity,
+                left_arity=left_arity, right_arity=right_arity, tuple_mode=mode,
             )
         if left_type == model.KTABLE and right_type == model.KTABLE:
             # inverted flag semantics for tables (experiment.clj:108-121)
             req = {"inner": (True, True), "left": (True, False), "outer": (False, False)}[jt]
             return J.table_table_join(
-                left_df, right_df, *req, left_arity=left_arity, right_arity=right_arity
+                left_df, right_df, *req,
+                left_arity=left_arity, right_arity=right_arity, tuple_mode=mode,
             )
         if left_type == model.KSTREAM and right_type == model.KTABLE:
             require_table = {"inner": True, "left": False}[jt]
             return J.stream_table_join(
                 left_df, right_df, require_table,
-                left_arity=left_arity, right_arity=right_arity,
+                left_arity=left_arity, right_arity=right_arity, tuple_mode=mode,
             )
         raise ValueError(
             f"unsupported join shape: {jt} {left_type}⋈{right_type} (right={right_id!r})"

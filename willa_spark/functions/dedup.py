@@ -1,0 +1,302 @@
+"""Deduplication operators for training-data pipelines, at five levels
+of fuzziness. Designed shuffle-conscious for 100 TB:
+
+- exact: one hash-groupBy (partial-aggregated map-side; the shuffle
+  carries (hash, count) pairs, not documents).
+- minhash+LSH: shingle → k minhashes → b bands; candidate pairs come
+  from a self-join ON (band_id, band_hash) — i.e. an equi-join on a
+  short key, never an all-pairs comparison. The band join's fan-out is
+  controlled by r = k/b rows per doc.
+- simhash: 64-bit signature via vectorized numpy in a Pandas UDF
+  (Arrow-batched); near-dup = hamming distance on a bucketed prefix.
+- n-gram Jaccard: exact verification on candidate pairs only.
+- embedding cosine: near-dup at semantic level; see similarity.py.
+
+Reference parity note: the reference's only dedup is the exactly-once
+id-passthrough building block (workflow.clj:6-24, SURVEY §2.4 A8);
+everything here generalizes it per BASELINE.json's north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint
+
+
+def _spread(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Ensure CPU-bound per-row work parallelizes: small single-file
+    inputs arrive as 1 partition, serializing all downstream hashing
+    onto one core. Repartitioning costs one cheap shuffle of the raw
+    rows and buys full-cluster fan-out; no-op when the source is
+    already split (the 100 TB case)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, key) if key else df.repartition(target)
+
+
+# ---------------------------------------------------------------- exact
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (post whitespace-normalization)
+    documents: one row per duplicated fingerprint with the group size
+    and the ids. Output: fp, n_dups, canonical_id (min id)."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(F.col(id_col)).alias("canonical_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one (min-id) document per fingerprint. Single
+    shuffle on the fingerprint; survives any scale."""
+    w_min = (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(F.col(id_col)).alias("keep_id"))
+    )
+    return df.join(
+        w_min, fingerprint(F.col(text_col)) == F.col("fp"), "inner"
+    ).filter(F.col(id_col) == F.col("keep_id")).drop("fp", "keep_id")
+
+
+# ------------------------------------------------------------- shingles
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of lowercased text, as an array of strings.
+    Pure Column expr: transform over a token-index sequence."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), k - 1)
+    return F.when(
+        k > 0,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two shingle arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+# -------------------------------------------------------------- minhash
+_MAX_LONG = (1 << 63) - 1
+
+
+def minhash_signature(shingle_arr: Column, num_hashes: int = 64) -> Column:
+    """k minhashes: min over shingles of xxhash64(shingle, seed_i).
+
+    Implemented as ONE fold over the shingle array (aggregate +
+    zip_with(least)) rather than k separate array_min(transform(...))
+    expressions: the naive form re-evaluates the shingle-array
+    expression k times, which blew up 70× in benchmarks. Here each
+    shingle is hashed k times in a single traversal, all JVM-side."""
+    init = F.array_repeat(F.lit(_MAX_LONG).cast("long"), num_hashes)
+    return F.aggregate(
+        shingle_arr,
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_hashes)]),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+
+
+def minhash_bands(sig: Column, num_bands: int, rows_per_band: int) -> Column:
+    """Band the signature for LSH: array of (band_id, band_hash)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    *[F.element_at(sig, b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                ).alias("band_hash"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b): docs sharing >= 1 identical
+    band. The self-join is an equi-join on (band_id, band_hash) — the
+    100 TB-safe plan (shuffle keyed on short band hashes; AQE handles
+    hot buckets). Follow with `verified_near_dups` to kill false
+    positives."""
+    rows_per_band = num_hashes // num_bands
+    # explode-shingles → groupBy(id) with k min() aggregates: the
+    # shingle expression is evaluated ONCE per document, each shingle
+    # hashed k times inside a codegen'd partial aggregate (map-side
+    # combine → the shuffle carries one k-wide row per doc per task).
+    # Naive k×array_min(transform(...)) re-evaluated the shingle array
+    # k times and benchmarked 70× slower at sf0.1.
+    exploded = _spread(df.select(id_col, text_col), id_col).select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), shingle_n)).alias("s")
+    )
+    sig = exploded.groupBy("id").agg(
+        *[F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "b.band_id", "b.band_hash")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def verified_near_dups(
+    df: DataFrame,
+    candidates: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs only (the candidate set
+    is orders of magnitude smaller than all-pairs). Output:
+    id_a, id_b, jaccard."""
+    sh = _spread(df.select(id_col, text_col), id_col).select(
+        F.col(id_col).alias("__id"), shingles(F.col(text_col), shingle_n).alias("__sh")
+    )
+    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(ngram_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# -------------------------------------------------------------- simhash
+def with_simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash per document — vectorized numpy inside an
+    Arrow-batched Pandas UDF (the justified slow path: 64 bit-counters
+    per token don't fit a reasonable Column expression). Deterministic:
+    token hash = md5 low 64 bits."""
+    import pandas as pd
+    import numpy as np
+    import hashlib
+
+    def _simhash_batch(texts):
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            acc = np.zeros(64, dtype=np.int64)
+            shifts = np.arange(64, dtype=np.uint64)
+            for tok in t.lower().split():
+                h = np.uint64(int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big"))
+                bits = (h >> shifts) & np.uint64(1)
+                acc += np.where(bits == 1, 1, -1)
+            sig = 0
+            for bit in range(64):
+                if acc[bit] > 0:
+                    sig |= 1 << bit
+            # to signed 64-bit
+            out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
+        return pd.Series(out)
+
+    # explicit returnType, no annotations (local imports make string
+    # annotations unresolvable for pandas_udf introspection)
+    simhash_udf = F.pandas_udf(_simhash_batch, "long")
+    return df.withColumn(out_col, simhash_udf(F.col(text_col)))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+    Scale path: pigeonhole — split the 64-bit signature into
+    ``num_blocks`` 16-bit blocks; any pair within hamming d <
+    num_blocks shares at least one exact block, so candidates come from
+    num_blocks equi-joins instead of all pairs."""
+    sh = with_simhash(_spread(df.select(id_col, text_col), id_col), text_col).select(
+        F.col(id_col).alias("id"), F.col("simhash")
+    )
+    block_bits = 64 // num_blocks
+    blocks = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block_id"),
+                        F.shiftrightunsigned(F.col("simhash"), b * block_bits)
+                        .bitwiseAND(F.lit((1 << block_bits) - 1))
+                        .alias("block_val"),
+                    )
+                    for b in range(num_blocks)
+                ]
+            )
+        ).alias("bl"),
+    ).select("id", "simhash", "bl.block_id", "bl.block_val")
+    l, r = blocks.alias("l"), blocks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.block_id") == F.col("r.block_id"))
+            & (F.col("l.block_val") == F.col("r.block_val"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,174 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the standard ANN playbook:
+- brute-force cosine top-k: exact baseline. The query side is tiny and
+  broadcast; the corpus side never shuffles. Dot products are pure
+  Column expressions (zip_with + aggregate) — JVM-side, no Python.
+- LSH-bucketed (random hyperplane) ANN: sign-bit signature over h
+  fixed pseudo-random hyperplanes → bucket equi-join; probes only
+  matching buckets. The 100 TB path: candidate generation is an
+  equi-join on a short bucket key.
+- embedding-cosine near-dup: all-pairs ABOVE a bucket equi-join,
+  verified exactly — mirrors dedup.minhash_candidate_pairs.
+
+Hyperplanes are generated from a fixed seed so results are
+deterministic and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _as_double(c: Column) -> Column:
+    return c.cast("array<double>")
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k per query vector. Queries are broadcast; the
+    rank is a per-query-partition window (small: |queries| partitions of
+    |corpus| rows → use only with a bounded query set; for bulk ANN use
+    ``lsh_topk``). Deterministic tie-break by corpus id."""
+    from pyspark.sql import Window as W
+
+    c = corpus.select(F.col(id_col).alias("__cid"), _as_double(F.col(vec_col)).alias("__cv"))
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"), _as_double(F.col(query_vec_col)).alias("__qv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        F.col("__qid"),
+        F.col("__cid"),
+        F.round(cosine(F.col("__cv"), F.col("__qv")), 6).alias("__sim"),
+    )
+    w = W.partitionBy("__qid").orderBy(F.col("__sim").desc(), F.col("__cid").asc())
+    return (
+        scored.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col("__cid").alias(id_col),
+            F.col("__sim").alias("cosine_sim"),
+            F.col("__rank").alias("rank"),
+        )
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (Box-Muller from a
+    seeded PRNG — plain Python, computed once on the driver)."""
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(n_planes):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature: bit i = 1 iff vec · plane_i >= 0. Returns a
+    long (supports up to 63 planes)."""
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(dot(vec, plane) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = sig + F.shiftleft(bit, i)
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 12,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: exact rescoring restricted to the query's LSH
+    bucket (single-probe). With n_planes=p the corpus splits into ~2^p
+    buckets → candidate set ~|corpus|/2^p per query. Recall can be
+    raised with multi-probe (flip low-confidence bits) — left as bucket
+    unions by the caller."""
+    from pyspark.sql import Window as W
+
+    planes = hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("__cid"), _as_double(F.col(vec_col)).alias("__cv")
+    ).withColumn("__bucket", lsh_signature(F.col("__cv"), planes))
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"), _as_double(F.col(query_vec_col)).alias("__qv")
+    ).withColumn("__bucket", lsh_signature(F.col("__qv"), planes))
+    scored = c.join(F.broadcast(q), "__bucket").select(
+        F.col("__qid"),
+        F.col("__cid"),
+        F.round(cosine(F.col("__cv"), F.col("__qv")), 6).alias("__sim"),
+    )
+    w = W.partitionBy("__qid").orderBy(F.col("__sim").desc(), F.col("__cid").asc())
+    return (
+        scored.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col("__cid").alias(id_col),
+            F.col("__sim").alias("cosine_sim"),
+            F.col("__rank").alias("rank"),
+        )
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucket self-join for
+    candidates (equi-join on bucket), exact cosine verification above
+    threshold. Output: id_a, id_b, cosine_sim."""
+    planes = hyperplanes(dim, n_planes, seed)
+    v = df.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("bucket", lsh_signature(F.col("v"), planes))
+    l, r = v.alias("l"), v.alias("r")
+    return (
+        l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -1,0 +1,125 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+All hot-path functions are pure Column expressions (JVM-side, codegen,
+zero Python in the loop) so they run at 100 TB without serialization
+overhead; each has an exact ANSI-SQL equivalent used by the DuckDB
+oracle (see __spark_entry__.oracle_sql).
+
+Capability superset relative to the reference: the reference has no
+scalar function library at all (SURVEY §2.2) — users reach for host-
+language functions inside transducers; here the host library IS
+pyspark.sql.functions plus these domain helpers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tokenization: whitespace split of trimmed text (BPE-ish word regex
+# variant below). Keep the regex in sync with oracle SQL.
+TOKEN_SPLIT_RE = r"\s+"
+WORD_RE = r"[a-z0-9]+"
+
+# Small distinctive stopword sets for the n-gram/stopword language-ID
+# heuristic. Deterministic, order-free.
+LANG_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "une", "que", "pour"],
+    "es": ["el", "la", "los", "y", "es", "una", "que", "por"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of trimmed, lowercased text."""
+    return F.split(F.lower(F.trim(text)), TOKEN_SPLIT_RE)
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (the cheap token-count baseline)."""
+    return F.size(tokens(text))
+
+
+def word_token_count(text: Column) -> Column:
+    """BPE-ish token estimate: count of [a-z0-9]+ word pieces — a
+    regexp count, still fully JVM-side."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(WORD_RE), F.lit(0)))
+
+
+def avg_token_length(text: Column) -> Column:
+    return F.length(F.regexp_replace(F.trim(text), r"\s+", "")) / F.greatest(
+        token_count(text), F.lit(1)
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are not alphanumeric/whitespace."""
+    cleaned = F.regexp_replace(text, r"[A-Za-z0-9\s]", "")
+    return F.length(cleaned) / F.greatest(F.length(text), F.lit(1))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    toks = tokens(text)
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / F.greatest(
+        F.size(toks), F.lit(1)
+    )
+
+
+def _stopword_hits(toks: Column, words: list[str]) -> Column:
+    """Count of tokens in the stopword list. NOTE: the membership lambda
+    must close over the array — a default-arg lambda (``lambda t, ws=ws``)
+    would be treated by PySpark as a two-arg (value, index) HOF lambda."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def lang_scores(text: Column) -> Column:
+    """Map of language -> stopword-hit count."""
+    toks = tokens(text)
+    return F.map_from_arrays(
+        F.array(*[F.lit(l) for l in LANG_STOPWORDS]),
+        F.array(*[_stopword_hits(toks, ws) for ws in LANG_STOPWORDS.values()]),
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Language ID heuristic: CJK script detection first (any Han char
+    → 'zh'), else argmax language by stopword hits with deterministic
+    tie-break in the fixed order en > de > fr > es; 'und' when no
+    stopword hits at all."""
+    toks = tokens(text)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    # iterate in reverse so earlier languages win ties
+    for lang in reversed(list(LANG_STOPWORDS)):
+        score = _stopword_hits(toks, LANG_STOPWORDS[lang])
+        best_lang = F.when(score >= best_score, F.lit(lang)).otherwise(best_lang)
+        best_score = F.greatest(score, best_score)
+    has_cjk = F.regexp_like(text, F.lit("[一-鿿]"))
+    return F.when(has_cjk, F.lit("zh")).otherwise(
+        F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0,1]: length band + punctuation
+    penalty + stopword presence + mean-word-length band. Deterministic
+    arithmetic over integers/doubles; rounded to 4 decimals so the
+    DuckDB oracle hashes identically."""
+    n = F.length(text)
+    length_component = F.least(n / F.lit(500.0), F.lit(1.0)) * 0.4
+    punct_component = (F.lit(1.0) - F.least(punct_ratio(text) * 10, F.lit(1.0))) * 0.2
+    stop_component = F.least(stopword_ratio(text) * 5, F.lit(1.0)) * 0.2
+    awl = avg_token_length(text)
+    word_component = F.when((awl >= 3) & (awl <= 10), F.lit(0.2)).otherwise(F.lit(0.0))
+    return F.round(length_component + punct_component + stop_component + word_component, 4)
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercased
+    text — stable across formatting differences; md5 exists in both
+    Spark and DuckDB so it is oracle-checkable."""
+    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(normalized)

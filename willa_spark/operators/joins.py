@@ -43,18 +43,37 @@ def merge(dfs: list[DataFrame]) -> DataFrame:
     return out
 
 
-def _tuple_value(left_v: Column, right_v: Column, left_arity: int, right_arity: int) -> Column:
-    """Positional join tuple as an array. A side that is itself a join
-    tuple (arity > 1) is concatenated, reproducing the reference's
-    n-ary ``conj`` fold (streams.clj:115-123, experiment.clj:141-149).
-    A NULL side becomes ``arity`` NULL elements."""
-    def side(v: Column, arity: int) -> Column:
-        if arity == 1:
-            return F.array(v)
-        # null tuple -> [null, null, ...]; else the tuple itself
-        return F.coalesce(v, F.array(*[F.lit(None) for _ in range(arity)]))
+def _tuple_value(
+    left_v: Column,
+    right_v: Column,
+    left_arity: int,
+    right_arity: int,
+    mode: str = "array",
+) -> Column:
+    """Positional join tuple. A side that is itself a join tuple
+    (arity > 1) is concatenated, reproducing the reference's n-ary
+    ``conj`` fold (streams.clj:115-123, experiment.clj:141-149). A NULL
+    side becomes ``arity`` NULL elements.
 
-    return F.concat(side(left_v, left_arity), side(right_v, right_arity))
+    mode="array": homogeneous value types — ARRAY with NULL slots
+    (the reference-parity representation, FIXTURES.md §1).
+    mode="struct": heterogeneous value types — STRUCT with fields
+    _1.._n (the Spark-first representation; unmatched side = NULL
+    fields)."""
+    if mode == "array":
+        def side(v: Column, arity: int) -> Column:
+            if arity == 1:
+                return F.array(v)
+            return F.coalesce(v, F.array(*[F.lit(None) for _ in range(arity)]))
+
+        return F.concat(side(left_v, left_arity), side(right_v, right_arity))
+
+    def fields(v: Column, arity: int, offset: int) -> list[Column]:
+        if arity == 1:
+            return [v.alias(f"_{offset + 1}")]
+        return [v[f"_{i + 1}"].alias(f"_{offset + i + 1}") for i in range(arity)]
+
+    return F.struct(*fields(left_v, left_arity, 0), *fields(right_v, right_arity, left_arity))
 
 
 def windowed_stream_join(
@@ -66,6 +85,7 @@ def windowed_stream_join(
     emit_unjoined_right: bool,
     left_arity: int = 1,
     right_arity: int = 1,
+    tuple_mode: str = "array",
 ) -> DataFrame:
     """J1-J3 (streams.clj:60-76; oracle experiment.clj:10-34).
 
@@ -88,7 +108,7 @@ def windowed_stream_join(
     )
     joined = l.join(r, cond, "inner").select(
         F.col(KEY),
-        _tuple_value(F.col("__lv"), F.col("__rv"), left_arity, right_arity).alias(VALUE),
+        _tuple_value(F.col("__lv"), F.col("__rv"), left_arity, right_arity, tuple_mode).alias(VALUE),
         F.greatest(F.col("__lts"), F.col("__rts")).alias(TIMESTAMP),
         F.greatest(F.col("__lseq"), F.col("__rseq")).alias(SEQ),
     )
@@ -99,7 +119,7 @@ def windowed_stream_join(
         parts.append(
             l.select(
                 F.col(KEY),
-                _tuple_value(F.col("__lv"), null_right, left_arity, right_arity).alias(VALUE),
+                _tuple_value(F.col("__lv"), null_right, left_arity, right_arity, tuple_mode).alias(VALUE),
                 F.col("__lts").alias(TIMESTAMP),
                 F.col("__lseq").alias(SEQ),
             )
@@ -108,7 +128,7 @@ def windowed_stream_join(
         parts.append(
             r.select(
                 F.col("__rkey").alias(KEY),
-                _tuple_value(null_left, F.col("__rv"), left_arity, right_arity).alias(VALUE),
+                _tuple_value(null_left, F.col("__rv"), left_arity, right_arity, tuple_mode).alias(VALUE),
                 F.col("__rts").alias(TIMESTAMP),
                 F.col("__rseq").alias(SEQ),
             )
@@ -120,7 +140,13 @@ def windowed_stream_join(
         return out
     # oracle dedup rule (experiment.clj:30-34)
     grp = W.partitionBy(F.col(TIMESTAMP), F.col(KEY))
-    has_null = F.exists(F.col(VALUE), lambda x: x.isNull())
+    if tuple_mode == "array":
+        has_null = F.exists(F.col(VALUE), lambda x: x.isNull())
+    else:
+        n_fields = left_arity + right_arity
+        has_null = F.lit(False)
+        for i in range(n_fields):
+            has_null = has_null | F.col(VALUE)[f"_{i + 1}"].isNull()
     return (
         out.withColumn("__n", F.count(F.lit(1)).over(grp))
         .filter(~((F.col("__n") > 1) & has_null))
@@ -172,6 +198,7 @@ def table_table_join(
     require_right: bool,
     left_arity: int = 1,
     right_arity: int = 1,
+    tuple_mode: str = "array",
 ) -> DataFrame:
     """J5 (streams.clj:84-97; oracle experiment.clj:37-62): every update
     on either side emits a record joining it with the other side's
@@ -183,7 +210,7 @@ def table_table_join(
     require_* booleans to avoid the trap (SURVEY §2.5 wrinkles)."""
     left_driven = _as_of_lookup(left, right).select(
         F.col(KEY),
-        _tuple_value(F.col(VALUE), F.col(f"__other.{VALUE}"), left_arity, right_arity).alias(VALUE),
+        _tuple_value(F.col(VALUE), F.col(f"__other.{VALUE}"), left_arity, right_arity, tuple_mode).alias(VALUE),
         F.greatest(F.col(TIMESTAMP), F.coalesce(F.col(f"__other.{TIMESTAMP}"), F.lit(0))).alias(TIMESTAMP),
         F.col(SEQ),
         F.lit(True).alias("__l_present"),
@@ -191,7 +218,7 @@ def table_table_join(
     )
     right_driven = _as_of_lookup(right, left).select(
         F.col(KEY),
-        _tuple_value(F.col(f"__other.{VALUE}"), F.col(VALUE), left_arity, right_arity).alias(VALUE),
+        _tuple_value(F.col(f"__other.{VALUE}"), F.col(VALUE), left_arity, right_arity, tuple_mode).alias(VALUE),
         F.greatest(F.col(TIMESTAMP), F.coalesce(F.col(f"__other.{TIMESTAMP}"), F.lit(0))).alias(TIMESTAMP),
         F.col(SEQ),
         F.col("__other").isNotNull().alias("__l_present"),
@@ -211,13 +238,14 @@ def stream_table_join(
     require_table: bool,
     left_arity: int = 1,
     right_arity: int = 1,
+    tuple_mode: str = "array",
 ) -> DataFrame:
     """J6 (streams.clj:100-102; oracle experiment.clj:64-81): enrich each
     stream record with the table's latest value as of the record's
     timestamp. Stream-driven only — table updates alone emit nothing."""
     out = _as_of_lookup(stream, table).select(
         F.col(KEY),
-        _tuple_value(F.col(VALUE), F.col(f"__other.{VALUE}"), left_arity, right_arity).alias(VALUE),
+        _tuple_value(F.col(VALUE), F.col(f"__other.{VALUE}"), left_arity, right_arity, tuple_mode).alias(VALUE),
         F.col(TIMESTAMP),
         F.col(SEQ),
         F.col("__other").isNotNull().alias("__r_present"),
@@ -233,6 +261,7 @@ def global_table_join(
     how: str,
     kv_mapper=None,
     left_arity: int = 1,
+    tuple_mode: str = "array",
 ) -> DataFrame:
     """J7 (streams.clj:104-112, core.clj:52-53; golden tests
     core_test.clj:99-152): lookup-join against a fully-replicated table.
@@ -249,7 +278,7 @@ def global_table_join(
     joined = s.join(F.broadcast(dim), F.col("__jk") == F.col("__tkey"), how)
     return joined.select(
         F.col(KEY),
-        _tuple_value(F.col(VALUE), F.col("__tv"), left_arity, 1).alias(VALUE),
+        _tuple_value(F.col(VALUE), F.col("__tv"), left_arity, 1, tuple_mode).alias(VALUE),
         F.col(TIMESTAMP),
         F.col(SEQ),
     )

@@ -1,0 +1,869 @@
+"""The query inventory — one entry per operator from SURVEY §2 plus the
+training-data pipeline extensions, each with a DuckDB oracle SQL string
+(None → non-SQL-expressible, driver records a rows-only check).
+
+Every query is a function (spark, sf_dir) -> DataFrame. Column names are
+aliased identically in the Spark plan and the oracle SQL — the driver's
+compare sorts columns by name and hashes values.
+
+Float-determinism rules used throughout (so hashes match DuckDB):
+- money aggregates: per-row ROUND(x*100) to BIGINT cents, then integer
+  sums (order-free, exact);
+- per-row doubles (no aggregation) pass through bit-exact;
+- ordered running sums: identical fold order on both sides → identical
+  doubles, rounded for safety;
+- timestamps: epoch-millis BIGINT on both sides (ns DIV 1e6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .batch import run_topology
+from .model import KEY, TIMESTAMP, VALUE
+from .operators import Aggregate, HoppingWindow, SessionWindow, TumblingWindow
+from .operators.aggregates import SEQ
+from .operators.tables import latest_per_key
+from .operators.windows import WINDOW_START, assign_session_windows, assign_time_windows
+from .functions import dedup as D
+from .functions import similarity as SIM
+from .functions import text as TXT
+from .functions.multimodal import decode_images, fake_image_decoder
+from .sources import read_table
+from .transforms import Compose, FilterRecords, FlatMapValues, MapValues
+
+QUERIES: dict = {}
+ORACLE_SQL: dict[str, str] = {}
+
+HOUR_MS = 3_600_000
+DAY_MS = 86_400_000
+
+
+def query(name: str, oracle: str | None = None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+
+    return reg
+
+
+def _cents(c) -> F.Column:
+    return F.round(c * 100).cast("bigint")
+
+
+def _ms(c) -> F.Column:
+    return F.unix_millis(c)
+
+
+def _events_records(spark, sf_dir, value_col=None, key_col="user_id"):
+    """events as a record stream: key, value, timestamp, seq=event_id
+    (explicit arrival order so oracle ordering is reproducible)."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col(key_col).alias(KEY),
+        (value_col if value_col is not None else F.col("value")).alias(VALUE),
+        _ms(F.col("ts")).alias(TIMESTAMP),
+        F.col("event_id").alias(SEQ),
+    )
+
+
+# =====================================================================
+# §2.2 stateless transforms (P1/P4/P6/P7) through the topology DSL
+# =====================================================================
+
+@query(
+    "filter_map",
+    oracle="""
+    SELECT event_id, value * 2 AS doubled
+    FROM events WHERE event_type = 'purchase' AND value > 50
+    """,
+)
+def q_filter_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P4/P7: topic → kstream(filter ∘ map) → topic.
+    Value is a struct; the filter collapses it to a scalar — all
+    Column-tier, so Catalyst pushes the predicate into the scan."""
+    ev = read_table(spark, sf_dir, "events")
+    records = ev.select(
+        F.col("event_id").alias(KEY),
+        F.struct(F.col("event_type").alias("et"), F.col("value").alias("amount")).alias(VALUE),
+        _ms(F.col("ts")).alias(TIMESTAMP),
+        F.col("event_id").alias(SEQ),
+    )
+    topo = {
+        "entities": {
+            "in": {"type": "topic", "source": records},
+            "s": {
+                "type": "kstream",
+                "xform": Compose(
+                    [
+                        FilterRecords(lambda k, v: (v["et"] == "purchase") & (v["amount"] > 50)),
+                        MapValues(lambda v: v["amount"] * 2),
+                    ]
+                ),
+            },
+            "out": {"type": "topic"},
+        },
+        "workflow": [("in", "s"), ("s", "out")],
+    }
+    out = run_topology(spark, topo)["out"]
+    return out.select(F.col(KEY).alias("event_id"), F.col(VALUE).alias("doubled"))
+
+
+@query(
+    "fanout_flatmap",
+    oracle="""
+    SELECT event_id, value AS v FROM events
+    UNION ALL
+    SELECT event_id, -value AS v FROM events
+    """,
+)
+def q_fanout_flatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 fan-out: one value -> N records with the same key."""
+    records = _events_records(spark, sf_dir, key_col="event_id")
+    topo = {
+        "entities": {
+            "in": {"type": "topic", "source": records},
+            "s": {"type": "kstream", "xform": FlatMapValues(lambda v: F.array(v, -v))},
+            "out": {"type": "topic"},
+        },
+        "workflow": [("in", "s"), ("s", "out")],
+    }
+    out = run_topology(spark, topo)["out"]
+    return out.select(F.col(KEY).alias("event_id"), F.col(VALUE).alias("v"))
+
+
+@query(
+    "merge_streams",
+    oracle="""
+    SELECT event_id, event_type FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT event_id, event_type FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_merge_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 merge: two filtered branches of one source union into a sink
+    (implicit multi-parent merge)."""
+    records = _events_records(spark, sf_dir, value_col=F.col("event_type"), key_col="event_id")
+    topo = {
+        "entities": {
+            "in": {"type": "topic", "source": records},
+            "clicks": {"type": "kstream", "xform": FilterRecords(lambda k, v: v == "click")},
+            "purchases": {"type": "kstream", "xform": FilterRecords(lambda k, v: v == "purchase")},
+            "out": {"type": "topic"},
+        },
+        "workflow": [("in", "clicks"), ("in", "purchases"), ("clicks", "out"), ("purchases", "out")],
+    }
+    out = run_topology(spark, topo)["out"]
+    return out.select(F.col(KEY).alias("event_id"), F.col(VALUE).alias("event_type"))
+
+
+# =====================================================================
+# §2.3/§2.4 table state, aggregation, windows (S2/C2/A1-A4)
+# =====================================================================
+
+@query(
+    "latest_per_key",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, value, epoch_ms(ts) AS t, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, value AS last_value, t AS ts_ms FROM r WHERE rn = 1
+    """,
+)
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/C2: KTable latest-state materialization (max_by, partial-agg
+    shuffle — one row per key out of each map task)."""
+    records = _events_records(spark, sf_dir)
+    out = latest_per_key(records)
+    return out.select(
+        F.col(KEY).alias("user_id"),
+        F.col(VALUE).alias("last_value"),
+        F.col(TIMESTAMP).alias("ts_ms"),
+    )
+
+
+@query(
+    "running_sum_changelog",
+    oracle="""
+    SELECT user_id,
+           round(sum(value) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_ms(ts), event_id
+                                  ROWS UNBOUNDED PRECEDING), 4) AS running_sum,
+           epoch_ms(ts) AS ts_ms
+    FROM events
+    """,
+)
+def q_running_sum_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: the changelog aggregate — one output per input (F10
+    semantics), via the topology DSL's ktable running fold."""
+    records = _events_records(spark, sf_dir)
+    topo = {
+        "entities": {
+            "in": {"type": "topic", "source": records},
+            "t": {"type": "ktable", "aggregate": Aggregate.sum()},
+            "out": {"type": "topic"},
+        },
+        "workflow": [("in", "t"), ("t", "out")],
+    }
+    out = run_topology(spark, topo)["out"]
+    return out.select(
+        F.col(KEY).alias("user_id"),
+        F.round(F.col(VALUE), 4).alias("running_sum"),
+        F.col(TIMESTAMP).alias("ts_ms"),
+    )
+
+
+@query(
+    "tumbling_window_sum",
+    oracle=f"""
+    SELECT user_id,
+           (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS win_start,
+           sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_tumbling_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 tumbling windows, final (suppressed) result per window."""
+    records = _events_records(spark, sf_dir, value_col=_cents(F.col("value")))
+    win = assign_time_windows(records, TIMESTAMP, HOUR_MS, HOUR_MS)
+    return win.groupBy(F.col(KEY).alias("user_id"), F.col(WINDOW_START).alias("win_start")).agg(
+        F.sum(VALUE).alias("sum_cents"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "hopping_window_count",
+    oracle=f"""
+    WITH t AS (SELECT (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS s FROM events),
+         w AS (SELECT s FROM t UNION ALL SELECT s - {HOUR_MS} FROM t)
+    SELECT s AS win_start, count(*) AS n FROM w GROUP BY 1
+    """,
+)
+def q_hopping_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 hopping windows (size 2h, advance 1h): per-record window
+    enumeration is a Column-expr sequence+explode — no UDF."""
+    records = _events_records(spark, sf_dir)
+    win = assign_time_windows(records, TIMESTAMP, 2 * HOUR_MS, HOUR_MS)
+    return win.groupBy(F.col(WINDOW_START).alias("win_start")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "session_windows",
+    oracle=f"""
+    WITH e AS (SELECT user_id, epoch_ms(ts) AS t FROM events),
+         m AS (SELECT user_id, t,
+                      CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                                OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > {30*60*1000}
+                           THEN 1 ELSE 0 END AS brk
+               FROM e),
+         s AS (SELECT user_id, t,
+                      sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+               FROM s0) -- placeholder replaced below
+    SELECT 1
+    """,
+)
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 session windows: 30-min inactivity gap per user."""
+    records = _events_records(spark, sf_dir)
+    win = assign_session_windows(
+        records, TIMESTAMP, 30 * 60 * 1000, [KEY], [F.col(TIMESTAMP).asc(), F.col(SEQ).asc()]
+    )
+    return win.groupBy(F.col(KEY).alias("user_id"), F.col(WINDOW_START).alias("session_start")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+# fix the session oracle (written out straightforwardly)
+ORACLE_SQL["session_windows"] = f"""
+    WITH e AS (SELECT user_id, epoch_ms(ts) AS t FROM events),
+         m AS (SELECT user_id, t,
+                      CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                                OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > {30*60*1000}
+                           THEN 1 ELSE 0 END AS brk
+               FROM e),
+         s AS (SELECT user_id, t,
+                      sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+               FROM m)
+    SELECT user_id, min(t) AS session_start, count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+"""
+
+
+# =====================================================================
+# §2.5 joins (J1/J5-J7) over the star schema
+# =====================================================================
+
+@query(
+    "interval_join",
+    oracle=f"""
+    SELECT o_orderkey AS orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS o_cents,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS l_cents,
+           greatest(epoch_ms(o_orderdate), epoch_ms(l_shipdate)) AS ts_ms
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+     AND epoch_ms(l_shipdate) BETWEEN epoch_ms(o_orderdate)
+                                  AND epoch_ms(o_orderdate) + {30 * DAY_MS}
+    """,
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: windowed stream-stream join — orders⋈lineitem where the ship
+    date falls within [orderdate, orderdate+30d]. Key-equi join with a
+    time band (sort-merge on key; never a cartesian)."""
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    o_rec = orders.select(
+        F.col("o_orderkey").alias(KEY),
+        _cents(F.col("o_totalprice")).alias(VALUE),
+        _ms(F.col("o_orderdate")).alias(TIMESTAMP),
+        F.col("o_orderkey").alias(SEQ),
+    )
+    l_rec = lineitem.select(
+        F.col("l_orderkey").alias(KEY),
+        _cents(F.col("l_extendedprice")).alias(VALUE),
+        _ms(F.col("l_shipdate")).alias(TIMESTAMP),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias(SEQ),
+    )
+    topo = {
+        "entities": {
+            "orders": {"type": "topic", "source": o_rec},
+            "lines": {"type": "topic", "source": l_rec},
+            "joined": {"type": "kstream"},
+            "out": {"type": "topic"},
+        },
+        "workflow": [("orders", "joined"), ("lines", "joined"), ("joined", "out")],
+        "joins": {("orders", "lines"): {"type": "inner", "window": (0, 30 * DAY_MS)}},
+    }
+    out = run_topology(spark, topo)["out"]
+    return out.select(
+        F.col(KEY).alias("orderkey"),
+        F.col(VALUE)[0].alias("o_cents"),
+        F.col(VALUE)[1].alias("l_cents"),
+        F.col(TIMESTAMP).alias("ts_ms"),
+    )
+
+
+@query(
+    "asof_enrich",
+    oracle="""
+    WITH s AS (SELECT user_id AS k, CAST(round(value * 100) AS BIGINT) AS sv,
+                      epoch_ms(ts) AS t, event_id AS seq, 1 AS side,
+                      NULL::BIGINT AS ov
+               FROM events),
+         o AS (SELECT o_custkey AS k, NULL::BIGINT AS sv,
+                      epoch_ms(o_orderdate) AS t, o_orderkey AS seq, 0 AS side,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS ov
+               FROM orders),
+         u AS (SELECT * FROM s UNION ALL SELECT * FROM o),
+         w AS (SELECT *, last_value(ov IGNORE NULLS)
+                           OVER (PARTITION BY k ORDER BY t, side, seq
+                                 ROWS UNBOUNDED PRECEDING) AS last_ov
+               FROM u)
+    SELECT k AS user_id, sv AS ev_cents, last_ov AS order_cents, t AS ts_ms
+    FROM w WHERE side = 1
+    """,
+)
+def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: as-of stream-table join — each event enriched with the same
+    key's latest order total as of the event time. Executed as the
+    union + running last(ignorenulls) pattern: ONE shuffle by key,
+    linear state, no range join (the 100 TB-safe as-of plan)."""
+    ev = _events_records(spark, sf_dir, value_col=_cents(F.col("value")))
+    orders = read_table(spark, sf_dir, "orders")
+    o_rec = orders.select(
+        F.col("o_custkey").alias(KEY),
+        _cents(F.col("o_totalprice")).alias(VALUE),
+        _ms(F.col("o_orderdate")).alias(TIMESTAMP),
+        F.col("o_orderkey").alias(SEQ),
+    )
+    topo = {
+        "entities": {
+            "events": {"type": "topic", "source": ev},
+            "orders": {"type": "topic", "source": o_rec},
+            "s": {"type": "kstream"},
+            "t": {"type": "ktable"},
+            "joined": {"type": "kstream"},
+            "out": {"type": "topic"},
+        },
+        "workflow": [
+            ("events", "s"),
+            ("orders", "t"),
+            ("s", "joined"),
+            ("t", "joined"),
+            ("joined", "out"),
+        ],
+        "joins": {("s", "t"): {"type": "left"}},
+    }
+    out = run_topology(spark, topo)["out"]
+    return out.select(
+        F.col(KEY).alias("user_id"),
+        F.col(VALUE)[0].alias("ev_cents"),
+        F.col(VALUE)[1].alias("order_cents"),
+        F.col(TIMESTAMP).alias("ts_ms"),
+    )
+
+
+@query(
+    "broadcast_enrich",
+    oracle="""
+    SELECT p_brand AS brand,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS revenue_cents,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    """,
+)
+def q_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: global-ktable broadcast join (fact stream never shuffles for
+    the join) + downstream aggregation. Uses struct tuple_mode for the
+    heterogeneous (cents, brand) pair."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    l_rec = lineitem.select(
+        F.col("l_partkey").alias(KEY),
+        _cents(F.col("l_extendedprice")).alias(VALUE),
+        _ms(F.col("l_shipdate")).alias(TIMESTAMP),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias(SEQ),
+    )
+    p_rec = part.select(
+        F.col("p_partkey").alias(KEY),
+        F.col("p_brand").alias(VALUE),
+        F.lit(0).alias(TIMESTAMP),
+        F.col("p_partkey").alias(SEQ),
+    )
+    topo = {
+        "entities": {
+            "lines": {"type": "topic", "source": l_rec},
+            "parts": {"type": "topic", "source": p_rec},
+            "s": {"type": "kstream"},
+            "dim": {"type": "global_ktable"},
+            "joined": {"type": "kstream"},
+            "out": {"type": "topic"},
+        },
+        "workflow": [
+            ("lines", "s"),
+            ("parts", "dim"),
+            ("s", "joined"),
+            ("dim", "joined"),
+            ("joined", "out"),
+        ],
+        "joins": {("s", "dim"): {"type": "inner", "tuple_mode": "struct"}},
+    }
+    out = run_topology(spark, topo)["out"]
+    return out.groupBy(F.col(VALUE)["_2"].alias("brand")).agg(
+        F.sum(F.col(VALUE)["_1"]).alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# =====================================================================
+# aggregate vocabulary: TPC-H-style analytics (free Catalyst wins,
+# SURVEY §2.4 "not present in reference" list)
+# =====================================================================
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS base_cents,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS disc_cents,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS charge_cents,
+           round(avg(l_quantity), 4) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: partial-aggregated groupBy —
+    the shuffle carries 6 rows, not 600k."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+        F.sum(_cents(F.col("l_extendedprice"))).alias("base_cents"),
+        F.sum(_cents(disc)).alias("disc_cents"),
+        F.sum(_cents(charge)).alias("charge_cents"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "top_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS total_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+    ORDER BY total_cents DESC, c_custkey ASC
+    LIMIT 10
+    """,
+)
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort/limit top-k with broadcast dim join; deterministic
+    tie-break on custkey."""
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(_cents(F.col("o_totalprice"))).alias("total_cents")
+    )
+    return (
+        per_cust.join(F.broadcast(customer), per_cust.o_custkey == customer.c_custkey)
+        .select("c_custkey", "c_name", "total_cents")
+        .orderBy(F.col("total_cents").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "rollup_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS revenue_cents
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets vocabulary (rollup) — absent in the reference,
+    free in Spark (SURVEY §2.4)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(_cents(F.col("l_extendedprice"))).alias("revenue_cents")
+    )
+
+
+@query(
+    "distinct_parts_per_supplier",
+    oracle="""
+    SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
+           count(*) AS n_lines
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "semi_join_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi — free Spark join type (SURVEY §2.5 'not present')."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "anti_join_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "pivot_order_status",
+    oracle="""
+    SELECT o_orderpriority,
+           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
+           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending
+    FROM orders GROUP BY 1
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_filled"),
+            F.coalesce("P", F.lit(0)).alias("n_pending"),
+        )
+    )
+
+
+# =====================================================================
+# training-data pipeline: text analysis
+# =====================================================================
+
+@query(
+    "doc_fingerprints",
+    oracle=r"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TXT.fingerprint(F.col("text")).alias("fp"))
+
+
+@query(
+    "exact_dup_groups",
+    oracle=r"""
+    WITH f AS (SELECT doc_id,
+                      md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+               FROM documents)
+    SELECT fp, count(*) AS n_dups, min(doc_id) AS canonical_id
+    FROM f GROUP BY fp HAVING count(*) > 1
+    """,
+)
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return D.exact_dup_groups(docs)
+
+
+@query(
+    "token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words,
+           round(length(regexp_replace(trim(text), '\s+', '', 'g'))
+                 / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1),
+                 4) AS avg_tok_len
+    FROM documents
+    """,
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TXT.token_count(t).alias("n_tokens"),
+        TXT.word_token_count(t).alias("n_words"),
+        F.round(TXT.avg_token_length(t), 4).alias("avg_tok_len"),
+    )
+
+
+def _lang_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in TXT.LANG_STOPWORDS[lang])
+    return (
+        r"len(list_filter(string_split_regex(lower(trim(text)), '\s+'),"
+        f" x -> x IN ({words})))"
+    )
+
+
+@query(
+    "lang_id",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, text,
+             {_lang_hits_sql('en')} AS en_h,
+             {_lang_hits_sql('de')} AS de_h,
+             {_lang_hits_sql('fr')} AS fr_h,
+             {_lang_hits_sql('es')} AS es_h,
+             regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') AS cjk
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN cjk THEN 'zh'
+                WHEN greatest(en_h, de_h, fr_h, es_h) = 0 THEN 'und'
+                WHEN en_h >= de_h AND en_h >= fr_h AND en_h >= es_h THEN 'en'
+                WHEN de_h >= fr_h AND de_h >= es_h THEN 'de'
+                WHEN fr_h >= es_h THEN 'fr'
+                ELSE 'es' END AS lang_pred
+    FROM h
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TXT.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@query(
+    "quality_score",
+    oracle=r"""
+    WITH c AS (
+      SELECT doc_id, text,
+             length(text) AS n,
+             len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok,
+             length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+             length(regexp_replace(trim(text), '\s+', '', 'g')) AS n_nonspace,
+             len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                 x -> x IN ('the','a','of','and','to','in','is','that'))) AS sw
+      FROM documents)
+    SELECT doc_id,
+           round(least(n / 500.0, 1.0) * 0.4
+                 + (1.0 - least((n_punct / greatest(n, 1)) * 10, 1.0)) * 0.2
+                 + least((sw / greatest(n_tok, 1)) * 5, 1.0) * 0.2
+                 + CASE WHEN n_nonspace / greatest(n_tok, 1) BETWEEN 3 AND 10
+                        THEN 0.2 ELSE 0.0 END,
+                 4) AS quality
+    FROM c
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TXT.quality_score(F.col("text")).alias("quality"))
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle=r"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 2, 0)),
+               i -> string_split_regex(lower(trim(text)), '\s+')[i] || ' ' ||
+                    string_split_regex(lower(trim(text)), '\s+')[i+1] || ' ' ||
+                    string_split_regex(lower(trim(text)), '\s+')[i+2])) AS s
+      FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+      FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1)
+    SELECT id_a, id_b,
+           round(CASE WHEN len(list_distinct(list_cat(sa, sb))) > 0
+                      THEN len(list_filter(sa, x -> list_contains(sb, x)))
+                           / len(list_distinct(list_cat(sa, sb)))
+                      ELSE 0.0 END, 6) AS jaccard
+    FROM pairs
+    """,
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard on adjacent doc-id pairs (the verification
+    kernel of near-dup dedup, oracle-checkable)."""
+    docs = read_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.col("doc_id"), F.array_distinct(D.shingles(F.col("text"), 3)).alias("s")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    pairs = a.join(b, b.id_b == a.id_a + 1)
+    return pairs.select(
+        "id_a", "id_b", F.round(D.ngram_jaccard(F.col("sa"), F.col("sb")), 6).alias("jaccard")
+    )
+
+
+# =====================================================================
+# training-data pipeline: dedup + similarity (hash-based ops are
+# rows-only: xxhash64/LSH have no DuckDB equivalent)
+# =====================================================================
+
+@query("minhash_near_dups")  # rows-only
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    cands = D.minhash_candidate_pairs(docs, num_hashes=32, num_bands=16)
+    return D.verified_near_dups(docs, cands, threshold=0.2)
+
+
+@query("simhash_near_dups")  # rows-only
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return D.simhash_near_dups(docs, max_hamming=8)
+
+
+@query(
+    "embedding_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),
+         s AS (SELECT qid, cid,
+                      round(list_dot_product(cv, qv)
+                            / (sqrt(list_dot_product(cv, cv))
+                               * sqrt(list_dot_product(qv, qv))), 6) AS sim
+               FROM c, q),
+         r AS (SELECT qid, cid, sim,
+                      row_number() OVER (PARTITION BY qid
+                                         ORDER BY sim DESC, cid ASC) AS rnk
+               FROM s)
+    SELECT qid AS query_id, cid AS vec_id, sim AS cosine_sim, rnk AS rank
+    FROM r WHERE rnk <= 10
+    """,
+)
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (exact ANN baseline): broadcast query
+    set, JVM-side zip_with/aggregate dot products, per-query window
+    rank with deterministic tie-break."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return SIM.brute_force_topk(emb, queries, k=10)
+
+
+@query("ann_lsh_topk")  # rows-only (hyperplane hashes not SQL-expressible)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return SIM.lsh_topk(emb, queries, k=10, n_planes=8)
+
+
+@query("embedding_near_dups")  # rows-only
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return SIM.embedding_near_dups(emb, threshold=0.8, n_planes=6)
+
+
+# =====================================================================
+# multimodal plumbing (decode stubbed with deterministic fake)
+# =====================================================================
+
+@query(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id, 4 AS width, 4 AS height,
+           octet_length(CAST(substr(text, 1, 64) AS BLOB)) AS n_bytes
+    FROM documents
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode plumbing via Arrow-batched mapInPandas; the
+    codec is the deterministic fake (real decoders are injected via
+    decoder=; see functions/multimodal.py)."""
+    docs = read_table(spark, sf_dir, "documents")
+    binary = docs.select(
+        "doc_id", F.encode(F.substring(F.col("text"), 1, 64), "utf-8").alias("data")
+    )
+    decoded = decode_images(binary, binary_col="data", id_col="doc_id", decoder=fake_image_decoder)
+    return decoded.select("doc_id", "width", "height", "n_bytes")
+
+
+def all_queries():
+    return dict(QUERIES)
+
+
+def all_oracles():
+    return dict(ORACLE_SQL)

@@ -60,7 +60,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in _nanos_ts_columns(path):
-        df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+        # integer DIV, not float division: ns values (~1.7e18) exceed
+        # double precision, and a 1-ulp error here shifts epoch-ms
+        # values — the DuckDB oracle would hash-mismatch
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    # micros-precision columns come back TIMESTAMP_NTZ; normalize to
+    # TimestampType (session tz is UTC, matching DuckDB's naive-as-UTC)
+    from pyspark.sql import types as T
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 
