@@ -1,0 +1,203 @@
+"""Batch-vs-streaming congruity — the engine's analogue of the
+reference's experiment-vs-TopologyTestDriver differential suite
+(test_utils.clj:68-92, SURVEY §5.1): run the SAME topology + inputs
+through both compilers, compare {key, value} multisets per sink
+(dropping timestamps, like results-congruous?).
+
+Stateful topologies compare FINAL state (micro-batching coalesces
+changelog updates — documented divergence, SURVEY §4 'caching').
+"""
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from willa_spark import (
+    Aggregate,
+    FilterRecords,
+    FlatMapValues,
+    MapValues,
+    SessionWindow,
+    TumblingWindow,
+    collect_records,
+    run_topology,
+)
+from willa_spark.batch import seed_records
+from willa_spark.streaming import run_streaming_topology
+
+
+def topic(**kw):
+    return {"type": "topic", **kw}
+
+
+def batch_results(spark, topology, inputs, leaf="out"):
+    res = run_topology(spark, topology, inputs=inputs)
+    return Counter(collect_records(res[leaf]))
+
+
+def streaming_results(spark, topology, inputs, tmp_path, leaf="out", extra_files=None):
+    res = run_streaming_topology(spark, topology, inputs, str(tmp_path), extra_files)
+    return Counter(res[leaf])
+
+
+def test_congruity_stateless_chain(spark, tmp_path):
+    """map + filter + fanout chain — exact multiset congruity."""
+    topo = {
+        "entities": {
+            "in": topic(),
+            "s1": {"type": "kstream", "xform": MapValues(lambda v: v + 1)},
+            "s2": {"type": "kstream", "xform": FilterRecords(lambda k, v: v % 2 == 0)},
+            "s3": {"type": "kstream", "xform": FlatMapValues(lambda v: F.array(v, v * 10))},
+            "out": topic(),
+        },
+        "workflow": [("in", "s1"), ("s1", "s2"), ("s2", "s3"), ("s3", "out")],
+    }
+    inputs = {"in": [("k", 1, 100), ("k", 2, 150), ("k2", 3, 200), ("k2", 5, 300)]}
+    b = batch_results(spark, topo, inputs)
+    s = streaming_results(spark, topo, inputs, tmp_path)
+    assert b == s
+    assert b == Counter([("k", 2), ("k", 20), ("k2", 4), ("k2", 40), ("k2", 6), ("k2", 60)])
+
+
+def test_congruity_merge(spark, tmp_path):
+    topo = {
+        "entities": {"a": topic(), "b": topic(), "out": topic()},
+        "workflow": [("a", "out"), ("b", "out")],
+    }
+    inputs = {"a": [("k", 1, 100)], "b": [("k2", 2, 50), ("k", 7, 80)]}
+    assert batch_results(spark, topo, inputs) == streaming_results(
+        spark, topo, inputs, tmp_path
+    )
+
+
+def test_congruity_unwindowed_sum_final_state(spark, tmp_path):
+    """F10 shape: batch changelog's FINAL row per key == streaming
+    update-mode result after one batch."""
+    topo_batch = {
+        "entities": {
+            "in": topic(),
+            "t": {"type": "ktable", "aggregate": Aggregate.sum(), "suppress": True},
+            "out": topic(),
+        },
+        "workflow": [("in", "t"), ("t", "out")],
+    }
+    topo_stream = {
+        "entities": {
+            "in": topic(),
+            "t": {"type": "ktable", "aggregate": Aggregate.sum()},
+            "out": topic(),
+        },
+        "workflow": [("in", "t"), ("t", "out")],
+    }
+    inputs = {"in": [("k", 1, 100), ("k", 2, 200), ("k2", 5, 150)]}
+    b = batch_results(spark, topo_batch, inputs)
+    s = streaming_results(spark, topo_stream, inputs, tmp_path)
+    assert b == s == Counter([("k", 3), ("k2", 5)])
+
+
+def test_congruity_tumbling_window_sum(spark, tmp_path):
+    """F12/F13 shape with window identity in the value; streaming uses
+    append mode (suppression) + a future sentinel to close windows —
+    sentinel rows fall in a later window that never closes, so they
+    don't appear in the result."""
+    ktable = {
+        "type": "ktable",
+        "group_by": lambda k, v: k,
+        "window": TumblingWindow(100),
+        "aggregate": Aggregate.sum(),
+        "suppress": True,
+        "emit_window": True,
+        "watermark": "0 milliseconds",
+    }
+    topo = {
+        "entities": {"in": topic(), "t": dict(ktable), "out": topic()},
+        "workflow": [("in", "t"), ("t", "out")],
+    }
+    inputs = {"in": [("k", 1, 0), ("k", 2, 50), ("k", 4, 500), ("k2", 7, 20)]}
+    b = batch_results(spark, topo, inputs)
+    s = streaming_results(
+        spark,
+        topo,
+        inputs,
+        tmp_path,
+        extra_files={"in": [("zz", 0, 1_000_000)]},
+    )
+    # drop the sentinel's own window from streaming (never closes) and
+    # from batch (key 'zz')
+    b = Counter({kv: n for kv, n in b.items() if kv[0] != "zz"})
+    s = Counter({kv: n for kv, n in s.items() if kv[0] != "zz"})
+    assert b == s == Counter([("k", (0, 3)), ("k", (500, 4)), ("k2", (0, 7))])
+
+
+def test_congruity_session_window(spark, tmp_path):
+    ktable = {
+        "type": "ktable",
+        "group_by": lambda k, v: k,
+        "window": SessionWindow(100),
+        "aggregate": Aggregate.sum(),
+        "suppress": True,
+        "watermark": "0 milliseconds",
+    }
+    topo = {
+        "entities": {"in": topic(), "t": dict(ktable), "out": topic()},
+        "workflow": [("in", "t"), ("t", "out")],
+    }
+    inputs = {"in": [("k", 1, 0), ("k", 2, 50), ("k", 4, 400)]}
+    b = batch_results(spark, topo, inputs)
+    s = streaming_results(
+        spark, topo, inputs, tmp_path, extra_files={"in": [("zz", 0, 1_000_000)]}
+    )
+    b = Counter({kv: n for kv, n in b.items() if kv[0] != "zz"})
+    s = Counter({kv: n for kv, n in s.items() if kv[0] != "zz"})
+    assert b == s == Counter([("k", 3), ("k", 4)])
+
+
+def test_congruity_stream_stream_inner_join(spark, tmp_path):
+    """F16: inner windowed join — exact multiset congruity."""
+    topo = {
+        "entities": {
+            "a": topic(),
+            "b": topic(),
+            "joined": {"type": "kstream"},
+            "out": topic(),
+        },
+        "workflow": [("a", "joined"), ("b", "joined"), ("joined", "out")],
+        "joins": {("a", "b"): {"type": "inner", "window": (100, 100)}},
+    }
+    inputs = {
+        "a": [("k", 1, 100), ("k2", 5, 100)],
+        "b": [("k", 2, 150), ("k2", 6, 500)],
+    }
+    b = batch_results(spark, topo, inputs)
+    s = streaming_results(spark, topo, inputs, tmp_path)
+    assert b == s == Counter([("k", (1, 2))])
+
+
+def test_congruity_global_table_join(spark, tmp_path):
+    """F7/F8 shape: broadcast stream-static join."""
+    topo = {
+        "entities": {
+            "in": topic(),
+            "table-input": topic(),
+            "s": {"type": "kstream"},
+            "g": {"type": "global_ktable"},
+            "out": topic(),
+        },
+        "workflow": [("in", "s"), ("table-input", "g"), ("s", "out"), ("g", "out")],
+        "joins": {("s", "g"): {"type": "left"}},
+    }
+    inputs = {"in": [("k", 1, 100), ("k2", 1, 101)]}
+    table_records = [("k2", 2, 0)]
+    b = batch_results(
+        spark, topo, {**inputs, "table-input": table_records}
+    )
+    # streaming: static side provided as a batch record DF snapshot
+    static = seed_records(spark, table_records)
+    topo_s = {
+        "entities": {**topo["entities"], "g": {"type": "global_ktable", "static_source": static}},
+        "workflow": topo["workflow"],
+        "joins": topo["joins"],
+    }
+    s = streaming_results(spark, topo_s, inputs, tmp_path)
+    assert b == s == Counter([("k", (1, None)), ("k2", (1, 2))])

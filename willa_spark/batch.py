@@ -219,6 +219,13 @@ class TopologyRunner:
         folded = running_fold(df, agg, group_cols, F.col(GKEY), with_retraction=retract)
         if ent.get("suppress"):
             folded = final_only(folded, group_cols)  # A6: emit-final-only
+        if ent.get("emit_window") and win is not None:
+            # congruity-friendly windowed emission: value carries its
+            # window start (streaming compiler emits the same shape)
+            folded = folded.withColumn(
+                VALUE,
+                F.struct(F.col(WINDOW_START).alias("win"), F.col(VALUE).alias("v")),
+            )
         return folded.select(KEY, VALUE, TIMESTAMP, SEQ)
 
     @staticmethod

@@ -1,0 +1,359 @@
+"""Streaming compiler — executes a topology dict on Structured Streaming.
+
+The engine's analogue of the reference's ``build-topology!``
+(core.clj:122-140): validate → topsort → fold building one streaming
+DataFrame per entity → one streaming query per leaf topic. Where the
+reference mutates a Kafka StreamsBuilder, this compiler is pure — the
+lazy streaming DataFrame DAG plays the role the reference's README
+wishes its builder had (README.md:12-18).
+
+Record contract (streaming): key, value, timestamp:TimestampType
+(event time — Spark watermarks require a real timestamp column; the
+batch engine's ms-longs convert at the edges via timestamp_millis /
+unix_millis).
+
+Semantics mapping (SURVEY §2.7):
+- KTable aggregate → groupBy().agg() in UPDATE mode (Kafka's
+  emit-on-every-update with cache.max.bytes.buffering=0); micro-batch
+  boundaries coalesce same-key updates within a batch — congruity with
+  the batch changelog therefore compares FINAL state per key (or runs
+  one-record-per-trigger inputs).
+- Suppression → withWatermark + APPEND mode (emit-on-window-close) —
+  the one place Spark is more natural than Kafka Streams.
+- Windows → F.window / F.session_window (same epoch alignment as the
+  batch operators).
+- Stream-stream joins → watermarked equi-join with a time-band
+  condition. NOTE divergence: Spark's outer joins emit ONE unmatched
+  row per input without a partner; the reference's oracle emits an
+  unjoined placeholder for EVERY record then dedups at equal
+  (ts, key) (experiment.clj:23-34). Inner joins are congruent;
+  outer-join congruity holds exactly on inputs where matched records
+  satisfy ts_left >= ts_right (placeholder suppressed in batch too).
+- KStream⋈GlobalKTable → stream-static broadcast join (the static side
+  is the table's latest state at query start; Kafka's GlobalKTable is
+  likewise "current state at lookup time").
+- KTable⋈KTable streaming joins are not compiled (Kafka Streams
+  re-emits on both sides' updates; Spark has no changelog-join
+  primitive). Use the batch engine for table-table as-of semantics, or
+  restructure as stream-table. A clear error says so.
+
+Scale notes: state lives in the Spark state store (RocksDB provider
+configurable); every stateful op keys its shuffle by the group/join
+key — the same partitioning Kafka Streams would use via repartition
+topics. Watermarks bound state size; without one, update-mode
+aggregation state grows with key cardinality exactly as a KTable does.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import model
+from ..model import KEY, TIMESTAMP, VALUE
+from ..operators.windows import HoppingWindow, SessionWindow, TumblingWindow
+from ..transforms import apply_xform
+from ..validate import validate
+
+
+def _ms_duration(ms: int) -> str:
+    return f"{int(ms)} milliseconds"
+
+
+class StreamingTopologyRunner:
+    """Compile a topology over streaming inputs.
+
+    ``inputs``: {entity_id: streaming DataFrame} with columns
+    (key, value, timestamp) — timestamp TimestampType (or ms-long,
+    converted on ingest). Use ``run_streaming_topology`` for the
+    file-source test harness.
+    """
+
+    def __init__(self, spark: SparkSession, topology: dict):
+        self.spark = spark
+        self.topology = topology
+        self.order = validate(topology)
+        self.entities = topology["entities"]
+        #: entity id -> output mode required downstream of it
+        self.output_modes: dict[str, str] = {}
+
+    def _ingest(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import types as T
+
+        if not isinstance(df.schema[TIMESTAMP].dataType, (T.TimestampType, T.TimestampNTZType)):
+            df = df.withColumn(TIMESTAMP, F.timestamp_millis(F.col(TIMESTAMP).cast("bigint")))
+        return df.select(KEY, VALUE, TIMESTAMP)
+
+    def _joinable_type(self, eid: str) -> str:
+        t = self.entities[eid]["type"]
+        return model.KSTREAM if t == model.TOPIC else t
+
+    def _watermarked(self, df: DataFrame, ent: dict, default: str | None = None) -> DataFrame:
+        wm = ent.get("watermark", default)
+        return df.withWatermark(TIMESTAMP, wm) if wm else df
+
+    # -- joins -----------------------------------------------------------
+    def _combine_parents(self, node: str, built: dict) -> DataFrame | None:
+        def usable(p: str) -> bool:
+            # global tables join via their static snapshot, not a stream
+            return built.get(p) is not None or self._joinable_type(p) == model.GLOBAL_KTABLE
+
+        parents = [p for p in model.parents_of(self.topology, node) if built.get(p) is not None]
+        if not any(usable(p) for p in model.parents_of(self.topology, node)):
+            return None
+        order, cfg = model.get_join(self.topology, model.parents_of(self.topology, node))
+        if order is None or cfg is None or cfg.get("type", "merge") == "merge":
+            if not parents:
+                return None
+            out = built[parents[0]]
+            for p in parents[1:]:
+                out = out.unionByName(built[p])
+            return out
+        ordered = [p for p in order if usable(p)]
+        acc = built[ordered[0]]
+        acc_type = self._joinable_type(ordered[0])
+        acc_arity = 1
+        for rid in ordered[1:]:
+            acc = self._join_pair(cfg, acc, acc_type, acc_arity, built[rid], rid)
+            acc_arity += 1
+        return acc
+
+    def _join_pair(
+        self, cfg: dict, left: DataFrame, left_type: str, left_arity: int,
+        right: DataFrame, right_id: str,
+    ) -> DataFrame:
+        from ..operators.joins import _tuple_value
+
+        jt = cfg.get("type", "merge")
+        mode = cfg.get("tuple_mode", "array")
+        right_type = self._joinable_type(right_id)
+        right_ent = self.entities[right_id]
+        if right_type == model.GLOBAL_KTABLE:
+            # stream-static broadcast join: static side = latest state now
+            static = right_ent["__static_df"]
+            kv_mapper = cfg.get("kv_mapper")
+            jk = kv_mapper(F.col(KEY), F.col(VALUE)) if kv_mapper else F.col(KEY)
+            dim = static.select(F.col(KEY).alias("__tkey"), F.col(VALUE).alias("__tv"))
+            joined = left.withColumn("__jk", jk).join(
+                F.broadcast(dim), F.col("__jk") == F.col("__tkey"), jt
+            )
+            return joined.select(
+                F.col(KEY),
+                _tuple_value(F.col(VALUE), F.col("__tv"), left_arity, 1, mode).alias(VALUE),
+                F.col(TIMESTAMP),
+            )
+        if left_type == model.KSTREAM and right_type == model.KSTREAM:
+            before, after = cfg.get("window", (0, 0))
+            how = {"inner": "inner", "left": "leftOuter", "outer": "fullOuter"}[jt]
+            wm = cfg.get("watermark", _ms_duration(before + after + 1000))
+            l = left.withWatermark(TIMESTAMP, wm).select(
+                F.col(KEY).alias("__lk"), F.col(VALUE).alias("__lv"), F.col(TIMESTAMP).alias("__lts")
+            )
+            r = right.withWatermark(TIMESTAMP, wm).select(
+                F.col(KEY).alias("__rk"), F.col(VALUE).alias("__rv"), F.col(TIMESTAMP).alias("__rts")
+            )
+            cond = (
+                (F.col("__lk") == F.col("__rk"))
+                & (F.col("__rts") >= F.col("__lts") - F.expr(f"INTERVAL {int(before)} MILLISECONDS"))
+                & (F.col("__rts") <= F.col("__lts") + F.expr(f"INTERVAL {int(after)} MILLISECONDS"))
+            )
+            joined = l.join(r, cond, how)
+            return joined.select(
+                F.coalesce(F.col("__lk"), F.col("__rk")).alias(KEY),
+                _tuple_value(F.col("__lv"), F.col("__rv"), left_arity, 1, mode).alias(VALUE),
+                F.greatest(
+                    F.coalesce(F.col("__lts"), F.col("__rts")),
+                    F.coalesce(F.col("__rts"), F.col("__lts")),
+                ).alias(TIMESTAMP),
+            )
+        if right_type == model.KTABLE:
+            raise NotImplementedError(
+                "streaming KTable joins are not compiled — Spark has no "
+                "changelog-join primitive; run table-table/stream-table "
+                "as-of joins on the batch engine (willa_spark.batch), or "
+                "model the table side as a global_ktable for stream-static"
+            )
+        raise ValueError(f"unsupported streaming join: {jt} {left_type}⋈{right_type}")
+
+    # -- ktable ----------------------------------------------------------
+    def _ktable(self, ent: dict, df: DataFrame, node: str) -> DataFrame:
+        if "aggregate" not in ent:
+            # changelog passthrough (F5): a topic→ktable→topic chain is
+            # the stream itself; latest-state lives in downstream state
+            return df
+        agg = ent["aggregate"]
+        if agg.kind != "column":
+            raise NotImplementedError(
+                "streaming Python-fold aggregates need applyInPandasWithState; "
+                "use a column aggregate or the batch engine"
+            )
+        group_by = ent.get("group_by")
+        gkey = group_by(F.col(KEY), F.col(VALUE)) if group_by else F.col(KEY)
+        df = df.withColumn("__gkey", gkey)
+        win = ent.get("window")
+        suppress = bool(ent.get("suppress"))
+        if suppress and not ent.get("watermark"):
+            raise ValueError(
+                f"entity {node!r}: suppression (append mode) requires a 'watermark'"
+            )
+        df = self._watermarked(df, ent)
+        if win is None:
+            grouped = df.groupBy(F.col("__gkey"))
+            out = grouped.agg(agg.column_fn(F.col(VALUE)).alias(VALUE)).select(
+                F.col("__gkey").alias(KEY),
+                F.col(VALUE),
+                F.lit(None).cast("timestamp").alias(TIMESTAMP),
+            )
+            self.output_modes[node] = "complete" if suppress else "update"
+            return out
+        if isinstance(win, (TumblingWindow, HoppingWindow)):
+            wcol = F.window(
+                F.col(TIMESTAMP), _ms_duration(win.size_ms), _ms_duration(win.advance_ms)
+            )
+        elif isinstance(win, SessionWindow):
+            wcol = F.session_window(F.col(TIMESTAMP), _ms_duration(win.gap_ms))
+        else:
+            raise ValueError(f"unknown window spec: {win!r}")
+        grouped = df.groupBy(F.col("__gkey"), wcol.alias("__w"))
+        out = grouped.agg(agg.column_fn(F.col(VALUE)).alias("__acc"))
+        if ent.get("emit_window"):
+            value = F.struct(
+                F.unix_millis(F.col("__w.start")).alias("win"), F.col("__acc").alias("v")
+            )
+        else:
+            value = F.col("__acc")
+        out = out.select(
+            F.col("__gkey").alias(KEY),  # windowed-key unwrap (P8, core.clj:20-24)
+            value.alias(VALUE),
+            F.col("__w.end").alias(TIMESTAMP),
+        )
+        self.output_modes[node] = "append" if suppress else "update"
+        return out
+
+    # -- build -----------------------------------------------------------
+    def build(self, inputs: dict[str, DataFrame]) -> dict[str, DataFrame]:
+        """Return one streaming DataFrame per entity (leaves are the
+        sink streams); attach sinks with ``start_queries`` or your own
+        ``writeStream``."""
+        built: dict[str, DataFrame | None] = {}
+        for node in self.order:
+            ent = self.entities[node]
+            etype = ent["type"]
+            mode_up = [
+                self.output_modes.get(p)
+                for p in model.parents_of(self.topology, node)
+                if self.output_modes.get(p)
+            ]
+            combined = self._combine_parents(node, built)
+            if etype == model.TOPIC:
+                if node in inputs:
+                    src = self._ingest(inputs[node])
+                    built[node] = src if combined is None else combined.unionByName(src)
+                else:
+                    built[node] = combined
+            elif etype == model.KSTREAM:
+                built[node] = (
+                    apply_xform(combined, ent.get("xform")) if combined is not None else None
+                )
+            elif etype == model.KTABLE:
+                built[node] = self._ktable(ent, combined, node) if combined is not None else None
+            elif etype == model.GLOBAL_KTABLE:
+                # static snapshot: materialize the parent topic's latest
+                # state as a batch DF (must be provided — streaming
+                # sources can't be collected); entity carries __static_df
+                parents = model.parents_of(self.topology, node)
+                static = ent.get("static_source")
+                if static is None:
+                    raise ValueError(
+                        f"global_ktable {node!r} needs 'static_source' (batch "
+                        f"DataFrame of records) in streaming mode; parent={parents}"
+                    )
+                ent["__static_df"] = static
+                built[node] = None  # joined via __static_df, not as a stream
+            if mode_up and node in built and built[node] is not None:
+                self.output_modes[node] = mode_up[0]
+        return {k: v for k, v in built.items() if v is not None}
+
+    def output_mode_for(self, node: str) -> str:
+        return self.output_modes.get(node, "append")
+
+
+def run_streaming_topology(
+    spark: SparkSession,
+    topology: dict,
+    inputs: dict[str, Any],
+    tmpdir: str,
+    extra_files: dict[str, list] | None = None,
+) -> dict[str, list[tuple]]:
+    """Test/congruity harness: feed record lists through a file source
+    (one parquet file per list → one micro-batch each, in order), run
+    every leaf topic into a memory sink with availableNow, and return
+    collected (key, value) rows per leaf.
+
+    ``extra_files``: {entity: [records]} appended as later files —
+    e.g. future-timestamped sentinels to advance the watermark so
+    append-mode windows / outer joins flush.
+    """
+    import os
+    import time
+
+    from ..batch import seed_records
+    from ..graph import leaves
+
+    runner = StreamingTopologyRunner(spark, topology)
+    stream_inputs: dict[str, DataFrame] = {}
+    for eid, records in inputs.items():
+        ent = topology["entities"][eid]
+        d = os.path.join(tmpdir, eid)
+        os.makedirs(d, exist_ok=True)
+        batch = seed_records(
+            spark, records, ent.get("key_type", "string"), ent.get("value_type", "bigint")
+        ).withColumn(TIMESTAMP, F.timestamp_millis(F.col(TIMESTAMP)))
+        batch.select(KEY, VALUE, TIMESTAMP).coalesce(1).write.mode("append").parquet(d)
+        if extra_files and eid in extra_files:
+            time.sleep(0.05)  # later mtime → later micro-batch
+            extra = seed_records(
+                spark, extra_files[eid], ent.get("key_type", "string"), ent.get("value_type", "bigint")
+            ).withColumn(TIMESTAMP, F.timestamp_millis(F.col(TIMESTAMP)))
+            extra.select(KEY, VALUE, TIMESTAMP).coalesce(1).write.mode("append").parquet(d)
+        schema = spark.read.parquet(d).schema
+        stream_inputs[eid] = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+    built = runner.build(stream_inputs)
+    results: dict[str, list[tuple]] = {}
+    queries = []
+    sink_names = {}
+    for i, leaf in enumerate(sorted(leaves(list(topology["workflow"])))):
+        if leaf not in built:
+            continue
+        qname = f"sink_{leaf.replace('-', '_')}_{abs(hash(tmpdir)) % 10_000}_{i}"
+        sink_names[leaf] = qname
+        q = (
+            built[leaf]
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode(runner.output_mode_for(leaf))
+            .option("checkpointLocation", os.path.join(tmpdir, f"chk_{i}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        queries.append(q)
+    for q in queries:
+        q.awaitTermination(120)
+    for leaf, qname in sink_names.items():
+        rows = spark.sql(f"SELECT * FROM {qname}").collect()
+        out = []
+        for r in rows:
+            v = r[VALUE]
+            if hasattr(v, "asDict"):
+                v = tuple(v)
+            elif isinstance(v, list):
+                v = tuple(v)
+            out.append((r[KEY], v))
+        results[leaf] = out
+    return results
