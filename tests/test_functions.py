@@ -1,0 +1,233 @@
+"""Unit tests for the training-data pipeline function modules:
+text analysis, dedup (all five levels), similarity search, multimodal
+plumbing — plus physical-plan assertions (broadcast, pushdown) that
+guard the 100 TB plan shapes."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from willa_spark.functions import dedup as D
+from willa_spark.functions import similarity as S
+from willa_spark.functions import text as TXT
+from willa_spark.functions.multimodal import (
+    decode_images,
+    fake_image_decoder,
+    resize_features,
+    sample_frames,
+)
+from willa_spark.plans import pushed_filters, uses_broadcast_join
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "der hund ist nicht ein katze und das ist gut"),
+        (4, "le chat est une belle bête et il est là pour vous"),
+        (5, "completely different text about spark engines and data"),
+        (6, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (7, "你好 世界 这是 中文"),
+        (8, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_tokens_and_counts(spark, docs):
+    r = {
+        row["doc_id"]: (row["n"], row["w"])
+        for row in docs.select(
+            "doc_id",
+            TXT.token_count(F.col("text")).alias("n"),
+            TXT.word_token_count(F.col("text")).alias("w"),
+        ).collect()
+    }
+    assert r[1] == (9, 9)
+    assert r[5] == (8, 8)
+
+
+def test_lang_id(spark, docs):
+    r = {
+        row["doc_id"]: row["lang"]
+        for row in docs.select("doc_id", TXT.lang_id(F.col("text")).alias("lang")).collect()
+    }
+    assert r[1] == "en"
+    assert r[3] == "de"
+    assert r[4] == "fr"
+    assert r[7] == "zh"
+    assert r[8] == "und"
+
+
+def test_fingerprint_normalizes_whitespace(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, " hello   world ")],
+        "doc_id bigint, text string",
+    )
+    fps = [r["fp"] for r in df.select(TXT.fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1] == fps[2]
+
+
+def test_exact_dedup(spark, docs):
+    groups = D.exact_dup_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_dups"] == 2 and groups[0]["canonical_id"] == 1
+    kept = D.exact_dedup(docs)
+    assert kept.count() == docs.count() - 1
+    assert 6 not in {r["doc_id"] for r in kept.collect()}
+
+
+def test_shingles_and_jaccard(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "id bigint, text string")
+    sh = df.select(D.shingles(F.col("text"), 3).alias("s")).collect()[0]["s"]
+    assert sh == ["a b c", "b c d"]
+    j = (
+        spark.range(1)
+        .select(
+            D.ngram_jaccard(
+                F.array(F.lit("x"), F.lit("y")), F.array(F.lit("y"), F.lit("z"))
+            ).alias("j")
+        )
+        .collect()[0]["j"]
+    )
+    assert abs(j - 1 / 3) < 1e-9
+
+
+def test_minhash_finds_near_dups(spark, docs):
+    cands = D.minhash_candidate_pairs(docs, num_hashes=32, num_bands=16)
+    pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (1, 6) in pairs  # exact dups always collide
+    verified = D.verified_near_dups(docs, cands, threshold=0.5)
+    vpairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
+    assert vpairs[(1, 6)] == 1.0
+    if (1, 2) in vpairs:  # near-dup pair (8/10 shingles shared)
+        assert 0.5 < vpairs[(1, 2)] < 1.0
+
+
+def test_simhash_near_dups(spark, docs):
+    """Identical docs collide at hamming 0. (A one-token change in a
+    9-token doc flips ~16/64 bits — short docs aren't 'near' in simhash
+    space; that's expected behavior, minhash handles those.)"""
+    out = D.simhash_near_dups(docs, max_hamming=10)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()}
+    assert pairs[(1, 6)] == 0  # identical text → identical signature
+    # strict threshold keeps unrelated docs apart
+    assert all(h <= 10 for h in pairs.values())
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in D.with_simhash(docs.filter(F.col("doc_id").isin(1, 2, 5))).collect()
+    }
+    ham_12 = bin(sigs[1] ^ sigs[2]).count("1")
+    ham_15 = bin(sigs[1] ^ sigs[5]).count("1")
+    assert ham_12 < ham_15  # one-token edit is closer than unrelated text
+
+
+@pytest.fixture()
+def vectors(spark):
+    import math
+
+    rows = []
+    for i in range(20):
+        base = [0.0] * 8
+        base[i % 4] = 1.0
+        base[4 + (i % 4)] = 0.5 if i < 10 else -0.5
+        rows.append((i, [float(x) for x in base]))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_brute_force_topk(spark, vectors):
+    queries = vectors.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = S.brute_force_topk(vectors, queries, k=3)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert rows[0]["vec_id"] == 0 and abs(rows[0]["cosine_sim"] - 1.0) < 1e-6
+    assert rows[1]["vec_id"] == 4  # same basis pattern as 0 (i%4==0, <10)
+    assert len(rows) == 3
+
+
+def test_lsh_topk_subset_of_exact(spark, vectors):
+    queries = vectors.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {r["vec_id"] for r in S.brute_force_topk(vectors, queries, k=20).collect()}
+    approx = S.lsh_topk(vectors, queries, k=5, n_planes=4, dim=8).collect()
+    assert len(approx) >= 1  # the query's own bucket contains itself
+    assert {r["vec_id"] for r in approx} <= exact
+    assert any(r["vec_id"] == 0 and abs(r["cosine_sim"] - 1.0) < 1e-6 for r in approx)
+
+
+def test_embedding_near_dups(spark, vectors):
+    out = S.embedding_near_dups(vectors, threshold=0.999, n_planes=4, dim=8)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    # vectors 0, 4, 8 are identical patterns → pairwise near-dups
+    assert (0, 4) in pairs or (0, 8) in pairs or (4, 8) in pairs
+
+
+def test_multimodal_decode_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abc")), (2, bytearray(b"")), (3, None)],
+        "id bigint, data binary",
+    )
+    out = decode_images(df, binary_col="data", id_col="id", decoder=fake_image_decoder)
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["n_bytes"] == 3 and rows[1]["width"] == 4
+    assert rows[2]["n_bytes"] == 0
+    assert rows[3]["n_bytes"] == 0  # null-safe
+    assert len(rows[1]["features"]) == 16
+
+
+def test_resize_and_frame_sampling(spark):
+    df = spark.createDataFrame(
+        [(1, [float(i) for i in range(16)])], "id bigint, features array<double>"
+    )
+    resized = resize_features(df, target=4).collect()[0]["resized"]
+    assert len(resized) == 4
+    frames = spark.createDataFrame(
+        [(1, [float(i) for i in range(30)])], "id bigint, frames array<double>"
+    )
+    sampled = sample_frames(frames, every_n=10).collect()[0]["sampled_frames"]
+    assert sampled == [0.0, 10.0, 20.0]
+
+
+def test_real_decoder_is_stubbed(spark):
+    from willa_spark.functions.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+# ---- plan-shape guardrails (the 100 TB contracts) --------------------
+
+def test_global_join_is_broadcast(spark):
+    """J7's contract: the dim side broadcasts — no shuffle of the fact
+    stream. Verified on the physical plan, not just results."""
+    from willa_spark.queries import QUERIES
+
+    df = QUERIES["broadcast_enrich"](spark, "/root/testdata/sf0.001")
+    assert uses_broadcast_join(df)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    from willa_spark.queries import QUERIES
+
+    df = QUERIES["filter_map"](spark, "/root/testdata/sf0.001")
+    filters = " ".join(pushed_filters(df))
+    assert "event_type" in filters or "value" in filters
+
+
+def test_pricing_summary_prunes_columns(spark):
+    """Column pruning: the Q1 scan must not read all 11 lineitem
+    columns for a 7-column aggregate."""
+    from willa_spark.plans import physical_plan
+    from willa_spark.queries import QUERIES
+
+    plan = physical_plan(QUERIES["pricing_summary"](spark, "/root/testdata/sf0.001"))
+    import re
+
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m, plan
+    read_cols = [c.split("#")[0] for c in m.group(1).split(",") if c]
+    assert "l_orderkey" not in read_cols and "l_partkey" not in read_cols
+    assert len(read_cols) <= 7
+    # and the shuffle is a partial aggregate: map-side combine present
+    assert "partial_sum" in plan
