@@ -1,0 +1,111 @@
+"""Random-topology differential tests — the engine's analogue of the
+reference's spec-generator property testing (specs.clj:148-172 +
+test.check intent, SURVEY §5.4): generate random (but valid) topologies
+and inputs, assert batch ≡ streaming and batch determinism.
+
+Streaming runs cost seconds each, so example counts are deliberately
+small; the generator space still covers transform chains × aggregate
+presence × key/ts collisions (the classic edge: equal timestamps)."""
+
+from collections import Counter
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from willa_spark import (
+    Aggregate,
+    FilterRecords,
+    FlatMapValues,
+    MapValues,
+    collect_records,
+    run_topology,
+)
+from willa_spark.streaming import run_streaming_topology
+
+KEYS = ["a", "b", "c"]
+
+records_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(KEYS),
+        st.integers(min_value=-50, max_value=50),
+        st.integers(min_value=0, max_value=500),
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+TRANSFORMS = {
+    "inc": lambda: MapValues(lambda v: v + 1),
+    "double": lambda: MapValues(lambda v: v * 2),
+    "filter_even": lambda: FilterRecords(lambda k, v: v % 2 == 0),
+    "fanout": lambda: FlatMapValues(lambda v: F.array(v, v + 100)),
+}
+
+chain_strategy = st.lists(st.sampled_from(sorted(TRANSFORMS)), min_size=0, max_size=3)
+
+
+def build_topology(chain, with_table):
+    entities = {"in": {"type": "topic"}}
+    workflow = []
+    prev = "in"
+    for i, t in enumerate(chain):
+        sid = f"s{i}"
+        entities[sid] = {"type": "kstream", "xform": TRANSFORMS[t]()}
+        workflow.append((prev, sid))
+        prev = sid
+    if with_table:
+        entities["t"] = {"type": "ktable", "aggregate": Aggregate.sum()}
+        workflow.append((prev, "t"))
+        prev = "t"
+    entities["out"] = {"type": "topic"}
+    workflow.append((prev, "out"))
+    return {"entities": entities, "workflow": workflow}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(records=records_strategy, chain=chain_strategy)
+def test_stateless_batch_equals_streaming(spark, tmp_path_factory, records, chain):
+    topo = build_topology(chain, with_table=False)
+    b = Counter(collect_records(run_topology(spark, topo, inputs={"in": records})["out"]))
+    tmp = tmp_path_factory.mktemp("prop")
+    s = Counter(run_streaming_topology(spark, topo, {"in": records}, str(tmp))["out"]) if records else Counter()
+    assert b == s
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(records=records_strategy, chain=chain_strategy)
+def test_stateful_final_state_congruity(spark, tmp_path_factory, records, chain):
+    """Batch changelog's final row per key == streaming update-mode
+    state, for any transform chain feeding a sum table."""
+    topo_b = build_topology(chain, with_table=True)
+    topo_b["entities"]["t"]["suppress"] = True
+    b = Counter(collect_records(run_topology(spark, topo_b, inputs={"in": records})["out"]))
+    topo_s = build_topology(chain, with_table=True)
+    tmp = tmp_path_factory.mktemp("prop")
+    s = Counter(run_streaming_topology(spark, topo_s, {"in": records}, str(tmp))["out"]) if records else Counter()
+    assert b == s
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(records=records_strategy, chain=chain_strategy, with_table=st.booleans())
+def test_batch_is_deterministic(spark, records, chain, with_table):
+    """Same topology + inputs twice → identical multiset, including
+    equal-timestamp collisions (the arrival-order edge the __seq
+    ordinal exists for)."""
+    topo = build_topology(chain, with_table)
+    r1 = collect_records(run_topology(spark, topo, inputs={"in": records})["out"])
+    r2 = collect_records(run_topology(spark, topo, inputs={"in": records})["out"])
+    assert r1 == r2

@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 from ..model import KEY, TIMESTAMP, VALUE
 
 SEQ = "__seq"
+FOLD_ORD = "__fold_ord"
 
 
 class Aggregate:
@@ -134,13 +135,18 @@ def running_fold(
     When ``with_retraction`` the df must carry a ``__sign`` column
     (+1 add / -1 retract) and the aggregate must be invertible.
     """
+    # Tertiary tie-break on a value hash: fan-out (1→N transforms) can
+    # emit records sharing (ts, seq); without a deterministic total
+    # order the changelog multiset would vary run-to-run. Rows equal in
+    # (ts, seq, value) are interchangeable for any fold.
+    tie = F.xxhash64(F.col(VALUE).cast("string"))
     order = [F.col(TIMESTAMP).asc(), F.col(SEQ).asc()]
     if with_retraction:
         # retraction event for the same input sorts before the addition
-        order = [F.col(TIMESTAMP).asc(), F.col(SEQ).asc(), F.col("__sign").asc()]
-    w = W.partitionBy(*[F.col(c) for c in group_cols]).orderBy(*order).rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
+        order.append(F.col("__sign").asc())
+    order.append(tie.asc())
+    w_order = W.partitionBy(*[F.col(c) for c in group_cols]).orderBy(*order)
+    w = w_order.rowsBetween(W.unboundedPreceding, W.currentRow)
     if agg.kind == "column":
         if with_retraction:
             if agg.contribution_fn is None:
@@ -150,12 +156,15 @@ def running_fold(
             acc = F.sum(F.col("__sign") * agg.contribution_fn(F.col(VALUE))).over(w)
         else:
             acc = agg.column_fn(F.col(VALUE)).over(w)
-        # group cols ride along so suppression can partition by them
+        # group cols ride along so suppression can partition by them;
+        # FOLD_ORD marks fold position — suppression must pick the row
+        # that accumulated everything, not re-derive order from (ts,seq)
         return df.select(
             emit_key.alias(KEY),
             acc.alias(VALUE),
             F.col(TIMESTAMP),
             F.col(SEQ),
+            F.row_number().over(w_order).alias(FOLD_ORD),
             *[F.col(c) for c in group_cols],
         )
     # fold kind: Arrow-batched per-group Python fold
@@ -173,13 +182,18 @@ def _python_fold(
     extra = "".join(
         f", {c} {df.schema[c].dataType.simpleString()}" for c in group_cols
     )
-    out_schema = f"{KEY} {gk_type}, {VALUE} {acc_type}, {TIMESTAMP} long, {SEQ} long{extra}"
+    out_schema = (
+        f"{KEY} {gk_type}, {VALUE} {acc_type}, {TIMESTAMP} long, {SEQ} long, "
+        f"{FOLD_ORD} int{extra}"
+    )
     adder, subtractor, initial = agg.adder, agg.subtractor, agg.initial
     has_sign = with_retraction
 
     def fold_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        sort_cols = [TIMESTAMP, SEQ] + (["__sign"] if has_sign else [])
-        pdf = pdf.sort_values(sort_cols, kind="stable")
+        # same total order as the column tier: (ts, seq[, sign], value-repr)
+        pdf = pdf.assign(__tie=pdf[VALUE].astype(str))
+        sort_cols = [TIMESTAMP, SEQ] + (["__sign"] if has_sign else []) + ["__tie"]
+        pdf = pdf.sort_values(sort_cols, kind="stable").drop(columns="__tie")
         acc = initial
         out_vals = []
         for row in pdf.itertuples(index=False):
@@ -196,6 +210,7 @@ def _python_fold(
                 VALUE: out_vals,
                 TIMESTAMP: pdf[TIMESTAMP].values,
                 SEQ: pdf[SEQ].values,
+                FOLD_ORD: range(1, len(pdf) + 1),
             }
         )
         for c in group_cols:
@@ -208,10 +223,13 @@ def _python_fold(
 def final_only(df: DataFrame, group_cols: list[str]) -> DataFrame:
     """Suppression (A6, streams.clj:169-172): keep only the last
     changelog record per group — 'emit final' semantics. Batch analogue
-    of watermark+append mode."""
-    w = W.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
-        F.col(TIMESTAMP).desc(), F.col(SEQ).desc()
-    )
+    of watermark+append mode. Uses the fold ordinal when present so the
+    picked row is exactly the one that accumulated the whole group."""
+    if FOLD_ORD in df.columns:
+        order = [F.col(FOLD_ORD).desc()]
+    else:
+        order = [F.col(TIMESTAMP).desc(), F.col(SEQ).desc()]
+    w = W.partitionBy(*[F.col(c) for c in group_cols]).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -328,6 +328,22 @@ def run_streaming_topology(
     results: dict[str, list[tuple]] = {}
     queries = []
     sink_names = {}
+    def _store_name(leaf: str) -> str:
+        """A7 (core.clj:95-96): a stateful ancestor's store_name names
+        the state location; default = the leaf id (reference default is
+        hash(parents) — an explicit name beats a hash for operability)."""
+        seen, stack = set(), [leaf]
+        while stack:
+            n = stack.pop()
+            if n in seen:
+                continue
+            seen.add(n)
+            ent = topology["entities"][n]
+            if ent.get("store_name"):
+                return str(ent["store_name"])
+            stack.extend(model.parents_of(topology, n))
+        return leaf
+
     for i, leaf in enumerate(sorted(leaves(list(topology["workflow"])))):
         if leaf not in built:
             continue
@@ -338,7 +354,10 @@ def run_streaming_topology(
             .writeStream.format("memory")
             .queryName(qname)
             .outputMode(runner.output_mode_for(leaf))
-            .option("checkpointLocation", os.path.join(tmpdir, f"chk_{i}"))
+            .option(
+                "checkpointLocation",
+                os.path.join(tmpdir, f"chk_{_store_name(leaf).replace('-', '_')}_{i}"),
+            )
             .trigger(availableNow=True)
             .start()
         )
