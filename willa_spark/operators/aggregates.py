@@ -196,10 +196,13 @@ def _python_fold(
         pdf = pdf.sort_values(sort_cols, kind="stable").drop(columns="__tie")
         acc = initial
         out_vals = []
-        for row in pdf.itertuples(index=False):
-            gk = getattr(row, gk_col)
-            v = getattr(row, VALUE)
-            if has_sign and getattr(row, "__sign") < 0:
+        # positional lists, not itertuples: pandas mangles
+        # underscore-prefixed names like __gkey/__sign
+        gks = pdf[gk_col].tolist()
+        vs = pdf[VALUE].tolist()
+        signs = pdf["__sign"].tolist() if has_sign else [1] * len(pdf)
+        for gk, v, sign in zip(gks, vs, signs):
+            if has_sign and sign < 0:
                 acc = subtractor(acc, gk, v)
             else:
                 acc = adder(acc, gk, v)

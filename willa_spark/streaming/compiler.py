@@ -184,15 +184,19 @@ class StreamingTopologyRunner:
             # the stream itself; latest-state lives in downstream state
             return df
         agg = ent["aggregate"]
-        if agg.kind != "column":
-            raise NotImplementedError(
-                "streaming Python-fold aggregates need applyInPandasWithState; "
-                "use a column aggregate or the batch engine"
-            )
         group_by = ent.get("group_by")
         gkey = group_by(F.col(KEY), F.col(VALUE)) if group_by else F.col(KEY)
         df = df.withColumn("__gkey", gkey)
         win = ent.get("window")
+        if agg.kind == "fold":
+            if win is not None:
+                raise NotImplementedError(
+                    "windowed Python-fold aggregates: use a column aggregate "
+                    "or the batch engine"
+                )
+            out = self._stateful_fold(agg, df, node)
+            self.output_modes[node] = "update"
+            return out
         suppress = bool(ent.get("suppress"))
         if suppress and not ent.get("watermark"):
             raise ValueError(
@@ -231,6 +235,48 @@ class StreamingTopologyRunner:
         )
         self.output_modes[node] = "append" if suppress else "update"
         return out
+
+    def _stateful_fold(self, agg, df: DataFrame, node: str) -> DataFrame:
+        """A4 full parity in streaming: an arbitrary Python
+        (initial, adder) fold as a custom stateful operator via
+        ``applyInPandasWithState`` — Arrow-batched, per-group state in
+        the Spark state store, one output record per input record (the
+        changelog), state carried across micro-batches.
+
+        The reference runs the same adder inside Kafka Streams'
+        aggregate (streams.clj:41-55); here the state store plays
+        RocksDB's role and update-mode emission plays
+        cache.max.bytes.buffering=0."""
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        initial, adder = agg.initial, agg.adder
+        acc_type = agg.acc_type if isinstance(agg.acc_type, str) else agg.acc_type.simpleString()
+        gk_type = df.schema["__gkey"].dataType.simpleString()
+        out_schema = f"{KEY} {gk_type}, {VALUE} {acc_type}, {TIMESTAMP} timestamp"
+        state_schema = f"acc {acc_type}"
+
+        def fold(key, pdf_iter, state):
+            acc = state.get[0] if state.exists else initial
+            keys, vals, tss = [], [], []
+            for pdf in pdf_iter:
+                pdf = pdf.sort_values(TIMESTAMP, kind="stable")
+                for row in pdf.itertuples(index=False):
+                    acc = adder(acc, key[0], getattr(row, VALUE))
+                    keys.append(key[0])
+                    vals.append(acc)
+                    tss.append(getattr(row, TIMESTAMP))
+            state.update((acc,))
+            if keys:
+                yield pd.DataFrame({KEY: keys, VALUE: vals, TIMESTAMP: tss})
+
+        return (
+            df.select(F.col("__gkey"), F.col(VALUE), F.col(TIMESTAMP))
+            .groupBy("__gkey")
+            .applyInPandasWithState(
+                fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+            )
+        )
 
     # -- build -----------------------------------------------------------
     def build(self, inputs: dict[str, DataFrame]) -> dict[str, DataFrame]:
