@@ -268,17 +268,29 @@ class TopologyRunner:
         for node in self.order:
             ent = self.entities[node]
             etype = ent["type"]
-            combined, arity = self._combine_parents(node, outputs)
-            if etype == model.TOPIC:
-                computed = combined  # experiment.clj:196-202
-            elif etype == model.KSTREAM:
-                computed = apply_xform(combined, ent.get("xform")) if combined is not None else None
-            elif etype == model.KTABLE:
-                computed = self._ktable_output(ent, combined) if combined is not None else None
-            elif etype == model.GLOBAL_KTABLE:
-                computed = combined  # passthrough; latest-state at join time (core.clj:109-118)
-            else:  # pragma: no cover
-                raise AssertionError(etype)
+            if "build" in ent:
+                # build-override hook (reference build-topology-unsafe!,
+                # core.clj:122-136): replace this node's construction
+                parent_dfs = {
+                    p: outputs[p]
+                    for p in model.parents_of(self.topology, node)
+                    if outputs.get(p) is not None
+                }
+                computed = ent["build"](self.spark, parent_dfs, ent)
+            else:
+                combined, arity = self._combine_parents(node, outputs)
+                if etype == model.TOPIC:
+                    computed = combined  # experiment.clj:196-202
+                elif etype == model.KSTREAM:
+                    computed = (
+                        apply_xform(combined, ent.get("xform")) if combined is not None else None
+                    )
+                elif etype == model.KTABLE:
+                    computed = self._ktable_output(ent, combined) if combined is not None else None
+                elif etype == model.GLOBAL_KTABLE:
+                    computed = combined  # passthrough; latest-state at join time (core.clj:109-118)
+                else:  # pragma: no cover
+                    raise AssertionError(etype)
             seed = seeds.get(node)
             if seed is not None and computed is not None:
                 out = seed.unionByName(computed.select(KEY, VALUE, TIMESTAMP, SEQ))
@@ -286,6 +298,13 @@ class TopologyRunner:
                 out = computed.select(KEY, VALUE, TIMESTAMP, SEQ)
             else:
                 out = seed
+            if out is not None and len(model.children_of(self.topology, node)) > 1 and ent.get(
+                "persist", True
+            ):
+                # re-materialization avoidance (reference streams.clj:28-32
+                # store reuse; SURVEY §4): a fan-out node would otherwise be
+                # recomputed once per consumer in the lazy DAG
+                out = out.persist()
             outputs[node] = out
         return {k: v for k, v in outputs.items() if v is not None}
 

@@ -146,6 +146,118 @@ def lsh_topk(
     )
 
 
+def _centroid_sims(vec: Column, centroids: list[list[float]]) -> Column:
+    """Array of cosine(vec, centroid_i). Each dot product appears in
+    the expression tree EXACTLY once — a chained when(best_sim...)
+    formulation nests the previous best into every branch and doubles
+    the tree per centroid (benchmarked 40s+ at sf0.1; this form is
+    sub-second)."""
+    vn = norm(vec)
+    sims = []
+    for c in centroids:
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        sims.append(dot(vec, arr) / (vn * F.lit(cn)))
+    return F.array(*sims)
+
+
+def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
+    """Index of the nearest centroid by cosine (deterministic tie-break:
+    lowest index — array_position returns the first occurrence)."""
+    sims = _centroid_sims(vec, centroids)
+    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+
+def train_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means for the IVF coarse quantizer:
+    init = the n lowest-id vectors (seeded, reproducible), then
+    ``n_iters`` rounds of assign (Column exprs) + recompute (groupBy
+    avg — a partial aggregate, one small shuffle per round). Centroid
+    count stays fixed: empty cells keep their previous centroid."""
+    c = corpus.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+    init_rows = c.orderBy("id").limit(n_centroids).collect()
+    centroids = [list(r["v"]) for r in init_rows]
+    dim = len(centroids[0])
+    for _ in range(n_iters):
+        assigned = c.withColumn("cid", ivf_assign(F.col("v"), centroids))
+        # per-dimension means via posexplode: one narrow pass + one
+        # partial-aggregated shuffle of (cell, dim) pairs — never 64
+        # separate element-extraction aggregates
+        means = (
+            assigned.select("cid", F.posexplode(F.col("v")).alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new: dict[int, list[float]] = {}
+        for r in means:
+            new.setdefault(r["cid"], [0.0] * dim)[r["pos"]] = r["m"]
+        centroids = [new.get(i, centroids[i]) for i in range(len(centroids))]
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are bucketed by nearest
+    centroid (the inverted file); each query probes its ``n_probe``
+    nearest cells and rescored exactly within them. Candidate
+    generation is an equi-join on the small cell id — at 100 TB the
+    inverted lists would be written bucketed-by-cell so the probe is a
+    partition-pruned scan, no shuffle of the corpus."""
+    from pyspark.sql import Window as W
+
+    c = corpus.select(
+        F.col(id_col).alias("__cid_id"), _as_double(F.col(vec_col)).alias("__cv")
+    ).withColumn("__cell", ivf_assign(F.col("__cv"), centroids))
+    # per-query probe list: top n_probe centroids by cosine
+    def probe_cells(qv: Column) -> Column:
+        sims = F.array(
+            *[
+                F.struct(
+                    cosine(qv, F.array(*[F.lit(float(x)) for x in cvec])).alias("s"),
+                    F.lit(i).alias("i"),
+                )
+                for i, cvec in enumerate(centroids)
+            ]
+        )
+        return F.slice(F.reverse(F.array_sort(sims)), 1, n_probe)
+
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"), _as_double(F.col(query_vec_col)).alias("__qv")
+    ).withColumn("__cell", F.explode(probe_cells(F.col("__qv")).getField("i")))
+    scored = c.join(F.broadcast(q), "__cell").select(
+        F.col("__qid"),
+        F.col("__cid_id"),
+        F.round(cosine(F.col("__cv"), F.col("__qv")), 6).alias("__sim"),
+    )
+    w = W.partitionBy("__qid").orderBy(F.col("__sim").desc(), F.col("__cid_id").asc())
+    return (
+        scored.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col("__cid_id").alias(id_col),
+            F.col("__sim").alias("cosine_sim"),
+            F.col("__rank").alias("rank"),
+        )
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     threshold: float = 0.95,

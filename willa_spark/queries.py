@@ -831,6 +831,18 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(emb, queries, k=10, n_planes=8)
 
 
+@query("ann_ivf_topk")  # rows-only (k-means cells not SQL-expressible)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN: deterministic k-means cells + n_probe
+    rescoring — the bucketed scale path next to the exact baseline."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    centroids = SIM.train_centroids(emb, n_centroids=8, n_iters=1)
+    return SIM.ivf_topk(emb, queries, centroids, k=10, n_probe=2)
+
+
 @query("embedding_near_dups")  # rows-only
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")

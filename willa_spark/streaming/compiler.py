@@ -292,6 +292,17 @@ class StreamingTopologyRunner:
                 for p in model.parents_of(self.topology, node)
                 if self.output_modes.get(p)
             ]
+            if "build" in ent:
+                # build-override hook (core.clj:122-136 unsafe overrides)
+                parent_dfs = {
+                    p: built[p]
+                    for p in model.parents_of(self.topology, node)
+                    if built.get(p) is not None
+                }
+                built[node] = ent["build"](self.spark, parent_dfs, ent)
+                if mode_up:
+                    self.output_modes[node] = mode_up[0]
+                continue
             combined = self._combine_parents(node, built)
             if etype == model.TOPIC:
                 if node in inputs:

@@ -1,0 +1,94 @@
+"""Topology rewrite helpers — pure dict→dict transformers, the
+reference's "topologies are data, transform them with functions" pitch
+(README.md:25-27) made concrete.
+
+``with_dedupe`` ports the reference's only shipped rewrite
+(workflow.clj:6-24): splice an exactly-once id-passthrough between a
+node and its consumer. The reference builds it from a seen-set ktable +
+a nil-filtering kstream; Spark has the primitive built in, so the
+spliced node is simply a dropDuplicates entity — same topology surface,
+native engine underneath (batch: dropDuplicates; streaming:
+dropDuplicatesWithinWatermark when a watermark is configured).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import functions as F
+
+from .model import KEY, VALUE
+
+
+def map_entities(topology: dict, fn: Callable[[str, dict], dict]) -> dict:
+    """Return a new topology with each entity passed through ``fn`` —
+    the generic rewrite building block."""
+    return {
+        **topology,
+        "entities": {eid: fn(eid, dict(ent)) for eid, ent in topology["entities"].items()},
+    }
+
+
+def splice(topology: dict, edge: tuple[str, str], new_id: str, new_entity: dict) -> dict:
+    """Replace edge (a, b) with a → new → b."""
+    a, b = edge
+    workflow = []
+    replaced = False
+    for src, dst in topology["workflow"]:
+        if (src, dst) == (a, b):
+            workflow += [(a, new_id), (new_id, b)]
+            replaced = True
+        else:
+            workflow.append((src, dst))
+    if not replaced:
+        raise ValueError(f"edge {edge!r} not in workflow")
+    return {
+        **topology,
+        "workflow": workflow,
+        "entities": {**topology["entities"], new_id: new_entity},
+    }
+
+
+def with_dedupe(
+    topology: dict,
+    edge: tuple[str, str],
+    id_fn: Callable | None = None,
+    watermark: str | None = None,
+) -> dict:
+    """Pass each distinct id through exactly once on the given edge
+    (reference ``with-dedupe``, workflow.clj:21-24; golden F18).
+
+    ``id_fn(key_col, value_col)`` computes the dedup id (default: the
+    record value, matching the reference's dedupe-entities accumulating
+    seen values). ``watermark`` bounds streaming dedup state
+    (dropDuplicatesWithinWatermark) — unbounded state otherwise,
+    exactly like the reference's ever-growing seen-set table.
+    """
+    id_fn = id_fn or (lambda k, v: v)
+    a, b = edge
+    dedupe_id = f"{a}->{b}-dedupe"
+
+    def build(spark, parent_dfs, ent):
+        (df,) = parent_dfs.values()
+        tagged = df.withColumn("__dedup_id", id_fn(F.col(KEY), F.col(VALUE)))
+        if df.isStreaming:
+            if ent.get("watermark"):
+                tagged = tagged.withWatermark("timestamp", ent["watermark"])
+                return tagged.dropDuplicatesWithinWatermark(["__dedup_id"]).drop("__dedup_id")
+            return tagged.dropDuplicates(["__dedup_id"]).drop("__dedup_id")
+        # batch: keep the FIRST occurrence by arrival (the reference's
+        # seen-set passes the first sighting; dropDuplicates would pick
+        # an arbitrary row). min_by is a partial aggregate — one shuffle.
+        cols = [c for c in df.columns if c != "__dedup_id"]
+        first = tagged.groupBy("__dedup_id").agg(
+            F.min_by(
+                F.struct(*[F.col(c).alias(c) for c in cols]),
+                F.struct(F.col("timestamp"), F.col("__seq")),
+            ).alias("__r")
+        )
+        return first.select(*[F.col(f"__r.{c}").alias(c) for c in cols])
+
+    entity = {"type": "kstream", "build": build}
+    if watermark:
+        entity["watermark"] = watermark
+    return splice(topology, edge, dedupe_id, entity)
