@@ -32,10 +32,12 @@ Semantics mapping (SURVEY §2.7):
 - KStream⋈GlobalKTable → stream-static broadcast join (the static side
   is the table's latest state at query start; Kafka's GlobalKTable is
   likewise "current state at lookup time").
-- KTable⋈KTable streaming joins are not compiled (Kafka Streams
-  re-emits on both sides' updates; Spark has no changelog-join
-  primitive). Use the batch engine for table-table as-of semantics, or
-  restructure as stream-table. A clear error says so.
+- KStream⋈KTable and KTable⋈KTable → a custom stateful operator
+  (``applyInPandasWithState``) holding each table side's current value
+  per key and emitting on stream records (J6) or on both sides'
+  updates (J5) — Kafka Streams' current-state lookup semantics; the
+  batch engine implements the oracle's timestamp-as-of idealization,
+  and the two agree when arrival order is timestamp order.
 
 Scale notes: state lives in the Spark state store (RocksDB provider
 configurable); every stateful op keys its shuffle by the group/join
@@ -116,13 +118,13 @@ class StreamingTopologyRunner:
         acc_type = self._joinable_type(ordered[0])
         acc_arity = 1
         for rid in ordered[1:]:
-            acc = self._join_pair(cfg, acc, acc_type, acc_arity, built[rid], rid)
+            acc = self._join_pair(cfg, acc, acc_type, acc_arity, built[rid], rid, node)
             acc_arity += 1
         return acc
 
     def _join_pair(
         self, cfg: dict, left: DataFrame, left_type: str, left_arity: int,
-        right: DataFrame, right_id: str,
+        right: DataFrame, right_id: str, node: str | None = None,
     ) -> DataFrame:
         from ..operators.joins import _tuple_value
 
@@ -169,13 +171,156 @@ class StreamingTopologyRunner:
                 ).alias(TIMESTAMP),
             )
         if right_type == model.KTABLE:
-            raise NotImplementedError(
-                "streaming KTable joins are not compiled — Spark has no "
-                "changelog-join primitive; run table-table/stream-table "
-                "as-of joins on the batch engine (willa_spark.batch), or "
-                "model the table side as a global_ktable for stream-static"
+            if left_arity != 1:
+                raise NotImplementedError("n-ary streaming table joins are not supported")
+            if node is not None:
+                # stateful operator in update mode; sinks must follow
+                self.output_modes[node] = "update"
+            return self._stateful_table_join(
+                left, right, jt, mode, table_table=(left_type == model.KTABLE)
             )
         raise ValueError(f"unsupported streaming join: {jt} {left_type}⋈{right_type}")
+
+    def _stateful_table_join(
+        self, left: DataFrame, right: DataFrame, jt: str, mode: str, table_table: bool
+    ) -> DataFrame:
+        """KStream⋈KTable (J6) and KTable⋈KTable (J5) in streaming, as a
+        custom stateful operator (applyInPandasWithState): per-key state
+        holds each table side's CURRENT value; every record processes in
+        (ts, table-side-first) order, updates its side's state if it is
+        a table, and emits the joined tuple.
+
+        Semantics note: this is Kafka Streams' actual runtime behavior —
+        a lookup against the table's current state at processing time.
+        The batch engine implements the reference oracle's timestamp-
+        as-of idealization (experiment.clj:37-81); the two agree when
+        arrival order is timestamp order (the congruity tests feed
+        exactly that), and diverge on late data exactly as Kafka does.
+
+        Scale: state is ~2 values per key in the state store, shuffle is
+        keyed by the join key — the same layout Kafka Streams uses via
+        repartition topics + RocksDB.
+        """
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        lvt = left.schema[VALUE].dataType.simpleString()
+        rvt = right.schema[VALUE].dataType.simpleString()
+        kt = left.schema[KEY].dataType.simpleString()
+        if mode == "array" and lvt != rvt:
+            raise ValueError(
+                "array tuple_mode needs matching value types; use "
+                "tuple_mode='struct' in the join config"
+            )
+        # the fold emits the two sides as SEPARATE nullable columns; the
+        # tuple is assembled JVM-side afterwards — NULL elements inside
+        # arrays crossing the Arrow boundary fail Spark's row decoder
+        out_schema = f"{KEY} {kt}, __l {lvt}, __r {rvt}, {TIMESTAMP} timestamp"
+        # presence flags distinguish "no state yet" from a NULL value
+        state_schema = f"lv {lvt}, has_l boolean, rv {rvt}, has_r boolean"
+        req_l, req_r = {
+            # stream-table (streams.clj:100-102): inner requires table hit
+            False: {"inner": (False, True), "left": (False, False)},
+            # table-table inverted flags (experiment.clj:108-121)
+            True: {"inner": (True, True), "left": (True, False), "outer": (False, False)},
+        }[table_table][jt]
+        is_array = mode == "array"
+        tt = table_table
+
+        def _caster(type_str: str):
+            # pandas turns a nullable numeric column into float64 with
+            # NaN for nulls; cast back to the declared Spark type or the
+            # Arrow encoder rejects the batch (and NaN would leak into
+            # joined tuples as a bogus value)
+            import math
+
+            base = type_str.split("(")[0]
+            if base in ("tinyint", "smallint", "int", "bigint", "byte", "short", "long", "integer"):
+                num = int
+            elif base in ("float", "double"):
+                num = float
+            else:
+                num = None
+
+            def cast(x):
+                if x is None:
+                    return None
+                if isinstance(x, float) and math.isnan(x):
+                    return None
+                if hasattr(x, "item"):
+                    x = x.item()
+                return num(x) if num is not None else x
+
+            return cast
+
+        cast_l, cast_r = _caster(lvt), _caster(rvt)
+
+        def join_fold(key, pdf_iter, state):
+            if state.exists:
+                lv, has_l, rv, has_r = state.get
+            else:
+                lv, has_l, rv, has_r = None, False, None, False
+            out_k, out_l, out_r, out_ts = [], [], [], []
+
+            def emit(l, lp, r, rp, ts):
+                if req_l and not lp:
+                    return
+                if req_r and not rp:
+                    return
+                out_k.append(key[0])
+                out_l.append(l)
+                out_r.append(r)
+                out_ts.append(ts)
+
+            for pdf in pdf_iter:
+                pdf = pdf.sort_values([TIMESTAMP, "side"], kind="stable")
+                for row in pdf.itertuples(index=False):
+                    side = row.side
+                    ts = getattr(row, TIMESTAMP)
+                    if side == 0:  # table (right) update
+                        rv, has_r = cast_r(row.rv), True
+                        if tt:
+                            emit(lv, has_l, rv, True, ts)
+                    else:  # left side: stream record, or left-table update
+                        if tt:
+                            lv, has_l = cast_l(row.lv), True
+                            emit(lv, True, rv, has_r, ts)
+                        else:
+                            emit(cast_l(row.lv), True, rv, has_r, ts)
+            state.update((lv, bool(has_l), rv, bool(has_r)))
+            if out_k:
+                yield pd.DataFrame(
+                    {KEY: out_k, "__l": out_l, "__r": out_r, TIMESTAMP: out_ts}
+                )
+
+        l = left.select(
+            F.col(KEY),
+            F.col(VALUE).alias("lv"),
+            F.lit(None).cast(rvt).alias("rv"),
+            F.col(TIMESTAMP),
+            F.lit(1).alias("side"),
+        )
+        r = right.select(
+            F.col(KEY),
+            F.lit(None).cast(lvt).alias("lv"),
+            F.col(VALUE).alias("rv"),
+            F.col(TIMESTAMP),
+            F.lit(0).alias("side"),
+        )
+        from ..operators.joins import _tuple_value
+
+        folded = (
+            l.unionByName(r)
+            .groupBy(KEY)
+            .applyInPandasWithState(
+                join_fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+            )
+        )
+        return folded.select(
+            F.col(KEY),
+            _tuple_value(F.col("__l"), F.col("__r"), 1, 1, mode).alias(VALUE),
+            F.col(TIMESTAMP),
+        )
 
     # -- ktable ----------------------------------------------------------
     def _ktable(self, ent: dict, df: DataFrame, node: str) -> DataFrame:
@@ -361,6 +506,11 @@ def run_streaming_topology(
 
     runner = StreamingTopologyRunner(spark, topology)
     stream_inputs: dict[str, DataFrame] = {}
+    # entities fed only via extra_files still need a (possibly empty)
+    # first batch so their source exists from the start
+    inputs = dict(inputs)
+    for eid in extra_files or {}:
+        inputs.setdefault(eid, [])
     for eid, records in inputs.items():
         ent = topology["entities"][eid]
         d = os.path.join(tmpdir, eid)
