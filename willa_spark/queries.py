@@ -597,6 +597,40 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "except_customers",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops beyond the reference's union (SURVEY §2.6): customers
+    with open orders but no filled ones."""
+    orders = read_table(spark, sf_dir, "orders")
+    open_ = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    filled = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    # subtract = SQL EXCEPT (set semantics); exceptAll would be bag
+    # difference and keep customers who have BOTH open and filled orders
+    return open_.subtract(filled)
+
+
+@query(
+    "intersect_customers",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    open_ = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    pending = orders.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    return open_.intersect(pending)
+
+
+@query(
     "pivot_order_status",
     oracle="""
     SELECT o_orderpriority,
