@@ -35,6 +35,8 @@ HEADLINE = [
     "pricing_summary",
     "top_customers",
     "rollup_revenue",
+    "skew_salted_agg",
+    "skew_salted_join",
     "doc_fingerprints",
     "token_stats",
     "lang_id",

@@ -1,6 +1,6 @@
 from .windows import HoppingWindow, SessionWindow, TumblingWindow
 from .aggregates import Aggregate
-from . import joins, tables
+from . import joins, skew, tables
 
 __all__ = [
     "TumblingWindow",
@@ -8,5 +8,6 @@ __all__ = [
     "SessionWindow",
     "Aggregate",
     "joins",
+    "skew",
     "tables",
 ]

@@ -631,6 +631,88 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "skew_salted_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS revenue_cents,
+           count(*) AS n,
+           round(avg(l_quantity), 4) AS avg_qty,
+           CAST(min(l_quantity) AS BIGINT) AS min_qty,
+           CAST(max(l_quantity) AS BIGINT) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-stage aggregation (operators/skew.py): lineitem
+    grouped by l_returnflag — 3 distinct values over the whole table,
+    exactly the hot-key shape that straggles a plain groupBy at 100 TB.
+    Salting on (l_orderkey, l_linenumber) spreads each flag across 32
+    reducers; the oracle checks the rewrite is invisible in results."""
+    from .operators.skew import salted_aggregate
+
+    li = read_table(spark, sf_dir, "lineitem")
+    out = salted_aggregate(
+        li,
+        ["l_returnflag"],
+        {
+            "sum_qty": ("sum", F.col("l_quantity")),
+            "revenue_cents": ("sum", _cents(F.col("l_extendedprice"))),
+            "n": ("count", F.lit(1)),
+            "avg_qty": ("avg", F.col("l_quantity")),
+            "min_qty": ("min", F.col("l_quantity")),
+            "max_qty": ("max", F.col("l_quantity")),
+        },
+        buckets=32,
+        salt_on=["l_orderkey", "l_linenumber"],
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("sum_qty").cast("bigint").alias("sum_qty"),
+        "revenue_cents",
+        "n",
+        F.round("avg_qty", 4).alias("avg_qty"),
+        F.col("min_qty").cast("bigint").alias("min_qty"),
+        F.col("max_qty").cast("bigint").alias("max_qty"),
+    )
+
+
+@query(
+    "skew_salted_join",
+    oracle="""
+    SELECT n.n_name,
+           count(*) AS n_items,
+           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS revenue_cents
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replicate-small/salt-big join (operators/skew.py): lineitem ⋈
+    supplier via deterministic 16-bucket salting — the plan for a dim
+    side above the broadcast threshold but hot on a few keys. Second
+    hop to nation stays a plain broadcast. Oracle checks row parity."""
+    from .operators.skew import salted_join
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"), "l_extendedprice"
+    )
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    enriched = salted_join(li, supp, on="s_suppkey", buckets=16)
+    return (
+        enriched.join(F.broadcast(nation), enriched.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("revenue_cents"),
+        )
+    )
+
+
+@query(
     "pivot_order_status",
     oracle="""
     SELECT o_orderpriority,
