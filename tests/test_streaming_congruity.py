@@ -201,3 +201,81 @@ def test_congruity_global_table_join(spark, tmp_path):
     }
     s = streaming_results(spark, topo_s, inputs, tmp_path)
     assert b == s == Counter([("k", (1, None)), ("k2", (1, 2))])
+
+
+def test_congruity_retraction_regrouped_table(spark, tmp_path):
+    """A5 (streams.clj:44-50) in STREAMING: a re-grouped upsert retracts
+    the old contribution from its old group via the stateful re-key op +
+    signed update-mode aggregation. Final state per group must equal the
+    batch engine's suppressed retraction fold — including a key whose
+    group flips between micro-batches (state carried across triggers)."""
+    group_parity = lambda k, v: F.when(v % 2 == 1, F.lit("odd")).otherwise(F.lit("even"))
+    ent = {
+        "type": "ktable",
+        "group_by": group_parity,
+        "aggregate": Aggregate.sum(),
+        "retract": True,
+    }
+    wf = [("in", "t"), ("t", "out")]
+    first = [("k", 1, 100), ("k2", 3, 150), ("k", 2, 200)]
+    late = [("k", 7, 400)]  # k flips even→odd in a LATER micro-batch
+    topo_batch = {
+        "entities": {"in": topic(), "t": {**ent, "suppress": True}, "out": topic()},
+        "workflow": wf,
+    }
+    b = batch_results(spark, topo_batch, {"in": first + late})
+    topo_stream = {
+        "entities": {"in": topic(), "t": {**ent, "watermark": "0 seconds"}, "out": topic()},
+        "workflow": wf,
+    }
+    rows = run_streaming_topology(
+        spark, topo_stream, {"in": first}, str(tmp_path), extra_files={"in": late}
+    )["out"]
+    # update-mode sink logs every per-trigger change; final value per
+    # group is the last logged row (the harness preserves sink order)
+    final = {}
+    for k, v in rows:
+        final[k] = v
+    assert Counter(final.items()) == b == Counter([("odd", 10), ("even", 0)])
+
+
+def test_streaming_retraction_guards(spark):
+    """Python-fold subtractors and missing watermarks fail fast."""
+    from willa_spark.streaming import StreamingTopologyRunner
+
+    base = {
+        "entities": {
+            "in": topic(),
+            "t": {
+                "type": "ktable",
+                "aggregate": Aggregate.sum(),
+                "retract": True,
+            },
+            "out": topic(),
+        },
+        "workflow": [("in", "t"), ("t", "out")],
+    }
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(
+            F.lit("k").alias("key"),
+            F.col("value"),
+            F.col("timestamp"),
+        )
+    )
+    with pytest.raises(ValueError, match="watermark"):
+        StreamingTopologyRunner(spark, base).build({"in": src})
+    fold_topo = {
+        "entities": {
+            **base["entities"],
+            "t": {
+                "type": "ktable",
+                "aggregate": Aggregate.fold(0, lambda a, k, v: a + v, "bigint"),
+                "retract": True,
+                "watermark": "0 seconds",
+            },
+        },
+        "workflow": base["workflow"],
+    }
+    with pytest.raises(NotImplementedError, match="batch-only"):
+        StreamingTopologyRunner(spark, fold_topo).build({"in": src})

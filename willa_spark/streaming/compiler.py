@@ -333,6 +333,10 @@ class StreamingTopologyRunner:
         gkey = group_by(F.col(KEY), F.col(VALUE)) if group_by else F.col(KEY)
         df = df.withColumn("__gkey", gkey)
         win = ent.get("window")
+        if ent.get("retract"):
+            out = self._retracting_agg(agg, df, ent, node)
+            self.output_modes[node] = "update"
+            return out
         if agg.kind == "fold":
             if win is not None:
                 raise NotImplementedError(
@@ -380,6 +384,101 @@ class StreamingTopologyRunner:
         )
         self.output_modes[node] = "append" if suppress else "update"
         return out
+
+    def _retracting_agg(self, agg, df: DataFrame, ent: dict, node: str) -> DataFrame:
+        """A5 (subtractor) in streaming: a re-grouped table upsert must
+        retract the old value's contribution from its OLD group
+        (streams.clj:44-50). Spark has no native retraction, so this is
+        a two-stage plan:
+
+        1. a custom stateful re-key operator (``applyInPandasWithState``
+           keyed by the ORIGINAL record key, append mode) holding each
+           key's previous (contribution, group); every update emits
+           (+1, new contribution → new group) and, if a previous value
+           exists, (−1, old contribution → old group);
+        2. a plain JVM-side update-mode aggregation by group key:
+           ``sum(sign × contribution)`` — partial-aggregated,
+           whole-stage-codegen, exactly the invertible-aggregate
+           restriction the batch column tier imposes.
+
+        Append mode on stage 1 is what makes the downstream stateful
+        aggregation legal (update-mode flatMapGroupsWithState cannot be
+        followed by stateful ops). Python-fold subtractors remain
+        batch-only; the congruity suite compares final state per group.
+
+        Scale: stage-1 state is one (contribution, group) pair per key;
+        the two shuffles (record key, then group key) mirror Kafka's
+        repartition topic before a re-grouped aggregate.
+        """
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        if agg.kind != "column" or agg.contribution_fn is None:
+            raise NotImplementedError(
+                "streaming retraction needs an invertible column aggregate "
+                "(sum/count); Python subtractor folds are batch-only"
+            )
+        if ent.get("window") is not None:
+            raise NotImplementedError("windowed retraction: use the batch engine")
+        if not ent.get("watermark"):
+            raise ValueError(
+                f"entity {node!r}: retraction (stateful re-key op) requires a 'watermark'"
+            )
+        df = self._watermarked(df, ent)
+        src = df.select(
+            F.col(KEY),
+            F.col("__gkey"),
+            agg.contribution_fn(F.col(VALUE)).alias("__contrib"),
+            F.col(TIMESTAMP),
+        )
+        ct = src.schema["__contrib"].dataType.simpleString()
+        gt = src.schema["__gkey"].dataType.simpleString()
+        out_schema = f"__gkey {gt}, __contrib {ct}, __sign int, {TIMESTAMP} timestamp"
+        state_schema = f"c {ct}, g {gt}"
+
+        def rekey(key, pdf_iter, state):
+            if state.exists:
+                pv, pg = state.get
+                has_prev = True
+            else:
+                pv, pg, has_prev = None, None, False
+            out_g, out_c, out_s, out_ts = [], [], [], []
+            for pdf in pdf_iter:
+                pdf = pdf.sort_values(TIMESTAMP, kind="stable")
+                # positional lists: pandas itertuples mangles
+                # underscore-prefixed names like __gkey/__contrib
+                gks = pdf["__gkey"].tolist()
+                cs = pdf["__contrib"].tolist()
+                tss = pdf[TIMESTAMP].tolist()
+                for g, c, ts in zip(gks, cs, tss):
+                    out_g.append(g)
+                    out_c.append(c)
+                    out_s.append(1)
+                    out_ts.append(ts)
+                    if has_prev:
+                        out_g.append(pg)
+                        out_c.append(pv)
+                        out_s.append(-1)
+                        out_ts.append(ts)
+                    pv, pg, has_prev = c, g, True
+            state.update((pv, pg))
+            if out_g:
+                yield pd.DataFrame(
+                    {"__gkey": out_g, "__contrib": out_c, "__sign": out_s, TIMESTAMP: out_ts}
+                )
+
+        signed = src.groupBy(KEY).applyInPandasWithState(
+            rekey, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+        return (
+            signed.groupBy("__gkey")
+            .agg(F.sum(F.col("__sign") * F.col("__contrib")).alias(VALUE))
+            .select(
+                F.col("__gkey").alias(KEY),
+                F.col(VALUE),
+                F.lit(None).cast("timestamp").alias(TIMESTAMP),
+            )
+        )
 
     def _stateful_fold(self, agg, df: DataFrame, node: str) -> DataFrame:
         """A4 full parity in streaming: an arbitrary Python
