@@ -196,6 +196,25 @@ def test_real_decoder_is_stubbed(spark):
         decode_image(b"\x89PNG")
 
 
+def test_audio_decode_plumbing(spark):
+    from willa_spark.functions.multimodal import (
+        decode_audio,
+        decode_audio_stub,
+        fake_audio_decoder,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"wavdata")), (2, None)], "id bigint, data binary"
+    )
+    out = decode_audio(df, binary_col="data", id_col="id", decoder=fake_audio_decoder)
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["sample_rate"] == 16_000 and rows[1]["duration_ms"] == 7
+    assert rows[2]["duration_ms"] == 0  # null-safe
+    assert len(rows[1]["samples"]) == 8
+    with pytest.raises(NotImplementedError):
+        decode_audio_stub(b"RIFF")
+
+
 # ---- plan-shape guardrails (the 100 TB contracts) --------------------
 
 def test_global_join_is_broadcast(spark):

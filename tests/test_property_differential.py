@@ -109,3 +109,37 @@ def test_batch_is_deterministic(spark, records, chain, with_table):
     r1 = collect_records(run_topology(spark, topo, inputs={"in": records})["out"])
     r2 = collect_records(run_topology(spark, topo, inputs={"in": records})["out"])
     assert r1 == r2
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=records_strategy,
+    right=records_strategy,
+    window=st.sampled_from([(50, 50), (100, 100), (0, 200)]),
+)
+def test_windowed_inner_join_congruity(spark, tmp_path_factory, left, right, window):
+    """Random windowed stream-stream inner joins: batch time-band join
+    ≡ streaming watermarked join for any inputs, any (before, after)
+    band — including equal-timestamp collisions and empty sides."""
+    topo = {
+        "entities": {
+            "a": {"type": "topic"},
+            "b": {"type": "topic"},
+            "j": {"type": "kstream"},
+            "out": {"type": "topic"},
+        },
+        "workflow": [("a", "j"), ("b", "j"), ("j", "out")],
+        "joins": {("a", "b"): {"type": "inner", "window": window}},
+    }
+    inputs = {"a": left, "b": right}
+    b = Counter(collect_records(run_topology(spark, topo, inputs=inputs)["out"]))
+    if left or right:
+        tmp = tmp_path_factory.mktemp("propj")
+        s = Counter(run_streaming_topology(spark, topo, inputs, str(tmp))["out"])
+    else:
+        s = Counter()
+    assert b == s

@@ -279,3 +279,28 @@ def test_streaming_retraction_guards(spark):
     }
     with pytest.raises(NotImplementedError, match="batch-only"):
         StreamingTopologyRunner(spark, fold_topo).build({"in": src})
+
+
+def test_congruity_three_way_stream_join_fold(spark, tmp_path):
+    """J8 in STREAMING: n-ary windowed join folds pairwise into a
+    widening tuple (streams.clj:115-123) as chained stream-stream
+    joins — Spark >= 3.5 multi-stateful-operator support."""
+    topo = {
+        "entities": {
+            "a": topic(),
+            "b": topic(),
+            "c": topic(),
+            "joined": {"type": "kstream"},
+            "out": topic(),
+        },
+        "workflow": [("a", "joined"), ("b", "joined"), ("c", "joined"), ("joined", "out")],
+        "joins": {("a", "b", "c"): {"type": "inner", "window": (100, 100)}},
+    }
+    inputs = {
+        "a": [("k", 1, 100), ("k2", 9, 100)],
+        "b": [("k", 2, 150)],
+        "c": [("k", 3, 120), ("k2", 8, 900)],  # k2 leg out of window
+    }
+    b = batch_results(spark, topo, inputs)
+    s = streaming_results(spark, topo, inputs, tmp_path)
+    assert b == s == Counter([("k", (1, 2, 3))])

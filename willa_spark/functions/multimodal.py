@@ -102,6 +102,66 @@ def decode_images(
     return df.select(id_col, binary_col).mapInPandas(decode_batches, schema=out_schema)
 
 
+def fake_audio_decoder(data: bytes) -> dict:
+    """Deterministic fake audio decode for tests: byte length → sample
+    count, checksum → a tiny PCM-like wave."""
+    n = len(data or b"")
+    checksum = sum(data or b"") % 128
+    return {
+        "sample_rate": 16_000,
+        "n_channels": 1,
+        "duration_ms": n,  # 1 'ms' per byte, deterministic
+        "samples": [float(((checksum + i * 7) % 256) - 128) for i in range(8)],
+    }
+
+
+def decode_audio_stub(data: bytes):  # pragma: no cover - intentional stub
+    """Real decoder stub — no audio libraries in this environment.
+    Inject a decoder (e.g. soundfile/torchaudio) via
+    ``decode_audio(decoder=...)``."""
+    raise NotImplementedError(
+        "no audio codec in this environment; pass decoder= to decode_audio"
+    )
+
+
+def decode_audio(
+    df: DataFrame,
+    binary_col: str = "data",
+    id_col: str = "id",
+    decoder: Callable[[bytes], dict] | None = None,
+) -> DataFrame:
+    """Decode a binary audio column into (id, sample_rate, n_channels,
+    duration_ms, samples array) via mapInPandas — the audio counterpart
+    of ``decode_images``, same single-pass no-shuffle shape."""
+    import pandas as pd
+
+    dec = decoder or decode_audio_stub
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_channels", T.IntegerType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("samples", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf[id_col], pdf[binary_col]):
+                d = dec(bytes(blob) if blob is not None else b"")
+                rows.append(
+                    (rid, d["sample_rate"], d["n_channels"], d["duration_ms"], d["samples"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "sample_rate", "n_channels", "duration_ms", "samples"],
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(decode_batches, schema=out_schema)
+
+
 def resize_features(df: DataFrame, features_col: str = "features", target: int = 4) -> DataFrame:
     """'Resize' by striding the feature grid — pure Column expression
     (slice with step) standing in for real interpolation."""
