@@ -304,3 +304,84 @@ def test_congruity_three_way_stream_join_fold(spark, tmp_path):
     b = batch_results(spark, topo, inputs)
     s = streaming_results(spark, topo, inputs, tmp_path)
     assert b == s == Counter([("k", (1, 2, 3))])
+
+
+def _join_topo(jt, before, after):
+    return {
+        "entities": {
+            "a": topic(),
+            "b": topic(),
+            "j": {"type": "kstream"},
+            "out": topic(),
+        },
+        "workflow": [("a", "j"), ("b", "j"), ("j", "out")],
+        "joins": {("a", "b"): {"type": jt, "window": (before, after)}},
+    }
+
+
+def _drop_sentinels(counter):
+    return Counter({kv: n for kv, n in counter.items() if kv[0] != "zz"})
+
+
+SENTINELS = [[("zz", 0, 9_000_000)], [("zz", 0, 9_500_000)], [("zz", 0, 9_900_000)]]
+
+
+def test_congruity_left_join_exact_nil_dedup(spark, tmp_path):
+    """J2 EXACT parity in streaming (experiment.clj:23-34 + golden F15):
+    the oracle emits an unjoined placeholder for every left record, then
+    drops null-containing rows in (ts, key) groups with >1 member.
+    Streaming = inner join ∪ synthetic placeholders → stateful nil-dedup
+    with event-time timeouts. Covers all four shapes at once:
+    - j@100 joins b@150 → emits BOTH (j,[5,7])@150 and (j,[5,nil])@100;
+    - n@150 joins b@100 → joined ts == left ts → placeholder suppressed;
+    - m@100 never joins → single placeholder survives;
+    - k@100 twice, never joins → two placeholders share (ts,key) → both drop."""
+    topo = _join_topo("left", 100, 100)
+    inputs = {
+        "a": [("j", 5, 100), ("n", 6, 150), ("m", 4, 100), ("k", 1, 100), ("k", 9, 100)],
+        "b": [("j", 7, 150), ("n", 8, 100)],
+    }
+    b = _drop_sentinels(batch_results(spark, topo, inputs))
+    # the global watermark is the MIN across sources — sentinels must
+    # advance BOTH sides for the nil-dedup timeouts to fire
+    s = _drop_sentinels(
+        Counter(
+            run_streaming_topology(
+                spark, topo, inputs, str(tmp_path),
+                extra_files={"a": SENTINELS, "b": SENTINELS},
+            )["out"]
+        )
+    )
+    expected = Counter(
+        [
+            ("j", (5, 7)),
+            ("j", (5, None)),
+            ("n", (6, 8)),
+            ("m", (4, None)),
+        ]
+    )
+    assert b == s == expected
+
+
+def test_congruity_outer_join_exact_nil_dedup(spark, tmp_path):
+    """J3 EXACT parity: placeholders from BOTH sides, same group rule."""
+    topo = _join_topo("outer", 50, 50)
+    inputs = {
+        "a": [("p", 1, 100)],
+        "b": [("p", 2, 120), ("q", 3, 200)],
+    }
+    b = _drop_sentinels(batch_results(spark, topo, inputs))
+    s = _drop_sentinels(
+        Counter(
+            run_streaming_topology(
+                spark, topo, inputs, str(tmp_path),
+                extra_files={"a": SENTINELS, "b": SENTINELS},
+            )["out"]
+        )
+    )
+    # p joins at ts 120 (= right ts → right placeholder suppressed,
+    # left placeholder at 100 survives); q never joins → placeholder
+    expected = Counter(
+        [("p", (1, 2)), ("p", (1, None)), ("q", (None, 3))]
+    )
+    assert b == s == expected

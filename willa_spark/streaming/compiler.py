@@ -64,6 +64,27 @@ def _ms_duration(ms: int) -> str:
     return f"{int(ms)} milliseconds"
 
 
+_DURATION_UNITS = {
+    "microsecond": 0.001,
+    "millisecond": 1,
+    "second": 1000,
+    "minute": 60_000,
+    "hour": 3_600_000,
+    "day": 86_400_000,
+}
+
+
+def _duration_ms(s: str, default: int) -> int:
+    """Best-effort parse of a Spark duration string ('90 seconds',
+    '100 milliseconds'); falls back to ``default`` for exotic forms."""
+    import re
+
+    m = re.match(r"\s*(\d+)\s*([a-z]+?)s?\s*$", str(s).lower())
+    if m and m.group(2) in _DURATION_UNITS:
+        return int(int(m.group(1)) * _DURATION_UNITS[m.group(2)])
+    return default
+
+
 class StreamingTopologyRunner:
     """Compile a topology over streaming inputs.
 
@@ -148,7 +169,13 @@ class StreamingTopologyRunner:
             )
         if left_type == model.KSTREAM and right_type == model.KSTREAM:
             before, after = cfg.get("window", (0, 0))
+            exact = jt != "inner" and cfg.get("exact_dedup", True)
+            # exact reference parity builds inner join + synthetic
+            # placeholders (the batch construction); Spark-native outer
+            # joins only when parity is opted out
             how = {"inner": "inner", "left": "leftOuter", "outer": "fullOuter"}[jt]
+            if exact:
+                how = "inner"
             wm = cfg.get("watermark", _ms_duration(before + after + 1000))
             l = left.withWatermark(TIMESTAMP, wm).select(
                 F.col(KEY).alias("__lk"), F.col(VALUE).alias("__lv"), F.col(TIMESTAMP).alias("__lts")
@@ -162,7 +189,7 @@ class StreamingTopologyRunner:
                 & (F.col("__rts") <= F.col("__lts") + F.expr(f"INTERVAL {int(after)} MILLISECONDS"))
             )
             joined = l.join(r, cond, how)
-            return joined.select(
+            out = joined.select(
                 F.coalesce(F.col("__lk"), F.col("__rk")).alias(KEY),
                 _tuple_value(F.col("__lv"), F.col("__rv"), left_arity, 1, mode).alias(VALUE),
                 F.greatest(
@@ -170,6 +197,42 @@ class StreamingTopologyRunner:
                     F.coalesce(F.col("__rts"), F.col("__lts")),
                 ).alias(TIMESTAMP),
             )
+            if exact:
+                lvt = left.schema[VALUE].dataType
+                rvt = right.schema[VALUE].dataType
+                # placeholder branches FIRST: their timestamp column is
+                # an identity projection of a watermarked source column,
+                # and the union adopts the first branch's event-time
+                # metadata — which is what entitles the downstream
+                # stateful dedup to use event-time timeouts without a
+                # second (illegal, "redefining") withWatermark node
+                parts = [
+                    l.select(
+                        F.col("__lk").alias(KEY),
+                        _tuple_value(
+                            F.col("__lv"), F.lit(None).cast(rvt), left_arity, 1, mode
+                        ).alias(VALUE),
+                        F.col("__lts").alias(TIMESTAMP),
+                    )
+                ]
+                if jt == "outer":
+                    parts.append(
+                        r.select(
+                            F.col("__rk").alias(KEY),
+                            _tuple_value(
+                                F.lit(None).cast(lvt), F.col("__rv"), left_arity, 1, mode
+                            ).alias(VALUE),
+                            F.col("__rts").alias(TIMESTAMP),
+                        )
+                    )
+                unioned = parts[0]
+                for p in parts[1:]:
+                    unioned = unioned.unionByName(p)
+                unioned = unioned.unionByName(out)
+                out = self._nil_dedup(
+                    unioned, wm, int(before), int(after), mode, left_arity + 1
+                )
+            return out
         if right_type == model.KTABLE:
             if left_arity != 1:
                 raise NotImplementedError("n-ary streaming table joins are not supported")
@@ -180,6 +243,152 @@ class StreamingTopologyRunner:
                 left, right, jt, mode, table_table=(left_type == model.KTABLE)
             )
         raise ValueError(f"unsupported streaming join: {jt} {left_type}⋈{right_type}")
+
+    def _nil_dedup(
+        self, df: DataFrame, wm: str, before_ms: int, after_ms: int, mode: str, arity: int
+    ) -> DataFrame:
+        """Exact reference parity for outer windowed joins (J2/J3,
+        experiment.clj:23-34): the oracle emits a null-padded
+        placeholder for EVERY left (and, for outer, right) record —
+        even ones that joined at a different result timestamp (golden
+        F15: left@100 joins right@150 → BOTH ("k",[1,nil])@100 and
+        ("k",[1,2])@150 emit) — then groups results by (timestamp, key)
+        and, where a group has >1 record, drops the NULL-containing
+        ones. A placeholder survives only as its group's sole record.
+
+        Spark's native outer join can't express this (it emits one
+        placeholder per never-matched input, at watermark expiry), so
+        the compiler builds the oracle's construction directly: INNER
+        join ∪ synthetic placeholder streams → this operator. A plain
+        aggregation can't implement the group rule either (rows land
+        after the watermark passes their event time — always "late"
+        for an agg); ``applyInPandasWithState`` doesn't late-drop its
+        input, so: non-null rows pass through immediately; placeholders
+        buffer in state keyed by (key, ts); an event-time timeout fires
+        once the group can no longer grow (no contributing input can
+        still be on time for the join) and emits the single buffered
+        placeholder iff the group saw exactly one record. Arrival order
+        within a group is free — placeholders arrive eagerly, joins
+        late — because nothing is decided before the timeout.
+
+        Flush caveat (same as all watermark-driven emission in this
+        engine): the timeout fires on a LATER watermark advance; finite
+        test inputs need trailing sentinel records (the congruity
+        harness's extra_files pattern). Disable per-join with
+        ``exact_dedup: False`` for Spark-native outer-join emission
+        (e.g. when the join output feeds further stateful operators).
+
+        Scale: state is one (count, count, value) triple per distinct
+        (key, ts) holding ≥1 placeholder, evicted at timeout; the
+        shuffle key (key, ts) is finer than the join key, so hot join
+        keys actually spread here.
+        """
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        vt = df.schema[VALUE].dataType
+        kt = df.schema[KEY].dataType.simpleString()
+        # NULL elements inside arrays/structs crossing the Arrow/pickle
+        # boundary fail Spark's row decoder (same workaround as the
+        # stateful table join): the Python op speaks per-element
+        # nullable SCALAR columns __e0..__e{n-1}; the tuple is
+        # (re)assembled JVM-side afterwards
+        if mode == "struct":
+            field_names = [f.name for f in vt.fields]
+            elem_types = [f.dataType.simpleString() for f in vt.fields]
+        else:
+            field_names = None
+            elem_types = [vt.elementType.simpleString()] * arity
+        elem_cols = [f"__e{i}" for i in range(arity)]
+        elems_ddl = ", ".join(f"{c} {t}" for c, t in zip(elem_cols, elem_types))
+        out_schema = f"{KEY} {kt}, {elems_ddl}, {TIMESTAMP} timestamp"
+        state_schema = f"n_seen int, n_null int, {elems_ddl}"
+        # natural settle point: a joined row for group ts T needs both
+        # inputs on time, and inputs older than wm - join_watermark are
+        # late — so after T + band + join_watermark (+slack) the group
+        # cannot grow
+        settle_ms = before_ms + after_ms + _duration_ms(wm, default=before_ms + after_ms + 1000) + 1000
+
+        _INT_TYPES = ("tinyint", "smallint", "int", "bigint", "byte", "short", "long", "integer")
+
+        def _caster(type_str: str):
+            # pandas widens nullable numerics to float64 (4 → 4.0); a
+            # Python float pickled into a bigint state field decodes as
+            # NULL on the JVM side, silently losing the buffered value —
+            # cast back to the declared type (and numpy scalars crash
+            # the unpickler outright, so .item() them)
+            base = type_str.split("(")[0]
+            num = int if base in _INT_TYPES else float if base in ("float", "double") else None
+
+            def cast(x):
+                if x is None or (isinstance(x, float) and pd.isna(x)):
+                    return None
+                if hasattr(x, "item"):
+                    x = x.item()
+                return num(x) if num is not None else x
+
+            return cast
+
+        casters = [_caster(t) for t in elem_types]
+
+        def to_elems(v) -> list:
+            if field_names is not None:
+                d = v if isinstance(v, dict) else dict(zip(field_names, v))
+                return [c(d.get(f)) for c, f in zip(casters, field_names)]
+            return [c(x) for c, x in zip(casters, list(v))]
+
+        def rows_frame(key, elem_rows):
+            data = {KEY: [key[0]] * len(elem_rows)}
+            for i, c in enumerate(elem_cols):
+                data[c] = [r[i] for r in elem_rows]
+            data[TIMESTAMP] = [key[1]] * len(elem_rows)
+            return pd.DataFrame(data)
+
+        def dedup(key, pdf_iter, state):
+            if state.exists:
+                n_seen, n_null, *first_null = state.get
+            else:
+                n_seen, n_null, first_null = 0, 0, [None] * arity
+            if state.hasTimedOut:
+                emit = n_seen == 1 and n_null == 1
+                payload = list(first_null)
+                state.remove()
+                if emit:
+                    yield rows_frame(key, [payload])
+                return
+            passthrough = []
+            for pdf in pdf_iter:
+                for v in pdf[VALUE].tolist():
+                    elems = to_elems(v)
+                    n_seen += 1
+                    if any(x is None for x in elems):
+                        if n_null == 0:
+                            first_null = elems
+                        n_null += 1
+                    else:
+                        passthrough.append(elems)
+            state.update((n_seen, n_null, *first_null))
+            natural = int(key[1].timestamp() * 1000) + settle_ms
+            state.setTimeoutTimestamp(max(natural, state.getCurrentWatermarkMs() + 1))
+            if passthrough:
+                yield rows_frame(key, passthrough)
+
+        # NO new withWatermark here: a second watermark node downstream
+        # of the sources' is "redefining" under multi-stateful-operator
+        # propagation, and the event-time-timeout requirement is
+        # satisfied by the join inputs' watermarks (the union's first
+        # branch carries the event-time column metadata through; the
+        # timeout clock is the query's global watermark either way)
+        folded = df.groupBy(KEY, TIMESTAMP).applyInPandasWithState(
+            dedup, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+        if mode == "struct":
+            value = F.struct(
+                *[F.col(c).alias(f"_{i + 1}") for i, c in enumerate(elem_cols)]
+            )
+        else:
+            value = F.array(*[F.col(c) for c in elem_cols])
+        return folded.select(F.col(KEY), value.alias(VALUE), F.col(TIMESTAMP))
 
     def _stateful_table_join(
         self, left: DataFrame, right: DataFrame, jt: str, mode: str, table_table: bool
@@ -619,11 +828,19 @@ def run_streaming_topology(
         ).withColumn(TIMESTAMP, F.timestamp_millis(F.col(TIMESTAMP)))
         batch.select(KEY, VALUE, TIMESTAMP).coalesce(1).write.mode("append").parquet(d)
         if extra_files and eid in extra_files:
-            time.sleep(0.05)  # later mtime → later micro-batch
-            extra = seed_records(
-                spark, extra_files[eid], ent.get("key_type", "string"), ent.get("value_type", "bigint")
-            ).withColumn(TIMESTAMP, F.timestamp_millis(F.col(TIMESTAMP)))
-            extra.select(KEY, VALUE, TIMESTAMP).coalesce(1).write.mode("append").parquet(d)
+            batches = extra_files[eid]
+            # either one batch of records, or a list of batches — each
+            # batch becomes one file → one micro-batch (successive
+            # watermark advances, needed e.g. to fire the nil-dedup
+            # operator's event-time timeouts)
+            if not (batches and isinstance(batches[0], list)):
+                batches = [batches]
+            for batch_records in batches:
+                time.sleep(0.05)  # later mtime → later micro-batch
+                extra = seed_records(
+                    spark, batch_records, ent.get("key_type", "string"), ent.get("value_type", "bigint")
+                ).withColumn(TIMESTAMP, F.timestamp_millis(F.col(TIMESTAMP)))
+                extra.select(KEY, VALUE, TIMESTAMP).coalesce(1).write.mode("append").parquet(d)
         schema = spark.read.parquet(d).schema
         stream_inputs[eid] = (
             spark.readStream.schema(schema)
