@@ -35,6 +35,9 @@ HEADLINE = [
     "pricing_summary",
     "top_customers",
     "rollup_revenue",
+    "shipping_priority",
+    "regional_supplier_volume",
+    "monthly_revenue_growth",
     "skew_salted_agg",
     "skew_salted_join",
     "doc_fingerprints",
@@ -67,6 +70,15 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     from willa_spark.queries import QUERIES
+    from willa_spark.sources import read_table, table_names
+
+    # untimed warmup: touch every table once so the timed loop measures
+    # query execution, not first-scan JVM/codegen/file-listing warmup
+    for t in table_names():
+        try:
+            read_table(spark, sf_dir, t).count()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

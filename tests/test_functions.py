@@ -250,3 +250,28 @@ def test_pricing_summary_prunes_columns(spark):
     assert len(read_cols) <= 7
     # and the shuffle is a partial aggregate: map-side combine present
     assert "partial_sum" in plan
+
+
+def test_shipping_priority_plan(spark):
+    """Q3 shape: filtered dims broadcast; the top-10 is a
+    TakeOrderedAndProject (per-partition top-k), never a global sort."""
+    from willa_spark.plans import physical_plan
+    from willa_spark.queries import QUERIES
+
+    plan = physical_plan(QUERIES["shipping_priority"](spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [revenue_cents" not in plan  # no full global sort
+
+
+def test_regional_supplier_volume_plan(spark):
+    """Q5 shape: every dimension broadcasts — the only shuffles are the
+    fact-fact join and the final 5-row aggregate."""
+    from willa_spark.plans import count_exchanges, physical_plan
+    from willa_spark.queries import QUERIES
+
+    df = QUERIES["regional_supplier_volume"](spark, "/root/testdata/sf0.001")
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    # orders⋈lineitem (2 sides) + final groupBy ⇒ at most 3 exchanges
+    assert count_exchanges(df) <= 3

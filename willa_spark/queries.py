@@ -989,6 +989,130 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select("doc_id", "width", "height", "n_bytes")
 
 
+@query(
+    "shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS revenue_cents,
+           CAST(epoch_ms(o.o_orderdate) AS BIGINT) AS orderdate_ms
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue_cents DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: two selective dim filters pushed into the scans,
+    the filtered customer side broadcast, one shuffle for the orderkey
+    aggregate, global top-10 via orderBy+limit (TakeOrderedAndProject —
+    per-partition top-k then a single-driver merge of k·p rows, never a
+    full sort at scale). Deterministic tie-break on l_orderkey."""
+    cutoff = F.lit("1995-03-15").cast("timestamp")
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(
+            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(_cents(disc)).alias("revenue_cents"))
+        .select(
+            "l_orderkey",
+            "revenue_cents",
+            _ms(F.col("o_orderdate")).alias("orderdate_ms"),
+        )
+        .orderBy(F.col("revenue_cents").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "regional_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS revenue_cents
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA' AND c.c_nationkey = s.s_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: local-supplier volume per nation in one region.
+    Every dimension (supplier⋈nation⋈region, customer) broadcasts; the
+    c_nationkey = s_nationkey correlation rides the customer broadcast;
+    only the fact-fact orders⋈lineitem join shuffles."""
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    sn = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(F.broadcast(cust), (F.col("o_custkey") == cust.c_custkey)
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .groupBy("n_name")
+        .agg(F.sum(_cents(disc)).alias("revenue_cents"))
+    )
+
+
+@query(
+    "monthly_revenue_growth",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(epoch_ms(date_trunc('month', o_orderdate)) AS BIGINT) AS month_ms,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT month_ms, revenue_cents,
+           revenue_cents - lag(revenue_cents) OVER (ORDER BY month_ms) AS growth_cents
+    FROM m
+    """,
+)
+def q_monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions (SURVEY §2.6 superset): month-over-
+    month revenue delta via lag(). The global-order window runs over
+    the AGGREGATED frame (one row per month — bounded, driver-safe at
+    any fact-table scale); the heavy lifting stays in the partial
+    month aggregate."""
+    from pyspark.sql import Window as W
+
+    orders = read_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(F.sum(_cents(F.col("o_totalprice"))).alias("revenue_cents"))
+    w = W.orderBy(F.col("month").asc())
+    return monthly.select(
+        _ms(F.col("month")).alias("month_ms"),
+        F.col("revenue_cents"),
+        (F.col("revenue_cents") - F.lag("revenue_cents").over(w)).alias("growth_cents"),
+    )
+
+
 def all_queries():
     return dict(QUERIES)
 
