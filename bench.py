@@ -31,6 +31,7 @@ HEADLINE = [
     "session_windows",
     "interval_join",
     "asof_enrich",
+    "table_table_asof",
     "broadcast_enrich",
     "pricing_summary",
     "top_customers",

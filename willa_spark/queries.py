@@ -990,6 +990,77 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "table_table_asof",
+    oracle="""
+    WITH a AS (SELECT user_id AS k, CAST(round(value * 100) AS BIGINT) AS av,
+                      epoch_ms(ts) AS t, event_id AS seq
+               FROM events WHERE event_type = 'purchase'),
+         b AS (SELECT user_id AS k, CAST(round(value * 100) AS BIGINT) AS bv,
+                      epoch_ms(ts) AS t, event_id AS seq
+               FROM events WHERE event_type = 'view'),
+         u AS (SELECT k, av, NULL::BIGINT AS bv, t, seq, 1 AS side FROM a
+               UNION ALL
+               SELECT k, NULL::BIGINT, bv, t, seq, 0 AS side FROM b),
+         w AS (SELECT *,
+                 last_value(av IGNORE NULLS)
+                   OVER (PARTITION BY k ORDER BY t, 1 - side, seq
+                         ROWS UNBOUNDED PRECEDING) AS la,
+                 last_value(bv IGNORE NULLS)
+                   OVER (PARTITION BY k ORDER BY t, side, seq
+                         ROWS UNBOUNDED PRECEDING) AS lb
+               FROM u)
+    SELECT k AS user_id,
+           CASE WHEN side = 1 THEN av ELSE la END AS a_cents,
+           CASE WHEN side = 0 THEN bv ELSE lb END AS b_cents,
+           t AS ts_ms
+    FROM w
+    """,
+)
+def q_table_table_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 (streams.clj:84-97; oracle experiment.clj:37-62): KTable⋈KTable
+    as-of join, BOTH directions — every update on either side emits a
+    record carrying the other side's latest value with ts <= this
+    update's. Outer flags (require nothing) exercise the reference's
+    inverted table-join flag semantics. Same union + running
+    last(ignorenulls) plan as J6: one shuffle by key, no range join."""
+    ev = read_table(spark, sf_dir, "events")
+
+    def side(event_type):
+        return ev.filter(F.col("event_type") == event_type).select(
+            F.col("user_id").alias(KEY),
+            _cents(F.col("value")).alias(VALUE),
+            _ms(F.col("ts")).alias(TIMESTAMP),
+            F.col("event_id").alias(SEQ),
+        )
+
+    topo = {
+        "entities": {
+            "purchases": {"type": "topic", "source": side("purchase")},
+            "views": {"type": "topic", "source": side("view")},
+            "ta": {"type": "ktable"},
+            "tb": {"type": "ktable"},
+            "j": {"type": "kstream"},
+            "out": {"type": "topic"},
+        },
+        "workflow": [
+            ("purchases", "ta"),
+            ("views", "tb"),
+            ("ta", "j"),
+            ("tb", "j"),
+            ("j", "out"),
+        ],
+        "joins": {("ta", "tb"): {"type": "outer"}},
+    }
+    out = run_topology(spark, topo)["out"]
+    return out.select(
+        F.col(KEY).alias("user_id"),
+        F.col(VALUE)[0].alias("a_cents"),
+        F.col(VALUE)[1].alias("b_cents"),
+        F.col(TIMESTAMP).alias("ts_ms"),
+    )
+
+
+@query(
     "shipping_priority",
     oracle="""
     SELECT l.l_orderkey,
