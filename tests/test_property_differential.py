@@ -143,3 +143,58 @@ def test_windowed_inner_join_congruity(spark, tmp_path_factory, left, right, win
     else:
         s = Counter()
     assert b == s
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    records=records_strategy,
+    window_ms=st.sampled_from([50, 100, 250]),
+    chain=chain_strategy,
+)
+def test_windowed_sum_congruity(spark, tmp_path_factory, records, window_ms, chain):
+    """Random tumbling-window sums behind random transform chains:
+    batch (suppressed fold) ≡ streaming (append mode + watermark) for
+    any inputs and any window size — including records ON window
+    boundaries and equal-timestamp collisions."""
+    from willa_spark import TumblingWindow as TW
+
+    def build(with_suppress_flag):
+        topo = build_topology(chain, with_table=False)
+        # splice the windowed table in before "out"
+        prev = topo["workflow"][-1][0] if topo["workflow"] else "in"
+        topo["workflow"] = [e for e in topo["workflow"] if e[1] != "out"]
+        topo["entities"]["t"] = {
+            "type": "ktable",
+            "group_by": lambda k, v: k,
+            "window": TW(window_ms),
+            "aggregate": Aggregate.sum(),
+            "suppress": True,
+            "emit_window": True,
+            "watermark": "0 milliseconds",
+        }
+        topo["workflow"] += [(prev, "t"), ("t", "out")]
+        return topo
+
+    topo = build(True)
+    b = Counter(
+        kv
+        for kv in collect_records(run_topology(spark, topo, inputs={"in": records})["out"])
+        if kv[0] != "zz"
+    )
+    if records:
+        tmp = tmp_path_factory.mktemp("propw")
+        s = Counter(
+            kv
+            for kv in run_streaming_topology(
+                spark, topo, {"in": records}, str(tmp),
+                extra_files={"in": [("zz", 0, 1_000_000)]},
+            )["out"]
+            if kv[0] != "zz"
+        )
+    else:
+        s = Counter()
+    assert b == s
