@@ -170,6 +170,12 @@ def minhash_candidate_pairs(
             )
         ).alias("b"),
     ).select("id", "b.band_id", "b.band_hash")
+    # persist before the self-join: Spark does NOT reuse the two alias
+    # sides' subtrees (no ReusedExchange across a self-join), so without
+    # this the k-hash signature aggregate runs TWICE. The banded frame
+    # is (id, 2 ints) × bands per doc — tiny relative to the corpus, so
+    # caching it is safe at any scale (unlike the shingle frames).
+    banded = banded.persist()
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -289,6 +295,10 @@ def simhash_near_dups(
             )
         ).alias("bl"),
     ).select("id", "simhash", "bl.block_id", "bl.block_val")
+    # persist: the self-join would otherwise run the simhash Pandas UDF
+    # once per alias side (no subtree reuse across self-joins); the
+    # blocks frame is 4 small columns per doc — safe to cache at scale
+    blocks = blocks.persist()
     l, r = blocks.alias("l"), blocks.alias("r")
     cand = (
         l.join(

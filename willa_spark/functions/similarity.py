@@ -274,6 +274,12 @@ def embedding_near_dups(
     v = df.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("bucket", lsh_signature(F.col("v"), planes))
+    # persist before the self-join: no subtree reuse across alias sides,
+    # so the n_planes dot-product signature would compute twice. This
+    # caches (id, vector, bucket) ≈ corpus size — at 100 TB prefer
+    # writing the bucketed frame once and self-joining the table, but
+    # either way the signature is computed once per vector.
+    v = v.persist()
     l, r = v.alias("l"), v.alias("r")
     return (
         l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
