@@ -52,3 +52,80 @@ def test_python_fold_congruity_with_batch(spark, tmp_path):
     b = Counter(collect_records(run_topology(spark, build(), inputs=inputs)["out"]))
     s = Counter(run_streaming_topology(spark, build(), inputs, str(tmp_path))["out"])
     assert b == s == Counter([("k", 4), ("k", 9), ("k2", 3)])
+
+
+def test_windowed_python_fold_streaming_congruity(spark, tmp_path):
+    """Windowed (tumbling) Python fold in streaming: fold state keyed
+    by (group, window-start); full changelog congruent with the batch
+    windowed fold — including a record landing in a later window."""
+    t = {
+        "type": "ktable",
+        "aggregate": Aggregate.fold(0, cap_sum, "bigint"),
+        "window": __import__("willa_spark").TumblingWindow(100),
+        "emit_window": True,
+    }
+    topo = {
+        "entities": {"in": topic(), "t": t, "out": topic()},
+        "workflow": [("in", "t"), ("t", "out")],
+    }
+    inputs = {"in": [("k", 4, 0), ("k", 5, 50), ("k", 9, 150), ("k2", 1, 20)]}
+    b = Counter(collect_records(run_topology(spark, topo, inputs=inputs)["out"]))
+    s = Counter(run_streaming_topology(spark, topo, inputs, str(tmp_path))["out"])
+    assert b == s == Counter(
+        [("k", (0, 4)), ("k", (0, 9)), ("k", (100, 9)), ("k2", (0, 1))]
+    )
+
+
+def test_hopping_python_fold_streaming(spark, tmp_path):
+    """Hopping windows: each record folds into every containing window."""
+    from willa_spark import HoppingWindow
+
+    t = {
+        "type": "ktable",
+        "aggregate": Aggregate.fold(0, cap_sum, "bigint"),
+        "window": HoppingWindow(200, 100),
+        "emit_window": True,
+    }
+    topo = {
+        "entities": {"in": topic(), "t": t, "out": topic()},
+        "workflow": [("in", "t"), ("t", "out")],
+    }
+    inputs = {"in": [("k", 4, 150)]}
+    b = Counter(collect_records(run_topology(spark, topo, inputs=inputs)["out"]))
+    s = Counter(run_streaming_topology(spark, topo, inputs, str(tmp_path))["out"])
+    # ts 150 belongs to windows [0,199] and [100,299]
+    assert b == s == Counter([("k", (0, 4)), ("k", (100, 4))])
+
+
+def test_python_fold_retraction_streaming_is_rejected(spark):
+    """A5 Python-subtractor retraction stays batch-only in streaming:
+    the natural two-stage plan (re-key op → signed Python fold) is
+    rejected by Spark itself ("Multiple applyInPandasWithStates are not
+    supported"), so the compiler fails fast with the reason."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from willa_spark.streaming import StreamingTopologyRunner
+
+    add_sum = lambda acc, gk, v: acc + v  # noqa: E731
+    sub_sum = lambda acc, gk, v: acc - v  # noqa: E731
+    topo = {
+        "entities": {
+            "in": topic(),
+            "t": {
+                "type": "ktable",
+                "group_by": lambda k, v: F.lit("g"),
+                "aggregate": Aggregate.fold(0, add_sum, "bigint", subtractor=sub_sum),
+                "retract": True,
+                "watermark": "0 seconds",
+            },
+            "out": topic(),
+        },
+        "workflow": [("in", "t"), ("t", "out")],
+    }
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(F.lit("k").alias("key"), F.col("value"), F.col("timestamp"))
+    )
+    with pytest.raises(NotImplementedError, match="batch-only"):
+        StreamingTopologyRunner(spark, topo).build({"in": src})

@@ -547,12 +547,14 @@ class StreamingTopologyRunner:
             self.output_modes[node] = "update"
             return out
         if agg.kind == "fold":
-            if win is not None:
+            if win is not None and not isinstance(win, (TumblingWindow, HoppingWindow)):
                 raise NotImplementedError(
-                    "windowed Python-fold aggregates: use a column aggregate "
+                    "session-window Python folds: use a column aggregate "
                     "or the batch engine"
                 )
-            out = self._stateful_fold(agg, df, node)
+            out = self._stateful_fold(
+                agg, df, node, win=win, emit_window=bool(ent.get("emit_window"))
+            )
             self.output_modes[node] = "update"
             return out
         suppress = bool(ent.get("suppress"))
@@ -623,9 +625,15 @@ class StreamingTopologyRunner:
         from pyspark.sql.streaming.state import GroupStateTimeout
 
         if agg.kind != "column" or agg.contribution_fn is None:
+            # the natural plan (re-key FMGWS → signed Python fold FMGWS)
+            # is rejected by Spark: "Multiple applyInPandasWithStates
+            # are not supported on a streaming DataFrame" — so Python
+            # subtractor folds stay batch-only; only stage 2 as a plain
+            # JVM aggregation (invertible column aggs) can chain
             raise NotImplementedError(
                 "streaming retraction needs an invertible column aggregate "
-                "(sum/count); Python subtractor folds are batch-only"
+                "(sum/count); Python subtractor folds are batch-only (Spark "
+                "disallows chaining two applyInPandasWithState operators)"
             )
         if ent.get("window") is not None:
             raise NotImplementedError("windowed retraction: use the batch engine")
@@ -689,7 +697,9 @@ class StreamingTopologyRunner:
             )
         )
 
-    def _stateful_fold(self, agg, df: DataFrame, node: str) -> DataFrame:
+    def _stateful_fold(
+        self, agg, df: DataFrame, node: str, win=None, emit_window: bool = False
+    ) -> DataFrame:
         """A4 full parity in streaming: an arbitrary Python
         (initial, adder) fold as a custom stateful operator via
         ``applyInPandasWithState`` — Arrow-batched, per-group state in
@@ -699,15 +709,24 @@ class StreamingTopologyRunner:
         The reference runs the same adder inside Kafka Streams'
         aggregate (streams.clj:41-55); here the state store plays
         RocksDB's role and update-mode emission plays
-        cache.max.bytes.buffering=0."""
+        cache.max.bytes.buffering=0.
+
+        Windowed variant (tumbling/hopping): records explode into their
+        containing epoch-aligned windows (the Kafka-correct per-record
+        enumeration, operators/windows.py) and the fold state is keyed
+        by (group, window-start) — same operator, finer key. Output key
+        is the bare group key (P8 unwrap, core.clj:20-24); with
+        ``emit_window`` the value carries its window start like the
+        column-tier path."""
         import pandas as pd
         from pyspark.sql.streaming.state import GroupStateTimeout
 
         initial, adder = agg.initial, agg.adder
         acc_type = agg.acc_type if isinstance(agg.acc_type, str) else agg.acc_type.simpleString()
         gk_type = df.schema["__gkey"].dataType.simpleString()
-        out_schema = f"{KEY} {gk_type}, {VALUE} {acc_type}, {TIMESTAMP} timestamp"
+        out_schema = f"{KEY} {gk_type}, {VALUE} {acc_type}, {TIMESTAMP} timestamp, __win long"
         state_schema = f"acc {acc_type}"
+        windowed = win is not None
 
         def fold(key, pdf_iter, state):
             acc = state.get[0] if state.exists else initial
@@ -721,15 +740,32 @@ class StreamingTopologyRunner:
                     tss.append(getattr(row, TIMESTAMP))
             state.update((acc,))
             if keys:
-                yield pd.DataFrame({KEY: keys, VALUE: vals, TIMESTAMP: tss})
+                win_start = int(key[1]) if len(key) > 1 else 0
+                yield pd.DataFrame(
+                    {KEY: keys, VALUE: vals, TIMESTAMP: tss, "__win": [win_start] * len(keys)}
+                )
 
-        return (
-            df.select(F.col("__gkey"), F.col(VALUE), F.col(TIMESTAMP))
-            .groupBy("__gkey")
-            .applyInPandasWithState(
-                fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
-            )
+        src = df.select(F.col("__gkey"), F.col(VALUE), F.col(TIMESTAMP))
+        if windowed:
+            from ..operators.windows import WINDOW_START, assign_time_windows
+
+            src = assign_time_windows(
+                src.withColumn("__ms", F.unix_millis(F.col(TIMESTAMP))),
+                "__ms",
+                win.size_ms,
+                win.advance_ms,
+            ).select(F.col("__gkey"), F.col(WINDOW_START), F.col(VALUE), F.col(TIMESTAMP))
+            grouped = src.groupBy("__gkey", WINDOW_START)
+        else:
+            grouped = src.groupBy("__gkey")
+        folded = grouped.applyInPandasWithState(
+            fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
+        if windowed and emit_window:
+            value = F.struct(F.col("__win").alias("win"), F.col(VALUE).alias("v"))
+        else:
+            value = F.col(VALUE)
+        return folded.select(F.col(KEY), value.alias(VALUE), F.col(TIMESTAMP))
 
     # -- build -----------------------------------------------------------
     def build(self, inputs: dict[str, DataFrame]) -> dict[str, DataFrame]:
