@@ -43,6 +43,8 @@ HEADLINE = [
     "skew_salted_join",
     "doc_fingerprints",
     "token_stats",
+    "top_bigrams",
+    "doc_length_histogram",
     "lang_id",
     "quality_score",
     "minhash_near_dups",

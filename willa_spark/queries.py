@@ -1184,6 +1184,73 @@ def q_monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "top_bigrams",
+    oracle="""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT unnest([t[i] || ' ' || t[i + 1] FOR i IN range(1, len(t))]) AS bigram
+      FROM toks
+      WHERE len(t) >= 2
+    )
+    SELECT bigram, count(*) AS n
+    FROM bg GROUP BY bigram
+    ORDER BY n DESC, bigram ASC
+    LIMIT 20
+    """,
+)
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram statistics (training-data text analysis): top-20
+    word bigrams. Bigram generation is a pure Column expression
+    (zip_with over shifted slices — no Python, no UDF); the count is a
+    partial aggregate and the top-20 a TakeOrderedAndProject."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != "")
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "doc_length_histogram",
+    oracle="""
+    SELECT (length(text) // 100) * 100 AS bucket,
+           count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus shape profiling: document-length histogram in 100-char
+    buckets — the quick pre-filter pass a training pipeline runs before
+    choosing quality thresholds. One partial-aggregated shuffle of
+    (bucket, count, sum) triples."""
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = (F.floor(F.length("text") / 100) * 100).cast("bigint")
+    return docs.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+    )
+
+
 def all_queries():
     return dict(QUERIES)
 
