@@ -129,3 +129,24 @@ def test_python_fold_retraction_streaming_is_rejected(spark):
     )
     with pytest.raises(NotImplementedError, match="batch-only"):
         StreamingTopologyRunner(spark, topo).build({"in": src})
+
+
+def test_python_fold_on_rocksdb_state_store(spark, tmp_path):
+    """The reference keeps state in RocksDB (core.clj:95-96); Spark's
+    RocksDBStateStoreProvider is the scale path for state larger than
+    executor heap. Same topology, same results, different provider."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        inputs = {"in": [("k", 4, 100), ("k", 5, 200), ("k2", 1, 100)]}
+        res = run_streaming_topology(spark, build(), inputs, str(tmp_path))
+        assert Counter(res["out"]) == Counter([("k", 4), ("k", 9), ("k2", 1)])
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
