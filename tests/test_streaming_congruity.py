@@ -385,3 +385,33 @@ def test_congruity_outer_join_exact_nil_dedup(spark, tmp_path):
         [("p", (1, 2)), ("p", (1, None)), ("q", (None, 3))]
     )
     assert b == s == expected
+
+
+def test_congruity_fanout_two_sinks(spark, tmp_path):
+    """F4 shape (core_test.clj:53-69) in streaming: one stream fans out
+    to two sink topics, each running as its own streaming query over
+    the shared subtree; per-sink multisets match the batch engine."""
+    topo = {
+        "entities": {
+            "in": topic(),
+            "s": {"type": "kstream", "xform": MapValues(lambda v: v + 1)},
+            "evens": {"type": "kstream", "xform": FilterRecords(lambda k, v: v % 2 == 0)},
+            "odds": {"type": "kstream", "xform": FilterRecords(lambda k, v: v % 2 == 1)},
+            "out-evens": topic(),
+            "out-odds": topic(),
+        },
+        "workflow": [
+            ("in", "s"),
+            ("s", "evens"),
+            ("s", "odds"),
+            ("evens", "out-evens"),
+            ("odds", "out-odds"),
+        ],
+    }
+    inputs = {"in": [("k", 1, 100), ("k", 2, 150), ("k2", 3, 200)]}
+    bres = run_topology(spark, topo, inputs=inputs)
+    sres = run_streaming_topology(spark, topo, inputs, str(tmp_path))
+    for leaf in ("out-evens", "out-odds"):
+        assert Counter(collect_records(bres[leaf])) == Counter(sres[leaf])
+    assert Counter(sres["out-evens"]) == Counter([("k", 2), ("k2", 4)])
+    assert Counter(sres["out-odds"]) == Counter([("k", 3)])
