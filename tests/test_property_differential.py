@@ -198,3 +198,31 @@ def test_windowed_sum_congruity(spark, tmp_path_factory, records, window_ms, cha
     else:
         s = Counter()
     assert b == s
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(a=records_strategy, b=records_strategy, c=records_strategy)
+def test_three_way_merge_congruity(spark, tmp_path_factory, a, b, c):
+    """Implicit multi-parent merge (J4) with three inputs: union
+    multiset congruity for any record lists, including empties."""
+    topo = {
+        "entities": {
+            "a": {"type": "topic"},
+            "b": {"type": "topic"},
+            "c": {"type": "topic"},
+            "out": {"type": "topic"},
+        },
+        "workflow": [("a", "out"), ("b", "out"), ("c", "out")],
+    }
+    inputs = {"a": a, "b": b, "c": c}
+    bres = Counter(collect_records(run_topology(spark, topo, inputs=inputs)["out"]))
+    if a or b or c:
+        tmp = tmp_path_factory.mktemp("propm")
+        sres = Counter(run_streaming_topology(spark, topo, inputs, str(tmp))["out"])
+    else:
+        sres = Counter()
+    assert bres == sres

@@ -415,3 +415,32 @@ def test_congruity_fanout_two_sinks(spark, tmp_path):
         assert Counter(collect_records(bres[leaf])) == Counter(sres[leaf])
     assert Counter(sres["out-evens"]) == Counter([("k", 2), ("k2", 4)])
     assert Counter(sres["out-odds"]) == Counter([("k", 3)])
+
+
+def test_congruity_session_merge_across_batches(spark, tmp_path):
+    """Session windows must MERGE across micro-batches: a record in a
+    later trigger within the inactivity gap extends the session opened
+    in an earlier trigger (Spark's session_window state merge), and the
+    final suppressed result matches the batch gap-split."""
+    ktable = {
+        "type": "ktable",
+        "group_by": lambda k, v: k,
+        "window": SessionWindow(100),
+        "aggregate": Aggregate.sum(),
+        "suppress": True,
+        "watermark": "0 milliseconds",
+    }
+    topo = {
+        "entities": {"in": topic(), "t": dict(ktable), "out": topic()},
+        "workflow": [("in", "t"), ("t", "out")],
+    }
+    first = [("k", 1, 0), ("k", 2, 60)]
+    second = [("k", 4, 120)]  # within gap of ts=60 → same session
+    b = batch_results(spark, topo, {"in": first + second})
+    rows = run_streaming_topology(
+        spark, topo, {"in": first}, str(tmp_path),
+        extra_files={"in": [second, [("zz", 0, 1_000_000)]]},
+    )["out"]
+    b = Counter({kv: n for kv, n in b.items() if kv[0] != "zz"})
+    s = Counter(kv for kv in rows if kv[0] != "zz")
+    assert b == s == Counter([("k", 7)])
