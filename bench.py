@@ -34,6 +34,9 @@ HEADLINE = [
     "table_table_asof",
     "broadcast_enrich",
     "pricing_summary",
+    "forecast_revenue",
+    "top_parts_per_supplier",
+    "late_shipment_priorities",
     "top_customers",
     "rollup_revenue",
     "shipping_priority",

@@ -275,3 +275,46 @@ def test_regional_supplier_volume_plan(spark):
     assert plan.count("BroadcastHashJoin") >= 3
     # orders⋈lineitem (2 sides) + final groupBy ⇒ at most 3 exchanges
     assert count_exchanges(df) <= 3
+
+
+def test_forecast_revenue_plan(spark):
+    """Q6 shape: all four predicates reach the parquet reader and the
+    scan reads only the four used columns; the aggregate is partial so
+    the single shuffle moves one row per task."""
+    import re
+
+    from willa_spark.plans.inspect import formatted_plan
+    from willa_spark.queries import QUERIES
+
+    plan = formatted_plan(QUERIES["forecast_revenue"](spark, "/root/testdata/sf0.001"))
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed, plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed.group(1)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) == 4, plan
+    assert "partial_sum" in plan
+
+
+def test_late_shipment_priorities_plan(spark):
+    """Q4 shape: EXISTS compiles to a LEFT SEMI join (stops probing on
+    first match, lineitem columns never materialize downstream)."""
+    from willa_spark.plans import physical_plan
+    from willa_spark.queries import QUERIES
+
+    plan = physical_plan(QUERIES["late_shipment_priorities"](spark, "/root/testdata/sf0.001"))
+    assert "LeftSemi" in plan
+    assert "partial_count" in plan
+
+
+def test_top_parts_per_supplier_plan(spark):
+    """Grouped top-k: the rank's window runs over the aggregated frame,
+    and the window sort reuses the aggregate's suppkey partitioning —
+    no second shuffle between agg and rank, no global sort."""
+    from willa_spark.plans import physical_plan
+    from willa_spark.queries import QUERIES
+
+    df = QUERIES["top_parts_per_supplier"](spark, "/root/testdata/sf0.001")
+    plan = physical_plan(df)
+    assert "RunningWindowFunction" in plan or "Window" in plan
+    assert "partial_sum" in plan

@@ -31,6 +31,15 @@ def uses_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in physical_plan(df) or "BroadcastNestedLoopJoin" in physical_plan(df)
 
 
+def formatted_plan(df: DataFrame) -> str:
+    """explain('formatted') as a string — unlike executedPlan toString,
+    scan details (PushedFilters, ReadSchema) are printed untruncated."""
+    qe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return qe.explainString(mode)
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """All PushedFilters entries that reached a file scan."""
-    return re.findall(r"PushedFilters: \[([^\]]*)\]", physical_plan(df))
+    return re.findall(r"PushedFilters: \[([^\]]*)\]", formatted_plan(df))

@@ -1251,6 +1251,103 @@ def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "forecast_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: highly selective scan-and-sum. The point at
+    100 TB is the scan, not the agg: all four predicates reach the
+    parquet reader (PushedFilters), ReadSchema prunes to the four used
+    columns, and the aggregate is partial (one row per task) so the
+    only shuffle moves n_partitions rows."""
+    li = read_table(spark, sf_dir, "lineitem")
+    filtered = li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    row_cents = F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).cast("bigint")
+    return filtered.agg(
+        F.sum(row_cents).cast("bigint").alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "top_parts_per_supplier",
+    oracle="""
+    WITH pr AS (
+      SELECT l_suppkey AS suppkey, l_partkey AS partkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT suppkey, partkey, revenue_cents, rnk FROM (
+      SELECT suppkey, partkey, revenue_cents,
+             row_number() OVER (PARTITION BY suppkey
+                                ORDER BY revenue_cents DESC, partkey ASC) AS rnk
+      FROM pr
+    ) WHERE rnk <= 2
+    """,
+)
+def q_top_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked top-N per group (grouped top-k) — a shape the reference
+    lacks entirely (§2.6: no user-facing ordering). Two levels on
+    purpose: partial-aggregate revenue per (supplier, part) first, then
+    rank over the aggregated frame — at 100 TB the window function runs
+    on |suppliers|×|parts-per-supplier| rows, never on the fact table,
+    and both steps share the suppkey-hashed exchange. Ties are
+    deterministic: integer cents desc, then partkey asc."""
+    from pyspark.sql import Window as W
+
+    li = read_table(spark, sf_dir, "lineitem")
+    row_cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("bigint")
+    per_part = li.groupBy(
+        F.col("l_suppkey").alias("suppkey"), F.col("l_partkey").alias("partkey")
+    ).agg(F.sum(row_cents).cast("bigint").alias("revenue_cents"))
+    w = W.partitionBy("suppkey").orderBy(F.col("revenue_cents").desc(), F.col("partkey").asc())
+    return per_part.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 2)
+
+
+@query(
+    "late_shipment_priorities",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_late_shipment_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS as a LEFT SEMI join with a non-equi
+    residual (l_shipdate > o_orderdate), then a tiny aggregate. The
+    semi join never materializes lineitem columns and stops probing an
+    order on first match; at scale the shuffle carries only
+    (orderkey, orderdate, priority) from orders and two pruned columns
+    from lineitem."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hit = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey")) & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
 def all_queries():
     return dict(QUERIES)
 
