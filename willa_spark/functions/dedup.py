@@ -229,32 +229,43 @@ def with_simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash"
     import hashlib
 
     def _simhash_batch(texts):
-        # memoize the ±1 bit-vector per distinct token: corpus vocab is
-        # far smaller than total token count, so this turns per-token
-        # md5 + bit-unpack into a dict hit (~8× at sf0.1)
+        # fully vectorized over the Arrow batch: factorize all tokens so
+        # md5 runs once per distinct token (corpus vocab ≪ token count),
+        # then segment-sum the ±1 bit rows with a cumsum difference —
+        # no per-document Python loop, no per-token dict hits
         shifts = np.arange(64, dtype=np.uint64)
-        token_bits: dict = {}
-
-        def bits_of(tok: str):
-            b = token_bits.get(tok)
-            if b is None:
-                h = np.uint64(int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big"))
-                b = np.where(((h >> shifts) & np.uint64(1)) == 1, 1, -1).astype(np.int64)
-                token_bits[tok] = b
-            return b
-
         powers = (np.uint64(1) << shifts).astype(np.uint64)
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            if not t:
-                continue
-            toks = t.lower().split()
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in toks:
-                acc += bits_of(tok)
-            sig = int((powers[acc > 0]).sum(dtype=np.uint64))
-            out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
-        return pd.Series(out)
+
+        toks_per_doc = [t.lower().split() if t else [] for t in texts]
+        lengths = np.fromiter(
+            (len(x) for x in toks_per_doc), dtype=np.int64, count=len(toks_per_doc)
+        )
+        if int(lengths.sum()) == 0:
+            return pd.Series(np.zeros(len(texts), dtype=np.int64))
+        flat = np.asarray(
+            [tok for toks in toks_per_doc for tok in toks], dtype=object
+        )
+        codes, uniques = pd.factorize(flat)
+        hashes = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "big")
+                for u in uniques
+            ),
+            dtype=np.uint64,
+            count=len(uniques),
+        )
+        # (vocab × 64) matrix of ±1 rows, gathered per token occurrence
+        pm = (
+            ((hashes[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64) * 2 - 1
+        )
+        tok_rows = pm[codes]
+        csum = np.vstack(
+            [np.zeros((1, 64), dtype=np.int64), np.cumsum(tok_rows, axis=0)]
+        )
+        ends = np.cumsum(lengths)
+        acc = csum[ends] - csum[ends - lengths]
+        sig = ((acc > 0).astype(np.uint64) * powers[None, :]).sum(axis=1, dtype=np.uint64)
+        return pd.Series(sig.view(np.int64))
 
     # explicit returnType, no annotations (local imports make string
     # annotations unresolvable for pandas_udf introspection)
