@@ -97,6 +97,9 @@ def main() -> int:
         except Exception as e:  # keep the bench line parseable no matter what
             timings[name] = -1.0
             print(f"bench error in {name}: {e}", file=sys.stderr)
+        # queries are self-contained: drop their persisted frames so one
+        # query's cache doesn't squeeze executor memory for the next
+        spark.catalog.clearCache()
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(
