@@ -22,19 +22,62 @@ TABLES = (
 ).split()
 
 
-def norm_cell(v):
-    if isinstance(v, float):
+def norm_cell(v, is_float):
+    # Round ONLY declared-float columns; integer columns compare exactly.
+    # (An earlier version normalized every numeric cell, which masked the
+    # DuckDB sum(BIGINT)->HUGEINT type mismatch the driver's hash catches.)
+    if is_float and isinstance(v, float):
         if math.isnan(v):
             return "nan"
         return round(v, 9)
     return v
 
 
-def norm_rows(cols, rows):
+def duck_type_to_spark(t) -> str:
+    """Map a DuckDB column type to the Spark simpleString it should hash
+    like.  HUGEINT/UHUGEINT deliberately have no mapping — DuckDB
+    sum(BIGINT) returns int128, which the driver's value-hash treats as a
+    different type from Spark's bigint even when values are equal."""
+    s = str(t).upper()
+    if s.startswith("DECIMAL"):
+        return s.lower()
+    return {
+        "BIGINT": "bigint",
+        "INTEGER": "int",
+        "SMALLINT": "smallint",
+        "TINYINT": "tinyint",
+        "UBIGINT": "ubigint",
+        "HUGEINT": "hugeint",
+        "UHUGEINT": "uhugeint",
+        "DOUBLE": "double",
+        "FLOAT": "float",
+        "VARCHAR": "string",
+        "BOOLEAN": "boolean",
+        "TIMESTAMP": "timestamp",
+        "TIMESTAMP WITH TIME ZONE": "timestamp",
+        "DATE": "date",
+        "BLOB": "binary",
+    }.get(s, s.lower())
+
+
+INT_WIDTHS = {"tinyint", "smallint", "int", "bigint"}
+
+
+def norm_type(t) -> str:
+    # The driver's value-hash compares Python-converted cells, so integer
+    # WIDTH differences (int32 vs int64) hash equal — but DuckDB HUGEINT
+    # (int128, from sum(BIGINT)) crosses to Arrow as float64 and fails.
+    # Collapse widths; keep hugeint distinct so that class still trips.
+    s = str(t).lower()
+    return "int" if s in INT_WIDTHS else s
+
+
+def norm_rows(cols, types, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(norm_cell(r[i]) for i in idx) for r in rows]
+    is_float = [str(types[i]).lower() in ("double", "float") for i in range(len(cols))]
+    out = [tuple(norm_cell(r[i], is_float[i]) for i in idx) for r in rows]
     out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
-    return [cols[i] for i in idx], out
+    return [cols[i] for i in idx], [norm_type(types[i]) for i in idx], out
 
 
 def main():
@@ -73,17 +116,28 @@ def main():
             n_rows_only += 1
             continue
         try:
-            cur = con.execute(oracles[name])
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            rel = con.sql(oracles[name])
+            ocols = list(rel.columns)
+            otypes = [duck_type_to_spark(t) for t in rel.types]
+            orows = rel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
             continue
-        scols, srows = norm_rows(cols, rows)
-        dcols, drows = norm_rows(ocols, orows)
+        stypes = [f.dataType.simpleString() for f in df.schema.fields]
+        scols, sts, srows = norm_rows(cols, stypes, rows)
+        dcols, dts, drows = norm_rows(ocols, otypes, orows)
         if scols != dcols:
             print(f"FAIL  {name}: columns {scols} != {dcols}")
+            n_fail += 1
+            continue
+        if sts != dts:
+            diff = [
+                f"{c}: spark={a} duckdb={b}"
+                for c, a, b in zip(scols, sts, dts)
+                if a != b
+            ]
+            print(f"FAIL  {name}: type mismatch — {'; '.join(diff)}")
             n_fail += 1
             continue
         if len(srows) != len(drows):

@@ -223,7 +223,7 @@ def q_running_sum_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT user_id,
            (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS win_start,
-           sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
            count(*) AS n
     FROM events GROUP BY 1, 2
     """,
@@ -416,7 +416,7 @@ def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     "broadcast_enrich",
     oracle="""
     SELECT p_brand AS brand,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS revenue_cents,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
            count(*) AS n_items
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY 1
@@ -475,9 +475,9 @@ def q_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS base_cents,
-           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS disc_cents,
-           sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS charge_cents,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS base_cents,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS disc_cents,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS charge_cents,
            round(avg(l_quantity), 4) AS avg_qty,
            count(*) AS count_order
     FROM lineitem
@@ -507,7 +507,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_customers",
     oracle="""
     SELECT c.c_custkey, c.c_name,
-           sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS total_cents
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY 1, 2
     ORDER BY total_cents DESC, c_custkey ASC
@@ -534,7 +534,7 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_revenue",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS revenue_cents
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -635,7 +635,7 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS revenue_cents,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
            count(*) AS n,
            round(avg(l_quantity), 4) AS avg_qty,
            CAST(min(l_quantity) AS BIGINT) AS min_qty,
@@ -682,7 +682,7 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n.n_name,
            count(*) AS n_items,
-           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS revenue_cents
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -716,9 +716,9 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_order_status",
     oracle="""
     SELECT o_orderpriority,
-           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
-           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
     FROM orders GROUP BY 1
     """,
 )
@@ -1064,7 +1064,7 @@ def q_table_table_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shipping_priority",
     oracle="""
     SELECT l.l_orderkey,
-           sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS revenue_cents,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
            CAST(epoch_ms(o.o_orderdate) AS BIGINT) AS orderdate_ms
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -1113,7 +1113,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "regional_supplier_volume",
     oracle="""
     SELECT n.n_name,
-           sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS revenue_cents
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -1156,7 +1156,7 @@ def q_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH m AS (
       SELECT CAST(epoch_ms(date_trunc('month', o_orderdate)) AS BIGINT) AS month_ms,
-             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
       FROM orders GROUP BY 1
     )
     SELECT month_ms, revenue_cents,
