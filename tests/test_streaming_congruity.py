@@ -130,6 +130,42 @@ def test_congruity_tumbling_window_sum(spark, tmp_path):
     assert b == s == Counter([("k", (0, 3)), ("k", (500, 4)), ("k2", (0, 7))])
 
 
+def test_suppressed_window_behind_selective_filter(spark, tmp_path):
+    """Regression (round-1 red Hypothesis case): the watermark is
+    attached at TOPIC INGEST, so a transform chain that filters out the
+    watermark-advancing sentinel cannot stall the suppressed window.
+    Here the filter drops every odd value — including the sentinel's —
+    yet the append-mode window still flushes."""
+    topo = {
+        "entities": {
+            "in": topic(),
+            "s1": {"type": "kstream", "xform": MapValues(lambda v: v + 1)},
+            "s2": {"type": "kstream", "xform": FilterRecords(lambda k, v: v % 2 == 0)},
+            "t": {
+                "type": "ktable",
+                "group_by": lambda k, v: k,
+                "window": TumblingWindow(100),
+                "aggregate": Aggregate.sum(),
+                "suppress": True,
+                "watermark": "0 milliseconds",
+            },
+            "out": topic(),
+        },
+        "workflow": [("in", "s1"), ("s1", "s2"), ("s2", "t"), ("t", "out")],
+    }
+    # all data at ts=0; post-transform: k:2, k:4 survive, k2:3 dropped
+    inputs = {"in": [("k", 1, 0), ("k", 3, 0), ("k2", 2, 0)]}
+    b = batch_results(spark, topo, inputs)
+    # sentinel value 100 -> inc -> 101 (odd) -> FILTERED OUT, but its
+    # ingest-attached watermark still closes the ts=0 window
+    s = streaming_results(
+        spark, topo, inputs, tmp_path, extra_files={"in": [("zz", 100, 1_000_000)]}
+    )
+    b = Counter({kv: n for kv, n in b.items() if kv[0] != "zz"})
+    s = Counter({kv: n for kv, n in s.items() if kv[0] != "zz"})
+    assert b == s == Counter([("k", 6)])
+
+
 def test_congruity_session_window(spark, tmp_path):
     ktable = {
         "type": "ktable",

@@ -101,21 +101,58 @@ class StreamingTopologyRunner:
         self.entities = topology["entities"]
         #: entity id -> output mode required downstream of it
         self.output_modes: dict[str, str] = {}
+        self.source_watermark = self._source_watermark()
+
+    def _source_watermark(self) -> str | None:
+        """Watermark delay to attach AT TOPIC INGEST: the minimum delay
+        any entity in the topology declares.  Attaching at the source —
+        before any transform — means EVERY arriving record advances the
+        watermark, so a selective filter chain can never stall a
+        downstream suppressed window (a Kafka Streams property: stream
+        time advances on consumption, not post-transform survival).
+        Downstream attachment points become no-ops via the event-time
+        column tag (`_has_event_time`)."""
+        delays = [
+            _duration_ms(ent["watermark"], 1 << 62)
+            for ent in self.entities.values()
+            if ent.get("watermark")
+        ]
+        for _, cfg in self.topology.get("joins", {}).items():
+            if cfg.get("watermark"):
+                delays.append(_duration_ms(cfg["watermark"], 1 << 62))
+        return _ms_duration(min(delays)) if delays else None
 
     def _ingest(self, df: DataFrame) -> DataFrame:
         from pyspark.sql import types as T
 
         if not isinstance(df.schema[TIMESTAMP].dataType, (T.TimestampType, T.TimestampNTZType)):
             df = df.withColumn(TIMESTAMP, F.timestamp_millis(F.col(TIMESTAMP).cast("bigint")))
-        return df.select(KEY, VALUE, TIMESTAMP)
+        df = df.select(KEY, VALUE, TIMESTAMP)
+        if self.source_watermark:
+            df = df.withWatermark(TIMESTAMP, self.source_watermark)
+        return df
 
     def _joinable_type(self, eid: str) -> str:
         t = self.entities[eid]["type"]
         return model.KSTREAM if t == model.TOPIC else t
 
+    @staticmethod
+    def _has_event_time(df: DataFrame) -> bool:
+        """True when the timestamp column still carries Spark's
+        event-time watermark tag (EventTimeWatermark sets column
+        metadata ``spark.watermarkDelayMs``; projections that pass the
+        column through preserve it).  A transform that rebuilds the
+        timestamp column drops the tag — then we must re-attach."""
+        try:
+            return "spark.watermarkDelayMs" in (df.schema[TIMESTAMP].metadata or {})
+        except Exception:
+            return False
+
     def _watermarked(self, df: DataFrame, ent: dict, default: str | None = None) -> DataFrame:
         wm = ent.get("watermark", default)
-        return df.withWatermark(TIMESTAMP, wm) if wm else df
+        if not wm or self._has_event_time(df):
+            return df
+        return df.withWatermark(TIMESTAMP, wm)
 
     # -- joins -----------------------------------------------------------
     def _combine_parents(self, node: str, built: dict) -> DataFrame | None:
@@ -177,10 +214,12 @@ class StreamingTopologyRunner:
             if exact:
                 how = "inner"
             wm = cfg.get("watermark", _ms_duration(before + after + 1000))
-            l = left.withWatermark(TIMESTAMP, wm).select(
+            lw = left if self._has_event_time(left) else left.withWatermark(TIMESTAMP, wm)
+            rw = right if self._has_event_time(right) else right.withWatermark(TIMESTAMP, wm)
+            l = lw.select(
                 F.col(KEY).alias("__lk"), F.col(VALUE).alias("__lv"), F.col(TIMESTAMP).alias("__lts")
             )
-            r = right.withWatermark(TIMESTAMP, wm).select(
+            r = rw.select(
                 F.col(KEY).alias("__rk"), F.col(VALUE).alias("__rv"), F.col(TIMESTAMP).alias("__rts")
             )
             cond = (
@@ -771,7 +810,18 @@ class StreamingTopologyRunner:
     def build(self, inputs: dict[str, DataFrame]) -> dict[str, DataFrame]:
         """Return one streaming DataFrame per entity (leaves are the
         sink streams); attach sinks with ``start_queries`` or your own
-        ``writeStream``."""
+        ``writeStream``.
+
+        Compiled inside ``pin_filters_to_event_time``: streaming filters
+        must stay ABOVE the source watermark node so every consumed
+        record advances stream time (see transforms.py) — otherwise a
+        selective filter stalls downstream suppressed windows."""
+        from ..transforms import pin_filters_to_event_time
+
+        with pin_filters_to_event_time():
+            return self._build(inputs)
+
+    def _build(self, inputs: dict[str, DataFrame]) -> dict[str, DataFrame]:
         built: dict[str, DataFrame | None] = {}
         for node in self.order:
             ent = self.entities[node]

@@ -24,13 +24,50 @@ inner transform returns (streams.clj:148-160, tested core_test.clj:84-97).
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable, Iterable, Sequence
+from contextlib import contextmanager
 from typing import Any
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .model import KEY, TIMESTAMP, VALUE
+
+_FILTER_GUARD = threading.local()
+
+
+@contextmanager
+def pin_filters_to_event_time():
+    """Compile-time context used by the STREAMING compiler only.
+
+    Catalyst's PushPredicateThroughNonJoin moves any filter that does
+    not reference the event-time column below EventTimeWatermark — so a
+    selective value filter would drop records BEFORE they advance the
+    watermark, and a suppressed window downstream could stall forever
+    (records are consumed but stream time never moves). Kafka Streams
+    semantics advance stream time on CONSUMPTION, not on post-transform
+    survival; inside this context, FilterRecords ORs its predicate with
+    an always-false comparison on the event-time column, making the
+    condition un-splittable so it stays above the watermark node.
+
+    The batch compiler never enters this context — batch filters keep
+    full scan pushdown."""
+    prev = getattr(_FILTER_GUARD, "on", False)
+    _FILTER_GUARD.on = True
+    try:
+        yield
+    finally:
+        _FILTER_GUARD.on = prev
+
+
+def _event_time_anchor(df: DataFrame) -> Column | None:
+    """Always-false predicate referencing the event-time column (guard
+    term for pin_filters_to_event_time); None when df has no ts col."""
+    if TIMESTAMP not in df.columns:
+        return None
+    ts_t = df.schema[TIMESTAMP].dataType
+    return F.col(TIMESTAMP) > F.lit("9999-12-31 00:00:00").cast(ts_t)
 
 
 def _extras(df: DataFrame) -> list[Column]:
@@ -141,7 +178,12 @@ class FilterRecords(Transform):
         self.pred = pred
 
     def apply(self, df: DataFrame) -> DataFrame:
-        return df.filter(self.pred(F.col(KEY), F.col(VALUE)))
+        cond = self.pred(F.col(KEY), F.col(VALUE))
+        if getattr(_FILTER_GUARD, "on", False):
+            anchor = _event_time_anchor(df)
+            if anchor is not None:
+                cond = cond | anchor
+        return df.filter(cond)
 
 
 def filter_values(pred: Callable[[Column], Column]) -> FilterRecords:
