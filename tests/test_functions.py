@@ -121,6 +121,76 @@ def test_simhash_near_dups(spark, docs):
     assert ham_12 < ham_15  # one-token edit is closer than unrelated text
 
 
+def test_ann_recall_floors(spark):
+    """LSH and IVF approximate top-k vs the oracle-checked exact
+    baseline on real driver embeddings: recall@10 must clear a floor
+    (measured 1.00 / 0.92 at sf0.001 — floors leave slack for testdata
+    regeneration, not for regressions in the candidate generation)."""
+    import willa_spark.functions.similarity as S
+    from willa_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in S.brute_force_topk(emb, queries, k=10).collect()
+    }
+    assert len(exact) == 50
+
+    lsh = {
+        (r["query_id"], r["vec_id"])
+        for r in S.lsh_topk(
+            emb, queries, k=10, n_planes=4, n_tables=8, n_probes=2
+        ).collect()
+    }
+    lsh_recall = len(lsh & exact) / len(exact)
+    assert lsh_recall >= 0.8, f"LSH recall@10 regressed: {lsh_recall}"
+
+    centroids = S.train_centroids(emb, n_centroids=8, n_iters=1)
+    ivf = {
+        (r["query_id"], r["vec_id"])
+        for r in S.ivf_topk(emb, queries, centroids, k=10, n_probe=2).collect()
+    }
+    ivf_recall = len(ivf & exact) / len(exact)
+    assert ivf_recall >= 0.8, f"IVF recall@10 regressed: {ivf_recall}"
+
+
+def test_simhash_rejects_insufficient_blocks(spark, docs):
+    with pytest.raises(ValueError, match="max_hamming"):
+        D.simhash_near_dups(docs, max_hamming=8, num_blocks=4)
+
+
+def test_simhash_pigeonhole_full_recall_vs_brute_force(spark):
+    """Recall guarantee on real driver data: bucketed candidate pairs at
+    hamming <= 8 must equal the brute-force all-pairs bit_count(xor)
+    answer (sf0.001 documents — small enough for the quadratic oracle)."""
+    from willa_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    bucketed = D.simhash_near_dups(docs, max_hamming=8)
+    got = {(r["id_a"], r["id_b"], r["hamming"]) for r in bucketed.collect()}
+
+    sh = D.with_simhash(docs).select("doc_id", "simhash")
+    l, r = sh.alias("l"), sh.alias("r")
+    brute = (
+        l.join(r, F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 8)
+    )
+    want = {(r["id_a"], r["id_b"], r["hamming"]) for r in brute.collect()}
+    assert got == want
+
+
 @pytest.fixture()
 def vectors(spark):
     import math

@@ -55,15 +55,16 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep exactly one (min-id) document per fingerprint. Single
-    shuffle on the fingerprint; survives any scale."""
-    w_min = (
-        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
-        .groupBy("fp")
-        .agg(F.min(F.col(id_col)).alias("keep_id"))
+    shuffle on the fingerprint; survives any scale. The fingerprint is
+    computed ONCE as a column and the join runs on it — recomputing the
+    md5 inside the join condition would hash every row twice."""
+    fp = df.withColumn("__fp", fingerprint(F.col(text_col)))
+    keep = fp.groupBy("__fp").agg(F.min(F.col(id_col)).alias("__keep_id"))
+    return (
+        fp.join(keep, "__fp", "inner")
+        .filter(F.col(id_col) == F.col("__keep_id"))
+        .drop("__fp", "__keep_id")
     )
-    return df.join(
-        w_min, fingerprint(F.col(text_col)) == F.col("fp"), "inner"
-    ).filter(F.col(id_col) == F.col("keep_id")).drop("fp", "keep_id")
 
 
 # ------------------------------------------------------------- shingles
@@ -278,13 +279,29 @@ def simhash_near_dups(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_blocks: int = 4,
+    num_blocks: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
     Scale path: pigeonhole — split the 64-bit signature into
-    ``num_blocks`` 16-bit blocks; any pair within hamming d <
-    num_blocks shares at least one exact block, so candidates come from
-    num_blocks equi-joins instead of all pairs."""
+    ``num_blocks`` equal-shift blocks; a pair within hamming d <
+    num_blocks has its differing bits in at most d blocks, so at least
+    one block matches exactly and candidates come from num_blocks
+    equi-joins instead of all pairs.
+
+    ``num_blocks`` defaults to ``max_hamming + 1`` — the smallest count
+    that makes the stated radius a full-recall GUARANTEE, not a
+    heuristic. An explicit ``num_blocks <= max_hamming`` is rejected:
+    it would silently miss pairs at distance >= num_blocks. When 64 %
+    num_blocks != 0 the top bits go uncovered — recall-safe (uncovered
+    differing bits consume no pigeonhole; they only admit extra
+    candidates, which the exact hamming filter removes)."""
+    if num_blocks is None:
+        num_blocks = max_hamming + 1
+    if max_hamming >= num_blocks:
+        raise ValueError(
+            f"simhash pigeonholing with {num_blocks} blocks only guarantees "
+            f"recall for max_hamming < {num_blocks}; got max_hamming={max_hamming}"
+        )
     sh = with_simhash(_spread(df.select(id_col, text_col), id_col), text_col).select(
         F.col(id_col).alias("id"), F.col("simhash")
     )

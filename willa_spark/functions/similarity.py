@@ -102,6 +102,31 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def _probe_buckets(vec: Column, planes: list[list[float]], n_probes: int) -> Column:
+    """Multi-probe bucket list: the base signature plus ``n_probes``
+    variants with the LOWEST-confidence bits flipped (smallest
+    |vec·plane| margin — the bits most likely to differ for a true
+    neighbor). Pure Column expressions; the sort runs over an
+    n_planes-element array per query row."""
+    sig = lsh_signature(vec, planes)
+    margins = F.array(
+        *[
+            F.struct(
+                F.abs(dot(vec, F.array(*[F.lit(float(x)) for x in p]))).alias("m"),
+                F.lit(i).alias("i"),
+            )
+            for i, p in enumerate(planes)
+        ]
+    )
+    flips = F.slice(F.array_sort(margins), 1, n_probes).getField("i")
+    # shiftleft needs a literal bit count — use a power-of-two lookup
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(len(planes))])
+    return F.concat(
+        F.array(sig),
+        F.transform(flips, lambda i: sig.bitwiseXOR(F.element_at(powers, i + 1))),
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -109,29 +134,71 @@ def lsh_topk(
     n_planes: int = 12,
     dim: int = 64,
     seed: int = 42,
+    n_probes: int = 0,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
     """Approximate top-k: exact rescoring restricted to the query's LSH
-    bucket (single-probe). With n_planes=p the corpus splits into ~2^p
-    buckets → candidate set ~|corpus|/2^p per query. Recall can be
-    raised with multi-probe (flip low-confidence bits) — left as bucket
-    unions by the caller."""
+    bucket(s). With n_planes=p the corpus splits into ~2^p buckets →
+    candidate set ~|corpus|/2^p per probe. Two recall knobs, both
+    keeping candidate generation an equi-join on a short key (never
+    all-pairs):
+    - ``n_probes``: extra probes flipping the lowest-|margin| signature
+      bits (multi-probe LSH) — cheap, helps near-duplicate queries;
+    - ``n_tables``: independent hash tables (fresh hyperplanes per
+      table, join key = (table, bucket)) — the standard recall lever
+      when neighbors sit at moderate cosine, where any single
+      signature likely differs in >1 bit. Corpus-side cost is
+      n_tables bucket entries per vector (an explode, not a copy of
+      the vector per se — the vector column rides along for rescoring,
+      so size the table count to the memory budget at scale)."""
     from pyspark.sql import Window as W
 
-    planes = hyperplanes(dim, n_planes, seed)
+    tables = [hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
     c = corpus.select(
         F.col(id_col).alias("__cid"), _as_double(F.col(vec_col)).alias("__cv")
-    ).withColumn("__bucket", lsh_signature(F.col("__cv"), planes))
+    )
     q = queries.select(
         F.col(query_id_col).alias("__qid"), _as_double(F.col(query_vec_col)).alias("__qv")
-    ).withColumn("__bucket", lsh_signature(F.col("__qv"), planes))
-    scored = c.join(F.broadcast(q), "__bucket").select(
-        F.col("__qid"),
-        F.col("__cid"),
-        F.round(cosine(F.col("__cv"), F.col("__qv")), 6).alias("__sim"),
+    )
+    c = c.withColumn(
+        "__tb",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        lsh_signature(F.col("__cv"), planes).alias("b"),
+                    )
+                    for t, planes in enumerate(tables)
+                ]
+            )
+        ),
+    ).select("__cid", "__cv", F.col("__tb.t").alias("__t"), F.col("__tb.b").alias("__bucket"))
+    q_parts = []
+    for t, planes in enumerate(tables):
+        qt = q
+        if n_probes > 0:
+            qt = qt.withColumn(
+                "__bucket", F.explode(_probe_buckets(F.col("__qv"), planes, n_probes))
+            )
+        else:
+            qt = qt.withColumn("__bucket", lsh_signature(F.col("__qv"), planes))
+        q_parts.append(qt.withColumn("__t", F.lit(t)))
+    qall = q_parts[0]
+    for part in q_parts[1:]:
+        qall = qall.unionByName(part)
+    scored = (
+        c.join(F.broadcast(qall), ["__t", "__bucket"])
+        .dropDuplicates(["__qid", "__cid"])
+        .select(
+            F.col("__qid"),
+            F.col("__cid"),
+            F.round(cosine(F.col("__cv"), F.col("__qv")), 6).alias("__sim"),
+        )
     )
     w = W.partitionBy("__qid").orderBy(F.col("__sim").desc(), F.col("__cid").asc())
     return (

@@ -757,16 +757,29 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "exact_dup_groups",
     oracle=r"""
-    WITH f AS (SELECT doc_id,
-                      md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
-               FROM documents)
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
+    ),
+    f AS (SELECT doc_id,
+                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+          FROM all_docs)
     SELECT fp, count(*) AS n_dups, min(doc_id) AS canonical_id
     FROM f GROUP BY fp HAVING count(*) > 1
     """,
 )
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
-    return D.exact_dup_groups(docs)
+    """Exact-dup groups over documents plus a deterministic planted-dup
+    set (every 50th doc re-keyed +1e6): the driver testdata has no
+    byte-identical texts, so without planting the query is vacuously
+    green on an empty result. The planted copies make the grouping,
+    counting, and canonical-id selection all observable."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    return D.exact_dup_groups(docs.unionByName(planted))
 
 
 @query(
@@ -940,11 +953,17 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ann_lsh_topk")  # rows-only (hyperplane hashes not SQL-expressible)
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table + multi-probe LSH ANN (8 tables of 4 planes, 2
+    lowest-margin bit flips — measured recall@10 = 1.00 vs the exact
+    baseline at sf0.001; asserted with a floor in
+    tests/test_functions.py::test_ann_recall_floors). At larger corpus
+    scale raise n_planes with log2(N) to keep the per-bucket candidate
+    count constant."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return SIM.lsh_topk(emb, queries, k=10, n_planes=8)
+    return SIM.lsh_topk(emb, queries, k=10, n_planes=4, n_tables=8, n_probes=2)
 
 
 @query("ann_ivf_topk")  # rows-only (k-means cells not SQL-expressible)
@@ -959,10 +978,37 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, queries, centroids, k=10, n_probe=2)
 
 
-@query("embedding_near_dups")  # rows-only
+@query(
+    "embedding_near_dups",
+    oracle="""
+    WITH all_e AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM all_e),
+    s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_dot_product(a.v, b.v)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_sim
+          FROM v a JOIN v b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cosine_sim FROM s WHERE cosine_sim >= 0.9
+    """,
+)
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
-    return SIM.embedding_near_dups(emb, threshold=0.8, n_planes=6)
+    """Embedding near-dup pairs over embeddings plus planted exact-dup
+    vectors (every 50th, re-keyed +1e6). The oracle is BRUTE-FORCE
+    cosine over all pairs in DuckDB — equality proves the LSH-bucketed
+    candidate path reaches full recall at this threshold (planted dups
+    are identical vectors, so they always share a bucket; the organic
+    corpus has no pair above 0.8, giving wide threshold margin)."""
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 50 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_000)
+    )
+    return SIM.embedding_near_dups(
+        emb.unionByName(planted), threshold=0.9, n_planes=6
+    )
 
 
 # =====================================================================
