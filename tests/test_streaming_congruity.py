@@ -210,6 +210,28 @@ def test_congruity_stream_stream_inner_join(spark, tmp_path):
     assert b == s == Counter([("k", (1, 2))])
 
 
+def test_congruity_join_at_epoch(spark, tmp_path):
+    """Regression: records with event time EXACTLY 0 (the epoch) used to
+    be dropped by Spark's stream-stream join late-row filter, which
+    clamps its state watermark at 0 and treats ts <= 0 as late. The
+    compiler's +1ms shift (undone on output) keeps them joinable; the
+    emitted timestamp must still be the unshifted 0."""
+    topo = {
+        "entities": {
+            "a": topic(),
+            "b": topic(),
+            "joined": {"type": "kstream"},
+            "out": topic(),
+        },
+        "workflow": [("a", "joined"), ("b", "joined"), ("joined", "out")],
+        "joins": {("a", "b"): {"type": "inner", "window": (50, 50)}},
+    }
+    inputs = {"a": [("k", 1, 0)], "b": [("k", 2, 0), ("k", 3, 50)]}
+    b = batch_results(spark, topo, inputs)
+    s = streaming_results(spark, topo, inputs, tmp_path)
+    assert b == s == Counter([("k", (1, 2)), ("k", (1, 3))])
+
+
 def test_congruity_global_table_join(spark, tmp_path):
     """F7/F8 shape: broadcast stream-static join."""
     topo = {

@@ -1394,6 +1394,512 @@ def q_late_shipment_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hit.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
 
 
+# =====================================================================
+# round-2 driver coverage for the previously pytest-only operators
+# (VERDICT r1: J2/J3, J8, A1, A5, A6, A8, P2, P3, P5, C1 had no
+# queries() entry — all SQL-expressible; here each runs through the
+# topology DSL so the driver oracle exercises the ENGINE path, not a
+# hand-built DataFrame shortcut)
+# =====================================================================
+
+_H12_MS = 12 * HOUR_MS
+
+
+def _typed_event_records(spark, sf_dir):
+    """events as records: key=user_id, value=struct(et, amount_cents)."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("user_id").alias(KEY),
+        F.struct(
+            F.col("event_type").alias("et"), _cents(F.col("value")).alias("amount")
+        ).alias(VALUE),
+        _ms(F.col("ts")).alias(TIMESTAMP),
+        F.col("event_id").alias(SEQ),
+    )
+
+
+@query(
+    "windowed_left_join",
+    oracle=f"""
+    WITH o AS (SELECT o_orderkey k, CAST(round(o_totalprice * 100) AS BIGINT) v,
+                      epoch_ms(o_orderdate) t FROM orders),
+         l AS (SELECT l_orderkey k, CAST(round(l_extendedprice * 100) AS BIGINT) v,
+                      epoch_ms(l_shipdate) t FROM lineitem),
+         j AS (SELECT o.k, o.v lv, l.v rv, greatest(o.t, l.t) t
+               FROM o JOIN l ON o.k = l.k AND l.t BETWEEN o.t AND o.t + {30 * DAY_MS}),
+         uj AS (SELECT k, v lv, CAST(NULL AS BIGINT) rv, t FROM o),
+         a AS (SELECT * FROM j UNION ALL SELECT * FROM uj),
+         g AS (SELECT *, count(*) OVER (PARTITION BY t, k) n FROM a)
+    SELECT k AS orderkey, lv AS o_cents, rv AS l_cents, t AS ts_ms
+    FROM g WHERE NOT (n > 1 AND (lv IS NULL OR rv IS NULL))
+    """,
+)
+def q_windowed_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: left windowed stream-stream join with the reference's
+    nil-dedup rule (experiment.clj:23-34): unmatched orders emit
+    [o_cents, NULL]; at equal (ts, key) a joined result suppresses the
+    placeholder."""
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    o_rec = orders.select(
+        F.col("o_orderkey").alias(KEY),
+        _cents(F.col("o_totalprice")).alias(VALUE),
+        _ms(F.col("o_orderdate")).alias(TIMESTAMP),
+        F.col("o_orderkey").alias(SEQ),
+    )
+    l_rec = lineitem.select(
+        F.col("l_orderkey").alias(KEY),
+        _cents(F.col("l_extendedprice")).alias(VALUE),
+        _ms(F.col("l_shipdate")).alias(TIMESTAMP),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias(SEQ),
+    )
+    topo = {
+        "entities": {
+            "orders": {"type": "topic", "source": o_rec},
+            "lines": {"type": "topic", "source": l_rec},
+            "joined": {"type": "kstream"},
+            "out": {"type": "topic"},
+        },
+        "workflow": [("orders", "joined"), ("lines", "joined"), ("joined", "out")],
+        "joins": {("orders", "lines"): {"type": "left", "window": (0, 30 * DAY_MS)}},
+    }
+    out = run_topology(spark, topo)["out"]
+    return out.select(
+        F.col(KEY).alias("orderkey"),
+        F.col(VALUE)[0].alias("o_cents"),
+        F.col(VALUE)[1].alias("l_cents"),
+        F.col(TIMESTAMP).alias("ts_ms"),
+    )
+
+
+@query(
+    "windowed_outer_join",
+    oracle=f"""
+    WITH o AS (SELECT o_orderkey k, CAST(round(o_totalprice * 100) AS BIGINT) v,
+                      epoch_ms(o_orderdate) t FROM orders),
+         l AS (SELECT l_orderkey k, CAST(round(l_extendedprice * 100) AS BIGINT) v,
+                      epoch_ms(l_shipdate) t FROM lineitem),
+         j AS (SELECT o.k, o.v lv, l.v rv, greatest(o.t, l.t) t
+               FROM o JOIN l ON o.k = l.k AND l.t BETWEEN o.t AND o.t + {30 * DAY_MS}),
+         ujl AS (SELECT k, v lv, CAST(NULL AS BIGINT) rv, t FROM o),
+         ujr AS (SELECT k, CAST(NULL AS BIGINT) lv, v rv, t FROM l),
+         a AS (SELECT * FROM j UNION ALL SELECT * FROM ujl UNION ALL SELECT * FROM ujr),
+         g AS (SELECT *, count(*) OVER (PARTITION BY t, k) n FROM a)
+    SELECT k AS orderkey, lv AS o_cents, rv AS l_cents, t AS ts_ms
+    FROM g WHERE NOT (n > 1 AND (lv IS NULL OR rv IS NULL))
+    """,
+)
+def q_windowed_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: outer windowed join — J2 plus [NULL, l_cents] for lineitems
+    outside every order window, same nil-dedup rule."""
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    o_rec = orders.select(
+        F.col("o_orderkey").alias(KEY),
+        _cents(F.col("o_totalprice")).alias(VALUE),
+        _ms(F.col("o_orderdate")).alias(TIMESTAMP),
+        F.col("o_orderkey").alias(SEQ),
+    )
+    l_rec = lineitem.select(
+        F.col("l_orderkey").alias(KEY),
+        _cents(F.col("l_extendedprice")).alias(VALUE),
+        _ms(F.col("l_shipdate")).alias(TIMESTAMP),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias(SEQ),
+    )
+    topo = {
+        "entities": {
+            "orders": {"type": "topic", "source": o_rec},
+            "lines": {"type": "topic", "source": l_rec},
+            "joined": {"type": "kstream"},
+            "out": {"type": "topic"},
+        },
+        "workflow": [("orders", "joined"), ("lines", "joined"), ("joined", "out")],
+        "joins": {("orders", "lines"): {"type": "outer", "window": (0, 30 * DAY_MS)}},
+    }
+    out = run_topology(spark, topo)["out"]
+    return out.select(
+        F.col(KEY).alias("orderkey"),
+        F.col(VALUE)[0].alias("o_cents"),
+        F.col(VALUE)[1].alias("l_cents"),
+        F.col(TIMESTAMP).alias("ts_ms"),
+    )
+
+
+@query(
+    "nary_join_fold",
+    oracle=f"""
+    WITH e AS (SELECT user_id k, CAST(round(value * 100) AS BIGINT) v,
+                      epoch_ms(ts) t, event_type FROM events),
+         p AS (SELECT k, v, t FROM e WHERE event_type = 'purchase'),
+         c AS (SELECT k, v, t FROM e WHERE event_type = 'click'),
+         w AS (SELECT k, v, t FROM e WHERE event_type = 'view'),
+         j1 AS (SELECT p.k, p.v v1, c.v v2, greatest(p.t, c.t) t
+                FROM p JOIN c ON p.k = c.k
+                 AND c.t BETWEEN p.t - {_H12_MS} AND p.t + {_H12_MS}),
+         j2 AS (SELECT j1.k, v1, v2, w.v v3, greatest(j1.t, w.t) t
+                FROM j1 JOIN w ON j1.k = w.k
+                 AND w.t BETWEEN j1.t - {_H12_MS} AND j1.t + {_H12_MS})
+    SELECT k AS user_id, v1 AS p_cents, v2 AS c_cents, v3 AS v_cents, t AS ts_ms
+    FROM j2
+    """,
+)
+def q_nary_join_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: three-way join fold (streams.clj:115-123) — pairwise fold
+    widening the tuple: (p ⋈ c) ⋈ v → [v1 v2 v3]; the second leg's time
+    band applies to the ACCUMULATED timestamp (greatest of the first
+    pair), exactly the reference's conj semantics."""
+    ev = read_table(spark, sf_dir, "events")
+    rec = ev.select(
+        F.col("user_id").alias(KEY),
+        _cents(F.col("value")).alias(VALUE),
+        _ms(F.col("ts")).alias(TIMESTAMP),
+        F.col("event_id").alias(SEQ),
+        F.col("event_type"),
+    )
+    topo = {
+        "entities": {
+            "in": {"type": "topic", "source": rec.drop("event_type")},
+            "p": {"type": "kstream"},
+            "c": {"type": "kstream"},
+            "v": {"type": "kstream"},
+            "joined": {"type": "kstream"},
+            "out": {"type": "topic"},
+        },
+        "workflow": [
+            ("in", "p"),
+            ("in", "c"),
+            ("in", "v"),
+            ("p", "joined"),
+            ("c", "joined"),
+            ("v", "joined"),
+            ("joined", "out"),
+        ],
+        "joins": {("p", "c", "v"): {"type": "inner", "window": (_H12_MS, _H12_MS)}},
+    }
+    # per-branch filters need event_type, which isn't part of the record
+    # contract — use build overrides projecting the typed source
+    for name, et in (("p", "purchase"), ("c", "click"), ("v", "view")):
+        sub = rec.filter(F.col("event_type") == et).drop("event_type")
+        topo["entities"][name] = {
+            "type": "kstream",
+            "build": (lambda s, parents, ent, sub=sub: sub),
+        }
+    out = run_topology(spark, topo)["out"]
+    return out.select(
+        F.col(KEY).alias("user_id"),
+        F.col(VALUE)[0].alias("p_cents"),
+        F.col(VALUE)[1].alias("c_cents"),
+        F.col(VALUE)[2].alias("v_cents"),
+        F.col(TIMESTAMP).alias("ts_ms"),
+    )
+
+
+@query(
+    "group_by_fn_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           max(epoch_ms(ts)) AS ts_ms
+    FROM events GROUP BY 1
+    """,
+)
+def q_group_by_fn_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: re-grouping by a key-extraction fn over (k, v) (core.clj:99)
+    — group = value.et, not the record key — with a suppressed sum, so
+    the oracle sees the final state per derived group."""
+    records = _typed_event_records(spark, sf_dir)
+    topo = {
+        "entities": {
+            "in": {"type": "topic", "source": records},
+            "t": {
+                "type": "ktable",
+                "group_by": lambda k, v: v["et"],
+                "aggregate": Aggregate.of(lambda v: F.sum(v["amount"])),
+                "suppress": True,
+            },
+            "out": {"type": "topic"},
+        },
+        "workflow": [("in", "t"), ("t", "out")],
+    }
+    out = run_topology(spark, topo)["out"]
+    return out.select(
+        F.col(KEY).alias("event_type"),
+        F.col(VALUE).alias("total_cents"),
+        F.col(TIMESTAMP).alias("ts_ms"),
+    )
+
+
+@query(
+    "suppressed_window_final",
+    oracle=f"""
+    SELECT user_id,
+           (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS win_start,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           max(epoch_ms(ts)) AS ts_ms
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_suppressed_window_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: suppression through the TOPOLOGY path (ktable window +
+    suppress + emit_window → final_only) — tumbling_window_sum checks
+    the same numbers via the bare operators; this entry pins the
+    engine's suppressed-changelog emission (value carries its window,
+    timestamp = the closing record's)."""
+    records = _events_records(spark, sf_dir, value_col=_cents(F.col("value")))
+    topo = {
+        "entities": {
+            "in": {"type": "topic", "source": records},
+            "t": {
+                "type": "ktable",
+                "group_by": lambda k, v: k,
+                "window": TumblingWindow(HOUR_MS),
+                "aggregate": Aggregate.sum(),
+                "suppress": True,
+                "emit_window": True,
+            },
+            "out": {"type": "topic"},
+        },
+        "workflow": [("in", "t"), ("t", "out")],
+    }
+    out = run_topology(spark, topo)["out"]
+    return out.select(
+        F.col(KEY).alias("user_id"),
+        F.col(VALUE)["win"].alias("win_start"),
+        F.col(VALUE)["v"].alias("sum_cents"),
+        F.col(TIMESTAMP).alias("ts_ms"),
+    )
+
+
+@query(
+    "regrouped_retraction",
+    oracle="""
+    WITH r AS (SELECT user_id, event_type,
+                      CAST(round(value * 100) AS BIGINT) cents,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY epoch_ms(ts) DESC, event_id DESC) rn
+               FROM events)
+    SELECT event_type, CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM r WHERE rn = 1 GROUP BY event_type
+    """,
+)
+def q_regrouped_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: adder+subtractor on a re-grouped table (streams.clj:44-50) —
+    each user's newest event moves their contribution to its new
+    event_type group, retracting the old one. The final state per group
+    telescopes to 'sum of each user's LATEST amount, grouped by that
+    latest event's type', which is what the oracle computes directly."""
+    records = _typed_event_records(spark, sf_dir)
+    topo = {
+        "entities": {
+            "in": {"type": "topic", "source": records},
+            "t": {
+                "type": "ktable",
+                "group_by": lambda k, v: v["et"],
+                "aggregate": Aggregate(
+                    "column",
+                    column_fn=lambda v: F.sum(v["amount"]),
+                    contribution_fn=lambda v: v["amount"],
+                ),
+                "retract": True,
+                "suppress": True,
+            },
+            "out": {"type": "topic"},
+        },
+        "workflow": [("in", "t"), ("t", "out")],
+    }
+    out = run_topology(spark, topo)["out"]
+    return out.select(
+        F.col(KEY).alias("event_type"), F.col(VALUE).alias("total_cents")
+    )
+
+
+@query(
+    "with_dedupe_first",
+    oracle="""
+    WITH r AS (SELECT user_id, value, epoch_ms(ts) t, event_id,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY epoch_ms(ts) ASC, event_id ASC) rn
+               FROM events)
+    SELECT user_id, value AS v, t AS ts_ms FROM r WHERE rn = 1
+    """,
+)
+def q_with_dedupe_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: the with_dedupe topology rewrite (workflow.clj:6-24) spliced
+    onto an edge — exactly-once pass-through of the FIRST record per
+    dedup id (here the record key), via one min_by partial aggregate."""
+    from .workflow import with_dedupe
+
+    records = _events_records(spark, sf_dir)
+    topo = {
+        "entities": {
+            "in": {"type": "topic", "source": records},
+            "s": {"type": "kstream"},
+            "out": {"type": "topic"},
+        },
+        "workflow": [("in", "s"), ("s", "out")],
+    }
+    topo = with_dedupe(topo, ("s", "out"), id_fn=lambda k, v: k)
+    out = run_topology(spark, topo)["out"]
+    return out.select(
+        F.col(KEY).alias("user_id"),
+        F.col(VALUE).alias("v"),
+        F.col(TIMESTAMP).alias("ts_ms"),
+    )
+
+
+@query(
+    "rekey_fanout",
+    oracle="""
+    SELECT 'u:' || CAST(user_id AS VARCHAR) AS k,
+           CAST(round(value * 100) AS BIGINT) AS cents, epoch_ms(ts) AS ts_ms
+    FROM events
+    UNION ALL
+    SELECT 't:' || event_type AS k,
+           CAST(round(value * 100) AS BIGINT) AS cents, epoch_ms(ts) AS ts_ms
+    FROM events
+    """,
+)
+def q_rekey_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: full transducer fan-out WITH key change (streams.clj:126-132
+    TransducerTransformer) — each event emits under two derived keys.
+    Column-tier (FlatMapRecords = explode of struct array), so the
+    1→N rekeying never leaves the JVM."""
+    from .transforms import FlatMapRecords
+
+    records = _typed_event_records(spark, sf_dir)
+    topo = {
+        "entities": {
+            "in": {"type": "topic", "source": records},
+            "s": {
+                "type": "kstream",
+                "xform": FlatMapRecords(
+                    lambda k, v: F.array(
+                        F.struct(
+                            F.concat(F.lit("u:"), k.cast("string")).alias("key"),
+                            v["amount"].alias("value"),
+                        ),
+                        F.struct(
+                            F.concat(F.lit("t:"), v["et"]).alias("key"),
+                            v["amount"].alias("value"),
+                        ),
+                    )
+                ),
+            },
+            "out": {"type": "topic"},
+        },
+        "workflow": [("in", "s"), ("s", "out")],
+    }
+    out = run_topology(spark, topo)["out"]
+    return out.select(
+        F.col(KEY).alias("k"),
+        F.col(VALUE).alias("cents"),
+        F.col(TIMESTAMP).alias("ts_ms"),
+    )
+
+
+@query(
+    "value_only_rekey",
+    oracle="""
+    SELECT user_id, CAST(round(value * 100) AS BIGINT) * 2 AS doubled,
+           epoch_ms(ts) AS ts_ms
+    FROM events
+    """,
+)
+def q_value_only_rekey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: value-only transform (transduce-stream-values,
+    streams.clj:135-160): the inner transform REKEYS to a junk key and
+    doubles the value; ValueOnly must keep the original user_id on
+    every output record (reference test core_test.clj:84-97) — no
+    repartition is ever needed downstream."""
+    from .transforms import MapRecord, ValueOnly
+
+    records = _events_records(spark, sf_dir, value_col=_cents(F.col("value")))
+    topo = {
+        "entities": {
+            "in": {"type": "topic", "source": records},
+            "s": {
+                "type": "kstream",
+                "xform": ValueOnly(MapRecord(lambda k, v: (F.lit("junk"), v * 2))),
+            },
+            "out": {"type": "topic"},
+        },
+        "workflow": [("in", "s"), ("s", "out")],
+    }
+    out = run_topology(spark, topo)["out"]
+    return out.select(
+        F.col(KEY).alias("user_id"),
+        F.col(VALUE).alias("doubled"),
+        F.col(TIMESTAMP).alias("ts_ms"),
+    )
+
+
+@query(
+    "rekey_transform",
+    oracle="""
+    SELECT user_id % 100 AS bucket, value AS v, epoch_ms(ts) AS ts_ms
+    FROM events
+    """,
+)
+def q_rekey_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: transform-key (utils.clj:9-10) — key := f(key); downstream
+    stateful ops would reshuffle on the new key automatically."""
+    from .transforms import MapKey
+
+    records = _events_records(spark, sf_dir)
+    topo = {
+        "entities": {
+            "in": {"type": "topic", "source": records},
+            "s": {"type": "kstream", "xform": MapKey(lambda k: k % 100)},
+            "out": {"type": "topic"},
+        },
+        "workflow": [("in", "s"), ("s", "out")],
+    }
+    out = run_topology(spark, topo)["out"]
+    return out.select(
+        F.col(KEY).alias("bucket"),
+        F.col(VALUE).alias("v"),
+        F.col(TIMESTAMP).alias("ts_ms"),
+    )
+
+
+@query(
+    "changelog_filter",
+    oracle="""
+    WITH r AS (SELECT user_id,
+                      round(sum(value) OVER (PARTITION BY user_id
+                                             ORDER BY epoch_ms(ts), event_id
+                                             ROWS UNBOUNDED PRECEDING), 4) rs,
+                      epoch_ms(ts) t
+               FROM events)
+    SELECT user_id, rs AS running_sum, t AS ts_ms FROM r WHERE rs > 1000
+    """,
+)
+def q_changelog_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: coerce-to-kstream (streams.clj:17-23) — a ktable's changelog
+    re-enters stream-land and a downstream kstream FILTERS the update
+    stream (every running-sum update above the threshold passes, not
+    just the final state)."""
+    records = _events_records(spark, sf_dir)
+    topo = {
+        "entities": {
+            "in": {"type": "topic", "source": records},
+            "t": {"type": "ktable", "aggregate": Aggregate.sum()},
+            "s": {
+                "type": "kstream",
+                "xform": FilterRecords(lambda k, v: F.round(v, 4) > 1000),
+            },
+            "out": {"type": "topic"},
+        },
+        "workflow": [("in", "t"), ("t", "s"), ("s", "out")],
+    }
+    out = run_topology(spark, topo)["out"]
+    return out.select(
+        F.col(KEY).alias("user_id"),
+        F.round(F.col(VALUE), 4).alias("running_sum"),
+        F.col(TIMESTAMP).alias("ts_ms"),
+    )
+
+
 def all_queries():
     return dict(QUERIES)
 

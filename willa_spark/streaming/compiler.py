@@ -214,8 +214,20 @@ class StreamingTopologyRunner:
             if exact:
                 how = "inner"
             wm = cfg.get("watermark", _ms_duration(before + after + 1000))
-            lw = left if self._has_event_time(left) else left.withWatermark(TIMESTAMP, wm)
-            rw = right if self._has_event_time(right) else right.withWatermark(TIMESTAMP, wm)
+            # +1ms epoch-edge shift: Spark's stream-stream join late-row
+            # filter clamps its state watermark at 0 and drops rows with
+            # event time <= 0 — a record EXACTLY at the epoch is
+            # spuriously "late" (observed: ts=0 dropped, ts=1 kept).
+            # Shift both sides equally (band matches unchanged), unshift
+            # on output. Rebuilding the column drops any ingest
+            # watermark tag, so re-attach unconditionally.
+            shift = F.expr("INTERVAL 1 MILLISECONDS")
+            lw = left.withColumn(TIMESTAMP, F.col(TIMESTAMP) + shift).withWatermark(
+                TIMESTAMP, wm
+            )
+            rw = right.withColumn(TIMESTAMP, F.col(TIMESTAMP) + shift).withWatermark(
+                TIMESTAMP, wm
+            )
             l = lw.select(
                 F.col(KEY).alias("__lk"), F.col(VALUE).alias("__lv"), F.col(TIMESTAMP).alias("__lts")
             )
@@ -271,7 +283,9 @@ class StreamingTopologyRunner:
                 out = self._nil_dedup(
                     unioned, wm, int(before), int(after), mode, left_arity + 1
                 )
-            return out
+            # undo the epoch-edge shift (after the dedup operator, whose
+            # event-time timeouts need the shifted watermarked column)
+            return out.withColumn(TIMESTAMP, F.col(TIMESTAMP) - shift)
         if right_type == model.KTABLE:
             if left_arity != 1:
                 raise NotImplementedError("n-ary streaming table joins are not supported")
