@@ -297,6 +297,45 @@ def test_congruity_retraction_regrouped_table(spark, tmp_path):
     assert Counter(final.items()) == b == Counter([("odd", 10), ("even", 0)])
 
 
+def test_congruity_retraction_windowed_table(spark, tmp_path):
+    """A5 × A2 in STREAMING: windowed retraction. The stateful re-key op
+    emits the sign=-1 event targeted at the OLD record's window
+    (__win_ts), a JVM update-mode windowed agg folds the signs. Final
+    value per (group, window) must match the batch engine's suppressed
+    windowed retraction fold — including a key whose upsert moves it to
+    a new window in a LATER micro-batch (state across triggers)."""
+    ent = {
+        "type": "ktable",
+        "group_by": lambda k, v: F.lit("g1"),
+        "window": TumblingWindow(1000),
+        "aggregate": Aggregate.sum(),
+        "retract": True,
+        "emit_window": True,
+    }
+    wf = [("in", "t"), ("t", "out")]
+    first = [("k", 1, 100), ("k2", 3, 100)]
+    # k flips win0 -> win1 in a later micro-batch; k2 updates within win0
+    late = [("k", 2, 1200), ("k2", 5, 300)]
+    topo_batch = {
+        "entities": {"in": topic(), "t": {**ent, "suppress": True}, "out": topic()},
+        "workflow": wf,
+    }
+    b = batch_results(spark, topo_batch, {"in": first + late})
+    topo_stream = {
+        "entities": {"in": topic(), "t": {**ent, "watermark": "0 seconds"}, "out": topic()},
+        "workflow": wf,
+    }
+    rows = run_streaming_topology(
+        spark, topo_stream, {"in": first}, str(tmp_path), extra_files={"in": late}
+    )["out"]
+    # update-mode sink logs every per-trigger change; keep the last row
+    # per (group, window) — the harness preserves sink order
+    final = {}
+    for k, v in rows:
+        final[(k, v[0])] = (k, v)
+    assert Counter(final.values()) == b == Counter([("g1", (0, 5)), ("g1", (1000, 2))])
+
+
 def test_streaming_retraction_guards(spark):
     """Python-fold subtractors and missing watermarks fail fast."""
     from willa_spark.streaming import StreamingTopologyRunner

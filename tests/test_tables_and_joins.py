@@ -14,6 +14,7 @@ from willa_spark import (
     HoppingWindow,
     MapValues,
     SessionWindow,
+    TumblingWindow,
     collect_records,
     run_topology,
 )
@@ -262,6 +263,85 @@ def test_retraction_regrouped_table(spark):
     out = run_topology(spark, topo, inputs={"input": [("k", 1, 100), ("k", 2, 200)]})
     # changelog: +1 -> 1; then (-1, +2) -> 2
     assert collect_records(out["output"])[-1] == ("g1", 2)
+
+
+def test_retraction_windowed_table(spark):
+    """A5 × A2: windowed ktable with retract=True. The retraction must
+    land in the OLD record's window (its original timestamp decides the
+    window set), emitted at the NEW record's time.
+
+    k: v=1@100 (win [0,999]) then v=2@1200 (win [1000,1999]) — win0's
+    sum is corrected to 0 when the upsert moves the key to win1.
+    k2: v=3@100 then v=5@300, both in win0 — classic same-window update,
+    final 5 (not 8)."""
+    topo = {
+        "entities": {
+            "input": topic(),
+            "t1": {"type": "ktable"},
+            "t2": {
+                "type": "ktable",
+                "group_by": lambda k, v: F.lit("g1"),
+                "window": TumblingWindow(1000),
+                "aggregate": Aggregate.sum(),
+                "retract": True,
+                "suppress": True,
+                "emit_window": True,
+            },
+            "output": topic(),
+        },
+        "workflow": [("input", "t1"), ("t1", "t2"), ("t2", "output")],
+    }
+    out = run_topology(
+        spark,
+        topo,
+        inputs={
+            "input": [("k", 1, 100), ("k", 2, 1200), ("k2", 3, 100), ("k2", 5, 300)]
+        },
+    )
+    got = recs(out["output"])
+    # win0 final: +1 -1 +3 -3 +5 = 5; win1 final: +2 = 2
+    assert got == Counter([("g1", (0, 5)), ("g1", (1000, 2))])
+
+
+def test_retraction_session_window_raises(spark):
+    """Session windows + retraction is structurally unsupported (the gap
+    split itself changes when a record is retracted) — precise error,
+    not a wrong answer."""
+    import pytest
+
+    topo = {
+        "entities": {
+            "input": topic(),
+            "t2": {
+                "type": "ktable",
+                "group_by": lambda k, v: F.lit("g1"),
+                "window": SessionWindow(500),
+                "aggregate": Aggregate.sum(),
+                "retract": True,
+            },
+            "output": topic(),
+        },
+        "workflow": [("input", "t2"), ("t2", "output")],
+    }
+    with pytest.raises(NotImplementedError, match="session"):
+        out = run_topology(spark, topo, inputs={"input": [("k", 1, 100)]})
+        collect_records(out["output"])
+
+
+def test_join_lookup_set_key_preserves_workflow_order():
+    """J9 (core.clj:59-62): a frozenset join key matches by participant
+    SET, but which side is 'left' follows the workflow-parent order —
+    never an alphabetical sort of entity names."""
+    from willa_spark import model
+
+    topo = {
+        "entities": {},
+        "workflow": [("zz", "j"), ("aa", "j")],
+        "joins": {frozenset(("aa", "zz")): {"type": "left"}},
+    }
+    order, cfg = model.get_join(topo, model.parents_of(topo, "j"))
+    assert order == ["zz", "aa"]
+    assert cfg == {"type": "left"}
 
 
 def test_f18_dedupe_workflow(spark):

@@ -202,9 +202,26 @@ class TopologyRunner:
             df = df.withColumn(GKEY, F.col(KEY))  # group-by-key default (streams.clj:36)
         group_cols = [GKEY]
         win = ent.get("window")
+        retract = bool(ent.get("retract"))
+        if retract and isinstance(win, SessionWindow):
+            # a retracted record can split/merge sessions it used to
+            # bridge — the gap structure itself changes, not just the
+            # fold value, so signed contributions can't express it
+            raise NotImplementedError(
+                "session windows + retraction: removing a record changes the "
+                "session gap split; re-derive the table without retract"
+            )
+        if retract:
+            # Retractions are computed BEFORE window assignment: the
+            # sign=-1 event must land in the OLD record's windows (its
+            # original timestamp decides those), while the fold orders
+            # it by the NEW record's (timestamp, seq).  __win_ts carries
+            # the window-targeting time per signed row.
+            df = self._with_retractions(df)
         if win is not None:
             if isinstance(win, (TumblingWindow, HoppingWindow)):
-                df = assign_time_windows(df, TIMESTAMP, win.size_ms, win.advance_ms)
+                ts_col = "__win_ts" if retract else TIMESTAMP
+                df = assign_time_windows(df, ts_col, win.size_ms, win.advance_ms)
             elif isinstance(win, SessionWindow):
                 df = assign_session_windows(
                     df, TIMESTAMP, win.gap_ms, [GKEY], [F.col(TIMESTAMP).asc(), F.col(SEQ).asc()]
@@ -212,10 +229,9 @@ class TopologyRunner:
             else:
                 raise ValueError(f"unknown window spec: {win!r}")
             group_cols = [GKEY, WINDOW_START, WINDOW_END]
-        agg = ent["aggregate"]
-        retract = bool(ent.get("retract"))
         if retract:
-            df = self._with_retractions(df)
+            df = df.drop("__win_ts")
+        agg = ent["aggregate"]
         folded = running_fold(df, agg, group_cols, F.col(GKEY), with_retraction=retract)
         if ent.get("suppress"):
             folded = final_only(folded, group_cols)  # A6: emit-final-only
@@ -233,15 +249,23 @@ class TopologyRunner:
         """A5 subtractor support: a re-grouped upsert retracts the old
         value's contribution from its old group (streams.clj:44-50).
         Emits a sign=-1 event carrying the previous (value, group) next
-        to each update that replaces one."""
+        to each update that replaces one.  ``__win_ts`` is the
+        window-targeting timestamp: the add contributes to the new
+        record's windows, the retraction to the OLD record's windows,
+        while both carry the new record's (timestamp, seq) so the fold
+        emits the correction at the time of the change."""
         from pyspark.sql import Window as W
 
         w = W.partitionBy(KEY).orderBy(F.col(TIMESTAMP).asc(), F.col(SEQ).asc())
-        tagged = df.withColumn("__prev_v", F.lag(F.col(VALUE)).over(w)).withColumn(
-            "__prev_g", F.lag(F.col(GKEY)).over(w)
+        tagged = (
+            df.withColumn("__prev_v", F.lag(F.col(VALUE)).over(w))
+            .withColumn("__prev_g", F.lag(F.col(GKEY)).over(w))
+            .withColumn("__prev_ts", F.lag(F.col(TIMESTAMP)).over(w))
         )
         adds = tagged.select(
-            KEY, VALUE, TIMESTAMP, SEQ, GKEY, F.lit(1).alias("__sign")
+            KEY, VALUE, TIMESTAMP, SEQ, GKEY,
+            F.lit(1).alias("__sign"),
+            F.col(TIMESTAMP).alias("__win_ts"),
         )
         subs = (
             tagged.filter(F.col("__prev_v").isNotNull())
@@ -252,6 +276,7 @@ class TopologyRunner:
                 F.col(SEQ),
                 F.col("__prev_g").alias(GKEY),
                 F.lit(-1).alias("__sign"),
+                F.col("__prev_ts").alias("__win_ts"),
             )
         )
         return adds.unionByName(subs)

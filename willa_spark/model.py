@@ -72,7 +72,12 @@ def get_join(topology: dict, parent_ids) -> tuple[Any, dict] | tuple[None, None]
     want = frozenset(parent_ids)
     for ids, cfg in (topology.get("joins") or {}).items():
         if frozenset(ids) == want:
-            ordered = list(ids) if not isinstance(ids, frozenset) else sorted(ids)
+            # Set-typed keys carry no left/right order: fall back to the
+            # workflow-parent order, never an alphabetical sort (the
+            # reference keeps the key vector's order while comparing as a
+            # set, core.clj:59-62 — which side is "left" in asymmetric
+            # joins must not depend on entity names).
+            ordered = list(ids) if not isinstance(ids, frozenset) else list(parent_ids)
             return ordered, cfg
     return None, None
 

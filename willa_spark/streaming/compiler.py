@@ -634,7 +634,12 @@ class StreamingTopologyRunner:
         else:
             raise ValueError(f"unknown window spec: {win!r}")
         grouped = df.groupBy(F.col("__gkey"), wcol.alias("__w"))
-        out = grouped.agg(agg.column_fn(F.col(VALUE)).alias("__acc"))
+        # F.window emits windows starting before the epoch for early
+        # timestamps (t < size - advance); batch clamps starts at >= 0
+        # (Kafka TimeWindows.windowsFor) — drop them for congruity
+        out = grouped.agg(agg.column_fn(F.col(VALUE)).alias("__acc")).filter(
+            F.col("__w.start") >= F.timestamp_millis(F.lit(0))
+        )
         if ent.get("emit_window"):
             value = F.struct(
                 F.unix_millis(F.col("__w.start")).alias("win"), F.col("__acc").alias("v")
@@ -688,8 +693,14 @@ class StreamingTopologyRunner:
                 "(sum/count); Python subtractor folds are batch-only (Spark "
                 "disallows chaining two applyInPandasWithState operators)"
             )
-        if ent.get("window") is not None:
-            raise NotImplementedError("windowed retraction: use the batch engine")
+        win = ent.get("window")
+        if win is not None and not isinstance(win, (TumblingWindow, HoppingWindow)):
+            # same structural limit as batch: retracting a record changes
+            # the session gap split itself, not just the fold value
+            raise NotImplementedError(
+                "session windows + retraction: removing a record changes the "
+                "session gap split; re-derive the table without retract"
+            )
         if not ent.get("watermark"):
             raise ValueError(
                 f"entity {node!r}: retraction (stateful re-key op) requires a 'watermark'"
@@ -703,16 +714,22 @@ class StreamingTopologyRunner:
         )
         ct = src.schema["__contrib"].dataType.simpleString()
         gt = src.schema["__gkey"].dataType.simpleString()
-        out_schema = f"__gkey {gt}, __contrib {ct}, __sign int, {TIMESTAMP} timestamp"
-        state_schema = f"c {ct}, g {gt}"
+        # __win_ts targets the window: the add lands in the new record's
+        # windows, the retraction in the OLD record's windows (batch
+        # _with_retractions mirrors this; both carry the new record's ts)
+        out_schema = (
+            f"__gkey {gt}, __contrib {ct}, __sign int, {TIMESTAMP} timestamp, "
+            f"__win_ts timestamp"
+        )
+        state_schema = f"c {ct}, g {gt}, t long"
 
         def rekey(key, pdf_iter, state):
             if state.exists:
-                pv, pg = state.get
+                pv, pg, pt = state.get
                 has_prev = True
             else:
-                pv, pg, has_prev = None, None, False
-            out_g, out_c, out_s, out_ts = [], [], [], []
+                pv, pg, pt, has_prev = None, None, None, False
+            out_g, out_c, out_s, out_ts, out_wts = [], [], [], [], []
             for pdf in pdf_iter:
                 pdf = pdf.sort_values(TIMESTAMP, kind="stable")
                 # positional lists: pandas itertuples mangles
@@ -725,29 +742,59 @@ class StreamingTopologyRunner:
                     out_c.append(c)
                     out_s.append(1)
                     out_ts.append(ts)
+                    out_wts.append(ts)
                     if has_prev:
                         out_g.append(pg)
                         out_c.append(pv)
                         out_s.append(-1)
                         out_ts.append(ts)
-                    pv, pg, has_prev = c, g, True
-            state.update((pv, pg))
+                        out_wts.append(pd.Timestamp(pt, unit="ms"))
+                    pv, pg, pt, has_prev = c, g, int(ts.value // 1_000_000), True
+            state.update((pv, pg, pt))
             if out_g:
                 yield pd.DataFrame(
-                    {"__gkey": out_g, "__contrib": out_c, "__sign": out_s, TIMESTAMP: out_ts}
+                    {
+                        "__gkey": out_g,
+                        "__contrib": out_c,
+                        "__sign": out_s,
+                        TIMESTAMP: out_ts,
+                        "__win_ts": out_wts,
+                    }
                 )
 
         signed = src.groupBy(KEY).applyInPandasWithState(
             rekey, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
-        return (
-            signed.groupBy("__gkey")
-            .agg(F.sum(F.col("__sign") * F.col("__contrib")).alias(VALUE))
-            .select(
-                F.col("__gkey").alias(KEY),
-                F.col(VALUE),
-                F.lit(None).cast("timestamp").alias(TIMESTAMP),
+        if win is None:
+            return (
+                signed.groupBy("__gkey")
+                .agg(F.sum(F.col("__sign") * F.col("__contrib")).alias(VALUE))
+                .select(
+                    F.col("__gkey").alias(KEY),
+                    F.col(VALUE),
+                    F.lit(None).cast("timestamp").alias(TIMESTAMP),
+                )
             )
+        # windowed retraction (A5 × A2): plain JVM update-mode windowed
+        # aggregation of the signed contributions, windowed on __win_ts
+        wcol = F.window(
+            F.col("__win_ts"), _ms_duration(win.size_ms), _ms_duration(win.advance_ms)
+        )
+        out = (
+            signed.groupBy(F.col("__gkey"), wcol.alias("__w"))
+            .agg(F.sum(F.col("__sign") * F.col("__contrib")).alias("__acc"))
+            .filter(F.col("__w.start") >= F.timestamp_millis(F.lit(0)))
+        )
+        if ent.get("emit_window"):
+            value = F.struct(
+                F.unix_millis(F.col("__w.start")).alias("win"), F.col("__acc").alias("v")
+            )
+        else:
+            value = F.col("__acc")
+        return out.select(
+            F.col("__gkey").alias(KEY),
+            value.alias(VALUE),
+            F.col("__w.end").alias(TIMESTAMP),
         )
 
     def _stateful_fold(
@@ -986,7 +1033,15 @@ def run_streaming_topology(
         )
         queries.append(q)
     for q in queries:
-        q.awaitTermination(120)
+        # availableNow must drain within the timeout — a False return
+        # means partial sink contents, which would silently pass as a
+        # congruity mismatch-flake instead of failing loudly
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError(
+                f"streaming query {q.name} did not finish within 120s "
+                "(availableNow trigger wedged or too slow)"
+            )
     for leaf, qname in sink_names.items():
         rows = spark.sql(f"SELECT * FROM {qname}").collect()
         out = []
