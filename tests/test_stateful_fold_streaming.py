@@ -97,38 +97,57 @@ def test_hopping_python_fold_streaming(spark, tmp_path):
     assert b == s == Counter([("k", (0, 4)), ("k", (100, 4))])
 
 
-def test_python_fold_retraction_streaming_is_rejected(spark):
-    """A5 Python-subtractor retraction stays batch-only in streaming:
-    the natural two-stage plan (re-key op → signed Python fold) is
-    rejected by Spark itself ("Multiple applyInPandasWithStates are not
-    supported"), so the compiler fails fast with the reason."""
-    import pytest
+def test_python_fold_retraction_congruity(spark, tmp_path):
+    """A5 with a NON-invertible Python subtractor fold in streaming
+    (streams.clj:44-50: the reference supports arbitrary subtractors).
+    The fold keeps a canonical sorted CSV of group members — opaque to
+    the column tier (not sum/count). Two-stage plan: stateful re-key op
+    emits signed events; a deferred foreachBatch fold applies
+    adder/subtractor against a versioned parquet state table. Final
+    state per group must equal the batch engine's fold — including a
+    key whose group flips between micro-batches (snapshot state across
+    triggers)."""
     from pyspark.sql import functions as F
 
-    from willa_spark.streaming import StreamingTopologyRunner
+    # defined in-test (closures pickle by value; module-level defs would
+    # be pickled by reference to a module Spark workers can't import)
+    def _csv_add(acc, gk, v):
+        parts = [p for p in acc.split(",") if p] + [str(v)]
+        return ",".join(sorted(parts))
 
-    add_sum = lambda acc, gk, v: acc + v  # noqa: E731
-    sub_sum = lambda acc, gk, v: acc - v  # noqa: E731
-    topo = {
-        "entities": {
-            "in": topic(),
-            "t": {
-                "type": "ktable",
-                "group_by": lambda k, v: F.lit("g"),
-                "aggregate": Aggregate.fold(0, add_sum, "bigint", subtractor=sub_sum),
-                "retract": True,
-                "watermark": "0 seconds",
-            },
-            "out": topic(),
-        },
-        "workflow": [("in", "t"), ("t", "out")],
+    def _csv_sub(acc, gk, v):
+        parts = [p for p in acc.split(",") if p]
+        parts.remove(str(v))
+        return ",".join(sorted(parts))
+
+    group_parity = lambda k, v: F.when(v % 2 == 1, F.lit("odd")).otherwise(F.lit("even"))  # noqa: E731
+    ent = {
+        "type": "ktable",
+        "group_by": group_parity,
+        "aggregate": Aggregate.fold("", _csv_add, "string", subtractor=_csv_sub),
+        "retract": True,
     }
-    src = (
-        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
-        .select(F.lit("k").alias("key"), F.col("value"), F.col("timestamp"))
+    wf = [("in", "t"), ("t", "out")]
+    first = [("k", 1, 100), ("k2", 3, 150), ("k", 2, 200)]
+    late = [("k", 7, 400)]  # k flips even→odd in a LATER micro-batch
+    topo_batch = {
+        "entities": {"in": topic(), "t": {**ent, "suppress": True}, "out": topic()},
+        "workflow": wf,
+    }
+    b = Counter(
+        collect_records(run_topology(spark, topo_batch, inputs={"in": first + late})["out"])
     )
-    with pytest.raises(NotImplementedError, match="batch-only"):
-        StreamingTopologyRunner(spark, topo).build({"in": src})
+    topo_stream = {
+        "entities": {"in": topic(), "t": {**ent, "watermark": "0 seconds"}, "out": topic()},
+        "workflow": wf,
+    }
+    rows = run_streaming_topology(
+        spark, topo_stream, {"in": first}, str(tmp_path), extra_files={"in": late}
+    )["out"]
+    final = {}
+    for k, v in rows:
+        final[k] = v
+    assert Counter(final.items()) == b == Counter([("odd", "3,7"), ("even", "")])
 
 
 def test_python_fold_on_rocksdb_state_store(spark, tmp_path):

@@ -261,6 +261,49 @@ def test_congruity_global_table_join(spark, tmp_path):
     assert b == s == Counter([("k", (1, None)), ("k2", (1, 2))])
 
 
+def test_global_table_refresh_between_microbatches(spark, tmp_path):
+    """A continuously-updated GlobalKTable (core.clj:109-118): a
+    callable ``static_source`` is re-evaluated at every micro-batch, so
+    a dim update landing between triggers is visible to later joins —
+    the frozen-DataFrame snapshot would return 100 for both records.
+    A stateless value transform downstream of the refreshed join also
+    re-runs per batch (DeferredStream tail)."""
+    calls = {"n": 0}
+
+    def dim_snapshot():
+        calls["n"] += 1
+        # dim value flips 100 -> 200 after the first micro-batch
+        return seed_records(spark, [("k", 100 if calls["n"] == 1 else 200, 0)])
+
+    topo = {
+        "entities": {
+            "in": topic(),
+            "dim": topic(),
+            "s": {"type": "kstream"},
+            "g": {"type": "global_ktable", "static_source": dim_snapshot},
+            "j": {"type": "kstream"},
+            "enriched": {
+                "type": "kstream",
+                "xform": MapValues(lambda v: F.array(v[0], v[1] + 1)),
+            },
+            "out": topic(),
+        },
+        "workflow": [
+            ("in", "s"), ("dim", "g"), ("s", "j"), ("g", "j"),
+            ("j", "enriched"), ("enriched", "out"),
+        ],
+        "joins": {("s", "g"): {"type": "inner"}},
+    }
+    # two micro-batches (one file each): the first joins against dim=100,
+    # the second must see the refreshed dim=200
+    rows = run_streaming_topology(
+        spark, topo, {"in": [("k", 1, 100)]}, str(tmp_path),
+        extra_files={"in": [("k", 2, 200)]},
+    )["out"]
+    assert calls["n"] >= 2
+    assert Counter(rows) == Counter([("k", (1, 101)), ("k", (2, 201))])
+
+
 def test_congruity_retraction_regrouped_table(spark, tmp_path):
     """A5 (streams.clj:44-50) in STREAMING: a re-grouped upsert retracts
     the old contribution from its old group via the stateful re-key op +
@@ -374,7 +417,9 @@ def test_streaming_retraction_guards(spark):
         },
         "workflow": base["workflow"],
     }
-    with pytest.raises(NotImplementedError, match="batch-only"):
+    # Python fold + retract needs an explicit subtractor (with one, the
+    # deferred foreachBatch fold handles it — see test_stateful_fold_streaming)
+    with pytest.raises(ValueError, match="subtractor"):
         StreamingTopologyRunner(spark, fold_topo).build({"in": src})
 
 

@@ -29,9 +29,11 @@ Semantics mapping (SURVEY §2.7):
   (ts, key) (experiment.clj:23-34). Inner joins are congruent;
   outer-join congruity holds exactly on inputs where matched records
   satisfy ts_left >= ts_right (placeholder suppressed in batch too).
-- KStream⋈GlobalKTable → stream-static broadcast join (the static side
-  is the table's latest state at query start; Kafka's GlobalKTable is
-  likewise "current state at lookup time").
+- KStream⋈GlobalKTable → stream-static broadcast join. A DataFrame
+  ``static_source`` is a frozen query-start snapshot; a zero-arg
+  callable is re-evaluated at EVERY micro-batch (deferred foreachBatch
+  join — Kafka's continuously-updated GlobalKTable, "current state at
+  lookup time", core.clj:109-118).
 - KStream⋈KTable and KTable⋈KTable → a custom stateful operator
   (``applyInPandasWithState``) holding each table side's current value
   per key and emitting on stream records (J6) or on both sides'
@@ -83,6 +85,33 @@ def _duration_ms(s: str, default: int) -> int:
     if m and m.group(2) in _DURATION_UNITS:
         return int(int(m.group(1)) * _DURATION_UNITS[m.group(2)])
     return default
+
+
+class DeferredStream:
+    """A streaming DataFrame plus batch transforms applied PER
+    MICRO-BATCH inside ``foreachBatch`` — Spark's pattern for joining a
+    stream against a slowly-changing dimension (a continuously-updated
+    GlobalKTable, core.clj:109-118): the stream side stays incremental
+    while the dim snapshot is re-evaluated at every trigger, so dim
+    updates landing between micro-batches are visible to later joins.
+
+    Each fn takes ``(batch_df, batch_id)`` — the id lets a step manage
+    its own versioned state (the Python-subtractor fold). Stateless ops
+    may follow the deferral point (they re-run as plain batch column
+    ops on each micro-batch); JVM-stateful downstream ops raise a
+    precise error at compile time."""
+
+    def __init__(self, df: DataFrame, fns=None):
+        self.df = df
+        self.fns = list(fns or [])
+
+    def then(self, fn) -> "DeferredStream":
+        return DeferredStream(self.df, self.fns + [fn])
+
+    def apply(self, batch_df: DataFrame, batch_id: int = 0) -> DataFrame:
+        for fn in self.fns:
+            batch_df = fn(batch_df, batch_id)
+        return batch_df
 
 
 class StreamingTopologyRunner:
@@ -167,6 +196,13 @@ class StreamingTopologyRunner:
         if order is None or cfg is None or cfg.get("type", "merge") == "merge":
             if not parents:
                 return None
+            if len(parents) > 1 and any(
+                isinstance(built[p], DeferredStream) for p in parents
+            ):
+                raise NotImplementedError(
+                    f"merge into {node!r}: merging a stream downstream of a "
+                    "refreshed global table with other streams is unsupported"
+                )
             out = built[parents[0]]
             for p in parents[1:]:
                 out = out.unionByName(built[p])
@@ -191,18 +227,37 @@ class StreamingTopologyRunner:
         right_type = self._joinable_type(right_id)
         right_ent = self.entities[right_id]
         if right_type == model.GLOBAL_KTABLE:
-            # stream-static broadcast join: static side = latest state now
-            static = right_ent["__static_df"]
             kv_mapper = cfg.get("kv_mapper")
-            jk = kv_mapper(F.col(KEY), F.col(VALUE)) if kv_mapper else F.col(KEY)
-            dim = static.select(F.col(KEY).alias("__tkey"), F.col(VALUE).alias("__tv"))
-            joined = left.withColumn("__jk", jk).join(
-                F.broadcast(dim), F.col("__jk") == F.col("__tkey"), jt
-            )
-            return joined.select(
-                F.col(KEY),
-                _tuple_value(F.col(VALUE), F.col("__tv"), left_arity, 1, mode).alias(VALUE),
-                F.col(TIMESTAMP),
+
+            def join_with(df: DataFrame, dim_src: DataFrame) -> DataFrame:
+                # broadcast lookup join against the dim snapshot
+                jk = kv_mapper(F.col(KEY), F.col(VALUE)) if kv_mapper else F.col(KEY)
+                dim = dim_src.select(F.col(KEY).alias("__tkey"), F.col(VALUE).alias("__tv"))
+                joined = df.withColumn("__jk", jk).join(
+                    F.broadcast(dim), F.col("__jk") == F.col("__tkey"), jt
+                )
+                return joined.select(
+                    F.col(KEY),
+                    _tuple_value(F.col(VALUE), F.col("__tv"), left_arity, 1, mode).alias(VALUE),
+                    F.col(TIMESTAMP),
+                )
+
+            refresh = right_ent.get("__static_fn")
+            if refresh is not None:
+                # continuously-updated dim: re-evaluate the snapshot at
+                # every micro-batch (deferred foreachBatch join)
+                base = left if isinstance(left, DeferredStream) else DeferredStream(left)
+                return base.then(lambda bdf, _bid: join_with(bdf, refresh()))
+            # frozen snapshot: stream-static join compiles into the plan
+            static = right_ent["__static_df"]
+            if isinstance(left, DeferredStream):
+                return left.then(lambda bdf, _bid: join_with(bdf, static))
+            return join_with(left, static)
+        if isinstance(left, DeferredStream):
+            raise NotImplementedError(
+                f"join {left_type}⋈{right_type} downstream of a refreshed "
+                "global table: only stateless ops and further global-table "
+                "joins may follow a refreshing (callable) static_source"
             )
         if left_type == model.KSTREAM and right_type == model.KSTREAM:
             before, after = cfg.get("window", (0, 0))
@@ -597,7 +652,11 @@ class StreamingTopologyRunner:
         win = ent.get("window")
         if ent.get("retract"):
             out = self._retracting_agg(agg, df, ent, node)
-            self.output_modes[node] = "update"
+            # fold tier defers stage 2 to foreachBatch — the in-plan part
+            # (stage-1 re-key op) is append-mode
+            self.output_modes[node] = (
+                "append" if isinstance(out, DeferredStream) else "update"
+            )
             return out
         if agg.kind == "fold":
             if win is not None and not isinstance(win, (TumblingWindow, HoppingWindow)):
@@ -682,16 +741,18 @@ class StreamingTopologyRunner:
         import pandas as pd
         from pyspark.sql.streaming.state import GroupStateTimeout
 
-        if agg.kind != "column" or agg.contribution_fn is None:
-            # the natural plan (re-key FMGWS → signed Python fold FMGWS)
-            # is rejected by Spark: "Multiple applyInPandasWithStates
-            # are not supported on a streaming DataFrame" — so Python
-            # subtractor folds stay batch-only; only stage 2 as a plain
-            # JVM aggregation (invertible column aggs) can chain
+        is_fold = agg.kind == "fold"
+        if is_fold and agg.subtractor is None:
+            raise ValueError(
+                "retraction with a Python fold needs an explicit 'subtractor' "
+                "(Aggregate.fold(..., subtractor=...), streams.clj:44-50)"
+            )
+        if not is_fold and agg.contribution_fn is None:
+            # stage 2 for column aggs is sum(sign × contribution) — only
+            # invertible column aggregates qualify
             raise NotImplementedError(
                 "streaming retraction needs an invertible column aggregate "
-                "(sum/count); Python subtractor folds are batch-only (Spark "
-                "disallows chaining two applyInPandasWithState operators)"
+                "(sum/count) or a Python fold with an explicit subtractor"
             )
         win = ent.get("window")
         if win is not None and not isinstance(win, (TumblingWindow, HoppingWindow)):
@@ -706,10 +767,13 @@ class StreamingTopologyRunner:
                 f"entity {node!r}: retraction (stateful re-key op) requires a 'watermark'"
             )
         df = self._watermarked(df, ent)
+        # fold tier: the raw value is the "contribution" — the Python
+        # adder/subtractor receive it as-is
+        contrib = F.col(VALUE) if is_fold else agg.contribution_fn(F.col(VALUE))
         src = df.select(
             F.col(KEY),
             F.col("__gkey"),
-            agg.contribution_fn(F.col(VALUE)).alias("__contrib"),
+            contrib.alias("__contrib"),
             F.col(TIMESTAMP),
         )
         ct = src.schema["__contrib"].dataType.simpleString()
@@ -765,6 +829,8 @@ class StreamingTopologyRunner:
         signed = src.groupBy(KEY).applyInPandasWithState(
             rekey, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
+        if is_fold:
+            return self._deferred_fold_retraction(agg, signed, ent, node, win)
         if win is None:
             return (
                 signed.groupBy("__gkey")
@@ -796,6 +862,127 @@ class StreamingTopologyRunner:
             value.alias(VALUE),
             F.col("__w.end").alias(TIMESTAMP),
         )
+
+    def _deferred_fold_retraction(
+        self, agg, signed: DataFrame, ent: dict, node: str, win
+    ) -> DeferredStream:
+        """A5 with an arbitrary Python subtractor fold in STREAMING
+        (streams.clj:44-50 — the reference supports any subtractor fn).
+
+        Spark rejects chaining two ``applyInPandasWithState`` operators,
+        and ``transformWithState`` (the state-v2 API built for exactly
+        this chaining) needs the protobuf-based Python state server.
+        Stage 2 therefore runs as a deferred per-micro-batch step
+        (foreachBatch): the signed events from the stateful re-key op
+        fold into per-group accumulators via Arrow ``applyInPandas`` per
+        group — distributed, never a driver loop — against a versioned
+        parquet state table. Snapshot ``snap=<batch_id>`` is written per
+        trigger; each batch folds on top of the newest snapshot with
+        id < batch_id, so replaying a failed batch re-reads the same
+        base — idempotent state, at-least-once emission.
+
+        Scale: state I/O is a full-snapshot rewrite per trigger — fine
+        while group cardinality is dim-sized (the fold tier is already
+        the opaque-Python slow path); for huge state use the column
+        tier (sum/count — JVM state store) or point ``state_dir`` at a
+        partitioned store."""
+        import tempfile
+
+        initial, adder, subtractor = agg.initial, agg.adder, agg.subtractor
+        acc_type = agg.acc_type if isinstance(agg.acc_type, str) else agg.acc_type.simpleString()
+        gt = signed.schema["__gkey"].dataType.simpleString()
+        state_dir = ent.get("state_dir") or tempfile.mkdtemp(prefix=f"willa_state_{node}_")
+        emit_window = bool(ent.get("emit_window"))
+        windowed = win is not None
+        size_ms = getattr(win, "size_ms", None)
+        advance_ms = getattr(win, "advance_ms", None)
+
+        def fold_batch(bdf: DataFrame, batch_id: int) -> DataFrame:
+            import glob
+            import os
+
+            import pandas as pd
+
+            from ..operators.windows import WINDOW_START, assign_time_windows
+
+            spark = bdf.sparkSession
+            group_cols = ["__gkey"] + ([WINDOW_START] if windowed else [])
+            ev = bdf.select(
+                F.col("__gkey"), F.col("__contrib"), F.col("__sign"),
+                F.unix_millis(F.col(TIMESTAMP)).alias("__ts"),
+                F.unix_millis(F.col("__win_ts")).alias("__wts"),
+            )
+            if windowed:
+                ev = assign_time_windows(ev, "__wts", size_ms, advance_ms)
+            # previous acc rides along as a SEPARATE column (full-outer
+            # join by group), never union-ed into the event rows — mixing
+            # seed rows in would null-promote the pandas __contrib column
+            # to float64 and corrupt the values the subtractor sees
+            ev = ev.select(*group_cols, "__contrib", "__sign", "__ts")
+            snaps = [
+                int(os.path.basename(p).split("=", 1)[1])
+                for p in glob.glob(os.path.join(state_dir, "snap=*"))
+            ]
+            prev = [s for s in snaps if s < batch_id]
+            if prev:
+                state = spark.read.parquet(
+                    os.path.join(state_dir, f"snap={max(prev)}")
+                ).select(*group_cols, F.col("__acc").alias("__prev_acc"))
+                combined = ev.join(state, group_cols, "full_outer")
+            else:
+                combined = ev.withColumn("__prev_acc", F.lit(None).cast(acc_type))
+            out_ddl = f"__gkey {gt}"
+            if windowed:
+                out_ddl += f", {WINDOW_START} long"
+            out_ddl += f", __acc {acc_type}, __changed boolean"
+
+            def fold_group(pdf: pd.DataFrame) -> pd.DataFrame:
+                # state-only groups carry one row with null __sign; event
+                # rows always have non-null __contrib/__sign (so their
+                # dtypes stay exact — int stays int)
+                evs = pdf[pdf["__sign"].notna()]
+                changed = len(evs) > 0
+                prev_accs = pdf["__prev_acc"].dropna()
+                acc = prev_accs.iloc[0] if len(prev_accs) else initial
+                if changed:
+                    # same total order as the batch fold: (ts, sign asc —
+                    # retraction before the paired addition — value tie)
+                    evs = evs.assign(__tie=evs["__contrib"].astype(str)).sort_values(
+                        ["__ts", "__sign", "__tie"], kind="stable"
+                    )
+                    for g, c, s in zip(
+                        evs["__gkey"].tolist(), evs["__contrib"].tolist(), evs["__sign"].tolist()
+                    ):
+                        acc = subtractor(acc, g, c) if s < 0 else adder(acc, g, c)
+                head = pdf.iloc[0]
+                row = {"__gkey": [head["__gkey"]], "__acc": [acc], "__changed": [changed]}
+                if windowed:
+                    row[WINDOW_START] = [head[WINDOW_START]]
+                return pd.DataFrame(row)
+
+            folded = combined.groupBy(*group_cols).applyInPandas(fold_group, out_ddl)
+            snap_path = os.path.join(state_dir, f"snap={batch_id}")
+            folded.write.mode("overwrite").parquet(snap_path)
+            out = spark.read.parquet(snap_path).filter(F.col("__changed"))
+            if not windowed:
+                return out.select(
+                    F.col("__gkey").alias(KEY),
+                    F.col("__acc").alias(VALUE),
+                    F.lit(None).cast("timestamp").alias(TIMESTAMP),
+                )
+            if emit_window:
+                value = F.struct(
+                    F.col(WINDOW_START).alias("win"), F.col("__acc").alias("v")
+                )
+            else:
+                value = F.col("__acc")
+            return out.select(
+                F.col("__gkey").alias(KEY),
+                value.alias(VALUE),
+                F.timestamp_millis(F.col(WINDOW_START) + F.lit(int(size_ms))).alias(TIMESTAMP),
+            )
+
+        return DeferredStream(signed, [fold_batch])
 
     def _stateful_fold(
         self, agg, df: DataFrame, node: str, win=None, emit_window: bool = False
@@ -904,31 +1091,60 @@ class StreamingTopologyRunner:
                     self.output_modes[node] = mode_up[0]
                 continue
             combined = self._combine_parents(node, built)
+            deferred = isinstance(combined, DeferredStream)
             if etype == model.TOPIC:
                 if node in inputs:
+                    if deferred:
+                        raise NotImplementedError(
+                            f"topic {node!r}: merging a source with a stream "
+                            "downstream of a refreshed global table is unsupported"
+                        )
                     src = self._ingest(inputs[node])
                     built[node] = src if combined is None else combined.unionByName(src)
                 else:
                     built[node] = combined
             elif etype == model.KSTREAM:
-                built[node] = (
-                    apply_xform(combined, ent.get("xform")) if combined is not None else None
-                )
+                if deferred:
+                    # stateless: re-runs per micro-batch inside foreachBatch
+                    xform = ent.get("xform")
+                    built[node] = combined.then(lambda df, _bid, x=xform: apply_xform(df, x))
+                else:
+                    built[node] = (
+                        apply_xform(combined, ent.get("xform")) if combined is not None else None
+                    )
             elif etype == model.KTABLE:
+                if deferred:
+                    raise NotImplementedError(
+                        f"ktable {node!r}: stateful aggregation downstream of a "
+                        "refreshed global table join is unsupported (per-batch "
+                        "re-aggregation would lose cross-trigger state); use a "
+                        "frozen static_source DataFrame instead"
+                    )
                 built[node] = self._ktable(ent, combined, node) if combined is not None else None
             elif etype == model.GLOBAL_KTABLE:
                 # static snapshot: materialize the parent topic's latest
                 # state as a batch DF (must be provided — streaming
-                # sources can't be collected); entity carries __static_df
+                # sources can't be collected).  A zero-arg CALLABLE
+                # static_source is re-evaluated at every micro-batch
+                # (continuously-updated dim, core.clj:109-118) via a
+                # deferred foreachBatch join; a plain DataFrame is a
+                # frozen query-start snapshot.
                 parents = model.parents_of(self.topology, node)
                 static = ent.get("static_source")
                 if static is None:
                     raise ValueError(
                         f"global_ktable {node!r} needs 'static_source' (batch "
-                        f"DataFrame of records) in streaming mode; parent={parents}"
+                        f"DataFrame of records, or a zero-arg callable returning "
+                        f"one, re-read per micro-batch) in streaming mode; "
+                        f"parent={parents}"
                     )
-                ent["__static_df"] = static
-                built[node] = None  # joined via __static_df, not as a stream
+                if callable(static):
+                    ent["__static_fn"] = static
+                    ent.pop("__static_df", None)
+                else:
+                    ent["__static_df"] = static
+                    ent.pop("__static_fn", None)
+                built[node] = None  # joined via the snapshot, not as a stream
             if mode_up and node in built and built[node] is not None:
                 self.output_modes[node] = mode_up[0]
         return {k: v for k, v in built.items() if v is not None}
@@ -1014,20 +1230,41 @@ def run_streaming_topology(
             stack.extend(model.parents_of(topology, n))
         return leaf
 
+    foreach_rows: dict[str, list] = {}
     for i, leaf in enumerate(sorted(leaves(list(topology["workflow"])))):
         if leaf not in built:
+            continue
+        chk = os.path.join(tmpdir, f"chk_{_store_name(leaf).replace('-', '_')}_{i}")
+        sink = built[leaf]
+        if isinstance(sink, DeferredStream):
+            # refreshed-global-table leaf: the deferred batch transforms
+            # (dim re-read + join + stateless tail) run per micro-batch
+            # inside foreachBatch; rows accumulate driver-side
+            acc: list = []
+            foreach_rows[leaf] = acc
+
+            def make_sink(deferred: DeferredStream, acc: list):
+                def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+                    acc.extend(deferred.apply(batch_df, batch_id).collect())
+
+                return write_batch
+
+            q = (
+                sink.df.writeStream.foreachBatch(make_sink(sink, acc))
+                .outputMode(runner.output_mode_for(leaf))
+                .option("checkpointLocation", chk)
+                .trigger(availableNow=True)
+                .start()
+            )
+            queries.append(q)
             continue
         qname = f"sink_{leaf.replace('-', '_')}_{abs(hash(tmpdir)) % 10_000}_{i}"
         sink_names[leaf] = qname
         q = (
-            built[leaf]
-            .writeStream.format("memory")
+            sink.writeStream.format("memory")
             .queryName(qname)
             .outputMode(runner.output_mode_for(leaf))
-            .option(
-                "checkpointLocation",
-                os.path.join(tmpdir, f"chk_{_store_name(leaf).replace('-', '_')}_{i}"),
-            )
+            .option("checkpointLocation", chk)
             .trigger(availableNow=True)
             .start()
         )
@@ -1042,8 +1279,7 @@ def run_streaming_topology(
                 f"streaming query {q.name} did not finish within 120s "
                 "(availableNow trigger wedged or too slow)"
             )
-    for leaf, qname in sink_names.items():
-        rows = spark.sql(f"SELECT * FROM {qname}").collect()
+    def _rows_out(rows) -> list[tuple]:
         out = []
         for r in rows:
             v = r[VALUE]
@@ -1052,5 +1288,10 @@ def run_streaming_topology(
             elif isinstance(v, list):
                 v = tuple(v)
             out.append((r[KEY], v))
-        results[leaf] = out
+        return out
+
+    for leaf, qname in sink_names.items():
+        results[leaf] = _rows_out(spark.sql(f"SELECT * FROM {qname}").collect())
+    for leaf, rows in foreach_rows.items():
+        results[leaf] = _rows_out(rows)
     return results
