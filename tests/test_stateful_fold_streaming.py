@@ -150,6 +150,56 @@ def test_python_fold_retraction_congruity(spark, tmp_path):
     assert Counter(final.items()) == b == Counter([("odd", "3,7"), ("even", "")])
 
 
+def test_python_fold_windowed_retraction_congruity(spark, tmp_path):
+    """A5 × A2 with a Python subtractor fold: the retraction lands in
+    the OLD record's window; the deferred per-batch fold keys state by
+    (group, window). k flips win0→win1 across micro-batches."""
+    from pyspark.sql import functions as F
+
+    from willa_spark import TumblingWindow
+
+    def _add(acc, gk, v):
+        return ",".join(sorted([p for p in acc.split(",") if p] + [str(v)]))
+
+    def _sub(acc, gk, v):
+        parts = [p for p in acc.split(",") if p]
+        parts.remove(str(v))
+        return ",".join(sorted(parts))
+
+    ent = {
+        "type": "ktable",
+        "group_by": lambda k, v: F.lit("g1"),
+        "window": TumblingWindow(1000),
+        "aggregate": Aggregate.fold("", _add, "string", subtractor=_sub),
+        "retract": True,
+        "emit_window": True,
+    }
+    wf = [("in", "t"), ("t", "out")]
+    first = [("k", 1, 100), ("k2", 3, 100)]
+    late = [("k", 2, 1200), ("k2", 5, 300)]  # k moves to win1; k2 updates in win0
+    topo_batch = {
+        "entities": {"in": topic(), "t": {**ent, "suppress": True}, "out": topic()},
+        "workflow": wf,
+    }
+    b = Counter(
+        collect_records(run_topology(spark, topo_batch, inputs={"in": first + late})["out"])
+    )
+    topo_stream = {
+        "entities": {"in": topic(), "t": {**ent, "watermark": "0 seconds"}, "out": topic()},
+        "workflow": wf,
+    }
+    rows = run_streaming_topology(
+        spark, topo_stream, {"in": first}, str(tmp_path), extra_files={"in": late}
+    )["out"]
+    final = {}
+    for k, v in rows:
+        final[(k, v[0])] = (k, v)
+    # win0: +1 +3, then k2 upsert (-3 +5), then k's move retracts 1 → "5"
+    assert Counter(final.values()) == b == Counter(
+        [("g1", (0, "5")), ("g1", (1000, "2"))]
+    )
+
+
 def test_python_fold_on_rocksdb_state_store(spark, tmp_path):
     """The reference keeps state in RocksDB (core.clj:95-96); Spark's
     RocksDBStateStoreProvider is the scale path for state larger than

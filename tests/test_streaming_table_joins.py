@@ -92,6 +92,71 @@ def test_table_table_outer_join_streaming(spark, tmp_path):
     assert Counter(res["out"]) == Counter([("k", (None, 2)), ("k", (1, 2))])
 
 
+def nary_topo(jt, first="ktable"):
+    return {
+        "entities": {
+            "in-a": topic(),
+            "in-b": topic(),
+            "in-c": topic(),
+            "ta": {"type": first},
+            "tb": {"type": "ktable"},
+            "tc": {"type": "ktable"},
+            "joined": {"type": "kstream"},
+            "out": topic(),
+        },
+        "workflow": [
+            ("in-a", "ta"),
+            ("in-b", "tb"),
+            ("in-c", "tc"),
+            ("ta", "joined"),
+            ("tb", "joined"),
+            ("tc", "joined"),
+            ("joined", "out"),
+        ],
+        "joins": {("ta", "tb", "tc"): {"type": jt}},
+    }
+
+
+def test_nary_table_table_inner_join_streaming(spark, tmp_path):
+    """J8 × J5: three KTables fold into one widened tuple
+    (streams.clj:115-123) — fused into a SINGLE stateful operator in
+    streaming (Spark rejects chained stateful Pandas ops). Congruent
+    with the batch pairwise as-of fold when arrival order == ts order."""
+    inputs = {
+        "in-a": [("k", 1, 100), ("k", 4, 400)],
+        "in-b": [("k", 2, 200)],
+        "in-c": [("k", 3, 300)],
+    }
+    res = run_streaming_topology(spark, nary_topo("inner"), inputs, str(tmp_path))
+    # a@100: no b/c; b@200: no c; c@300: [1,2,3]; a@400: [4,2,3]
+    assert Counter(res["out"]) == Counter([("k", (1, 2, 3)), ("k", (4, 2, 3))])
+    b = Counter(
+        collect_records(run_topology(spark, nary_topo("inner"), inputs=inputs)["out"])
+    )
+    assert b == Counter(res["out"])
+
+
+def test_nary_stream_tables_join_streaming(spark, tmp_path):
+    """J8 × J6: stream ⋈ table ⋈ table — emission only on stream
+    records, each looking up BOTH tables' current state; table state
+    carries across micro-batches."""
+    inputs = {
+        "in-b": [("k", 20, 100)],
+        "in-c": [("k", 30, 150)],
+    }
+    res = run_streaming_topology(
+        spark,
+        nary_topo("left", first="kstream"),
+        inputs,
+        str(tmp_path),
+        extra_files={"in-a": [("k", 1, 200), ("k2", 9, 250)]},
+    )
+    # k: both tables set → [1,20,30]; k2: no table state → [9,None,None]
+    assert Counter(res["out"]) == Counter(
+        [("k", (1, 20, 30)), ("k2", (9, None, None))]
+    )
+
+
 def test_state_carries_across_batches(spark, tmp_path):
     """Table state from batch 1 enriches stream records in batch 2."""
     res = run_streaming_topology(

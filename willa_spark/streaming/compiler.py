@@ -66,6 +66,34 @@ def _ms_duration(ms: int) -> str:
     return f"{int(ms)} milliseconds"
 
 
+def _scalar_caster(type_str: str):
+    """Pandas widens a nullable numeric column to float64 (4 → 4.0, NaN
+    for nulls); values read back out of such a column must be cast to
+    the declared Spark type before re-entering Arrow/pickle (numpy
+    scalars crash the unpickler, floats pickled into bigint fields
+    decode as NULL JVM-side)."""
+    import math
+
+    base = type_str.split("(")[0]
+    if base in ("tinyint", "smallint", "int", "bigint", "byte", "short", "long", "integer"):
+        num = int
+    elif base in ("float", "double"):
+        num = float
+    else:
+        num = None
+
+    def cast(x):
+        if x is None:
+            return None
+        if isinstance(x, float) and math.isnan(x):
+            return None
+        if hasattr(x, "item"):
+            x = x.item()
+        return num(x) if num is not None else x
+
+    return cast
+
+
 _DURATION_UNITS = {
     "microsecond": 0.001,
     "millisecond": 1,
@@ -208,6 +236,24 @@ class StreamingTopologyRunner:
                 out = out.unionByName(built[p])
             return out
         ordered = [p for p in order if usable(p)]
+        types = [self._joinable_type(p) for p in ordered]
+        if (
+            len(ordered) > 2
+            and all(t == model.KTABLE for t in types[1:])
+            and types[0] in (model.KSTREAM, model.KTABLE)
+            and not any(isinstance(built[p], DeferredStream) for p in ordered)
+        ):
+            # n-ary stream+tables / all-tables chain: fuse the pairwise
+            # fold into ONE stateful operator (chaining stateful Pandas
+            # ops is rejected by Spark, and the fusion is cheaper anyway)
+            out = self._stateful_table_join_n(
+                [built[p] for p in ordered],
+                cfg.get("type", "inner"),
+                cfg.get("tuple_mode", "array"),
+                first_is_stream=(types[0] == model.KSTREAM),
+            )
+            self.output_modes[node] = "update"
+            return out
         acc = built[ordered[0]]
         acc_type = self._joinable_type(ordered[0])
         acc_arity = 1
@@ -343,7 +389,11 @@ class StreamingTopologyRunner:
             return out.withColumn(TIMESTAMP, F.col(TIMESTAMP) - shift)
         if right_type == model.KTABLE:
             if left_arity != 1:
-                raise NotImplementedError("n-ary streaming table joins are not supported")
+                raise NotImplementedError(
+                    "n-ary table joins mixing other join kinds are not "
+                    "supported in streaming (pure stream+tables / all-tables "
+                    "chains fuse into one stateful operator upstream)"
+                )
             if node is not None:
                 # stateful operator in update mode; sinks must follow
                 self.output_modes[node] = "update"
@@ -638,6 +688,126 @@ class StreamingTopologyRunner:
             _tuple_value(F.col("__l"), F.col("__r"), 1, 1, mode).alias(VALUE),
             F.col(TIMESTAMP),
         )
+
+    def _stateful_table_join_n(
+        self, dfs: list[DataFrame], jt: str, mode: str, first_is_stream: bool
+    ) -> DataFrame:
+        """N-ary table join (J8 × J5/J6, streams.clj:115-123 — the
+        reference folds ANY arity pairwise). Spark disallows chaining
+        stateful Pandas operators, so the pairwise fold FUSES into one
+        ``applyInPandasWithState``: per-key state holds every table
+        side's current value; each arriving record updates its side and
+        emits the full widened tuple. The chained fold's presence rules
+        compose to: inner → all sides present; left → first side
+        present (stream-first: always); outer → always. Stream-first
+        chains emit only on stream records (table updates just refresh
+        state) — exactly what chaining stream⋈table joins yields.
+
+        Scale: ONE shuffle by join key and N values of state per key,
+        versus N-1 shuffles + N-1 state stores for the chained plan —
+        the fused operator is strictly cheaper."""
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        n = len(dfs)
+        kt = dfs[0].schema[KEY].dataType.simpleString()
+        vts = [df.schema[VALUE].dataType.simpleString() for df in dfs]
+        if mode == "array" and len(set(vts)) > 1:
+            raise ValueError(
+                "array tuple_mode needs matching value types; use "
+                "tuple_mode='struct' in the join config"
+            )
+        elem_cols = [f"e{i}" for i in range(n)]
+        out_schema = (
+            f"{KEY} {kt}, "
+            + ", ".join(f"{c} {t}" for c, t in zip(elem_cols, vts))
+            + f", {TIMESTAMP} timestamp"
+        )
+        table_idx = list(range(1, n)) if first_is_stream else list(range(n))
+        state_schema = ", ".join(f"v{i} {vts[i]}, h{i} boolean" for i in table_idx)
+        casters = [_scalar_caster(t) for t in vts]
+        stream_first = first_is_stream
+
+        def join_fold(key, pdf_iter, state):
+            if state.exists:
+                flat = list(state.get)
+            else:
+                flat = [None, False] * len(table_idx)
+            vals = {i: flat[2 * j] for j, i in enumerate(table_idx)}
+            has = {i: bool(flat[2 * j + 1]) for j, i in enumerate(table_idx)}
+            out_rows: list[tuple] = []
+
+            def emit(ts, stream_val=None):
+                if jt == "inner":
+                    ok = all(has[i] for i in table_idx)
+                elif jt == "left":
+                    ok = True if stream_first else has[0]
+                else:  # outer (table-table only)
+                    ok = True
+                if not ok:
+                    return
+                row = []
+                for i in range(n):
+                    if stream_first and i == 0:
+                        row.append(stream_val)
+                    else:
+                        row.append(vals[i] if has[i] else None)
+                out_rows.append((key[0], *row, ts))
+
+            for pdf in pdf_iter:
+                # tables settle before stream records at equal ts (same
+                # rule as the pairwise operator); among tables, join order
+                pdf = pdf.sort_values([TIMESTAMP, "ord"], kind="stable")
+                sides = pdf["side"].tolist()
+                tss = pdf[TIMESTAMP].tolist()
+                vcols = [pdf[f"v{i}"].tolist() for i in range(n)]
+                for r, (side, ts) in enumerate(zip(sides, tss)):
+                    if stream_first and side == 0:
+                        emit(ts, stream_val=casters[0](vcols[0][r]))
+                    else:
+                        vals[side] = casters[side](vcols[side][r])
+                        has[side] = True
+                        if not stream_first:
+                            emit(ts)
+            flat = []
+            for i in table_idx:
+                flat += [vals[i], bool(has[i])]
+            state.update(tuple(flat))
+            if out_rows:
+                yield pd.DataFrame(
+                    dict(
+                        zip(
+                            [KEY, *elem_cols, TIMESTAMP],
+                            map(list, zip(*out_rows)),
+                        )
+                    )
+                )
+
+        unioned = None
+        for i, df in enumerate(dfs):
+            # tables first at equal ts: stream ord sorts after all tables
+            ord_val = (n + 1) if (stream_first and i == 0) else i
+            side = df.select(
+                F.col(KEY),
+                *[
+                    (F.col(VALUE) if j == i else F.lit(None).cast(vts[j])).alias(f"v{j}")
+                    for j in range(n)
+                ],
+                F.col(TIMESTAMP),
+                F.lit(i).alias("side"),
+                F.lit(ord_val).alias("ord"),
+            )
+            unioned = side if unioned is None else unioned.unionByName(side)
+        folded = unioned.groupBy(KEY).applyInPandasWithState(
+            join_fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+        if mode == "struct":
+            value = F.struct(
+                *[F.col(c).alias(f"_{i + 1}") for i, c in enumerate(elem_cols)]
+            )
+        else:
+            value = F.array(*[F.col(c) for c in elem_cols])
+        return folded.select(F.col(KEY), value.alias(VALUE), F.col(TIMESTAMP))
 
     # -- ktable ----------------------------------------------------------
     def _ktable(self, ent: dict, df: DataFrame, node: str) -> DataFrame:
