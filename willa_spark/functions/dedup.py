@@ -149,11 +149,24 @@ def minhash_candidate_pairs(
     # combine → the shuffle carries one k-wide row per doc per task).
     # Naive k×array_min(transform(...)) re-evaluated the shingle array
     # k times and benchmarked 70× slower at sf0.1.
-    exploded = _spread(df.select(id_col, text_col), id_col).select(
-        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), shingle_n)).alias("s")
+    #
+    # The k-member hash family re-hashes the shingle's 64-bit base hash
+    # (fixed 8-byte input) instead of the string itself: one
+    # string-length hash per shingle + k constant-time long hashes —
+    # hashing the string k times benchmarked ~3× slower at sf0.1 (the
+    # family stays pairwise-independent; a 64-bit base collision merges
+    # two shingles corpus-wide, which perturbs Jaccard by ~1/|shingles|
+    # — far below the MinHash estimator's own variance).
+    exploded = (
+        _spread(df.select(id_col, text_col), id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
+        )
+        .select("id", F.xxhash64(F.col("s")).alias("__h"))
     )
     sig = exploded.groupBy("id").agg(
-        *[F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+        *[F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
     )
     banded = sig.select(
         "id",

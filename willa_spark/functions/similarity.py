@@ -154,45 +154,62 @@ def lsh_topk(
       signature likely differs in >1 bit. Corpus-side cost is
       n_tables bucket entries per vector (an explode, not a copy of
       the vector per se — the vector column rides along for rescoring,
-      so size the table count to the memory budget at scale)."""
+      so size the table count to the memory budget at scale).
+
+    Signatures and probe buckets are computed in ONE vectorized Arrow
+    pass (a numpy (batch × dim) · (dim × tables·planes) matmul): the
+    per-plane Column-expression dot products would codegen
+    n_tables × n_planes separate 64-element aggregates, whose compile
+    and eval cost scales with the expression count rather than the
+    data — measured ~5× slower than the batched matmul even at tiny
+    corpus sizes. Candidate generation (equi-join on the packed
+    (table, bucket) key) and exact cosine rescoring stay JVM-side."""
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import Window as W
 
     tables = [hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    mat = np.array([p for planes in tables for p in planes], dtype=np.float64)
+    T, P, probes = n_tables, n_planes, n_probes
+    pow2 = (1 << np.arange(P)).astype(np.int64)
+    t_tags = (np.arange(T, dtype=np.int64) << 48)
+
+    def _proj(ser):
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in ser])
+        return (m @ mat.T).reshape(len(ser), T, P)
+
+    def _corpus_keys(ser):
+        proj = _proj(ser)
+        buckets = ((proj >= 0) @ pow2).astype(np.int64)  # (n, T)
+        return pd.Series(list(t_tags | buckets))
+
+    def _query_keys(ser):
+        proj = _proj(ser)
+        buckets = ((proj >= 0) @ pow2).astype(np.int64)
+        base = t_tags | buckets
+        if probes <= 0:
+            return pd.Series(list(base))
+        # multi-probe: flip the lowest-|margin| signature bits — the
+        # bits most likely to differ for a true neighbor
+        order = np.argsort(np.abs(proj), axis=2)[:, :, :probes]  # (n, T, probes)
+        flips = (np.int64(1) << order) ^ buckets[:, :, None]  # flipped buckets
+        keys = np.concatenate([base[:, :, None], t_tags[None, :, None] | flips], axis=2)
+        return pd.Series(list(keys.reshape(len(ser), -1)))
+
+    # plain defs + explicit pandas_udf wrap (module uses `from
+    # __future__ import annotations`, which makes type hints
+    # unresolvable strings for UDF introspection)
+    corpus_keys = F.pandas_udf(_corpus_keys, "array<long>")
+    query_keys = F.pandas_udf(_query_keys, "array<long>")
+
     c = corpus.select(
         F.col(id_col).alias("__cid"), _as_double(F.col(vec_col)).alias("__cv")
-    )
+    ).withColumn("__tb", F.explode(corpus_keys(F.col("__cv"))))
     q = queries.select(
         F.col(query_id_col).alias("__qid"), _as_double(F.col(query_vec_col)).alias("__qv")
-    )
-    c = c.withColumn(
-        "__tb",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("t"),
-                        lsh_signature(F.col("__cv"), planes).alias("b"),
-                    )
-                    for t, planes in enumerate(tables)
-                ]
-            )
-        ),
-    ).select("__cid", "__cv", F.col("__tb.t").alias("__t"), F.col("__tb.b").alias("__bucket"))
-    q_parts = []
-    for t, planes in enumerate(tables):
-        qt = q
-        if n_probes > 0:
-            qt = qt.withColumn(
-                "__bucket", F.explode(_probe_buckets(F.col("__qv"), planes, n_probes))
-            )
-        else:
-            qt = qt.withColumn("__bucket", lsh_signature(F.col("__qv"), planes))
-        q_parts.append(qt.withColumn("__t", F.lit(t)))
-    qall = q_parts[0]
-    for part in q_parts[1:]:
-        qall = qall.unionByName(part)
+    ).withColumn("__tb", F.explode(query_keys(F.col("__qv"))))
     scored = (
-        c.join(F.broadcast(qall), ["__t", "__bucket"])
+        c.join(F.broadcast(q), "__tb")
         .dropDuplicates(["__qid", "__cid"])
         .select(
             F.col("__qid"),
