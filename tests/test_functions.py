@@ -388,3 +388,74 @@ def test_top_parts_per_supplier_plan(spark):
     plan = physical_plan(df)
     assert "RunningWindowFunction" in plan or "Window" in plan
     assert "partial_sum" in plan
+
+
+# ----------------------------------------------------------- clusters
+def test_dup_clusters_chain_star_components(spark):
+    """Min-label propagation must close transitive chains (a-b-c-d one
+    cluster even though a-d never paired), handle stars, keep disjoint
+    components apart, and exclude unpaired ids entirely."""
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),        # chain -> cluster 1
+            (10, 11), (10, 12), (10, 13),  # star  -> cluster 10
+            (20, 21),                      # pair  -> cluster 20
+        ],
+        "id_a bigint, id_b bigint",
+    )
+    got = {(r["id"], r["cluster_id"]) for r in D.dup_clusters(pairs).collect()}
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10), (13, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_dup_clusters_long_chain_pointer_jumping(spark):
+    """A 64-node path converges well inside the iteration budget —
+    pointer jumping (label := label[label]) halves the distance to the
+    root each round, so O(log n) rounds, not O(n)."""
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a bigint, id_b bigint"
+    )
+    got = D.dup_clusters(pairs, max_iters=12).collect()
+    assert len(got) == n + 1
+    assert all(r["cluster_id"] == 0 for r in got)
+
+
+def test_keep_canonical_after_clustering(spark, docs):
+    """End-to-end dedup policy: minhash near-dup pairs -> clusters ->
+    one canonical survivor per cluster. Docs 1/6 are exact dups (and
+    2 a near-dup of 1); the min id survives, unpaired docs pass."""
+    cands = D.minhash_candidate_pairs(docs, num_hashes=32, num_bands=16)
+    pairs = D.verified_near_dups(docs, cands, threshold=0.5).select("id_a", "id_b")
+    clusters = D.dup_clusters(pairs)
+    by_id = {r["id"]: r["cluster_id"] for r in clusters.collect()}
+    assert by_id[6] == 1  # exact dup clustered with canonical 1
+    kept = {r["doc_id"] for r in D.keep_canonical(docs, clusters).collect()}
+    assert 1 in kept and 6 not in kept
+    assert {3, 4, 5, 7, 8} <= kept  # unpaired docs untouched
+
+
+def test_embedding_near_dups_spill_path(spark, tmp_path):
+    """The 100 TB spill path (bucketed frame written to storage, both
+    self-join sides scan it) returns exactly the persist path's pairs."""
+    import random
+
+    rng = random.Random(7)
+    base = [rng.gauss(0, 1) for _ in range(16)]
+    near = [x + rng.gauss(0, 0.01) for x in base]
+    far = [rng.gauss(0, 1) for _ in range(16)]
+    emb = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "vec_id bigint, embedding array<double>"
+    )
+    kw = dict(threshold=0.9, n_planes=4, dim=16)
+    mem = {(r["id_a"], r["id_b"]) for r in S.embedding_near_dups(emb, **kw).collect()}
+    spill = {
+        (r["id_a"], r["id_b"])
+        for r in S.embedding_near_dups(
+            emb, **kw, spill_dir=str(tmp_path / "buckets")
+        ).collect()
+    }
+    assert mem == spill == {(1, 2)}

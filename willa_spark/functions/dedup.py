@@ -360,3 +360,92 @@ def simhash_near_dups(
     return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+# ------------------------------------------------------- dup clusters
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 30,
+) -> DataFrame:
+    """Connected components over near-dup pairs: the step AFTER pair
+    generation in a real dedup pipeline (near-dup similarity is not
+    transitive, but dedup policy is — A ~ B ~ C must land in ONE
+    cluster so one canonical survivor is kept). Returns
+    (id, cluster_id) for every id appearing in ``pairs``;
+    cluster_id = min id of the component.
+
+    Algorithm: min-label propagation with pointer jumping (label :=
+    label[label] each round — path halving), the GraphX/connected-
+    components recipe re-expressed as DataFrame joins. Convergence in
+    O(log diameter) rounds: each round is two equi-joins + a partial
+    min-aggregate, all keyed shuffles — no driver-side graph. Label
+    state persists per round with the previous round unpersisted, and
+    ``localCheckpoint`` truncates the growing lineage (the standard
+    Spark iterative-algorithm discipline).
+
+    Raises after ``max_iters`` non-converged rounds rather than
+    returning a partial clustering.
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.persist()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        # 1) propagate: each node adopts the min of its own and its
+        #    neighbors' labels
+        nbr = (
+            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nl"))
+        )
+        prop = (
+            labels.join(nbr.withColumnRenamed("src", "node"), "node", "left")
+            .select(
+                F.col("node"),
+                F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias("label"),
+            )
+        )
+        # 2) pointer jump: label := label's label (path halving)
+        parent = prop.select(F.col("node").alias("p_node"), F.col("label").alias("p_label"))
+        jumped = (
+            prop.join(parent, prop.label == parent.p_node, "left")
+            .select(
+                F.col("node"),
+                F.least(F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))).alias("label"),
+            )
+        )
+        new_labels = jumped.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            edges.unpersist()
+            return labels.select(F.col("node").alias("id"), F.col("label").alias("cluster_id"))
+    edges.unpersist()
+    raise RuntimeError(f"dup_clusters did not converge in {max_iters} rounds")
+
+
+def keep_canonical(df: DataFrame, clusters: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Dedup policy on top of ``dup_clusters``: keep one doc per
+    cluster (the min-id canonical); docs in no cluster survive. One
+    broadcast-or-shuffle join — the cluster frame is pairs-sized, far
+    smaller than the corpus."""
+    drop = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("__drop_id")
+    )
+    return df.join(drop, df[id_col] == F.col("__drop_id"), "left_anti")

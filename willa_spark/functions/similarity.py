@@ -350,20 +350,28 @@ def embedding_near_dups(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    spill_dir: str | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucket self-join for
     candidates (equi-join on bucket), exact cosine verification above
-    threshold. Output: id_a, id_b, cosine_sim."""
+    threshold. Output: id_a, id_b, cosine_sim.
+
+    The bucketed (id, vector, bucket) frame feeds BOTH sides of the
+    self-join and Spark does not reuse subtrees across alias sides, so
+    it must be materialized once. Default: executor-memory persist
+    (right for bench-sized corpora). Pass ``spill_dir`` for the 100 TB
+    path: the frame is written to storage once and both join sides
+    scan the parquet — no corpus-size memory cache, and the scan
+    prunes to the three needed columns."""
     planes = hyperplanes(dim, n_planes, seed)
     v = df.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("bucket", lsh_signature(F.col("v"), planes))
-    # persist before the self-join: no subtree reuse across alias sides,
-    # so the n_planes dot-product signature would compute twice. This
-    # caches (id, vector, bucket) ≈ corpus size — at 100 TB prefer
-    # writing the bucketed frame once and self-joining the table, but
-    # either way the signature is computed once per vector.
-    v = v.persist()
+    if spill_dir:
+        v.write.mode("overwrite").parquet(spill_dir)
+        v = df.sparkSession.read.parquet(spill_dir)
+    else:
+        v = v.persist()
     l, r = v.alias("l"), v.alias("r")
     return (
         l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))

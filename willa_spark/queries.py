@@ -926,6 +926,131 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_dups(docs, max_hamming=3)
 
 
+_PREP_LANG = """
+    WITH h AS (
+      SELECT doc_id, text,
+             {en} AS en_h, {de} AS de_h, {fr} AS fr_h, {es} AS es_h,
+             regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') AS cjk
+      FROM documents),
+    l AS (
+      SELECT doc_id, text,
+             CASE WHEN cjk THEN 'zh'
+                  WHEN greatest(en_h, de_h, fr_h, es_h) = 0 THEN 'und'
+                  WHEN en_h >= de_h AND en_h >= fr_h AND en_h >= es_h THEN 'en'
+                  WHEN de_h >= fr_h AND de_h >= es_h THEN 'de'
+                  WHEN fr_h >= es_h THEN 'fr'
+                  ELSE 'es' END AS lang
+      FROM h),
+    c AS (
+      SELECT doc_id, length(text) AS n,
+             len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tok,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+             length(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_nonspace,
+             len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                 x -> x IN ('the','a','of','and','to','in','is','that'))) AS sw
+      FROM documents),
+    e AS (
+      SELECT l.doc_id, l.lang, c.n_tok,
+             round(least(c.n / 500.0, 1.0) * 0.4
+                   + (1.0 - least((c.n_punct / greatest(c.n, 1)) * 10, 1.0)) * 0.2
+                   + least((c.sw / greatest(c.n_tok, 1)) * 5, 1.0) * 0.2
+                   + CASE WHEN c.n_nonspace / greatest(c.n_tok, 1) BETWEEN 3 AND 10
+                          THEN 0.2 ELSE 0.0 END, 4) AS q,
+             md5(regexp_replace(lower(trim(l.text)), '\\s+', ' ', 'g')) AS fp
+      FROM l JOIN c ON l.doc_id = c.doc_id),
+    f AS (SELECT * FROM e WHERE q >= 0.5 AND lang <> 'und'),
+    k AS (SELECT fp, min(doc_id) AS keep_id FROM f GROUP BY fp),
+    s AS (SELECT f.* FROM f JOIN k ON f.fp = k.fp AND f.doc_id = k.keep_id)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           round(avg(q), 4) AS avg_quality
+    FROM s GROUP BY lang
+"""
+
+
+@query(
+    "training_data_prep",
+    oracle=_PREP_LANG.format(
+        en=_lang_hits_sql("en"), de=_lang_hits_sql("de"),
+        fr=_lang_hits_sql("fr"), es=_lang_hits_sql("es"),
+    ),
+)
+def q_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-prep pipeline a real training run chains:
+    language ID → quality floor → exact dedup (min-id survivor per
+    fingerprint) → per-language corpus stats. Oracle-checked END TO
+    END — each stage is the same Column expression its standalone
+    query verifies, so a drift in any stage breaks this query's hash.
+
+    Plan shape: the enrichment is ONE scan (all four text features in
+    a single projection — the regex/stopword feature expressions are
+    the dominant cost, so they must not evaluate twice), dedup is a
+    min-id window over the fingerprint shuffle (a groupBy+self-join
+    would re-run the whole feature projection on the second branch —
+    Spark does not reuse the subtree), and the rollup
+    partial-aggregates per language: two exchanges total at any
+    scale. The quality filter uses the ROUNDED score on both engines
+    (raw doubles at the threshold boundary could differ in ulps
+    between engines)."""
+    from pyspark.sql import Window as W
+
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    enriched = docs.select(
+        "doc_id",
+        TXT.lang_id(t).alias("lang"),
+        F.round(TXT.quality_score(t), 4).alias("q"),
+        TXT.fingerprint(t).alias("fp"),
+        TXT.token_count(t).alias("n_tok"),
+    ).filter((F.col("q") >= 0.5) & (F.col("lang") != "und"))
+    w = W.partitionBy("fp").orderBy("doc_id")
+    surv = (
+        enriched.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    return surv.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("q"), 4).alias("avg_quality"),
+    )
+
+
+@query(
+    "near_dup_clusters",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split_regex(lower(trim(text)), '\s+')) AS L
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             count(*) OVER (PARTITION BY L) AS n,
+             min(doc_id) OVER (PARTITION BY L) AS m
+      FROM t)
+    SELECT doc_id AS id, m AS cluster_id FROM g WHERE n > 1
+    """,
+)
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over dup pairs (the dedup-policy closure:
+    similarity is not transitive, the keep-one-survivor decision is).
+    The edge set here is SQL-expressible so the CLUSTERING is
+    oracle-checked end-to-end: consecutive doc ids within a
+    token-length bucket form chains, so the iterative min-label
+    propagation must walk the whole chain to reach the oracle's
+    bucket-min — a single-join shortcut would fail the hash check.
+    Production pair sources (minhash/simhash near-dups) plug into the
+    same ``dup_clusters`` operator (rows-only, tested in pytest)."""
+    from pyspark.sql import Window as W
+
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select(F.col("doc_id"), TXT.token_count(F.col("text")).alias("__len"))
+    w = W.partitionBy("__len").orderBy("doc_id")
+    e = t.withColumn("__nxt", F.lead("doc_id").over(w)).filter(F.col("__nxt").isNotNull())
+    pairs = e.select(F.col("doc_id").alias("id_a"), F.col("__nxt").alias("id_b"))
+    return D.dup_clusters(pairs)
+
+
 @query(
     "embedding_topk",
     oracle="""
