@@ -52,6 +52,9 @@ HEADLINE = [
     "quality_score",
     "minhash_near_dups",
     "simhash_near_dups",
+    "gopher_quality_filter",
+    "repetition_ngram_filter",
+    "corpus_keep_by_source",
     "embedding_topk",
     "ann_lsh_topk",
 ]

@@ -1,0 +1,101 @@
+"""Gopher/C4-style corpus-filter functions: hand-computed expectations
+on tiny literal corpora (the sf-scale end-to-end check is the driver's
+DuckDB oracle for gopher_quality_filter / repetition_ngram_filter /
+dup_line_filter / corpus_keep_by_source)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from willa_spark.functions import corpus as C
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        # 0: clean English-ish doc, 32 words incl. stopwords -> kept
+        (0, " ".join(["the quick brown fox jumps over a lazy dog"] * 4)[:10_000]
+         + " " + "and that have with be to of " + "words " * 1),
+        # 1: too short (5 words)
+        (1, "tiny doc of the a"),
+        # 2: symbol-heavy (### everywhere)
+        (2, " ".join(["#tag ### word the a of and"] * 6)),
+        # 3: numeric soup -> alpha fraction low
+        (3, " ".join(["123 456 789 000 111 the a of"] * 6)),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_gopher_metrics_and_keep(spark, docs):
+    out = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            C.n_words(F.col("text")).alias("nw"),
+            C.alpha_word_frac(F.col("text")).alias("alpha"),
+            C.symbol_word_ratio(F.col("text")).alias("sym"),
+            C.stopword_hits(F.col("text")).alias("sw"),
+            C.gopher_keep(F.col("text")).alias("kept"),
+        ).collect()
+    }
+    assert out[0]["kept"] is True
+    assert out[1]["kept"] is False and out[1]["nw"] == 5
+    assert out[2]["kept"] is False and out[2]["sym"] > C.MAX_SYMBOL_WORD_RATIO
+    # doc 3: 5 of 8 tokens per repeat are pure digits -> alpha = 3/8
+    assert out[3]["kept"] is False
+    assert abs(out[3]["alpha"] - 3 / 8) < 1e-9
+    # distinct stopword counting: doc 1 has {of, the, a} = 3 hits
+    assert out[1]["sw"] == 3
+
+
+def test_ngram_char_fracs_known_values(spark):
+    # "a b a b a b": bigrams = [a b, b a, a b, b a, a b] -> top "a b" x3,
+    # len 3; total normalized chars = 11 -> top frac = 9/11
+    df = spark.createDataFrame([(1, "a b a b a b")], ["doc_id", "text"])
+    row = C.ngram_char_fracs(df).collect()[0]
+    assert row["top_ngram_char_frac"] == round(9 / 11, 4)
+    # 5-grams: [a b a b a, b a b a b] each once -> dup frac 0
+    assert row["dup_ngram_char_frac"] == 0.0
+
+
+def test_dup_ngram_frac_on_repeated_text(spark):
+    # 10 distinct words repeated 8x: every 5-gram occurs >= 8 times (the
+    # sequence is periodic with period 10), so ALL 5-grams are dups ->
+    # covered chars ~ cnt * len summed > total; frac is a ratio of
+    # covered to total and must exceed the 0.15 threshold by far.
+    words = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 "
+    df = spark.createDataFrame([(1, words * 8)], ["doc_id", "text"])
+    row = C.ngram_char_fracs(df).collect()[0]
+    assert row["dup_ngram_char_frac"] > 1.0  # every gram duplicated
+    # top bigram e.g. "w0 w1" occurs 8x, 5 chars; total = 80*2 + 79 spaces
+    assert row["top_ngram_char_frac"] == round(8 * 5 / 239, 4)
+
+
+def test_dup_line_char_frac(spark):
+    # 8-token lines: 16 tokens repeated -> both pseudo-lines identical
+    line = "t0 t1 t2 t3 t4 t5 t6 t7"
+    df = spark.createDataFrame(
+        [(1, f"{line} {line}"), (2, "u0 u1 u2 u3 u4 u5 u6 u7 v0 v1")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["dup_line_char_frac"] for r in C.dup_line_char_frac(df).collect()}
+    assert out[1] == 1.0  # all chars in duplicated lines
+    assert out[2] == 0.0  # two distinct lines
+
+
+def test_plant_repeated_docs_shape(spark):
+    df = spark.createDataFrame(
+        [(0, "x y z " * 20), (1, "p q r " * 20)], ["doc_id", "text"]
+    )
+    planted = C.plant_repeated_docs(df, every=1, offset=100, first_n=3, reps=4)
+    rows = {r["doc_id"]: r["text"] for r in planted.collect()}
+    assert set(rows) == {0, 1, 100, 101}
+    assert rows[100].split() == ["x", "y", "z"] * 4
+
+
+def test_short_doc_edge_cases(spark):
+    # 1-token doc: no bigrams/5-grams -> absent from ngram frame;
+    # dup_line still yields a row (one line, no dups)
+    df = spark.createDataFrame([(1, "solo"), (2, "")], ["doc_id", "text"])
+    assert C.ngram_char_fracs(df).count() == 0
+    lines = {r["doc_id"]: r["dup_line_char_frac"] for r in C.dup_line_char_frac(df).collect()}
+    assert lines == {1: 0.0}

@@ -26,6 +26,7 @@ from .operators import Aggregate, HoppingWindow, SessionWindow, TumblingWindow
 from .operators.aggregates import SEQ
 from .operators.tables import latest_per_key
 from .operators.windows import WINDOW_START, assign_session_windows, assign_time_windows
+from .functions import corpus as CORPUS
 from .functions import dedup as D
 from .functions import similarity as SIM
 from .functions import text as TXT
@@ -2027,6 +2028,237 @@ def q_changelog_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col(KEY).alias("user_id"),
         F.round(F.col(VALUE), 4).alias("running_sum"),
         F.col(TIMESTAMP).alias("ts_ms"),
+    )
+
+
+# =====================================================================
+# Gopher/C4-style corpus quality + repetition filters (training-data
+# pipeline extensions; willa_spark.functions.corpus)
+# =====================================================================
+
+_TOKS_SQL = r"list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')"
+_GOPHER_SW_SQL = ", ".join(f"'{w}'" for w in CORPUS.GOPHER_STOPWORDS)
+
+
+@query(
+    "gopher_quality_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             round(list_sum(list_transform(toks, s -> length(s))) * 1.0
+                   / greatest(len(toks), 1), 4) AS mean_word_len,
+             round(len(list_filter(toks, s -> regexp_matches(s, '[a-z]'))) * 1.0
+                   / greatest(len(toks), 1), 4) AS alpha_word_frac,
+             round((length(text) - length(replace(text, '#', ''))
+                    + len(regexp_extract_all(text, '\\.\\.\\.'))) * 1.0
+                   / greatest(len(toks), 1), 4) AS symbol_word_ratio,
+             len(list_filter(list_distinct(toks),
+                             s -> s IN ({_GOPHER_SW_SQL}))) AS stopword_hits
+      FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_word_frac, symbol_word_ratio,
+           stopword_hits,
+           (n_words BETWEEN 30 AND 100000
+            AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND alpha_word_frac >= 0.80
+            AND symbol_word_ratio <= 0.10
+            AND stopword_hits >= 2) AS kept
+    FROM m
+    """,
+)
+def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher §A1.1 document-quality screen (Rae et al. 2021): word-count
+    band, mean-word-length band, alphabetic-word fraction, symbol/word
+    ratio, distinct-stopword floor — plus the combined keep flag. Pure
+    Column expressions over one scan: no shuffle, no Python, fully
+    codegen'd; at 100 TB this is a single map-only stage."""
+    from .functions import corpus as C
+
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        C.n_words(t).alias("n_words"),
+        C.mean_word_len(t).alias("mean_word_len"),
+        C.alpha_word_frac(t).alias("alpha_word_frac"),
+        C.symbol_word_ratio(t).alias("symbol_word_ratio"),
+        C.stopword_hits(t).alias("stopword_hits"),
+        C.gopher_keep(t).alias("kept"),
+    )
+
+
+# Planted repeats (mirrors corpus.plant_repeated_docs): every 50th
+# doc's first 10 tokens repeated 8x, re-keyed +1e6 — makes the
+# dup-ngram / dup-line branches observable (the synthetic corpus has
+# no natural 5-gram or line duplication).
+_PLANT_SQL = r"""
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             repeat(array_to_string(
+               (list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            x -> x <> ''))[1:10], ' ') || ' ', 8) AS text
+      FROM documents WHERE doc_id % 50 = 0
+"""
+
+
+def _repetition_oracle(src: str) -> str:
+    return rf"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS toks
+      FROM {src}
+    ), base AS (
+      SELECT doc_id, toks, length(array_to_string(toks, ' ')) AS total_chars
+      FROM t
+    ), grams AS (
+      SELECT doc_id, total_chars, 2 AS n,
+             unnest([toks[i] || ' ' || toks[i+1]
+                     FOR i IN range(1, len(toks))]) AS gram
+      FROM base WHERE len(toks) >= 2
+      UNION ALL
+      SELECT doc_id, total_chars, 5 AS n,
+             unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     || ' ' || toks[i+3] || ' ' || toks[i+4]
+                     FOR i IN range(1, len(toks) - 3)]) AS gram
+      FROM base WHERE len(toks) >= 5
+    ), per_gram AS (
+      SELECT doc_id, n, gram, count(*) AS cnt, first(total_chars) AS total_chars
+      FROM grams GROUP BY doc_id, n, gram
+    )
+    SELECT doc_id,
+           round(max(CASE WHEN n = 2 THEN cnt * length(gram) ELSE 0 END) * 1.0
+                 / greatest(first(total_chars), 1), 4) AS top_ngram_char_frac,
+           round(CAST(sum(CASE WHEN n = 5 AND cnt > 1 THEN cnt * length(gram)
+                          ELSE 0 END) AS BIGINT) * 1.0
+                 / greatest(first(total_chars), 1), 4) AS dup_ngram_char_frac
+    FROM per_gram GROUP BY doc_id
+    """
+
+
+@query(
+    "repetition_ngram_filter",
+    oracle=f"WITH all_docs AS ({_PLANT_SQL}), "
+    + _repetition_oracle("all_docs").lstrip().removeprefix("WITH "),
+)
+def q_repetition_ngram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition screen: per-doc fraction of characters covered
+    by the most frequent 2-gram and by duplicated 5-grams, over the
+    corpus plus planted repetitive docs (see plant_repeated_docs). One
+    tagged explode (linear in corpus tokens) → partial-aggregated
+    (doc, n, gram) shuffle → one-row-per-doc collapse. Never quadratic,
+    no Python — the plan a 100 TB dedup pass wants."""
+    from .functions import corpus as C
+
+    docs = read_table(spark, sf_dir, "documents")
+    return C.ngram_char_fracs(C.plant_repeated_docs(docs))
+
+
+@query(
+    "dup_line_filter",
+    oracle=rf"""
+    WITH all_docs AS ({_PLANT_SQL}),
+    t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS toks
+      FROM all_docs
+    ), lines AS (
+      SELECT doc_id,
+             unnest([array_to_string(toks[(i-1)*8+1 : (i-1)*8+8], ' ')
+                     FOR i IN range(1, CAST(ceil(len(toks) / 8.0) AS BIGINT) + 1)])
+                 AS line
+      FROM t WHERE len(toks) > 0
+    ), per_line AS (
+      SELECT doc_id, line, count(*) AS cnt FROM lines GROUP BY doc_id, line
+    )
+    SELECT doc_id,
+           round(CAST(sum(CASE WHEN cnt > 1 THEN cnt * length(line) ELSE 0 END)
+                      AS BIGINT) * 1.0
+                 / greatest(CAST(sum(cnt * length(line)) AS BIGINT), 1), 4)
+               AS dup_line_char_frac
+    FROM per_line GROUP BY doc_id
+    """,
+)
+def q_dup_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher duplicate-line screen over deterministic 8-token
+    pseudo-lines (the synthetic corpus has no newlines; real corpora
+    split on '\\n' upstream). Explode → partial-agg (doc, line) →
+    per-doc ratio."""
+    from .functions import corpus as C
+
+    docs = read_table(spark, sf_dir, "documents")
+    return C.dup_line_char_frac(C.plant_repeated_docs(docs))
+
+
+@query(
+    "corpus_keep_by_source",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, text, {_TOKS_SQL} AS toks FROM documents
+    ), g AS (
+      SELECT doc_id, source,
+             (len(toks) BETWEEN 30 AND 100000
+              AND round(list_sum(list_transform(toks, s -> length(s))) * 1.0
+                        / greatest(len(toks), 1), 4) BETWEEN 3.0 AND 10.0
+              AND round(len(list_filter(toks, s -> regexp_matches(s, '[a-z]'))) * 1.0
+                        / greatest(len(toks), 1), 4) >= 0.80
+              AND round((length(text) - length(replace(text, '#', ''))
+                         + len(regexp_extract_all(text, '\\.\\.\\.'))) * 1.0
+                        / greatest(len(toks), 1), 4) <= 0.10
+              AND len(list_filter(list_distinct(toks),
+                                  s -> s IN ({_GOPHER_SW_SQL}))) >= 2) AS kept_gopher
+      FROM t
+    ), rep AS (
+      {_repetition_oracle("documents")}
+    ), j AS (
+      SELECT g.doc_id, g.source, g.kept_gopher,
+             (coalesce(rep.top_ngram_char_frac, 0) <= 0.20
+              AND coalesce(rep.dup_ngram_char_frac, 0) <= 0.15) AS kept_rep
+      FROM g LEFT JOIN rep ON g.doc_id = rep.doc_id
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN kept_gopher THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_gopher,
+           CAST(sum(CASE WHEN kept_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_repetition,
+           CAST(sum(CASE WHEN kept_gopher AND kept_rep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept_all
+    FROM j GROUP BY source
+    """,
+)
+def q_corpus_keep_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed corpus-filter report: per ingestion source, how many
+    docs survive the Gopher quality screen, the repetition screen, and
+    both — the acceptance dashboard a training-data pipeline publishes
+    per crawl slice. Quality flags are map-only; repetition joins back
+    on doc_id (one shuffle join) and the final rollup is a tiny
+    partial agg on source."""
+    from .functions import corpus as C
+
+    docs = read_table(spark, sf_dir, "documents")
+    quality = docs.select(
+        "doc_id", "source", C.gopher_keep(F.col("text")).alias("kept_gopher")
+    )
+    rep = C.ngram_char_fracs(docs)
+    joined = quality.join(rep, "doc_id", "left").select(
+        "source",
+        "kept_gopher",
+        (
+            (F.coalesce(F.col("top_ngram_char_frac"), F.lit(0.0)) <= C.MAX_TOP_BIGRAM_CHAR_FRAC)
+            & (F.coalesce(F.col("dup_ngram_char_frac"), F.lit(0.0)) <= C.MAX_DUP_5GRAM_CHAR_FRAC)
+        ).alias("kept_rep"),
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("kept_gopher").cast("int")).cast("bigint").alias("n_kept_gopher"),
+        F.sum(F.col("kept_rep").cast("int")).cast("bigint").alias("n_kept_repetition"),
+        F.sum((F.col("kept_gopher") & F.col("kept_rep")).cast("int"))
+        .cast("bigint")
+        .alias("n_kept_all"),
     )
 
 
