@@ -219,3 +219,101 @@ def test_python_fold_on_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+# --- session-window Python folds (A3×A4 fused stateful op) -----------
+
+# Non-commutative concat fold: proves in-order fold congruity, not just
+# totals. merger is Kafka Streams' session Merger (required when a late
+# record bridges two open sessions).
+concat_add = lambda acc, gk, v: (acc + "|" if acc else "") + str(v)  # noqa: E731
+concat_merge = lambda gk, a, b: a + "|" + b  # noqa: E731
+
+
+def session_topo(agg, suppress=False, watermark=None):
+    from willa_spark import SessionWindow
+
+    t = {
+        "type": "ktable",
+        "window": SessionWindow(100),
+        "aggregate": agg,
+    }
+    if suppress:
+        t["suppress"] = True
+    if watermark:
+        t["watermark"] = watermark
+    return {
+        "entities": {"in": topic(), "t": t, "out": topic()},
+        "workflow": [("in", "t"), ("t", "out")],
+    }
+
+
+def test_session_python_fold_update_congruity(spark, tmp_path):
+    """Per-record changelog of a session-windowed Python fold: the gap
+    split (sessions [0,50] and [400] for k) and the fold order within
+    each session both match the batch engine exactly."""
+    agg = Aggregate.fold("", concat_add, "string", merger=concat_merge)
+    topo = session_topo(agg)
+    inputs = {"in": [("k", 1, 0), ("k", 2, 50), ("k", 3, 400), ("k2", 5, 30)]}
+    b = Counter(collect_records(run_topology(spark, topo, inputs=inputs)["out"]))
+    s = Counter(run_streaming_topology(spark, topo, inputs, str(tmp_path))["out"])
+    assert b == s == Counter([("k", "1"), ("k", "1|2"), ("k", "3"), ("k2", "5")])
+
+
+def test_session_python_fold_suppressed_final(spark, tmp_path):
+    """suppress=True: each session emits once, when the watermark passes
+    its close (end + gap) — batch final_only congruity."""
+    agg = Aggregate.fold("", concat_add, "string", merger=concat_merge)
+    topo = session_topo(agg, suppress=True, watermark="0 milliseconds")
+    inputs = {"in": [("k", 1, 0), ("k", 2, 50), ("k", 3, 400), ("k2", 5, 30)]}
+    b = batch_like = Counter(
+        collect_records(run_topology(spark, topo, inputs=inputs)["out"])
+    )
+    rows = run_streaming_topology(
+        spark, topo, inputs, str(tmp_path),
+        extra_files={"in": [("zz", 0, 1_000_000)]},
+    )["out"]
+    b = Counter({kv: n for kv, n in b.items() if kv[0] != "zz"})
+    s = Counter(kv for kv in rows if kv[0] != "zz")
+    assert b == s == Counter([("k", "1|2"), ("k", "3"), ("k2", "5")])
+
+
+def test_session_python_fold_merger_across_batches(spark, tmp_path):
+    """A record in a LATER micro-batch bridging two open sessions must
+    merge them via the aggregate's merger (sessions [0] and [300] at
+    gap=100... bridged by ts=150? no — gap math: 150 is within 100 of
+    neither 0 nor 300 alone? 150-0=150>100; use ts=90/210 instead):
+    sessions [0,90]? built as one batch — see inline comments."""
+    add = lambda acc, gk, v: acc + v  # noqa: E731  (commutative: merge order-safe)
+    merge = lambda gk, a, b: a + b  # noqa: E731
+    agg = Aggregate.fold(0, add, "bigint", merger=merge)
+    topo = session_topo(agg, suppress=True, watermark="0 milliseconds")
+    # batch 1 opens session A at ts=0; batch 2 opens session B at ts=220
+    # (gap 100 → disjoint); batch 3's ts=120 is within 100 of BOTH ends
+    # (0..100+ and 220-100) → bridges them into one [0,220] session.
+    first = [("k", 1, 0)]
+    second = [("k", 2, 220)]
+    bridge = [("k", 9, 120)]
+    b = Counter(
+        collect_records(
+            run_topology(spark, topo, inputs={"in": first + second + bridge})["out"]
+        )
+    )
+    rows = run_streaming_topology(
+        spark, topo, {"in": first}, str(tmp_path),
+        extra_files={"in": [second, bridge, [("zz", 0, 1_000_000)]]},
+    )["out"]
+    b = Counter({kv: n for kv, n in b.items() if kv[0] != "zz"})
+    s = Counter(kv for kv in rows if kv[0] != "zz")
+    assert b == s == Counter([("k", 12)])
+
+
+def test_session_python_fold_requires_merger(spark, tmp_path):
+    import pytest as _pytest
+
+    agg = Aggregate.fold("", concat_add, "string")  # no merger
+    topo = session_topo(agg)
+    with _pytest.raises(ValueError, match="merger"):
+        run_streaming_topology(
+            spark, topo, {"in": [("k", 1, 0)]}, str(tmp_path)
+        )

@@ -60,6 +60,7 @@ class Aggregate:
         adder: Callable | None = None,
         subtractor: Callable | None = None,
         acc_type: Any = None,
+        merger: Callable | None = None,
     ):
         self.kind = kind
         self.column_fn = column_fn
@@ -68,6 +69,7 @@ class Aggregate:
         self.adder = adder
         self.subtractor = subtractor
         self.acc_type = acc_type
+        self.merger = merger
 
     # --- invertible built-ins (support subtractor/retraction) ---
     @classmethod
@@ -112,12 +114,24 @@ class Aggregate:
         adder: Callable[[Any, Any, Any], Any],
         acc_type: Any,
         subtractor: Callable | None = None,
+        merger: Callable | None = None,
     ) -> "Aggregate":
         """Arbitrary Python fold: ``adder(acc, group_key, value) -> acc``
         (the reference adder receives ``[group-key value]``,
         streams.clj:43). ``acc_type`` is the Spark type of the
-        accumulator (DDL string ok)."""
-        return cls("fold", initial=initial, adder=adder, subtractor=subtractor, acc_type=acc_type)
+        accumulator (DDL string ok). ``merger(group_key, acc_a, acc_b)``
+        combines two session accumulators when a late record bridges
+        their inactivity gaps — required for session-window folds in
+        streaming, exactly Kafka Streams' session Merger (the
+        window-by-session path, streams.clj:164)."""
+        return cls(
+            "fold",
+            initial=initial,
+            adder=adder,
+            subtractor=subtractor,
+            acc_type=acc_type,
+            merger=merger,
+        )
 
 
 def running_fold(

@@ -829,11 +829,14 @@ class StreamingTopologyRunner:
             )
             return out
         if agg.kind == "fold":
-            if win is not None and not isinstance(win, (TumblingWindow, HoppingWindow)):
-                raise NotImplementedError(
-                    "session-window Python folds: use a column aggregate "
-                    "or the batch engine"
+            if isinstance(win, SessionWindow):
+                out = self._stateful_session_fold(agg, df, ent, node, win)
+                self.output_modes[node] = (
+                    "append" if ent.get("suppress") else "update"
                 )
+                return out
+            if win is not None and not isinstance(win, (TumblingWindow, HoppingWindow)):
+                raise ValueError(f"unknown window spec: {win!r}")
             out = self._stateful_fold(
                 agg, df, node, win=win, emit_window=bool(ent.get("emit_window"))
             )
@@ -1223,6 +1226,173 @@ class StreamingTopologyRunner:
         else:
             value = F.col(VALUE)
         return folded.select(F.col(KEY), value.alias(VALUE), F.col(TIMESTAMP))
+
+    def _stateful_session_fold(
+        self, agg, df: DataFrame, ent: dict, node: str, win
+    ) -> DataFrame:
+        """A3×A4 fused: session-windowed Python folds in streaming as ONE
+        custom stateful operator — ``applyInPandasWithState`` keyed by
+        the group key, whose state is the set of OPEN sessions
+        ``(start, end, acc)`` for that key. This is the session-store
+        role Kafka Streams' window-by-session + aggregate plays
+        (streams.clj:164, streams.clj:41-55): a record within
+        ``gap`` of an open session extends it and folds in; a record
+        bridging several open sessions merges them with the aggregate's
+        ``merger`` (Kafka Streams' session Merger — required here for
+        the same reason it is required there); anything else opens a
+        new session.
+
+        Emission: without ``suppress``, every input record emits the
+        changelog row of its session (update mode — the batch engine's
+        per-record fold output); with ``suppress``, sessions emit once,
+        when the event-time watermark passes ``end + gap`` (append mode
+        via EventTimeTimeout — Kafka's suppress-until-window-close).
+
+        Congruity vs batch: exact when arrival order is timestamp
+        order (records are sorted within each micro-batch). Late data
+        folds in arrival order and may emit pre-merge window starts
+        under ``emit_window`` — same documented arrival-order
+        divergence as the stateful table joins.
+
+        Scale: state per group key is only the open sessions' (start,
+        end, acc) triples — closed sessions are evicted as soon as the
+        watermark passes (suppress: on their timeout; update mode:
+        opportunistically on the key's next record). One shuffle by
+        group key, Arrow-batched, same partitioning Kafka Streams'
+        repartition topic would give the session store.
+        """
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        if agg.merger is None:
+            raise ValueError(
+                "session-window Python folds in streaming need a 'merger' "
+                "(Aggregate.fold(..., merger=...)): two open sessions merge "
+                "when a late record bridges their gaps — Kafka Streams' "
+                "session Merger requirement"
+            )
+        suppress = bool(ent.get("suppress"))
+        if suppress and not ent.get("watermark") and not self.source_watermark:
+            raise ValueError(
+                f"entity {node!r}: suppression (append mode) requires a 'watermark'"
+            )
+        # +1ms epoch-edge shift (same as the stream-stream join path):
+        # the append-mode late-row filter clamps its watermark at 0 and
+        # drops rows with event time <= 0 — a record EXACTLY at the
+        # epoch would vanish from its session. Shift uniformly (gap
+        # math unchanged), re-attach the watermark (rebuilding the
+        # column drops the ingest tag), unshift on output.
+        wm_spec = ent.get("watermark", self.source_watermark)
+        shift = F.expr("INTERVAL 1 MILLISECONDS")
+        df = df.withColumn(TIMESTAMP, F.col(TIMESTAMP) + shift)
+        if wm_spec:
+            df = df.withWatermark(TIMESTAMP, wm_spec)
+        has_wm = self._has_event_time(df)
+        initial, adder, merger = agg.initial, agg.adder, agg.merger
+        gap = int(win.gap_ms)
+        acc_type = (
+            agg.acc_type if isinstance(agg.acc_type, str) else agg.acc_type.simpleString()
+        )
+        gk_type = df.schema["__gkey"].dataType.simpleString()
+        emit_window = bool(ent.get("emit_window"))
+        out_schema = (
+            f"{KEY} {gk_type}, {VALUE} {acc_type}, {TIMESTAMP} timestamp, __win long"
+        )
+        state_schema = f"starts array<long>, ends array<long>, accs array<{acc_type}>"
+
+        def fold(key, pdf_iter, state):
+            gk = key[0]
+            starts, ends, accs = (
+                (list(c) for c in state.get) if state.exists else ([], [], [])
+            )
+            starts, ends, accs = list(starts), list(ends), list(accs)
+            wm = state.getCurrentWatermarkMs() if has_wm else -(1 << 62)
+            out = {KEY: [], VALUE: [], TIMESTAMP: [], "__win": []}
+
+            def sweep():
+                # close sessions the watermark has passed: emit once in
+                # suppress mode (their final fold), silently evict in
+                # update mode (already emitted per-record)
+                keep_s, keep_e, keep_a = [], [], []
+                for s, e, a in zip(starts, ends, accs):
+                    if e + gap <= wm:
+                        if suppress:
+                            out[KEY].append(gk)
+                            out[VALUE].append(a)
+                            out[TIMESTAMP].append(pd.Timestamp(e, unit="ms"))
+                            out["__win"].append(s)
+                    else:
+                        keep_s.append(s)
+                        keep_e.append(e)
+                        keep_a.append(a)
+                return keep_s, keep_e, keep_a
+
+            if not state.hasTimedOut:
+                for pdf in pdf_iter:
+                    pdf = pdf.sort_values("__ms", kind="stable")
+                    for ms, v, ts in zip(
+                        pdf["__ms"].tolist(), pdf[VALUE].tolist(), pdf[TIMESTAMP].tolist()
+                    ):
+                        ms = int(ms)
+                        hit = [
+                            i
+                            for i, (s, e) in enumerate(zip(starts, ends))
+                            if s - gap <= ms <= e + gap
+                        ]
+                        if not hit:
+                            starts.append(ms)
+                            ends.append(ms)
+                            accs.append(adder(initial, gk, v))
+                            idx = len(starts) - 1
+                        else:
+                            idx = hit[0]
+                            for j in reversed(hit[1:]):
+                                starts[idx] = min(starts[idx], starts[j])
+                                ends[idx] = max(ends[idx], ends[j])
+                                accs[idx] = merger(gk, accs[idx], accs[j])
+                                del starts[j], ends[j], accs[j]
+                            starts[idx] = min(starts[idx], ms)
+                            ends[idx] = max(ends[idx], ms)
+                            accs[idx] = adder(accs[idx], gk, v)
+                        if not suppress:
+                            out[KEY].append(gk)
+                            out[VALUE].append(accs[idx])
+                            out[TIMESTAMP].append(ts)
+                            out["__win"].append(starts[idx])
+            starts, ends, accs = sweep()
+
+            if starts:
+                state.update((starts, ends, accs))
+                if suppress:
+                    # fires when the watermark passes the earliest close
+                    state.setTimeoutTimestamp(min(e + gap for e in ends))
+            elif state.exists:
+                state.remove()
+            if out[KEY]:
+                yield pd.DataFrame(out)
+
+        src = df.select(
+            F.col("__gkey"),
+            F.col(VALUE),
+            F.col(TIMESTAMP),
+            F.unix_millis(F.col(TIMESTAMP)).alias("__ms"),
+        )
+        timeout = (
+            GroupStateTimeout.EventTimeTimeout if suppress else GroupStateTimeout.NoTimeout
+        )
+        folded = src.groupBy("__gkey").applyInPandasWithState(
+            fold, out_schema, state_schema, "append" if suppress else "update", timeout
+        )
+        if emit_window:
+            # -1: undo the epoch shift on the carried window start
+            value = F.struct(
+                (F.col("__win") - F.lit(1)).alias("win"), F.col(VALUE).alias("v")
+            )
+        else:
+            value = F.col(VALUE)
+        return folded.select(
+            F.col(KEY), value.alias(VALUE), (F.col(TIMESTAMP) - shift).alias(TIMESTAMP)
+        )
 
     # -- build -----------------------------------------------------------
     def build(self, inputs: dict[str, DataFrame]) -> dict[str, DataFrame]:
