@@ -280,20 +280,21 @@ def test_session_python_fold_suppressed_final(spark, tmp_path):
 
 def test_session_python_fold_merger_across_batches(spark, tmp_path):
     """A record in a LATER micro-batch bridging two open sessions must
-    merge them via the aggregate's merger (sessions [0] and [300] at
-    gap=100... bridged by ts=150? no — gap math: 150 is within 100 of
-    neither 0 nor 300 alone? 150-0=150>100; use ts=90/210 instead):
-    sessions [0,90]? built as one batch — see inline comments."""
+    merge them via the aggregate's merger.  The watermark delay (500ms)
+    must keep BOTH sessions open across the batches — with a 0ms
+    watermark the bridge would be genuinely late and dropped, exactly
+    as Kafka Streams drops post-grace records."""
     add = lambda acc, gk, v: acc + v  # noqa: E731  (commutative: merge order-safe)
     merge = lambda gk, a, b: a + b  # noqa: E731
     agg = Aggregate.fold(0, add, "bigint", merger=merge)
-    topo = session_topo(agg, suppress=True, watermark="0 milliseconds")
-    # batch 1 opens session A at ts=0; batch 2 opens session B at ts=220
-    # (gap 100 → disjoint); batch 3's ts=120 is within 100 of BOTH ends
-    # (0..100+ and 220-100) → bridges them into one [0,220] session.
+    topo = session_topo(agg, suppress=True, watermark="500 milliseconds")
+    # batch 1 opens session A at ts=0; batch 2 opens session B at ts=150
+    # (gap 100 → disjoint: 150-0 > 100); batch 3's ts=90 is within 100
+    # of BOTH (90 <= 0+100 and 90 >= 150-100) → merges them into one
+    # [0,150] session folding all three values.
     first = [("k", 1, 0)]
-    second = [("k", 2, 220)]
-    bridge = [("k", 9, 120)]
+    second = [("k", 2, 150)]
+    bridge = [("k", 9, 90)]
     b = Counter(
         collect_records(
             run_topology(spark, topo, inputs={"in": first + second + bridge})["out"]

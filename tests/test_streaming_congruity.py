@@ -232,6 +232,51 @@ def test_congruity_join_at_epoch(spark, tmp_path):
     assert b == s == Counter([("k", (1, 2)), ("k", (1, 3))])
 
 
+def test_congruity_watermarked_join_into_suppressed_window(spark, tmp_path):
+    """Multi-stateful chain with SOURCE-watermarked inputs: an entity
+    watermark makes the compiler attach the watermark at topic ingest;
+    the stream-stream join's +1ms shift must then NOT re-attach a
+    second EventTimeWatermark node (Spark 4: 'Redefining watermark is
+    disallowed') — the same structure that broke the session fold.
+    The join feeds a suppressed tumbling window (join ⋈ then window
+    agg: two stateful operators in one query)."""
+    topo = {
+        "entities": {
+            "a": topic(watermark="0 milliseconds"),
+            "b": topic(),
+            "joined": {"type": "kstream"},
+            "m": {"type": "kstream", "xform": MapValues(lambda v: v[0] + v[1])},
+            "t": {
+                "type": "ktable",
+                "group_by": lambda k, v: k,
+                "window": TumblingWindow(1000),
+                "aggregate": Aggregate.sum(),
+                "suppress": True,
+                "watermark": "0 milliseconds",
+            },
+            "out": topic(),
+        },
+        "workflow": [
+            ("a", "joined"), ("b", "joined"), ("joined", "m"),
+            ("m", "t"), ("t", "out"),
+        ],
+        "joins": {("a", "b"): {"type": "inner", "window": (100, 100)}},
+    }
+    # join pairs: (1,2) |150-100|=50 and (3,2) |150-250|=100 → both in
+    # band; summed values 3 and 5 land in window [0,1000) → k: 8
+    inputs = {"a": [("k", 1, 100), ("k", 3, 250)], "b": [("k", 2, 150)]}
+    b = batch_results(spark, topo, inputs)
+    # sentinels advance BOTH sources' ingest watermarks past the window
+    # close; their key never joins, so they can't reach the sink
+    s = streaming_results(
+        spark, topo, inputs, tmp_path,
+        extra_files={"a": [("zz", 0, 2_000_000)], "b": [("zz", 0, 2_000_000)]},
+    )
+    b = Counter({kv: n for kv, n in b.items() if kv[0] != "zz"})
+    s = Counter({kv: n for kv, n in s.items() if kv[0] != "zz"})
+    assert b == s == Counter([("k", 8)])
+
+
 def test_congruity_global_table_join(spark, tmp_path):
     """F7/F8 shape: broadcast stream-static join."""
     topo = {

@@ -3,10 +3,10 @@
 Large-scale training-data pipelines bulk-filter raw text with cheap
 document-level heuristics before any model-based scoring (Gopher,
 Rae et al. 2021 §A1.1; C4, Raffel et al. 2020 §2.2). Everything here
-is either a pure Column expression (quality metrics — zero Python,
-whole-stage codegen) or a linear explode + partial-aggregated groupBy
-(repetition ratios — scales with corpus token count, never quadratic),
-so the same code runs at 100 TB.
+is a pure per-row Column expression — quality metrics directly, and
+repetition ratios via sorted-array run counting (``_run_stats``) —
+zero Python and ZERO SHUFFLE: the whole module is a single map-only
+stage, linear in corpus tokens, so the same code runs at 100 TB.
 
 Capability superset relative to the reference: the reference
 (DaveWM/willa) has no text-corpus operators at all — users would write
@@ -140,6 +140,63 @@ def plant_repeated_docs(
     return docs.select(id_col, text_col).unionByName(planted)
 
 
+def _run_stats(grams: Column) -> Column:
+    """Single-pass run-length scan over the SORTED copy of ``grams``:
+    ``struct(best, dupsum)`` where ``best`` = max over distinct grams
+    of count*len(gram) and ``dupsum`` = sum over grams occurring more
+    than once of count*len(gram).  Equal grams are adjacent after the
+    sort, so one linear fold recovers every per-gram count — the
+    per-document equivalent of groupBy(gram).count() with NO explode,
+    NO shuffle, and NO Python: the whole metric is a map-only Column
+    expression, which is what a 100 TB repetition screen wants (the
+    old explode+two-shuffle formulation materialized ~7 rows per
+    corpus token; this touches each token once, in place).
+    """
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("best"),
+        F.lit(0).cast("bigint").alias("dupsum"),
+    )
+
+    def step(acc, g):
+        eq = acc["prev"].isNotNull() & (g == acc["prev"])
+        run = F.when(eq, acc["run"] + F.lit(1)).otherwise(F.lit(1)).cast("bigint")
+        glen = F.length(g).cast("bigint")
+        # a run reaching 2 retroactively counts its first member too
+        dup_add = (
+            F.when(run == 2, F.lit(2) * glen).when(run > 2, glen).otherwise(F.lit(0))
+        )
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run * glen).alias("best"),
+            (acc["dupsum"] + dup_add).cast("bigint").alias("dupsum"),
+        )
+
+    return F.aggregate(F.array_sort(grams), init, step)
+
+
+def top_ngram_char_frac(text: Column, n: int = 2) -> Column:
+    """Fraction of the doc's normalized characters covered by its single
+    most frequent ``n``-gram, 4dp. Pure map-side Column expression."""
+    toks = _tokens(text)
+    total_chars = F.length(F.array_join(toks, " "))
+    return F.round(
+        _run_stats(_ngrams(toks, n))["best"] / F.greatest(total_chars, F.lit(1)), 4
+    )
+
+
+def dup_ngram_char_frac(text: Column, n: int = 5) -> Column:
+    """Fraction of the doc's normalized characters covered by all
+    ``n``-grams occurring more than once, 4dp. Map-side Column expr."""
+    toks = _tokens(text)
+    total_chars = F.length(F.array_join(toks, " "))
+    return F.round(
+        _run_stats(_ngrams(toks, n))["dupsum"] / F.greatest(total_chars, F.lit(1)), 4
+    )
+
+
 def ngram_char_fracs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -155,50 +212,33 @@ def ngram_char_fracs(
     - ``dup_ngram_char_frac``: fraction covered by all ``dup_n``-grams
       occurring more than once.
 
-    Plan: ONE explode of tagged (n, gram) rows → partial-aggregated
-    groupBy (doc, n, gram) → groupBy (doc). Linear in corpus tokens;
-    the first shuffle key (doc, n, gram) is high-cardinality and
-    skew-free, the second collapses to one row per doc. No Python.
+    Plan: the metrics are per-document, so they are computed WITHIN
+    each row (sorted-array run counting, see ``_run_stats``) — a
+    single map-only stage, zero shuffle, zero Python, linear in corpus
+    tokens. Docs shorter than ``top_n`` tokens emit no row (they have
+    no n-grams — same semantics as the explode formulation and the
+    DuckDB oracle).
     """
-    toks = _tokens(F.col(text_col))
-    total_chars = F.length(F.array_join(toks, " "))
-    tagged = F.concat(
+    t = F.col(text_col)
+    return docs.filter(F.size(_tokens(t)) >= min(top_n, dup_n)).select(
+        F.col(id_col),
+        top_ngram_char_frac(t, top_n).alias("top_ngram_char_frac"),
+        dup_ngram_char_frac(t, dup_n).alias("dup_ngram_char_frac"),
+    )
+
+
+def _pseudo_lines(text: Column, tokens_per_line: int) -> Column:
+    toks = _tokens(text)
+    n = F.size(toks)
+    k = F.lit(tokens_per_line)
+    n_lines = F.ceil(n / k.cast("double")).cast("int")
+    return F.when(
+        n > 0,
         F.transform(
-            _ngrams(toks, top_n),
-            lambda g: F.struct(F.lit(top_n).alias("n"), g.alias("gram")),
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
         ),
-        F.transform(
-            _ngrams(toks, dup_n),
-            lambda g: F.struct(F.lit(dup_n).alias("n"), g.alias("gram")),
-        ),
-    )
-    exploded = docs.select(
-        F.col(id_col), total_chars.alias("__total_chars"), F.explode(tagged).alias("g")
-    ).select(id_col, "__total_chars", "g.n", "g.gram")
-    per_gram = exploded.groupBy(id_col, "n", "gram").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.first("__total_chars").alias("total_chars"),
-    )
-    covered = F.col("cnt") * F.length("gram")
-    return (
-        per_gram.groupBy(id_col)
-        .agg(
-            F.round(
-                F.max(F.when(F.col("n") == top_n, covered).otherwise(F.lit(0)))
-                / F.greatest(F.first("total_chars"), F.lit(1)),
-                4,
-            ).alias("top_ngram_char_frac"),
-            F.round(
-                F.sum(
-                    F.when((F.col("n") == dup_n) & (F.col("cnt") > 1), covered).otherwise(
-                        F.lit(0)
-                    )
-                )
-                / F.greatest(F.first("total_chars"), F.lit(1)),
-                4,
-            ).alias("dup_ngram_char_frac"),
-        )
-    )
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def dup_line_char_frac(
@@ -212,26 +252,18 @@ def dup_line_char_frac(
     Gopher's duplicate-line rule on corpora without newlines; with real
     newline-delimited text, split on newlines upstream instead.
 
-    Plan: explode lines → partial-agg (doc, line) → per-doc ratio.
+    Plan: map-only sorted-array run counting within each row (see
+    ``_run_stats``) — no explode, no shuffle. Empty docs emit no row
+    (no lines — matches the explode/oracle semantics).
     """
-    toks = _tokens(F.col(text_col))
-    n = F.size(toks)
-    k = F.lit(tokens_per_line)
-    n_lines = F.ceil(n / k.cast("double")).cast("int")
-    lines = F.when(
-        n > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_lines - 1),
-            lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    exploded = docs.select(F.col(id_col), F.explode(lines).alias("line"))
-    per_line = exploded.groupBy(id_col, "line").agg(F.count(F.lit(1)).alias("cnt"))
-    chars = F.col("cnt") * F.length("line")
-    return per_line.groupBy(id_col).agg(
+    t = F.col(text_col)
+    lines = _pseudo_lines(t, tokens_per_line)
+    total = F.aggregate(
+        lines, F.lit(0).cast("bigint"), lambda acc, l: acc + F.length(l)
+    )
+    return docs.filter(F.size(_tokens(t)) > 0).select(
+        F.col(id_col),
         F.round(
-            F.sum(F.when(F.col("cnt") > 1, chars).otherwise(F.lit(0)))
-            / F.greatest(F.sum(chars), F.lit(1)),
-            4,
-        ).alias("dup_line_char_frac")
+            _run_stats(lines)["dupsum"] / F.greatest(total, F.lit(1)), 4
+        ).alias("dup_line_char_frac"),
     )

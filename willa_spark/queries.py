@@ -2148,10 +2148,10 @@ def _repetition_oracle(src: str) -> str:
 def q_repetition_ngram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition screen: per-doc fraction of characters covered
     by the most frequent 2-gram and by duplicated 5-grams, over the
-    corpus plus planted repetitive docs (see plant_repeated_docs). One
-    tagged explode (linear in corpus tokens) → partial-aggregated
-    (doc, n, gram) shuffle → one-row-per-doc collapse. Never quadratic,
-    no Python — the plan a 100 TB dedup pass wants."""
+    corpus plus planted repetitive docs (see plant_repeated_docs).
+    The metric is per-document, so it is computed WITHIN each row via
+    sorted-array run counting — one map-only stage, zero shuffle, zero
+    Python, linear in corpus tokens: the plan a 100 TB screen wants."""
     from .functions import corpus as C
 
     docs = read_table(spark, sf_dir, "documents")
@@ -2234,25 +2234,23 @@ def q_corpus_keep_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed corpus-filter report: per ingestion source, how many
     docs survive the Gopher quality screen, the repetition screen, and
     both — the acceptance dashboard a training-data pipeline publishes
-    per crawl slice. Quality flags are map-only; repetition joins back
-    on doc_id (one shuffle join) and the final rollup is a tiny
-    partial agg on source."""
+    per crawl slice. BOTH screens are per-row Column expressions (the
+    repetition ratios via sorted-array run counting), so the whole
+    report is one scan + one tiny partial agg on source — no join, no
+    doc-keyed shuffle."""
     from .functions import corpus as C
 
     docs = read_table(spark, sf_dir, "documents")
-    quality = docs.select(
-        "doc_id", "source", C.gopher_keep(F.col("text")).alias("kept_gopher")
-    )
-    rep = C.ngram_char_fracs(docs)
-    joined = quality.join(rep, "doc_id", "left").select(
+    t = F.col("text")
+    flags = docs.select(
         "source",
-        "kept_gopher",
+        C.gopher_keep(t).alias("kept_gopher"),
         (
-            (F.coalesce(F.col("top_ngram_char_frac"), F.lit(0.0)) <= C.MAX_TOP_BIGRAM_CHAR_FRAC)
-            & (F.coalesce(F.col("dup_ngram_char_frac"), F.lit(0.0)) <= C.MAX_DUP_5GRAM_CHAR_FRAC)
+            (C.top_ngram_char_frac(t) <= C.MAX_TOP_BIGRAM_CHAR_FRAC)
+            & (C.dup_ngram_char_frac(t) <= C.MAX_DUP_5GRAM_CHAR_FRAC)
         ).alias("kept_rep"),
     )
-    return joined.groupBy("source").agg(
+    return flags.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("kept_gopher").cast("int")).cast("bigint").alias("n_kept_gopher"),
         F.sum(F.col("kept_rep").cast("int")).cast("bigint").alias("n_kept_repetition"),

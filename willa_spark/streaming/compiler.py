@@ -211,6 +211,43 @@ class StreamingTopologyRunner:
             return df
         return df.withWatermark(TIMESTAMP, wm)
 
+    def _shift_event_time(self, df: DataFrame, wm: str | None) -> DataFrame:
+        """+1ms epoch-edge shift, preserving EXACTLY ONE
+        EventTimeWatermark node per branch.  Spark's stateful late-row
+        filters clamp their state watermark at 0 and drop rows with
+        event time <= 0, so a record exactly at the epoch is spuriously
+        "late" (observed: ts=0 dropped, ts=1 kept); shifting both the
+        data and all comparisons by +1ms fixes the edge without
+        changing any band/gap math.  Rebuilding the column would drop
+        the ingest watermark tag — but Spark 4 throws 'Redefining
+        watermark is disallowed' at runtime if we re-attach
+        ``withWatermark`` below the ingest-attached one.  Instead,
+        carry the tag through the rebuild via alias metadata (the same
+        mechanism by which Spark's own projections propagate the
+        event-time attribute), so the single ingest node keeps
+        governing the branch.  Only when NO watermark is attached yet
+        do we attach ``wm`` here.
+        """
+        meta = dict(df.schema[TIMESTAMP].metadata or {})
+        shifted = F.col(TIMESTAMP) + F.expr("INTERVAL 1 MILLISECONDS")
+        others = [F.col(c) for c in df.columns if c != TIMESTAMP]
+        if "spark.watermarkDelayMs" in meta:
+            return df.select(*others, shifted.alias(TIMESTAMP, metadata=meta))
+        out = df.select(*others, shifted.alias(TIMESTAMP))
+        return out.withWatermark(TIMESTAMP, wm) if wm else out
+
+    @staticmethod
+    def _tag_event_time(col, src_df: DataFrame, name: str = TIMESTAMP):
+        """Alias ``col`` as the event-time column, carrying ``src_df``'s
+        watermark tag through an expression that would otherwise drop
+        it (greatest(), arithmetic, …).  Downstream stateful operators
+        then recognise the column without a second — illegal —
+        ``withWatermark`` node above the first stateful operator."""
+        meta = dict(src_df.schema[TIMESTAMP].metadata or {})
+        if "spark.watermarkDelayMs" in meta:
+            return col.alias(name, metadata=meta)
+        return col.alias(name)
+
     # -- joins -----------------------------------------------------------
     def _combine_parents(self, node: str, built: dict) -> DataFrame | None:
         def usable(p: str) -> bool:
@@ -315,20 +352,12 @@ class StreamingTopologyRunner:
             if exact:
                 how = "inner"
             wm = cfg.get("watermark", _ms_duration(before + after + 1000))
-            # +1ms epoch-edge shift: Spark's stream-stream join late-row
-            # filter clamps its state watermark at 0 and drops rows with
-            # event time <= 0 — a record EXACTLY at the epoch is
-            # spuriously "late" (observed: ts=0 dropped, ts=1 kept).
-            # Shift both sides equally (band matches unchanged), unshift
-            # on output. Rebuilding the column drops any ingest
-            # watermark tag, so re-attach unconditionally.
+            # +1ms epoch-edge shift on both sides equally (band matches
+            # unchanged), unshift on output; _shift_event_time keeps
+            # the branch to a single EventTimeWatermark node.
             shift = F.expr("INTERVAL 1 MILLISECONDS")
-            lw = left.withColumn(TIMESTAMP, F.col(TIMESTAMP) + shift).withWatermark(
-                TIMESTAMP, wm
-            )
-            rw = right.withColumn(TIMESTAMP, F.col(TIMESTAMP) + shift).withWatermark(
-                TIMESTAMP, wm
-            )
+            lw = self._shift_event_time(left, wm)
+            rw = self._shift_event_time(right, wm)
             l = lw.select(
                 F.col(KEY).alias("__lk"), F.col(VALUE).alias("__lv"), F.col(TIMESTAMP).alias("__lts")
             )
@@ -344,10 +373,13 @@ class StreamingTopologyRunner:
             out = joined.select(
                 F.coalesce(F.col("__lk"), F.col("__rk")).alias(KEY),
                 _tuple_value(F.col("__lv"), F.col("__rv"), left_arity, 1, mode).alias(VALUE),
-                F.greatest(
-                    F.coalesce(F.col("__lts"), F.col("__rts")),
-                    F.coalesce(F.col("__rts"), F.col("__lts")),
-                ).alias(TIMESTAMP),
+                self._tag_event_time(
+                    F.greatest(
+                        F.coalesce(F.col("__lts"), F.col("__rts")),
+                        F.coalesce(F.col("__rts"), F.col("__lts")),
+                    ),
+                    lw,
+                ),
             )
             if exact:
                 lvt = left.schema[VALUE].dataType
@@ -385,8 +417,13 @@ class StreamingTopologyRunner:
                     unioned, wm, int(before), int(after), mode, left_arity + 1
                 )
             # undo the epoch-edge shift (after the dedup operator, whose
-            # event-time timeouts need the shifted watermarked column)
-            return out.withColumn(TIMESTAMP, F.col(TIMESTAMP) - shift)
+            # event-time timeouts need the shifted watermarked column);
+            # keep the event-time tag so a downstream stateful operator
+            # (windowed agg, session fold) never re-attaches a watermark
+            return out.select(
+                *[F.col(c) for c in out.columns if c != TIMESTAMP],
+                self._tag_event_time(F.col(TIMESTAMP) - shift, out),
+            )
         if right_type == model.KTABLE:
             if left_arity != 1:
                 raise NotImplementedError(
@@ -1257,9 +1294,12 @@ class StreamingTopologyRunner:
         Scale: state per group key is only the open sessions' (start,
         end, acc) triples — closed sessions are evicted as soon as the
         watermark passes (suppress: on their timeout; update mode:
-        opportunistically on the key's next record). One shuffle by
-        group key, Arrow-batched, same partitioning Kafka Streams'
-        repartition topic would give the session store.
+        opportunistically on the key's next record — NOTE: update mode
+        with no watermark anywhere in the topology retains all
+        sessions indefinitely, since there is no event-time bound to
+        evict against; declare a watermark to bound state). One
+        shuffle by group key, Arrow-batched, same partitioning Kafka
+        Streams' repartition topic would give the session store.
         """
         import pandas as pd
         from pyspark.sql.streaming.state import GroupStateTimeout
@@ -1280,13 +1320,11 @@ class StreamingTopologyRunner:
         # the append-mode late-row filter clamps its watermark at 0 and
         # drops rows with event time <= 0 — a record EXACTLY at the
         # epoch would vanish from its session. Shift uniformly (gap
-        # math unchanged), re-attach the watermark (rebuilding the
-        # column drops the ingest tag), unshift on output.
+        # math unchanged), unshift on output; _shift_event_time keeps
+        # the branch to a single EventTimeWatermark node.
         wm_spec = ent.get("watermark", self.source_watermark)
         shift = F.expr("INTERVAL 1 MILLISECONDS")
-        df = df.withColumn(TIMESTAMP, F.col(TIMESTAMP) + shift)
-        if wm_spec:
-            df = df.withWatermark(TIMESTAMP, wm_spec)
+        df = self._shift_event_time(df, wm_spec)
         has_wm = self._has_event_time(df)
         initial, adder, merger = agg.initial, agg.adder, agg.merger
         gap = int(win.gap_ms)
@@ -1345,12 +1383,20 @@ class StreamingTopologyRunner:
                             accs.append(adder(initial, gk, v))
                             idx = len(starts) - 1
                         else:
-                            idx = hit[0]
-                            for j in reversed(hit[1:]):
+                            # merge in SESSION-TIME order (not state-list
+                            # arrival order): merger always combines the
+                            # temporally earlier accumulator on the left,
+                            # matching Kafka Streams' session Merger
+                            # contract for non-commutative accumulators
+                            hit.sort(key=lambda i: starts[i])
+                            idx, dels = hit[0], hit[1:]
+                            for j in dels:
                                 starts[idx] = min(starts[idx], starts[j])
                                 ends[idx] = max(ends[idx], ends[j])
                                 accs[idx] = merger(gk, accs[idx], accs[j])
+                            for j in sorted(dels, reverse=True):
                                 del starts[j], ends[j], accs[j]
+                            idx -= sum(1 for j in dels if j < idx)
                             starts[idx] = min(starts[idx], ms)
                             ends[idx] = max(ends[idx], ms)
                             accs[idx] = adder(accs[idx], gk, v)
