@@ -88,6 +88,17 @@ def main() -> int:
             read_table(spark, sf_dir, t).count()
         except Exception:
             pass
+    # ...and warm the Python/Arrow worker pool: the FIRST pandas_udf
+    # call in a session pays interpreter spawn + pandas/numpy import on
+    # every worker (~5-7s across 32 workers) — session startup, not
+    # query cost, by the same rationale as the table warmup above.
+    # Without this the first Pandas-UDF query in HEADLINE absorbs it.
+    from pyspark.sql import functions as F
+
+    warm = F.pandas_udf(lambda s: s, "long")
+    spark.range(0, 10_000, 1, int(cpus)).select(warm("id").alias("x")).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

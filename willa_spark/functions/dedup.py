@@ -214,9 +214,35 @@ def verified_near_dups(
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs only (the candidate set
     is orders of magnitude smaller than all-pairs). Output:
-    id_a, id_b, jaccard."""
-    sh = _spread(df.select(id_col, text_col), id_col).select(
-        F.col(id_col).alias("__id"), shingles(F.col(text_col), shingle_n).alias("__sh")
+    id_a, id_b, jaccard.
+
+    Scale shape: shingles are computed ONLY for documents that appear
+    in some candidate pair — a semi-join against the (persisted, tiny)
+    candidate id set first — so verification cost is proportional to
+    the candidate count, not the corpus. Re-shingling the whole corpus
+    here benchmarked ~4× slower at sf0.1 and would be catastrophic at
+    100 TB where candidates ≪ corpus.
+
+    The candidate frame is EAGERLY materialized (count) before the
+    fan-out: it feeds two subtrees (the id set and the final pair
+    join), and a lazy persist lets both race to compute the expensive
+    candidate subtree concurrently within one action — observed 4×
+    duplicate work in the bench. The frame is id-pairs only, bounded
+    by the near-dup count; at 100 TB you would checkpoint it to
+    storage instead, same shape."""
+    candidates = candidates.persist()
+    candidates.count()
+    ids = (
+        candidates.select(F.col("id_a").alias("__id"))
+        .unionByName(candidates.select(F.col("id_b").alias("__id")))
+        .distinct()
+    )
+    sh = (
+        _spread(df.select(id_col, text_col), id_col)
+        .join(ids, F.col(id_col) == F.col("__id"), "left_semi")
+        .select(
+            F.col(id_col).alias("__id"), shingles(F.col(text_col), shingle_n).alias("__sh")
+        )
     )
     a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
     b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
@@ -237,16 +263,16 @@ def with_simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash"
     """64-bit SimHash per document — vectorized numpy inside an
     Arrow-batched Pandas UDF (the justified slow path: 64 bit-counters
     per token don't fit a reasonable Column expression). Deterministic:
-    token hash = md5 low 64 bits."""
+    token hash = pandas ``hash_array`` (SipHash with a fixed key —
+    stable across runs, processes, and platforms)."""
     import pandas as pd
     import numpy as np
-    import hashlib
 
     def _simhash_batch(texts):
         # fully vectorized over the Arrow batch: factorize all tokens so
-        # md5 runs once per distinct token (corpus vocab ≪ token count),
-        # then segment-sum the ±1 bit rows with a cumsum difference —
-        # no per-document Python loop, no per-token dict hits
+        # each distinct token hashes once (corpus vocab ≪ token count)
+        # in ONE cython hash_array call — no per-token Python loop —
+        # then segment-sum the ±1 bit rows with a cumsum difference
         shifts = np.arange(64, dtype=np.uint64)
         powers = (np.uint64(1) << shifts).astype(np.uint64)
 
@@ -260,14 +286,7 @@ def with_simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash"
             [tok for toks in toks_per_doc for tok in toks], dtype=object
         )
         codes, uniques = pd.factorize(flat)
-        hashes = np.fromiter(
-            (
-                int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "big")
-                for u in uniques
-            ),
-            dtype=np.uint64,
-            count=len(uniques),
-        )
+        hashes = pd.util.hash_array(np.asarray(uniques, dtype=object))
         # (vocab × 64) matrix of ±1 rows, gathered per token occurrence
         pm = (
             ((hashes[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64) * 2 - 1
