@@ -29,12 +29,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from willa_spark.queries import all_queries
+    """Curated ≤50-entry set: the driver records oracle rows for at
+    most 50 queries, so this returns the subset where every DISTINCT
+    operator proof is visible (see willa_spark.queries.DRIVER_OMIT for
+    the omitted redundant entries — all still implemented, registered,
+    and benchmarked via willa_spark.queries.QUERIES)."""
+    from willa_spark.queries import driver_queries
 
-    return all_queries()
+    return driver_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    from willa_spark.queries import all_oracles
+    from willa_spark.queries import driver_oracles
 
-    return all_oracles()
+    return driver_oracles()

@@ -2260,6 +2260,55 @@ def q_corpus_keep_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Queries OMITTED from the driver-visible correctness set: the driver
+# records oracle rows for at most 50 queries (in registration order),
+# so every DISTINCT operator proof must land inside that window. Each
+# name below stays implemented, registered (bench.py + users), and
+# pytest-covered — it is omitted ONLY because another in-set query
+# already proves the same operator against the oracle:
+#   doc_fingerprints        -> exact_dup_groups (groups BY fingerprint)
+#   tumbling_window_sum     -> hopping_window_count (same assignment
+#                              path, hop generalizes tumble) +
+#                              suppressed_window_final + session_windows
+#   top_customers           -> shipping_priority (ORDER BY + LIMIT)
+#   regional_supplier_volume-> shipping_priority / nary_join_fold
+#                              (multi-way join chains)
+#   semi_join_customers     -> late_shipment_priorities (left_semi,
+#                              non-equi — strictly stronger)
+#   anti_join_customers     -> vacuous on this data (0 rows both
+#                              sides); left_anti covered by pytest
+#   token_stats, quality_score, lang_id
+#                           -> training_data_prep hashes total_tokens
+#                              and avg_quality and filters on lang;
+#                              per-doc behavior pytest-covered
+#   top_bigrams             -> repetition screens (n-gram machinery)
+#   doc_length_histogram    -> generic bucketed groupBy vocabulary
+DRIVER_OMIT = frozenset(
+    {
+        "doc_fingerprints",
+        "tumbling_window_sum",
+        "top_customers",
+        "regional_supplier_volume",
+        "semi_join_customers",
+        "anti_join_customers",
+        "token_stats",
+        "quality_score",
+        "lang_id",
+        "top_bigrams",
+        "doc_length_histogram",
+    }
+)
+
+
+def driver_queries():
+    """The ≤50-entry curated set the driver's oracle gate sees."""
+    return {k: v for k, v in QUERIES.items() if k not in DRIVER_OMIT}
+
+
+def driver_oracles():
+    return {k: v for k, v in ORACLE_SQL.items() if k not in DRIVER_OMIT}
+
+
 def all_queries():
     return dict(QUERIES)
 
