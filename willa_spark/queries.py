@@ -268,8 +268,9 @@ def q_hopping_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
          s AS (SELECT user_id, t,
                       sum(brk) OVER (PARTITION BY user_id ORDER BY t
                                      ROWS UNBOUNDED PRECEDING) AS sid
-               FROM s0) -- placeholder replaced below
-    SELECT 1
+               FROM m)
+    SELECT user_id, min(t) AS session_start, count(*) AS n_events
+    FROM s GROUP BY user_id, sid
     """,
 )
 def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -281,23 +282,6 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return win.groupBy(F.col(KEY).alias("user_id"), F.col(WINDOW_START).alias("session_start")).agg(
         F.count(F.lit(1)).alias("n_events")
     )
-
-
-# fix the session oracle (written out straightforwardly)
-ORACLE_SQL["session_windows"] = f"""
-    WITH e AS (SELECT user_id, epoch_ms(ts) AS t FROM events),
-         m AS (SELECT user_id, t,
-                      CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
-                                OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > {30*60*1000}
-                           THEN 1 ELSE 0 END AS brk
-               FROM e),
-         s AS (SELECT user_id, t,
-                      sum(brk) OVER (PARTITION BY user_id ORDER BY t
-                                     ROWS UNBOUNDED PRECEDING) AS sid
-               FROM m)
-    SELECT user_id, min(t) AS session_start, count(*) AS n_events
-    FROM s GROUP BY user_id, sid
-"""
 
 
 # =====================================================================
@@ -2048,7 +2032,7 @@ _GOPHER_SW_SQL = ", ".join(f"'{w}'" for w in CORPUS.GOPHER_STOPWORDS)
     ), m AS (
       SELECT doc_id,
              len(toks) AS n_words,
-             round(list_sum(list_transform(toks, s -> length(s))) * 1.0
+             round(coalesce(list_sum(list_transform(toks, s -> length(s))), 0) * 1.0
                    / greatest(len(toks), 1), 4) AS mean_word_len,
              round(len(list_filter(toks, s -> regexp_matches(s, '[a-z]'))) * 1.0
                    / greatest(len(toks), 1), 4) AS alpha_word_frac,
@@ -2203,7 +2187,7 @@ def q_dup_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), g AS (
       SELECT doc_id, source,
              (len(toks) BETWEEN 30 AND 100000
-              AND round(list_sum(list_transform(toks, s -> length(s))) * 1.0
+              AND round(coalesce(list_sum(list_transform(toks, s -> length(s))), 0) * 1.0
                         / greatest(len(toks), 1), 4) BETWEEN 3.0 AND 10.0
               AND round(len(list_filter(toks, s -> regexp_matches(s, '[a-z]'))) * 1.0
                         / greatest(len(toks), 1), 4) >= 0.80
