@@ -60,6 +60,47 @@ def test_kafka_source_unavailable_is_clear(spark):
         K.kafka_source(spark, {"bootstrap_servers": "x:9092", "topic": "t"})
 
 
+def test_kafka_roundtrip_smoke(spark):
+    """Real-Kafka wiring smoke (the reference validates its engine
+    against a live Kafka path via TopologyTestDriver,
+    test/willa/test_utils.clj:16-59): write records through
+    ``kafka_sink_columns`` to a fresh topic, read them back through
+    ``kafka_source``, and compare key/value multisets. Runs only when
+    BOTH the spark-sql-kafka connector jar is on the classpath AND a
+    broker address is supplied via $WILLA_KAFKA_BOOTSTRAP — skipped
+    (not vacuously passed) otherwise, so any deployment with Kafka
+    exercises the wiring end-to-end for free."""
+    import os
+    import uuid
+
+    if not K.available(spark):
+        pytest.skip("spark-sql-kafka connector jar not on the classpath")
+    bootstrap = os.environ.get("WILLA_KAFKA_BOOTSTRAP")
+    if not bootstrap:
+        pytest.skip("WILLA_KAFKA_BOOTSTRAP not set (no broker to test against)")
+
+    topic = f"willa-smoke-{uuid.uuid4().hex[:8]}"
+    df = spark.createDataFrame(
+        [("k1", 11, 100), ("k2", 22, 200), ("k1", 33, 300)],
+        f"{KEY} string, {VALUE} bigint, {TIMESTAMP} bigint",
+    )
+    (
+        K.kafka_sink_columns(df)
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .save()
+    )
+    back = K.kafka_source(
+        spark,
+        {"bootstrap_servers": bootstrap, "topic": topic},
+        serde={"key": "string", "value": "long"},
+        streaming=False,
+    )
+    got = sorted((r[KEY], r[VALUE]) for r in back.collect())
+    assert got == [("k1", 11), ("k1", 33), ("k2", 22)]
+
+
 def test_viz_dot_output(spark):
     topo = {
         "entities": {

@@ -309,6 +309,31 @@ def test_session_python_fold_merger_across_batches(spark, tmp_path):
     assert b == s == Counter([("k", 12)])
 
 
+def test_session_python_fold_merger_in_session_time_order(spark, tmp_path):
+    """When a bridge record merges sessions that were OPENED out of
+    temporal order (the temporally later one arrived first), the
+    merger must still combine the temporally EARLIER accumulator on
+    the left — Kafka Streams' session Merger contract, observable only
+    with a non-commutative accumulator. Batch congruity doesn't apply
+    here (documented arrival-order divergence); the assertion is on
+    the streaming result itself: state-list order would give
+    '2|1|9'."""
+    agg = Aggregate.fold("", concat_add, "string", merger=concat_merge)
+    topo = session_topo(agg, suppress=True, watermark="1 second")
+    # same bridge geometry as the cross-batch test (A at ts=0, B at
+    # ts=150, bridge ts=90 within gap 100 of both) but arriving
+    # B-FIRST, so the state list holds [B, A] when the bridge lands
+    first = [("k", 2, 150)]
+    second = [("k", 1, 0)]
+    bridge = [("k", 9, 90)]
+    rows = run_streaming_topology(
+        spark, topo, {"in": first}, str(tmp_path),
+        extra_files={"in": [second, bridge, [("zz", 0, 1_000_000)]]},
+    )["out"]
+    s = Counter(kv for kv in rows if kv[0] != "zz")
+    assert s == Counter([("k", "1|2|9")])
+
+
 def test_session_python_fold_requires_merger(spark, tmp_path):
     import pytest as _pytest
 
