@@ -57,6 +57,16 @@ HEADLINE = [
     "corpus_keep_by_source",
     "embedding_topk",
     "ann_lsh_topk",
+    # round 3 additions: the remaining LLM-pipeline + join-fold ops so
+    # the bench covers every first-class family end-to-end
+    "dup_line_filter",
+    "near_dup_clusters",
+    "training_data_prep",
+    "embedding_near_dups",
+    "ann_ivf_topk",
+    "multimodal_decode",
+    "nary_join_fold",
+    "windowed_left_join",
 ]
 
 
@@ -100,20 +110,28 @@ def main() -> int:
         "noop"
     ).mode("overwrite").save()
 
+    # Two full passes, report the per-query MIN. This container shares
+    # a host with other tenants (observed host load >17 while the
+    # container was idle; identical back-to-back runs vary up to ~4×),
+    # so a single sample conflates query cost with neighbor noise.
+    # Min-of-2 with the passes separated in time keeps a transient
+    # spike from hitting both samples of the same query.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as e:  # keep the bench line parseable no matter what
-            timings[name] = -1.0
-            print(f"bench error in {name}: {e}", file=sys.stderr)
-        # queries are self-contained: drop their persisted frames so one
-        # query's cache doesn't squeeze executor memory for the next
-        spark.catalog.clearCache()
+    for _pass in range(2):
+        for name in HEADLINE:
+            fn = QUERIES[name]
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                elapsed = round(time.perf_counter() - t0, 3)
+                timings[name] = min(timings.get(name, elapsed), elapsed)
+            except Exception as e:  # keep the bench line parseable no matter what
+                timings[name] = -1.0
+                print(f"bench error in {name}: {e}", file=sys.stderr)
+            # queries are self-contained: drop their persisted frames so
+            # one query's cache doesn't squeeze memory for the next
+            spark.catalog.clearCache()
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(

@@ -99,3 +99,46 @@ def test_short_doc_edge_cases(spark):
     assert C.ngram_char_fracs(df).count() == 0
     lines = {r["doc_id"]: r["dup_line_char_frac"] for r in C.dup_line_char_frac(df).collect()}
     assert lines == {1: 0.0}
+
+
+def test_repetition_screens_are_map_only(spark, docs):
+    """The round-3 design guarantee: repetition ratios are per-row
+    Column expressions — the plan must contain ZERO exchanges (no
+    explode-shuffle), which is what makes the screen a single map-only
+    stage at 100 TB."""
+    from willa_spark.plans.inspect import count_exchanges, physical_plan
+
+    rep = C.ngram_char_fracs(docs)
+    assert count_exchanges(rep) == 0
+    lines = C.dup_line_char_frac(docs)
+    assert count_exchanges(lines) == 0
+    # and no generator/explode node sneaks back in
+    assert "Generate" not in physical_plan(rep)
+
+
+def test_run_stats_matches_python_reference(spark):
+    """Differential check of the sorted-array run-counting fold against
+    a straightforward Python Counter on tricky token multisets (runs
+    of 1/2/3+, all-equal, all-distinct, empty)."""
+    from collections import Counter as Ctr
+
+    cases = [
+        [],
+        ["a"],
+        ["a", "a"],
+        ["b", "a", "b", "a", "b"],
+        ["x"] * 7,
+        ["one", "two", "three", "two", "one", "one"],
+        ["aa", "a", "aa", "aaa", "a"],
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], ["i", "grams"])
+    out = {
+        r["i"]: r["s"]
+        for r in df.select("i", C._run_stats(F.col("grams")).alias("s")).collect()
+    }
+    for i, toks in enumerate(cases):
+        cnt = Ctr(toks)
+        best = max((n * len(g) for g, n in cnt.items()), default=0)
+        dupsum = sum(n * len(g) for g, n in cnt.items() if n > 1)
+        assert out[i]["best"] == best, (i, toks, dict(out[i].asDict()))
+        assert out[i]["dupsum"] == dupsum, (i, toks, dict(out[i].asDict()))

@@ -97,6 +97,12 @@ def test_minhash_finds_near_dups(spark, docs):
     pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
     assert (1, 6) in pairs  # exact dups always collide
     verified = D.verified_near_dups(docs, cands, threshold=0.5)
+    # plan guardrail: shingling is restricted to candidate-involved
+    # docs via a LEFT SEMI join (verification cost ∝ candidates, not
+    # corpus — the 100 TB shape)
+    from willa_spark.plans.inspect import physical_plan
+
+    assert "LeftSemi" in physical_plan(verified)
     vpairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
     assert vpairs[(1, 6)] == 1.0
     if (1, 2) in vpairs:  # near-dup pair (8/10 shingles shared)
