@@ -88,17 +88,63 @@ def stopword_hits(text: Column) -> Column:
 
 def gopher_keep(text: Column) -> Column:
     """Gopher §A1.1 document-quality keep rule as one boolean Column."""
-    nw = n_words(text)
-    mwl = mean_word_len(text)
-    return (
-        (nw >= MIN_WORDS)
-        & (nw <= MAX_WORDS)
-        & (mwl >= MIN_MEAN_WORD_LEN)
-        & (mwl <= MAX_MEAN_WORD_LEN)
-        & (alpha_word_frac(text) >= MIN_ALPHA_WORD_FRAC)
-        & (symbol_word_ratio(text) <= MAX_SYMBOL_WORD_RATIO)
-        & (stopword_hits(text) >= MIN_STOPWORD_HITS)
-    )
+    return gopher_metrics(text)["kept"]
+
+
+def _bind_tokens(text: Column, build) -> Column:
+    """Evaluate the token array ONCE per row and bind it as a lambda
+    variable for ``build``.  Higher-order functions are interpreted
+    (no whole-stage codegen), so Catalyst's common-subexpression
+    elimination does not reach into lambda bodies — without binding,
+    every metric that mentions ``_tokens(text)`` re-splits the text.
+    Wrapping the tokens in a 1-element array and computing the metric
+    struct inside ``transform`` makes the split cost once-per-row
+    regardless of how many metrics read it (~6× less tokenize work in
+    the quality screen — the dominant map cost at 100 TB)."""
+    return F.element_at(F.transform(F.array(_tokens(text)), build), 1)
+
+
+def gopher_metrics(text: Column) -> Column:
+    """All Gopher §A1.1 quality metrics + the combined keep flag as ONE
+    struct Column ``(n_words, mean_word_len, alpha_word_frac,
+    symbol_word_ratio, stopword_hits, kept)`` — a single tokenization
+    per row (see ``_bind_tokens``).  Field formulas are identical to
+    the standalone metric functions (same 4dp rounding)."""
+
+    def build(toks):
+        nw = F.size(toks)
+        denom = F.greatest(nw, F.lit(1))
+        total = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+        mwl = F.round(total / denom, 4)
+        alpha = F.round(
+            F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))) / denom, 4
+        )
+        hashes = F.length(text) - F.length(F.regexp_replace(text, r"#", ""))
+        ellipses = F.size(F.regexp_extract_all(text, F.lit(r"\.\.\."), F.lit(0)))
+        symr = F.round((hashes + ellipses) / denom, 4)
+        sw = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+        hits = F.size(
+            F.filter(F.array_distinct(toks), lambda x: F.array_contains(sw, x))
+        )
+        kept = (
+            (nw >= MIN_WORDS)
+            & (nw <= MAX_WORDS)
+            & (mwl >= MIN_MEAN_WORD_LEN)
+            & (mwl <= MAX_MEAN_WORD_LEN)
+            & (alpha >= MIN_ALPHA_WORD_FRAC)
+            & (symr <= MAX_SYMBOL_WORD_RATIO)
+            & (hits >= MIN_STOPWORD_HITS)
+        )
+        return F.struct(
+            nw.alias("n_words"),
+            mwl.alias("mean_word_len"),
+            alpha.alias("alpha_word_frac"),
+            symr.alias("symbol_word_ratio"),
+            hits.alias("stopword_hits"),
+            kept.alias("kept"),
+        )
+
+    return _bind_tokens(text, build)
 
 
 def _ngrams(toks: Column, n: int) -> Column:
@@ -197,6 +243,25 @@ def dup_ngram_char_frac(text: Column, n: int = 5) -> Column:
     )
 
 
+def repetition_metrics(text: Column, top_n: int = 2, dup_n: int = 5) -> Column:
+    """Both repetition ratios + the token count as ONE struct Column
+    ``(n_words, top_ngram_char_frac, dup_ngram_char_frac)`` with a
+    single tokenization per row (see ``_bind_tokens``); formulas match
+    the standalone frac functions exactly."""
+
+    def build(toks):
+        total_chars = F.greatest(F.length(F.array_join(toks, " ")), F.lit(1))
+        top = F.round(_run_stats(_ngrams(toks, top_n))["best"] / total_chars, 4)
+        dup = F.round(_run_stats(_ngrams(toks, dup_n))["dupsum"] / total_chars, 4)
+        return F.struct(
+            F.size(toks).alias("n_words"),
+            top.alias("top_ngram_char_frac"),
+            dup.alias("dup_ngram_char_frac"),
+        )
+
+    return _bind_tokens(text, build)
+
+
 def ngram_char_fracs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -219,11 +284,17 @@ def ngram_char_fracs(
     no n-grams — same semantics as the explode formulation and the
     DuckDB oracle).
     """
-    t = F.col(text_col)
-    return docs.filter(F.size(_tokens(t)) >= min(top_n, dup_n)).select(
+    # struct first, filter + expand second: CollapseProject refuses to
+    # inline the (non-cheap) struct into per-field accesses, so the
+    # metrics — and the tokenization inside — run once per row
+    m = docs.select(
         F.col(id_col),
-        top_ngram_char_frac(t, top_n).alias("top_ngram_char_frac"),
-        dup_ngram_char_frac(t, dup_n).alias("dup_ngram_char_frac"),
+        repetition_metrics(F.col(text_col), top_n, dup_n).alias("__m"),
+    )
+    return m.filter(F.col("__m.n_words") >= min(top_n, dup_n)).select(
+        id_col,
+        F.col("__m.top_ngram_char_frac").alias("top_ngram_char_frac"),
+        F.col("__m.dup_ngram_char_frac").alias("dup_ngram_char_frac"),
     )
 
 

@@ -2062,15 +2062,15 @@ def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions import corpus as C
 
     docs = read_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    return docs.select(
+    m = docs.select("doc_id", C.gopher_metrics(F.col("text")).alias("__m"))
+    return m.select(
         "doc_id",
-        C.n_words(t).alias("n_words"),
-        C.mean_word_len(t).alias("mean_word_len"),
-        C.alpha_word_frac(t).alias("alpha_word_frac"),
-        C.symbol_word_ratio(t).alias("symbol_word_ratio"),
-        C.stopword_hits(t).alias("stopword_hits"),
-        C.gopher_keep(t).alias("kept"),
+        F.col("__m.n_words").alias("n_words"),
+        F.col("__m.mean_word_len").alias("mean_word_len"),
+        F.col("__m.alpha_word_frac").alias("alpha_word_frac"),
+        F.col("__m.symbol_word_ratio").alias("symbol_word_ratio"),
+        F.col("__m.stopword_hits").alias("stopword_hits"),
+        F.col("__m.kept").alias("kept"),
     )
 
 
@@ -2226,12 +2226,17 @@ def q_corpus_keep_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     t = F.col("text")
-    flags = docs.select(
+    m = docs.select(
         "source",
-        C.gopher_keep(t).alias("kept_gopher"),
+        C.gopher_metrics(t).alias("__g"),
+        C.repetition_metrics(t).alias("__r"),
+    )
+    flags = m.select(
+        "source",
+        F.col("__g.kept").alias("kept_gopher"),
         (
-            (C.top_ngram_char_frac(t) <= C.MAX_TOP_BIGRAM_CHAR_FRAC)
-            & (C.dup_ngram_char_frac(t) <= C.MAX_DUP_5GRAM_CHAR_FRAC)
+            (F.col("__r.top_ngram_char_frac") <= C.MAX_TOP_BIGRAM_CHAR_FRAC)
+            & (F.col("__r.dup_ngram_char_frac") <= C.MAX_DUP_5GRAM_CHAR_FRAC)
         ).alias("kept_rep"),
     )
     return flags.groupBy("source").agg(
