@@ -418,6 +418,17 @@ def dup_clusters(
         .withColumn("label", F.col("node"))
         .persist()
     )
+    # convergence check: labels are monotonically non-increasing (every
+    # update takes a min), so the label sum strictly decreases until
+    # fixpoint — comparing two scalar sums replaces the old
+    # join-new-vs-old + count action with one partial aggregate per
+    # round. decimal(38,0) keeps the sum exact at any node count.
+    def label_sum(frame):
+        return frame.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = None
     for _ in range(max_iters):
         # 1) propagate: each node adopts the min of its own and its
         #    neighbors' labels
@@ -443,18 +454,15 @@ def dup_clusters(
             )
         )
         new_labels = jumped.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = label_sum(new_labels)
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        # cur_sum is None iff the label frame is empty (no pairs at
+        # all) — converged trivially
+        if cur_sum is None or cur_sum == prev_sum:
             edges.unpersist()
             return labels.select(F.col("node").alias("id"), F.col("label").alias("cluster_id"))
+        prev_sum = cur_sum
     edges.unpersist()
     raise RuntimeError(f"dup_clusters did not converge in {max_iters} rounds")
 
