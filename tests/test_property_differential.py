@@ -226,3 +226,59 @@ def test_three_way_merge_congruity(spark, tmp_path_factory, a, b, c):
     else:
         sres = Counter()
     assert bres == sres
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    records=records_strategy,
+    gap_ms=st.sampled_from([50, 100, 250]),
+)
+def test_session_python_fold_congruity(spark, tmp_path_factory, records, gap_ms):
+    """Random inputs through a session-windowed PYTHON fold (the
+    applyInPandasWithState path, round-3 fix surface): suppressed
+    finals with the session start attached must match the batch gap
+    split exactly for any gap size, key collisions, and equal
+    timestamps. The fold is commutative (sum) so merge order cannot
+    mask a session-assignment bug — emit_window exposes it."""
+    from willa_spark import SessionWindow as SW
+
+    add = lambda acc, gk, v: acc + v  # noqa: E731
+    merge = lambda gk, a, b: a + b  # noqa: E731
+    topo = {
+        "entities": {
+            "in": {"type": "topic"},
+            "t": {
+                "type": "ktable",
+                "group_by": lambda k, v: k,
+                "window": SW(gap_ms),
+                "aggregate": Aggregate.fold(0, add, "bigint", merger=merge),
+                "suppress": True,
+                "emit_window": True,
+                "watermark": "0 milliseconds",
+            },
+            "out": {"type": "topic"},
+        },
+        "workflow": [("in", "t"), ("t", "out")],
+    }
+    b = Counter(
+        kv
+        for kv in collect_records(run_topology(spark, topo, inputs={"in": records})["out"])
+        if kv[0] != "zz"
+    )
+    if records:
+        tmp = tmp_path_factory.mktemp("propsess")
+        s = Counter(
+            kv
+            for kv in run_streaming_topology(
+                spark, topo, {"in": records}, str(tmp),
+                extra_files={"in": [("zz", 0, 1_000_000)]},
+            )["out"]
+            if kv[0] != "zz"
+        )
+    else:
+        s = Counter()
+    assert b == s
