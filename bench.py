@@ -125,9 +125,11 @@ def main() -> int:
                 df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 elapsed = round(time.perf_counter() - t0, 3)
-                timings[name] = min(timings.get(name, elapsed), elapsed)
+                prev = timings.get(name)
+                # a later successful pass replaces an earlier error
+                timings[name] = elapsed if prev is None or prev < 0 else min(prev, elapsed)
             except Exception as e:  # keep the bench line parseable no matter what
-                timings[name] = -1.0
+                timings.setdefault(name, -1.0)
                 print(f"bench error in {name}: {e}", file=sys.stderr)
             # queries are self-contained: drop their persisted frames so
             # one query's cache doesn't squeeze memory for the next
