@@ -444,7 +444,11 @@ def dup_clusters(
                 F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias("label"),
             )
         )
-        # 2) pointer jump: label := label's label (path halving)
+        # 2) pointer jump: label := label's label (path halving).
+        #    (A second jump per round — 4× contraction — benchmarked
+        #    SLOWER at sf0.1: the extra keyed join per round costs more
+        #    than the saved rounds on near-dup graphs, whose components
+        #    are shallow. Revisit only for deep-chain workloads.)
         parent = prop.select(F.col("node").alias("p_node"), F.col("label").alias("p_label"))
         jumped = (
             prop.join(parent, prop.label == parent.p_node, "left")
