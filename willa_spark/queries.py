@@ -570,12 +570,20 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "anti_join_customers",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
     """,
 )
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with NO high-value order (left_anti with a filtered
+    build side). The price floor makes the result non-vacuous on the
+    synthetic data — an anti-join proof where both sides return 0
+    rows would be satisfied by any broken implementation."""
     customer = read_table(spark, sf_dir, "customer")
-    orders = read_table(spark, sf_dir, "orders")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 300000
+    )
     return customer.join(
         orders, customer.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
@@ -2264,8 +2272,9 @@ def q_corpus_keep_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                              (multi-way join chains)
 #   semi_join_customers     -> late_shipment_priorities (left_semi,
 #                              non-equi — strictly stronger)
-#   anti_join_customers     -> vacuous on this data (0 rows both
-#                              sides); left_anti covered by pytest
+#   anti_join_customers     -> left_anti also proven by pytest and by
+#                              EXCEPT (except_customers, same absent-
+#                              from semantics through a set op)
 #   token_stats, quality_score, lang_id
 #                           -> training_data_prep hashes total_tokens
 #                              and avg_quality and filters on lang;
