@@ -111,6 +111,10 @@ class TopologyRunner:
     # -- seeding ---------------------------------------------------------
     def _seed(self, eid: str, ent: dict, inputs: dict, seq_offset: int) -> DataFrame | None:
         src = inputs.get(eid, ent.get("source"))
+        if src is None and ent.get("file"):
+            from .sources.files import read_records
+
+            src = read_records(self.spark, ent["file"], streaming=False)
         if src is None:
             return None
         if callable(src) and not isinstance(src, DataFrame):

@@ -1479,13 +1479,18 @@ class StreamingTopologyRunner:
             combined = self._combine_parents(node, built)
             deferred = isinstance(combined, DeferredStream)
             if etype == model.TOPIC:
-                if node in inputs:
+                source_df = inputs.get(node)
+                if source_df is None and ent.get("file"):
+                    from ..sources.files import read_records
+
+                    source_df = read_records(self.spark, ent["file"], streaming=True)
+                if source_df is not None:
                     if deferred:
                         raise NotImplementedError(
                             f"topic {node!r}: merging a source with a stream "
                             "downstream of a refreshed global table is unsupported"
                         )
-                    src = self._ingest(inputs[node])
+                    src = self._ingest(source_df)
                     built[node] = src if combined is None else combined.unionByName(src)
                 else:
                     built[node] = combined
