@@ -107,3 +107,48 @@ def test_streaming_topology_over_csv_file_entity(spark, tmp_path):
     assert Counter((r["key"], r["value"]) for r in rows) == Counter(
         [("u1", 6), ("u2", 8), ("u1", 10)]
     )
+
+
+def test_start_queries_parquet_sink(spark, tmp_path):
+    """S3 via start_queries: leaf 'sink' config writes the transformed
+    stream to parquet; reading the files back recovers the records."""
+    from willa_spark.streaming.compiler import StreamingTopologyRunner
+
+    out_dir = str(tmp_path / "out_parquet")
+    topo = {
+        "entities": {
+            "in": {"type": "topic", "file": {**CSV_CFG, "path": _write_csv(tmp_path)}},
+            "s": {"type": "kstream", "xform": MapValues(lambda v: v + 1)},
+            "out": {"type": "topic", "sink": {"format": "parquet", "path": out_dir}},
+        },
+        "workflow": [("in", "s"), ("s", "out")],
+    }
+    runner = StreamingTopologyRunner(spark, topo)
+    queries = runner.start_queries(runner.build({}), str(tmp_path / "chk"))
+    for q in queries.values():
+        assert q.awaitTermination(120)
+    rows = spark.read.parquet(out_dir).collect()
+    assert Counter((r["key"], r["value"]) for r in rows) == Counter(
+        [("u1", 6), ("u2", 8), ("u1", 10)]
+    )
+
+
+def test_start_queries_rejects_update_mode_file_sink(spark, tmp_path):
+    """An unwindowed (update-mode) aggregate feeding a file sink fails
+    fast with a clear error instead of dying inside Spark."""
+    from willa_spark import Aggregate
+    from willa_spark.streaming.compiler import StreamingTopologyRunner
+
+    topo = {
+        "entities": {
+            "in": {"type": "topic", "file": {**CSV_CFG, "path": _write_csv(tmp_path)}},
+            "t": {"type": "ktable", "aggregate": Aggregate.sum()},
+            "out": {"type": "topic", "sink": {"format": "parquet",
+                                              "path": str(tmp_path / "nope")}},
+        },
+        "workflow": [("in", "t"), ("t", "out")],
+    }
+    runner = StreamingTopologyRunner(spark, topo)
+    built = runner.build({})
+    with pytest.raises(ValueError, match="append-only"):
+        runner.start_queries(built, str(tmp_path / "chk2"))

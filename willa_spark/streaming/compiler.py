@@ -1455,6 +1455,102 @@ class StreamingTopologyRunner:
         with pin_filters_to_event_time():
             return self._build(inputs)
 
+    def start_queries(
+        self,
+        built: dict[str, DataFrame],
+        checkpoint_dir: str,
+        trigger: dict | None = None,
+    ) -> dict[str, "object"]:
+        """Attach one sink per LEAF topic and start the queries
+        (S3 — the reference's topic sinks, core.clj:16-18). Each leaf
+        entity may carry a ``sink`` config:
+
+            {"format": "parquet"|"csv"|"json", "path": ..., "options": {...}}
+            {"format": "kafka", "kafka": {"bootstrap_servers": ..., "topic": ...},
+             "serde": {...}}
+            {"format": "memory"}                      # default
+
+        File sinks are APPEND-ONLY in Structured Streaming: leaves
+        downstream of update-mode stateful operators must use kafka /
+        memory / your own ``foreachBatch`` — rejected here with a
+        clear error rather than failing inside Spark. Checkpoints land
+        under ``checkpoint_dir/<leaf>``; ``trigger`` passes through to
+        ``writeStream.trigger`` (default: availableNow).
+
+        Returns {leaf: StreamingQuery}. Deferred leaves (downstream of
+        a refreshing global table) run their per-batch tail inside
+        ``foreachBatch`` and append to the file sink batch-side.
+        """
+        import os
+
+        from ..graph import leaves as _leaves
+        from ..sources.kafka import kafka_options, kafka_sink_columns
+
+        trigger = trigger or {"availableNow": True}
+        queries: dict[str, object] = {}
+        for leaf in sorted(_leaves(list(self.topology["workflow"]))):
+            sink = built.get(leaf)
+            if sink is None:
+                continue
+            ent = self.entities[leaf]
+            cfg = ent.get("sink") or {"format": "memory"}
+            fmt = cfg.get("format", "memory")
+            mode = self.output_mode_for(leaf)
+            chk = os.path.join(checkpoint_dir, leaf.replace("-", "_"))
+            deferred = isinstance(sink, DeferredStream)
+            if fmt in ("parquet", "csv", "json"):
+                if mode != "append":
+                    raise ValueError(
+                        f"leaf {leaf!r}: file sinks are append-only but this "
+                        f"leaf runs in {mode!r} mode (a stateful ancestor "
+                        "emits updates); sink to kafka/memory or use "
+                        "foreachBatch with your own idempotent writer"
+                    )
+                if deferred:
+                    path, options = cfg["path"], cfg.get("options", {})
+
+                    def _write(batch_df: DataFrame, bid: int, d=sink, p=path, o=options, f=fmt):
+                        d.apply(batch_df, bid).write.options(**o).mode("append").format(
+                            f
+                        ).save(p)
+
+                    writer = sink.df.writeStream.foreachBatch(_write)
+                else:
+                    writer = (
+                        sink.writeStream.format(fmt)
+                        .options(**{k: str(v) for k, v in cfg.get("options", {}).items()})
+                        .option("path", cfg["path"])
+                    )
+            elif fmt == "kafka":
+                if deferred:
+                    raise NotImplementedError(
+                        f"leaf {leaf!r}: kafka sink downstream of a refreshing "
+                        "global table is unsupported; use a file sink"
+                    )
+                opts = kafka_options(cfg["kafka"])
+                writer = (
+                    kafka_sink_columns(sink, cfg.get("serde"))
+                    .writeStream.format("kafka")
+                    .option("kafka.bootstrap.servers", opts["kafka.bootstrap.servers"])
+                    .option("topic", cfg["kafka"]["topic"])
+                    .outputMode(mode)
+                )
+            else:  # memory
+                if deferred:
+                    raise NotImplementedError(
+                        f"leaf {leaf!r}: memory sink downstream of a refreshing "
+                        "global table is unsupported here; use run_streaming_topology"
+                    )
+                writer = sink.writeStream.format("memory").queryName(
+                    f"{leaf.replace('-', '_')}_sink"
+                ).outputMode(mode)
+            if fmt in ("parquet", "csv", "json") and not deferred:
+                writer = writer.outputMode("append")
+            queries[leaf] = (
+                writer.option("checkpointLocation", chk).trigger(**trigger).start()
+            )
+        return queries
+
     def _build(self, inputs: dict[str, DataFrame]) -> dict[str, DataFrame]:
         built: dict[str, DataFrame | None] = {}
         for node in self.order:
