@@ -465,3 +465,38 @@ def test_embedding_near_dups_spill_path(spark, tmp_path):
         ).collect()
     }
     assert mem == spill == {(1, 2)}
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing guarantee (Schleimer et al. §2): documents sharing a
+    token run of >= k + window - 1 tokens share at least one
+    fingerprint; identical docs share all; disjoint docs share none.
+    Also: the whole computation is a map-only Column expression."""
+    k, w = 3, 4
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 >= k+w-1 = 6
+    rows = [
+        (1, f"intro words here {shared} closing remarks"),
+        (2, f"{shared} totally different tail content follows now"),
+        (3, "unrelated text with no overlap whatsoever at all"),
+        (4, f"intro words here {shared} closing remarks"),  # == doc 1
+        (5, "tiny doc"),  # shorter than k: no shingles -> no fingerprints
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: set(r["fp"])
+        for r in df.select(
+            "doc_id", TXT.winnow_fingerprints(F.col("text"), k, w).alias("fp")
+        ).collect()
+    }
+    assert out[1] & out[2], "shared run must contribute a common fingerprint"
+    assert out[1] == out[4], "identical docs share all fingerprints"
+    assert not (out[1] & out[3]), "disjoint docs share none"
+    assert out[5] == set(), "sub-k doc has no fingerprints"
+    # short-but->=k doc still emits its global-min fallback
+    short = spark.createDataFrame([(6, "one two three four")], ["doc_id", "text"])
+    fp = short.select(TXT.winnow_fingerprints(F.col("text"), k, w).alias("fp")).collect()[0]["fp"]
+    assert len(fp) == 1
+
+    from willa_spark.plans.inspect import count_exchanges
+
+    assert count_exchanges(df.select(TXT.winnow_fingerprints(F.col("text")))) == 0

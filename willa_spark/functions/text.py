@@ -123,3 +123,40 @@ def fingerprint(text: Column) -> Column:
     Spark and DuckDB so it is oracle-checkable."""
     normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     return F.md5(normalized)
+
+
+def winnow_fingerprints(
+    text: Column, k: int = 5, window: int = 4
+) -> Column:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03
+    — the MOSS rolling-hash scheme): hash every ``k``-token shingle,
+    then keep the MINIMUM hash of each ``window`` of consecutive
+    shingle hashes; the distinct minima are the document's
+    fingerprints. Guarantee: any shared run of at least
+    ``k + window - 1`` tokens between two documents contributes at
+    least one IDENTICAL fingerprint to both — so containment /
+    local-overlap detection (which whole-doc md5 and bag-of-shingles
+    MinHash both miss) becomes an equi-join on fingerprint values.
+
+    Pure Column expression — per-row sliding-window minima over the
+    shingle-hash array, zero Python, zero shuffle; at 100 TB the
+    downstream overlap join is a (fingerprint → doc) explode +
+    equi-join, the same scale shape as the LSH band join."""
+    from .dedup import shingles  # local import to avoid a module cycle
+
+    hashes = F.transform(shingles(text, k), lambda s: F.xxhash64(s))
+    n_win = F.greatest(F.size(hashes) - (window - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), n_win - 1)
+    mins = F.when(
+        n_win > 0,
+        F.transform(
+            idx, lambda i: F.array_min(F.slice(hashes, (i + 1).cast("int"), window))
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    # a doc shorter than k+window-1 tokens still yields its global min
+    # (standard winnowing edge: emit at least one fingerprint if any
+    # shingle exists)
+    fallback = F.when(
+        F.size(hashes) > 0, F.array(F.array_min(hashes))
+    ).otherwise(F.array().cast("array<bigint>"))
+    return F.array_distinct(F.when(n_win > 0, mins).otherwise(fallback))
