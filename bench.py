@@ -67,6 +67,7 @@ HEADLINE = [
     "multimodal_decode",
     "nary_join_fold",
     "windowed_left_join",
+    "winnow_overlap_pairs",
 ]
 
 

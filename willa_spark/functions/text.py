@@ -144,19 +144,28 @@ def winnow_fingerprints(
     equi-join, the same scale shape as the LSH band join."""
     from .dedup import shingles  # local import to avoid a module cycle
 
-    hashes = F.transform(shingles(text, k), lambda s: F.xxhash64(s))
-    n_win = F.greatest(F.size(hashes) - (window - 1), F.lit(0))
-    idx = F.sequence(F.lit(0), n_win - 1)
-    mins = F.when(
-        n_win > 0,
-        F.transform(
-            idx, lambda i: F.array_min(F.slice(hashes, (i + 1).cast("int"), window))
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    # a doc shorter than k+window-1 tokens still yields its global min
-    # (standard winnowing edge: emit at least one fingerprint if any
-    # shingle exists)
-    fallback = F.when(
-        F.size(hashes) > 0, F.array(F.array_min(hashes))
-    ).otherwise(F.array().cast("array<bigint>"))
-    return F.array_distinct(F.when(n_win > 0, mins).otherwise(fallback))
+    hashes_expr = F.transform(shingles(text, k), lambda s: F.xxhash64(s))
+
+    def build(hashes):
+        # `hashes` is a lambda-bound variable: the shingle+hash array
+        # evaluates ONCE per row. Referencing the raw expression inside
+        # the window transform instead re-computes the entire array per
+        # window position (HOFs are interpreted — no CSE), turning the
+        # linear scan quadratic; observed minutes-vs-seconds at sf0.1.
+        n_win = F.greatest(F.size(hashes) - (window - 1), F.lit(0))
+        idx = F.sequence(F.lit(0), n_win - 1)
+        mins = F.when(
+            n_win > 0,
+            F.transform(
+                idx, lambda i: F.array_min(F.slice(hashes, (i + 1).cast("int"), window))
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+        # a doc shorter than k+window-1 tokens still yields its global
+        # min (standard winnowing edge: emit at least one fingerprint
+        # if any shingle exists)
+        fallback = F.when(
+            F.size(hashes) > 0, F.array(F.array_min(hashes))
+        ).otherwise(F.array().cast("array<bigint>"))
+        return F.array_distinct(F.when(n_win > 0, mins).otherwise(fallback))
+
+    return F.element_at(F.transform(F.array(hashes_expr), build), 1)

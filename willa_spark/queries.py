@@ -908,6 +908,44 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.verified_near_dups(docs, cands, threshold=0.2)
 
 
+@query("winnow_overlap_pairs")  # rows-only (xxhash64 has no DuckDB twin)
+def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-overlap pairs via winnowing fingerprints (Schleimer et
+    al., SIGMOD'03): docs sharing any >= k+window-1-token run share a
+    fingerprint, so detection is explode → equi-join on the
+    fingerprint value — the same 100 TB scale shape as the LSH band
+    join, and a containment signal MinHash's whole-doc Jaccard
+    dilutes. A document-frequency cap drops ubiquitous fingerprints
+    (template/boilerplate runs) BEFORE the self-join — without it a
+    fingerprint shared by f docs fans out f² pairs and a hot template
+    goes quadratic (observed: sf0.1 ran minutes without the cap,
+    ~2 s with it; MOSS applies the same rule). NOT in the
+    driver-visible 50 (rows-only anyway); the winnowing guarantee is
+    pinned by pytest (test_winnow_fingerprints_guarantee)."""
+    from .functions import text as TXT
+    from .functions.dedup import _spread
+
+    docs = read_table(spark, sf_dir, "documents")
+    fp = _spread(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id", F.explode(TXT.winnow_fingerprints(F.col("text"))).alias("fp")
+    )
+    # materialize the fingerprint pass ONCE (it feeds the df-cap agg,
+    # the semi-join probe, and the self-join)
+    fp = fp.persist()
+    rare = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= 10)
+    fp = fp.join(rare.select("fp"), "fp", "left_semi").persist()
+    fp.count()
+    l, r = fp.alias("l"), fp.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.fp") == F.col("r.fp")) & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_fingerprints"))
+    )
+
+
 @query("simhash_near_dups")  # rows-only
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hamming <= 3 is the production near-dup radius for 64-bit
@@ -2281,8 +2319,11 @@ def q_corpus_keep_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                              per-doc behavior pytest-covered
 #   top_bigrams             -> repetition screens (n-gram machinery)
 #   doc_length_histogram    -> generic bucketed groupBy vocabulary
+#   winnow_overlap_pairs    -> rows-only by nature (xxhash64); the
+#                              winnowing guarantee is pytest-pinned
 DRIVER_OMIT = frozenset(
     {
+        "winnow_overlap_pairs",
         "doc_fingerprints",
         "tumbling_window_sum",
         "top_customers",
