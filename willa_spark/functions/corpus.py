@@ -299,17 +299,22 @@ def ngram_char_fracs(
 
 
 def _pseudo_lines(text: Column, tokens_per_line: int) -> Column:
-    toks = _tokens(text)
-    n = F.size(toks)
-    k = F.lit(tokens_per_line)
-    n_lines = F.ceil(n / k.cast("double")).cast("int")
-    return F.when(
-        n > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_lines - 1),
-            lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # token array lambda-bound: referencing _tokens(text) inside the
+    # per-line lambda would re-split the text once per line (see
+    # _bind_tokens)
+    def build(toks):
+        n = F.size(toks)
+        k = F.lit(tokens_per_line)
+        n_lines = F.ceil(n / k.cast("double")).cast("int")
+        return F.when(
+            n > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return _bind_tokens(text, build)
 
 
 def dup_line_char_frac(

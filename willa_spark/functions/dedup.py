@@ -70,17 +70,30 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # ------------------------------------------------------------- shingles
 def shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingles of lowercased text, as an array of strings.
-    Pure Column expr: transform over a token-index sequence."""
-    toks = F.split(F.lower(F.trim(text)), r"\s+")
-    k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    idx = F.sequence(F.lit(0), k - 1)
-    return F.when(
-        k > 0,
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    Pure Column expr: transform over a token-index sequence.
+
+    The token array is LAMBDA-BOUND so it evaluates once per row:
+    higher-order functions are interpreted (no CSE into lambda
+    bodies), so referencing the split expression inside the
+    per-shingle lambda would re-split the text for every shingle ×
+    every element_at — quadratic per document (the winnowing pass hit
+    exactly this; binding took it from minutes to seconds at sf0.1)."""
+    toks_expr = F.split(F.lower(F.trim(text)), r"\s+")
+
+    def build(toks):
+        k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+        idx = F.sequence(F.lit(0), k - 1)
+        return F.when(
+            k > 0,
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(toks_expr), build), 1)
 
 
 def ngram_jaccard(a: Column, b: Column) -> Column:
