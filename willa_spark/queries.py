@@ -35,6 +35,19 @@ from .sources import read_table
 from .transforms import Compose, FilterRecords, FlatMapValues, MapValues
 
 QUERIES: dict = {}
+
+
+def read_docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scan spread across cores: the sf-dir corpus is a
+    single parquet file, so it arrives as ONE partition and every
+    CPU-heavy per-row text pass would otherwise run serially;
+    repartitioning costs one tiny shuffle of the raw rows and is a
+    no-op on a properly-partitioned (100 TB) corpus."""
+    from .functions.dedup import _spread
+
+    return _spread(read_table(spark, sf_dir, "documents"), "doc_id")
+
+
 ORACLE_SQL: dict[str, str] = {}
 
 HOUR_MS = 3_600_000
@@ -743,7 +756,7 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_docs_spread(spark, sf_dir)
     return docs.select("doc_id", TXT.fingerprint(F.col("text")).alias("fp"))
 
 
@@ -768,7 +781,7 @@ def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-identical texts, so without planting the query is vacuously
     green on an empty result. The planted copies make the grouping,
     counting, and canonical-id selection all observable."""
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = read_docs_spread(spark, sf_dir).select("doc_id", "text")
     planted = docs.filter(F.col("doc_id") % 50 == 0).withColumn(
         "doc_id", F.col("doc_id") + F.lit(1_000_000)
     )
@@ -788,7 +801,7 @@ def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_docs_spread(spark, sf_dir)
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -828,7 +841,7 @@ def _lang_hits_sql(lang: str) -> str:
     """,
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_docs_spread(spark, sf_dir)
     return docs.select("doc_id", TXT.lang_id(F.col("text")).alias("lang_pred"))
 
 
@@ -855,7 +868,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_docs_spread(spark, sf_dir)
     return docs.select("doc_id", TXT.quality_score(F.col("text")).alias("quality"))
 
 
@@ -884,7 +897,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard on adjacent doc-id pairs (the verification
     kernel of near-dup dedup, oracle-checkable)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_docs_spread(spark, sf_dir)
     sh = docs.select(
         F.col("doc_id"), F.array_distinct(D.shingles(F.col("text"), 3)).alias("s")
     )
@@ -903,7 +916,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("minhash_near_dups")  # rows-only
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_docs_spread(spark, sf_dir)
     cands = D.minhash_candidate_pairs(docs, num_hashes=32, num_bands=16)
     return D.verified_near_dups(docs, cands, threshold=0.2)
 
@@ -925,7 +938,7 @@ def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions import text as TXT
     from .functions.dedup import _spread
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_docs_spread(spark, sf_dir)
     fp = _spread(docs.select("doc_id", "text"), "doc_id").select(
         "doc_id", F.explode(TXT.winnow_fingerprints(F.col("text"))).alias("fp")
     )
@@ -953,7 +966,7 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     full recall guaranteed by num_blocks = 4 pigeonholing. A radius of
     8 admits ~3.5% of ALL pairs on this corpus (no longer "near-dup")
     and multiplies candidate volume ~5× for no semantic gain."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_docs_spread(spark, sf_dir)
     return D.simhash_near_dups(docs, max_hamming=3)
 
 
@@ -1026,7 +1039,7 @@ def q_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     between engines)."""
     from pyspark.sql import Window as W
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_docs_spread(spark, sf_dir)
     t = F.col("text")
     enriched = docs.select(
         "doc_id",
@@ -1074,7 +1087,7 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     same ``dup_clusters`` operator (rows-only, tested in pytest)."""
     from pyspark.sql import Window as W
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_docs_spread(spark, sf_dir)
     t = docs.select(F.col("doc_id"), TXT.token_count(F.col("text")).alias("__len"))
     w = W.partitionBy("__len").orderBy("doc_id")
     e = t.withColumn("__nxt", F.lead("doc_id").over(w)).filter(F.col("__nxt").isNotNull())
@@ -1188,7 +1201,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode plumbing via Arrow-batched mapInPandas; the
     codec is the deterministic fake (real decoders are injected via
     decoder=; see functions/multimodal.py)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_docs_spread(spark, sf_dir)
     binary = docs.select(
         "doc_id", F.encode(F.substring(F.col("text"), 1, 64), "utf-8").alias("data")
     )
@@ -1414,8 +1427,13 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus n-gram statistics (training-data text analysis): top-20
     word bigrams. Bigram generation is a pure Column expression
     (zip_with over shifted slices — no Python, no UDF); the count is a
-    partial aggregate and the top-20 a TakeOrderedAndProject."""
-    docs = read_table(spark, sf_dir, "documents")
+    partial aggregate and the top-20 a TakeOrderedAndProject. The
+    single-file corpus is spread across cores first — explode keeps
+    its input's partitioning, so without it the whole tokenize+explode
+    pass runs on one core."""
+    from .functions.dedup import _spread
+
+    docs = _spread(read_table(spark, sf_dir, "documents").select("text"))
     toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != "")
     n = F.size(toks)
     bigrams = F.when(
@@ -1450,7 +1468,7 @@ def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets — the quick pre-filter pass a training pipeline runs before
     choosing quality thresholds. One partial-aggregated shuffle of
     (bucket, count, sum) triples."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_docs_spread(spark, sf_dir)
     bucket = (F.floor(F.length("text") / 100) * 100).cast("bigint")
     return docs.groupBy(bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -2107,7 +2125,7 @@ def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen'd; at 100 TB this is a single map-only stage."""
     from .functions import corpus as C
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_docs_spread(spark, sf_dir)
     m = docs.select("doc_id", C.gopher_metrics(F.col("text")).alias("__m"))
     return m.select(
         "doc_id",
@@ -2184,7 +2202,7 @@ def q_repetition_ngram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python, linear in corpus tokens: the plan a 100 TB screen wants."""
     from .functions import corpus as C
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_docs_spread(spark, sf_dir)
     return C.ngram_char_fracs(C.plant_repeated_docs(docs))
 
 
@@ -2221,7 +2239,7 @@ def q_dup_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc ratio."""
     from .functions import corpus as C
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_docs_spread(spark, sf_dir)
     return C.dup_line_char_frac(C.plant_repeated_docs(docs))
 
 
@@ -2270,7 +2288,7 @@ def q_corpus_keep_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-keyed shuffle."""
     from .functions import corpus as C
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_docs_spread(spark, sf_dir)
     t = F.col("text")
     m = docs.select(
         "source",
