@@ -68,6 +68,13 @@ HEADLINE = [
     "nary_join_fold",
     "windowed_left_join",
     "winnow_overlap_pairs",
+    # corpus-curation ops (PII, decontamination, corpus-wide line
+    # dedup, deterministic mixing)
+    "pii_redaction",
+    "decontaminate",
+    "line_dedup",
+    "stratified_sample",
+    "token_budget_cap",
 ]
 
 

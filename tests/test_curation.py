@@ -1,0 +1,192 @@
+"""Corpus-curation operators (willa_spark.functions.curation):
+hand-computed expectations on tiny literal corpora, plan-shape
+assertions, and a DuckDB parity pin for the relational queries whose
+driver slots the curation ops took over (see queries.DRIVER_OMIT)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from willa_spark.functions import curation as CU
+from willa_spark.plans.inspect import count_exchanges
+from willa_spark.queries import ORACLE_SQL, QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+# ------------------------------------------------------------------ PII
+def test_pii_redact_known_values(spark):
+    rows = [
+        (0, "mail me at jane.doe+x@mail.example.org today"),
+        (1, "server 192.168.1.200 and backup 10.0.0.1 are up"),
+        (2, "call 555-123-4567 or 555-987-6543 x2"),
+        (3, "nothing sensitive here at all"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in CU.pii_redact(df).collect()}
+    assert out[0]["n_emails"] == 1 and "<EMAIL>" in out[0]["text_clean"]
+    assert "jane" not in out[0]["text_clean"]
+    assert out[1]["n_ips"] == 2 and out[1]["text_clean"].count("<IP>") == 2
+    assert out[2]["n_phones"] == 2 and "<PHONE> or <PHONE>" in out[2]["text_clean"]
+    assert out[3] ["n_emails"] == out[3]["n_ips"] == out[3]["n_phones"] == 0
+    assert out[3]["text_clean"] == rows[3][1]
+    assert out[4]["text_clean"] == ""
+
+
+def test_pii_redact_is_map_only(spark):
+    df = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
+    assert count_exchanges(CU.pii_redact(df)) == 0
+
+
+# -------------------------------------------------- decontamination
+def test_contamination_exact_hits(spark):
+    # eval doc has tokens a..j (10 tokens -> 3 8-grams); train doc 100
+    # copies tokens b..j (9 tokens -> 2 8-grams, both leaked); train
+    # doc 101 shares nothing.
+    ev_text = "a b c d e f g h i j"
+    train = [
+        (100, "b c d e f g h i j"),
+        (101, "q r s t u v w x y z"),
+    ]
+    ev = spark.createDataFrame([(0, ev_text)], ["doc_id", "text"])
+    docs = spark.createDataFrame(train, ["doc_id", "text"])
+    rep = {
+        r["doc_id"]: r
+        for r in CU.contamination_report(docs, CU.eval_ngrams(ev)).collect()
+    }
+    assert set(rep) == {100}
+    assert rep[100]["n_hits"] == 2 and rep[100]["n_distinct_grams"] == 2
+
+
+def test_contamination_join_is_broadcast(spark):
+    ev = spark.createDataFrame([(0, "a b c d e f g h i j")], ["doc_id", "text"])
+    docs = spark.createDataFrame([(1, "b c d e f g h i j")], ["doc_id", "text"])
+    plan = CU.contamination_report(docs, CU.eval_ngrams(ev))._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_plant_eval_leaks_slices_tokens(spark):
+    docs = spark.createDataFrame(
+        [(0, "t1 t2 t3 t4 t5 t6 t7 t8 t9"), (1, "u1 u2")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r["text"] for r in
+           CU.plant_eval_leaks(docs, every=1, id_offset=1000).collect()}
+    # tokens 3..18 of doc 0 (truncated at 9): t3..t9
+    assert out[1000] == "t3 t4 t5 t6 t7 t8 t9"
+    # doc 1 has <3 tokens -> empty leak text
+    assert out[1001] == ""
+
+
+# ------------------------------------------------- corpus line dedup
+def test_line_dedup_first_occurrence_wins(spark):
+    # 8-token lines; L1 duplicated across docs 0/1, L4 duplicated
+    # WITHIN doc 2. First occurrence = min (doc_id, pos).
+    L1 = "w1 w2 w3 w4 w5 w6 w7 w8"
+    L2 = "x1 x2 x3 x4 x5 x6 x7 x8"
+    L3 = "y1 y2 y3 y4 y5 y6 y7 y8"
+    L4 = "z1 z2 z3 z4 z5 z6 z7 z8"
+    docs = spark.createDataFrame(
+        [(0, f"{L1} {L2}"), (1, f"{L1} {L3}"), (2, f"{L4} {L4}")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in CU.line_dedup_stats(docs).collect()}
+    assert out[0]["n_lines"] == 2 and out[0]["n_kept"] == 2
+    assert out[1]["n_lines"] == 2 and out[1]["n_kept"] == 1  # lost L1
+    assert out[2]["n_lines"] == 2 and out[2]["n_kept"] == 1  # intra-doc dup
+    assert out[1]["kept_char_frac"] == pytest.approx(0.5, abs=1e-4)
+
+
+def test_plant_spam_lines_aligns_to_line_boundary(spark):
+    # the 16-token prefix must occupy exactly lines 0 and 1 so planted
+    # docs share those two lines corpus-wide
+    docs = spark.createDataFrame([(0, "a b c"), (10, "d e f")], ["doc_id", "text"])
+    planted = CU.plant_spam_lines(docs, every=10)
+    stats = {r["doc_id"]: r for r in CU.line_dedup_stats(planted).collect()}
+    # both docs planted (0 and 10 are % 10 == 0): 16 spam tokens + 3
+    # own tokens -> 3 lines each; doc 10 loses the two spam lines
+    assert stats[0]["n_lines"] == 3 and stats[0]["n_kept"] == 3
+    assert stats[10]["n_lines"] == 3 and stats[10]["n_kept"] == 1
+
+
+# ------------------------------------------------------- data mixing
+def test_stratified_sample_deterministic_and_rated(spark):
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    rates = {"a": 0.0, "b": 1.0}
+    kept = CU.stratified_sample(df, rates).collect()
+    assert all(r["source"] == "b" for r in kept)
+    assert len(kept) == 1000  # rate 1.0 keeps every row
+    # mid-rate: deterministic across runs and roughly proportional
+    mid = CU.stratified_sample(df, {"a": 0.5, "b": 0.5})
+    ids1 = sorted(r["doc_id"] for r in mid.collect())
+    ids2 = sorted(r["doc_id"] for r in mid.collect())
+    assert ids1 == ids2
+    assert 800 <= len(ids1) <= 1200
+
+
+def test_stratified_sample_is_map_only(spark):
+    df = spark.createDataFrame([(0, "a")], ["doc_id", "source"])
+    assert count_exchanges(CU.stratified_sample(df, {"a": 0.5})) == 0
+
+
+def test_token_budget_cap_greedy_prefix(spark):
+    # quality_score is monotone in doc length up to 500 chars, so
+    # longer docs rank first; budget 30 tokens keeps the best docs
+    # whose running total fits.
+    mk = lambda n, w: " ".join([w] * n)
+    rows = [
+        (0, "s1", mk(20, "the")),   # highest quality (longest)
+        (1, "s1", mk(12, "the")),
+        (2, "s1", mk(6, "the")),
+        (3, "s2", mk(5, "of")),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r["doc_id"]: r for r in CU.token_budget_cap(df, 30).collect()}
+    # s1: doc0 (20) kept, doc1 would reach 32 > 30 -> dropped, and the
+    # greedy prefix STOPS at the first overflow: doc2 (cum would be 26
+    # only if doc1 were skipped, but prefix semantics are cumulative)
+    assert 0 in out and out[0]["cum_tokens"] == 20
+    assert 1 not in out and 2 not in out
+    assert 3 in out and out[3]["cum_tokens"] == 5
+    assert all(r["cum_tokens"] <= 30 for r in out.values())
+
+
+# ---------------------------------------- omitted-relational parity
+# These five queries gave up their driver-visible slots to the
+# curation ops; their DuckDB parity stays pinned here.
+OMITTED = [
+    "pivot_order_status",
+    "rollup_revenue",
+    "distinct_parts_per_supplier",
+    "except_customers",
+    "intersect_customers",
+]
+
+
+@pytest.mark.parametrize("name", OMITTED)
+def test_omitted_relational_parity(spark, name):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    sdf = QUERIES[name](spark, SF_DIR)
+    cols = sorted(sdf.columns)
+    key = lambda t: tuple((x is None, str(x)) for x in t)
+    spark_rows = sorted(
+        (tuple(_norm(r[c]) for c in cols) for r in sdf.collect()), key=key
+    )
+    odf = con.execute(ORACLE_SQL[name]).fetch_arrow_table().to_pylist()
+    duck_rows = sorted((tuple(_norm(r[c]) for c in cols) for r in odf), key=key)
+    assert spark_rows == duck_rows
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return round(v, 6)
+    return v

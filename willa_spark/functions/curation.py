@@ -1,0 +1,308 @@
+"""Corpus curation / assembly operators for training-data pipelines:
+PII redaction, eval-set decontamination, corpus-wide line dedup, and
+deterministic data mixing (hash-stratified sampling + per-source token
+budgets).
+
+These are the governance/assembly stages that follow the quality and
+repetition screens (willa_spark.functions.corpus) in a real pretraining
+pipeline (C4, Raffel et al. 2020 §2.2; RefinedWeb, Penedo et al. 2023;
+CCNet, Wenzek et al. 2020). The reference (DaveWM/willa) has no corpus
+operators at all — users would bury this logic in opaque transducer fns
+(src/willa/core.clj:90-101); here each stage is a first-class,
+oracle-checked relational operator.
+
+Scale notes (the plans a 100 TB corpus wants):
+- PII redaction and sampling are pure map-only Column expressions —
+  zero shuffle, zero Python.
+- Decontamination explodes corpus n-grams but joins them against a
+  BROADCAST eval-gram set (eval sets are ~MBs), so the only shuffle is
+  the per-doc hit count over the (tiny) post-join match set.
+- Line dedup is inherently corpus-wide: one partial-agg shuffle on the
+  line hash to elect first owners, a co-partitioned join back (the
+  exchange is reused), and a per-doc rollup. All linear; a
+  pathologically hot line (boilerplate repeated 10^9 times) is a
+  single-key partial-agg min, not a data explosion, and AQE handles
+  the join-back skew.
+- Token-budget capping sorts WITHIN each stratum (a per-source window);
+  strata counts are small (sources), and per-stratum data is
+  range-partitioned by Spark's window exec.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .corpus import _pseudo_lines, _tokens
+from .dedup import shingles
+from .text import quality_score
+
+# ------------------------------------------------------------------ PII
+# Pattern set kept RE2-compatible (no backrefs/lookarounds) so the
+# DuckDB oracle can run character-identical regexes. Counts are taken
+# on the ORIGINAL text (patterns are mutually non-overlapping: emails
+# need '@', IPs need dots between digit runs, phones need dashes).
+PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def pii_redact(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Redact emails / IPv4s / phone numbers with typed placeholder
+    tokens and count each category. Pure map-only Column expressions —
+    zero shuffle, zero Python; the 100 TB plan is a single scan.
+
+    Returns (id, n_emails, n_ips, n_phones, text_clean).
+    """
+    t = F.col(text_col)
+    clean = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    clean = F.regexp_replace(clean, PII_IPV4, "<IP>")
+    clean = F.regexp_replace(clean, PII_PHONE, "<PHONE>")
+    return docs.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IPV4)).cast("bigint").alias("n_ips"),
+        F.regexp_count(t, F.lit(PII_PHONE)).cast("bigint").alias("n_phones"),
+        clean.alias("text_clean"),
+    )
+
+
+def plant_pii(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", every: int = 7
+) -> DataFrame:
+    """Deterministically append one email + IP + phone to every
+    ``every``-th document (the synthetic corpus contains no PII, so an
+    unplanted redaction query would be vacuously green). Mirrored
+    exactly in the DuckDB oracle SQL."""
+    i = F.col(id_col)
+    planted = F.concat(
+        F.col(text_col),
+        F.lit(" contact user"),
+        i.cast("string"),
+        F.lit("@example.com or 10.0."),
+        (i % 256).cast("string"),
+        F.lit(".7 at 555-300-"),
+        (F.lit(1000) + i % 9000).cast("string"),
+    )
+    return docs.withColumn(
+        text_col, F.when(i % every == 0, planted).otherwise(F.col(text_col))
+    )
+
+
+# -------------------------------------------------- decontamination
+def eval_ngrams(
+    eval_docs: DataFrame, n: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Distinct word ``n``-grams of an eval/benchmark set — the
+    blocklist side of decontamination. Eval sets are tiny relative to
+    the corpus (MBs vs TBs), so this frame is meant to be broadcast."""
+    return (
+        eval_docs.select(F.explode(shingles(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+
+
+def contamination_report(
+    docs: DataFrame,
+    eval_grams: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document eval-set n-gram overlap: (id, n_hits,
+    n_distinct_grams) for every document sharing at least one n-gram
+    with the eval set (GPT-3 appendix C / PaLM-style 8-gram
+    decontamination; production uses 8-13 token grams).
+
+    Plan shape: the corpus side explodes its n-grams map-side and
+    immediately hash-joins against the BROADCAST eval-gram set — no
+    corpus-wide shuffle of grams; only the surviving matches (tiny by
+    construction) shuffle for the per-doc count. ``docs`` should be the
+    training candidates; matched docs are dropped or flagged upstream
+    of tokenization.
+    """
+    grams = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("gram")
+    )
+    hits = grams.join(F.broadcast(eval_grams), "gram")
+    return hits.groupBy(id_col).agg(
+        F.count("*").alias("n_hits"),
+        F.count_distinct(F.col("gram")).alias("n_distinct_grams"),
+    )
+
+
+def plant_eval_leaks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    every: int = 97,
+    id_offset: int = 1_000_000,
+) -> DataFrame:
+    """Append a leaked variant of every ``every``-th document: a new
+    doc (id + ``id_offset``) whose text is tokens 3..18 of the source —
+    a verbatim 16-token excerpt, the classic partial-contamination
+    shape. The synthetic corpus has no real cross-doc 8-gram overlap
+    (40-word vocab, 40^8 space), so leaks make decontamination
+    observable. Mirrored in the oracle SQL."""
+    leaks = docs.filter(F.col(id_col) % every == 0).select(
+        (F.col(id_col) + id_offset).alias(id_col),
+        F.array_join(F.slice(_tokens(F.col(text_col)), 3, 16), " ").alias(text_col),
+    )
+    return docs.select(id_col, text_col).unionByName(leaks)
+
+
+# ------------------------------------------------- corpus line dedup
+def line_dedup_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_per_line: int = 8,
+) -> DataFrame:
+    """Corpus-WIDE duplicate-line removal stats (CCNet, Wenzek et al.
+    2020 §3.1: hash every line, keep only the first occurrence across
+    the whole corpus — kills boilerplate headers/footers/menus). Lines
+    here are deterministic ``tokens_per_line``-token pseudo-lines (the
+    synthetic corpus has no newlines; real corpora split on '\\n'
+    upstream). First occurrence = minimum (doc_id, position).
+
+    Returns (id, n_lines, n_kept, kept_char_frac) per document.
+
+    Plan: posexplode lines → xxhash64 → partial-agg min(struct(doc,
+    pos)) per hash (one shuffle; a line repeated 10^9 times is still
+    one partial-agg key, not a blowup) → join occurrences back on the
+    SAME hash (exchange reuse, AQE handles hot-line skew) → per-doc
+    rollup. Joining on the 64-bit hash instead of the line string is
+    the 100 TB shape; a collision needs ~2^32 distinct lines
+    (birthday) and would only mis-drop one line.
+    """
+    t = F.col(text_col)
+    occ = docs.filter(F.size(_tokens(t)) > 0).select(
+        F.col(id_col),
+        F.posexplode(_pseudo_lines(t, tokens_per_line)).alias("pos", "line"),
+    )
+    occ = occ.withColumn("__h", F.xxhash64(F.col("line")))
+    first = occ.groupBy("__h").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias(
+            "__o"
+        )
+    )
+    flagged = occ.join(first, "__h").withColumn(
+        "__keep",
+        (F.col(id_col) == F.col("__o.d")) & (F.col("pos") == F.col("__o.p")),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_lines"),
+        F.count(F.when(F.col("__keep"), 1)).alias("n_kept"),
+        F.round(
+            F.sum(F.when(F.col("__keep"), F.length("line")).otherwise(0))
+            / F.greatest(F.sum(F.length("line")), F.lit(1)),
+            4,
+        ).alias("kept_char_frac"),
+    )
+
+
+# 16 tokens = exactly 2 pseudo-lines at the default 8 tokens/line, so
+# the planted prefix aligns to line boundaries and the rest of each
+# planted doc re-chunks to (still unique) shifted lines.
+SPAM_PREFIX = (
+    "subscribe now for free daily updates click here to get the best offers in your inbox"
+)
+
+
+def plant_spam_lines(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", every: int = 10
+) -> DataFrame:
+    """Prepend a fixed 16-token boilerplate prefix to every
+    ``every``-th document — cross-document duplicated lines that make
+    corpus-wide line dedup observable (the word-salad corpus has no
+    natural cross-doc pseudo-line collisions). Mirrored in oracle SQL."""
+    return docs.withColumn(
+        text_col,
+        F.when(
+            F.col(id_col) % every == 0,
+            F.concat(F.lit(SPAM_PREFIX + " "), F.col(text_col)),
+        ).otherwise(F.col(text_col)),
+    )
+
+
+# ------------------------------------------------------- data mixing
+# Knuth's multiplicative hash constant (2^32 / phi). Sampling keyed on
+# a deterministic id hash instead of an RNG is deliberate: Spark task
+# RETRIES re-execute partitions, so rand()-based sampling can emit
+# different rows on retry mid-job; a pure function of the row cannot.
+KNUTH = 2654435761
+_2_32 = 1 << 32
+
+
+def hash_uniform(id_col: Column) -> Column:
+    """Deterministic uniform [0,1) from an integer id (multiplicative
+    hashing; equidistributed on sequential ids). Safe for ids < 2^31
+    (the product stays within int64)."""
+    return ((id_col * F.lit(KNUTH)) % F.lit(_2_32)) / F.lit(float(_2_32))
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the data-mixing primitive
+    (sample web at 30%, books at 90%, ...). Keeps a row iff
+    hash_uniform(id) < rate(stratum). Unlike ``df.sampleBy`` this is
+    reproducible across retries, runs, and engines (the oracle applies
+    the identical arithmetic).
+
+    Plan: the rates map is a literal broadcast join (or CASE) on top of
+    a single scan — map-only, zero shuffle.
+    """
+    spark = docs.sparkSession
+    rates_df = spark.createDataFrame(
+        list(rates.items()), schema=f"{strata_col} string, __rate double"
+    )
+    return (
+        docs.join(F.broadcast(rates_df), strata_col, "inner")
+        .filter(hash_uniform(F.col(id_col)) < F.col("__rate"))
+        .drop("__rate")
+    )
+
+
+def token_budget_cap(
+    docs: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Greedy per-stratum token-budget packing: rank each stratum's
+    documents by quality (ties broken by id for determinism) and keep
+    documents while the running token total stays within
+    ``budget_tokens`` — how a fixed-size training mix is assembled from
+    an oversized pool.
+
+    Returns (id, stratum, n_tokens, cum_tokens) for kept docs.
+
+    Plan: one shuffle on the stratum key into a window sort. Strata are
+    coarse (sources/domains); if a single stratum outgrows an executor
+    at 100 TB, pre-aggregate to (stratum, quality-bucket) ranges first
+    — the greedy-prefix semantics compose over sorted buckets.
+    """
+    t = F.col(text_col)
+    scored = docs.select(
+        F.col(id_col),
+        F.col(strata_col),
+        F.size(_tokens(t)).cast("bigint").alias("n_tokens"),
+        quality_score(t).alias("__q"),
+    )
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(F.desc("__q"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+        .drop("__q")
+    )
