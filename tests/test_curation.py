@@ -156,6 +156,52 @@ def test_token_budget_cap_greedy_prefix(spark):
     assert all(r["cum_tokens"] <= 30 for r in out.values())
 
 
+# -------------------------------------- streaming engine-agnosticism
+def test_curation_ops_stream_identically(spark, tmp_path):
+    """The stateless curation ops are engine-agnostic: the same
+    DataFrame functions run unchanged under Structured Streaming —
+    pii_redact / stratified_sample compile to map-only streaming
+    plans, contamination_report to a stream-static broadcast join +
+    streaming aggregation — and reproduce the batch result exactly."""
+    rows = [
+        (
+            i,
+            "a" if i % 2 == 0 else "b",
+            f"doc{i} mail x{i}@ex.com t{i} a b c d e f g h i j",
+        )
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    src = str(tmp_path / "docs")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+
+    def drain(sdf, name, mode):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", str(tmp_path / f"cp_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect())
+
+    assert drain(CU.pii_redact(stream), "cur_pii", "append") == sorted(
+        tuple(r) for r in CU.pii_redact(df).collect()
+    )
+    rates = {"a": 0.3, "b": 0.8}
+    assert drain(
+        CU.stratified_sample(stream, rates), "cur_sample", "append"
+    ) == sorted(tuple(r) for r in CU.stratified_sample(df, rates).collect())
+    ev = spark.createDataFrame([(0, "a b c d e f g h i j")], ["doc_id", "text"])
+    grams = CU.eval_ngrams(ev)
+    assert drain(
+        CU.contamination_report(stream, grams), "cur_contam", "complete"
+    ) == sorted(tuple(r) for r in CU.contamination_report(df, grams).collect())
+
+
 # ---------------------------------------- omitted-relational parity
 # These five queries gave up their driver-visible slots to the
 # curation ops; their DuckDB parity stays pinned here.

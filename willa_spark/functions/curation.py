@@ -127,9 +127,13 @@ def contamination_report(
         F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("gram")
     )
     hits = grams.join(F.broadcast(eval_grams), "gram")
+    # size(collect_set()) rather than count_distinct: identical value,
+    # but it also runs as a STREAMING aggregation (distinct aggregates
+    # are rejected on streams), and the set is bounded by the eval
+    # set's gram count, not the corpus.
     return hits.groupBy(id_col).agg(
         F.count("*").alias("n_hits"),
-        F.count_distinct(F.col("gram")).alias("n_distinct_grams"),
+        F.size(F.collect_set(F.col("gram"))).cast("bigint").alias("n_distinct_grams"),
     )
 
 
