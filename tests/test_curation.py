@@ -1,10 +1,14 @@
 """Corpus-curation operators (willa_spark.functions.curation):
 hand-computed expectations on tiny literal corpora, plan-shape
-assertions, and a DuckDB parity pin for the relational queries whose
-driver slots the curation ops took over (see queries.DRIVER_OMIT)."""
+assertions, Hypothesis invariants (partitioning invariance — the
+distributed-correctness property — plus conservation and a pure-Python
+differential oracle), and a DuckDB parity pin for the relational
+queries whose driver slots the curation ops took over (see
+queries.DRIVER_OMIT)."""
 
 import duckdb
 import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from willa_spark.functions import curation as CU
@@ -154,6 +158,92 @@ def test_token_budget_cap_greedy_prefix(spark):
     assert 1 not in out and 2 not in out
     assert 3 in out and out[3]["cum_tokens"] == 5
     assert all(r["cum_tokens"] <= 30 for r in out.values())
+
+
+# ------------------------------------------------ property invariants
+# Tiny vocab forces line/gram collisions; docs are token lists.
+_doc_strategy = st.lists(
+    st.lists(st.sampled_from(["w1", "w2", "w3", "w4"]), min_size=0, max_size=20),
+    min_size=1,
+    max_size=8,
+)
+
+_hyp = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(toks=_doc_strategy)
+@_hyp
+def test_line_dedup_invariants(spark, toks):
+    """Partitioning invariance (the distributed-correctness property:
+    the first-owner election must not depend on physical layout),
+    conservation (kept lines across the corpus == distinct lines), and
+    bounds."""
+    rows = [(i, " ".join(t)) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = sorted(tuple(r) for r in CU.line_dedup_stats(df.repartition(1), tokens_per_line=3).collect())
+    b = sorted(tuple(r) for r in CU.line_dedup_stats(df.repartition(7), tokens_per_line=3).collect())
+    assert a == b
+    # conservation: exactly one keeper per distinct line string
+    distinct_lines = set()
+    for _, text in rows:
+        t = text.split()
+        if not t:
+            continue
+        for i in range(0, len(t), 3):
+            distinct_lines.add(" ".join(t[i : i + 3]))
+    assert sum(r[2] for r in a) == len(distinct_lines)
+    for _, n_lines, n_kept, frac in a:
+        assert 0 <= n_kept <= n_lines and 0.0 <= frac <= 1.0
+
+
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**9), min_size=0, max_size=30, unique=True),
+    rate=st.sampled_from([0.0, 0.25, 0.5, 1.0]),
+)
+@_hyp
+def test_stratified_sample_partition_invariance(spark, ids, rate):
+    """Hash sampling is a pure row function: the kept set must be
+    identical under any physical partitioning and any re-run, and rate
+    1.0 / 0.0 are exact."""
+    df = spark.createDataFrame(
+        [(i, "s") for i in ids], "doc_id bigint, source string"
+    )
+    kept1 = sorted(r["doc_id"] for r in CU.stratified_sample(df.repartition(1), {"s": rate}).collect())
+    kept5 = sorted(r["doc_id"] for r in CU.stratified_sample(df.repartition(5), {"s": rate}).collect())
+    assert kept1 == kept5
+    if rate == 1.0:
+        assert kept1 == sorted(ids)
+    if rate == 0.0:
+        assert kept1 == []
+
+
+@given(toks=_doc_strategy)
+@_hyp
+def test_contamination_python_differential(spark, toks):
+    """Differential oracle in pure Python: a doc is flagged iff it
+    shares >= 1 word 3-gram with the eval set, with exact hit counts."""
+    rows = [(i, " ".join(t)) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    ev = df.filter(F.col("doc_id") % 2 == 0)
+    got = {
+        r["doc_id"]: (r["n_hits"], r["n_distinct_grams"])
+        for r in CU.contamination_report(df, CU.eval_ngrams(ev, n=3), n=3).collect()
+    }
+
+    def grams(t):
+        return [" ".join(t[i : i + 3]) for i in range(len(t) - 2)]
+
+    ev_grams = {g for i, t in enumerate(toks) if i % 2 == 0 for g in grams(t)}
+    want = {}
+    for i, t in enumerate(toks):
+        hits = [g for g in grams(t) if g in ev_grams]
+        if hits:
+            want[i] = (len(hits), len(set(hits)))
+    assert got == want
 
 
 # -------------------------------------- streaming engine-agnosticism
