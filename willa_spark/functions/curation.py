@@ -273,6 +273,41 @@ def stratified_sample(
     )
 
 
+def shard_of(id_col: Column, n_shards: int) -> Column:
+    """Deterministic shard id in [0, n_shards): multiplicative hash of
+    the document id. Pure row function — stable across runs, retries,
+    and input partitioning (unlike round-robin repartition)."""
+    return ((id_col * F.lit(KNUTH)) % F.lit(_2_32) % F.lit(n_shards)).cast("int")
+
+
+def save_corpus_shards(
+    docs: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> None:
+    """The assembly endpoint: write the curated corpus as ``n_shards``
+    deterministic parquet shards (``shard=K/`` directories), each
+    sorted by id — so a training job reads reproducible, evenly-sized,
+    independently-consumable shards, and a re-run of the pipeline
+    produces the identical layout.
+
+    Plan: one hash shuffle into ``n_shards`` partitions + an in-
+    partition sort, then a partitioned write. At 100 TB choose
+    n_shards ≈ total_bytes / target_shard_bytes (e.g. ~1 GB shards →
+    100k shards) and the same single shuffle holds; the multiplicative
+    hash spreads sequential ids evenly, so no shard hot-spotting.
+    """
+    sharded = docs.withColumn("shard", shard_of(F.col(id_col), n_shards))
+    (
+        sharded.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions(id_col)
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
 def token_budget_cap(
     docs: DataFrame,
     budget_tokens: int,
