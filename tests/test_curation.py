@@ -317,6 +317,50 @@ def test_save_corpus_shards_deterministic_roundtrip(spark, tmp_path):
     assert all(s == (i * CU.KNUTH) % CU._2_32 % 8 for i, s in m1.items())
 
 
+# ------------------------------------------------ pipeline chaining
+def test_full_curation_pipeline_chain(spark, tmp_path):
+    """The whole assembly line over real testdata: quality screen →
+    PII redaction → corpus line-dedup flags → decontamination flag →
+    stratified sampling → token budget → shard write. Asserts each
+    stage only narrows the corpus, the chain is deterministic across
+    reruns, and the final shards round-trip."""
+    from willa_spark.functions import corpus as C
+    from willa_spark.sources import read_table
+
+    docs = read_table(spark, SF_DIR, "documents")
+
+    def run(out_dir):
+        kept = docs.filter(C.gopher_keep(F.col("text")))
+        red = CU.pii_redact(kept).withColumnRenamed("text_clean", "text")
+        red = red.join(
+            kept.select("doc_id", "source"), "doc_id"
+        )
+        # drop docs that are mostly duplicated lines corpus-wide
+        ld = CU.line_dedup_stats(red)
+        red = red.join(
+            ld.filter(F.col("kept_char_frac") >= 0.5).select("doc_id"), "doc_id"
+        )
+        # drop docs contaminated by the "eval set" (doc_id % 97 == 0)
+        ev = CU.eval_ngrams(docs.filter(F.col("doc_id") % 97 == 0))
+        flagged = CU.contamination_report(red, ev).select("doc_id")
+        red = red.join(flagged, "doc_id", "left_anti")
+        samp = CU.stratified_sample(red, {f"src{i}": 0.8 for i in range(100)})
+        final = CU.token_budget_cap(samp, 2000)
+        CU.save_corpus_shards(final, out_dir, n_shards=4)
+        return {
+            "kept": kept.count(),
+            "after_line": red.count(),
+            "final": sorted(r["doc_id"] for r in final.collect()),
+        }
+
+    r1 = run(str(tmp_path / "a"))
+    r2 = run(str(tmp_path / "b"))
+    assert r1 == r2  # end-to-end determinism
+    assert 0 < len(r1["final"]) <= r1["after_line"] <= r1["kept"]
+    back = spark.read.parquet(str(tmp_path / "a"))
+    assert sorted(r["doc_id"] for r in back.collect()) == r1["final"]
+
+
 # ---------------------------------------- omitted-relational parity
 # These five queries gave up their driver-visible slots to the
 # curation ops; their DuckDB parity stays pinned here.
