@@ -317,6 +317,37 @@ def test_save_corpus_shards_deterministic_roundtrip(spark, tmp_path):
     assert all(s == (i * CU.KNUTH) % CU._2_32 % 8 for i, s in m1.items())
 
 
+# ------------------------------------------------------- edge cases
+def test_curation_edge_cases(spark):
+    empty = spark.createDataFrame([], "doc_id bigint, source string, text string")
+    assert CU.pii_redact(empty).count() == 0
+    assert CU.line_dedup_stats(empty).count() == 0
+    assert CU.stratified_sample(empty, {"a": 0.5}).count() == 0
+    assert CU.token_budget_cap(empty, 100).count() == 0
+    # empty EVAL set: nothing can be contaminated, no crash
+    docs = spark.createDataFrame([(1, "a b c d e f g h i")], ["doc_id", "text"])
+    no_ev = spark.createDataFrame([], "doc_id bigint, text string")
+    assert CU.contamination_report(docs, CU.eval_ngrams(no_ev)).count() == 0
+    # whitespace-only / short docs produce no lines and no grams
+    degenerate = spark.createDataFrame(
+        [(1, "   "), (2, ""), (3, "one two")], ["doc_id", "text"]
+    )
+    assert CU.line_dedup_stats(degenerate).count() == 1  # only doc 3
+    assert CU.contamination_report(
+        degenerate, CU.eval_ngrams(docs)
+    ).count() == 0
+
+
+def test_curation_config_validation(spark):
+    df = spark.createDataFrame([(1, "s", "t")], ["doc_id", "source", "text"])
+    with pytest.raises(ValueError, match=r"rates"):
+        CU.stratified_sample(df, {"s": 1.5})
+    with pytest.raises(ValueError, match=r"budget_tokens"):
+        CU.token_budget_cap(df, 0)
+    with pytest.raises(ValueError, match=r"n_shards"):
+        CU.save_corpus_shards(df, "/tmp/unused", 0)
+
+
 # ------------------------------------------------ pipeline chaining
 def test_full_curation_pipeline_chain(spark, tmp_path):
     """The whole assembly line over real testdata: quality screen →

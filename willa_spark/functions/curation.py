@@ -262,6 +262,9 @@ def stratified_sample(
     Plan: the rates map is a literal broadcast join (or CASE) on top of
     a single scan — map-only, zero shuffle.
     """
+    bad = {s: r for s, r in rates.items() if not 0.0 <= r <= 1.0}
+    if bad:
+        raise ValueError(f"sampling rates must be in [0, 1]: {bad}")
     spark = docs.sparkSession
     rates_df = spark.createDataFrame(
         list(rates.items()), schema=f"{strata_col} string, __rate double"
@@ -298,6 +301,8 @@ def save_corpus_shards(
     100k shards) and the same single shuffle holds; the multiplicative
     hash spreads sequential ids evenly, so no shard hot-spotting.
     """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
     sharded = docs.withColumn("shard", shard_of(F.col(id_col), n_shards))
     (
         sharded.repartition(n_shards, F.col("shard"))
@@ -328,6 +333,8 @@ def token_budget_cap(
     at 100 TB, pre-aggregate to (stratum, quality-bucket) ranges first
     — the greedy-prefix semantics compose over sorted buckets.
     """
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
     t = F.col(text_col)
     scored = docs.select(
         F.col(id_col),
