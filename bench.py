@@ -75,6 +75,7 @@ HEADLINE = [
     "line_dedup",
     "stratified_sample",
     "token_budget_cap",
+    "above_avg_orders",
 ]
 
 

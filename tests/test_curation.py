@@ -401,7 +401,19 @@ OMITTED = [
     "distinct_parts_per_supplier",
     "except_customers",
     "intersect_customers",
+    "above_avg_orders",
 ]
+
+
+def test_above_avg_orders_decorrelates(spark):
+    """The correlated scalar subquery must decorrelate into an
+    aggregate + join — never a per-row re-scan or cartesian."""
+    from willa_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(QUERIES["above_avg_orders"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "partial_avg" in plan or "avg" in plan
+    assert "Join" in plan
 
 
 @pytest.mark.parametrize("name", OMITTED)

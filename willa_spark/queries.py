@@ -1406,6 +1406,44 @@ def q_monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "above_avg_orders",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey, price_cents
+    FROM o
+    WHERE price_cents > (SELECT avg(o2.price_cents) FROM o o2
+                         WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (SURVEY §2.6 superset): orders priced
+    above their own customer's average, written as correlated SQL so
+    CATALYST must decorrelate it — the plan is a partial per-customer
+    aggregate joined back, never a per-row re-scan (asserted in
+    tests/test_curation.py::test_above_avg_orders_decorrelates).
+    Arithmetic is integer-exact (cents; per-customer sums << 2^53) so
+    the boundary predicate cannot diverge between engines in ulps."""
+    orders = read_table(spark, sf_dir, "orders")
+    orders.select(
+        "o_orderkey",
+        "o_custkey",
+        _cents(F.col("o_totalprice")).alias("price_cents"),
+    ).createOrReplaceTempView("__orders_cents")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, price_cents
+        FROM __orders_cents o
+        WHERE price_cents > (SELECT avg(o2.price_cents) FROM __orders_cents o2
+                             WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@query(
     "top_bigrams",
     oracle="""
     WITH toks AS (
@@ -2574,6 +2612,10 @@ DRIVER_OMIT = frozenset(
         "distinct_parts_per_supplier",
         "except_customers",
         "intersect_customers",
+        # correlated-subquery showcase: decorrelation is plan-asserted
+        # and DuckDB-parity-pinned in tests/test_curation.py; the
+        # driver set stays at 50
+        "above_avg_orders",
     }
 )
 
