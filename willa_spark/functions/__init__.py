@@ -1,3 +1,3 @@
-from . import dedup, similarity, text, multimodal
+from . import corpus, curation, dedup, multimodal, similarity, text
 
-__all__ = ["dedup", "similarity", "text", "multimodal"]
+__all__ = ["corpus", "curation", "dedup", "multimodal", "similarity", "text"]
