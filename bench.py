@@ -76,6 +76,7 @@ HEADLINE = [
     "stratified_sample",
     "token_budget_cap",
     "above_avg_orders",
+    "corpus_profile",
 ]
 
 

@@ -402,7 +402,26 @@ OMITTED = [
     "except_customers",
     "intersect_customers",
     "above_avg_orders",
+    "corpus_profile",
 ]
+
+
+def test_corpus_profile_sketch_paths(spark):
+    """The 100 TB twins of corpus_profile's exact aggregates: HLL
+    distinct count and KLL quantiles must land within tolerance of the
+    exact values on real testdata."""
+    from willa_spark.functions import text as TXT
+    from willa_spark.sources import read_table
+
+    docs = read_table(spark, SF_DIR, "documents")
+    row = docs.agg(
+        F.count_distinct(TXT.fingerprint(F.col("text"))).alias("exact_d"),
+        F.approx_count_distinct(TXT.fingerprint(F.col("text"))).alias("hll_d"),
+        F.expr("percentile(n_chars, 0.9)").alias("exact_p90"),
+        F.expr("approx_percentile(n_chars, 0.9)").alias("kll_p90"),
+    ).collect()[0]
+    assert abs(row["hll_d"] - row["exact_d"]) / row["exact_d"] < 0.05
+    assert abs(row["kll_p90"] - row["exact_p90"]) / row["exact_p90"] < 0.05
 
 
 def test_above_avg_orders_decorrelates(spark):

@@ -1406,6 +1406,36 @@ def q_monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_profile",
+    oracle=r"""
+    SELECT lang,
+           count(*) AS n_docs,
+           count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+               AS n_distinct_fp,
+           round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+           round(quantile_cont(n_chars, 0.9), 4) AS p90_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile: doc count, distinct fingerprints,
+    and exact length quantiles (Spark `percentile` ≡ DuckDB
+    `quantile_cont`, both linear-interpolated — verified bit-equal).
+    At 100 TB swap the exact forms for their sketch twins —
+    approx_count_distinct (HLL) and approx_percentile (KLL) — same
+    query shape, partial-aggregated, bounded memory;
+    tests/test_curation.py::test_corpus_profile_sketch_paths pins the
+    sketches within tolerance of these exact values."""
+    docs = read_docs_spread(spark, sf_dir)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count_distinct(TXT.fingerprint(F.col("text"))).alias("n_distinct_fp"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90_chars"),
+    )
+
+
+@query(
     "above_avg_orders",
     oracle="""
     WITH o AS (
@@ -2616,6 +2646,9 @@ DRIVER_OMIT = frozenset(
         # and DuckDB-parity-pinned in tests/test_curation.py; the
         # driver set stays at 50
         "above_avg_orders",
+        # profiling rollup (quantiles + distinct): parity-pinned in
+        # tests/test_curation.py, sketch twins tolerance-tested there
+        "corpus_profile",
     }
 )
 
