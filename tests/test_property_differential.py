@@ -282,3 +282,51 @@ def test_session_python_fold_congruity(spark, tmp_path_factory, records, gap_ms)
     else:
         s = Counter()
     assert b == s
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    records=records_strategy,
+    chain=chain_strategy,
+    window_ms=st.sampled_from([50, 100, 250]),
+)
+def test_windowed_table_congruity(spark, tmp_path_factory, records, chain, window_ms):
+    """Random transform chain feeding a tumbling-window sum with
+    suppression: batch final-only emission ≡ streaming append mode for
+    any inputs, any window size — randomized version of the F12/F13
+    congruity shape (window identity in the value via emit_window, so
+    a window-assignment bug cannot hide behind a correct total)."""
+    from willa_spark import TumblingWindow
+
+    topo = build_topology(chain, with_table=True)
+    topo["entities"]["t"].update(
+        {
+            "group_by": lambda k, v: k,
+            "window": TumblingWindow(window_ms),
+            "suppress": True,
+            "emit_window": True,
+            "watermark": "0 milliseconds",
+        }
+    )
+    b = Counter(
+        kv
+        for kv in collect_records(run_topology(spark, topo, inputs={"in": records})["out"])
+        if kv[0] != "zz"
+    )
+    if records:
+        tmp = tmp_path_factory.mktemp("propwin")
+        s = Counter(
+            kv
+            for kv in run_streaming_topology(
+                spark, topo, {"in": records}, str(tmp),
+                extra_files={"in": [("zz", 0, 1_000_000)]},
+            )["out"]
+            if kv[0] != "zz"
+        )
+    else:
+        s = Counter()
+    assert b == s
