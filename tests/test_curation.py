@@ -392,18 +392,14 @@ def test_full_curation_pipeline_chain(spark, tmp_path):
     assert sorted(r["doc_id"] for r in back.collect()) == r1["final"]
 
 
-# ---------------------------------------- omitted-relational parity
-# These five queries gave up their driver-visible slots to the
-# curation ops; their DuckDB parity stays pinned here.
-OMITTED = [
-    "pivot_order_status",
-    "rollup_revenue",
-    "distinct_parts_per_supplier",
-    "except_customers",
-    "intersect_customers",
-    "above_avg_orders",
-    "corpus_profile",
-]
+# --------------------------------------------- omitted-query parity
+# EVERY oracle-bearing query omitted from the 50-entry driver set is
+# parity-pinned here, computed from DRIVER_OMIT so a future omission
+# can never silently lose its verification (an earlier revision pinned
+# a hand-written subset and left anti_join_customers unverified).
+from willa_spark.queries import DRIVER_OMIT
+
+OMITTED = sorted(DRIVER_OMIT & set(ORACLE_SQL))
 
 
 def test_corpus_profile_sketch_paths(spark):

@@ -152,3 +152,22 @@ def test_start_queries_rejects_update_mode_file_sink(spark, tmp_path):
     built = runner.build({})
     with pytest.raises(ValueError, match="append-only"):
         runner.start_queries(built, str(tmp_path / "chk2"))
+
+
+def test_start_queries_rejects_unknown_sink_format(spark, tmp_path):
+    """A typo'd sink format must fail fast, not silently write to an
+    in-memory table while the configured files never appear."""
+    from willa_spark.streaming.compiler import StreamingTopologyRunner
+
+    topo = {
+        "entities": {
+            "in": {"type": "topic", "file": {**CSV_CFG, "path": _write_csv(tmp_path)}},
+            "out": {"type": "topic", "sink": {"format": "parqet",
+                                              "path": str(tmp_path / "nope")}},
+        },
+        "workflow": [("in", "out")],
+    }
+    runner = StreamingTopologyRunner(spark, topo)
+    built = runner.build({})
+    with pytest.raises(ValueError, match="unknown sink format"):
+        runner.start_queries(built, str(tmp_path / "chk3"))

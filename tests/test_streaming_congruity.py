@@ -631,3 +631,28 @@ def test_congruity_session_merge_across_batches(spark, tmp_path):
     b = Counter({kv: n for kv, n in b.items() if kv[0] != "zz"})
     s = Counter(kv for kv in rows if kv[0] != "zz")
     assert b == s == Counter([("k", 7)])
+
+
+def test_join_watermark_conflicting_with_ingest_raises(spark, tmp_path):
+    """A per-join watermark that differs from the ingest-attached one
+    cannot be honored (one watermark per branch; re-attaching is
+    'Redefining watermark is disallowed') — the compiler must fail
+    loudly instead of silently running with the ingest delay."""
+    import pytest
+
+    from willa_spark.streaming import run_streaming_topology
+
+    topo = {
+        "entities": {
+            "a": topic(watermark="0 milliseconds"),
+            "b": topic(),
+            "j": {"type": "kstream"},
+            "out": topic(),
+        },
+        "workflow": [("a", "j"), ("b", "j"), ("j", "out")],
+        "joins": {("a", "b"): {"type": "inner", "window": (50, 50),
+                               "watermark": "10 minutes"}},
+    }
+    inputs = {"a": [("k", 1, 100)], "b": [("k", 2, 120)]}
+    with pytest.raises(ValueError, match="conflicts with"):
+        run_streaming_topology(spark, topo, inputs, str(tmp_path))

@@ -333,13 +333,26 @@ def dup_line_char_frac(
     (no lines — matches the explode/oracle semantics).
     """
     t = F.col(text_col)
-    lines = _pseudo_lines(t, tokens_per_line)
-    total = F.aggregate(
-        lines, F.lit(0).cast("bigint"), lambda acc, l: acc + F.length(l)
-    )
-    return docs.filter(F.size(_tokens(t)) > 0).select(
-        F.col(id_col),
-        F.round(
-            _run_stats(lines)["dupsum"] / F.greatest(total, F.lit(1)), 4
-        ).alias("dup_line_char_frac"),
+
+    # the line array is LAMBDA-BOUND so the tokenize+chunk pass runs
+    # once per row no matter how many metrics read it (an earlier
+    # formulation evaluated _pseudo_lines separately for the total,
+    # the run stats, and a token-count filter — ~3x the dominant map
+    # cost; see _bind_tokens for why HOFs defeat CSE)
+    def build(lines):
+        total = F.aggregate(
+            lines, F.lit(0).cast("bigint"), lambda acc, l: acc + F.length(l)
+        )
+        return F.struct(
+            F.size(lines).alias("n"),
+            F.round(
+                _run_stats(lines)["dupsum"] / F.greatest(total, F.lit(1)), 4
+            ).alias("frac"),
+        )
+
+    m = F.element_at(F.transform(F.array(_pseudo_lines(t, tokens_per_line)), build), 1)
+    return (
+        docs.select(F.col(id_col), m.alias("__m"))
+        .filter(F.col("__m.n") > 0)
+        .select(F.col(id_col), F.col("__m.frac").alias("dup_line_char_frac"))
     )

@@ -304,9 +304,13 @@ def save_corpus_shards(
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
     sharded = docs.withColumn("shard", shard_of(F.col(id_col), n_shards))
+    # sort by (shard, id): hash partitioning puts multiple shard keys
+    # in one task, and the partitioned writer REQUIRES shard ordering —
+    # sorting by id alone would make the writer insert a second
+    # full sort and leave within-file id order to sort stability
     (
         sharded.repartition(n_shards, F.col("shard"))
-        .sortWithinPartitions(id_col)
+        .sortWithinPartitions("shard", id_col)
         .write.partitionBy("shard")
         .mode("overwrite")
         .parquet(path)

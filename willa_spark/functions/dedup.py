@@ -242,7 +242,14 @@ def verified_near_dups(
     candidate subtree concurrently within one action — observed 4×
     duplicate work in the bench. The frame is id-pairs only, bounded
     by the near-dup count; at 100 TB you would checkpoint it to
-    storage instead, same shape."""
+    storage instead, same shape.
+
+    CACHING NOTE: the persisted candidate frame stays in executor
+    storage after this call returns (the returned plan references it,
+    so it cannot be unpersisted here). Long-running sessions calling
+    this in a loop should release it — ``df.unpersist()`` on the
+    consumed result's source, or ``spark.catalog.clearCache()``
+    between iterations (what bench.py does)."""
     candidates = candidates.persist()
     candidates.count()
     ids = (

@@ -936,11 +936,8 @@ def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~2 s with it; MOSS applies the same rule). NOT in the
     driver-visible 50 (rows-only anyway); the winnowing guarantee is
     pinned by pytest (test_winnow_fingerprints_guarantee)."""
-    from .functions import text as TXT
-    from .functions.dedup import _spread
-
-    docs = read_docs_spread(spark, sf_dir)
-    fp = _spread(docs.select("doc_id", "text"), "doc_id").select(
+    docs = read_docs_spread(spark, sf_dir)  # already core-spread
+    fp = docs.select(
         "doc_id", F.explode(TXT.winnow_fingerprints(F.col("text"))).alias("fp")
     )
     # materialize the fingerprint pass ONCE (it feeds the df-cap agg,

@@ -211,7 +211,9 @@ class StreamingTopologyRunner:
             return df
         return df.withWatermark(TIMESTAMP, wm)
 
-    def _shift_event_time(self, df: DataFrame, wm: str | None) -> DataFrame:
+    def _shift_event_time(
+        self, df: DataFrame, wm: str | None, explicit: bool = False
+    ) -> DataFrame:
         """+1ms epoch-edge shift, preserving EXACTLY ONE
         EventTimeWatermark node per branch.  Spark's stateful late-row
         filters clamp their state watermark at 0 and drop rows with
@@ -232,6 +234,22 @@ class StreamingTopologyRunner:
         shifted = F.col(TIMESTAMP) + F.expr("INTERVAL 1 MILLISECONDS")
         others = [F.col(c) for c in df.columns if c != TIMESTAMP]
         if "spark.watermarkDelayMs" in meta:
+            # the ingest watermark governs the whole branch; an
+            # EXPLICITLY configured different value here cannot be
+            # honored (re-attaching is 'Redefining watermark is
+            # disallowed') — fail loudly instead of silently using the
+            # ingest delay for state retention / outer emission
+            if explicit and wm is not None:
+                ingest_ms = int(meta["spark.watermarkDelayMs"])
+                want_ms = _duration_ms(wm, -1)
+                if want_ms != ingest_ms:
+                    raise ValueError(
+                        f"watermark {wm!r} conflicts with the "
+                        f"{ingest_ms} ms watermark already attached at "
+                        "source ingest; a branch carries exactly one "
+                        "watermark — set it on the topic entity (or "
+                        "make the two values equal)"
+                    )
             return df.select(*others, shifted.alias(TIMESTAMP, metadata=meta))
         out = df.select(*others, shifted.alias(TIMESTAMP))
         return out.withWatermark(TIMESTAMP, wm) if wm else out
@@ -351,13 +369,16 @@ class StreamingTopologyRunner:
             how = {"inner": "inner", "left": "leftOuter", "outer": "fullOuter"}[jt]
             if exact:
                 how = "inner"
-            wm = cfg.get("watermark", _ms_duration(before + after + 1000))
+            wm_cfg = cfg.get("watermark")
+            wm = wm_cfg or _ms_duration(before + after + 1000)
             # +1ms epoch-edge shift on both sides equally (band matches
             # unchanged), unshift on output; _shift_event_time keeps
-            # the branch to a single EventTimeWatermark node.
+            # the branch to a single EventTimeWatermark node and
+            # rejects an explicit join watermark that conflicts with
+            # an ingest-attached one (it could not be honored).
             shift = F.expr("INTERVAL 1 MILLISECONDS")
-            lw = self._shift_event_time(left, wm)
-            rw = self._shift_event_time(right, wm)
+            lw = self._shift_event_time(left, wm, explicit=wm_cfg is not None)
+            rw = self._shift_event_time(right, wm, explicit=wm_cfg is not None)
             l = lw.select(
                 F.col(KEY).alias("__lk"), F.col(VALUE).alias("__lv"), F.col(TIMESTAMP).alias("__lts")
             )
@@ -1527,15 +1548,18 @@ class StreamingTopologyRunner:
                         f"leaf {leaf!r}: kafka sink downstream of a refreshing "
                         "global table is unsupported; use a file sink"
                     )
+                # pass EVERY translated kafka.* option through (auth/TLS
+                # etc. must behave identically to the source path), not
+                # just bootstrap.servers
                 opts = kafka_options(cfg["kafka"])
                 writer = (
                     kafka_sink_columns(sink, cfg.get("serde"))
                     .writeStream.format("kafka")
-                    .option("kafka.bootstrap.servers", opts["kafka.bootstrap.servers"])
+                    .options(**{k: str(v) for k, v in opts.items()})
                     .option("topic", cfg["kafka"]["topic"])
                     .outputMode(mode)
                 )
-            else:  # memory
+            elif fmt == "memory":
                 if deferred:
                     raise NotImplementedError(
                         f"leaf {leaf!r}: memory sink downstream of a refreshing "
@@ -1544,6 +1568,14 @@ class StreamingTopologyRunner:
                 writer = sink.writeStream.format("memory").queryName(
                     f"{leaf.replace('-', '_')}_sink"
                 ).outputMode(mode)
+            else:
+                # an unknown format must fail loudly, not silently fall
+                # back to an in-memory table while the user's files
+                # never appear
+                raise ValueError(
+                    f"leaf {leaf!r}: unknown sink format {fmt!r}; supported: "
+                    "parquet, csv, json, kafka, memory"
+                )
             if fmt in ("parquet", "csv", "json") and not deferred:
                 writer = writer.outputMode("append")
             queries[leaf] = (
