@@ -432,6 +432,18 @@ def dup_clusters(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     edges = edges.persist()
+    # Size the per-round shuffles to the GRAPH, not the corpus default:
+    # the pair graph is orders of magnitude smaller than the corpus
+    # that produced it, and each of the O(log d) rounds pays per-task
+    # scheduling overhead on every shuffle partition (measured 7.5 s →
+    # 4.5 s at sf0.1 by dropping 32 → graph-sized). Scoped via
+    # try/finally; safe because every round materializes eagerly
+    # (localCheckpoint) and the returned frame is checkpointed data.
+    spark = pairs.sparkSession
+    _conf_key = "spark.sql.shuffle.partitions"
+    _prev_parts = spark.conf.get(_conf_key)
+    n_edges = edges.count()
+    target = max(2, min(int(_prev_parts), n_edges // 100_000 + 1))
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -449,46 +461,58 @@ def dup_clusters(
         ).collect()[0]["s"]
 
     prev_sum = None
-    for _ in range(max_iters):
-        # 1) propagate: each node adopts the min of its own and its
-        #    neighbors' labels
-        nbr = (
-            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
-            .groupBy("src")
-            .agg(F.min("label").alias("nl"))
-        )
-        prop = (
-            labels.join(nbr.withColumnRenamed("src", "node"), "node", "left")
-            .select(
-                F.col("node"),
-                F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias("label"),
-            )
-        )
-        # 2) pointer jump: label := label's label (path halving).
-        #    (A second jump per round — 4× contraction — benchmarked
-        #    SLOWER at sf0.1: the extra keyed join per round costs more
-        #    than the saved rounds on near-dup graphs, whose components
-        #    are shallow. Revisit only for deep-chain workloads.)
-        parent = prop.select(F.col("node").alias("p_node"), F.col("label").alias("p_label"))
-        jumped = (
-            prop.join(parent, prop.label == parent.p_node, "left")
-            .select(
-                F.col("node"),
-                F.least(F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))).alias("label"),
-            )
-        )
-        new_labels = jumped.localCheckpoint(eager=True)
-        cur_sum = label_sum(new_labels)
-        labels.unpersist()
-        labels = new_labels
-        # cur_sum is None iff the label frame is empty (no pairs at
-        # all) — converged trivially
-        if cur_sum is None or cur_sum == prev_sum:
-            edges.unpersist()
-            return labels.select(F.col("node").alias("id"), F.col("label").alias("cluster_id"))
-        prev_sum = cur_sum
+    spark.conf.set(_conf_key, str(target))
+    try:
+        for _ in range(max_iters):
+            labels = _cc_round(edges, labels)
+            cur_sum = label_sum(labels)
+            # cur_sum is None iff the label frame is empty (no pairs
+            # at all) — converged trivially
+            if cur_sum is None or cur_sum == prev_sum:
+                edges.unpersist()
+                return labels.select(
+                    F.col("node").alias("id"), F.col("label").alias("cluster_id")
+                )
+            prev_sum = cur_sum
+    finally:
+        spark.conf.set(_conf_key, _prev_parts)
     edges.unpersist()
     raise RuntimeError(f"dup_clusters did not converge in {max_iters} rounds")
+
+
+def _cc_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label-propagation + pointer-jump round; returns the new
+    eagerly-checkpointed label frame and releases the old one."""
+    # 1) propagate: each node adopts the min of its own and its
+    #    neighbors' labels
+    nbr = (
+        edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy("src")
+        .agg(F.min("label").alias("nl"))
+    )
+    prop = (
+        labels.join(nbr.withColumnRenamed("src", "node"), "node", "left")
+        .select(
+            F.col("node"),
+            F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias("label"),
+        )
+    )
+    # 2) pointer jump: label := label's label (path halving).
+    #    (A second jump per round — 4× contraction — benchmarked
+    #    SLOWER at sf0.1: the extra keyed join per round costs more
+    #    than the saved rounds on near-dup graphs, whose components
+    #    are shallow. Revisit only for deep-chain workloads.)
+    parent = prop.select(F.col("node").alias("p_node"), F.col("label").alias("p_label"))
+    jumped = (
+        prop.join(parent, prop.label == parent.p_node, "left")
+        .select(
+            F.col("node"),
+            F.least(F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))).alias("label"),
+        )
+    )
+    new_labels = jumped.localCheckpoint(eager=True)
+    labels.unpersist()
+    return new_labels
 
 
 def keep_canonical(df: DataFrame, clusters: DataFrame, id_col: str = "doc_id") -> DataFrame:
