@@ -430,6 +430,26 @@ def test_dup_clusters_long_chain_pointer_jumping(spark):
     assert all(r["cluster_id"] == 0 for r in got)
 
 
+def test_dup_clusters_leaves_session_conf_alone(spark):
+    """dup_clusters must not mutate session-global shuffle-partition
+    conf (a concurrent streaming micro-batch would bake the graph-sized
+    value into its checkpointed state-store layout): shuffles are sized
+    via explicit repartition, the conf is read-only, and an unusual
+    session value neither breaks the operator nor gets clobbered."""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "7")  # odd, non-default session value
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "id_a bigint, id_b bigint"
+        )
+        got = {(r["id"], r["cluster_id"]) for r in D.dup_clusters(pairs).collect()}
+        assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+        assert spark.conf.get(key) == "7"
+    finally:
+        spark.conf.set(key, prev)
+
+
 def test_keep_canonical_after_clustering(spark, docs):
     """End-to-end dedup policy: minhash near-dup pairs -> clusters ->
     one canonical survivor per cluster. Docs 1/6 are exact dups (and

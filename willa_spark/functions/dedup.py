@@ -30,8 +30,23 @@ def _spread(df: DataFrame, key: str | None = None) -> DataFrame:
     inputs arrive as 1 partition, serializing all downstream hashing
     onto one core. Repartitioning costs one cheap shuffle of the raw
     rows and buys full-cluster fan-out; no-op when the source is
-    already split (the 100 TB case)."""
+    already split (the 100 TB case).
+
+    The pre-split check probes ``inputFiles()`` FIRST: on a
+    many-file (100 TB) source that answers "already parallel" without
+    the plan→RDD conversion that ``df.rdd`` forces. Only small/few-file
+    inputs — where the conversion is trivially cheap anyway — fall
+    through to the exact partition count."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        if len(df.inputFiles()) >= target:
+            # >= target files: the file-source planner's split size is
+            # capped at totalBytes/defaultParallelism (bytesPerCore) and
+            # floored at openCostInBytes, so many files never collapse
+            # below core count — already parallel, no probe, no shuffle
+            return df
+    except Exception:
+        pass  # non-file-backed plan (memory, join result, ...): fall through
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target, key) if key else df.repartition(target)
@@ -428,22 +443,30 @@ def dup_clusters(
     returning a partial clustering.
     """
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = e.unionByName(
+    raw = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    edges = edges.persist()
+    ).distinct().persist()
     # Size the per-round shuffles to the GRAPH, not the corpus default:
     # the pair graph is orders of magnitude smaller than the corpus
     # that produced it, and each of the O(log d) rounds pays per-task
     # scheduling overhead on every shuffle partition (measured 7.5 s →
-    # 4.5 s at sf0.1 by dropping 32 → graph-sized). Scoped via
-    # try/finally; safe because every round materializes eagerly
-    # (localCheckpoint) and the returned frame is checkpointed data.
+    # 4.5 s at sf0.1 by dropping 32 → graph-sized). Sized via EXPLICIT
+    # repartition(target, key) on every per-round join input — never by
+    # mutating session-global spark.sql.shuffle.partitions, which would
+    # leak the graph-sized value into any query planned concurrently in
+    # the session (a streaming micro-batch starting mid-loop would bake
+    # it into its checkpointed state-store layout permanently).
     spark = pairs.sparkSession
-    _conf_key = "spark.sql.shuffle.partitions"
-    _prev_parts = spark.conf.get(_conf_key)
-    n_edges = edges.count()
-    target = max(2, min(int(_prev_parts), n_edges // 100_000 + 1))
+    n_edges = raw.count()
+    target = max(
+        2, min(spark.sparkContext.defaultParallelism, n_edges // 100_000 + 1)
+    )
+    # pre-partition the (persisted) edge frame on its two join keys ONCE
+    # so the per-round joins reuse the cached partitioning instead of
+    # re-shuffling the edges every round
+    edges = raw.repartition(target, "dst").persist()
+    edges.count()
+    raw.unpersist()
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -461,37 +484,40 @@ def dup_clusters(
         ).collect()[0]["s"]
 
     prev_sum = None
-    spark.conf.set(_conf_key, str(target))
-    try:
-        for _ in range(max_iters):
-            labels = _cc_round(edges, labels)
-            cur_sum = label_sum(labels)
-            # cur_sum is None iff the label frame is empty (no pairs
-            # at all) — converged trivially
-            if cur_sum is None or cur_sum == prev_sum:
-                edges.unpersist()
-                return labels.select(
-                    F.col("node").alias("id"), F.col("label").alias("cluster_id")
-                )
-            prev_sum = cur_sum
-    finally:
-        spark.conf.set(_conf_key, _prev_parts)
+    for _ in range(max_iters):
+        labels = _cc_round(edges, labels, target)
+        cur_sum = label_sum(labels)
+        # cur_sum is None iff the label frame is empty (no pairs
+        # at all) — converged trivially
+        if cur_sum is None or cur_sum == prev_sum:
+            edges.unpersist()
+            return labels.select(
+                F.col("node").alias("id"), F.col("label").alias("cluster_id")
+            )
+        prev_sum = cur_sum
     edges.unpersist()
     raise RuntimeError(f"dup_clusters did not converge in {max_iters} rounds")
 
 
-def _cc_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+def _cc_round(edges: DataFrame, labels: DataFrame, target: int) -> DataFrame:
     """One min-label-propagation + pointer-jump round; returns the new
-    eagerly-checkpointed label frame and releases the old one."""
+    eagerly-checkpointed label frame and releases the old one. All
+    shuffles are explicitly sized to ``target`` (graph-sized) via
+    repartition on the join inputs — both sides of each equi-join land
+    on the same HashPartitioning(key, target), so EnsureRequirements
+    inserts no further exchange and the session's shuffle-partition
+    conf never enters the per-round plan."""
     # 1) propagate: each node adopts the min of its own and its
-    #    neighbors' labels
+    #    neighbors' labels. The edge side is already cache-partitioned
+    #    on dst; only the (smaller) label frame shuffles.
     nbr = (
-        edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+        edges.join(labels.withColumnRenamed("node", "dst").repartition(target, "dst"), "dst")
         .groupBy("src")
         .agg(F.min("label").alias("nl"))
     )
     prop = (
-        labels.join(nbr.withColumnRenamed("src", "node"), "node", "left")
+        labels.repartition(target, "node")
+        .join(nbr.withColumnRenamed("src", "node").repartition(target, "node"), "node", "left")
         .select(
             F.col("node"),
             F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias("label"),
@@ -504,7 +530,8 @@ def _cc_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
     #    are shallow. Revisit only for deep-chain workloads.)
     parent = prop.select(F.col("node").alias("p_node"), F.col("label").alias("p_label"))
     jumped = (
-        prop.join(parent, prop.label == parent.p_node, "left")
+        prop.repartition(target, "label")
+        .join(parent.repartition(target, "p_node"), F.col("label") == F.col("p_node"), "left")
         .select(
             F.col("node"),
             F.least(F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))).alias("label"),
