@@ -77,6 +77,10 @@ HEADLINE = [
     "token_budget_cap",
     "above_avg_orders",
     "corpus_profile",
+    # round 4: oracle-checked planted-recall proof for the four
+    # hash/ANN families (runs minhash+simhash+LSH+IVF end-to-end, so
+    # its time is intrinsically ~the sum of those four families)
+    "hash_family_recall",
 ]
 
 
