@@ -39,9 +39,7 @@ from .text import quality_score
 
 # ------------------------------------------------------------------ PII
 # Pattern set kept RE2-compatible (no backrefs/lookarounds) so the
-# DuckDB oracle can run character-identical regexes. Counts are taken
-# on the ORIGINAL text (patterns are mutually non-overlapping: emails
-# need '@', IPs need dots between digit runs, phones need dashes).
+# DuckDB oracle can run character-identical regexes.
 PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
 PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
@@ -54,17 +52,24 @@ def pii_redact(
     tokens and count each category. Pure map-only Column expressions —
     zero shuffle, zero Python; the 100 TB plan is a single scan.
 
+    Each category is counted on the text AFTER the preceding
+    replacements — matching the replace chain exactly — so the counts
+    always agree with what appears in ``text_clean``. (Counting every
+    category on the raw text would disagree on overlapping matches:
+    'a@10.0.0.1.com' raw-counts 1 email AND 1 ip, yet only <EMAIL>
+    survives redaction.)
+
     Returns (id, n_emails, n_ips, n_phones, text_clean).
     """
     t = F.col(text_col)
-    clean = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
-    clean = F.regexp_replace(clean, PII_IPV4, "<IP>")
-    clean = F.regexp_replace(clean, PII_PHONE, "<PHONE>")
+    after_email = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, PII_IPV4, "<IP>")
+    clean = F.regexp_replace(after_ip, PII_PHONE, "<PHONE>")
     return docs.select(
         F.col(id_col),
         F.regexp_count(t, F.lit(PII_EMAIL)).cast("bigint").alias("n_emails"),
-        F.regexp_count(t, F.lit(PII_IPV4)).cast("bigint").alias("n_ips"),
-        F.regexp_count(t, F.lit(PII_PHONE)).cast("bigint").alias("n_phones"),
+        F.regexp_count(after_email, F.lit(PII_IPV4)).cast("bigint").alias("n_ips"),
+        F.regexp_count(after_ip, F.lit(PII_PHONE)).cast("bigint").alias("n_phones"),
         clean.alias("text_clean"),
     )
 
@@ -149,12 +154,32 @@ def plant_eval_leaks(
     a verbatim 16-token excerpt, the classic partial-contamination
     shape. The synthetic corpus has no real cross-doc 8-gram overlap
     (40-word vocab, 40^8 space), so leaks make decontamination
-    observable. Mirrored in the oracle SQL."""
-    leaks = docs.filter(F.col(id_col) % every == 0).select(
+    observable. Mirrored in the oracle SQL.
+
+    Leak ids must not collide with real ids (a corpus whose doc_ids
+    reach ``id_offset`` would silently merge contamination stats for
+    unrelated docs), so every original id is VALIDATED < id_offset —
+    lazily, inside the plan (raise_error on violation), costing no
+    extra pass and working under streaming too."""
+    checked_id = F.when(
+        F.col(id_col) >= id_offset,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"plant_eval_leaks: {id_col} >= id_offset ({id_offset}) "
+                    "would collide with leak ids; raise id_offset above "
+                    "the max corpus id: got "
+                ),
+                F.col(id_col).cast("string"),
+            )
+        ).cast(docs.schema[id_col].dataType),
+    ).otherwise(F.col(id_col))
+    base = docs.select(checked_id.alias(id_col), F.col(text_col))
+    leaks = base.filter(F.col(id_col) % every == 0).select(
         (F.col(id_col) + id_offset).alias(id_col),
         F.array_join(F.slice(_tokens(F.col(text_col)), 3, 16), " ").alias(text_col),
     )
-    return docs.select(id_col, text_col).unionByName(leaks)
+    return base.unionByName(leaks)
 
 
 # ------------------------------------------------- corpus line dedup

@@ -2504,17 +2504,27 @@ _PII_PLANT_SQL = r"""
 
 @query(
     "pii_redaction",
+    # counts mirror the replace CHAIN (each category counted on the
+    # text after the preceding replacements) so counts always agree
+    # with text_clean even on overlapping raw matches
     oracle=rf"""
-    WITH all_docs AS ({_PII_PLANT_SQL})
+    WITH all_docs AS ({_PII_PLANT_SQL}),
+    chain AS (
+      SELECT doc_id, text,
+             regexp_replace(text, '{CURATION.PII_EMAIL}', '<EMAIL>', 'g')
+               AS after_email
+      FROM all_docs),
+    chain2 AS (
+      SELECT *, regexp_replace(after_email, '{CURATION.PII_IPV4}', '<IP>', 'g')
+               AS after_ip
+      FROM chain)
     SELECT doc_id,
            len(regexp_extract_all(text, '{CURATION.PII_EMAIL}')) AS n_emails,
-           len(regexp_extract_all(text, '{CURATION.PII_IPV4}')) AS n_ips,
-           len(regexp_extract_all(text, '{CURATION.PII_PHONE}')) AS n_phones,
-           regexp_replace(regexp_replace(regexp_replace(text,
-             '{CURATION.PII_EMAIL}', '<EMAIL>', 'g'),
-             '{CURATION.PII_IPV4}', '<IP>', 'g'),
-             '{CURATION.PII_PHONE}', '<PHONE>', 'g') AS text_clean
-    FROM all_docs
+           len(regexp_extract_all(after_email, '{CURATION.PII_IPV4}')) AS n_ips,
+           len(regexp_extract_all(after_ip, '{CURATION.PII_PHONE}')) AS n_phones,
+           regexp_replace(after_ip, '{CURATION.PII_PHONE}', '<PHONE>', 'g')
+             AS text_clean
+    FROM chain2
     """,
 )
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -78,7 +78,8 @@ def available(spark: SparkSession) -> bool:
 
 
 def kafka_options(cfg: dict[str, Any]) -> dict[str, str]:
-    """Translate entity kafka config to connector options."""
+    """Translate entity kafka config to READER options (subscription
+    strategy + client passthrough)."""
     opts = {
         "kafka.bootstrap.servers": cfg["bootstrap_servers"],
         "subscribe": cfg["topic"],
@@ -86,6 +87,21 @@ def kafka_options(cfg: dict[str, Any]) -> dict[str, str]:
     }
     if "min_partitions" in cfg:
         opts["minPartitions"] = str(cfg["min_partitions"])
+    for k, v in cfg.get("options", {}).items():
+        opts[k] = str(v)
+    return opts
+
+
+def kafka_sink_options(cfg: dict[str, Any]) -> dict[str, str]:
+    """Translate entity kafka config to WRITER options: only the
+    'kafka.'-prefixed client passthrough (brokers/auth/TLS — identical
+    client behavior to the source path) plus the user's explicit
+    ``options``. Source subscription strategy (subscribe,
+    startingOffsets, minPartitions) must never reach the producer —
+    Spark's producer happens to drop non-'kafka.' keys silently today,
+    but forwarding them is wrong config propagation and fragile against
+    future connector validation."""
+    opts = {"kafka.bootstrap.servers": cfg["bootstrap_servers"]}
     for k, v in cfg.get("options", {}).items():
         opts[k] = str(v)
     return opts

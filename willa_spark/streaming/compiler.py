@@ -104,15 +104,30 @@ _DURATION_UNITS = {
 }
 
 
-def _duration_ms(s: str, default: int) -> int:
-    """Best-effort parse of a Spark duration string ('90 seconds',
-    '100 milliseconds'); falls back to ``default`` for exotic forms."""
+def _try_duration_ms(s: str) -> int | None:
+    """Parse a Spark duration string, including multi-part forms
+    ('90 seconds', '100 milliseconds', '1 minute 30 seconds').
+    Returns None — distinguishable from every real duration — when the
+    string is not understood, so callers can separate "unparseable"
+    from "parsed to a conflicting value"."""
     import re
 
-    m = re.match(r"\s*(\d+)\s*([a-z]+?)s?\s*$", str(s).lower())
-    if m and m.group(2) in _DURATION_UNITS:
-        return int(int(m.group(1)) * _DURATION_UNITS[m.group(2)])
-    return default
+    text = str(s).lower().strip()
+    pat = re.compile(r"(\d+)\s*([a-z]+?)s?(?:\s+|$)")
+    pos, total, found = 0, 0.0, False
+    while pos < len(text):
+        m = pat.match(text, pos)
+        if not m or m.group(2) not in _DURATION_UNITS:
+            return None
+        total += int(m.group(1)) * _DURATION_UNITS[m.group(2)]
+        pos, found = m.end(), True
+    return int(total) if found else None
+
+
+def _duration_ms(s: str, default: int) -> int:
+    """Best-effort parse; falls back to ``default`` for exotic forms."""
+    got = _try_duration_ms(s)
+    return default if got is None else got
 
 
 class DeferredStream:
@@ -241,7 +256,16 @@ class StreamingTopologyRunner:
             # ingest delay for state retention / outer emission
             if explicit and wm is not None:
                 ingest_ms = int(meta["spark.watermarkDelayMs"])
-                want_ms = _duration_ms(wm, -1)
+                want_ms = _try_duration_ms(wm)
+                if want_ms is None:
+                    # parse failure is NOT a value conflict — an exotic
+                    # form Spark itself would accept must not be
+                    # reported as "conflicts with ingest"
+                    raise ValueError(
+                        f"unparseable watermark duration {wm!r}; use "
+                        "'<n> <unit>' parts (e.g. '30 seconds', "
+                        "'1 minute 30 seconds')"
+                    )
                 if want_ms != ingest_ms:
                     raise ValueError(
                         f"watermark {wm!r} conflicts with the "
@@ -1505,7 +1529,7 @@ class StreamingTopologyRunner:
         import os
 
         from ..graph import leaves as _leaves
-        from ..sources.kafka import kafka_options, kafka_sink_columns
+        from ..sources.kafka import kafka_sink_columns, kafka_sink_options
 
         trigger = trigger or {"availableNow": True}
         queries: dict[str, object] = {}
@@ -1548,10 +1572,11 @@ class StreamingTopologyRunner:
                         f"leaf {leaf!r}: kafka sink downstream of a refreshing "
                         "global table is unsupported; use a file sink"
                     )
-                # pass EVERY translated kafka.* option through (auth/TLS
-                # etc. must behave identically to the source path), not
-                # just bootstrap.servers
-                opts = kafka_options(cfg["kafka"])
+                # writer-side options only: kafka.* client passthrough
+                # (auth/TLS identical to the source path) + user
+                # options — source subscription strategy keys never
+                # reach the producer
+                opts = kafka_sink_options(cfg["kafka"])
                 writer = (
                     kafka_sink_columns(sink, cfg.get("serde"))
                     .writeStream.format("kafka")
