@@ -260,6 +260,109 @@ def test_session_python_fold_update_congruity(spark, tmp_path):
     assert b == s == Counter([("k", "1"), ("k", "1|2"), ("k", "3"), ("k2", "5")])
 
 
+def test_session_python_fold_state_ttl_evicts_idle_sessions(spark, tmp_path):
+    """Watermark-less update-mode session folds bound their state with
+    'state_ttl': a key idle past the TTL has ALL its open sessions
+    evicted (processing-time timeout). Observable because a later
+    record that would land inside the old session's gap starts a FRESH
+    session instead of extending the fold: with state retained k's
+    second record would emit '1|2' — after eviction it emits '2'.
+
+    Driven with a processing-time trigger, not availableNow: Spark
+    always schedules another micro-batch while a ProcessingTimeTimeout
+    operator has state (shouldRunAnotherBatch is unconditionally true),
+    so an availableNow drain never terminates — the documented trigger
+    constraint for state_ttl."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from willa_spark import SessionWindow
+    from willa_spark.model import KEY, TIMESTAMP, VALUE
+    from willa_spark.streaming import StreamingTopologyRunner
+
+    agg = Aggregate.fold("", concat_add, "string", merger=concat_merge)
+    topo = session_topo(agg)
+    topo["entities"]["t"]["window"] = SessionWindow(1_000_000)
+    topo["entities"]["t"]["state_ttl"] = "1 millisecond"
+
+    d = os.path.join(str(tmp_path), "in")
+    os.makedirs(d)
+
+    def feed(rows):
+        df = spark.createDataFrame(
+            rows, f"{KEY} string, {VALUE} bigint, {TIMESTAMP} long"
+        ).withColumn(TIMESTAMP, F.timestamp_millis(F.col(TIMESTAMP)))
+        df.coalesce(1).write.mode("append").parquet(d)
+        time.sleep(0.05)
+
+    feed([("k", 1, 0)])
+    schema = spark.read.parquet(d).schema
+    src = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    built = StreamingTopologyRunner(spark, topo).build({"in": src})
+    q = (
+        built["out"]
+        .writeStream.format("memory")
+        .queryName("ttl_evict_sink")
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "chk"))
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        def sink_rows():
+            return [
+                (r[KEY], r[VALUE])
+                for r in spark.sql("SELECT * FROM ttl_evict_sink").collect()
+            ]
+
+        def await_rows(n, timeout=60):
+            deadline = time.time() + timeout
+            while time.time() < deadline:
+                if len(sink_rows()) >= n:
+                    return
+                time.sleep(0.2)
+            raise TimeoutError(f"sink never reached {n} rows: {sink_rows()}")
+
+        await_rows(1)
+        # an unrelated key's batch, processed > ttl later, fires k's
+        # idle timeout and evicts its open session
+        feed([("other", 9, 50)])
+        await_rows(2)
+        # k returns WITHIN the old session's gap — must open a fresh
+        # session ('2'), not extend the evicted fold ('1|2')
+        feed([("k", 2, 100)])
+        await_rows(3)
+        assert Counter(sink_rows()) == Counter(
+            [("k", "1"), ("other", "9"), ("k", "2")]
+        )
+    finally:
+        q.stop()
+
+
+def test_session_python_fold_state_ttl_rejected_with_suppress(spark):
+    """state_ttl is an update-mode knob; suppression already bounds
+    state via its event-time timeout — combining them is an error."""
+    import pytest
+
+    from willa_spark.streaming import StreamingTopologyRunner
+
+    agg = Aggregate.fold("", concat_add, "string", merger=concat_merge)
+    topo = session_topo(agg, suppress=True, watermark="0 milliseconds")
+    topo["entities"]["t"]["state_ttl"] = "1 hour"
+    records = spark.createDataFrame(
+        [("k", 1, 0)], "key string, value bigint, timestamp long"
+    )
+    from pyspark.sql import functions as F
+
+    from willa_spark.model import TIMESTAMP
+
+    src = records.withColumn(TIMESTAMP, F.timestamp_millis(F.col(TIMESTAMP)))
+    with pytest.raises(ValueError, match="state_ttl"):
+        StreamingTopologyRunner(spark, topo).build({"in": src})
+
+
 def test_session_python_fold_suppressed_final(spark, tmp_path):
     """suppress=True: each session emits once, when the watermark passes
     its close (end + gap) — batch final_only congruity."""

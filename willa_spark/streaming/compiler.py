@@ -1339,12 +1339,23 @@ class StreamingTopologyRunner:
         Scale: state per group key is only the open sessions' (start,
         end, acc) triples — closed sessions are evicted as soon as the
         watermark passes (suppress: on their timeout; update mode:
-        opportunistically on the key's next record — NOTE: update mode
-        with no watermark anywhere in the topology retains all
-        sessions indefinitely, since there is no event-time bound to
-        evict against; declare a watermark to bound state). One
-        shuffle by group key, Arrow-batched, same partitioning Kafka
-        Streams' repartition topic would give the session store.
+        opportunistically on the key's next record). Update-mode state
+        is additionally boundable with ``state_ttl`` (a duration
+        string, e.g. '"state_ttl": "1 hour"'): a processing-time
+        timeout that evicts ALL of a key's open sessions once the key
+        has been idle that long — covering both the
+        no-watermark-anywhere topology (no event-time bound exists to
+        evict against) and keys that simply stop receiving records
+        (whose sweep would otherwise never re-run). Eviction is silent:
+        update mode already emitted every session's changelog rows
+        per-record. TRIGGER CONSTRAINT: state_ttl requires a
+        processing-time (or continuous) trigger — Spark unconditionally
+        schedules another micro-batch while a ProcessingTimeTimeout
+        operator holds state (FlatMapGroupsWithStateExec.
+        shouldRunAnotherBatch), so an availableNow drain never
+        terminates. One shuffle by group key, Arrow-batched, same
+        partitioning Kafka Streams' repartition topic would give the
+        session store.
         """
         import pandas as pd
         from pyspark.sql.streaming.state import GroupStateTimeout
@@ -1361,6 +1372,25 @@ class StreamingTopologyRunner:
             raise ValueError(
                 f"entity {node!r}: suppression (append mode) requires a 'watermark'"
             )
+        ttl_ms: int | None = None
+        if ent.get("state_ttl") is not None:
+            if suppress:
+                raise ValueError(
+                    f"entity {node!r}: 'state_ttl' applies to update-mode "
+                    "session folds only — suppression already bounds state "
+                    "via its event-time timeout"
+                )
+            raw_ttl = ent["state_ttl"]
+            ttl_ms = (
+                int(raw_ttl)
+                if isinstance(raw_ttl, (int, float))
+                else _try_duration_ms(raw_ttl)
+            )
+            if ttl_ms is None or ttl_ms <= 0:
+                raise ValueError(
+                    f"entity {node!r}: unparseable state_ttl {raw_ttl!r}; use "
+                    "'<n> <unit>' (e.g. '1 hour')"
+                )
         # +1ms epoch-edge shift (same as the stream-stream join path):
         # the append-mode late-row filter clamps its watermark at 0 and
         # drops rows with event time <= 0 — a record EXACTLY at the
@@ -1385,6 +1415,13 @@ class StreamingTopologyRunner:
 
         def fold(key, pdf_iter, state):
             gk = key[0]
+            if ttl_ms is not None and state.hasTimedOut:
+                # key idle >= state_ttl: evict every open session.
+                # Silent — update mode already emitted their changelog
+                # rows per-record.
+                if state.exists:
+                    state.remove()
+                return
             starts, ends, accs = (
                 (list(c) for c in state.get) if state.exists else ([], [], [])
             )
@@ -1457,6 +1494,9 @@ class StreamingTopologyRunner:
                 if suppress:
                     # fires when the watermark passes the earliest close
                     state.setTimeoutTimestamp(min(e + gap for e in ends))
+                elif ttl_ms is not None:
+                    # re-arm the idle clock on every batch with records
+                    state.setTimeoutDuration(ttl_ms)
             elif state.exists:
                 state.remove()
             if out[KEY]:
@@ -1468,9 +1508,12 @@ class StreamingTopologyRunner:
             F.col(TIMESTAMP),
             F.unix_millis(F.col(TIMESTAMP)).alias("__ms"),
         )
-        timeout = (
-            GroupStateTimeout.EventTimeTimeout if suppress else GroupStateTimeout.NoTimeout
-        )
+        if suppress:
+            timeout = GroupStateTimeout.EventTimeTimeout
+        elif ttl_ms is not None:
+            timeout = GroupStateTimeout.ProcessingTimeTimeout
+        else:
+            timeout = GroupStateTimeout.NoTimeout
         folded = src.groupBy("__gkey").applyInPandasWithState(
             fold, out_schema, state_schema, "append" if suppress else "update", timeout
         )
