@@ -1,0 +1,109 @@
+"""Streaming near-dedup (foreachBatch + persisted signature store):
+congruity with the batch minhash/simhash pipelines, and replay
+idempotency of the partitioned store."""
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from willa_spark.functions import dedup as D
+from willa_spark.streaming.near_dedup import minhash_dedup_step, simhash_dedup_step
+
+# Unique docs use disjoint vocab so only PLANTED duplicates pair at any
+# radius; every text has >= 3 tokens (shingle-able for minhash n=3).
+T = {
+    1: "alpha bravo charlie delta echo foxtrot",
+    2: "golf hotel india juliett kilo lima",
+    3: "mike november oscar papa quebec romeo",
+    4: "sierra tango uniform victor whiskey xray",
+    6: "yankee zulu apple banana cherry date",
+    10: "elder fig grape honey iris jasmine",
+}
+BATCH1 = [(1, T[1]), (2, T[2]), (3, T[3]), (4, T[4])]
+BATCH2 = [(5, T[2]), (6, T[6]), (7, "same same same words here now"), (8, "same same same words here now")]
+BATCH3 = [(9, T[2]), (10, T[10])]
+ALL = BATCH1 + BATCH2 + BATCH3
+# 5 and 9 duplicate 2 (a transitive cross-batch chain); 8 duplicates 7
+# within one batch -> survivors are the first-seen / min-id reps
+EXPECT = {1, 2, 3, 4, 6, 7, 10}
+
+
+def _mkdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _drive_stream(spark, tmp_path, step):
+    """Feed the three batches through a REAL readStream → foreachBatch
+    pipeline (one file per micro-batch) and collect admitted ids."""
+    d = os.path.join(str(tmp_path), "in")
+    os.makedirs(d)
+    for rows in (BATCH1, BATCH2, BATCH3):
+        _mkdocs(spark, rows).coalesce(1).write.mode("append").parquet(d)
+        time.sleep(0.05)  # later mtime -> later micro-batch
+    schema = spark.read.parquet(d).schema
+    src = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    admitted: list = []
+
+    def sink(batch_df, batch_id):
+        admitted.extend(
+            r["doc_id"] for r in step(batch_df, batch_id).select("doc_id").collect()
+        )
+
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not drain"
+    return admitted
+
+
+def _batch_survivors_simhash(spark):
+    docs = _mkdocs(spark, ALL)
+    pairs = D.simhash_near_dups(docs, max_hamming=3)
+    kept = D.keep_canonical(docs, D.dup_clusters(pairs.select("id_a", "id_b")))
+    return {r["doc_id"] for r in kept.collect()}
+
+
+def test_streaming_simhash_dedup_congruity(spark, tmp_path):
+    """Id-ordered ingestion of exact dups: the streaming first-seen
+    policy must equal the batch min-id canonical policy — including a
+    transitive chain spanning three micro-batches and a within-batch
+    pair."""
+    store = os.path.join(str(tmp_path), "store")
+    step = simhash_dedup_step(store, max_hamming=3)
+    got = _drive_stream(spark, tmp_path, step)
+    assert len(got) == len(set(got)), "a doc was admitted twice"
+    assert set(got) == EXPECT == _batch_survivors_simhash(spark)
+
+
+def test_streaming_minhash_dedup_congruity(spark, tmp_path):
+    """Same congruity through the minhash store (signature-estimated
+    Jaccard: exact dups estimate exactly 1.0)."""
+    store = os.path.join(str(tmp_path), "store")
+    step = minhash_dedup_step(store, threshold=0.8, num_hashes=32, num_bands=16)
+    got = _drive_stream(spark, tmp_path, step)
+    docs = _mkdocs(spark, ALL)
+    cands = D.minhash_candidate_pairs(docs, num_hashes=32, num_bands=16)
+    pairs = D.verified_near_dups(docs, cands, threshold=0.8)
+    kept = D.keep_canonical(docs, D.dup_clusters(pairs.select("id_a", "id_b")))
+    batch_set = {r["doc_id"] for r in kept.collect()}
+    assert set(got) == EXPECT == batch_set
+
+
+def test_streaming_dedup_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch may re-run a failed micro-batch: the replay must
+    overwrite its own ingest_batch partition and probe only PRIOR
+    batches — same admitted set, no self-matching against the failed
+    attempt's signatures, no duplicated store rows."""
+    store = os.path.join(str(tmp_path), "store")
+    step = simhash_dedup_step(store, max_hamming=3)
+    step(_mkdocs(spark, BATCH1), 0).collect()
+    first = {r["doc_id"] for r in step(_mkdocs(spark, BATCH2), 1).collect()}
+    replay = {r["doc_id"] for r in step(_mkdocs(spark, BATCH2), 1).collect()}
+    assert first == replay == {6, 7}
+    stored = spark.read.parquet(store)
+    assert stored.count() == stored.select("id").distinct().count()
+    assert {r["id"] for r in stored.select("id").collect()} == {1, 2, 3, 4, 6, 7}

@@ -157,34 +157,31 @@ def minhash_bands(sig: Column, num_bands: int, rows_per_band: int) -> Column:
     )
 
 
-def minhash_candidate_pairs(
+def minhash_signature_frame(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 64,
-    num_bands: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """LSH candidate pairs (id_a < id_b): docs sharing >= 1 identical
-    band. The self-join is an equi-join on (band_id, band_hash) — the
-    100 TB-safe plan (shuffle keyed on short band hashes; AQE handles
-    hot buckets). Follow with `verified_near_dups` to kill false
-    positives."""
-    rows_per_band = num_hashes // num_bands
-    # explode-shingles → groupBy(id) with k min() aggregates: the
-    # shingle expression is evaluated ONCE per document, each shingle
-    # hashed k times inside a codegen'd partial aggregate (map-side
-    # combine → the shuffle carries one k-wide row per doc per task).
-    # Naive k×array_min(transform(...)) re-evaluated the shingle array
-    # k times and benchmarked 70× slower at sf0.1.
-    #
-    # The k-member hash family re-hashes the shingle's 64-bit base hash
-    # (fixed 8-byte input) instead of the string itself: one
-    # string-length hash per shingle + k constant-time long hashes —
-    # hashing the string k times benchmarked ~3× slower at sf0.1 (the
-    # family stays pairwise-independent; a 64-bit base collision merges
-    # two shingles corpus-wide, which perturbs Jaccard by ~1/|shingles|
-    # — far below the MinHash estimator's own variance).
+    """(id, h0..h{k-1}) wide minhash signature per document — the
+    shared signature builder for the batch candidate join and the
+    streaming (foreachBatch) signature store.
+
+    explode-shingles → groupBy(id) with k min() aggregates: the
+    shingle expression is evaluated ONCE per document, each shingle
+    hashed k times inside a codegen'd partial aggregate (map-side
+    combine → the shuffle carries one k-wide row per doc per task).
+    Naive k×array_min(transform(...)) re-evaluated the shingle array
+    k times and benchmarked 70× slower at sf0.1.
+
+    The k-member hash family re-hashes the shingle's 64-bit base hash
+    (fixed 8-byte input) instead of the string itself: one
+    string-length hash per shingle + k constant-time long hashes —
+    hashing the string k times benchmarked ~3× slower at sf0.1 (the
+    family stays pairwise-independent; a 64-bit base collision merges
+    two shingles corpus-wide, which perturbs Jaccard by ~1/|shingles|
+    — far below the MinHash estimator's own variance)."""
     exploded = (
         _spread(df.select(id_col, text_col), id_col)
         .select(
@@ -193,10 +190,19 @@ def minhash_candidate_pairs(
         )
         .select("id", F.xxhash64(F.col("s")).alias("__h"))
     )
-    sig = exploded.groupBy("id").agg(
+    return exploded.groupBy("id").agg(
         *[F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
     )
-    banded = sig.select(
+
+
+def banded_signature_frame(
+    sig: DataFrame, num_hashes: int, num_bands: int
+) -> DataFrame:
+    """(id, band_id, band_hash) LSH band rows from a wide signature
+    frame — the equi-join key side of candidate generation, shared by
+    the batch self-join and the streaming store probe."""
+    rows_per_band = num_hashes // num_bands
+    return sig.select(
         "id",
         F.explode(
             F.array(
@@ -212,6 +218,23 @@ def minhash_candidate_pairs(
             )
         ).alias("b"),
     ).select("id", "b.band_id", "b.band_hash")
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b): docs sharing >= 1 identical
+    band. The self-join is an equi-join on (band_id, band_hash) — the
+    100 TB-safe plan (shuffle keyed on short band hashes; AQE handles
+    hot buckets). Follow with `verified_near_dups` to kill false
+    positives."""
+    sig = minhash_signature_frame(df, text_col, id_col, num_hashes, shingle_n)
+    banded = banded_signature_frame(sig, num_hashes, num_bands)
     # persist before the self-join: Spark does NOT reuse the two alias
     # sides' subtrees (no ReusedExchange across a self-join), so without
     # this the k-hash signature aggregate runs TWICE. The banded frame
@@ -294,6 +317,31 @@ def verified_near_dups(
 
 
 # -------------------------------------------------------------- simhash
+def simhash_block_frame(sh: DataFrame, num_blocks: int) -> DataFrame:
+    """(id, simhash, block_id, block_val) pigeonhole block rows from an
+    (id, simhash) frame — the equi-join key side of candidate
+    generation, shared by the batch self-join and the streaming
+    (foreachBatch) signature store probe."""
+    block_bits = 64 // num_blocks
+    return sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block_id"),
+                        F.shiftrightunsigned(F.col("simhash"), b * block_bits)
+                        .bitwiseAND(F.lit((1 << block_bits) - 1))
+                        .alias("block_val"),
+                    )
+                    for b in range(num_blocks)
+                ]
+            )
+        ).alias("bl"),
+    ).select("id", "simhash", "bl.block_id", "bl.block_val")
+
+
 def with_simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
     """64-bit SimHash per document — vectorized numpy inside an
     Arrow-batched Pandas UDF (the justified slow path: 64 bit-counters
@@ -372,24 +420,7 @@ def simhash_near_dups(
     sh = with_simhash(_spread(df.select(id_col, text_col), id_col), text_col).select(
         F.col(id_col).alias("id"), F.col("simhash")
     )
-    block_bits = 64 // num_blocks
-    blocks = sh.select(
-        "id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("block_id"),
-                        F.shiftrightunsigned(F.col("simhash"), b * block_bits)
-                        .bitwiseAND(F.lit((1 << block_bits) - 1))
-                        .alias("block_val"),
-                    )
-                    for b in range(num_blocks)
-                ]
-            )
-        ).alias("bl"),
-    ).select("id", "simhash", "bl.block_id", "bl.block_val")
+    blocks = simhash_block_frame(sh, num_blocks)
     # persist: the self-join would otherwise run the simhash Pandas UDF
     # once per alias side (no subtree reuse across self-joins); the
     # blocks frame is 4 small columns per doc — safe to cache at scale

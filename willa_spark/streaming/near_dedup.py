@@ -1,0 +1,292 @@
+"""Streaming near-duplicate deduplication — the foreachBatch recipe for
+the minhash/simhash families, mirroring the batch operators in
+willa_spark.functions.dedup against a persisted signature store.
+
+Why foreachBatch and not a stateful operator: near-dedup state is the
+signature index of EVERY admitted document — far beyond what a
+per-key state store should hold, and it must be joinable (a banded
+equi-join), not point-looked-up. The Structured Streaming idiom for
+"stream joined against a large, append-only index we also maintain" is
+a foreachBatch step over a storage-backed table (the same shape as the
+reference's dedupe workflow splice, workflow.clj:6-24, which is itself
+a streaming construction).
+
+Per micro-batch (both families):
+
+1. signatures of the batch docs (the SAME builders the batch operators
+   use: ``minhash_signature_frame`` / ``with_simhash``);
+2. CROSS-BATCH candidates: batch band/block rows equi-joined against
+   the store's — a short-key join proportional to collisions, never
+   all-pairs, partition-pruned to prior batches;
+3. verification: simhash = exact hamming from stored signatures;
+   minhash = signature-estimated Jaccard (matching components / k) —
+   at 100 TB the store holds k×8-byte signatures, not text, so the
+   estimator (whose error the banding already tolerates) replaces the
+   exact-shingle verify; an exact dup estimates 1.0 exactly;
+4. WITHIN-BATCH dedup: the batch family's own candidate join over the
+   surviving batch docs, then ``dup_clusters`` + min-id canonical —
+   identical policy to the batch pipeline;
+5. the admitted docs' signatures are appended to the store under an
+   ``ingest_batch=<batch_id>`` partition directory.
+
+Exactly-once: a replayed micro-batch (foreachBatch may re-run after a
+failure) OVERWRITES its own partition directory and the store probe
+filters ``ingest_batch < batch_id`` — partition-pruned, so a retry
+neither self-matches against its failed attempt's signatures nor
+duplicates them. No session conf is touched.
+
+Policy note: streaming keeps the FIRST-SEEN representative of each
+near-dup group (the online-dedup standard); the batch pipeline keeps
+the min-id canonical. The two agree whenever ingestion order is id
+order and the duplicate relation is transitive at the chosen radius
+(exact duplicates always are) — the congruity the tests pin. For
+non-transitive organic near-dups the streaming answer depends on
+arrival order, as any online policy must.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.dedup import (
+    banded_signature_frame,
+    dup_clusters,
+    minhash_signature_frame,
+    simhash_block_frame,
+    with_simhash,
+)
+
+
+def _store_read(spark, path: str, before_batch: int) -> DataFrame | None:
+    """Signatures admitted by batches strictly BEFORE ``before_batch``
+    (partition-pruned; a replayed batch must not see its failed
+    attempt's own partition). None when the store is empty."""
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        return None  # first batch: store does not exist yet
+    return df.filter(F.col("ingest_batch") < before_batch)
+
+
+def _store_append(df: DataFrame, path: str, batch_id: int) -> None:
+    """Write this batch's partition idempotently: a retry overwrites
+    exactly its own ``ingest_batch=<id>`` directory."""
+    df.write.mode("overwrite").parquet(
+        os.path.join(path, f"ingest_batch={batch_id}")
+    )
+
+
+def _drop_within_batch(pairs: DataFrame) -> DataFrame:
+    """(__drop,) ids losing the within-batch min-id canonical policy —
+    same ``dup_clusters`` + keep-canonical closure as the batch
+    pipeline."""
+    clusters = dup_clusters(pairs)
+    return clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("__drop")
+    )
+
+
+def simhash_dedup_step(
+    store_dir: str,
+    max_hamming: int = 3,
+    num_blocks: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Callable[[DataFrame, int], DataFrame]:
+    """foreachBatch step for streaming SimHash near-dedup. Returns a
+    ``(batch_df, batch_id) -> admitted_df`` callable; wire it as
+
+        def sink(batch_df, batch_id):
+            step(batch_df, batch_id).write.mode("append").parquet(out)
+        stream.writeStream.foreachBatch(sink).start()
+
+    The store holds (id, simhash) per admitted doc — 16 bytes/doc —
+    and block rows are derived at probe time (pure column ops).
+    Verification is EXACT hamming, so streaming and batch apply the
+    identical radius."""
+    if num_blocks is None:
+        num_blocks = max_hamming + 1
+    if max_hamming >= num_blocks:
+        raise ValueError(
+            f"simhash pigeonholing with {num_blocks} blocks only guarantees "
+            f"recall for max_hamming < {num_blocks}; got max_hamming={max_hamming}"
+        )
+
+    def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        spark = batch_df.sparkSession
+        sh = with_simhash(
+            batch_df.select(F.col(id_col).alias("id"), F.col(text_col)), text_col
+        ).select("id", "simhash")
+        blocks = simhash_block_frame(sh, num_blocks).persist()
+        hamming = F.bit_count(F.col("simhash").bitwiseXOR(F.col("__st_simhash")))
+
+        store = _store_read(spark, store_dir, batch_id)
+        if store is not None:
+            st_blocks = simhash_block_frame(
+                store.select(F.col("id"), F.col("simhash")), num_blocks
+            ).select(
+                F.col("id").alias("__st_id"),
+                F.col("simhash").alias("__st_simhash"),
+                "block_id",
+                "block_val",
+            )
+            cross_drop = (
+                blocks.join(st_blocks, ["block_id", "block_val"])
+                .filter(hamming <= max_hamming)
+                .select(F.col("id").alias("__drop"))
+                .distinct()
+            )
+            blocks = blocks.join(
+                cross_drop, blocks["id"] == F.col("__drop"), "left_anti"
+            ).persist()
+
+        l, r = blocks.alias("l"), blocks.alias("r")
+        within_pairs = (
+            l.join(
+                r,
+                (F.col("l.block_id") == F.col("r.block_id"))
+                & (F.col("l.block_val") == F.col("r.block_val"))
+                & (F.col("l.id") < F.col("r.id")),
+            )
+            .filter(
+                F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+                <= max_hamming
+            )
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .distinct()
+        )
+        within_drop = _drop_within_batch(within_pairs)
+        admitted_ids = (
+            blocks.select("id")
+            .distinct()
+            .join(within_drop, F.col("id") == F.col("__drop"), "left_anti")
+        )
+        _store_append(
+            sh.join(admitted_ids.select("id"), "id", "left_semi"),
+            store_dir,
+            batch_id,
+        )
+        return batch_df.join(
+            admitted_ids.select("id"),
+            batch_df[id_col] == F.col("id"),
+            "left_semi",
+        )
+
+    return step
+
+
+def minhash_dedup_step(
+    store_dir: str,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    num_bands: int = 16,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Callable[[DataFrame, int], DataFrame]:
+    """foreachBatch step for streaming MinHash near-dedup; same wiring
+    as ``simhash_dedup_step``.
+
+    The store holds the wide k-component signature per admitted doc
+    (``sigs/``) plus its band rows (``bands/``) — k×8 + bands×12
+    bytes/doc, never text. Verification against the store (and within
+    the batch, for path consistency) uses the SIGNATURE-ESTIMATED
+    Jaccard — matching components / k, the unbiased MinHash estimator
+    with sd ≈ sqrt(J(1-J)/k) — which is what the store supports at
+    100 TB; an exact duplicate estimates exactly 1.0, so the planted
+    congruity with the batch pipeline is exact."""
+    hcols = [f"h{i}" for i in range(num_hashes)]
+
+    def est_jaccard(a_prefix: str, b_prefix: str):
+        matches = sum(
+            F.when(
+                F.col(f"{a_prefix}.{h}") == F.col(f"{b_prefix}.{h}"), 1
+            ).otherwise(0)
+            for h in hcols
+        )
+        return matches / F.lit(float(num_hashes))
+
+    def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        spark = batch_df.sparkSession
+        sig = minhash_signature_frame(
+            batch_df.select(F.col(id_col).alias(id_col), F.col(text_col)),
+            text_col,
+            id_col,
+            num_hashes,
+            shingle_n,
+        ).persist()
+
+        sig_store_dir = os.path.join(store_dir, "sigs")
+        band_store_dir = os.path.join(store_dir, "bands")
+        st_bands = _store_read(spark, band_store_dir, batch_id)
+        if st_bands is not None:
+            bands = banded_signature_frame(sig, num_hashes, num_bands)
+            st_sigs = _store_read(spark, sig_store_dir, batch_id).select(
+                F.col("id").alias("__st_id"), *hcols
+            )
+            cand = (
+                bands.join(
+                    st_bands.select(
+                        F.col("id").alias("__st_id"), "band_id", "band_hash"
+                    ),
+                    ["band_id", "band_hash"],
+                )
+                .select("id", "__st_id")
+                .distinct()
+            )
+            drop_ids = (
+                cand.join(sig.alias("b"), "id")
+                .join(st_sigs.alias("s"), "__st_id")
+                .filter(est_jaccard("b", "s") >= threshold)
+                .select(F.col("id").alias("__drop"))
+                .distinct()
+            )
+            sig_left = sig.join(
+                drop_ids, sig["id"] == F.col("__drop"), "left_anti"
+            ).persist()
+        else:
+            sig_left = sig
+        bands_left = banded_signature_frame(sig_left, num_hashes, num_bands)
+
+        l, r = bands_left.alias("lb"), bands_left.alias("rb")
+        within_cand = (
+            l.join(
+                r,
+                (F.col("lb.band_id") == F.col("rb.band_id"))
+                & (F.col("lb.band_hash") == F.col("rb.band_hash"))
+                & (F.col("lb.id") < F.col("rb.id")),
+            )
+            .select(F.col("lb.id").alias("id_a"), F.col("rb.id").alias("id_b"))
+            .distinct()
+        )
+        a = sig_left.alias("a")
+        b = sig_left.alias("b")
+        within_pairs = (
+            within_cand.join(a, F.col("id_a") == F.col("a.id"))
+            .join(b, F.col("id_b") == F.col("b.id"))
+            .filter(est_jaccard("a", "b") >= threshold)
+            .select("id_a", "id_b")
+        )
+        within_drop = _drop_within_batch(within_pairs)
+        admitted_ids = (
+            sig_left.select("id")
+            .join(within_drop, F.col("id") == F.col("__drop"), "left_anti")
+        )
+        admitted_sigs = sig_left.join(admitted_ids, "id", "left_semi").persist()
+        _store_append(admitted_sigs, sig_store_dir, batch_id)
+        _store_append(
+            banded_signature_frame(admitted_sigs, num_hashes, num_bands),
+            band_store_dir,
+            batch_id,
+        )
+        return batch_df.join(
+            admitted_ids,
+            batch_df[id_col] == F.col("id"),
+            "left_semi",
+        )
+
+    return step
