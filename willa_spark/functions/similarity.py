@@ -127,6 +127,120 @@ def _probe_buckets(vec: Column, planes: list[list[float]], n_probes: int) -> Col
     )
 
 
+def _lsh_key_udfs(
+    dim: int, n_planes: int, seed: int, n_tables: int, n_probes: int
+):
+    """Vectorized (corpus_keys, query_keys) pandas UDFs sharing one
+    hyperplane matrix; factored out of ``lsh_topk`` so the streaming
+    index (willa_spark.streaming.ann) derives byte-identical bucket
+    keys from the same builders — congruity by construction."""
+    import numpy as np
+    import pandas as pd
+
+    tables = [hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    mat = np.array([p for planes in tables for p in planes], dtype=np.float64)
+    T, P, probes = n_tables, n_planes, n_probes
+    pow2 = (1 << np.arange(P)).astype(np.int64)
+    t_tags = (np.arange(T, dtype=np.int64) << 48)
+
+    def _proj(ser):
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in ser])
+        return (m @ mat.T).reshape(len(ser), T, P)
+
+    def _corpus_keys(ser):
+        proj = _proj(ser)
+        buckets = ((proj >= 0) @ pow2).astype(np.int64)  # (n, T)
+        return pd.Series(list(t_tags | buckets))
+
+    def _query_keys(ser):
+        proj = _proj(ser)
+        buckets = ((proj >= 0) @ pow2).astype(np.int64)
+        base = t_tags | buckets
+        if probes <= 0:
+            return pd.Series(list(base))
+        # multi-probe: flip the lowest-|margin| signature bits — the
+        # bits most likely to differ for a true neighbor
+        order = np.argsort(np.abs(proj), axis=2)[:, :, :probes]  # (n, T, probes)
+        flips = (np.int64(1) << order) ^ buckets[:, :, None]  # flipped buckets
+        keys = np.concatenate([base[:, :, None], t_tags[None, :, None] | flips], axis=2)
+        return pd.Series(list(keys.reshape(len(ser), -1)))
+
+    # plain defs + explicit pandas_udf wrap (module uses `from
+    # __future__ import annotations`, which makes type hints
+    # unresolvable strings for UDF introspection)
+    return (
+        F.pandas_udf(_corpus_keys, "array<long>"),
+        F.pandas_udf(_query_keys, "array<long>"),
+    )
+
+
+def lsh_index_frame(
+    corpus: DataFrame,
+    n_planes: int = 12,
+    dim: int = 64,
+    seed: int = 42,
+    n_tables: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The corpus side of the LSH join as a persistable index:
+    ``(id, vec, bucket)`` with n_tables rows per vector, bucket = the
+    packed (table << 48 | signature) key. This is exactly the frame
+    ``lsh_topk`` joins against; the streaming ANN store persists it
+    partitioned by ingest batch."""
+    corpus_keys, _ = _lsh_key_udfs(dim, n_planes, seed, n_tables, 0)
+    return corpus.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
+    ).withColumn("bucket", F.explode(corpus_keys(F.col("vec"))))
+
+
+def lsh_probe_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 12,
+    dim: int = 64,
+    seed: int = 42,
+    n_probes: int = 0,
+    n_tables: int = 1,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Probe an ``lsh_index_frame``-shaped index (id, vec, bucket) with
+    a query set: bucket equi-join (broadcast query side) + exact cosine
+    rescoring + per-query rank. Parameters must match the ones the
+    index was built with — the probe derives its keys from the same
+    seeded hyperplane family."""
+    from pyspark.sql import Window as W
+
+    _, query_keys = _lsh_key_udfs(dim, n_planes, seed, n_tables, n_probes)
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"), _as_double(F.col(query_vec_col)).alias("__qv")
+    ).withColumn("__tb", F.explode(query_keys(F.col("__qv"))))
+    scored = (
+        index.withColumnsRenamed({"id": "__cid", "vec": "__cv", "bucket": "__tb"})
+        .join(F.broadcast(q), "__tb")
+        .dropDuplicates(["__qid", "__cid"])
+        .select(
+            F.col("__qid"),
+            F.col("__cid"),
+            F.round(cosine(F.col("__cv"), F.col("__qv")), 6).alias("__sim"),
+        )
+    )
+    w = W.partitionBy("__qid").orderBy(F.col("__sim").desc(), F.col("__cid").asc())
+    return (
+        scored.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col("__cid").alias(id_col),
+            F.col("__sim").alias("cosine_sim"),
+            F.col("__rank").alias("rank"),
+        )
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -163,70 +277,31 @@ def lsh_topk(
     and eval cost scales with the expression count rather than the
     data — measured ~5× slower than the batched matmul even at tiny
     corpus sizes. Candidate generation (equi-join on the packed
-    (table, bucket) key) and exact cosine rescoring stay JVM-side."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import Window as W
+    (table, bucket) key) and exact cosine rescoring stay JVM-side.
 
-    tables = [hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
-    mat = np.array([p for planes in tables for p in planes], dtype=np.float64)
-    T, P, probes = n_tables, n_planes, n_probes
-    pow2 = (1 << np.arange(P)).astype(np.int64)
-    t_tags = (np.arange(T, dtype=np.int64) << 48)
-
-    def _proj(ser):
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in ser])
-        return (m @ mat.T).reshape(len(ser), T, P)
-
-    def _corpus_keys(ser):
-        proj = _proj(ser)
-        buckets = ((proj >= 0) @ pow2).astype(np.int64)  # (n, T)
-        return pd.Series(list(t_tags | buckets))
-
-    def _query_keys(ser):
-        proj = _proj(ser)
-        buckets = ((proj >= 0) @ pow2).astype(np.int64)
-        base = t_tags | buckets
-        if probes <= 0:
-            return pd.Series(list(base))
-        # multi-probe: flip the lowest-|margin| signature bits — the
-        # bits most likely to differ for a true neighbor
-        order = np.argsort(np.abs(proj), axis=2)[:, :, :probes]  # (n, T, probes)
-        flips = (np.int64(1) << order) ^ buckets[:, :, None]  # flipped buckets
-        keys = np.concatenate([base[:, :, None], t_tags[None, :, None] | flips], axis=2)
-        return pd.Series(list(keys.reshape(len(ser), -1)))
-
-    # plain defs + explicit pandas_udf wrap (module uses `from
-    # __future__ import annotations`, which makes type hints
-    # unresolvable strings for UDF introspection)
-    corpus_keys = F.pandas_udf(_corpus_keys, "array<long>")
-    query_keys = F.pandas_udf(_query_keys, "array<long>")
-
-    c = corpus.select(
-        F.col(id_col).alias("__cid"), _as_double(F.col(vec_col)).alias("__cv")
-    ).withColumn("__tb", F.explode(corpus_keys(F.col("__cv"))))
-    q = queries.select(
-        F.col(query_id_col).alias("__qid"), _as_double(F.col(query_vec_col)).alias("__qv")
-    ).withColumn("__tb", F.explode(query_keys(F.col("__qv"))))
-    scored = (
-        c.join(F.broadcast(q), "__tb")
-        .dropDuplicates(["__qid", "__cid"])
-        .select(
-            F.col("__qid"),
-            F.col("__cid"),
-            F.round(cosine(F.col("__cv"), F.col("__qv")), 6).alias("__sim"),
-        )
+    Composed from ``lsh_index_frame`` + ``lsh_probe_topk`` — the same
+    two halves the streaming ANN store persists and probes."""
+    idx = lsh_index_frame(
+        corpus,
+        n_planes=n_planes,
+        dim=dim,
+        seed=seed,
+        n_tables=n_tables,
+        id_col=id_col,
+        vec_col=vec_col,
     )
-    w = W.partitionBy("__qid").orderBy(F.col("__sim").desc(), F.col("__cid").asc())
-    return (
-        scored.withColumn("__rank", F.row_number().over(w))
-        .filter(F.col("__rank") <= k)
-        .select(
-            F.col("__qid").alias(query_id_col),
-            F.col("__cid").alias(id_col),
-            F.col("__sim").alias("cosine_sim"),
-            F.col("__rank").alias("rank"),
-        )
+    return lsh_probe_topk(
+        idx,
+        queries,
+        k=k,
+        n_planes=n_planes,
+        dim=dim,
+        seed=seed,
+        n_probes=n_probes,
+        n_tables=n_tables,
+        id_col=id_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
     )
 
 
