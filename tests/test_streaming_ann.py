@@ -122,3 +122,23 @@ def test_streaming_ann_probe_before_ingest(spark, tmp_path):
     """Queries arriving before any corpus: empty result, not an error."""
     store = os.path.join(str(tmp_path), "missing-store")
     assert _probe_rows(spark, store, _queries(spark)) == []
+
+
+def test_lsh_probe_plan_broadcasts_queries(spark, tmp_path):
+    """The probe join must broadcast the (small) query side against the
+    (huge) index side — the refactor to lsh_index_frame/lsh_probe_topk
+    must not drop the broadcast hint behind the renames."""
+    from willa_spark.plans import physical_plan
+
+    store = os.path.join(str(tmp_path), "store")
+    batches, _ = _corpus_batches(spark)
+    step = lsh_index_step(store, CFG)
+    for i, b in enumerate(batches):
+        step(b, i)
+    idx = read_index(spark, store)
+    topk = S.lsh_probe_topk(
+        idx, _queries(spark), k=5,
+        n_planes=CFG.n_planes, dim=CFG.dim, seed=CFG.seed,
+        n_probes=1, n_tables=CFG.n_tables,
+    )
+    assert "BroadcastHashJoin" in physical_plan(topk)

@@ -30,6 +30,14 @@ Why foreachBatch and not a stateful operator: the index is the
 embedding table of EVERY admitted vector — joinable state far beyond a
 per-key store, same argument as streaming near-dedup (near_dedup.py
 module docstring).
+
+The IVF family streams identically — cell id in place of bucket key
+(``ivf_assign`` on frozen centroids is the corpus-side map,
+``probe_cells`` the query side); the only extra decision is centroid
+lifecycle: freeze centroids trained on a bootstrap sample (cells stay
+comparable across batches; retrain = rebuild the store). Embedding
+near-dup streaming is this same store probed with each batch's OWN
+vectors as queries at a distance threshold instead of top-k.
 """
 
 from __future__ import annotations
