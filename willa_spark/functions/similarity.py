@@ -361,28 +361,39 @@ def train_centroids(
     return centroids
 
 
-def ivf_topk(
+def ivf_index_frame(
     corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The corpus side of the IVF join as a persistable inverted file:
+    ``(id, vec, cell)``, cell = nearest-centroid id. Exactly the frame
+    ``ivf_topk`` probes; the streaming IVF store persists it
+    partitioned by ingest batch (centroids stay FROZEN across batches
+    so cell ids remain comparable — retrain means rebuild)."""
+    return corpus.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
+    ).withColumn("cell", ivf_assign(F.col("vec"), centroids))
+
+
+def ivf_probe_topk(
+    index: DataFrame,
     queries: DataFrame,
     centroids: list[list[float]],
     k: int = 10,
     n_probe: int = 2,
     id_col: str = "vec_id",
-    vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
-    """IVF approximate top-k: corpus vectors are bucketed by nearest
-    centroid (the inverted file); each query probes its ``n_probe``
-    nearest cells and rescored exactly within them. Candidate
-    generation is an equi-join on the small cell id — at 100 TB the
-    inverted lists would be written bucketed-by-cell so the probe is a
-    partition-pruned scan, no shuffle of the corpus."""
+    """Probe an ``ivf_index_frame``-shaped index (id, vec, cell):
+    each query's ``n_probe`` nearest cells equi-joined (broadcast query
+    side), exact cosine rescore, per-query rank — the probe half of
+    ``ivf_topk``, shared with the streaming IVF store."""
     from pyspark.sql import Window as W
 
-    c = corpus.select(
-        F.col(id_col).alias("__cid_id"), _as_double(F.col(vec_col)).alias("__cv")
-    ).withColumn("__cell", ivf_assign(F.col("__cv"), centroids))
+    c = index.withColumnsRenamed({"id": "__cid_id", "vec": "__cv", "cell": "__cell"})
     # per-query probe list: top n_probe centroids by cosine
     def probe_cells(qv: Column) -> Column:
         sims = F.array(
@@ -414,6 +425,37 @@ def ivf_topk(
             F.col("__sim").alias("cosine_sim"),
             F.col("__rank").alias("rank"),
         )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are bucketed by nearest
+    centroid (the inverted file); each query probes its ``n_probe``
+    nearest cells and rescored exactly within them. Candidate
+    generation is an equi-join on the small cell id — at 100 TB the
+    inverted lists would be written bucketed-by-cell so the probe is a
+    partition-pruned scan, no shuffle of the corpus. Composed from
+    ``ivf_index_frame`` + ``ivf_probe_topk`` — the halves the
+    streaming IVF store persists and probes."""
+    return ivf_probe_topk(
+        ivf_index_frame(corpus, centroids, id_col=id_col, vec_col=vec_col),
+        queries,
+        centroids,
+        k=k,
+        n_probe=n_probe,
+        id_col=id_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
     )
 
 

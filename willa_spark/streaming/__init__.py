@@ -1,11 +1,21 @@
 from .compiler import StreamingTopologyRunner, run_streaming_topology
-from .ann import LshAnnConfig, lsh_index_step, lsh_probe_step
+from .ann import (
+    LshAnnConfig,
+    embedding_dedup_step,
+    ivf_index_step,
+    ivf_probe_step,
+    lsh_index_step,
+    lsh_probe_step,
+)
 from .near_dedup import minhash_dedup_step, simhash_dedup_step
 
 __all__ = [
     "StreamingTopologyRunner",
     "run_streaming_topology",
     "LshAnnConfig",
+    "embedding_dedup_step",
+    "ivf_index_step",
+    "ivf_probe_step",
     "lsh_index_step",
     "lsh_probe_step",
     "minhash_dedup_step",

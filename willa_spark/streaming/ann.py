@@ -31,13 +31,13 @@ embedding table of EVERY admitted vector — joinable state far beyond a
 per-key store, same argument as streaming near-dedup (near_dedup.py
 module docstring).
 
-The IVF family streams identically — cell id in place of bucket key
-(``ivf_assign`` on frozen centroids is the corpus-side map,
-``probe_cells`` the query side); the only extra decision is centroid
-lifecycle: freeze centroids trained on a bootstrap sample (cells stay
-comparable across batches; retrain = rebuild the store). Embedding
-near-dup streaming is this same store probed with each batch's OWN
-vectors as queries at a distance threshold instead of top-k.
+``ivf_index_step``/``ivf_probe_step`` are the IVF twins — cell id in
+place of bucket key, centroids FROZEN (train on a bootstrap sample;
+cells stay comparable across batches; retrain = rebuild the store).
+``embedding_dedup_step`` is this same store shape probed with each
+batch's OWN vectors at a cosine threshold instead of top-k — the
+vector member of the streaming dedup family next to
+``near_dedup.minhash_dedup_step``/``simhash_dedup_step``.
 """
 
 from __future__ import annotations
@@ -49,7 +49,16 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.similarity import lsh_index_frame, lsh_probe_topk
+from ..functions.similarity import (
+    cosine,
+    hyperplanes,
+    ivf_index_frame,
+    ivf_probe_topk,
+    lsh_index_frame,
+    lsh_probe_topk,
+    lsh_signature,
+    _as_double,
+)
 
 
 @dataclass(frozen=True)
@@ -134,5 +143,141 @@ def lsh_probe_step(
             query_vec_col=cfg.query_vec_col,
         )
         sink(topk, batch_id)
+
+    return step
+
+
+def ivf_index_step(
+    store_dir: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch step maintaining a persisted IVF inverted file.
+    ``centroids`` must be FROZEN across the stream's lifetime (train
+    on a bootstrap sample with ``train_centroids``): cell ids are only
+    comparable across batches under one quantizer — retraining means
+    rebuilding the store."""
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        idx = ivf_index_frame(batch_df, centroids, id_col=id_col, vec_col=vec_col)
+        idx.write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"ingest_batch={batch_id}")
+        )
+
+    return step
+
+
+def ivf_probe_step(
+    store_dir: str,
+    centroids: list[list[float]],
+    sink: Callable[[DataFrame, int], None],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch step serving IVF ANN queries from the persisted
+    inverted file — the cell-keyed twin of ``lsh_probe_step``."""
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        idx = read_index(batch_df.sparkSession, store_dir)
+        if idx is None:
+            idx = batch_df.sparkSession.createDataFrame(
+                [], "id bigint, vec array<double>, cell int"
+            )
+        topk = ivf_probe_topk(
+            idx,
+            batch_df,
+            centroids,
+            k=k,
+            n_probe=n_probe,
+            id_col=id_col,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+        )
+        sink(topk, batch_id)
+
+    return step
+
+
+def embedding_dedup_step(
+    store_dir: str,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Callable[[DataFrame, int], DataFrame]:
+    """foreachBatch step for streaming embedding-cosine near-dedup —
+    the vector twin of ``near_dedup.simhash_dedup_step``, same wiring:
+    returns a ``(batch_df, batch_id) -> admitted_df`` callable.
+
+    Per micro-batch: batch vectors get the SAME single-table LSH
+    bucket key the batch ``embedding_near_dups`` self-join uses; the
+    store probe (bucket equi-join + exact cosine >= threshold against
+    prior batches) drops cross-batch near-dups, then the within-batch
+    self-join + ``dup_clusters`` min-id canonical drops within-batch
+    ones. Admitted (id, vec, bucket) rows land in the batch's own
+    ``ingest_batch`` partition — idempotent replay, like every store
+    in this module. First-seen-wins policy; agrees with the batch
+    min-id canonical under id-ordered ingestion, same argument as
+    near_dedup's policy note."""
+    from .near_dedup import _drop_within_batch
+
+    planes = hyperplanes(dim, n_planes, seed)
+
+    def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        spark = batch_df.sparkSession
+        v = batch_df.select(
+            F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
+        ).withColumn("bucket", lsh_signature(F.col("vec"), planes))
+
+        # strictly-prior batches only: a replayed batch must not probe
+        # its own failed attempt's partition (same rule as near_dedup)
+        try:
+            store = spark.read.parquet(store_dir).filter(
+                F.col("ingest_batch") < batch_id
+            ).drop("ingest_batch")
+        except Exception:
+            store = None
+        if store is not None:
+            cross_drop = (
+                v.join(
+                    store.withColumnsRenamed(
+                        {"id": "__st_id", "vec": "__st_vec"}
+                    ),
+                    "bucket",
+                )
+                .filter(cosine(F.col("vec"), F.col("__st_vec")) >= threshold)
+                .select(F.col("id").alias("__drop"))
+                .distinct()
+            )
+            v = v.join(cross_drop, v["id"] == F.col("__drop"), "left_anti")
+        v = v.persist()
+
+        l, r = v.alias("l"), v.alias("r")
+        within_pairs = (
+            l.join(
+                r,
+                (F.col("l.bucket") == F.col("r.bucket"))
+                & (F.col("l.id") < F.col("r.id")),
+            )
+            .filter(cosine(F.col("l.vec"), F.col("r.vec")) >= threshold)
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .distinct()
+        )
+        within_drop = _drop_within_batch(within_pairs)
+        admitted = v.join(
+            within_drop, v["id"] == F.col("__drop"), "left_anti"
+        ).persist()
+        admitted.write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"ingest_batch={batch_id}")
+        )
+        return batch_df.join(
+            admitted.select("id"), batch_df[id_col] == F.col("id"), "left_semi"
+        )
 
     return step
