@@ -1,0 +1,120 @@
+"""End-to-end streaming corpus curation (corpus_pipeline): screens →
+PII redaction → decontamination → cross/within-batch near-dedup →
+partitioned shard write, congruent with the batch twin, with every
+drop reason exercised by a planted doc."""
+
+import os
+import time
+
+from willa_spark.functions.curation import eval_ngrams
+from willa_spark.streaming.corpus_pipeline import (
+    corpus_curation_batch,
+    corpus_curation_step,
+)
+
+PREFIX = "the data and corpus have been prepared with care for"
+FILLER = [
+    "maple", "cedar", "birch", "aspen", "walnut", "spruce", "willow",
+    "poplar", "linden", "rowan", "hazel", "alder", "juniper", "laurel",
+    "myrtle", "acacia", "badger", "beaver", "condor", "dolphin", "falcon",
+    "gibbon", "heron", "ibex", "jackal", "kestrel", "lemur", "marten",
+    "nutria", "ocelot", "pelican", "quokka", "raccoon", "seagull",
+    "tapir", "urchin", "vulture", "wombat", "yak", "zebra",
+]
+
+
+def _doc(i, extra=""):
+    words = FILLER[i * 5 % len(FILLER):] + FILLER[: i * 5 % len(FILLER)]
+    return f"{PREFIX} {' '.join(words[:25])} under group {words[25]}{extra}"
+
+EVAL_TEXT = "galaxies rotate around invisible halos of dark matter binding them"
+
+DOCS = {
+    1: _doc(1),
+    2: _doc(2, " contact me at alice@example.com today"),  # PII: survives redacted
+    3: "short text",  # gopher: too few words -> dropped
+    4: _doc(4).replace("under group", "alpha beta " * 22 + "under group"),  # repetition -> dropped
+    5: _doc(5, " " + EVAL_TEXT),  # contaminated -> dropped
+    6: _doc(6),
+    7: _doc(1),  # cross-batch exact dup of 1 -> dropped (1 survives)
+    8: _doc(8),
+    9: _doc(8),  # within-batch dup of 8... but 8 is same batch? see batches
+}
+BATCH1 = [1, 2, 3]
+BATCH2 = [4, 5, 6, 7]
+BATCH3 = [8, 9]
+EXPECT_IDS = {1, 2, 6, 8}
+
+
+def _mk(spark, ids):
+    return spark.createDataFrame(
+        [(i, DOCS[i]) for i in ids], "doc_id bigint, text string"
+    )
+
+
+def _eval_grams(spark):
+    ev = spark.createDataFrame([(0, EVAL_TEXT)], "doc_id bigint, text string")
+    return eval_ngrams(ev, n=8)
+
+
+def test_streaming_corpus_pipeline_congruity(spark, tmp_path):
+    """Drive three micro-batches through a real readStream →
+    foreachBatch pipeline; survivors (ids AND redacted texts) must
+    equal the batch twin over the union, and each planted doc must be
+    dropped for its intended reason."""
+    d = os.path.join(str(tmp_path), "in")
+    os.makedirs(d)
+    for ids in (BATCH1, BATCH2, BATCH3):
+        _mk(spark, ids).coalesce(1).write.mode("append").parquet(d)
+        time.sleep(0.05)
+
+    grams = _eval_grams(spark)
+    store = os.path.join(str(tmp_path), "store")
+    out = os.path.join(str(tmp_path), "out")
+    step = corpus_curation_step(store, out_dir=out, eval_grams=grams)
+
+    schema = spark.read.parquet(d).schema
+    src = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    q = (
+        src.writeStream.foreachBatch(lambda df, bid: step(df, bid) and None)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream did not drain"
+
+    got = {
+        (r["doc_id"], r["text"]) for r in spark.read.parquet(out).drop("ingest_batch").collect()
+    }
+    assert {i for i, _ in got} == EXPECT_IDS
+    # PII doc survived REDACTED
+    t2 = dict(got)[2]
+    assert "<EMAIL>" in t2 and "alice@example.com" not in t2
+
+    want = {
+        (r["doc_id"], r["text"])
+        for r in corpus_curation_batch(
+            _mk(spark, sorted(DOCS)), eval_grams=grams
+        ).collect()
+    }
+    assert got == want
+
+
+def test_streaming_corpus_pipeline_replay(spark, tmp_path):
+    """A replayed micro-batch overwrites its own output and store
+    partitions: shard contents are unchanged."""
+    grams = _eval_grams(spark)
+    store = os.path.join(str(tmp_path), "store")
+    out = os.path.join(str(tmp_path), "out")
+    step = corpus_curation_step(store, out_dir=out, eval_grams=grams)
+    for bid, ids in enumerate((BATCH1, BATCH2, BATCH3)):
+        step(_mk(spark, ids), bid)
+    before = {
+        (r["doc_id"], r["text"]) for r in spark.read.parquet(out).drop("ingest_batch").collect()
+    }
+    assert {i for i, _ in before} == EXPECT_IDS
+    step(_mk(spark, BATCH2), 1)  # replay
+    after = {
+        (r["doc_id"], r["text"]) for r in spark.read.parquet(out).drop("ingest_batch").collect()
+    }
+    assert after == before

@@ -7,9 +7,12 @@ from .ann import (
     lsh_index_step,
     lsh_probe_step,
 )
+from .corpus_pipeline import corpus_curation_batch, corpus_curation_step
 from .near_dedup import minhash_dedup_step, simhash_dedup_step
 
 __all__ = [
+    "corpus_curation_batch",
+    "corpus_curation_step",
     "StreamingTopologyRunner",
     "run_streaming_topology",
     "LshAnnConfig",

@@ -1,0 +1,193 @@
+"""End-to-end streaming corpus curation — one foreachBatch step
+composing the per-operator streaming recipes the way a training-data
+ingestion job chains them:
+
+1. **Stateless screens** (map-only, per-row deterministic ⇒ batch ≡
+   streaming trivially): Gopher quality keep rule, repetition screens
+   (top-/dup-ngram + duplicate-line character fractions).
+2. **PII redaction** (map-only): downstream stages see the REDACTED
+   text — the order a real pipeline uses, since leaked PII must not
+   reach dedup stores or shards.
+3. **Decontamination** against a static broadcast eval-gram blocklist:
+   any eval-set n-gram overlap drops the doc (GPT-3 appendix C
+   policy, threshold configurable).
+4. **Near-dedup** via the persisted MinHash signature store
+   (``near_dedup.minhash_dedup_step``): cross-batch candidates against
+   strictly-prior partitions, within-batch via the batch candidate
+   join + min-id canonical, replay-idempotent.
+5. **Shard write**: admitted docs land under ``ingest_batch=<id>``
+   partitions — a replayed batch overwrites exactly its own output.
+
+``corpus_curation_batch`` is the batch twin built from the SAME column
+expressions and the batch dedup operators; the congruity test pins
+streaming ≡ batch under id-ordered ingestion (the same policy argument
+as ``near_dedup``: first-seen = min-id when ingestion is id-ordered
+and the dup relation is transitive at the radius).
+
+At 100 TB: stages 1-3 are one fused scan (a single projection — no
+shuffle until the dedup store probe); stage 3's only shuffle is the
+per-doc count of eval-gram HITS (tiny by construction); stage 4 is
+banded equi-joins sized by collisions; stage 5 is a map-only write.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.corpus import _pseudo_lines, _run_stats, gopher_keep, repetition_metrics
+from ..functions.curation import contamination_report, pii_redact
+from ..functions.dedup import dup_clusters, keep_canonical
+from ..functions.dedup import minhash_candidate_pairs, verified_near_dups
+from .near_dedup import minhash_dedup_step
+
+# repetition-screen ceilings (Gopher §A1.1 table A1 uses a family of
+# per-n thresholds; one representative pair + the line screen here)
+MAX_TOP_NGRAM_CHAR_FRAC = 0.20
+MAX_DUP_NGRAM_CHAR_FRAC = 0.20
+MAX_DUP_LINE_CHAR_FRAC = 0.30
+
+
+def _dup_line_frac(t):
+    """Duplicate-pseudo-line character fraction as a Column — the same
+    lambda-bound single-pass formula as ``corpus.dup_line_char_frac``
+    (which is DataFrame-shaped), usable inside one fused projection."""
+
+    def build(lines):
+        total = F.aggregate(
+            lines, F.lit(0).cast("bigint"), lambda acc, l: acc + F.length(l)
+        )
+        return F.round(
+            _run_stats(lines)["dupsum"] / F.greatest(total, F.lit(1)), 4
+        )
+
+    return F.element_at(F.transform(F.array(_pseudo_lines(t, 8)), build), 1)
+
+
+def _screen_and_redact(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Stages 1-2: quality + repetition metrics in one projection
+    (struct first, filter on fields second — CollapseProject will not
+    re-inline the non-cheap metric structs, so each tokenization runs
+    once per row), then PII redaction of the survivors. Returns
+    (id, text) with text already redacted."""
+    t = F.col(text_col)
+    enriched = docs.select(
+        F.col(id_col),
+        t,
+        repetition_metrics(t).alias("__rep"),
+        _dup_line_frac(t).alias("__dlf"),
+    )
+    screened = enriched.filter(
+        gopher_keep(t)
+        & (F.col("__rep.top_ngram_char_frac") <= MAX_TOP_NGRAM_CHAR_FRAC)
+        & (F.col("__rep.dup_ngram_char_frac") <= MAX_DUP_NGRAM_CHAR_FRAC)
+        & (F.col("__dlf") <= MAX_DUP_LINE_CHAR_FRAC)
+    )
+    return pii_redact(screened, id_col=id_col, text_col=text_col).select(
+        F.col(id_col), F.col("text_clean").alias(text_col)
+    )
+
+
+def _decontaminate(
+    docs: DataFrame,
+    eval_grams: DataFrame | None,
+    n: int,
+    max_hits: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    if eval_grams is None:
+        return docs
+    hot = contamination_report(
+        docs, eval_grams, n=n, id_col=id_col, text_col=text_col
+    ).filter(F.col("n_hits") > max_hits)
+    return docs.join(hot.select(id_col), id_col, "left_anti")
+
+
+def corpus_curation_step(
+    dedup_store_dir: str,
+    out_dir: str | None = None,
+    eval_grams: DataFrame | None = None,
+    decontam_n: int = 8,
+    decontam_max_hits: int = 0,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    num_bands: int = 16,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Callable[[DataFrame, int], DataFrame]:
+    """The composed foreachBatch step; returns
+    ``(batch_df, batch_id) -> admitted_df`` (id + redacted text). Wire
+    it like any step in this package:
+
+        step = corpus_curation_step(store, out_dir=out, eval_grams=g)
+        stream.writeStream.foreachBatch(lambda df, bid: step(df, bid))
+              .option("checkpointLocation", chk).start()
+
+    ``eval_grams`` must be a static (batch) DataFrame with a ``gram``
+    column — build it once with ``curation.eval_ngrams``.
+    """
+    dedup = minhash_dedup_step(
+        dedup_store_dir,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        num_bands=num_bands,
+        shingle_n=shingle_n,
+        id_col=id_col,
+        text_col=text_col,
+    )
+
+    def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        clean = _screen_and_redact(batch_df, id_col, text_col)
+        clean = _decontaminate(
+            clean, eval_grams, decontam_n, decontam_max_hits, id_col, text_col
+        )
+        admitted = dedup(clean, batch_id)
+        if out_dir is not None:
+            admitted.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"ingest_batch={batch_id}")
+            )
+        return admitted
+
+    return step
+
+
+def corpus_curation_batch(
+    docs: DataFrame,
+    eval_grams: DataFrame | None = None,
+    decontam_n: int = 8,
+    decontam_max_hits: int = 0,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    num_bands: int = 16,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The batch twin of ``corpus_curation_step`` over a full corpus:
+    identical screens/redaction/decontamination expressions, then the
+    batch near-dedup operators (candidate pairs → exact-shingle verify
+    → clusters → min-id canonical). The congruity test pins streaming
+    ≡ batch under id-ordered ingestion."""
+    clean = _screen_and_redact(docs, id_col, text_col)
+    clean = _decontaminate(
+        clean, eval_grams, decontam_n, decontam_max_hits, id_col, text_col
+    )
+    cands = minhash_candidate_pairs(
+        clean,
+        num_hashes=num_hashes,
+        num_bands=num_bands,
+        shingle_n=shingle_n,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    pairs = verified_near_dups(
+        clean, cands, threshold=threshold, id_col=id_col, text_col=text_col
+    ).select("id_a", "id_b")
+    return keep_canonical(clean, dup_clusters(pairs), id_col=id_col)
