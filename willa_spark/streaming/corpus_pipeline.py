@@ -169,16 +169,30 @@ def corpus_curation_batch(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    spill_dir: str | None = None,
 ) -> DataFrame:
     """The batch twin of ``corpus_curation_step`` over a full corpus:
     identical screens/redaction/decontamination expressions, then the
     batch near-dedup operators (candidate pairs → exact-shingle verify
     → clusters → min-id canonical). The congruity test pins streaming
-    ≡ batch under id-ordered ingestion."""
+    ≡ batch under id-ordered ingestion.
+
+    The curated frame feeds THREE consumers (candidate generation,
+    verification, survivor join) and Spark does not reuse subtrees —
+    without materialization the screen/redact projection would run
+    three times. Default: executor-memory persist (bench-sized
+    corpora). Pass ``spill_dir`` for the 100 TB path: the curated
+    corpus is written to storage once and every consumer scans the
+    parquet (the same discipline as ``embedding_near_dups``)."""
     clean = _screen_and_redact(docs, id_col, text_col)
     clean = _decontaminate(
         clean, eval_grams, decontam_n, decontam_max_hits, id_col, text_col
     )
+    if spill_dir is not None:
+        clean.write.mode("overwrite").parquet(spill_dir)
+        clean = docs.sparkSession.read.parquet(spill_dir)
+    else:
+        clean = clean.persist()
     cands = minhash_candidate_pairs(
         clean,
         num_hashes=num_hashes,
