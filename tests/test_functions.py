@@ -425,9 +425,29 @@ def test_dup_clusters_long_chain_pointer_jumping(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], "id_a bigint, id_b bigint"
     )
-    got = D.dup_clusters(pairs, max_iters=12).collect()
+    got = D.dup_clusters(pairs, max_iters=12, driver_edge_cap=0).collect()
     assert len(got) == n + 1
     assert all(r["cluster_id"] == 0 for r in got)
+
+
+def test_dup_clusters_hybrid_paths_identical(spark):
+    """The bounded driver-side union-find fast path and the distributed
+    min-label loop must return byte-identical clusterings — same ids,
+    same min-id cluster labels — on a graph mixing chains, stars, and
+    disjoint pairs."""
+    edges = (
+        [(i, i + 1) for i in range(0, 40)]            # long chain
+        + [(100, 100 + j) for j in range(1, 8)]       # star
+        + [(200, 201), (300, 301), (301, 302)]        # pair + triangle arm
+        + [(300, 302)]                                # cycle edge
+    )
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    fast = {(r["id"], r["cluster_id"]) for r in D.dup_clusters(pairs).collect()}
+    dist = {
+        (r["id"], r["cluster_id"])
+        for r in D.dup_clusters(pairs, driver_edge_cap=0).collect()
+    }
+    assert fast == dist and len(fast) == 41 + 8 + 2 + 3
 
 
 def test_dup_clusters_leaves_session_conf_alone(spark):
@@ -443,7 +463,10 @@ def test_dup_clusters_leaves_session_conf_alone(spark):
         pairs = spark.createDataFrame(
             [(1, 2), (2, 3), (10, 11)], "id_a bigint, id_b bigint"
         )
-        got = {(r["id"], r["cluster_id"]) for r in D.dup_clusters(pairs).collect()}
+        got = {
+            (r["id"], r["cluster_id"])
+            for r in D.dup_clusters(pairs, driver_edge_cap=0).collect()
+        }
         assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
         assert spark.conf.get(key) == "7"
     finally:
