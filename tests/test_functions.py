@@ -543,3 +543,37 @@ def test_winnow_fingerprints_guarantee(spark):
     from willa_spark.plans.inspect import count_exchanges
 
     assert count_exchanges(df.select(TXT.winnow_fingerprints(F.col("text")))) == 0
+
+
+def test_dup_clusters_hybrid_property_random_graphs(spark):
+    """Property: on random edge sets the driver-side union-find fast
+    path and the distributed min-label loop agree exactly (node set,
+    min-id labels) — the hybrid switch can never change a clustering."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 30), st.integers(0, 30)),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def check(edges):
+        es = [(a, b) for a, b in edges if a != b]
+        if not es:
+            return
+        pairs = spark.createDataFrame(es, "id_a bigint, id_b bigint")
+        fast = {(r["id"], r["cluster_id"]) for r in D.dup_clusters(pairs).collect()}
+        dist = {
+            (r["id"], r["cluster_id"])
+            for r in D.dup_clusters(pairs, driver_edge_cap=0).collect()
+        }
+        assert fast == dist
+
+    check()

@@ -97,3 +97,85 @@ def test_fanout_persists(spark):
 
     assert "InMemoryTableScan" in physical_plan(res["out1"])
     assert collect_records(res["out1"]) == collect_records(res["out2"]) == [("k", 2)]
+
+
+NEAR_TXTS = {
+    "a": "alpha bravo charlie delta echo foxtrot golf hotel",
+    "a2": "alpha bravo charlie delta echo foxtrot golf hotel",   # exact dup of a
+    "a3": "alpha bravo charlie delta echo foxtrot golf india",   # near-dup of a
+    "b": "kilo lima mike november oscar papa quebec romeo",
+}
+
+
+def _near_base():
+    return {
+        "entities": {
+            "in": topic(value_type="string"),
+            "s": {"type": "kstream"},
+            "out": topic(value_type="string"),
+        },
+        "workflow": [("in", "s"), ("s", "out")],
+    }
+
+
+def test_with_near_dedupe_batch_minhash(spark):
+    """Near-dup splice: the first-arrived representative of each
+    near-dup group passes; exact AND near copies are dropped even when
+    their values differ (with_dedupe would keep a3)."""
+    from willa_spark.workflow import with_near_dedupe
+
+    topo = with_near_dedupe(_near_base(), ("s", "out"), threshold=0.5)
+    out = run_topology(
+        spark,
+        topo,
+        inputs={
+            "in": [
+                ("k1", NEAR_TXTS["a"], 100),
+                ("k2", NEAR_TXTS["a2"], 200),
+                ("k3", NEAR_TXTS["b"], 300),
+                ("k4", NEAR_TXTS["a3"], 400),
+            ]
+        },
+    )
+    assert collect_records(out["out"], with_timestamp=True) == [
+        ("k1", NEAR_TXTS["a"], 100),
+        ("k3", NEAR_TXTS["b"], 300),
+    ]
+
+
+def test_with_near_dedupe_simhash_family(spark):
+    from willa_spark.workflow import with_near_dedupe
+
+    topo = with_near_dedupe(_near_base(), ("s", "out"), family="simhash", max_hamming=3)
+    out = run_topology(
+        spark,
+        topo,
+        inputs={
+            "in": [
+                ("k1", NEAR_TXTS["a"], 100),
+                ("k2", NEAR_TXTS["a2"], 200),
+                ("k3", NEAR_TXTS["b"], 300),
+            ]
+        },
+    )
+    got = collect_records(out["out"], with_timestamp=True)
+    assert ("k1", NEAR_TXTS["a"], 100) in got
+    assert ("k3", NEAR_TXTS["b"], 300) in got
+    assert all(k != "k2" for k, _v, _t in got)
+
+
+def test_with_near_dedupe_streaming_raises(spark, tmp_path):
+    """Streaming compilation must fail loudly with a pointer at the
+    foreachBatch recipes, not silently skip near-dedup."""
+    import pytest
+
+    from willa_spark.workflow import with_near_dedupe
+
+    topo = with_near_dedupe(_near_base(), ("s", "out"))
+    with pytest.raises(NotImplementedError, match="minhash_dedup_step"):
+        run_streaming_topology(
+            spark,
+            topo,
+            {"in": [("k", NEAR_TXTS["a"], 100)]},
+            str(tmp_path),
+        )

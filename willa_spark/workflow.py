@@ -92,3 +92,75 @@ def with_dedupe(
     if watermark:
         entity["watermark"] = watermark
     return splice(topology, edge, dedupe_id, entity)
+
+
+def with_near_dedupe(
+    topology: dict,
+    edge: tuple[str, str],
+    family: str = "minhash",
+    text_fn: Callable | None = None,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    num_bands: int = 16,
+    shingle_n: int = 3,
+    max_hamming: int = 3,
+) -> dict:
+    """Near-duplicate generalization of ``with_dedupe``: splice a node
+    that passes only the FIRST-ARRIVED representative of each near-dup
+    group (minhash/LSH banded candidates + exact-shingle verify, or
+    simhash pigeonhole blocks + exact hamming), the topology-level form
+    of the batch dedup pipeline. ``text_fn(key_col, value_col)``
+    extracts the text to compare (default: the record value).
+
+    Batch-engine only: mid-topology near-dedup needs a joinable
+    signature index of every kept record, which Structured Streaming
+    cannot express as a stream transformation in ANY engine — the
+    spliced node raises a precise error in streaming and points at the
+    foreachBatch recipes (``streaming.minhash_dedup_step`` /
+    ``simhash_dedup_step`` / ``corpus_curation_step``), mirroring how
+    the reference's seen-set table is itself store-backed state
+    (workflow.clj:6-15)."""
+    if family not in ("minhash", "simhash"):
+        raise ValueError(f"unknown near-dedup family {family!r}")
+    text_fn = text_fn or (lambda k, v: v)
+    a, b = edge
+    dedupe_id = f"{a}->{b}-near-dedupe"
+
+    def build(spark, parent_dfs, ent):
+        from .functions import dedup as D
+
+        (df,) = parent_dfs.values()
+        if df.isStreaming:
+            raise NotImplementedError(
+                "with_near_dedupe runs on the batch engine only; for "
+                "streams use the foreachBatch recipes "
+                "(willa_spark.streaming.minhash_dedup_step / "
+                "simhash_dedup_step / corpus_curation_step) which keep "
+                "the required signature index in a persisted store"
+            )
+        # __seq is arrival order: min-id canonical == first-seen-wins,
+        # the same policy as the streaming store recipes
+        docs = df.withColumn("__nd_text", text_fn(F.col(KEY), F.col(VALUE)))
+        keyed = docs.select(F.col("__seq").alias("doc_id"), F.col("__nd_text").alias("text"))
+        if family == "minhash":
+            cands = D.minhash_candidate_pairs(
+                keyed,
+                num_hashes=num_hashes,
+                num_bands=num_bands,
+                shingle_n=shingle_n,
+            )
+            pairs = D.verified_near_dups(
+                keyed, cands, threshold=threshold, shingle_n=shingle_n
+            ).select("id_a", "id_b")
+        else:
+            pairs = D.simhash_near_dups(keyed, max_hamming=max_hamming).select(
+                "id_a", "id_b"
+            )
+        drop = D.dup_clusters(pairs).filter(F.col("id") != F.col("cluster_id"))
+        return docs.join(
+            drop.select(F.col("id").alias("__nd_drop")),
+            docs["__seq"] == F.col("__nd_drop"),
+            "left_anti",
+        ).drop("__nd_text")
+
+    return splice(topology, edge, dedupe_id, {"type": "kstream", "build": build})
