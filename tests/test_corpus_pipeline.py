@@ -38,7 +38,7 @@ DOCS = {
     6: _doc(6),
     7: _doc(1),  # cross-batch exact dup of 1 -> dropped (1 survives)
     8: _doc(8),
-    9: _doc(8),  # within-batch dup of 8... but 8 is same batch? see batches
+    9: _doc(8),  # within-batch dup of 8 (both in BATCH3) -> 8 survives
 }
 BATCH1 = [1, 2, 3]
 BATCH2 = [4, 5, 6, 7]
@@ -118,3 +118,13 @@ def test_streaming_corpus_pipeline_replay(spark, tmp_path):
         (r["doc_id"], r["text"]) for r in spark.read.parquet(out).drop("ingest_batch").collect()
     }
     assert after == before
+
+
+def test_screen_and_redact_is_map_only(spark):
+    """The fused screens+redaction projection must stay a zero-exchange
+    map stage — the 100 TB claim in the module docstring."""
+    from willa_spark.plans import count_exchanges
+    from willa_spark.streaming.corpus_pipeline import _screen_and_redact
+
+    docs = _mk(spark, sorted(DOCS))
+    assert count_exchanges(_screen_and_redact(docs, "doc_id", "text")) == 0
