@@ -446,3 +446,36 @@ def test_session_python_fold_requires_merger(spark, tmp_path):
         run_streaming_topology(
             spark, topo, {"in": [("k", 1, 0)]}, str(tmp_path)
         )
+
+
+def test_state_ttl_rejects_available_now_trigger(spark, tmp_path):
+    """start_queries must reject the (default) availableNow trigger
+    when any entity arms state_ttl — the ProcessingTimeTimeout operator
+    always schedules another micro-batch, so the drain would hang in
+    awaitTermination instead of terminating."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from willa_spark.model import KEY, TIMESTAMP, VALUE
+    from willa_spark.streaming import StreamingTopologyRunner
+
+    import pytest
+
+    agg = Aggregate.fold("", concat_add, "string", merger=concat_merge)
+    topo = session_topo(agg)
+    topo["entities"]["t"]["state_ttl"] = "1 hour"
+
+    d = os.path.join(str(tmp_path), "in")
+    os.makedirs(d)
+    df = spark.createDataFrame(
+        [("k", 1, 0)], f"{KEY} string, {VALUE} bigint, {TIMESTAMP} long"
+    ).withColumn(TIMESTAMP, F.timestamp_millis(F.col(TIMESTAMP)))
+    df.coalesce(1).write.mode("append").parquet(d)
+    schema = spark.read.parquet(d).schema
+    src = spark.readStream.schema(schema).parquet(d)
+
+    runner = StreamingTopologyRunner(spark, topo)
+    built = runner.build({"in": src})
+    with pytest.raises(ValueError, match="processing-time trigger"):
+        runner.start_queries(built, os.path.join(str(tmp_path), "chk"))

@@ -107,3 +107,20 @@ def test_streaming_dedup_replay_is_idempotent(spark, tmp_path):
     stored = spark.read.parquet(store)
     assert stored.count() == stored.select("id").distinct().count()
     assert {r["id"] for r in stored.select("id").collect()} == {1, 2, 3, 4, 6, 7}
+
+
+def test_streaming_minhash_passes_short_docs_through(spark, tmp_path):
+    """Docs with fewer than shingle_n tokens have no shingles, hence no
+    minhash signature — they can never near-dup anything and must PASS
+    THROUGH, exactly as the batch pipeline keeps docs with no candidate
+    pairs. (A signature-id semi-join used to silently delete them.)"""
+    store = os.path.join(str(tmp_path), "store")
+    step = minhash_dedup_step(store, threshold=0.5)
+    b1 = _mkdocs(spark, [(1, T[1]), (2, "hi"), (3, "")])
+    b2 = _mkdocs(spark, [(4, T[1]), (5, "hi")])
+    got1 = {r["doc_id"] for r in step(b1, 0).collect()}
+    got2 = {r["doc_id"] for r in step(b2, 1).collect()}
+    # 1 kept; short docs 2/3 pass through; 4 is a cross-batch dup of 1
+    # (dropped); 5 is a short doc again — passes (no shingle identity)
+    assert got1 == {1, 2, 3}
+    assert got2 == {5}

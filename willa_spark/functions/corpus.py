@@ -317,6 +317,29 @@ def _pseudo_lines(text: Column, tokens_per_line: int) -> Column:
     return _bind_tokens(text, build)
 
 
+def dup_line_metrics(text: Column, tokens_per_line: int = 8) -> Column:
+    """Duplicate-pseudo-line stats as ONE struct Column ``(n, frac)``
+    — the Column-level core shared by ``dup_line_char_frac`` and the
+    streaming curation pipeline, so the formula exists exactly once
+    (the batch/streaming congruity and the DuckDB oracle both depend
+    on the two call sites staying character-identical)."""
+
+    def build(lines):
+        total = F.aggregate(
+            lines, F.lit(0).cast("bigint"), lambda acc, l: acc + F.length(l)
+        )
+        return F.struct(
+            F.size(lines).alias("n"),
+            F.round(
+                _run_stats(lines)["dupsum"] / F.greatest(total, F.lit(1)), 4
+            ).alias("frac"),
+        )
+
+    return F.element_at(
+        F.transform(F.array(_pseudo_lines(text, tokens_per_line)), build), 1
+    )
+
+
 def dup_line_char_frac(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -332,25 +355,10 @@ def dup_line_char_frac(
     ``_run_stats``) — no explode, no shuffle. Empty docs emit no row
     (no lines — matches the explode/oracle semantics).
     """
-    t = F.col(text_col)
-
-    # the line array is LAMBDA-BOUND so the tokenize+chunk pass runs
-    # once per row no matter how many metrics read it (an earlier
-    # formulation evaluated _pseudo_lines separately for the total,
-    # the run stats, and a token-count filter — ~3x the dominant map
-    # cost; see _bind_tokens for why HOFs defeat CSE)
-    def build(lines):
-        total = F.aggregate(
-            lines, F.lit(0).cast("bigint"), lambda acc, l: acc + F.length(l)
-        )
-        return F.struct(
-            F.size(lines).alias("n"),
-            F.round(
-                _run_stats(lines)["dupsum"] / F.greatest(total, F.lit(1)), 4
-            ).alias("frac"),
-        )
-
-    m = F.element_at(F.transform(F.array(_pseudo_lines(t, tokens_per_line)), build), 1)
+    # the line array is LAMBDA-BOUND inside dup_line_metrics so the
+    # tokenize+chunk pass runs once per row no matter how many metrics
+    # read it (see _bind_tokens for why HOFs defeat CSE)
+    m = dup_line_metrics(F.col(text_col), tokens_per_line)
     return (
         docs.select(F.col(id_col), m.alias("__m"))
         .filter(F.col("__m.n") > 0)

@@ -37,10 +37,20 @@ def _spread(df: DataFrame, key: str | None = None) -> DataFrame:
     many-file (100 TB) source that answers "already parallel" without
     the plan→RDD conversion that ``df.rdd`` forces. Only small/few-file
     inputs — where the conversion is trivially cheap anyway — fall
-    through to the exact partition count."""
+    through to the exact partition count.
+
+    The many-files inference only holds for plain scans: a plan with a
+    user Repartition/Coalesce/Limit/Sample between scan and here can
+    have ONE partition over many files (e.g. ``read.parquet(dir)
+    .coalesce(1)``), which the fast path must not wave through — those
+    markers force the exact partition probe instead."""
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
-        if len(df.inputFiles()) >= target:
+        plan = df._jdf.queryExecution().logical().toString()
+        shape_changed = any(
+            m in plan for m in ("Repartition", "Coalesce", "Limit", "Sample")
+        )
+        if not shape_changed and len(df.inputFiles()) >= target:
             # >= target files: the file-source planner's split size is
             # capped at totalBytes/defaultParallelism (bytesPerCore) and
             # floored at openCostInBytes, so many files never collapse
@@ -490,7 +500,11 @@ def dup_clusters(
     """
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
 
-    und = e.distinct()
+    # persist BEFORE the cap probe: the upstream pair pipeline
+    # (candidate join + verification) is the expensive part of dedup,
+    # and without materialization it would run once for the probe and
+    # again for whichever path executes
+    und = e.distinct().persist()
     if und.limit(driver_edge_cap + 1).count() <= driver_edge_cap:
         id_type = pairs.schema[id_a].dataType
         parent: dict = {}
@@ -520,11 +534,14 @@ def dup_clusters(
         schema = T.StructType(
             [T.StructField("id", id_type), T.StructField("cluster_id", id_type)]
         )
+        und.unpersist()
         return spark.createDataFrame(rows, schema)
 
-    raw = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().persist()
+    # big graph: build the bidirectional edge frame FROM the persisted
+    # distinct pairs so the upstream pipeline is not recomputed
+    raw = und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
     # Size the per-round shuffles to the GRAPH, not the corpus default:
     # the pair graph is orders of magnitude smaller than the corpus
     # that produced it, and each of the O(log d) rounds pays per-task

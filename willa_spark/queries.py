@@ -1201,7 +1201,26 @@ def q_hash_family_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     users); this row is their driver-gate proof (VERDICT r03 #1)."""
     OFF = 1_000_000
 
-    docs = read_docs_spread(spark, sf_dir).select("doc_id", "text")
+    # planted ids are doc_id + OFF: validate doc_id < OFF LAZILY inside
+    # the plan (raise_error on violation, no extra pass) — a corpus
+    # whose ids reach the offset would alias planted copies onto real
+    # docs and silently void the n_found = n_planted guarantee. Same
+    # discipline as curation.plant_eval_leaks.
+    checked_id = F.when(
+        F.col("doc_id") >= OFF,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"hash_family_recall: doc_id >= plant offset ({OFF}) "
+                    "would collide with planted ids: got "
+                ),
+                F.col("doc_id").cast("string"),
+            )
+        ).cast("bigint"),
+    ).otherwise(F.col("doc_id"))
+    docs = read_docs_spread(spark, sf_dir).select(
+        checked_id.alias("doc_id"), "text"
+    )
     n_tok = TXT.token_count(F.col("text"))
 
     # --- minhash: plant exact copies of shingle-able docs

@@ -42,7 +42,6 @@ vector member of the streaming dedup family next to
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -59,6 +58,7 @@ from ..functions.similarity import (
     lsh_signature,
     _as_double,
 )
+from .store import store_append, store_read
 
 
 @dataclass(frozen=True)
@@ -95,20 +95,15 @@ def lsh_index_step(
             id_col=cfg.id_col,
             vec_col=cfg.vec_col,
         )
-        # idempotent replay: overwrite exactly this batch's partition
-        idx.write.mode("overwrite").parquet(
-            os.path.join(store_dir, f"ingest_batch={batch_id}")
-        )
+        store_append(idx, store_dir, batch_id)
 
     return step
 
 
 def read_index(spark, store_dir: str) -> DataFrame | None:
-    """The current index (all ingested batches); None when empty."""
-    try:
-        return spark.read.parquet(store_dir).drop("ingest_batch")
-    except Exception:
-        return None
+    """The current index (all ingested batches); None iff the store
+    does not exist yet. Real read faults propagate (store.py)."""
+    return store_read(spark, store_dir)
 
 
 def lsh_probe_step(
@@ -161,9 +156,7 @@ def ivf_index_step(
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         idx = ivf_index_frame(batch_df, centroids, id_col=id_col, vec_col=vec_col)
-        idx.write.mode("overwrite").parquet(
-            os.path.join(store_dir, f"ingest_batch={batch_id}")
-        )
+        store_append(idx, store_dir, batch_id)
 
     return step
 
@@ -237,12 +230,9 @@ def embedding_dedup_step(
 
         # strictly-prior batches only: a replayed batch must not probe
         # its own failed attempt's partition (same rule as near_dedup)
-        try:
-            store = spark.read.parquet(store_dir).filter(
-                F.col("ingest_batch") < batch_id
-            ).drop("ingest_batch")
-        except Exception:
-            store = None
+        store = store_read(spark, store_dir, before_batch=batch_id)
+        cross_drop = None
+        pruned = v
         if store is not None:
             cross_drop = (
                 v.join(
@@ -255,10 +245,10 @@ def embedding_dedup_step(
                 .select(F.col("id").alias("__drop"))
                 .distinct()
             )
-            v = v.join(cross_drop, v["id"] == F.col("__drop"), "left_anti")
-        v = v.persist()
+            pruned = v.join(cross_drop, v["id"] == F.col("__drop"), "left_anti")
+        pruned = pruned.persist()
 
-        l, r = v.alias("l"), v.alias("r")
+        l, r = pruned.alias("l"), pruned.alias("r")
         within_pairs = (
             l.join(
                 r,
@@ -270,14 +260,20 @@ def embedding_dedup_step(
             .distinct()
         )
         within_drop = _drop_within_batch(within_pairs)
-        admitted = v.join(
-            within_drop, v["id"] == F.col("__drop"), "left_anti"
-        ).persist()
-        admitted.write.mode("overwrite").parquet(
-            os.path.join(store_dir, f"ingest_batch={batch_id}")
+        drops = (
+            within_drop if cross_drop is None
+            else cross_drop.unionByName(within_drop).distinct()
         )
+        # pin the ids-only drop set so the cached bucket frame can be
+        # released before returning (no per-micro-batch cache buildup)
+        drops = drops.localCheckpoint(eager=True)
+        admitted = pruned.join(
+            drops, pruned["id"] == F.col("__drop"), "left_anti"
+        )
+        store_append(admitted, store_dir, batch_id)
+        pruned.unpersist()
         return batch_df.join(
-            admitted.select("id"), batch_df[id_col] == F.col("id"), "left_semi"
+            drops, batch_df[id_col] == F.col("__drop"), "left_anti"
         )
 
     return step

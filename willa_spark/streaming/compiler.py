@@ -1575,6 +1575,25 @@ class StreamingTopologyRunner:
         from ..sources.kafka import kafka_sink_columns, kafka_sink_options
 
         trigger = trigger or {"availableNow": True}
+        # state_ttl arms ProcessingTimeTimeout, under which Spark
+        # unconditionally schedules another micro-batch while state
+        # exists (FlatMapGroupsWithStateExec.shouldRunAnotherBatch) —
+        # an availableNow drain would NEVER terminate. Reject loudly
+        # here instead of hanging in awaitTermination.
+        if trigger.get("availableNow"):
+            ttl_ents = [
+                eid
+                for eid, ent in self.entities.items()
+                if ent.get("state_ttl") is not None
+            ]
+            if ttl_ents:
+                raise ValueError(
+                    f"entities {ttl_ents!r} use 'state_ttl', which requires a "
+                    "processing-time trigger (e.g. trigger={'processingTime': "
+                    "'10 seconds'}): under availableNow the ProcessingTime"
+                    "Timeout operator always schedules another micro-batch, so "
+                    "the drain never terminates"
+                )
         queries: dict[str, object] = {}
         for leaf in sorted(_leaves(list(self.topology["workflow"]))):
             sink = built.get(leaf)

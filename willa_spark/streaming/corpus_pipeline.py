@@ -38,7 +38,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.corpus import _pseudo_lines, _run_stats, gopher_keep, repetition_metrics
+from ..functions.corpus import dup_line_metrics, gopher_keep, repetition_metrics
 from ..functions.curation import contamination_report, pii_redact
 from ..functions.dedup import dup_clusters, keep_canonical
 from ..functions.dedup import minhash_candidate_pairs, verified_near_dups
@@ -49,22 +49,6 @@ from .near_dedup import minhash_dedup_step
 MAX_TOP_NGRAM_CHAR_FRAC = 0.20
 MAX_DUP_NGRAM_CHAR_FRAC = 0.20
 MAX_DUP_LINE_CHAR_FRAC = 0.30
-
-
-def _dup_line_frac(t):
-    """Duplicate-pseudo-line character fraction as a Column — the same
-    lambda-bound single-pass formula as ``corpus.dup_line_char_frac``
-    (which is DataFrame-shaped), usable inside one fused projection."""
-
-    def build(lines):
-        total = F.aggregate(
-            lines, F.lit(0).cast("bigint"), lambda acc, l: acc + F.length(l)
-        )
-        return F.round(
-            _run_stats(lines)["dupsum"] / F.greatest(total, F.lit(1)), 4
-        )
-
-    return F.element_at(F.transform(F.array(_pseudo_lines(t, 8)), build), 1)
 
 
 def _screen_and_redact(
@@ -80,13 +64,13 @@ def _screen_and_redact(
         F.col(id_col),
         t,
         repetition_metrics(t).alias("__rep"),
-        _dup_line_frac(t).alias("__dlf"),
+        dup_line_metrics(t).alias("__dl"),
     )
     screened = enriched.filter(
         gopher_keep(t)
         & (F.col("__rep.top_ngram_char_frac") <= MAX_TOP_NGRAM_CHAR_FRAC)
         & (F.col("__rep.dup_ngram_char_frac") <= MAX_DUP_NGRAM_CHAR_FRAC)
-        & (F.col("__dlf") <= MAX_DUP_LINE_CHAR_FRAC)
+        & (F.col("__dl.frac") <= MAX_DUP_LINE_CHAR_FRAC)
     )
     return pii_redact(screened, id_col=id_col, text_col=text_col).select(
         F.col(id_col), F.col("text_clean").alias(text_col)

@@ -61,23 +61,7 @@ from ..functions.dedup import (
 )
 
 
-def _store_read(spark, path: str, before_batch: int) -> DataFrame | None:
-    """Signatures admitted by batches strictly BEFORE ``before_batch``
-    (partition-pruned; a replayed batch must not see its failed
-    attempt's own partition). None when the store is empty."""
-    try:
-        df = spark.read.parquet(path)
-    except Exception:
-        return None  # first batch: store does not exist yet
-    return df.filter(F.col("ingest_batch") < before_batch)
-
-
-def _store_append(df: DataFrame, path: str, batch_id: int) -> None:
-    """Write this batch's partition idempotently: a retry overwrites
-    exactly its own ``ingest_batch=<id>`` directory."""
-    df.write.mode("overwrite").parquet(
-        os.path.join(path, f"ingest_batch={batch_id}")
-    )
+from .store import store_append, store_read
 
 
 def _drop_within_batch(pairs: DataFrame) -> DataFrame:
@@ -124,7 +108,9 @@ def simhash_dedup_step(
         blocks = simhash_block_frame(sh, num_blocks).persist()
         hamming = F.bit_count(F.col("simhash").bitwiseXOR(F.col("__st_simhash")))
 
-        store = _store_read(spark, store_dir, batch_id)
+        pruned = blocks
+        cross_drop = None
+        store = store_read(spark, store_dir, before_batch=batch_id)
         if store is not None:
             st_blocks = simhash_block_frame(
                 store.select(F.col("id"), F.col("simhash")), num_blocks
@@ -140,11 +126,11 @@ def simhash_dedup_step(
                 .select(F.col("id").alias("__drop"))
                 .distinct()
             )
-            blocks = blocks.join(
+            pruned = blocks.join(
                 cross_drop, blocks["id"] == F.col("__drop"), "left_anti"
             ).persist()
 
-        l, r = blocks.alias("l"), blocks.alias("r")
+        l, r = pruned.alias("l"), pruned.alias("r")
         within_pairs = (
             l.join(
                 r,
@@ -160,20 +146,22 @@ def simhash_dedup_step(
             .distinct()
         )
         within_drop = _drop_within_batch(within_pairs)
-        admitted_ids = (
-            blocks.select("id")
-            .distinct()
-            .join(within_drop, F.col("id") == F.col("__drop"), "left_anti")
+        drops = (
+            within_drop if cross_drop is None
+            else cross_drop.unionByName(within_drop).distinct()
         )
-        _store_append(
-            sh.join(admitted_ids.select("id"), "id", "left_semi"),
-            store_dir,
-            batch_id,
+        # pin the (tiny, ids-only) drop set so every cached frame can be
+        # released before returning — a long-running stream must not
+        # accumulate per-micro-batch cache entries
+        drops = drops.localCheckpoint(eager=True)
+        admitted_sh = sh.join(
+            drops, sh["id"] == F.col("__drop"), "left_anti"
         )
+        store_append(admitted_sh, store_dir, batch_id)
+        pruned.unpersist()
+        blocks.unpersist()
         return batch_df.join(
-            admitted_ids.select("id"),
-            batch_df[id_col] == F.col("id"),
-            "left_semi",
+            drops, batch_df[id_col] == F.col("__drop"), "left_anti"
         )
 
     return step
@@ -222,12 +210,13 @@ def minhash_dedup_step(
 
         sig_store_dir = os.path.join(store_dir, "sigs")
         band_store_dir = os.path.join(store_dir, "bands")
-        st_bands = _store_read(spark, band_store_dir, batch_id)
+        cross_drop = None
+        st_bands = store_read(spark, band_store_dir, before_batch=batch_id)
         if st_bands is not None:
             bands = banded_signature_frame(sig, num_hashes, num_bands)
-            st_sigs = _store_read(spark, sig_store_dir, batch_id).select(
-                F.col("id").alias("__st_id"), *hcols
-            )
+            st_sigs = store_read(
+                spark, sig_store_dir, before_batch=batch_id
+            ).select(F.col("id").alias("__st_id"), *hcols)
             cand = (
                 bands.join(
                     st_bands.select(
@@ -238,7 +227,7 @@ def minhash_dedup_step(
                 .select("id", "__st_id")
                 .distinct()
             )
-            drop_ids = (
+            cross_drop = (
                 cand.join(sig.alias("b"), "id")
                 .join(st_sigs.alias("s"), "__st_id")
                 .filter(est_jaccard("b", "s") >= threshold)
@@ -246,7 +235,7 @@ def minhash_dedup_step(
                 .distinct()
             )
             sig_left = sig.join(
-                drop_ids, sig["id"] == F.col("__drop"), "left_anti"
+                cross_drop, sig["id"] == F.col("__drop"), "left_anti"
             ).persist()
         else:
             sig_left = sig
@@ -272,21 +261,35 @@ def minhash_dedup_step(
             .select("id_a", "id_b")
         )
         within_drop = _drop_within_batch(within_pairs)
-        admitted_ids = (
-            sig_left.select("id")
-            .join(within_drop, F.col("id") == F.col("__drop"), "left_anti")
+        drops = (
+            within_drop if cross_drop is None
+            else cross_drop.unionByName(within_drop).distinct()
         )
-        admitted_sigs = sig_left.join(admitted_ids, "id", "left_semi").persist()
-        _store_append(admitted_sigs, sig_store_dir, batch_id)
-        _store_append(
+        # pin the (tiny, ids-only) drop set eagerly so the cached
+        # signature frames can be released before returning — a
+        # long-running stream must not accumulate cache entries
+        drops = drops.localCheckpoint(eager=True)
+        admitted_sigs = sig_left.join(
+            drops, sig_left["id"] == F.col("__drop"), "left_anti"
+        ).persist()
+        store_append(admitted_sigs, sig_store_dir, batch_id)
+        store_append(
             banded_signature_frame(admitted_sigs, num_hashes, num_bands),
             band_store_dir,
             batch_id,
         )
+        admitted_sigs.unpersist()
+        if sig_left is not sig:
+            sig_left.unpersist()
+        sig.unpersist()
+        # drop-based return (NOT a semi-join on signature-bearing ids):
+        # documents with fewer than shingle_n tokens have no shingles,
+        # hence no signature row — they can never near-dup anything and
+        # must PASS THROUGH, exactly as the batch pipeline keeps docs
+        # with no candidate pairs. A semi-join on sig ids silently
+        # deleted them from the stream.
         return batch_df.join(
-            admitted_ids,
-            batch_df[id_col] == F.col("id"),
-            "left_semi",
+            drops, batch_df[id_col] == F.col("__drop"), "left_anti"
         )
 
     return step
