@@ -208,3 +208,22 @@ def test_streaming_embedding_dedup_congruity(spark, tmp_path):
     # replay the middle batch: same survivors, no duplicate admissions
     again = {r["vec_id"] for r in step(batches[1], 1).collect()}
     assert again == {r for r in admitted if r in {4, 5, 6, 7}} or again <= set(admitted)
+
+
+def test_store_read_propagates_corrupt_store(spark, tmp_path):
+    """A missing store reads as None, but a CORRUPT store must fail the
+    micro-batch — serving silently-empty results would advance the
+    checkpoint past wrong answers permanently."""
+    import pytest
+
+    from willa_spark.streaming.store import store_read
+
+    assert store_read(spark, os.path.join(str(tmp_path), "nope")) is None
+    bad = os.path.join(str(tmp_path), "corrupt")
+    os.makedirs(bad)
+    with open(os.path.join(bad, "part-00000.parquet"), "w") as f:
+        f.write("this is not parquet")
+    with pytest.raises(Exception):
+        df = store_read(spark, bad)
+        if df is not None:  # some failures surface only at action time
+            df.collect()
