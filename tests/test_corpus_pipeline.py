@@ -120,6 +120,32 @@ def test_streaming_corpus_pipeline_replay(spark, tmp_path):
     assert after == before
 
 
+def test_batch_twin_threads_shingle_n(spark):
+    """corpus_curation_batch must verify candidates at the CALLER'S
+    shingle_n, not the default 3 (the streaming step always used the
+    caller's value — a verify step pinned at n=3 silently breaks the
+    batch≡streaming congruity for any non-default n). The planted pair
+    shares a 30-token prefix with distinct 6-token tails: exact Jaccard
+    is 28/40 = 0.70 at n=3 but 23/35 ≈ 0.657 at n=8, so with
+    threshold=0.68 the pair is a near-dup at n=3 (one doc dropped) and
+    NOT at n=8 (both kept)."""
+    shared = PREFIX + " " + " ".join(FILLER[:20])
+    a = shared + " " + " ".join(f"alphatail{i}" for i in range(6))
+    b = shared + " " + " ".join(f"betatail{i}" for i in range(6))
+    docs = spark.createDataFrame([(1, a), (2, b)], "doc_id bigint, text string")
+
+    kept_n8 = {
+        r["doc_id"]
+        for r in corpus_curation_batch(docs, threshold=0.68, shingle_n=8).collect()
+    }
+    assert kept_n8 == {1, 2}
+    kept_n3 = {
+        r["doc_id"]
+        for r in corpus_curation_batch(docs, threshold=0.68, shingle_n=3).collect()
+    }
+    assert kept_n3 == {1}
+
+
 def test_screen_and_redact_is_map_only(spark):
     """The fused screens+redaction projection must stay a zero-exchange
     map stage — the 100 TB claim in the module docstring."""

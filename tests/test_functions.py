@@ -450,6 +450,24 @@ def test_dup_clusters_hybrid_paths_identical(spark):
     assert fast == dist and len(fast) == 41 + 8 + 2 + 3
 
 
+def test_dup_clusters_bidirectional_pairs_normalized(spark):
+    """An input carrying BOTH orientations of each pair — (a,b) and
+    (b,a) — must collapse to one edge (least/greatest normalization
+    before distinct) and cluster identically on both execution paths.
+    Without normalization the distinct kept both orientations and the
+    bidirectional union doubled every per-round shuffle."""
+    base = [(1, 2), (2, 3), (10, 11)]
+    both = base + [(b, a) for a, b in base]
+    pairs = spark.createDataFrame(both, "id_a bigint, id_b bigint")
+    want = {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    for cap in (200_000, 0):  # driver union-find path, distributed path
+        got = {
+            (r["id"], r["cluster_id"])
+            for r in D.dup_clusters(pairs, driver_edge_cap=cap).collect()
+        }
+        assert got == want
+
+
 def test_dup_clusters_leaves_session_conf_alone(spark):
     """dup_clusters must not mutate session-global shuffle-partition
     conf (a concurrent streaming micro-batch would bake the graph-sized

@@ -124,6 +124,49 @@ def test_streaming_ann_probe_before_ingest(spark, tmp_path):
     assert _probe_rows(spark, store, _queries(spark)) == []
 
 
+def test_probe_before_ingest_schema_matches_later_batches(spark, tmp_path):
+    """The empty-store fallback frame must carry the CONFIGURED corpus
+    id type (here: string doc ids), not a hard-coded bigint — otherwise
+    the pre-ingest top-k batch's schema differs from every later one,
+    breaking appending sinks on the very first micro-batch."""
+    from willa_spark.streaming.ann import ivf_index_step, ivf_probe_step
+
+    cfg = LshAnnConfig(
+        n_planes=3, n_tables=2, dim=DIM, seed=7,
+        id_col="doc", id_type="string",
+    )
+    store = os.path.join(str(tmp_path), "str-store")
+    corpus = spark.createDataFrame(
+        [(f"d{i}", v) for i, v in enumerate(_vecs(6, 2))],
+        "doc string, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(7, v) for v in _vecs(1, 3)], "query_id bigint, query_vec array<double>"
+    )
+
+    schemas = []
+    sink = lambda topk, _bid: schemas.append(topk.schema)
+    probe = lsh_probe_step(store, sink, k=3, cfg=cfg)
+    probe(queries, 0)                      # before any ingest
+    lsh_index_step(store, cfg)(corpus, 0)  # first ingest
+    probe(queries, 1)                      # after ingest
+    assert schemas[0] == schemas[1]
+    assert schemas[0]["doc"].dataType.typeName() == "string"
+
+    # IVF twin: same contract via the id_type parameter
+    centroids = S.train_centroids(corpus, n_centroids=2, n_iters=1, id_col="doc")
+    ivf_store = os.path.join(str(tmp_path), "str-ivf")
+    schemas.clear()
+    iprobe = ivf_probe_step(
+        ivf_store, centroids, sink, k=3, n_probe=1, id_col="doc", id_type="string"
+    )
+    iprobe(queries, 0)
+    ivf_index_step(ivf_store, centroids, id_col="doc")(corpus, 0)
+    iprobe(queries, 1)
+    assert schemas[0] == schemas[1]
+    assert schemas[0]["doc"].dataType.typeName() == "string"
+
+
 def test_lsh_probe_plan_broadcasts_queries(spark, tmp_path):
     """The probe join must broadcast the (small) query side against the
     (huge) index side — the refactor to lsh_index_frame/lsh_probe_topk

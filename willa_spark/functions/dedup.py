@@ -498,7 +498,14 @@ def dup_clusters(
     unchanged. Both paths return identical output (min id per
     component); pinned by a test forcing ``driver_edge_cap=0``.
     """
-    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # orientation-normalize (least, greatest) BEFORE distinct: pair
+    # producers in this package guarantee id_a < id_b, but an input
+    # carrying both (a,b) and (b,a) would otherwise survive distinct as
+    # two edges and double every per-round shuffle below
+    e = pairs.select(
+        F.least(F.col(id_a), F.col(id_b)).alias("src"),
+        F.greatest(F.col(id_a), F.col(id_b)).alias("dst"),
+    )
 
     # persist BEFORE the cap probe: the upstream pair pipeline
     # (candidate join + verification) is the expensive part of dedup,
@@ -563,6 +570,7 @@ def dup_clusters(
     edges = raw.repartition(target, "dst").persist()
     edges.count()
     raw.unpersist()
+    und.unpersist()  # edges is materialized; release the distinct-pairs cache
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

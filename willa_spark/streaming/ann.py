@@ -74,6 +74,12 @@ class LshAnnConfig:
     vec_col: str = "embedding"
     query_id_col: str = "query_id"
     query_vec_col: str = "query_vec"
+    # DDL type of the CORPUS id column (e.g. "string" for doc ids).
+    # Used to synthesize the empty-index frame when a query batch
+    # arrives before first ingest — hard-coding bigint there would make
+    # the pre-ingest top-k frame's id type differ from every later
+    # batch, a schema-drift failure for appending sinks.
+    id_type: str = "bigint"
 
 
 def lsh_index_step(
@@ -122,7 +128,7 @@ def lsh_probe_step(
         idx = read_index(batch_df.sparkSession, store_dir)
         if idx is None:
             idx = batch_df.sparkSession.createDataFrame(
-                [], "id bigint, vec array<double>, bucket long"
+                [], f"id {cfg.id_type}, vec array<double>, bucket long"
             )
         topk = lsh_probe_topk(
             idx,
@@ -170,15 +176,19 @@ def ivf_probe_step(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    id_type: str = "bigint",
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch step serving IVF ANN queries from the persisted
-    inverted file — the cell-keyed twin of ``lsh_probe_step``."""
+    inverted file — the cell-keyed twin of ``lsh_probe_step``.
+    ``id_type`` is the corpus id column's DDL type, used only for the
+    empty-index frame served before first ingest (keeps the pre-ingest
+    top-k schema identical to every later batch)."""
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         idx = read_index(batch_df.sparkSession, store_dir)
         if idx is None:
             idx = batch_df.sparkSession.createDataFrame(
-                [], "id bigint, vec array<double>, cell int"
+                [], f"id {id_type}, vec array<double>, cell int"
             )
         topk = ivf_probe_topk(
             idx,

@@ -186,6 +186,11 @@ def corpus_curation_batch(
         text_col=text_col,
     )
     pairs = verified_near_dups(
-        clean, cands, threshold=threshold, id_col=id_col, text_col=text_col
+        clean,
+        cands,
+        threshold=threshold,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
     ).select("id_a", "id_b")
     return keep_canonical(clean, dup_clusters(pairs), id_col=id_col)
