@@ -1,0 +1,162 @@
+"""Streaming-store compaction/retention: partition-per-micro-batch
+state must stay bounded on a long-running stream WITHOUT changing any
+probe result — dedup and ANN answers are identical before/after
+compaction, a replay across the compaction boundary is idempotent,
+readers fail loud mid-swap, and an interrupted swap rolls forward."""
+
+import json
+import os
+import shutil
+
+import pytest
+
+from willa_spark.streaming.ann import LshAnnConfig, lsh_index_step, lsh_probe_step
+from willa_spark.streaming.near_dedup import minhash_dedup_step
+from willa_spark.streaming.store import (
+    store_append,
+    store_compact,
+    store_partitions,
+    store_read,
+)
+
+PREFIX = "the data and corpus have been prepared with care for every"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, f"{PREFIX} {t}") for i, t in rows], "doc_id bigint, text string"
+    )
+
+
+BATCHES = [
+    [(1, "alpha beaver cedar dolphin ember"), (2, "falcon gibbon heron ibex jackal")],
+    [(3, "alpha beaver cedar dolphin ember"), (4, "kestrel lemur marten nutria ocelot")],
+    [(5, "falcon gibbon heron ibex jackal"), (6, "pelican quokka raccoon seagull tapir")],
+]
+# 3 dups 1 cross-batch; 5 dups 2 cross-batch -> admitted: 1,2,4,6
+
+
+def _run_dedup(spark, store, compact_before_last):
+    step = minhash_dedup_step(store, threshold=0.8, num_hashes=16, num_bands=8)
+    admitted = []
+    for bid, rows in enumerate(BATCHES):
+        if compact_before_last and bid == len(BATCHES) - 1:
+            # batches < bid are committed: safe compaction watermark
+            store_compact(spark, os.path.join(store, "sigs"), up_to_batch=bid)
+            store_compact(spark, os.path.join(store, "bands"), up_to_batch=bid)
+        admitted.append(
+            sorted(r["doc_id"] for r in step(_docs(spark, rows), bid).collect())
+        )
+    return step, admitted
+
+
+def test_compaction_preserves_dedup_results_and_replay(spark, tmp_path):
+    """Per-batch admitted sets are identical with and without a
+    compaction between batches, and replaying the first post-compaction
+    batch (the only one that can still re-run) returns the same set —
+    its strictly-prior probe sees the merged partition."""
+    plain_store = os.path.join(str(tmp_path), "plain")
+    _, plain = _run_dedup(spark, plain_store, compact_before_last=False)
+
+    cstore = os.path.join(str(tmp_path), "compacted")
+    step, compacted = _run_dedup(spark, cstore, compact_before_last=True)
+    assert compacted == plain == [[1, 2], [4], [6]]
+
+    # directories below the watermark merged into one
+    assert store_partitions(os.path.join(cstore, "sigs")) == [1, 2]
+    assert store_partitions(os.path.join(plain_store, "sigs")) == [0, 1, 2]
+    # merged store content == unmerged store content (ids)
+    for sub in ("sigs", "bands"):
+        a = {r["id"] for r in store_read(spark, os.path.join(cstore, sub)).collect()}
+        b = {r["id"] for r in store_read(spark, os.path.join(plain_store, sub)).collect()}
+        assert a == b
+
+    # replay across the compaction boundary: batch 2 re-runs
+    replay = sorted(
+        r["doc_id"] for r in step(_docs(spark, BATCHES[2]), 2).collect()
+    )
+    assert replay == [6]
+    assert store_partitions(os.path.join(cstore, "sigs")) == [1, 2]
+
+
+def test_compaction_preserves_ann_results(spark, tmp_path):
+    """Index probes over the compacted store return byte-identical
+    top-k (the index is the union of partitions either way)."""
+    import random
+
+    rng = random.Random(9)
+    vecs = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(12)]
+    mk = lambda rs: spark.createDataFrame(rs, "vec_id bigint, embedding array<double>")
+    cfg = LshAnnConfig(n_planes=3, n_tables=2, dim=8, seed=5)
+    store = os.path.join(str(tmp_path), "ann")
+    step = lsh_index_step(store, cfg)
+    for bid in range(3):
+        step(mk([(i, vecs[i]) for i in range(4 * bid, 4 * bid + 4)]), bid)
+
+    queries = mk([(100, vecs[2]), (101, vecs[9])]).withColumnsRenamed(
+        {"vec_id": "query_id", "embedding": "query_vec"}
+    )
+    got = []
+    sink = lambda topk, _bid: got.append(
+        sorted(tuple(r) for r in topk.collect())
+    )
+    probe = lsh_probe_step(store, sink, k=5, cfg=cfg)
+    probe(queries, 0)
+    merged = store_compact(spark, store, up_to_batch=3)
+    assert merged == 3 and store_partitions(store) == [2]
+    probe(queries, 1)
+    assert got[0] == got[1] and len(got[0]) > 0
+
+
+def test_store_append_bounds_output_files(spark, tmp_path):
+    """A batch arriving with many partitions must land as at most
+    max_files parquet shards — partition-per-batch retention only stays
+    viable if each directory holds a bounded file count."""
+    store = os.path.join(str(tmp_path), "clamped")
+    df = spark.range(100).repartition(4).toDF("id")
+    store_append(df, store, 0, max_files=2)
+    part = os.path.join(store, "ingest_batch=0")
+    shards = [f for f in os.listdir(part) if f.endswith(".parquet")]
+    assert 0 < len(shards) <= 2
+    assert store_read(spark, store).count() == 100
+
+
+def test_reader_fails_loud_mid_compaction(spark, tmp_path):
+    """A manifest on disk means the store may be mid-swap: readers must
+    refuse rather than risk serving a partially-deleted store."""
+    store = os.path.join(str(tmp_path), "midswap")
+    store_append(spark.range(5).toDF("id"), store, 0)
+    with open(os.path.join(store, "_compact_manifest.json"), "w") as f:
+        json.dump({"merged": [0], "dest": 0}, f)
+    with pytest.raises(RuntimeError, match="unfinished compaction"):
+        store_read(spark, store)
+
+
+def test_compaction_crash_rolls_forward(spark, tmp_path):
+    """Interrupted after the manifest was written (staged merge intact,
+    no source directory deleted yet): the next store_compact completes
+    the swap — no rows lost, no rows duplicated."""
+    store = os.path.join(str(tmp_path), "crashed")
+    for bid in range(3):
+        store_append(
+            spark.range(10 * bid, 10 * bid + 10).toDF("id"), store, bid
+        )
+    want = set(range(30))
+
+    # simulate the crash window: stage the merge of batches 0-1 and
+    # write the manifest, but "crash" before any delete/rename
+    tmp = os.path.join(store, "_compact_tmp")
+    spark.read.parquet(store).filter("ingest_batch < 2").drop(
+        "ingest_batch"
+    ).repartition(2).write.parquet(tmp)
+    with open(os.path.join(store, "_compact_manifest.json"), "w") as f:
+        json.dump({"merged": [0, 1], "dest": 1}, f)
+
+    with pytest.raises(RuntimeError):
+        store_read(spark, store)
+    store_compact(spark, store, up_to_batch=2)  # roll forward + no-op merge
+    assert store_partitions(store) == [1, 2]
+    assert {r["id"] for r in store_read(spark, store).collect()} == want
+    # strictly-prior probe at the replay boundary sees all merged rows
+    prior = {r["id"] for r in store_read(spark, store, before_batch=2).collect()}
+    assert prior == set(range(20))

@@ -1160,20 +1160,24 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
            WHERE doc_id % 20 = 0),
     an AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
-           WHERE vec_id % 50 = 0)
+           WHERE vec_id % 50 = 0),
+    wn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+           WHERE doc_id % 20 = 0
+             AND len(string_split_regex(lower(trim(text)), '\s+')) >= 8)
     SELECT 'minhash' AS family, n AS n_planted, n AS n_found FROM mh
     UNION ALL SELECT 'simhash', n, n FROM sh
     UNION ALL SELECT 'ann_lsh', n, n FROM an
     UNION ALL SELECT 'ann_ivf', n, n FROM an
+    UNION ALL SELECT 'winnow', n, n FROM wn
     """,
 )
 def q_hash_family_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle-checked RECALL proof for the four hash-based families
+    """Oracle-checked RECALL proof for the five hash-based families
     whose outputs are not themselves SQL-expressible (xxhash64 minhash
     bands, hash_array simhash blocks, hyperplane LSH buckets, k-means
-    IVF cells). Deterministic near-dup pairs are PLANTED such that
-    recall is a mathematical guarantee, then each operator must find
-    every planted pair:
+    IVF cells, xxhash64 winnowing fingerprints). Deterministic
+    near-dup pairs are PLANTED such that recall is a mathematical
+    guarantee, then each operator must find every planted pair:
 
     - minhash: an exact copy (doc_id + 1e6) of every 20th doc with
       >= shingle_n tokens. Identical text ⇒ identical shingle set ⇒
@@ -1189,6 +1193,16 @@ def q_hash_family_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
       hash table (same sign bits) / the same IVF cell (same argmax
       centroid), and cosine(self) = 1.0 dominates, so self must
       appear in the top-k.
+    - winnow: for every 20th doc with >= k+window-1 = 8 tokens, a NEW
+      doc (doc_id + 1e6) is planted holding the source's first 8
+      tokens plus a unique tail token — a LOCAL overlap, not a copy
+      (whole-doc fingerprints would miss it; this is exactly the
+      containment case winnowing exists for). The SIGMOD'03 guarantee:
+      any shared run of >= k+window-1 tokens forces at least one
+      identical fingerprint in both docs, so the fingerprint equi-join
+      MUST emit every (source, planted) pair — recall 100% by
+      construction (reference test-strategy analogue:
+      congruity-by-equality, test/willa/test_utils.clj:86-92).
 
     Output: (family, n_planted, n_found). The oracle computes
     n_planted from the tables and asserts n_found = n_planted — the
@@ -1262,6 +1276,48 @@ def q_hash_family_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.col("query_id")).alias("n_found")
     )
 
+    # --- winnow: plant a doc sharing exactly the source's first
+    # k+window-1 tokens (a local overlap, not a whole-doc copy)
+    WK, WW = 5, 4  # winnow_fingerprints defaults
+    run_len = WK + WW - 1
+    wn_eligible = docs.filter((F.col("doc_id") % 20 == 0) & (n_tok >= run_len))
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    planted_text = F.concat(
+        F.concat_ws(" ", F.slice(toks, 1, run_len)),
+        F.lit(" winnowtail"),
+        F.col("doc_id").cast("string"),
+    )
+    wn_planted_docs = wn_eligible.select(
+        (F.col("doc_id") + F.lit(OFF)).alias("doc_id"),
+        planted_text.alias("text"),
+    )
+    # fingerprint ONLY the pair members (sources + planted) — the
+    # standalone winnow_overlap_pairs query covers the corpus-wide
+    # join; this row proves the guarantee on the planted pairs
+    def fps(frame):
+        return frame.select(
+            "doc_id",
+            F.explode(
+                TXT.winnow_fingerprints(F.col("text"), k=WK, window=WW)
+            ).alias("fp"),
+        )
+
+    wn_pairs = (
+        fps(wn_eligible)
+        .alias("l")
+        .join(
+            fps(wn_planted_docs).alias("r"),
+            (F.col("l.fp") == F.col("r.fp"))
+            & (F.col("r.doc_id") == F.col("l.doc_id") + OFF),
+        )
+    )
+    wn_found = wn_pairs.agg(
+        F.count_distinct(F.col("l.doc_id")).alias("n_found")
+    )
+    wn_planted = wn_eligible.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_planted")
+    )
+
     def fam(name: str, planted: DataFrame, found: DataFrame) -> DataFrame:
         return planted.crossJoin(found).select(
             F.lit(name).alias("family"), "n_planted", "n_found"
@@ -1272,6 +1328,7 @@ def q_hash_family_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(fam("simhash", sh_planted, sh_found))
         .unionByName(fam("ann_lsh", ann_planted, lsh_found))
         .unionByName(fam("ann_ivf", ann_planted, ivf_found))
+        .unionByName(fam("winnow", wn_planted, wn_found))
     )
 
 

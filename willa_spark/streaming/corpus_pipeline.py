@@ -32,7 +32,6 @@ banded equi-joins sized by collisions; stage 5 is a map-only write.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
@@ -43,6 +42,7 @@ from ..functions.curation import contamination_report, pii_redact
 from ..functions.dedup import dup_clusters, keep_canonical
 from ..functions.dedup import minhash_candidate_pairs, verified_near_dups
 from .near_dedup import minhash_dedup_step
+from .store import store_append
 
 # repetition-screen ceilings (Gopher §A1.1 table A1 uses a family of
 # per-n thresholds; one representative pair + the line screen here)
@@ -134,9 +134,10 @@ def corpus_curation_step(
         )
         admitted = dedup(clean, batch_id)
         if out_dir is not None:
-            admitted.write.mode("overwrite").parquet(
-                os.path.join(out_dir, f"ingest_batch={batch_id}")
-            )
+            # store_append: idempotent per-batch partition + bounded
+            # shard count (tiny micro-batches must not write one file
+            # per shuffle partition)
+            store_append(admitted, out_dir, batch_id)
         return admitted
 
     return step

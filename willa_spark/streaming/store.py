@@ -15,21 +15,68 @@ other read failure — permissions, corrupt footers, transient storage
 faults — propagates and fails the micro-batch, because swallowing it
 would serve silently wrong (empty) results, hand them to the sink as a
 successful batch, and advance the checkpoint past them permanently.
+
+Retention: one partition directory per micro-batch is replay-correct
+but unbounded — a long-running stream accumulates directories and
+small files until partition discovery itself becomes the bottleneck
+(the classic streaming-metastore killer at 100 TB). Two controls:
+
+- ``store_append`` clamps each batch's output to ``max_files`` shards
+  (micro-batches inherit the session's shuffle-partition count
+  otherwise — 32 near-empty files per tiny batch);
+- ``store_compact`` bin-packs every partition STRICTLY BELOW a
+  committed watermark into the single highest such partition
+  directory. Probe semantics are preserved exactly for every batch
+  that can still replay: foreachBatch only ever re-runs batches at or
+  after the checkpoint's committed offset, so any live probe filters
+  ``ingest_batch < b`` with ``b >= up_to_batch``, and the merged rows
+  (now labeled ``up_to_batch - 1``) all still satisfy it. Compacting
+  beyond the committed watermark is the CALLER's contract violation —
+  a later replay of a compacted batch would see its own rows.
+
+Compaction is crash-safe via a manifest write-ahead file: the merged
+output is staged under ``_compact_tmp`` (underscore-prefixed — Spark's
+partition discovery ignores it), then a manifest records the swap
+before any directory is deleted. A reader that finds the manifest
+fails loud (the store may be mid-swap and silently incomplete
+otherwise); ``store_compact`` completes any pending swap first, so the
+recovery path is "call compact again". At real cluster scale the same
+protocol wants a table format's atomic commit (Delta/Iceberg); the
+manifest is the single-filesystem equivalent with the same reader
+contract.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import re
+import shutil
 
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_PART_RE = re.compile(r"^ingest_batch=(\d+)$")
+_MANIFEST = "_compact_manifest.json"
+_TMP = "_compact_tmp"
+
+
+def _check_no_pending_compaction(path: str) -> None:
+    if os.path.exists(os.path.join(path, _MANIFEST)):
+        raise RuntimeError(
+            f"store at {path} has an unfinished compaction (manifest "
+            f"present): reading it could serve a partially-swapped store. "
+            f"Run store_compact(...) to complete the swap first."
+        )
 
 
 def store_read(spark, path: str, before_batch: int | None = None) -> DataFrame | None:
     """The store's rows (``ingest_batch`` dropped); None iff the store
     does not exist yet. ``before_batch`` restricts to strictly-prior
     partitions — partition-pruned, the replay-safety read."""
+    if os.path.isdir(path):
+        _check_no_pending_compaction(path)
     try:
         df = spark.read.parquet(path)
     except AnalysisException as e:
@@ -42,7 +89,105 @@ def store_read(spark, path: str, before_batch: int | None = None) -> DataFrame |
     return df.drop("ingest_batch")
 
 
-def store_append(df: DataFrame, path: str, batch_id: int) -> None:
+def store_append(df: DataFrame, path: str, batch_id: int, max_files: int = 4) -> None:
     """Write this batch's partition idempotently: a retry overwrites
-    exactly its own ``ingest_batch=<id>`` directory."""
-    df.write.mode("overwrite").parquet(os.path.join(path, f"ingest_batch={batch_id}"))
+    exactly its own ``ingest_batch=<id>`` directory. Output is clamped
+    to ``max_files`` shards so tiny micro-batches don't inherit the
+    session's shuffle-partition count as near-empty files (the
+    round-robin repartition costs one small exchange of the batch's
+    admitted rows and keeps upstream join parallelism intact, unlike a
+    coalesce that would propagate into the producing stages)."""
+    df.repartition(max_files).write.mode("overwrite").parquet(
+        os.path.join(path, f"ingest_batch={batch_id}")
+    )
+
+
+def store_partitions(path: str) -> list[int]:
+    """Sorted ingest-batch ids present as partition directories."""
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for name in os.listdir(path):
+        m = _PART_RE.match(name)
+        if m and os.path.isdir(os.path.join(path, name)):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _finish_pending_compaction(path: str) -> None:
+    """Complete a manifest-recorded swap (idempotent). The manifest is
+    written only AFTER the merged output is fully staged, so recovery
+    is always roll-FORWARD: delete the source partitions, move the
+    staged merge into place, drop the manifest."""
+    mpath = os.path.join(path, _MANIFEST)
+    if not os.path.exists(mpath):
+        return
+    with open(mpath) as f:
+        m = json.load(f)
+    dest = os.path.join(path, f"ingest_batch={m['dest']}")
+    tmp = os.path.join(path, _TMP)
+    if os.path.isdir(tmp):
+        for b in m["merged"]:
+            d = os.path.join(path, f"ingest_batch={b}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+        os.rename(tmp, dest)
+    elif os.path.isdir(dest):
+        # tmp already moved into place; only source deletes may remain
+        for b in m["merged"]:
+            if b == m["dest"]:
+                continue
+            d = os.path.join(path, f"ingest_batch={b}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+    else:
+        raise RuntimeError(
+            f"store at {path}: compaction manifest present but neither "
+            f"staged output nor destination partition exists — manual "
+            f"inspection required"
+        )
+    os.remove(mpath)
+
+
+def store_compact(spark, path: str, up_to_batch: int, max_files: int = 4) -> int:
+    """Bin-pack every ``ingest_batch`` partition STRICTLY BELOW
+    ``up_to_batch`` into the single highest such partition directory,
+    bounding directory count (and file count, via ``max_files``) on a
+    long-running stream. Returns the number of partitions merged (0 =
+    nothing to do).
+
+    ``up_to_batch`` must not exceed the stream's committed watermark
+    (the latest batch id whose checkpoint commit is durable): batches
+    below it can never replay, so no live probe ever filters at a
+    boundary inside the merged range — ``before_batch`` semantics are
+    preserved exactly for every batch that can still run. Dedup/ANN
+    results before and after compaction are identical (pinned by
+    tests).
+
+    Crash-safe: completes any pending swap first, stages the merged
+    rows under an underscore-prefixed temp dir invisible to partition
+    discovery, and only deletes source partitions after a manifest
+    records the swap; readers fail loud while the manifest exists."""
+    _finish_pending_compaction(path)
+    merged = [b for b in store_partitions(path) if b < up_to_batch]
+    if len(merged) <= 1:
+        return 0
+    dest = max(merged)
+    tmp = os.path.join(path, _TMP)
+    if os.path.isdir(tmp):  # stale stage from a pre-manifest crash
+        shutil.rmtree(tmp)
+    rows = spark.read.parquet(path).filter(
+        F.col("ingest_batch") < up_to_batch
+    ).drop("ingest_batch")
+    rows.repartition(max_files).write.mode("overwrite").parquet(tmp)
+
+    mpath = os.path.join(path, _MANIFEST)
+    staged = mpath + ".staging"
+    with open(staged, "w") as f:
+        json.dump({"merged": merged, "dest": dest}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(staged, mpath)  # atomic: manifest appears fully-written
+
+    _finish_pending_compaction(path)
+    return len(merged)
