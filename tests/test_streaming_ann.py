@@ -217,6 +217,70 @@ def test_streaming_ivf_congruity(spark, tmp_path):
     assert sorted(got) == want and len(got) > 0
 
 
+def test_ivf_retrain_recovers_post_drift_recall(spark, tmp_path):
+    """Generation-aware IVF lifecycle: stale bootstrap centroids make a
+    drifted query probe the WRONG cell (true nearest neighbor missed at
+    n_probe=1); ivf_retrain rebuilds the inverted file under centroids
+    trained on the current corpus as a new generation and swaps the
+    meta atomically — the same query then finds its neighbor at rank 1,
+    the old generation stays on disk for uninterrupted serving until
+    the swap, and post-swap batches (and their replays) append to the
+    new generation idempotently."""
+    from willa_spark.streaming.ann import (
+        ivf_gen_index_step,
+        ivf_gen_probe_step,
+        ivf_retrain,
+        ivf_store_meta,
+        ivf_store_init,
+    )
+    from willa_spark.streaming.store import store_read
+
+    mk = lambda rs: spark.createDataFrame(rs, "vec_id bigint, embedding array<double>")
+    # drifted corpus: a cluster near (0.8, 0.6) plus two far fillers
+    b0 = mk([(1, [0.8, 0.6]), (2, [-1.0, 0.0]), (3, [0.0, -1.0])])
+    b1 = mk([(4, [0.79, 0.61]), (5, [0.81, 0.59])])
+    queries = mk([(100, [0.6, 0.8])]).withColumnsRenamed(
+        {"vec_id": "query_id", "embedding": "query_vec"}
+    )
+
+    root = os.path.join(str(tmp_path), "ivf-gens")
+    # stale bootstrap quantizer from BEFORE the drift: axis-aligned
+    ivf_store_init(root, [[1.0, 0.0], [0.0, 1.0]])
+    index = ivf_gen_index_step(root)
+    index(b0, 0)
+    index(b1, 1)
+
+    got = []
+    sink = lambda topk, _bid: got.append(
+        {r["vec_id"]: r["rank"] for r in topk.collect()}
+    )
+    probe = ivf_gen_probe_step(root, sink, k=2, n_probe=1)
+    probe(queries, 0)
+    # stale cells: query (0.6,0.8) probes the (0,1) cell, but its true
+    # nearest neighbors (the 1/4/5 cluster) all sit in the (1,0) cell —
+    # the whole cluster is missed
+    assert not {1, 4, 5} & set(got[0])
+
+    new_gen = ivf_retrain(spark, root, up_to_batch=2, n_centroids=2, n_iters=3)
+    assert new_gen == 1 and ivf_store_meta(root)["generation"] == 1
+    # old generation left intact (serving continuity until the swap)
+    assert os.path.isdir(os.path.join(root, "gen=0"))
+    assert store_read(spark, os.path.join(root, "gen=1")).count() == 5
+
+    probe(queries, 1)
+    # exact top-2 by cosine: 4 (0.9639) then 1 (0.96) — recall restored
+    assert got[1] == {4: 1, 1: 2}
+
+    # post-swap ingestion appends to the NEW generation; replay is
+    # idempotent across the retrain boundary
+    index(mk([(6, [0.6, 0.8])]), 2)
+    n = store_read(spark, os.path.join(root, "gen=1")).count()
+    index(mk([(6, [0.6, 0.8])]), 2)  # replay
+    assert store_read(spark, os.path.join(root, "gen=1")).count() == n == 6
+    probe(queries, 2)
+    assert got[2][6] == 1  # exact self-match now dominates
+
+
 def test_streaming_embedding_dedup_congruity(spark, tmp_path):
     """Exact-copy vectors planted across and within micro-batches: the
     streaming first-seen policy equals the batch min-id canonical —

@@ -2,8 +2,13 @@ from .compiler import StreamingTopologyRunner, run_streaming_topology
 from .ann import (
     LshAnnConfig,
     embedding_dedup_step,
+    ivf_gen_index_step,
+    ivf_gen_probe_step,
     ivf_index_step,
     ivf_probe_step,
+    ivf_retrain,
+    ivf_store_init,
+    ivf_store_meta,
     lsh_index_step,
     lsh_probe_step,
 )
@@ -22,8 +27,13 @@ __all__ = [
     "run_streaming_topology",
     "LshAnnConfig",
     "embedding_dedup_step",
+    "ivf_gen_index_step",
+    "ivf_gen_probe_step",
     "ivf_index_step",
     "ivf_probe_step",
+    "ivf_retrain",
+    "ivf_store_init",
+    "ivf_store_meta",
     "lsh_index_step",
     "lsh_probe_step",
     "minhash_dedup_step",

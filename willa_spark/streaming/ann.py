@@ -42,6 +42,9 @@ vector member of the streaming dedup family next to
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -203,6 +206,184 @@ def ivf_probe_step(
         sink(topk, batch_id)
 
     return step
+
+
+# ------------------- generation-aware IVF store (retraining lifecycle)
+#
+# Frozen centroids keep cell ids comparable across micro-batches, but a
+# drifting corpus distribution degrades probe recall (queries and their
+# true neighbors start disagreeing about which stale cell they belong
+# to). The documented remedy — "retrain = rebuild the store" — is real
+# code here: the store root holds numbered GENERATIONS, each a complete
+# ``ingest_batch``-partitioned inverted file built under one centroid
+# set, plus an atomically-swapped meta file naming the current
+# generation and its centroids. Serving reads the meta per micro-batch,
+# so queries keep being answered from the old generation for the whole
+# (potentially long) rebuild and flip to the new one only at the
+# ``os.replace`` instant.
+#
+# Replay contract mirrors store_compact: retrain with
+# ``up_to_batch`` = the stream's committed watermark. The rebuild reads
+# STRICTLY-PRIOR rows only, so a failed in-flight batch's partial rows
+# are excluded and its replay appends its own partition to the new
+# generation — never duplicated, never lost.
+
+_IVF_META = "_ivf_meta.json"
+
+
+def _ivf_meta_path(root: str) -> str:
+    return os.path.join(root, _IVF_META)
+
+
+def _ivf_gen_dir(root: str, gen: int) -> str:
+    return os.path.join(root, f"gen={gen}")
+
+
+def _write_ivf_meta(root: str, gen: int, centroids: list[list[float]]) -> None:
+    os.makedirs(root, exist_ok=True)
+    staged = _ivf_meta_path(root) + ".staging"
+    with open(staged, "w") as f:
+        json.dump({"generation": gen, "centroids": centroids}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(staged, _ivf_meta_path(root))  # atomic swap
+
+
+def ivf_store_meta(root: str) -> dict:
+    """Current ``{"generation": int, "centroids": [...]}``. Fail-loud
+    on a missing store (same discipline as store_read's non-PATH
+    errors): serving from a half-initialized root must not silently
+    return empty answers."""
+    try:
+        with open(_ivf_meta_path(root)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        raise RuntimeError(
+            f"IVF store at {root} has no meta file — call ivf_store_init "
+            f"with bootstrap centroids before indexing or serving"
+        ) from None
+
+
+def ivf_store_init(root: str, centroids: list[list[float]]) -> None:
+    """Create generation 0 under bootstrap centroids (train them on a
+    bootstrap sample with ``train_centroids``)."""
+    _write_ivf_meta(root, 0, centroids)
+
+
+def ivf_gen_index_step(
+    root: str, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch index maintenance against the CURRENT generation —
+    the generation-aware twin of ``ivf_index_step``. Reads the meta per
+    micro-batch so a retrain swap redirects new batches to the new
+    generation without restarting the stream."""
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        meta = ivf_store_meta(root)
+        idx = ivf_index_frame(
+            batch_df, meta["centroids"], id_col=id_col, vec_col=vec_col
+        )
+        store_append(idx, _ivf_gen_dir(root, meta["generation"]), batch_id)
+
+    return step
+
+
+def ivf_gen_probe_step(
+    root: str,
+    sink: Callable[[DataFrame, int], None],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_type: str = "bigint",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch query serving from the CURRENT generation — probes
+    whatever generation the meta names at batch start, so serving
+    continues uninterrupted from the old generation during a rebuild."""
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        meta = ivf_store_meta(root)
+        idx = store_read(
+            batch_df.sparkSession, _ivf_gen_dir(root, meta["generation"])
+        )
+        if idx is None:
+            idx = batch_df.sparkSession.createDataFrame(
+                [], f"id {id_type}, vec array<double>, cell int"
+            )
+        sink(
+            ivf_probe_topk(
+                idx,
+                batch_df,
+                meta["centroids"],
+                k=k,
+                n_probe=n_probe,
+                id_col=id_col,
+                query_id_col=query_id_col,
+                query_vec_col=query_vec_col,
+            ),
+            batch_id,
+        )
+
+    return step
+
+
+def ivf_retrain(
+    spark,
+    root: str,
+    up_to_batch: int,
+    n_centroids: int = 16,
+    n_iters: int = 3,
+    sample_cap: int = 100_000,
+    drop_old: bool = False,
+) -> int:
+    """Retrain the coarse quantizer on the current corpus and rebuild
+    the inverted file as a NEW generation, swapping atomically. Returns
+    the new generation id.
+
+    - Training reads a DETERMINISTIC bounded sample (xxhash64-strided
+      to ~``sample_cap`` rows — one count + one filtered pass, never a
+      full collect; the k-means itself only ever collects centroids).
+    - The rebuild reads rows with ``ingest_batch < up_to_batch``
+      (``up_to_batch`` must be the committed watermark — see module
+      note) and lands them as one partition ``ingest_batch =
+      up_to_batch - 1`` of ``gen+1``, so strictly-prior semantics keep
+      working for any later dedup-style probe and a replayed batch
+      appends its own partition without overlap.
+    - Serving flips at the meta ``os.replace``; ``drop_old`` deletes
+      the previous generation's directory afterwards (retention)."""
+    from ..functions.similarity import train_centroids
+
+    meta = ivf_store_meta(root)
+    old_gen = meta["generation"]
+    vecs = store_read(spark, _ivf_gen_dir(root, old_gen), before_batch=up_to_batch)
+    if vecs is None:
+        raise RuntimeError(
+            f"IVF store at {root} gen={old_gen} has no data to retrain on"
+        )
+    vecs = vecs.select("id", "vec")
+    n = vecs.count()
+    if n == 0:
+        raise RuntimeError(
+            f"IVF store at {root} gen={old_gen}: no committed rows below "
+            f"batch {up_to_batch}"
+        )
+    stride = max(1, -(-n // sample_cap))  # ceil(n / cap)
+    sample = vecs if stride == 1 else vecs.filter(
+        F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(stride)) == 0
+    )
+    centroids = train_centroids(
+        sample, n_centroids=n_centroids, n_iters=n_iters,
+        id_col="id", vec_col="vec",
+    )
+
+    new_gen = old_gen + 1
+    rebuilt = ivf_index_frame(vecs, centroids, id_col="id", vec_col="vec")
+    store_append(rebuilt, _ivf_gen_dir(root, new_gen), up_to_batch - 1)
+    _write_ivf_meta(root, new_gen, centroids)  # serving flips HERE
+    if drop_old:
+        shutil.rmtree(_ivf_gen_dir(root, old_gen), ignore_errors=True)
+    return new_gen
 
 
 def embedding_dedup_step(
