@@ -1,0 +1,164 @@
+"""Property-pin the streaming↔batch near-dedup policy note
+(near_dedup.py: first-seen vs min-id) instead of asserting it in
+prose:
+
+(a) For EXACT duplicates (a transitive relation) the streaming store
+    admits exactly one representative per duplicate group under ANY
+    arrival permutation and batch split — the group count always
+    equals the batch pipeline's min-id canonical count, and the
+    specific representative is fully predictable: the min id within
+    the group's first-arriving batch. Under id-ordered arrival that
+    representative IS the global min id, i.e. streaming ≡ batch
+    exactly — the congruity the module docstring claims.
+
+(b) The documented divergence exists ONLY for non-transitive organic
+    near-dups: an A~B~C chain with A≁C admits 1 or 2 docs depending
+    on arrival order (pinned deterministically via the embedding
+    store, whose exact-cosine verification makes the chain
+    constructible with zero estimator noise), while the batch
+    connected-components policy always keeps exactly 1.
+"""
+
+import os
+import tempfile
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from willa_spark.functions import dedup as D
+from willa_spark.streaming.near_dedup import minhash_dedup_step
+
+# Disjoint vocabularies: distinct pool texts share NO shingles, so the
+# minhash estimator is exactly 0 across groups and exactly 1.0 within
+# (identical text ⇒ identical signature) — zero estimator noise.
+POOL = [
+    "alpha bravo charlie delta echo foxtrot",
+    "golf hotel india juliett kilo lima",
+    "mike november oscar papa quebec romeo",
+    "sierra tango uniform victor whiskey xray",
+]
+
+
+@st.composite
+def arrival(draw):
+    n = draw(st.integers(min_value=4, max_value=9))
+    groups = draw(
+        st.lists(
+            st.integers(0, len(POOL) - 1), min_size=n, max_size=n
+        ).filter(lambda g: len(set(g)) >= 2)
+    )
+    perm = draw(st.permutations(list(range(n))))
+    if draw(st.booleans()):
+        perm = sorted(perm)  # exercise the id-ordered congruity branch
+    n_cuts = draw(st.integers(0, min(2, n - 1)))
+    cuts = sorted(
+        draw(
+            st.lists(
+                st.integers(1, n - 1),
+                min_size=n_cuts,
+                max_size=n_cuts,
+                unique=True,
+            )
+        )
+    )
+    batches = [
+        perm[lo:hi] for lo, hi in zip([0] + cuts, cuts + [n]) if perm[lo:hi]
+    ]
+    return groups, batches
+
+
+def _expected_first_seen(groups, batches):
+    """The policy, stated as code: per duplicate group, the min id
+    within the group's FIRST-arriving batch survives."""
+    survivors = []
+    seen_groups: set = set()
+    for ids in batches:
+        fresh: dict = {}
+        for i in ids:
+            g = groups[i]
+            if g not in seen_groups:
+                fresh[g] = min(fresh.get(g, i), i)
+        survivors.extend(fresh.values())
+        seen_groups.update(groups[i] for i in ids)
+    return sorted(survivors)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(arrival())
+def test_exact_dup_congruity_under_any_arrival(spark, arr):
+    groups, batches = arr
+    store = tempfile.mkdtemp(prefix="permuted-arrival-")
+    step = minhash_dedup_step(store, threshold=0.8, num_hashes=8, num_bands=4)
+    admitted = []
+    for bid, ids in enumerate(batches):
+        df = spark.createDataFrame(
+            [(i, POOL[groups[i]]) for i in ids], "doc_id bigint, text string"
+        )
+        admitted.extend(r["doc_id"] for r in step(df, bid).collect())
+
+    # one representative per group, the predicted one, for ANY order
+    expected = _expected_first_seen(groups, batches)
+    assert sorted(admitted) == expected
+
+    # batch twin over the union: min-id canonical — same GROUP set and
+    # count always; identical representative set iff arrival was
+    # id-ordered (contiguous splits of a sorted permutation put each
+    # group's global min id in its first-arriving batch)
+    all_ids = [i for ids in batches for i in ids]
+    batch_kept = {
+        min(i for i in all_ids if groups[i] == g) for g in set(groups)
+    }
+    assert len(admitted) == len(batch_kept)
+    assert {groups[i] for i in admitted} == {groups[i] for i in batch_kept}
+    if all_ids == sorted(all_ids):
+        assert set(admitted) == batch_kept
+
+
+def test_nontransitive_chain_divergence_is_order_dependent(spark, tmp_path):
+    """The ONLY divergence the policy note allows: a non-transitive
+    near-dup chain A~B~C (A≁C). Built with vectors at 0°/15°/30° and
+    threshold 0.95 (cos15° ≈ 0.966 ≥ 0.95 > cos30° ≈ 0.866), verified
+    by exact cosine — no estimator noise. B-first arrival admits only
+    B (both neighbors match it); A,C-first arrival admits both ends
+    (they don't match each other) and drops B. The batch CC policy
+    always clusters all three and keeps exactly one."""
+    import math
+
+    from willa_spark.streaming.ann import embedding_dedup_step
+
+    def vec(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    A, B, C = (1, vec(0)), (2, vec(15)), (3, vec(30))
+    mk = lambda rows: spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+
+    def run(order):
+        store = os.path.join(str(tmp_path), f"chain-{order[0][0]}")
+        step = embedding_dedup_step(
+            store, threshold=0.95, n_planes=1, dim=2, seed=2
+        )
+        admitted = []
+        for bid, row in enumerate(order):
+            admitted.extend(
+                r["vec_id"] for r in step(mk([row]), bid).collect()
+            )
+        return sorted(admitted)
+
+    assert run([B, A, C]) == [2]       # first-seen hub absorbs both ends
+    assert run([A, C, B]) == [1, 3]    # ends first: chain never forms
+
+    # batch: one cluster (CC closes the chain), one canonical survivor
+    full = mk([A, B, C])
+    from willa_spark.functions import similarity as S
+
+    pairs = S.embedding_near_dups(
+        full, threshold=0.95, n_planes=1, dim=2, seed=2
+    ).select("id_a", "id_b")
+    kept = D.keep_canonical(full, D.dup_clusters(pairs), id_col="vec_id")
+    assert {r["vec_id"] for r in kept.collect()} == {1}
