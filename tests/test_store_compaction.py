@@ -79,6 +79,33 @@ def test_compaction_preserves_dedup_results_and_replay(spark, tmp_path):
     assert store_partitions(os.path.join(cstore, "sigs")) == [1, 2]
 
 
+def test_compact_every_wiring_in_dedup_step(spark, tmp_path):
+    """compact_every=N runs retention inside the foreachBatch step at
+    the safe watermark (start of batch b compacts batches < b, which
+    are all committed): admitted sets match the uncompacted twin,
+    directories stay bounded, and a replay of the in-flight batch
+    re-runs the (idempotent, no-op) compaction then dedups correctly
+    against the merged partition."""
+    plain_store = os.path.join(str(tmp_path), "plain")
+    _, plain = _run_dedup(spark, plain_store, compact_before_last=False)
+
+    cstore = os.path.join(str(tmp_path), "wired")
+    step = minhash_dedup_step(
+        cstore, threshold=0.8, num_hashes=16, num_bands=8, compact_every=2
+    )
+    admitted = [
+        sorted(r["doc_id"] for r in step(_docs(spark, rows), bid).collect())
+        for bid, rows in enumerate(BATCHES)
+    ]
+    assert admitted == plain
+    assert store_partitions(os.path.join(cstore, "sigs")) == [1, 2]
+    # replay the in-flight batch: compaction re-runs as a no-op, the
+    # merged partition serves the strictly-prior probe
+    replay = sorted(r["doc_id"] for r in step(_docs(spark, BATCHES[2]), 2).collect())
+    assert replay == plain[2]
+    assert store_partitions(os.path.join(cstore, "sigs")) == [1, 2]
+
+
 def test_compaction_preserves_ann_results(spark, tmp_path):
     """Index probes over the compacted store return byte-identical
     top-k (the index is the union of partitions either way)."""

@@ -124,3 +124,50 @@ def test_streaming_minhash_passes_short_docs_through(spark, tmp_path):
     # (dropped); 5 is a short doc again — passes (no shingle identity)
     assert got1 == {1, 2, 3}
     assert got2 == {5}
+
+
+def test_streaming_winnow_containment_dedup(spark, tmp_path):
+    """The containment member of the streaming family: a doc embedding
+    a >= k+window-1-token run of a PRIOR admitted doc is dropped even
+    though it is no whole-doc near-dup (distinct tail), a within-batch
+    overlapping pair keeps its min id, short docs pass through, and
+    the admitted set equals the batch twin (winnow_overlap_pairs →
+    clusters → min-id canonical) under id-ordered arrival."""
+    from willa_spark.streaming.near_dedup import winnow_dedup_step
+
+    run = "alpha beaver cedar dolphin ember falcon gibbon heron"  # 8 tokens
+    docs = {
+        1: run + " ibex jackal kestrel lemur",
+        2: "marten nutria ocelot pelican quokka raccoon seagull tapir",
+        3: run + " uniform victor whiskey xray yankee",   # contains 1's run
+        4: "zz",                                          # short: passes
+        5: "banana cherry date elder fig grape honey iris",
+        6: "banana cherry date elder fig grape honey iris plus tail",  # contains 5's run (within batch)
+    }
+    b1, b2 = [1, 2], [3, 4, 5, 6]
+    mk = lambda ids: spark.createDataFrame(
+        [(i, docs[i]) for i in ids], "doc_id bigint, text string"
+    )
+    store = os.path.join(str(tmp_path), "winnow-store")
+    step = winnow_dedup_step(store, k=5, window=4)
+    got1 = {r["doc_id"] for r in step(mk(b1), 0).collect()}
+    got2 = {r["doc_id"] for r in step(mk(b2), 1).collect()}
+    assert got1 == {1, 2}
+    # 3 dropped (cross-batch containment of 1's run), 6 dropped
+    # (within-batch overlap with 5; min id 5 survives), 4 passes
+    assert got2 == {4, 5}
+
+    # replay idempotency: same admitted set, no duplicated store rows
+    again = {r["doc_id"] for r in step(mk(b2), 1).collect()}
+    assert again == got2
+    stored = spark.read.parquet(store).select("id", "fp")
+    assert stored.count() == stored.distinct().count()
+    assert {r["id"] for r in stored.select("id").distinct().collect()} == {1, 2, 5}
+
+    # batch twin congruity (id-ordered arrival ⇒ first-seen = min-id)
+    full = mk(sorted(docs))
+    pairs = D.winnow_overlap_pairs(full, k=5, window=4, df_cap=None).select(
+        "id_a", "id_b"
+    )
+    kept = D.keep_canonical(full, D.dup_clusters(pairs))
+    assert {r["doc_id"] for r in kept.collect()} == got1 | got2

@@ -19,7 +19,7 @@ everything here generalizes it per BASELINE.json's north star.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -458,6 +458,72 @@ def simhash_near_dups(
     )
 
 
+# ------------------------------------------------- winnowing overlap
+def winnow_fingerprint_frame(
+    df: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One (id, fp) row per distinct winnowing fingerprint of each doc
+    — the joinable half of the winnow family (Schleimer et al.,
+    SIGMOD'03), exactly what the streaming containment store persists.
+    Map-side explode; no shuffle."""
+    from .text import winnow_fingerprints
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            winnow_fingerprints(F.col(text_col), k=k, window=window)
+        ).alias("fp"),
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    df_cap: int | None = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Local-overlap pairs (id_a < id_b, n_shared_fingerprints) via a
+    fingerprint self-equi-join — containment detection whole-doc md5
+    and bag-of-shingles MinHash both miss. Guarantee: docs sharing any
+    run of >= k+window-1 tokens share >= 1 fingerprint, so every such
+    pair is emitted.
+
+    ``df_cap`` drops fingerprints appearing in more than that many
+    docs BEFORE the self-join (MOSS's rule): a fingerprint shared by f
+    docs fans out f² pairs, so a hot template run goes quadratic
+    without it (observed minutes → ~2 s at sf0.1). Scale shape is the
+    LSH band join: shuffle keyed on the fingerprint value, volume ∝
+    collisions, never all-pairs."""
+    fp = winnow_fingerprint_frame(
+        df, k=k, window=window, id_col=id_col, text_col=text_col
+    ).persist()
+    if df_cap is not None:
+        raw = fp
+        rare = (
+            raw.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= df_cap)
+        )
+        fp = raw.join(rare.select("fp"), "fp", "left_semi").persist()
+        fp.count()
+        raw.unpersist()  # capped frame materialized; release the raw pass
+    l, r = fp.alias("l"), fp.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.fp") == F.col("r.fp")) & (F.col("l.id") < F.col("r.id")),
+        )
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_fingerprints"))
+    )
+
+
 # ------------------------------------------------------- dup clusters
 def dup_clusters(
     pairs: DataFrame,
@@ -579,18 +645,14 @@ def dup_clusters(
     )
     # convergence check: labels are monotonically non-increasing (every
     # update takes a min), so the label sum strictly decreases until
-    # fixpoint — comparing two scalar sums replaces the old
-    # join-new-vs-old + count action with one partial aggregate per
-    # round. decimal(38,0) keeps the sum exact at any node count.
-    def label_sum(frame):
-        return frame.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-
+    # fixpoint. The sum rides the round's own checkpoint action as an
+    # observe() metric — zero extra jobs per round (previously one
+    # full aggregate pass). decimal(38,0) keeps the sum exact at any
+    # node count.
     prev_sum = None
     for _ in range(max_iters):
-        labels = _cc_round(edges, labels, target)
-        cur_sum = label_sum(labels)
+        labels, obs = _cc_round(edges, labels, target)
+        cur_sum = obs.get["s"]
         # cur_sum is None iff the label frame is empty (no pairs
         # at all) — converged trivially
         if cur_sum is None or cur_sum == prev_sum:
@@ -603,14 +665,16 @@ def dup_clusters(
     raise RuntimeError(f"dup_clusters did not converge in {max_iters} rounds")
 
 
-def _cc_round(edges: DataFrame, labels: DataFrame, target: int) -> DataFrame:
+def _cc_round(edges: DataFrame, labels: DataFrame, target: int):
     """One min-label-propagation + pointer-jump round; returns the new
-    eagerly-checkpointed label frame and releases the old one. All
-    shuffles are explicitly sized to ``target`` (graph-sized) via
-    repartition on the join inputs — both sides of each equi-join land
-    on the same HashPartitioning(key, target), so EnsureRequirements
-    inserts no further exchange and the session's shuffle-partition
-    conf never enters the per-round plan."""
+    eagerly-checkpointed label frame (plus the Observation carrying
+    its label sum, collected by the checkpoint job itself) and
+    releases the old one. All shuffles are explicitly sized to
+    ``target`` (graph-sized) via repartition on the join inputs — both
+    sides of each equi-join land on the same HashPartitioning(key,
+    target), so EnsureRequirements inserts no further exchange and the
+    session's shuffle-partition conf never enters the per-round
+    plan."""
     # 1) propagate: each node adopts the min of its own and its
     #    neighbors' labels. The edge side is already cache-partitioned
     #    on dst; only the (smaller) label frame shuffles.
@@ -641,9 +705,12 @@ def _cc_round(edges: DataFrame, labels: DataFrame, target: int) -> DataFrame:
             F.least(F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))).alias("label"),
         )
     )
-    new_labels = jumped.localCheckpoint(eager=True)
+    obs = Observation()
+    new_labels = jumped.observe(
+        obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    ).localCheckpoint(eager=True)
     labels.unpersist()
-    return new_labels
+    return new_labels, obs
 
 
 def keep_canonical(df: DataFrame, clusters: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -933,28 +933,11 @@ def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (template/boilerplate runs) BEFORE the self-join — without it a
     fingerprint shared by f docs fans out f² pairs and a hot template
     goes quadratic (observed: sf0.1 ran minutes without the cap,
-    ~2 s with it; MOSS applies the same rule). NOT in the
-    driver-visible 50 (rows-only anyway); the winnowing guarantee is
-    pinned by pytest (test_winnow_fingerprints_guarantee)."""
+    ~2 s with it; MOSS applies the same rule). The winnowing guarantee
+    is pinned by pytest (test_winnow_fingerprints_guarantee) AND by
+    the oracle-checked planted row in hash_family_recall."""
     docs = read_docs_spread(spark, sf_dir)  # already core-spread
-    fp = docs.select(
-        "doc_id", F.explode(TXT.winnow_fingerprints(F.col("text"))).alias("fp")
-    )
-    # materialize the fingerprint pass ONCE (it feeds the df-cap agg,
-    # the semi-join probe, and the self-join)
-    fp = fp.persist()
-    rare = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= 10)
-    fp = fp.join(rare.select("fp"), "fp", "left_semi").persist()
-    fp.count()
-    l, r = fp.alias("l"), fp.alias("r")
-    return (
-        l.join(
-            r,
-            (F.col("l.fp") == F.col("r.fp")) & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .groupBy(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared_fingerprints"))
-    )
+    return D.winnow_overlap_pairs(docs, df_cap=10)
 
 
 @query("simhash_near_dups")  # rows-only
@@ -2786,75 +2769,79 @@ def q_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_curation.py::test_omitted_relational_parity (computed
 # FROM this set, so the pin rotates automatically).
 #
-# Rationale per r4 omission (operator -> in-set proof):
-#   winnow_overlap_pairs    -> rows-only by nature (xxhash64); the
-#                              winnowing guarantee is pytest-pinned
-#   minhash_near_dups, simhash_near_dups, ann_lsh_topk, ann_ivf_topk
-#                           -> rows-only standalone runs replaced by
-#                              hash_family_recall, whose ORACLE-checked
-#                              planted-recall row proves all four
-#                              candidate-generation paths end-to-end
-#                              (a strictly stronger driver signal than
-#                              the old "25 rows exist" checks)
-#   fanout_flatmap (P6)     -> rekey_fanout (P2: 1→N fan-out PLUS
-#                              rekey through the same transducer tier)
-#   rekey_transform (P5)    -> rekey_fanout (key transform included)
-#   running_sum_changelog (A4) -> regrouped_retraction (running fold
-#                              PLUS subtractor/retraction on top)
-#   hopping_window_count (A2) -> tumbling_window_sum returns this round
-#                              (same assignment path) + session_windows'
-#                              r01-r03 greens; hop re-enters next round
-#   session_windows (A3)    -> suppressed_window_final (same windowed
-#                              agg machinery + suppression) + the
-#                              streaming congruity pytest suite
-#   interval_join (J1)      -> windowed_left_join (same banded-range
-#                              construction, strictly stronger
-#                              nil-dedup semantics)
-#   windowed_outer_join (J3)-> windowed_left_join (VERDICT r03: "same
-#                              construction as J2", outer = left ∪
-#                              right-unmatched)
-#   asof_enrich (J6)        -> table_table_asof (J5: as-of in both
-#                              directions through the topology DSL)
-#   changelog_filter (C1)   -> suppressed_window_final +
-#                              regrouped_retraction (changelog
-#                              coercion feeds both)
-#   with_dedupe_first (A8)  -> latest_per_key (same min-seq-per-key
-#                              state machinery) + workflow pytest
-#   pricing_summary         -> shipping_priority + group_by_fn_agg
-#                              (grouped-agg vocabulary; TPC-H Q1 shape
-#                              triple-green)
-#   skew_salted_agg         -> skew_salted_join (salting machinery;
-#                              agg variant triple-green)
-#   exact_dup_groups        -> doc_fingerprints returns this round
-#                              (same fingerprint groupBy) +
-#                              training_data_prep's dedup stage
-#   ngram_jaccard_pairs     -> hash_family_recall exercises the same
-#                              jaccard verification kernel; Column
-#                              expr pinned in pytest
-#   embedding_topk          -> embedding_near_dups (cosine kernel with
-#                              brute-force oracle) + hash_family_recall
+# Round 5 rotation: ALL 20 r4-omitted names return (each regains a
+# green driver row this round, closing the "green within two rounds"
+# invariant for the full 70-query registry over r4∪r5), and 20
+# r4-green queries rest. Every rested name below is oracle-bearing, so
+# the automatic pytest parity pin covers all 20; each also has an
+# in-set (staying or returning) twin exercising the same machinery.
+#
+# Rationale per r5 omission (operator -> in-set proof):
+#   tumbling_window_sum (A2)  -> hopping_window_count returns (same
+#                                window-assignment path, superset)
+#   rekey_fanout (P2)         -> fanout_flatmap (P6) + rekey_transform
+#                                (P5) return — its exact components
+#   value_only_rekey (P3)     -> rekey_transform returns; the
+#                                no-repartition plan property is
+#                                pytest-pinned
+#   doc_fingerprints          -> exact_dup_groups returns (same
+#                                fingerprint groupBy)
+#   token_stats               -> top_bigrams + doc_length_histogram
+#                                stay (same tokenization kernel)
+#   lang_id                   -> quality_score stays (same text-stat
+#                                Column vocabulary)
+#   semi_join_customers       -> anti_join_customers stays (left
+#                                semi/anti family)
+#   except_customers          -> intersect_customers stays (set-ops)
+#   distinct_parts_per_supplier -> corpus_profile stays
+#                                (count_distinct vocabulary)
+#   skew_salted_join          -> skew_salted_agg returns (same salting
+#                                machinery)
+#   pivot_order_status        -> pricing_summary returns (grouped-agg
+#                                vocabulary; pivot pinned by parity)
+#   top_customers             -> shipping_priority (orderBy/limit) +
+#                                top_parts_per_supplier (per-group
+#                                top-k) stay
+#   rollup_revenue            -> pricing_summary returns (grouped agg
+#                                over lineitem; rollup grouping sets
+#                                parity-pinned)
+#   monthly_revenue_growth    -> forecast_revenue stays (window-fn
+#                                family)
+#   regional_supplier_volume  -> nary_join_fold stays (multi-way join
+#                                fold)
+#   late_shipment_priorities  -> shipping_priority stays
+#   embedding_near_dups       -> embedding_topk returns (cosine kernel
+#                                w/ brute-force oracle) +
+#                                hash_family_recall stays (planted
+#                                recall through the LSH bucket path)
+#   stratified_sample         -> token_budget_cap stays (per-stratum
+#                                window family)
+#   dup_line_filter           -> repetition_ngram_filter stays (same
+#                                per-row run-count kernel)
+#   corpus_keep_by_source     -> training_data_prep stays (composed
+#                                pipeline superset)
 DRIVER_OMIT = frozenset(
     {
-        "winnow_overlap_pairs",
-        "minhash_near_dups",
-        "simhash_near_dups",
-        "ann_lsh_topk",
-        "ann_ivf_topk",
-        "fanout_flatmap",
-        "rekey_transform",
-        "running_sum_changelog",
-        "hopping_window_count",
-        "session_windows",
-        "interval_join",
-        "windowed_outer_join",
-        "asof_enrich",
-        "changelog_filter",
-        "with_dedupe_first",
-        "pricing_summary",
-        "skew_salted_agg",
-        "exact_dup_groups",
-        "ngram_jaccard_pairs",
-        "embedding_topk",
+        "tumbling_window_sum",
+        "rekey_fanout",
+        "value_only_rekey",
+        "doc_fingerprints",
+        "token_stats",
+        "lang_id",
+        "semi_join_customers",
+        "except_customers",
+        "distinct_parts_per_supplier",
+        "skew_salted_join",
+        "pivot_order_status",
+        "top_customers",
+        "rollup_revenue",
+        "monthly_revenue_growth",
+        "regional_supplier_volume",
+        "late_shipment_priorities",
+        "embedding_near_dups",
+        "stratified_sample",
+        "dup_line_filter",
+        "corpus_keep_by_source",
     }
 )
 

@@ -13,7 +13,7 @@ from .ann import (
     lsh_probe_step,
 )
 from .corpus_pipeline import corpus_curation_batch, corpus_curation_step
-from .near_dedup import minhash_dedup_step, simhash_dedup_step
+from .near_dedup import minhash_dedup_step, simhash_dedup_step, winnow_dedup_step
 from .store import store_append, store_compact, store_partitions, store_read
 
 __all__ = [
@@ -38,4 +38,5 @@ __all__ = [
     "lsh_probe_step",
     "minhash_dedup_step",
     "simhash_dedup_step",
+    "winnow_dedup_step",
 ]

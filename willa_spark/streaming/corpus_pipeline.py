@@ -105,6 +105,7 @@ def corpus_curation_step(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    compact_every: int | None = None,
 ) -> Callable[[DataFrame, int], DataFrame]:
     """The composed foreachBatch step; returns
     ``(batch_df, batch_id) -> admitted_df`` (id + redacted text). Wire
@@ -116,6 +117,10 @@ def corpus_curation_step(
 
     ``eval_grams`` must be a static (batch) DataFrame with a ``gram``
     column — build it once with ``curation.eval_ngrams``.
+    ``compact_every=N`` applies the store retention policy to the
+    dedup signature stores every N batches (near_dedup._maybe_compact)
+    — without it a long-running ingestion stream accumulates one
+    partition directory per micro-batch forever.
     """
     dedup = minhash_dedup_step(
         dedup_store_dir,
@@ -125,6 +130,7 @@ def corpus_curation_step(
         shingle_n=shingle_n,
         id_col=id_col,
         text_col=text_col,
+        compact_every=compact_every,
     )
 
     def step(batch_df: DataFrame, batch_id: int) -> DataFrame:

@@ -1,6 +1,8 @@
 """Streaming near-duplicate deduplication — the foreachBatch recipe for
-the minhash/simhash families, mirroring the batch operators in
-willa_spark.functions.dedup against a persisted signature store.
+the minhash/simhash/winnow families, mirroring the batch operators in
+willa_spark.functions.dedup against a persisted signature store
+(``winnow_dedup_step`` adds the CONTAINMENT member: shared-run overlap
+via winnowing fingerprints, which the whole-doc families miss).
 
 Why foreachBatch and not a stateful operator: near-dedup state is the
 signature index of EVERY admitted document — far beyond what a
@@ -57,11 +59,12 @@ from ..functions.dedup import (
     dup_clusters,
     minhash_signature_frame,
     simhash_block_frame,
+    winnow_fingerprint_frame,
     with_simhash,
 )
 
 
-from .store import store_append, store_read
+from .store import store_append, store_compact, store_read
 
 
 def _drop_within_batch(pairs: DataFrame) -> DataFrame:
@@ -74,12 +77,25 @@ def _drop_within_batch(pairs: DataFrame) -> DataFrame:
     )
 
 
+def _maybe_compact(spark, dirs: list[str], batch_id: int, every: int | None) -> None:
+    """In-pipeline retention: at the START of batch ``b`` every batch
+    < b is durably committed (foreachBatch replays only the in-flight
+    batch), so ``up_to_batch = b`` is always a safe compaction
+    watermark — the one contract ``store_compact`` requires. Runs
+    every ``every`` batches; a compaction interrupted mid-swap is
+    rolled forward by the next attempt (store.py)."""
+    if every and batch_id > 0 and batch_id % every == 0:
+        for d in dirs:
+            store_compact(spark, d, up_to_batch=batch_id)
+
+
 def simhash_dedup_step(
     store_dir: str,
     max_hamming: int = 3,
     num_blocks: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    compact_every: int | None = None,
 ) -> Callable[[DataFrame, int], DataFrame]:
     """foreachBatch step for streaming SimHash near-dedup. Returns a
     ``(batch_df, batch_id) -> admitted_df`` callable; wire it as
@@ -91,7 +107,9 @@ def simhash_dedup_step(
     The store holds (id, simhash) per admitted doc — 16 bytes/doc —
     and block rows are derived at probe time (pure column ops).
     Verification is EXACT hamming, so streaming and batch apply the
-    identical radius."""
+    identical radius. ``compact_every=N`` bin-packs committed store
+    partitions every N batches (see ``_maybe_compact``) so a
+    long-running stream's directory count stays bounded."""
     if num_blocks is None:
         num_blocks = max_hamming + 1
     if max_hamming >= num_blocks:
@@ -102,6 +120,7 @@ def simhash_dedup_step(
 
     def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
         spark = batch_df.sparkSession
+        _maybe_compact(spark, [store_dir], batch_id, compact_every)
         sh = with_simhash(
             batch_df.select(F.col(id_col).alias("id"), F.col(text_col)), text_col
         ).select("id", "simhash")
@@ -175,9 +194,10 @@ def minhash_dedup_step(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    compact_every: int | None = None,
 ) -> Callable[[DataFrame, int], DataFrame]:
     """foreachBatch step for streaming MinHash near-dedup; same wiring
-    as ``simhash_dedup_step``.
+    (including ``compact_every`` retention) as ``simhash_dedup_step``.
 
     The store holds the wide k-component signature per admitted doc
     (``sigs/``) plus its band rows (``bands/``) — k×8 + bands×12
@@ -200,6 +220,12 @@ def minhash_dedup_step(
 
     def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
         spark = batch_df.sparkSession
+        _maybe_compact(
+            spark,
+            [os.path.join(store_dir, "sigs"), os.path.join(store_dir, "bands")],
+            batch_id,
+            compact_every,
+        )
         sig = minhash_signature_frame(
             batch_df.select(F.col(id_col).alias(id_col), F.col(text_col)),
             text_col,
@@ -288,6 +314,101 @@ def minhash_dedup_step(
         # must PASS THROUGH, exactly as the batch pipeline keeps docs
         # with no candidate pairs. A semi-join on sig ids silently
         # deleted them from the stream.
+        return batch_df.join(
+            drops, batch_df[id_col] == F.col("__drop"), "left_anti"
+        )
+
+    return step
+
+
+def winnow_dedup_step(
+    store_dir: str,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    compact_every: int | None = None,
+) -> Callable[[DataFrame, int], DataFrame]:
+    """foreachBatch step for streaming CONTAINMENT dedup via winnowing
+    fingerprints — the local-overlap member of the streaming dedup
+    family (minhash = bag-of-shingles Jaccard, simhash = hamming,
+    embedding = cosine, winnow = shared-run containment, which the
+    other three miss by construction). Same wiring as
+    ``simhash_dedup_step``.
+
+    The store holds one (id, fp) row per distinct fingerprint of each
+    admitted doc. A batch doc sharing >= ``min_shared`` fingerprints
+    with any prior admitted doc is dropped (the SIGMOD'03 guarantee:
+    any shared run of >= k+window-1 tokens forces a shared
+    fingerprint, so true containment is never missed); within-batch
+    overlaps go through the same pair → ``dup_clusters`` → min-id
+    canonical closure as every family here. Docs too short to produce
+    a fingerprint pass through, exactly like minhash's shingle-less
+    docs.
+
+    Scale shape: the probe is an equi-join keyed on the 8-byte
+    fingerprint — volume ∝ collisions, the LSH-band-join shape; hot
+    template fingerprints are hot join keys (AQE skew handling), and
+    the batch REPORTING operator's ``df_cap`` is a pair-emission
+    policy, not part of dedup semantics — a doc sharing a run with a
+    thousand prior docs is exactly what containment dedup must drop."""
+
+    def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        spark = batch_df.sparkSession
+        _maybe_compact(spark, [store_dir], batch_id, compact_every)
+        fpb = winnow_fingerprint_frame(
+            batch_df, k=k, window=window, id_col=id_col, text_col=text_col
+        ).persist()
+
+        pruned = fpb
+        cross_drop = None
+        store = store_read(spark, store_dir, before_batch=batch_id)
+        if store is not None:
+            cross_drop = (
+                fpb.join(
+                    store.withColumnRenamed("id", "__st_id"), "fp"
+                )
+                .groupBy("id", "__st_id")
+                .agg(F.count(F.lit(1)).alias("n_shared"))
+                .filter(F.col("n_shared") >= min_shared)
+                .select(F.col("id").alias("__drop"))
+                .distinct()
+            )
+            pruned = fpb.join(
+                cross_drop, fpb["id"] == F.col("__drop"), "left_anti"
+            ).persist()
+
+        l, r = pruned.alias("l"), pruned.alias("r")
+        within_pairs = (
+            l.join(
+                r,
+                (F.col("l.fp") == F.col("r.fp"))
+                & (F.col("l.id") < F.col("r.id")),
+            )
+            .groupBy(
+                F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b")
+            )
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared)
+            .select("id_a", "id_b")
+        )
+        within_drop = _drop_within_batch(within_pairs)
+        drops = (
+            within_drop if cross_drop is None
+            else cross_drop.unionByName(within_drop).distinct()
+        )
+        # pin the ids-only drop set eagerly so cached fingerprint
+        # frames release before returning (no per-batch cache buildup)
+        drops = drops.localCheckpoint(eager=True)
+        admitted_fp = pruned.join(
+            drops, pruned["id"] == F.col("__drop"), "left_anti"
+        )
+        store_append(admitted_fp, store_dir, batch_id)
+        if pruned is not fpb:
+            pruned.unpersist()
+        fpb.unpersist()
+        # drop-based return: fingerprint-less (short) docs pass through
         return batch_df.join(
             drops, batch_df[id_col] == F.col("__drop"), "left_anti"
         )
