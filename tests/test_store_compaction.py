@@ -138,7 +138,9 @@ def test_compaction_preserves_ann_results(spark, tmp_path):
 def test_store_append_bounds_output_files(spark, tmp_path):
     """A batch arriving with many partitions must land as at most
     max_files parquet shards — partition-per-batch retention only stays
-    viable if each directory holds a bounded file count."""
+    viable if each directory holds a bounded file count. A frame
+    already at or under the clamp skips the exchange (no pointless
+    shuffle, no splitting a 1-partition batch into 4 files)."""
     store = os.path.join(str(tmp_path), "clamped")
     df = spark.range(100).repartition(4).toDF("id")
     store_append(df, store, 0, max_files=2)
@@ -146,6 +148,32 @@ def test_store_append_bounds_output_files(spark, tmp_path):
     shards = [f for f in os.listdir(part) if f.endswith(".parquet")]
     assert 0 < len(shards) <= 2
     assert store_read(spark, store).count() == 100
+
+    store_append(spark.range(50).coalesce(1).toDF("id"), store, 1, max_files=4)
+    part1 = os.path.join(store, "ingest_batch=1")
+    assert len([f for f in os.listdir(part1) if f.endswith(".parquet")]) == 1
+
+
+def test_tiered_compaction_spares_dominant_partition(spark, tmp_path):
+    """The historical mega-partition (> 2x the rest combined) is left
+    out of the merge — without this rule every periodic compaction
+    re-reads and re-writes the whole committed store, quadratic I/O
+    over a stream's lifetime. Small tail partitions still fold
+    together and probe results are unchanged."""
+    store = os.path.join(str(tmp_path), "tiered")
+    store_append(spark.range(0, 10_000).toDF("id"), store, 0)   # mega
+    store_append(spark.range(10_000, 10_010).toDF("id"), store, 1)
+    store_append(spark.range(10_010, 10_020).toDF("id"), store, 2)
+    store_append(spark.range(10_020, 10_030).toDF("id"), store, 3)
+    before = {r["id"] for r in store_read(spark, store).collect()}
+
+    merged = store_compact(spark, store, up_to_batch=4)
+    # batches 1-3 fold into partition 3; the mega partition 0 survives
+    assert merged == 3
+    assert store_partitions(store) == [0, 3]
+    assert {r["id"] for r in store_read(spark, store).collect()} == before
+    prior = {r["id"] for r in store_read(spark, store, before_batch=4).collect()}
+    assert prior == before
 
 
 def test_reader_fails_loud_mid_compaction(spark, tmp_path):

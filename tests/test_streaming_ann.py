@@ -281,6 +281,66 @@ def test_ivf_retrain_recovers_post_drift_recall(spark, tmp_path):
     assert got[2][6] == 1  # exact self-match now dominates
 
 
+def test_ivf_retrain_migrates_concurrent_commits_and_guards_swap(spark, tmp_path):
+    """Two index-during-retrain safeguards: (1) batches the index
+    stream committed to the OLD generation at/after the retrain
+    watermark are migrated into the new generation with cells
+    recomputed under the new centroids — nothing committed is lost;
+    (2) a batch whose append straddles the meta swap fails loud (the
+    generation guard), so Structured Streaming replays it against the
+    new generation instead of silently stranding its vectors."""
+    import pytest
+
+    from willa_spark.streaming import ann as ann_mod
+    from willa_spark.streaming.ann import (
+        ivf_gen_index_step,
+        ivf_retrain,
+        ivf_store_init,
+        ivf_store_meta,
+    )
+    from willa_spark.streaming.store import store_read
+
+    mk = lambda rs: spark.createDataFrame(rs, "vec_id bigint, embedding array<double>")
+    vs = _vecs(12, 21)
+    root = os.path.join(str(tmp_path), "ivf-mig")
+    ivf_store_init(root, [[1.0] + [0.0] * (DIM - 1), [0.0, 1.0] + [0.0] * (DIM - 2)])
+    index = ivf_gen_index_step(root)
+    index(mk([(i, vs[i]) for i in range(4)]), 0)
+    index(mk([(i, vs[i]) for i in range(4, 8)]), 1)
+    # batch 2 commits to the old generation AFTER the watermark the
+    # retrain will use (the index stream ran on during the rebuild)
+    index(mk([(i, vs[i]) for i in range(8, 12)]), 2)
+
+    ivf_retrain(spark, root, up_to_batch=2, n_centroids=2, n_iters=2)
+    gen1 = os.path.join(root, "gen=1")
+    assert store_read(spark, gen1).count() == 12  # 8 rebuilt + 4 migrated
+    from willa_spark.streaming.store import store_partitions
+
+    assert store_partitions(gen1) == [1, 2]  # rebuilt blob + migrated batch
+    # migrated cells use the NEW quantizer: every cell id < n_centroids
+    cells = {r["cell"] for r in store_read(spark, gen1).select("cell").collect()}
+    assert cells <= {0, 1}
+    # a replay of the migrated batch overwrites its own partition
+    index(mk([(i, vs[i]) for i in range(8, 12)]), 2)
+    assert store_read(spark, gen1).count() == 12
+
+    # generation guard: a swap landing between a batch's meta read and
+    # its append must fail the batch for replay
+    real_append = ann_mod.store_append
+
+    def swap_mid_batch(df, path, batch_id, **kw):
+        real_append(df, path, batch_id, **kw)
+        meta = ivf_store_meta(root)
+        ann_mod._write_ivf_meta(root, meta["generation"] + 1, meta["centroids"])
+
+    try:
+        ann_mod.store_append = swap_mid_batch
+        with pytest.raises(RuntimeError, match="generation changed"):
+            index(mk([(100, vs[0])]), 3)
+    finally:
+        ann_mod.store_append = real_append
+
+
 def test_streaming_embedding_dedup_congruity(spark, tmp_path):
     """Exact-copy vectors planted across and within micro-batches: the
     streaming first-seen policy equals the batch min-id canonical —

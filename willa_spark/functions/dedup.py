@@ -513,6 +513,16 @@ def winnow_overlap_pairs(
         fp = raw.join(rare.select("fp"), "fp", "left_semi").persist()
         fp.count()
         raw.unpersist()  # capped frame materialized; release the raw pass
+    return winnow_pair_counts(fp).withColumnRenamed(
+        "n_shared", "n_shared_fingerprints"
+    )
+
+
+def winnow_pair_counts(fp: DataFrame) -> DataFrame:
+    """The fingerprint self-join kernel shared by the batch report
+    operator and the streaming containment step: (id_a < id_b,
+    n_shared) over an (id, fp) frame — an equi-join on the 8-byte
+    fingerprint value, volume ∝ collisions."""
     l, r = fp.alias("l"), fp.alias("r")
     return (
         l.join(
@@ -520,7 +530,7 @@ def winnow_overlap_pairs(
             (F.col("l.fp") == F.col("r.fp")) & (F.col("l.id") < F.col("r.id")),
         )
         .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared_fingerprints"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
     )
 
 

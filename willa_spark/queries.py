@@ -1274,16 +1274,12 @@ def q_hash_family_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + F.lit(OFF)).alias("doc_id"),
         planted_text.alias("text"),
     )
-    # fingerprint ONLY the pair members (sources + planted) — the
-    # standalone winnow_overlap_pairs query covers the corpus-wide
-    # join; this row proves the guarantee on the planted pairs
+    # fingerprint ONLY the pair members (sources + planted) via the
+    # shared frame builder — the standalone winnow_overlap_pairs query
+    # covers the corpus-wide join; this row proves the guarantee on
+    # the planted pairs
     def fps(frame):
-        return frame.select(
-            "doc_id",
-            F.explode(
-                TXT.winnow_fingerprints(F.col("text"), k=WK, window=WW)
-            ).alias("fp"),
-        )
+        return D.winnow_fingerprint_frame(frame, k=WK, window=WW)
 
     wn_pairs = (
         fps(wn_eligible)
@@ -1291,11 +1287,11 @@ def q_hash_family_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             fps(wn_planted_docs).alias("r"),
             (F.col("l.fp") == F.col("r.fp"))
-            & (F.col("r.doc_id") == F.col("l.doc_id") + OFF),
+            & (F.col("r.id") == F.col("l.id") + OFF),
         )
     )
     wn_found = wn_pairs.agg(
-        F.count_distinct(F.col("l.doc_id")).alias("n_found")
+        F.count_distinct(F.col("l.id")).alias("n_found")
     )
     wn_planted = wn_eligible.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_planted")

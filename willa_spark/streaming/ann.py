@@ -284,6 +284,20 @@ def ivf_gen_index_step(
             batch_df, meta["centroids"], id_col=id_col, vec_col=vec_col
         )
         store_append(idx, _ivf_gen_dir(root, meta["generation"]), batch_id)
+        # generation guard: if a retrain swapped the meta between this
+        # batch's read and its append, the rows just written carry the
+        # OLD centroids' cell ids in an obsolete generation — fail the
+        # micro-batch so Structured Streaming replays it against the
+        # new generation (the orphan partition in the old generation is
+        # harmless; replays are idempotent per generation). This turns
+        # the index-during-retrain race into a clean retry instead of
+        # silently lost vectors.
+        if ivf_store_meta(root)["generation"] != meta["generation"]:
+            raise RuntimeError(
+                f"IVF generation changed during batch {batch_id} "
+                f"(retrain swap mid-batch) — failing for replay against "
+                f"the new generation"
+            )
 
     return step
 
@@ -345,18 +359,31 @@ def ivf_retrain(
       to ~``sample_cap`` rows — one count + one filtered pass, never a
       full collect; the k-means itself only ever collects centroids).
     - The rebuild reads rows with ``ingest_batch < up_to_batch``
-      (``up_to_batch`` must be the committed watermark — see module
-      note) and lands them as one partition ``ingest_batch =
-      up_to_batch - 1`` of ``gen+1``, so strictly-prior semantics keep
-      working for any later dedup-style probe and a replayed batch
-      appends its own partition without overlap.
+      (``up_to_batch`` must be at or below the committed watermark —
+      see module note) and lands them as one partition ``ingest_batch
+      = up_to_batch - 1`` of ``gen+1``; batches that committed to the
+      old generation AT OR AFTER ``up_to_batch`` during/before the
+      rebuild are then MIGRATED per-partition (cells recomputed under
+      the new centroids, original batch ids kept) so nothing committed
+      is lost and a replay still overwrites exactly its own partition.
+      A batch racing the swap itself is caught by the generation guard
+      in ``ivf_gen_index_step`` and replayed into the new generation.
+    - A stale ``gen+1`` directory from a retrain that crashed before
+      its meta swap is cleared before rebuilding (meta still names the
+      old generation, so the stale rebuild was never visible).
     - Serving flips at the meta ``os.replace``; ``drop_old`` deletes
-      the previous generation's directory afterwards (retention)."""
+      the previous generation's directory afterwards. Only set it when
+      no probe micro-batch can still be mid-flight against the old
+      generation (e.g. the probe stream is paused, or after one full
+      trigger interval) — a probe that read the meta pre-swap scans
+      the old directory lazily and would fail mid-job if it vanishes.
+      Default False: retire old generations out-of-band."""
     from ..functions.similarity import train_centroids
 
     meta = ivf_store_meta(root)
     old_gen = meta["generation"]
-    vecs = store_read(spark, _ivf_gen_dir(root, old_gen), before_batch=up_to_batch)
+    old_dir = _ivf_gen_dir(root, old_gen)
+    vecs = store_read(spark, old_dir, before_batch=up_to_batch)
     if vecs is None:
         raise RuntimeError(
             f"IVF store at {root} gen={old_gen} has no data to retrain on"
@@ -378,11 +405,46 @@ def ivf_retrain(
     )
 
     new_gen = old_gen + 1
+    new_dir = _ivf_gen_dir(root, new_gen)
+    if os.path.isdir(new_dir):
+        # a retrain that crashed before its swap left an uncommitted
+        # rebuild; a partial partition here would survive store_append's
+        # per-partition overwrite and duplicate rows after this swap
+        shutil.rmtree(new_dir)
     rebuilt = ivf_index_frame(vecs, centroids, id_col="id", vec_col="vec")
-    store_append(rebuilt, _ivf_gen_dir(root, new_gen), up_to_batch - 1)
+    store_append(rebuilt, new_dir, up_to_batch - 1)
+
+    # Migrate batches the index stream committed to the old generation
+    # at/after the watermark while we were rebuilding: recompute their
+    # cells under the NEW centroids, one partition each (replay-safe).
+    def migrate_stragglers() -> None:
+        from .store import store_partitions
+
+        for b in store_partitions(old_dir):
+            if b >= up_to_batch:
+                part = spark.read.parquet(
+                    os.path.join(old_dir, f"ingest_batch={b}")
+                ).select("id", "vec")
+                store_append(
+                    ivf_index_frame(
+                        part, centroids, id_col="id", vec_col="vec"
+                    ),
+                    new_dir,
+                    b,
+                )
+
+    # One pass before the swap (bulk) and one after: a batch appending
+    # to the old generation AFTER the post-swap pass lists it
+    # necessarily appended after the swap, so its generation guard
+    # fires and the replay lands in the new generation — together the
+    # two passes + the guard cover every interleaving (a batch caught
+    # by BOTH the pass and the guard just overwrites its own partition
+    # with identical content: idempotent).
+    migrate_stragglers()
     _write_ivf_meta(root, new_gen, centroids)  # serving flips HERE
+    migrate_stragglers()
     if drop_old:
-        shutil.rmtree(_ivf_gen_dir(root, old_gen), ignore_errors=True)
+        shutil.rmtree(old_dir, ignore_errors=True)
     return new_gen
 
 

@@ -41,7 +41,7 @@ from ..functions.corpus import dup_line_metrics, gopher_keep, repetition_metrics
 from ..functions.curation import contamination_report, pii_redact
 from ..functions.dedup import dup_clusters, keep_canonical
 from ..functions.dedup import minhash_candidate_pairs, verified_near_dups
-from .near_dedup import minhash_dedup_step
+from .near_dedup import _maybe_compact, minhash_dedup_step
 from .store import store_append
 
 # repetition-screen ceilings (Gopher §A1.1 table A1 uses a family of
@@ -106,6 +106,7 @@ def corpus_curation_step(
     id_col: str = "doc_id",
     text_col: str = "text",
     compact_every: int | None = None,
+    compact_output: bool = False,
 ) -> Callable[[DataFrame, int], DataFrame]:
     """The composed foreachBatch step; returns
     ``(batch_df, batch_id) -> admitted_df`` (id + redacted text). Wire
@@ -120,7 +121,14 @@ def corpus_curation_step(
     ``compact_every=N`` applies the store retention policy to the
     dedup signature stores every N batches (near_dedup._maybe_compact)
     — without it a long-running ingestion stream accumulates one
-    partition directory per micro-batch forever.
+    partition directory per micro-batch forever. ``compact_output``
+    extends the same cadence to ``out_dir`` — usually the LARGEST
+    store (full redacted text). Opt-in because compaction relabels
+    merged partitions to the highest merged batch id: safe for any
+    consumer that reads the corpus as a whole, but a downstream reader
+    incrementally consuming by ``ingest_batch`` high-water mark would
+    see already-consumed ids reused. Leave False if such a consumer
+    exists and retire output partitions out-of-band instead.
     """
     dedup = minhash_dedup_step(
         dedup_store_dir,
@@ -134,6 +142,10 @@ def corpus_curation_step(
     )
 
     def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        if out_dir is not None and compact_output:
+            _maybe_compact(
+                batch_df.sparkSession, [out_dir], batch_id, compact_every
+            )
         clean = _screen_and_redact(batch_df, id_col, text_col)
         clean = _decontaminate(
             clean, eval_grams, decontam_n, decontam_max_hits, id_col, text_col

@@ -60,6 +60,7 @@ from ..functions.dedup import (
     minhash_signature_frame,
     simhash_block_frame,
     winnow_fingerprint_frame,
+    winnow_pair_counts,
     with_simhash,
 )
 
@@ -379,17 +380,8 @@ def winnow_dedup_step(
                 cross_drop, fpb["id"] == F.col("__drop"), "left_anti"
             ).persist()
 
-        l, r = pruned.alias("l"), pruned.alias("r")
         within_pairs = (
-            l.join(
-                r,
-                (F.col("l.fp") == F.col("r.fp"))
-                & (F.col("l.id") < F.col("r.id")),
-            )
-            .groupBy(
-                F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b")
-            )
-            .agg(F.count(F.lit(1)).alias("n_shared"))
+            winnow_pair_counts(pruned)
             .filter(F.col("n_shared") >= min_shared)
             .select("id_a", "id_b")
         )

@@ -96,8 +96,13 @@ def store_append(df: DataFrame, path: str, batch_id: int, max_files: int = 4) ->
     session's shuffle-partition count as near-empty files (the
     round-robin repartition costs one small exchange of the batch's
     admitted rows and keeps upstream join parallelism intact, unlike a
-    coalesce that would propagate into the producing stages)."""
-    df.repartition(max_files).write.mode("overwrite").parquet(
+    coalesce that would propagate into the producing stages). Frames
+    already at or under the clamp skip the exchange entirely — and a
+    caller with genuinely large batches should raise ``max_files``
+    rather than let 4 tasks serialize the write stage."""
+    if df.rdd.getNumPartitions() > max_files:
+        df = df.repartition(max_files)
+    df.write.mode("overwrite").parquet(
         os.path.join(path, f"ingest_batch={batch_id}")
     )
 
@@ -112,6 +117,18 @@ def store_partitions(path: str) -> list[int]:
         if m and os.path.isdir(os.path.join(path, name)):
             out.append(int(m.group(1)))
     return sorted(out)
+
+
+def _dir_bytes(path: str, batch: int) -> int:
+    d = os.path.join(path, f"ingest_batch={batch}")
+    total = 0
+    for root, _dirs, files in os.walk(d):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
 
 
 def _finish_pending_compaction(path: str) -> None:
@@ -164,12 +181,31 @@ def store_compact(spark, path: str, up_to_batch: int, max_files: int = 4) -> int
     results before and after compaction are identical (pinned by
     tests).
 
+    Tiered, not monolithic: the single largest eligible partition is
+    EXCLUDED from the merge while it holds more than twice the other
+    eligible partitions' combined bytes (a dominance it only has as
+    the historical mega-partition). Re-merging that partition on every call
+    would make cumulative compaction I/O quadratic in stream length
+    (each periodic call re-reads everything ever ingested); under this
+    rule small tail partitions fold together cheaply each round and
+    the big partition is only rewritten once the accumulated tail
+    rivals it — the classic size-tiered amortization. Correctness is
+    unaffected: merged rows get the label ``max(merged ids)`` which
+    stays strictly below ``up_to_batch``, so every live probe
+    (``ingest_batch < b`` with ``b >= up_to_batch``) sees exactly the
+    same rows whether or not the big partition joined the merge.
+
     Crash-safe: completes any pending swap first, stages the merged
     rows under an underscore-prefixed temp dir invisible to partition
     discovery, and only deletes source partitions after a manifest
     records the swap; readers fail loud while the manifest exists."""
     _finish_pending_compaction(path)
     merged = [b for b in store_partitions(path) if b < up_to_batch]
+    if len(merged) > 1:
+        sizes = {b: _dir_bytes(path, b) for b in merged}
+        biggest = max(merged, key=lambda b: sizes[b])
+        if sizes[biggest] > 2 * (sum(sizes.values()) - sizes[biggest]):
+            merged = [b for b in merged if b != biggest]
     if len(merged) <= 1:
         return 0
     dest = max(merged)
@@ -177,7 +213,7 @@ def store_compact(spark, path: str, up_to_batch: int, max_files: int = 4) -> int
     if os.path.isdir(tmp):  # stale stage from a pre-manifest crash
         shutil.rmtree(tmp)
     rows = spark.read.parquet(path).filter(
-        F.col("ingest_batch") < up_to_batch
+        F.col("ingest_batch").isin(merged)
     ).drop("ingest_batch")
     rows.repartition(max_files).write.mode("overwrite").parquet(tmp)
 
