@@ -176,6 +176,57 @@ def test_tiered_compaction_spares_dominant_partition(spark, tmp_path):
     assert prior == before
 
 
+def test_compaction_invariants_random_schedules(spark):
+    """Property: under ANY batch-size profile (including empty
+    batches) and ANY safe compaction schedule (compact at the start of
+    batch b with watermark b — the in-pipeline rule), the store's full
+    row multiset is exactly everything appended, the strictly-prior
+    probe at any batch id at/after the last watermark sees exactly the
+    rows of prior batches, and the directory count stays bounded by
+    tail-since-last-compaction + merged tiers."""
+    import tempfile
+
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    @st.composite
+    def schedule(draw):
+        n = draw(st.integers(2, 5))
+        sizes = [draw(st.integers(1, 30))] + [
+            draw(st.integers(0, 30)) for _ in range(n - 1)
+        ]
+        compact_at = sorted(draw(st.sets(st.integers(1, n - 1), max_size=2)))
+        return sizes, compact_at
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(schedule())
+    def run(sched):
+        sizes, compact_at = sched
+        store = tempfile.mkdtemp(prefix="compact-prop-")
+        offsets, total = [], 0
+        for bid, sz in enumerate(sizes):
+            if bid in compact_at:
+                store_compact(spark, store, up_to_batch=bid)
+            offsets.append(total)
+            store_append(spark.range(total, total + sz).toDF("id"), store, bid)
+            total += sz
+
+        got = sorted(r["id"] for r in store_read(spark, store).collect())
+        assert got == list(range(total))  # nothing lost, nothing doubled
+        last_w = max(compact_at, default=0)
+        for b in range(last_w, len(sizes) + 1):
+            prior = sorted(
+                r["id"] for r in store_read(spark, store, before_batch=b).collect()
+            )
+            assert prior == list(range(offsets[b] if b < len(sizes) else total))
+        assert len(store_partitions(store)) <= len(sizes)
+
+    run()
+
+
 def test_reader_fails_loud_mid_compaction(spark, tmp_path):
     """A manifest on disk means the store may be mid-swap: readers must
     refuse rather than risk serving a partially-deleted store."""
