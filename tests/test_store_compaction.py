@@ -16,6 +16,7 @@ from willa_spark.streaming.store import (
     store_append,
     store_compact,
     store_partitions,
+    store_prune,
     store_read,
 )
 
@@ -225,6 +226,56 @@ def test_compaction_invariants_random_schedules(spark):
         assert len(store_partitions(store)) <= len(sizes)
 
     run()
+
+
+def test_sorted_store_clusters_key_within_files(spark, tmp_path):
+    """sort_by must actually cluster the key so parquet row-group
+    min/max statistics can prune probe scans: every written file's key
+    column is non-decreasing, and the clustering survives compaction."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    store = os.path.join(str(tmp_path), "sorted")
+
+    # (id, bucket) frames with scattered bucket values
+    def frame(lo, hi):
+        return spark.range(lo, hi).toDF("id").withColumn(
+            "bucket", (F.col("id") * 37 % 11).cast("long")
+        )
+
+    store_append(frame(0, 500), store, 0, max_files=2, sort_by="bucket")
+    store_append(frame(500, 600), store, 1, max_files=2, sort_by="bucket")
+
+    def assert_clustered():
+        for f in glob.glob(os.path.join(store, "ingest_batch=*", "*.parquet")):
+            vals = pq.read_table(f, columns=["bucket"])["bucket"].to_pylist()
+            assert vals == sorted(vals), f"unsorted file {f}"
+
+    assert_clustered()
+    store_compact(spark, store, up_to_batch=2, sort_by="bucket")
+    assert store_partitions(store) == [1] or store_partitions(store) == [0, 1]
+    assert_clustered()
+    assert store_read(spark, store).count() == 600
+
+
+def test_store_prune_drops_old_partitions(spark, tmp_path):
+    """TTL retention: partitions below the cutoff are deleted whole;
+    strictly-prior probes then see only the surviving window (the
+    documented bounded-memory dedup trade)."""
+    store = os.path.join(str(tmp_path), "pruned")
+    for bid in range(4):
+        store_append(spark.range(10 * bid, 10 * bid + 10).toDF("id"), store, bid)
+    removed = store_prune(store, before_batch=2)
+    assert removed == 2
+    assert store_partitions(store) == [2, 3]
+    assert {r["id"] for r in store_read(spark, store).collect()} == set(range(20, 40))
+    # refuses mid-compaction, like readers
+    with open(os.path.join(store, "_compact_manifest.json"), "w") as f:
+        json.dump({"merged": [2], "dest": 2}, f)
+    with pytest.raises(RuntimeError, match="unfinished compaction"):
+        store_prune(store, before_batch=3)
 
 
 def test_reader_fails_loud_mid_compaction(spark, tmp_path):

@@ -14,12 +14,19 @@ from .ann import (
 )
 from .corpus_pipeline import corpus_curation_batch, corpus_curation_step
 from .near_dedup import minhash_dedup_step, simhash_dedup_step, winnow_dedup_step
-from .store import store_append, store_compact, store_partitions, store_read
+from .store import (
+    store_append,
+    store_compact,
+    store_partitions,
+    store_prune,
+    store_read,
+)
 
 __all__ = [
     "store_append",
     "store_compact",
     "store_partitions",
+    "store_prune",
     "store_read",
     "corpus_curation_batch",
     "corpus_curation_step",

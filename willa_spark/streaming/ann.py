@@ -104,7 +104,7 @@ def lsh_index_step(
             id_col=cfg.id_col,
             vec_col=cfg.vec_col,
         )
-        store_append(idx, store_dir, batch_id)
+        store_append(idx, store_dir, batch_id, sort_by="bucket")
 
     return step
 
@@ -165,7 +165,7 @@ def ivf_index_step(
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         idx = ivf_index_frame(batch_df, centroids, id_col=id_col, vec_col=vec_col)
-        store_append(idx, store_dir, batch_id)
+        store_append(idx, store_dir, batch_id, sort_by="cell")
 
     return step
 
@@ -283,7 +283,9 @@ def ivf_gen_index_step(
         idx = ivf_index_frame(
             batch_df, meta["centroids"], id_col=id_col, vec_col=vec_col
         )
-        store_append(idx, _ivf_gen_dir(root, meta["generation"]), batch_id)
+        store_append(
+            idx, _ivf_gen_dir(root, meta["generation"]), batch_id, sort_by="cell"
+        )
         # generation guard: if a retrain swapped the meta between this
         # batch's read and its append, the rows just written carry the
         # OLD centroids' cell ids in an obsolete generation — fail the
@@ -412,7 +414,7 @@ def ivf_retrain(
         # per-partition overwrite and duplicate rows after this swap
         shutil.rmtree(new_dir)
     rebuilt = ivf_index_frame(vecs, centroids, id_col="id", vec_col="vec")
-    store_append(rebuilt, new_dir, up_to_batch - 1)
+    store_append(rebuilt, new_dir, up_to_batch - 1, sort_by="cell")
 
     # Migrate batches the index stream committed to the old generation
     # at/after the watermark while we were rebuilding: recompute their
@@ -431,6 +433,7 @@ def ivf_retrain(
                     ),
                     new_dir,
                     b,
+                    sort_by="cell",
                 )
 
     # One pass before the swap (bulk) and one after: a batch appending
@@ -523,7 +526,7 @@ def embedding_dedup_step(
         admitted = pruned.join(
             drops, pruned["id"] == F.col("__drop"), "left_anti"
         )
-        store_append(admitted, store_dir, batch_id)
+        store_append(admitted, store_dir, batch_id, sort_by="bucket")
         pruned.unpersist()
         return batch_df.join(
             drops, batch_df[id_col] == F.col("__drop"), "left_anti"

@@ -304,6 +304,7 @@ def minhash_dedup_step(
             banded_signature_frame(admitted_sigs, num_hashes, num_bands),
             band_store_dir,
             batch_id,
+            sort_by="band_hash",
         )
         admitted_sigs.unpersist()
         if sig_left is not sig:

@@ -89,22 +89,59 @@ def store_read(spark, path: str, before_batch: int | None = None) -> DataFrame |
     return df.drop("ingest_batch")
 
 
-def store_append(df: DataFrame, path: str, batch_id: int, max_files: int = 4) -> None:
+def store_append(
+    df: DataFrame,
+    path: str,
+    batch_id: int,
+    max_files: int = 4,
+    sort_by: str | None = None,
+) -> None:
     """Write this batch's partition idempotently: a retry overwrites
     exactly its own ``ingest_batch=<id>`` directory. Output is clamped
     to ``max_files`` shards so tiny micro-batches don't inherit the
     session's shuffle-partition count as near-empty files (the
-    round-robin repartition costs one small exchange of the batch's
-    admitted rows and keeps upstream join parallelism intact, unlike a
-    coalesce that would propagate into the producing stages). Frames
-    already at or under the clamp skip the exchange entirely — and a
-    caller with genuinely large batches should raise ``max_files``
-    rather than let 4 tasks serialize the write stage."""
-    if df.rdd.getNumPartitions() > max_files:
+    repartition costs one small exchange of the batch's admitted rows
+    and keeps upstream join parallelism intact, unlike a coalesce that
+    would propagate into the producing stages). Frames already at or
+    under the clamp skip the exchange entirely — and a caller with
+    genuinely large batches should raise ``max_files`` rather than let
+    4 tasks serialize the write stage.
+
+    ``sort_by`` CLUSTERS the partition on a key column: rows are
+    hash-partitioned then sorted on the key before writing, so
+    parquet row-group min/max statistics actually prune probe scans on
+    that key. This is what makes the ANN stores' "the probe reads only
+    the joined bucket keys' row groups" claim true — an unsorted
+    round-robin layout scatters every bucket across every row group
+    and the statistics prune nothing."""
+    if sort_by is not None:
+        df = df.repartition(max_files, sort_by).sortWithinPartitions(sort_by)
+    elif df.rdd.getNumPartitions() > max_files:
         df = df.repartition(max_files)
     df.write.mode("overwrite").parquet(
         os.path.join(path, f"ingest_batch={batch_id}")
     )
+
+
+def store_prune(path: str, before_batch: int) -> int:
+    """TTL-style retention: DELETE whole partitions with
+    ``ingest_batch < before_batch``. Returns the number removed.
+
+    This is a POLICY operation, not an optimization: pruning a dedup
+    signature store forgets old documents, so duplicates of anything
+    older than the window get re-admitted — the standard
+    bounded-memory windowed-dedup trade (dedup against the last N
+    batches only). Use ``store_compact`` when history must be kept.
+    Deletion is per-partition and monotone, so a crash midway leaves a
+    smaller-but-valid store (no manifest needed); refuses to run
+    mid-compaction for the same reason readers do."""
+    if not os.path.isdir(path):
+        return 0
+    _check_no_pending_compaction(path)
+    victims = [b for b in store_partitions(path) if b < before_batch]
+    for b in victims:
+        shutil.rmtree(os.path.join(path, f"ingest_batch={b}"))
+    return len(victims)
 
 
 def store_partitions(path: str) -> list[int]:
@@ -166,7 +203,13 @@ def _finish_pending_compaction(path: str) -> None:
     os.remove(mpath)
 
 
-def store_compact(spark, path: str, up_to_batch: int, max_files: int = 4) -> int:
+def store_compact(
+    spark,
+    path: str,
+    up_to_batch: int,
+    max_files: int = 4,
+    sort_by: str | None = None,
+) -> int:
     """Bin-pack every ``ingest_batch`` partition STRICTLY BELOW
     ``up_to_batch`` into the single highest such partition directory,
     bounding directory count (and file count, via ``max_files``) on a
@@ -215,7 +258,11 @@ def store_compact(spark, path: str, up_to_batch: int, max_files: int = 4) -> int
     rows = spark.read.parquet(path).filter(
         F.col("ingest_batch").isin(merged)
     ).drop("ingest_batch")
-    rows.repartition(max_files).write.mode("overwrite").parquet(tmp)
+    if sort_by is not None:  # preserve the key clustering (see store_append)
+        rows = rows.repartition(max_files, sort_by).sortWithinPartitions(sort_by)
+    else:
+        rows = rows.repartition(max_files)
+    rows.write.mode("overwrite").parquet(tmp)
 
     mpath = os.path.join(path, _MANIFEST)
     staged = mpath + ".staging"
