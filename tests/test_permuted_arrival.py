@@ -89,15 +89,20 @@ def _expected_first_seen(groups, batches):
 )
 @given(arrival())
 def test_exact_dup_congruity_under_any_arrival(spark, arr):
+    import shutil
+
     groups, batches = arr
     store = tempfile.mkdtemp(prefix="permuted-arrival-")
-    step = minhash_dedup_step(store, threshold=0.8, num_hashes=8, num_bands=4)
-    admitted = []
-    for bid, ids in enumerate(batches):
-        df = spark.createDataFrame(
-            [(i, POOL[groups[i]]) for i in ids], "doc_id bigint, text string"
-        )
-        admitted.extend(r["doc_id"] for r in step(df, bid).collect())
+    try:
+        step = minhash_dedup_step(store, threshold=0.8, num_hashes=8, num_bands=4)
+        admitted = []
+        for bid, ids in enumerate(batches):
+            df = spark.createDataFrame(
+                [(i, POOL[groups[i]]) for i in ids], "doc_id bigint, text string"
+            )
+            admitted.extend(r["doc_id"] for r in step(df, bid).collect())
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
 
     # one representative per group, the predicted one, for ANY order
     expected = _expected_first_seen(groups, batches)

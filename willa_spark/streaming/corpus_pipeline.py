@@ -144,7 +144,7 @@ def corpus_curation_step(
     def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
         if out_dir is not None and compact_output:
             _maybe_compact(
-                batch_df.sparkSession, [out_dir], batch_id, compact_every
+                batch_df.sparkSession, [(out_dir, None)], batch_id, compact_every
             )
         clean = _screen_and_redact(batch_df, id_col, text_col)
         clean = _decontaminate(

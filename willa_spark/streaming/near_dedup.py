@@ -78,16 +78,24 @@ def _drop_within_batch(pairs: DataFrame) -> DataFrame:
     )
 
 
-def _maybe_compact(spark, dirs: list[str], batch_id: int, every: int | None) -> None:
+def _maybe_compact(
+    spark,
+    dirs: list[tuple[str, str | None]],
+    batch_id: int,
+    every: int | None,
+) -> None:
     """In-pipeline retention: at the START of batch ``b`` every batch
     < b is durably committed (foreachBatch replays only the in-flight
     batch), so ``up_to_batch = b`` is always a safe compaction
     watermark — the one contract ``store_compact`` requires. Runs
     every ``every`` batches; a compaction interrupted mid-swap is
-    rolled forward by the next attempt (store.py)."""
+    rolled forward by the next attempt (store.py). Each entry is
+    ``(dir, sort_key)`` — stores written key-clustered MUST compact
+    with the same key or the merge silently destroys the row-group
+    pruning layout."""
     if every and batch_id > 0 and batch_id % every == 0:
-        for d in dirs:
-            store_compact(spark, d, up_to_batch=batch_id)
+        for d, key in dirs:
+            store_compact(spark, d, up_to_batch=batch_id, sort_by=key)
 
 
 def simhash_dedup_step(
@@ -121,7 +129,7 @@ def simhash_dedup_step(
 
     def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
         spark = batch_df.sparkSession
-        _maybe_compact(spark, [store_dir], batch_id, compact_every)
+        _maybe_compact(spark, [(store_dir, None)], batch_id, compact_every)
         sh = with_simhash(
             batch_df.select(F.col(id_col).alias("id"), F.col(text_col)), text_col
         ).select("id", "simhash")
@@ -223,7 +231,10 @@ def minhash_dedup_step(
         spark = batch_df.sparkSession
         _maybe_compact(
             spark,
-            [os.path.join(store_dir, "sigs"), os.path.join(store_dir, "bands")],
+            [
+                (os.path.join(store_dir, "sigs"), None),
+                (os.path.join(store_dir, "bands"), "band_hash"),
+            ],
             batch_id,
             compact_every,
         )
@@ -358,7 +369,7 @@ def winnow_dedup_step(
 
     def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
         spark = batch_df.sparkSession
-        _maybe_compact(spark, [store_dir], batch_id, compact_every)
+        _maybe_compact(spark, [(store_dir, "fp")], batch_id, compact_every)
         fpb = winnow_fingerprint_frame(
             batch_df, k=k, window=window, id_col=id_col, text_col=text_col
         ).persist()
@@ -397,7 +408,7 @@ def winnow_dedup_step(
         admitted_fp = pruned.join(
             drops, pruned["id"] == F.col("__drop"), "left_anti"
         )
-        store_append(admitted_fp, store_dir, batch_id)
+        store_append(admitted_fp, store_dir, batch_id, sort_by="fp")
         if pruned is not fpb:
             pruned.unpersist()
         fpb.unpersist()

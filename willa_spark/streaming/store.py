@@ -141,6 +141,13 @@ def store_prune(path: str, before_batch: int) -> int:
     victims = [b for b in store_partitions(path) if b < before_batch]
     for b in victims:
         shutil.rmtree(os.path.join(path, f"ingest_batch={b}"))
+    if victims and not store_partitions(path):
+        # pruning everything must leave a GENUINELY-missing store, not
+        # an empty directory: spark.read.parquet on a partitionless dir
+        # raises UNABLE_TO_INFER_SCHEMA, which store_read treats (by
+        # design) as a real fault — removing the root restores the
+        # "missing store reads as None" first-batch contract
+        shutil.rmtree(path, ignore_errors=True)
     return len(victims)
 
 
