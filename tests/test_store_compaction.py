@@ -139,9 +139,12 @@ def test_compaction_preserves_ann_results(spark, tmp_path):
 def test_store_append_bounds_output_files(spark, tmp_path):
     """A batch arriving with many partitions must land as at most
     max_files parquet shards — partition-per-batch retention only stays
-    viable if each directory holds a bounded file count. A frame
-    already at or under the clamp skips the exchange (no pointless
-    shuffle, no splitting a 1-partition batch into 4 files)."""
+    viable if each directory holds a bounded file count. The clamp is
+    UNCONDITIONAL: probing the producing plan's partition count first
+    (df.rdd) executes the plan's shuffle stages under AQE and the write
+    then re-runs them — doubling every micro-batch; one small exchange
+    of the batch rows is strictly cheaper, and compaction folds any
+    tiny shards anyway."""
     store = os.path.join(str(tmp_path), "clamped")
     df = spark.range(100).repartition(4).toDF("id")
     store_append(df, store, 0, max_files=2)
@@ -152,7 +155,8 @@ def test_store_append_bounds_output_files(spark, tmp_path):
 
     store_append(spark.range(50).coalesce(1).toDF("id"), store, 1, max_files=4)
     part1 = os.path.join(store, "ingest_batch=1")
-    assert len([f for f in os.listdir(part1) if f.endswith(".parquet")]) == 1
+    assert 0 < len([f for f in os.listdir(part1) if f.endswith(".parquet")]) <= 4
+    assert store_read(spark, store, before_batch=2).count() == 150
 
 
 def test_tiered_compaction_spares_dominant_partition(spark, tmp_path):

@@ -171,3 +171,42 @@ def test_streaming_winnow_containment_dedup(spark, tmp_path):
     )
     kept = D.keep_canonical(full, D.dup_clusters(pairs))
     assert {r["doc_id"] for r in kept.collect()} == got1 | got2
+
+
+def test_minhash_paired_store_prune_and_inconsistency_guard(spark, tmp_path):
+    """The minhash store is two coupled halves (sigs locate nothing,
+    bands verify nothing — each needs the other). Pruning only one
+    half fully (store_prune removes an emptied store root) must fail
+    the next micro-batch LOUDLY instead of silently mis-deduping, and
+    minhash_store_prune must prune both halves together so the stream
+    keeps running with the windowed-dedup semantics."""
+    import pytest
+
+    from willa_spark.streaming.near_dedup import minhash_store_prune
+    from willa_spark.streaming.store import store_partitions, store_prune
+
+    store = os.path.join(str(tmp_path), "store")
+    step = minhash_dedup_step(store, threshold=0.8)
+    step(_mkdocs(spark, BATCH1), 0).collect()
+    step(_mkdocs(spark, BATCH2), 1).collect()
+
+    # coupled prune: both halves lose the same partitions, stream continues
+    assert minhash_store_prune(store, before_batch=1) == 1
+    assert store_partitions(os.path.join(store, "sigs")) == [1]
+    assert store_partitions(os.path.join(store, "bands")) == [1]
+    # doc 13 still dups doc 6's signature (admitted in the RETAINED
+    # batch 1); copies of batch-0 docs (1 and 2 — doc 5's T[2] copy was
+    # dropped in batch 1, so T[2] lived only in the pruned partition)
+    # are re-admitted: the documented windowed-dedup forgetting trade
+    got = {
+        r["doc_id"]
+        for r in step(
+            _mkdocs(spark, [(9, T[2]), (11, T[1]), (13, T[6])]), 2
+        ).collect()
+    }
+    assert got == {9, 11}
+
+    # inconsistent halves (sigs fully pruned, bands left) fail loud
+    store_prune(os.path.join(store, "sigs"), before_batch=10)
+    with pytest.raises(RuntimeError, match="inconsistent"):
+        step(_mkdocs(spark, [(12, T[3])]), 3)

@@ -502,16 +502,22 @@ def winnow_overlap_pairs(
     collisions, never all-pairs."""
     fp = winnow_fingerprint_frame(
         df, k=k, window=window, id_col=id_col, text_col=text_col
-    ).persist()
+    )
     if df_cap is not None:
-        raw = fp
+        raw = fp.persist()
         rare = (
             raw.groupBy("fp")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") <= df_cap)
         )
-        fp = raw.join(rare.select("fp"), "fp", "left_semi").persist()
-        fp.count()
+        fp = raw.join(rare.select("fp"), "fp", "left_semi")
+    # pin the (capped) fingerprint frame eagerly so (a) the self-join's
+    # two scans don't each recompute the winnowing pass and (b) no
+    # CacheManager entry outlives this call — checkpoint blocks are
+    # released by the ContextCleaner once the caller drops the result,
+    # unlike a .persist() the caller has no handle to release
+    fp = fp.localCheckpoint(eager=True)
+    if df_cap is not None:
         raw.unpersist()  # capped frame materialized; release the raw pass
     return winnow_pair_counts(fp).withColumnRenamed(
         "n_shared", "n_shared_fingerprints"

@@ -13,10 +13,16 @@ from .ann import (
     lsh_probe_step,
 )
 from .corpus_pipeline import corpus_curation_batch, corpus_curation_step
-from .near_dedup import minhash_dedup_step, simhash_dedup_step, winnow_dedup_step
+from .near_dedup import (
+    minhash_dedup_step,
+    minhash_store_prune,
+    simhash_dedup_step,
+    winnow_dedup_step,
+)
 from .store import (
     store_append,
     store_compact,
+    store_compact_every,
     store_partitions,
     store_prune,
     store_read,
@@ -25,6 +31,7 @@ from .store import (
 __all__ = [
     "store_append",
     "store_compact",
+    "store_compact_every",
     "store_partitions",
     "store_prune",
     "store_read",
@@ -44,6 +51,7 @@ __all__ = [
     "lsh_index_step",
     "lsh_probe_step",
     "minhash_dedup_step",
+    "minhash_store_prune",
     "simhash_dedup_step",
     "winnow_dedup_step",
 ]

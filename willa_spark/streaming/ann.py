@@ -280,12 +280,15 @@ def ivf_gen_index_step(
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         meta = ivf_store_meta(root)
-        idx = ivf_index_frame(
-            batch_df, meta["centroids"], id_col=id_col, vec_col=vec_col
-        )
-        store_append(
-            idx, _ivf_gen_dir(root, meta["generation"]), batch_id, sort_by="cell"
-        )
+        # delegate to the frozen-centroid step against the current
+        # generation's directory — one implementation of the index
+        # append for both lifecycles
+        ivf_index_step(
+            _ivf_gen_dir(root, meta["generation"]),
+            meta["centroids"],
+            id_col=id_col,
+            vec_col=vec_col,
+        )(batch_df, batch_id)
         # generation guard: if a retrain swapped the meta between this
         # batch's read and its append, the rows just written carry the
         # OLD centroids' cell ids in an obsolete generation — fail the
@@ -320,26 +323,20 @@ def ivf_gen_probe_step(
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         meta = ivf_store_meta(root)
-        idx = store_read(
-            batch_df.sparkSession, _ivf_gen_dir(root, meta["generation"])
-        )
-        if idx is None:
-            idx = batch_df.sparkSession.createDataFrame(
-                [], f"id {id_type}, vec array<double>, cell int"
-            )
-        sink(
-            ivf_probe_topk(
-                idx,
-                batch_df,
-                meta["centroids"],
-                k=k,
-                n_probe=n_probe,
-                id_col=id_col,
-                query_id_col=query_id_col,
-                query_vec_col=query_vec_col,
-            ),
-            batch_id,
-        )
+        # delegate to the frozen-centroid probe against the current
+        # generation's directory — empty-index synthesis, probe, and
+        # sink wiring live in exactly one place
+        ivf_probe_step(
+            _ivf_gen_dir(root, meta["generation"]),
+            meta["centroids"],
+            sink,
+            k=k,
+            n_probe=n_probe,
+            id_col=id_col,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+            id_type=id_type,
+        )(batch_df, batch_id)
 
     return step
 

@@ -41,8 +41,8 @@ from ..functions.corpus import dup_line_metrics, gopher_keep, repetition_metrics
 from ..functions.curation import contamination_report, pii_redact
 from ..functions.dedup import dup_clusters, keep_canonical
 from ..functions.dedup import minhash_candidate_pairs, verified_near_dups
-from .near_dedup import _maybe_compact, minhash_dedup_step
-from .store import store_append
+from .near_dedup import minhash_dedup_step
+from .store import store_append, store_compact_every
 
 # repetition-screen ceilings (Gopher §A1.1 table A1 uses a family of
 # per-n thresholds; one representative pair + the line screen here)
@@ -119,16 +119,25 @@ def corpus_curation_step(
     ``eval_grams`` must be a static (batch) DataFrame with a ``gram``
     column — build it once with ``curation.eval_ngrams``.
     ``compact_every=N`` applies the store retention policy to the
-    dedup signature stores every N batches (near_dedup._maybe_compact)
+    dedup signature stores every N batches (store.store_compact_every)
     — without it a long-running ingestion stream accumulates one
     partition directory per micro-batch forever. ``compact_output``
     extends the same cadence to ``out_dir`` — usually the LARGEST
-    store (full redacted text). Opt-in because compaction relabels
-    merged partitions to the highest merged batch id: safe for any
-    consumer that reads the corpus as a whole, but a downstream reader
-    incrementally consuming by ``ingest_batch`` high-water mark would
-    see already-consumed ids reused. Leave False if such a consumer
-    exists and retire output partitions out-of-band instead.
+    store (full redacted text). Opt-in, for two reasons:
+
+    - compaction relabels merged partitions to the highest merged
+      batch id, so a downstream reader incrementally consuming by
+      ``ingest_batch`` high-water mark would see already-consumed ids
+      reused;
+    - the crash-safe swap protocol is enforced by ``store_read``'s
+      manifest check, which plain ``spark.read.parquet(out_dir)``
+      consumers bypass: during the swap window (source partitions
+      deleted, merged rows still staged under the underscore-prefixed
+      temp dir that partition discovery ignores) such a reader gets a
+      SUCCESSFUL frame silently missing the merged batches. Enable
+      only when every consumer reads through ``store_read`` (or a
+      table format with atomic commits fronts the directory); leave
+      False otherwise and retire output partitions out-of-band.
     """
     dedup = minhash_dedup_step(
         dedup_store_dir,
@@ -143,7 +152,7 @@ def corpus_curation_step(
 
     def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
         if out_dir is not None and compact_output:
-            _maybe_compact(
+            store_compact_every(
                 batch_df.sparkSession, [(out_dir, None)], batch_id, compact_every
             )
         clean = _screen_and_redact(batch_df, id_col, text_col)

@@ -65,7 +65,7 @@ from ..functions.dedup import (
 )
 
 
-from .store import store_append, store_compact, store_read
+from .store import store_append, store_compact_every, store_prune, store_read
 
 
 def _drop_within_batch(pairs: DataFrame) -> DataFrame:
@@ -78,24 +78,16 @@ def _drop_within_batch(pairs: DataFrame) -> DataFrame:
     )
 
 
-def _maybe_compact(
-    spark,
-    dirs: list[tuple[str, str | None]],
-    batch_id: int,
-    every: int | None,
-) -> None:
-    """In-pipeline retention: at the START of batch ``b`` every batch
-    < b is durably committed (foreachBatch replays only the in-flight
-    batch), so ``up_to_batch = b`` is always a safe compaction
-    watermark — the one contract ``store_compact`` requires. Runs
-    every ``every`` batches; a compaction interrupted mid-swap is
-    rolled forward by the next attempt (store.py). Each entry is
-    ``(dir, sort_key)`` — stores written key-clustered MUST compact
-    with the same key or the merge silently destroys the row-group
-    pruning layout."""
-    if every and batch_id > 0 and batch_id % every == 0:
-        for d, key in dirs:
-            store_compact(spark, d, up_to_batch=batch_id, sort_by=key)
+def minhash_store_prune(store_dir: str, before_batch: int) -> int:
+    """TTL-prune BOTH halves of a minhash store (``sigs/`` +
+    ``bands/``) together. The two halves are coupled — bands locate
+    candidates, sigs verify them — so pruning one without the other
+    leaves the store inconsistent (``minhash_dedup_step`` fails loud on
+    that state rather than silently mis-deduping). Same windowed-dedup
+    policy trade as ``store_prune``."""
+    n = store_prune(os.path.join(store_dir, "sigs"), before_batch)
+    store_prune(os.path.join(store_dir, "bands"), before_batch)
+    return n
 
 
 def simhash_dedup_step(
@@ -117,7 +109,7 @@ def simhash_dedup_step(
     and block rows are derived at probe time (pure column ops).
     Verification is EXACT hamming, so streaming and batch apply the
     identical radius. ``compact_every=N`` bin-packs committed store
-    partitions every N batches (see ``_maybe_compact``) so a
+    partitions every N batches (see ``store_compact_every``) so a
     long-running stream's directory count stays bounded."""
     if num_blocks is None:
         num_blocks = max_hamming + 1
@@ -129,7 +121,7 @@ def simhash_dedup_step(
 
     def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
         spark = batch_df.sparkSession
-        _maybe_compact(spark, [(store_dir, None)], batch_id, compact_every)
+        store_compact_every(spark, [(store_dir, None)], batch_id, compact_every)
         sh = with_simhash(
             batch_df.select(F.col(id_col).alias("id"), F.col(text_col)), text_col
         ).select("id", "simhash")
@@ -229,7 +221,7 @@ def minhash_dedup_step(
 
     def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
         spark = batch_df.sparkSession
-        _maybe_compact(
+        store_compact_every(
             spark,
             [
                 (os.path.join(store_dir, "sigs"), None),
@@ -250,11 +242,23 @@ def minhash_dedup_step(
         band_store_dir = os.path.join(store_dir, "bands")
         cross_drop = None
         st_bands = store_read(spark, band_store_dir, before_batch=batch_id)
+        st_sigs_raw = store_read(spark, sig_store_dir, before_batch=batch_id)
+        if (st_bands is None) != (st_sigs_raw is None):
+            # the two halves are coupled (bands locate, sigs verify);
+            # one missing with the other present means a caller pruned
+            # them independently (store_prune removes a fully-emptied
+            # store root) — deduping from that state would silently
+            # miss or mis-verify candidates. minhash_store_prune
+            # removes both halves together.
+            raise RuntimeError(
+                f"minhash store at {store_dir} is inconsistent: "
+                f"{'bands' if st_sigs_raw is None else 'sigs'} half exists "
+                f"but the other is missing — prune both halves together "
+                f"(minhash_store_prune)"
+            )
         if st_bands is not None:
             bands = banded_signature_frame(sig, num_hashes, num_bands)
-            st_sigs = store_read(
-                spark, sig_store_dir, before_batch=batch_id
-            ).select(F.col("id").alias("__st_id"), *hcols)
+            st_sigs = st_sigs_raw.select(F.col("id").alias("__st_id"), *hcols)
             cand = (
                 bands.join(
                     st_bands.select(
@@ -369,7 +373,7 @@ def winnow_dedup_step(
 
     def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
         spark = batch_df.sparkSession
-        _maybe_compact(spark, [(store_dir, "fp")], batch_id, compact_every)
+        store_compact_every(spark, [(store_dir, "fp")], batch_id, compact_every)
         fpb = winnow_fingerprint_frame(
             batch_df, k=k, window=window, id_col=id_col, text_col=text_col
         ).persist()

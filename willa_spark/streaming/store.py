@@ -102,10 +102,15 @@ def store_append(
     session's shuffle-partition count as near-empty files (the
     repartition costs one small exchange of the batch's admitted rows
     and keeps upstream join parallelism intact, unlike a coalesce that
-    would propagate into the producing stages). Frames already at or
-    under the clamp skip the exchange entirely — and a caller with
-    genuinely large batches should raise ``max_files`` rather than let
-    4 tasks serialize the write stage.
+    would propagate into the producing stages). The clamp is
+    UNCONDITIONAL: probing the producing plan's partition count first
+    (``df.rdd.getNumPartitions()``) looks cheaper but under AQE it
+    EXECUTES the plan's shuffle stages — and the subsequent write is a
+    separate query execution that re-runs them, doubling every
+    micro-batch's compute. One small exchange of the admitted rows is
+    strictly cheaper than recomputing the pipeline that produced them.
+    A caller with genuinely large batches should raise ``max_files``
+    rather than let 4 tasks serialize the write stage.
 
     ``sort_by`` CLUSTERS the partition on a key column: rows are
     hash-partitioned then sorted on the key before writing, so
@@ -116,11 +121,31 @@ def store_append(
     and the statistics prune nothing."""
     if sort_by is not None:
         df = df.repartition(max_files, sort_by).sortWithinPartitions(sort_by)
-    elif df.rdd.getNumPartitions() > max_files:
+    else:
         df = df.repartition(max_files)
     df.write.mode("overwrite").parquet(
         os.path.join(path, f"ingest_batch={batch_id}")
     )
+
+
+def store_compact_every(
+    spark,
+    dirs: list[tuple[str, str | None]],
+    batch_id: int,
+    every: int | None,
+) -> None:
+    """In-pipeline retention cadence shared by the streaming steps: at
+    the START of batch ``b`` every batch < b is durably committed
+    (foreachBatch replays only the in-flight batch), so
+    ``up_to_batch = b`` is always a safe compaction watermark — the one
+    contract ``store_compact`` requires. Runs every ``every`` batches;
+    a compaction interrupted mid-swap is rolled forward by the next
+    attempt. Each entry is ``(dir, sort_key)`` — stores written
+    key-clustered MUST compact with the same key or the merge silently
+    destroys the row-group pruning layout."""
+    if every and batch_id > 0 and batch_id % every == 0:
+        for d, key in dirs:
+            store_compact(spark, d, up_to_batch=batch_id, sort_by=key)
 
 
 def store_prune(path: str, before_batch: int) -> int:
