@@ -75,6 +75,7 @@ HEADLINE = [
     "line_dedup",
     "stratified_sample",
     "token_budget_cap",
+    "pack_sequences",
     "above_avg_orders",
     "corpus_profile",
     # round 4: oracle-checked planted-recall proof for the four

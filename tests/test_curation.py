@@ -160,6 +160,41 @@ def test_token_budget_cap_greedy_prefix(spark):
     assert all(r["cum_tokens"] <= 30 for r in out.values())
 
 
+def test_pack_sequences_concat_then_chunk(spark):
+    """Concat-then-chunk semantics: per source, id-ordered token
+    streams cut every seq_len tokens — a doc may straddle a boundary
+    (it reports the sequence it STARTS in), empty docs occupy zero
+    tokens, and strata pack independently."""
+    mk = lambda n: " ".join(["w"] * n)
+    rows = [
+        (0, "s1", mk(6)),    # cb=0  -> seq 0 off 0
+        (1, "s1", mk(7)),    # cb=6  -> seq 0 off 6 (straddles 10-token cut)
+        (2, "s1", ""),       # cb=13 -> seq 1 off 3 (zero tokens)
+        (3, "s1", mk(8)),    # cb=13 -> seq 1 off 3
+        (4, "s2", mk(25)),   # cb=0  -> seq 0 off 0 (own stratum)
+        (5, "s2", mk(1)),    # cb=25 -> seq 2 off 5
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r["doc_id"]: r for r in CU.pack_sequences(df, seq_len=10).collect()}
+    expect = {
+        0: (6, 0, 0),
+        1: (7, 0, 6),
+        2: (0, 1, 3),
+        3: (8, 1, 3),
+        4: (25, 0, 0),
+        5: (1, 2, 5),
+    }
+    for d, (n, s, o) in expect.items():
+        r = out[d]
+        assert (r["n_tokens"], r["seq_id"], r["seq_offset"]) == (n, s, o), d
+    # conservation: within a stratum, the last doc's cb + n_tokens is
+    # the stream length; no tokens created or lost
+    s1 = [out[d] for d in (0, 1, 2, 3)]
+    assert max(r["seq_id"] * 10 + r["seq_offset"] + r["n_tokens"] for r in s1) == 21
+    with pytest.raises(ValueError):
+        CU.pack_sequences(df, seq_len=0)
+
+
 # ------------------------------------------------ property invariants
 # Tiny vocab forces line/gram collisions; docs are token lists.
 _doc_strategy = st.lists(

@@ -381,3 +381,57 @@ def token_budget_cap(
         .filter(F.col("cum_tokens") <= budget_tokens)
         .drop("__q")
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: the step AFTER selection
+    (``token_budget_cap``) that turns a document pool into fixed-length
+    training sequences. Per stratum, documents are concatenated in
+    deterministic id order and the token stream is cut every
+    ``seq_len`` tokens — the standard GPT-style pretraining layout,
+    where a document may straddle a sequence boundary rather than
+    waste padding.
+
+    Returns (id, stratum, n_tokens, seq_id, seq_offset): the sequence
+    the document STARTS in (``seq_id``, 0-based per stratum) and its
+    token offset within it. A loader materializes sequence ``s`` by
+    taking every doc with ``seq_id <= s`` whose span crosses
+    ``s*seq_len`` — for contiguous reads, shard/sort by
+    (stratum, seq_id), which this frame's window shuffle already
+    clusters.
+
+    Plan: identical shape to ``token_budget_cap`` — one shuffle on the
+    stratum key into a window sort, the running-sum window over the
+    SAME per-stratum ordering. The same skew note applies: strata are
+    coarse; if one outgrows an executor at 100 TB, split it into
+    deterministic id-range sub-strata and renumber with broadcast
+    prefix offsets (sub-stratum token totals are one tiny aggregate) —
+    the concat-then-chunk semantics compose over id-ordered ranges.
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    t = F.col(text_col)
+    counted = docs.select(
+        F.col(id_col),
+        F.col(strata_col),
+        F.size(_tokens(t)).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return counted.select(
+        F.col(id_col),
+        F.col(strata_col),
+        "n_tokens",
+        F.floor(cum_before / seq_len).cast("bigint").alias("seq_id"),
+        (cum_before % seq_len).cast("bigint").alias("seq_offset"),
+    )

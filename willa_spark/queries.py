@@ -2750,6 +2750,38 @@ def q_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CURATION.token_budget_cap(docs, budget_tokens=800)
 
 
+@query(
+    "pack_sequences",
+    oracle=r"""
+    WITH c AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), w AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_tokens AS BIGINT) AS cb
+      FROM c
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(floor(cb / 512.0) AS BIGINT) AS seq_id,
+           CAST(cb % 512 AS BIGINT) AS seq_offset
+    FROM w
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (GPT-style pretraining
+    layout): per source, docs concatenate in id order and the token
+    stream is cut every 512 tokens; each doc reports the sequence it
+    starts in and its offset. Same plan shape as token_budget_cap —
+    one stratum-keyed shuffle into a window sort."""
+    docs = read_docs_spread(spark, sf_dir)
+    return CURATION.pack_sequences(docs, seq_len=512)
+
+
 # Queries OMITTED from the driver-visible correctness set: the driver
 # records oracle rows for at most 50 queries (in registration order),
 # so every DISTINCT operator proof must land inside that window.
@@ -2816,8 +2848,16 @@ def q_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                                per-row run-count kernel)
 #   corpus_keep_by_source     -> training_data_prep stays (composed
 #                                pipeline superset)
+#   pack_sequences (NEW r5)   -> registered mid-r5 after the gate was
+#                                sized to exactly 50; token_budget_cap
+#                                stays (identical stratum-window plan
+#                                family). Oracle-bearing, so the
+#                                automatic pytest parity pin covers it
+#                                now; rotates into the driver gate next
+#                                round per the standing policy.
 DRIVER_OMIT = frozenset(
     {
+        "pack_sequences",
         "tumbling_window_sum",
         "rekey_fanout",
         "value_only_rekey",
