@@ -195,6 +195,32 @@ def test_pack_sequences_concat_then_chunk(spark):
         CU.pack_sequences(df, seq_len=0)
 
 
+def test_pack_sequences_scaled_equals_window_form(spark):
+    """The two-phase distributed prefix sum (bounded id-range
+    sub-strata + broadcast offsets) must produce byte-identical
+    packing to the single-window form — including widths that split
+    strata mid-stream, a width of 1 (every doc its own sub-stratum),
+    sparse/non-contiguous ids, and empty docs."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i * 3 + rng.randrange(3), f"s{rng.randrange(3)}",
+         " ".join(["w"] * rng.randrange(0, 9)))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    base = sorted(tuple(r) for r in CU.pack_sequences(df, seq_len=10).collect())
+    for width in (1, 4, 17, 1000):
+        scaled = sorted(
+            tuple(r)
+            for r in CU.pack_sequences_scaled(
+                df, seq_len=10, substratum_width=width
+            ).collect()
+        )
+        assert scaled == base, f"width={width}"
+
+
 # ------------------------------------------------ property invariants
 # Tiny vocab forces line/gram collisions; docs are token lists.
 _doc_strategy = st.lists(

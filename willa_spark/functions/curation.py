@@ -408,11 +408,10 @@ def pack_sequences(
 
     Plan: identical shape to ``token_budget_cap`` — one shuffle on the
     stratum key into a window sort, the running-sum window over the
-    SAME per-stratum ordering. The same skew note applies: strata are
-    coarse; if one outgrows an executor at 100 TB, split it into
-    deterministic id-range sub-strata and renumber with broadcast
-    prefix offsets (sub-stratum token totals are one tiny aggregate) —
-    the concat-then-chunk semantics compose over id-ordered ranges.
+    SAME per-stratum ordering. When a single stratum outgrows one
+    task's window, use ``pack_sequences_scaled`` — the identical
+    semantics via a two-phase distributed prefix sum over bounded
+    id-range sub-strata (equality property-pinned).
     """
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
@@ -434,4 +433,81 @@ def pack_sequences(
         "n_tokens",
         F.floor(cum_before / seq_len).cast("bigint").alias("seq_id"),
         (cum_before % seq_len).cast("bigint").alias("seq_offset"),
+    )
+
+
+def pack_sequences_scaled(
+    docs: DataFrame,
+    seq_len: int,
+    substratum_width: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str = "source",
+) -> DataFrame:
+    """``pack_sequences``'s 100 TB form as real code — identical
+    output (property-pinned), different prefix-sum plan. The plain
+    form's window puts each stratum's ENTIRE token stream through one
+    task; here the classic two-phase distributed prefix sum replaces
+    it:
+
+    1. split every stratum into deterministic id-range sub-strata
+       (``floor(id / substratum_width)`` — order-preserving, no
+       quantile pass needed because the packing order IS the id);
+    2. local pass: the running sum within each (stratum, sub-stratum)
+       window — parallelism = number of sub-strata, each bounded by
+       ``substratum_width`` docs regardless of stratum size;
+    3. tiny aggregate: per-sub-stratum token totals (one row per
+       sub-stratum — thousands, not billions), prefix-summed per
+       stratum on that frame and broadcast-joined back as each
+       sub-stratum's starting offset.
+
+    Global position = sub-stratum offset + local running sum, so the
+    concat-then-chunk arithmetic is unchanged. Pick
+    ``substratum_width`` so a width of docs fits one task comfortably
+    (e.g. 1e6); skew is bounded by construction, not by hoping strata
+    stay small."""
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    if substratum_width <= 0:
+        raise ValueError(
+            f"substratum_width must be positive, got {substratum_width}"
+        )
+    t = F.col(text_col)
+    counted = docs.select(
+        F.col(id_col),
+        F.col(strata_col),
+        F.size(_tokens(t)).cast("bigint").alias("n_tokens"),
+        F.floor(F.col(id_col) / substratum_width).cast("bigint").alias("__sub"),
+    )
+    local_w = (
+        Window.partitionBy(strata_col, "__sub")
+        .orderBy(F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = counted.withColumn(
+        "__local_cb", F.sum("n_tokens").over(local_w) - F.col("n_tokens")
+    )
+    totals = counted.groupBy(strata_col, "__sub").agg(
+        F.sum("n_tokens").alias("__sub_total")
+    )
+    # prefix offsets over the TINY totals frame: one row per
+    # sub-stratum, so this window's per-stratum partition is thousands
+    # of rows even when the stratum holds billions of docs
+    off_w = (
+        Window.partitionBy(strata_col)
+        .orderBy(F.asc("__sub"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.select(
+        F.col(strata_col),
+        F.col("__sub"),
+        (F.sum("__sub_total").over(off_w) - F.col("__sub_total")).alias("__off"),
+    )
+    cb = F.col("__off") + F.col("__local_cb")
+    return local.join(F.broadcast(offsets), [strata_col, "__sub"]).select(
+        F.col(id_col),
+        F.col(strata_col),
+        "n_tokens",
+        F.floor(cb / seq_len).cast("bigint").alias("seq_id"),
+        (cb % seq_len).cast("bigint").alias("seq_offset"),
     )
