@@ -195,6 +195,32 @@ def test_pack_sequences_concat_then_chunk(spark):
         CU.pack_sequences(df, seq_len=0)
 
 
+def test_token_budget_cap_scaled_equals_window_form(spark):
+    """The quality-band two-phase form must reproduce the single-window
+    greedy prefix exactly — quality bands partition the score VALUE
+    space, so cross-band order is the global order and within-band the
+    (quality desc, id) window is the global order restricted to the
+    band; tie-broken docs share a band by construction."""
+    import random
+
+    rng = random.Random(11)
+    words = ["the", "of", "and", "zq", "xv"]
+    rows = [
+        (i, f"s{rng.randrange(3)}",
+         " ".join(rng.choice(words) for _ in range(rng.randrange(0, 30))))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    base = sorted(tuple(r) for r in CU.token_budget_cap(df, 60).collect())
+    assert base, "budget must keep something for the test to mean anything"
+    for n_bands in (1, 7, 1000):
+        scaled = sorted(
+            tuple(r)
+            for r in CU.token_budget_cap_scaled(df, 60, n_bands=n_bands).collect()
+        )
+        assert scaled == base, f"n_bands={n_bands}"
+
+
 def test_pack_sequences_scaled_equals_window_form(spark):
     """The two-phase distributed prefix sum (bounded id-range
     sub-strata + broadcast offsets) must produce byte-identical

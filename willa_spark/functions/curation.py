@@ -358,9 +358,10 @@ def token_budget_cap(
     Returns (id, stratum, n_tokens, cum_tokens) for kept docs.
 
     Plan: one shuffle on the stratum key into a window sort. Strata are
-    coarse (sources/domains); if a single stratum outgrows an executor
-    at 100 TB, pre-aggregate to (stratum, quality-bucket) ranges first
-    — the greedy-prefix semantics compose over sorted buckets.
+    coarse (sources/domains); when a single stratum outgrows one
+    task's window at 100 TB, use ``token_budget_cap_scaled`` — the
+    identical semantics via a two-phase prefix sum over quality bands
+    (equality property-pinned).
     """
     if budget_tokens <= 0:
         raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
@@ -380,6 +381,80 @@ def token_budget_cap(
         scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .filter(F.col("cum_tokens") <= budget_tokens)
         .drop("__q")
+    )
+
+
+def token_budget_cap_scaled(
+    docs: DataFrame,
+    budget_tokens: int,
+    n_bands: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str = "source",
+) -> DataFrame:
+    """``token_budget_cap``'s 100 TB form — identical greedy-prefix
+    output (property-pinned), two-phase prefix-sum plan. The plain
+    form sorts each stratum's ENTIRE pool through one window task;
+    here the quality ordering is decomposed into ``n_bands``
+    fixed-width quality bands (quality_score is bounded in [0, 1], so
+    ``floor((1 - q) * n_bands)`` is a deterministic, order-compatible
+    band: every doc in band b outranks every doc in band b+1, and
+    within a band the (quality desc, id) window is local):
+
+    1. local pass: running token sums within each (stratum, band)
+       window — parallelism = bands, each a slice of the pool;
+    2. tiny aggregate: per-band token totals, prefix-summed per
+       stratum (one row per band) and broadcast back as band offsets;
+    3. global cum = band offset + local cum; keep while <= budget.
+
+    Docs with equal quality straddling a band boundary cannot occur
+    (bands partition the quality VALUE space, and the within-band
+    order equals the global order restricted to the band), so the
+    greedy prefix composes exactly. Skew bound: a band holds the docs
+    in one quality-score interval — raise ``n_bands`` if score mass
+    concentrates."""
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
+    if n_bands <= 0:
+        raise ValueError(f"n_bands must be positive, got {n_bands}")
+    t = F.col(text_col)
+    q = quality_score(t)
+    scored = docs.select(
+        F.col(id_col),
+        F.col(strata_col),
+        F.size(_tokens(t)).cast("bigint").alias("n_tokens"),
+        q.alias("__q"),
+        F.least(
+            F.floor((F.lit(1.0) - q) * n_bands).cast("bigint"),
+            F.lit(n_bands - 1).cast("bigint"),  # q == 0.0 lands in-range
+        ).alias("__band"),
+    )
+    local_w = (
+        Window.partitionBy(strata_col, "__band")
+        .orderBy(F.desc("__q"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = scored.withColumn("__local_cum", F.sum("n_tokens").over(local_w))
+    totals = scored.groupBy(strata_col, "__band").agg(
+        F.sum("n_tokens").alias("__band_total")
+    )
+    off_w = (
+        Window.partitionBy(strata_col)
+        .orderBy(F.asc("__band"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.select(
+        F.col(strata_col),
+        F.col("__band"),
+        (F.sum("__band_total").over(off_w) - F.col("__band_total")).alias(
+            "__off"
+        ),
+    )
+    return (
+        local.join(F.broadcast(offsets), [strata_col, "__band"])
+        .withColumn("cum_tokens", F.col("__off") + F.col("__local_cum"))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+        .select(id_col, strata_col, "n_tokens", "cum_tokens")
     )
 
 
