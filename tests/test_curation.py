@@ -196,11 +196,13 @@ def test_pack_sequences_concat_then_chunk(spark):
 
 
 def test_token_budget_cap_scaled_equals_window_form(spark):
-    """The quality-band two-phase form must reproduce the single-window
-    greedy prefix exactly — quality bands partition the score VALUE
-    space, so cross-band order is the global order and within-band the
-    (quality desc, id) window is the global order restricted to the
-    band; tie-broken docs share a band by construction."""
+    """The (exact score, id chunk) two-phase form must reproduce the
+    single-window greedy prefix exactly: score-desc piece order is the
+    global quality ranking (ties share a score by definition), and
+    chunking ties by id range is the global tie-break. Includes NULL
+    text (NULL n_tokens/quality — the plain window skips them but
+    keeps the doc when the running total fits) and NULL strata (their
+    own packing group, like window partitionBy treats them)."""
     import random
 
     rng = random.Random(11)
@@ -210,15 +212,21 @@ def test_token_budget_cap_scaled_equals_window_form(spark):
          " ".join(rng.choice(words) for _ in range(rng.randrange(0, 30))))
         for i in range(80)
     ]
-    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
-    base = sorted(tuple(r) for r in CU.token_budget_cap(df, 60).collect())
+    rows += [(80, "s1", None), (81, None, "the of and"), (82, None, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    base = sorted(
+        tuple(r) for r in CU.token_budget_cap(df, 60).collect()
+    )
     assert base, "budget must keep something for the test to mean anything"
-    for n_bands in (1, 7, 1000):
+    assert any(r[0] in (80, 81, 82) for r in base), "null rows must be exercised"
+    for width in (1, 7, 1000):
         scaled = sorted(
             tuple(r)
-            for r in CU.token_budget_cap_scaled(df, 60, n_bands=n_bands).collect()
+            for r in CU.token_budget_cap_scaled(
+                df, 60, substratum_width=width
+            ).collect()
         )
-        assert scaled == base, f"n_bands={n_bands}"
+        assert scaled == base, f"width={width}"
 
 
 def test_pack_sequences_scaled_equals_window_form(spark):
@@ -226,7 +234,8 @@ def test_pack_sequences_scaled_equals_window_form(spark):
     sub-strata + broadcast offsets) must produce byte-identical
     packing to the single-window form — including widths that split
     strata mid-stream, a width of 1 (every doc its own sub-stratum),
-    sparse/non-contiguous ids, and empty docs."""
+    sparse/non-contiguous ids, empty docs, NULL text (NULL
+    seq_id/seq_offset in BOTH forms), and NULL strata."""
     import random
 
     rng = random.Random(7)
@@ -235,8 +244,12 @@ def test_pack_sequences_scaled_equals_window_form(spark):
          " ".join(["w"] * rng.randrange(0, 9)))
         for i in range(60)
     ]
-    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
-    base = sorted(tuple(r) for r in CU.pack_sequences(df, seq_len=10).collect())
+    rows += [(200, "s1", None), (201, None, "w w w"), (202, None, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    base = sorted(
+        tuple(r) for r in CU.pack_sequences(df, seq_len=10).collect()
+    )
+    assert len(base) == len(rows), "no doc may vanish (incl. null keys)"
     for width in (1, 4, 17, 1000):
         scaled = sorted(
             tuple(r)

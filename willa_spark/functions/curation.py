@@ -384,75 +384,134 @@ def token_budget_cap(
     )
 
 
+def _two_phase_prefix_sum(
+    counted: DataFrame,
+    strata_col: str,
+    piece_cols: list[str],
+    piece_order: list,
+    row_order: list,
+    value_col: str,
+) -> DataFrame:
+    """The distributed running-sum kernel shared by the ``_scaled``
+    curation twins: ``counted``'s columns plus ``__cum``, the
+    per-stratum INCLUSIVE running sum of ``value_col`` in the order
+    (pieces by ``piece_order``, rows by ``row_order`` within a piece)
+    — byte-identical to a single ``partitionBy(stratum)`` window SUM
+    over the composed order, including NULL semantics: NULL values
+    contribute nothing, and ``__cum`` is NULL exactly when no non-NULL
+    value sits at-or-before the row.
+
+    Decomposition contract (the CALLER's obligation): the per-stratum
+    global order must equal piece_order lexicographically, then
+    row_order within a piece — i.e. every row of an earlier piece
+    precedes every row of a later one.
+
+    Plan: ``counted`` (a narrow post-projection frame — never raw
+    text) is eagerly checkpointed so the local-window pass and the
+    per-piece totals read ONE materialization instead of scanning and
+    re-deriving the source twice; checkpoint blocks release on GC of
+    the result. Local windows parallelize over pieces; the per-piece
+    totals frame (one row per non-empty piece) takes the prefix
+    window and broadcasts back as piece offsets. Joins are null-safe:
+    NULL strata/piece keys group and join like values, matching
+    window-function semantics."""
+    counted = counted.localCheckpoint(eager=True)
+    local_w = (
+        Window.partitionBy(strata_col, *piece_cols)
+        .orderBy(*row_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = counted.withColumn("__local_cum", F.sum(value_col).over(local_w))
+    totals = counted.groupBy(strata_col, *piece_cols).agg(
+        F.sum(value_col).alias("__pt")
+    )
+    off_w = (
+        Window.partitionBy(strata_col)
+        .orderBy(*piece_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # inclusive piece prefix minus own total = strictly-prior offset;
+    # an all-NULL piece keeps __off NULL when nothing non-NULL precedes
+    offsets = totals.select(
+        F.col(strata_col),
+        *[F.col(c) for c in piece_cols],
+        (
+            F.sum("__pt").over(off_w) - F.coalesce(F.col("__pt"), F.lit(0))
+        ).alias("__off"),
+    )
+    l, o = local.alias("l"), offsets.alias("o")
+    cond = F.col(f"l.{strata_col}").eqNullSafe(F.col(f"o.{strata_col}"))
+    for c in piece_cols:
+        cond = cond & F.col(f"l.{c}").eqNullSafe(F.col(f"o.{c}"))
+    cum = F.when(
+        F.col("__local_cum").isNull() & F.col("__off").isNull(), F.lit(None)
+    ).otherwise(
+        F.coalesce(F.col("__off"), F.lit(0))
+        + F.coalesce(F.col("__local_cum"), F.lit(0))
+    )
+    return (
+        l.join(F.broadcast(o), cond)
+        .select("l.*", cum.cast("bigint").alias("__cum"))
+        .drop("__local_cum")
+    )
+
+
 def token_budget_cap_scaled(
     docs: DataFrame,
     budget_tokens: int,
-    n_bands: int = 1000,
+    substratum_width: int = 1_000_000,
     id_col: str = "doc_id",
     text_col: str = "text",
     strata_col: str = "source",
 ) -> DataFrame:
     """``token_budget_cap``'s 100 TB form — identical greedy-prefix
-    output (property-pinned), two-phase prefix-sum plan. The plain
+    output (property-pinned, including NULL text and NULL strata),
+    two-phase prefix-sum plan via ``_two_phase_prefix_sum``. The plain
     form sorts each stratum's ENTIRE pool through one window task;
-    here the quality ordering is decomposed into ``n_bands``
-    fixed-width quality bands (quality_score is bounded in [0, 1], so
-    ``floor((1 - q) * n_bands)`` is a deterministic, order-compatible
-    band: every doc in band b outranks every doc in band b+1, and
-    within a band the (quality desc, id) window is local):
+    here a piece is (exact quality score, id-range chunk): score-desc
+    piece order composes with the global (quality desc, id asc)
+    ranking because ties share a score by definition and within one
+    score the order IS the id — so chunking ties by
+    ``floor(id / substratum_width)`` stays order-compatible and bounds
+    every piece at ``substratum_width`` docs, even when billions of
+    docs share one hot rounded score (quality_score rounds to 4
+    decimals, so pure score-banding bottoms out at ~10^4 pieces and a
+    hot score would re-concentrate a stratum; the id chunk is what
+    actually carries the skew bound).
 
-    1. local pass: running token sums within each (stratum, band)
-       window — parallelism = bands, each a slice of the pool;
-    2. tiny aggregate: per-band token totals, prefix-summed per
-       stratum (one row per band) and broadcast back as band offsets;
-    3. global cum = band offset + local cum; keep while <= budget.
-
-    Docs with equal quality straddling a band boundary cannot occur
-    (bands partition the quality VALUE space, and the within-band
-    order equals the global order restricted to the band), so the
-    greedy prefix composes exactly. Skew bound: a band holds the docs
-    in one quality-score interval — raise ``n_bands`` if score mass
-    concentrates."""
+    Honest limits: the piece-totals frame holds one row per non-empty
+    (stratum, score, chunk) — small when ids are roughly dense per
+    stratum (the pipeline's canonical layout; ~docs/width + distinct
+    scores rows). An adversarial corpus interleaving many scores
+    uniformly across sparse ids inflates it toward one row per doc,
+    at which point the broadcast and the piece prefix window need the
+    same decomposition one level up (not implemented — raise
+    ``substratum_width`` instead)."""
     if budget_tokens <= 0:
         raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
-    if n_bands <= 0:
-        raise ValueError(f"n_bands must be positive, got {n_bands}")
+    if substratum_width <= 0:
+        raise ValueError(
+            f"substratum_width must be positive, got {substratum_width}"
+        )
     t = F.col(text_col)
-    q = quality_score(t)
     scored = docs.select(
         F.col(id_col),
         F.col(strata_col),
         F.size(_tokens(t)).cast("bigint").alias("n_tokens"),
-        q.alias("__q"),
-        F.least(
-            F.floor((F.lit(1.0) - q) * n_bands).cast("bigint"),
-            F.lit(n_bands - 1).cast("bigint"),  # q == 0.0 lands in-range
-        ).alias("__band"),
-    )
-    local_w = (
-        Window.partitionBy(strata_col, "__band")
-        .orderBy(F.desc("__q"), F.asc(id_col))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    local = scored.withColumn("__local_cum", F.sum("n_tokens").over(local_w))
-    totals = scored.groupBy(strata_col, "__band").agg(
-        F.sum("n_tokens").alias("__band_total")
-    )
-    off_w = (
-        Window.partitionBy(strata_col)
-        .orderBy(F.asc("__band"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    offsets = totals.select(
-        F.col(strata_col),
-        F.col("__band"),
-        (F.sum("__band_total").over(off_w) - F.col("__band_total")).alias(
-            "__off"
-        ),
+        quality_score(t).alias("__q"),
+        F.floor(F.col(id_col) / substratum_width).cast("bigint").alias("__sub"),
     )
     return (
-        local.join(F.broadcast(offsets), [strata_col, "__band"])
-        .withColumn("cum_tokens", F.col("__off") + F.col("__local_cum"))
+        _two_phase_prefix_sum(
+            scored,
+            strata_col,
+            ["__q", "__sub"],
+            # desc NULLS LAST matches the plain window's quality order
+            piece_order=[F.desc("__q"), F.asc("__sub")],
+            row_order=[F.desc("__q"), F.asc(id_col)],
+            value_col="n_tokens",
+        )
+        .withColumnRenamed("__cum", "cum_tokens")
         .filter(F.col("cum_tokens") <= budget_tokens)
         .select(id_col, strata_col, "n_tokens", "cum_tokens")
     )
@@ -536,11 +595,12 @@ def pack_sequences_scaled(
        stratum on that frame and broadcast-joined back as each
        sub-stratum's starting offset.
 
-    Global position = sub-stratum offset + local running sum, so the
-    concat-then-chunk arithmetic is unchanged. Pick
-    ``substratum_width`` so a width of docs fits one task comfortably
-    (e.g. 1e6); skew is bounded by construction, not by hoping strata
-    stay small."""
+    Global position = sub-stratum offset + local running sum (both via
+    ``_two_phase_prefix_sum`` — see its docstring for the one-scan
+    checkpoint and NULL semantics), so the concat-then-chunk
+    arithmetic is unchanged. Pick ``substratum_width`` so a width of
+    docs fits one task comfortably (e.g. 1e6); skew is bounded by
+    construction, not by hoping strata stay small."""
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
     if substratum_width <= 0:
@@ -554,32 +614,18 @@ def pack_sequences_scaled(
         F.size(_tokens(t)).cast("bigint").alias("n_tokens"),
         F.floor(F.col(id_col) / substratum_width).cast("bigint").alias("__sub"),
     )
-    local_w = (
-        Window.partitionBy(strata_col, "__sub")
-        .orderBy(F.asc(id_col))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    local = counted.withColumn(
-        "__local_cb", F.sum("n_tokens").over(local_w) - F.col("n_tokens")
-    )
-    totals = counted.groupBy(strata_col, "__sub").agg(
-        F.sum("n_tokens").alias("__sub_total")
-    )
-    # prefix offsets over the TINY totals frame: one row per
-    # sub-stratum, so this window's per-stratum partition is thousands
-    # of rows even when the stratum holds billions of docs
-    off_w = (
-        Window.partitionBy(strata_col)
-        .orderBy(F.asc("__sub"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    offsets = totals.select(
-        F.col(strata_col),
-        F.col("__sub"),
-        (F.sum("__sub_total").over(off_w) - F.col("__sub_total")).alias("__off"),
-    )
-    cb = F.col("__off") + F.col("__local_cb")
-    return local.join(F.broadcast(offsets), [strata_col, "__sub"]).select(
+    # cum_before = inclusive running sum minus own count; NULL-text
+    # docs get NULL seq_id/seq_offset exactly like the window form
+    # (the subtraction below propagates their NULL n_tokens)
+    cb = F.col("__cum") - F.col("n_tokens")
+    return _two_phase_prefix_sum(
+        counted,
+        strata_col,
+        ["__sub"],
+        piece_order=[F.asc("__sub")],
+        row_order=[F.asc(id_col)],
+        value_col="n_tokens",
+    ).select(
         F.col(id_col),
         F.col(strata_col),
         "n_tokens",
