@@ -261,6 +261,48 @@ def test_pack_sequences_scaled_equals_window_form(spark):
 
 
 # ------------------------------------------------ property invariants
+_packing_corpus = st.lists(
+    st.tuples(
+        st.sampled_from(["s0", "s1", None]),           # stratum (incl. NULL)
+        st.one_of(st.none(), st.integers(0, 12)),      # token count or NULL text
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(corpus=_packing_corpus, width=st.integers(1, 40))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_two_phase_kernel_equals_window_forms(spark, corpus, width):
+    """The shared prefix-sum kernel must make BOTH scaled twins
+    byte-identical to their window forms for ANY corpus shape — random
+    strata (incl. NULL), random/NULL token counts, sparse ids, random
+    piece widths. Pins the kernel property the two example-based tests
+    sample."""
+    rows = [
+        (i * 2, s, None if n is None else " ".join(["w"] * n))
+        for i, (s, n) in enumerate(corpus)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    pp = sorted(tuple(r) for r in CU.pack_sequences(df, seq_len=7).collect())
+    ps = sorted(
+        tuple(r)
+        for r in CU.pack_sequences_scaled(
+            df, seq_len=7, substratum_width=width
+        ).collect()
+    )
+    assert ps == pp
+    bp = sorted(tuple(r) for r in CU.token_budget_cap(df, 25).collect())
+    bs = sorted(
+        tuple(r)
+        for r in CU.token_budget_cap_scaled(
+            df, 25, substratum_width=width
+        ).collect()
+    )
+    assert bs == bp
+
+
 # Tiny vocab forces line/gram collisions; docs are token lists.
 _doc_strategy = st.lists(
     st.lists(st.sampled_from(["w1", "w2", "w3", "w4"]), min_size=0, max_size=20),
