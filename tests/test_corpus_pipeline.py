@@ -154,3 +154,55 @@ def test_screen_and_redact_is_map_only(spark):
 
     docs = _mk(spark, sorted(DOCS))
     assert count_exchanges(_screen_and_redact(docs, "doc_id", "text")) == 0
+
+
+def test_streaming_pack_sequences_congruity_and_replay(spark, tmp_path):
+    """Streaming sequence packing must continue each stratum's token
+    stream across micro-batches: over id-ordered batches the union of
+    step outputs equals the batch operator over the full corpus —
+    including NULL strata and NULL-text docs — and a replayed batch
+    (probing strictly-prior high-water marks, overwriting its own
+    partition) reproduces its own output exactly."""
+    import os as _os
+
+    from willa_spark.functions import curation as CU
+    from willa_spark.streaming.corpus_pipeline import pack_sequences_step
+
+    rows = [
+        (0, "s1", "w w w w"),
+        (1, "s2", "w w"),
+        (2, "s1", "w w w"),
+        (3, None, "w w w w w"),
+        (4, "s1", None),
+        (5, "s1", "w w w w w w"),
+        (6, "s2", "w"),
+        (7, None, "w w"),
+    ]
+    batches = [rows[:3], rows[3:5], rows[5:]]
+    schema = "doc_id bigint, source string, text string"
+    store = _os.path.join(str(tmp_path), "pack-store")
+    step = pack_sequences_step(store, seq_len=5)
+
+    got = []
+    outs = []
+    for bid, b in enumerate(batches):
+        out = step(spark.createDataFrame(b, schema), bid)
+        rows_out = sorted(tuple(r) for r in out.collect())
+        outs.append(rows_out)
+        got.extend(rows_out)
+
+    full = spark.createDataFrame(rows, schema)
+    expect = sorted(tuple(r) for r in CU.pack_sequences(full, seq_len=5).collect())
+    assert sorted(got) == expect
+
+    # replay of the middle batch: same output, store not double-counted
+    replay = sorted(
+        tuple(r)
+        for r in step(spark.createDataFrame(batches[1], schema), 1).collect()
+    )
+    assert replay == outs[1]
+    after = sorted(
+        tuple(r)
+        for r in step(spark.createDataFrame(batches[2], schema), 2).collect()
+    )
+    assert after == outs[2]

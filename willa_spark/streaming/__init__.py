@@ -12,7 +12,11 @@ from .ann import (
     lsh_index_step,
     lsh_probe_step,
 )
-from .corpus_pipeline import corpus_curation_batch, corpus_curation_step
+from .corpus_pipeline import (
+    corpus_curation_batch,
+    corpus_curation_step,
+    pack_sequences_step,
+)
 from .near_dedup import (
     minhash_dedup_step,
     minhash_store_prune,
@@ -37,6 +41,7 @@ __all__ = [
     "store_read",
     "corpus_curation_batch",
     "corpus_curation_step",
+    "pack_sequences_step",
     "StreamingTopologyRunner",
     "run_streaming_topology",
     "LshAnnConfig",

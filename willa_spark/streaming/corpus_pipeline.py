@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.corpus import dup_line_metrics, gopher_keep, repetition_metrics
@@ -42,7 +42,7 @@ from ..functions.curation import contamination_report, pii_redact
 from ..functions.dedup import dup_clusters, keep_canonical
 from ..functions.dedup import minhash_candidate_pairs, verified_near_dups
 from .near_dedup import minhash_dedup_step
-from .store import store_append, store_compact_every
+from .store import store_append, store_compact_every, store_read
 
 # repetition-screen ceilings (Gopher §A1.1 table A1 uses a family of
 # per-n thresholds; one representative pair + the line screen here)
@@ -166,6 +166,85 @@ def corpus_curation_step(
             # per shuffle partition)
             store_append(admitted, out_dir, batch_id)
         return admitted
+
+    return step
+
+
+def pack_sequences_step(
+    store_dir: str,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str = "source",
+) -> Callable[[DataFrame, int], DataFrame]:
+    """foreachBatch step for STREAMING concat-then-chunk sequence
+    packing — each stratum's token stream continues across
+    micro-batches, so the assembled sequence ids are globally
+    consistent with running ``curation.pack_sequences`` over the full
+    id-ordered corpus (congruity-pinned). Returns ``(batch_df,
+    batch_id) -> packed_df`` with the same columns as the batch
+    operator.
+
+    State is the smallest possible: ONE (stratum, tokens) row per
+    micro-batch in a partitioned store — the per-stratum token
+    high-water mark, maintained with the package's store discipline
+    (replay overwrites its own ``ingest_batch=`` partition; the probe
+    reads strictly-prior partitions, so a replayed batch never counts
+    its failed attempt's tokens). Global position = stored prior
+    total + the batch-local window sum; NULL strata and NULL-text
+    docs flow exactly as in the batch form (null-safe join, NULL
+    seq ids for NULL text)."""
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+
+    def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        from ..functions.corpus import _tokens
+
+        spark = batch_df.sparkSession
+        t = F.col(text_col)
+        counted = batch_df.select(
+            F.col(id_col),
+            F.col(strata_col),
+            F.size(_tokens(t)).cast("bigint").alias("n_tokens"),
+        )
+        w = (
+            Window.partitionBy(strata_col)
+            .orderBy(F.asc(id_col))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        local_cb = F.sum("n_tokens").over(w) - F.col("n_tokens")
+        local = counted.withColumn("__local_cb", local_cb)
+
+        prior = store_read(spark, store_dir, before_batch=batch_id)
+        if prior is not None:
+            offs = prior.groupBy(strata_col).agg(
+                F.sum("tokens").alias("__off")
+            )
+            l, o = local.alias("l"), offs.alias("o")
+            local = l.join(
+                F.broadcast(o),
+                F.col(f"l.{strata_col}").eqNullSafe(F.col(f"o.{strata_col}")),
+                "left",
+            ).select("l.*", F.coalesce(F.col("__off"), F.lit(0)).alias("__off"))
+        else:
+            local = local.withColumn("__off", F.lit(0).cast("bigint"))
+
+        cb = F.col("__off") + F.col("__local_cb")
+        packed = local.select(
+            F.col(id_col),
+            F.col(strata_col),
+            "n_tokens",
+            F.floor(cb / seq_len).cast("bigint").alias("seq_id"),
+            (cb % seq_len).cast("bigint").alias("seq_offset"),
+        )
+        # advance the high-water marks BEFORE returning: groupBy keeps
+        # the NULL stratum as its own row, coalesce records zero for
+        # all-NULL batches so the stored sum stays non-degenerate
+        marks = counted.groupBy(strata_col).agg(
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("tokens")
+        )
+        store_append(marks, store_dir, batch_id, max_files=1)
+        return packed
 
     return step
 
