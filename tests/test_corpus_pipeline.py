@@ -181,7 +181,7 @@ def test_streaming_pack_sequences_congruity_and_replay(spark, tmp_path):
     batches = [rows[:3], rows[3:5], rows[5:]]
     schema = "doc_id bigint, source string, text string"
     store = _os.path.join(str(tmp_path), "pack-store")
-    step = pack_sequences_step(store, seq_len=5)
+    step = pack_sequences_step(store, seq_len=5, compact_every=2)
 
     got = []
     outs = []
@@ -195,14 +195,16 @@ def test_streaming_pack_sequences_congruity_and_replay(spark, tmp_path):
     expect = sorted(tuple(r) for r in CU.pack_sequences(full, seq_len=5).collect())
     assert sorted(got) == expect
 
-    # replay of the middle batch: same output, store not double-counted
+    # replay of the LAST batch (the only one foreachBatch can re-run —
+    # batch 2's start compacted everything below it, so replaying an
+    # earlier batch would violate the compaction watermark contract):
+    # same output, the strictly-prior probe never counts the failed
+    # attempt's high-water mark, the overwrite never double-counts
     replay = sorted(
-        tuple(r)
-        for r in step(spark.createDataFrame(batches[1], schema), 1).collect()
-    )
-    assert replay == outs[1]
-    after = sorted(
         tuple(r)
         for r in step(spark.createDataFrame(batches[2], schema), 2).collect()
     )
-    assert after == outs[2]
+    assert replay == outs[2]
+    from willa_spark.streaming.store import store_partitions
+
+    assert len(store_partitions(store)) == 2  # [compacted(0+1), 2]

@@ -176,6 +176,7 @@ def pack_sequences_step(
     id_col: str = "doc_id",
     text_col: str = "text",
     strata_col: str = "source",
+    compact_every: int | None = None,
 ) -> Callable[[DataFrame, int], DataFrame]:
     """foreachBatch step for STREAMING concat-then-chunk sequence
     packing — each stratum's token stream continues across
@@ -193,7 +194,10 @@ def pack_sequences_step(
     its failed attempt's tokens). Global position = stored prior
     total + the batch-local window sum; NULL strata and NULL-text
     docs flow exactly as in the batch form (null-safe join, NULL
-    seq ids for NULL text)."""
+    seq ids for NULL text). ``compact_every=N`` folds committed
+    high-water-mark partitions every N batches — the store is tiny
+    (one row per stratum per batch) but its DIRECTORY count is what
+    grows unbounded on a long stream."""
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
 
@@ -201,6 +205,7 @@ def pack_sequences_step(
         from ..functions.corpus import _tokens
 
         spark = batch_df.sparkSession
+        store_compact_every(spark, [(store_dir, None)], batch_id, compact_every)
         t = F.col(text_col)
         counted = batch_df.select(
             F.col(id_col),
