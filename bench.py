@@ -76,6 +76,7 @@ HEADLINE = [
     "stratified_sample",
     "token_budget_cap",
     "pack_sequences",
+    "sequence_manifest",
     "above_avg_orders",
     "corpus_profile",
     # round 4: oracle-checked planted-recall proof for the four

@@ -195,6 +195,47 @@ def test_pack_sequences_concat_then_chunk(spark):
         CU.pack_sequences(df, seq_len=0)
 
 
+def test_sequence_manifest_tiles_exactly(spark):
+    """Loader contract: per (stratum, seq) the slices sum to seq_len
+    for every sequence except the stratum's last; per doc the slices
+    concatenate to the full token count (start_in_doc spans tile);
+    zero-token/NULL docs emit nothing; straddling docs appear once per
+    touched sequence with consistent offsets."""
+    rows = [
+        (0, "s1", " ".join(["w"] * 6)),
+        (1, "s1", " ".join(["w"] * 23)),   # spans seqs 0..2 (len 10)
+        (2, "s1", ""),
+        (3, "s1", None),
+        (4, "s1", " ".join(["w"] * 7)),
+        (5, "s2", " ".join(["w"] * 4)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    m = CU.sequence_manifest(df, seq_len=10).collect()
+    got = {(r["source"], r["seq_id"], r["doc_id"]):
+           (r["start_in_seq"], r["start_in_doc"], r["slice_len"]) for r in m}
+    assert got == {
+        ("s1", 0, 0): (0, 0, 6),
+        ("s1", 0, 1): (6, 0, 4),
+        ("s1", 1, 1): (0, 4, 10),
+        ("s1", 2, 1): (0, 14, 9),
+        ("s1", 2, 4): (9, 0, 1),
+        ("s1", 3, 4): (0, 1, 6),
+        ("s2", 0, 5): (0, 0, 4),
+    }
+    # tiling: every non-final sequence sums to exactly seq_len
+    import collections
+
+    per_seq = collections.defaultdict(int)
+    for (src, s, _d), (_a, _b, ln) in got.items():
+        per_seq[(src, s)] += ln
+    assert per_seq[("s1", 0)] == per_seq[("s1", 1)] == 10
+    # per-doc coverage: slices concatenate to n_tokens
+    per_doc = collections.defaultdict(int)
+    for (_src, _s, d), (_a, _b, ln) in got.items():
+        per_doc[d] += ln
+    assert per_doc == {0: 6, 1: 23, 4: 7, 5: 4}
+
+
 def test_token_budget_cap_scaled_equals_window_form(spark):
     """The (exact score, id chunk) two-phase form must reproduce the
     single-window greedy prefix exactly: score-desc piece order is the

@@ -570,6 +570,55 @@ def pack_sequences(
     )
 
 
+def sequence_manifest(
+    docs: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str = "source",
+) -> DataFrame:
+    """The loader-side contract of ``pack_sequences``: one row per
+    (training sequence, contributing document) with the exact token
+    slice — what a data loader joins against its shards to
+    materialize sequence ``s`` without rescanning the corpus. A doc
+    spanning a boundary appears once per sequence it touches; docs
+    with zero tokens (or NULL text) occupy no slice and emit nothing.
+
+    Returns (stratum, seq_id, id, start_in_seq, start_in_doc,
+    slice_len): sequence ``seq_id`` holds tokens
+    ``[start_in_doc, start_in_doc + slice_len)`` of the doc at
+    position ``start_in_seq``. Invariants (pytest-pinned): slices
+    tile each sequence exactly — every sequence except a stratum's
+    last sums to ``seq_len`` — and per-doc slices concatenate to the
+    whole doc.
+
+    Plan: ``pack_sequences``'s stratum-window pass plus a per-row
+    ``sequence``/``explode`` over the (usually 1-2) sequences each doc
+    touches — fan-out ∝ boundary crossings, no extra shuffle."""
+    packed = pack_sequences(
+        docs, seq_len, id_col=id_col, text_col=text_col, strata_col=strata_col
+    )
+    L = F.lit(seq_len).cast("bigint")
+    cb = F.col("seq_id") * L + F.col("seq_offset")
+    s_end = F.floor((cb + F.col("n_tokens") - 1) / L).cast("bigint")
+    e = (
+        packed.filter(F.col("n_tokens") >= 1)
+        .withColumn("__cb", cb)
+        .withColumn("__s", F.explode(F.sequence(F.col("seq_id"), s_end)))
+    )
+    s, b, n = F.col("__s"), F.col("__cb"), F.col("n_tokens")
+    return e.select(
+        F.col(strata_col),
+        s.alias("seq_id"),
+        F.col(id_col),
+        F.greatest(F.lit(0), b - s * L).cast("bigint").alias("start_in_seq"),
+        F.greatest(F.lit(0), s * L - b).cast("bigint").alias("start_in_doc"),
+        (F.least((s + 1) * L, b + n) - F.greatest(s * L, b))
+        .cast("bigint")
+        .alias("slice_len"),
+    )
+
+
 def pack_sequences_scaled(
     docs: DataFrame,
     seq_len: int,

@@ -2782,6 +2782,43 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CURATION.pack_sequences(docs, seq_len=512)
 
 
+@query(
+    "sequence_manifest",
+    oracle=r"""
+    WITH c AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n
+      FROM documents
+    ), w AS (
+      SELECT doc_id, source, n,
+             CAST(sum(n) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n AS BIGINT) AS cb
+      FROM c
+    ), e AS (
+      SELECT source, doc_id, n, cb,
+             unnest(generate_series(cb // 512, (cb + n - 1) // 512)) AS s
+      FROM w WHERE n >= 1
+    )
+    SELECT source, CAST(s AS BIGINT) AS seq_id, doc_id,
+           CAST(greatest(0, cb - s*512) AS BIGINT) AS start_in_seq,
+           CAST(greatest(0, s*512 - cb) AS BIGINT) AS start_in_doc,
+           CAST(least((s+1)*512, cb + n) - greatest(s*512, cb) AS BIGINT)
+             AS slice_len
+    FROM e
+    """,
+)
+def q_sequence_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loader-side slice manifest for 512-token sequence packing: one
+    row per (sequence, contributing doc) with exact token spans — the
+    read contract a training loader joins against shards. Window pass
+    + per-row explode over touched sequences, no extra shuffle."""
+    docs = read_docs_spread(spark, sf_dir)
+    return CURATION.sequence_manifest(docs, seq_len=512)
+
+
 # Queries OMITTED from the driver-visible correctness set: the driver
 # records oracle rows for at most 50 queries (in registration order),
 # so every DISTINCT operator proof must land inside that window.
@@ -2858,6 +2895,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 DRIVER_OMIT = frozenset(
     {
         "pack_sequences",
+        "sequence_manifest",  # same policy as pack_sequences (NEW r5)
         "tumbling_window_sum",
         "rekey_fanout",
         "value_only_rekey",
