@@ -342,6 +342,48 @@ def save_corpus_shards(
     )
 
 
+def save_packed_shards(
+    docs: DataFrame,
+    path: str,
+    seq_len: int,
+    seqs_per_shard: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str = "source",
+) -> None:
+    """The packed-assembly endpoint: join each doc to its
+    ``sequence_manifest`` slices and write ``stratum=S/shard=K/``
+    parquet where shard K holds ``seqs_per_shard`` consecutive
+    sequences, rows sorted by (seq_id, start_in_seq) — a training
+    loader streams shard K top-to-bottom and materializes its
+    sequences in order, never seeking. A boundary-straddling doc is
+    duplicated into both its shards ON PURPOSE (storage for seek-free
+    reads; at most one dup per ``seqs_per_shard * seq_len`` tokens).
+
+    Plan: the manifest's stratum-window pass, a broadcast-free
+    shuffle-join back to the doc text on the id (both sides id-keyed),
+    then ONE hash shuffle into writer partitions with an in-partition
+    (stratum, shard, seq_id, start_in_seq) sort — the
+    ``save_corpus_shards`` discipline with the packing order as the
+    sort key. Deterministic: reruns produce the identical layout."""
+    if seqs_per_shard <= 0:
+        raise ValueError(f"seqs_per_shard must be positive, got {seqs_per_shard}")
+    manifest = sequence_manifest(
+        docs, seq_len, id_col=id_col, text_col=text_col, strata_col=strata_col
+    )
+    joined = manifest.join(docs.select(F.col(id_col), F.col(text_col)), id_col)
+    sharded = joined.withColumn(
+        "shard", (F.col("seq_id") / seqs_per_shard).cast("bigint")
+    )
+    (
+        sharded.repartition(F.col(strata_col), F.col("shard"))
+        .sortWithinPartitions(strata_col, "shard", "seq_id", "start_in_seq")
+        .write.partitionBy(strata_col, "shard")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
 def token_budget_cap(
     docs: DataFrame,
     budget_tokens: int,
