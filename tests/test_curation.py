@@ -521,18 +521,30 @@ def test_save_packed_shards_loader_order(spark, tmp_path):
     CU.save_packed_shards(df, out, seq_len=10, seqs_per_shard=2)
 
     back = spark.read.parquet(out)
-    # doc 1 straddles seq 1 (shard 0) and seq 2 (shard 1): duplicated
+    # doc 1 straddles shard 0 (seqs 0-1) and shard 1 (seq 2) — but
+    # each row carries only its DISJOINT slice, so nothing is stored
+    # twice: per-doc slice_text tokens concatenate to n_tokens exactly
     assert (
         back.filter("doc_id = 1").select("shard").distinct().count() == 2
     )
-    # token conservation via slice lengths
-    got = back.groupBy("doc_id").agg(F.sum("slice_len").alias("n")).collect()
+    got = back.groupBy("doc_id").agg(
+        F.sum("slice_len").alias("n"),
+        F.sum(F.size(F.split(F.col("slice_text"), " "))).alias("n_words"),
+    ).collect()
     assert {r["doc_id"]: r["n"] for r in got} == {0: 6, 1: 23, 2: 11, 3: 4}
+    assert all(r["n"] == r["n_words"] for r in got)  # slice_text = the slice
     # in-file ordering: every parquet file is already loader-ordered
     for f in _glob.glob(f"{out}/source=*/shard=*/*.parquet"):
         t = _pq.read_table(f, columns=["seq_id", "start_in_seq"])
         pairs = list(zip(t["seq_id"].to_pylist(), t["start_in_seq"].to_pylist()))
         assert pairs == sorted(pairs), f"unordered shard file {f}"
+    # NULL doc ids fail loud (silently dropping slices would leave
+    # holes in written sequences)
+    bad = spark.createDataFrame(
+        [(None, "s1", "w w w")], "doc_id bigint, source string, text string"
+    )
+    with pytest.raises(Exception, match="NULL doc_id"):
+        CU.save_packed_shards(bad, str(tmp_path / "bad"), 10, 2)
 
 
 # ------------------------------------------------------- edge cases

@@ -356,24 +356,59 @@ def save_packed_shards(
     parquet where shard K holds ``seqs_per_shard`` consecutive
     sequences, rows sorted by (seq_id, start_in_seq) — a training
     loader streams shard K top-to-bottom and materializes its
-    sequences in order, never seeking. A boundary-straddling doc is
-    duplicated into both its shards ON PURPOSE (storage for seek-free
-    reads; at most one dup per ``seqs_per_shard * seq_len`` tokens).
+    sequences in order, never seeking. Each row stores ONLY its slice
+    tokens (``slice_text``), not the whole document: the slices of a
+    doc partition its token stream, so total output ≈ the corpus's
+    token volume regardless of how many sequences a long doc
+    straddles (attaching full text per manifest row would amplify a
+    doc by ~n_tokens/seq_len copies).
 
-    Plan: the manifest's stratum-window pass, a broadcast-free
-    shuffle-join back to the doc text on the id (both sides id-keyed),
-    then ONE hash shuffle into writer partitions with an in-partition
-    (stratum, shard, seq_id, start_in_seq) sort — the
-    ``save_corpus_shards`` discipline with the packing order as the
-    sort key. Deterministic: reruns produce the identical layout."""
+    NULL document ids fail loud in-plan (an id-less doc can't be
+    joined to its slices; silently dropping it would leave holes in
+    written sequences — same lazy raise_error discipline as
+    hash_family_recall's plant-offset check).
+
+    Plan: the manifest's stratum-window pass, a shuffle-join back to
+    the doc text on the id (both sides id-keyed; text crosses the
+    wire once per doc), slice projection BEFORE the writer exchange
+    so only slice tokens shuffle, then ONE hash shuffle into writer
+    partitions with an in-partition (stratum, shard, seq_id,
+    start_in_seq) sort — the ``save_corpus_shards`` discipline with
+    the packing order as the sort key. Deterministic: reruns produce
+    the identical layout."""
     if seqs_per_shard <= 0:
         raise ValueError(f"seqs_per_shard must be positive, got {seqs_per_shard}")
+    checked_id = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"save_packed_shards: NULL {id_col} — slices cannot be "
+                f"joined back to an id-less document; assign ids upstream"
+            )
+        ),
+    ).otherwise(F.col(id_col))
+    docs = docs.withColumn(id_col, checked_id)
     manifest = sequence_manifest(
         docs, seq_len, id_col=id_col, text_col=text_col, strata_col=strata_col
     )
     joined = manifest.join(docs.select(F.col(id_col), F.col(text_col)), id_col)
-    sharded = joined.withColumn(
-        "shard", (F.col("seq_id") / seqs_per_shard).cast("bigint")
+    slice_text = F.concat_ws(
+        " ",
+        F.slice(
+            _tokens(F.col(text_col)),
+            F.col("start_in_doc").cast("int") + 1,  # slice() is 1-indexed
+            F.col("slice_len").cast("int"),
+        ),
+    )
+    sharded = joined.select(
+        F.col(strata_col),
+        F.floor(F.col("seq_id") / seqs_per_shard).cast("bigint").alias("shard"),
+        "seq_id",
+        F.col(id_col),
+        "start_in_seq",
+        "start_in_doc",
+        "slice_len",
+        slice_text.alias("slice_text"),
     )
     (
         sharded.repartition(F.col(strata_col), F.col("shard"))
