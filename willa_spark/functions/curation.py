@@ -361,7 +361,12 @@ def save_packed_shards(
     doc partition its token stream, so total output ≈ the corpus's
     token volume regardless of how many sequences a long doc
     straddles (attaching full text per manifest row would amplify a
-    doc by ~n_tokens/seq_len copies).
+    doc by ~n_tokens/seq_len copies). ``slice_text`` is the
+    NORMALIZED token stream — lowercased, whitespace-collapsed — the
+    same kernel ``n_tokens``/``pack_sequences`` count, so slice
+    boundaries and token positions agree exactly; a loader needing
+    raw bytes should join ``sequence_manifest`` to its own text store
+    instead.
 
     NULL document ids fail loud in-plan (an id-less doc can't be
     joined to its slices; silently dropping it would leave holes in
