@@ -6,6 +6,8 @@ drop reason exercised by a planted doc."""
 import os
 import time
 
+from pyspark.sql import functions as F
+
 from willa_spark.functions.curation import eval_ngrams
 from willa_spark.streaming.corpus_pipeline import (
     corpus_curation_batch,
@@ -208,3 +210,100 @@ def test_streaming_pack_sequences_congruity_and_replay(spark, tmp_path):
     from willa_spark.streaming.store import store_partitions
 
     assert len(store_partitions(store)) == 2  # [compacted(0+1), 2]
+
+
+def test_pack_sequences_step_out_of_order_fails_loud(spark, tmp_path):
+    """The id-ordered-arrival congruity precondition is ENFORCED, not
+    just documented: a batch carrying an id at or below its stratum's
+    stored max-id high-water mark must fail the micro-batch (silently
+    continuing would produce a valid-looking packing that disagrees
+    with the batch operator)."""
+    import os as _os
+
+    import pytest
+    from willa_spark.streaming.corpus_pipeline import pack_sequences_step
+
+    schema = "doc_id bigint, source string, text string"
+    store = _os.path.join(str(tmp_path), "pack-store")
+    step = pack_sequences_step(store, seq_len=5)
+    step(
+        spark.createDataFrame([(0, "s1", "w w"), (2, "s1", "w")], schema), 0
+    ).collect()
+    # id 1 <= stratum s1's stored max id 2 -> loud failure
+    with pytest.raises(Exception, match="out-of-order arrival"):
+        step(
+            spark.createDataFrame([(1, "s1", "w w w")], schema), 1
+        ).collect()
+    # a DIFFERENT stratum with overlapping id ranges is fine (marks
+    # are per stratum) and so is a replay of the same batch id
+    step(spark.createDataFrame([(1, "s2", "w w")], schema), 1).collect()
+    step(spark.createDataFrame([(1, "s2", "w w")], schema), 1).collect()
+
+
+def test_pack_shards_step_congruity_and_replay(spark, tmp_path):
+    """The streaming assembly endpoint: the union of streamed shard
+    rows over id-ordered batches must equal what batch
+    save_packed_shards writes for the same corpus (read back from
+    disk, layout normalized) — surviving a replay across a
+    store-compaction boundary."""
+    import os as _os
+
+    from willa_spark.functions import curation as CU
+    from willa_spark.streaming.corpus_pipeline import pack_shards_step
+    from willa_spark.streaming.store import store_partitions, store_read
+
+    rows = [
+        (0, "s1", " ".join(["w"] * 6)),
+        (1, "s1", " ".join(["w"] * 23)),   # straddles seqs 0..2 at L=10
+        (2, "s2", " ".join(["w"] * 4)),
+        (3, "s1", " ".join(["w"] * 11)),
+        (4, "s2", " ".join(["w"] * 9)),
+        (5, "s1", " ".join(["w"] * 2)),
+        (6, "s2", None),                   # NULL text -> no slices
+    ]
+    schema = "doc_id bigint, source string, text string"
+    batches = [rows[:2], rows[2:4], rows[4:]]
+    store = _os.path.join(str(tmp_path), "marks")
+    shards = _os.path.join(str(tmp_path), "stream-shards")
+    step = pack_shards_step(
+        store, shards, seq_len=10, seqs_per_shard=2, compact_every=2
+    )
+    last = None
+    for bid, b in enumerate(batches):
+        last = sorted(
+            tuple(r)
+            for r in step(spark.createDataFrame(b, schema), bid).collect()
+        )
+    # replay the last batch across the compaction boundary (batch 2's
+    # start compacted partitions 0+1): identical rows, own partition
+    # overwritten, nothing double-counted
+    replay = sorted(
+        tuple(r)
+        for r in step(spark.createDataFrame(batches[2], schema), 2).collect()
+    )
+    assert replay == last
+    assert len(store_partitions(shards)) == 2  # [compacted(0+1), 2]
+
+    cols = [
+        "source", "shard", "seq_id", "doc_id",
+        "start_in_seq", "start_in_doc", "slice_len", "slice_text",
+    ]
+    streamed = sorted(
+        tuple(r)
+        for r in store_read(spark, shards).select(*cols).collect()
+    )
+    out = _os.path.join(str(tmp_path), "batch-shards")
+    CU.save_packed_shards(
+        spark.createDataFrame(rows, schema), out, seq_len=10, seqs_per_shard=2
+    )
+    batch_rows = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .select(
+            F.col("source").cast("string"),
+            F.col("shard").cast("bigint"),
+            *cols[2:],
+        )
+        .collect()
+    )
+    assert streamed == batch_rows and len(streamed) > 0

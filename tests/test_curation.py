@@ -301,6 +301,52 @@ def test_pack_sequences_scaled_equals_window_form(spark):
         assert scaled == base, f"width={width}"
 
 
+def test_two_phase_kernel_null_only_prefix_in_first_piece(spark):
+    """The kernel's NULL contract at its sharpest edge (unreachable
+    from the current callers, latent for future ones): a row whose
+    at-or-before values are all NULL, sitting in the FIRST piece —
+    which itself has a non-NULL total from a LATER row. The
+    single-window SUM yields NULL there; the r5 kernel's "inclusive
+    prefix minus own total" offset resolved to 0 and produced
+    __cum=0. The strictly-prior offset frame must keep it NULL."""
+    from pyspark.sql import Window as W
+
+    rows = [
+        # (id, stratum, piece, value): piece 0 = [NULL, 5], piece 1 = [2]
+        (0, "s", 0, None),
+        (1, "s", 0, 5),
+        (2, "s", 1, 2),
+        # a second stratum whose first piece is ALL NULL, second has data
+        (3, "t", 0, None),
+        (4, "t", 1, 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "id bigint, src string, piece bigint, v bigint"
+    )
+    got = {
+        r["id"]: r["__cum"]
+        for r in CU._two_phase_prefix_sum(
+            df,
+            "src",
+            ["piece"],
+            piece_order=[F.asc("piece")],
+            row_order=[F.asc("id")],
+            value_col="v",
+        ).collect()
+    }
+    w = (
+        W.partitionBy("src")
+        .orderBy(F.asc("piece"), F.asc("id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    want = {
+        r["id"]: r["__cum"]
+        for r in df.withColumn("__cum", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+    assert want[0] is None and want[3] is None  # the r5 kernel said 0
+
+
 # ------------------------------------------------ property invariants
 _packing_corpus = st.lists(
     st.tuples(
@@ -545,6 +591,15 @@ def test_save_packed_shards_loader_order(spark, tmp_path):
     )
     with pytest.raises(Exception, match="NULL doc_id"):
         CU.save_packed_shards(bad, str(tmp_path / "bad"), 10, 2)
+    # duplicate doc ids fail loud too (the slice join would otherwise
+    # silently fan out and corrupt shard token streams — the r6 fix
+    # for the NULL/dup validation asymmetry)
+    dup = spark.createDataFrame(
+        [(7, "s1", "w w w"), (7, "s1", "x x")],
+        "doc_id bigint, source string, text string",
+    )
+    with pytest.raises(Exception, match="duplicate doc_id"):
+        CU.save_packed_shards(dup, str(tmp_path / "dup"), 10, 2)
 
 
 # ------------------------------------------------------- edge cases

@@ -342,6 +342,143 @@ def save_corpus_shards(
     )
 
 
+def _explode_slices(
+    packed: DataFrame,
+    seq_len: int,
+    id_col: str,
+    strata_col: str,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """The slice arithmetic shared by ``sequence_manifest`` and the
+    packed-shard writers: one row per (touched sequence, doc) from a
+    ``pack_sequences``-shaped frame (id, stratum, n_tokens, seq_id,
+    seq_offset [, carry...]) — columns (stratum, seq_id, id,
+    start_in_seq, start_in_doc, slice_len [, carry...]), where
+    ``seq_id`` is re-bound to the touched sequence. Zero-token / NULL
+    docs emit nothing. Fan-out ∝ boundary crossings; ``carry``
+    columns ride through the explode as references (no recompute)."""
+    L = F.lit(seq_len).cast("bigint")
+    cb = F.col("seq_id") * L + F.col("seq_offset")
+    s_end = F.floor((cb + F.col("n_tokens") - 1) / L).cast("bigint")
+    e = (
+        packed.filter(F.col("n_tokens") >= 1)
+        .withColumn("__cb", cb)
+        .withColumn("__s", F.explode(F.sequence(F.col("seq_id"), s_end)))
+    )
+    s, b, n = F.col("__s"), F.col("__cb"), F.col("n_tokens")
+    return e.select(
+        F.col(strata_col),
+        s.alias("__slice_seq"),
+        F.col(id_col),
+        F.greatest(F.lit(0), b - s * L).cast("bigint").alias("start_in_seq"),
+        F.greatest(F.lit(0), s * L - b).cast("bigint").alias("start_in_doc"),
+        (F.least((s + 1) * L, b + n) - F.greatest(s * L, b))
+        .cast("bigint")
+        .alias("slice_len"),
+        *[F.col(c) for c in carry],
+    ).withColumnRenamed("__slice_seq", "seq_id")
+
+
+def packed_slice_rows(
+    docs: DataFrame,
+    packed: DataFrame,
+    seq_len: int,
+    seqs_per_shard: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str = "source",
+) -> DataFrame:
+    """The shard-row frame shared by ``save_packed_shards`` (batch)
+    and the streaming ``pack_shards_step``: (stratum, shard, seq_id,
+    id, start_in_seq, start_in_doc, slice_len, slice_text), one row
+    per (sequence, contributing doc). ``packed`` must be a
+    ``pack_sequences``-shaped frame over exactly these ``docs``
+    (batch: the full-corpus window; streaming: the high-water-mark
+    continuation), so sequence ids are the caller's concern.
+
+    Validation, both fail-loud in-plan (lazy ``raise_error`` — no
+    extra pass): NULL ids (an id-less doc can't be joined to its
+    slices; silently dropping it would leave holes in written
+    sequences) and DUPLICATE ids (the slice join would fan out,
+    duplicating slice rows and corrupting shard token streams — the
+    asymmetric silent half of the NULL check until r6).
+
+    Tokenization is ONCE PER DOC: ``packed`` joins back to the text
+    on the id (text crosses the wire once per doc), the token array
+    is computed in a projection BEFORE the slice explode, and each
+    slice row reads its span out of that array — a doc straddling k
+    sequences costs O(doc_tokens + slice tokens), not k
+    re-tokenizations (the r5 writer evaluated ``_tokens(text)`` per
+    manifest row: O(doc_tokens × k) CPU on long docs). The dup-id
+    window runs on the id-hashed side the join needs anyway, so the
+    exchange is reused."""
+    if seqs_per_shard <= 0:
+        raise ValueError(f"seqs_per_shard must be positive, got {seqs_per_shard}")
+    # NULL guard on the PACKED side's id: the inner join's inferred
+    # isnotnull(id) filter evaluates this expression (it cannot be
+    # satisfied without computing the when), so a NULL id raises
+    # instead of being silently null-filtered out of the join. A guard
+    # on the text column alone would never fire — Catalyst pushes the
+    # not-null filter below the projection and drops the row first.
+    checked_id = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"packed shards: NULL {id_col} — slices cannot be joined "
+                f"back to an id-less document; assign ids upstream"
+            )
+        ).cast(packed.schema[id_col].dataType),
+    ).otherwise(F.col(id_col))
+    packed = packed.withColumn(id_col, checked_id)
+    dup_w = Window.partitionBy(id_col)
+    guarded_text = F.when(
+        F.count(F.lit(1)).over(dup_w) > 1,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"packed shards: duplicate {id_col} "
+                ),
+                F.col(id_col).cast("string"),
+                F.lit(
+                    " — the slice join would fan out and corrupt shard "
+                    "token streams; dedup ids upstream"
+                ),
+            )
+        ).cast("string"),
+    ).otherwise(F.col(text_col))
+    doc_text = docs.select(F.col(id_col), guarded_text.alias(text_col))
+    joined = packed.join(doc_text, id_col)
+    with_toks = joined.select(
+        F.col(id_col),
+        F.col(strata_col),
+        "n_tokens",
+        "seq_id",
+        "seq_offset",
+        _tokens(F.col(text_col)).alias("__toks"),
+    )
+    sliced = _explode_slices(
+        with_toks, seq_len, id_col, strata_col, carry=("__toks",)
+    )
+    slice_text = F.concat_ws(
+        " ",
+        F.slice(
+            F.col("__toks"),
+            F.col("start_in_doc").cast("int") + 1,  # slice() is 1-indexed
+            F.col("slice_len").cast("int"),
+        ),
+    )
+    return sliced.select(
+        F.col(strata_col),
+        F.floor(F.col("seq_id") / seqs_per_shard).cast("bigint").alias("shard"),
+        "seq_id",
+        F.col(id_col),
+        "start_in_seq",
+        "start_in_doc",
+        "slice_len",
+        slice_text.alias("slice_text"),
+    )
+
+
 def save_packed_shards(
     docs: DataFrame,
     path: str,
@@ -351,8 +488,7 @@ def save_packed_shards(
     text_col: str = "text",
     strata_col: str = "source",
 ) -> None:
-    """The packed-assembly endpoint: join each doc to its
-    ``sequence_manifest`` slices and write ``stratum=S/shard=K/``
+    """The packed-assembly endpoint: write ``stratum=S/shard=K/``
     parquet where shard K holds ``seqs_per_shard`` consecutive
     sequences, rows sorted by (seq_id, start_in_seq) — a training
     loader streams shard K top-to-bottom and materializes its
@@ -360,60 +496,35 @@ def save_packed_shards(
     tokens (``slice_text``), not the whole document: the slices of a
     doc partition its token stream, so total output ≈ the corpus's
     token volume regardless of how many sequences a long doc
-    straddles (attaching full text per manifest row would amplify a
-    doc by ~n_tokens/seq_len copies). ``slice_text`` is the
-    NORMALIZED token stream — lowercased, whitespace-collapsed — the
-    same kernel ``n_tokens``/``pack_sequences`` count, so slice
-    boundaries and token positions agree exactly; a loader needing
-    raw bytes should join ``sequence_manifest`` to its own text store
-    instead.
+    straddles. ``slice_text`` is the NORMALIZED token stream —
+    lowercased, whitespace-collapsed — the same kernel
+    ``n_tokens``/``pack_sequences`` count, so slice boundaries and
+    token positions agree exactly; a loader needing raw bytes should
+    join ``sequence_manifest`` to its own text store instead.
 
-    NULL document ids fail loud in-plan (an id-less doc can't be
-    joined to its slices; silently dropping it would leave holes in
-    written sequences — same lazy raise_error discipline as
-    hash_family_recall's plant-offset check).
-
-    Plan: the manifest's stratum-window pass, a shuffle-join back to
-    the doc text on the id (both sides id-keyed; text crosses the
-    wire once per doc), slice projection BEFORE the writer exchange
-    so only slice tokens shuffle, then ONE hash shuffle into writer
+    Plan: ``pack_sequences``'s stratum-window pass, a shuffle-join
+    back to the doc text on the id (text crosses the wire ONCE per
+    doc, tokenized ONCE per doc — see ``packed_slice_rows``), the
+    slice explode + projection BEFORE the writer exchange so only
+    slice tokens shuffle, then ONE hash shuffle into writer
     partitions with an in-partition (stratum, shard, seq_id,
     start_in_seq) sort — the ``save_corpus_shards`` discipline with
     the packing order as the sort key. Deterministic: reruns produce
-    the identical layout."""
-    if seqs_per_shard <= 0:
-        raise ValueError(f"seqs_per_shard must be positive, got {seqs_per_shard}")
-    checked_id = F.when(
-        F.col(id_col).isNull(),
-        F.raise_error(
-            F.lit(
-                f"save_packed_shards: NULL {id_col} — slices cannot be "
-                f"joined back to an id-less document; assign ids upstream"
-            )
-        ),
-    ).otherwise(F.col(id_col))
-    docs = docs.withColumn(id_col, checked_id)
-    manifest = sequence_manifest(
+    the identical layout. NULL and duplicate ids fail loud in-plan
+    (``packed_slice_rows``)."""
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    packed = pack_sequences(
         docs, seq_len, id_col=id_col, text_col=text_col, strata_col=strata_col
     )
-    joined = manifest.join(docs.select(F.col(id_col), F.col(text_col)), id_col)
-    slice_text = F.concat_ws(
-        " ",
-        F.slice(
-            _tokens(F.col(text_col)),
-            F.col("start_in_doc").cast("int") + 1,  # slice() is 1-indexed
-            F.col("slice_len").cast("int"),
-        ),
-    )
-    sharded = joined.select(
-        F.col(strata_col),
-        F.floor(F.col("seq_id") / seqs_per_shard).cast("bigint").alias("shard"),
-        "seq_id",
-        F.col(id_col),
-        "start_in_seq",
-        "start_in_doc",
-        "slice_len",
-        slice_text.alias("slice_text"),
+    sharded = packed_slice_rows(
+        docs,
+        packed,
+        seq_len,
+        seqs_per_shard,
+        id_col=id_col,
+        text_col=text_col,
+        strata_col=strata_col,
     )
     (
         sharded.repartition(F.col(strata_col), F.col("shard"))
@@ -492,7 +603,14 @@ def _two_phase_prefix_sum(
     text) is eagerly checkpointed so the local-window pass and the
     per-piece totals read ONE materialization instead of scanning and
     re-deriving the source twice; checkpoint blocks release on GC of
-    the result. Local windows parallelize over pieces; the per-piece
+    the result. Fault-tolerance trade at cluster scale:
+    ``localCheckpoint`` truncates lineage into EXECUTOR-LOCAL blocks,
+    so losing an executor mid-job fails the job instead of recomputing
+    (acceptable in local mode and for retry-from-scratch batch jobs;
+    a long multi-hour cluster run should front the input with a
+    reliable materialization — write the narrow frame to storage and
+    re-read it — which is the same one-scan plan with durable blocks;
+    see SCALING.md). Local windows parallelize over pieces; the per-piece
     totals frame (one row per non-empty piece) takes the prefix
     window and broadcasts back as piece offsets. Joins are null-safe:
     NULL strata/piece keys group and join like values, matching
@@ -507,19 +625,22 @@ def _two_phase_prefix_sum(
     totals = counted.groupBy(strata_col, *piece_cols).agg(
         F.sum(value_col).alias("__pt")
     )
-    off_w = (
+    # STRICTLY-PRIOR frame (unboundedPreceding, -1): __off is NULL
+    # exactly when no earlier piece holds a non-NULL value — including
+    # the case where THIS piece has a non-NULL total but nothing before
+    # it does (the "inclusive prefix minus own total" formulation
+    # resolved that to 0, so a row whose at-or-before values within the
+    # first piece were all NULL got __cum=0 where the single-window SUM
+    # yields NULL)
+    prior_w = (
         Window.partitionBy(strata_col)
         .orderBy(*piece_order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    # inclusive piece prefix minus own total = strictly-prior offset;
-    # an all-NULL piece keeps __off NULL when nothing non-NULL precedes
     offsets = totals.select(
         F.col(strata_col),
         *[F.col(c) for c in piece_cols],
-        (
-            F.sum("__pt").over(off_w) - F.coalesce(F.col("__pt"), F.lit(0))
-        ).alias("__off"),
+        F.sum("__pt").over(prior_w).alias("__off"),
     )
     l, o = local.alias("l"), offsets.alias("o")
     cond = F.col(f"l.{strata_col}").eqNullSafe(F.col(f"o.{strata_col}"))
@@ -676,29 +797,12 @@ def sequence_manifest(
 
     Plan: ``pack_sequences``'s stratum-window pass plus a per-row
     ``sequence``/``explode`` over the (usually 1-2) sequences each doc
-    touches — fan-out ∝ boundary crossings, no extra shuffle."""
+    touches (``_explode_slices``, shared with the shard writers) —
+    fan-out ∝ boundary crossings, no extra shuffle."""
     packed = pack_sequences(
         docs, seq_len, id_col=id_col, text_col=text_col, strata_col=strata_col
     )
-    L = F.lit(seq_len).cast("bigint")
-    cb = F.col("seq_id") * L + F.col("seq_offset")
-    s_end = F.floor((cb + F.col("n_tokens") - 1) / L).cast("bigint")
-    e = (
-        packed.filter(F.col("n_tokens") >= 1)
-        .withColumn("__cb", cb)
-        .withColumn("__s", F.explode(F.sequence(F.col("seq_id"), s_end)))
-    )
-    s, b, n = F.col("__s"), F.col("__cb"), F.col("n_tokens")
-    return e.select(
-        F.col(strata_col),
-        s.alias("seq_id"),
-        F.col(id_col),
-        F.greatest(F.lit(0), b - s * L).cast("bigint").alias("start_in_seq"),
-        F.greatest(F.lit(0), s * L - b).cast("bigint").alias("start_in_doc"),
-        (F.least((s + 1) * L, b + n) - F.greatest(s * L, b))
-        .cast("bigint")
-        .alias("slice_len"),
-    )
+    return _explode_slices(packed, seq_len, id_col, strata_col)
 
 
 def pack_sequences_scaled(

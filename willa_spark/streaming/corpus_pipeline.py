@@ -186,18 +186,29 @@ def pack_sequences_step(
     batch_id) -> packed_df`` with the same columns as the batch
     operator.
 
-    State is the smallest possible: ONE (stratum, tokens) row per
-    micro-batch in a partitioned store — the per-stratum token
-    high-water mark, maintained with the package's store discipline
-    (replay overwrites its own ``ingest_batch=`` partition; the probe
-    reads strictly-prior partitions, so a replayed batch never counts
-    its failed attempt's tokens). Global position = stored prior
-    total + the batch-local window sum; NULL strata and NULL-text
-    docs flow exactly as in the batch form (null-safe join, NULL
-    seq ids for NULL text). ``compact_every=N`` folds committed
-    high-water-mark partitions every N batches — the store is tiny
-    (one row per stratum per batch) but its DIRECTORY count is what
-    grows unbounded on a long stream."""
+    PRECONDITION (enforced, not just assumed): per stratum,
+    micro-batches must arrive in nondecreasing id order — every id in
+    batch b must exceed every id the stratum saw in batches < b.
+    That is what makes the streamed seq_id/seq_offset assignments
+    equal ``pack_sequences`` over the full corpus; out-of-order
+    arrival would silently produce a different (still valid-looking)
+    packing. The store therefore keeps a per-stratum MAX-ID
+    high-water mark alongside the token total, and a violating batch
+    fails loud in-plan (lazy ``raise_error`` riding the offset join —
+    no extra pass or action).
+
+    State is the smallest possible: ONE (stratum, tokens, max_id) row
+    per micro-batch in a partitioned store — maintained with the
+    package's store discipline (replay overwrites its own
+    ``ingest_batch=`` partition; the probe reads strictly-prior
+    partitions, so a replayed batch never counts its failed attempt's
+    tokens). Global position = stored prior total + the batch-local
+    window sum; NULL strata and NULL-text docs flow exactly as in the
+    batch form (null-safe join, NULL seq ids for NULL text; NULL ids
+    bypass the order guard — they carry no order). ``compact_every=N``
+    folds committed high-water-mark partitions every N batches — the
+    store is tiny (one row per stratum per batch) but its DIRECTORY
+    count is what grows unbounded on a long stream."""
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
 
@@ -223,14 +234,33 @@ def pack_sequences_step(
         prior = store_read(spark, store_dir, before_batch=batch_id)
         if prior is not None:
             offs = prior.groupBy(strata_col).agg(
-                F.sum("tokens").alias("__off")
+                F.sum("tokens").alias("__off"),
+                F.max("max_id").alias("__prior_max"),
             )
             l, o = local.alias("l"), offs.alias("o")
+            ordered_off = F.when(
+                F.col(f"l.{id_col}") <= F.col("__prior_max"),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "pack_sequences_step: out-of-order arrival — "
+                            f"{id_col} "
+                        ),
+                        F.col(f"l.{id_col}").cast("string"),
+                        F.lit(" <= the stratum's prior max id "),
+                        F.col("__prior_max").cast("string"),
+                        F.lit(
+                            "; per-stratum id-ordered ingestion is the "
+                            "congruity precondition (see docstring)"
+                        ),
+                    )
+                ).cast("bigint"),
+            ).otherwise(F.coalesce(F.col("__off"), F.lit(0)))
             local = l.join(
                 F.broadcast(o),
                 F.col(f"l.{strata_col}").eqNullSafe(F.col(f"o.{strata_col}")),
                 "left",
-            ).select("l.*", F.coalesce(F.col("__off"), F.lit(0)).alias("__off"))
+            ).select("l.*", ordered_off.alias("__off"))
         else:
             local = local.withColumn("__off", F.lit(0).cast("bigint"))
 
@@ -246,10 +276,77 @@ def pack_sequences_step(
         # the NULL stratum as its own row, coalesce records zero for
         # all-NULL batches so the stored sum stays non-degenerate
         marks = counted.groupBy(strata_col).agg(
-            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("tokens")
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("tokens"),
+            F.max(F.col(id_col)).alias("max_id"),
         )
         store_append(marks, store_dir, batch_id, max_files=1)
         return packed
+
+    return step
+
+
+def pack_shards_step(
+    store_dir: str,
+    shards_dir: str,
+    seq_len: int,
+    seqs_per_shard: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str = "source",
+    compact_every: int | None = None,
+) -> Callable[[DataFrame, int], DataFrame]:
+    """The trainer-consumable streaming assembly endpoint:
+    ``pack_sequences_step``'s global sequence assignments composed
+    with the packed-shard row builder (``curation.packed_slice_rows``
+    — the SAME frame ``save_packed_shards`` writes), landed per batch
+    under the store contract. Returns ``(batch_df, batch_id) ->
+    shard_rows_df``; wire it like any step in this package.
+
+    Congruity (pytest-pinned): the union of all streamed shard rows
+    over an id-ordered ingestion ≡ the rows batch
+    ``save_packed_shards`` writes for the same corpus — including
+    replay across a store-compaction boundary. Layout differs by
+    design: streaming lands ``ingest_batch=<id>`` partitions
+    (idempotent replay, ``compact_every`` retention) with rows
+    clustered on seq_id for row-group pruning; a training loader
+    reads through ``store_read`` and sorts/buckets by (stratum,
+    shard, seq_id) downstream, or a periodic batch job rewrites the
+    accumulated store into the ``stratum=S/shard=K`` layout with
+    ``save_packed_shards`` semantics. Inherits the packer's
+    id-ordered-arrival guard and the row builder's NULL/duplicate-id
+    fail-loud checks; the per-batch cost is the batch writer's plan
+    over the micro-batch (one text join, tokenize-once slice
+    projection, no extra shuffle beyond the writer clamp)."""
+    from ..functions.curation import packed_slice_rows
+
+    packer = pack_sequences_step(
+        store_dir,
+        seq_len,
+        id_col=id_col,
+        text_col=text_col,
+        strata_col=strata_col,
+        compact_every=compact_every,
+    )
+
+    def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        store_compact_every(
+            batch_df.sparkSession,
+            [(shards_dir, "seq_id")],
+            batch_id,
+            compact_every,
+        )
+        packed = packer(batch_df, batch_id)
+        rows = packed_slice_rows(
+            batch_df,
+            packed,
+            seq_len,
+            seqs_per_shard,
+            id_col=id_col,
+            text_col=text_col,
+            strata_col=strata_col,
+        )
+        store_append(rows, shards_dir, batch_id, sort_by="seq_id")
+        return rows
 
     return step
 
