@@ -79,10 +79,14 @@ HEADLINE = [
     "sequence_manifest",
     "above_avg_orders",
     "corpus_profile",
-    # round 4: oracle-checked planted-recall proof for the four
-    # hash/ANN families (runs minhash+simhash+LSH+IVF end-to-end, so
-    # its time is intrinsically ~the sum of those four families)
+    # round 4: oracle-checked planted-recall proof for the hash/ANN
+    # families (runs every family end-to-end, so its time is
+    # intrinsically ~the sum of the six families)
     "hash_family_recall",
+    # round 6: the on-disk packed-shard proof (write + read-back +
+    # aggregate) and the image perceptual-hash near-dup family
+    "packed_shard_roundtrip",
+    "image_phash_dups",
 ]
 
 

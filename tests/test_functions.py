@@ -197,6 +197,59 @@ def test_simhash_pigeonhole_full_recall_vs_brute_force(spark):
     assert got == want
 
 
+def test_image_phash_pairs_vs_brute_force(spark):
+    """The binary-column hamming family: bucketed pHash pairs must
+    equal the brute-force all-pairs bit_count(xor) answer over the
+    decoded hashes (injected byte-sensitive fake codec), planted
+    byte-identical twins must always pair at hamming 0, invalid
+    pigeonhole configs are rejected, and empty/NULL payloads hash
+    to 0."""
+    from willa_spark.functions.multimodal import (
+        decode_images,
+        fake_image_decoder_8x8,
+        image_phash_pairs,
+        with_phash,
+    )
+
+    rows = [
+        (i, bytes(f"img payload {i} body {'x' * (i % 11)} tail {i * 13}", "utf8"))
+        for i in range(30)
+    ]
+    rows += [(1000 + i, rows[i][1]) for i in range(0, 30, 6)]  # 5 twins
+    df = spark.createDataFrame(rows, "id bigint, data binary")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in image_phash_pairs(
+            df, max_hamming=3, decoder=fake_image_decoder_8x8
+        ).collect()
+    }
+    assert {(a, b) for a, b, h in got if b == a + 1000 and h == 0} == {
+        (i, 1000 + i) for i in range(0, 30, 6)
+    }
+    ph = with_phash(
+        decode_images(df, decoder=fake_image_decoder_8x8), "features", "h"
+    ).select("id", "h")
+    l, r = ph.alias("l"), ph.alias("r")
+    brute = (
+        l.join(r, F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.bit_count(F.col("l.h").bitwiseXOR(F.col("r.h"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )
+    assert got == {(r["id_a"], r["id_b"], r["hamming"]) for r in brute.collect()}
+
+    with pytest.raises(ValueError, match="max_hamming"):
+        image_phash_pairs(df, max_hamming=4, num_blocks=4)
+    edge = spark.createDataFrame([(1, b""), (2, None)], "id bigint, data binary")
+    hs = with_phash(
+        decode_images(edge, decoder=fake_image_decoder_8x8), "features", "h"
+    )
+    assert {r["h"] for r in hs.collect()} == {0}
+
+
 @pytest.fixture()
 def vectors(spark):
     import math

@@ -400,42 +400,36 @@ def with_simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash"
     return df.withColumn(out_col, simhash_udf(F.col(text_col)))
 
 
-def simhash_near_dups(
-    df: DataFrame,
-    max_hamming: int = 3,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_blocks: int | None = None,
-) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance <= max_hamming.
-    Scale path: pigeonhole — split the 64-bit signature into
-    ``num_blocks`` equal-shift blocks; a pair within hamming d <
-    num_blocks has its differing bits in at most d blocks, so at least
-    one block matches exactly and candidates come from num_blocks
-    equi-joins instead of all pairs.
-
-    ``num_blocks`` defaults to ``max_hamming + 1`` — the smallest count
-    that makes the stated radius a full-recall GUARANTEE, not a
-    heuristic. An explicit ``num_blocks <= max_hamming`` is rejected:
-    it would silently miss pairs at distance >= num_blocks. When 64 %
-    num_blocks != 0 the top bits go uncovered — recall-safe (uncovered
-    differing bits consume no pigeonhole; they only admit extra
-    candidates, which the exact hamming filter removes)."""
+def check_pigeonhole(max_hamming: int, num_blocks: int | None) -> int:
+    """Resolve/validate the pigeonhole block count shared by every
+    64-bit hamming family (simhash text near-dup, image pHash):
+    defaults to ``max_hamming + 1`` — the smallest count that makes the
+    stated radius a full-recall GUARANTEE, not a heuristic. An explicit
+    ``num_blocks <= max_hamming`` is rejected: it would silently miss
+    pairs at distance >= num_blocks."""
     if num_blocks is None:
         num_blocks = max_hamming + 1
     if max_hamming >= num_blocks:
         raise ValueError(
-            f"simhash pigeonholing with {num_blocks} blocks only guarantees "
+            f"pigeonholing with {num_blocks} blocks only guarantees "
             f"recall for max_hamming < {num_blocks}; got max_hamming={max_hamming}"
         )
-    sh = with_simhash(_spread(df.select(id_col, text_col), id_col), text_col).select(
-        F.col(id_col).alias("id"), F.col("simhash")
-    )
-    blocks = simhash_block_frame(sh, num_blocks)
-    # persist: the self-join would otherwise run the simhash Pandas UDF
-    # once per alias side (no subtree reuse across self-joins); the
-    # blocks frame is 4 small columns per doc — safe to cache at scale
-    blocks = blocks.persist()
+    return num_blocks
+
+
+def hamming_block_pairs(
+    sig: DataFrame, max_hamming: int, num_blocks: int
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs within ``max_hamming`` from an
+    (id, simhash) 64-bit signature frame — the pigeonhole self-join
+    shared by ``simhash_near_dups`` (text) and
+    ``multimodal.image_phash_pairs`` (images): candidates come from
+    ``num_blocks`` block equi-joins instead of all pairs, the exact
+    ``bit_count`` filter removes the extras. The signature frame is
+    persisted: the self-join would otherwise run the (Pandas-UDF or
+    decode) signature builder once per alias side; blocks are 4 small
+    columns per row — safe to cache at scale."""
+    blocks = simhash_block_frame(sig, num_blocks).persist()
     l, r = blocks.alias("l"), blocks.alias("r")
     cand = (
         l.join(
@@ -456,6 +450,32 @@ def simhash_near_dups(
     return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_blocks: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+    Scale path: pigeonhole — split the 64-bit signature into
+    ``num_blocks`` equal-shift blocks; a pair within hamming d <
+    num_blocks has its differing bits in at most d blocks, so at least
+    one block matches exactly and candidates come from num_blocks
+    equi-joins instead of all pairs (``hamming_block_pairs``).
+
+    ``num_blocks`` defaults to ``max_hamming + 1`` (see
+    ``check_pigeonhole``). When 64 % num_blocks != 0 the top bits go
+    uncovered — recall-safe (uncovered differing bits consume no
+    pigeonhole; they only admit extra candidates, which the exact
+    hamming filter removes)."""
+    num_blocks = check_pigeonhole(max_hamming, num_blocks)
+    sh = with_simhash(_spread(df.select(id_col, text_col), id_col), text_col).select(
+        F.col(id_col).alias("id"), F.col("simhash")
+    )
+    return hamming_block_pairs(sh, max_hamming, num_blocks)
 
 
 # ------------------------------------------------- winnowing overlap

@@ -102,6 +102,96 @@ def decode_images(
     return df.select(id_col, binary_col).mapInPandas(decode_batches, schema=out_schema)
 
 
+def fake_image_decoder_8x8(data: bytes) -> dict:
+    """Deterministic 8x8 fake decode for perceptual-hash tests: 64
+    'pixels' strided over the payload bytes — BYTE-SENSITIVE (unlike
+    the 4x4 checksum fake, which collapses payloads to a mod-256
+    class), so distinct payloads hash apart and identical payloads
+    hash identically. A real decoder would put an 8x8 DCT
+    low-frequency grid here."""
+    n = len(data or b"")
+    if n == 0:
+        px = [0.0] * 64
+    else:
+        px = [float(data[(i * 37 + 11) % n]) for i in range(64)]
+    return {"width": 8, "height": 8, "pixels": px, "n_bytes": n}
+
+
+def with_phash(
+    df: DataFrame,
+    features_col: str = "features",
+    out_col: str = "phash",
+    n_bits: int = 64,
+) -> DataFrame:
+    """64-bit perceptual hash over a decoded feature array: bit i = 1
+    iff feature_i exceeds the array mean — the aHash/pHash family's
+    threshold-against-mean step over whatever coefficient grid the
+    decoder produced (a real pHash feeds 8x8 DCT low frequencies; the
+    engine is agnostic to the grid's meaning). Arrays shorter than
+    ``n_bits`` populate only their leading bits; empty/NULL arrays
+    hash to 0. Pure Column expressions (aggregate/element_at over a
+    64-element array) — JVM-side, no Python beyond the decode itself.
+    The mean sub-expression is re-evaluated per bit (64 x 64 adds per
+    row — negligible next to the decode); a cost-sensitive caller can
+    pre-project the mean."""
+    f = F.col(features_col)
+    mean = F.aggregate(f, F.lit(0.0), lambda a, x: a + x) / F.greatest(
+        F.size(f), F.lit(1)
+    )
+    # shiftleft, not 1 << b literals: bit 63 is the long's sign bit and
+    # 2^63 overflows a py4j long
+    pow2 = F.array(
+        *[F.shiftleft(F.lit(1).cast("long"), b) for b in range(n_bits)]
+    )
+    idx = F.sequence(F.lit(0), F.least(F.lit(n_bits - 1), F.size(f) - 1))
+    bits = F.aggregate(
+        idx,
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(F.element_at(f, i + 1) > mean, F.element_at(pow2, i + 1))
+        .otherwise(F.lit(0).cast("long")),
+    )
+    return df.withColumn(
+        out_col,
+        F.when(F.coalesce(F.size(f), F.lit(0)) <= 0, F.lit(0).cast("long"))
+        .otherwise(bits),
+    )
+
+
+def image_phash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    binary_col: str = "data",
+    id_col: str = "id",
+    decoder: Callable[[bytes], dict] | None = None,
+    num_blocks: int | None = None,
+) -> DataFrame:
+    """Perceptual-hash near-duplicate IMAGE pairs — the binary-column
+    member of the hamming dedup family: decode (Arrow-batched
+    mapInPandas, injected codec) → 64-bit pHash (``with_phash``,
+    Column expressions) → the SAME pigeonhole block self-join + exact
+    ``bit_count`` verify as ``dedup.simhash_near_dups``
+    (``hamming_block_pairs`` — full recall at the radius guaranteed by
+    ``num_blocks = max_hamming + 1``, never all-pairs). Returns
+    (id_a, id_b, hamming).
+
+    At 100 TB the decode+hash is one map-only pass over the media
+    scan; only 16-byte (id, hash) rows reach the shuffle — pixel
+    tensors never leave the scan stage. The streaming twin is
+    ``streaming.near_dedup.phash_dedup_step`` (same signature builder
+    against a persisted store)."""
+    from .dedup import check_pigeonhole, hamming_block_pairs
+
+    num_blocks = check_pigeonhole(max_hamming, num_blocks)
+    decoded = decode_images(
+        df, binary_col=binary_col, id_col=id_col, decoder=decoder
+    )
+    sig = with_phash(decoded, "features", "simhash").select(
+        F.col(id_col).alias("id"), "simhash"
+    )
+    return hamming_block_pairs(sig, max_hamming, num_blocks)
+
+
 def fake_audio_decoder(data: bytes) -> dict:
     """Deterministic fake audio decode for tests: byte length → sample
     count, checksum → a tiny PCM-like wave."""

@@ -1152,13 +1152,15 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL SELECT 'ann_lsh', n, n FROM an
     UNION ALL SELECT 'ann_ivf', n, n FROM an
     UNION ALL SELECT 'winnow', n, n FROM wn
+    UNION ALL SELECT 'image_phash', n, n FROM sh
     """,
 )
 def q_hash_family_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle-checked RECALL proof for the five hash-based families
+    """Oracle-checked RECALL proof for the six hash-based families
     whose outputs are not themselves SQL-expressible (xxhash64 minhash
     bands, hash_array simhash blocks, hyperplane LSH buckets, k-means
-    IVF cells, xxhash64 winnowing fingerprints). Deterministic
+    IVF cells, xxhash64 winnowing fingerprints, decoded-pixel
+    perceptual hashes). Deterministic
     near-dup pairs are PLANTED such that recall is a mathematical
     guarantee, then each operator must find every planted pair:
 
@@ -1186,6 +1188,13 @@ def q_hash_family_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
       MUST emit every (source, planted) pair — recall 100% by
       construction (reference test-strategy analogue:
       congruity-by-equality, test/willa/test_utils.clj:86-92).
+    - image_phash (NEW r6): every 20th doc's binary payload (the
+      first 200 text bytes through the injected byte-sensitive fake
+      codec) is planted again under doc_id + 1e6. Identical bytes ⇒
+      identical decoded pixels ⇒ identical 64-bit pHash ⇒ hamming 0,
+      and the pigeonhole block join (the same ``hamming_block_pairs``
+      machinery as simhash) MUST emit the pair — guaranteed, not
+      sampled.
 
     Output: (family, n_planted, n_found). The oracle computes
     n_planted from the tables and asserts n_found = n_planted — the
@@ -1297,6 +1306,27 @@ def q_hash_family_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_planted")
     )
 
+    # --- image pHash: plant byte-identical twins of every 20th doc's
+    # binary payload (identical bytes ⇒ hamming 0 ⇒ pigeonhole hit)
+    from .functions.multimodal import fake_image_decoder_8x8, image_phash_pairs
+
+    imgs = docs.select(
+        "doc_id", F.encode(F.substring(F.col("text"), 1, 200), "utf-8").alias("data")
+    )
+    ph_planted_imgs = imgs.filter(F.col("doc_id") % 20 == 0)
+    ph_corpus = imgs.unionByName(
+        ph_planted_imgs.withColumn("doc_id", F.col("doc_id") + F.lit(OFF))
+    )
+    ph_pairs = image_phash_pairs(
+        ph_corpus, max_hamming=3, id_col="doc_id", decoder=fake_image_decoder_8x8
+    )
+    ph_found = ph_pairs.filter(F.col("id_b") == F.col("id_a") + OFF).agg(
+        F.count_distinct(F.col("id_a")).alias("n_found")
+    )
+    ph_planted = ph_planted_imgs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_planted")
+    )
+
     def fam(name: str, planted: DataFrame, found: DataFrame) -> DataFrame:
         return planted.crossJoin(found).select(
             F.lit(name).alias("family"), "n_planted", "n_found"
@@ -1308,6 +1338,7 @@ def q_hash_family_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(fam("ann_lsh", ann_planted, lsh_found))
         .unionByName(fam("ann_ivf", ann_planted, ivf_found))
         .unionByName(fam("winnow", wn_planted, wn_found))
+        .unionByName(fam("image_phash", ph_planted, ph_found))
     )
 
 
@@ -2819,6 +2850,113 @@ def q_sequence_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CURATION.sequence_manifest(docs, seq_len=512)
 
 
+@query(
+    "packed_shard_roundtrip",
+    oracle=r"""
+    WITH c AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n
+      FROM documents
+    ), w AS (
+      SELECT doc_id, source, n,
+             CAST(sum(n) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n AS BIGINT) AS cb
+      FROM c
+    ), e AS (
+      SELECT source, doc_id, n, cb,
+             unnest(generate_series(cb // 512, (cb + n - 1) // 512)) AS s
+      FROM w WHERE n >= 1
+    ), m AS (
+      SELECT source, CAST(s AS BIGINT) AS seq_id, doc_id,
+             CAST(greatest(0, cb - s*512) AS BIGINT) AS start_in_seq,
+             CAST(least((s+1)*512, cb + n) - greatest(s*512, cb) AS BIGINT)
+               AS slice_len
+      FROM e
+    )
+    SELECT source, seq_id,
+           CAST(seq_id // 8 AS BIGINT) AS shard_min,
+           CAST(seq_id // 8 AS BIGINT) AS shard_max,
+           CAST(count(*) AS BIGINT) AS n_slices,
+           CAST(sum(slice_len) AS BIGINT) AS n_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc,
+           CAST(sum(start_in_seq) AS BIGINT) AS start_sum
+    FROM m GROUP BY source, seq_id
+    """,
+)
+def q_packed_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ON-DISK proof of the packed-assembly endpoint: write the
+    corpus with ``save_packed_shards`` (seq_len=512, 8 seqs/shard) to
+    a temp dir, READ THE PARQUET BACK, and aggregate per (stratum,
+    sequence) — slice count, token total derived from the WRITTEN
+    ``slice_text`` (re-tokenized from disk, so a wrong slice span,
+    dropped row, or mis-normalized token stream breaks the hash), doc
+    range, offset sum, and the shard partition values each sequence
+    landed in (shard_min = shard_max = seq_id // 8 proves placement).
+    The oracle is the manifest SQL aggregated the same way — the
+    loader contract checked against the bytes a loader would read,
+    not against the plan that produced them. Mirrors how the
+    reference proves sinks end-to-end (core_test.clj:53-69 asserts
+    per-sink outputs). The result frame is eagerly pinned
+    (localCheckpoint) so the temp dir can be deleted before return."""
+    import shutil
+    import tempfile
+
+    docs = read_docs_spread(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="willa_packed_rt_")
+    try:
+        CURATION.save_packed_shards(docs, out, seq_len=512, seqs_per_shard=8)
+        back = spark.read.parquet(out)
+        agg = back.groupBy(
+            F.col("source").cast("string").alias("source"), "seq_id"
+        ).agg(
+            F.min("shard").cast("bigint").alias("shard_min"),
+            F.max("shard").cast("bigint").alias("shard_max"),
+            F.count(F.lit(1)).cast("bigint").alias("n_slices"),
+            F.sum(F.size(F.split(F.col("slice_text"), " ")))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+            F.sum("start_in_seq").cast("bigint").alias("start_sum"),
+        )
+        return agg.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@query("image_phash_dups")  # rows-only (decoded-pixel hashes not SQL-expressible)
+def q_image_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate image pairs over the corpus's
+    binary payloads (each doc's first 200 bytes through the injected
+    byte-sensitive fake codec — the container ships no real image
+    libraries; see multimodal.py) plus byte-identical planted twins of
+    every 20th doc. decode → 64-bit pHash → pigeonhole block join
+    (the simhash machinery, ``hamming_block_pairs``) → exact hamming
+    <= 3. Recall is driver-proven by the ``image_phash`` row of
+    ``hash_family_recall``; streaming twin:
+    ``streaming.near_dedup.phash_dedup_step``."""
+    from .functions.multimodal import fake_image_decoder_8x8, image_phash_pairs
+
+    OFF = 1_000_000
+    docs = read_docs_spread(spark, sf_dir)
+    imgs = docs.select(
+        "doc_id", F.encode(F.substring(F.col("text"), 1, 200), "utf-8").alias("data")
+    )
+    planted = imgs.filter(F.col("doc_id") % 20 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(OFF)
+    )
+    return image_phash_pairs(
+        imgs.unionByName(planted),
+        max_hamming=3,
+        id_col="doc_id",
+        decoder=fake_image_decoder_8x8,
+    )
+
+
 # Queries OMITTED from the driver-visible correctness set: the driver
 # records oracle rows for at most 50 queries (in registration order),
 # so every DISTINCT operator proof must land inside that window.
@@ -2834,88 +2972,94 @@ def q_sequence_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_curation.py::test_omitted_relational_parity (computed
 # FROM this set, so the pin rotates automatically).
 #
-# Round 5 rotation: ALL 20 r4-omitted names return (each regains a
-# green driver row this round, closing the "green within two rounds"
-# invariant for the full 70-query registry over r4∪r5), and 20
-# r4-green queries rest. Every rested name below is oracle-bearing, so
-# the automatic pytest parity pin covers all 20; each also has an
-# in-set (staying or returning) twin exercising the same machinery.
+# Round 6 rotation: ALL 20 r5-rested names return (green in r4, so
+# the "green within two rounds" invariant comes due this round), plus
+# pack_sequences and sequence_manifest — the only two registered
+# queries with NO driver row in r4∪r5 (registered mid-r5; the r5
+# policy note made them MUST-ROTATE-IN) — plus the two NEW r6
+# queries (packed_shard_roundtrip: the on-disk shard proof;
+# image_phash_dups: rows-only, recall driver-proven via
+# hash_family_recall's new image_phash row). That is 24 must-in
+# names; 24 r5-green queries rest to keep the gate at exactly 50.
+# Every rested name is r5-green, oracle-bearing (so the automatic
+# pytest parity pin covers it), and has an in-set twin:
 #
-# Rationale per r5 omission (operator -> in-set proof):
-#   tumbling_window_sum (A2)  -> hopping_window_count returns (same
-#                                window-assignment path, superset)
-#   rekey_fanout (P2)         -> fanout_flatmap (P6) + rekey_transform
-#                                (P5) return — its exact components
-#   value_only_rekey (P3)     -> rekey_transform returns; the
-#                                no-repartition plan property is
-#                                pytest-pinned
-#   doc_fingerprints          -> exact_dup_groups returns (same
+#   hopping_window_count (A2) -> tumbling_window_sum returns (same
+#                                window-assignment path; the exact
+#                                inverse of the r5 rotation)
+#   fanout_flatmap (P6)       -> rekey_fanout returns (P2 = fan-out +
+#                                rekey superset)
+#   rekey_transform (P5)      -> rekey_fanout + value_only_rekey
+#                                return (rekey machinery)
+#   changelog_filter (C1)     -> suppressed_window_final stays (same
+#                                coerce-to-kstream changelog path)
+#   quality_score             -> lang_id + token_stats return (same
+#                                text-stat Column vocabulary)
+#   top_bigrams               -> token_stats returns (same
+#                                tokenization kernel)
+#   doc_length_histogram      -> token_stats returns
+#   exact_dup_groups          -> doc_fingerprints returns (same
 #                                fingerprint groupBy)
-#   token_stats               -> top_bigrams + doc_length_histogram
-#                                stay (same tokenization kernel)
-#   lang_id                   -> quality_score stays (same text-stat
-#                                Column vocabulary)
-#   semi_join_customers       -> anti_join_customers stays (left
-#                                semi/anti family)
-#   except_customers          -> intersect_customers stays (set-ops)
-#   distinct_parts_per_supplier -> corpus_profile stays
-#                                (count_distinct vocabulary)
-#   skew_salted_join          -> skew_salted_agg returns (same salting
-#                                machinery)
-#   pivot_order_status        -> pricing_summary returns (grouped-agg
-#                                vocabulary; pivot pinned by parity)
-#   top_customers             -> shipping_priority (orderBy/limit) +
-#                                top_parts_per_supplier (per-group
-#                                top-k) stay
-#   rollup_revenue            -> pricing_summary returns (grouped agg
-#                                over lineitem; rollup grouping sets
-#                                parity-pinned)
-#   monthly_revenue_growth    -> forecast_revenue stays (window-fn
-#                                family)
-#   regional_supplier_volume  -> nary_join_fold stays (multi-way join
-#                                fold)
-#   late_shipment_priorities  -> shipping_priority stays
-#   embedding_near_dups       -> embedding_topk returns (cosine kernel
-#                                w/ brute-force oracle) +
-#                                hash_family_recall stays (planted
-#                                recall through the LSH bucket path)
-#   stratified_sample         -> token_budget_cap stays (per-stratum
-#                                window family)
-#   dup_line_filter           -> repetition_ngram_filter stays (same
+#   anti_join_customers       -> semi_join_customers returns
+#                                (semi/anti family)
+#   intersect_customers       -> except_customers returns (set-ops)
+#   corpus_profile            -> distinct_parts_per_supplier + lang_id
+#                                return (count_distinct + text stats)
+#   skew_salted_agg           -> skew_salted_join returns (same
+#                                salting machinery)
+#   pricing_summary           -> rollup_revenue returns (grouped
+#                                lineitem agg superset)
+#   shipping_priority         -> top_customers + late_shipment_
+#                                priorities return (orderBy/limit +
+#                                selective joins)
+#   top_parts_per_supplier    -> monthly_revenue_growth returns
+#                                (window-fn family) + top_customers
+#                                (top-k)
+#   forecast_revenue          -> rollup_revenue returns (selective
+#                                lineitem scan-agg)
+#   nary_join_fold (J8)       -> regional_supplier_volume returns
+#                                (multi-way join fold)
+#   embedding_topk            -> embedding_near_dups returns (cosine
+#                                kernel w/ brute-force oracle) +
+#                                hash_family_recall stays (ann rows)
+#   training_data_prep        -> corpus_keep_by_source returns
+#                                (composed corpus pipeline)
+#   repetition_ngram_filter   -> dup_line_filter returns (same
 #                                per-row run-count kernel)
-#   corpus_keep_by_source     -> training_data_prep stays (composed
-#                                pipeline superset)
-#   pack_sequences (NEW r5)   -> registered mid-r5 after the gate was
-#                                sized to exactly 50; token_budget_cap
-#                                stays (identical stratum-window plan
-#                                family). Oracle-bearing, so the
-#                                automatic pytest parity pin covers it
-#                                now; rotates into the driver gate next
-#                                round per the standing policy.
+#   gopher_quality_filter     -> corpus_keep_by_source returns
+#                                (composes the gopher keep rule)
+#   token_budget_cap          -> pack_sequences enters (identical
+#                                stratum-window plan family)
+#   windowed_left_join (J2)   -> windowed_outer_join stays (superset
+#                                emission path, same join kernel)
+#   asof_enrich (J6)          -> table_table_asof stays (same as-of
+#                                max_by machinery)
 DRIVER_OMIT = frozenset(
     {
-        "pack_sequences",
-        "sequence_manifest",  # same policy as pack_sequences (NEW r5)
-        "tumbling_window_sum",
-        "rekey_fanout",
-        "value_only_rekey",
-        "doc_fingerprints",
-        "token_stats",
-        "lang_id",
-        "semi_join_customers",
-        "except_customers",
-        "distinct_parts_per_supplier",
-        "skew_salted_join",
-        "pivot_order_status",
-        "top_customers",
-        "rollup_revenue",
-        "monthly_revenue_growth",
-        "regional_supplier_volume",
-        "late_shipment_priorities",
-        "embedding_near_dups",
-        "stratified_sample",
-        "dup_line_filter",
-        "corpus_keep_by_source",
+        "hopping_window_count",
+        "fanout_flatmap",
+        "rekey_transform",
+        "changelog_filter",
+        "quality_score",
+        "top_bigrams",
+        "doc_length_histogram",
+        "exact_dup_groups",
+        "anti_join_customers",
+        "intersect_customers",
+        "corpus_profile",
+        "skew_salted_agg",
+        "pricing_summary",
+        "shipping_priority",
+        "top_parts_per_supplier",
+        "forecast_revenue",
+        "nary_join_fold",
+        "embedding_topk",
+        "training_data_prep",
+        "repetition_ngram_filter",
+        "gopher_quality_filter",
+        "token_budget_cap",
+        "windowed_left_join",
+        "asof_enrich",
     }
 )
 

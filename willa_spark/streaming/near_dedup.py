@@ -111,20 +111,74 @@ def simhash_dedup_step(
     identical radius. ``compact_every=N`` bin-packs committed store
     partitions every N batches (see ``store_compact_every``) so a
     long-running stream's directory count stays bounded."""
-    if num_blocks is None:
-        num_blocks = max_hamming + 1
-    if max_hamming >= num_blocks:
-        raise ValueError(
-            f"simhash pigeonholing with {num_blocks} blocks only guarantees "
-            f"recall for max_hamming < {num_blocks}; got max_hamming={max_hamming}"
+
+    def sig_builder(batch_df: DataFrame) -> DataFrame:
+        return with_simhash(
+            batch_df.select(F.col(id_col).alias("id"), F.col(text_col)), text_col
+        ).select("id", "simhash")
+
+    return _hamming_dedup_step(
+        store_dir, sig_builder, max_hamming, num_blocks, id_col, compact_every
+    )
+
+
+def phash_dedup_step(
+    store_dir: str,
+    max_hamming: int = 3,
+    num_blocks: int | None = None,
+    id_col: str = "doc_id",
+    binary_col: str = "data",
+    decoder=None,
+    compact_every: int | None = None,
+) -> Callable[[DataFrame, int], DataFrame]:
+    """foreachBatch step for streaming perceptual-hash IMAGE near-dedup
+    — the binary-column member of the streaming hamming family, the
+    exact machinery of ``simhash_dedup_step`` with the signature
+    builder swapped: decode (Arrow-batched mapInPandas, injected
+    codec) → 64-bit pHash (``multimodal.with_phash``) → pigeonhole
+    block probe → exact hamming. The store holds (id, simhash) per
+    admitted image — never pixels or bytes. Congruity with batch
+    ``multimodal.image_phash_pairs`` + min-id canonical is
+    pytest-pinned with the injected fake codec (the container ships no
+    real image libraries — see multimodal.py)."""
+    from ..functions.multimodal import decode_images, with_phash
+
+    def sig_builder(batch_df: DataFrame) -> DataFrame:
+        decoded = decode_images(
+            batch_df, binary_col=binary_col, id_col=id_col, decoder=decoder
         )
+        return with_phash(decoded, "features", "simhash").select(
+            F.col(id_col).alias("id"), "simhash"
+        )
+
+    return _hamming_dedup_step(
+        store_dir, sig_builder, max_hamming, num_blocks, id_col, compact_every
+    )
+
+
+def _hamming_dedup_step(
+    store_dir: str,
+    sig_builder: Callable[[DataFrame], DataFrame],
+    max_hamming: int,
+    num_blocks: int | None,
+    id_col: str,
+    compact_every: int | None,
+) -> Callable[[DataFrame, int], DataFrame]:
+    """The shared 64-bit-hamming streaming dedup kernel: cross-batch
+    drops via block equi-join against the strictly-prior (id, simhash)
+    store, within-batch via the pigeonhole self-join + min-id
+    canonical, admitted signatures appended idempotently.
+    ``sig_builder(batch_df) -> (id, simhash)`` is the only
+    family-specific piece (simhash: text Pandas UDF; phash: decode +
+    threshold bits)."""
+    from ..functions.dedup import check_pigeonhole
+
+    num_blocks = check_pigeonhole(max_hamming, num_blocks)
 
     def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
         spark = batch_df.sparkSession
         store_compact_every(spark, [(store_dir, None)], batch_id, compact_every)
-        sh = with_simhash(
-            batch_df.select(F.col(id_col).alias("id"), F.col(text_col)), text_col
-        ).select("id", "simhash")
+        sh = sig_builder(batch_df)
         blocks = simhash_block_frame(sh, num_blocks).persist()
         hamming = F.bit_count(F.col("simhash").bitwiseXOR(F.col("__st_simhash")))
 
