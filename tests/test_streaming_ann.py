@@ -281,6 +281,68 @@ def test_ivf_retrain_recovers_post_drift_recall(spark, tmp_path):
     assert got[2][6] == 1  # exact self-match now dominates
 
 
+def test_ivf_drift_triggers_retrain_automatically(spark, tmp_path):
+    """The drift POLICY on top of the r5 retrain mechanism: the index
+    step measures each batch's mean distance-to-assigned-centroid via
+    an Observation riding the append write (no extra pass), records
+    the first batch as the baseline, leaves a well-clustered batch
+    alone, and on a drifted batch invokes ivf_retrain by itself —
+    after which a drifted query finds its true (drifted) nearest
+    neighbor at rank 1 (the stale-quantizer mis-routing itself is
+    pinned by test_ivf_retrain_recovers_post_drift_recall). The
+    baseline recalibrates per generation (ivf_retrain stores the
+    rebuilt corpus's mean under the new centroids)."""
+    from willa_spark.streaming.ann import (
+        ivf_drift_index_step,
+        ivf_gen_probe_step,
+        ivf_store_init,
+        ivf_store_meta,
+    )
+
+    mk = lambda rs: spark.createDataFrame(rs, "vec_id bigint, embedding array<double>")
+    root = os.path.join(str(tmp_path), "ivf-drift")
+    ivf_store_init(root, [[1.0, 0.0], [0.0, 1.0]])
+    step = ivf_drift_index_step(root, drift_ratio=1.5, n_centroids=2, n_iters=3)
+
+    # batch 0: on-distribution (axis clusters) -> establishes baseline
+    step(mk([(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.99, 0.01]), (3, [0.01, 0.99])]), 0)
+    meta0 = ivf_store_meta(root)
+    assert meta0["generation"] == 0 and meta0["ref_dist"] < 0.01
+
+    # another on-distribution batch: NO retrain
+    step(mk([(10, [0.98, 0.02]), (11, [0.02, 0.98])]), 1)
+    assert ivf_store_meta(root)["generation"] == 0
+
+    # drifted cluster arrives: mean dist ~0.2 >> 1.5*max(ref, 0.02)
+    step(mk([(4, [0.8, 0.6]), (5, [0.79, 0.61])]), 2)
+    assert ivf_store_meta(root)["generation"] == 1  # auto-retrained
+
+    got = []
+    sink = lambda topk, _bid: got.append(
+        [r["vec_id"] for r in topk.orderBy("rank").collect()]
+    )
+    probe = ivf_gen_probe_step(root, sink, k=2, n_probe=1)
+
+    # second drifted batch: the retrain it triggers now TRAINS on the
+    # migrated drifted vectors (a streaming drift response is
+    # necessarily one batch behind the onset)
+    step(mk([(6, [0.81, 0.59]), (7, [0.79, 0.62])]), 3)
+    meta = ivf_store_meta(root)
+    assert meta["generation"] == 2
+    assert meta["ref_dist"] is not None
+
+    probe(queries_df(spark), 0)
+    assert got[0][0] in {4, 5, 6, 7}  # true nearest neighbor is drifted
+
+
+def queries_df(spark):
+    # aligned with the DRIFT cluster: the retrained quantizer must
+    # route it to the cell holding the drifted vectors
+    return spark.createDataFrame(
+        [(100, [0.79, 0.6])], "query_id bigint, query_vec array<double>"
+    )
+
+
 def test_ivf_retrain_migrates_concurrent_commits_and_guards_swap(spark, tmp_path):
     """Two index-during-retrain safeguards: (1) batches the index
     stream committed to the OLD generation at/after the retrain

@@ -60,6 +60,7 @@ from ..functions.similarity import (
     lsh_probe_topk,
     lsh_signature,
     _as_double,
+    _centroid_sims,
 )
 from .store import store_append, store_read
 
@@ -227,6 +228,15 @@ def ivf_probe_step(
 # STRICTLY-PRIOR rows only, so a failed in-flight batch's partial rows
 # are excluded and its replay appends its own partition to the new
 # generation — never duplicated, never lost.
+#
+# WHEN to retrain is a policy, not just a mechanism:
+# ``ivf_drift_index_step`` measures each batch's mean
+# distance-to-assigned-centroid (an Observation riding the append
+# write — zero extra passes) against the generation's recorded
+# baseline and invokes ``ivf_retrain`` automatically when the corpus
+# distribution has drifted past the threshold. Callers wanting manual
+# control keep ``ivf_gen_index_step`` + their own ``ivf_retrain``
+# schedule.
 
 _IVF_META = "_ivf_meta.json"
 
@@ -239,21 +249,31 @@ def _ivf_gen_dir(root: str, gen: int) -> str:
     return os.path.join(root, f"gen={gen}")
 
 
-def _write_ivf_meta(root: str, gen: int, centroids: list[list[float]]) -> None:
+def _write_ivf_meta(
+    root: str,
+    gen: int,
+    centroids: list[list[float]],
+    ref_dist: float | None = None,
+) -> None:
     os.makedirs(root, exist_ok=True)
+    meta: dict = {"generation": gen, "centroids": centroids}
+    if ref_dist is not None:
+        meta["ref_dist"] = ref_dist
     staged = _ivf_meta_path(root) + ".staging"
     with open(staged, "w") as f:
-        json.dump({"generation": gen, "centroids": centroids}, f)
+        json.dump(meta, f)
         f.flush()
         os.fsync(f.fileno())
     os.replace(staged, _ivf_meta_path(root))  # atomic swap
 
 
 def ivf_store_meta(root: str) -> dict:
-    """Current ``{"generation": int, "centroids": [...]}``. Fail-loud
-    on a missing store (same discipline as store_read's non-PATH
-    errors): serving from a half-initialized root must not silently
-    return empty answers."""
+    """Current ``{"generation": int, "centroids": [...]}`` (plus
+    ``ref_dist``, the quantizer's reference mean
+    distance-to-assigned-centroid, once established — see
+    ``ivf_drift_index_step``). Fail-loud on a missing store (same
+    discipline as store_read's non-PATH errors): serving from a
+    half-initialized root must not silently return empty answers."""
     try:
         with open(_ivf_meta_path(root)) as f:
             return json.load(f)
@@ -264,10 +284,15 @@ def ivf_store_meta(root: str) -> dict:
         ) from None
 
 
-def ivf_store_init(root: str, centroids: list[list[float]]) -> None:
+def ivf_store_init(
+    root: str, centroids: list[list[float]], ref_dist: float | None = None
+) -> None:
     """Create generation 0 under bootstrap centroids (train them on a
-    bootstrap sample with ``train_centroids``)."""
-    _write_ivf_meta(root, 0, centroids)
+    bootstrap sample with ``train_centroids``). ``ref_dist`` seeds the
+    drift baseline when known (e.g. measured on the bootstrap sample);
+    otherwise ``ivf_drift_index_step`` establishes it from its first
+    batch."""
+    _write_ivf_meta(root, 0, centroids, ref_dist=ref_dist)
 
 
 def ivf_gen_index_step(
@@ -337,6 +362,82 @@ def ivf_gen_probe_step(
             query_vec_col=query_vec_col,
             id_type=id_type,
         )(batch_df, batch_id)
+
+    return step
+
+
+def ivf_drift_index_step(
+    root: str,
+    drift_ratio: float = 1.5,
+    min_drift: float = 0.02,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_iters: int = 3,
+    sample_cap: int = 100_000,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch index maintenance with AUTOMATIC drift-triggered
+    retraining — the policy half the r5 ``ivf_retrain`` mechanism was
+    missing. Each micro-batch:
+
+    1. appends to the current generation exactly like
+       ``ivf_gen_index_step`` (same generation guard), with the batch's
+       mean distance-to-assigned-centroid ``1 - max_c cos(vec, c)``
+       riding the SAME write action as an ``Observation`` — the drift
+       metric costs zero extra passes and zero new collects;
+    2. if the meta has no ``ref_dist`` yet, records this batch's mean
+       as the baseline (atomic meta rewrite — generation unchanged);
+    3. triggers ``ivf_retrain(up_to_batch=batch_id)`` when the batch
+       mean exceeds ``drift_ratio × max(ref_dist, min_drift)`` — the
+       corpus distribution has moved enough that the frozen quantizer
+       is assigning new vectors to far-away cells (probe recall decays
+       exactly then). ``min_drift`` is the absolute floor that stops a
+       near-perfectly-clustered baseline (ref ≈ 0) from retraining on
+       noise. The retrain resets ``ref_dist`` to the rebuilt corpus's
+       mean under the NEW centroids, so the trigger self-calibrates
+       per generation.
+
+    Watermark safety: inside foreachBatch at batch b every batch < b
+    is durably committed, so ``up_to_batch = b`` is a safe retrain
+    watermark; the just-written batch b itself is picked up by the
+    straggler migration, and a later replay of b overwrites its own
+    partition in the new generation — the exact interleaving already
+    pinned by the migration/guard tests."""
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Observation
+
+        spark = batch_df.sparkSession
+        meta = ivf_store_meta(root)
+        centroids = meta["centroids"]
+        idx = ivf_index_frame(batch_df, centroids, id_col=id_col, vec_col=vec_col)
+        obs = Observation(f"ivf-drift-{batch_id}")
+        dist = F.lit(1.0) - F.array_max(_centroid_sims(F.col("vec"), centroids))
+        idx = idx.observe(obs, F.avg(dist).alias("mean_dist"))
+        store_append(idx, _ivf_gen_dir(root, meta["generation"]), batch_id, sort_by="cell")
+        if ivf_store_meta(root)["generation"] != meta["generation"]:
+            raise RuntimeError(
+                f"IVF generation changed during batch {batch_id} "
+                f"(retrain swap mid-batch) — failing for replay against "
+                f"the new generation"
+            )
+        mean_dist = obs.get.get("mean_dist")
+        if mean_dist is None:  # empty batch: no drift evidence
+            return
+        ref = meta.get("ref_dist")
+        if ref is None:
+            _write_ivf_meta(
+                root, meta["generation"], centroids, ref_dist=mean_dist
+            )
+        elif mean_dist > drift_ratio * max(ref, min_drift):
+            ivf_retrain(
+                spark,
+                root,
+                up_to_batch=batch_id,
+                n_centroids=n_centroids,
+                n_iters=n_iters,
+                sample_cap=sample_cap,
+            )
 
     return step
 
@@ -411,7 +512,22 @@ def ivf_retrain(
         # per-partition overwrite and duplicate rows after this swap
         shutil.rmtree(new_dir)
     rebuilt = ivf_index_frame(vecs, centroids, id_col="id", vec_col="vec")
+    # the new generation's drift baseline rides the rebuild write as an
+    # Observation (zero extra passes): mean distance-to-assigned-
+    # centroid of the rebuilt corpus under the NEW quantizer — so the
+    # drift trigger (ivf_drift_index_step) self-calibrates per
+    # generation instead of comparing against a stale baseline
+    from pyspark.sql import Observation
+
+    obs = Observation(f"ivf-retrain-ref-{new_gen}")
+    rebuilt = rebuilt.observe(
+        obs,
+        F.avg(
+            F.lit(1.0) - F.array_max(_centroid_sims(F.col("vec"), centroids))
+        ).alias("ref_dist"),
+    )
     store_append(rebuilt, new_dir, up_to_batch - 1, sort_by="cell")
+    new_ref = obs.get.get("ref_dist")
 
     # Migrate batches the index stream committed to the old generation
     # at/after the watermark while we were rebuilding: recompute their
@@ -441,7 +557,8 @@ def ivf_retrain(
     # by BOTH the pass and the guard just overwrites its own partition
     # with identical content: idempotent).
     migrate_stragglers()
-    _write_ivf_meta(root, new_gen, centroids)  # serving flips HERE
+    # serving flips HERE (with the recalibrated drift baseline)
+    _write_ivf_meta(root, new_gen, centroids, ref_dist=new_ref)
     migrate_stragglers()
     if drop_old:
         shutil.rmtree(old_dir, ignore_errors=True)
