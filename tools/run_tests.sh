@@ -1,0 +1,42 @@
+#!/bin/bash
+# Parallel test runner — the documented full-suite path (VERDICT r5 #7).
+#
+# pytest-xdist is not installable in this environment, so this shards
+# test FILES round-robin across N independent pytest processes, each
+# with its own local[4] Spark session (the conftest fixture is
+# session-scoped per process; 32 host cores comfortably fit 4 such
+# sessions). Round-robin by filename spreads the adjacent heavy
+# streaming files (test_stateful*, test_store*, test_streaming_*)
+# across shards.
+#
+# Usage: tools/run_tests.sh [N]        (default 4 shards)
+# Logs:  /tmp/willa_test_logs/shard<i>.log
+set -u
+N=${1:-4}
+cd "$(dirname "$0")/.."
+FILES=(tests/test_*.py)
+LOGDIR=/tmp/willa_test_logs
+mkdir -p "$LOGDIR"
+declare -a PIDS
+for ((i = 0; i < N; i++)); do
+    SHARD=()
+    for ((j = i; j < ${#FILES[@]}; j += N)); do
+        SHARD+=("${FILES[j]}")
+    done
+    (python -m pytest "${SHARD[@]}" -q >"$LOGDIR/shard$i.log" 2>&1) &
+    PIDS[i]=$!
+done
+FAIL=0
+for ((i = 0; i < N; i++)); do
+    if ! wait "${PIDS[i]}"; then
+        FAIL=1
+    fi
+    echo "--- shard $i:"
+    tail -n 2 "$LOGDIR/shard$i.log"
+done
+if [ "$FAIL" -ne 0 ]; then
+    echo "SUITE: FAILED (see $LOGDIR)"
+else
+    echo "SUITE: GREEN"
+fi
+exit $FAIL
