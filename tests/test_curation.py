@@ -301,6 +301,34 @@ def test_pack_sequences_scaled_equals_window_form(spark):
         assert scaled == base, f"width={width}"
 
 
+def test_scaled_twins_durable_spill_equals_local_checkpoint(spark, tmp_path):
+    """The spill_dir form (durable storage materialization instead of
+    executor-local checkpoint blocks — the executor-loss-tolerant
+    cluster path) must produce byte-identical output, incl. NULL
+    rows."""
+    rows = [
+        (i, f"s{i % 3}", " ".join(["w"] * (i % 7))) for i in range(40)
+    ] + [(100, "s1", None), (101, None, "w w w")]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    base_p = sorted(tuple(r) for r in CU.pack_sequences(df, seq_len=5).collect())
+    spilled_p = sorted(
+        tuple(r)
+        for r in CU.pack_sequences_scaled(
+            df, seq_len=5, substratum_width=9,
+            spill_dir=str(tmp_path / "spill_p"),
+        ).collect()
+    )
+    assert spilled_p == base_p
+    base_b = sorted(tuple(r) for r in CU.token_budget_cap(df, 40).collect())
+    spilled_b = sorted(
+        tuple(r)
+        for r in CU.token_budget_cap_scaled(
+            df, 40, substratum_width=9, spill_dir=str(tmp_path / "spill_b")
+        ).collect()
+    )
+    assert spilled_b == base_b
+
+
 def test_two_phase_kernel_null_only_prefix_in_first_piece(spark):
     """The kernel's NULL contract at its sharpest edge (unreachable
     from the current callers, latent for future ones): a row whose
@@ -600,6 +628,37 @@ def test_save_packed_shards_loader_order(spark, tmp_path):
     )
     with pytest.raises(Exception, match="duplicate doc_id"):
         CU.save_packed_shards(dup, str(tmp_path / "dup"), 10, 2)
+
+
+def test_load_packed_sequences_materializes_contract(spark, tmp_path):
+    """The loader side: reading the shard layout back and assembling
+    sequences yields exactly-seq_len token rows (except each
+    stratum's last), slice order is reconstructed from start_in_seq
+    (not file order), and per-stratum concatenation reproduces the
+    original id-ordered token stream."""
+    rows = [
+        (0, "s1", " ".join(f"a{k}" for k in range(6))),
+        (1, "s1", " ".join(f"b{k}" for k in range(23))),
+        (2, "s1", " ".join(f"c{k}" for k in range(11))),
+        (3, "s2", " ".join(f"d{k}" for k in range(4))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = str(tmp_path / "packed")
+    CU.save_packed_shards(df, out, seq_len=10, seqs_per_shard=2)
+    seqs = CU.load_packed_sequences(spark, out).collect()
+    by_stratum: dict = {}
+    for r in seqs:
+        assert r["shard"] == r["seq_id"] // 2
+        assert r["n_tokens"] == len(r["seq_text"].split(" "))
+        by_stratum.setdefault(r["source"], []).append(r)
+    for src, rs in by_stratum.items():
+        rs.sort(key=lambda r: r["seq_id"])
+        assert [r["seq_id"] for r in rs] == list(range(len(rs)))
+        for r in rs[:-1]:
+            assert r["n_tokens"] == 10, (src, r["seq_id"])
+        stream = " ".join(r["seq_text"] for r in rs)
+        want = " ".join(t for _i, s, t in rows if s == src)
+        assert stream == want, src
 
 
 # ------------------------------------------------------- edge cases

@@ -535,6 +535,54 @@ def save_packed_shards(
     )
 
 
+def load_packed_sequences(
+    spark,
+    path: str,
+    strata_col: str = "source",
+) -> DataFrame:
+    """The CONSUMER side of the packed-shard contract: read a
+    ``save_packed_shards`` layout back and materialize one row per
+    training sequence — (stratum, shard, seq_id, seq_text, n_tokens,
+    n_slices). Slices are reassembled in ``start_in_seq`` order with
+    a sort inside the per-sequence aggregate (array_sort on
+    (start_in_seq, slice_text) structs — no window pass), so the
+    result is correct regardless of file order; invariants
+    (pytest-pinned): every sequence except a stratum's last has
+    exactly seq_len tokens, and the concatenation per stratum equals
+    the original corpus token stream.
+
+    Plan at scale: the scan prunes to the shard partitions a trainer
+    asks for (filter on ``stratum``/``shard`` partition columns before
+    calling); one groupBy shuffle on (stratum, shard, seq_id) whose
+    width is the requested slice of the corpus, not the whole store."""
+    back = spark.read.parquet(path)
+    assembled = (
+        back.groupBy(F.col(strata_col), F.col("shard"), F.col("seq_id"))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("start_in_seq"), F.col("slice_text")
+                    )
+                )
+            ).alias("__slices"),
+            F.sum("slice_len").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_slices"),
+        )
+    )
+    seq_text = F.array_join(
+        F.transform(F.col("__slices"), lambda s: s["slice_text"]), " "
+    )
+    return assembled.select(
+        F.col(strata_col),
+        F.col("shard").cast("bigint").alias("shard"),
+        "seq_id",
+        seq_text.alias("seq_text"),
+        "n_tokens",
+        "n_slices",
+    )
+
+
 def token_budget_cap(
     docs: DataFrame,
     budget_tokens: int,
@@ -584,6 +632,7 @@ def _two_phase_prefix_sum(
     piece_order: list,
     row_order: list,
     value_col: str,
+    spill_dir: str | None = None,
 ) -> DataFrame:
     """The distributed running-sum kernel shared by the ``_scaled``
     curation twins: ``counted``'s columns plus ``__cum``, the
@@ -606,16 +655,36 @@ def _two_phase_prefix_sum(
     the result. Fault-tolerance trade at cluster scale:
     ``localCheckpoint`` truncates lineage into EXECUTOR-LOCAL blocks,
     so losing an executor mid-job fails the job instead of recomputing
-    (acceptable in local mode and for retry-from-scratch batch jobs;
-    a long multi-hour cluster run should front the input with a
-    reliable materialization — write the narrow frame to storage and
-    re-read it — which is the same one-scan plan with durable blocks;
-    see SCALING.md). Local windows parallelize over pieces; the per-piece
-    totals frame (one row per non-empty piece) takes the prefix
-    window and broadcasts back as piece offsets. Joins are null-safe:
-    NULL strata/piece keys group and join like values, matching
-    window-function semantics."""
-    counted = counted.localCheckpoint(eager=True)
+    (acceptable in local mode and for retry-from-scratch batch jobs).
+    Pass ``spill_dir`` for the durable form: the narrow frame is
+    written to storage once and re-read — the same one-scan plan with
+    recomputable blocks, the right choice for a long multi-hour
+    cluster run (the ``embedding_near_dups`` spill discipline)."""
+    if spill_dir is not None:
+        counted.write.mode("overwrite").parquet(spill_dir)
+        counted = counted.sparkSession.read.parquet(spill_dir)
+    else:
+        counted = counted.localCheckpoint(eager=True)
+    return _two_phase_from_pinned(
+        counted, strata_col, piece_cols, piece_order, row_order, value_col
+    )
+
+
+def _two_phase_from_pinned(
+    counted: DataFrame,
+    strata_col: str,
+    piece_cols: list[str],
+    piece_order: list,
+    row_order: list,
+    value_col: str,
+) -> DataFrame:
+    """The window/offset arithmetic of ``_two_phase_prefix_sum`` over
+    an already-materialized narrow frame — see the public kernel above
+    for the contract. Local windows parallelize over pieces; the
+    per-piece totals frame (one row per non-empty piece) takes the
+    prefix window and broadcasts back as piece offsets. Joins are
+    null-safe: NULL strata/piece keys group and join like values,
+    matching window-function semantics."""
     local_w = (
         Window.partitionBy(strata_col, *piece_cols)
         .orderBy(*row_order)
@@ -666,6 +735,7 @@ def token_budget_cap_scaled(
     id_col: str = "doc_id",
     text_col: str = "text",
     strata_col: str = "source",
+    spill_dir: str | None = None,
 ) -> DataFrame:
     """``token_budget_cap``'s 100 TB form — identical greedy-prefix
     output (property-pinned, including NULL text and NULL strata),
@@ -689,7 +759,9 @@ def token_budget_cap_scaled(
     uniformly across sparse ids inflates it toward one row per doc,
     at which point the broadcast and the piece prefix window need the
     same decomposition one level up (not implemented — raise
-    ``substratum_width`` instead)."""
+    ``substratum_width`` instead). ``spill_dir`` selects the kernel's
+    durable materialization for executor-loss-tolerant cluster runs
+    (see ``_two_phase_prefix_sum``)."""
     if budget_tokens <= 0:
         raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
     if substratum_width <= 0:
@@ -713,6 +785,7 @@ def token_budget_cap_scaled(
             piece_order=[F.desc("__q"), F.asc("__sub")],
             row_order=[F.desc("__q"), F.asc(id_col)],
             value_col="n_tokens",
+            spill_dir=spill_dir,
         )
         .withColumnRenamed("__cum", "cum_tokens")
         .filter(F.col("cum_tokens") <= budget_tokens)
@@ -812,6 +885,7 @@ def pack_sequences_scaled(
     id_col: str = "doc_id",
     text_col: str = "text",
     strata_col: str = "source",
+    spill_dir: str | None = None,
 ) -> DataFrame:
     """``pack_sequences``'s 100 TB form as real code — identical
     output (property-pinned), different prefix-sum plan. The plain
@@ -835,7 +909,10 @@ def pack_sequences_scaled(
     checkpoint and NULL semantics), so the concat-then-chunk
     arithmetic is unchanged. Pick ``substratum_width`` so a width of
     docs fits one task comfortably (e.g. 1e6); skew is bounded by
-    construction, not by hoping strata stay small."""
+    construction, not by hoping strata stay small. ``spill_dir``
+    selects the kernel's durable materialization for
+    executor-loss-tolerant cluster runs (see
+    ``_two_phase_prefix_sum``)."""
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
     if substratum_width <= 0:
@@ -860,6 +937,7 @@ def pack_sequences_scaled(
         piece_order=[F.asc("__sub")],
         row_order=[F.asc(id_col)],
         value_col="n_tokens",
+        spill_dir=spill_dir,
     ).select(
         F.col(id_col),
         F.col(strata_col),
