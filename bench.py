@@ -87,6 +87,7 @@ HEADLINE = [
     # aggregate) and the image perceptual-hash near-dup family
     "packed_shard_roundtrip",
     "image_phash_dups",
+    "packed_sequences_loaded",
 ]
 
 

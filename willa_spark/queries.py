@@ -2928,6 +2928,79 @@ def q_packed_shard_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(out, ignore_errors=True)
 
 
+@query(
+    "packed_sequences_loaded",
+    oracle=r"""
+    WITH c AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), n AS (
+      SELECT doc_id, source, toks, CAST(len(toks) AS BIGINT) AS n FROM c
+    ), w AS (
+      SELECT doc_id, source, toks, n,
+             CAST(sum(n) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n AS BIGINT) AS cb
+      FROM n
+    ), e AS (
+      SELECT source, doc_id, toks, n, cb,
+             unnest(generate_series(cb // 512, (cb + n - 1) // 512)) AS s
+      FROM w WHERE n >= 1
+    ), m AS (
+      SELECT source, CAST(s AS BIGINT) AS seq_id,
+             CAST(greatest(0, cb - s*512) AS BIGINT) AS start_in_seq,
+             array_to_string(
+               toks[CAST(greatest(0, s*512 - cb) + 1 AS BIGINT):
+                    CAST(greatest(0, s*512 - cb)
+                         + least((s+1)*512, cb + n) - greatest(s*512, cb)
+                         AS BIGINT)],
+               ' ') AS slice_txt,
+             CAST(least((s+1)*512, cb + n) - greatest(s*512, cb) AS BIGINT)
+               AS slice_len
+      FROM e
+    )
+    SELECT source, CAST(seq_id // 8 AS BIGINT) AS shard, seq_id,
+           string_agg(slice_txt, ' ' ORDER BY start_in_seq) AS seq_text,
+           CAST(sum(slice_len) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_slices
+    FROM m GROUP BY source, seq_id
+    """,
+)
+def q_packed_sequences_loaded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LOADER-side proof closing the assembly path end to end:
+    write the corpus with ``save_packed_shards``, then materialize
+    every training sequence from the on-disk shards with
+    ``load_packed_sequences`` — the exact frame a trainer consumes,
+    including the fully-assembled ``seq_text``. The oracle rebuilds
+    each sequence's text independently in DuckDB (token-slice
+    arithmetic + ordered string_agg), so a wrong slice span, a
+    mis-sorted slice, or a normalization mismatch anywhere in
+    write→read→assemble breaks the value hash. Complements
+    ``packed_shard_roundtrip`` (aggregate totals) with the strongest
+    possible check: the sequence BYTES."""
+    import shutil
+    import tempfile
+
+    docs = read_docs_spread(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="willa_packed_load_")
+    try:
+        CURATION.save_packed_shards(docs, out, seq_len=512, seqs_per_shard=8)
+        seqs = CURATION.load_packed_sequences(spark, out).select(
+            F.col("source").cast("string").alias("source"),
+            "shard",
+            "seq_id",
+            "seq_text",
+            "n_tokens",
+            "n_slices",
+        )
+        return seqs.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 @query("image_phash_dups")  # rows-only (decoded-pixel hashes not SQL-expressible)
 def q_image_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-duplicate image pairs over the corpus's
@@ -3034,8 +3107,19 @@ def q_image_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                                emission path, same join kernel)
 #   asof_enrich (J6)          -> table_table_asof stays (same as-of
 #                                max_by machinery)
+#   packed_sequences_loaded   -> NEW mid-r6 (registered after the gate
+#                                reached exactly 50): the loader-side
+#                                sequence-bytes proof. Parked here
+#                                under the same policy note as r5's
+#                                pack_sequences — oracle-bearing, so
+#                                the automatic pytest parity pin
+#                                covers it now; packed_shard_roundtrip
+#                                (in-gate r6) proves the same on-disk
+#                                layout's aggregates; MUST rotate into
+#                                the r7 gate.
 DRIVER_OMIT = frozenset(
     {
+        "packed_sequences_loaded",
         "hopping_window_count",
         "fanout_flatmap",
         "rekey_transform",

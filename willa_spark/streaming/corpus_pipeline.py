@@ -329,6 +329,8 @@ def pack_shards_step(
     )
 
     def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        import os
+
         store_compact_every(
             batch_df.sparkSession,
             [(shards_dir, "seq_id")],
@@ -346,7 +348,13 @@ def pack_shards_step(
             strata_col=strata_col,
         )
         store_append(rows, shards_dir, batch_id, sort_by="seq_id")
-        return rows
+        # return the WRITTEN partition, not the producing plan: a
+        # caller consuming the returned frame (sink, metrics) would
+        # otherwise re-run the whole slice pipeline per consumption —
+        # the same argument as store_append's unconditional clamp
+        return batch_df.sparkSession.read.parquet(
+            os.path.join(shards_dir, f"ingest_batch={batch_id}")
+        )
 
     return step
 
