@@ -151,6 +151,8 @@ def corpus_curation_step(
     )
 
     def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        import os
+
         if out_dir is not None and compact_output:
             store_compact_every(
                 batch_df.sparkSession, [(out_dir, None)], batch_id, compact_every
@@ -165,6 +167,13 @@ def corpus_curation_step(
             # shard count (tiny micro-batches must not write one file
             # per shuffle partition)
             store_append(admitted, out_dir, batch_id)
+            # hand back the WRITTEN partition: a caller consuming the
+            # return (metrics, secondary sink) would otherwise re-run
+            # screens + decontamination + the dedup joins per
+            # consumption
+            return batch_df.sparkSession.read.parquet(
+                os.path.join(out_dir, f"ingest_batch={batch_id}")
+            )
         return admitted
 
     return step
