@@ -250,6 +250,52 @@ def test_image_phash_pairs_vs_brute_force(spark):
     assert {r["h"] for r in hs.collect()} == {0}
 
 
+def test_keep_best_quality_policy(spark):
+    """Quality-aware dedup policy: the highest-score member of each
+    cluster survives (not the min id), top-score ties break to the
+    lowest id, an all-NULL-score cluster falls back to the min-id
+    canonical, and unclustered docs pass through untouched."""
+    docs = spark.createDataFrame(
+        [
+            (1, 0.2), (2, 0.9),            # cluster A: 2 wins on score
+            (3, 0.5), (4, 0.5), (5, 0.1),  # cluster B: tie 3/4 -> 3
+            (6, None), (7, None),          # cluster C: all NULL -> 6
+            (8, 0.0),                      # unclustered: survives
+        ],
+        "doc_id bigint, q double",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3), (5, 3), (6, 6), (7, 6)],
+        "id bigint, cluster_id bigint",
+    )
+    kept = {
+        r["doc_id"]
+        for r in D.keep_best(docs, clusters, F.col("q")).collect()
+    }
+    assert kept == {2, 3, 6, 8}
+    # min-id canonical would keep {1, 3, 6, 8} instead
+    canon = {r["doc_id"] for r in D.keep_canonical(docs, clusters).collect()}
+    assert canon == {1, 3, 6, 8}
+
+
+def test_audio_phash_reuses_hamming_family(spark):
+    """The hamming machinery is media-agnostic: with_phash over
+    DECODED AUDIO samples (injected fake codec) + hamming_block_pairs
+    finds byte-identical planted audio twins at hamming 0 — no
+    audio-specific dedup code needed."""
+    from willa_spark.functions.multimodal import decode_audio, fake_audio_decoder, with_phash
+
+    rows = [(i, bytes(f"pcm blob {i} {'y' * (i % 13)}", "utf8")) for i in range(20)]
+    rows += [(1000 + i, rows[i][1]) for i in (0, 7, 14)]
+    df = spark.createDataFrame(rows, "id bigint, data binary")
+    sig = with_phash(
+        decode_audio(df, decoder=fake_audio_decoder), "samples", "simhash"
+    ).select("id", "simhash")
+    pairs = D.hamming_block_pairs(sig, max_hamming=0, num_blocks=2)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert {(i, 1000 + i) for i in (0, 7, 14)} <= got
+
+
 @pytest.fixture()
 def vectors(spark):
     import math

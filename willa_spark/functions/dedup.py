@@ -334,6 +334,10 @@ def simhash_block_frame(sh: DataFrame, num_blocks: int) -> DataFrame:
     generation, shared by the batch self-join and the streaming
     (foreachBatch) signature store probe."""
     block_bits = 64 // num_blocks
+    # num_blocks=1 (block = the whole signature, the exact-equality
+    # join for hamming 0): 2^64-1 overflows a py4j long, but -1 IS the
+    # all-ones 64-bit mask in two's complement
+    mask = (1 << block_bits) - 1 if block_bits < 64 else -1
     return sh.select(
         "id",
         "simhash",
@@ -343,7 +347,7 @@ def simhash_block_frame(sh: DataFrame, num_blocks: int) -> DataFrame:
                     F.struct(
                         F.lit(b).alias("block_id"),
                         F.shiftrightunsigned(F.col("simhash"), b * block_bits)
-                        .bitwiseAND(F.lit((1 << block_bits) - 1))
+                        .bitwiseAND(F.lit(mask))
                         .alias("block_val"),
                     )
                     for b in range(num_blocks)
@@ -756,5 +760,48 @@ def keep_canonical(df: DataFrame, clusters: DataFrame, id_col: str = "doc_id") -
     smaller than the corpus."""
     drop = clusters.filter(F.col("id") != F.col("cluster_id")).select(
         F.col("id").alias("__drop_id")
+    )
+    return df.join(drop, df[id_col] == F.col("__drop_id"), "left_anti")
+
+
+def keep_best(
+    df: DataFrame,
+    clusters: DataFrame,
+    score,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware dedup policy: keep the HIGHEST-``score`` member
+    of each cluster (deterministic tie-break: lowest id among the
+    top-scored; a cluster whose scores are all NULL falls back to the
+    min-id canonical) — what a production pipeline keeps when dup
+    group members differ in quality (boilerplate copy vs clean
+    original). ``score`` is any Column over ``df``'s columns, e.g.
+    ``text.quality_score(F.col("text"))``. Docs in no cluster survive
+    untouched.
+
+    Plan: the cluster frame is pairs-sized, far smaller than the
+    corpus, so only CLUSTERED docs are scored (inner join), the
+    winner election is two partial aggregates over that small frame,
+    and the corpus is touched once by the final anti-join — the
+    full corpus is never scored or reshuffled."""
+    member = df.join(clusters, df[id_col] == clusters["id"], "inner").select(
+        F.col("cluster_id"),
+        clusters["id"].alias("__m_id"),
+        score.alias("__s"),
+    )
+    best = member.groupBy("cluster_id").agg(F.max("__s").alias("__smax"))
+    # eqNullSafe: an all-NULL-score cluster matches every member and
+    # the min-id tie-break below becomes the canonical fallback
+    winners = (
+        member.join(best, "cluster_id")
+        .filter(F.col("__s").eqNullSafe(F.col("__smax")))
+        .groupBy("cluster_id")
+        .agg(F.min("__m_id").alias("__keep_id"))
+    )
+    drop = (
+        member.join(winners, "cluster_id")
+        .filter(F.col("__m_id") != F.col("__keep_id"))
+        .select(F.col("__m_id").alias("__drop_id"))
+        .distinct()
     )
     return df.join(drop, df[id_col] == F.col("__drop_id"), "left_anti")
