@@ -250,6 +250,34 @@ def test_image_phash_pairs_vs_brute_force(spark):
     assert {r["h"] for r in hs.collect()} == {0}
 
 
+def test_zero_norm_vectors_are_null_not_errors(spark):
+    """A zero-norm embedding must yield NULL similarity / NULL IVF
+    cell — not an ANSI DIVIDE_BY_ZERO job failure (Spark 4 default)
+    and not a NaN that poisons rank windows and drift averages. A
+    100 TB corpus WILL contain zero vectors."""
+    import willa_spark.functions.similarity as S
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    sim = df.select(
+        S.cosine(F.col("embedding"), F.array(F.lit(1.0), F.lit(0.0))).alias("s")
+    ).collect()
+    assert sim[0]["s"] is None and abs(sim[1]["s"] - 1.0) < 1e-9
+    cells = {
+        r["id"]: r["cell"]
+        for r in S.ivf_index_frame(df, [[1.0, 0.0], [0.0, 1.0]]).collect()
+    }
+    assert cells[1] is None and cells[2] == 0
+    # top-k over a corpus containing a zero vector: ranked last/absent,
+    # never NaN-first
+    q = spark.createDataFrame(
+        [(9, [1.0, 0.0])], "query_id bigint, query_vec array<double>"
+    )
+    top = S.brute_force_topk(df, q, k=2).orderBy("rank").collect()
+    assert top[0]["vec_id"] == 2
+
+
 def test_keep_best_quality_policy(spark):
     """Quality-aware dedup policy: the highest-score member of each
     cluster survives (not the min id), top-score ties break to the

@@ -23,12 +23,19 @@ for ((i = 0; i < N; i++)); do
     for ((j = i; j < ${#FILES[@]}; j += N)); do
         SHARD+=("${FILES[j]}")
     done
+    if [ ${#SHARD[@]} -eq 0 ]; then
+        # N > file count: an empty arg list would make pytest collect
+        # and run the ENTIRE suite in this shard
+        echo "0 files" >"$LOGDIR/shard$i.log"
+        PIDS[i]=""
+        continue
+    fi
     (python -m pytest "${SHARD[@]}" -q >"$LOGDIR/shard$i.log" 2>&1) &
     PIDS[i]=$!
 done
 FAIL=0
 for ((i = 0; i < N; i++)); do
-    if ! wait "${PIDS[i]}"; then
+    if [ -n "${PIDS[i]}" ] && ! wait "${PIDS[i]}"; then
         FAIL=1
     fi
     echo "--- shard $i:"

@@ -180,11 +180,18 @@ def image_phash_pairs(
     tensors never leave the scan stage. The streaming twin is
     ``streaming.near_dedup.phash_dedup_step`` (same signature builder
     against a persisted store)."""
-    from .dedup import check_pigeonhole, hamming_block_pairs
+    from .dedup import _spread, check_pigeonhole, hamming_block_pairs
 
     num_blocks = check_pigeonhole(max_hamming, num_blocks)
+    # _spread before the Python decode stage — the dominant per-row
+    # cost — so a poorly-partitioned input (single coalesced file,
+    # small createDataFrame) doesn't serialize it on one task; same
+    # discipline as simhash_near_dups before its Pandas UDF
     decoded = decode_images(
-        df, binary_col=binary_col, id_col=id_col, decoder=decoder
+        _spread(df.select(id_col, binary_col), id_col),
+        binary_col=binary_col,
+        id_col=id_col,
+        decoder=decoder,
     )
     sig = with_phash(decoded, "features", "simhash").select(
         F.col(id_col).alias("id"), "simhash"

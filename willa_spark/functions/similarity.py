@@ -35,7 +35,19 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; NULL (not an error, not NaN) when either
+    vector has zero norm. Under Spark's default ANSI mode a plain
+    division would FAIL THE JOB on the first zero vector a 100 TB
+    corpus contains (DIVIDE_BY_ZERO); with ANSI off it would produce
+    NaN, which silently poisons aggregates (NaN sorts above every
+    similarity). NULL does the right thing in both: threshold filters
+    reject it, rank windows sort it last, averages skip it.
+    ``try_divide``, not ``nullif(denom, 0)``: nullif expands to a
+    CASE WHEN that DUPLICATES the denominator — two extra 64-element
+    aggregate trees per call site, which blows up the optimizer on
+    multi-centroid expressions (driver OOM observed); try_divide
+    evaluates each side once."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def _as_double(c: Column) -> Column:
@@ -316,13 +328,20 @@ def _centroid_sims(vec: Column, centroids: list[list[float]]) -> Column:
     for c in centroids:
         cn = math.sqrt(sum(x * x for x in c)) or 1.0
         arr = F.array(*[F.lit(float(x)) for x in c])
-        sims.append(dot(vec, arr) / (vn * F.lit(cn)))
+        # try_divide: a zero-norm vector yields NULL sims (→ NULL cell
+        # in ivf_assign, excluded from probes and drift averages)
+        # instead of an ANSI DIVIDE_BY_ZERO job failure — and unlike
+        # nullif it never duplicates the vn subtree (see cosine())
+        sims.append(F.try_divide(dot(vec, arr), vn * F.lit(cn)))
     return F.array(*sims)
 
 
 def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
     """Index of the nearest centroid by cosine (deterministic tie-break:
-    lowest index — array_position returns the first occurrence)."""
+    lowest index — array_position returns the first occurrence). A
+    zero-norm vector has no direction and gets a NULL cell (its sims
+    are all NULL): it joins no inverted list and no probe — excluded,
+    not crashed on."""
     sims = _centroid_sims(vec, centroids)
     return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
 

@@ -1310,13 +1310,7 @@ def q_hash_family_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # binary payload (identical bytes ⇒ hamming 0 ⇒ pigeonhole hit)
     from .functions.multimodal import fake_image_decoder_8x8, image_phash_pairs
 
-    imgs = docs.select(
-        "doc_id", F.encode(F.substring(F.col("text"), 1, 200), "utf-8").alias("data")
-    )
-    ph_planted_imgs = imgs.filter(F.col("doc_id") % 20 == 0)
-    ph_corpus = imgs.unionByName(
-        ph_planted_imgs.withColumn("doc_id", F.col("doc_id") + F.lit(OFF))
-    )
+    ph_corpus, ph_planted_imgs = _phash_planted_corpus(docs, OFF)
     ph_pairs = image_phash_pairs(
         ph_corpus, max_hamming=3, id_col="doc_id", decoder=fake_image_decoder_8x8
     )
@@ -3001,32 +2995,42 @@ def q_packed_sequences_loaded(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _phash_planted_corpus(docs: DataFrame, off: int):
+    """The planted image corpus shared by ``image_phash_dups`` and
+    ``hash_family_recall``'s image_phash row — ONE definition of the
+    payload (first 200 text bytes) and the plant (byte-identical twin
+    of every 20th doc under doc_id + off), so the recall proof can
+    never desynchronize from the rows-only pairs query. Returns
+    (corpus, planted_originals)."""
+    imgs = docs.select(
+        "doc_id", F.encode(F.substring(F.col("text"), 1, 200), "utf-8").alias("data")
+    )
+    planted = imgs.filter(F.col("doc_id") % 20 == 0)
+    corpus = imgs.unionByName(
+        planted.withColumn("doc_id", F.col("doc_id") + F.lit(off))
+    )
+    return corpus, planted
+
+
 @query("image_phash_dups")  # rows-only (decoded-pixel hashes not SQL-expressible)
 def q_image_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-duplicate image pairs over the corpus's
     binary payloads (each doc's first 200 bytes through the injected
     byte-sensitive fake codec — the container ships no real image
     libraries; see multimodal.py) plus byte-identical planted twins of
-    every 20th doc. decode → 64-bit pHash → pigeonhole block join
-    (the simhash machinery, ``hamming_block_pairs``) → exact hamming
-    <= 3. Recall is driver-proven by the ``image_phash`` row of
+    every 20th doc (``_phash_planted_corpus``, shared with the recall
+    row). decode → 64-bit pHash → pigeonhole block join (the simhash
+    machinery, ``hamming_block_pairs``) → exact hamming <= 3. Recall
+    is driver-proven by the ``image_phash`` row of
     ``hash_family_recall``; streaming twin:
     ``streaming.near_dedup.phash_dedup_step``."""
     from .functions.multimodal import fake_image_decoder_8x8, image_phash_pairs
 
-    OFF = 1_000_000
-    docs = read_docs_spread(spark, sf_dir)
-    imgs = docs.select(
-        "doc_id", F.encode(F.substring(F.col("text"), 1, 200), "utf-8").alias("data")
-    )
-    planted = imgs.filter(F.col("doc_id") % 20 == 0).withColumn(
-        "doc_id", F.col("doc_id") + F.lit(OFF)
+    corpus, _planted = _phash_planted_corpus(
+        read_docs_spread(spark, sf_dir), 1_000_000
     )
     return image_phash_pairs(
-        imgs.unionByName(planted),
-        max_hamming=3,
-        id_col="doc_id",
-        decoder=fake_image_decoder_8x8,
+        corpus, max_hamming=3, id_col="doc_id", decoder=fake_image_decoder_8x8
     )
 
 

@@ -405,16 +405,31 @@ def ivf_drift_index_step(
     pinned by the migration/guard tests."""
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
+        import math
+
         from pyspark.sql import Observation
 
         spark = batch_df.sparkSession
         meta = ivf_store_meta(root)
         centroids = meta["centroids"]
-        idx = ivf_index_frame(batch_df, centroids, id_col=id_col, vec_col=vec_col)
+        idx = _indexed_with_dist(batch_df, centroids, id_col, vec_col)
         obs = Observation(f"ivf-drift-{batch_id}")
-        dist = F.lit(1.0) - F.array_max(_centroid_sims(F.col("vec"), centroids))
-        idx = idx.observe(obs, F.avg(dist).alias("mean_dist"))
-        store_append(idx, _ivf_gen_dir(root, meta["generation"]), batch_id, sort_by="cell")
+        # NaN-safe: a zero-norm vector's cosine is NaN and array_max
+        # propagates it as the maximum — one such row would otherwise
+        # poison the batch mean (and, on the baseline batch, persist a
+        # NaN ref_dist that disables drift detection FOREVER, since
+        # every NaN comparison is False). Exclude NaN rows from the
+        # average; they carry no drift signal.
+        clean_dist = F.when(
+            F.isnan(F.col("__dist")), F.lit(None).cast("double")
+        ).otherwise(F.col("__dist"))
+        idx = idx.observe(obs, F.avg(clean_dist).alias("mean_dist"))
+        store_append(
+            idx.drop("__dist"),
+            _ivf_gen_dir(root, meta["generation"]),
+            batch_id,
+            sort_by="cell",
+        )
         if ivf_store_meta(root)["generation"] != meta["generation"]:
             raise RuntimeError(
                 f"IVF generation changed during batch {batch_id} "
@@ -422,14 +437,21 @@ def ivf_drift_index_step(
                 f"the new generation"
             )
         mean_dist = obs.get.get("mean_dist")
-        if mean_dist is None:  # empty batch: no drift evidence
-            return
+        if mean_dist is None or math.isnan(mean_dist):
+            return  # empty or all-degenerate batch: no drift evidence
         ref = meta.get("ref_dist")
         if ref is None:
-            _write_ivf_meta(
-                root, meta["generation"], centroids, ref_dist=mean_dist
-            )
-        elif mean_dist > drift_ratio * max(ref, min_drift):
+            # best-effort TOCTOU narrowing: re-read the meta at write
+            # time and skip if a concurrent retrain swapped generations
+            # since the guard above (writing the batch-start snapshot
+            # back would roll the swap back); the retrain itself just
+            # recalibrated ref_dist, so skipping is semantically right
+            cur = ivf_store_meta(root)
+            if cur["generation"] == meta["generation"]:
+                _write_ivf_meta(
+                    root, cur["generation"], cur["centroids"], ref_dist=mean_dist
+                )
+        elif not math.isnan(ref) and mean_dist > drift_ratio * max(ref, min_drift):
             ivf_retrain(
                 spark,
                 root,
@@ -440,6 +462,30 @@ def ivf_drift_index_step(
             )
 
     return step
+
+
+def _indexed_with_dist(
+    df: DataFrame, centroids: list[list[float]], id_col: str, vec_col: str
+) -> DataFrame:
+    """``ivf_index_frame``'s (id, vec, cell) plus ``__dist`` =
+    1 - cosine to the assigned centroid, with the per-row
+    centroid-similarity array computed ONCE: ``ivf_assign`` +
+    a separate distance expression would each expand the full
+    K-dot-product tree (no cross-expression CSE), doubling the
+    quantizer cost of every indexed row. The ``__sims`` column is
+    referenced more than once, so CollapseProject keeps it
+    materialized per row. Tie-break matches ``ivf_assign`` exactly
+    (array_position = first occurrence of the max)."""
+    v = df.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
+    ).withColumn("__sims", _centroid_sims(F.col("vec"), centroids))
+    best = F.array_max(F.col("__sims"))
+    return v.select(
+        "id",
+        "vec",
+        (F.array_position(F.col("__sims"), best) - 1).cast("int").alias("cell"),
+        (F.lit(1.0) - best).alias("__dist"),
+    )
 
 
 def ivf_retrain(
@@ -511,23 +557,31 @@ def ivf_retrain(
         # rebuild; a partial partition here would survive store_append's
         # per-partition overwrite and duplicate rows after this swap
         shutil.rmtree(new_dir)
-    rebuilt = ivf_index_frame(vecs, centroids, id_col="id", vec_col="vec")
     # the new generation's drift baseline rides the rebuild write as an
     # Observation (zero extra passes): mean distance-to-assigned-
     # centroid of the rebuilt corpus under the NEW quantizer — so the
     # drift trigger (ivf_drift_index_step) self-calibrates per
-    # generation instead of comparing against a stale baseline
+    # generation instead of comparing against a stale baseline. The
+    # sims array is computed once per row (_indexed_with_dist) and
+    # NaN rows (zero-norm vectors) are excluded, mirroring the drift
+    # step's guards.
+    import math
+
     from pyspark.sql import Observation
 
+    rebuilt = _indexed_with_dist(vecs, centroids, "id", "vec")
     obs = Observation(f"ivf-retrain-ref-{new_gen}")
     rebuilt = rebuilt.observe(
         obs,
         F.avg(
-            F.lit(1.0) - F.array_max(_centroid_sims(F.col("vec"), centroids))
+            F.when(F.isnan(F.col("__dist")), F.lit(None).cast("double"))
+            .otherwise(F.col("__dist"))
         ).alias("ref_dist"),
     )
-    store_append(rebuilt, new_dir, up_to_batch - 1, sort_by="cell")
+    store_append(rebuilt.drop("__dist"), new_dir, up_to_batch - 1, sort_by="cell")
     new_ref = obs.get.get("ref_dist")
+    if new_ref is not None and math.isnan(new_ref):
+        new_ref = None
 
     # Migrate batches the index stream committed to the old generation
     # at/after the watermark while we were rebuilding: recompute their

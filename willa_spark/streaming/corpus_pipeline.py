@@ -42,7 +42,7 @@ from ..functions.curation import contamination_report, pii_redact
 from ..functions.dedup import dup_clusters, keep_canonical
 from ..functions.dedup import minhash_candidate_pairs, verified_near_dups
 from .near_dedup import minhash_dedup_step
-from .store import store_append, store_compact_every, store_read
+from .store import store_append, store_compact_every, store_read, store_read_batch
 
 # repetition-screen ceilings (Gopher §A1.1 table A1 uses a family of
 # per-n thresholds; one representative pair + the line screen here)
@@ -151,8 +151,6 @@ def corpus_curation_step(
     )
 
     def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
-        import os
-
         if out_dir is not None and compact_output:
             store_compact_every(
                 batch_df.sparkSession, [(out_dir, None)], batch_id, compact_every
@@ -170,10 +168,9 @@ def corpus_curation_step(
             # hand back the WRITTEN partition: a caller consuming the
             # return (metrics, secondary sink) would otherwise re-run
             # screens + decontamination + the dedup joins per
-            # consumption
-            return batch_df.sparkSession.read.parquet(
-                os.path.join(out_dir, f"ingest_batch={batch_id}")
-            )
+            # consumption. Consume within the micro-batch — see
+            # store_read_batch's lifetime contract.
+            return store_read_batch(batch_df.sparkSession, out_dir, batch_id)
         return admitted
 
     return step
@@ -242,9 +239,17 @@ def pack_sequences_step(
 
         prior = store_read(spark, store_dir, before_batch=batch_id)
         if prior is not None:
+            # marks written before the order guard existed lack max_id;
+            # treat their high-water mark as unknown (guard inert for
+            # those strata) instead of failing the resumed stream
+            prior_max = (
+                F.max("max_id")
+                if "max_id" in prior.columns
+                else F.max(F.lit(None).cast("bigint"))
+            )
             offs = prior.groupBy(strata_col).agg(
                 F.sum("tokens").alias("__off"),
-                F.max("max_id").alias("__prior_max"),
+                prior_max.alias("__prior_max"),
             )
             l, o = local.alias("l"), offs.alias("o")
             ordered_off = F.when(
@@ -338,8 +343,6 @@ def pack_shards_step(
     )
 
     def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
-        import os
-
         store_compact_every(
             batch_df.sparkSession,
             [(shards_dir, "seq_id")],
@@ -360,10 +363,9 @@ def pack_shards_step(
         # return the WRITTEN partition, not the producing plan: a
         # caller consuming the returned frame (sink, metrics) would
         # otherwise re-run the whole slice pipeline per consumption —
-        # the same argument as store_append's unconditional clamp
-        return batch_df.sparkSession.read.parquet(
-            os.path.join(shards_dir, f"ingest_batch={batch_id}")
-        )
+        # the same argument as store_append's unconditional clamp.
+        # Consume within the micro-batch (store_read_batch contract).
+        return store_read_batch(batch_df.sparkSession, shards_dir, batch_id)
 
     return step
 

@@ -89,6 +89,22 @@ def store_read(spark, path: str, before_batch: int | None = None) -> DataFrame |
     return df.drop("ingest_batch")
 
 
+def store_read_batch(spark, path: str, batch_id: int) -> DataFrame:
+    """Scan of exactly one ``ingest_batch=<id>`` partition — what the
+    streaming steps hand back after appending, so a caller consuming
+    the return reads the written rows instead of re-running the
+    producing plan. Fails loud mid-compaction like every reader here.
+
+    LIFETIME CONTRACT: consume within the micro-batch that produced
+    it (the normal foreachBatch shape). The frame is lazy and pinned
+    to the raw partition path; a later ``store_compact`` may merge
+    and DELETE that directory, failing a held reference at evaluation
+    time — by design, the same reason ``store_read`` probes carry a
+    batch watermark."""
+    _check_no_pending_compaction(path)
+    return spark.read.parquet(os.path.join(path, f"ingest_batch={batch_id}"))
+
+
 def store_append(
     df: DataFrame,
     path: str,
