@@ -429,11 +429,15 @@ def hamming_block_pairs(
     shared by ``simhash_near_dups`` (text) and
     ``multimodal.image_phash_pairs`` (images): candidates come from
     ``num_blocks`` block equi-joins instead of all pairs, the exact
-    ``bit_count`` filter removes the extras. The signature frame is
-    persisted: the self-join would otherwise run the (Pandas-UDF or
-    decode) signature builder once per alias side; blocks are 4 small
-    columns per row — safe to cache at scale."""
-    blocks = simhash_block_frame(sig, num_blocks).persist()
+    ``bit_count`` filter removes the extras. The kernel itself
+    enforces the pigeonhole invariant (``check_pigeonhole``) so a
+    direct caller cannot silently lose recall. The block frame is
+    pinned with an EAGER localCheckpoint — the self-join would
+    otherwise run the (Pandas-UDF or decode) signature builder once
+    per alias side, and unlike a ``persist`` the blocks release on GC
+    of the result instead of leaking one cache entry per call."""
+    check_pigeonhole(max_hamming, num_blocks)
+    blocks = simhash_block_frame(sig, num_blocks).localCheckpoint(eager=True)
     l, r = blocks.alias("l"), blocks.alias("r")
     cand = (
         l.join(
@@ -782,12 +786,20 @@ def keep_best(
     Plan: the cluster frame is pairs-sized, far smaller than the
     corpus, so only CLUSTERED docs are scored (inner join), the
     winner election is two partial aggregates over that small frame,
-    and the corpus is touched once by the final anti-join — the
-    full corpus is never scored or reshuffled."""
-    member = df.join(clusters, df[id_col] == clusters["id"], "inner").select(
-        F.col("cluster_id"),
-        clusters["id"].alias("__m_id"),
-        score.alias("__s"),
+    and the corpus is touched once by the final anti-join — the full
+    corpus is never scored or reshuffled. The member frame feeds
+    three downstream plans (best / winners / drop) and Spark does not
+    reuse subtrees, so it is pinned with an eager localCheckpoint
+    (pairs-sized: 3 narrow columns per clustered doc) — without it
+    the corpus join + score expression would run three times."""
+    member = (
+        df.join(clusters, df[id_col] == clusters["id"], "inner")
+        .select(
+            F.col("cluster_id"),
+            clusters["id"].alias("__m_id"),
+            score.alias("__s"),
+        )
+        .localCheckpoint(eager=True)
     )
     best = member.groupBy("cluster_id").agg(F.max("__s").alias("__smax"))
     # eqNullSafe: an all-NULL-score cluster matches every member and

@@ -372,7 +372,7 @@ def ivf_drift_index_step(
     min_drift: float = 0.02,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     n_iters: int = 3,
     sample_cap: int = 100_000,
 ) -> Callable[[DataFrame, int], None]:
@@ -395,7 +395,10 @@ def ivf_drift_index_step(
        near-perfectly-clustered baseline (ref ≈ 0) from retraining on
        noise. The retrain resets ``ref_dist`` to the rebuilt corpus's
        mean under the NEW centroids, so the trigger self-calibrates
-       per generation.
+       per generation. ``n_centroids`` defaults to the store's
+       CURRENT centroid count (read at trigger time) — an
+       auto-retrain must not silently change the quantizer's K the
+       caller chose at init; pass it explicitly to rescale K.
 
     Watermark safety: inside foreachBatch at batch b every batch < b
     is durably committed, so ``up_to_batch = b`` is a safe retrain
@@ -456,7 +459,9 @@ def ivf_drift_index_step(
                 spark,
                 root,
                 up_to_batch=batch_id,
-                n_centroids=n_centroids,
+                n_centroids=(
+                    n_centroids if n_centroids is not None else len(centroids)
+                ),
                 n_iters=n_iters,
                 sample_cap=sample_cap,
             )
