@@ -250,6 +250,41 @@ def test_image_phash_pairs_vs_brute_force(spark):
     assert {r["h"] for r in hs.collect()} == {0}
 
 
+def test_multimodal_meta_pushdown_prunes_before_decode(spark, tmp_path):
+    """The module docstring's 100 TB claim made real: typed metadata
+    lives in a sibling struct column (IMAGE_META_SCHEMA), and a
+    filter on it reaches the parquet scan as a pushed nested-field
+    predicate — so pruning happens on row-group statistics BEFORE any
+    byte enters the Python decode stage."""
+    from pyspark.sql import types as T
+
+    from willa_spark.functions.multimodal import (
+        IMAGE_META_SCHEMA,
+        decode_images,
+        fake_image_decoder,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("meta", IMAGE_META_SCHEMA),
+            T.StructField("data", T.BinaryType()),
+        ]
+    )
+    rows = [
+        (i, (4 if i % 2 == 0 else 64, 4, "png"), bytes(f"img{i}", "utf8"))
+        for i in range(40)
+    ]
+    path = str(tmp_path / "imgs")
+    spark.createDataFrame(rows, schema).write.parquet(path)
+    df = spark.read.parquet(path).filter(F.col("meta.width") == 4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    assert "PushedFilters: [" in scan and "meta.width" in scan, scan
+    decoded = decode_images(df, decoder=fake_image_decoder)
+    assert decoded.count() == 20
+
+
 def test_zero_norm_vectors_are_null_not_errors(spark):
     """A zero-norm embedding must yield NULL similarity / NULL IVF
     cell — not an ANSI DIVIDE_BY_ZERO job failure (Spark 4 default)
