@@ -281,6 +281,52 @@ def test_ivf_retrain_recovers_post_drift_recall(spark, tmp_path):
     assert got[2][6] == 1  # exact self-match now dominates
 
 
+def test_ann_index_store_compaction_preserves_probes(spark, tmp_path):
+    """The ANN index stores get the same retention the dedup stores
+    have: compact_every bounds the partition-directory count of a
+    long-running index stream, the merge preserves the bucket
+    clustering key, and probe top-k results are IDENTICAL before and
+    after compaction (probes read the whole store; merged rows only
+    change their committed label)."""
+    from willa_spark.streaming.ann import (
+        LshAnnConfig,
+        lsh_index_step,
+        lsh_probe_step,
+    )
+    from willa_spark.streaming.store import store_partitions
+
+    vs = _vecs(12, 77)
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, vs[i]) for i in range(lo, hi)],
+        "vec_id bigint, embedding array<double>",
+    )
+    cfg = LshAnnConfig(n_planes=4, dim=DIM, n_tables=2)
+    store = os.path.join(str(tmp_path), "lsh-compact")
+    index = lsh_index_step(store, cfg, compact_every=2)
+    got = []
+    probe = lsh_probe_step(
+        store, lambda t, b: got.append(
+            sorted((r["query_id"], r["vec_id"], r["rank"]) for r in t.collect())
+        ), k=3, cfg=cfg,
+    )
+    q = spark.createDataFrame(
+        [(100, vs[3]), (101, vs[9])], "query_id bigint, query_vec array<double>"
+    )
+    for bid, (lo, hi) in enumerate(((0, 4), (4, 8), (8, 12))):
+        index(mk(lo, hi), bid)
+    probe(q, 0)
+    assert len(store_partitions(store)) == 2  # [compacted(0+1), 2]
+    # one more batch: next compaction folds again at batch 4
+    index(mk(0, 0), 3)
+    index(mk(0, 0), 4)
+    assert len(store_partitions(store)) <= 3
+    probe(q, 1)
+    # identical results across the compaction boundary (bucket
+    # candidate counts per query are what they are — only equality
+    # and non-vacuousness matter here)
+    assert got[0] == got[1] and len(got[0]) >= 4
+
+
 def test_ivf_drift_triggers_retrain_automatically(spark, tmp_path):
     """The drift POLICY on top of the r5 retrain mechanism: the index
     step measures each batch's mean distance-to-assigned-centroid via

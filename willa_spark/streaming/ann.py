@@ -62,7 +62,7 @@ from ..functions.similarity import (
     _as_double,
     _centroid_sims,
 )
-from .store import store_append, store_read
+from .store import store_append, store_compact_every, store_read
 
 
 @dataclass(frozen=True)
@@ -87,15 +87,27 @@ class LshAnnConfig:
 
 
 def lsh_index_step(
-    store_dir: str, cfg: LshAnnConfig = LshAnnConfig()
+    store_dir: str,
+    cfg: LshAnnConfig = LshAnnConfig(),
+    compact_every: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch step maintaining the persisted LSH index. Wire as
 
         stream.writeStream.foreachBatch(lsh_index_step(store, cfg))
               .option("checkpointLocation", chk).start()
-    """
+
+    ``compact_every=N`` applies the store retention cadence
+    (``store_compact_every``, bucket-clustered so row-group pruning
+    survives the merge) — without it a long-running index stream
+    accumulates one partition directory per micro-batch forever,
+    the same unbounded-metadata path the dedup stores bound. Probe
+    results are unchanged by compaction (probes read the whole
+    store; merged rows only get a lower committed label)."""
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
+        store_compact_every(
+            batch_df.sparkSession, [(store_dir, "bucket")], batch_id, compact_every
+        )
         idx = lsh_index_frame(
             batch_df,
             n_planes=cfg.n_planes,
@@ -157,14 +169,20 @@ def ivf_index_step(
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    compact_every: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch step maintaining a persisted IVF inverted file.
     ``centroids`` must be FROZEN across the stream's lifetime (train
     on a bootstrap sample with ``train_centroids``): cell ids are only
     comparable across batches under one quantizer — retraining means
-    rebuilding the store."""
+    rebuilding the store. ``compact_every``: the standard partition-
+    directory retention cadence (see ``lsh_index_step``),
+    cell-clustered."""
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
+        store_compact_every(
+            batch_df.sparkSession, [(store_dir, "cell")], batch_id, compact_every
+        )
         idx = ivf_index_frame(batch_df, centroids, id_col=id_col, vec_col=vec_col)
         store_append(idx, store_dir, batch_id, sort_by="cell")
 
@@ -296,12 +314,18 @@ def ivf_store_init(
 
 
 def ivf_gen_index_step(
-    root: str, id_col: str = "vec_id", vec_col: str = "embedding"
+    root: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    compact_every: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch index maintenance against the CURRENT generation —
     the generation-aware twin of ``ivf_index_step``. Reads the meta per
     micro-batch so a retrain swap redirects new batches to the new
-    generation without restarting the stream."""
+    generation without restarting the stream. ``compact_every``
+    compacts the current generation's partition directories on the
+    standard cadence (a retrain already rebuilds the NEW generation
+    into one partition, so this bounds the no-drift steady state)."""
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         meta = ivf_store_meta(root)
@@ -313,6 +337,7 @@ def ivf_gen_index_step(
             meta["centroids"],
             id_col=id_col,
             vec_col=vec_col,
+            compact_every=compact_every,
         )(batch_df, batch_id)
         # generation guard: if a retrain swapped the meta between this
         # batch's read and its append, the rows just written carry the
@@ -375,6 +400,7 @@ def ivf_drift_index_step(
     n_centroids: int | None = None,
     n_iters: int = 3,
     sample_cap: int = 100_000,
+    compact_every: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch index maintenance with AUTOMATIC drift-triggered
     retraining — the policy half the r5 ``ivf_retrain`` mechanism was
@@ -415,6 +441,12 @@ def ivf_drift_index_step(
         spark = batch_df.sparkSession
         meta = ivf_store_meta(root)
         centroids = meta["centroids"]
+        store_compact_every(
+            spark,
+            [(_ivf_gen_dir(root, meta["generation"]), "cell")],
+            batch_id,
+            compact_every,
+        )
         idx = _indexed_with_dist(batch_df, centroids, id_col, vec_col)
         obs = Observation(f"ivf-drift-{batch_id}")
         # NaN-safe: a zero-norm vector's cosine is NaN and array_max
@@ -632,6 +664,7 @@ def embedding_dedup_step(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    compact_every: int | None = None,
 ) -> Callable[[DataFrame, int], DataFrame]:
     """foreachBatch step for streaming embedding-cosine near-dedup —
     the vector twin of ``near_dedup.simhash_dedup_step``, same wiring:
@@ -644,15 +677,19 @@ def embedding_dedup_step(
     self-join + ``dup_clusters`` min-id canonical drops within-batch
     ones. Admitted (id, vec, bucket) rows land in the batch's own
     ``ingest_batch`` partition — idempotent replay, like every store
-    in this module. First-seen-wins policy; agrees with the batch
-    min-id canonical under id-ordered ingestion, same argument as
-    near_dedup's policy note."""
+    in this module; ``compact_every`` applies the standard retention
+    cadence (bucket-clustered merge). First-seen-wins policy; agrees
+    with the batch min-id canonical under id-ordered ingestion, same
+    argument as near_dedup's policy note."""
     from .near_dedup import _drop_within_batch
 
     planes = hyperplanes(dim, n_planes, seed)
 
     def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
         spark = batch_df.sparkSession
+        store_compact_every(
+            spark, [(store_dir, "bucket")], batch_id, compact_every
+        )
         v = batch_df.select(
             F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
         ).withColumn("bucket", lsh_signature(F.col("vec"), planes))
