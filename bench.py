@@ -111,6 +111,7 @@ HEADLINE = [
     "pivot_order_status",
     "exact_dup_groups",
     "ngram_jaccard_pairs",
+    "near_dup_keep_best",
 ]
 
 

@@ -3012,6 +3012,83 @@ def _phash_planted_corpus(docs: DataFrame, off: int):
     return corpus, planted
 
 
+_KB_SUFFIX = " !@ #$ %^ &* !@ #$ %^ &*"
+
+
+@query(
+    "near_dup_keep_best",
+    oracle=r"""
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' !@ #$ %^ &* !@ #$ %^ &*'
+      FROM documents WHERE doc_id % 20 = 0
+    ), q AS (
+      SELECT doc_id,
+             CASE WHEN doc_id >= 1000000 THEN doc_id - 1000000
+                  WHEN doc_id % 20 = 0 THEN doc_id
+                  ELSE NULL END AS cluster,
+             round(least(length(text) / 500.0, 1.0) * 0.4
+                   + (1.0 - least((length(regexp_replace(text,
+                          '[A-Za-z0-9\s]', '', 'g'))
+                        / greatest(length(text), 1)) * 10, 1.0)) * 0.2
+                   + least((len(list_filter(
+                          string_split_regex(lower(trim(text)), '\s+'),
+                          x -> x IN ('the','a','of','and','to','in','is','that')))
+                        / greatest(len(string_split_regex(lower(trim(text)),
+                          '\s+')), 1)) * 5, 1.0) * 0.2
+                   + CASE WHEN length(regexp_replace(trim(text), '\s+', '', 'g'))
+                               / greatest(len(string_split_regex(lower(trim(text)),
+                                 '\s+')), 1) BETWEEN 3 AND 10
+                          THEN 0.2 ELSE 0.0 END,
+                   4) AS quality
+      FROM all_docs
+    ), ranked AS (
+      SELECT doc_id,
+             row_number() OVER (
+               PARTITION BY cluster ORDER BY quality DESC, doc_id ASC
+             ) AS rn
+      FROM q WHERE cluster IS NOT NULL
+    )
+    SELECT q.doc_id, q.quality FROM q
+    WHERE q.doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
+    """,
+)
+def q_near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-aware SURVIVOR POLICY driver-proven end to end:
+    every 20th doc gets a punctuation-degraded near-dup twin
+    (doc_id + 1e6); the (original, twin) clusters are known by
+    construction (so the policy is isolated from candidate
+    generation, whose recall hash_family_recall proves), and
+    ``keep_best`` must keep exactly the higher-``quality_score``
+    member — ties and NULLs to the min id. The oracle recomputes the
+    identical score arithmetic and argmax in SQL, so a policy bug
+    (wrong tie-break, NULL mishandling, dropped unclustered doc)
+    breaks the value hash. Returns every survivor with its score."""
+    OFF = 1_000_000
+    docs = read_docs_spread(spark, sf_dir)
+    planted = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + OFF).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_KB_SUFFIX)).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    members = docs.filter(F.col("doc_id") % 20 == 0).select("doc_id")
+    clusters = members.select(
+        F.col("doc_id").alias("id"), F.col("doc_id").alias("cluster_id")
+    ).unionByName(
+        members.select(
+            (F.col("doc_id") + OFF).alias("id"),
+            F.col("doc_id").alias("cluster_id"),
+        )
+    )
+    kept = D.keep_best(
+        corpus, clusters, TXT.quality_score(F.col("text")), id_col="doc_id"
+    )
+    return kept.select(
+        "doc_id", TXT.quality_score(F.col("text")).alias("quality")
+    )
+
+
 @query("image_phash_dups")  # rows-only (decoded-pixel hashes not SQL-expressible)
 def q_image_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-duplicate image pairs over the corpus's
@@ -3121,9 +3198,19 @@ def q_image_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                                (in-gate r6) proves the same on-disk
 #                                layout's aggregates; MUST rotate into
 #                                the r7 gate.
+#   near_dup_keep_best        -> NEW mid-r6, same parking policy: the
+#                                quality-aware survivor policy over
+#                                by-construction clusters
+#                                (dedup.keep_best). Oracle-bearing
+#                                (identical score arithmetic + argmax
+#                                in SQL), so the automatic pytest
+#                                parity pin covers it now; MUST rotate
+#                                into the r7 gate with
+#                                packed_sequences_loaded.
 DRIVER_OMIT = frozenset(
     {
         "packed_sequences_loaded",
+        "near_dup_keep_best",
         "hopping_window_count",
         "fanout_flatmap",
         "rekey_transform",
