@@ -250,6 +250,31 @@ def test_image_phash_pairs_vs_brute_force(spark):
     assert {r["h"] for r in hs.collect()} == {0}
 
 
+def test_injected_tokenizer_counting(spark):
+    """Real-tokenizer token counting through the injected-callable
+    discipline (no subword libs in this container): the Arrow-batched
+    UDF counts via the injected tokenizer, agrees with a driver-side
+    recount, and the uninjected stub fails loud."""
+    import pytest as _pytest
+
+    from willa_spark.functions.text import fake_bpe_tokenizer, token_count_udf
+
+    rows = [(1, "short words here"), (2, "supercalifragilistic expialidocious hi"),
+            (3, ""), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.withColumn(
+            "n", token_count_udf(fake_bpe_tokenizer)(F.col("text"))
+        ).collect()
+    }
+    assert got == {
+        i: fake_bpe_tokenizer([t])[0] for i, t in rows
+    } == {1: 3, 2: 5, 3: 0, 4: 0}
+    with _pytest.raises(Exception, match="inject"):
+        df.withColumn("n", token_count_udf()(F.col("text"))).collect()
+
+
 def test_multimodal_meta_pushdown_prunes_before_decode(spark, tmp_path):
     """The module docstring's 100 TB claim made real: typed metadata
     lives in a sibling struct column (IMAGE_META_SCHEMA), and a

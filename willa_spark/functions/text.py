@@ -47,6 +47,46 @@ def word_token_count(text: Column) -> Column:
     return F.size(F.regexp_extract_all(F.lower(text), F.lit(WORD_RE), F.lit(0)))
 
 
+def fake_bpe_tokenizer(texts):
+    """Deterministic stand-in for a real subword tokenizer (the
+    container ships no tiktoken/HF): token count = words + one extra
+    piece per word longer than 6 chars — a crude 'long words split
+    into subwords' model, good enough to test the plumbing."""
+    out = []
+    for t in texts:
+        words = (t or "").lower().split()
+        out.append(len(words) + sum(1 for w in words if len(w) > 6))
+    return out
+
+
+def token_count_udf(tokenizer=None):
+    """Arrow-batched token counting through an INJECTED real tokenizer
+    — the same discipline as multimodal's injected codecs: the cheap
+    paths (``token_count`` whitespace, ``word_token_count`` BPE-ish
+    regex) are pure Column expressions and cover most pipeline
+    decisions, but budget enforcement against a REAL training
+    tokenizer (tiktoken / HuggingFace) needs the actual vocab. Returns
+    a pandas_udf Column factory: ``df.withColumn("n",
+    token_count_udf(tok)(F.col("text")))``. ``tokenizer`` takes a
+    list of strings and returns a list of ints (batch-at-a-time so
+    fast tokenizers amortize); defaults to a stub that raises —
+    inject ``fake_bpe_tokenizer`` in tests, e.g.
+    ``lambda ts: [len(enc.encode(t or "")) for t in ts]`` in
+    production. Plan shape: one Arrow-batched map stage, no shuffle —
+    identical to the Column-tier counters."""
+    import pandas as pd
+
+    def _count(ser):
+        if tokenizer is None:
+            raise NotImplementedError(
+                "no subword tokenizer in this environment; inject one "
+                "(tokenizer=) — e.g. tiktoken/HF encode-and-count"
+            )
+        return pd.Series(tokenizer(list(ser)), dtype="int64")
+
+    return F.pandas_udf(_count, "long")
+
+
 def avg_token_length(text: Column) -> Column:
     return F.length(F.regexp_replace(F.trim(text), r"\s+", "")) / F.greatest(
         token_count(text), F.lit(1)
