@@ -255,8 +255,6 @@ def test_injected_tokenizer_counting(spark):
     discipline (no subword libs in this container): the Arrow-batched
     UDF counts via the injected tokenizer, agrees with a driver-side
     recount, and the uninjected stub fails loud."""
-    import pytest as _pytest
-
     from willa_spark.functions.text import fake_bpe_tokenizer, token_count_udf
 
     rows = [(1, "short words here"), (2, "supercalifragilistic expialidocious hi"),
@@ -271,7 +269,7 @@ def test_injected_tokenizer_counting(spark):
     assert got == {
         i: fake_bpe_tokenizer([t])[0] for i, t in rows
     } == {1: 3, 2: 5, 3: 0, 4: 0}
-    with _pytest.raises(Exception, match="inject"):
+    with pytest.raises(Exception, match="inject"):
         df.withColumn("n", token_count_udf()(F.col("text"))).collect()
 
 

@@ -73,7 +73,13 @@ def token_count_udf(tokenizer=None):
     inject ``fake_bpe_tokenizer`` in tests, e.g.
     ``lambda ts: [len(enc.encode(t or "")) for t in ts]`` in
     production. Plan shape: one Arrow-batched map stage, no shuffle —
-    identical to the Column-tier counters."""
+    the same shape as the Column-tier counters. VALUES follow the
+    injected tokenizer's conventions, which differ from the Column
+    tier at the edges: the documented pattern counts NULL/empty text
+    as 0, while ``token_count`` yields NULL for NULL text (and 1 for
+    '' — split's empty-string artifact); budget filters comparing
+    against NULL exclude those docs, a 0 passes them. Pick one
+    convention per pipeline."""
     import pandas as pd
 
     def _count(ser):

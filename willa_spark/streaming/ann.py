@@ -101,8 +101,11 @@ def lsh_index_step(
     survives the merge) — without it a long-running index stream
     accumulates one partition directory per micro-batch forever,
     the same unbounded-metadata path the dedup stores bound. Probe
-    results are unchanged by compaction (probes read the whole
-    store; merged rows only get a lower committed label)."""
+    results are unchanged by compaction: probes read the whole store,
+    and merged rows are relabeled to the HIGHEST merged id — still
+    strictly below the compaction watermark, so every live
+    ``before_batch`` window sees exactly the same rows (the
+    store.py contract)."""
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         store_compact_every(
