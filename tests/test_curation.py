@@ -630,6 +630,29 @@ def test_save_packed_shards_loader_order(spark, tmp_path):
         CU.save_packed_shards(dup, str(tmp_path / "dup"), 10, 2)
 
 
+def test_packed_slice_rows_plan_shape(spark):
+    """The shard-row builder's 100 TB plan claims, pinned: no
+    cartesian product, a bounded exchange count (pack window + text
+    join + dup-guard window reuse — NOT one shuffle per slice or per
+    validation), and exactly ONE tokenization of the text column on
+    the slice side of the plan (the r5 writer re-tokenized per
+    manifest row)."""
+    from willa_spark.plans import count_exchanges
+
+    rows = [(i, "s%d" % (i % 2), " ".join(["w"] * (5 + i))) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    packed = CU.pack_sequences(df, seq_len=7)
+    out = CU.packed_slice_rows(df, packed, 7, 2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert count_exchanges(out) <= 6, count_exchanges(out)
+    # tokenization appears once on the slice side (__toks projection)
+    # and once inside pack_sequences' n_tokens — never per slice row
+    assert plan.count("split(lower(trim(text") <= 2, plan.count(
+        "split(lower(trim(text"
+    )
+
+
 def test_load_packed_sequences_materializes_contract(spark, tmp_path):
     """The loader side: reading the shard layout back and assembling
     sequences yields exactly-seq_len token rows (except each

@@ -1307,12 +1307,21 @@ def q_hash_family_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # --- image pHash: plant byte-identical twins of every 20th doc's
-    # binary payload (identical bytes ⇒ hamming 0 ⇒ pigeonhole hit)
+    # binary payload (identical bytes ⇒ hamming 0 ⇒ pigeonhole hit).
+    # Decode ONLY the pair members (sources + twins) — the same
+    # discipline as the winnow family above: the standalone
+    # image_phash_dups query covers the corpus-wide join; this row
+    # proves the guarantee on the planted pairs, so pushing the whole
+    # corpus through the Python decode here would add cost without
+    # adding proof strength.
     from .functions.multimodal import fake_image_decoder_8x8, image_phash_pairs
 
-    ph_corpus, ph_planted_imgs = _phash_planted_corpus(docs, OFF)
+    _, ph_planted_imgs = _phash_planted_corpus(docs, OFF)
+    ph_members = ph_planted_imgs.unionByName(
+        ph_planted_imgs.withColumn("doc_id", F.col("doc_id") + F.lit(OFF))
+    )
     ph_pairs = image_phash_pairs(
-        ph_corpus, max_hamming=3, id_col="doc_id", decoder=fake_image_decoder_8x8
+        ph_members, max_hamming=3, id_col="doc_id", decoder=fake_image_decoder_8x8
     )
     ph_found = ph_pairs.filter(F.col("id_b") == F.col("id_a") + OFF).agg(
         F.count_distinct(F.col("id_a")).alias("n_found")
