@@ -222,6 +222,50 @@ def test_streaming_phash_dedup_congruity_and_replay(spark, tmp_path):
     assert {r["doc_id"] for r in kept.collect()} == got1 | got2
 
 
+def test_streaming_phash_through_real_readstream(spark, tmp_path):
+    """The image dedup step driven by a REAL Structured Streaming
+    query over a binary-column parquet stream (one file per
+    micro-batch): admitted ids match the direct-call path — binary
+    payloads survive the readStream round-trip byte-exactly."""
+    import hashlib
+
+    from willa_spark.functions.multimodal import fake_image_decoder_8x8
+    from willa_spark.streaming.near_dedup import phash_dedup_step
+
+    payload = lambda i: hashlib.sha256(str(i).encode()).digest() * 4
+    b1 = [(1, payload(1)), (2, payload(2))]
+    b2 = [(3, payload(3)), (4, payload(2))]  # 4 dups 2 cross-batch
+    d = os.path.join(str(tmp_path), "in")
+    os.makedirs(d)
+    for rows in (b1, b2):
+        spark.createDataFrame(rows, "doc_id bigint, data binary").coalesce(
+            1
+        ).write.mode("append").parquet(d)
+        time.sleep(0.05)
+    schema = spark.read.parquet(d).schema
+    src = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    step = phash_dedup_step(
+        os.path.join(str(tmp_path), "store"),
+        max_hamming=3,
+        decoder=fake_image_decoder_8x8,
+    )
+    admitted: list = []
+
+    def sink(batch_df, batch_id):
+        admitted.extend(
+            r["doc_id"] for r in step(batch_df, batch_id).select("doc_id").collect()
+        )
+
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not drain"
+    assert sorted(admitted) == [1, 2, 3]
+
+
 def test_minhash_paired_store_prune_and_inconsistency_guard(spark, tmp_path):
     """The minhash store is two coupled halves (sigs locate nothing,
     bands verify nothing — each needs the other). Pruning only one
