@@ -240,6 +240,69 @@ def test_pack_sequences_step_out_of_order_fails_loud(spark, tmp_path):
     step(spark.createDataFrame([(1, "s2", "w w")], schema), 1).collect()
 
 
+def test_curation_to_shards_end_to_end_congruity(spark, tmp_path):
+    """The composed ingestion→training-shards step: streamed shard
+    rows over id-ordered batches equal batch corpus_curation_batch →
+    save_packed_shards over the full corpus — survivors carry
+    REDACTED text into the shard bytes, dropped docs (quality,
+    contamination, dups) leave no holes in the packed sequences."""
+    import os as _os
+
+    from willa_spark.functions import curation as CU
+    from willa_spark.streaming.corpus_pipeline import curation_to_shards_step
+    from willa_spark.streaming.store import store_read
+
+    grams = _eval_grams(spark)
+    docs = {i: (DOCS[i], "s%d" % (i % 2)) for i in DOCS}
+    mk = lambda ids: spark.createDataFrame(
+        [(i, docs[i][0], docs[i][1]) for i in ids],
+        "doc_id bigint, text string, source string",
+    )
+    step = curation_to_shards_step(
+        _os.path.join(str(tmp_path), "dedup"),
+        _os.path.join(str(tmp_path), "marks"),
+        _os.path.join(str(tmp_path), "shards"),
+        seq_len=10,
+        seqs_per_shard=2,
+        eval_grams=grams,
+    )
+    for bid, ids in enumerate((BATCH1, BATCH2, BATCH3)):
+        step(mk(ids), bid).collect()
+
+    cols = [
+        "source", "shard", "seq_id", "doc_id",
+        "start_in_seq", "start_in_doc", "slice_len", "slice_text",
+    ]
+    streamed = sorted(
+        tuple(r)
+        for r in store_read(spark, _os.path.join(str(tmp_path), "shards"))
+        .select(*cols)
+        .collect()
+    )
+    surv = corpus_curation_batch(mk(sorted(docs)), eval_grams=grams)
+    surv = surv.join(mk(sorted(docs)).select("doc_id", "source"), "doc_id")
+    out = _os.path.join(str(tmp_path), "batch-shards")
+    CU.save_packed_shards(surv, out, seq_len=10, seqs_per_shard=2)
+    batch_rows = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .select(
+            F.col("source").cast("string"),
+            F.col("shard").cast("bigint"),
+            *cols[2:],
+        )
+        .collect()
+    )
+    assert streamed == batch_rows and len(streamed) > 0
+    # survivors only, redacted: the PII doc's shard bytes carry the
+    # placeholder, never the raw address
+    joined_text = " ".join(t for *_x, t in streamed)
+    assert "alice@example.com" not in joined_text
+    assert "<email>" in joined_text  # slice_text is the NORMALIZED stream
+    kept_ids = {r[3] for r in streamed}
+    assert kept_ids == EXPECT_IDS
+
+
 def test_pack_shards_step_congruity_and_replay(spark, tmp_path):
     """The streaming assembly endpoint: the union of streamed shard
     rows over id-ordered batches must equal what batch

@@ -370,6 +370,75 @@ def pack_shards_step(
     return step
 
 
+def curation_to_shards_step(
+    dedup_store_dir: str,
+    pack_store_dir: str,
+    shards_dir: str,
+    seq_len: int,
+    seqs_per_shard: int,
+    eval_grams: DataFrame | None = None,
+    decontam_n: int = 8,
+    decontam_max_hits: int = 0,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    num_bands: int = 16,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str = "source",
+    compact_every: int | None = None,
+) -> Callable[[DataFrame, int], DataFrame]:
+    """The WHOLE ingestion-to-training-shards pipeline as one
+    foreachBatch step: screens → PII redaction → decontamination →
+    minhash-store near-dedup (``corpus_curation_step``) composed with
+    global sequence packing + packed-shard landing
+    (``pack_shards_step``). Survivors carry their REDACTED text into
+    the shards — the order a real pipeline requires (leaked PII must
+    never reach trainer-consumable bytes). The stratum column is
+    re-joined from the batch (the curation stages are
+    stratum-agnostic; the join is batch-local and id-keyed).
+
+    Congruity (pytest-pinned): over id-ordered ingestion the union of
+    streamed shard rows ≡ batch ``corpus_curation_batch`` →
+    ``save_packed_shards`` over the full corpus. Inherits every
+    composed guarantee: replay idempotency per store, compaction
+    cadence, the id-ordered-arrival guard, NULL/duplicate-id
+    fail-loud checks. Returns the batch's written shard rows."""
+    curate = corpus_curation_step(
+        dedup_store_dir,
+        out_dir=None,
+        eval_grams=eval_grams,
+        decontam_n=decontam_n,
+        decontam_max_hits=decontam_max_hits,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        num_bands=num_bands,
+        shingle_n=shingle_n,
+        id_col=id_col,
+        text_col=text_col,
+        compact_every=compact_every,
+    )
+    pack = pack_shards_step(
+        pack_store_dir,
+        shards_dir,
+        seq_len,
+        seqs_per_shard,
+        id_col=id_col,
+        text_col=text_col,
+        strata_col=strata_col,
+        compact_every=compact_every,
+    )
+
+    def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        admitted = curate(batch_df, batch_id)
+        with_strata = admitted.join(
+            batch_df.select(F.col(id_col), F.col(strata_col)), id_col
+        )
+        return pack(with_strata, batch_id)
+
+    return step
+
+
 def corpus_curation_batch(
     docs: DataFrame,
     eval_grams: DataFrame | None = None,
