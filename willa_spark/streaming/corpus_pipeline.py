@@ -431,9 +431,14 @@ def curation_to_shards_step(
 
     def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
         admitted = curate(batch_df, batch_id)
+        # pin the curated frame: the packer consumes it more than once
+        # (high-water-mark aggregate + slice-row write), and without a
+        # materialization each consumption would re-run the screens +
+        # decontamination joins (the dedup drops are already pinned
+        # inside the dedup step; the screen projection is not)
         with_strata = admitted.join(
             batch_df.select(F.col(id_col), F.col(strata_col)), id_col
-        )
+        ).localCheckpoint(eager=True)
         return pack(with_strata, batch_id)
 
     return step
