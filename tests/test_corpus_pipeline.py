@@ -212,6 +212,62 @@ def test_streaming_pack_sequences_congruity_and_replay(spark, tmp_path):
     assert len(store_partitions(store)) == 2  # [compacted(0+1), 2]
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_pack_corpus = st.lists(
+    st.tuples(
+        st.sampled_from(["s0", "s1", None]),          # stratum (incl. NULL)
+        st.one_of(st.none(), st.integers(0, 9)),      # token count or NULL text
+    ),
+    min_size=2,
+    max_size=16,
+)
+
+
+@given(corpus=_pack_corpus, cuts=st.lists(st.integers(1, 15), max_size=3))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_streaming_pack_congruity_any_batch_boundaries(spark, corpus, cuts):
+    """The high-water-mark continuation must equal batch
+    pack_sequences for ANY id-ordered micro-batch partitioning of ANY
+    corpus shape (random strata incl. NULL, random/NULL token counts,
+    random batch cut points incl. empty batches) — the fixed-split
+    congruity test generalized."""
+    import os as _os
+    import tempfile as _tf
+
+    from willa_spark.functions import curation as CU
+    from willa_spark.streaming.corpus_pipeline import pack_sequences_step
+
+    rows = [
+        (i * 2, s, None if n is None else " ".join(["w"] * n))
+        for i, (s, n) in enumerate(corpus)
+    ]
+    schema = "doc_id bigint, source string, text string"
+    bounds = sorted({min(c, len(rows)) for c in cuts})
+    batches, prev = [], 0
+    for b in bounds + [len(rows)]:
+        batches.append(rows[prev:b])
+        prev = b
+    # a NON-created path: a pre-existing empty dir reads as a real
+    # fault by design (an unmounted store volume must not silently
+    # read as "first batch" and skip history)
+    store = _os.path.join(_tf.mkdtemp(prefix="pack-prop-"), "store")
+    step = pack_sequences_step(store, seq_len=5)
+    got = []
+    for bid, batch in enumerate(batches):
+        out = step(spark.createDataFrame(batch, schema), bid)
+        got.extend(tuple(r) for r in out.collect())
+    want = sorted(
+        tuple(r)
+        for r in CU.pack_sequences(
+            spark.createDataFrame(rows, schema), seq_len=5
+        ).collect()
+    )
+    assert sorted(got) == want
+
+
 def test_pack_sequences_step_out_of_order_fails_loud(spark, tmp_path):
     """The id-ordered-arrival congruity precondition is ENFORCED, not
     just documented: a batch carrying an id at or below its stratum's

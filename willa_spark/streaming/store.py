@@ -134,14 +134,28 @@ def store_append(
     that key. This is what makes the ANN stores' "the probe reads only
     the joined bucket keys' row groups" claim true — an unsorted
     round-robin layout scatters every bucket across every row group
-    and the statistics prune nothing."""
+    and the statistics prune nothing.
+
+    An EMPTY batch (Structured Streaming delivers them, e.g. on
+    watermark-only progress) leaves no partition behind: AQE gives an
+    empty frame zero output partitions, so the write produces a
+    FILE-LESS directory that would poison whole-store schema
+    inference (UNABLE_TO_INFER_SCHEMA on the next probe — found by
+    the any-batch-boundaries congruity property). A file-less
+    partition means "this batch admitted nothing"; removing it (and a
+    fully-emptied store root, restoring the missing-store-reads-None
+    first-batch contract) is exactly the overwrite-with-nothing
+    semantics a replay needs."""
     if sort_by is not None:
         df = df.repartition(max_files, sort_by).sortWithinPartitions(sort_by)
     else:
         df = df.repartition(max_files)
-    df.write.mode("overwrite").parquet(
-        os.path.join(path, f"ingest_batch={batch_id}")
-    )
+    part_dir = os.path.join(path, f"ingest_batch={batch_id}")
+    df.write.mode("overwrite").parquet(part_dir)
+    if not any(f.endswith(".parquet") for f in os.listdir(part_dir)):
+        shutil.rmtree(part_dir, ignore_errors=True)
+        if not store_partitions(path):
+            shutil.rmtree(path, ignore_errors=True)
 
 
 def store_compact_every(
