@@ -296,6 +296,44 @@ def test_pack_sequences_step_out_of_order_fails_loud(spark, tmp_path):
     step(spark.createDataFrame([(1, "s2", "w w")], schema), 1).collect()
 
 
+def test_steps_survive_all_dropped_and_empty_batches(spark, tmp_path):
+    """An EMPTY micro-batch and a batch whose every doc is dropped
+    must return an empty frame (stable schema), not crash on reading
+    a removed partition — and later batches keep working. Exercises
+    the store_append file-less-partition removal end to end through
+    both partition-returning steps."""
+    import os as _os
+
+    from willa_spark.streaming.corpus_pipeline import pack_shards_step
+
+    grams = _eval_grams(spark)
+    out = _os.path.join(str(tmp_path), "out")
+    cur = corpus_curation_step(
+        _os.path.join(str(tmp_path), "dedup"), out_dir=out, eval_grams=grams
+    )
+    schema = "doc_id bigint, text string"
+    empty = spark.createDataFrame([], schema)
+    r0 = cur(empty, 0)
+    assert r0.count() == 0 and r0.columns == ["doc_id", "text"]
+    # all-dropped batch: the only doc fails the quality screen
+    r1 = cur(spark.createDataFrame([(3, DOCS[3])], schema), 1)
+    assert r1.count() == 0
+    r2 = cur(_mk(spark, BATCH1), 2)
+    assert {r["doc_id"] for r in r2.collect()} == {1, 2}
+
+    pk = pack_shards_step(
+        _os.path.join(str(tmp_path), "marks"),
+        _os.path.join(str(tmp_path), "shards"),
+        seq_len=5,
+        seqs_per_shard=2,
+    )
+    pschema = "doc_id bigint, source string, text string"
+    p0 = pk(spark.createDataFrame([], pschema), 0)
+    assert p0.count() == 0 and "slice_text" in p0.columns
+    p1 = pk(spark.createDataFrame([(1, "s1", "w w w")], pschema), 1)
+    assert p1.count() == 1
+
+
 def test_curation_to_shards_end_to_end_congruity(spark, tmp_path):
     """The composed ingestion→training-shards step: streamed shard
     rows over id-ordered batches equal batch corpus_curation_batch →

@@ -1316,10 +1316,7 @@ def q_hash_family_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # adding proof strength.
     from .functions.multimodal import fake_image_decoder_8x8, image_phash_pairs
 
-    _, ph_planted_imgs = _phash_planted_corpus(docs, OFF)
-    ph_members = ph_planted_imgs.unionByName(
-        ph_planted_imgs.withColumn("doc_id", F.col("doc_id") + F.lit(OFF))
-    )
+    _, ph_planted_imgs, ph_members = _phash_planted_corpus(docs, OFF)
     ph_pairs = image_phash_pairs(
         ph_members, max_hamming=3, id_col="doc_id", decoder=fake_image_decoder_8x8
     )
@@ -3010,15 +3007,15 @@ def _phash_planted_corpus(docs: DataFrame, off: int):
     payload (first 200 text bytes) and the plant (byte-identical twin
     of every 20th doc under doc_id + off), so the recall proof can
     never desynchronize from the rows-only pairs query. Returns
-    (corpus, planted_originals)."""
+    (corpus, planted_originals, members) — members = the planted
+    originals plus their twins, the minimal frame the recall row
+    hashes."""
     imgs = docs.select(
         "doc_id", F.encode(F.substring(F.col("text"), 1, 200), "utf-8").alias("data")
     )
     planted = imgs.filter(F.col("doc_id") % 20 == 0)
-    corpus = imgs.unionByName(
-        planted.withColumn("doc_id", F.col("doc_id") + F.lit(off))
-    )
-    return corpus, planted
+    twins = planted.withColumn("doc_id", F.col("doc_id") + F.lit(off))
+    return imgs.unionByName(twins), planted, planted.unionByName(twins)
 
 
 _KB_SUFFIX = " !@ #$ %^ &* !@ #$ %^ &*"
@@ -3112,7 +3109,7 @@ def q_image_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``streaming.near_dedup.phash_dedup_step``."""
     from .functions.multimodal import fake_image_decoder_8x8, image_phash_pairs
 
-    corpus, _planted = _phash_planted_corpus(
+    corpus, _planted, _members = _phash_planted_corpus(
         read_docs_spread(spark, sf_dir), 1_000_000
     )
     return image_phash_pairs(

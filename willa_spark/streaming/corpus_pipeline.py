@@ -164,12 +164,18 @@ def corpus_curation_step(
             # store_append: idempotent per-batch partition + bounded
             # shard count (tiny micro-batches must not write one file
             # per shuffle partition)
-            store_append(admitted, out_dir, batch_id)
+            kept = store_append(admitted, out_dir, batch_id)
             # hand back the WRITTEN partition: a caller consuming the
             # return (metrics, secondary sink) would otherwise re-run
             # screens + decontamination + the dedup joins per
             # consumption. Consume within the micro-batch — see
-            # store_read_batch's lifetime contract.
+            # store_read_batch's lifetime contract. An all-dropped /
+            # empty batch wrote nothing (store_append removed the
+            # file-less partition) — synthesize the empty frame.
+            if not kept:
+                return batch_df.sparkSession.createDataFrame(
+                    [], admitted.schema
+                )
             return store_read_batch(batch_df.sparkSession, out_dir, batch_id)
         return admitted
 
@@ -359,12 +365,16 @@ def pack_shards_step(
             text_col=text_col,
             strata_col=strata_col,
         )
-        store_append(rows, shards_dir, batch_id, sort_by="seq_id")
+        kept = store_append(rows, shards_dir, batch_id, sort_by="seq_id")
         # return the WRITTEN partition, not the producing plan: a
         # caller consuming the returned frame (sink, metrics) would
         # otherwise re-run the whole slice pipeline per consumption —
         # the same argument as store_append's unconditional clamp.
         # Consume within the micro-batch (store_read_batch contract).
+        # An all-dropped / empty batch wrote nothing — synthesize the
+        # empty frame instead of reading a removed path.
+        if not kept:
+            return batch_df.sparkSession.createDataFrame([], rows.schema)
         return store_read_batch(batch_df.sparkSession, shards_dir, batch_id)
 
     return step
@@ -435,10 +445,20 @@ def curation_to_shards_step(
         # (high-water-mark aggregate + slice-row write), and without a
         # materialization each consumption would re-run the screens +
         # decontamination joins (the dedup drops are already pinned
-        # inside the dedup step; the screen projection is not)
-        with_strata = admitted.join(
-            batch_df.select(F.col(id_col), F.col(strata_col)), id_col
-        ).localCheckpoint(eager=True)
+        # inside the dedup step; the screen projection is not).
+        # eqNullSafe, not a plain equi-join: a NULL-id doc must REACH
+        # the packer's fail-loud NULL-id guard (matching the batch
+        # twin), not vanish in the strata re-join.
+        a = admitted.alias("a")
+        b = batch_df.select(F.col(id_col), F.col(strata_col)).alias("b")
+        with_strata = (
+            a.join(
+                b,
+                F.col(f"a.{id_col}").eqNullSafe(F.col(f"b.{id_col}")),
+            )
+            .select("a.*", F.col(f"b.{strata_col}"))
+            .localCheckpoint(eager=True)
+        )
         return pack(with_strata, batch_id)
 
     return step

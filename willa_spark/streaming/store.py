@@ -111,7 +111,7 @@ def store_append(
     batch_id: int,
     max_files: int = 4,
     sort_by: str | None = None,
-) -> None:
+) -> bool:
     """Write this batch's partition idempotently: a retry overwrites
     exactly its own ``ingest_batch=<id>`` directory. Output is clamped
     to ``max_files`` shards so tiny micro-batches don't inherit the
@@ -145,17 +145,28 @@ def store_append(
     partition means "this batch admitted nothing"; removing it (and a
     fully-emptied store root, restoring the missing-store-reads-None
     first-batch contract) is exactly the overwrite-with-nothing
-    semantics a replay needs."""
+    semantics a replay needs. The root removal defers to any pending
+    compaction (manifest / staged tmp present): merged history staged
+    mid-swap must never be destroyed by an empty batch. Returns
+    whether the partition was KEPT — a caller handing back the
+    written rows (``store_read_batch``) must synthesize an empty
+    frame instead when nothing was written."""
     if sort_by is not None:
         df = df.repartition(max_files, sort_by).sortWithinPartitions(sort_by)
     else:
         df = df.repartition(max_files)
     part_dir = os.path.join(path, f"ingest_batch={batch_id}")
     df.write.mode("overwrite").parquet(part_dir)
-    if not any(f.endswith(".parquet") for f in os.listdir(part_dir)):
-        shutil.rmtree(part_dir, ignore_errors=True)
-        if not store_partitions(path):
-            shutil.rmtree(path, ignore_errors=True)
+    if any(f.endswith(".parquet") for f in os.listdir(part_dir)):
+        return True
+    shutil.rmtree(part_dir, ignore_errors=True)
+    if (
+        not store_partitions(path)
+        and not os.path.exists(os.path.join(path, _MANIFEST))
+        and not os.path.isdir(os.path.join(path, _TMP))
+    ):
+        shutil.rmtree(path, ignore_errors=True)
+    return False
 
 
 def store_compact_every(
