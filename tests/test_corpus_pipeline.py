@@ -334,6 +334,30 @@ def test_steps_survive_all_dropped_and_empty_batches(spark, tmp_path):
     assert p1.count() == 1
 
 
+def test_curation_to_shards_null_id_fails_loud(spark, tmp_path):
+    """A NULL-id doc must reach the packer's fail-loud guard through
+    the composed step — matching the batch twin — not vanish in the
+    strata re-join (a plain equi-join would silently drop it)."""
+    import os as _os
+
+    import pytest
+    from willa_spark.streaming.corpus_pipeline import curation_to_shards_step
+
+    step = curation_to_shards_step(
+        _os.path.join(str(tmp_path), "d"),
+        _os.path.join(str(tmp_path), "m"),
+        _os.path.join(str(tmp_path), "s"),
+        seq_len=10,
+        seqs_per_shard=2,
+    )
+    bad = spark.createDataFrame(
+        [(1, DOCS[1], "s1"), (None, DOCS[6], "s1")],
+        "doc_id bigint, text string, source string",
+    )
+    with pytest.raises(Exception, match="NULL doc_id"):
+        step(bad, 0).collect()
+
+
 def test_curation_to_shards_end_to_end_congruity(spark, tmp_path):
     """The composed ingestion→training-shards step: streamed shard
     rows over id-ordered batches equal batch corpus_curation_batch →
