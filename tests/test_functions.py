@@ -364,6 +364,54 @@ def test_keep_best_quality_policy(spark):
     assert canon == {1, 3, 6, 8}
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_kb_members = st.lists(
+    st.tuples(
+        st.integers(0, 3),                                  # cluster id
+        st.one_of(st.none(), st.sampled_from([0.1, 0.5, 0.9])),  # score
+    ),
+    min_size=0,
+    max_size=10,
+)
+
+
+@given(members=_kb_members, n_free=st.integers(0, 3))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_keep_best_property(spark, members, n_free):
+    """keep_best ≡ the reference policy on ANY cluster/score shape:
+    per cluster keep the min id among max-score members (all-NULL
+    clusters: plain min id); unclustered docs always survive."""
+    rows = [(i, c, q) for i, (c, q) in enumerate(members)]
+    rows += [(100 + i, None, 0.3) for i in range(n_free)]  # unclustered
+    df = spark.createDataFrame(
+        [(i, q) for i, _c, q in rows], "doc_id bigint, q double"
+    )
+    clusters = spark.createDataFrame(
+        [(i, c) for i, c, _q in rows if c is not None],
+        "id bigint, cluster_id bigint",
+    )
+    got = {
+        r["doc_id"] for r in D.keep_best(df, clusters, F.col("q")).collect()
+    }
+    # reference policy in plain python
+    want = {i for i, c, _q in rows if c is None}
+    by_cluster: dict = {}
+    for i, c, q in rows:
+        if c is not None:
+            by_cluster.setdefault(c, []).append((i, q))
+    for c, ms in by_cluster.items():
+        scores = [q for _i, q in ms if q is not None]
+        if scores:
+            best = max(scores)
+            want.add(min(i for i, q in ms if q == best))
+        else:
+            want.add(min(i for i, _q in ms))
+    assert got == want
+
+
 def test_audio_phash_reuses_hamming_family(spark):
     """The hamming machinery is media-agnostic: with_phash over
     DECODED AUDIO samples (injected fake codec) + hamming_block_pairs
