@@ -52,6 +52,35 @@ def test_batch_topology_over_csv_file_entity(spark, tmp_path):
     assert Counter(out) == Counter([("u1", 50), ("u2", 70), ("u1", 90)])
 
 
+def test_batch_and_streaming_orc_file_entity(spark, tmp_path):
+    """ORC as a first-class file-source format: batch topology seeding
+    and a streaming read both project the record contract; footer
+    metadata drives the streaming schema (no data re-scan)."""
+    import os
+
+    from willa_spark.sources.files import read_records
+
+    path = os.path.join(str(tmp_path), "orc")
+    spark.createDataFrame(
+        [("u1", 5, 1000), ("u2", 7, 2000)],
+        "user_id string, amount bigint, ts bigint",
+    ).write.orc(path)
+    cfg = {"format": "orc", "path": path, "key": "user_id",
+           "value": "amount", "timestamp": "ts"}
+    topo = {
+        "entities": {
+            "in": {"type": "topic", "file": cfg},
+            "s": {"type": "kstream", "xform": MapValues(lambda v: v * 10)},
+            "out": {"type": "topic"},
+        },
+        "workflow": [("in", "s"), ("s", "out")],
+    }
+    out = collect_records(run_topology(spark, topo)["out"])
+    assert Counter(out) == Counter([("u1", 50), ("u2", 70)])
+    sdf = read_records(spark, cfg, streaming=True)
+    assert sdf.isStreaming and set(sdf.columns) == {"key", "value", "timestamp"}
+
+
 def test_batch_json_via_source_callable(spark, tmp_path):
     """``file_source`` as an entity ``source`` callable (json, schema
     inferred)."""

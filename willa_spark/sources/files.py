@@ -1,4 +1,4 @@
-"""File sources (CSV / JSON / parquet / text) for topic entities.
+"""File sources (CSV / JSON / parquet / ORC / text) for topic entities.
 
 The reference engine is Kafka-only (SURVEY §2.1); this engine already
 adds parquet tables (sources/parquet.py) and here generalizes to any
@@ -23,7 +23,7 @@ runs); without one, a one-off batch inference over the existing files
 is used as a convenience (documented test-only behavior).
 
 Scale notes: plain ``spark.read`` — predicate pushdown / column
-pruning apply (parquet), partition-dir pruning applies to all formats;
+pruning apply (parquet/orc), partition-dir pruning applies to all formats;
 csv/json scans are always full-row parses, so convert long-lived
 corpora to parquet with ``df.write.parquet`` once and read that.
 """
@@ -38,7 +38,7 @@ from pyspark.sql import types as T
 
 from ..model import KEY, TIMESTAMP, VALUE
 
-_FORMATS = ("parquet", "csv", "json", "text")
+_FORMATS = ("parquet", "orc", "csv", "json", "text")
 
 
 def _record_projection(df: DataFrame, cfg: dict[str, Any]) -> DataFrame:
@@ -73,13 +73,12 @@ def read_records(
     schema = cfg.get("schema")
     if streaming:
         reader = spark.readStream
-        if schema is None and fmt != "parquet":
-            # csv/json streams need a schema up front; infer once from
-            # the files already present (convenience for tests — pass
-            # an explicit schema in production)
+        if schema is None:
+            # file streams need a schema up front; infer once from the
+            # files already present (convenience for tests — pass an
+            # explicit schema in production; parquet/orc footers make
+            # this a metadata read, csv/json re-scan data)
             schema = spark.read.format(fmt).options(**options).load(path).schema
-        if schema is None and fmt == "parquet":
-            schema = spark.read.options(**options).parquet(path).schema
         reader = reader.schema(schema)
     else:
         reader = spark.read
