@@ -828,3 +828,25 @@ def test_dup_clusters_hybrid_property_random_graphs(spark):
         assert fast == dist
 
     check()
+
+
+def test_with_phash_truncates_features_to_n_bits(spark):
+    """ADVICE r6: a decoder emitting MORE than n_bits features must be
+    truncated consistently — the threshold mean is computed over the
+    same leading n_bits elements that get hashed, so tail elements
+    can neither skew the mean nor flip any bit."""
+    from willa_spark.functions.multimodal import with_phash
+
+    head = [float(x) for x in ([0.0, 1.0] * 32)]  # mean 0.5, alternating bits
+    rows = [
+        (1, head),
+        (2, head + [1000.0] * 64),  # huge tail: mean-over-whole would zero all bits
+        (3, head + [-1000.0] * 64),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, features array<double>")
+    got = {
+        r["id"]: r["phash"]
+        for r in with_phash(df, "features", "phash").collect()
+    }
+    assert got[1] == got[2] == got[3]
+    assert got[1] != 0  # the alternating pattern actually set bits

@@ -333,3 +333,39 @@ def test_compaction_crash_rolls_forward(spark, tmp_path):
     # strictly-prior probe at the replay boundary sees all merged rows
     prior = {r["id"] for r in store_read(spark, store, before_batch=2).collect()}
     assert prior == set(range(20))
+
+
+def test_merge_schema_surfaces_later_added_column(spark, tmp_path):
+    """Schema evolution across store partitions (ADVICE r6): a store
+    whose row schema gained a column (the marks store's max_id guard)
+    must not lose it to an arbitrary pre-upgrade footer — and a
+    compaction over the mixed partitions must not bake the column-less
+    schema in. merge_schema=True unions footers: old rows surface the
+    new column as NULL, new rows keep their values."""
+    store = os.path.join(str(tmp_path), "evolving")
+    # batch 0: pre-guard schema (no max_id); batch 1: post-guard
+    store_append(
+        spark.createDataFrame([("a", 10)], "stratum string, tokens bigint"),
+        store,
+        0,
+    )
+    store_append(
+        spark.createDataFrame(
+            [("a", 7, 42)], "stratum string, tokens bigint, max_id bigint"
+        ),
+        store,
+        1,
+    )
+    merged = store_read(spark, store, merge_schema=True)
+    assert "max_id" in merged.columns
+    rows = {r["tokens"]: r["max_id"] for r in merged.collect()}
+    assert rows == {10: None, 7: 42}
+
+    # compaction must preserve the unioned schema permanently
+    store_compact(spark, store, up_to_batch=2)
+    after = store_read(spark, store, merge_schema=True)
+    assert "max_id" in after.columns
+    assert {r["tokens"]: r["max_id"] for r in after.collect()} == rows
+    # even a PLAIN read is now safe: the rewrite materialized max_id
+    # into every surviving file
+    assert "max_id" in store_read(spark, store).columns

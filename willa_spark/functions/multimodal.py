@@ -128,13 +128,20 @@ def with_phash(
     threshold-against-mean step over whatever coefficient grid the
     decoder produced (a real pHash feeds 8x8 DCT low frequencies; the
     engine is agnostic to the grid's meaning). Arrays shorter than
-    ``n_bits`` populate only their leading bits; empty/NULL arrays
-    hash to 0. Pure Column expressions (aggregate/element_at over a
+    ``n_bits`` populate only their leading bits; arrays LONGER than
+    ``n_bits`` are truncated to their first ``n_bits`` elements for
+    BOTH the mean and the bits (a decoder emitting a 256-coefficient
+    grid hashes its leading 64 against their own mean — consistent, so
+    identical payloads still hash identically); empty/NULL arrays hash
+    to 0. Pure Column expressions (aggregate/element_at over a
     64-element array) — JVM-side, no Python beyond the decode itself.
     The mean sub-expression is re-evaluated per bit (64 x 64 adds per
     row — negligible next to the decode); a cost-sensitive caller can
     pre-project the mean."""
-    f = F.col(features_col)
+    # slice FIRST so the threshold mean is computed over exactly the
+    # elements that get hashed — thresholding the leading 64 against a
+    # mean that includes unhashed tail elements would skew every bit
+    f = F.slice(F.col(features_col), 1, n_bits)
     mean = F.aggregate(f, F.lit(0.0), lambda a, x: a + x) / F.greatest(
         F.size(f), F.lit(1)
     )

@@ -243,7 +243,14 @@ def pack_sequences_step(
         local_cb = F.sum("n_tokens").over(w) - F.col("n_tokens")
         local = counted.withColumn("__local_cb", local_cb)
 
-        prior = store_read(spark, store_dir, before_batch=batch_id)
+        # merge_schema: marks written before the max_id guard existed
+        # lack that column; a plain read could pick such a footer and
+        # silently disable the guard for EVERY stratum (and a compact
+        # cycle would bake the column-less schema in) — merged footers
+        # surface max_id with NULLs for the pre-guard marks instead
+        prior = store_read(
+            spark, store_dir, before_batch=batch_id, merge_schema=True
+        )
         if prior is not None:
             # marks written before the order guard existed lack max_id;
             # treat their high-water mark as unknown (guard inert for

@@ -228,8 +228,16 @@ def _hamming_dedup_step(
         # released before returning — a long-running stream must not
         # accumulate per-micro-batch cache entries
         drops = drops.localCheckpoint(eager=True)
-        admitted_sh = sh.join(
-            drops, sh["id"] == F.col("__drop"), "left_anti"
+        # derive the admitted signatures from the PERSISTED blocks
+        # frame (one (id, simhash) row per id after dedup), not from
+        # `sh`: sh re-evaluates sig_builder, and for phash_dedup_step
+        # that means running the mapInPandas decode — the dominant
+        # per-row cost — a second time per micro-batch just for the
+        # store append
+        admitted_sh = (
+            blocks.select("id", "simhash")
+            .dropDuplicates(["id"])
+            .join(drops, F.col("id") == F.col("__drop"), "left_anti")
         )
         store_append(admitted_sh, store_dir, batch_id)
         pruned.unpersist()

@@ -71,14 +71,29 @@ def _check_no_pending_compaction(path: str) -> None:
         )
 
 
-def store_read(spark, path: str, before_batch: int | None = None) -> DataFrame | None:
+def store_read(
+    spark,
+    path: str,
+    before_batch: int | None = None,
+    merge_schema: bool = False,
+) -> DataFrame | None:
     """The store's rows (``ingest_batch`` dropped); None iff the store
     does not exist yet. ``before_batch`` restricts to strictly-prior
-    partitions — partition-pruned, the replay-safety read."""
+    partitions — partition-pruned, the replay-safety read.
+
+    ``merge_schema=True`` unions the footer schemas across partitions
+    instead of trusting an arbitrary footer — REQUIRED for any store
+    whose row schema has gained a column across code versions (e.g.
+    the pack-sequences marks store's ``max_id`` guard column): without
+    it Spark may pick a pre-upgrade footer and silently drop the new
+    column for every partition. Costs footer reads only."""
     if os.path.isdir(path):
         _check_no_pending_compaction(path)
     try:
-        df = spark.read.parquet(path)
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(path)
     except AnalysisException as e:
         cond = e.getCondition() if hasattr(e, "getCondition") else None
         if cond == "PATH_NOT_FOUND":
@@ -328,7 +343,12 @@ def store_compact(
     tmp = os.path.join(path, _TMP)
     if os.path.isdir(tmp):  # stale stage from a pre-manifest crash
         shutil.rmtree(tmp)
-    rows = spark.read.parquet(path).filter(
+    # mergeSchema unconditionally: if partitions straddle a row-schema
+    # upgrade (a later-added column such as the marks store's max_id),
+    # a plain read could pick a pre-upgrade footer and the rewrite
+    # would bake the column-less schema in permanently; merged rows
+    # carry NULL for columns their source partition lacked
+    rows = spark.read.option("mergeSchema", "true").parquet(path).filter(
         F.col("ingest_batch").isin(merged)
     ).drop("ingest_batch")
     if sort_by is not None:  # preserve the key clustering (see store_append)
