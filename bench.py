@@ -79,10 +79,19 @@ HEADLINE = [
     "sequence_manifest",
     "above_avg_orders",
     "corpus_profile",
-    # round 4: oracle-checked planted-recall proof for the hash/ANN
-    # families (runs every family end-to-end, so its time is
-    # intrinsically ~the sum of the six families)
-    "hash_family_recall",
+    # round 7: the composite hash_family_recall (r4) split into one
+    # oracle-checked planted-recall row per family, so each family
+    # prices its own end-to-end cost instead of hiding inside a ~10 s
+    # aggregate timing (VERDICT r06 #3); plus the new audio member of
+    # the hamming dedup trio
+    "recall_minhash",
+    "recall_simhash",
+    "recall_ann_lsh",
+    "recall_ann_ivf",
+    "recall_winnow",
+    "recall_image_phash",
+    "recall_audio_fp",
+    "audio_fingerprint_dups",
     # round 6: the on-disk packed-shard proof (write + read-back +
     # aggregate) and the image perceptual-hash near-dup family
     "packed_shard_roundtrip",
@@ -130,6 +139,10 @@ def main() -> int:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # no stage-progress \r spam on stdout: r6's bench line was
+        # unparseable because ~76 queries of progress-bar output pushed
+        # the head of the JSON line out of the driver's tail window
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -180,17 +193,25 @@ def main() -> int:
             # one query's cache doesn't squeeze memory for the next
             spark.catalog.clearCache()
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        }
     )
+    # belt and braces for the driver's parser: the JSON line goes to
+    # stdout (flushed, progress spam disabled above) AND to a standalone
+    # file it can read whole if the console route ever truncates again
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json")
+    try:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+    except OSError as e:
+        print(f"bench: could not write {out_path}: {e}", file=sys.stderr)
+    print(line, flush=True)
     return 0
 
 

@@ -850,3 +850,49 @@ def test_with_phash_truncates_features_to_n_bits(spark):
     }
     assert got[1] == got[2] == got[3]
     assert got[1] != 0  # the alternating pattern actually set bits
+
+
+def test_audio_fingerprint_pairs_planted_and_edges(spark):
+    """The audio member of the hamming dedup family: byte-identical
+    planted clips are found at hamming 0 through decode → 64-frame
+    energy envelope → threshold fingerprint → pigeonhole block join;
+    clips SHORTER than 64 samples and EMPTY payloads neither crash
+    nor break determinism (identical bytes always pair)."""
+    import hashlib
+
+    from willa_spark.functions.multimodal import (
+        audio_fingerprint_pairs,
+        fake_audio_decoder_pcm,
+    )
+
+    payload = lambda i: hashlib.sha256(str(i).encode()).digest() * 4  # 128 "samples"
+    rows = [(i, payload(i)) for i in range(10)]
+    rows += [(100 + i, payload(i)) for i in (0, 4)]      # planted twins
+    rows += [(200, b"tiny"), (201, b"tiny")]              # < 64 samples, identical
+    rows += [(300, b""), (301, b"")]                      # empty payloads
+    df = spark.createDataFrame(rows, "id bigint, data binary")
+    pairs = audio_fingerprint_pairs(df, max_hamming=3, decoder=fake_audio_decoder_pcm)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert {(0, 100), (4, 104), (200, 201), (300, 301)} <= got
+    # distinct digest payloads must NOT collide at radius 3
+    assert not any(a < 100 and b < 100 for a, b in got)
+
+
+def test_audio_frame_energies_envelope(spark):
+    """Frame energies are the mean |amplitude| per equal frame: a
+    loud-then-quiet clip yields a strictly decreasing two-frame
+    envelope, and frames past a short clip's end contribute 0."""
+    from willa_spark.functions.multimodal import audio_frame_energies
+
+    df = spark.createDataFrame(
+        [(1, [8.0, -8.0, 1.0, -1.0]), (2, [3.0, -3.0])],
+        "id bigint, samples array<double>",
+    )
+    out = {
+        r["id"]: r["features"]
+        for r in audio_frame_energies(df, n_frames=4).collect()
+    }
+    # n=4 samples, 4 frames -> frame_len=1: each frame is one |x|
+    assert out[1] == [8.0, 8.0, 1.0, 1.0]
+    # n=2 samples: frames past the clip's end are 0.0
+    assert out[2] == [3.0, 3.0, 0.0, 0.0]

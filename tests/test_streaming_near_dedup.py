@@ -303,3 +303,49 @@ def test_minhash_paired_store_prune_and_inconsistency_guard(spark, tmp_path):
     store_prune(os.path.join(store, "sigs"), before_batch=10)
     with pytest.raises(RuntimeError, match="inconsistent"):
         step(_mkdocs(spark, [(12, T[3])]), 3)
+
+
+def test_streaming_audio_fp_dedup_congruity_and_replay(spark, tmp_path):
+    """The audio member of the streaming hamming family (completing
+    the text/image/audio trio): byte-identical PCM payloads are
+    dropped cross-batch (against the persisted fingerprint store) and
+    within-batch (min-id canonical), the admitted set equals the
+    batch twin (audio_fingerprint_pairs → clusters → min-id
+    canonical) under id-ordered arrival, and a replayed batch is
+    idempotent. Uses the injected byte-sensitive fake codec — the
+    container ships no real audio libraries."""
+    from willa_spark.functions.multimodal import (
+        audio_fingerprint_pairs,
+        fake_audio_decoder_pcm,
+    )
+    from willa_spark.streaming.near_dedup import audio_fp_dedup_step
+
+    import hashlib
+
+    payload = lambda i: hashlib.sha256(str(i).encode()).digest() * 4
+    rows = {i: payload(i) for i in (1, 2, 3, 4, 6)}
+    rows[5] = rows[2]   # cross-batch twin of 2
+    rows[7] = rows[6]   # within-batch twin of 6
+    b1 = [(i, rows[i]) for i in (1, 2, 3)]
+    b2 = [(i, rows[i]) for i in (4, 5, 6, 7)]
+    mk = lambda b: spark.createDataFrame(b, "doc_id bigint, data binary")
+
+    store = os.path.join(str(tmp_path), "audio-store")
+    step = audio_fp_dedup_step(store, max_hamming=3, decoder=fake_audio_decoder_pcm)
+    got1 = {r["doc_id"] for r in step(mk(b1), 0).collect()}
+    got2 = {r["doc_id"] for r in step(mk(b2), 1).collect()}
+    assert got1 == {1, 2, 3}
+    assert got2 == {4, 6}  # 5 cross-batch dup of 2, 7 within-batch dup of 6
+
+    replay = {r["doc_id"] for r in step(mk(b2), 1).collect()}
+    assert replay == got2
+    stored = spark.read.parquet(store)
+    assert stored.count() == stored.select("id").distinct().count()
+    assert {r["id"] for r in stored.select("id").collect()} == {1, 2, 3, 4, 6}
+
+    full = spark.createDataFrame(sorted(rows.items()), "doc_id bigint, data binary")
+    pairs = audio_fingerprint_pairs(
+        full, max_hamming=3, id_col="doc_id", decoder=fake_audio_decoder_pcm
+    ).select("id_a", "id_b")
+    kept = D.keep_canonical(full, D.dup_clusters(pairs))
+    assert {r["doc_id"] for r in kept.collect()} == got1 | got2

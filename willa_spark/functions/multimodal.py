@@ -266,6 +266,96 @@ def decode_audio(
     return df.select(id_col, binary_col).mapInPandas(decode_batches, schema=out_schema)
 
 
+def fake_audio_decoder_pcm(data: bytes) -> dict:
+    """Deterministic BYTE-SENSITIVE fake audio decode for the
+    fingerprint family: the payload bytes themselves become centered
+    PCM samples, so byte-identical payloads decode to identical
+    waveforms and distinct payloads decode apart (unlike
+    ``fake_audio_decoder``, whose checksum collapses payloads to a
+    mod-128 class — fine for plumbing tests, useless for dedup). A
+    real decoder would put the channel-merged PCM frame here."""
+    n = len(data or b"")
+    return {
+        "sample_rate": 16_000,
+        "n_channels": 1,
+        "duration_ms": n,
+        "samples": [float(b) - 128.0 for b in (data or b"")],
+    }
+
+
+def audio_frame_energies(
+    df: DataFrame,
+    samples_col: str = "samples",
+    out_col: str = "features",
+    n_frames: int = 64,
+) -> DataFrame:
+    """Energy-envelope features for audio fingerprinting: the sample
+    array is cut into ``n_frames`` equal frames and each frame reduces
+    to its mean absolute amplitude — the coarse acoustic envelope a
+    landmark/chromaprint-style fingerprint thresholds (bit i = frame i
+    louder than the clip average, via ``with_phash`` downstream). Pure
+    Column expressions (slice/aggregate over the decoded array) —
+    JVM-side, nothing touches Python after the decode. Frames past the
+    end of a short clip (fewer samples than frames) contribute 0.0
+    energy; empty/NULL sample arrays produce an all-zero envelope,
+    which ``with_phash`` hashes to 0."""
+    s = F.col(samples_col)
+    n = F.coalesce(F.size(s), F.lit(0))
+    frame_len = F.greatest((n / n_frames).cast("int"), F.lit(1))
+    idx = F.sequence(F.lit(0), F.lit(n_frames - 1))
+    energies = F.transform(
+        idx,
+        lambda i: F.aggregate(
+            F.slice(s, i * frame_len + 1, frame_len),
+            F.lit(0.0),
+            lambda a, x: a + F.abs(x),
+        )
+        / frame_len,
+    )
+    return df.withColumn(out_col, energies)
+
+
+def audio_fingerprint_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    binary_col: str = "data",
+    id_col: str = "id",
+    decoder: Callable[[bytes], dict] | None = None,
+    num_blocks: int | None = None,
+) -> DataFrame:
+    """Acoustic-fingerprint near-duplicate AUDIO pairs — the audio
+    member of the hamming dedup family, completing the text (simhash)
+    / image (pHash) / audio trio on the SAME bucketed machinery:
+    decode (Arrow-batched mapInPandas, injected codec) → 64-frame
+    energy envelope (``audio_frame_energies``, Column expressions) →
+    64-bit threshold fingerprint (``with_phash``) → pigeonhole block
+    self-join + exact ``bit_count`` verify (``hamming_block_pairs`` —
+    full recall at the radius guaranteed by ``num_blocks =
+    max_hamming + 1``, never all-pairs). Returns (id_a, id_b,
+    hamming).
+
+    At 100 TB the decode+envelope is one map-only pass over the media
+    scan; only 16-byte (id, fingerprint) rows reach the shuffle — PCM
+    never leaves the scan stage. Streaming twin:
+    ``streaming.near_dedup.audio_fp_dedup_step`` (same signature
+    builder against a persisted store)."""
+    from .dedup import _spread, check_pigeonhole, hamming_block_pairs
+
+    num_blocks = check_pigeonhole(max_hamming, num_blocks)
+    decoded = decode_audio(
+        _spread(df.select(id_col, binary_col), id_col),
+        binary_col=binary_col,
+        id_col=id_col,
+        decoder=decoder,
+    )
+    sig = with_phash(
+        audio_frame_energies(decoded, "samples", "features"),
+        "features",
+        "simhash",
+    ).select(F.col(id_col).alias("id"), "simhash")
+    return hamming_block_pairs(sig, max_hamming, num_blocks)
+
+
 def resize_features(df: DataFrame, features_col: str = "features", target: int = 4) -> DataFrame:
     """'Resize' by striding the feature grid — pure Column expression
     (slice with step) standing in for real interpolation."""

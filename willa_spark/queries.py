@@ -935,7 +935,7 @@ def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     goes quadratic (observed: sf0.1 ran minutes without the cap,
     ~2 s with it; MOSS applies the same rule). The winnowing guarantee
     is pinned by pytest (test_winnow_fingerprints_guarantee) AND by
-    the oracle-checked planted row in hash_family_recall."""
+    the oracle-checked planted ``recall_winnow`` row."""
     docs = read_docs_spread(spark, sf_dir)  # already core-spread
     return D.winnow_overlap_pairs(docs, df_cap=10)
 
@@ -1133,213 +1133,299 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, queries, centroids, k=10, n_probe=2)
 
 
-@query(
-    "hash_family_recall",
-    oracle=r"""
-    WITH mh AS (
-      SELECT CAST(count(*) AS BIGINT) AS n FROM documents
-      WHERE doc_id % 20 = 0
-        AND len(string_split_regex(lower(trim(text)), '\s+')) >= 3),
-    sh AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
-           WHERE doc_id % 20 = 0),
-    an AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
-           WHERE vec_id % 50 = 0),
-    wn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
-           WHERE doc_id % 20 = 0
-             AND len(string_split_regex(lower(trim(text)), '\s+')) >= 8)
-    SELECT 'minhash' AS family, n AS n_planted, n AS n_found FROM mh
-    UNION ALL SELECT 'simhash', n, n FROM sh
-    UNION ALL SELECT 'ann_lsh', n, n FROM an
-    UNION ALL SELECT 'ann_ivf', n, n FROM an
-    UNION ALL SELECT 'winnow', n, n FROM wn
-    UNION ALL SELECT 'image_phash', n, n FROM sh
-    """,
-)
-def q_hash_family_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle-checked RECALL proof for the six hash-based families
-    whose outputs are not themselves SQL-expressible (xxhash64 minhash
-    bands, hash_array simhash blocks, hyperplane LSH buckets, k-means
-    IVF cells, xxhash64 winnowing fingerprints, decoded-pixel
-    perceptual hashes). Deterministic
-    near-dup pairs are PLANTED such that recall is a mathematical
-    guarantee, then each operator must find every planted pair:
+# ---------------------------------------------------------------------------
+# Per-family planted-recall proofs (VERDICT r06 #3). Round 4's composite
+# hash_family_recall ran every hash family inside ONE driver row — ~9.5 s
+# of opaque timing conflating six proofs, growing ~1.6 s per family. It
+# is RETIRED in favor of one oracle-checked row PER family (strictly
+# stronger: the gate hashes each family's recall separately, and each
+# family prices its own cost in bench.py). The plant constructions are
+# unchanged from the composite; each docstring states the per-family
+# MATHEMATICAL recall guarantee — recall 100% by construction, not
+# probabilistically, so n_found = n_planted is what the oracle asserts.
 
-    - minhash: an exact copy (doc_id + 1e6) of every 20th doc with
-      >= shingle_n tokens. Identical text ⇒ identical shingle set ⇒
-      identical minhash signature ⇒ ALL bands collide ⇒ the banded
-      equi-join MUST emit the pair, and exact verification scores
-      jaccard = 1.0 — recall 100% by construction, not probabilistically.
-    - simhash: an exact copy of every 20th doc (no token floor —
-      empty docs sign to 0=0). Identical text ⇒ hamming 0 ⇒ the
-      pigeonhole guarantee (num_blocks = max_hamming + 1) forces a
-      block collision — again guaranteed, not sampled.
-    - ann_lsh / ann_ivf: every 50th embedding is issued as its own
-      query. An identical vector lands in the same bucket in EVERY
-      hash table (same sign bits) / the same IVF cell (same argmax
-      centroid), and cosine(self) = 1.0 dominates, so self must
-      appear in the top-k.
-    - winnow: for every 20th doc with >= k+window-1 = 8 tokens, a NEW
-      doc (doc_id + 1e6) is planted holding the source's first 8
-      tokens plus a unique tail token — a LOCAL overlap, not a copy
-      (whole-doc fingerprints would miss it; this is exactly the
-      containment case winnowing exists for). The SIGMOD'03 guarantee:
-      any shared run of >= k+window-1 tokens forces at least one
-      identical fingerprint in both docs, so the fingerprint equi-join
-      MUST emit every (source, planted) pair — recall 100% by
-      construction (reference test-strategy analogue:
-      congruity-by-equality, test/willa/test_utils.clj:86-92).
-    - image_phash (NEW r6): every 20th doc's binary payload (the
-      first 200 text bytes through the injected byte-sensitive fake
-      codec) is planted again under doc_id + 1e6. Identical bytes ⇒
-      identical decoded pixels ⇒ identical 64-bit pHash ⇒ hamming 0,
-      and the pigeonhole block join (the same ``hamming_block_pairs``
-      machinery as simhash) MUST emit the pair — guaranteed, not
-      sampled.
+_RECALL_OFF = 1_000_000
 
-    Output: (family, n_planted, n_found). The oracle computes
-    n_planted from the tables and asserts n_found = n_planted — the
-    guarantee above. A recall bug in candidate generation (a band
-    hashed wrong, an uncovered pigeonhole block, a probe-key mismatch
-    between corpus and query signatures) breaks the value hash, which
-    the 25-rows-exist checks of rounds 1-3 could never see.
 
-    The four standalone operator queries stay registered (bench.py +
-    users); this row is their driver-gate proof (VERDICT r03 #1)."""
-    OFF = 1_000_000
-
-    # planted ids are doc_id + OFF: validate doc_id < OFF LAZILY inside
-    # the plan (raise_error on violation, no extra pass) — a corpus
-    # whose ids reach the offset would alias planted copies onto real
-    # docs and silently void the n_found = n_planted guarantee. Same
-    # discipline as curation.plant_eval_leaks.
+def _recall_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with the plant-offset guard: validate doc_id <
+    _RECALL_OFF LAZILY inside the plan (raise_error on violation, no
+    extra pass) — a corpus whose ids reach the offset would alias
+    planted copies onto real docs and silently void the
+    n_found = n_planted guarantee. Same discipline as
+    curation.plant_eval_leaks."""
     checked_id = F.when(
-        F.col("doc_id") >= OFF,
+        F.col("doc_id") >= _RECALL_OFF,
         F.raise_error(
             F.concat(
                 F.lit(
-                    f"hash_family_recall: doc_id >= plant offset ({OFF}) "
+                    f"recall plant: doc_id >= plant offset ({_RECALL_OFF}) "
                     "would collide with planted ids: got "
                 ),
                 F.col("doc_id").cast("string"),
             )
         ).cast("bigint"),
     ).otherwise(F.col("doc_id"))
-    docs = read_docs_spread(spark, sf_dir).select(
+    return read_docs_spread(spark, sf_dir).select(
         checked_id.alias("doc_id"), "text"
     )
+
+
+def _recall_row(name: str, planted: DataFrame, found: DataFrame) -> DataFrame:
+    """(family, n_planted, n_found) — the cross of two SCALAR
+    aggregates (a 1x1 crossJoin, not a data join)."""
+    return planted.crossJoin(found).select(
+        F.lit(name).alias("family"), "n_planted", "n_found"
+    )
+
+
+def _count_planted(df: DataFrame) -> DataFrame:
+    return df.agg(F.count(F.lit(1)).cast("bigint").alias("n_planted"))
+
+
+def _count_found_offset_pairs(pairs: DataFrame) -> DataFrame:
+    """Distinct originals whose planted twin (id + _RECALL_OFF) came
+    back as a pair."""
+    return pairs.filter(F.col("id_b") == F.col("id_a") + _RECALL_OFF).agg(
+        F.count_distinct(F.col("id_a")).alias("n_found")
+    )
+
+
+@query(
+    "recall_minhash",
+    oracle=r"""
+    WITH mh AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+      WHERE doc_id % 20 = 0
+        AND len(string_split_regex(lower(trim(text)), '\s+')) >= 3)
+    SELECT 'minhash' AS family, n AS n_planted, n AS n_found FROM mh
+    """,
+)
+def q_recall_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH recall proof: an exact copy (doc_id + 1e6) of every
+    20th doc with >= shingle_n tokens is planted. Identical text ⇒
+    identical shingle set ⇒ identical minhash signature ⇒ ALL bands
+    collide ⇒ the banded equi-join MUST emit the pair, and exact
+    verification scores jaccard = 1.0 — a recall bug in candidate
+    generation (a band hashed wrong, a probe-key mismatch) breaks the
+    value hash, which a rows-exist check could never see. Driver-gate
+    proof for the rows-only ``minhash_near_dups``."""
+    docs = _recall_docs(spark, sf_dir)
     n_tok = TXT.token_count(F.col("text"))
+    eligible = docs.filter((F.col("doc_id") % 20 == 0) & (n_tok >= 3))
+    corpus = docs.unionByName(
+        eligible.withColumn("doc_id", F.col("doc_id") + F.lit(_RECALL_OFF))
+    )
+    cands = D.minhash_candidate_pairs(corpus, num_hashes=32, num_bands=16)
+    pairs = D.verified_near_dups(corpus, cands, threshold=0.5)
+    return _recall_row(
+        "minhash", _count_planted(eligible), _count_found_offset_pairs(pairs)
+    )
 
-    # --- minhash: plant exact copies of shingle-able docs
-    mh_eligible = docs.filter((F.col("doc_id") % 20 == 0) & (n_tok >= 3))
-    mh_corpus = docs.unionByName(
-        mh_eligible.withColumn("doc_id", F.col("doc_id") + F.lit(OFF))
-    )
-    mh_cands = D.minhash_candidate_pairs(mh_corpus, num_hashes=32, num_bands=16)
-    mh_pairs = D.verified_near_dups(mh_corpus, mh_cands, threshold=0.5)
-    mh_found = mh_pairs.filter(F.col("id_b") == F.col("id_a") + OFF).agg(
-        F.count_distinct(F.col("id_a")).alias("n_found")
-    )
-    mh_planted = mh_eligible.agg(F.count(F.lit(1)).cast("bigint").alias("n_planted"))
 
-    # --- simhash: plant exact copies of every 20th doc
-    sh_planted_docs = docs.filter(F.col("doc_id") % 20 == 0)
-    sh_corpus = docs.unionByName(
-        sh_planted_docs.withColumn("doc_id", F.col("doc_id") + F.lit(OFF))
+@query(
+    "recall_simhash",
+    oracle=r"""
+    WITH sh AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+                WHERE doc_id % 20 = 0)
+    SELECT 'simhash' AS family, n AS n_planted, n AS n_found FROM sh
+    """,
+)
+def q_recall_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash recall proof: an exact copy of every 20th doc (no token
+    floor — empty docs sign to 0=0). Identical text ⇒ hamming 0 ⇒ the
+    pigeonhole guarantee (num_blocks = max_hamming + 1) forces a block
+    collision — guaranteed, not sampled. Driver-gate proof for the
+    rows-only ``simhash_near_dups``."""
+    docs = _recall_docs(spark, sf_dir)
+    planted_docs = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.unionByName(
+        planted_docs.withColumn("doc_id", F.col("doc_id") + F.lit(_RECALL_OFF))
     )
-    sh_pairs = D.simhash_near_dups(sh_corpus, max_hamming=3)
-    sh_found = sh_pairs.filter(F.col("id_b") == F.col("id_a") + OFF).agg(
-        F.count_distinct(F.col("id_a")).alias("n_found")
+    pairs = D.simhash_near_dups(corpus, max_hamming=3)
+    return _recall_row(
+        "simhash", _count_planted(planted_docs), _count_found_offset_pairs(pairs)
     )
-    sh_planted = sh_planted_docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_planted"))
 
-    # --- ANN: every 50th vector queries for itself
+
+def _ann_recall_parts(spark: SparkSession, sf_dir: str):
+    """Shared ANN plant: every 50th embedding is issued as its own
+    query. An identical vector lands in the same bucket in EVERY hash
+    table (same sign bits) / the same IVF cell (same argmax centroid),
+    and cosine(self) = 1.0 dominates, so self MUST appear in the
+    top-k."""
     emb = read_table(spark, sf_dir, "embeddings")
     ann_q = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    ann_planted = ann_q.agg(F.count(F.lit(1)).cast("bigint").alias("n_planted"))
-    lsh = SIM.lsh_topk(emb, ann_q, k=10, n_planes=4, n_tables=8, n_probes=2)
-    lsh_found = lsh.filter(F.col("vec_id") == F.col("query_id")).agg(
-        F.count_distinct(F.col("query_id")).alias("n_found")
-    )
-    centroids = SIM.train_centroids(emb, n_centroids=8, n_iters=1)
-    ivf = SIM.ivf_topk(emb, ann_q, centroids, k=10, n_probe=2)
-    ivf_found = ivf.filter(F.col("vec_id") == F.col("query_id")).agg(
+    planted = ann_q.agg(F.count(F.lit(1)).cast("bigint").alias("n_planted"))
+    return emb, ann_q, planted
+
+
+def _ann_found(topk: DataFrame) -> DataFrame:
+    return topk.filter(F.col("vec_id") == F.col("query_id")).agg(
         F.count_distinct(F.col("query_id")).alias("n_found")
     )
 
-    # --- winnow: plant a doc sharing exactly the source's first
-    # k+window-1 tokens (a local overlap, not a whole-doc copy)
+
+@query(
+    "recall_ann_lsh",
+    oracle="""
+    WITH an AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+                WHERE vec_id % 50 = 0)
+    SELECT 'ann_lsh' AS family, n AS n_planted, n AS n_found FROM an
+    """,
+)
+def q_recall_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN recall proof (see ``_ann_recall_parts`` for
+    the self-query guarantee). Driver-gate proof for the rows-only
+    ``ann_lsh_topk``."""
+    emb, ann_q, planted = _ann_recall_parts(spark, sf_dir)
+    lsh = SIM.lsh_topk(emb, ann_q, k=10, n_planes=4, n_tables=8, n_probes=2)
+    return _recall_row("ann_lsh", planted, _ann_found(lsh))
+
+
+@query(
+    "recall_ann_ivf",
+    oracle="""
+    WITH an AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+                WHERE vec_id % 50 = 0)
+    SELECT 'ann_ivf' AS family, n AS n_planted, n AS n_found FROM an
+    """,
+)
+def q_recall_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN recall proof (see ``_ann_recall_parts``
+    for the self-query guarantee). Driver-gate proof for the rows-only
+    ``ann_ivf_topk``."""
+    emb, ann_q, planted = _ann_recall_parts(spark, sf_dir)
+    centroids = SIM.train_centroids(emb, n_centroids=8, n_iters=1)
+    ivf = SIM.ivf_topk(emb, ann_q, centroids, k=10, n_probe=2)
+    return _recall_row("ann_ivf", planted, _ann_found(ivf))
+
+
+@query(
+    "recall_winnow",
+    oracle=r"""
+    WITH wn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+                WHERE doc_id % 20 = 0
+                  AND len(string_split_regex(lower(trim(text)), '\s+')) >= 8)
+    SELECT 'winnow' AS family, n AS n_planted, n AS n_found FROM wn
+    """,
+)
+def q_recall_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing recall proof: for every 20th doc with >= k+window-1 =
+    8 tokens, a NEW doc (doc_id + 1e6) is planted holding the source's
+    first 8 tokens plus a unique tail token — a LOCAL overlap, not a
+    copy (whole-doc fingerprints would miss it; this is exactly the
+    containment case winnowing exists for). The SIGMOD'03 guarantee:
+    any shared run of >= k+window-1 tokens forces at least one
+    identical fingerprint in both docs, so the fingerprint equi-join
+    MUST emit every (source, planted) pair (reference test-strategy
+    analogue: congruity-by-equality, test/willa/test_utils.clj:86-92).
+    Fingerprints ONLY the pair members — the standalone
+    ``winnow_overlap_pairs`` covers the corpus-wide join; this row is
+    its driver-gate proof."""
+    docs = _recall_docs(spark, sf_dir)
+    n_tok = TXT.token_count(F.col("text"))
     WK, WW = 5, 4  # winnow_fingerprints defaults
     run_len = WK + WW - 1
-    wn_eligible = docs.filter((F.col("doc_id") % 20 == 0) & (n_tok >= run_len))
+    eligible = docs.filter((F.col("doc_id") % 20 == 0) & (n_tok >= run_len))
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     planted_text = F.concat(
         F.concat_ws(" ", F.slice(toks, 1, run_len)),
         F.lit(" winnowtail"),
         F.col("doc_id").cast("string"),
     )
-    wn_planted_docs = wn_eligible.select(
-        (F.col("doc_id") + F.lit(OFF)).alias("doc_id"),
+    planted_docs = eligible.select(
+        (F.col("doc_id") + F.lit(_RECALL_OFF)).alias("doc_id"),
         planted_text.alias("text"),
     )
-    # fingerprint ONLY the pair members (sources + planted) via the
-    # shared frame builder — the standalone winnow_overlap_pairs query
-    # covers the corpus-wide join; this row proves the guarantee on
-    # the planted pairs
+
     def fps(frame):
         return D.winnow_fingerprint_frame(frame, k=WK, window=WW)
 
-    wn_pairs = (
-        fps(wn_eligible)
-        .alias("l")
-        .join(
-            fps(wn_planted_docs).alias("r"),
-            (F.col("l.fp") == F.col("r.fp"))
-            & (F.col("r.id") == F.col("l.id") + OFF),
-        )
+    pairs = fps(eligible).alias("l").join(
+        fps(planted_docs).alias("r"),
+        (F.col("l.fp") == F.col("r.fp"))
+        & (F.col("r.id") == F.col("l.id") + _RECALL_OFF),
     )
-    wn_found = wn_pairs.agg(
-        F.count_distinct(F.col("l.id")).alias("n_found")
-    )
-    wn_planted = wn_eligible.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_planted")
-    )
+    found = pairs.agg(F.count_distinct(F.col("l.id")).alias("n_found"))
+    return _recall_row("winnow", _count_planted(eligible), found)
 
-    # --- image pHash: plant byte-identical twins of every 20th doc's
-    # binary payload (identical bytes ⇒ hamming 0 ⇒ pigeonhole hit).
-    # Decode ONLY the pair members (sources + twins) — the same
-    # discipline as the winnow family above: the standalone
-    # image_phash_dups query covers the corpus-wide join; this row
-    # proves the guarantee on the planted pairs, so pushing the whole
-    # corpus through the Python decode here would add cost without
-    # adding proof strength.
+
+@query(
+    "recall_image_phash",
+    # own CTE even though it matches recall_simhash textually today:
+    # the modulus below is _phash_planted_corpus's plant modulus (20),
+    # NOT the simhash plant's — sharing a CTE coupled them silently
+    # (ADVICE r06); changing either plant now desynchronizes exactly
+    # one oracle, loudly.
+    oracle="""
+    WITH ph AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+                WHERE doc_id % 20 = 0)
+    SELECT 'image_phash' AS family, n AS n_planted, n AS n_found FROM ph
+    """,
+)
+def q_recall_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image perceptual-hash recall proof: every 20th doc's binary
+    payload (the first 200 text bytes through the injected
+    byte-sensitive fake codec) is planted again under doc_id + 1e6.
+    Identical bytes ⇒ identical decoded pixels ⇒ identical 64-bit
+    pHash ⇒ hamming 0, and the pigeonhole block join (the same
+    ``hamming_block_pairs`` machinery as simhash) MUST emit the pair.
+    Decodes ONLY the pair members (sources + twins) — the standalone
+    ``image_phash_dups`` covers the corpus-wide join; this row is its
+    driver-gate proof."""
     from .functions.multimodal import fake_image_decoder_8x8, image_phash_pairs
 
-    _, ph_planted_imgs, ph_members = _phash_planted_corpus(docs, OFF)
-    ph_pairs = image_phash_pairs(
-        ph_members, max_hamming=3, id_col="doc_id", decoder=fake_image_decoder_8x8
+    docs = _recall_docs(spark, sf_dir)
+    _, planted_imgs, members = _phash_planted_corpus(docs, _RECALL_OFF)
+    pairs = image_phash_pairs(
+        members, max_hamming=3, id_col="doc_id", decoder=fake_image_decoder_8x8
     )
-    ph_found = ph_pairs.filter(F.col("id_b") == F.col("id_a") + OFF).agg(
-        F.count_distinct(F.col("id_a")).alias("n_found")
-    )
-    ph_planted = ph_planted_imgs.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_planted")
+    return _recall_row(
+        "image_phash",
+        _count_planted(planted_imgs),
+        _count_found_offset_pairs(pairs),
     )
 
-    def fam(name: str, planted: DataFrame, found: DataFrame) -> DataFrame:
-        return planted.crossJoin(found).select(
-            F.lit(name).alias("family"), "n_planted", "n_found"
-        )
 
-    return (
-        fam("minhash", mh_planted, mh_found)
-        .unionByName(fam("simhash", sh_planted, sh_found))
-        .unionByName(fam("ann_lsh", ann_planted, lsh_found))
-        .unionByName(fam("ann_ivf", ann_planted, ivf_found))
-        .unionByName(fam("winnow", wn_planted, wn_found))
-        .unionByName(fam("image_phash", ph_planted, ph_found))
+@query(
+    "recall_audio_fp",
+    # modulus 25 = _audio_planted_corpus's plant modulus, deliberately
+    # different from the image/simhash plants' 20 so no two families'
+    # oracles can silently couple (ADVICE r06).
+    oracle="""
+    WITH au AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+                WHERE doc_id % 25 = 0)
+    SELECT 'audio_fp' AS family, n AS n_planted, n AS n_found FROM au
+    """,
+)
+def q_recall_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic-fingerprint recall proof (NEW r7 — the audio member of
+    the hamming family): every 25th doc's binary payload (fake PCM via
+    the injected byte-sensitive codec) is planted again under
+    doc_id + 1e6. Identical bytes ⇒ identical samples ⇒ identical
+    64-frame energy envelope ⇒ identical threshold fingerprint ⇒
+    hamming 0 ⇒ the pigeonhole block join MUST emit the pair. Decodes
+    ONLY the pair members — the standalone ``audio_fingerprint_dups``
+    covers the corpus-wide join; this row is its driver-gate proof."""
+    from .functions.multimodal import (
+        audio_fingerprint_pairs,
+        fake_audio_decoder_pcm,
     )
+
+    docs = _recall_docs(spark, sf_dir)
+    _, planted_clips, members = _audio_planted_corpus(docs, _RECALL_OFF)
+    pairs = audio_fingerprint_pairs(
+        members, max_hamming=3, id_col="doc_id", decoder=fake_audio_decoder_pcm
+    )
+    return _recall_row(
+        "audio_fp",
+        _count_planted(planted_clips),
+        _count_found_offset_pairs(pairs),
+    )
+
 
 
 @query(
@@ -3003,7 +3089,7 @@ def q_packed_sequences_loaded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _phash_planted_corpus(docs: DataFrame, off: int):
     """The planted image corpus shared by ``image_phash_dups`` and
-    ``hash_family_recall``'s image_phash row — ONE definition of the
+    ``recall_image_phash`` — ONE definition of the
     payload (first 200 text bytes) and the plant (byte-identical twin
     of every 20th doc under doc_id + off), so the recall proof can
     never desynchronize from the rows-only pairs query. Returns
@@ -3065,7 +3151,7 @@ def q_near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     every 20th doc gets a punctuation-degraded near-dup twin
     (doc_id + 1e6); the (original, twin) clusters are known by
     construction (so the policy is isolated from candidate
-    generation, whose recall hash_family_recall proves), and
+    generation, whose recall the recall_* rows prove), and
     ``keep_best`` must keep exactly the higher-``quality_score``
     member — ties and NULLs to the min id. The oracle recomputes the
     identical score arithmetic and argmax in SQL, so a policy bug
@@ -3104,8 +3190,8 @@ def q_image_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     every 20th doc (``_phash_planted_corpus``, shared with the recall
     row). decode → 64-bit pHash → pigeonhole block join (the simhash
     machinery, ``hamming_block_pairs``) → exact hamming <= 3. Recall
-    is driver-proven by the ``image_phash`` row of
-    ``hash_family_recall``; streaming twin:
+    is driver-proven by the oracle-checked ``recall_image_phash``
+    row; streaming twin:
     ``streaming.near_dedup.phash_dedup_step``."""
     from .functions.multimodal import fake_image_decoder_8x8, image_phash_pairs
 
@@ -3117,132 +3203,199 @@ def q_image_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _audio_planted_corpus(docs: DataFrame, off: int):
+    """The planted audio corpus shared by ``audio_fingerprint_dups``
+    and ``recall_audio_fp`` — ONE definition of the payload (first 200
+    text bytes as fake PCM) and the plant (byte-identical twin of
+    every 25TH doc under doc_id + off), so the recall proof can never
+    desynchronize from the rows-only pairs query. The modulus is
+    DELIBERATELY different from ``_phash_planted_corpus``'s 20 so no
+    two families' plants or oracles can silently couple (ADVICE r06).
+    Returns (corpus, planted_originals, members)."""
+    clips = docs.select(
+        "doc_id", F.encode(F.substring(F.col("text"), 1, 200), "utf-8").alias("data")
+    )
+    planted = clips.filter(F.col("doc_id") % 25 == 0)
+    twins = planted.withColumn("doc_id", F.col("doc_id") + F.lit(off))
+    return clips.unionByName(twins), planted, planted.unionByName(twins)
+
+
+@query("audio_fingerprint_dups")  # rows-only (decoded-PCM hashes not SQL-expressible)
+def q_audio_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic-fingerprint near-duplicate audio pairs over the
+    corpus's binary payloads (each doc's first 200 bytes as fake PCM
+    through the injected byte-sensitive codec — the container ships no
+    real audio libraries; see multimodal.py) plus byte-identical
+    planted twins of every 25th doc (``_audio_planted_corpus``, shared
+    with the recall row). decode → 64-frame energy envelope → 64-bit
+    threshold fingerprint → pigeonhole block join (the simhash
+    machinery, ``hamming_block_pairs``) → exact hamming <= 3 —
+    completing the text/image/audio trio on the shared bucketed
+    kernel. Recall is driver-proven by the oracle-checked
+    ``recall_audio_fp`` row; streaming twin:
+    ``streaming.near_dedup.audio_fp_dedup_step``."""
+    from .functions.multimodal import audio_fingerprint_pairs, fake_audio_decoder_pcm
+
+    corpus, _planted, _members = _audio_planted_corpus(
+        read_docs_spread(spark, sf_dir), 1_000_000
+    )
+    return audio_fingerprint_pairs(
+        corpus, max_hamming=3, id_col="doc_id", decoder=fake_audio_decoder_pcm
+    )
+
+
 # Queries OMITTED from the driver-visible correctness set: the driver
 # records oracle rows for at most 50 queries (in registration order),
 # so every DISTINCT operator proof must land inside that window.
 #
 # ROTATION POLICY (VERDICT r03 #2): the omit set rotates each round so
 # every registered query regains a green driver row within two rounds.
-# Round 4 brings back the 18 oracle-bearing queries omitted in r03
-# (pivot/rollup/set-ops/semi-anti/text-stats/subquery/profile — all
-# green in r01+r02) and rests queries that are triple-green
-# (r01+r02+r03) AND whose operator is proven by a strictly-stronger
-# in-set twin. Every oracle-bearing omitted name below stays
-# DuckDB-parity-pinned by
+# Every oracle-bearing omitted name below stays DuckDB-parity-pinned by
 # tests/test_curation.py::test_omitted_relational_parity (computed
 # FROM this set, so the pin rotates automatically).
 #
-# Round 6 rotation: ALL 20 r5-rested names return (green in r4, so
-# the "green within two rounds" invariant comes due this round), plus
-# pack_sequences and sequence_manifest — the only two registered
-# queries with NO driver row in r4∪r5 (registered mid-r5; the r5
-# policy note made them MUST-ROTATE-IN) — plus the two NEW r6
-# queries (packed_shard_roundtrip: the on-disk shard proof;
-# image_phash_dups: rows-only, recall driver-proven via
-# hash_family_recall's new image_phash row). That is 24 must-in
-# names; 24 r5-green queries rest to keep the gate at exactly 50.
-# Every rested name is r5-green, oracle-bearing (so the automatic
-# pytest parity pin covers it), and has an in-set twin:
+# Round 7 rotation. Registered queries: 83 (76 r6 names - the retired
+# hash_family_recall composite + 7 recall_<family> rows +
+# audio_fingerprint_dups). Must-in (34): ALL 24 r6-rested names return
+# (green in r5, so the two-round invariant comes due — the same
+# all-return move r6 made for the r5 rest set); the 2 mid-r6 parked
+# queries packed_sequences_loaded and near_dup_keep_best enter (the
+# policy's own MUST-ROTATE-IN notes from r6); and all 8 NEW
+# registrations enter immediately (no new parking debt). That leaves
+# 16 of r6's 50 green rows in-gate and rests 33:
 #
-#   hopping_window_count (A2) -> tumbling_window_sum returns (same
-#                                window-assignment path; the exact
-#                                inverse of the r5 rotation)
-#   fanout_flatmap (P6)       -> rekey_fanout returns (P2 = fan-out +
-#                                rekey superset)
-#   rekey_transform (P5)      -> rekey_fanout + value_only_rekey
-#                                return (rekey machinery)
-#   changelog_filter (C1)     -> suppressed_window_final stays (same
-#                                coerce-to-kstream changelog path)
-#   quality_score             -> lang_id + token_stats return (same
-#                                text-stat Column vocabulary)
-#   top_bigrams               -> token_stats returns (same
-#                                tokenization kernel)
-#   doc_length_histogram      -> token_stats returns
-#   exact_dup_groups          -> doc_fingerprints returns (same
+# 27 oracle-bearing r6-green rests, each with an in-set twin (mostly
+# the EXACT INVERSE of the r6 rotation — the returning name was rested
+# against it last round):
+#
+#   tumbling_window_sum (A2)  -> hopping_window_count returns (same
+#                                window-assignment path)
+#   rekey_fanout (P2)         -> fanout_flatmap + rekey_transform
+#                                return (fan-out + rekey machinery)
+#   value_only_rekey (P3)     -> rekey_transform returns (rekey
+#                                machinery; the no-shuffle plan shape
+#                                stays pytest-pinned)
+#   token_stats               -> quality_score + top_bigrams return
+#                                (same tokenization kernel)
+#   lang_id                   -> quality_score returns (same text-stat
+#                                Column vocabulary)
+#   doc_fingerprints          -> exact_dup_groups returns (same
 #                                fingerprint groupBy)
-#   anti_join_customers       -> semi_join_customers returns
+#   semi_join_customers       -> anti_join_customers returns
 #                                (semi/anti family)
-#   intersect_customers       -> except_customers returns (set-ops)
-#   corpus_profile            -> distinct_parts_per_supplier + lang_id
-#                                return (count_distinct + text stats)
-#   skew_salted_agg           -> skew_salted_join returns (same
+#   except_customers          -> intersect_customers returns (set-ops)
+#   distinct_parts_per_supplier -> corpus_profile returns
+#                                (count_distinct family)
+#   skew_salted_join          -> skew_salted_agg returns (same
 #                                salting machinery)
-#   pricing_summary           -> rollup_revenue returns (grouped
-#                                lineitem agg superset)
-#   shipping_priority         -> top_customers + late_shipment_
-#                                priorities return (orderBy/limit +
-#                                selective joins)
-#   top_parts_per_supplier    -> monthly_revenue_growth returns
-#                                (window-fn family) + top_customers
-#                                (top-k)
-#   forecast_revenue          -> rollup_revenue returns (selective
-#                                lineitem scan-agg)
-#   nary_join_fold (J8)       -> regional_supplier_volume returns
-#                                (multi-way join fold)
-#   embedding_topk            -> embedding_near_dups returns (cosine
-#                                kernel w/ brute-force oracle) +
-#                                hash_family_recall stays (ann rows)
-#   training_data_prep        -> corpus_keep_by_source returns
-#                                (composed corpus pipeline)
-#   repetition_ngram_filter   -> dup_line_filter returns (same
-#                                per-row run-count kernel)
-#   gopher_quality_filter     -> corpus_keep_by_source returns
-#                                (composes the gopher keep rule)
-#   token_budget_cap          -> pack_sequences enters (identical
-#                                stratum-window plan family)
-#   windowed_left_join (J2)   -> windowed_outer_join stays (superset
-#                                emission path, same join kernel)
-#   asof_enrich (J6)          -> table_table_asof stays (same as-of
-#                                max_by machinery)
-#   packed_sequences_loaded   -> NEW mid-r6 (registered after the gate
-#                                reached exactly 50): the loader-side
-#                                sequence-bytes proof. Parked here
-#                                under the same policy note as r5's
-#                                pack_sequences — oracle-bearing, so
-#                                the automatic pytest parity pin
-#                                covers it now; packed_shard_roundtrip
-#                                (in-gate r6) proves the same on-disk
-#                                layout's aggregates; MUST rotate into
-#                                the r7 gate.
-#   near_dup_keep_best        -> NEW mid-r6, same parking policy: the
-#                                quality-aware survivor policy over
-#                                by-construction clusters
-#                                (dedup.keep_best). Oracle-bearing
-#                                (identical score arithmetic + argmax
-#                                in SQL), so the automatic pytest
-#                                parity pin covers it now; MUST rotate
-#                                into the r7 gate with
-#                                packed_sequences_loaded.
+#   rollup_revenue            -> pricing_summary returns (grouped
+#                                lineitem agg)
+#   top_customers             -> shipping_priority +
+#                                top_parts_per_supplier return
+#                                (orderBy/limit top-k)
+#   late_shipment_priorities  -> shipping_priority returns (selective
+#                                join + priority agg)
+#   monthly_revenue_growth    -> top_parts_per_supplier returns
+#                                (window-fn family)
+#   regional_supplier_volume  -> nary_join_fold returns (multi-way
+#                                join fold)
+#   embedding_near_dups       -> embedding_topk returns (cosine
+#                                kernel w/ brute-force oracle)
+#   corpus_keep_by_source     -> training_data_prep returns (composed
+#                                corpus pipeline)
+#   dup_line_filter           -> repetition_ngram_filter returns
+#                                (same per-row run-count kernel)
+#   pack_sequences            -> token_budget_cap returns (identical
+#                                stratum-window plan family) +
+#                                packed_sequences_loaded enters
+#                                (on-disk superset)
+#   sequence_manifest         -> packed_sequences_loaded enters (the
+#                                loader oracle re-checks the manifest
+#                                layout AND the reassembled bytes)
+#   packed_shard_roundtrip    -> packed_sequences_loaded enters (same
+#                                disk path; byte-level check is
+#                                strictly stronger than the
+#                                aggregate-level one)
+#   windowed_outer_join (J3)  -> windowed_left_join returns (same
+#                                join kernel; exact inverse of r6)
+#   table_table_asof (J5)     -> asof_enrich returns (same
+#                                _as_of_lookup machinery)
+#   interval_join (J1)        -> windowed_left_join returns (superset
+#                                emission path over the same
+#                                interval-join kernel)
+#   ngram_jaccard_pairs       -> recall_minhash enters (the exact
+#                                shingle-Jaccard verify kernel scored
+#                                inside the oracle-checked recall row)
+#   multimodal_decode         -> recall_image_phash enters +
+#                                image_phash_dups r6-green (both
+#                                compose decode_images end-to-end)
+#   latest_per_key (C2/S2)    -> asof_enrich returns (the as-of
+#                                lookup is the timestamped
+#                                generalization of last-write-wins) +
+#                                with_dedupe_first stays (first-per-
+#                                key mirror of the same reduction)
+#
+# 6 rows-only rests — the r4-r6 practice kept these in-gate because
+# their only driver check WAS the rows-exist probe; each now has a
+# STRICTLY STRONGER in-gate twin: its own oracle-checked planted-
+# recall row entering this round (value-hashed n_found = n_planted
+# through the identical machinery, vs rows >= 0):
+#
+#   minhash_near_dups         -> recall_minhash enters
+#   simhash_near_dups         -> recall_simhash enters
+#   winnow_overlap_pairs      -> recall_winnow enters
+#   ann_lsh_topk              -> recall_ann_lsh enters
+#   ann_ivf_topk              -> recall_ann_ivf enters
+#   image_phash_dups          -> recall_image_phash enters
+#
+# In-gate keeps from r6 (16): filter_map, merge_streams,
+# running_sum_changelog, session_windows, broadcast_enrich,
+# above_avg_orders, near_dup_clusters, group_by_fn_agg,
+# suppressed_window_final, regrouped_retraction, with_dedupe_first,
+# pii_redaction, decontaminate, line_dedup, stratified_sample,
+# pivot_order_status — the operators without a clean returning twin
+# (A1/A3-A6/A8, J4/J7, C1 via suppression, correlated subquery,
+# pivot, CC clustering, the four curation screens).
 DRIVER_OMIT = frozenset(
     {
-        "packed_sequences_loaded",
-        "near_dup_keep_best",
-        "hopping_window_count",
-        "fanout_flatmap",
-        "rekey_transform",
-        "changelog_filter",
-        "quality_score",
-        "top_bigrams",
-        "doc_length_histogram",
-        "exact_dup_groups",
-        "anti_join_customers",
-        "intersect_customers",
-        "corpus_profile",
-        "skew_salted_agg",
-        "pricing_summary",
-        "shipping_priority",
-        "top_parts_per_supplier",
-        "forecast_revenue",
-        "nary_join_fold",
-        "embedding_topk",
-        "training_data_prep",
-        "repetition_ngram_filter",
-        "gopher_quality_filter",
-        "token_budget_cap",
-        "windowed_left_join",
-        "asof_enrich",
+        # oracle-bearing rests (parity-pinned by the automatic pytest)
+        "tumbling_window_sum",
+        "rekey_fanout",
+        "value_only_rekey",
+        "token_stats",
+        "lang_id",
+        "doc_fingerprints",
+        "semi_join_customers",
+        "except_customers",
+        "distinct_parts_per_supplier",
+        "skew_salted_join",
+        "rollup_revenue",
+        "top_customers",
+        "late_shipment_priorities",
+        "monthly_revenue_growth",
+        "regional_supplier_volume",
+        "embedding_near_dups",
+        "corpus_keep_by_source",
+        "dup_line_filter",
+        "pack_sequences",
+        "sequence_manifest",
+        "packed_shard_roundtrip",
+        "windowed_outer_join",
+        "table_table_asof",
+        "interval_join",
+        "ngram_jaccard_pairs",
+        "multimodal_decode",
+        "latest_per_key",
+        # rows-only rests (recall twins in-gate are strictly stronger)
+        "minhash_near_dups",
+        "simhash_near_dups",
+        "winnow_overlap_pairs",
+        "ann_lsh_topk",
+        "ann_ivf_topk",
+        "image_phash_dups",
     }
 )
+
 
 
 def driver_queries():

@@ -156,6 +156,47 @@ def phash_dedup_step(
     )
 
 
+def audio_fp_dedup_step(
+    store_dir: str,
+    max_hamming: int = 3,
+    num_blocks: int | None = None,
+    id_col: str = "doc_id",
+    binary_col: str = "data",
+    decoder=None,
+    compact_every: int | None = None,
+) -> Callable[[DataFrame, int], DataFrame]:
+    """foreachBatch step for streaming acoustic-fingerprint AUDIO
+    near-dedup — the audio member of the streaming hamming family,
+    completing the text/image/audio trio on the shared kernel: decode
+    (Arrow-batched mapInPandas, injected codec) → 64-frame energy
+    envelope (``multimodal.audio_frame_energies``) → 64-bit threshold
+    fingerprint (``multimodal.with_phash``) → pigeonhole block probe →
+    exact hamming. The store holds (id, fingerprint) per admitted clip
+    — never PCM. Congruity with batch
+    ``multimodal.audio_fingerprint_pairs`` + min-id canonical is
+    pytest-pinned with the injected fake codec (the container ships no
+    real audio libraries — see multimodal.py)."""
+    from ..functions.multimodal import (
+        audio_frame_energies,
+        decode_audio,
+        with_phash,
+    )
+
+    def sig_builder(batch_df: DataFrame) -> DataFrame:
+        decoded = decode_audio(
+            batch_df, binary_col=binary_col, id_col=id_col, decoder=decoder
+        )
+        return with_phash(
+            audio_frame_energies(decoded, "samples", "features"),
+            "features",
+            "simhash",
+        ).select(F.col(id_col).alias("id"), "simhash")
+
+    return _hamming_dedup_step(
+        store_dir, sig_builder, max_hamming, num_blocks, id_col, compact_every
+    )
+
+
 def _hamming_dedup_step(
     store_dir: str,
     sig_builder: Callable[[DataFrame], DataFrame],
