@@ -349,3 +349,56 @@ def test_streaming_audio_fp_dedup_congruity_and_replay(spark, tmp_path):
     ).select("id_a", "id_b")
     kept = D.keep_canonical(full, D.dup_clusters(pairs))
     assert {r["doc_id"] for r in kept.collect()} == got1 | got2
+
+
+def test_streaming_score_survivor_congruity_and_divergence(spark, tmp_path):
+    """Quality-aware survivor policy in streaming (VERDICT r06 #5):
+    with ``score=``, co-arriving dups elect the HIGHEST-score member
+    (ties/all-NULL -> min id) — congruent with batch ``keep_best``
+    when the cluster co-arrives — while a better-scoring dup arriving
+    in a LATER batch is still dropped: first-seen-wins cross-batch is
+    forced by append-mode emission (the earlier survivor was already
+    emitted; see _drop_within_batch). This test pins BOTH sides of
+    that contract, plus replay idempotency."""
+    import hashlib
+
+    word = lambda i: hashlib.sha256(str(i).encode()).hexdigest()
+    text = lambda i: " ".join(word(i * 10 + j) for j in range(12))
+    # clusters: {1,2} co-arrive (q 0.2 vs 0.9), {3,4} co-arrive (NULL
+    # scores), {5,6} straddle batches (q 0.1 first, 0.9 late)
+    rows = {
+        1: (text(1), 0.2), 2: (text(1), 0.9),
+        3: (text(3), None), 4: (text(3), None),
+        5: (text(5), 0.1), 6: (text(5), 0.9),
+        7: (text(7), 0.5),  # unclustered, survives untouched
+    }
+    mk = lambda ids: spark.createDataFrame(
+        [(i, rows[i][0], rows[i][1]) for i in ids],
+        "doc_id bigint, text string, q double",
+    )
+    from willa_spark.streaming.near_dedup import simhash_dedup_step
+
+    store = os.path.join(str(tmp_path), "score-store")
+    step = simhash_dedup_step(store, max_hamming=3, score=F.col("q"))
+    got1 = {r["doc_id"] for r in step(mk([1, 2, 3, 4, 5]), 0).collect()}
+    got2 = {r["doc_id"] for r in step(mk([6, 7]), 1).collect()}
+    # within-batch: 2 beats 1 on score; NULL cluster falls back to min id 3
+    assert got1 == {2, 3, 5}
+    # cross-batch: 6 outscores 5 but 5 was already emitted -> 6 dropped
+    assert got2 == {7}
+
+    replay = {r["doc_id"] for r in step(mk([6, 7]), 1).collect()}
+    assert replay == got2
+
+    # batch keep_best over the SAME corpus: identical election for the
+    # co-arriving clusters, and exactly the pinned divergence on {5,6}
+    full = mk(sorted(rows))
+    pairs = D.simhash_near_dups(full, max_hamming=3).select("id_a", "id_b")
+    kept = {
+        r["doc_id"]
+        for r in D.keep_best(
+            full, D.dup_clusters(pairs), score=F.col("q")
+        ).collect()
+    }
+    assert kept == {2, 3, 6, 7}
+    assert (got1 | got2) ^ kept == {5, 6}  # the one allowed divergence

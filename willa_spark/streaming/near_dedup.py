@@ -43,7 +43,11 @@ the min-id canonical. The two agree whenever ingestion order is id
 order and the duplicate relation is transitive at the chosen radius
 (exact duplicates always are) — the congruity the tests pin. For
 non-transitive organic near-dups the streaming answer depends on
-arrival order, as any online policy must.
+arrival order, as any online policy must. Every step also accepts
+``score=`` (any Column over the batch's columns) for a quality-aware
+WITHIN-BATCH survivor election — the ``dedup.keep_best`` policy over
+co-arriving dups; cross-batch necessarily stays first-seen-wins (see
+``_drop_within_batch`` for why append-mode emission forces it).
 """
 
 from __future__ import annotations
@@ -68,14 +72,64 @@ from ..functions.dedup import (
 from .store import store_append, store_compact_every, store_prune, store_read
 
 
-def _drop_within_batch(pairs: DataFrame) -> DataFrame:
-    """(__drop,) ids losing the within-batch min-id canonical policy —
-    same ``dup_clusters`` + keep-canonical closure as the batch
-    pipeline."""
+def _drop_within_batch(
+    pairs: DataFrame, scores: DataFrame | None = None
+) -> DataFrame:
+    """(__drop,) ids losing the within-batch survivor election.
+    Default policy: min-id canonical — the same ``dup_clusters`` +
+    keep-canonical closure as the batch pipeline. With ``scores``
+    ((id, __s) for the batch's members): the HIGHEST-score member of
+    each within-batch cluster survives, ties and all-NULL clusters
+    falling back to min id — the exact ``dedup.keep_best`` election
+    over the batch's own clusters.
+
+    SURVIVOR-POLICY CONTRACT (VERDICT r06 #5): the score applies
+    WITHIN a micro-batch only. Cross-batch, first-seen-wins is the
+    only policy consistent with the steps' append-mode emission: an
+    earlier batch's admitted survivor has already been EMITTED to the
+    downstream sink (and typically landed/consumed) — admitting a
+    better-scoring late arrival would either emit both members of the
+    dup group (not a dedup) or require retracting the earlier
+    emission, which an append sink cannot express (that is changelog
+    semantics — the topology compiler's retraction machinery, not a
+    foreachBatch parquet append). Replay idempotency also demands it:
+    a replayed batch must re-derive exactly the admitted set from
+    (batch content, strictly-prior store), which a
+    supersede-in-place store mutation would break for any batch that
+    observed the store between the original run and the replay. The
+    divergence from batch ``keep_best`` (which elects over the WHOLE
+    corpus) is therefore precisely: a dup whose best-scoring member
+    arrives in a LATER batch than its first-seen member keeps the
+    first-seen member. Pinned by
+    test_streaming_score_survivor_congruity_and_divergence."""
     clusters = dup_clusters(pairs)
-    return clusters.filter(F.col("id") != F.col("cluster_id")).select(
-        F.col("id").alias("__drop")
+    if scores is None:
+        return clusters.filter(F.col("id") != F.col("cluster_id")).select(
+            F.col("id").alias("__drop")
+        )
+    member = clusters.join(scores, "id").select("cluster_id", "id", "__s")
+    best = member.groupBy("cluster_id").agg(F.max("__s").alias("__smax"))
+    winners = (
+        member.join(best, "cluster_id")
+        .filter(F.col("__s").eqNullSafe(F.col("__smax")))
+        .groupBy("cluster_id")
+        .agg(F.min("id").alias("__keep_id"))
     )
+    return (
+        member.join(winners, "cluster_id")
+        .filter(F.col("id") != F.col("__keep_id"))
+        .select(F.col("id").alias("__drop"))
+        .distinct()
+    )
+
+
+def _batch_scores(batch_df: DataFrame, id_col: str, score) -> DataFrame | None:
+    """(id, __s) frame for the within-batch survivor election, or None
+    for the default min-id policy. ``score`` is any Column over the
+    batch's columns (e.g. ``text.quality_score(F.col("text"))``)."""
+    if score is None:
+        return None
+    return batch_df.select(F.col(id_col).alias("id"), score.alias("__s"))
 
 
 def minhash_store_prune(store_dir: str, before_batch: int) -> int:
@@ -97,6 +151,7 @@ def simhash_dedup_step(
     id_col: str = "doc_id",
     text_col: str = "text",
     compact_every: int | None = None,
+    score=None,
 ) -> Callable[[DataFrame, int], DataFrame]:
     """foreachBatch step for streaming SimHash near-dedup. Returns a
     ``(batch_df, batch_id) -> admitted_df`` callable; wire it as
@@ -118,7 +173,8 @@ def simhash_dedup_step(
         ).select("id", "simhash")
 
     return _hamming_dedup_step(
-        store_dir, sig_builder, max_hamming, num_blocks, id_col, compact_every
+        store_dir, sig_builder, max_hamming, num_blocks, id_col, compact_every,
+        score=score,
     )
 
 
@@ -130,6 +186,7 @@ def phash_dedup_step(
     binary_col: str = "data",
     decoder=None,
     compact_every: int | None = None,
+    score=None,
 ) -> Callable[[DataFrame, int], DataFrame]:
     """foreachBatch step for streaming perceptual-hash IMAGE near-dedup
     — the binary-column member of the streaming hamming family, the
@@ -152,7 +209,8 @@ def phash_dedup_step(
         )
 
     return _hamming_dedup_step(
-        store_dir, sig_builder, max_hamming, num_blocks, id_col, compact_every
+        store_dir, sig_builder, max_hamming, num_blocks, id_col, compact_every,
+        score=score,
     )
 
 
@@ -164,6 +222,7 @@ def audio_fp_dedup_step(
     binary_col: str = "data",
     decoder=None,
     compact_every: int | None = None,
+    score=None,
 ) -> Callable[[DataFrame, int], DataFrame]:
     """foreachBatch step for streaming acoustic-fingerprint AUDIO
     near-dedup — the audio member of the streaming hamming family,
@@ -193,7 +252,8 @@ def audio_fp_dedup_step(
         ).select(F.col(id_col).alias("id"), "simhash")
 
     return _hamming_dedup_step(
-        store_dir, sig_builder, max_hamming, num_blocks, id_col, compact_every
+        store_dir, sig_builder, max_hamming, num_blocks, id_col, compact_every,
+        score=score,
     )
 
 
@@ -204,6 +264,7 @@ def _hamming_dedup_step(
     num_blocks: int | None,
     id_col: str,
     compact_every: int | None,
+    score=None,
 ) -> Callable[[DataFrame, int], DataFrame]:
     """The shared 64-bit-hamming streaming dedup kernel: cross-batch
     drops via block equi-join against the strictly-prior (id, simhash)
@@ -219,6 +280,7 @@ def _hamming_dedup_step(
     def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
         spark = batch_df.sparkSession
         store_compact_every(spark, [(store_dir, None)], batch_id, compact_every)
+        scores = _batch_scores(batch_df, id_col, score)
         sh = sig_builder(batch_df)
         blocks = simhash_block_frame(sh, num_blocks).persist()
         hamming = F.bit_count(F.col("simhash").bitwiseXOR(F.col("__st_simhash")))
@@ -260,7 +322,7 @@ def _hamming_dedup_step(
             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
             .distinct()
         )
-        within_drop = _drop_within_batch(within_pairs)
+        within_drop = _drop_within_batch(within_pairs, scores)
         drops = (
             within_drop if cross_drop is None
             else cross_drop.unionByName(within_drop).distinct()
@@ -299,6 +361,7 @@ def minhash_dedup_step(
     id_col: str = "doc_id",
     text_col: str = "text",
     compact_every: int | None = None,
+    score=None,
 ) -> Callable[[DataFrame, int], DataFrame]:
     """foreachBatch step for streaming MinHash near-dedup; same wiring
     (including ``compact_every`` retention) as ``simhash_dedup_step``.
@@ -324,6 +387,7 @@ def minhash_dedup_step(
 
     def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
         spark = batch_df.sparkSession
+        scores = _batch_scores(batch_df, id_col, score)
         store_compact_every(
             spark,
             [
@@ -405,7 +469,7 @@ def minhash_dedup_step(
             .filter(est_jaccard("a", "b") >= threshold)
             .select("id_a", "id_b")
         )
-        within_drop = _drop_within_batch(within_pairs)
+        within_drop = _drop_within_batch(within_pairs, scores)
         drops = (
             within_drop if cross_drop is None
             else cross_drop.unionByName(within_drop).distinct()
@@ -449,6 +513,7 @@ def winnow_dedup_step(
     id_col: str = "doc_id",
     text_col: str = "text",
     compact_every: int | None = None,
+    score=None,
 ) -> Callable[[DataFrame, int], DataFrame]:
     """foreachBatch step for streaming CONTAINMENT dedup via winnowing
     fingerprints — the local-overlap member of the streaming dedup
@@ -476,6 +541,7 @@ def winnow_dedup_step(
 
     def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
         spark = batch_df.sparkSession
+        scores = _batch_scores(batch_df, id_col, score)
         store_compact_every(spark, [(store_dir, "fp")], batch_id, compact_every)
         fpb = winnow_fingerprint_frame(
             batch_df, k=k, window=window, id_col=id_col, text_col=text_col
@@ -504,7 +570,7 @@ def winnow_dedup_step(
             .filter(F.col("n_shared") >= min_shared)
             .select("id_a", "id_b")
         )
-        within_drop = _drop_within_batch(within_pairs)
+        within_drop = _drop_within_batch(within_pairs, scores)
         drops = (
             within_drop if cross_drop is None
             else cross_drop.unionByName(within_drop).distinct()
