@@ -167,3 +167,141 @@ def test_nontransitive_chain_divergence_is_order_dependent(spark, tmp_path):
     ).select("id_a", "id_b")
     kept = D.keep_canonical(full, D.dup_clusters(pairs), id_col="vec_id")
     assert {r["vec_id"] for r in kept.collect()} == {1}
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r06 #6: extend the arrival property to the FULL composed
+# ingestion→training-shards pipeline (screens + PII + decontamination +
+# near-dedup + packing + shard landing). The composed step's congruity
+# was pinned under ONE fixed id-ordered split
+# (test_corpus_pipeline.test_curation_to_shards_end_to_end_congruity);
+# here Hypothesis draws ARBITRARY id-ordered re-batchings and the
+# streamed shard rows must equal the batch twin for every one. The one
+# disallowed arrival — a batch whose ids do not all exceed the
+# stratum's prior high-water mark — must fail loud (the packer's
+# ordered-arrival guard), pinned deterministically below: within
+# id-ordered arrival there is NO allowed divergence for the compose.
+
+_COMPOSE_CACHE: dict = {}
+
+
+def _compose_batch_rows(spark):
+    """The batch twin's shard rows for the fixed corpus — computed once
+    (the corpus is constant across Hypothesis examples)."""
+    import os
+    import shutil
+
+    import test_corpus_pipeline as tcp
+    from pyspark.sql import functions as F
+    from willa_spark.functions import curation as CU
+    from willa_spark.streaming.corpus_pipeline import corpus_curation_batch
+
+    if "rows" in _COMPOSE_CACHE:
+        return _COMPOSE_CACHE["rows"]
+    docs = {i: (tcp.DOCS[i], "s%d" % (i % 2)) for i in tcp.DOCS}
+    mk = spark.createDataFrame(
+        [(i, t, s) for i, (t, s) in sorted(docs.items())],
+        "doc_id bigint, text string, source string",
+    )
+    surv = corpus_curation_batch(mk, eval_grams=tcp._eval_grams(spark))
+    surv = surv.join(mk.select("doc_id", "source"), "doc_id")
+    out = tempfile.mkdtemp(prefix="compose-batch-twin-")
+    try:
+        CU.save_packed_shards(surv, out, seq_len=10, seqs_per_shard=2)
+        cols = [
+            "source", "shard", "seq_id", "doc_id",
+            "start_in_seq", "start_in_doc", "slice_len", "slice_text",
+        ]
+        rows = sorted(
+            tuple(r)
+            for r in spark.read.parquet(out)
+            .select(
+                F.col("source").cast("string"),
+                F.col("shard").cast("bigint"),
+                *cols[2:],
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    assert rows, "batch twin produced no shard rows"
+    _COMPOSE_CACHE["rows"] = rows
+    return rows
+
+
+def _run_compose(spark, batches):
+    import os
+    import shutil
+
+    import test_corpus_pipeline as tcp
+    from willa_spark.streaming.corpus_pipeline import curation_to_shards_step
+    from willa_spark.streaming.store import store_read
+
+    docs = {i: (tcp.DOCS[i], "s%d" % (i % 2)) for i in tcp.DOCS}
+    root = tempfile.mkdtemp(prefix="compose-arrival-")
+    try:
+        step = curation_to_shards_step(
+            os.path.join(root, "dedup"),
+            os.path.join(root, "marks"),
+            os.path.join(root, "shards"),
+            seq_len=10,
+            seqs_per_shard=2,
+            eval_grams=tcp._eval_grams(spark),
+        )
+        for bid, ids in enumerate(batches):
+            step(
+                spark.createDataFrame(
+                    [(i, docs[i][0], docs[i][1]) for i in ids],
+                    "doc_id bigint, text string, source string",
+                ),
+                bid,
+            ).collect()
+        cols = [
+            "source", "shard", "seq_id", "doc_id",
+            "start_in_seq", "start_in_doc", "slice_len", "slice_text",
+        ]
+        return sorted(
+            tuple(r)
+            for r in store_read(spark, os.path.join(root, "shards"))
+            .select(*cols)
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.data())
+def test_composed_pipeline_congruity_under_any_ordered_split(spark, data):
+    import test_corpus_pipeline as tcp
+
+    ids = sorted(tcp.DOCS)
+    n = len(ids)
+    n_cuts = data.draw(st.integers(0, 3))
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(1, n - 1),
+                min_size=n_cuts,
+                max_size=n_cuts,
+                unique=True,
+            )
+        )
+    )
+    batches = [ids[lo:hi] for lo, hi in zip([0] + cuts, cuts + [n])]
+    streamed = _run_compose(spark, batches)
+    assert streamed == _compose_batch_rows(spark)
+
+
+def test_composed_pipeline_out_of_order_split_fails_loud(spark):
+    """The complement of the property above: a re-batching that puts a
+    smaller id AFTER a stratum's high-water mark must hit the packer's
+    ordered-arrival guard — never silently mis-pack."""
+    import pytest
+
+    with pytest.raises(Exception, match="out-of-order arrival"):
+        _run_compose(spark, [[4, 5, 6, 7], [1, 2, 3], [8, 9]])
