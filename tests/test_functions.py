@@ -273,12 +273,17 @@ def test_injected_tokenizer_counting(spark):
         df.withColumn("n", token_count_udf()(F.col("text"))).collect()
 
 
-def test_multimodal_meta_pushdown_prunes_before_decode(spark, tmp_path):
+@pytest.mark.parametrize("fmt", ["parquet", "orc"])
+def test_multimodal_meta_pushdown_prunes_before_decode(spark, tmp_path, fmt):
     """The module docstring's 100 TB claim made real: typed metadata
     lives in a sibling struct column (IMAGE_META_SCHEMA), and a
-    filter on it reaches the parquet scan as a pushed nested-field
-    predicate — so pruning happens on row-group statistics BEFORE any
-    byte enters the Python decode stage."""
+    filter on it reaches the file scan as a pushed nested-field
+    predicate — so pruning happens on stripe/row-group statistics
+    BEFORE any byte enters the Python decode stage. Parametrized over
+    BOTH columnar formats (VERDICT r06 #8): ORC landed as a source
+    format in r6 with its pushdown behavior untested; Spark's
+    nestedPredicatePushdown.supportedFileSources covers parquet AND
+    orc, and this pins that neither format regresses silently."""
     from pyspark.sql import types as T
 
     from willa_spark.functions.multimodal import (
@@ -298,14 +303,34 @@ def test_multimodal_meta_pushdown_prunes_before_decode(spark, tmp_path):
         (i, (4 if i % 2 == 0 else 64, 4, "png"), bytes(f"img{i}", "utf8"))
         for i in range(40)
     ]
-    path = str(tmp_path / "imgs")
-    spark.createDataFrame(rows, schema).write.parquet(path)
-    df = spark.read.parquet(path).filter(F.col("meta.width") == 4)
+    path = str(tmp_path / f"imgs-{fmt}")
+    spark.createDataFrame(rows, schema).write.format(fmt).save(path)
+    df = spark.read.format(fmt).load(path).filter(F.col("meta.width") == 4)
     plan = df._jdf.queryExecution().executedPlan().toString()
     scan = [l for l in plan.splitlines() if "FileScan" in l][0]
     assert "PushedFilters: [" in scan and "meta.width" in scan, scan
     decoded = decode_images(df, decoder=fake_image_decoder)
     assert decoded.count() == 20
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc"])
+def test_columnar_partition_dir_pruning_parity(spark, tmp_path, fmt):
+    """Partition-directory pruning parity across the columnar formats:
+    a filter on the partition column must land in the scan's
+    PartitionFilters (directories skipped at planning, no file of the
+    other partitions opened), identically for parquet and ORC."""
+    import re
+
+    path = str(tmp_path / f"parts-{fmt}")
+    spark.range(0, 100).withColumn("bucket", F.col("id") % 4).write.partitionBy(
+        "bucket"
+    ).format(fmt).save(path)
+    df = spark.read.format(fmt).load(path).filter(F.col("bucket") == 2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", scan)
+    assert m and "bucket" in m.group(1), scan
+    assert df.count() == 25
 
 
 def test_zero_norm_vectors_are_null_not_errors(spark):
