@@ -488,3 +488,23 @@ def test_pack_shards_step_congruity_and_replay(spark, tmp_path):
         .collect()
     )
     assert streamed == batch_rows and len(streamed) > 0
+
+
+def test_curation_step_dedup_score_elects_best(spark, tmp_path):
+    """dedup_score= flows through the composed curation step to the
+    minhash store's within-batch survivor election: for a co-arriving
+    near-dup pair the higher-scoring (here: longer) member wins even
+    with the LARGER id, where the default policy keeps the min id."""
+    base = _doc(1)
+    richer = base + " plus richer closing material here"
+    rows = [(1, base), (2, richer)]
+    mk = lambda: spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    default_step = corpus_curation_step(os.path.join(str(tmp_path), "d0"))
+    assert {r["doc_id"] for r in default_step(mk(), 0).collect()} == {1}
+
+    scored_step = corpus_curation_step(
+        os.path.join(str(tmp_path), "d1"),
+        dedup_score=F.length(F.col("text")),
+    )
+    assert {r["doc_id"] for r in scored_step(mk(), 0).collect()} == {2}

@@ -820,3 +820,22 @@ def _norm(v):
     if isinstance(v, float):
         return round(v, 6)
     return v
+
+
+def test_packed_shards_null_guard_on_both_join_sides(spark):
+    """The NULL-id fail-loud guard must appear on BOTH sides of the
+    slice join: under AQE, if the un-guarded side's stage materializes
+    as empty first (plain isnotnull silently dropping the NULL row),
+    AQEPropagateEmptyRelation elides the join and the other side's
+    raise never evaluates — an all-NULL batch would write an empty
+    shard set instead of failing (observed as a run-order-dependent
+    flake). Pinned structurally: the optimized plan carries the raise
+    expression once per join side, so WHICHEVER stage runs first
+    raises."""
+    docs = spark.createDataFrame(
+        [(1, "s1", "w w w")], "doc_id bigint, source string, text string"
+    )
+    packed = CU.pack_sequences(docs, seq_len=10)
+    rows = CU.packed_slice_rows(docs, packed, seq_len=10, seqs_per_shard=2)
+    plan = rows._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("NULL doc_id") >= 2, plan

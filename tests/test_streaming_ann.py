@@ -502,3 +502,30 @@ def test_store_read_propagates_corrupt_store(spark, tmp_path):
         df = store_read(spark, bad)
         if df is not None:  # some failures surface only at action time
             df.collect()
+
+
+def test_streaming_embedding_dedup_score_survivor(spark, tmp_path):
+    """score= on the embedding dedup step: co-arriving duplicate
+    vectors elect the highest-score member (not min-id); a
+    better-scoring dup in a LATER batch is still dropped
+    (first-seen-wins cross-batch — the near_dedup survivor-policy
+    contract applies unchanged to the vector family)."""
+    from pyspark.sql import functions as Fq
+    from willa_spark.streaming.ann import embedding_dedup_step
+
+    vs = _vecs(6, 5)
+    # batch 0: 0/1 identical vectors, q 0.1 vs 0.9 -> 1 wins on score
+    # batch 1: 5 copies 2 with a higher score -> still dropped
+    b0 = [(0, vs[0], 0.1), (1, vs[0], 0.9), (2, vs[2], 0.3)]
+    b1 = [(5, vs[2], 0.9), (4, vs[4], 0.5)]
+    mk = lambda rs: spark.createDataFrame(
+        rs, "vec_id bigint, embedding array<double>, q double"
+    )
+    store = os.path.join(str(tmp_path), "emb-score-store")
+    step = embedding_dedup_step(
+        store, threshold=0.999, n_planes=4, dim=DIM, seed=3, score=Fq.col("q")
+    )
+    got0 = {r["vec_id"] for r in step(mk(b0), 0).collect()}
+    got1 = {r["vec_id"] for r in step(mk(b1), 1).collect()}
+    assert got0 == {1, 2}
+    assert got1 == {4}

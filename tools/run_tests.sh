@@ -1,49 +1,55 @@
 #!/bin/bash
-# Parallel test runner — the documented full-suite path (VERDICT r5 #7).
+# Parallel test runner — the documented full-suite path (VERDICT r5 #7,
+# duration-aware since r7 per VERDICT r6 #7).
 #
 # pytest-xdist is not installable in this environment, so this shards
-# test FILES round-robin across N independent pytest processes, each
-# with its own local[4] Spark session (the conftest fixture is
-# session-scoped per process; 32 host cores comfortably fit 4 such
-# sessions). Round-robin by filename spreads the adjacent heavy
-# streaming files (test_stateful*, test_store*, test_streaming_*)
-# across shards.
+# test FILES across N independent pytest processes, each with its own
+# local[4] Spark session (the conftest fixture is session-scoped per
+# process; 32 host cores comfortably fit 4 such sessions).
+#
+# Sharding is DURATION-AWARE: tools/shard_plan.py greedy-bin-packs the
+# files (longest first into the lightest shard) using the wall times in
+# tools/test_durations.txt; files not yet in the table get a
+# conservative default. Each shard runs with --durations=0 and a green
+# run refreshes the table via tools/update_durations.py, so the plan
+# tracks the suite as it grows. (The previous round-robin-by-filename
+# plan left shard walls 2x apart: 337 s vs 171 s.)
 #
 # Usage: tools/run_tests.sh [N]        (default 4 shards)
 # Logs:  /tmp/willa_test_logs/shard<i>.log
 set -u
 N=${1:-4}
 cd "$(dirname "$0")/.."
-FILES=(tests/test_*.py)
 LOGDIR=/tmp/willa_test_logs
 mkdir -p "$LOGDIR"
+PLAN=$(python tools/shard_plan.py "$N" tests/test_*.py) || exit 1
 declare -a PIDS
-for ((i = 0; i < N; i++)); do
-    SHARD=()
-    for ((j = i; j < ${#FILES[@]}; j += N)); do
-        SHARD+=("${FILES[j]}")
-    done
-    if [ ${#SHARD[@]} -eq 0 ]; then
+i=0
+while IFS= read -r SHARD; do
+    if [ -z "$SHARD" ]; then
         # N > file count: an empty arg list would make pytest collect
         # and run the ENTIRE suite in this shard
         echo "0 files" >"$LOGDIR/shard$i.log"
         PIDS[i]=""
-        continue
+    else
+        # shellcheck disable=SC2086
+        (python -m pytest $SHARD -q --durations=0 >"$LOGDIR/shard$i.log" 2>&1) &
+        PIDS[i]=$!
     fi
-    (python -m pytest "${SHARD[@]}" -q >"$LOGDIR/shard$i.log" 2>&1) &
-    PIDS[i]=$!
-done
+    i=$((i + 1))
+done <<<"$PLAN"
 FAIL=0
-for ((i = 0; i < N; i++)); do
-    if [ -n "${PIDS[i]}" ] && ! wait "${PIDS[i]}"; then
+for ((k = 0; k < i; k++)); do
+    if [ -n "${PIDS[k]}" ] && ! wait "${PIDS[k]}"; then
         FAIL=1
     fi
-    echo "--- shard $i:"
-    tail -n 2 "$LOGDIR/shard$i.log"
+    echo "--- shard $k:"
+    grep -E "^[0-9]+ (passed|failed)|passed|failed|error" "$LOGDIR/shard$k.log" | tail -n 1
 done
 if [ "$FAIL" -ne 0 ]; then
     echo "SUITE: FAILED (see $LOGDIR)"
 else
+    python tools/update_durations.py "$LOGDIR"
     echo "SUITE: GREEN"
 fi
 exit $FAIL

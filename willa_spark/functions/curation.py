@@ -414,22 +414,36 @@ def packed_slice_rows(
     exchange is reused."""
     if seqs_per_shard <= 0:
         raise ValueError(f"seqs_per_shard must be positive, got {seqs_per_shard}")
-    # NULL guard on the PACKED side's id: the inner join's inferred
-    # isnotnull(id) filter evaluates this expression (it cannot be
-    # satisfied without computing the when), so a NULL id raises
+    # NULL guard riding the inner join's inferred isnotnull(id)
+    # filters: isnotnull(when(id isNull, raise).otherwise(id)) cannot
+    # be satisfied without computing the when, so a NULL id raises
     # instead of being silently null-filtered out of the join. A guard
     # on the text column alone would never fire — Catalyst pushes the
     # not-null filter below the projection and drops the row first.
-    checked_id = F.when(
-        F.col(id_col).isNull(),
-        F.raise_error(
-            F.lit(
-                f"packed shards: NULL {id_col} — slices cannot be joined "
-                f"back to an id-less document; assign ids upstream"
-            )
-        ).cast(packed.schema[id_col].dataType),
-    ).otherwise(F.col(id_col))
-    packed = packed.withColumn(id_col, checked_id)
+    #
+    # BOTH join sides carry the guard, not just the packed side: under
+    # AQE, if the un-guarded side's query stage materializes as EMPTY
+    # first (its plain isnotnull(id) silently dropped the rows),
+    # AQEPropagateEmptyRelation replaces the whole inner join before
+    # the guarded side's stage ever runs — the raise never evaluates
+    # and an all-NULL-id batch writes an empty shard set instead of
+    # failing loud (observed as a run-order-dependent test flake: the
+    # race goes the other way when the guarded stage materializes
+    # first). With the guard on both sides, WHICHEVER stage runs
+    # first evaluates its own raise.
+    def checked_id(frame: DataFrame) -> F.Column:
+        return F.when(
+            F.col(id_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"packed shards: NULL {id_col} — slices cannot be joined "
+                    f"back to an id-less document; assign ids upstream"
+                )
+            ).cast(frame.schema[id_col].dataType),
+        ).otherwise(F.col(id_col))
+
+    packed = packed.withColumn(id_col, checked_id(packed))
+    docs = docs.withColumn(id_col, checked_id(docs))
     dup_w = Window.partitionBy(id_col)
     guarded_text = F.when(
         F.count(F.lit(1)).over(dup_w) > 1,

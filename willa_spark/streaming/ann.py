@@ -668,6 +668,7 @@ def embedding_dedup_step(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     compact_every: int | None = None,
+    score=None,
 ) -> Callable[[DataFrame, int], DataFrame]:
     """foreachBatch step for streaming embedding-cosine near-dedup —
     the vector twin of ``near_dedup.simhash_dedup_step``, same wiring:
@@ -683,13 +684,18 @@ def embedding_dedup_step(
     in this module; ``compact_every`` applies the standard retention
     cadence (bucket-clustered merge). First-seen-wins policy; agrees
     with the batch min-id canonical under id-ordered ingestion, same
-    argument as near_dedup's policy note."""
-    from .near_dedup import _drop_within_batch
+    argument as near_dedup's policy note. ``score=`` enables the
+    quality-aware WITHIN-BATCH survivor election (the
+    ``dedup.keep_best`` policy over co-arriving dups) — cross-batch
+    necessarily stays first-seen-wins; see
+    ``near_dedup._drop_within_batch`` for the append-mode argument."""
+    from .near_dedup import _batch_scores, _drop_within_batch
 
     planes = hyperplanes(dim, n_planes, seed)
 
     def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
         spark = batch_df.sparkSession
+        scores = _batch_scores(batch_df, id_col, score)
         store_compact_every(
             spark, [(store_dir, "bucket")], batch_id, compact_every
         )
@@ -728,7 +734,7 @@ def embedding_dedup_step(
             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
             .distinct()
         )
-        within_drop = _drop_within_batch(within_pairs)
+        within_drop = _drop_within_batch(within_pairs, scores)
         drops = (
             within_drop if cross_drop is None
             else cross_drop.unionByName(within_drop).distinct()

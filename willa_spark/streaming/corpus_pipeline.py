@@ -107,6 +107,7 @@ def corpus_curation_step(
     text_col: str = "text",
     compact_every: int | None = None,
     compact_output: bool = False,
+    dedup_score=None,
 ) -> Callable[[DataFrame, int], DataFrame]:
     """The composed foreachBatch step; returns
     ``(batch_df, batch_id) -> admitted_df`` (id + redacted text). Wire
@@ -138,6 +139,12 @@ def corpus_curation_step(
       only when every consumer reads through ``store_read`` (or a
       table format with atomic commits fronts the directory); leave
       False otherwise and retire output partitions out-of-band.
+
+    ``dedup_score``: a Column over (id, REDACTED text) enabling the
+    quality-aware within-batch survivor election in the dedup stage
+    (e.g. ``text.quality_score(F.col("text"))``); cross-batch stays
+    first-seen-wins — see ``near_dedup._drop_within_batch`` for the
+    contract.
     """
     dedup = minhash_dedup_step(
         dedup_store_dir,
@@ -148,6 +155,7 @@ def corpus_curation_step(
         id_col=id_col,
         text_col=text_col,
         compact_every=compact_every,
+        score=dedup_score,
     )
 
     def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
@@ -189,6 +197,7 @@ def pack_sequences_step(
     text_col: str = "text",
     strata_col: str = "source",
     compact_every: int | None = None,
+    dedup_score=None,
 ) -> Callable[[DataFrame, int], DataFrame]:
     """foreachBatch step for STREAMING concat-then-chunk sequence
     packing — each stratum's token stream continues across
@@ -321,6 +330,7 @@ def pack_shards_step(
     text_col: str = "text",
     strata_col: str = "source",
     compact_every: int | None = None,
+    dedup_score=None,
 ) -> Callable[[DataFrame, int], DataFrame]:
     """The trainer-consumable streaming assembly endpoint:
     ``pack_sequences_step``'s global sequence assignments composed
@@ -404,6 +414,7 @@ def curation_to_shards_step(
     text_col: str = "text",
     strata_col: str = "source",
     compact_every: int | None = None,
+    dedup_score=None,
 ) -> Callable[[DataFrame, int], DataFrame]:
     """The WHOLE ingestion-to-training-shards pipeline as one
     foreachBatch step: screens → PII redaction → decontamination →
@@ -434,6 +445,7 @@ def curation_to_shards_step(
         id_col=id_col,
         text_col=text_col,
         compact_every=compact_every,
+        dedup_score=dedup_score,
     )
     pack = pack_shards_step(
         pack_store_dir,
