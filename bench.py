@@ -92,6 +92,8 @@ HEADLINE = [
     "recall_image_phash",
     "recall_audio_fp",
     "audio_fingerprint_dups",
+    "recall_video_fp",
+    "video_fingerprint_dups",
     # round 6: the on-disk packed-shard proof (write + read-back +
     # aggregate) and the image perceptual-hash near-dup family
     "packed_shard_roundtrip",

@@ -921,3 +921,46 @@ def test_audio_frame_energies_envelope(spark):
     assert out[1] == [8.0, 8.0, 1.0, 1.0]
     # n=2 samples: frames past the clip's end are 0.0
     assert out[2] == [3.0, 3.0, 0.0, 0.0]
+
+
+def test_video_fingerprint_pairs_planted_and_edges(spark):
+    """The video member of the multimodal dedup family: byte-identical
+    planted clips share EVERY frame hash (decode → per-frame
+    threshold hash → fingerprint equi-join); distinct clips don't
+    reach min_shared_frames; empty payloads (one all-zero frame) pair
+    only at min_shared_frames=1; frame sampling (every_n) still finds
+    full twins."""
+    import hashlib
+
+    from willa_spark.functions.multimodal import (
+        fake_video_decoder,
+        video_fingerprint_pairs,
+    )
+
+    payload = lambda i: hashlib.sha256(str(i).encode()).digest() * 6  # 5 frames
+    rows = [(i, payload(i)) for i in range(8)]
+    rows += [(100, payload(0)), (104, payload(4))]  # byte-identical twins
+    rows += [(200, b""), (201, b"")]                # empty payloads
+    df = spark.createDataFrame(rows, "id bigint, data binary")
+
+    pairs = video_fingerprint_pairs(
+        df, min_shared_frames=2, decoder=fake_video_decoder
+    )
+    got = {(r["id_a"], r["id_b"]): r["n_shared_frames"] for r in pairs.collect()}
+    assert got.get((0, 100)) == 5 and got.get((4, 104)) == 5
+    assert not any(a < 100 and b < 100 for a, b in got)  # no false pairs
+    assert (200, 201) not in got  # 1 shared zero-frame < 2
+
+    # at threshold 1 the empty twins pair too (the recall row's mode)
+    loose = video_fingerprint_pairs(
+        df, min_shared_frames=1, frame_df_cap=None, decoder=fake_video_decoder
+    )
+    got1 = {(r["id_a"], r["id_b"]) for r in loose.collect()}
+    assert (200, 201) in got1
+
+    # sampling every 2nd frame: twins still share ceil(5/2)=3 >= 2
+    sampled = video_fingerprint_pairs(
+        df, min_shared_frames=2, every_n=2, decoder=fake_video_decoder
+    )
+    gots = {(r["id_a"], r["id_b"]): r["n_shared_frames"] for r in sampled.collect()}
+    assert gots.get((0, 100)) == 3

@@ -402,3 +402,52 @@ def test_streaming_score_survivor_congruity_and_divergence(spark, tmp_path):
     }
     assert kept == {2, 3, 6, 7}
     assert (got1 | got2) ^ kept == {5, 6}  # the one allowed divergence
+
+
+def test_streaming_video_fp_dedup_congruity_and_replay(spark, tmp_path):
+    """The video member of the streaming containment family: clips
+    sharing >= min_shared_frames frame hashes are dropped cross-batch
+    (against the persisted frame-hash store) and within-batch (min-id
+    canonical), the admitted set equals the batch twin
+    (video_fingerprint_pairs → clusters → min-id canonical) under
+    id-ordered arrival, and a replayed batch is idempotent. Uses the
+    injected byte-sensitive fake codec — the container ships no real
+    video libraries."""
+    from willa_spark.functions.multimodal import (
+        fake_video_decoder,
+        video_fingerprint_pairs,
+    )
+    from willa_spark.streaming.near_dedup import video_fp_dedup_step
+
+    import hashlib
+
+    payload = lambda i: hashlib.sha256(str(i).encode()).digest() * 6
+    rows = {i: payload(i) for i in (1, 2, 3, 4, 6)}
+    rows[5] = rows[2]   # cross-batch twin of 2
+    rows[7] = rows[6]   # within-batch twin of 6
+    b1 = [(i, rows[i]) for i in (1, 2, 3)]
+    b2 = [(i, rows[i]) for i in (4, 5, 6, 7)]
+    mk = lambda b: spark.createDataFrame(b, "doc_id bigint, data binary")
+
+    store = os.path.join(str(tmp_path), "video-store")
+    step = video_fp_dedup_step(
+        store, min_shared_frames=2, decoder=fake_video_decoder
+    )
+    got1 = {r["doc_id"] for r in step(mk(b1), 0).collect()}
+    got2 = {r["doc_id"] for r in step(mk(b2), 1).collect()}
+    assert got1 == {1, 2, 3}
+    assert got2 == {4, 6}  # 5 cross-batch dup of 2, 7 within-batch dup of 6
+
+    replay = {r["doc_id"] for r in step(mk(b2), 1).collect()}
+    assert replay == got2
+    stored = spark.read.parquet(store)
+    # one (id, fp) row per distinct frame hash of each admitted clip
+    assert {r["id"] for r in stored.select("id").distinct().collect()} == {1, 2, 3, 4, 6}
+    assert stored.count() == stored.distinct().count()
+
+    full = spark.createDataFrame(sorted(rows.items()), "doc_id bigint, data binary")
+    pairs = video_fingerprint_pairs(
+        full, min_shared_frames=2, id_col="doc_id", decoder=fake_video_decoder
+    ).select("id_a", "id_b")
+    kept = D.keep_canonical(full, D.dup_clusters(pairs))
+    assert {r["doc_id"] for r in kept.collect()} == got1 | got2

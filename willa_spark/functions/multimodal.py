@@ -138,10 +138,21 @@ def with_phash(
     The mean sub-expression is re-evaluated per bit (64 x 64 adds per
     row — negligible next to the decode); a cost-sensitive caller can
     pre-project the mean."""
+    return df.withColumn(out_col, phash_bits(F.col(features_col), n_bits))
+
+
+def phash_bits(features, n_bits: int = 64):
+    """The threshold-hash KERNEL behind ``with_phash``, over an
+    arbitrary array-of-double EXPRESSION — factored out so it can run
+    per-element inside a lambda context (``F.transform`` over a video's
+    frame arrays hashes each frame with this exact expression, so a
+    video frame and a standalone image of identical features hash
+    identically). Same semantics as ``with_phash``: leading ``n_bits``
+    elements thresholded against their own mean; empty/NULL → 0."""
     # slice FIRST so the threshold mean is computed over exactly the
     # elements that get hashed — thresholding the leading 64 against a
     # mean that includes unhashed tail elements would skew every bit
-    f = F.slice(F.col(features_col), 1, n_bits)
+    f = F.slice(features, 1, n_bits)
     mean = F.aggregate(f, F.lit(0.0), lambda a, x: a + x) / F.greatest(
         F.size(f), F.lit(1)
     )
@@ -158,10 +169,9 @@ def with_phash(
         + F.when(F.element_at(f, i + 1) > mean, F.element_at(pow2, i + 1))
         .otherwise(F.lit(0).cast("long")),
     )
-    return df.withColumn(
-        out_col,
+    return (
         F.when(F.coalesce(F.size(f), F.lit(0)) <= 0, F.lit(0).cast("long"))
-        .otherwise(bits),
+        .otherwise(bits)
     )
 
 
@@ -354,6 +364,148 @@ def audio_fingerprint_pairs(
         "simhash",
     ).select(F.col(id_col).alias("id"), "simhash")
     return hamming_block_pairs(sig, max_hamming, num_blocks)
+
+
+def fake_video_decoder(data: bytes) -> dict:
+    """Deterministic BYTE-SENSITIVE fake video decode: one 64-'pixel'
+    frame per 40-byte span of the payload (so a 200-byte payload
+    yields 5 frames), each frame strided over the bytes with a
+    per-frame offset — byte-identical payloads decode to identical
+    frame sequences, distinct payloads decode apart. An empty payload
+    yields one all-zero frame. A real decoder would put per-frame
+    downsampled luma grids here."""
+    n = len(data or b"")
+    n_frames = max(1, (n + 39) // 40)
+    if n == 0:
+        frames = [[0.0] * 64]
+    else:
+        frames = [
+            [float(data[(i * 37 + j * 11 + 5) % n]) for i in range(64)]
+            for j in range(n_frames)
+        ]
+    return {"n_frames": len(frames), "frames": frames}
+
+
+def decode_video_stub(data: bytes):  # pragma: no cover - intentional stub
+    """Real decoder stub — no video libraries in this environment.
+    Inject a decoder (e.g. pyav/decord frame extraction) via
+    ``decode_video(decoder=...)``."""
+    raise NotImplementedError(
+        "no video codec in this environment; pass decoder= to decode_video"
+    )
+
+
+def decode_video(
+    df: DataFrame,
+    binary_col: str = "data",
+    id_col: str = "id",
+    decoder: Callable[[bytes], dict] | None = None,
+) -> DataFrame:
+    """Decode a binary video column into (id, n_frames, frames
+    array<array<double>>) via mapInPandas — the video counterpart of
+    ``decode_images``/``decode_audio``, same single-pass no-shuffle
+    shape. Frame tensors stay inside the scan stage; downstream
+    fingerprinting reduces them to 8-byte hashes before any
+    shuffle."""
+    import pandas as pd
+
+    dec = decoder or decode_video_stub
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("frames", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        ]
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, blob in zip(pdf[id_col], pdf[binary_col]):
+                d = dec(bytes(blob) if blob is not None else b"")
+                rows.append((rid, d["n_frames"], d["frames"]))
+            yield pd.DataFrame(rows, columns=[id_col, "n_frames", "frames"])
+
+    return df.select(id_col, binary_col).mapInPandas(decode_batches, schema=out_schema)
+
+
+def video_frame_hash_frame(
+    decoded: DataFrame,
+    id_col: str = "id",
+    frames_col: str = "frames",
+    every_n: int = 1,
+) -> DataFrame:
+    """One (id, fp) row per DISTINCT sampled-frame hash of each video —
+    the joinable half of the video fingerprint family, structurally
+    the ``winnow_fingerprint_frame`` shape with frame perceptual
+    hashes as the fingerprints. Frame sampling (every ``every_n``-th
+    frame) and the per-frame 64-bit threshold hash (``phash_bits``
+    inside ``F.transform``) are pure Column expressions over the
+    decoded arrays — map-side explode, no shuffle, pixel tensors never
+    leave the scan stage."""
+    sampled = F.filter(F.col(frames_col), lambda _x, i: i % every_n == 0)
+    hashes = F.array_distinct(F.transform(sampled, lambda fr: phash_bits(fr)))
+    return decoded.select(
+        F.col(id_col).alias("id"), F.explode(hashes).alias("fp")
+    )
+
+
+def video_fingerprint_pairs(
+    df: DataFrame,
+    min_shared_frames: int = 2,
+    frame_df_cap: int | None = 10,
+    every_n: int = 1,
+    binary_col: str = "data",
+    id_col: str = "id",
+    decoder: Callable[[bytes], dict] | None = None,
+) -> DataFrame:
+    """Shared-frame near-duplicate VIDEO pairs — the video member of
+    the multimodal dedup family, completing the image/audio/video
+    trio: decode (Arrow-batched mapInPandas, injected codec) →
+    sampled per-frame perceptual hashes → the SAME fingerprint
+    equi-join kernel as winnowing (``winnow_pair_counts`` — volume ∝
+    collisions, never all-pairs) → pairs sharing >=
+    ``min_shared_frames`` distinct frame hashes. This is the
+    shot-fingerprint containment design: a clip embedded inside a
+    longer video shares ALL its frames, which whole-file hashing
+    misses — exactly winnowing's containment argument at frame
+    granularity. Returns (id_a, id_b, n_shared_frames).
+
+    ``frame_df_cap`` drops frame hashes appearing in more than that
+    many videos before the self-join (MOSS's rule, same as
+    ``winnow_overlap_pairs``): a ubiquitous frame — black frame,
+    station ident, intro card — fans out f² pairs and is boilerplate,
+    not evidence of duplication. At 100 TB the decode+hash is one
+    map-only pass; only (id, 8-byte hash) rows reach the shuffle.
+    Streaming twin: ``streaming.near_dedup.video_fp_dedup_step``."""
+    from .dedup import _spread, winnow_pair_counts
+
+    decoded = decode_video(
+        _spread(df.select(id_col, binary_col), id_col),
+        binary_col=binary_col,
+        id_col=id_col,
+        decoder=decoder,
+    )
+    fp = video_frame_hash_frame(decoded, id_col=id_col, every_n=every_n)
+    if frame_df_cap is not None:
+        raw = fp.persist()
+        rare = (
+            raw.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= frame_df_cap)
+        )
+        fp = raw.join(rare.select("fp"), "fp", "left_semi")
+    # eager pin: the self-join scans the frame frame twice, and the
+    # Python decode behind it must not run twice (same discipline as
+    # winnow_overlap_pairs)
+    fp = fp.localCheckpoint(eager=True)
+    if frame_df_cap is not None:
+        raw.unpersist()
+    return (
+        winnow_pair_counts(fp)
+        .filter(F.col("n_shared") >= min_shared_frames)
+        .withColumnRenamed("n_shared", "n_shared_frames")
+    )
 
 
 def resize_features(df: DataFrame, features_col: str = "features", target: int = 4) -> DataFrame:

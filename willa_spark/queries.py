@@ -3244,6 +3244,88 @@ def q_audio_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("video_fingerprint_dups")  # rows-only (frame-hash joins not SQL-expressible)
+def q_video_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-frame near-duplicate video pairs over the corpus's
+    binary payloads (each doc's first 200 bytes as a 5-frame fake
+    video through the injected byte-sensitive codec — the container
+    ships no real video libraries; see multimodal.py) plus
+    byte-identical planted twins of every 30th doc
+    (``_video_planted_corpus``, shared with the recall row). decode →
+    sampled per-frame 64-bit perceptual hashes → the winnowing
+    fingerprint equi-join kernel (``winnow_pair_counts``) → pairs
+    sharing >= 2 distinct frame hashes — the shot-fingerprint
+    containment design, completing the image/audio/video trio. Recall
+    is proven by ``recall_video_fp`` (oracle-bearing; both parked
+    mid-r7 under the rotation policy — see DRIVER_OMIT); streaming
+    twin: ``streaming.near_dedup.video_fp_dedup_step``."""
+    from .functions.multimodal import fake_video_decoder, video_fingerprint_pairs
+
+    corpus, _planted, _members = _video_planted_corpus(
+        read_docs_spread(spark, sf_dir), 1_000_000
+    )
+    return video_fingerprint_pairs(
+        corpus, min_shared_frames=2, id_col="doc_id", decoder=fake_video_decoder
+    )
+
+
+def _video_planted_corpus(docs: DataFrame, off: int):
+    """The planted video corpus shared by ``video_fingerprint_dups``
+    and ``recall_video_fp`` — ONE definition of the payload (first 200
+    text bytes as fake frames) and the plant (byte-identical twin of
+    every 30TH doc under doc_id + off). Modulus 30: deliberately
+    distinct from the image plant's 20 and the audio plant's 25 so no
+    two families' plants or oracles can silently couple (ADVICE r06).
+    Returns (corpus, planted_originals, members)."""
+    clips = docs.select(
+        "doc_id", F.encode(F.substring(F.col("text"), 1, 200), "utf-8").alias("data")
+    )
+    planted = clips.filter(F.col("doc_id") % 30 == 0)
+    twins = planted.withColumn("doc_id", F.col("doc_id") + F.lit(off))
+    return clips.unionByName(twins), planted, planted.unionByName(twins)
+
+
+@query(
+    "recall_video_fp",
+    # modulus 30 = _video_planted_corpus's plant modulus (distinct from
+    # image's 20 / audio's 25 — no silent oracle coupling, ADVICE r06).
+    oracle="""
+    WITH vd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+                WHERE doc_id % 30 = 0)
+    SELECT 'video_fp' AS family, n AS n_planted, n AS n_found FROM vd
+    """,
+)
+def q_recall_video_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-frame video recall proof (the 8th recall family): every
+    30th doc's binary payload is planted again under doc_id + 1e6.
+    Identical bytes ⇒ identical decoded frames ⇒ identical per-frame
+    hashes ⇒ EVERY frame is shared, so at ``min_shared_frames=1`` the
+    fingerprint equi-join MUST emit the pair — even for an empty
+    payload (one all-zero frame, still shared). Decodes ONLY the pair
+    members — the standalone ``video_fingerprint_dups`` covers the
+    corpus-wide join; this row is its driver-gate proof. The frame
+    document-frequency cap is DISABLED here (the cap is a
+    pair-emission policy for the reporting operator; applying it to a
+    planted-recall proof could drop a legitimately-shared frame and
+    void the guarantee)."""
+    from .functions.multimodal import fake_video_decoder, video_fingerprint_pairs
+
+    docs = _recall_docs(spark, sf_dir)
+    _, planted_clips, members = _video_planted_corpus(docs, _RECALL_OFF)
+    pairs = video_fingerprint_pairs(
+        members,
+        min_shared_frames=1,
+        frame_df_cap=None,
+        id_col="doc_id",
+        decoder=fake_video_decoder,
+    )
+    return _recall_row(
+        "video_fp",
+        _count_planted(planted_clips),
+        _count_found_offset_pairs(pairs),
+    )
+
+
 # Queries OMITTED from the driver-visible correctness set: the driver
 # records oracle rows for at most 50 queries (in registration order),
 # so every DISTINCT operator proof must land inside that window.
@@ -3356,8 +3438,19 @@ def q_audio_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pivot_order_status — the operators without a clean returning twin
 # (A1/A3-A6/A8, J4/J7, C1 via suppression, correlated subquery,
 # pivot, CC clustering, the four curation screens).
+# Mid-r7 additions AFTER the gate reached exactly 50: the video
+# fingerprint family (the 8th recall family, completing the
+# image/audio/video trio). Parked under the same policy note as r5's
+# pack_sequences and r6's packed_sequences_loaded: recall_video_fp is
+# oracle-bearing, so the automatic pytest parity pin covers it now;
+# video_fingerprint_dups is rows-only with its recall twin parked
+# beside it and the full streaming-congruity pytest. Both MUST rotate
+# into the r8 gate with the 33 rested names below.
 DRIVER_OMIT = frozenset(
     {
+        # mid-r7 parked additions (MUST enter the r8 gate)
+        "video_fingerprint_dups",
+        "recall_video_fp",
         # oracle-bearing rests (parity-pinned by the automatic pytest)
         "tumbling_window_sum",
         "rekey_fanout",

@@ -539,13 +539,72 @@ def winnow_dedup_step(
     policy, not part of dedup semantics — a doc sharing a run with a
     thousand prior docs is exactly what containment dedup must drop."""
 
+    def fp_builder(batch_df: DataFrame) -> DataFrame:
+        return winnow_fingerprint_frame(
+            batch_df, k=k, window=window, id_col=id_col, text_col=text_col
+        )
+
+    return _containment_dedup_step(
+        store_dir, fp_builder, min_shared, id_col, compact_every, score
+    )
+
+
+def video_fp_dedup_step(
+    store_dir: str,
+    min_shared_frames: int = 2,
+    every_n: int = 1,
+    id_col: str = "doc_id",
+    binary_col: str = "data",
+    decoder=None,
+    compact_every: int | None = None,
+    score=None,
+) -> Callable[[DataFrame, int], DataFrame]:
+    """foreachBatch step for streaming shared-frame VIDEO near-dedup —
+    the video member of the streaming containment family, the exact
+    machinery of ``winnow_dedup_step`` with the fingerprint builder
+    swapped: decode (Arrow-batched mapInPandas, injected codec) →
+    sampled per-frame perceptual hashes
+    (``multimodal.video_frame_hash_frame``) → fingerprint equi-join
+    probe against the persisted (id, fp) frame-hash store → drop on
+    >= ``min_shared_frames`` shared frames. The store holds 8-byte
+    frame hashes per admitted video — never pixels. Congruity with
+    batch ``multimodal.video_fingerprint_pairs`` + min-id canonical is
+    pytest-pinned with the injected fake codec (the container ships no
+    real video libraries — see multimodal.py)."""
+    from ..functions.multimodal import decode_video, video_frame_hash_frame
+
+    def fp_builder(batch_df: DataFrame) -> DataFrame:
+        decoded = decode_video(
+            batch_df, binary_col=binary_col, id_col=id_col, decoder=decoder
+        )
+        return video_frame_hash_frame(decoded, id_col=id_col, every_n=every_n)
+
+    return _containment_dedup_step(
+        store_dir, fp_builder, min_shared_frames, id_col, compact_every, score
+    )
+
+
+def _containment_dedup_step(
+    store_dir: str,
+    fp_builder: Callable[[DataFrame], DataFrame],
+    min_shared: int,
+    id_col: str,
+    compact_every: int | None,
+    score,
+) -> Callable[[DataFrame, int], DataFrame]:
+    """The shared CONTAINMENT streaming dedup kernel (winnow: token-run
+    fingerprints; video: frame perceptual hashes): cross-batch drops
+    via fp equi-join against the strictly-prior (id, fp) store at the
+    >= ``min_shared`` threshold, within-batch via the pair-count
+    self-join + survivor election, admitted fingerprints appended
+    idempotently (fp-clustered). ``fp_builder(batch_df) -> (id, fp)``
+    is the only family-specific piece."""
+
     def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
         spark = batch_df.sparkSession
         scores = _batch_scores(batch_df, id_col, score)
         store_compact_every(spark, [(store_dir, "fp")], batch_id, compact_every)
-        fpb = winnow_fingerprint_frame(
-            batch_df, k=k, window=window, id_col=id_col, text_col=text_col
-        ).persist()
+        fpb = fp_builder(batch_df).persist()
 
         pruned = fpb
         cross_drop = None
