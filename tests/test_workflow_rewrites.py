@@ -179,3 +179,36 @@ def test_with_near_dedupe_streaming_raises(spark, tmp_path):
             {"in": [("k", NEAR_TXTS["a"], 100)]},
             str(tmp_path),
         )
+
+
+def test_with_near_dedupe_score_fn_elects_best(spark):
+    """score_fn switches the splice to the keep_best election: the
+    higher-scoring member of the (a, a2) exact-dup group passes even
+    though it arrived later (the default policy keeps first-arrived
+    k1), while the unclustered record passes untouched."""
+    from pyspark.sql import functions as F
+
+    from willa_spark.workflow import with_near_dedupe
+
+    topo = with_near_dedupe(
+        _near_base(),
+        ("s", "out"),
+        threshold=0.5,
+        score_fn=lambda k, v: F.when(k == "k2", 2.0).otherwise(1.0),
+    )
+    out = run_topology(
+        spark,
+        topo,
+        inputs={
+            "in": [
+                ("k1", NEAR_TXTS["a"], 100),
+                ("k2", NEAR_TXTS["a2"], 200),
+                ("k3", NEAR_TXTS["b"], 300),
+            ]
+        },
+    )
+    got = collect_records(out["out"], with_timestamp=True)
+    assert [(k, v) for k, v, _t in got] == [
+        ("k2", NEAR_TXTS["a2"]),
+        ("k3", NEAR_TXTS["b"]),
+    ]

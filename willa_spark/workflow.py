@@ -104,6 +104,7 @@ def with_near_dedupe(
     num_bands: int = 16,
     shingle_n: int = 3,
     max_hamming: int = 3,
+    score_fn: Callable | None = None,
 ) -> dict:
     """Near-duplicate generalization of ``with_dedupe``: splice a node
     that passes only the FIRST-ARRIVED representative of each near-dup
@@ -111,6 +112,13 @@ def with_near_dedupe(
     simhash pigeonhole blocks + exact hamming), the topology-level form
     of the batch dedup pipeline. ``text_fn(key_col, value_col)``
     extracts the text to compare (default: the record value).
+
+    ``score_fn(key_col, value_col)`` switches the survivor election to
+    the quality-aware ``dedup.keep_best`` policy: the HIGHEST-scoring
+    member of each near-dup group passes (ties and all-NULL groups
+    fall back to the first-arrived canonical) — the topology-level
+    form of the batch ``keep_best`` and the streaming steps'
+    ``score=`` option.
 
     Batch-engine only: mid-topology near-dedup needs a joinable
     signature index of every kept record, which Structured Streaming
@@ -156,7 +164,19 @@ def with_near_dedupe(
             pairs = D.simhash_near_dups(keyed, max_hamming=max_hamming).select(
                 "id_a", "id_b"
             )
-        drop = D.dup_clusters(pairs).filter(F.col("id") != F.col("cluster_id"))
+        clusters = D.dup_clusters(pairs)
+        if score_fn is not None:
+            scored = docs.select(
+                F.col("__seq").alias("doc_id"),
+                score_fn(F.col(KEY), F.col(VALUE)).alias("__s"),
+            )
+            surv = D.keep_best(scored, clusters, score=F.col("__s"), id_col="doc_id")
+            return docs.join(
+                surv.select(F.col("doc_id").alias("__nd_keep")),
+                docs["__seq"] == F.col("__nd_keep"),
+                "left_semi",
+            ).drop("__nd_text")
+        drop = clusters.filter(F.col("id") != F.col("cluster_id"))
         return docs.join(
             drop.select(F.col("id").alias("__nd_drop")),
             docs["__seq"] == F.col("__nd_drop"),
