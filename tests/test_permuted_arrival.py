@@ -305,3 +305,91 @@ def test_composed_pipeline_out_of_order_split_fails_loud(spark):
 
     with pytest.raises(Exception, match="out-of-order arrival"):
         _run_compose(spark, [[4, 5, 6, 7], [1, 2, 3], [8, 9]])
+
+
+# The first-seen policy is a property of the shared store kernels, not
+# of any one signature family. Pin it for the OTHER families too:
+# exact duplicates (identical text/payload ⇒ identical signature ⇒
+# guaranteed candidate collision in every family) must admit exactly
+# the min id within the group's first-arriving batch under ANY
+# id-ordered-or-not batch assignment — hamming (simhash text, pHash
+# image, energy-envelope audio), containment (winnow... pinned above
+# via minhash; frame-hash video).
+
+
+def _family_steps(store):
+    import hashlib
+
+    from pyspark.sql import functions as F
+    from willa_spark.functions.multimodal import (
+        fake_audio_decoder_pcm,
+        fake_image_decoder_8x8,
+        fake_video_decoder,
+    )
+    from willa_spark.streaming.near_dedup import (
+        audio_fp_dedup_step,
+        phash_dedup_step,
+        simhash_dedup_step,
+        video_fp_dedup_step,
+    )
+
+    # group payloads: pseudorandom bytes so distinct groups never
+    # collide at the tight radii below
+    blob = lambda g: hashlib.sha256(f"group{g}".encode()).digest() * 6
+
+    def text_rows(spark, ids, groups):
+        return spark.createDataFrame(
+            [(i, POOL[groups[i]]) for i in ids], "doc_id bigint, text string"
+        )
+
+    def byte_rows(spark, ids, groups):
+        return spark.createDataFrame(
+            [(i, blob(groups[i])) for i in ids], "doc_id bigint, data binary"
+        )
+
+    return {
+        "simhash": (
+            simhash_dedup_step(store + "/sh", max_hamming=0, num_blocks=2),
+            text_rows,
+        ),
+        "phash": (
+            phash_dedup_step(store + "/ph", max_hamming=0, decoder=fake_image_decoder_8x8),
+            byte_rows,
+        ),
+        "audio_fp": (
+            audio_fp_dedup_step(store + "/au", max_hamming=0, decoder=fake_audio_decoder_pcm),
+            byte_rows,
+        ),
+        "video_fp": (
+            video_fp_dedup_step(store + "/vi", min_shared_frames=2, decoder=fake_video_decoder),
+            byte_rows,
+        ),
+    }
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(arrival())
+def test_exact_dup_first_seen_property_all_store_families(spark, arr):
+    import shutil
+
+    groups, batches = arr
+    root = tempfile.mkdtemp(prefix="family-arrival-")
+    try:
+        for name, (step, mk_rows) in _family_steps(root).items():
+            admitted = []
+            for bid, ids in enumerate(batches):
+                admitted.extend(
+                    r["doc_id"]
+                    for r in step(mk_rows(spark, ids, groups), bid).collect()
+                )
+            assert sorted(admitted) == _expected_first_seen(groups, batches), (
+                name,
+                groups,
+                batches,
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
