@@ -964,3 +964,53 @@ def test_video_fingerprint_pairs_planted_and_edges(spark):
     )
     gots = {(r["id_a"], r["id_b"]): r["n_shared_frames"] for r in sampled.collect()}
     assert gots.get((0, 100)) == 3
+
+
+def test_ivf_bucketed_index_zero_shuffle_serving(spark, tmp_path):
+    """The 100 TB IVF serving layout: an inverted file persisted
+    bucketed-by-cell serves probes with NO exchange on the index side.
+    Results must equal the in-memory ivf_topk exactly, and with the
+    broadcast disabled the cell-key join shows ONE exchange (the query
+    side) instead of two — the bucketed scan supplies the index side's
+    partitioning from storage."""
+    from willa_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    centroids = S.train_centroids(emb, n_centroids=8, n_iters=1)
+    spark.sql("DROP TABLE IF EXISTS ivf_bucketed_test")
+    S.save_ivf_index_bucketed(emb, centroids, "ivf_bucketed_test", num_buckets=4)
+    try:
+        want = sorted(
+            tuple(r)
+            for r in S.ivf_topk(emb, queries, centroids, k=10, n_probe=2).collect()
+        )
+        got_df = S.ivf_topk_bucketed(
+            spark, "ivf_bucketed_test", queries, centroids, k=10, n_probe=2,
+            broadcast_queries=False,
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            got = sorted(tuple(r) for r in got_df.collect())
+            plan = got_df._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert got == want
+        assert "Bucketed: true" in plan, plan
+        # AQE's final-plan string can print a REUSED exchange subtree
+        # more than once, so count DISTINCT exchanged attributes: with
+        # the bucketed index only the query side's __cell exchanges
+        # (one exprId); an unbucketed index would add its own
+        import re as _re
+
+        cell_exchanges = {
+            _re.search(r"Exchange hashpartitioning\(__cell#(\d+)", l).group(1)
+            for l in plan.splitlines()
+            if "Exchange hashpartitioning(__cell" in l
+        }
+        assert len(cell_exchanges) == 1, plan  # query side only
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ivf_bucketed_test")

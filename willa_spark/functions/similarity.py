@@ -405,11 +405,18 @@ def ivf_probe_topk(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Probe an ``ivf_index_frame``-shaped index (id, vec, cell):
     each query's ``n_probe`` nearest cells equi-joined (broadcast query
-    side), exact cosine rescore, per-query rank — the probe half of
-    ``ivf_topk``, shared with the streaming IVF store."""
+    side by default), exact cosine rescore, per-query rank — the probe
+    half of ``ivf_topk``, shared with the streaming IVF store.
+
+    ``broadcast_queries=False`` drops the broadcast hint for query
+    sets too large to ship to every executor: the join becomes a
+    shuffle join on ``cell`` — which is exactly when a BUCKETED index
+    (``save_ivf_index_bucketed``) pays off, since the index side then
+    needs no exchange at all."""
     from pyspark.sql import Window as W
 
     c = index.withColumnsRenamed({"id": "__cid_id", "vec": "__cv", "cell": "__cell"})
@@ -429,7 +436,8 @@ def ivf_probe_topk(
     q = queries.select(
         F.col(query_id_col).alias("__qid"), _as_double(F.col(query_vec_col)).alias("__qv")
     ).withColumn("__cell", F.explode(probe_cells(F.col("__qv")).getField("i")))
-    scored = c.join(F.broadcast(q), "__cell").select(
+    q_side = F.broadcast(q) if broadcast_queries else q
+    scored = c.join(q_side, "__cell").select(
         F.col("__qid"),
         F.col("__cid_id"),
         F.round(cosine(F.col("__cv"), F.col("__qv")), 6).alias("__sim"),
@@ -517,4 +525,62 @@ def embedding_near_dups(
             F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def save_ivf_index_bucketed(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    table: str,
+    num_buckets: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF inverted file hash-BUCKETED by cell — the
+    100 TB serving layout (SCALING.md): a probe join keyed on ``cell``
+    reads the bucketed table with NO exchange on the index side (only
+    the query side shuffles to match the bucket count), and a
+    same-bucketed second index co-locates for merge/compare jobs.
+    Centroids stay frozen for the table's lifetime (cell ids are only
+    comparable under the centroids that assigned them — retrain means
+    rewrite, exactly the streaming store's generation rule)."""
+    from ..operators.skew import write_bucketed
+
+    write_bucketed(
+        ivf_index_frame(corpus, centroids, id_col=id_col, vec_col=vec_col),
+        table,
+        "cell",
+        num_buckets=num_buckets,
+    )
+
+
+def ivf_topk_bucketed(
+    spark,
+    table: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """IVF top-k served from a ``save_ivf_index_bucketed`` table.
+    Identical results to ``ivf_topk`` over the same corpus/centroids
+    (pytest-pinned); the difference is purely physical — the inverted
+    lists come off storage pre-partitioned by cell, so with
+    ``broadcast_queries=False`` (big query batches) the index side
+    joins with zero shuffle (pinned by a plan-shape test: ONE exchange
+    on the join key, the query side's, instead of two)."""
+    return ivf_probe_topk(
+        spark.table(table),
+        queries,
+        centroids,
+        k=k,
+        n_probe=n_probe,
+        id_col=id_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        broadcast_queries=broadcast_queries,
     )
