@@ -1014,3 +1014,50 @@ def test_ivf_bucketed_index_zero_shuffle_serving(spark, tmp_path):
         assert len(cell_exchanges) == 1, plan  # query side only
     finally:
         spark.sql("DROP TABLE IF EXISTS ivf_bucketed_test")
+
+
+def test_lsh_bucketed_index_zero_shuffle_serving(spark, tmp_path):
+    """The LSH twin of the bucketed-IVF serving test: identical
+    results to lsh_topk, bucketed scan, and with broadcast disabled a
+    single exchanged attribute on the bucket join key (the query
+    side's)."""
+    from willa_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    spark.sql("DROP TABLE IF EXISTS lsh_bucketed_test")
+    S.save_lsh_index_bucketed(
+        emb, "lsh_bucketed_test", num_buckets=4, n_planes=4, n_tables=4
+    )
+    try:
+        want = sorted(
+            tuple(r)
+            for r in S.lsh_topk(
+                emb, queries, k=10, n_planes=4, n_tables=4, n_probes=1
+            ).collect()
+        )
+        got_df = S.lsh_topk_bucketed(
+            spark, "lsh_bucketed_test", queries, k=10, n_planes=4,
+            n_tables=4, n_probes=1, broadcast_queries=False,
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            got = sorted(tuple(r) for r in got_df.collect())
+            plan = got_df._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert got == want
+        assert "Bucketed: true" in plan, plan
+        import re as _re
+
+        tb_exchanges = {
+            _re.search(r"Exchange hashpartitioning\(__tb#(\d+)", l).group(1)
+            for l in plan.splitlines()
+            if "Exchange hashpartitioning(__tb" in l
+        }
+        assert len(tb_exchanges) == 1, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS lsh_bucketed_test")

@@ -218,12 +218,17 @@ def lsh_probe_topk(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Probe an ``lsh_index_frame``-shaped index (id, vec, bucket) with
-    a query set: bucket equi-join (broadcast query side) + exact cosine
-    rescoring + per-query rank. Parameters must match the ones the
-    index was built with — the probe derives its keys from the same
-    seeded hyperplane family."""
+    a query set: bucket equi-join (broadcast query side by default) +
+    exact cosine rescoring + per-query rank. Parameters must match the
+    ones the index was built with — the probe derives its keys from
+    the same seeded hyperplane family. ``broadcast_queries=False``
+    drops the broadcast hint for query batches too large to ship,
+    turning the join into a shuffle join on ``bucket`` — which is
+    exactly when a BUCKETED index (``save_lsh_index_bucketed``) pays
+    off: the index side then needs no exchange at all."""
     from pyspark.sql import Window as W
 
     _, query_keys = _lsh_key_udfs(dim, n_planes, seed, n_tables, n_probes)
@@ -232,7 +237,7 @@ def lsh_probe_topk(
     ).withColumn("__tb", F.explode(query_keys(F.col("__qv"))))
     scored = (
         index.withColumnsRenamed({"id": "__cid", "vec": "__cv", "bucket": "__tb"})
-        .join(F.broadcast(q), "__tb")
+        .join(F.broadcast(q) if broadcast_queries else q, "__tb")
         .dropDuplicates(["__qid", "__cid"])
         .select(
             F.col("__qid"),
@@ -579,6 +584,76 @@ def ivf_topk_bucketed(
         centroids,
         k=k,
         n_probe=n_probe,
+        id_col=id_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        broadcast_queries=broadcast_queries,
+    )
+
+
+def save_lsh_index_bucketed(
+    corpus: DataFrame,
+    table: str,
+    num_buckets: int = 32,
+    n_planes: int = 12,
+    dim: int = 64,
+    seed: int = 42,
+    n_tables: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the LSH index hash-bucketed by the packed
+    (table, signature) ``bucket`` key — the serving layout twin of
+    ``save_ivf_index_bucketed``. The hyperplane family is fully
+    determined by (dim, n_planes, seed, n_tables); a probe MUST use
+    the same parameters or its keys address a different family."""
+    from ..operators.skew import write_bucketed
+
+    write_bucketed(
+        lsh_index_frame(
+            corpus,
+            n_planes=n_planes,
+            dim=dim,
+            seed=seed,
+            n_tables=n_tables,
+            id_col=id_col,
+            vec_col=vec_col,
+        ),
+        table,
+        "bucket",
+        num_buckets=num_buckets,
+    )
+
+
+def lsh_topk_bucketed(
+    spark,
+    table: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 12,
+    dim: int = 64,
+    seed: int = 42,
+    n_probes: int = 0,
+    n_tables: int = 1,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """LSH top-k served from a ``save_lsh_index_bucketed`` table —
+    identical results to ``lsh_topk`` built with the same parameters
+    (pytest-pinned); with ``broadcast_queries=False`` the index side
+    joins with zero shuffle, same plan-shape argument as
+    ``ivf_topk_bucketed``."""
+    return lsh_probe_topk(
+        spark.table(table),
+        queries,
+        k=k,
+        n_planes=n_planes,
+        dim=dim,
+        seed=seed,
+        n_probes=n_probes,
+        n_tables=n_tables,
         id_col=id_col,
         query_id_col=query_id_col,
         query_vec_col=query_vec_col,
