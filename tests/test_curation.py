@@ -839,3 +839,84 @@ def test_packed_shards_null_guard_on_both_join_sides(spark):
     rows = CU.packed_slice_rows(docs, packed, seq_len=10, seqs_per_shard=2)
     plan = rows._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("NULL doc_id") >= 2, plan
+
+
+def test_repeat_dataset_fractional_epochs_exact(spark):
+    """Fractional-epoch upsampling is a pure function of (id, stratum,
+    epochs): copy counts equal the hash arithmetic replicated in
+    Python exactly, repeat_idx enumerates 0..n-1, e=0 and missing
+    strata drop out, and the extra-copy gate (salt=1) selects a
+    DIFFERENT id set than the sampling gate (salt=0) — independent
+    decisions, not the same low-hash winners."""
+    from willa_spark.functions.curation import (
+        KNUTH,
+        _2_32,
+        hash_uniform,
+        repeat_dataset,
+        stratified_sample,
+    )
+
+    rows = [(i, "web" if i % 3 else "wiki", f"doc {i}") for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    epochs = {"wiki": 2.5, "web": 0.5, "code": 1.0}  # code: absent stratum
+    out = repeat_dataset(docs, epochs).collect()
+
+    def u(i, salt):
+        return ((i + salt) * KNUTH) % _2_32 / _2_32
+
+    expect = {}
+    for i, src, _t in rows:
+        e = epochs[src] if src in epochs else 0.0
+        n = int(e) + (1 if u(i, 1) < e - int(e) else 0)
+        if n > 0:
+            expect[i] = n
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append(r["repeat_idx"])
+    assert {i: len(v) for i, v in got.items()} == expect
+    for i, idxs in got.items():
+        assert sorted(idxs) == list(range(len(idxs)))
+
+    # independence: the ids winning an extra wiki copy (salt 1, frac
+    # 0.5) are NOT the ids stratified_sample keeps at rate 0.5 (salt 0)
+    wiki_ids = [i for i, s, _ in rows if s == "wiki"]
+    extra = {i for i in wiki_ids if u(i, 1) < 0.5}
+    sampled = {
+        r["doc_id"]
+        for r in stratified_sample(docs, {"wiki": 0.5}).collect()
+    }
+    assert extra != (sampled & set(wiki_ids))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="epochs"):
+        repeat_dataset(docs, {"wiki": -1.0})
+
+
+def test_train_val_test_split_deterministic_and_partition_invariant(spark):
+    from willa_spark.functions.curation import (
+        KNUTH,
+        _2_32,
+        train_val_test_split,
+    )
+
+    docs = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    out = {r["doc_id"]: r["split"] for r in train_val_test_split(docs).collect()}
+
+    def want(i):
+        v = ((i + 2) * KNUTH) % _2_32 / _2_32
+        return "train" if v < 0.98 else ("val" if v < 0.99 else "test")
+
+    assert out == {i: want(i) for i in range(500)}
+    assert set(out.values()) == {"train", "val", "test"}
+
+    re_out = {
+        r["doc_id"]: r["split"]
+        for r in train_val_test_split(docs.repartition(13)).collect()
+    }
+    assert re_out == out
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fractions"):
+        train_val_test_split(docs, fractions=(0.5, 0.1, 0.1))

@@ -265,11 +265,18 @@ KNUTH = 2654435761
 _2_32 = 1 << 32
 
 
-def hash_uniform(id_col: Column) -> Column:
+def hash_uniform(id_col: Column, salt: int = 0) -> Column:
     """Deterministic uniform [0,1) from an integer id (multiplicative
     hashing; equidistributed on sequential ids). Safe for ids < 2^31
-    (the product stays within int64)."""
-    return ((id_col * F.lit(KNUTH)) % F.lit(_2_32)) / F.lit(float(_2_32))
+    (the product stays within int64). ``salt`` derives an INDEPENDENT
+    uniform from the same id — each sampling decision in a pipeline
+    must use its own salt, or the decisions correlate (the same
+    low-hash documents would win every gate: be sampled AND repeated
+    AND put in the validation split). salt=0 reproduces the historic
+    values exactly."""
+    return (((id_col + F.lit(salt)) * F.lit(KNUTH)) % F.lit(_2_32)) / F.lit(
+        float(_2_32)
+    )
 
 
 def stratified_sample(
@@ -959,3 +966,74 @@ def pack_sequences_scaled(
         F.floor(cb / seq_len).cast("bigint").alias("seq_id"),
         (cb % seq_len).cast("bigint").alias("seq_offset"),
     )
+
+
+def repeat_dataset(
+    docs: DataFrame,
+    epochs: dict[str, float],
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+    out_col: str = "repeat_idx",
+) -> DataFrame:
+    """Fractional-epoch upsampling — the mixing primitive for "train on
+    2.5 epochs of wiki, 1.0 of web": every doc appears floor(e) times,
+    plus one more copy for a deterministic hash_uniform(id, salt=1)
+    fraction (e - floor(e)) of docs. Copies are distinguished by
+    ``out_col`` (0..n-1) so a downstream re-id (e.g. id * max_epochs +
+    repeat_idx) stays collision-free. Strata with e = 0 drop out;
+    strata absent from ``epochs`` drop out too (same inner-join
+    contract as ``stratified_sample``).
+
+    The extra-copy gate uses salt=1 — INDEPENDENT of
+    ``stratified_sample``'s salt-0 gate, so sampling then repeating
+    does not hand every extra copy to the same low-hash documents.
+
+    Plan: broadcast rates join + a bounded explode
+    (sequence(0, n_copies-1)) — map-only, zero shuffle; output size is
+    exactly sum(e_s × |stratum s|) rows in one pass at any scale."""
+    bad = {s: e for s, e in epochs.items() if e < 0}
+    if bad:
+        raise ValueError(f"epochs must be >= 0: {bad}")
+    spark = docs.sparkSession
+    rates_df = spark.createDataFrame(
+        list(epochs.items()), schema=f"{strata_col} string, __epochs double"
+    )
+    whole = F.floor(F.col("__epochs")).cast("int")
+    extra = (
+        hash_uniform(F.col(id_col), salt=1)
+        < (F.col("__epochs") - F.floor(F.col("__epochs")))
+    ).cast("int")
+    n_copies = (whole + extra).alias("__n")
+    return (
+        docs.join(F.broadcast(rates_df), strata_col, "inner")
+        .withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .withColumn(out_col, F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
+        .drop("__epochs", "__n")
+    )
+
+
+def train_val_test_split(
+    docs: DataFrame,
+    fractions: tuple[float, float, float] = (0.98, 0.01, 0.01),
+    id_col: str = "doc_id",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test labeling: one hash_uniform(id,
+    salt=2) draw thresholded at the cumulative fractions — stable
+    across runs, retries, engines, and input partitioning (an
+    RNG-based split is none of those), and INDEPENDENT of the
+    sampling (salt 0) and repetition (salt 1) gates. Map-only, zero
+    shuffle; fractions must sum to 1."""
+    if abs(sum(fractions) - 1.0) > 1e-9 or any(f < 0 for f in fractions):
+        raise ValueError(
+            f"fractions must be non-negative and sum to 1: {fractions}"
+        )
+    u = hash_uniform(F.col(id_col), salt=2)
+    train, val, _test = fractions
+    label = (
+        F.when(u < F.lit(train), F.lit("train"))
+        .when(u < F.lit(train + val), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.withColumn(out_col, label)
