@@ -843,31 +843,34 @@ def test_packed_shards_null_guard_on_both_join_sides(spark):
 
 def test_repeat_dataset_fractional_epochs_exact(spark):
     """Fractional-epoch upsampling is a pure function of (id, stratum,
-    epochs): copy counts equal the hash arithmetic replicated in
-    Python exactly, repeat_idx enumerates 0..n-1, e=0 and missing
-    strata drop out, and the extra-copy gate (salt=1) selects a
-    DIFFERENT id set than the sampling gate (salt=0) — independent
-    decisions, not the same low-hash winners."""
+    epochs): copy counts equal floor(e) plus the salt-1 hash gate
+    (expectation derived from the same hash_uniform expression —
+    xxhash64 is not replicable in pure Python, determinism is pinned
+    by Spark-vs-Spark equality instead), repeat_idx enumerates 0..n-1,
+    e=0 and missing strata drop out, NULL ids fail loud, and the
+    extra-copy gate is statistically INDEPENDENT of the sampling gate
+    (the affine-salt bug handed every decision to the same ids)."""
     from willa_spark.functions.curation import (
-        KNUTH,
-        _2_32,
         hash_uniform,
         repeat_dataset,
         stratified_sample,
     )
 
-    rows = [(i, "web" if i % 3 else "wiki", f"doc {i}") for i in range(200)]
+    rows = [(i, "web" if i % 3 else "wiki", f"doc {i}") for i in range(400)]
     docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
     epochs = {"wiki": 2.5, "web": 0.5, "code": 1.0}  # code: absent stratum
     out = repeat_dataset(docs, epochs).collect()
 
-    def u(i, salt):
-        return ((i + salt) * KNUTH) % _2_32 / _2_32
-
+    u1 = {
+        r["doc_id"]: r["u"]
+        for r in docs.select(
+            "doc_id", hash_uniform(F.col("doc_id"), salt=1).alias("u")
+        ).collect()
+    }
     expect = {}
     for i, src, _t in rows:
-        e = epochs[src] if src in epochs else 0.0
-        n = int(e) + (1 if u(i, 1) < e - int(e) else 0)
+        e = epochs.get(src, 0.0)
+        n = int(e) + (1 if u1[i] < e - int(e) else 0)
         if n > 0:
             expect[i] = n
     got = {}
@@ -877,46 +880,86 @@ def test_repeat_dataset_fractional_epochs_exact(spark):
     for i, idxs in got.items():
         assert sorted(idxs) == list(range(len(idxs)))
 
-    # independence: the ids winning an extra wiki copy (salt 1, frac
-    # 0.5) are NOT the ids stratified_sample keeps at rate 0.5 (salt 0)
-    wiki_ids = [i for i, s, _ in rows if s == "wiki"]
-    extra = {i for i in wiki_ids if u(i, 1) < 0.5}
-    sampled = {
-        r["doc_id"]
-        for r in stratified_sample(docs, {"wiki": 0.5}).collect()
-    }
-    assert extra != (sampled & set(wiki_ids))
+    # rerun => identical (deterministic across runs and partitionings)
+    again = repeat_dataset(docs.repartition(7), epochs).collect()
+    got2 = {}
+    for r in again:
+        got2.setdefault(r["doc_id"], []).append(r["repeat_idx"])
+    assert {i: len(v) for i, v in got2.items()} == expect
+
+    # independence: among docs the salt-0 sampler keeps at rate 0.5,
+    # the salt-1 half-epoch gate should select ~half — NOT all or none
+    # (the affine-salt construction made the gates a constant shift of
+    # one another: every fractional epoch below 0.618 selected ZERO
+    # extra copies among sampled docs)
+    wiki = docs.filter(F.col("source") == "wiki")
+    sampled = {r["doc_id"] for r in stratified_sample(wiki, {"wiki": 0.5}).collect()}
+    extra_among_sampled = sum(1 for i in sampled if u1[i] < 0.5) / max(len(sampled), 1)
+    assert 0.3 < extra_among_sampled < 0.7, extra_among_sampled
 
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="epochs"):
         repeat_dataset(docs, {"wiki": -1.0})
+    bad = spark.createDataFrame(
+        [(None, "wiki", "x")], "doc_id bigint, source string, text string"
+    )
+    with _pytest.raises(Exception, match="NULL doc_id"):
+        repeat_dataset(bad, epochs).collect()
 
 
 def test_train_val_test_split_deterministic_and_partition_invariant(spark):
     from willa_spark.functions.curation import (
-        KNUTH,
-        _2_32,
+        hash_uniform,
+        stratified_sample,
         train_val_test_split,
     )
 
-    docs = spark.range(0, 500).withColumnRenamed("id", "doc_id")
-    out = {r["doc_id"]: r["split"] for r in train_val_test_split(docs).collect()}
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = {
+        r["doc_id"]: r["split"]
+        for r in train_val_test_split(docs, fractions=(0.5, 0.3, 0.2)).collect()
+    }
+    counts = {}
+    for v in out.values():
+        counts[v] = counts.get(v, 0) + 1
+    assert abs(counts["train"] / 2000 - 0.5) < 0.05
+    assert abs(counts["val"] / 2000 - 0.3) < 0.05
+    assert abs(counts["test"] / 2000 - 0.2) < 0.05
 
-    def want(i):
-        v = ((i + 2) * KNUTH) % _2_32 / _2_32
-        return "train" if v < 0.98 else ("val" if v < 0.99 else "test")
+    # labels equal the salt-2 hash thresholds exactly
+    u2 = {
+        r["doc_id"]: r["u"]
+        for r in docs.select(
+            "doc_id", hash_uniform(F.col("doc_id"), salt=2).alias("u")
+        ).collect()
+    }
+    want = {
+        i: ("train" if u < 0.5 else ("val" if u < 0.8 else "test"))
+        for i, u in u2.items()
+    }
+    assert out == want
 
-    assert out == {i: want(i) for i in range(500)}
-    assert set(out.values()) == {"train", "val", "test"}
-
+    # partition invariance
     re_out = {
         r["doc_id"]: r["split"]
-        for r in train_val_test_split(docs.repartition(13)).collect()
+        for r in train_val_test_split(
+            docs.repartition(13), fractions=(0.5, 0.3, 0.2)
+        ).collect()
     }
     assert re_out == out
+
+    # independence from the salt-0 sampling gate: among sampled(0.5)
+    # ids, ~50% train — not the ~100% the affine coupling produced
+    src = docs.withColumn("source", F.lit("s"))
+    sampled = {r["doc_id"] for r in stratified_sample(src, {"s": 0.5}).collect()}
+    p_train = sum(1 for i in sampled if out[i] == "train") / max(len(sampled), 1)
+    assert 0.35 < p_train < 0.65, p_train
 
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="fractions"):
         train_val_test_split(docs, fractions=(0.5, 0.1, 0.1))
+    bad = spark.createDataFrame([(None,)], "doc_id bigint")
+    with _pytest.raises(Exception, match="NULL doc_id"):
+        train_val_test_split(bad).collect()

@@ -1061,3 +1061,27 @@ def test_lsh_bucketed_index_zero_shuffle_serving(spark, tmp_path):
         assert len(tb_exchanges) == 1, plan
     finally:
         spark.sql("DROP TABLE IF EXISTS lsh_bucketed_test")
+
+
+def test_audio_frame_energies_cover_clip_tail(spark):
+    """Frames must cover the WHOLE clip: two clips sharing their first
+    64 samples but differing only in the tail must fingerprint apart
+    (the floor-division frame length hashed only the leading samples,
+    silently merging tail-divergent clips as 'duplicates')."""
+    import hashlib
+
+    from willa_spark.functions.multimodal import (
+        audio_fingerprint_pairs,
+        fake_audio_decoder_pcm,
+    )
+
+    head = hashlib.sha256(b"head").digest() * 2  # 64 bytes
+    a = head + hashlib.sha256(b"tail-a").digest() + b"\x00" * 4  # 100 bytes
+    b = head + hashlib.sha256(b"tail-b").digest() + b"\xff" * 4
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, a)], "id bigint, data binary"
+    )
+    pairs = audio_fingerprint_pairs(df, max_hamming=0, decoder=fake_audio_decoder_pcm)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 3) in got      # byte-identical clips still pair
+    assert (1, 2) not in got  # tail-divergent clips must NOT

@@ -22,6 +22,10 @@ N=${1:-4}
 cd "$(dirname "$0")/.."
 LOGDIR=/tmp/willa_test_logs
 mkdir -p "$LOGDIR"
+# clear stale logs first: a previous run with MORE shards leaves
+# shard<k>.log files this run won't overwrite, and update_durations
+# sums across every shard*.log — stale entries would double-count
+rm -f "$LOGDIR"/shard*.log
 PLAN=$(python tools/shard_plan.py "$N" tests/test_*.py) || exit 1
 declare -a PIDS
 i=0

@@ -266,15 +266,25 @@ _2_32 = 1 << 32
 
 
 def hash_uniform(id_col: Column, salt: int = 0) -> Column:
-    """Deterministic uniform [0,1) from an integer id (multiplicative
-    hashing; equidistributed on sequential ids). Safe for ids < 2^31
-    (the product stays within int64). ``salt`` derives an INDEPENDENT
-    uniform from the same id — each sampling decision in a pipeline
-    must use its own salt, or the decisions correlate (the same
-    low-hash documents would win every gate: be sampled AND repeated
-    AND put in the validation split). salt=0 reproduces the historic
-    values exactly."""
-    return (((id_col + F.lit(salt)) * F.lit(KNUTH)) % F.lit(_2_32)) / F.lit(
+    """Deterministic uniform [0,1) from an integer id. ``salt`` derives
+    an INDEPENDENT uniform from the same id — each sampling decision in
+    a pipeline must use its own salt, or the decisions correlate (the
+    same low-hash documents would win every gate: be sampled AND
+    repeated AND put in the validation split).
+
+    salt=0 keeps the historic multiplicative-hash values exactly
+    (equidistributed on sequential ids; safe for ids < 2^31 — the
+    DuckDB oracles replicate this arithmetic character-for-character).
+    salt != 0 uses ``xxhash64(id, salt)`` instead: salting the
+    MULTIPLICATIVE hash would be an affine shift — (id+s)·K mod 2^32 =
+    id·K + s·K, the same uniform offset by a constant ≈ 0.618·s, i.e.
+    perfectly CORRELATED gates (sampling at 1% then splitting would
+    put every sampled doc in 'train', and fractional epochs below
+    0.618 would never grant a sampled doc its extra copy) — xxhash64's
+    avalanche gives genuinely independent draws per salt."""
+    if salt == 0:
+        return ((id_col * F.lit(KNUTH)) % F.lit(_2_32)) / F.lit(float(_2_32))
+    return F.pmod(F.xxhash64(id_col, F.lit(salt)), F.lit(_2_32)) / F.lit(
         float(_2_32)
     )
 
@@ -968,6 +978,20 @@ def pack_sequences_scaled(
     )
 
 
+def _checked_not_null_id(docs: DataFrame, id_col: str, op: str) -> Column:
+    """The id column with a lazy in-plan NULL guard (raise_error rides
+    the hash evaluation — no extra pass), shared by the mixing ops."""
+    return F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"{op}: NULL {id_col} — deterministic hashing needs an "
+                "id; assign ids upstream"
+            )
+        ).cast(docs.schema[id_col].dataType),
+    ).otherwise(F.col(id_col))
+
+
 def repeat_dataset(
     docs: DataFrame,
     epochs: dict[str, float],
@@ -990,7 +1014,12 @@ def repeat_dataset(
 
     Plan: broadcast rates join + a bounded explode
     (sequence(0, n_copies-1)) — map-only, zero shuffle; output size is
-    exactly sum(e_s × |stratum s|) rows in one pass at any scale."""
+    exactly sum(e_s × |stratum s|) rows in one pass at any scale.
+
+    NULL ids fail loud in-plan (the repo's NULL-id discipline, same as
+    packed_slice_rows): hash_uniform(NULL) is NULL, which would
+    silently drop the doc's EVERY copy — including the whole ones —
+    through the n_copies > 0 filter."""
     bad = {s: e for s, e in epochs.items() if e < 0}
     if bad:
         raise ValueError(f"epochs must be >= 0: {bad}")
@@ -998,9 +1027,10 @@ def repeat_dataset(
     rates_df = spark.createDataFrame(
         list(epochs.items()), schema=f"{strata_col} string, __epochs double"
     )
+    checked_id = _checked_not_null_id(docs, id_col, "repeat_dataset")
     whole = F.floor(F.col("__epochs")).cast("int")
     extra = (
-        hash_uniform(F.col(id_col), salt=1)
+        hash_uniform(checked_id, salt=1)
         < (F.col("__epochs") - F.floor(F.col("__epochs")))
     ).cast("int")
     n_copies = (whole + extra).alias("__n")
@@ -1024,12 +1054,16 @@ def train_val_test_split(
     across runs, retries, engines, and input partitioning (an
     RNG-based split is none of those), and INDEPENDENT of the
     sampling (salt 0) and repetition (salt 1) gates. Map-only, zero
-    shuffle; fractions must sum to 1."""
+    shuffle; fractions must sum to 1.
+
+    NULL ids fail loud in-plan: every when() condition over a NULL
+    hash is NULL, so otherwise() would silently route ALL NULL-id
+    docs into the held-out 'test' split."""
     if abs(sum(fractions) - 1.0) > 1e-9 or any(f < 0 for f in fractions):
         raise ValueError(
             f"fractions must be non-negative and sum to 1: {fractions}"
         )
-    u = hash_uniform(F.col(id_col), salt=2)
+    u = hash_uniform(_checked_not_null_id(docs, id_col, "train_val_test_split"), salt=2)
     train, val, _test = fractions
     label = (
         F.when(u < F.lit(train), F.lit("train"))

@@ -311,17 +311,22 @@ def audio_frame_energies(
     which ``with_phash`` hashes to 0."""
     s = F.col(samples_col)
     n = F.coalesce(F.size(s), F.lit(0))
-    frame_len = F.greatest((n / n_frames).cast("int"), F.lit(1))
+    # CEILING division: frame_len * n_frames >= n, so the frames cover
+    # the WHOLE clip (floor left up to frame_len*n_frames - n tail
+    # samples influencing no frame — clips sharing a prefix but
+    # differing in the tail would fingerprint identically); the last
+    # frames may be partial or empty, so each frame normalizes by its
+    # ACTUAL slice size, keeping the energy a mean amplitude
+    frame_len = F.greatest(F.ceil(n / F.lit(n_frames)).cast("int"), F.lit(1))
     idx = F.sequence(F.lit(0), F.lit(n_frames - 1))
-    energies = F.transform(
-        idx,
-        lambda i: F.aggregate(
-            F.slice(s, i * frame_len + 1, frame_len),
-            F.lit(0.0),
-            lambda a, x: a + F.abs(x),
-        )
-        / frame_len,
-    )
+
+    def frame_energy(i):
+        sl = F.slice(s, i * frame_len + 1, frame_len)
+        return F.aggregate(
+            sl, F.lit(0.0), lambda a, x: a + F.abs(x)
+        ) / F.greatest(F.size(sl), F.lit(1))
+
+    energies = F.transform(idx, frame_energy)
     return df.withColumn(out_col, energies)
 
 

@@ -3087,21 +3087,28 @@ def q_packed_sequences_loaded(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(out, ignore_errors=True)
 
 
-def _phash_planted_corpus(docs: DataFrame, off: int):
-    """The planted image corpus shared by ``image_phash_dups`` and
-    ``recall_image_phash`` — ONE definition of the
-    payload (first 200 text bytes) and the plant (byte-identical twin
-    of every 20th doc under doc_id + off), so the recall proof can
-    never desynchronize from the rows-only pairs query. Returns
-    (corpus, planted_originals, members) — members = the planted
-    originals plus their twins, the minimal frame the recall row
-    hashes."""
-    imgs = docs.select(
+def _planted_binary_corpus(docs: DataFrame, off: int, modulus: int):
+    """Shared builder for the media-family planted corpora: payload =
+    first 200 text bytes, plant = byte-identical twin of every
+    ``modulus``-th doc under doc_id + off. Each family passes its OWN
+    modulus at the call site (image 20, audio 25, video 30 —
+    deliberately distinct so no two families' plants or oracles can
+    silently couple, ADVICE r06; the modulus is visible next to each
+    family's oracle). Returns (corpus, planted_originals, members)."""
+    clips = docs.select(
         "doc_id", F.encode(F.substring(F.col("text"), 1, 200), "utf-8").alias("data")
     )
-    planted = imgs.filter(F.col("doc_id") % 20 == 0)
+    planted = clips.filter(F.col("doc_id") % modulus == 0)
     twins = planted.withColumn("doc_id", F.col("doc_id") + F.lit(off))
-    return imgs.unionByName(twins), planted, planted.unionByName(twins)
+    return clips.unionByName(twins), planted, planted.unionByName(twins)
+
+
+def _phash_planted_corpus(docs: DataFrame, off: int):
+    """The planted image corpus shared by ``image_phash_dups`` and
+    ``recall_image_phash`` — ONE definition of the payload and the
+    plant (modulus 20), via ``_planted_binary_corpus``, so the recall
+    proof can never desynchronize from the rows-only pairs query."""
+    return _planted_binary_corpus(docs, off, 20)
 
 
 _KB_SUFFIX = " !@ #$ %^ &* !@ #$ %^ &*"
@@ -3205,19 +3212,9 @@ def q_image_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _audio_planted_corpus(docs: DataFrame, off: int):
     """The planted audio corpus shared by ``audio_fingerprint_dups``
-    and ``recall_audio_fp`` — ONE definition of the payload (first 200
-    text bytes as fake PCM) and the plant (byte-identical twin of
-    every 25TH doc under doc_id + off), so the recall proof can never
-    desynchronize from the rows-only pairs query. The modulus is
-    DELIBERATELY different from ``_phash_planted_corpus``'s 20 so no
-    two families' plants or oracles can silently couple (ADVICE r06).
-    Returns (corpus, planted_originals, members)."""
-    clips = docs.select(
-        "doc_id", F.encode(F.substring(F.col("text"), 1, 200), "utf-8").alias("data")
-    )
-    planted = clips.filter(F.col("doc_id") % 25 == 0)
-    twins = planted.withColumn("doc_id", F.col("doc_id") + F.lit(off))
-    return clips.unionByName(twins), planted, planted.unionByName(twins)
+    and ``recall_audio_fp`` (modulus 25 — distinct from image's 20,
+    see ``_planted_binary_corpus``)."""
+    return _planted_binary_corpus(docs, off, 25)
 
 
 @query("audio_fingerprint_dups")  # rows-only (decoded-PCM hashes not SQL-expressible)
@@ -3271,18 +3268,9 @@ def q_video_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _video_planted_corpus(docs: DataFrame, off: int):
     """The planted video corpus shared by ``video_fingerprint_dups``
-    and ``recall_video_fp`` — ONE definition of the payload (first 200
-    text bytes as fake frames) and the plant (byte-identical twin of
-    every 30TH doc under doc_id + off). Modulus 30: deliberately
-    distinct from the image plant's 20 and the audio plant's 25 so no
-    two families' plants or oracles can silently couple (ADVICE r06).
-    Returns (corpus, planted_originals, members)."""
-    clips = docs.select(
-        "doc_id", F.encode(F.substring(F.col("text"), 1, 200), "utf-8").alias("data")
-    )
-    planted = clips.filter(F.col("doc_id") % 30 == 0)
-    twins = planted.withColumn("doc_id", F.col("doc_id") + F.lit(off))
-    return clips.unionByName(twins), planted, planted.unionByName(twins)
+    and ``recall_video_fp`` (modulus 30 — distinct from image 20 /
+    audio 25, see ``_planted_binary_corpus``)."""
+    return _planted_binary_corpus(docs, off, 30)
 
 
 @query(

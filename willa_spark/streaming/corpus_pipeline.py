@@ -197,7 +197,6 @@ def pack_sequences_step(
     text_col: str = "text",
     strata_col: str = "source",
     compact_every: int | None = None,
-    dedup_score=None,
 ) -> Callable[[DataFrame, int], DataFrame]:
     """foreachBatch step for STREAMING concat-then-chunk sequence
     packing — each stratum's token stream continues across
@@ -330,7 +329,6 @@ def pack_shards_step(
     text_col: str = "text",
     strata_col: str = "source",
     compact_every: int | None = None,
-    dedup_score=None,
 ) -> Callable[[DataFrame, int], DataFrame]:
     """The trainer-consumable streaming assembly endpoint:
     ``pack_sequences_step``'s global sequence assignments composed

@@ -107,7 +107,15 @@ def _drop_within_batch(
         return clusters.filter(F.col("id") != F.col("cluster_id")).select(
             F.col("id").alias("__drop")
         )
-    member = clusters.join(scores, "id").select("cluster_id", "id", "__s")
+    # eager pin, same reason as dedup.keep_best: the member frame feeds
+    # three downstream plans (best / winners / drop) and Spark does not
+    # reuse subtrees — unpinned, the clusters-scores join AND the
+    # caller's score expression would evaluate three times per batch
+    member = (
+        clusters.join(scores, "id")
+        .select("cluster_id", "id", "__s")
+        .localCheckpoint(eager=True)
+    )
     best = member.groupBy("cluster_id").agg(F.max("__s").alias("__smax"))
     winners = (
         member.join(best, "cluster_id")
