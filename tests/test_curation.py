@@ -963,3 +963,19 @@ def test_train_val_test_split_deterministic_and_partition_invariant(spark):
     bad = spark.createDataFrame([(None,)], "doc_id bigint")
     with _pytest.raises(Exception, match="NULL doc_id"):
         train_val_test_split(bad).collect()
+
+
+def test_stratified_sample_null_id_fails_loud(spark):
+    """The third mixing gate aligns with its siblings (r7 review): a
+    NULL-id doc must raise, not silently vanish through the NULL
+    comparison in the sampling filter."""
+    from willa_spark.functions.curation import stratified_sample
+
+    bad = spark.createDataFrame(
+        [(None, "web", "x"), (1, "web", "y")],
+        "doc_id bigint, source string, text string",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NULL doc_id"):
+        stratified_sample(bad, {"web": 1.0}).collect()

@@ -22,6 +22,13 @@ N=${1:-4}
 cd "$(dirname "$0")/.."
 LOGDIR=/tmp/willa_test_logs
 mkdir -p "$LOGDIR"
+# single-runner lock: two concurrent invocations share the fixed log
+# dir and the rm below would delete each other's live shard logs
+exec 9>"$LOGDIR/.lock"
+if ! flock -n 9; then
+    echo "another run_tests.sh is already running (lock: $LOGDIR/.lock)"
+    exit 1
+fi
 # clear stale logs first: a previous run with MORE shards leaves
 # shard<k>.log files this run won't overwrite, and update_durations
 # sums across every shard*.log — stale entries would double-count

@@ -281,7 +281,14 @@ def hash_uniform(id_col: Column, salt: int = 0) -> Column:
     perfectly CORRELATED gates (sampling at 1% then splitting would
     put every sampled doc in 'train', and fractional epochs below
     0.618 would never grant a sampled doc its extra copy) — xxhash64's
-    avalanche gives genuinely independent draws per salt."""
+    avalanche gives genuinely independent draws per salt.
+
+    COMPATIBILITY: the salted values are part of any MATERIALIZED
+    artifact's contract (a persisted train/val/test split, a repeated
+    corpus). The salt mechanism was finalized in r7 (xxhash64); an
+    artifact derived under a different salted-hash definition is not
+    comparable row-by-row and must be re-derived, exactly like an IVF
+    store after retraining. salt=0 values have never changed."""
     if salt == 0:
         return ((id_col * F.lit(KNUTH)) % F.lit(_2_32)) / F.lit(float(_2_32))
     return F.pmod(F.xxhash64(id_col, F.lit(salt)), F.lit(_2_32)) / F.lit(
@@ -303,6 +310,10 @@ def stratified_sample(
 
     Plan: the rates map is a literal broadcast join (or CASE) on top of
     a single scan — map-only, zero shuffle.
+
+    NULL ids fail loud in-plan (r7, aligning with the other two mixing
+    gates): under the salt-0 multiplicative hash a NULL id propagates
+    to a NULL comparison and the filter would silently drop the doc.
     """
     bad = {s: r for s, r in rates.items() if not 0.0 <= r <= 1.0}
     if bad:
@@ -311,9 +322,10 @@ def stratified_sample(
     rates_df = spark.createDataFrame(
         list(rates.items()), schema=f"{strata_col} string, __rate double"
     )
+    checked = _checked_not_null_id(docs, id_col, "stratified_sample")
     return (
         docs.join(F.broadcast(rates_df), strata_col, "inner")
-        .filter(hash_uniform(F.col(id_col)) < F.col("__rate"))
+        .filter(hash_uniform(checked) < F.col("__rate"))
         .drop("__rate")
     )
 
@@ -1016,10 +1028,13 @@ def repeat_dataset(
     (sequence(0, n_copies-1)) — map-only, zero shuffle; output size is
     exactly sum(e_s × |stratum s|) rows in one pass at any scale.
 
-    NULL ids fail loud in-plan (the repo's NULL-id discipline, same as
-    packed_slice_rows): hash_uniform(NULL) is NULL, which would
-    silently drop the doc's EVERY copy — including the whole ones —
-    through the n_copies > 0 filter."""
+    NULL ids fail loud in-plan (the repo's NULL-id discipline, same
+    as packed_slice_rows). NOT because the hash propagates NULL:
+    xxhash64 treats a NULL input as absent and returns a seed-derived
+    CONSTANT, so unguarded NULL-id docs would all share one silent
+    gate decision (every one of them repeated — or none) rather than
+    being dropped; either way the doc's identity is gone and the
+    answer is to assign ids upstream, loudly."""
     bad = {s: e for s, e in epochs.items() if e < 0}
     if bad:
         raise ValueError(f"epochs must be >= 0: {bad}")
@@ -1056,9 +1071,12 @@ def train_val_test_split(
     sampling (salt 0) and repetition (salt 1) gates. Map-only, zero
     shuffle; fractions must sum to 1.
 
-    NULL ids fail loud in-plan: every when() condition over a NULL
-    hash is NULL, so otherwise() would silently route ALL NULL-id
-    docs into the held-out 'test' split."""
+    NULL ids fail loud in-plan. NOT because the hash propagates
+    NULL: xxhash64 treats a NULL input as absent and returns a
+    seed-derived constant, so every unguarded NULL-id doc would
+    silently land in the SAME split (whichever bucket that constant
+    falls in) — a correlated contamination of one split rather than a
+    spread; assign ids upstream, loudly."""
     if abs(sum(fractions) - 1.0) > 1e-9 or any(f < 0 for f in fractions):
         raise ValueError(
             f"fractions must be non-negative and sum to 1: {fractions}"

@@ -308,7 +308,14 @@ def audio_frame_energies(
     JVM-side, nothing touches Python after the decode. Frames past the
     end of a short clip (fewer samples than frames) contribute 0.0
     energy; empty/NULL sample arrays produce an all-zero envelope,
-    which ``with_phash`` hashes to 0."""
+    which ``with_phash`` hashes to 0.
+
+    STORE CONTRACT: this envelope definition is part of every
+    persisted audio-fingerprint store's identity — fingerprints
+    computed under a different framing (e.g. the pre-r7 floor
+    division) are not hamming-comparable, so changing this function
+    means REBUILDING streaming fp stores, the same generation rule as
+    IVF retraining (streaming/ann.py)."""
     s = F.col(samples_col)
     n = F.coalesce(F.size(s), F.lit(0))
     # CEILING division: frame_len * n_frames >= n, so the frames cover
