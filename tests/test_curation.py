@@ -979,3 +979,86 @@ def test_stratified_sample_null_id_fails_loud(spark):
 
     with _pytest.raises(Exception, match="NULL doc_id"):
         stratified_sample(bad, {"web": 1.0}).collect()
+
+
+from hypothesis import HealthCheck as _HC
+from hypothesis import given as _given
+from hypothesis import settings as _settings
+from hypothesis import strategies as _st
+
+
+@_settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[_HC.function_scoped_fixture],
+)
+@_given(_st.data())
+def test_mixing_trio_differential_property(spark, data):
+    """Random rates/epochs/fractions over a random corpus: the three
+    gates compose exactly as the per-id hash decisions predict. The
+    expected sets are derived from hash_uniform ITSELF (computed once
+    per salt via Spark) and the composition sample→repeat→split is
+    checked against the row-by-row model — so any drift in gate
+    arithmetic, join shape, or NULL/absent-stratum handling breaks
+    this, independent of which hash backs each salt."""
+    from willa_spark.functions.curation import (
+        hash_uniform,
+        repeat_dataset,
+        stratified_sample,
+        train_val_test_split,
+    )
+
+    n = data.draw(_st.integers(30, 120))
+    n_strata = data.draw(_st.integers(1, 4))
+    strata = [f"s{k}" for k in range(n_strata)]
+    assign = data.draw(
+        _st.lists(_st.integers(0, n_strata - 1), min_size=n, max_size=n)
+    )
+    rates = {
+        s: data.draw(_st.floats(0.0, 1.0, allow_nan=False)) for s in strata
+    }
+    epochs = {
+        s: data.draw(_st.floats(0.0, 3.0, allow_nan=False)) for s in strata
+    }
+    f_train = data.draw(_st.floats(0.1, 0.8, allow_nan=False))
+    f_val = data.draw(_st.floats(0.05, min(0.9 - f_train, 0.5), allow_nan=False))
+    fractions = (f_train, f_val, round(1.0 - f_train - f_val, 12))
+
+    rows = [(i, strata[assign[i]], f"doc {i}") for i in range(n)]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, source string, text string"
+    )
+    # one Spark evaluation of each salt's uniform = the model's inputs
+    us = {
+        r["doc_id"]: (r["u0"], r["u1"], r["u2"])
+        for r in docs.select(
+            "doc_id",
+            hash_uniform(F.col("doc_id"), salt=0).alias("u0"),
+            hash_uniform(F.col("doc_id"), salt=1).alias("u1"),
+            hash_uniform(F.col("doc_id"), salt=2).alias("u2"),
+        ).collect()
+    }
+
+    sampled = stratified_sample(docs, rates)
+    repeated = repeat_dataset(sampled, epochs)
+    labeled = train_val_test_split(repeated, fractions=fractions)
+    got = [
+        (r["doc_id"], r["repeat_idx"], r["split"])
+        for r in labeled.collect()
+    ]
+
+    expect = []
+    for i, src, _t in rows:
+        u0, u1, u2 = us[i]
+        if not u0 < rates[src]:
+            continue
+        e = epochs[src]
+        n_copies = int(e) + (1 if u1 < e - int(e) else 0)
+        label = (
+            "train"
+            if u2 < fractions[0]
+            else ("val" if u2 < fractions[0] + fractions[1] else "test")
+        )
+        for k in range(n_copies):
+            expect.append((i, k, label))
+    assert sorted(got) == sorted(expect)
