@@ -137,7 +137,18 @@ def with_phash(
     64-element array) — JVM-side, no Python beyond the decode itself.
     The mean sub-expression is re-evaluated per bit (64 x 64 adds per
     row — negligible next to the decode); a cost-sensitive caller can
-    pre-project the mean."""
+    pre-project the mean.
+
+    STORE CONTRACT: this hash definition (slice-first, mean over the
+    leading ``n_bits`` only — changed in r7 from whole-array mean) is
+    part of every persisted phash-store's identity: under a decoder
+    emitting MORE than ``n_bits`` coefficients, hashes computed by the
+    pre-r7 definition are not hamming-comparable with these, so
+    changing this function (or swapping in such a decoder across the
+    change) means REBUILDING streaming phash/audio-fp stores — the
+    same generation rule as ``audio_frame_energies`` and IVF
+    retraining (streaming/ann.py). No in-repo decoder exceeds
+    ``n_bits`` elements, so in-repo stores are unaffected."""
     return df.withColumn(out_col, phash_bits(F.col(features_col), n_bits))
 
 
@@ -499,20 +510,25 @@ def video_fingerprint_pairs(
         decoder=decoder,
     )
     fp = video_frame_hash_frame(decoded, id_col=id_col, every_n=every_n)
-    if frame_df_cap is not None:
-        raw = fp.persist()
-        rare = (
-            raw.groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= frame_df_cap)
-        )
-        fp = raw.join(rare.select("fp"), "fp", "left_semi")
-    # eager pin: the self-join scans the frame frame twice, and the
-    # Python decode behind it must not run twice (same discipline as
-    # winnow_overlap_pairs)
-    fp = fp.localCheckpoint(eager=True)
-    if frame_df_cap is not None:
-        raw.unpersist()
+    raw = None
+    try:
+        if frame_df_cap is not None:
+            raw = fp.persist()
+            rare = (
+                raw.groupBy("fp")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") <= frame_df_cap)
+            )
+            fp = raw.join(rare.select("fp"), "fp", "left_semi")
+        # eager pin: the self-join scans the frame frame twice, and the
+        # Python decode behind it must not run twice (same discipline
+        # as winnow_overlap_pairs)
+        fp = fp.localCheckpoint(eager=True)
+    finally:
+        # unpersist on the error path too — a raising semi-join or
+        # checkpoint must not leak a cache entry per failed call
+        if raw is not None:
+            raw.unpersist()
     return (
         winnow_pair_counts(fp)
         .filter(F.col("n_shared") >= min_shared_frames)

@@ -1147,27 +1147,34 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RECALL_OFF = 1_000_000
 
 
-def _recall_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents with the plant-offset guard: validate doc_id <
-    _RECALL_OFF LAZILY inside the plan (raise_error on violation, no
-    extra pass) — a corpus whose ids reach the offset would alias
-    planted copies onto real docs and silently void the
-    n_found = n_planted guarantee. Same discipline as
+def _plant_guarded_id(off: int) -> F.Column:
+    """The plant-offset guard COLUMN: doc_id validated < ``off`` LAZILY
+    inside the plan (raise_error on violation, no extra pass) — a
+    corpus whose ids reach the offset would alias planted copies onto
+    real docs and silently corrupt every plant-derived answer (voided
+    recall guarantees, false duplicate pairs in user-visible dup
+    queries). Shared by _recall_docs AND every standalone planted
+    corpus (ADVICE r07: the guard must ride everywhere the plant is
+    used, not just the recall rows). Same discipline as
     curation.plant_eval_leaks."""
-    checked_id = F.when(
-        F.col("doc_id") >= _RECALL_OFF,
+    return F.when(
+        F.col("doc_id") >= off,
         F.raise_error(
             F.concat(
                 F.lit(
-                    f"recall plant: doc_id >= plant offset ({_RECALL_OFF}) "
+                    f"planted corpus: doc_id >= plant offset ({off}) "
                     "would collide with planted ids: got "
                 ),
                 F.col("doc_id").cast("string"),
             )
         ).cast("bigint"),
     ).otherwise(F.col("doc_id"))
+
+
+def _recall_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with the plant-offset guard (``_plant_guarded_id``)."""
     return read_docs_spread(spark, sf_dir).select(
-        checked_id.alias("doc_id"), "text"
+        _plant_guarded_id(_RECALL_OFF).alias("doc_id"), "text"
     )
 
 
@@ -3094,9 +3101,14 @@ def _planted_binary_corpus(docs: DataFrame, off: int, modulus: int):
     modulus at the call site (image 20, audio 25, video 30 —
     deliberately distinct so no two families' plants or oracles can
     silently couple, ADVICE r06; the modulus is visible next to each
-    family's oracle). Returns (corpus, planted_originals, members)."""
+    family's oracle). Base ids ride the ``_plant_guarded_id`` check
+    (ADVICE r07: a corpus whose ids reach ``off`` would alias planted
+    twins onto real docs and emit false duplicate pairs in the
+    standalone dup queries — fail loud HERE, not only in the recall
+    rows). Returns (corpus, planted_originals, members)."""
     clips = docs.select(
-        "doc_id", F.encode(F.substring(F.col("text"), 1, 200), "utf-8").alias("data")
+        _plant_guarded_id(off).alias("doc_id"),
+        F.encode(F.substring(F.col("text"), 1, 200), "utf-8").alias("data"),
     )
     planted = clips.filter(F.col("doc_id") % modulus == 0)
     twins = planted.withColumn("doc_id", F.col("doc_id") + F.lit(off))
@@ -3165,7 +3177,9 @@ def q_near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     (wrong tie-break, NULL mishandling, dropped unclustered doc)
     breaks the value hash. Returns every survivor with its score."""
     OFF = 1_000_000
-    docs = read_docs_spread(spark, sf_dir)
+    docs = read_docs_spread(spark, sf_dir).select(
+        _plant_guarded_id(OFF).alias("doc_id"), "text"
+    )
     planted = docs.filter(F.col("doc_id") % 20 == 0).select(
         (F.col("doc_id") + OFF).alias("doc_id"),
         F.concat(F.col("text"), F.lit(_KB_SUFFIX)).alias("text"),
