@@ -108,6 +108,17 @@ HEADLINE = [
     # set ops, pivot, retraction, dedup splice, outer windowed join).
     # Mostly sub-second; cross-round totals stay comparable per-query
     # (the verdicts' practice), not by grand total.
+    # round 8: the precision duals of the recall family, the audio
+    # segment-containment pair, and the mixing rows — bench covers the
+    # complete 93-query registry
+    "precision_simhash",
+    "precision_image_phash",
+    "precision_audio_fp",
+    "precision_video_fp",
+    "audio_segment_dups",
+    "recall_audio_seg",
+    "mixing_repeat_epochs",
+    "mixing_train_val_test",
     "fanout_flatmap",
     "rekey_fanout",
     "value_only_rekey",

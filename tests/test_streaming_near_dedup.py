@@ -451,3 +451,71 @@ def test_streaming_video_fp_dedup_congruity_and_replay(spark, tmp_path):
     ).select("id_a", "id_b")
     kept = D.keep_canonical(full, D.dup_clusters(pairs))
     assert {r["doc_id"] for r in kept.collect()} == got1 | got2
+
+
+def test_streaming_audio_segment_dedup_congruity_embedded_and_replay(spark, tmp_path):
+    """The containment member of the streaming AUDIO family: a clip
+    EMBEDDED in (or trimmed from) a longer admitted file shares its
+    interior segment fingerprints and is dropped — the exact case the
+    whole-clip envelope (audio_fp_dedup_step) misses by construction.
+    Congruity with the batch twin (audio_segment_pairs → clusters →
+    min-id canonical) under id-ordered arrival, plus replay
+    idempotency and store shape. Injected byte-sensitive PCM fake —
+    the container ships no real audio libraries."""
+    from willa_spark.functions.multimodal import (
+        audio_segment_pairs,
+        fake_audio_decoder_pcm,
+    )
+    from willa_spark.streaming.near_dedup import (
+        audio_fp_dedup_step,
+        audio_segment_dedup_step,
+    )
+
+    import hashlib
+
+    # 256 NON-periodic bytes (8 distinct sha256 blocks — a payload
+    # with period == hop collapses every window to ONE distinct fp,
+    # which distinct-counting then can't threshold at 2; inherent to
+    # distinct shared-fp counting, same as winnowing on repeated text)
+    base = lambda i: b"".join(
+        hashlib.sha256(f"{i}-{k}".encode()).digest() for k in range(8)
+    )
+    pad = bytes([0x5A]) * 32  # hop-aligned junk flanks
+    rows = {1: base(1), 2: base(2), 3: base(3), 6: base(6)}
+    rows[4] = pad + base(2) + pad  # cross-batch EMBEDDING of clip 2
+    rows[5] = base(3)[:160]        # cross-batch TRIM of clip 3
+    rows[7] = rows[6]              # within-batch byte-identical twin of 6
+    b1 = [(i, rows[i]) for i in (1, 2, 3)]
+    b2 = [(i, rows[i]) for i in (4, 5, 6, 7)]
+    mk = lambda b: spark.createDataFrame(b, "doc_id bigint, data binary")
+
+    store = os.path.join(str(tmp_path), "aseg-store")
+    step = audio_segment_dedup_step(
+        store, min_shared_segments=2, decoder=fake_audio_decoder_pcm
+    )
+    got1 = {r["doc_id"] for r in step(mk(b1), 0).collect()}
+    got2 = {r["doc_id"] for r in step(mk(b2), 1).collect()}
+    assert got1 == {1, 2, 3}
+    assert got2 == {6}  # 4 embeds 2, 5 trims 3, 7 twins 6 within-batch
+
+    # the whole-clip family MISSES the embedded/trimmed copies — the
+    # motivating gap, pinned so the two families stay distinct on
+    # purpose (a global envelope of pad+clip+pad differs from clip's)
+    wstore = os.path.join(str(tmp_path), "whole-store")
+    wstep = audio_fp_dedup_step(wstore, max_hamming=3, decoder=fake_audio_decoder_pcm)
+    wstep(mk(b1), 0)
+    wgot2 = {r["doc_id"] for r in wstep(mk(b2), 1).collect()}
+    assert {4, 5} <= wgot2  # admitted by whole-clip = the miss
+
+    replay = {r["doc_id"] for r in step(mk(b2), 1).collect()}
+    assert replay == got2
+    stored = spark.read.parquet(store)
+    assert {r["id"] for r in stored.select("id").distinct().collect()} == {1, 2, 3, 6}
+    assert stored.count() == stored.distinct().count()
+
+    full = spark.createDataFrame(sorted(rows.items()), "doc_id bigint, data binary")
+    pairs = audio_segment_pairs(
+        full, min_shared_segments=2, id_col="doc_id", decoder=fake_audio_decoder_pcm
+    ).select("id_a", "id_b")
+    kept = D.keep_canonical(full, D.dup_clusters(pairs))
+    assert {r["doc_id"] for r in kept.collect()} == got1 | got2

@@ -327,8 +327,20 @@ def audio_frame_energies(
     division) are not hamming-comparable, so changing this function
     means REBUILDING streaming fp stores, the same generation rule as
     IVF retraining (streaming/ann.py)."""
-    s = F.col(samples_col)
-    n = F.coalesce(F.size(s), F.lit(0))
+    return df.withColumn(out_col, frame_energies(F.col(samples_col), n_frames))
+
+
+def frame_energies(samples, n_frames: int = 64):
+    """The energy-envelope KERNEL behind ``audio_frame_energies``, over
+    an arbitrary array-of-double EXPRESSION — factored out (the
+    phash_bits pattern) so it can run per-segment inside a lambda
+    context: ``audio_segment_fp_frame`` maps it over every sliding
+    window of a clip, so a standalone clip and the identical byte
+    range embedded in a longer file produce the SAME envelope.
+    Arithmetic is IDENTICAL to the pre-split ``audio_frame_energies``
+    (ceiling-division framing, per-actual-slice-size normalization) —
+    the store contract above covers this kernel."""
+    n = F.coalesce(F.size(samples), F.lit(0))
     # CEILING division: frame_len * n_frames >= n, so the frames cover
     # the WHOLE clip (floor left up to frame_len*n_frames - n tail
     # samples influencing no frame — clips sharing a prefix but
@@ -339,13 +351,12 @@ def audio_frame_energies(
     idx = F.sequence(F.lit(0), F.lit(n_frames - 1))
 
     def frame_energy(i):
-        sl = F.slice(s, i * frame_len + 1, frame_len)
+        sl = F.slice(samples, i * frame_len + 1, frame_len)
         return F.aggregate(
             sl, F.lit(0.0), lambda a, x: a + F.abs(x)
         ) / F.greatest(F.size(sl), F.lit(1))
 
-    energies = F.transform(idx, frame_energy)
-    return df.withColumn(out_col, energies)
+    return F.transform(idx, frame_energy)
 
 
 def audio_fingerprint_pairs(
@@ -387,6 +398,125 @@ def audio_fingerprint_pairs(
         "simhash",
     ).select(F.col(id_col).alias("id"), "simhash")
     return hamming_block_pairs(sig, max_hamming, num_blocks)
+
+
+def audio_segment_fp_frame(
+    decoded: DataFrame,
+    window: int = 64,
+    hop: int = 32,
+    n_frames: int = 64,
+    id_col: str = "id",
+    samples_col: str = "samples",
+) -> DataFrame:
+    """One (id, fp) row per DISTINCT sliding-WINDOW fingerprint of each
+    clip — the CONTAINMENT half of the audio dedup family. The
+    whole-clip envelope (``audio_frame_energies`` →
+    ``audio_fingerprint_pairs``) reduces a clip to ONE global
+    fingerprint, so a clip embedded in (or trimmed from) a longer file
+    fingerprints differently and is missed — exactly the failure the
+    video family solves with per-frame hashes. Here every
+    ``window``-sample segment at ``hop``-sample stride gets its own
+    envelope (``frame_energies`` kernel — byte-identical arithmetic to
+    the whole-clip path) and 64-bit threshold hash (``phash_bits``),
+    so an embedded copy whose byte offset is a multiple of ``hop``
+    shares every fully-interior segment fingerprint with the original
+    — the winnowing containment argument at audio-segment granularity.
+
+    Segments tile the WHOLE clip: ceil((n - window)/hop) + 1 windows,
+    the last possibly partial (covering the tail — a floor count would
+    leave tail samples fingerprinting nothing, so tail-divergent clips
+    would alias). A clip shorter than ``window`` yields its single
+    partial segment; empty/NULL samples hash to the single fp 0.
+
+    Pure Column expressions (nested higher-order functions: transform
+    over windows → envelope transform → threshold aggregate) —
+    JVM-side, map-only, no shuffle; PCM never leaves the scan stage,
+    only (id, 8-byte fp) rows do.
+
+    STORE CONTRACT: (window, hop, n_frames) and this tiling are part
+    of every persisted segment-fp store's identity — same rebuild rule
+    as ``audio_frame_energies``."""
+    s = F.col(samples_col)
+    n = F.coalesce(F.size(s), F.lit(0))
+    n_windows = (
+        F.greatest(
+            F.ceil((n - F.lit(window)) / F.lit(hop)).cast("int"), F.lit(0)
+        )
+        + F.lit(1)
+    )
+    starts = F.sequence(F.lit(0), (n_windows - 1) * hop, F.lit(hop))
+    fps = F.array_distinct(
+        F.transform(
+            starts,
+            lambda off: phash_bits(
+                frame_energies(F.slice(s, off + 1, window), n_frames)
+            ),
+        )
+    )
+    return decoded.select(
+        F.col(id_col).alias("id"), F.explode(fps).alias("fp")
+    )
+
+
+def audio_segment_pairs(
+    df: DataFrame,
+    min_shared_segments: int = 2,
+    window: int = 64,
+    hop: int = 32,
+    seg_df_cap: int | None = 10,
+    binary_col: str = "data",
+    id_col: str = "id",
+    decoder: Callable[[bytes], dict] | None = None,
+) -> DataFrame:
+    """Shared-segment near-duplicate AUDIO pairs — containment dedup
+    for audio (podcast/audiobook corpora where one recording is
+    embedded in or trimmed from another): decode (Arrow-batched
+    mapInPandas, injected codec) → sliding-window segment fingerprints
+    (``audio_segment_fp_frame``) → the SAME fingerprint equi-join
+    kernel as winnowing and video (``winnow_pair_counts`` — volume ∝
+    collisions, never all-pairs) → pairs sharing >=
+    ``min_shared_segments`` distinct segment fingerprints. Returns
+    (id_a, id_b, n_shared_segments).
+
+    ``seg_df_cap`` drops segment fps appearing in more than that many
+    clips before the self-join (MOSS's rule, same as
+    ``winnow_overlap_pairs`` / ``video_fingerprint_pairs``): a
+    ubiquitous segment — silence, a jingle, test tone — fans out f²
+    pairs and is boilerplate, not evidence of duplication. At 100 TB
+    the decode+segment-hash is one map-only pass; only (id, 8-byte fp)
+    rows reach the shuffle. Streaming twin:
+    ``streaming.near_dedup.audio_segment_dedup_step``."""
+    from .dedup import _spread, winnow_pair_counts
+
+    decoded = decode_audio(
+        _spread(df.select(id_col, binary_col), id_col),
+        binary_col=binary_col,
+        id_col=id_col,
+        decoder=decoder,
+    )
+    fp = audio_segment_fp_frame(decoded, window=window, hop=hop, id_col=id_col)
+    raw = None
+    try:
+        if seg_df_cap is not None:
+            raw = fp.persist()
+            rare = (
+                raw.groupBy("fp")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") <= seg_df_cap)
+            )
+            fp = raw.join(rare.select("fp"), "fp", "left_semi")
+        # eager pin: the self-join scans the fp frame twice, and the
+        # Python decode behind it must not run twice (same discipline
+        # as video_fingerprint_pairs)
+        fp = fp.localCheckpoint(eager=True)
+    finally:
+        if raw is not None:
+            raw.unpersist()
+    return (
+        winnow_pair_counts(fp)
+        .filter(F.col("n_shared") >= min_shared_segments)
+        .withColumnRenamed("n_shared", "n_shared_segments")
+    )
 
 
 def fake_video_decoder(data: bytes) -> dict:

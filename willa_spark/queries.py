@@ -3328,6 +3328,438 @@ def q_recall_video_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- r8:
+# precision rows — the DUAL of the recall family. The 8 recall rows
+# prove planted dups are FOUND; these prove just-over-threshold
+# near-misses are NOT found. Each row carries BOTH arms so it is
+# self-controlled: an exact twin (offset 1e6, distance 0 — the
+# positive control: machinery that silently emits nothing fails the
+# row) and a near-miss twin (offset 2e6, distance exactly
+# max_hamming+1 / shared-count exactly min_shared-1). The near-miss is
+# constructed by SIGNATURE surgery, not byte flips: flipping payload
+# bytes through the threshold-against-mean fakes moves an
+# uncontrollable number of hash bits (the mean shifts every borderline
+# bit), so only an XOR at the signature layer pins the distance at
+# exactly threshold+1 — and flipping all max_hamming+1 bits INSIDE ONE
+# pigeonhole block leaves the other max_hamming blocks identical, so
+# candidate generation MUST surface the pair and the exact-verify
+# filter is what the row actually exercises. The corpus-side
+# signatures still come from each family's full decode→signature path.
+
+_P_OFF1 = 1_000_000  # exact-twin offset (positive control, distance 0)
+_P_OFF2 = 2_000_000  # near-miss offset (distance = threshold + 1)
+
+
+def _precision_sig_rows(
+    family: str, sig: DataFrame, modulus: int, max_hamming: int = 3
+) -> DataFrame:
+    """(family, n_planted, n_true_found, n_false_found) over an
+    (id, simhash) frame: per planted id, an exact twin at _P_OFF1 and
+    a near-miss twin at _P_OFF2 whose signature is XOR'd with the
+    low (max_hamming+1) bits — all inside pigeonhole block 0 (blocks
+    are ``simhash_block_frame``'s low-to-high 16-bit shifts), so the
+    other max_hamming blocks match exactly and the candidate pair is
+    GUARANTEED to reach the bit_count verify, which must reject it:
+    hamming is exactly max_hamming+1 by construction. n_false_found
+    counts originals whose near-miss twin was (wrongly) emitted — the
+    oracle asserts 0; n_true_found must equal n_planted."""
+    mask = (1 << (max_hamming + 1)) - 1
+    planted = sig.filter(F.col("id") % modulus == 0)
+    exact = planted.select((F.col("id") + _P_OFF1).alias("id"), "simhash")
+    miss = planted.select(
+        (F.col("id") + _P_OFF2).alias("id"),
+        F.col("simhash").bitwiseXOR(F.lit(mask)).alias("simhash"),
+    )
+    frame = sig.unionByName(exact).unionByName(miss)
+    pairs = D.hamming_block_pairs(frame, max_hamming, max_hamming + 1)
+    orig = F.col("id_a") < _P_OFF1
+    n_true = pairs.filter(orig & (F.col("id_b") == F.col("id_a") + _P_OFF1)).agg(
+        F.count_distinct("id_a").alias("n_true_found")
+    )
+    n_false = pairs.filter(orig & (F.col("id_b") == F.col("id_a") + _P_OFF2)).agg(
+        F.count_distinct("id_a").alias("n_false_found")
+    )
+    n_pl = planted.agg(F.count(F.lit(1)).cast("bigint").alias("n_planted"))
+    return (
+        n_pl.crossJoin(n_true)
+        .crossJoin(n_false)
+        .select(
+            F.lit(family).alias("family"),
+            "n_planted",
+            "n_true_found",
+            "n_false_found",
+        )
+    )
+
+
+def _precision_oracle(family: str, modulus: int) -> str:
+    return f"""
+    WITH p AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+               WHERE doc_id % {modulus} = 0)
+    SELECT '{family}' AS family, n AS n_planted, n AS n_true_found,
+           CAST(0 AS BIGINT) AS n_false_found FROM p
+    """
+
+
+@query("precision_simhash", oracle=_precision_oracle("simhash", 20))
+def q_precision_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash precision proof (dual of ``recall_simhash``): corpus
+    signatures from the full text→simhash path; near-miss twins at
+    hamming exactly 4 with all flips in block 0 (candidate guaranteed
+    by pigeonhole) must be REJECTED by the exact bit_count verify,
+    while exact twins (hamming 0) must all be found. A verify bug
+    (wrong mask arithmetic, off-by-one threshold, dropped filter)
+    flips n_false_found off 0 or n_true_found off n_planted."""
+    docs = _recall_docs(spark, sf_dir)
+    sig = D.with_simhash(docs.select("doc_id", "text"), "text").select(
+        F.col("doc_id").alias("id"), "simhash"
+    )
+    return _precision_sig_rows("simhash", sig, 20)
+
+
+@query("precision_image_phash", oracle=_precision_oracle("image_phash", 20))
+def q_precision_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image pHash precision proof (dual of ``recall_image_phash``):
+    corpus signatures from the full decode (injected byte-sensitive
+    8x8 fake codec) → threshold-hash path; signature-surgery twins as
+    in ``_precision_sig_rows``."""
+    from .functions.multimodal import (
+        decode_images,
+        fake_image_decoder_8x8,
+        with_phash,
+    )
+
+    docs = _recall_docs(spark, sf_dir)
+    clips = docs.select(
+        "doc_id",
+        F.encode(F.substring(F.col("text"), 1, 200), "utf-8").alias("data"),
+    )
+    decoded = decode_images(
+        clips, id_col="doc_id", decoder=fake_image_decoder_8x8
+    )
+    sig = with_phash(decoded, "features", "simhash").select(
+        F.col("doc_id").alias("id"), "simhash"
+    )
+    return _precision_sig_rows("image_phash", sig, 20)
+
+
+@query("precision_audio_fp", oracle=_precision_oracle("audio_fp", 25))
+def q_precision_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprint precision proof (dual of ``recall_audio_fp``):
+    corpus signatures from the full decode (byte-sensitive PCM fake)
+    → energy envelope → threshold-hash path; signature-surgery twins
+    as in ``_precision_sig_rows``."""
+    from .functions.multimodal import (
+        audio_frame_energies,
+        decode_audio,
+        fake_audio_decoder_pcm,
+        with_phash,
+    )
+
+    docs = _recall_docs(spark, sf_dir)
+    clips = docs.select(
+        "doc_id",
+        F.encode(F.substring(F.col("text"), 1, 200), "utf-8").alias("data"),
+    )
+    decoded = decode_audio(clips, id_col="doc_id", decoder=fake_audio_decoder_pcm)
+    sig = with_phash(
+        audio_frame_energies(decoded, "samples", "features"),
+        "features",
+        "simhash",
+    ).select(F.col("doc_id").alias("id"), "simhash")
+    return _precision_sig_rows("audio_fp", sig, 25)
+
+
+@query("precision_video_fp", oracle=_precision_oracle("video_fp", 30))
+def q_precision_video_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video shared-frame precision proof (dual of ``recall_video_fp``)
+    — the containment analogue of the hamming duals: the near-miss
+    twin owns exactly ONE of its original's frame hashes (min(fp) —
+    one row, so n_shared with the original is exactly 1 =
+    min_shared_frames - 1 BY CONSTRUCTION, however the other frames
+    hash), which the >= 2 threshold must reject; the exact twin owns
+    every frame hash and must be found (n_shared >= 1 — every decoded
+    video has at least one frame). Counting runs through the family's
+    real kernel (``winnow_pair_counts`` over the decoded frame-hash
+    frame)."""
+    from .functions.multimodal import (
+        decode_video,
+        fake_video_decoder,
+        video_frame_hash_frame,
+    )
+
+    docs = _recall_docs(spark, sf_dir)
+    clips = docs.select(
+        "doc_id",
+        F.encode(F.substring(F.col("text"), 1, 200), "utf-8").alias("data"),
+    )
+    decoded = decode_video(clips, id_col="doc_id", decoder=fake_video_decoder)
+    fpf = video_frame_hash_frame(decoded, id_col="doc_id").localCheckpoint(
+        eager=True
+    )
+    planted_fp = fpf.filter(F.col("id") % 30 == 0)
+    exact = planted_fp.select((F.col("id") + _P_OFF1).alias("id"), "fp")
+    miss = (
+        planted_fp.groupBy("id")
+        .agg(F.min("fp").alias("fp"))
+        .select((F.col("id") + _P_OFF2).alias("id"), "fp")
+    )
+    frame = fpf.unionByName(exact).unionByName(miss)
+    counts = D.winnow_pair_counts(frame)
+    orig = F.col("id_a") < _P_OFF1
+    n_true = counts.filter(
+        orig & (F.col("id_b") == F.col("id_a") + _P_OFF1) & (F.col("n_shared") >= 1)
+    ).agg(F.count_distinct("id_a").alias("n_true_found"))
+    n_false = counts.filter(
+        orig & (F.col("id_b") == F.col("id_a") + _P_OFF2) & (F.col("n_shared") >= 2)
+    ).agg(F.count_distinct("id_a").alias("n_false_found"))
+    n_pl = (
+        clips.filter(F.col("doc_id") % 30 == 0)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_planted"))
+    )
+    return (
+        n_pl.crossJoin(n_true)
+        .crossJoin(n_false)
+        .select(
+            F.lit("video_fp").alias("family"),
+            "n_planted",
+            "n_true_found",
+            "n_false_found",
+        )
+    )
+
+
+# ------------------------------------------------- r8: audio containment
+_ASEG_PAD = bytes([0x5A]) * 32  # hop-aligned flank for embedded plants
+
+
+def _audio_seg_planted_corpus(docs: DataFrame, off: int):
+    """Planted EMBEDDED-copy corpus for the audio segment family
+    (modulus 35 — distinct from image 20 / audio-whole 25 / video 30,
+    the no-coupling rule): the twin of every 35th doc with a payload of
+    >= 64 bytes (one full segment window) is the payload FLANKED by
+    32-byte (= hop-aligned) junk pads — byte-embedded, not
+    byte-identical, which is precisely what the whole-clip envelope
+    family cannot see. Alignment: the twin's segment at offset hop
+    equals the original's segment at offset 0, so >= 1 shared segment
+    fingerprint is GUARANTEED by construction (more when the payload
+    is longer and aperiodic). Returns (corpus, planted, members)."""
+    clips = docs.select(
+        _plant_guarded_id(off).alias("doc_id"),
+        F.encode(F.substring(F.col("text"), 1, 200), "utf-8").alias("data"),
+    )
+    planted = clips.filter(
+        (F.col("doc_id") % 35 == 0) & (F.length("data") >= 64)
+    )
+    twins = planted.select(
+        (F.col("doc_id") + F.lit(off)).alias("doc_id"),
+        F.concat(F.lit(_ASEG_PAD), F.col("data"), F.lit(_ASEG_PAD)).alias(
+            "data"
+        ),
+    )
+    return clips.unionByName(twins), planted, planted.unionByName(twins)
+
+
+@query("audio_segment_dups")  # rows-only (segment hashes not SQL-expressible)
+def q_audio_segment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-SEGMENT near-duplicate audio pairs — containment dedup
+    for audio (the whole-clip ``audio_fingerprint_dups`` reduces a
+    clip to one global envelope fingerprint, so a clip embedded in or
+    trimmed from a longer file is invisible to it; this family's
+    sliding-window segment fingerprints catch exactly that, the video
+    family's containment design at audio granularity). Corpus payloads
+    plus hop-aligned EMBEDDED twins of every 35th doc
+    (``_audio_seg_planted_corpus``, shared with the recall row).
+    decode → sliding-window segment fps → fingerprint equi-join
+    (``winnow_pair_counts``) → pairs sharing >= 2 distinct segment
+    fps. Recall at the admission threshold is driver-proven by the
+    oracle-checked ``recall_audio_seg`` row; streaming twin:
+    ``streaming.near_dedup.audio_segment_dedup_step``."""
+    from .functions.multimodal import audio_segment_pairs, fake_audio_decoder_pcm
+
+    corpus, _planted, _members = _audio_seg_planted_corpus(
+        read_docs_spread(spark, sf_dir), 1_000_000
+    )
+    return audio_segment_pairs(
+        corpus, min_shared_segments=2, id_col="doc_id", decoder=fake_audio_decoder_pcm
+    )
+
+
+@query(
+    "recall_audio_seg",
+    oracle=r"""
+    WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+               WHERE doc_id % 35 = 0
+                 AND octet_length(encode(substring(text, 1, 200))) >= 64)
+    SELECT 'audio_seg' AS family, n AS n_planted, n AS n_found FROM a
+    """,
+)
+def q_recall_audio_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio segment-containment recall proof: an EMBEDDED copy
+    (hop-aligned junk flanks, doc_id + 1e6) of every 35th doc with a
+    >= 64-byte payload is planted. The twin's segment at offset hop
+    is byte-identical to the original's segment at offset 0 ⇒ same
+    envelope ⇒ same fingerprint ⇒ the fp equi-join MUST surface the
+    pair at min_shared = 1 (the threshold the recall proof admits,
+    same as ``recall_video_fp``'s min_shared_frames=1 — a SINGLE
+    shared segment is already guaranteed by construction; distinct
+    counting cannot promise two, e.g. a periodic payload collapses
+    all its windows to one fp). Driver-gate proof for the rows-only
+    ``audio_segment_dups``."""
+    from .functions.multimodal import audio_segment_pairs, fake_audio_decoder_pcm
+
+    docs = _recall_docs(spark, sf_dir)
+    corpus, planted, _members = _audio_seg_planted_corpus(docs, _RECALL_OFF)
+    pairs = audio_segment_pairs(
+        corpus,
+        min_shared_segments=1,
+        seg_df_cap=None,
+        id_col="doc_id",
+        decoder=fake_audio_decoder_pcm,
+    )
+    return _recall_row(
+        "audio_seg", _count_planted(planted), _count_found_offset_pairs(pairs)
+    )
+
+
+# ------------------------------------------------------ r8: mixing rows
+# The mixing trio (sample salt-0 / repeat salt-1 / split salt-2) was
+# pytest-proven in r7; these rows make repeat_dataset and
+# train_val_test_split driver-visible. DuckDB cannot compute Spark's
+# xxhash64, so the oracles check the SALT-FREE projections exactly
+# (floor-copy counts, exhaustive+disjoint partition) while the
+# salt-gated arms ride IN-PLAN raise_error band assertions (measured
+# deterministic deviations: epochs extra-copy fraction within 0.027 of
+# its target at sf0.001/0.01/0.1, split fractions within 0.006 —
+# bands 0.1 / 0.03 hold with wide margin and the values are pure
+# functions of the corpus, not random). Exact per-id gate decisions
+# stay pytest-pinned (tests/test_curation.py replicates the xxhash64
+# arithmetic bit-for-bit).
+
+MIX_EPOCHS = {f"src{i}": (0.25, 1.0, 2.5)[i % 3] for i in range(100)}
+_EPOCHS_SQL = ", ".join(f"('{s}', {e})" for s, e in MIX_EPOCHS.items())
+
+
+def _band_checked(ok: F.Column, label: str) -> F.Column:
+    """TRUE, or an in-plan raise_error — the driver-visible arm of a
+    non-SQL-expressible invariant (the row fails loud, not silently)."""
+    return F.when(
+        ~ok,
+        F.raise_error(F.lit(f"mixing invariant violated: {label}")).cast(
+            "boolean"
+        ),
+    ).otherwise(F.lit(True))
+
+
+@query(
+    "mixing_repeat_epochs",
+    oracle=f"""
+    WITH rates(source, e) AS (VALUES {_EPOCHS_SQL}),
+    t AS (SELECT CAST(e AS DOUBLE) AS e, CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents d JOIN rates USING (source) GROUP BY 1)
+    SELECT e AS epochs, n_docs,
+           CAST(n_docs * CAST(floor(e) AS BIGINT) AS BIGINT) AS n_floor_rows,
+           true AS extra_in_band
+    FROM t
+    """,
+)
+def q_mixing_repeat_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch repetition driver-proven per epoch tier: docs
+    join a 3-tier epochs spec (0.25 / 1.0 / 2.5 — a sub-epoch tier, an
+    identity tier, and a floor+fractional tier, so every arm of
+    ``repeat_dataset`` executes). Exact oracle arm: each tier's
+    floor-copy row count is exactly n_docs x floor(e) — a broadcast
+    bug, dropped stratum, or explode off-by-one breaks the value
+    hash. Gated arm: the salt-1 xxhash64 extra-copy count must land
+    within 0.1 of fraction(e) x n_docs (in-plan raise_error;
+    measured deviation <= 0.027 at every test SF, deterministic —
+    DuckDB cannot compute xxhash64, so the bound is the
+    driver-checkable projection; exact per-id decisions are
+    pytest-pinned)."""
+    docs = read_docs_spread(spark, sf_dir).select("doc_id", "source")
+    rates = spark.createDataFrame(
+        list(MIX_EPOCHS.items()), "source string, e double"
+    )
+    base = (
+        docs.join(F.broadcast(rates), "source")
+        .groupBy("e")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    rep = CURATION.repeat_dataset(docs, MIX_EPOCHS).join(
+        F.broadcast(rates), "source"
+    )
+    out = rep.groupBy("e").agg(
+        F.sum(
+            F.when(F.col("repeat_idx") < F.floor("e"), 1).otherwise(0)
+        ).cast("bigint").alias("n_floor_rows"),
+        F.sum(
+            F.when(F.col("repeat_idx") == F.floor("e"), 1).otherwise(0)
+        ).cast("bigint").alias("n_extra"),
+    )
+    frac = F.col("e") - F.floor("e")
+    joined = base.join(out, "e", "left").na.fill(
+        {"n_floor_rows": 0, "n_extra": 0}
+    )
+    ok = (
+        (F.col("n_extra") >= 0)
+        & (F.col("n_extra") <= F.col("n_docs"))
+        & (
+            F.abs(F.col("n_extra") / F.col("n_docs") - frac) <= F.lit(0.1)
+        )
+    )
+    return joined.select(
+        F.col("e").alias("epochs"),
+        "n_docs",
+        "n_floor_rows",
+        _band_checked(ok, "extra-copy fraction off its epoch fraction").alias(
+            "extra_in_band"
+        ),
+    )
+
+
+@query(
+    "mixing_train_val_test",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct_docs,
+           true AS fracs_in_band
+    FROM documents
+    """,
+)
+def q_mixing_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split driver-proven: the exact
+    oracle arm pins the PARTITION property — every doc labeled exactly
+    once (n_total = n_distinct_docs = |documents|; a dropped or
+    duplicated row breaks the hash). Gated arm: the three salt-2
+    label fractions must land within 0.03 of (0.9, 0.05, 0.05) and
+    sum exactly to n_total (in-plan raise_error; measured deviation
+    <= 0.006 at every test SF, deterministic). Exact per-id labels
+    are pytest-pinned against the xxhash64 arithmetic."""
+    docs = read_docs_spread(spark, sf_dir).select("doc_id")
+    lab = CURATION.train_val_test_split(docs, (0.9, 0.05, 0.05))
+    agg = lab.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.count_distinct("doc_id").alias("n_distinct_docs"),
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("n_tr"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("n_va"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("n_te"),
+    )
+    n = F.col("n_total").cast("double")
+    ok = (
+        (F.col("n_tr") + F.col("n_va") + F.col("n_te") == F.col("n_total"))
+        & (F.abs(F.col("n_tr") / n - 0.90) <= 0.03)
+        & (F.abs(F.col("n_va") / n - 0.05) <= 0.03)
+        & (F.abs(F.col("n_te") / n - 0.05) <= 0.03)
+    )
+    return agg.select(
+        "n_total",
+        "n_distinct_docs",
+        _band_checked(ok, "split fractions off (0.9, 0.05, 0.05)").alias(
+            "fracs_in_band"
+        ),
+    )
+
+
 # Queries OMITTED from the driver-visible correctness set: the driver
 # records oracle rows for at most 50 queries (in registration order),
 # so every DISTINCT operator proof must land inside that window.
@@ -3338,156 +3770,131 @@ def q_recall_video_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_curation.py::test_omitted_relational_parity (computed
 # FROM this set, so the pin rotates automatically).
 #
-# Round 7 rotation. Registered queries: 83 (76 r6 names - the retired
-# hash_family_recall composite + 7 recall_<family> rows +
-# audio_fingerprint_dups). Must-in (34): ALL 24 r6-rested names return
-# (green in r5, so the two-round invariant comes due — the same
-# all-return move r6 made for the r5 rest set); the 2 mid-r6 parked
-# queries packed_sequences_loaded and near_dup_keep_best enter (the
-# policy's own MUST-ROTATE-IN notes from r6); and all 8 NEW
-# registrations enter immediately (no new parking debt). That leaves
-# 16 of r6's 50 green rows in-gate and rests 33:
+# Round 8 rotation. Registered queries: 93 (85 r7 names + 4
+# precision_<family> rows + the audio segment-containment pair + the 2
+# mixing rows). Must-in (35): ALL 33 r7-rested names return (green in
+# r6, so the two-round invariant comes due — the same all-return move
+# r6 and r7 made) and the 2 mid-r7 parked video entries
+# (video_fingerprint_dups, recall_video_fp) enter per the policy's own
+# MUST-ROTATE-IN note. All 8 NEW registrations enter immediately (no
+# new parking debt). 35 + 8 = 43 gate slots, leaving 7 for keeps —
+# the operators whose semantics no in-gate name covers:
 #
-# 27 oracle-bearing r6-green rests, each with an in-set twin (mostly
-# the EXACT INVERSE of the r6 rotation — the returning name was rested
-# against it last round):
+#   session_windows (A3 session merge), suppressed_window_final (A6),
+#   broadcast_enrich (J7 computed-key broadcast), above_avg_orders
+#   (correlated subquery), near_dup_clusters (CC closure),
+#   pii_redaction, decontaminate (each a unique curation screen)
 #
-#   tumbling_window_sum (A2)  -> hopping_window_count returns (same
-#                                window-assignment path)
-#   rekey_fanout (P2)         -> fanout_flatmap + rekey_transform
-#                                return (fan-out + rekey machinery)
-#   value_only_rekey (P3)     -> rekey_transform returns (rekey
-#                                machinery; the no-shuffle plan shape
-#                                stays pytest-pinned)
-#   token_stats               -> quality_score + top_bigrams return
-#                                (same tokenization kernel)
-#   lang_id                   -> quality_score returns (same text-stat
-#                                Column vocabulary)
-#   doc_fingerprints          -> exact_dup_groups returns (same
-#                                fingerprint groupBy)
-#   semi_join_customers       -> anti_join_customers returns
-#                                (semi/anti family)
-#   except_customers          -> intersect_customers returns (set-ops)
-#   distinct_parts_per_supplier -> corpus_profile returns
-#                                (count_distinct family)
-#   skew_salted_join          -> skew_salted_agg returns (same
-#                                salting machinery)
-#   rollup_revenue            -> pricing_summary returns (grouped
-#                                lineitem agg)
-#   top_customers             -> shipping_priority +
-#                                top_parts_per_supplier return
-#                                (orderBy/limit top-k)
-#   late_shipment_priorities  -> shipping_priority returns (selective
-#                                join + priority agg)
-#   monthly_revenue_growth    -> top_parts_per_supplier returns
-#                                (window-fn family)
-#   regional_supplier_volume  -> nary_join_fold returns (multi-way
-#                                join fold)
-#   embedding_near_dups       -> embedding_topk returns (cosine
-#                                kernel w/ brute-force oracle)
-#   corpus_keep_by_source     -> training_data_prep returns (composed
-#                                corpus pipeline)
-#   dup_line_filter           -> repetition_ngram_filter returns
-#                                (same per-row run-count kernel)
-#   pack_sequences            -> token_budget_cap returns (identical
-#                                stratum-window plan family) +
-#                                packed_sequences_loaded enters
-#                                (on-disk superset)
-#   sequence_manifest         -> packed_sequences_loaded enters (the
-#                                loader oracle re-checks the manifest
-#                                layout AND the reassembled bytes)
-#   packed_shard_roundtrip    -> packed_sequences_loaded enters (same
-#                                disk path; byte-level check is
-#                                strictly stronger than the
-#                                aggregate-level one)
-#   windowed_outer_join (J3)  -> windowed_left_join returns (same
-#                                join kernel; exact inverse of r6)
-#   table_table_asof (J5)     -> asof_enrich returns (same
-#                                _as_of_lookup machinery)
-#   interval_join (J1)        -> windowed_left_join returns (superset
-#                                emission path over the same
-#                                interval-join kernel)
-#   ngram_jaccard_pairs       -> recall_minhash enters (the exact
-#                                shingle-Jaccard verify kernel scored
-#                                inside the oracle-checked recall row)
-#   multimodal_decode         -> recall_image_phash enters +
-#                                image_phash_dups r6-green (both
-#                                compose decode_images end-to-end)
-#   latest_per_key (C2/S2)    -> asof_enrich returns (the as-of
-#                                lookup is the timestamped
-#                                generalization of last-write-wins) +
-#                                with_dedupe_first stays (first-per-
-#                                key mirror of the same reduction)
+# and rests 43 — every one green in the r7 driver gate, so the
+# two-round invariant holds for each (return due r9); every
+# oracle-bearing rest stays parity-pinned by the automatic pytest.
+# In-gate twin notes where the machinery is genuinely shared (mostly
+# the EXACT INVERSE of the r7 rotation — the returning name was
+# rested against the resting one last round):
 #
-# 6 rows-only rests — the r4-r6 practice kept these in-gate because
-# their only driver check WAS the rows-exist probe; each now has a
-# STRICTLY STRONGER in-gate twin: its own oracle-checked planted-
-# recall row entering this round (value-hashed n_found = n_planted
-# through the identical machinery, vs rows >= 0):
+#   hopping_window_count       -> tumbling_window_sum returns (inverse)
+#   fanout_flatmap, rekey_transform -> rekey_fanout + value_only_rekey
+#                                 return (inverse; fan-out + rekey)
+#   quality_score, top_bigrams -> token_stats + lang_id return (inverse)
+#   anti_join_customers        -> semi_join_customers returns (inverse)
+#   intersect_customers        -> except_customers returns (inverse)
+#   skew_salted_agg            -> skew_salted_join returns (inverse)
+#   pricing_summary            -> rollup_revenue returns (inverse)
+#   shipping_priority, top_parts_per_supplier -> top_customers +
+#                                 late_shipment_priorities +
+#                                 monthly_revenue_growth return
+#   corpus_profile             -> distinct_parts_per_supplier returns
+#   embedding_topk             -> embedding_near_dups returns (inverse)
+#   training_data_prep         -> corpus_keep_by_source returns
+#   repetition_ngram_filter    -> dup_line_filter returns (inverse)
+#   line_dedup                 -> dup_line_filter returns (line-hash)
+#   token_budget_cap, packed_sequences_loaded -> pack_sequences +
+#                                 sequence_manifest +
+#                                 packed_shard_roundtrip return
+#   exact_dup_groups           -> doc_fingerprints returns (inverse)
+#   asof_enrich                -> table_table_asof + latest_per_key
+#                                 return (same _as_of_lookup)
+#   windowed_left_join         -> windowed_outer_join + interval_join
+#                                 return (same kernel, inverse of r7)
+#   with_dedupe_first          -> latest_per_key returns (first/last
+#                                 per-key mirror — inverse of r7)
+#   stratified_sample          -> mixing_repeat_epochs +
+#                                 mixing_train_val_test enter (the
+#                                 same salted-gate trio, salts 0/1/2)
+#   recall_minhash/simhash/winnow/image_phash/audio_fp/ann_lsh/ann_ivf
+#                              -> their rows-only family queries
+#                                 return, ngram_jaccard_pairs returns
+#                                 (the verify kernel), and the NEW
+#                                 precision_<family> duals enter
+#                                 (same kernels, self-controlled)
+#   audio_fingerprint_dups (rows-only) -> precision_audio_fp enters
+#                                 (same decode→envelope→hash→block
+#                                 kernel, oracle-checked both arms)
+#   pivot_order_status         -> rollup_revenue returns (grouping-set
+#                                 expansion family)
+#   filter_map                 -> rekey_fanout + value_only_rekey
+#                                 return (the xform tier machinery;
+#                                 pred tiers stay pytest-pinned)
+#   merge_streams, running_sum_changelog, group_by_fn_agg,
+#   changelog_filter, forecast_revenue, doc_length_histogram,
+#   gopher_quality_filter, near_dup_keep_best, recall_ann_* — no
+#   single clean twin; r7-green + oracle-bearing, so the automatic
+#   DuckDB-parity pytest is the rest-round check (the documented
+#   policy floor).
 #
-#   minhash_near_dups         -> recall_minhash enters
-#   simhash_near_dups         -> recall_simhash enters
-#   winnow_overlap_pairs      -> recall_winnow enters
-#   ann_lsh_topk              -> recall_ann_lsh enters
-#   ann_ivf_topk              -> recall_ann_ivf enters
-#   image_phash_dups          -> recall_image_phash enters
-#
-# In-gate keeps from r6 (16): filter_map, merge_streams,
-# running_sum_changelog, session_windows, broadcast_enrich,
-# above_avg_orders, near_dup_clusters, group_by_fn_agg,
-# suppressed_window_final, regrouped_retraction, with_dedupe_first,
-# pii_redaction, decontaminate, line_dedup, stratified_sample,
-# pivot_order_status — the operators without a clean returning twin
-# (A1/A3-A6/A8, J4/J7, C1 via suppression, correlated subquery,
-# pivot, CC clustering, the four curation screens).
-# Mid-r7 additions AFTER the gate reached exactly 50: the video
-# fingerprint family (the 8th recall family, completing the
-# image/audio/video trio). Parked under the same policy note as r5's
-# pack_sequences and r6's packed_sequences_loaded: recall_video_fp is
-# oracle-bearing, so the automatic pytest parity pin covers it now;
-# video_fingerprint_dups is rows-only with its recall twin parked
-# beside it and the full streaming-congruity pytest. Both MUST rotate
-# into the r8 gate with the 33 rested names below.
+# Previous round (r7) for the record. Registered: 83. Must-in (34):
+# ALL 24 r6-rested names returned; the 2 mid-r6 parked queries
+# packed_sequences_loaded and near_dup_keep_best entered; 8 NEW
+# registrations entered immediately. 16 keeps; 33 rested (the full
+# r7 twin mapping lives in the git history of this block, commit
+# c5b794c^). The two mid-r7 parked video entries carried the policy's
+# MUST-ROTATE-IN note and enter the r8 gate above.
 DRIVER_OMIT = frozenset(
     {
-        # mid-r7 parked additions (MUST enter the r8 gate)
-        "video_fingerprint_dups",
-        "recall_video_fp",
-        # oracle-bearing rests (parity-pinned by the automatic pytest)
-        "tumbling_window_sum",
-        "rekey_fanout",
-        "value_only_rekey",
-        "token_stats",
-        "lang_id",
-        "doc_fingerprints",
-        "semi_join_customers",
-        "except_customers",
-        "distinct_parts_per_supplier",
-        "skew_salted_join",
-        "rollup_revenue",
-        "top_customers",
-        "late_shipment_priorities",
-        "monthly_revenue_growth",
-        "regional_supplier_volume",
-        "embedding_near_dups",
-        "corpus_keep_by_source",
-        "dup_line_filter",
-        "pack_sequences",
-        "sequence_manifest",
-        "packed_shard_roundtrip",
-        "windowed_outer_join",
-        "table_table_asof",
-        "interval_join",
-        "ngram_jaccard_pairs",
-        "multimodal_decode",
-        "latest_per_key",
-        # rows-only rests (recall twins in-gate are strictly stronger)
-        "minhash_near_dups",
-        "simhash_near_dups",
-        "winnow_overlap_pairs",
-        "ann_lsh_topk",
-        "ann_ivf_topk",
-        "image_phash_dups",
+        # -- 43 rests, all green in the r7 driver gate (return due r9)
+        "anti_join_customers",
+        "asof_enrich",
+        "audio_fingerprint_dups",
+        "changelog_filter",
+        "corpus_profile",
+        "doc_length_histogram",
+        "embedding_topk",
+        "exact_dup_groups",
+        "fanout_flatmap",
+        "filter_map",
+        "forecast_revenue",
+        "gopher_quality_filter",
+        "group_by_fn_agg",
+        "hopping_window_count",
+        "intersect_customers",
+        "line_dedup",
+        "merge_streams",
+        "nary_join_fold",
+        "near_dup_keep_best",
+        "packed_sequences_loaded",
+        "pivot_order_status",
+        "pricing_summary",
+        "quality_score",
+        "recall_ann_ivf",
+        "recall_ann_lsh",
+        "recall_audio_fp",
+        "recall_image_phash",
+        "recall_minhash",
+        "recall_simhash",
+        "recall_winnow",
+        "regrouped_retraction",
+        "rekey_transform",
+        "repetition_ngram_filter",
+        "running_sum_changelog",
+        "shipping_priority",
+        "skew_salted_agg",
+        "stratified_sample",
+        "token_budget_cap",
+        "top_bigrams",
+        "top_parts_per_supplier",
+        "training_data_prep",
+        "windowed_left_join",
+        "with_dedupe_first",
     }
 )
 

@@ -557,6 +557,51 @@ def winnow_dedup_step(
     )
 
 
+def audio_segment_dedup_step(
+    store_dir: str,
+    min_shared_segments: int = 2,
+    window: int = 64,
+    hop: int = 32,
+    id_col: str = "doc_id",
+    binary_col: str = "data",
+    decoder=None,
+    compact_every: int | None = None,
+    score=None,
+) -> Callable[[DataFrame, int], DataFrame]:
+    """foreachBatch step for streaming shared-segment AUDIO near-dedup
+    — the containment member of the streaming audio family (the
+    whole-clip ``audio_fp_dedup_step`` misses a clip embedded in or
+    trimmed from a longer admitted file; this step's sliding-window
+    segment fingerprints catch it — the video family's containment
+    argument at audio granularity). Exact machinery of
+    ``winnow_dedup_step`` with the fingerprint builder swapped:
+    decode (Arrow-batched mapInPandas, injected codec) →
+    sliding-window segment fps (``multimodal.audio_segment_fp_frame``)
+    → fingerprint equi-join probe against the persisted (id, fp)
+    segment store → drop on >= ``min_shared_segments`` shared
+    segments. The store holds 8-byte segment fps per admitted clip —
+    never PCM. Congruity with batch
+    ``multimodal.audio_segment_pairs`` + min-id canonical is
+    pytest-pinned with the injected byte-sensitive fake codec.
+
+    STORE CONTRACT: (window, hop) and the segment tiling are part of
+    the store's identity (see ``audio_segment_fp_frame``) — changing
+    them means rebuilding the store."""
+    from ..functions.multimodal import audio_segment_fp_frame, decode_audio
+
+    def fp_builder(batch_df: DataFrame) -> DataFrame:
+        decoded = decode_audio(
+            batch_df, binary_col=binary_col, id_col=id_col, decoder=decoder
+        )
+        return audio_segment_fp_frame(
+            decoded, window=window, hop=hop, id_col=id_col
+        )
+
+    return _containment_dedup_step(
+        store_dir, fp_builder, min_shared_segments, id_col, compact_every, score
+    )
+
+
 def video_fp_dedup_step(
     store_dir: str,
     min_shared_frames: int = 2,
