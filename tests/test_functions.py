@@ -1085,3 +1085,37 @@ def test_audio_frame_energies_cover_clip_tail(spark):
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (1, 3) in got      # byte-identical clips still pair
     assert (1, 2) not in got  # tail-divergent clips must NOT
+
+
+def test_audio_segment_pairs_precision_one_shared_window(spark):
+    """The containment precision dual at pytest level (the gate rows
+    cover the hamming + video families; gate slots priced this one
+    here): a clip sharing exactly ONE hop-aligned window with another
+    sits at min_shared_segments - 1 and must NOT pair at the family
+    threshold (2) while pairing at the recall threshold (1) — pinning
+    the shared-count filter from both sides on the same input."""
+    import hashlib
+
+    from willa_spark.functions.multimodal import (
+        audio_segment_pairs,
+        fake_audio_decoder_pcm,
+    )
+
+    blk = lambda tag, k: hashlib.sha256(f"{tag}-{k}".encode()).digest()
+    # clips share bytes [0:64) (= the window at offset 0) and nothing else;
+    # remaining windows are pairwise-distinct non-periodic blocks
+    shared = blk("s", 0) + blk("s", 1)
+    a = shared + b"".join(blk("a", k) for k in range(4))
+    b = shared + b"".join(blk("b", k) for k in range(4))
+    df = spark.createDataFrame([(1, a), (2, b)], "id bigint, data binary")
+    at2 = audio_segment_pairs(
+        df, min_shared_segments=2, seg_df_cap=None, decoder=fake_audio_decoder_pcm
+    ).collect()
+    assert at2 == [], f"one shared window must not pair at threshold 2: {at2}"
+    at1 = {
+        (r["id_a"], r["id_b"], r["n_shared_segments"])
+        for r in audio_segment_pairs(
+            df, min_shared_segments=1, seg_df_cap=None, decoder=fake_audio_decoder_pcm
+        ).collect()
+    }
+    assert at1 == {(1, 2, 1)}, at1
