@@ -519,3 +519,89 @@ def test_streaming_audio_segment_dedup_congruity_embedded_and_replay(spark, tmp_
     ).select("id_a", "id_b")
     kept = D.keep_canonical(full, D.dup_clusters(pairs))
     assert {r["doc_id"] for r in kept.collect()} == got1 | got2
+
+
+def test_streaming_minhash_exact_verify_congruity_and_replay(spark, tmp_path):
+    """exact_verify=True: same three-batch congruity as the estimator
+    path (exact dups verify at J=1.0 either way), plus the shingles/
+    half mirrors sigs/ ids exactly and a replayed micro-batch re-derives
+    the same admitted set without duplicating shingle rows."""
+    store = os.path.join(str(tmp_path), "store")
+    step = minhash_dedup_step(
+        store, threshold=0.8, num_hashes=32, num_bands=16, exact_verify=True
+    )
+    got = _drive_stream(spark, tmp_path, step)
+    assert set(got) == EXPECT
+
+    sig_ids = {r["id"] for r in spark.read.parquet(os.path.join(store, "sigs")).select("id").collect()}
+    sh = spark.read.parquet(os.path.join(store, "shingles"))
+    sh_ids = [r["id"] for r in sh.select("id").collect()]
+    assert set(sh_ids) == sig_ids == EXPECT
+    # distinct shingle-hash arrays, one row per admitted doc
+    assert len(sh_ids) == len(set(sh_ids))
+
+    # replay of the last batch: same admitted set, store rows unchanged
+    # (count captured above — the replay overwrites ingest_batch=2, so
+    # the pre-replay frame's file listing is stale by design)
+    replay = {r["doc_id"] for r in step(_mkdocs(spark, BATCH3), 2).collect()}
+    assert replay == {10}  # 9 still dups 2 against the prior-batch store
+    assert spark.read.parquet(os.path.join(store, "shingles")).count() == len(sh_ids)
+
+
+def test_minhash_exact_verify_mode_flip_fails_loud(spark, tmp_path):
+    """The verify mode is part of the store contract: resuming an
+    exact store with the estimator (or a default store exactly) must
+    fail loud, not silently change the drop policy."""
+    import pytest
+
+    exact_store = os.path.join(str(tmp_path), "exact")
+    minhash_dedup_step(exact_store, threshold=0.8, exact_verify=True)(
+        _mkdocs(spark, BATCH1), 0
+    ).collect()
+    with pytest.raises(RuntimeError, match="estimator policy"):
+        minhash_dedup_step(exact_store, threshold=0.8)(_mkdocs(spark, BATCH2), 1)
+
+    default_store = os.path.join(str(tmp_path), "default")
+    minhash_dedup_step(default_store, threshold=0.8)(
+        _mkdocs(spark, BATCH1), 0
+    ).collect()
+    with pytest.raises(RuntimeError, match="shingles half is missing"):
+        minhash_dedup_step(default_store, threshold=0.8, exact_verify=True)(
+            _mkdocs(spark, BATCH2), 1
+        )
+
+
+def test_minhash_exact_verify_divergence_pinned(spark, tmp_path):
+    """The pinned estimator FALSE POSITIVE (k=8): these two docs share
+    7 of 8 minhash components (estimated J = 0.875 >= threshold 0.8)
+    while their exact shingle Jaccard is 7/13 = 0.538 — the default
+    signature-estimated policy drops the arriving doc; exact_verify=True
+    keeps it, matching the batch pipeline (verified_near_dups finds no
+    pair at the threshold even though the LSH band join surfaces the
+    candidate)."""
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    variant = "alpha bravo zulu delta echo foxtrot golf hotel india juliet kilo lima"
+
+    est_store = os.path.join(str(tmp_path), "est")
+    est_step = minhash_dedup_step(est_store, threshold=0.8, num_hashes=8, num_bands=4)
+    est_step(_mkdocs(spark, [(1, base)]), 0).collect()
+    est_got = {
+        r["doc_id"] for r in est_step(_mkdocs(spark, [(2, variant)]), 1).collect()
+    }
+    assert est_got == set()  # estimator false positive: dropped
+
+    ex_store = os.path.join(str(tmp_path), "exact")
+    ex_step = minhash_dedup_step(
+        ex_store, threshold=0.8, num_hashes=8, num_bands=4, exact_verify=True
+    )
+    ex_step(_mkdocs(spark, [(1, base)]), 0).collect()
+    ex_got = {
+        r["doc_id"] for r in ex_step(_mkdocs(spark, [(2, variant)]), 1).collect()
+    }
+    assert ex_got == {2}  # exact verify keeps it...
+
+    # ...matching the batch pipeline's exact policy on the same corpus
+    docs = _mkdocs(spark, [(1, base), (2, variant)])
+    cands = D.minhash_candidate_pairs(docs, num_hashes=8, num_bands=4)
+    assert cands.count() == 1  # the pair IS an LSH candidate
+    assert D.verified_near_dups(docs, cands, threshold=0.8).count() == 0

@@ -152,6 +152,20 @@ def with_phash(
     return df.withColumn(out_col, phash_bits(F.col(features_col), n_bits))
 
 
+def _bound(expr, fn):
+    """``fn`` over ``expr`` with the expression LAMBDA-BOUND so it
+    evaluates ONCE: higher-order functions are interpreted — no CSE
+    into lambda bodies — so an expression referenced k times inside a
+    lambda body re-evaluates k times (the ``dedup.shingles`` lesson).
+    For nested kernels the re-evaluation compounds MULTIPLICATIVELY:
+    phash_bits∘frame_energies∘slice unbound re-ran the whole energy
+    envelope per output bit and the segment slice per envelope frame —
+    minutes per pass at sf0.1; bound, the same arithmetic is one
+    evaluation per level. Values are identical; only the expression
+    tree's evaluation strategy changes (store contracts unaffected)."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def phash_bits(features, n_bits: int = 64):
     """The threshold-hash KERNEL behind ``with_phash``, over an
     arbitrary array-of-double EXPRESSION — factored out so it can run
@@ -159,31 +173,44 @@ def phash_bits(features, n_bits: int = 64):
     frame arrays hashes each frame with this exact expression, so a
     video frame and a standalone image of identical features hash
     identically). Same semantics as ``with_phash``: leading ``n_bits``
-    elements thresholded against their own mean; empty/NULL → 0."""
-    # slice FIRST so the threshold mean is computed over exactly the
-    # elements that get hashed — thresholding the leading 64 against a
-    # mean that includes unhashed tail elements would skew every bit
-    f = F.slice(features, 1, n_bits)
-    mean = F.aggregate(f, F.lit(0.0), lambda a, x: a + x) / F.greatest(
-        F.size(f), F.lit(1)
-    )
+    elements thresholded against their own mean; empty/NULL → 0.
+    ``features`` and the mean are lambda-bound (``_bound``) so each
+    evaluates once per hash regardless of how expensive the caller's
+    feature expression is — same values, the store contract
+    (``with_phash``) covers arithmetic, not evaluation order."""
     # shiftleft, not 1 << b literals: bit 63 is the long's sign bit and
     # 2^63 overflows a py4j long
     pow2 = F.array(
         *[F.shiftleft(F.lit(1).cast("long"), b) for b in range(n_bits)]
     )
-    idx = F.sequence(F.lit(0), F.least(F.lit(n_bits - 1), F.size(f) - 1))
-    bits = F.aggregate(
-        idx,
-        F.lit(0).cast("long"),
-        lambda acc, i: acc
-        + F.when(F.element_at(f, i + 1) > mean, F.element_at(pow2, i + 1))
-        .otherwise(F.lit(0).cast("long")),
-    )
-    return (
-        F.when(F.coalesce(F.size(f), F.lit(0)) <= 0, F.lit(0).cast("long"))
-        .otherwise(bits)
-    )
+
+    def hash_of(f):
+        def with_mean(mean):
+            idx = F.sequence(
+                F.lit(0), F.least(F.lit(n_bits - 1), F.size(f) - 1)
+            )
+            bits = F.aggregate(
+                idx,
+                F.lit(0).cast("long"),
+                lambda acc, i: acc
+                + F.when(
+                    F.element_at(f, i + 1) > mean, F.element_at(pow2, i + 1)
+                ).otherwise(F.lit(0).cast("long")),
+            )
+            return F.when(
+                F.coalesce(F.size(f), F.lit(0)) <= 0, F.lit(0).cast("long")
+            ).otherwise(bits)
+
+        return _bound(
+            F.aggregate(f, F.lit(0.0), lambda a, x: a + x)
+            / F.greatest(F.size(f), F.lit(1)),
+            with_mean,
+        )
+
+    # slice FIRST so the threshold mean is computed over exactly the
+    # elements that get hashed — thresholding the leading 64 against a
+    # mean that includes unhashed tail elements would skew every bit
+    return _bound(F.slice(features, 1, n_bits), hash_of)
 
 
 def image_phash_pairs(
@@ -351,10 +378,13 @@ def frame_energies(samples, n_frames: int = 64):
     idx = F.sequence(F.lit(0), F.lit(n_frames - 1))
 
     def frame_energy(i):
-        sl = F.slice(samples, i * frame_len + 1, frame_len)
-        return F.aggregate(
-            sl, F.lit(0.0), lambda a, x: a + F.abs(x)
-        ) / F.greatest(F.size(sl), F.lit(1))
+        # lambda-bind the frame slice so it evaluates once (not per
+        # reference — aggregate + size), see _bound
+        return _bound(
+            F.slice(samples, i * frame_len + 1, frame_len),
+            lambda sl: F.aggregate(sl, F.lit(0.0), lambda a, x: a + F.abs(x))
+            / F.greatest(F.size(sl), F.lit(1)),
+        )
 
     return F.transform(idx, frame_energy)
 
@@ -448,8 +478,14 @@ def audio_segment_fp_frame(
     fps = F.array_distinct(
         F.transform(
             starts,
-            lambda off: phash_bits(
-                frame_energies(F.slice(s, off + 1, window), n_frames)
+            # both levels lambda-bound (see _bound): the segment slice
+            # evaluates once per segment (not per envelope frame) and
+            # the envelope once per segment (not per hash bit) —
+            # unbound, this nest re-ran the slice ~200× and the
+            # envelope ~65× per segment (minutes per pass at sf0.1)
+            lambda off: _bound(
+                F.slice(s, off + 1, window),
+                lambda seg: phash_bits(frame_energies(seg, n_frames)),
             ),
         )
     )

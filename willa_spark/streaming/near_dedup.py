@@ -24,7 +24,11 @@ Per micro-batch (both families):
    minhash = signature-estimated Jaccard (matching components / k) —
    at 100 TB the store holds k×8-byte signatures, not text, so the
    estimator (whose error the banding already tolerates) replaces the
-   exact-shingle verify; an exact dup estimates 1.0 exactly;
+   exact-shingle verify; an exact dup estimates 1.0 exactly. Callers
+   who need the batch pipeline's exact-verify policy opt into
+   ``minhash_dedup_step(exact_verify=True)``, which stores each
+   admitted doc's distinct shingle hashes and verifies exactly —
+   storage grows with document length, the documented trade;
 4. WITHIN-BATCH dedup: the batch family's own candidate join over the
    surviving batch docs, then ``dup_clusters`` + min-id canonical —
    identical policy to the batch pipeline;
@@ -62,6 +66,8 @@ from ..functions.dedup import (
     banded_signature_frame,
     dup_clusters,
     minhash_signature_frame,
+    ngram_jaccard,
+    shingles,
     simhash_block_frame,
     winnow_fingerprint_frame,
     winnow_pair_counts,
@@ -141,14 +147,16 @@ def _batch_scores(batch_df: DataFrame, id_col: str, score) -> DataFrame | None:
 
 
 def minhash_store_prune(store_dir: str, before_batch: int) -> int:
-    """TTL-prune BOTH halves of a minhash store (``sigs/`` +
-    ``bands/``) together. The two halves are coupled — bands locate
-    candidates, sigs verify them — so pruning one without the other
+    """TTL-prune ALL halves of a minhash store (``sigs/`` + ``bands/``
+    + the ``shingles/`` half an ``exact_verify=True`` store carries)
+    together. The halves are coupled — bands locate candidates,
+    sigs/shingles verify them — so pruning one without the others
     leaves the store inconsistent (``minhash_dedup_step`` fails loud on
     that state rather than silently mis-deduping). Same windowed-dedup
     policy trade as ``store_prune``."""
     n = store_prune(os.path.join(store_dir, "sigs"), before_batch)
     store_prune(os.path.join(store_dir, "bands"), before_batch)
+    store_prune(os.path.join(store_dir, "shingles"), before_batch)
     return n
 
 
@@ -370,18 +378,42 @@ def minhash_dedup_step(
     text_col: str = "text",
     compact_every: int | None = None,
     score=None,
+    exact_verify: bool = False,
 ) -> Callable[[DataFrame, int], DataFrame]:
     """foreachBatch step for streaming MinHash near-dedup; same wiring
     (including ``compact_every`` retention) as ``simhash_dedup_step``.
 
     The store holds the wide k-component signature per admitted doc
     (``sigs/``) plus its band rows (``bands/``) — k×8 + bands×12
-    bytes/doc, never text. Verification against the store (and within
-    the batch, for path consistency) uses the SIGNATURE-ESTIMATED
-    Jaccard — matching components / k, the unbiased MinHash estimator
-    with sd ≈ sqrt(J(1-J)/k) — which is what the store supports at
-    100 TB; an exact duplicate estimates exactly 1.0, so the planted
-    congruity with the batch pipeline is exact."""
+    bytes/doc, never text. By default, verification against the store
+    (and within the batch, for path consistency) uses the
+    SIGNATURE-ESTIMATED Jaccard — matching components / k, the
+    unbiased MinHash estimator with sd ≈ sqrt(J(1-J)/k) — which is
+    what a signature-only store supports at 100 TB; an exact duplicate
+    estimates exactly 1.0, so the planted congruity with the batch
+    pipeline is exact. For borderline ORGANIC pairs the estimator can
+    land on the other side of the threshold than the batch pipeline's
+    exact-shingle verify (``verified_near_dups``) — the documented
+    policy divergence.
+
+    ``exact_verify=True`` removes that divergence: the store gains a
+    third ``shingles/`` half holding each admitted doc's DISTINCT
+    shingle 64-bit hashes (array<long>), and every verification —
+    cross-batch and within-batch — becomes the exact Jaccard over
+    those hash sets, the same ``ngram_jaccard`` kernel the batch
+    verify uses (hash-set vs string-set: identical up to 64-bit
+    xxhash64 collisions, ~|shingles|²/2⁶⁴ — far below the banding
+    miss rate). Price: the store grows by ~8·|distinct shingles|
+    bytes/doc (document-length-bound, vs the fixed k×8 signature) —
+    the explicit storage-for-exactness trade a 100 TB deployment must
+    opt into. STORE CONTRACT: the verify mode is part of the store's
+    identity — a store carries ``shingles/`` iff it was built with
+    ``exact_verify=True``, and the step fails loud on a mode flip
+    (resuming a default store exactly, or an exact store with the
+    estimator) rather than silently changing which near-dups drop
+    (and, worse, silently missing every pre-flip doc on a later flip
+    back — the inner verify join would drop candidates whose shingle
+    rows were never written)."""
     hcols = [f"h{i}" for i in range(num_hashes)]
 
     def est_jaccard(a_prefix: str, b_prefix: str):
@@ -396,15 +428,13 @@ def minhash_dedup_step(
     def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
         spark = batch_df.sparkSession
         scores = _batch_scores(batch_df, id_col, score)
-        store_compact_every(
-            spark,
-            [
-                (os.path.join(store_dir, "sigs"), None),
-                (os.path.join(store_dir, "bands"), "band_hash"),
-            ],
-            batch_id,
-            compact_every,
-        )
+        compact_targets = [
+            (os.path.join(store_dir, "sigs"), None),
+            (os.path.join(store_dir, "bands"), "band_hash"),
+        ]
+        if exact_verify:
+            compact_targets.append((os.path.join(store_dir, "shingles"), None))
+        store_compact_every(spark, compact_targets, batch_id, compact_every)
         sig = minhash_signature_frame(
             batch_df.select(F.col(id_col).alias(id_col), F.col(text_col)),
             text_col,
@@ -412,12 +442,57 @@ def minhash_dedup_step(
             num_hashes,
             shingle_n,
         ).persist()
+        sh_frame = None
+        if exact_verify:
+            # the exact-verify operand: each doc's distinct shingle
+            # 64-bit hashes (the signature builder's own base hash), a
+            # pure Column expr — no extra shuffle; persisted because it
+            # feeds up to three plans (cross verify, within verify,
+            # store append)
+            sh_frame = batch_df.select(
+                F.col(id_col).alias("id"),
+                F.array_distinct(
+                    F.transform(
+                        shingles(F.col(text_col), shingle_n),
+                        lambda s: F.xxhash64(s),
+                    )
+                ).alias("__sh"),
+            ).persist()
 
         sig_store_dir = os.path.join(store_dir, "sigs")
         band_store_dir = os.path.join(store_dir, "bands")
+        sh_store_dir = os.path.join(store_dir, "shingles")
         cross_drop = None
         st_bands = store_read(spark, band_store_dir, before_batch=batch_id)
         st_sigs_raw = store_read(spark, sig_store_dir, before_batch=batch_id)
+        st_sh = None
+        if exact_verify:
+            st_sh = store_read(spark, sh_store_dir, before_batch=batch_id)
+            if (st_sigs_raw is None) != (st_sh is None):
+                raise RuntimeError(
+                    f"minhash store at {store_dir} does not match "
+                    "exact_verify=True: "
+                    + (
+                        "the shingles half is missing — the store was "
+                        "built with the default estimator policy"
+                        if st_sh is None
+                        else "a shingles half exists with no sigs half — "
+                        "halves were pruned independently"
+                    )
+                    + "; the verify mode is part of the store contract — "
+                    "rebuild (or minhash_store_prune) rather than "
+                    "flipping it"
+                )
+        elif os.path.isdir(sh_store_dir):
+            raise RuntimeError(
+                f"minhash store at {store_dir} carries a shingles/ half "
+                "(built with exact_verify=True) but this step was created "
+                "with the default estimator policy — flipping the verify "
+                "mode mid-store silently changes which near-dups drop, "
+                "and docs admitted estimator-side would be missing from "
+                "shingles/ on a later flip back (silent candidate loss); "
+                "pass exact_verify=True or rebuild the store"
+            )
         if (st_bands is None) != (st_sigs_raw is None):
             # the two halves are coupled (bands locate, sigs verify);
             # one missing with the other present means a caller pruned
@@ -444,13 +519,28 @@ def minhash_dedup_step(
                 .select("id", "__st_id")
                 .distinct()
             )
-            cross_drop = (
-                cand.join(sig.alias("b"), "id")
-                .join(st_sigs.alias("s"), "__st_id")
-                .filter(est_jaccard("b", "s") >= threshold)
-                .select(F.col("id").alias("__drop"))
-                .distinct()
-            )
+            if exact_verify:
+                st_shs = st_sh.select(
+                    F.col("id").alias("__st_id"), F.col("__sh").alias("__st_sh")
+                )
+                cross_drop = (
+                    cand.join(sh_frame, "id")
+                    .join(st_shs, "__st_id")
+                    .filter(
+                        ngram_jaccard(F.col("__sh"), F.col("__st_sh"))
+                        >= threshold
+                    )
+                    .select(F.col("id").alias("__drop"))
+                    .distinct()
+                )
+            else:
+                cross_drop = (
+                    cand.join(sig.alias("b"), "id")
+                    .join(st_sigs.alias("s"), "__st_id")
+                    .filter(est_jaccard("b", "s") >= threshold)
+                    .select(F.col("id").alias("__drop"))
+                    .distinct()
+                )
             sig_left = sig.join(
                 cross_drop, sig["id"] == F.col("__drop"), "left_anti"
             ).persist()
@@ -469,14 +559,31 @@ def minhash_dedup_step(
             .select(F.col("lb.id").alias("id_a"), F.col("rb.id").alias("id_b"))
             .distinct()
         )
-        a = sig_left.alias("a")
-        b = sig_left.alias("b")
-        within_pairs = (
-            within_cand.join(a, F.col("id_a") == F.col("a.id"))
-            .join(b, F.col("id_b") == F.col("b.id"))
-            .filter(est_jaccard("a", "b") >= threshold)
-            .select("id_a", "id_b")
-        )
+        if exact_verify:
+            sh_a = sh_frame.select(
+                F.col("id").alias("id_a"), F.col("__sh").alias("__sh_a")
+            )
+            sh_b = sh_frame.select(
+                F.col("id").alias("id_b"), F.col("__sh").alias("__sh_b")
+            )
+            within_pairs = (
+                within_cand.join(sh_a, "id_a")
+                .join(sh_b, "id_b")
+                .filter(
+                    ngram_jaccard(F.col("__sh_a"), F.col("__sh_b"))
+                    >= threshold
+                )
+                .select("id_a", "id_b")
+            )
+        else:
+            a = sig_left.alias("a")
+            b = sig_left.alias("b")
+            within_pairs = (
+                within_cand.join(a, F.col("id_a") == F.col("a.id"))
+                .join(b, F.col("id_b") == F.col("b.id"))
+                .filter(est_jaccard("a", "b") >= threshold)
+                .select("id_a", "id_b")
+            )
         within_drop = _drop_within_batch(within_pairs, scores)
         drops = (
             within_drop if cross_drop is None
@@ -496,10 +603,20 @@ def minhash_dedup_step(
             batch_id,
             sort_by="band_hash",
         )
+        if exact_verify:
+            # shingles/ ids mirror sigs/ ids exactly (shingle-less docs
+            # have neither row — they pass through, see the return note)
+            store_append(
+                sh_frame.join(admitted_sigs.select("id"), "id", "left_semi"),
+                sh_store_dir,
+                batch_id,
+            )
         admitted_sigs.unpersist()
         if sig_left is not sig:
             sig_left.unpersist()
         sig.unpersist()
+        if sh_frame is not None:
+            sh_frame.unpersist()
         # drop-based return (NOT a semi-join on signature-bearing ids):
         # documents with fewer than shingle_n tokens have no shingles,
         # hence no signature row — they can never near-dup anything and
