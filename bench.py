@@ -119,6 +119,7 @@ HEADLINE = [
     "recall_audio_seg",
     "mixing_repeat_epochs",
     "mixing_train_val_test",
+    "dup_ngram_spans",
     "fanout_flatmap",
     "rekey_fanout",
     "value_only_rekey",

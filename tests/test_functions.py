@@ -1119,3 +1119,113 @@ def test_audio_segment_pairs_precision_one_shared_window(spark):
         ).collect()
     }
     assert at1 == {(1, 2, 1)}, at1
+
+
+# ------------------------------------------- duplicate n-gram spans
+def test_dup_ngram_spans_planted_and_merge(spark):
+    """Two docs share a verbatim 9-token run (all its 5-grams occur
+    twice corpus-wide): each gets exactly ONE maximal span covering the
+    run — the overlapping duplicated 5-grams merge via the islands rule
+    — and the unique doc gets none. A within-doc verbatim repeat also
+    counts (occurrences, not distinct docs)."""
+    run = "lorem ipsum dolor sit amet consectetur adipiscing elit sed"  # 9 tokens
+    rows = [
+        (1, "alpha bravo " + run + " charlie delta"),
+        (2, run + " echo foxtrot golf hotel india"),
+        (3, "unique words only here nothing repeats anywhere at all"),
+        # 4: the same 5-gram twice WITHIN one doc, separated by > n
+        (4, "red orange yellow green blue aa bb cc dd ee ff red orange yellow green blue"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in D.dup_ngram_spans(docs, n=5).collect()
+    }
+    by_doc = {}
+    for d, s, e, t in spans:
+        by_doc.setdefault(d, []).append((s, e, t))
+    # doc 1: run occupies tokens 2..10 -> one merged span
+    assert by_doc[1] == [(2, 10, 9)]
+    # doc 2: run occupies tokens 0..8
+    assert by_doc[2] == [(0, 8, 9)]
+    assert 3 not in by_doc
+    # doc 4: both occurrences of its internal repeat are spans
+    assert sorted(by_doc[4]) == [(0, 4, 5), (11, 15, 5)]
+
+
+def test_mask_dup_spans_removes_exactly_the_spans(spark):
+    run = "lorem ipsum dolor sit amet consectetur adipiscing elit sed"
+    rows = [
+        (1, "Alpha Bravo " + run + " Charlie Delta"),
+        (3, "Unique Words Only Here Nothing Repeats Anywhere At All"),
+        (9, run),  # the whole doc is one span -> masked to empty
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    spans = D.dup_ngram_spans(docs, n=5)
+    out = {
+        r["doc_id"]: r["text"]
+        for r in D.mask_dup_spans(docs, spans).collect()
+    }
+    # masked docs are rebuilt from the normalized token stream
+    assert out[1] == "alpha bravo charlie delta"
+    assert out[9] == ""
+    # span-free docs keep their ORIGINAL text verbatim (case intact)
+    assert out[3] == "Unique Words Only Here Nothing Repeats Anywhere At All"
+
+
+def test_dup_ngram_spans_duckdb_oracle_parity(spark, tmp_path):
+    """The spans query against a pure-SQL DuckDB oracle over the real
+    sf0.001 documents table — the parity form a driver-gate
+    registration will use (grouping on raw n-gram strings; Spark's
+    xxhash64 grouping is value-identical absent 64-bit collisions)."""
+    import duckdb
+
+    from willa_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in D.dup_ngram_spans(docs, n=5).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    oracle = con.execute(
+        """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok,
+                 generate_subscripts(regexp_split_to_array(lower(trim(text)), '\\s+'), 1) - 1 AS pos
+          FROM documents
+        ), grams AS (
+          SELECT doc_id, pos,
+                 tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                     || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS g,
+                 lead(tok, 4) OVER w IS NOT NULL AS full_gram
+          FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ), dup AS (
+          SELECT g FROM grams WHERE full_gram GROUP BY g HAVING count(*) >= 2
+        ), hits AS (
+          SELECT doc_id, pos FROM grams WHERE full_gram AND g IN (SELECT g FROM dup)
+        ), flagged AS (
+          SELECT doc_id, pos,
+                 CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                       OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+                      THEN 1 ELSE 0 END AS new_island
+          FROM hits
+        ), isl AS (
+          SELECT doc_id, pos,
+                 sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM flagged
+        )
+        SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end,
+               max(pos) + 4 - min(pos) + 1 AS span_tokens
+        FROM isl GROUP BY doc_id, island
+        ORDER BY doc_id, span_start
+        """
+    ).fetchall()
+    assert got == [tuple(r) for r in oracle]
+    assert len(got) > 0, "sf0.001 documents contain no duplicated runs — weak test"

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window as W
 
 from .text import fingerprint
 
@@ -566,6 +567,136 @@ def winnow_pair_counts(fp: DataFrame) -> DataFrame:
         .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+# --------------------------------------------- duplicate n-gram spans
+def dup_ngram_spans(
+    df: DataFrame,
+    n: int = 5,
+    min_count: int = 2,
+    min_span: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal duplicated token SPANS per document — the exact-substring
+    dedup a training pipeline runs besides whole-doc near-dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better": verbatim runs repeated across a corpus — licenses,
+    boilerplate, templated headers — should be REMOVED from documents
+    that are otherwise unique; whole-doc MinHash keeps both documents
+    and winnowing only REPORTS the overlapping pair). A token run is
+    duplicated when every one of its n-grams occurs >= ``min_count``
+    times corpus-wide (within-document repetition counts — the second
+    verbatim occurrence inside one doc is equally memorizable).
+
+    Output: (doc_id, span_start, span_end, span_tokens) — 0-based
+    INCLUSIVE token positions over the normalized token stream
+    (lowercased, whitespace-split — the ``shingles`` stream), one row
+    per maximal span with >= ``min_span`` tokens (default: n, i.e.
+    every span).  Feed to ``mask_dup_spans`` to rewrite the corpus.
+
+    Plan shape (100 TB-safe, no all-pairs anywhere): posexplode n-grams
+    → 8-byte hash (the string never shuffles) → count partial-agg →
+    occurrence filter → semi-join positions of duplicated n-grams →
+    per-document sort (gaps-and-islands: n-grams at p and q overlap or
+    touch iff q - p <= n, so a running new-island sum merges them) →
+    one min/max per island. Three shuffles total (count, semi-join,
+    per-doc window), each keyed on short values; the window partition
+    is one document's duplicated positions — bounded by document
+    length. A 64-bit n-gram hash collision can only OVER-mask (one
+    extra n-gram counted duplicated), never corrupt span arithmetic.
+
+    The paper's production setting is n=50 tokens; the default n=5
+    suits test-scale corpora — semantics are identical."""
+    grams = (
+        _spread(df.select(id_col, text_col), id_col)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(shingles(F.col(text_col), n)).alias("__pos", "__g"),
+        )
+        .select("doc_id", "__pos", F.xxhash64(F.col("__g")).alias("__h"))
+    )
+    # persist + EAGER count: the frame feeds both the corpus-wide count
+    # and the position semi-join — lazily persisted, the two subtrees
+    # race to compute the explode concurrently within one action (the
+    # verified_near_dups lesson). ~20 B/token cached; at 100 TB
+    # substitute a storage checkpoint, same shape. CACHING NOTE: the
+    # entry outlives this call (the returned plan references it) —
+    # loop callers release via spark.catalog.clearCache(), as bench.py
+    # does.
+    grams = grams.persist()
+    grams.count()
+    dup = (
+        grams.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_count)
+    )
+    hits = grams.join(dup.select("__h"), "__h", "left_semi")
+    w = W.partitionBy("doc_id").orderBy("__pos")
+    spans = (
+        hits.withColumn(
+            "__new",
+            # NULL lag = first duplicated position of the doc = new
+            # island (a sentinel default would overflow int under ANSI)
+            F.coalesce(
+                F.col("__pos") - F.lag("__pos", 1).over(w) > F.lit(n),
+                F.lit(True),
+            ).cast("int"),
+        )
+        .withColumn("__island", F.sum("__new").over(w))
+        .groupBy("doc_id", "__island")
+        .agg(
+            F.min("__pos").alias("span_start"),
+            (F.max("__pos") + F.lit(n - 1)).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+    if min_span is not None and min_span > n:
+        spans = spans.filter(F.col("span_tokens") >= min_span)
+    return spans
+
+
+def mask_dup_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rewrite ``text_col`` with every duplicated span's tokens REMOVED
+    — the apply half of ``dup_ngram_spans`` (Lee et al.'s cut step).
+    Documents with no spans keep their ORIGINAL text verbatim; masked
+    documents are rebuilt from the normalized token stream the span
+    positions index (lowercased, single-space joined — the documented
+    price of positional masking; a byte-faithful cut would need byte
+    offsets through the tokenizer). Map-only after one broadcast-or-
+    shuffle join of (doc, tiny span list); the span list per doc is
+    bounded by document length."""
+    sp = spans.groupBy(F.col(id_col).alias("__sid")).agg(
+        F.collect_list(
+            F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))
+        ).alias("__spans")
+    )
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    spans_col = F.col("__spans")
+    masked = F.array_join(
+        F.filter(
+            toks,
+            lambda t, i: ~F.exists(
+                spans_col, lambda s: (i >= s["s"]) & (i <= s["e"])
+            ),
+        ),
+        " ",
+    )
+    joined = df.join(sp, df[id_col] == F.col("__sid"), "left")
+    return joined.withColumn(
+        text_col,
+        F.when(spans_col.isNull(), F.col(text_col)).otherwise(masked),
+    ).drop("__sid", "__spans")
 
 
 # ------------------------------------------------------- dup clusters

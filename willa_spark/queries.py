@@ -2805,6 +2805,70 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CURATION.line_dedup_stats(CURATION.plant_spam_lines(docs))
 
 
+@query(
+    "dup_ngram_spans",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), toks AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) - 1 AS pos
+      FROM t
+    ), grams AS (
+      SELECT doc_id, pos,
+             tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                 || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS g,
+             lead(tok, 4) OVER w IS NOT NULL AS full_gram
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), dup AS (
+      SELECT g FROM grams WHERE full_gram GROUP BY g HAVING count(*) >= 2
+    ), hits AS (
+      SELECT doc_id, pos FROM grams
+      WHERE full_gram AND g IN (SELECT g FROM dup)
+    ), flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w2 IS NULL
+                   OR pos - lag(pos) OVER w2 > 5
+                  THEN 1 ELSE 0 END AS new_island
+      FROM hits WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos)
+    ), isl AS (
+      SELECT doc_id, pos,
+             sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos)
+                 AS island
+      FROM flagged
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 4 AS BIGINT) AS span_end,
+           CAST(max(pos) - min(pos) + 5 AS BIGINT) AS span_tokens
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated token spans per document (exact-substring
+    dedup, Lee et al. 2022): every token run whose 5-grams all occur
+    >= 2 times corpus-wide, as (doc_id, span_start, span_end,
+    span_tokens) — the analysis half; ``dedup.mask_dup_spans`` is the
+    apply half (pytest-pinned: masked docs rebuilt from the normalized
+    token stream, span-free docs verbatim). The sf corpus's organic
+    boilerplate runs make the output non-trivial without planting.
+    Plan: posexplode 5-grams → 8-byte hash count (partial agg) →
+    occurrence filter → position semi-join → per-doc gaps-and-islands
+    window — three short-key shuffles, no all-pairs; the oracle groups
+    on raw n-gram strings (value-identical to the xxhash64 grouping
+    absent 64-bit collisions). Parked mid-r8 under the rotation policy
+    (gate already at exactly 50) with the automatic DuckDB-parity
+    pytest pin — MUST rotate into the r9 gate."""
+    docs = read_docs_spread(spark, sf_dir)
+    spans = D.dup_ngram_spans(docs, n=5)
+    return spans.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_tokens").cast("long").alias("span_tokens"),
+    )
+
+
 # Data-mixing rates keyed by source (three tiers). Defined once and
 # rendered into BOTH the Spark broadcast-join frame and the oracle's
 # VALUES list so the two engines share one spec.
@@ -3770,14 +3834,18 @@ def q_mixing_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_curation.py::test_omitted_relational_parity (computed
 # FROM this set, so the pin rotates automatically).
 #
-# Round 8 rotation. Registered queries: 93 (85 r7 names + 4
+# Round 8 rotation. Registered queries: 94 (85 r7 names + 4
 # precision_<family> rows + the audio segment-containment pair + the 2
-# mixing rows). Must-in (35): ALL 33 r7-rested names return (green in
-# r6, so the two-round invariant comes due — the same all-return move
-# r6 and r7 made) and the 2 mid-r7 parked video entries
+# mixing rows + dup_ngram_spans, registered mid-r8 AFTER the gate
+# reached exactly 50 — parked in DRIVER_OMIT with the automatic
+# parity pin, MUST rotate into r9, the same shape as r7's parked
+# video entries). Must-in (35): ALL 33 r7-rested names return (green
+# in r6, so the two-round invariant comes due — the same all-return
+# move r6 and r7 made) and the 2 mid-r7 parked video entries
 # (video_fingerprint_dups, recall_video_fp) enter per the policy's own
-# MUST-ROTATE-IN note. All 8 NEW registrations enter immediately (no
-# new parking debt). 35 + 8 = 43 gate slots, leaving 7 for keeps —
+# MUST-ROTATE-IN note. The 8 on-time NEW registrations enter
+# immediately (no gate-time parking debt). 35 + 8 = 43 gate slots,
+# leaving 7 for keeps —
 # the operators whose semantics no in-gate name covers:
 #
 #   session_windows (A3 session merge), suppressed_window_final (A6),
@@ -3851,6 +3919,10 @@ def q_mixing_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MUST-ROTATE-IN note and enter the r8 gate above.
 DRIVER_OMIT = frozenset(
     {
+        # -- parked mid-r8 (registered after the gate hit 50): oracle-
+        # -- bearing, so the automatic parity pytest pins it every run;
+        # -- MUST rotate into the r9 gate (rest a keep to make room)
+        "dup_ngram_spans",
         # -- 43 rests, all green in the r7 driver gate (return due r9)
         "anti_join_customers",
         "asof_enrich",
