@@ -120,6 +120,7 @@ HEADLINE = [
     "mixing_repeat_epochs",
     "mixing_train_val_test",
     "dup_ngram_spans",
+    "bm25_topk",
     "fanout_flatmap",
     "rekey_fanout",
     "value_only_rekey",

@@ -1229,3 +1229,62 @@ def test_dup_ngram_spans_duckdb_oracle_parity(spark, tmp_path):
     ).fetchall()
     assert got == [tuple(r) for r in oracle]
     assert len(got) > 0, "sf0.001 documents contain no duplicated runs — weak test"
+
+
+# --------------------------------------------------- BM25 retrieval
+def test_bm25_ranks_by_term_coverage_and_rarity(spark):
+    """A doc matching all three query terms outranks one matching two,
+    which outranks one matching one; docs sharing no term are absent;
+    and a corpus-ubiquitous term contributes ~nothing (idf -> ln(1+eps))
+    so rare-term matches dominate."""
+    from willa_spark.functions import retrieval as R
+
+    rows = [
+        (1, "zebra quartz nimbus filler filler filler"),
+        (2, "zebra quartz pad pad pad pad"),
+        (3, "zebra pad pad pad pad pad"),
+        (4, "nothing shared here at all ok"),
+        # 'common' appears in every doc below AND in the query of test 2
+        (5, "common alpha beta gamma delta eps"),
+        (6, "common zeta eta theta iota kappa"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    queries = spark.createDataFrame(
+        [(100, ["zebra", "quartz", "nimbus"])],
+        "query_id bigint, terms array<string>",
+    )
+    got = R.bm25_topk(docs, queries, k=10).collect()
+    ranked = [r["doc_id"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert ranked == [1, 2, 3]  # coverage order; 4/5/6 absent
+
+    # rarity dominates: one rare-term match beats one ubiquitous-term
+    # match even at equal coverage
+    docs2 = spark.createDataFrame(
+        [(i, "common filler%d pad pad" % i) for i in range(1, 9)]
+        + [(9, "rareterm pad pad pad"), (10, "common pad pad pad")],
+        "doc_id bigint, text string",
+    )
+    q2 = spark.createDataFrame(
+        [(200, ["rareterm", "common"])], "query_id bigint, terms array<string>"
+    )
+    got2 = {r["doc_id"]: r["rank"] for r in R.bm25_topk(docs2, q2, k=10).collect()}
+    assert got2[9] == 1  # the rare-term doc wins
+
+
+def test_bm25_scoring_plan_broadcasts_query_side(spark):
+    """The inverted-index access pattern: the query-term semi-join, the
+    df join, and the stats join must all broadcast — a shuffle there
+    would make scoring cost corpus-shaped instead of query-shaped."""
+    from willa_spark.functions import retrieval as R
+    from willa_spark.plans import uses_broadcast_join
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} alpha beta") for i in range(50)],
+        "doc_id bigint, text string",
+    )
+    q = spark.createDataFrame(
+        [(1, ["alpha", "tok7"])], "query_id bigint, terms array<string>"
+    )
+    scores = R.bm25_scores(docs, q)
+    assert uses_broadcast_join(scores)
+    assert {r["doc_id"] for r in scores.filter(F.col("query_id") == 1).collect()} >= {7}

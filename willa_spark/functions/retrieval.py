@@ -1,0 +1,149 @@
+"""Sparse lexical retrieval (TF-IDF/BM25) over the documents table —
+the text-side counterpart of the embedding ANN family. A training-data
+pipeline uses this for retrieval-based decontamination (find training
+docs lexically close to an eval item), quality curation against a seed
+corpus (DSIR-style importance sampling needs exactly these term
+statistics), and near-dup triage where hashing families are too coarse.
+
+Everything is DataFrame-native: a postings frame (the inverted index as
+rows), document-frequency and length statistics as aggregates, and
+scoring as a broadcast-pruned join — the classic "small query set
+against a huge corpus" shape:
+
+- postings build: tokenize → explode → one (doc, term) partial-agg
+  shuffle. At 100 TB this is the same volume as every other
+  explode-based family here (line_dedup, decontaminate n-grams).
+- scoring: the postings are SEMI-JOINED against the (tiny, broadcast)
+  query-term set FIRST, so only rows for queried terms ever reach the
+  join — corpus-size-independent score volume, the inverted-index
+  access pattern expressed relationally. Catalyst broadcasts the term
+  set; per-term document frequency is computed from the pruned rows
+  (df is per-term, so pruning does not change it).
+- corpus stats (N, avgdl) ride a broadcast 1-row frame — no driver
+  collect in the plan.
+
+BM25 (Robertson-Spärck Jones, the "plus one" smooth idf used by
+Lucene): idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)),
+score(q,d) = Σ_t∈q idf(t) · tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)).
+Query term multiplicity is ignored (terms are a set), the standard
+short-query treatment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _toks(text_col):
+    return F.split(F.lower(F.trim(text_col)), r"\s+")
+
+
+def postings_frame(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The inverted index as rows: (doc_id, term, tf, dl) — term
+    frequency and the document's token length on every posting (dl
+    rides along so scoring needs no second join against a lengths
+    table). One explode + one (doc, term) partial-agg shuffle."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), _toks(F.col(text_col)).alias("__t")
+    ).select("doc_id", F.size("__t").alias("dl"), F.explode("__t").alias("term"))
+    return toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+
+
+def corpus_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One-row frame (n_docs, avgdl) — broadcast into the scoring plan
+    instead of collected to the driver."""
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.size(_toks(F.col(text_col))).alias("dl")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """(query_id, doc_id, score) for every document sharing >= 1 term
+    with the query. ``queries`` is (query_id, terms array<string>);
+    term multiplicity is ignored. The postings frame is pruned to the
+    queried terms via a broadcast semi-join BEFORE any scoring work —
+    at 100 TB the score volume is (queried-term postings), not the
+    corpus."""
+    post = postings_frame(docs, id_col, text_col)
+    qt = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.array_distinct(F.col(terms_col))).alias("term"),
+    )
+    terms = qt.select("term").distinct()
+    pruned = post.join(F.broadcast(terms), "term", "left_semi")
+    # per-term document frequency over the pruned rows (df is a
+    # per-term count, unchanged by pruning to that term)
+    dfreq = pruned.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    stats = corpus_stats(docs, id_col, text_col)
+    scored = (
+        qt.join(pruned, "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df_t") + F.lit(0.5))
+                / (F.col("df_t") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "__w",
+            F.col("__idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return scored.groupBy("query_id", "doc_id").agg(F.sum("__w").alias("score"))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """Top-k (query_id, doc_id, rank, score) per query. Scores are
+    ROUNDED to 6 decimals BEFORE ranking with a doc_id tie-break, so
+    the ranking is reproducible across engines (double summation order
+    differs between engines only in the last ulps — far below the
+    rounding grain) — the same determinism rule the float oracles
+    use."""
+    from pyspark.sql.window import Window
+
+    s = bm25_scores(
+        docs, queries, k1, b, id_col, text_col, query_id_col, terms_col
+    ).withColumn("score", F.round(F.col("score"), 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        s.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank", "score")
+    )

@@ -2869,6 +2869,73 @@ def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+
+@query(
+    "bm25_topk",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, {_BM25_TOKS} AS toks FROM documents
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM t
+    ), post AS (
+      SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM (
+        SELECT doc_id, unnest(toks) AS term, len(toks) AS dl FROM t
+      ) GROUP BY doc_id, term
+    ), q AS (
+      SELECT doc_id AS query_id, unnest(list_distinct(toks[1:5])) AS term
+      FROM t WHERE doc_id % 50 = 0
+    ), dfreq AS (
+      SELECT term, count(*) AS df_t FROM post
+      WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term
+    ), scored AS (
+      SELECT q.query_id, p.doc_id,
+             sum(ln(1 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+                 * (p.tf * 2.2)
+                 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl))) AS score
+      FROM q JOIN post p USING (term) JOIN dfreq d USING (term)
+      CROSS JOIN stats s
+      GROUP BY q.query_id, p.doc_id
+    ), r AS (
+      SELECT query_id, doc_id, round(score, 6) AS score,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(score, 6) DESC, doc_id
+             ) AS rank
+      FROM scored
+    )
+    SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, score
+    FROM r WHERE rank <= 5
+    """,
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 lexical retrieval (functions/retrieval.py): every
+    50th document's first 5 distinct tokens form a query set ranked
+    against the whole corpus — the text-side counterpart of
+    ``embedding_topk``, and the primitive behind retrieval-based
+    decontamination and DSIR-style data selection. Scale shape: the
+    postings frame is semi-joined against the BROADCAST query-term set
+    before any scoring (inverted-index access expressed relationally —
+    score volume ∝ queried-term postings, not corpus), per-term df
+    and the 1-row (N, avgdl) stats ride broadcast joins, and ranking
+    rounds to 6 decimals BEFORE row_number with a doc_id tie-break so
+    both engines order identically (cross-engine double summation
+    differs in the last ulps only). Parked mid-r8 under the rotation
+    policy with the automatic parity pin — MUST rotate into r9."""
+    from willa_spark.functions import retrieval as R
+
+    docs = read_docs_spread(spark, sf_dir).select("doc_id", "text")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    queries = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_distinct(F.slice(toks, 1, 5)).alias("terms"),
+    )
+    out = R.bm25_topk(docs, queries, k=5)
+    return out.select(
+        "query_id", "doc_id", F.col("rank").cast("long").alias("rank"), "score"
+    )
+
+
 # Data-mixing rates keyed by source (three tiers). Defined once and
 # rendered into BOTH the Spark broadcast-join frame and the oracle's
 # VALUES list so the two engines share one spec.
@@ -3834,12 +3901,12 @@ def q_mixing_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_curation.py::test_omitted_relational_parity (computed
 # FROM this set, so the pin rotates automatically).
 #
-# Round 8 rotation. Registered queries: 94 (85 r7 names + 4
+# Round 8 rotation. Registered queries: 95 (85 r7 names + 4
 # precision_<family> rows + the audio segment-containment pair + the 2
-# mixing rows + dup_ngram_spans, registered mid-r8 AFTER the gate
-# reached exactly 50 — parked in DRIVER_OMIT with the automatic
-# parity pin, MUST rotate into r9, the same shape as r7's parked
-# video entries). Must-in (35): ALL 33 r7-rested names return (green
+# mixing rows + dup_ngram_spans and bm25_topk, registered mid-r8 AFTER
+# the gate reached exactly 50 — parked in DRIVER_OMIT with the
+# automatic parity pin, MUST rotate into r9, the same shape as r7's
+# parked video entries). Must-in (35): ALL 33 r7-rested names return (green
 # in r6, so the two-round invariant comes due — the same all-return
 # move r6 and r7 made) and the 2 mid-r7 parked video entries
 # (video_fingerprint_dups, recall_video_fp) enter per the policy's own
@@ -3920,9 +3987,10 @@ def q_mixing_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 DRIVER_OMIT = frozenset(
     {
         # -- parked mid-r8 (registered after the gate hit 50): oracle-
-        # -- bearing, so the automatic parity pytest pins it every run;
-        # -- MUST rotate into the r9 gate (rest a keep to make room)
+        # -- bearing, so the automatic parity pytest pins them every
+        # -- run; MUST rotate into the r9 gate (rest keeps to make room)
         "dup_ngram_spans",
+        "bm25_topk",
         # -- 43 rests, all green in the r7 driver gate (return due r9)
         "anti_join_customers",
         "asof_enrich",
