@@ -1288,3 +1288,56 @@ def test_bm25_scoring_plan_broadcasts_query_side(spark):
     scores = R.bm25_scores(docs, q)
     assert uses_broadcast_join(scores)
     assert {r["doc_id"] for r in scores.filter(F.col("query_id") == 1).collect()} >= {7}
+
+
+def test_bm25_bucketed_postings_zero_shuffle_serving(spark):
+    """The retrieval twin of the bucketed-IVF serving test: a postings
+    table persisted bucketed-by-term serves BM25 with ZERO index-side
+    exchanges (every query operand broadcasts; the per-term df
+    aggregation is satisfied by the bucketed layout), and results equal
+    the on-the-fly bm25_topk exactly."""
+    from willa_spark.functions import retrieval as R
+    from willa_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    queries = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_distinct(F.slice(toks, 1, 5)).alias("terms"),
+    )
+    spark.sql("DROP TABLE IF EXISTS bm25_bucketed_test")
+    spark.sql("DROP TABLE IF EXISTS bm25_bucketed_test_stats")
+    R.save_postings_bucketed(docs, "bm25_bucketed_test", num_buckets=4)
+    try:
+        want = sorted(tuple(r) for r in R.bm25_topk(docs, queries, k=5).collect())
+        got_df = R.bm25_topk_indexed(spark, "bm25_bucketed_test", queries, k=5)
+        got = sorted(tuple(r) for r in got_df.collect())
+        assert got == want
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan
+        # the INDEX side never exchanges: no Exchange is keyed on a
+        # term exprId produced by the bucketed table's scans — the df
+        # aggregation's partial->final pair runs directly over the
+        # bucketed layout. (The tiny query-side terms-distinct DOES
+        # exchange, once per un-reused subtree — query-shaped cost,
+        # different exprIds.) An unbucketed index fails this: its df
+        # aggregation exchanges on the scan's own term attribute.
+        import re as _re
+
+        scan_term_ids = {
+            m.group(1)
+            for l in plan.splitlines()
+            if "FileScan parquet" in l and "bm25_bucketed_test[" in l
+            for m in _re.finditer(r"term#(\d+)", l)
+        }
+        exchanged_ids = {
+            m.group(1)
+            for m in _re.finditer(r"Exchange hashpartitioning\(term#(\d+)", plan)
+        }
+        assert scan_term_ids, plan
+        assert not (scan_term_ids & exchanged_ids), plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bm25_bucketed_test")
+        spark.sql("DROP TABLE IF EXISTS bm25_bucketed_test_stats")

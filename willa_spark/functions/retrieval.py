@@ -64,23 +64,23 @@ def corpus_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
-def bm25_scores(
-    docs: DataFrame,
+def _score_postings(
+    post: DataFrame,
+    stats: DataFrame,
     queries: DataFrame,
-    k1: float = 1.2,
-    b: float = 0.75,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    query_id_col: str = "query_id",
-    terms_col: str = "terms",
+    k1: float,
+    b: float,
+    query_id_col: str,
+    terms_col: str,
 ) -> DataFrame:
-    """(query_id, doc_id, score) for every document sharing >= 1 term
-    with the query. ``queries`` is (query_id, terms array<string>);
-    term multiplicity is ignored. The postings frame is pruned to the
-    queried terms via a broadcast semi-join BEFORE any scoring work —
-    at 100 TB the score volume is (queried-term postings), not the
-    corpus."""
-    post = postings_frame(docs, id_col, text_col)
+    """The scoring KERNEL shared by the on-the-fly path (bm25_scores)
+    and the bucketed serving path (bm25_topk_indexed): (doc_id, term,
+    tf, dl) postings × 1-row (n_docs, avgdl) stats × (query_id, terms)
+    queries → (query_id, doc_id, score). Every query-side operand is
+    broadcast (the term set, the exploded query terms, the per-term df,
+    the stats row), so the index side never shuffles for a join; the
+    ONLY possible index-side exchange is the per-term df aggregation —
+    which a term-bucketed postings table satisfies from storage."""
     qt = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.explode(F.array_distinct(F.col(terms_col))).alias("term"),
@@ -90,9 +90,9 @@ def bm25_scores(
     # per-term document frequency over the pruned rows (df is a
     # per-term count, unchanged by pruning to that term)
     dfreq = pruned.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
-    stats = corpus_stats(docs, id_col, text_col)
     scored = (
-        qt.join(pruned, "term")
+        F.broadcast(qt)
+        .join(pruned, "term")
         .join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
         .withColumn(
@@ -117,6 +117,51 @@ def bm25_scores(
     return scored.groupBy("query_id", "doc_id").agg(F.sum("__w").alias("score"))
 
 
+def _rank_topk(scores: DataFrame, k: int) -> DataFrame:
+    """Deterministic top-k: scores ROUNDED to 6 decimals BEFORE ranking
+    with a doc_id tie-break, so the ranking reproduces across engines
+    (double summation order differs between engines only in the last
+    ulps — far below the rounding grain)."""
+    from pyspark.sql.window import Window
+
+    s = scores.withColumn("score", F.round(F.col("score"), 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        s.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rank", "score")
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """(query_id, doc_id, score) for every document sharing >= 1 term
+    with the query. ``queries`` is (query_id, terms array<string>);
+    term multiplicity is ignored. The postings frame is pruned to the
+    queried terms via a broadcast semi-join BEFORE any scoring work —
+    at 100 TB the score volume is (queried-term postings), not the
+    corpus."""
+    return _score_postings(
+        postings_frame(docs, id_col, text_col),
+        corpus_stats(docs, id_col, text_col),
+        queries,
+        k1,
+        b,
+        query_id_col,
+        terms_col,
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -128,22 +173,69 @@ def bm25_topk(
     query_id_col: str = "query_id",
     terms_col: str = "terms",
 ) -> DataFrame:
-    """Top-k (query_id, doc_id, rank, score) per query. Scores are
-    ROUNDED to 6 decimals BEFORE ranking with a doc_id tie-break, so
-    the ranking is reproducible across engines (double summation order
-    differs between engines only in the last ulps — far below the
-    rounding grain) — the same determinism rule the float oracles
-    use."""
-    from pyspark.sql.window import Window
-
-    s = bm25_scores(
-        docs, queries, k1, b, id_col, text_col, query_id_col, terms_col
-    ).withColumn("score", F.round(F.col("score"), 6))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("doc_id").asc()
+    """Top-k (query_id, doc_id, rank, score) per query — scores rounded
+    to 6 decimals before ranking with a doc_id tie-break (see
+    ``_rank_topk``), the same determinism rule the float oracles use."""
+    return _rank_topk(
+        bm25_scores(docs, queries, k1, b, id_col, text_col, query_id_col, terms_col),
+        k,
     )
-    return (
-        s.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "doc_id", "rank", "score")
+
+
+def save_postings_bucketed(
+    docs: DataFrame,
+    table: str,
+    num_buckets: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist the inverted index hash-BUCKETED by term — the 100 TB
+    serving layout, the retrieval twin of ``save_ivf_index_bucketed``
+    (similarity.py): a term-keyed probe reads the bucketed table with
+    NO exchange on the index side, and the per-term df aggregation is
+    satisfied from storage too (bucketing + per-bucket sort on the
+    grouping key). Corpus statistics (n_docs, avgdl) land beside it as
+    ``<table>_stats`` (1 row) — they are index-build-time facts, like
+    IVF centroids. STORE CONTRACT: the tokenization and the
+    (tf, dl) definitions are part of the table's identity — changing
+    them means rebuilding, the ANN stores' generation rule."""
+    from ..operators.skew import write_bucketed
+
+    write_bucketed(
+        postings_frame(docs, id_col, text_col), table, "term",
+        num_buckets=num_buckets,
+    )
+    corpus_stats(docs, id_col, text_col).write.mode("overwrite").saveAsTable(
+        table + "_stats"
+    )
+
+
+def bm25_topk_indexed(
+    spark,
+    table: str,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """BM25 top-k served from a ``save_postings_bucketed`` table.
+    Identical results to ``bm25_topk`` over the same corpus
+    (pytest-pinned); the difference is purely physical — postings come
+    off storage pre-partitioned (and pre-sorted) by term, so the
+    index side runs with ZERO exchanges: every query-side operand
+    broadcasts and the df aggregation is satisfied by the bucketed
+    layout (plan-pinned)."""
+    return _rank_topk(
+        _score_postings(
+            spark.table(table),
+            spark.table(table + "_stats"),
+            queries,
+            k1,
+            b,
+            query_id_col,
+            terms_col,
+        ),
+        k,
     )
