@@ -605,3 +605,48 @@ def test_minhash_exact_verify_divergence_pinned(spark, tmp_path):
     cands = D.minhash_candidate_pairs(docs, num_hashes=8, num_bands=4)
     assert cands.count() == 1  # the pair IS an LSH candidate
     assert D.verified_near_dups(docs, cands, threshold=0.8).count() == 0
+
+
+def test_streaming_dup_ngram_mask_first_seen_and_replay(spark, tmp_path):
+    """Streaming exact-substring masking: a run's FIRST occurrence
+    (count so far < min_count) is emitted verbatim; once the running
+    count reaches min_count every later occurrence is cut — the
+    append-sink first-seen contract, diverging from the batch twin
+    exactly on the first occurrence (batch masks ALL of them). Within
+    one batch the two agree; replays are idempotent."""
+    from willa_spark.streaming.near_dedup import dup_ngram_mask_step
+
+    run = "lorem ipsum dolor sit amet consectetur adipiscing elit sed"
+    b1 = [(1, "alpha bravo " + run), (2, "unique words only here nothing repeats at all")]
+    b2 = [(3, run + " charlie delta"), (4, "more unique words nothing shared anywhere truly")]
+    store = os.path.join(str(tmp_path), "ngram-store")
+    step = dup_ngram_mask_step(store, n=5)
+    out1 = {r["doc_id"]: r["text"] for r in step(_mkdocs(spark, b1), 0).collect()}
+    assert out1[1] == "alpha bravo " + run  # first occurrence: verbatim
+    assert out1[2] == b1[1][1]
+    out2 = {r["doc_id"]: r["text"] for r in step(_mkdocs(spark, b2), 1).collect()}
+    assert out2[3] == "charlie delta"  # second occurrence: masked
+    assert out2[4] == b2[1][1]
+
+    # replay of batch 1 must re-derive its own emission (store probe is
+    # strictly-prior, so batch 1 still sees count 1 -> verbatim)
+    again = {r["doc_id"]: r["text"] for r in step(_mkdocs(spark, b2), 1).collect()}
+    assert again == out2
+
+    # the pinned divergence: the batch twin masks the FIRST occurrence too
+    full = _mkdocs(spark, b1 + b2)
+    bspans = D.dup_ngram_spans(full, n=5)
+    bmasked = {r["doc_id"]: r["text"] for r in D.mask_dup_spans(full, bspans).collect()}
+    assert bmasked[3] == "charlie delta"  # later occurrence: agrees
+    assert bmasked[1] == "alpha bravo"    # first occurrence: batch cuts it, streaming kept it
+
+    # within one batch the stream and the batch twin agree exactly
+    b3 = [(5, run + " echo"), (6, run + " foxtrot")]
+    step2 = dup_ngram_mask_step(os.path.join(str(tmp_path), "s2"), n=5)
+    out3 = {r["doc_id"]: r["text"] for r in step2(_mkdocs(spark, b3), 0).collect()}
+    full3 = _mkdocs(spark, b3)
+    bm3 = {
+        r["doc_id"]: r["text"]
+        for r in D.mask_dup_spans(full3, D.dup_ngram_spans(full3, n=5)).collect()
+    }
+    assert out3 == bm3 == {5: "echo", 6: "foxtrot"}

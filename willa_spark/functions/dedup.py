@@ -608,14 +608,7 @@ def dup_ngram_spans(
 
     The paper's production setting is n=50 tokens; the default n=5
     suits test-scale corpora — semantics are identical."""
-    grams = (
-        _spread(df.select(id_col, text_col), id_col)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.posexplode(shingles(F.col(text_col), n)).alias("__pos", "__g"),
-        )
-        .select("doc_id", "__pos", F.xxhash64(F.col("__g")).alias("__h"))
-    )
+    grams = gram_positions(df, n, id_col, text_col)
     # persist + EAGER count: the frame feeds both the corpus-wide count
     # and the position semi-join — lazily persisted, the two subtrees
     # race to compute the explode concurrently within one action (the
@@ -632,8 +625,37 @@ def dup_ngram_spans(
         .filter(F.col("__c") >= min_count)
     )
     hits = grams.join(dup.select("__h"), "__h", "left_semi")
+    spans = island_spans(hits, n)
+    if min_span is not None and min_span > n:
+        spans = spans.filter(F.col("span_tokens") >= min_span)
+    return spans
+
+
+def gram_positions(
+    df: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, __pos, __h): every n-gram's 0-based token position and
+    64-bit hash — the joinable half of the exact-substring family,
+    shared by ``dup_ngram_spans`` and the streaming
+    ``dup_ngram_mask_step`` (which persists per-batch (__h, __c)
+    counts). Map-side explode; no shuffle."""
+    return (
+        _spread(df.select(id_col, text_col), id_col)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(shingles(F.col(text_col), n)).alias("__pos", "__g"),
+        )
+        .select("doc_id", "__pos", F.xxhash64(F.col("__g")).alias("__h"))
+    )
+
+
+def island_spans(hits: DataFrame, n: int) -> DataFrame:
+    """Gaps-and-islands merge of duplicated n-gram positions into
+    maximal spans: (doc_id, __pos) → (doc_id, span_start, span_end,
+    span_tokens). n-grams at p and q overlap or touch iff q - p <= n;
+    the per-document window partition is bounded by document length."""
     w = W.partitionBy("doc_id").orderBy("__pos")
-    spans = (
+    return (
         hits.withColumn(
             "__new",
             # NULL lag = first duplicated position of the doc = new
@@ -656,9 +678,6 @@ def dup_ngram_spans(
             (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
         )
     )
-    if min_span is not None and min_span > n:
-        spans = spans.filter(F.col("span_tokens") >= min_span)
-    return spans
 
 
 def mask_dup_spans(
@@ -675,8 +694,10 @@ def mask_dup_spans(
     price of positional masking; a byte-faithful cut would need byte
     offsets through the tokenizer). Map-only after one broadcast-or-
     shuffle join of (doc, tiny span list); the span list per doc is
-    bounded by document length."""
-    sp = spans.groupBy(F.col(id_col).alias("__sid")).agg(
+    bounded by document length. ``spans`` carries the fixed ``doc_id``
+    column every span producer emits (``dup_ngram_spans`` /
+    ``island_spans``); ``id_col`` names the DOCUMENT frame's id."""
+    sp = spans.groupBy(F.col("doc_id").alias("__sid")).agg(
         F.collect_list(
             F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))
         ).alias("__spans")

@@ -65,6 +65,9 @@ from pyspark.sql import functions as F
 from ..functions.dedup import (
     banded_signature_frame,
     dup_clusters,
+    gram_positions,
+    island_spans,
+    mask_dup_spans,
     minhash_signature_frame,
     ngram_jaccard,
     shingles,
@@ -817,6 +820,80 @@ def _containment_dedup_step(
         # drop-based return: fingerprint-less (short) docs pass through
         return batch_df.join(
             drops, batch_df[id_col] == F.col("__drop"), "left_anti"
+        )
+
+    return step
+
+
+def dup_ngram_mask_step(
+    store_dir: str,
+    n: int = 5,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    compact_every: int | None = None,
+) -> Callable[[DataFrame, int], DataFrame]:
+    """foreachBatch step for streaming EXACT-SUBSTRING masking — the
+    online form of ``dedup.dup_ngram_spans`` + ``mask_dup_spans`` (Lee
+    et al. 2022): every token run whose n-grams have occurred >=
+    ``min_count`` times across the stream SO FAR (prior batches + this
+    batch) is cut from this batch's documents before emission. Unlike
+    the dedup steps this step REWRITES ``text_col`` instead of dropping
+    rows — document identity survives, boilerplate doesn't.
+
+    The store holds per-batch (``__h``, ``__c``) n-gram occurrence
+    counts, key-sorted so compaction merges and probes prune on the
+    hash; the probe SEMI-JOINS the store against the batch's own gram
+    set before aggregating (store rows for grams absent from this
+    batch can't change any mask decision), so per-batch probe work is
+    batch-shaped, with row-group pruning from the sort doing the rest.
+
+    FIRST-SEEN CONTRACT (the family's standard): occurrences are
+    masked from the moment the running count reaches ``min_count`` —
+    an occurrence EMITTED in an earlier batch stays as emitted (an
+    append sink cannot retract it), so with min_count=2 the stream
+    keeps the first occurrence and masks every later one, while the
+    batch twin masks ALL occurrences including the first. That is
+    exactly the divergence ``test_streaming_dup_ngram_mask...`` pins;
+    within one batch the two agree. Replay-idempotent like every step
+    here: the store probe is partition-pruned to strictly-prior
+    batches and a retry overwrites its own partition."""
+
+    def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        spark = batch_df.sparkSession
+        store_compact_every(
+            spark, [(store_dir, "__h")], batch_id, compact_every
+        )
+        grams = gram_positions(batch_df, n, id_col, text_col).persist()
+        grams.count()  # eager: feeds counts, hits, and the store append
+        batch_counts = grams.groupBy("__h").agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        st = store_read(spark, store_dir, before_batch=batch_id)
+        if st is not None:
+            prior = (
+                st.join(batch_counts.select("__h"), "__h", "left_semi")
+                .groupBy("__h")
+                .agg(F.sum("__c").alias("__pc"))
+            )
+            total = batch_counts.join(prior, "__h", "left").select(
+                "__h",
+                (F.col("__c") + F.coalesce(F.col("__pc"), F.lit(0))).alias(
+                    "__t"
+                ),
+            )
+        else:
+            total = batch_counts.select("__h", F.col("__c").alias("__t"))
+        dup = total.filter(F.col("__t") >= min_count).select("__h")
+        hits = grams.join(dup, "__h", "left_semi").select("doc_id", "__pos")
+        spans = island_spans(hits, n)
+        # pin the (small) span set eagerly so the gram cache can be
+        # released before returning — long streams must not accumulate
+        spans = spans.localCheckpoint(eager=True)
+        store_append(batch_counts, store_dir, batch_id, sort_by="__h")
+        grams.unpersist()
+        return mask_dup_spans(
+            batch_df, spans, id_col=id_col, text_col=text_col
         )
 
     return step
