@@ -3,6 +3,8 @@ text analysis, dedup (all five levels), similarity search, multimodal
 plumbing — plus physical-plan assertions (broadcast, pushdown) that
 guard the 100 TB plan shapes."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -1341,3 +1343,43 @@ def test_bm25_bucketed_postings_zero_shuffle_serving(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS bm25_bucketed_test")
         spark.sql("DROP TABLE IF EXISTS bm25_bucketed_test_stats")
+
+
+def test_dup_ngram_spans_oracle_parity_edge_whitespace(spark, tmp_path):
+    """Documents with non-space edge whitespace (trim strips spaces
+    only, in BOTH engines) leave an empty edge token in the unfiltered
+    split — the case where a filtered oracle tokenizer would shift
+    every gram position off the Spark side's. Pins the registered
+    oracle's tokenizer choice (_RAW_TOKS_SQL, unfiltered) on a corpus
+    built to hit it."""
+    import duckdb
+
+    run = "lorem ipsum dolor sit amet consectetur adipiscing elit sed"
+    rows = [
+        (1, "alpha bravo " + run + "\n"),        # trailing newline
+        (2, "\t" + run + " echo foxtrot"),        # leading tab
+        (3, "unique words only here nothing repeats anywhere at all"),
+    ]
+    pq = os.path.join(str(tmp_path), "docs.parquet")
+    spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(1).write.parquet(pq)
+
+    docs = spark.read.parquet(pq)
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in D.dup_ngram_spans(docs, n=5).collect()
+    )
+    assert got, "the planted run must be found"
+
+    from willa_spark.queries import ORACLE_SQL
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+    )
+    oracle = sorted(
+        tuple(r)
+        for r in con.execute(
+            ORACLE_SQL["dup_ngram_spans"] + " ORDER BY doc_id, span_start"
+        ).fetchall()
+    )
+    assert got == oracle

@@ -650,3 +650,27 @@ def test_streaming_dup_ngram_mask_first_seen_and_replay(spark, tmp_path):
         for r in D.mask_dup_spans(full3, D.dup_ngram_spans(full3, n=5)).collect()
     }
     assert out3 == bm3 == {5: "echo", 6: "foxtrot"}
+
+
+def test_streaming_dup_ngram_mask_one_batch_equals_batch_twin_real_corpus(
+    spark, tmp_path
+):
+    """Whole-corpus congruity on real driver data: the stream delivered
+    as ONE micro-batch must equal the batch twin exactly (no prior
+    store → running counts == corpus counts), doc for doc, text for
+    text — including the sf corpus's organic fully-duplicated docs that
+    mask to empty strings."""
+    from willa_spark.sources import read_table
+    from willa_spark.streaming.near_dedup import dup_ngram_mask_step
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    step = dup_ngram_mask_step(os.path.join(str(tmp_path), "store"), n=5)
+    got = {r["doc_id"]: r["text"] for r in step(docs, 0).collect()}
+    spans = D.dup_ngram_spans(docs, n=5)
+    want = {
+        r["doc_id"]: r["text"] for r in D.mask_dup_spans(docs, spans).collect()
+    }
+    assert len(got) == 500 and got == want
+    assert any(t == "" for t in got.values())  # fully-duplicated docs exist

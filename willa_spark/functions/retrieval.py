@@ -72,6 +72,7 @@ def _score_postings(
     b: float,
     query_id_col: str,
     terms_col: str,
+    materialize_pruned: bool = False,
 ) -> DataFrame:
     """The scoring KERNEL shared by the on-the-fly path (bm25_scores)
     and the bucketed serving path (bm25_topk_indexed): (doc_id, term,
@@ -80,13 +81,28 @@ def _score_postings(
     broadcast (the term set, the exploded query terms, the per-term df,
     the stats row), so the index side never shuffles for a join; the
     ONLY possible index-side exchange is the per-term df aggregation —
-    which a term-bucketed postings table satisfies from storage."""
+    which a term-bucketed postings table satisfies from storage.
+
+    The pruned postings feed TWO subtrees (the df aggregation and the
+    scoring join), and Spark does not reuse subtrees — measured: zero
+    ReusedExchange, the corpus explode ran in both. The on-the-fly
+    path therefore passes ``materialize_pruned=True`` (eager persist +
+    count, the ``verified_near_dups`` pattern — and its CACHING NOTE:
+    the entry outlives the call; loop callers release via
+    ``spark.catalog.clearCache()``). The SERVED path leaves it False
+    on purpose: its postings come off a bucketed table whose second
+    scan is row-group-pruned storage IO, and caching would trade the
+    plan-pinned zero-exchange bucketed distribution for an in-memory
+    relation."""
     qt = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.explode(F.array_distinct(F.col(terms_col))).alias("term"),
     )
     terms = qt.select("term").distinct()
     pruned = post.join(F.broadcast(terms), "term", "left_semi")
+    if materialize_pruned:
+        pruned = pruned.persist()
+        pruned.count()
     # per-term document frequency over the pruned rows (df is a
     # per-term count, unchanged by pruning to that term)
     dfreq = pruned.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
@@ -159,6 +175,7 @@ def bm25_scores(
         b,
         query_id_col,
         terms_col,
+        materialize_pruned=True,
     )
 
 

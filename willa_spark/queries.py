@@ -2805,11 +2805,17 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CURATION.line_dedup_stats(CURATION.plant_spam_lines(docs))
 
 
+# UNFILTERED whitespace split — mirrors functions.dedup.shingles /
+# retrieval._toks exactly (keeping any empty edge token a non-space
+# whitespace edge leaves behind; _TOKS_SQL's empty-token filter would
+# shift every gram POSITION off the Spark side's for such documents)
+_RAW_TOKS_SQL = r"string_split_regex(lower(trim(text)), '\s+')"
+
 @query(
     "dup_ngram_spans",
     oracle=rf"""
     WITH t AS (
-      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+      SELECT doc_id, {_RAW_TOKS_SQL} AS toks FROM documents
     ), toks AS (
       SELECT doc_id, unnest(toks) AS tok,
              generate_subscripts(toks, 1) - 1 AS pos
@@ -2869,13 +2875,11 @@ def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BM25_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
-
 @query(
     "bm25_topk",
     oracle=rf"""
     WITH t AS (
-      SELECT doc_id, {_BM25_TOKS} AS toks FROM documents
+      SELECT doc_id, {_RAW_TOKS_SQL} AS toks FROM documents
     ), stats AS (
       SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM t
     ), post AS (
