@@ -20,8 +20,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import SparkSession
-
 # Representative of every operator family (SURVEY §2 + extensions):
 # transforms, table state, changelog aggs, windows, all join shapes,
 # analytics vocabulary, text/dedup/similarity pipeline ops.
@@ -145,26 +143,13 @@ HEADLINE = [
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("willa_spark-bench")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
-        .config("spark.ui.enabled", "false")
-        # no stage-progress \r spam on stdout: r6's bench line was
-        # unparseable because ~76 queries of progress-bar output pushed
-        # the head of the JSON line out of the driver's tail window
-        .config("spark.ui.showConsoleProgress", "false")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    # the ONE shared benchmark session config (tools/bench_session.py):
+    # rebench/bench_composed numbers stay comparable to this record
+    from tools.bench_session import make_bench_session
+
+    spark, cpus = make_bench_session("willa_spark-bench")
     from willa_spark.queries import QUERIES
     from willa_spark.sources import read_table, table_names
 

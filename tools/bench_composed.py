@@ -24,8 +24,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import SparkSession
-
 
 def main() -> int:
     args = sys.argv[1:]
@@ -35,20 +33,9 @@ def main() -> int:
         args = args[2:]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     dirs = args or ["/root/testdata/sf0.1", os.path.join(repo, ".derived/sf1")]
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("willa_spark-bench-composed")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
-        .config("spark.ui.enabled", "false")
-        .config("spark.ui.showConsoleProgress", "false")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    from tools.bench_session import make_bench_session
+
+    spark, cpus = make_bench_session("willa_spark-bench-composed")
     from willa_spark.functions.curation import save_packed_shards
     from willa_spark.functions.dedup import _spread
     from willa_spark.sources import read_table

@@ -23,8 +23,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import SparkSession
-
 
 def main() -> int:
     args = sys.argv[1:]
@@ -39,20 +37,9 @@ def main() -> int:
     if not args:
         print(__doc__, file=sys.stderr)
         return 2
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("willa_spark-rebench")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
-        .config("spark.ui.enabled", "false")
-        .config("spark.ui.showConsoleProgress", "false")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    from tools.bench_session import make_bench_session
+
+    spark, cpus = make_bench_session("willa_spark-rebench")
     from willa_spark.queries import QUERIES
     from willa_spark.sources import read_table, table_names
 

@@ -3497,7 +3497,16 @@ def _precision_sig_rows(
     GUARANTEED to reach the bit_count verify, which must reject it:
     hamming is exactly max_hamming+1 by construction. n_false_found
     counts originals whose near-miss twin was (wrongly) emitted — the
-    oracle asserts 0; n_true_found must equal n_planted."""
+    oracle asserts 0; n_true_found must equal n_planted.
+
+    ``sig`` is EAGERLY pinned first (the video dual's discipline): it
+    fans out to four consumers (corpus branch, both twin branches, the
+    n_planted count) and Spark does not reuse subtrees — unpinned, the
+    image/audio callers' mapInPandas decode ran ~4× per gate run. The
+    pinned frame is (id, 8-byte hash) rows — tiny at any corpus size.
+    The true/false counts share ONE conditional aggregate for the same
+    reason (the pigeonhole self-join ran twice as separate aggs)."""
+    sig = sig.localCheckpoint(eager=True)
     mask = (1 << (max_hamming + 1)) - 1
     planted = sig.filter(F.col("id") % modulus == 0)
     exact = planted.select((F.col("id") + _P_OFF1).alias("id"), "simhash")
@@ -3507,23 +3516,20 @@ def _precision_sig_rows(
     )
     frame = sig.unionByName(exact).unionByName(miss)
     pairs = D.hamming_block_pairs(frame, max_hamming, max_hamming + 1)
-    orig = F.col("id_a") < _P_OFF1
-    n_true = pairs.filter(orig & (F.col("id_b") == F.col("id_a") + _P_OFF1)).agg(
-        F.count_distinct("id_a").alias("n_true_found")
-    )
-    n_false = pairs.filter(orig & (F.col("id_b") == F.col("id_a") + _P_OFF2)).agg(
-        F.count_distinct("id_a").alias("n_false_found")
+    counts = pairs.filter(F.col("id_a") < _P_OFF1).agg(
+        F.count_distinct(
+            F.when(F.col("id_b") == F.col("id_a") + _P_OFF1, F.col("id_a"))
+        ).alias("n_true_found"),
+        F.count_distinct(
+            F.when(F.col("id_b") == F.col("id_a") + _P_OFF2, F.col("id_a"))
+        ).alias("n_false_found"),
     )
     n_pl = planted.agg(F.count(F.lit(1)).cast("bigint").alias("n_planted"))
-    return (
-        n_pl.crossJoin(n_true)
-        .crossJoin(n_false)
-        .select(
-            F.lit(family).alias("family"),
-            "n_planted",
-            "n_true_found",
-            "n_false_found",
-        )
+    return n_pl.crossJoin(counts).select(
+        F.lit(family).alias("family"),
+        "n_planted",
+        "n_true_found",
+        "n_false_found",
     )
 
 
