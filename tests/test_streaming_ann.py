@@ -529,3 +529,53 @@ def test_streaming_embedding_dedup_score_survivor(spark, tmp_path):
     got1 = {r["vec_id"] for r in step(mk(b1), 1).collect()}
     assert got0 == {1, 2}
     assert got1 == {4}
+
+
+def test_streaming_bm25_index_probe_congruity_and_replay(spark, tmp_path):
+    """The retrieval twin of the ANN index/probe congruity: a corpus
+    ingested across two micro-batches + a probe must equal the batch
+    bm25_topk over the full corpus EXACTLY (the stats store keeps
+    additive (n_docs, sum_dl) sums, so batching cannot skew N or
+    avgdl); a probe before any ingest yields an empty frame with the
+    topk schema; an index replay neither duplicates store rows nor
+    changes the probe answer."""
+    from pyspark.sql import functions as F
+
+    from willa_spark.functions import retrieval as R
+    from willa_spark.sources import read_table
+    from willa_spark.streaming.retrieval import bm25_probe_step, postings_index_step
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    queries = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_distinct(F.slice(toks, 1, 5)).alias("terms"),
+    )
+    store = os.path.join(str(tmp_path), "bm25-store")
+    results: dict[int, list] = {}
+
+    def sink(df, bid):
+        results[bid] = sorted(tuple(r) for r in df.collect())
+
+    probe = bm25_probe_step(store, sink, k=5)
+    # probe before ingest: empty, schema intact
+    probe(queries, 0)
+    assert results[0] == []
+
+    index = postings_index_step(store)
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    index(b1, 0)
+    index(b2, 1)
+    probe(queries, 1)
+    want = sorted(tuple(r) for r in R.bm25_topk(docs, queries, k=5).collect())
+    assert results[1] == want and want
+
+    # index replay: same probe answer, no duplicated postings rows
+    index(b2, 1)
+    probe(queries, 2)
+    assert results[2] == want
+    post = spark.read.parquet(os.path.join(store, "postings"))
+    assert post.count() == post.select("doc_id", "term").distinct().count()
