@@ -1,3 +1,11 @@
-from . import corpus, curation, dedup, multimodal, similarity, text
+from . import corpus, curation, dedup, multimodal, retrieval, similarity, text
 
-__all__ = ["corpus", "curation", "dedup", "multimodal", "similarity", "text"]
+__all__ = [
+    "corpus",
+    "curation",
+    "dedup",
+    "multimodal",
+    "retrieval",
+    "similarity",
+    "text",
+]
