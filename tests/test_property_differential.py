@@ -330,3 +330,94 @@ def test_windowed_table_congruity(spark, tmp_path_factory, records, chain, windo
     else:
         s = Counter()
     assert b == s
+
+
+# ----------------------------------------------------------------------
+# Exact-substring dedup: pure-Python differential oracle
+# ----------------------------------------------------------------------
+_DNS_VOCAB = ["ka", "lo", "mi", "nu"]
+
+
+def _ref_dup_ngram(texts: dict[int, str], n: int = 3, min_count: int = 2):
+    """Plain-Python reference for dup_ngram_spans + mask_dup_spans:
+    global n-gram occurrence counts → duplicated positions → islands
+    (gap > n splits) → spans; masked text drops covered tokens."""
+    import re as _re
+
+    toks = {
+        d: _re.split(r"\s+", t.strip().lower()) for d, t in texts.items()
+    }
+    counts: Counter = Counter()
+    for tk in toks.values():
+        for i in range(max(len(tk) - n + 1, 0)):
+            counts[" ".join(tk[i : i + n])] += 1
+    spans: dict[int, list[tuple[int, int]]] = {}
+    masked: dict[int, str] = {}
+    for d, tk in toks.items():
+        hits = [
+            i
+            for i in range(max(len(tk) - n + 1, 0))
+            if counts[" ".join(tk[i : i + n])] >= min_count
+        ]
+        out: list[tuple[int, int]] = []
+        for p in hits:
+            # merge rule: hit p joins the last island iff p minus the
+            # island's last gram start (= its end - n + 1) is <= n
+            if out and p - (out[-1][1] - n + 1) <= n:
+                out[-1] = (out[-1][0], max(out[-1][1], p + n - 1))
+            else:
+                out.append((p, p + n - 1))
+        if out:
+            spans[d] = out
+        covered = {i for s, e in out for i in range(s, e + 1)}
+        masked[d] = (
+            texts[d]
+            if not out
+            else " ".join(t for i, t in enumerate(tk) if i not in covered)
+        )
+    return spans, masked
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_DNS_VOCAB), min_size=3, max_size=14).map(
+            " ".join
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_dup_ngram_spans_and_mask_match_python_reference(spark, doc_texts):
+    """For ANY corpus over a tiny vocabulary (duplicated 3-grams arise
+    organically), dup_ngram_spans must equal the plain-Python oracle's
+    maximal spans exactly and mask_dup_spans must cut exactly the
+    covered tokens (span-free docs verbatim)."""
+    from willa_spark.functions import dedup as D
+
+    texts = {i: t for i, t in enumerate(doc_texts)}
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id bigint, text string"
+    )
+    spans_df = D.dup_ngram_spans(docs, n=3)
+    got_spans: dict[int, list[tuple[int, int]]] = {}
+    for r in spans_df.collect():
+        got_spans.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+        assert r["span_tokens"] == r["span_end"] - r["span_start"] + 1 >= 3
+    got_spans = {d: sorted(v) for d, v in got_spans.items()}
+    want_spans, want_masked = _ref_dup_ngram(texts, n=3)
+    assert got_spans == want_spans
+    # within-doc disjointness (maximal islands cannot overlap)
+    for v in got_spans.values():
+        assert all(b[0] > a[1] for a, b in zip(v, v[1:]))
+    got_masked = {
+        r["doc_id"]: r["text"]
+        for r in D.mask_dup_spans(docs, spans_df).collect()
+    }
+    assert got_masked == want_masked
