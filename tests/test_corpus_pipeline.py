@@ -508,3 +508,30 @@ def test_curation_step_dedup_score_elects_best(spark, tmp_path):
         dedup_score=F.length(F.col("text")),
     )
     assert {r["doc_id"] for r in scored_step(mk(), 0).collect()} == {2}
+
+
+def test_composed_pipeline_verify_mode_is_explicit(spark, tmp_path):
+    """The composed pipeline's dedup VERIFY MODE is an explicit pinned
+    decision (corpus_curation_step's VERIFY-MODE DECISION note): the
+    default runs the signature-estimated Jaccard against a
+    signature-only store — no ``shingles/`` half may exist — while
+    ``dedup_exact_verify=True`` must thread through to
+    ``minhash_dedup_step``'s exact-shingle store (``shingles/``
+    present). Both modes must admit the same survivors here: the
+    planted dups are exact copies, which the estimator scores at
+    exactly 1.0 (the congruity the default's docstring relies on)."""
+    grams = _eval_grams(spark)
+    admitted = {}
+    for mode in (False, True):
+        store = os.path.join(str(tmp_path), f"store_exact_{mode}")
+        step = corpus_curation_step(
+            store, eval_grams=grams, dedup_exact_verify=mode
+        )
+        ids = set()
+        for bid, batch in enumerate((BATCH1, BATCH2, BATCH3)):
+            ids |= {r["doc_id"] for r in step(_mk(spark, batch), bid).collect()}
+        admitted[mode] = ids
+        assert os.path.isdir(os.path.join(store, "shingles")) == mode, (
+            f"shingles/ must exist iff exact_verify (mode={mode})"
+        )
+    assert admitted[False] == admitted[True] == EXPECT_IDS

@@ -108,6 +108,7 @@ def corpus_curation_step(
     compact_every: int | None = None,
     compact_output: bool = False,
     dedup_score=None,
+    dedup_exact_verify: bool = False,
 ) -> Callable[[DataFrame, int], DataFrame]:
     """The composed foreachBatch step; returns
     ``(batch_df, batch_id) -> admitted_df`` (id + redacted text). Wire
@@ -145,6 +146,22 @@ def corpus_curation_step(
     (e.g. ``text.quality_score(F.col("text"))``); cross-batch stays
     first-seen-wins — see ``near_dedup._drop_within_batch`` for the
     contract.
+
+    VERIFY-MODE DECISION (``dedup_exact_verify``, default False): the
+    composed pipeline runs the dedup stage with the
+    SIGNATURE-ESTIMATED Jaccard verify — the signature-only store is
+    the 100 TB default (k×8 + bands×12 bytes/doc, document-length-
+    independent), an exact duplicate estimates exactly 1.0 so the
+    batch-congruity pins hold exactly, and only borderline ORGANIC
+    pairs (estimator sd ≈ sqrt(J(1-J)/k) ≈ 0.07 at k=32, J≈0.8) can
+    land on the other side of the threshold than the batch pipeline's
+    exact-shingle verify. Pass ``dedup_exact_verify=True`` to opt the
+    composed pipeline into ``minhash_dedup_step``'s exact-verify mode
+    (store gains a ``shingles/`` half, ~8·|distinct shingles| bytes
+    per admitted doc, batch/streaming policy divergence removed) —
+    the trade to make when thresholds sit near organic-pair scores.
+    The mode is part of the store's identity either way (mode flips
+    fail loud; pytest-pinned for this composed path).
     """
     dedup = minhash_dedup_step(
         dedup_store_dir,
@@ -156,6 +173,7 @@ def corpus_curation_step(
         text_col=text_col,
         compact_every=compact_every,
         score=dedup_score,
+        exact_verify=dedup_exact_verify,
     )
 
     def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
@@ -413,6 +431,7 @@ def curation_to_shards_step(
     strata_col: str = "source",
     compact_every: int | None = None,
     dedup_score=None,
+    dedup_exact_verify: bool = False,
 ) -> Callable[[DataFrame, int], DataFrame]:
     """The WHOLE ingestion-to-training-shards pipeline as one
     foreachBatch step: screens → PII redaction → decontamination →
@@ -422,7 +441,10 @@ def curation_to_shards_step(
     the shards — the order a real pipeline requires (leaked PII must
     never reach trainer-consumable bytes). The stratum column is
     re-joined from the batch (the curation stages are
-    stratum-agnostic; the join is batch-local and id-keyed).
+    stratum-agnostic; the join is batch-local and id-keyed). The
+    dedup stage runs the signature-estimated verify by default —
+    ``corpus_curation_step``'s documented VERIFY-MODE DECISION;
+    ``dedup_exact_verify=True`` opts into the exact-shingle store.
 
     Congruity (pytest-pinned): over id-ordered ingestion the union of
     streamed shard rows ≡ batch ``corpus_curation_batch`` →
@@ -444,6 +466,7 @@ def curation_to_shards_step(
         text_col=text_col,
         compact_every=compact_every,
         dedup_score=dedup_score,
+        dedup_exact_verify=dedup_exact_verify,
     )
     pack = pack_shards_step(
         pack_store_dir,
