@@ -3670,6 +3670,234 @@ def q_precision_video_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "precision_winnow",
+    oracle=r"""
+    WITH p AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+               WHERE doc_id % 20 = 0
+                 AND len(string_split_regex(lower(trim(text)), '\s+')) >= 5)
+    SELECT 'winnow' AS family, n AS n_planted, n AS n_true_found,
+           CAST(0 AS BIGINT) AS n_false_found FROM p
+    """,
+)
+def q_precision_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing precision proof (dual of ``recall_winnow``, closing
+    the r8 dual program) — the containment analogue at TEXT
+    granularity, the exact ``precision_video_fp`` pattern: per planted
+    original (every 20th doc with >= k = 5 tokens, so >= 1 winnowing
+    fingerprint exists), the exact twin owns EVERY fingerprint and
+    must be found at n_shared >= 1 (the SIGMOD'03 admission level,
+    ``winnow_dedup_step``'s default), while the near-miss twin owns
+    exactly ONE fingerprint (min(fp) — one row BY CONSTRUCTION, so
+    n_shared with the original is exactly 1) and must be REJECTED at
+    the stricter containment threshold 2 (the video/audio-segment
+    families' admission level): n_false_found counts min-fp twins
+    wrongly reported at >= 2 shared — an over-count anywhere in the
+    pair kernel (duplicate fp rows surviving the distinct-minima
+    contract, a join duplicating rows, count instead of
+    count-distinct semantics) flips it off 0. Counting runs through
+    the family's real kernel (``winnow_pair_counts``). Fingerprints
+    ONLY the pair members, like ``recall_winnow`` and for the same
+    reason: the corpus-wide join belongs to ``winnow_overlap_pairs``
+    whose MOSS df-cap exists precisely because organic template runs
+    make text fingerprints hot — a cap here could silently drop a
+    planted fp and void the construction."""
+    docs = _recall_docs(spark, sf_dir)
+    n_tok = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    eligible = docs.filter((F.col("doc_id") % 20 == 0) & (n_tok >= 5))
+    fpf = D.winnow_fingerprint_frame(eligible).localCheckpoint(eager=True)
+    exact = fpf.select((F.col("id") + _P_OFF1).alias("id"), "fp")
+    miss = (
+        fpf.groupBy("id")
+        .agg(F.min("fp").alias("fp"))
+        .select((F.col("id") + _P_OFF2).alias("id"), "fp")
+    )
+    counts = D.winnow_pair_counts(fpf.unionByName(exact).unionByName(miss))
+    orig = F.col("id_a") < _P_OFF1
+    n_true = counts.filter(
+        orig & (F.col("id_b") == F.col("id_a") + _P_OFF1) & (F.col("n_shared") >= 1)
+    ).agg(F.count_distinct("id_a").alias("n_true_found"))
+    n_false = counts.filter(
+        orig & (F.col("id_b") == F.col("id_a") + _P_OFF2) & (F.col("n_shared") >= 2)
+    ).agg(F.count_distinct("id_a").alias("n_false_found"))
+    n_pl = eligible.agg(F.count(F.lit(1)).cast("bigint").alias("n_planted"))
+    return (
+        n_pl.crossJoin(n_true)
+        .crossJoin(n_false)
+        .select(
+            F.lit("winnow").alias("family"),
+            "n_planted",
+            "n_true_found",
+            "n_false_found",
+        )
+    )
+
+
+@query("precision_audio_seg", oracle=_precision_oracle("audio_seg", 35))
+def q_precision_audio_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio segment-containment precision proof (dual of
+    ``recall_audio_seg``; promotes the pytest pin at
+    tests/test_functions.py::test_audio_segment_pairs_precision_one_shared_window
+    to a driver oracle row): corpus segment fingerprints from the
+    full decode (byte-sensitive PCM fake) → sliding-window envelope →
+    threshold-hash path (``audio_segment_fp_frame``); per planted
+    original (every 35th doc — every clip yields >= 1 segment fp,
+    empty payloads hash to the single fp 0), the exact twin owns
+    every segment fp and must be found at n_shared >= 1 (the recall
+    admission level) while the near-miss twin owns exactly ONE
+    segment fp (min(fp) — one row, n_shared exactly 1 BY
+    CONSTRUCTION) and must be REJECTED by the family threshold
+    ``min_shared_segments = 2`` (``audio_segment_pairs`` /
+    ``audio_segment_dedup_step`` default). Corpus-wide fp frame like
+    the video dual (segment fps are byte-derived — no organic hot
+    keys at test scale; the r8 driver ran the uncapped corpus-wide
+    join green in ``recall_audio_seg``); the pinned frame is (id,
+    8-byte fp) rows, PCM never leaves the scan stage."""
+    from .functions.multimodal import (
+        audio_segment_fp_frame,
+        decode_audio,
+        fake_audio_decoder_pcm,
+    )
+
+    docs = _recall_docs(spark, sf_dir)
+    clips = docs.select(
+        "doc_id",
+        F.encode(F.substring(F.col("text"), 1, 200), "utf-8").alias("data"),
+    )
+    decoded = decode_audio(clips, id_col="doc_id", decoder=fake_audio_decoder_pcm)
+    fpf = audio_segment_fp_frame(decoded, id_col="doc_id").localCheckpoint(
+        eager=True
+    )
+    planted_fp = fpf.filter(F.col("id") % 35 == 0)
+    exact = planted_fp.select((F.col("id") + _P_OFF1).alias("id"), "fp")
+    miss = (
+        planted_fp.groupBy("id")
+        .agg(F.min("fp").alias("fp"))
+        .select((F.col("id") + _P_OFF2).alias("id"), "fp")
+    )
+    counts = D.winnow_pair_counts(fpf.unionByName(exact).unionByName(miss))
+    orig = F.col("id_a") < _P_OFF1
+    n_true = counts.filter(
+        orig & (F.col("id_b") == F.col("id_a") + _P_OFF1) & (F.col("n_shared") >= 1)
+    ).agg(F.count_distinct("id_a").alias("n_true_found"))
+    n_false = counts.filter(
+        orig & (F.col("id_b") == F.col("id_a") + _P_OFF2) & (F.col("n_shared") >= 2)
+    ).agg(F.count_distinct("id_a").alias("n_false_found"))
+    n_pl = clips.filter(F.col("doc_id") % 35 == 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_planted")
+    )
+    return (
+        n_pl.crossJoin(n_true)
+        .crossJoin(n_false)
+        .select(
+            F.lit("audio_seg").alias("family"),
+            "n_planted",
+            "n_true_found",
+            "n_false_found",
+        )
+    )
+
+
+@query(
+    "precision_ann_lsh",
+    oracle="""
+    WITH an AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+                WHERE vec_id % 50 = 0)
+    SELECT 'ann_lsh' AS family, n AS n_queries, n AS n_rank1_self,
+           CAST(0 AS BIGINT) AS n_score_mismatch,
+           CAST(0 AS BIGINT) AS n_bound_violations FROM an
+    """,
+)
+def q_precision_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN precision proof (dual of ``recall_ann_lsh``, closing the r8
+    dual program for the ANN families): three oracle-pinned arms over
+    the LSH top-10 of the planted self-queries (every 50th vector
+    querying itself — ``_ann_recall_parts``):
+
+    - ``n_score_mismatch`` = 0 — NO FABRICATED NEIGHBORS OR SCORES:
+      every returned (query, neighbor, cosine) must re-derive exactly
+      (neighbor id present in the corpus, reported cosine equal to the
+      independently recomputed round(cosine, 6)). Counted as (returned
+      rows) − (rows surviving the recompute join), so a neighbor id
+      NOT in the corpus is caught as a deficit without a left join —
+      the verify joins broadcast the tiny top-k/query frames against
+      one corpus scan (scale-safe).
+    - ``n_rank1_self`` = n_queries — RANK-1 EXACTNESS under planted
+      geometry: self sits in the probe's own bucket in every table and
+      cosine(self) = 1.0 dominates (no other corpus vector rounds to
+      1.0 — verified zero near-ties at every test SF), so rank 1 must
+      be the planted self; a bucket-key mismatch between index and
+      probe sides, a dropDuplicates bug, or a tie-break inversion
+      flips it.
+    - ``n_bound_violations`` = 0 — QUALITY BAND vs the exact baseline
+      (the VERDICT-r8 form): every returned neighbor's cosine must be
+      within 0.05 of the brute-force 10th-best for its query
+      (measured max gap on the deterministic corpus: 0.0 / 0.0042 /
+      0.0060 at sf0.001/0.01/0.1 — the band holds with ~8× margin,
+      the mixing rows' measured-band discipline). The brute-force
+      side is the documented broadcast-bounded exact baseline
+      (similarity.py ``brute_force_topk``) — the cost is the proof
+      surface, as in ``recall_ann_ivf``.
+
+    IVF shares the exact-rescoring and ranking kernel
+    (``_rank_topk``-shaped window in ``ivf_probe_topk``), so arms 1-2
+    pin it transitively; its own recall row stays ``recall_ann_ivf``."""
+    emb, ann_q, _planted = _ann_recall_parts(spark, sf_dir)
+    lsh = SIM.lsh_topk(
+        emb, ann_q, k=10, n_planes=4, n_tables=8, n_probes=2
+    ).localCheckpoint(eager=True)
+    n_q = ann_q.agg(F.count(F.lit(1)).cast("bigint").alias("n_queries"))
+    n_rank1 = lsh.filter(
+        (F.col("rank") == 1) & (F.col("vec_id") == F.col("query_id"))
+    ).agg(F.count_distinct("query_id").alias("n_rank1_self"))
+    rederived = (
+        emb.select("vec_id", "embedding")
+        .join(F.broadcast(lsh), "vec_id")
+        .join(
+            F.broadcast(
+                ann_q.select(
+                    "query_id", SIM._as_double(F.col("query_vec")).alias("__qv")
+                )
+            ),
+            "query_id",
+        )
+        .filter(
+            F.abs(
+                F.round(
+                    SIM.cosine(SIM._as_double(F.col("embedding")), F.col("__qv")), 6
+                )
+                - F.col("cosine_sim")
+            )
+            <= F.lit(1e-9)
+        )
+        .agg(F.count(F.lit(1)).alias("__ok"))
+    )
+    n_rows = lsh.agg(F.count(F.lit(1)).alias("__n"))
+    bf_kth = (
+        SIM.brute_force_topk(emb, ann_q, k=10)
+        .groupBy("query_id")
+        .agg(F.min("cosine_sim").alias("__bf_kth"))
+    )
+    n_viol = (
+        lsh.join(F.broadcast(bf_kth), "query_id")
+        .filter(F.col("cosine_sim") < F.col("__bf_kth") - F.lit(0.05))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_bound_violations"))
+    )
+    return (
+        n_q.crossJoin(n_rank1)
+        .crossJoin(n_rows)
+        .crossJoin(rederived)
+        .crossJoin(n_viol)
+        .select(
+            F.lit("ann_lsh").alias("family"),
+            "n_queries",
+            "n_rank1_self",
+            (F.col("__n") - F.col("__ok")).cast("bigint").alias("n_score_mismatch"),
+            "n_bound_violations",
+        )
+    )
+
+
 # ------------------------------------------------- r8: audio containment
 _ASEG_PAD = bytes([0x5A]) * 32  # hop-aligned flank for embedded plants
 
