@@ -535,3 +535,50 @@ def test_composed_pipeline_verify_mode_is_explicit(spark, tmp_path):
             f"shingles/ must exist iff exact_verify (mode={mode})"
         )
     assert admitted[False] == admitted[True] == EXPECT_IDS
+
+
+def test_composed_pipeline_fuzzy_decontamination(spark, tmp_path):
+    """The fuzzy overlap-fraction screen composes into the pipeline:
+    a doc carrying a drop-every-4th-token PARAPHRASE of the eval text
+    (zero verbatim 8-grams — the exact screen admits it) must be
+    dropped when ``fuzzy_eval_sets`` is wired, and survivors must
+    equal the batch twin with the same fuzzy frame."""
+    from willa_spark.functions.curation import eval_ngram_sets
+
+    ev_toks = EVAL_TEXT.split()
+    para = " ".join(t for i, t in enumerate(ev_toks) if i % 4 != 0)
+    docs = dict(DOCS)
+    # rotation 11*5 % 40 = 15 — unused by the base DOCS (a reused
+    # rotation would make doc 10 a minhash near-dup and hide the
+    # fuzzy drop behind the dedup stage)
+    docs[10] = _doc(11, " " + para)
+    mk = lambda ids: spark.createDataFrame(
+        [(i, docs[i]) for i in ids], "doc_id bigint, text string"
+    )
+    grams = _eval_grams(spark)
+    ev = spark.createDataFrame([(0, EVAL_TEXT)], "doc_id bigint, text string")
+    sets = eval_ngram_sets(ev)
+
+    # without the fuzzy frame the paraphrase doc survives (exact
+    # screen blind to it) — the gap the fuzzy screen closes
+    plain = corpus_curation_step(os.path.join(str(tmp_path), "s0"), eval_grams=grams)
+    ids_plain = set()
+    for bid, batch in enumerate((BATCH1, BATCH2, BATCH3 + [10])):
+        ids_plain |= {r["doc_id"] for r in plain(mk(batch), bid).collect()}
+    assert ids_plain == EXPECT_IDS | {10}
+
+    fuzzy = corpus_curation_step(
+        os.path.join(str(tmp_path), "s1"), eval_grams=grams, fuzzy_eval_sets=sets
+    )
+    ids_fuzzy = set()
+    for bid, batch in enumerate((BATCH1, BATCH2, BATCH3 + [10])):
+        ids_fuzzy |= {r["doc_id"] for r in fuzzy(mk(batch), bid).collect()}
+    assert ids_fuzzy == EXPECT_IDS, ids_fuzzy
+
+    want = {
+        r["doc_id"]
+        for r in corpus_curation_batch(
+            mk(sorted(docs)), eval_grams=grams, fuzzy_eval_sets=sets
+        ).collect()
+    }
+    assert ids_fuzzy == want

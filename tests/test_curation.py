@@ -86,6 +86,57 @@ def test_plant_eval_leaks_slices_tokens(spark):
     assert out[1001] == ""
 
 
+def test_fuzzy_contamination_catches_paraphrase(spark):
+    """The motivating pin for the fuzzy screen: a drop-every-4th-token
+    paraphrase of an eval doc has ZERO exact 8-gram hits (longest
+    verbatim run = 3 tokens) but keeps exactly one intact 3-gram per
+    dropped position — the fraction screen must flag it while an
+    unrelated doc stays clean, with exact expected counts."""
+    ev_text = " ".join(f"w{i}" for i in range(1, 17))  # 16 tokens, 14 3-grams
+    ev = spark.createDataFrame([(0, ev_text)], ["doc_id", "text"])
+    other = " ".join(f"x{i}" for i in range(1, 11))
+    corpus = CU.plant_paraphrased_leaks(
+        spark.createDataFrame([(0, ev_text), (5, other)], ["doc_id", "text"]),
+        every=97,
+        id_offset=1000,
+    )
+    texts = {r["doc_id"]: r["text"] for r in corpus.collect()}
+    # dropped 0-based positions 0,4,8,12 -> four intact 3-token runs
+    assert texts[1000] == "w2 w3 w4 w6 w7 w8 w10 w11 w12 w14 w15 w16"
+
+    # exact any-hit 8-gram screen is blind to the paraphrase
+    exact_ids = {
+        r["doc_id"]
+        for r in CU.contamination_report(corpus, CU.eval_ngrams(ev)).collect()
+    }
+    assert exact_ids == {0}, exact_ids
+
+    sets = CU.eval_ngram_sets(ev)
+    got = {
+        (r["doc_id"], r["eval_id"]): (r["n_shared_grams"], r["overlap"])
+        for r in CU.fuzzy_contamination_report(corpus, sets).collect()
+    }
+    # self-pair: all 14 grams; paraphrase: the 4 intact runs, 4/14
+    assert got == {(0, 0): (14, 1.0), (1000, 0): (4, round(4 / 14, 4))}, got
+
+    kept = {
+        r["doc_id"] for r in CU.decontaminate_fuzzy(corpus, sets).collect()
+    }
+    assert kept == {5}, kept
+
+
+def test_fuzzy_contamination_join_is_broadcast(spark):
+    ev = spark.createDataFrame([(0, "a b c d e")], ["doc_id", "text"])
+    docs = spark.createDataFrame([(1, "b c d e f")], ["doc_id", "text"])
+    plan = (
+        CU.fuzzy_contamination_report(docs, CU.eval_ngram_sets(ev))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
 # ------------------------------------------------- corpus line dedup
 def test_line_dedup_first_occurrence_wins(spark):
     # 8-token lines; L1 duplicated across docs 0/1, L4 duplicated

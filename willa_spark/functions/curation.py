@@ -156,30 +156,160 @@ def plant_eval_leaks(
     (40-word vocab, 40^8 space), so leaks make decontamination
     observable. Mirrored in the oracle SQL.
 
-    Leak ids must not collide with real ids (a corpus whose doc_ids
-    reach ``id_offset`` would silently merge contamination stats for
-    unrelated docs), so every original id is VALIDATED < id_offset —
-    lazily, inside the plan (raise_error on violation), costing no
-    extra pass and working under streaming too."""
-    checked_id = F.when(
-        F.col(id_col) >= id_offset,
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    f"plant_eval_leaks: {id_col} >= id_offset ({id_offset}) "
-                    "would collide with leak ids; raise id_offset above "
-                    "the max corpus id: got "
-                ),
-                F.col(id_col).cast("string"),
-            )
-        ).cast(docs.schema[id_col].dataType),
-    ).otherwise(F.col(id_col))
-    base = docs.select(checked_id.alias(id_col), F.col(text_col))
+    Leak ids must not collide with real ids, so every original id is
+    VALIDATED < id_offset — lazily, inside the plan
+    (``_plant_id_guard``: raise_error on violation), costing no extra
+    pass and working under streaming too."""
+    base = docs.select(
+        _plant_id_guard(docs, id_col, id_offset, "plant_eval_leaks").alias(id_col),
+        F.col(text_col),
+    )
     leaks = base.filter(F.col(id_col) % every == 0).select(
         (F.col(id_col) + id_offset).alias(id_col),
         F.array_join(F.slice(_tokens(F.col(text_col)), 3, 16), " ").alias(text_col),
     )
     return base.unionByName(leaks)
+
+
+# --------------------------------------- fuzzy (overlap-fraction) decontamination
+def _plant_id_guard(docs: DataFrame, id_col: str, id_offset: int, what: str) -> Column:
+    """Plant-id collision guard shared by the leak planters: the
+    original id validated < ``id_offset`` LAZILY inside the plan
+    (raise_error on violation — a corpus whose ids reach the offset
+    would silently merge contamination stats for unrelated docs)."""
+    return F.when(
+        F.col(id_col) >= id_offset,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"{what}: {id_col} >= id_offset ({id_offset}) would "
+                    "collide with leak ids; raise id_offset above the "
+                    "max corpus id: got "
+                ),
+                F.col(id_col).cast("string"),
+            )
+        ).cast(docs.schema[id_col].dataType),
+    ).otherwise(F.col(id_col))
+
+
+def plant_paraphrased_leaks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    every: int = 97,
+    drop_every: int = 4,
+    id_offset: int = 1_000_000,
+) -> DataFrame:
+    """Append a PARAPHRASED leak of every ``every``-th document: a new
+    doc (id + ``id_offset``) whose text is the source with every
+    ``drop_every``-th token dropped — the deterministic stand-in for a
+    reworded benchmark leak. No 8-token verbatim run survives (the
+    longest intact run is ``drop_every`` − 1 tokens), so the exact
+    8-gram screen (``contamination_report``) is BLIND to it by
+    construction, while roughly 1/``drop_every`` of the source's
+    distinct 3-grams remain intact (one surviving 3-run per dropped
+    position) — exactly the gap ``fuzzy_contamination_report`` exists
+    to close. Same id-collision guard as ``plant_eval_leaks``;
+    mirrored in the oracle SQL (tokens here are the RAW whitespace
+    split, matching ``dedup.shingles`` tokenization)."""
+    base = docs.select(
+        _plant_id_guard(docs, id_col, id_offset, "plant_paraphrased_leaks").alias(
+            id_col
+        ),
+        F.col(text_col),
+    )
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    kept = F.filter(toks, lambda x, i: i % drop_every != 0)
+    leaks = base.filter(F.col(id_col) % every == 0).select(
+        (F.col(id_col) + id_offset).alias(id_col),
+        F.array_join(kept, " ").alias(text_col),
+    )
+    return base.unionByName(leaks)
+
+
+def eval_ngram_sets(
+    eval_docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(eval_id, gram, n_grams): each eval/benchmark item's DISTINCT
+    word ``n``-grams plus the item's distinct-gram count — the
+    broadcast side of fuzzy decontamination (``eval_ngrams`` keyed and
+    counted per item, so overlap FRACTIONS are computable). Eval sets
+    are tiny relative to the corpus; the frame is meant to be built
+    once and broadcast."""
+    g = eval_docs.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("gram"),
+    )
+    counts = g.groupBy("eval_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return g.join(counts, "eval_id")
+
+
+def fuzzy_contamination_report(
+    docs: DataFrame,
+    eval_sets: DataFrame,
+    n: int = 3,
+    min_overlap: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """FRACTION-based n-gram decontamination (the PaLM-style overlap
+    fraction, vs ``contamination_report``'s GPT-3-style any-hit
+    screen): flag every (doc, eval item) pair where the fraction of
+    the eval item's distinct ``n``-grams contained in the doc reaches
+    ``min_overlap``. Real benchmark leakage is often PARAPHRASED —
+    token dropout/reorder leaves no verbatim 8-gram for the exact
+    screen, but short-gram mass survives rewording: at the default
+    n = 3 a drop-every-4th-token paraphrase keeps ~1/4 of the eval
+    item's distinct 3-grams (measured 0.22–0.26 on the test corpus —
+    2× above the 0.1 default threshold), while organic cross-doc
+    3-gram containment stays near zero outside genuine duplicates.
+
+    Returns (id, eval_id, n_shared_grams, overlap) for flagged pairs;
+    overlap is reported rounded to 4dp, thresholded UNROUNDED (an
+    exact integer ratio — engine-independent).
+
+    Plan shape (the ``contamination_report`` discipline): corpus
+    n-grams explode map-side and immediately hash-join the BROADCAST
+    eval gram sets — no corpus-wide gram shuffle; only surviving hits
+    (bounded by |eval grams| × containing docs) shuffle for the
+    per-(doc, eval) distinct count; the per-eval gram totals ride the
+    broadcast rows (``F.first``). ``size(collect_set())`` keeps the
+    aggregation streaming-legal, bounded by the eval item's gram
+    count."""
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("gram"),
+    )
+    hits = grams.join(F.broadcast(eval_sets), "gram")
+    per = hits.groupBy(id_col, "eval_id").agg(
+        F.size(F.collect_set("gram")).cast("bigint").alias("n_shared_grams"),
+        F.first("n_grams").alias("__n_ev"),
+    )
+    return per.filter(
+        F.col("n_shared_grams") / F.col("__n_ev") >= F.lit(min_overlap)
+    ).select(
+        F.col(id_col),
+        "eval_id",
+        "n_shared_grams",
+        F.round(F.col("n_shared_grams") / F.col("__n_ev"), 4).alias("overlap"),
+    )
+
+
+def decontaminate_fuzzy(
+    docs: DataFrame,
+    eval_sets: DataFrame,
+    n: int = 3,
+    min_overlap: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop every document flagged by ``fuzzy_contamination_report``
+    against ANY eval item — the apply half of fuzzy decontamination
+    (anti-join on the flagged id set, the ``_decontaminate`` shape)."""
+    hot = fuzzy_contamination_report(
+        docs, eval_sets, n=n, min_overlap=min_overlap, id_col=id_col, text_col=text_col
+    )
+    return docs.join(hot.select(id_col).distinct(), id_col, "left_anti")
 
 
 # ------------------------------------------------- corpus line dedup

@@ -2763,6 +2763,59 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "decontaminate_fuzzy",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+      FROM documents
+    ), para AS (
+      SELECT doc_id + 1000000 AS doc_id,
+             [tk[i] FOR i IN range(1, len(tk)+1) IF i % 4 != 1] AS tk
+      FROM t WHERE doc_id % 97 = 0
+    ), allt AS (SELECT * FROM t UNION ALL SELECT * FROM para),
+    grams AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id, unnest([array_to_string(tk[i:i+2], ' ')
+               FOR i IN range(1, greatest(len(tk)-1, 1))]) AS g FROM allt)
+    ), ev AS (
+      SELECT doc_id AS eval_id, g,
+             count(*) OVER (PARTITION BY doc_id) AS n_grams
+      FROM grams WHERE doc_id % 97 = 0 AND doc_id < 1000000
+    ), hits AS (
+      SELECT d.doc_id, e.eval_id,
+             CAST(count(DISTINCT d.g) AS BIGINT) AS n_shared_grams,
+             max(e.n_grams) AS n_ev
+      FROM grams d JOIN ev e USING (g) GROUP BY 1, 2
+    )
+    SELECT doc_id, eval_id, n_shared_grams,
+           round(n_shared_grams * 1.0 / n_ev, 4) AS overlap
+    FROM hits WHERE n_shared_grams * 1.0 / n_ev >= 0.10
+    """,
+)
+def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY eval-set decontamination (r8 VERDICT ask #5): flag every
+    (training doc, eval item) pair whose distinct-3-gram overlap
+    FRACTION reaches 0.1 — the PaLM-style fraction screen that
+    catches PARAPHRASED leakage the exact any-hit 8-gram screen
+    (``decontaminate``) is blind to. Docs ≡ 0 mod 97 stand in for the
+    benchmark; a planted paraphrase of each (every 4th token dropped —
+    longest verbatim run 3 tokens, so ZERO exact-8-gram hits by
+    construction; pytest-pinned) lands at measured overlap 0.22–0.26,
+    2× above threshold, while clean docs flag only on genuine organic
+    duplication. Composition of two existing kernels: the
+    ``contamination_report`` broadcast-prune shape with per-eval-item
+    gram fractions (``curation.eval_ngram_sets`` +
+    ``fuzzy_contamination_report``); at 100 TB corpus grams explode
+    map-side into the broadcast eval-set join — no corpus-wide gram
+    shuffle, hit volume bounded by the eval set. Streaming twin:
+    ``corpus_pipeline.corpus_curation_step(fuzzy_eval_sets=...)``."""
+    docs = read_docs_spread(spark, sf_dir)
+    corpus = CURATION.plant_paraphrased_leaks(docs, every=97)
+    ev = CURATION.eval_ngram_sets(docs.filter(F.col("doc_id") % 97 == 0), n=3)
+    return CURATION.fuzzy_contamination_report(corpus, ev, n=3, min_overlap=0.1)
+
+
+@query(
     "line_dedup",
     oracle=rf"""
     WITH all_docs AS (

@@ -38,7 +38,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.corpus import dup_line_metrics, gopher_keep, repetition_metrics
-from ..functions.curation import contamination_report, pii_redact
+from ..functions.curation import (
+    contamination_report,
+    fuzzy_contamination_report,
+    pii_redact,
+)
 from ..functions.dedup import dup_clusters, keep_canonical
 from ..functions.dedup import minhash_candidate_pairs, verified_near_dups
 from .near_dedup import minhash_dedup_step
@@ -93,6 +97,28 @@ def _decontaminate(
     return docs.join(hot.select(id_col), id_col, "left_anti")
 
 
+def _decontaminate_fuzzy(
+    docs: DataFrame,
+    eval_sets: DataFrame | None,
+    n: int,
+    min_overlap: float,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """The fuzzy (overlap-fraction) screen — catches PARAPHRASED
+    leakage the exact any-hit screen misses. Stateless against the
+    static ``eval_sets`` frame (``curation.eval_ngram_sets``), so the
+    streaming twin is per-batch application of the batch kernel; a
+    doc's verdict never depends on other docs or arrival order."""
+    if eval_sets is None:
+        return docs
+    hot = fuzzy_contamination_report(
+        docs, eval_sets, n=n, min_overlap=min_overlap,
+        id_col=id_col, text_col=text_col,
+    )
+    return docs.join(hot.select(id_col).distinct(), id_col, "left_anti")
+
+
 def corpus_curation_step(
     dedup_store_dir: str,
     out_dir: str | None = None,
@@ -109,6 +135,9 @@ def corpus_curation_step(
     compact_output: bool = False,
     dedup_score=None,
     dedup_exact_verify: bool = False,
+    fuzzy_eval_sets: DataFrame | None = None,
+    fuzzy_n: int = 3,
+    fuzzy_min_overlap: float = 0.1,
 ) -> Callable[[DataFrame, int], DataFrame]:
     """The composed foreachBatch step; returns
     ``(batch_df, batch_id) -> admitted_df`` (id + redacted text). Wire
@@ -120,6 +149,13 @@ def corpus_curation_step(
 
     ``eval_grams`` must be a static (batch) DataFrame with a ``gram``
     column — build it once with ``curation.eval_ngrams``.
+    ``fuzzy_eval_sets`` (static, from ``curation.eval_ngram_sets``)
+    additionally enables the FUZZY overlap-fraction screen after the
+    exact one — dropping docs whose distinct-``fuzzy_n``-gram overlap
+    with any eval item reaches ``fuzzy_min_overlap`` (paraphrased
+    leaks the exact screen misses). Both screens are stateless per
+    batch against their static frames, so batch ≡ streaming
+    congruity holds structurally.
     ``compact_every=N`` applies the store retention policy to the
     dedup signature stores every N batches (store.store_compact_every)
     — without it a long-running ingestion stream accumulates one
@@ -184,6 +220,9 @@ def corpus_curation_step(
         clean = _screen_and_redact(batch_df, id_col, text_col)
         clean = _decontaminate(
             clean, eval_grams, decontam_n, decontam_max_hits, id_col, text_col
+        )
+        clean = _decontaminate_fuzzy(
+            clean, fuzzy_eval_sets, fuzzy_n, fuzzy_min_overlap, id_col, text_col
         )
         admitted = dedup(clean, batch_id)
         if out_dir is not None:
@@ -432,6 +471,9 @@ def curation_to_shards_step(
     compact_every: int | None = None,
     dedup_score=None,
     dedup_exact_verify: bool = False,
+    fuzzy_eval_sets: DataFrame | None = None,
+    fuzzy_n: int = 3,
+    fuzzy_min_overlap: float = 0.1,
 ) -> Callable[[DataFrame, int], DataFrame]:
     """The WHOLE ingestion-to-training-shards pipeline as one
     foreachBatch step: screens → PII redaction → decontamination →
@@ -467,6 +509,9 @@ def curation_to_shards_step(
         compact_every=compact_every,
         dedup_score=dedup_score,
         dedup_exact_verify=dedup_exact_verify,
+        fuzzy_eval_sets=fuzzy_eval_sets,
+        fuzzy_n=fuzzy_n,
+        fuzzy_min_overlap=fuzzy_min_overlap,
     )
     pack = pack_shards_step(
         pack_store_dir,
@@ -516,9 +561,13 @@ def corpus_curation_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     spill_dir: str | None = None,
+    fuzzy_eval_sets: DataFrame | None = None,
+    fuzzy_n: int = 3,
+    fuzzy_min_overlap: float = 0.1,
 ) -> DataFrame:
     """The batch twin of ``corpus_curation_step`` over a full corpus:
-    identical screens/redaction/decontamination expressions, then the
+    identical screens/redaction/decontamination expressions (exact AND
+    optional fuzzy overlap-fraction screens), then the
     batch near-dedup operators (candidate pairs → exact-shingle verify
     → clusters → min-id canonical). The congruity test pins streaming
     ≡ batch under id-ordered ingestion.
@@ -533,6 +582,9 @@ def corpus_curation_batch(
     clean = _screen_and_redact(docs, id_col, text_col)
     clean = _decontaminate(
         clean, eval_grams, decontam_n, decontam_max_hits, id_col, text_col
+    )
+    clean = _decontaminate_fuzzy(
+        clean, fuzzy_eval_sets, fuzzy_n, fuzzy_min_overlap, id_col, text_col
     )
     if spill_dir is not None:
         clean.write.mode("overwrite").parquet(spill_dir)
