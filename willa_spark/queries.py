@@ -4192,140 +4192,158 @@ def q_mixing_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_curation.py::test_omitted_relational_parity (computed
 # FROM this set, so the pin rotates automatically).
 #
-# Round 8 rotation. Registered queries: 95 (85 r7 names + 4
-# precision_<family> rows + the audio segment-containment pair + the 2
-# mixing rows + dup_ngram_spans and bm25_topk, registered mid-r8 AFTER
-# the gate reached exactly 50 — parked in DRIVER_OMIT with the
-# automatic parity pin, MUST rotate into r9, the same shape as r7's
-# parked video entries). Must-in (35): ALL 33 r7-rested names return (green
-# in r6, so the two-round invariant comes due — the same all-return
-# move r6 and r7 made) and the 2 mid-r7 parked video entries
-# (video_fingerprint_dups, recall_video_fp) enter per the policy's own
-# MUST-ROTATE-IN note. The 8 on-time NEW registrations enter
-# immediately (no gate-time parking debt). 35 + 8 = 43 gate slots,
-# leaving 7 for keeps —
-# the operators whose semantics no in-gate name covers:
+# Round 9 rotation. Registered queries: 99 (95 r8 names + the 3
+# precision duals precision_winnow / precision_audio_seg /
+# precision_ann_lsh closing the r8 dual program + decontaminate_fuzzy).
+# Must-in (45): ALL 43 r8-rested names return (green in the r7 driver
+# gate, so the two-round invariant comes due — the same all-return
+# move every round since r6) and the 2 mid-r8 parked entries
+# dup_ngram_spans and bm25_topk enter per the policy's own
+# MUST-ROTATE-IN note (their first driver rows — full SQL oracles).
+# The 4 on-time NEW r9 registrations enter immediately (no gate-time
+# parking debt). 45 + 4 = 49 gate slots, leaving ONE keep — the
+# tightest gate of the build, priced exactly as the r8 policy note
+# predicted (each new entrant displaces a keep):
 #
-#   session_windows (A3 session merge), suppressed_window_final (A6),
-#   broadcast_enrich (J7 computed-key broadcast), above_avg_orders
-#   (correlated subquery), near_dup_clusters (CC closure),
-#   pii_redaction, decontaminate (each a unique curation screen)
+#   session_windows (A3 session merge + streaming Python fold — the
+#   only session-semantics proof; nothing in the returning 43 covers
+#   merge-on-overlap windows)
 #
-# and rests 43 — every one green in the r7 driver gate, so the
-# two-round invariant holds for each (return due r9); every
+# and rests 49 — every one green in the r8 driver gate (rows+schema+
+# hash, or rows-only with its oracle twin green in the same gate), so
+# the two-round invariant holds for each (return due r10); every
 # oracle-bearing rest stays parity-pinned by the automatic pytest.
-# In-gate twin notes where the machinery is genuinely shared (mostly
-# the EXACT INVERSE of the r7 rotation — the returning name was
-# rested against the resting one last round):
+# The six r8 keeps rest for the first time since r7, each against TWO
+# consecutive green driver rows (r7+r8) — invariant-legal with a
+# round to spare. In-gate twin notes where machinery is genuinely
+# shared (mostly the EXACT INVERSE of the r8 rotation):
 #
-#   hopping_window_count       -> tumbling_window_sum returns (inverse)
-#   fanout_flatmap, rekey_transform -> rekey_fanout + value_only_rekey
-#                                 return (inverse; fan-out + rekey)
-#   quality_score, top_bigrams -> token_stats + lang_id return (inverse)
-#   anti_join_customers        -> semi_join_customers returns (inverse)
-#   intersect_customers        -> except_customers returns (inverse)
-#   skew_salted_agg            -> skew_salted_join returns (inverse)
-#   pricing_summary            -> rollup_revenue returns (inverse)
-#   shipping_priority, top_parts_per_supplier -> top_customers +
-#                                 late_shipment_priorities +
-#                                 monthly_revenue_growth return
-#   corpus_profile             -> distinct_parts_per_supplier returns
-#   embedding_topk             -> embedding_near_dups returns (inverse)
-#   training_data_prep         -> corpus_keep_by_source returns
-#   repetition_ngram_filter    -> dup_line_filter returns (inverse)
-#   line_dedup                 -> dup_line_filter returns (line-hash)
-#   token_budget_cap, packed_sequences_loaded -> pack_sequences +
-#                                 sequence_manifest +
-#                                 packed_shard_roundtrip return
-#   exact_dup_groups           -> doc_fingerprints returns (inverse)
-#   asof_enrich                -> table_table_asof + latest_per_key
-#                                 return (same _as_of_lookup)
-#   windowed_left_join         -> windowed_outer_join + interval_join
-#                                 return (same kernel, inverse of r7)
-#   with_dedupe_first          -> latest_per_key returns (first/last
-#                                 per-key mirror — inverse of r7)
-#   stratified_sample          -> mixing_repeat_epochs +
-#                                 mixing_train_val_test enter (the
-#                                 same salted-gate trio, salts 0/1/2)
-#   recall_minhash/simhash/winnow/image_phash/audio_fp/ann_lsh/ann_ivf
-#                              -> their rows-only family queries
-#                                 return, ngram_jaccard_pairs returns
-#                                 (the verify kernel), and the NEW
-#                                 precision_<family> duals enter
-#                                 (same kernels, self-controlled)
-#   audio_fingerprint_dups (rows-only) -> precision_audio_fp enters
-#                                 (same decode→envelope→hash→block
-#                                 kernel, oracle-checked both arms)
-#   pivot_order_status         -> rollup_revenue returns (grouping-set
-#                                 expansion family)
-#   filter_map                 -> rekey_fanout + value_only_rekey
-#                                 return (the xform tier machinery;
-#                                 pred tiers stay pytest-pinned)
-#   merge_streams, running_sum_changelog, group_by_fn_agg,
-#   changelog_filter, forecast_revenue, doc_length_histogram,
-#   gopher_quality_filter, near_dup_keep_best, recall_ann_* — no
-#   single clean twin; r7-green + oracle-bearing, so the automatic
-#   DuckDB-parity pytest is the rest-round check (the documented
-#   policy floor).
+#   tumbling_window_sum        -> hopping_window_count returns (inverse)
+#   rekey_fanout, value_only_rekey -> fanout_flatmap + rekey_transform
+#                                 + filter_map return (inverse)
+#   token_stats, lang_id       -> quality_score + top_bigrams return
+#   semi_join_customers        -> anti_join_customers returns (inverse)
+#   except_customers           -> intersect_customers returns (inverse)
+#   skew_salted_join           -> skew_salted_agg returns (inverse)
+#   rollup_revenue             -> pricing_summary + pivot_order_status
+#                                 return (inverse)
+#   top_customers, late_shipment_priorities, monthly_revenue_growth
+#                              -> shipping_priority +
+#                                 top_parts_per_supplier return
+#   distinct_parts_per_supplier -> corpus_profile returns (inverse)
+#   embedding_near_dups        -> embedding_topk returns (inverse)
+#   corpus_keep_by_source      -> training_data_prep returns
+#   dup_line_filter            -> repetition_ngram_filter + line_dedup
+#                                 return (inverse; line-hash kernel)
+#   pack_sequences, sequence_manifest, packed_shard_roundtrip
+#                              -> token_budget_cap +
+#                                 packed_sequences_loaded return
+#   doc_fingerprints           -> exact_dup_groups returns (inverse)
+#   latest_per_key, table_table_asof -> asof_enrich returns (same
+#                                 _as_of_lookup; first/last mirror of
+#                                 with_dedupe_first, also returning)
+#   interval_join, windowed_outer_join -> windowed_left_join returns
+#                                 (same kernel, inverse of r8)
+#   mixing_repeat_epochs, mixing_train_val_test -> stratified_sample
+#                                 returns (the salted-gate trio)
+#   decontaminate              -> decontaminate_fuzzy enters (the
+#                                 decontamination family's new
+#                                 fraction screen, same broadcast-
+#                                 prune shape) — r8 keep, rests on
+#                                 r7+r8 green rows
+#   near_dup_clusters          -> near_dup_keep_best returns (the
+#                                 cluster-survivor machinery) — r8
+#                                 keep, rests on r7+r8 green rows
+#   minhash_near_dups, simhash_near_dups, winnow_overlap_pairs,
+#   image_phash_dups, video_fingerprint_dups, audio_segment_dups,
+#   ann_lsh_topk, ann_ivf_topk (rows-only)
+#                              -> their oracle recall twins ALL
+#                                 return (recall_minhash/simhash/
+#                                 winnow/image_phash/ann_lsh/ann_ivf)
+#                                 and the NEW precision duals enter
+#                                 (same kernels, self-controlled);
+#                                 audio_fingerprint_dups returning
+#                                 rides recall_audio_fp (also
+#                                 returning) + the r8-green
+#                                 precision_audio_fp
+#   recall_video_fp, recall_audio_seg, precision_simhash,
+#   precision_image_phash, precision_audio_fp, precision_video_fp
+#                              -> their rows-only family queries keep
+#                                 resting only ONE round (r8-green);
+#                                 the returning recall rows + new
+#                                 duals cover the kernels in-gate
+#   above_avg_orders, broadcast_enrich, pii_redaction,
+#   suppressed_window_final (r8 keeps), regional_supplier_volume,
+#   multimodal_decode, ngram_jaccard_pairs — no single clean twin;
+#   r8-green + oracle-bearing, so the automatic DuckDB-parity pytest
+#   is the rest-round check (the documented policy floor).
 #
-# Previous round (r7) for the record. Registered: 83. Must-in (34):
-# ALL 24 r6-rested names returned; the 2 mid-r6 parked queries
-# packed_sequences_loaded and near_dup_keep_best entered; 8 NEW
-# registrations entered immediately. 16 keeps; 33 rested (the full
-# r7 twin mapping lives in the git history of this block, commit
-# c5b794c^). The two mid-r7 parked video entries carried the policy's
-# MUST-ROTATE-IN note and enter the r8 gate above.
+# CAPACITY NOTE: the registry stands at 99 — the period-2 rotation at
+# gate 50 covers at most 100 names, so r10 has room for at most ONE
+# new registration (50 slots - 49 r9-rested must-ins). Beyond that,
+# either a registered name must be retired (consolidated into a
+# sibling) or the policy must widen to period-3 (gate 50 covers 150
+# names at three-round return) — decide BEFORE registering.
+#
+# Previous round (r8) for the record. Registered: 95. Must-in (35):
+# ALL 33 r7-rested names returned + the 2 mid-r7 parked video
+# entries; 8 NEW registrations entered immediately; 7 keeps; 43
+# rested; dup_ngram_spans and bm25_topk were registered mid-r8 after
+# the gate reached 50 and parked with the MUST-ROTATE-IN note
+# honored above (the full r8 twin mapping lives in the git history
+# of this block, commit 87984af^).
 DRIVER_OMIT = frozenset(
     {
-        # -- parked mid-r8 (registered after the gate hit 50): oracle-
-        # -- bearing, so the automatic parity pytest pins them every
-        # -- run; MUST rotate into the r9 gate (rest keeps to make room)
-        "dup_ngram_spans",
-        "bm25_topk",
-        # -- 43 rests, all green in the r7 driver gate (return due r9)
-        "anti_join_customers",
-        "asof_enrich",
-        "audio_fingerprint_dups",
-        "changelog_filter",
-        "corpus_profile",
-        "doc_length_histogram",
-        "embedding_topk",
-        "exact_dup_groups",
-        "fanout_flatmap",
-        "filter_map",
-        "forecast_revenue",
-        "gopher_quality_filter",
-        "group_by_fn_agg",
-        "hopping_window_count",
-        "intersect_customers",
-        "line_dedup",
-        "merge_streams",
-        "nary_join_fold",
-        "near_dup_keep_best",
-        "packed_sequences_loaded",
-        "pivot_order_status",
-        "pricing_summary",
-        "quality_score",
-        "recall_ann_ivf",
-        "recall_ann_lsh",
-        "recall_audio_fp",
-        "recall_image_phash",
-        "recall_minhash",
-        "recall_simhash",
-        "recall_winnow",
-        "regrouped_retraction",
-        "rekey_transform",
-        "repetition_ngram_filter",
-        "running_sum_changelog",
-        "shipping_priority",
-        "skew_salted_agg",
-        "stratified_sample",
-        "token_budget_cap",
-        "top_bigrams",
-        "top_parts_per_supplier",
-        "training_data_prep",
-        "windowed_left_join",
-        "with_dedupe_first",
+        # -- 49 rests, all green in the r8 driver gate (return due r10)
+        "above_avg_orders",
+        "ann_ivf_topk",
+        "ann_lsh_topk",
+        "audio_segment_dups",
+        "broadcast_enrich",
+        "corpus_keep_by_source",
+        "decontaminate",
+        "distinct_parts_per_supplier",
+        "doc_fingerprints",
+        "dup_line_filter",
+        "embedding_near_dups",
+        "except_customers",
+        "image_phash_dups",
+        "interval_join",
+        "lang_id",
+        "late_shipment_priorities",
+        "latest_per_key",
+        "minhash_near_dups",
+        "mixing_repeat_epochs",
+        "mixing_train_val_test",
+        "monthly_revenue_growth",
+        "multimodal_decode",
+        "near_dup_clusters",
+        "ngram_jaccard_pairs",
+        "pack_sequences",
+        "packed_shard_roundtrip",
+        "pii_redaction",
+        "precision_audio_fp",
+        "precision_image_phash",
+        "precision_simhash",
+        "precision_video_fp",
+        "recall_audio_seg",
+        "recall_video_fp",
+        "regional_supplier_volume",
+        "rekey_fanout",
+        "rollup_revenue",
+        "semi_join_customers",
+        "sequence_manifest",
+        "simhash_near_dups",
+        "skew_salted_join",
+        "suppressed_window_final",
+        "table_table_asof",
+        "token_stats",
+        "top_customers",
+        "tumbling_window_sum",
+        "value_only_rekey",
+        "video_fingerprint_dups",
+        "windowed_outer_join",
+        "winnow_overlap_pairs",
     }
 )
 
