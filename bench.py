@@ -74,6 +74,7 @@ HEADLINE = [
     # dedup, deterministic mixing)
     "pii_redaction",
     "decontaminate",
+    "decontaminate_fuzzy",
     "line_dedup",
     "stratified_sample",
     "token_budget_cap",
@@ -113,6 +114,9 @@ HEADLINE = [
     "precision_image_phash",
     "precision_audio_fp",
     "precision_video_fp",
+    "precision_winnow",
+    "precision_audio_seg",
+    "precision_ann_lsh",
     "audio_segment_dups",
     "recall_audio_seg",
     "mixing_repeat_epochs",
