@@ -674,3 +674,81 @@ def test_streaming_dup_ngram_mask_one_batch_equals_batch_twin_real_corpus(
     }
     assert len(got) == 500 and got == want
     assert any(t == "" for t in got.values())  # fully-duplicated docs exist
+
+
+def test_minhash_exact_verify_store_size_contract(spark, tmp_path):
+    """The exact-verify store's PRICE is the documented contract
+    (corpus_pipeline's VERIFY-MODE DECISION note: ~8·|distinct
+    shingles| bytes/doc vs the fixed k×8 signature): over the real
+    sf0.001 corpus, the ``shingles/`` half must hold EXACTLY each
+    admitted doc's distinct shingle-hash set — total stored hash count
+    equal to an independent per-doc recount from the corpus (a
+    duplicated, truncated, or non-distinct store would change the
+    exact-Jaccard verify silently) — and the measured on-disk bytes
+    document the trade honestly: at this corpus's ~50 distinct
+    shingles/doc the shingle half (measured 211 KB) lands in the same
+    order as the fixed k×8 + bands×12 halves (243 KB) — the price is
+    document-LENGTH-bound (8·|shingles| pre-compression), growing
+    linearly where the signature halves stay fixed, which is exactly
+    why long-document corpora must opt in deliberately."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from willa_spark.functions.dedup import shingles
+    from willa_spark.sources import read_table
+    from willa_spark.streaming.near_dedup import minhash_dedup_step
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    store = _os.path.join(str(tmp_path), "store")
+    step = minhash_dedup_step(store, threshold=0.8, exact_verify=True)
+    admitted = step(docs, 0).select("doc_id")
+
+    stored = (
+        spark.read.parquet(_os.path.join(store, "shingles"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("__sh")).alias("n_hashes"),
+        )
+        .collect()[0]
+    )
+    want = (
+        docs.join(admitted, "doc_id", "left_semi")
+        .select(
+            F.size(
+                F.array_distinct(
+                    F.transform(shingles(F.col("text"), 3), lambda s: F.xxhash64(s))
+                )
+            ).alias("n")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n").alias("n_hashes"))
+        .collect()[0]
+    )
+    assert (stored["n_docs"], stored["n_hashes"]) == (
+        want["n_docs"],
+        want["n_hashes"],
+    ), (stored, want)
+
+    def _dir_bytes(d):
+        return sum(
+            _os.path.getsize(_os.path.join(r, f))
+            for r, _, fs in _os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    sh_b = _dir_bytes(_os.path.join(store, "shingles"))
+    fixed_b = _dir_bytes(_os.path.join(store, "sigs")) + _dir_bytes(
+        _os.path.join(store, "bands")
+    )
+    # the halves must both be real on-disk costs of the same order at
+    # ~50 shingles/doc (8·50 ≈ the 448-byte fixed row): a shingle half
+    # far below the hash payload would mean rows were silently dropped
+    # or deduplicated across docs; far above, duplicated
+    assert stored["n_hashes"] * 1 <= sh_b <= stored["n_hashes"] * 16, (
+        sh_b,
+        stored["n_hashes"],
+    )
+    assert fixed_b > 0

@@ -3558,7 +3558,18 @@ def _precision_sig_rows(
     image/audio callers' mapInPandas decode ran ~4× per gate run. The
     pinned frame is (id, 8-byte hash) rows — tiny at any corpus size.
     The true/false counts share ONE conditional aggregate for the same
-    reason (the pigeonhole self-join ran twice as separate aggs)."""
+    reason (the pigeonhole self-join ran twice as separate aggs).
+
+    DUAL-PROGRAM STATUS (complete as of r9): every hash/containment/
+    ANN family carries a recall row AND a precision row (this harness
+    for the hamming families; fp-frame surgery for video/winnow/
+    audio-segment; three verify arms for ANN) — EXCEPT minhash, BY
+    DESIGN: its pipeline ends in an exact-Jaccard verify IN-PLAN
+    (``verified_near_dups`` rescoring every candidate against the
+    true shingle sets), so a planted near-miss can never survive to
+    the output — the verify itself is a stronger precision proof than
+    any planted dual, and ``recall_minhash``'s oracle already pins
+    that verify's arithmetic (jaccard = 1.0 on exact copies)."""
     sig = sig.localCheckpoint(eager=True)
     mask = (1 << (max_hamming + 1)) - 1
     planted = sig.filter(F.col("id") % modulus == 0)

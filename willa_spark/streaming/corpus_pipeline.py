@@ -196,6 +196,11 @@ def corpus_curation_step(
     (store gains a ``shingles/`` half, ~8·|distinct shingles| bytes
     per admitted doc, batch/streaming policy divergence removed) —
     the trade to make when thresholds sit near organic-pair scores.
+    Measured on the sf0.001 corpus (~50 distinct shingles/doc): the
+    shingle half is the same order as the fixed halves (211 vs
+    243 KB) — it OVERTAKES them linearly with document length
+    (store-size contract pytest-pinned:
+    test_minhash_exact_verify_store_size_contract).
     The mode is part of the store's identity either way (mode flips
     fail loud; pytest-pinned for this composed path).
     """
