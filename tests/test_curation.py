@@ -1177,3 +1177,39 @@ def test_repeat_then_pack_roundtrip(spark, tmp_path):
     for r in got_rows:
         assert r["t"] == texts[r["doc_id"] // M], r
     assert loaded.count() > 0
+
+
+@given(toks=_doc_strategy)
+@_hyp
+def test_fuzzy_contamination_python_differential(spark, toks):
+    """Differential oracle in pure Python for the FUZZY screen: for
+    every (doc, eval item) pair, the fraction of the eval item's
+    distinct word 2-grams contained in the doc — flagged iff >= 0.5,
+    with exact shared counts and 4dp overlap (small vocab + short docs
+    make high organic overlap common, exercising both sides of the
+    threshold and the distinct-counting rules)."""
+    rows = [(i, " ".join(t)) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    ev = df.filter(F.col("doc_id") % 2 == 0)
+    got = {
+        (r["doc_id"], r["eval_id"]): (r["n_shared_grams"], r["overlap"])
+        for r in CU.fuzzy_contamination_report(
+            df, CU.eval_ngram_sets(ev, n=2), n=2, min_overlap=0.5
+        ).collect()
+    }
+
+    def grams(t):
+        return {" ".join(t[i : i + 2]) for i in range(len(t) - 1)}
+
+    want = {}
+    for eid, etoks in enumerate(toks):
+        if eid % 2 != 0:
+            continue
+        eg = grams(etoks)
+        if not eg:
+            continue
+        for did, dtoks in enumerate(toks):
+            shared = len(grams(dtoks) & eg)
+            if shared / len(eg) >= 0.5:
+                want[(did, eid)] = (shared, round(shared / len(eg), 4))
+    assert got == want, (got, want)
