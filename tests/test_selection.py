@@ -1,0 +1,157 @@
+"""DSIR importance resampling (willa_spark.functions.selection):
+pure-Python differential oracle for the log-weight arithmetic, hashed
+vs exact feature-space agreement, planted-separation selection, and
+the determinism/partition-invariance contract of the hash-Gumbel
+resampler."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from willa_spark.functions import selection as SEL
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _py_grams(text, ns=(1, 2)):
+    toks = text.lower().strip().split()
+    out = []
+    for n in ns:
+        out += [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    return out
+
+
+def _py_model(texts, smooth):
+    counts = {}
+    for t in texts:
+        for g in _py_grams(t):
+            counts[g] = counts.get(g, 0) + 1
+    total = sum(counts.values())
+    space = len(counts)
+    denom = total + smooth * space
+    logp = {g: math.log((c + smooth) / denom) for g, c in counts.items()}
+    return logp, math.log(smooth / denom)
+
+
+def _py_weight(text, tgt, raw):
+    tlp, tfl = tgt
+    rlp, rfl = raw
+    return sum(tlp.get(g, tfl) - rlp.get(g, rfl) for g in _py_grams(text))
+
+
+RAW = [
+    (0, "alpha beta gamma delta alpha"),
+    (1, "epsilon zeta eta theta"),
+    (2, "alpha beta alpha beta gamma"),
+    (3, "iota kappa lambda mu nu"),
+    (4, ""),
+]
+TARGET = [(100, "alpha beta gamma"), (101, "beta gamma delta alpha")]
+
+
+def test_importance_weights_python_differential(spark):
+    """Exact feature space (num_buckets=None): every document's
+    log-weight equals the pure-Python DSIR arithmetic (smoothed
+    per-corpus denominators, floor for unseen features) to 1e-9."""
+    docs, tdocs = _mk(spark, RAW), _mk(spark, TARGET)
+    tm = SEL.feature_log_probs(tdocs, num_buckets=None)
+    rm = SEL.feature_log_probs(docs, num_buckets=None)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["log_weight"])
+        for r in SEL.importance_log_weights(docs, tm, rm, num_buckets=None).collect()
+    }
+    tgt = _py_model([t for _, t in TARGET], SEL.DEFAULT_SMOOTH)
+    raw = _py_model([t for _, t in RAW], SEL.DEFAULT_SMOOTH)
+    for i, text in RAW:
+        grams = _py_grams(text)
+        if not grams:
+            assert i not in got  # no features -> no weight row
+            continue
+        n, w = got[i]
+        assert n == len(grams)
+        assert w == pytest.approx(_py_weight(text, tgt, raw), abs=1e-9)
+    # target-vocabulary docs must outscore off-vocabulary docs
+    assert min(got[0][1], got[2][1]) > max(got[1][1], got[3][1])
+
+
+def test_hashed_features_count_identically_without_collisions(spark):
+    """With a bucket space far above the vocabulary (collision-free —
+    asserted, not assumed), the hashed feature extraction must
+    reproduce the exact space's per-doc count multiset and totals
+    exactly (a bucket bias, lossy mod, or dropped gram would show up
+    as a count difference before it ever skews a model)."""
+    docs = _mk(spark, RAW)
+    exact = SEL._gram_features(docs, None, (1, 2), "doc_id", "text")
+    hashed = SEL._gram_features(docs, 1 << 30, (1, 2), "doc_id", "text")
+    n_exact = exact.select("feature").distinct().count()
+    n_hashed = hashed.select("feature").distinct().count()
+    assert n_exact == n_hashed  # collision-free on this vocab
+    a = sorted((r["id"], r["cnt"]) for r in exact.collect())
+    b = sorted((r["id"], r["cnt"]) for r in hashed.collect())
+    assert a == b
+
+
+def test_dsir_select_planted_separation(spark):
+    """Selection end-to-end under hashed features: half the corpus
+    speaks the target vocabulary, half junk; the importance gap (tens
+    of nats for 30-gram docs) dwarfs the Gumbel noise range, so the
+    selected half must be exactly the target-like docs — and the
+    result must be identical under repartitioning and across calls
+    (the hash-Gumbel determinism contract)."""
+    tgt_vocab = "sun moon star cloud rain wind snow storm".split()
+    junk_vocab = "bolt gear cog shaft flange rivet washer spring".split()
+    rows = []
+    for i in range(40):
+        vocab = tgt_vocab if i % 2 == 0 else junk_vocab
+        rows.append((i, " ".join(vocab[(i + j) % 8] for j in range(30))))
+    docs = _mk(spark, rows)
+    seed_rows = [(1000 + i, " ".join(tgt_vocab[(i + j) % 8] for j in range(20))) for i in range(5)]
+    tdocs = _mk(spark, seed_rows)
+    sel = SEL.dsir_select(docs, tdocs, k=20, num_buckets=4096, seed=7)
+    ids = {r["doc_id"] for r in sel.collect()}
+    assert ids == {i for i in range(40) if i % 2 == 0}, ids
+    again = {
+        r["doc_id"]
+        for r in SEL.dsir_select(
+            docs.repartition(7), tdocs.repartition(3), k=20, num_buckets=4096, seed=7
+        ).collect()
+    }
+    assert again == ids
+
+
+def test_dsir_scoring_models_broadcast(spark):
+    """The model frames must reach the scoring join as broadcasts (the
+    corpus side never shuffles for them — the eval-gram discipline)."""
+    docs, tdocs = _mk(spark, RAW), _mk(spark, TARGET)
+    tm = SEL.feature_log_probs(tdocs, num_buckets=64)
+    rm = SEL.feature_log_probs(docs, num_buckets=64)
+    plan = (
+        SEL.importance_log_weights(docs, tm, rm, num_buckets=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_dsir_temperature_zero_limit_is_topk_by_weight(spark):
+    """Tiny temperature turns the sampler into deterministic top-k by
+    log-weight: selection must match the weight ordering exactly."""
+    docs, tdocs = _mk(spark, RAW), _mk(spark, TARGET)
+    tm = SEL.feature_log_probs(tdocs, num_buckets=None)
+    rm = SEL.feature_log_probs(docs, num_buckets=None)
+    w = {
+        r["doc_id"]: r["log_weight"]
+        for r in SEL.importance_log_weights(docs, tm, rm, num_buckets=None).collect()
+    }
+    top2 = {i for i, _ in sorted(w.items(), key=lambda kv: (-kv[1], kv[0]))[:2]}
+    sel = {
+        r["doc_id"]
+        for r in SEL.dsir_select(
+            docs, tdocs, k=2, num_buckets=None, temperature=1e-9, seed=3
+        ).collect()
+    }
+    assert sel == top2

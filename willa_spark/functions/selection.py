@@ -1,0 +1,225 @@
+"""Data selection via importance resampling (DSIR — Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling"): score
+every raw-corpus document by how much more likely its hashed n-gram
+features are under a TARGET distribution (a quality seed corpus —
+wiki/books) than under the RAW distribution, then resample the corpus
+by those weights. The standard pretraining data-selection primitive
+alongside the quality screens (corpus.py), dedup families (dedup.py),
+and retrieval statistics (retrieval.py — whose docstring names DSIR as
+a motivating consumer of exactly these term statistics).
+
+Everything is DataFrame-native and scale-shaped like the retrieval /
+decontamination families:
+
+- feature extraction: unigram+bigram explode, map-side, one per-doc
+  partial-agg shuffle (the postings shape);
+- the two feature DISTRIBUTIONS are tiny aggregates (≤ num_buckets
+  rows — 10k by default) built with one short-key shuffle each and
+  BROADCAST into the scoring join (the eval-gram-set discipline:
+  model frames are MBs, the corpus is TBs);
+- per-doc log-weights: one broadcast join + per-doc sum — no
+  corpus-wide shuffle beyond the per-doc aggregation;
+- resampling: seeded hash-Gumbel top-k (Gumbel-max trick over a
+  deterministic per-doc uniform, the ``stratified_sample``
+  reproducibility discipline — stable under retries, re-runs, and
+  partitioning, where rand()-based sampling is none of those).
+
+Two feature spaces:
+
+- ``num_buckets=None`` — features are the raw gram strings (exact;
+  SQL-expressible, so a driver oracle can reproduce every weight);
+- ``num_buckets=K`` — grams hash into K buckets (xxhash64 mod K,
+  DSIR's hashed bag: model size fixed at K regardless of vocabulary —
+  the 100 TB form). Equivalence with the exact space on
+  collision-free vocabularies is pytest-pinned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingles
+
+# Smoothing for unseen features (add-lambda over the bucket space) —
+# DSIR's hashed model needs mass on buckets absent from one corpus.
+DEFAULT_SMOOTH = 1e-4
+
+
+def _gram_features(
+    docs: DataFrame,
+    num_buckets: int | None,
+    ns: tuple[int, ...],
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(id, feature, cnt) — gram-occurrence counts per document over
+    the union of ``ns``-gram orders (DSIR uses unigrams+bigrams).
+    Feature is the gram string (``num_buckets=None``) or its
+    xxhash64-mod-K bucket rendered as a string (one feature column
+    type either way, so the model frames are interchangeable). One
+    explode + one (doc, feature) partial-agg shuffle."""
+    t = F.col(text_col)
+    grams = F.concat(*[shingles(t, n) for n in ns]) if len(ns) > 1 else shingles(t, ns[0])
+    # an empty document splits to [''] — one empty-string token, which
+    # would give token-less docs a shared phantom feature (and every
+    # model a '' row); a doc with no tokens has NO features
+    grams = F.filter(grams, lambda g: g != "")
+    g = docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("__g"))
+    if num_buckets is None:
+        feat = F.col("__g")
+    else:
+        feat = (F.pmod(F.xxhash64(F.col("__g")), F.lit(num_buckets))).cast("string")
+    return g.select("id", feat.alias("feature")).groupBy("id", "feature").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def feature_log_probs(
+    docs: DataFrame,
+    num_buckets: int | None = 10_000,
+    ns: tuple[int, ...] = (1, 2),
+    smooth: float = DEFAULT_SMOOTH,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(feature, logp) — the corpus's smoothed feature distribution:
+    logp = log((count + smooth) / (total + smooth·space)), where space
+    is ``num_buckets`` (hashed) or the corpus's observed distinct-gram
+    count (exact; mirrored by an oracle as count(DISTINCT gram)).
+    ≤ space rows — a broadcastable model frame, built with one
+    short-key shuffle. Unseen features take the implied floor
+    log(smooth / (total + smooth·space)) at scoring time, so the model
+    frame needs no explicit zero rows."""
+    feats = _gram_features(docs, num_buckets, ns, id_col, text_col)
+    counts = feats.groupBy("feature").agg(F.sum("cnt").alias("__c"))
+    if num_buckets is None:
+        space = counts.agg(
+            F.count(F.lit(1)).cast("double").alias("__space"),
+            F.sum("__c").cast("double").alias("__total"),
+        )
+    else:
+        space = counts.agg(
+            F.lit(float(num_buckets)).alias("__space"),
+            F.sum("__c").cast("double").alias("__total"),
+        )
+    return counts.crossJoin(F.broadcast(space)).select(
+        "feature",
+        F.log(
+            (F.col("__c") + F.lit(smooth))
+            / (F.col("__total") + F.lit(smooth) * F.col("__space"))
+        ).alias("logp"),
+        F.log(
+            F.lit(smooth) / (F.col("__total") + F.lit(smooth) * F.col("__space"))
+        ).alias("__floor"),
+    )
+
+
+def importance_log_weights(
+    docs: DataFrame,
+    target_model: DataFrame,
+    raw_model: DataFrame,
+    num_buckets: int | None = 10_000,
+    ns: tuple[int, ...] = (1, 2),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_grams, log_weight) per document: log_weight =
+    Σ_features cnt · (logp_target − logp_raw), the DSIR importance
+    log-ratio under the two ``feature_log_probs`` models. Features
+    absent from a model score at that model's smoothing floor (left
+    joins + coalesce — no explicit zero rows shipped).
+
+    Plan: the corpus side is ONE explode + per-doc partial agg; both
+    model frames broadcast (≤ num_buckets rows); the weight is a
+    per-doc sum. Nothing corpus-wide shuffles except the (doc,
+    feature) aggregation — the postings-build shape, linear at any
+    corpus size."""
+    feats = _gram_features(docs, num_buckets, ns, id_col, text_col)
+    tgt = target_model.select("feature", F.col("logp").alias("__lt"))
+    raw = raw_model.select("feature", F.col("logp").alias("__lr"))
+    # model floors are per-model scalars; features unmatched by a left
+    # join must fall back to them, so they ride as 1-row broadcast
+    # frames (a floor column on matched rows would be NULL exactly
+    # when it's needed)
+    tfloor = target_model.agg(F.first("__floor").alias("__ft0"))
+    rfloor = raw_model.agg(F.first("__floor").alias("__fr0"))
+    scored = (
+        feats.join(F.broadcast(tgt), "feature", "left")
+        .join(F.broadcast(raw), "feature", "left")
+        .crossJoin(F.broadcast(tfloor))
+        .crossJoin(F.broadcast(rfloor))
+        .withColumn(
+            "__w",
+            F.col("cnt")
+            * (
+                F.coalesce(F.col("__lt"), F.col("__ft0"))
+                - F.coalesce(F.col("__lr"), F.col("__fr0"))
+            ),
+        )
+    )
+    return scored.groupBy(F.col("id").alias(id_col)).agg(
+        F.sum("cnt").cast("bigint").alias("n_grams"),
+        F.sum("__w").alias("log_weight"),
+    )
+
+
+def _hash_uniform(c: Column, salt: int) -> Column:
+    """Deterministic per-id uniform in (0, 1): avalanche hash of
+    (id, salt) — independent draws need avalanche, not affine remixes
+    (the mixing-family rule). Clamped away from {0, 1} so the Gumbel
+    transform below is finite."""
+    u = (
+        F.pmod(F.xxhash64(c, F.lit(salt)), F.lit(1 << 32)).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 32))
+    return u
+
+
+def dsir_select(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    k: int,
+    num_buckets: int | None = 10_000,
+    ns: tuple[int, ...] = (1, 2),
+    temperature: float = 1.0,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Select ``k`` documents by Gumbel-max importance resampling
+    (DSIR §2.3): key = log_weight / temperature + Gumbel(0,1) drawn
+    from the deterministic per-id uniform (``_hash_uniform`` — stable
+    under retries/partitioning), take the top ``k`` (id tie-break).
+    ``temperature → 0`` degenerates to deterministic top-k by weight;
+    1.0 is the paper's sampled selection. Returns (id, n_grams,
+    log_weight, sample_key) for the selected docs.
+
+    The rank is a single global top-k — Spark executes the
+    row_number window with a partial per-partition top-k pushed
+    before the single-partition sort (the same shape every
+    ``_rank_topk`` consumer accepts for bounded k). For huge k,
+    threshold on ``sample_key`` instead (one approx-quantile pass)."""
+    raw_model = feature_log_probs(
+        docs, num_buckets, ns, id_col=id_col, text_col=text_col
+    )
+    target_model = feature_log_probs(
+        target_docs, num_buckets, ns, id_col=id_col, text_col=text_col
+    )
+    w = importance_log_weights(
+        docs, target_model, raw_model, num_buckets, ns, id_col, text_col
+    )
+    u = _hash_uniform(F.col(id_col), seed)
+    gumbel = -F.log(-F.log(u))
+    keyed = w.withColumn(
+        "sample_key",
+        F.col("log_weight") / F.lit(float(temperature)) + gumbel,
+    )
+    from pyspark.sql.window import Window
+
+    win = Window.orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
+    return (
+        keyed.withColumn("__rk", F.row_number().over(win))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
