@@ -155,3 +155,14 @@ def test_dsir_temperature_zero_limit_is_topk_by_weight(spark):
         ).collect()
     }
     assert sel == top2
+
+
+def test_dsir_select_null_id_fails_loud(spark):
+    """A NULL doc id must raise in-plan, not silently share one Gumbel
+    draw across every NULL-id doc (xxhash64 ignores NULL inputs)."""
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (None, "d e f")], "doc_id bigint, text string"
+    )
+    tdocs = _mk(spark, TARGET)
+    with pytest.raises(Exception, match="NULL document id"):
+        SEL.dsir_select(docs, tdocs, k=2, num_buckets=64).collect()

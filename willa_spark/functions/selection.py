@@ -168,9 +168,22 @@ def _hash_uniform(c: Column, salt: int) -> Column:
     """Deterministic per-id uniform in (0, 1): avalanche hash of
     (id, salt) — independent draws need avalanche, not affine remixes
     (the mixing-family rule). Clamped away from {0, 1} so the Gumbel
-    transform below is finite."""
+    transform below is finite. A NULL id fails LOUD in-plan:
+    ``xxhash64`` silently IGNORES a NULL input and returns the seed
+    constant, which would hand every NULL-id doc the same draw (the
+    shared-phantom-decision failure the curation guards exist for)."""
+    checked = F.when(
+        c.isNull(),
+        F.raise_error(
+            F.lit(
+                "dsir_select: NULL document id — xxhash64 would give "
+                "every NULL-id doc one shared Gumbel draw; assign ids "
+                "upstream"
+            )
+        ).cast("long"),
+    ).otherwise(c)
     u = (
-        F.pmod(F.xxhash64(c, F.lit(salt)), F.lit(1 << 32)).cast("double")
+        F.pmod(F.xxhash64(checked, F.lit(salt)), F.lit(1 << 32)).cast("double")
         + F.lit(0.5)
     ) / F.lit(float(1 << 32))
     return u
