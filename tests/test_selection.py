@@ -166,3 +166,23 @@ def test_dsir_select_null_id_fails_loud(spark):
     tdocs = _mk(spark, TARGET)
     with pytest.raises(Exception, match="NULL document id"):
         SEL.dsir_select(docs, tdocs, k=2, num_buckets=64).collect()
+
+
+def test_dsir_empty_model_fails_loud(spark):
+    """A feature-less model corpus (all-whitespace texts) must raise
+    in-plan, not silently NULL every weight (which would turn
+    selection into lowest-id-wins)."""
+    docs = _mk(spark, RAW)
+    empty_target = _mk(spark, [(900, ""), (901, "   ")])
+    tm = SEL.feature_log_probs(empty_target, num_buckets=None)
+    rm = SEL.feature_log_probs(docs, num_buckets=None)
+    with pytest.raises(Exception, match="target model is empty"):
+        SEL.importance_log_weights(docs, tm, rm, num_buckets=None).collect()
+
+
+def test_dsir_temperature_zero_rejected(spark):
+    """temperature=0 would make every sample key ±Inf/NaN (and Spark
+    sorts NaN above all doubles) — rejected up front."""
+    docs, tdocs = _mk(spark, RAW), _mk(spark, TARGET)
+    with pytest.raises(ValueError, match="temperature must be > 0"):
+        SEL.dsir_select(docs, tdocs, k=2, temperature=0.0)

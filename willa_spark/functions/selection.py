@@ -92,6 +92,16 @@ def feature_log_probs(
     log(smooth / (total + smooth·space)) at scoring time, so the model
     frame needs no explicit zero rows."""
     feats = _gram_features(docs, num_buckets, ns, id_col, text_col)
+    return _model_from_features(feats, num_buckets, smooth)
+
+
+def _model_from_features(
+    feats: DataFrame, num_buckets: int | None, smooth: float
+) -> DataFrame:
+    """The model-fitting half of ``feature_log_probs``, over an
+    already-built (id, feature, cnt) frame — so a caller that needs
+    BOTH a corpus's model and its per-doc features (``dsir_select``)
+    pays the corpus explode once."""
     counts = feats.groupBy("feature").agg(F.sum("cnt").alias("__c"))
     if num_buckets is None:
         space = counts.agg(
@@ -123,6 +133,7 @@ def importance_log_weights(
     ns: tuple[int, ...] = (1, 2),
     id_col: str = "doc_id",
     text_col: str = "text",
+    _feats: DataFrame | None = None,
 ) -> DataFrame:
     """(id, n_grams, log_weight) per document: log_weight =
     Σ_features cnt · (logp_target − logp_raw), the DSIR importance
@@ -134,16 +145,37 @@ def importance_log_weights(
     model frames broadcast (≤ num_buckets rows); the weight is a
     per-doc sum. Nothing corpus-wide shuffles except the (doc,
     feature) aggregation — the postings-build shape, linear at any
-    corpus size."""
-    feats = _gram_features(docs, num_buckets, ns, id_col, text_col)
+    corpus size. ``_feats`` lets ``dsir_select`` pass the corpus's
+    already-pinned feature frame so the explode is not paid twice."""
+    feats = (
+        _feats
+        if _feats is not None
+        else _gram_features(docs, num_buckets, ns, id_col, text_col)
+    )
     tgt = target_model.select("feature", F.col("logp").alias("__lt"))
     raw = raw_model.select("feature", F.col("logp").alias("__lr"))
     # model floors are per-model scalars; features unmatched by a left
     # join must fall back to them, so they ride as 1-row broadcast
     # frames (a floor column on matched rows would be NULL exactly
-    # when it's needed)
-    tfloor = target_model.agg(F.first("__floor").alias("__ft0"))
-    rfloor = raw_model.agg(F.first("__floor").alias("__fr0"))
+    # when it's needed). An EMPTY model (feature-less corpus — e.g.
+    # all-whitespace texts) has a NULL floor, which would silently
+    # NULL every weight and turn selection into lowest-id-wins — the
+    # coalesce chain ends in an in-plan raise_error instead (the
+    # NULL-id guard's discipline).
+    def _floor_guarded(model: DataFrame, alias: str, which: str) -> DataFrame:
+        guard = F.raise_error(
+            F.lit(
+                f"importance_log_weights: the {which} model is empty "
+                "(no features — e.g. every document tokenized to "
+                "nothing); fit models on non-empty corpora"
+            )
+        ).cast("double")
+        return model.agg(
+            F.coalesce(F.first("__floor"), guard).alias(alias)
+        )
+
+    tfloor = _floor_guarded(target_model, "__ft0", "target")
+    rfloor = _floor_guarded(raw_model, "__fr0", "raw")
     scored = (
         feats.join(F.broadcast(tgt), "feature", "left")
         .join(F.broadcast(raw), "feature", "left")
@@ -204,23 +236,38 @@ def dsir_select(
     (DSIR §2.3): key = log_weight / temperature + Gumbel(0,1) drawn
     from the deterministic per-id uniform (``_hash_uniform`` — stable
     under retries/partitioning), take the top ``k`` (id tie-break).
-    ``temperature → 0`` degenerates to deterministic top-k by weight;
-    1.0 is the paper's sampled selection. Returns (id, n_grams,
+    A SMALL positive temperature (e.g. 1e-9) degenerates to
+    deterministic top-k by weight; 1.0 is the paper's sampled
+    selection; exactly 0 is rejected (IEEE division would turn keys
+    into ±Inf/NaN, and Spark sorts NaN above everything — silently
+    selecting zero-weight docs first). Returns (id, n_grams,
     log_weight, sample_key) for the selected docs.
 
-    The rank is a single global top-k — Spark executes the
-    row_number window with a partial per-partition top-k pushed
+    The corpus's (id, feature, cnt) frame is built ONCE and eagerly
+    pinned — it feeds both the raw model and the scoring join, and
+    Spark does not reuse subtrees (an unpinned frame would re-run the
+    corpus explode + shuffle twice; the ``winnow_overlap_pairs``
+    discipline). The rank is a single global top-k — Spark executes
+    the row_number window with a partial per-partition top-k pushed
     before the single-partition sort (the same shape every
     ``_rank_topk`` consumer accepts for bounded k). For huge k,
     threshold on ``sample_key`` instead (one approx-quantile pass)."""
-    raw_model = feature_log_probs(
-        docs, num_buckets, ns, id_col=id_col, text_col=text_col
+    if not temperature > 0.0:
+        raise ValueError(
+            f"dsir_select: temperature must be > 0 (got {temperature}) — "
+            "use a small positive value (1e-9) for deterministic "
+            "top-k-by-weight selection"
+        )
+    feats = _gram_features(docs, num_buckets, ns, id_col, text_col).localCheckpoint(
+        eager=True
     )
+    raw_model = _model_from_features(feats, num_buckets, DEFAULT_SMOOTH)
     target_model = feature_log_probs(
         target_docs, num_buckets, ns, id_col=id_col, text_col=text_col
     )
     w = importance_log_weights(
-        docs, target_model, raw_model, num_buckets, ns, id_col, text_col
+        docs, target_model, raw_model, num_buckets, ns, id_col, text_col,
+        _feats=feats,
     )
     u = _hash_uniform(F.col(id_col), seed)
     gumbel = -F.log(-F.log(u))

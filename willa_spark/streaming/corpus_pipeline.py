@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from ..functions.corpus import dup_line_metrics, gopher_keep, repetition_metrics
 from ..functions.curation import (
     contamination_report,
-    fuzzy_contamination_report,
+    decontaminate_fuzzy,
     pii_redact,
 )
 from ..functions.dedup import dup_clusters, keep_canonical
@@ -108,15 +108,16 @@ def _decontaminate_fuzzy(
     """The fuzzy (overlap-fraction) screen — catches PARAPHRASED
     leakage the exact any-hit screen misses. Stateless against the
     static ``eval_sets`` frame (``curation.eval_ngram_sets``), so the
-    streaming twin is per-batch application of the batch kernel; a
-    doc's verdict never depends on other docs or arrival order."""
+    streaming twin IS the batch kernel applied per batch (one
+    implementation — the anti-join contract cannot diverge between
+    engines); a doc's verdict never depends on other docs or arrival
+    order."""
     if eval_sets is None:
         return docs
-    hot = fuzzy_contamination_report(
+    return decontaminate_fuzzy(
         docs, eval_sets, n=n, min_overlap=min_overlap,
         id_col=id_col, text_col=text_col,
     )
-    return docs.join(hot.select(id_col).distinct(), id_col, "left_anti")
 
 
 def corpus_curation_step(
