@@ -186,3 +186,30 @@ def test_dsir_temperature_zero_rejected(spark):
     docs, tdocs = _mk(spark, RAW), _mk(spark, TARGET)
     with pytest.raises(ValueError, match="temperature must be > 0"):
         SEL.dsir_select(docs, tdocs, k=2, temperature=0.0)
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001"])
+def test_dsir_weights_oracle_parity(spark, sf_dir):
+    """The r10 registration candidate, parity-pinned NOW (the parked-
+    entry de-risking discipline): queries.q_dsir_weights vs its full
+    DuckDB oracle on the real corpus — every doc's n_grams exact and
+    6dp log_weight equal across engines."""
+    import duckdb
+
+    from willa_spark.queries import DSIR_WEIGHTS_ORACLE, q_dsir_weights
+
+    got = sorted(
+        (r["doc_id"], r["n_grams"], r["log_weight"])
+        for r in q_dsir_weights(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(DSIR_WEIGHTS_ORACLE).fetchall())
+    # STRICT equality — the driver's gate hashes values, so the pin
+    # must be hash-grade (measured bit-exact after 6dp rounding at
+    # sf0.001/0.01/0.1: zero mismatches across 6000 docs)
+    assert len(got) == len(want) > 0
+    assert got == want

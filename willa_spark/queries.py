@@ -4193,6 +4193,81 @@ def q_mixing_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------
+# r10 REGISTRATION CANDIDATE (deliberately NOT registered in r9): the
+# registry sits at 99/100 period-2 capacity (see CAPACITY NOTE below),
+# and the rotation policy's parking rule says a name registered after
+# the gate is set creates flagged debt — so the DSIR weights row waits
+# for r10's one free slot with its query AND full DuckDB oracle
+# already written and parity-pinned by
+# tests/test_selection.py::test_dsir_weights_oracle_parity (the same
+# de-risking the r8 parked entries had). To register: add
+# @query("dsir_weights", oracle=DSIR_WEIGHTS_ORACLE) and rest one keep.
+DSIR_WEIGHTS_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id, g, count(*) AS cnt FROM (
+    SELECT doc_id, unnest(tk) AS g FROM t
+    UNION ALL
+    SELECT doc_id,
+           unnest([array_to_string(tk[i:i+1], ' ')
+                   FOR i IN range(1, greatest(len(tk), 1))]) AS g
+    FROM t
+  ) WHERE g <> '' GROUP BY 1, 2
+), rm AS (
+  SELECT g, sum(cnt) AS c FROM grams GROUP BY g
+), rs AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS space
+  FROM rm
+), tm AS (
+  SELECT g, sum(cnt) AS c FROM grams WHERE doc_id % 13 = 0 GROUP BY g
+), ts AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS space
+  FROM tm
+)
+SELECT d.doc_id,
+       CAST(sum(d.cnt) AS BIGINT) AS n_grams,
+       round(sum(d.cnt * (
+         ln((coalesce(tm.c, 0) + 1e-4) / (ts.total + 1e-4 * ts.space))
+         - ln((rm.c + 1e-4) / (rs.total + 1e-4 * rs.space))
+       )), 6) AS log_weight
+FROM grams d
+LEFT JOIN tm ON d.g = tm.g
+JOIN rm ON d.g = rm.g
+CROSS JOIN ts CROSS JOIN rs
+GROUP BY d.doc_id
+"""
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (functions/selection.py, Xie et al.
+    2023) over the exact feature space: every document scored by the
+    smoothed unigram+bigram log-likelihood ratio between a quality
+    seed (every 13th doc — the target stand-in) and the raw corpus.
+    The exact space (``num_buckets=None``) is the oracle-expressible
+    projection — the hashed 10k-bucket form is the 100 TB twin, count-
+    equivalence pytest-pinned on collision-free vocab; the raw-model
+    join needs no floor (a corpus gram is always in the corpus's own
+    model — mirrored by the oracle's inner join). Weights rounded to
+    6dp for cross-engine hashing (sums of ~100 ln terms differ in the
+    last ulps only — the bm25_topk rule)."""
+    from .functions import selection as SELECTION
+
+    docs = read_docs_spread(spark, sf_dir).select("doc_id", "text")
+    seed = docs.filter(F.col("doc_id") % 13 == 0)
+    w = SELECTION.importance_log_weights(
+        docs,
+        SELECTION.feature_log_probs(seed, num_buckets=None),
+        SELECTION.feature_log_probs(docs, num_buckets=None),
+        num_buckets=None,
+    )
+    return w.select(
+        "doc_id", "n_grams", F.round("log_weight", 6).alias("log_weight")
+    )
+
+
 # Queries OMITTED from the driver-visible correctness set: the driver
 # records oracle rows for at most 50 queries (in registration order),
 # so every DISTINCT operator proof must land inside that window.
