@@ -213,3 +213,34 @@ def test_dsir_weights_oracle_parity(spark, sf_dir):
     # sf0.001/0.01/0.1: zero mismatches across 6000 docs)
     assert len(got) == len(want) > 0
     assert got == want
+
+
+def test_dsir_score_step_congruent_with_batch(spark):
+    """Streaming scoring twin: frozen models + per-batch application
+    of the batch kernel ⇒ the union of step outputs over any batch
+    split must equal the batch weights over the full corpus exactly
+    (weights are per-doc functions of the static models), and the
+    threshold admission must drop exactly the below-threshold docs."""
+    from willa_spark.streaming.selection import dsir_score_step
+
+    docs, tdocs = _mk(spark, RAW), _mk(spark, TARGET)
+    tm = SEL.feature_log_probs(tdocs, num_buckets=4096)
+    rm = SEL.feature_log_probs(docs, num_buckets=4096)
+    want = {
+        r["doc_id"]: (r["n_grams"], r["log_weight"])
+        for r in SEL.importance_log_weights(docs, tm, rm, num_buckets=4096).collect()
+    }
+
+    step = dsir_score_step(tm, rm, num_buckets=4096)
+    got = {}
+    for bid, ids in enumerate(([0, 1], [2], [3, 4])):
+        batch = _mk(spark, [r for r in RAW if r[0] in ids])
+        for r in step(batch, bid).collect():
+            got[r["doc_id"]] = (r["n_grams"], r["log_weight"])
+            assert r["text"] is not None  # original columns survive
+    assert got == want
+
+    thresh = sorted(w for _, w in want.values())[len(want) // 2]
+    admit = dsir_score_step(tm, rm, min_log_weight=thresh, num_buckets=4096)
+    kept = {r["doc_id"] for r in admit(_mk(spark, RAW), 0).collect()}
+    assert kept == {i for i, (_, w) in want.items() if w >= thresh}
