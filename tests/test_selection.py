@@ -244,3 +244,46 @@ def test_dsir_score_step_congruent_with_batch(spark):
     admit = dsir_score_step(tm, rm, min_log_weight=thresh, num_buckets=4096)
     kept = {r["doc_id"] for r in admit(_mk(spark, RAW), 0).collect()}
     assert kept == {i for i, (_, w) in want.items() if w >= thresh}
+
+
+def test_cross_entropy_python_differential_and_separation(spark):
+    """CCNet-style cross-entropy: exact feature space matches the
+    pure-Python mean NLL to 1e-9; target-vocabulary docs must score
+    LOWER (closer to the model) than off-vocabulary docs; a
+    feature-less model fails loud."""
+    docs, tdocs = _mk(spark, RAW), _mk(spark, TARGET)
+    model = SEL.feature_log_probs(tdocs, num_buckets=None)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["cross_entropy"])
+        for r in SEL.cross_entropy_score(docs, model, num_buckets=None).collect()
+    }
+    tlp, tfl = _py_model([t for _, t in TARGET], SEL.DEFAULT_SMOOTH)
+    for i, text in RAW:
+        grams = _py_grams(text)
+        if not grams:
+            assert i not in got
+            continue
+        want = -sum(tlp.get(g, tfl) for g in grams) / len(grams)
+        assert got[i][0] == len(grams)
+        assert got[i][1] == pytest.approx(want, abs=1e-9), i
+    assert max(got[0][1], got[2][1]) < min(got[1][1], got[3][1])
+
+    empty = SEL.feature_log_probs(_mk(spark, [(9, " ")]), num_buckets=None)
+    with pytest.raises(Exception, match="model is empty"):
+        SEL.cross_entropy_score(docs, empty, num_buckets=None).collect()
+
+
+def test_quality_bucket_banding(spark):
+    """head/middle/tail banding: boundary semantics exact (head is
+    strict-<, tail is >=), bounds validated."""
+    scored = spark.createDataFrame(
+        [(0, 1.0), (1, 2.0), (2, 2.5), (3, 3.0), (4, 9.9)],
+        ["doc_id", "cross_entropy"],
+    )
+    got = {
+        r["doc_id"]: r["quality_bucket"]
+        for r in SEL.with_quality_bucket(scored, 2.0, 3.0).collect()
+    }
+    assert got == {0: "head", 1: "middle", 2: "middle", 3: "tail", 4: "tail"}
+    with pytest.raises(ValueError, match="head_bound"):
+        SEL.with_quality_bucket(scored, 3.0, 2.0)

@@ -283,3 +283,77 @@ def dsir_select(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def cross_entropy_score(
+    docs: DataFrame,
+    model: DataFrame,
+    num_buckets: int | None = 10_000,
+    ns: tuple[int, ...] = (1, 2),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_grams, cross_entropy) — each document's mean negative
+    log-likelihood under a ``feature_log_probs`` model (nats/gram):
+    ce = −Σ_g c_g·logp(g) / Σ_g c_g, unseen grams at the model's
+    smoothing floor. The CCNet-style quality signal (Wenzek et al.
+    2020 §3.3 score documents by wiki-LM perplexity; this is the same
+    statistic at hashed-n-gram granularity — exp(ce) IS a perplexity):
+    LOW ce = target-like text, HIGH = far from the model corpus.
+    Where DSIR's ``importance_log_weights`` needs target AND raw
+    models (a likelihood RATIO), this needs only the target model —
+    the two compose: ce for absolute quality banding
+    (``with_quality_bucket``), the ratio for resampling.
+
+    Same plan as the weights kernel: one explode + per-doc partial
+    agg, the model broadcast. Feature-less docs have no row (the
+    family contract)."""
+    feats = _gram_features(docs, num_buckets, ns, id_col, text_col)
+    m = model.select("feature", "logp")
+    floor_guard = F.raise_error(
+        F.lit(
+            "cross_entropy_score: the model is empty (no features); "
+            "fit it on a non-empty corpus"
+        )
+    ).cast("double")
+    floor = model.agg(F.coalesce(F.first("__floor"), floor_guard).alias("__f0"))
+    scored = (
+        feats.join(F.broadcast(m), "feature", "left")
+        .crossJoin(F.broadcast(floor))
+        .withColumn(
+            "__nll", -F.col("cnt") * F.coalesce(F.col("logp"), F.col("__f0"))
+        )
+    )
+    return scored.groupBy(F.col("id").alias(id_col)).agg(
+        F.sum("cnt").cast("bigint").alias("n_grams"),
+        (F.sum("__nll") / F.sum("cnt")).alias("cross_entropy"),
+    )
+
+
+def with_quality_bucket(
+    scored: DataFrame,
+    head_bound: float,
+    tail_bound: float,
+    ce_col: str = "cross_entropy",
+    out_col: str = "quality_bucket",
+) -> DataFrame:
+    """CCNet's head/middle/tail banding over a ``cross_entropy_score``
+    frame: head (ce < head_bound — closest to the model corpus),
+    middle, tail (ce >= tail_bound). Bounds are CALIBRATION-corpus
+    quantiles computed batch-side once (e.g.
+    ``scored.approxQuantile("cross_entropy", [1/3, 2/3], 1e-3)``) and
+    passed as plain floats — a pure Column labeling, zero shuffle,
+    reproducible across runs and engines (rank-based banding inside
+    the operator would re-rank per corpus and shuffle globally)."""
+    if not head_bound <= tail_bound:
+        raise ValueError(
+            f"with_quality_bucket: head_bound ({head_bound}) must be <= "
+            f"tail_bound ({tail_bound})"
+        )
+    ce = F.col(ce_col)
+    return scored.withColumn(
+        out_col,
+        F.when(ce < head_bound, "head")
+        .when(ce < tail_bound, "middle")
+        .otherwise("tail"),
+    )
