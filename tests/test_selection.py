@@ -287,3 +287,33 @@ def test_quality_bucket_banding(spark):
     assert got == {0: "head", 1: "middle", 2: "middle", 3: "tail", 4: "tail"}
     with pytest.raises(ValueError, match="head_bound"):
         SEL.with_quality_bucket(scored, 3.0, 2.0)
+
+
+def test_dsir_score_step_id_hygiene_fails_loud(spark):
+    """Streaming step: NULL ids (silent drop in the re-join) and
+    within-batch duplicate ids (grams merged into one doubled-weight
+    row on both copies) must raise in-plan, not corrupt admission."""
+    from willa_spark.streaming.selection import dsir_score_step
+
+    docs, tdocs = _mk(spark, RAW), _mk(spark, TARGET)
+    tm = SEL.feature_log_probs(tdocs, num_buckets=64)
+    rm = SEL.feature_log_probs(docs, num_buckets=64)
+    step = dsir_score_step(tm, rm, num_buckets=64)
+    nulls = spark.createDataFrame(
+        [(1, "a b"), (None, "c d")], "doc_id bigint, text string"
+    )
+    with pytest.raises(Exception, match="NULL document id"):
+        step(nulls, 0).collect()
+    dups = _mk(spark, [(7, "alpha beta"), (7, "alpha beta")])
+    with pytest.raises(Exception, match="duplicate id"):
+        step(dups, 1).collect()
+
+
+def test_quality_bucket_null_score_fails_loud(spark):
+    """A NULL cross_entropy must raise, not band confidently as
+    'tail' through the otherwise() branch."""
+    scored = spark.createDataFrame(
+        [(0, 1.0), (1, None)], "doc_id bigint, cross_entropy double"
+    )
+    with pytest.raises(Exception, match="NULL cross_entropy"):
+        SEL.with_quality_bucket(scored, 2.0, 3.0).collect()

@@ -125,6 +125,21 @@ def _model_from_features(
     )
 
 
+def _floor_guarded(model: DataFrame, alias: str, which: str) -> DataFrame:
+    """1-row frame holding a model's smoothing floor, with the empty-
+    model case failing LOUD in-plan (a feature-less model has a NULL
+    floor, which would otherwise silently NULL every downstream score
+    — the shared guard for the weights and cross-entropy kernels)."""
+    guard = F.raise_error(
+        F.lit(
+            f"the {which} model is empty (no features — e.g. every "
+            "document tokenized to nothing); fit models on non-empty "
+            "corpora"
+        )
+    ).cast("double")
+    return model.agg(F.coalesce(F.first("__floor"), guard).alias(alias))
+
+
 def importance_log_weights(
     docs: DataFrame,
     target_model: DataFrame,
@@ -161,19 +176,7 @@ def importance_log_weights(
     # all-whitespace texts) has a NULL floor, which would silently
     # NULL every weight and turn selection into lowest-id-wins — the
     # coalesce chain ends in an in-plan raise_error instead (the
-    # NULL-id guard's discipline).
-    def _floor_guarded(model: DataFrame, alias: str, which: str) -> DataFrame:
-        guard = F.raise_error(
-            F.lit(
-                f"importance_log_weights: the {which} model is empty "
-                "(no features — e.g. every document tokenized to "
-                "nothing); fit models on non-empty corpora"
-            )
-        ).cast("double")
-        return model.agg(
-            F.coalesce(F.first("__floor"), guard).alias(alias)
-        )
-
+    # NULL-id guard's discipline, via ``_floor_guarded``).
     tfloor = _floor_guarded(target_model, "__ft0", "target")
     rfloor = _floor_guarded(raw_model, "__fr0", "raw")
     scored = (
@@ -310,13 +313,7 @@ def cross_entropy_score(
     family contract)."""
     feats = _gram_features(docs, num_buckets, ns, id_col, text_col)
     m = model.select("feature", "logp")
-    floor_guard = F.raise_error(
-        F.lit(
-            "cross_entropy_score: the model is empty (no features); "
-            "fit it on a non-empty corpus"
-        )
-    ).cast("double")
-    floor = model.agg(F.coalesce(F.first("__floor"), floor_guard).alias("__f0"))
+    floor = _floor_guarded(model, "__f0", "cross-entropy")
     scored = (
         feats.join(F.broadcast(m), "feature", "left")
         .crossJoin(F.broadcast(floor))
@@ -353,7 +350,20 @@ def with_quality_bucket(
     ce = F.col(ce_col)
     return scored.withColumn(
         out_col,
-        F.when(ce < head_bound, "head")
+        # a NULL score fails loud rather than falling through the
+        # otherwise() into a confident "tail" label (a left join that
+        # missed score rows would silently band unscored docs)
+        F.when(
+            ce.isNull(),
+            F.raise_error(
+                F.lit(
+                    f"with_quality_bucket: NULL {ce_col} — unscored "
+                    "rows cannot be banded; score them or drop them "
+                    "first"
+                )
+            ).cast("string"),
+        )
+        .when(ce < head_bound, "head")
         .when(ce < tail_bound, "middle")
         .otherwise("tail"),
     )

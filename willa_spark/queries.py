@@ -4256,15 +4256,18 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions import selection as SELECTION
 
     docs = read_docs_spread(spark, sf_dir).select("doc_id", "text")
-    seed = docs.filter(F.col("doc_id") % 13 == 0)
-    # pin the corpus feature frame once — it feeds the raw model AND
-    # the scoring join (dsir_select's own discipline)
+    # pin the corpus feature frame once — it feeds the raw model, the
+    # TARGET model (the seed is a subset of the corpus, so its feature
+    # rows are already here — no second tokenize pass), and the
+    # scoring join (dsir_select's own discipline)
     feats = SELECTION._gram_features(
         docs, None, (1, 2), "doc_id", "text"
     ).localCheckpoint(eager=True)
     w = SELECTION.importance_log_weights(
         docs,
-        SELECTION.feature_log_probs(seed, num_buckets=None),
+        SELECTION._model_from_features(
+            feats.filter(F.col("id") % 13 == 0), None, SELECTION.DEFAULT_SMOOTH
+        ),
         SELECTION._model_from_features(feats, None, SELECTION.DEFAULT_SMOOTH),
         num_buckets=None,
         _feats=feats,

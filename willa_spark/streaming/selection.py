@@ -24,6 +24,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..functions.selection import importance_log_weights
 
@@ -42,14 +43,45 @@ def dsir_score_step(
     when set. Models must be the frames ``feature_log_probs`` built
     with the SAME ``num_buckets``/``ns`` (the feature spaces must
     match — a mismatch scores every gram at the floor, which the
-    empty-model guard cannot see); they broadcast into each batch's
-    scoring join, the batch kernel's own plan. Documents with no
-    features (empty/whitespace text) carry no weight row and are
-    dropped — the batch kernel's contract."""
+    empty-model guard cannot see). Both model frames are eagerly
+    PINNED here, once, at step construction: an unpinned model would
+    re-run its whole fitting lineage (a corpus-wide explode+shuffle
+    for the raw model) on EVERY micro-batch, and — worse — a mutable
+    backing source would score late batches under a different
+    distribution than early ones, exactly the frozen-model invariant
+    this module's header promises. Documents with no features
+    (empty/whitespace text) carry no weight row and are dropped —
+    the batch kernel's contract.
+
+    Per-batch id hygiene fails LOUD in-plan (the composed pipeline's
+    discipline): a NULL id would silently vanish in the score
+    re-join, and a doc delivered twice in one batch (at-least-once
+    source replay) would have its grams MERGED into one
+    doubled-weight row attached to both copies — corrupted admission
+    either way. Dedup upstream (``dropDuplicates([id_col])``) before
+    scoring replayed streams."""
+    target_model = target_model.localCheckpoint(eager=True)
+    raw_model = raw_model.localCheckpoint(eager=True)
 
     def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        # the NULL guard must ride the id PROJECTION, not a post-join
+        # column: every join here is id-keyed, so a NULL-id row would
+        # vanish before any guard column evaluated (and it must ride
+        # BOTH sides of the joins — AQE empty-relation propagation can
+        # elide a join before the other side's stage runs)
+        checked_id = F.when(
+            F.col(id_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    "dsir_score_step: NULL document id — the score "
+                    "re-join would silently drop the row; assign ids "
+                    "upstream"
+                )
+            ).cast(batch_df.schema[id_col].dataType),
+        ).otherwise(F.col(id_col))
+        guarded = batch_df.withColumn(id_col, checked_id)
         w = importance_log_weights(
-            batch_df,
+            guarded,
             target_model,
             raw_model,
             num_buckets=num_buckets,
@@ -59,6 +91,25 @@ def dsir_score_step(
         )
         if min_log_weight is not None:
             w = w.filter(w["log_weight"] >= min_log_weight)
-        return batch_df.join(w, id_col)
+        nrow = guarded.groupBy(id_col).agg(F.count(F.lit(1)).alias("__nrow"))
+        checked = guarded.join(nrow, id_col).withColumn(
+            "__dupck",
+            F.when(
+                F.col("__nrow") > 1,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "dsir_score_step: duplicate id within one "
+                            "micro-batch (grams would merge into one "
+                            "doubled-weight row): "
+                        ),
+                        F.col(id_col).cast("string"),
+                    )
+                ).cast("boolean"),
+            ).otherwise(F.lit(True)),
+        )
+        return checked.filter(F.col("__dupck")).drop("__nrow", "__dupck").join(
+            w, id_col
+        )
 
     return step
