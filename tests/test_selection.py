@@ -317,3 +317,42 @@ def test_quality_bucket_null_score_fails_loud(spark):
     )
     with pytest.raises(Exception, match="NULL cross_entropy"):
         SEL.with_quality_bucket(scored, 2.0, 3.0).collect()
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_splits = st.lists(st.integers(min_value=0, max_value=2), min_size=5, max_size=5)
+
+
+@given(assign=_splits)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_dsir_score_step_congruent_under_any_split(spark, assign):
+    """Hypothesis: for ANY assignment of the corpus to micro-batches
+    (including empty batches), the union of step outputs equals the
+    batch kernel over the full corpus exactly — the frozen-model
+    stateless contract."""
+    from willa_spark.streaming.selection import dsir_score_step
+
+    docs, tdocs = _mk(spark, RAW), _mk(spark, TARGET)
+    tm = SEL.feature_log_probs(tdocs, num_buckets=256)
+    rm = SEL.feature_log_probs(docs, num_buckets=256)
+    want = {
+        (r["doc_id"], r["n_grams"], r["log_weight"])
+        for r in SEL.importance_log_weights(docs, tm, rm, num_buckets=256).collect()
+    }
+    step = dsir_score_step(tm, rm, num_buckets=256)
+    got = set()
+    for bid in range(3):
+        ids = [RAW[i][0] for i in range(5) if assign[i] == bid]
+        batch = spark.createDataFrame(
+            [r for r in RAW if r[0] in ids], "doc_id bigint, text string"
+        )
+        got |= {
+            (r["doc_id"], r["n_grams"], r["log_weight"])
+            for r in step(batch, bid).collect()
+        }
+    assert got == want
