@@ -579,3 +579,43 @@ def test_streaming_bm25_index_probe_congruity_and_replay(spark, tmp_path):
     assert results[2] == want
     post = spark.read.parquet(os.path.join(store, "postings"))
     assert post.count() == post.select("doc_id", "term").distinct().count()
+
+
+def test_streaming_semantic_dedup_congruity(spark, tmp_path):
+    """Streaming SemDeDup (cluster-blocked vector dedup through the
+    shared _vector_dedup_step kernel): exact copies planted across and
+    within micro-batches match the batch semantic_dedup_pairs +
+    min-id canonical over the full corpus; replay is idempotent; the
+    store lands sorted by cell."""
+    import os as _os
+
+    from willa_spark.functions import dedup as D
+    from willa_spark.streaming.ann import semantic_dedup_step
+
+    vs = _vecs(12, 5)
+    rows = [(i, vs[i]) for i in range(8)]
+    rows += [(8, vs[0]), (9, vs[0]), (10, vs[11]), (11, vs[11])]
+    mk = lambda rs: spark.createDataFrame(rs, "vec_id bigint, embedding array<double>")
+    batches = [mk(rows[:4] + [rows[8]]), mk(rows[4:8] + [rows[9]]), mk(rows[10:12])]
+    full = mk(rows)
+    centroids = S.train_centroids(full, n_centroids=4, n_iters=2)
+
+    store = _os.path.join(str(tmp_path), "sem-store")
+    step = semantic_dedup_step(store, centroids, threshold=0.999)
+    admitted = []
+    for i, b in enumerate(batches):
+        admitted.extend(r["vec_id"] for r in step(b, i).collect())
+    assert len(admitted) == len(set(admitted))
+
+    pairs = S.semantic_dedup_pairs(full, centroids, threshold=0.999).select(
+        "id_a", "id_b"
+    )
+    kept = D.keep_canonical(full, D.dup_clusters(pairs), id_col="vec_id")
+    want = {r["vec_id"] for r in kept.collect()}
+    assert set(admitted) == want
+
+    again = {r["vec_id"] for r in step(batches[1], 1).collect()}
+    assert again <= set(admitted)
+    stored = spark.read.parquet(store)
+    assert set(stored.columns) >= {"id", "vec", "cell"}
+    assert stored.count() == len(admitted)

@@ -54,6 +54,7 @@ from pyspark.sql import functions as F
 from ..functions.similarity import (
     cosine,
     hyperplanes,
+    ivf_assign,
     ivf_index_frame,
     ivf_probe_topk,
     lsh_index_frame,
@@ -689,19 +690,78 @@ def embedding_dedup_step(
     ``dedup.keep_best`` policy over co-arriving dups) — cross-batch
     necessarily stays first-seen-wins; see
     ``near_dedup._drop_within_batch`` for the append-mode argument."""
-    from .near_dedup import _batch_scores, _drop_within_batch
-
     planes = hyperplanes(dim, n_planes, seed)
+    return _vector_dedup_step(
+        store_dir,
+        lambda vec: lsh_signature(vec, planes),
+        "bucket",
+        threshold,
+        id_col,
+        vec_col,
+        compact_every,
+        score,
+    )
+
+
+def semantic_dedup_step(
+    store_dir: str,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    compact_every: int | None = None,
+    score=None,
+) -> Callable[[DataFrame, int], DataFrame]:
+    """Streaming SemDeDup (Abbas et al. 2023) — the cluster-scoped
+    twin of ``embedding_dedup_step`` through the same store kernel
+    (``_vector_dedup_step``) with the blocking key swapped: vectors
+    block on their nearest-centroid CELL (``ivf_assign``) instead of
+    an LSH bucket, so comparisons concentrate where the data is dense
+    and a cell-boundary near-dup pair is invisible BY DESIGN (the
+    batch ``semantic_dedup_pairs`` tradeoff — exact duplicates never
+    split cells). Zero-norm vectors take a NULL cell and join nothing
+    (admitted, like the batch operator's exclusion). STORE CONTRACT:
+    ``centroids`` are part of the store's identity — re-clustering
+    means a new store (the IVF generation rule); drift-retraining a
+    dedup store would silently re-block history."""
+    return _vector_dedup_step(
+        store_dir,
+        lambda vec: ivf_assign(vec, centroids),
+        "cell",
+        threshold,
+        id_col,
+        vec_col,
+        compact_every,
+        score,
+    )
+
+
+def _vector_dedup_step(
+    store_dir: str,
+    key_builder,
+    key_name: str,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    compact_every: int | None,
+    score,
+) -> Callable[[DataFrame, int], DataFrame]:
+    """The shared vector-dedup store kernel (LSH-bucket and
+    k-means-cell blocking differ ONLY in ``key_builder``): cross-batch
+    probe (key equi-join + exact cosine >= threshold against strictly
+    prior batches) then within-batch election, admitted rows landing
+    in the batch's own idempotent partition."""
+    from .near_dedup import _batch_scores, _drop_within_batch
 
     def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
         spark = batch_df.sparkSession
         scores = _batch_scores(batch_df, id_col, score)
         store_compact_every(
-            spark, [(store_dir, "bucket")], batch_id, compact_every
+            spark, [(store_dir, key_name)], batch_id, compact_every
         )
         v = batch_df.select(
             F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
-        ).withColumn("bucket", lsh_signature(F.col("vec"), planes))
+        ).withColumn(key_name, key_builder(F.col("vec")))
 
         # strictly-prior batches only: a replayed batch must not probe
         # its own failed attempt's partition (same rule as near_dedup)
@@ -714,7 +774,7 @@ def embedding_dedup_step(
                     store.withColumnsRenamed(
                         {"id": "__st_id", "vec": "__st_vec"}
                     ),
-                    "bucket",
+                    key_name,
                 )
                 .filter(cosine(F.col("vec"), F.col("__st_vec")) >= threshold)
                 .select(F.col("id").alias("__drop"))
@@ -727,7 +787,7 @@ def embedding_dedup_step(
         within_pairs = (
             l.join(
                 r,
-                (F.col("l.bucket") == F.col("r.bucket"))
+                (F.col(f"l.{key_name}") == F.col(f"r.{key_name}"))
                 & (F.col("l.id") < F.col("r.id")),
             )
             .filter(cosine(F.col("l.vec"), F.col("r.vec")) >= threshold)
@@ -745,7 +805,7 @@ def embedding_dedup_step(
         admitted = pruned.join(
             drops, pruned["id"] == F.col("__drop"), "left_anti"
         )
-        store_append(admitted, store_dir, batch_id, sort_by="bucket")
+        store_append(admitted, store_dir, batch_id, sort_by=key_name)
         pruned.unpersist()
         return batch_df.join(
             drops, batch_df[id_col] == F.col("__drop"), "left_anti"
