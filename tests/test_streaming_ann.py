@@ -587,8 +587,6 @@ def test_streaming_semantic_dedup_congruity(spark, tmp_path):
     within micro-batches match the batch semantic_dedup_pairs +
     min-id canonical over the full corpus; replay is idempotent; the
     store lands sorted by cell."""
-    import os as _os
-
     from willa_spark.functions import dedup as D
     from willa_spark.streaming.ann import semantic_dedup_step
 
@@ -600,7 +598,7 @@ def test_streaming_semantic_dedup_congruity(spark, tmp_path):
     full = mk(rows)
     centroids = S.train_centroids(full, n_centroids=4, n_iters=2)
 
-    store = _os.path.join(str(tmp_path), "sem-store")
+    store = os.path.join(str(tmp_path), "sem-store")
     step = semantic_dedup_step(store, centroids, threshold=0.999)
     admitted = []
     for i, b in enumerate(batches):
@@ -619,3 +617,32 @@ def test_streaming_semantic_dedup_congruity(spark, tmp_path):
     stored = spark.read.parquet(store)
     assert set(stored.columns) >= {"id", "vec", "cell"}
     assert stored.count() == len(admitted)
+
+
+def test_vector_dedup_round_then_compare_boundary(spark, tmp_path):
+    """Batch and streaming must share the ROUND-then-compare verify:
+    a pair at true cosine 0.9499996 (rounds to 0.950000) sits exactly
+    on the 0.95 boundary — the batch kernel reports it as a duplicate,
+    so the streaming store kernel must drop it too (a raw-cosine
+    streaming compare would admit both and silently diverge the two
+    corpora forever). One centroid guarantees candidacy."""
+    from willa_spark.streaming.ann import semantic_dedup_step
+
+    c = 0.9499996
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [c, (1 - c * c) ** 0.5, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = [[1.0, 0.0, 0.0, 0.0]]
+    got = [
+        (r["id_a"], r["id_b"], r["cosine_sim"])
+        for r in S.semantic_dedup_pairs(df, cents, threshold=0.95).collect()
+    ]
+    assert got == [(1, 2, 0.95)], got
+
+    step = semantic_dedup_step(
+        os.path.join(str(tmp_path), "bnd-store"), cents, threshold=0.95
+    )
+    admitted = {r["vec_id"] for r in step(df, 0).collect()}
+    assert admitted == {1}, admitted

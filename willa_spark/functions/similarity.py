@@ -513,9 +513,33 @@ def embedding_near_dups(
     scan the parquet — no corpus-size memory cache, and the scan
     prunes to the three needed columns."""
     planes = hyperplanes(dim, n_planes, seed)
+    return _vector_near_dup_pairs(
+        df,
+        lambda v: lsh_signature(v, planes),
+        threshold,
+        id_col,
+        vec_col,
+        spill_dir,
+    )
+
+
+def _vector_near_dup_pairs(
+    df: DataFrame,
+    key_builder,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    spill_dir: str | None,
+) -> DataFrame:
+    """The shared batch vector near-dup kernel (LSH-bucket and
+    k-means-cell blocking differ ONLY in ``key_builder`` — the batch
+    twin of ``streaming.ann._vector_dedup_step``): keyed self-join
+    candidates, exact cosine verify with the ROUND-then-compare
+    predicate both engines share, materialize-once contract
+    (persist, or ``spill_dir`` for the storage-backed path)."""
     v = df.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
-    ).withColumn("bucket", lsh_signature(F.col("v"), planes))
+    ).withColumn("__key", key_builder(F.col("v")))
     if spill_dir:
         v.write.mode("overwrite").parquet(spill_dir)
         v = df.sparkSession.read.parquet(spill_dir)
@@ -523,7 +547,11 @@ def embedding_near_dups(
         v = v.persist()
     l, r = v.alias("l"), v.alias("r")
     return (
-        l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
+        l.join(
+            r,
+            (F.col("l.__key") == F.col("r.__key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
@@ -688,28 +716,15 @@ def semantic_dedup_pairs(
     Zero-norm vectors take a NULL cell (``ivf_assign``) and join
     nothing — excluded, not crashed on.
 
-    Same materialization contract as ``embedding_near_dups``: the
-    assigned frame feeds both self-join sides (persist, or
-    ``spill_dir`` for the storage-backed 100 TB path)."""
-    v = df.select(
-        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
-    ).withColumn("__cell", ivf_assign(F.col("v"), centroids))
-    if spill_dir:
-        v.write.mode("overwrite").parquet(spill_dir)
-        v = df.sparkSession.read.parquet(spill_dir)
-    else:
-        v = v.persist()
-    l, r = v.alias("l"), v.alias("r")
-    return (
-        l.join(
-            r,
-            (F.col("l.__cell") == F.col("r.__cell"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cosine_sim"),
-        )
-        .filter(F.col("cosine_sim") >= threshold)
+    Same materialization contract as ``embedding_near_dups`` — both
+    run through the shared ``_vector_near_dup_pairs`` kernel with
+    only the blocking key swapped (the batch mirror of the streaming
+    ``_vector_dedup_step`` factoring)."""
+    return _vector_near_dup_pairs(
+        df,
+        lambda v: ivf_assign(v, centroids),
+        threshold,
+        id_col,
+        vec_col,
+        spill_dir,
     )

@@ -776,7 +776,16 @@ def _vector_dedup_step(
                     ),
                     key_name,
                 )
-                .filter(cosine(F.col("vec"), F.col("__st_vec")) >= threshold)
+                .filter(
+                    # ROUND-then-compare, exactly the batch verify's
+                    # predicate (_vector_near_dup_pairs) — a raw-cosine
+                    # comparison would admit boundary pairs the batch
+                    # operator reports as duplicates (true cosine
+                    # 0.9499997 at threshold 0.95 rounds to 0.95 batch-
+                    # side), silently diverging the two corpora
+                    F.round(cosine(F.col("vec"), F.col("__st_vec")), 6)
+                    >= threshold
+                )
                 .select(F.col("id").alias("__drop"))
                 .distinct()
             )
@@ -790,7 +799,10 @@ def _vector_dedup_step(
                 (F.col(f"l.{key_name}") == F.col(f"r.{key_name}"))
                 & (F.col("l.id") < F.col("r.id")),
             )
-            .filter(cosine(F.col("l.vec"), F.col("r.vec")) >= threshold)
+            .filter(
+                # same round-then-compare rule as the cross-batch probe
+                F.round(cosine(F.col("l.vec"), F.col("r.vec")), 6) >= threshold
+            )
             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
             .distinct()
         )
