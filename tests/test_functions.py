@@ -1383,3 +1383,81 @@ def test_dup_ngram_spans_oracle_parity_edge_whitespace(spark, tmp_path):
         ).fetchall()
     )
     assert got == oracle
+
+
+def test_rrf_fuse_hand_values_and_n_systems(spark):
+    """RRF on a hand fixture: d2 ranked by both systems beats d1/d3
+    ranked by one each; scores equal the paper formula rounded to 6dp;
+    n_systems counts contributing lists."""
+    from willa_spark.functions import retrieval as R
+
+    sys_a = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2)], "query_id long, doc_id long, rank long"
+    )
+    sys_b = spark.createDataFrame(
+        [(1, 20, 1), (1, 30, 2)], "query_id long, doc_id long, rank long"
+    )
+    got = {
+        r["doc_id"]: (r["rank"], r["rrf_score"], r["n_systems"])
+        for r in R.rrf_fuse([sys_a, sys_b]).collect()
+    }
+    assert got[20] == (1, round(1 / 61 + 1 / 62, 6), 2)
+    assert got[10] == (2, round(1 / 61, 6), 1)
+    assert got[30] == (3, round(1 / 62, 6), 1)
+
+
+def test_rrf_fuse_system_order_invariant_and_tiebreak(spark):
+    """Fusion is a sum — permuting the input list changes nothing; and
+    two docs with IDENTICAL fused scores (same rank, disjoint systems)
+    order by doc_id (the deterministic-hash rule)."""
+    from willa_spark.functions import retrieval as R
+
+    sys_a = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2)], "query_id long, doc_id long, rank long"
+    )
+    sys_b = spark.createDataFrame(
+        [(1, 30, 1), (1, 20, 2)], "query_id long, doc_id long, rank long"
+    )
+    ab = sorted(tuple(r) for r in R.rrf_fuse([sys_a, sys_b]).collect())
+    ba = sorted(tuple(r) for r in R.rrf_fuse([sys_b, sys_a]).collect())
+    assert ab == ba
+    ranked = {r["doc_id"]: r["rank"] for r in R.rrf_fuse([sys_a, sys_b]).collect()}
+    # 10 and 30 both scored 1/61 exactly — doc_id breaks the tie
+    assert ranked[20] == 1 and ranked[10] == 2 and ranked[30] == 3
+
+
+def test_rrf_fuse_k_filter_and_empty_guard(spark):
+    from willa_spark.functions import retrieval as R
+    import pytest as _pytest
+
+    sys_a = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (1, 30, 3)],
+        "query_id long, doc_id long, rank long",
+    )
+    assert R.rrf_fuse([sys_a], k=2).count() == 2
+    with _pytest.raises(ValueError):
+        R.rrf_fuse([])
+
+
+def test_hybrid_rrf_oracle_parity(spark):
+    """The r10/r11 registration candidate, parity-pinned NOW (the
+    parked-entry de-risking discipline): queries.q_hybrid_rrf_topk vs
+    its full DuckDB oracle — BM25 and exact-cosine rank lists fused by
+    RRF must hash-match across engines (verified green at sf0.001 AND
+    sf0.01 when written; the pin runs the small corpus)."""
+    import duckdb
+
+    from willa_spark.queries import HYBRID_RRF_ORACLE, q_hybrid_rrf_topk
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = sorted(tuple(r) for r in q_hybrid_rrf_topk(spark, sf_dir).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(HYBRID_RRF_ORACLE).fetchall())
+    assert len(got) == len(want) > 0
+    assert got == want

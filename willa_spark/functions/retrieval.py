@@ -256,3 +256,109 @@ def bm25_topk_indexed(
         ),
         k,
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k_rrf: float = 60.0,
+    k: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
+    of N ranked lists: rrf(d) = Σ_s 1/(k_rrf + rank_s(d)) over the
+    systems s that returned d, re-ranked descending. The standard way
+    to combine lexical (BM25) and semantic (embedding ANN) retrieval
+    without score calibration — only RANKS cross the system boundary,
+    so BM25's unbounded scores and cosine's [-1, 1] never need to be
+    commensurated. k_rrf=60 is the paper's constant.
+
+    Inputs are (query_id, <id_col>, rank) frames — exactly what
+    ``bm25_topk`` / ``bm25_topk_indexed`` / ``brute_force_topk`` /
+    ``lsh_topk`` / ``ivf_topk`` emit — so any mix of on-the-fly and
+    index-served retrieval fuses directly. Returns (query_id, doc_id,
+    rank, rrf_score, n_systems), top-k per query when ``k`` is given.
+
+    Scale shape: fusion touches only |queries| x k x n_systems rows —
+    POST-retrieval volume, independent of corpus size — in one tiny
+    (query_id, doc_id) partial-agg shuffle; all the corpus-bound work
+    stays inside the underlying retrieval families. Determinism (the
+    cross-engine hashing rule): the input ranks are already integer
+    and deterministic (each family rounds scores to 6dp BEFORE its
+    row_number with an id tie-break), the fused score is a sum of
+    ≤ n_systems exact reciprocals rounded to 6dp before the final
+    row_number, ties broken by doc_id."""
+    from functools import reduce
+
+    from pyspark.sql.window import Window
+
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking frame")
+    parts = [
+        r.select(
+            F.col("query_id"),
+            F.col(id_col).alias("doc_id"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        for r in rankings
+    ]
+    fused = (
+        reduce(DataFrame.unionByName, parts)
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(
+                F.sum(F.lit(1.0) / (F.lit(float(k_rrf)) + F.col("rank"))), 6
+            ).alias("rrf_score"),
+            F.count(F.lit(1)).cast("long").alias("n_systems"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    )
+    out = fused.withColumn("rank", F.row_number().over(w))
+    if k is not None:
+        out = out.filter(F.col("rank") <= k)
+    return out.select("query_id", "doc_id", "rank", "rrf_score", "n_systems")
+
+
+def hybrid_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k_pool: int | None = None,
+    k_rrf: float = 60.0,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid lexical+semantic retrieval: BM25 top-``k_pool`` and exact
+    cosine top-``k_pool`` per query, RRF-fused to top-``k``. ``queries``
+    carries (query_id, terms array<string>, query_vec array<float>);
+    ``emb``'s ``vec_id`` identifies the same documents as ``docs``'s
+    ``doc_id``. The exact-cosine side is the bounded-query-set baseline
+    (brute_force_topk's own contract) — for bulk query sets fuse
+    ``lsh_topk`` / ``ivf_topk`` / ``bm25_topk_indexed`` frames straight
+    into ``rrf_fuse``; the fusion is family-agnostic by design."""
+    from .similarity import brute_force_topk
+
+    pool = k_pool or k
+    lex = bm25_topk(
+        docs,
+        queries.select("query_id", "terms"),
+        k=pool,
+        k1=k1,
+        b=b,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    sem = brute_force_topk(
+        emb,
+        queries.select("query_id", "query_vec"),
+        k=pool,
+        id_col=vec_id_col,
+        vec_col=vec_col,
+    ).select("query_id", F.col(vec_id_col).alias("doc_id"), "rank")
+    return rrf_fuse([lex, sem], k_rrf=k_rrf, k=k)
