@@ -1,0 +1,169 @@
+"""Sketch-profile family: mergeable HLL/quantile corpus profiling
+(functions/sketches.py) and the persisted streaming sketch store
+(streaming/sketches.py)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from willa_spark.functions import sketches as SK
+
+
+def _wide_docs(spark, n_docs=400, toks_per_doc=50):
+    """High-cardinality synthetic corpus: every token globally unique
+    (vocab = n_docs * toks_per_doc) so the HLL sketch is genuinely
+    approximate — the real testdata's ~31-token vocabulary makes every
+    sketch trivially exact and proves nothing about the band."""
+    return (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 4).cast("string").alias("lang"),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(toks_per_doc - 1)),
+                    lambda i: F.concat(
+                        F.lit("tok"), (F.col("id") * toks_per_doc + i).cast("string")
+                    ),
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
+
+
+def test_sketch_profile_bands_on_high_cardinality_vocab(spark):
+    """vocab_approx within the documented ±10% band of the exact
+    distinct count on a 20k-token vocabulary (rsd=0.02 ⇒ the band is
+    5 sigma); exact columns exactly right; quantile sketches inside
+    the p45–p55 / p90–p99 exact value brackets."""
+    docs = _wide_docs(spark)
+    prof = {r["group"]: r for r in SK.sketch_profile(docs).collect()}
+    assert set(prof) == {"0", "1", "2", "3"}
+    for g, r in prof.items():
+        assert r["n_docs"] == 100
+        assert r["total_tokens"] == 100 * 50
+        exact_vocab = 100 * 50  # all tokens globally unique
+        assert abs(r["vocab_approx"] - exact_vocab) <= 0.10 * exact_vocab
+        # every doc is exactly 50 tokens — the quantiles are degenerate
+        assert r["p50_tokens"] == 50 and r["p95_tokens"] == 50
+
+
+def test_sketch_profile_estimates_partition_invariant(spark):
+    """Sketch ESTIMATES are order/partitioning-free (HLL register
+    merge is a max; GK quantile merge is deterministic): repartitioned
+    input yields the identical profile row set."""
+    docs = _wide_docs(spark, n_docs=120)
+    a = sorted(tuple(r) for r in SK.sketch_profile(docs).collect())
+    b = sorted(tuple(r) for r in SK.sketch_profile(docs.repartition(13)).collect())
+    assert a == b
+
+
+def test_vocab_sketch_union_congruent_with_whole_corpus(spark):
+    """Splitting the corpus into arbitrary batches, sketching each and
+    HLL-unioning equals sketching the whole corpus — the register
+    state is a max over per-token hashes, so the split cannot matter.
+    Estimates compared (bytes are NOT canonical — the store
+    contract)."""
+    docs = _wide_docs(spark, n_docs=150)
+    whole = {
+        r["group"]: r["vocab_estimate"]
+        for r in SK.vocab_estimate(SK.token_vocab_sketch(docs)).collect()
+    }
+    parts = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    sketches = SK.token_vocab_sketch(parts[0])
+    for p in parts[1:]:
+        sketches = sketches.unionByName(SK.token_vocab_sketch(p))
+    merged = {
+        r["group"]: r["vocab_estimate"]
+        for r in SK.vocab_estimate(SK.merge_vocab_sketches(sketches)).collect()
+    }
+    assert merged == whole and whole
+
+
+def test_vocab_sketch_duplicate_merge_stays_in_band_not_bitstable(spark):
+    """The documented HIP caveat: re-merging an IDENTICAL sketch
+    leaves the registers unchanged but shifts the union's
+    historical-inverse-probability estimator — so the duplicated-merge
+    estimate is NOT required to equal the single-merge one (measured:
+    it differs), yet both must stay inside the sketch's error band of
+    the true count. Exact replay safety therefore lives in the store's
+    partition-overwrite lifecycle, pinned by the streaming test."""
+    docs = _wide_docs(spark, n_docs=90)
+    truth = {  # 90 docs round-robin over 4 groups, 50 unique tokens each
+        "0": 23 * 50, "1": 23 * 50, "2": 22 * 50, "3": 22 * 50,
+    }
+    one = SK.token_vocab_sketch(docs)
+    once = {
+        r["group"]: r["vocab_estimate"]
+        for r in SK.vocab_estimate(SK.merge_vocab_sketches(one)).collect()
+    }
+    twice = {
+        r["group"]: r["vocab_estimate"]
+        for r in SK.vocab_estimate(
+            SK.merge_vocab_sketches(one.unionByName(one))
+        ).collect()
+    }
+    for g, t in truth.items():
+        # lg_k=12 ⇒ ~0.8% standard error; 5% is a generous fixed band
+        assert abs(once[g] - t) <= 0.05 * t
+        assert abs(twice[g] - t) <= 0.05 * t
+
+
+def test_streaming_vocab_sketch_store_congruity_and_replay(spark, tmp_path):
+    """The persisted sketch store: batches appended via the
+    foreachBatch step must estimate exactly what the batch sketch
+    over the ingested corpus estimates; a replayed batch overwrites
+    its partition (and HLL union is idempotent anyway); reading an
+    empty store yields an empty frame with the schema intact."""
+    from willa_spark.streaming.sketches import (
+        vocab_estimate_from_store,
+        vocab_sketch_step,
+    )
+
+    store = os.path.join(str(tmp_path), "sketch-store")
+    empty = vocab_estimate_from_store(spark, store)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["group", "vocab_estimate"]
+
+    docs = _wide_docs(spark, n_docs=120)
+    emitted: dict[int, dict] = {}
+
+    def sink(df, bid):
+        emitted[bid] = {r["group"]: r["vocab_estimate"] for r in df.collect()}
+
+    step = vocab_sketch_step(store, sink=sink)
+    b1 = docs.filter(F.col("doc_id") < 60)
+    b2 = docs.filter(F.col("doc_id") >= 60)
+    step(b1, 0)
+    step(b2, 1)
+    want = {
+        r["group"]: r["vocab_estimate"]
+        for r in SK.vocab_estimate(SK.token_vocab_sketch(docs)).collect()
+    }
+    assert emitted[1] == want and want
+    # replay batch 1: estimate unchanged, partition count unchanged
+    step(b2, 1)
+    assert emitted[1] == want
+    sk = spark.read.parquet(os.path.join(store, "vocab_sketches"))
+    assert sk.select("ingest_batch").distinct().count() == 2
+
+
+def test_sketch_profile_bands_oracle_parity(spark):
+    """The r10/r11 registration candidate, parity-pinned NOW: exact
+    columns hash-grade vs DuckDB, band booleans all TRUE on the real
+    corpus (verified green at sf0.001/0.01/0.1 when written)."""
+    import duckdb
+
+    from willa_spark.queries import SKETCH_PROFILE_ORACLE, q_sketch_profile_bands
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = sorted(tuple(r) for r in q_sketch_profile_bands(spark, sf_dir).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(SKETCH_PROFILE_ORACLE).fetchall())
+    assert len(got) == len(want) > 0
+    assert got == want

@@ -1,4 +1,14 @@
-from . import corpus, curation, dedup, multimodal, retrieval, similarity, text
+from . import (
+    corpus,
+    curation,
+    dedup,
+    multimodal,
+    retrieval,
+    selection,
+    similarity,
+    sketches,
+    text,
+)
 
 __all__ = [
     "corpus",
@@ -6,6 +16,8 @@ __all__ = [
     "dedup",
     "multimodal",
     "retrieval",
+    "selection",
     "similarity",
+    "sketches",
     "text",
 ]

@@ -1,0 +1,132 @@
+"""Mergeable sketch aggregates for corpus profiling — the 100 TB
+answer to "how big is the vocabulary / what does the length
+distribution look like" questions that exact operators answer with a
+corpus-wide distinct shuffle.
+
+Everything here rides Spark's built-in sketch aggregates, all of which
+do MAP-SIDE PARTIAL AGGREGATION (the reduce phase moves kilobyte
+sketch states, not data rows):
+
+- HyperLogLog++ via ``approx_count_distinct`` (inline estimate) and
+  the Apache DataSketches HLL pair ``hll_sketch_agg`` /
+  ``hll_union_agg`` (PERSISTABLE binary sketch state — build per
+  partition/batch/day, union later, estimate at read time; the
+  streaming twin keys on exactly this mergeability).
+- Quantiles via ``percentile_approx`` (Greenwald-Khanna style, rank
+  error <= 1/accuracy — also a mergeable partial aggregate).
+
+Determinism notes (pinned in tests): sketch ESTIMATES are
+partition-invariant (HLL register merge is a max — order-free), but
+the serialized sketch BYTES are not canonical (sparse/dense encodings
+vary with build order) — so equality checks and store contracts hold
+estimates, never bytes. Accuracy proofs compare the sketch against
+the exact aggregate computed in the same plan and emit band booleans
+(the mixing ``fracs_in_band`` pattern); at verification scale the
+exact twin is cheap, at 100 TB you run the sketch alone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+# HLL++ relative standard deviation for inline estimates: 2% keeps the
+# sketch ~ a few KB and puts 5 sigma at ±10% — the documented band the
+# proof row asserts.
+DEFAULT_RSD = 0.02
+# percentile_approx accuracy: rank error <= 1/accuracy (1% here —
+# deliberately coarse enough to be a REAL sketch at test scale).
+DEFAULT_PCT_ACCURACY = 100
+# DataSketches HLL lg(k): 2^12 registers ≈ 0.8% standard error, ~2 KB
+# dense state per group — the persistable-store configuration.
+DEFAULT_LG_K = 12
+
+
+def sketch_profile(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    rsd: float = DEFAULT_RSD,
+    pct_accuracy: int = DEFAULT_PCT_ACCURACY,
+) -> DataFrame:
+    """Per-group corpus profile in ONE partial-agg pass: exact doc and
+    token counts (plain sums — already mergeable), HLL++ vocabulary
+    estimate, and approx p50/p95 token-length quantiles. Returns
+    (group, n_docs, total_tokens, vocab_approx, p50_tokens,
+    p95_tokens). Plan shape: tokenize → explode-free doc-level agg for
+    counts/quantiles UNIONED INTO one aggregate via a single explode
+    (the vocabulary needs per-token rows) — net one shuffle moving
+    sketch-sized partial states per (group, partition)."""
+    t = docs.select(
+        F.col(group_col).alias("group"), tokens(F.col(text_col)).alias("__t")
+    ).select("group", F.size("__t").alias("__dl"), F.col("__t"))
+    # token rows for the distinct sketch; doc-level stats ride along on
+    # pos==0 rows so ONE aggregate sees both granularities without a
+    # second scan (posexplode keeps the doc's first token row tagged)
+    ex = t.select(
+        "group", "__dl", F.posexplode_outer("__t").alias("__pos", "term")
+    )
+    is_doc_row = F.col("__pos").isNull() | (F.col("__pos") == 0)
+    return ex.groupBy("group").agg(
+        F.sum(F.when(is_doc_row, 1).otherwise(0)).cast("long").alias("n_docs"),
+        F.sum(F.when(is_doc_row, F.col("__dl")).otherwise(0))
+        .cast("long")
+        .alias("total_tokens"),
+        F.approx_count_distinct("term", rsd).alias("vocab_approx"),
+        F.percentile_approx(
+            F.when(is_doc_row, F.col("__dl")), F.lit(0.5), F.lit(pct_accuracy)
+        ).alias("p50_tokens"),
+        F.percentile_approx(
+            F.when(is_doc_row, F.col("__dl")), F.lit(0.95), F.lit(pct_accuracy)
+        ).alias("p95_tokens"),
+    )
+
+
+def token_vocab_sketch(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    lg_k: int = DEFAULT_LG_K,
+) -> DataFrame:
+    """Per-group PERSISTABLE vocabulary sketch: (group, vocab_sketch
+    binary) via DataSketches HLL. Build one per batch / partition /
+    snapshot and combine with ``merge_vocab_sketches`` — distinct
+    counting becomes an incremental union of kilobyte states instead
+    of a recount. STORE CONTRACT: lg_k is part of the sketch identity
+    (``hll_union_agg`` downgrades mixed-lg_k unions to the smallest —
+    keep one lg_k per store); sketch BYTES are not canonical across
+    build orders, only ESTIMATES are comparable."""
+    return (
+        docs.select(
+            F.col(group_col).alias("group"), tokens(F.col(text_col)).alias("__t")
+        )
+        .select("group", F.explode("__t").alias("term"))
+        .groupBy("group")
+        .agg(F.hll_sketch_agg("term", F.lit(lg_k)).alias("vocab_sketch"))
+    )
+
+
+def merge_vocab_sketches(sketches: DataFrame) -> DataFrame:
+    """Union per-group sketch states from any number of
+    ``token_vocab_sketch`` frames (pass their unionByName): (group,
+    vocab_sketch) with register-max merge semantics — associative and
+    commutative. NOT estimate-idempotent: re-merging an IDENTICAL
+    sketch leaves the registers unchanged but shifts the union's HIP
+    (historical-inverse-probability) estimator, so a duplicated merge
+    returns a slightly different estimate — still within the sketch's
+    error bounds (pinned in tests), but exact replay safety must come
+    from the store lifecycle (partition overwrite), never from
+    re-merging."""
+    return sketches.groupBy("group").agg(
+        F.hll_union_agg("vocab_sketch").alias("vocab_sketch")
+    )
+
+
+def vocab_estimate(sketches: DataFrame) -> DataFrame:
+    """(group, vocab_estimate long) from a sketch frame."""
+    return sketches.select(
+        "group",
+        F.hll_sketch_estimate("vocab_sketch").cast("long").alias("vocab_estimate"),
+    )

@@ -4390,6 +4390,87 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------
+# THIRD REGISTRATION CANDIDATE (r10/r11 — the parked-with-oracle
+# discipline; slots priced by the CAPACITY DECISION): the sketch
+# profile's band proof. Exact columns hash-checked cross-engine; the
+# sketch columns are verified IN-PLAN against the exact aggregates and
+# exported as band booleans the oracle asserts TRUE (the mixing
+# fracs_in_band pattern — an approx value itself can never hash-match
+# a different engine's sketch).
+SKETCH_PROFILE_ORACLE = rf"""
+WITH t AS (
+  SELECT lang, {_RAW_TOKS_SQL} AS toks FROM documents
+), d AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(toks)) AS BIGINT) AS total_tokens
+  FROM t GROUP BY lang
+), v AS (
+  SELECT lang, CAST(count(DISTINCT term) AS BIGINT) AS vocab_exact
+  FROM (SELECT lang, unnest(toks) AS term FROM t) GROUP BY lang
+)
+SELECT d.lang AS lang, d.n_docs, d.total_tokens, v.vocab_exact,
+       TRUE AS vocab_in_band, TRUE AS p50_in_band, TRUE AS p95_in_band
+FROM d JOIN v USING (lang)
+"""
+
+
+def q_sketch_profile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile from ONE mergeable-sketch aggregate
+    pass (functions/sketches.py): exact doc/token counts ride the same
+    partial agg as the HLL++ vocabulary estimate and the
+    percentile_approx p50/p95 token lengths — at 100 TB the reduce
+    phase moves kilobyte sketch states, never data rows, where the
+    exact-distinct twin is a corpus-wide shuffle. The exact columns
+    (n_docs, total_tokens, vocab_exact) hash-check the tokenize +
+    count arithmetic against DuckDB; the sketches are bounded IN-PLAN:
+    vocab within ±10% of exact (5 sigma at rsd=0.02 — HLL++ is
+    deterministic given the data, measured exact on this corpus),
+    p50/p95 inside the exact p45–p55 / p90–p99 value brackets (rank
+    error 1/accuracy = 1% ≪ the ±5%/±4% rank margins)."""
+    from willa_spark.functions import sketches as SK
+    from willa_spark.functions.text import tokens as _tokens
+
+    docs = read_docs_spread(spark, sf_dir).select("lang", "text")
+    prof = SK.sketch_profile(docs, group_col="lang")
+    dl = docs.select(
+        F.col("lang").alias("group"), F.size(_tokens(F.col("text"))).alias("__dl")
+    )
+    exact = (
+        docs.select(
+            F.col("lang").alias("group"),
+            F.explode(_tokens(F.col("text"))).alias("term"),
+        )
+        .groupBy("group")
+        .agg(F.count_distinct("term").cast("long").alias("vocab_exact"))
+        .join(
+            dl.groupBy("group").agg(
+                F.expr(
+                    "percentile(__dl, array(0.45, 0.55, 0.90, 0.99))"
+                ).alias("__pp")
+            ),
+            "group",
+        )
+    )
+    j = prof.join(exact, "group")
+    return j.select(
+        F.col("group").alias("lang"),
+        "n_docs",
+        "total_tokens",
+        "vocab_exact",
+        (
+            F.abs(F.col("vocab_approx") - F.col("vocab_exact"))
+            <= 0.10 * F.col("vocab_exact")
+        ).alias("vocab_in_band"),
+        F.col("p50_tokens")
+        .between(F.col("__pp")[0], F.col("__pp")[1])
+        .alias("p50_in_band"),
+        F.col("p95_tokens")
+        .between(F.col("__pp")[2], F.col("__pp")[3])
+        .alias("p95_in_band"),
+    )
+
+
 # Queries OMITTED from the driver-visible correctness set: the driver
 # records oracle rows for at most 50 queries (in registration order),
 # so every DISTINCT operator proof must land inside that window.

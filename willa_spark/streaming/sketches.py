@@ -1,0 +1,84 @@
+"""Streaming corpus sketches — incremental distinct-count state via
+persisted DataSketches HLL unions, the streaming twin of
+``functions/sketches.py``.
+
+Why a sketch store instead of a recount: corpus-wide "how many
+distinct tokens so far" is a full-shuffle distinct at every ask when
+computed exactly, but as an HLL union it is (a) one kilobyte-sized
+row per (group, batch) in the store and (b) a register-max merge at
+read time (associative + commutative). Replay exactness comes from
+the STORE lifecycle — a retried batch overwrites its own partition,
+so the store never holds duplicate states. (Union alone would NOT be
+enough: re-merging an identical sketch leaves registers unchanged but
+shifts the HIP estimator — in-band, yet not bit-stable; pinned in
+tests.)
+
+Store layout: ``ingest_batch=<id>`` partitions of (group,
+vocab_sketch binary) rows, one per micro-batch — the standard store
+lifecycle (idempotent replay by partition overwrite, compaction by
+merging partitions, which for sketches means HLL-unioning them:
+``store_compact`` would concatenate rows, equally correct since the
+read-side union absorbs duplicates of any granularity).
+
+STORE CONTRACT (the IVF generation rule): ``lg_k`` and the tokenizer
+are part of the store identity — ``hll_union_agg`` silently downgrades
+mixed-lg_k unions to the smallest lg_k present, so changing either
+means a new store. Sketch BYTES are not canonical across build orders;
+only estimates are comparable (pinned in tests).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.sketches import (
+    DEFAULT_LG_K,
+    merge_vocab_sketches,
+    token_vocab_sketch,
+    vocab_estimate,
+)
+from .store import store_append, store_compact_every, store_read
+
+
+def vocab_sketch_step(
+    store_dir: str,
+    group_col: str = "lang",
+    text_col: str = "text",
+    lg_k: int = DEFAULT_LG_K,
+    sink: Callable[[DataFrame, int], None] | None = None,
+    compact_every: int | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch step maintaining the per-group vocabulary sketch
+    store. Each batch appends its own (group, vocab_sketch) rows —
+    batch-local aggregation only, no read-modify-write against the
+    store, so a replay simply overwrites its partition. When ``sink``
+    is given it receives the CUMULATIVE (group, vocab_estimate) frame
+    after each append — a running vocabulary-size stream."""
+    sk_dir = os.path.join(store_dir, "vocab_sketches")
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        store_compact_every(spark, [(sk_dir, None)], batch_id, compact_every)
+        store_append(
+            token_vocab_sketch(batch_df, group_col, text_col, lg_k),
+            sk_dir,
+            batch_id,
+            max_files=1,
+        )
+        if sink is not None:
+            sink(vocab_estimate_from_store(spark, store_dir), batch_id)
+
+    return step
+
+
+def vocab_estimate_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Current (group, vocab_estimate) from the sketch store: union
+    all per-batch sketch states (register-max merge) and estimate.
+    Empty frame with the right schema when nothing was ingested yet."""
+    sk = store_read(spark, os.path.join(store_dir, "vocab_sketches"))
+    if sk is None:
+        return spark.createDataFrame([], "group string, vocab_estimate long")
+    return vocab_estimate(merge_vocab_sketches(sk))
