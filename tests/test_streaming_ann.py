@@ -646,3 +646,81 @@ def test_vector_dedup_round_then_compare_boundary(spark, tmp_path):
     )
     admitted = {r["vec_id"] for r in step(df, 0).collect()}
     assert admitted == {1}, admitted
+
+
+def test_streaming_hybrid_probe_congruity_and_degraded_modes(spark, tmp_path):
+    """Hybrid RRF serving from the two persisted stores must equal the
+    batch rrf_fuse over the same two rank lists computed on the full
+    ingested corpus (both underlying servings are congruity-pinned
+    already; the fusion is deterministic arithmetic). Degraded modes:
+    BOTH stores empty -> typed empty frame; ONE store ingested -> the
+    fusion runs on that system alone (n_systems == 1 everywhere)."""
+    from pyspark.sql import functions as F
+
+    from willa_spark.functions import retrieval as R
+    from willa_spark.functions.similarity import lsh_topk
+    from willa_spark.sources import read_table
+    from willa_spark.streaming.ann import LshAnnConfig, lsh_index_step
+    from willa_spark.streaming.retrieval import hybrid_probe_step, postings_index_step
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    queries = (
+        docs.filter(F.col("doc_id") % 100 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.array_distinct(F.slice(toks, 1, 5)).alias("terms"),
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vec"),
+            ),
+            "query_id",
+        )
+    )
+    bm25_store = os.path.join(str(tmp_path), "hyb-bm25")
+    ann_store = os.path.join(str(tmp_path), "hyb-ann")
+    cfg = LshAnnConfig(n_planes=4, n_tables=8)
+    results: dict[int, list] = {}
+
+    def sink(df, bid):
+        results[bid] = sorted(tuple(r) for r in df.collect())
+
+    probe = hybrid_probe_step(bm25_store, ann_store, sink, k=5, ann_cfg=cfg)
+    # both stores empty: typed empty frame
+    probe(queries, 0)
+    assert results[0] == []
+
+    # ingest ONLY the lexical store: degraded single-system fusion
+    index_lex = postings_index_step(bm25_store)
+    index_lex(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    index_lex(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    probe(queries, 1)
+    assert results[1] and all(r[4] == 1 for r in results[1])  # n_systems
+
+    # ingest the ANN store too: full two-system fusion == batch fusion
+    index_ann = lsh_index_step(ann_store, cfg)
+    index_ann(emb.filter(F.col("vec_id") % 2 == 0), 0)
+    index_ann(emb.filter(F.col("vec_id") % 2 == 1), 1)
+    probe(queries, 2)
+    lex = R.bm25_topk(docs, queries.select("query_id", "terms"), k=5)
+    sem = lsh_topk(
+        emb,
+        queries.select("query_id", "query_vec"),
+        k=5,
+        n_planes=cfg.n_planes,
+        n_tables=cfg.n_tables,
+    ).select("query_id", F.col("vec_id").alias("doc_id"), "rank")
+    want = sorted(
+        tuple(r) for r in R.rrf_fuse([lex, sem], k=5).collect()
+    )
+    assert results[2] == want and want
+    # some query must actually be served by BOTH systems or the
+    # congruity proved nothing about the fusion
+    assert any(r[4] == 2 for r in results[2])

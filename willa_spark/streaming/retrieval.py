@@ -97,35 +97,135 @@ def bm25_probe_step(
     doc_id, rank, score — the ``bm25_topk`` schema) is handed to
     ``sink``. A query batch arriving before any corpus was ingested
     yields an empty result frame (schema intact), not an error."""
-    post_dir = os.path.join(store_dir, "postings")
-    stats_dir = os.path.join(store_dir, "stats")
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        topk = bm25_topk_from_store(
+            spark, store_dir, batch_df, k, k1, b, query_id_col, terms_col
+        )
+        if topk is None:
+            topk = spark.createDataFrame(
+                [],
+                f"query_id {query_id_type}, doc_id {doc_id_type}, "
+                "rank int, score double",
+            )
+        sink(topk, batch_id)
+
+    return step
+
+
+def bm25_topk_from_store(
+    spark,
+    store_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+) -> DataFrame | None:
+    """The store-serving RANKER shared by ``bm25_probe_step`` and the
+    hybrid probe: top-k over the whole current postings store, or None
+    iff nothing was ingested yet (callers pick their empty-frame
+    semantics — the solo probe synthesizes a typed empty frame, the
+    hybrid probe degrades to the systems that have state)."""
+    post = store_read(spark, os.path.join(store_dir, "postings"))
+    st = store_read(spark, os.path.join(store_dir, "stats"))
+    if post is None or st is None:
+        return None
+    # the EXACT corpus statistics from the per-batch sums — BM25's
+    # N and avgdl are additive, so batching cannot skew them
+    stats = st.agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
+    )
+    return _rank_topk(
+        _score_postings(post, stats, queries, k1, b, query_id_col, terms_col),
+        k,
+    )
+
+
+def hybrid_probe_step(
+    bm25_store_dir: str,
+    ann_store_dir: str,
+    sink: Callable[[DataFrame, int], None],
+    k: int = 5,
+    k_pool: int | None = None,
+    k_rrf: float = 60.0,
+    k1: float = 1.2,
+    b: float = 0.75,
+    ann_cfg=None,
+    n_probes: int = 0,
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    query_vec_col: str = "query_vec",
+    query_id_type: str = "bigint",
+    doc_id_type: str = "bigint",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch step serving HYBRID retrieval from two persisted
+    stores: each query micro-batch (query_id, terms, query_vec) is
+    ranked against the BM25 postings store AND the LSH ANN index, and
+    the rank lists are fused by reciprocal-rank fusion
+    (``functions.retrieval.rrf_fuse`` — only ranks cross the system
+    boundary, so the stores never need score calibration against each
+    other). Results carry the ``rrf_fuse`` schema (query_id, doc_id,
+    rank, rrf_score, n_systems).
+
+    Degraded mode is explicit and monotone: a store with no ingested
+    state contributes no rank list (n_systems reflects it) rather than
+    erroring or blanking the other system; BOTH stores empty yields a
+    typed empty frame. The ANN side requires the index stream's own
+    ``LshAnnConfig`` (the no-drift rule: probe keys must come from the
+    index's hyperplane family)."""
+    from .ann import LshAnnConfig, lsh_probe_topk, read_index
+    from ..functions.retrieval import rrf_fuse
+
+    cfg = ann_cfg if ann_cfg is not None else LshAnnConfig()
+    pool = k_pool or k
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        post = store_read(spark, post_dir)
-        st = store_read(spark, stats_dir)
-        if post is None or st is None:
+        rankings = []
+        lex = bm25_topk_from_store(
+            spark, bm25_store_dir, batch_df, pool, k1, b, query_id_col, terms_col
+        )
+        if lex is not None:
+            rankings.append(
+                lex.select(
+                    F.col(query_id_col).alias("query_id"), "doc_id", "rank"
+                )
+            )
+        idx = read_index(spark, ann_store_dir)
+        if idx is not None:
+            sem = lsh_probe_topk(
+                idx,
+                batch_df,
+                k=pool,
+                n_planes=cfg.n_planes,
+                dim=cfg.dim,
+                seed=cfg.seed,
+                n_probes=n_probes,
+                n_tables=cfg.n_tables,
+                id_col=cfg.id_col,
+                query_id_col=query_id_col,
+                query_vec_col=query_vec_col,
+            )
+            rankings.append(
+                sem.select(
+                    F.col(query_id_col).alias("query_id"),
+                    F.col(cfg.id_col).alias("doc_id"),
+                    "rank",
+                )
+            )
+        if not rankings:
             sink(
                 spark.createDataFrame(
                     [],
                     f"query_id {query_id_type}, doc_id {doc_id_type}, "
-                    "rank int, score double",
+                    "rank int, rrf_score double, n_systems bigint",
                 ),
                 batch_id,
             )
             return
-        # the EXACT corpus statistics from the per-batch sums — BM25's
-        # N and avgdl are additive, so batching cannot skew them
-        stats = st.agg(
-            F.sum("n_docs").cast("bigint").alias("n_docs"),
-            (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
-        )
-        topk = _rank_topk(
-            _score_postings(
-                post, stats, batch_df, k1, b, query_id_col, terms_col
-            ),
-            k,
-        )
-        sink(topk, batch_id)
+        sink(rrf_fuse(rankings, k_rrf=k_rrf, k=k), batch_id)
 
     return step
