@@ -1,0 +1,167 @@
+"""Distributed BPE training/encoding (functions/bpe.py) vs a pure-
+Python subword-nmt-style reference — the differential oracle for an
+iterative algorithm SQL cannot express."""
+
+from collections import Counter
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from willa_spark.functions import bpe as B
+
+
+# ---------------------------------------------------------------- #
+# pure-Python reference (the spec: overlapping pair counts, left-to-
+# right non-overlapping merges, (count desc, pair asc) tie-break,
+# chars + standalone EOW, empty words excluded)
+def _ref_word_counts(texts):
+    c = Counter()
+    for t in texts:
+        for w in (t or "").lower().strip().split():
+            if w:
+                c[w] += 1
+    return c
+
+
+def _ref_merge_word(syms, a, b):
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _ref_train(word_counts, n_merges, min_count=2):
+    vocab = {w: list(w) + [B.EOW] for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        stats = Counter()
+        for w, syms in vocab.items():
+            n = word_counts[w]
+            for p in zip(syms, syms[1:]):
+                stats[p] += n
+        if not stats:
+            break
+        best_count = max(stats.values())
+        if best_count < min_count:
+            break
+        a, b = min(p for p, c in stats.items() if c == best_count)
+        merges.append((a, b))
+        vocab = {w: _ref_merge_word(s, a, b) for w, s in vocab.items()}
+    return merges
+
+
+def _ref_segment(word, merges):
+    syms = list(word) + [B.EOW]
+    for a, b in merges:
+        syms = _ref_merge_word(syms, a, b)
+    return syms
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_bpe_train_differential_fixed_corpus(spark):
+    """Merge lists identical to the reference on a corpus with real
+    structure: repeats, overlapping runs (the 'aaaa' rule), shared
+    prefixes/suffixes, and a multi-byte (CJK) word."""
+    texts = [
+        "low lower lowest low low",
+        "newer newest new news",
+        "aaaa aaaa baaa",
+        "深度 学习 深度 学习 深度",
+        "lower low newest",
+    ]
+    got = B.bpe_train(_docs(spark, texts), n_merges=15)
+    want = _ref_train(_ref_word_counts(texts), 15)
+    assert got == want and len(got) >= 10
+
+
+def test_bpe_segment_and_counts_differential(spark):
+    """segment_words + bpe_token_counts + bpe_encode_docs all agree
+    with the reference segmentation under the learned merges."""
+    texts = [
+        "low lower lowest low low",
+        "newer newest new news lowest",
+        "aaaa baaa aaaa",
+    ]
+    docs = _docs(spark, texts)
+    merges = B.bpe_train(docs, n_merges=10)
+    assert merges == _ref_train(_ref_word_counts(texts), 10)
+
+    words = sorted(_ref_word_counts(texts))
+    seg = {
+        r["word"]: list(r["pieces"])
+        for r in B.segment_words(
+            spark.createDataFrame([(w,) for w in words], "word string"), merges
+        ).collect()
+    }
+    assert seg == {w: _ref_segment(w, merges) for w in words}
+
+    got_counts = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in B.bpe_token_counts(docs, merges).collect()
+    }
+    want_counts = {
+        i: sum(len(_ref_segment(w, merges)) for w in t.lower().split() if w)
+        for i, t in enumerate(texts)
+    }
+    assert got_counts == want_counts
+
+    got_pieces = {
+        r["doc_id"]: list(r["pieces"])
+        for r in B.bpe_encode_docs(docs, merges).collect()
+    }
+    want_pieces = {
+        i: [p for w in t.lower().split() if w for p in _ref_segment(w, merges)]
+        for i, t in enumerate(texts)
+    }
+    assert got_pieces == want_pieces
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab x", min_size=0, max_size=24),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=8),
+)
+def test_bpe_train_differential_random(spark, texts, n_merges):
+    """Hypothesis differential over a tiny alphabet (maximizes pair
+    collisions, ties, and overlapping runs — the hard cases for the
+    tie-break and non-overlap rules)."""
+    got = B.bpe_train(_docs(spark, texts), n_merges=n_merges)
+    want = _ref_train(_ref_word_counts(texts), n_merges)
+    assert got == want
+
+
+def test_bpe_early_stop_and_empty(spark):
+    """min_count stops the loop (no sub-threshold merges learned); a
+    corpus with no repeated pair yields no merges; empty text yields
+    an empty merge list rather than an error."""
+    # every pair unique -> best count 1 < min_count 2 -> no merges
+    assert B.bpe_train(_docs(spark, ["abc def"]), n_merges=5) == []
+    assert B.bpe_train(_docs(spark, ["", "   "]), n_merges=5) == []
+    # min_count=1 learns merges even from singletons
+    m = B.bpe_train(_docs(spark, ["abc"]), n_merges=2, min_count=1)
+    assert m == _ref_train(_ref_word_counts(["abc"]), 2, min_count=1)
+
+
+def test_bpe_encode_plan_broadcasts_segmentation(spark):
+    """The (word -> pieces) mapping must reach the corpus join as a
+    broadcast — corpus rows never shuffle for encoding."""
+    docs = _docs(spark, ["low lower low", "lowest newer low"])
+    merges = B.bpe_train(docs, n_merges=4, min_count=1)
+    plan = B.bpe_token_counts(docs, merges)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

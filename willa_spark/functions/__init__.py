@@ -1,4 +1,5 @@
 from . import (
+    bpe,
     corpus,
     curation,
     dedup,
@@ -11,6 +12,7 @@ from . import (
 )
 
 __all__ = [
+    "bpe",
     "corpus",
     "curation",
     "dedup",

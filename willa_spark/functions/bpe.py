@@ -1,0 +1,235 @@
+"""Distributed BPE tokenizer training and encoding (Sennrich et al.
+2016) — the tokenizer-FITTING operator a training-data pipeline runs
+before token budgeting, packing, and mixing decisions can use real
+token counts instead of whitespace proxies.
+
+Spark-first shape (the part that matters at 100 TB):
+
+- Training operates on the DISTINCT-WORD COUNT table, never the
+  corpus: one (word, count) aggregation up front, then every merge
+  round touches |vocab| rows (Zipf: orders of magnitude below corpus
+  volume). This is how the reference BPE implementations work too —
+  the corpus appears exactly once, in the initial word count.
+- Each round is: (a) weighted adjacent-pair counts via one JVM-side
+  transform+explode partial agg, (b) ONE row collected to the driver
+  (the argmax pair — the bounded-collect pattern shared with k-means
+  centroids and the union-find cap probe), (c) the merge applied to
+  the symbol arrays by a linear ``F.aggregate`` fold (left-to-right
+  non-overlapping, matching the classic implementations), then
+  ``localCheckpoint(eager=True)`` so the lazy plan never deepens with
+  the round count. Rounds are sequential BY THE ALGORITHM (merge k+1
+  depends on merge k) — the parallelism is within each round.
+- Encoding NEVER runs per corpus token: ``segment_words`` applies the
+  merge list to the distinct-word table (same fold kernel, one
+  checkpointed pass per merge), and ``bpe_encode_docs`` /
+  ``bpe_token_counts`` broadcast-join that (word → pieces) mapping
+  back onto the exploded corpus. No Python UDF anywhere — every step
+  is JVM Column logic.
+
+Determinism contract (pinned by the pure-Python differential tests):
+pair counts include overlapping occurrences ("aaaa" counts (a,a)
+three times) while merges apply left-to-right non-overlapping
+("aaaa" -> "aa"+"aa") — exactly the classic subword-nmt behavior;
+the argmax tie-break is (count desc, pair lexicographically asc),
+identical in Spark (UTF8 binary order) and Python (code-point order —
+UTF-8 preserves it). Symbols start as single characters plus a
+standalone end-of-word marker ``EOW``; empty words are excluded by
+``word_counts`` (the spec — a zero-char word has no pair structure).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+# End-of-word marker: a standalone final symbol, so a word-final piece
+# and the same piece mid-word stay distinct (the Sennrich motivation).
+# CONTRACT: corpus words containing the literal marker string would
+# alias it; exotic enough to document rather than escape.
+EOW = "</w>"
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, count) over whitespace tokens — the one corpus-volume
+    pass in BPE training. Empty-string tokens are excluded (spec:
+    no pair structure; also keeps the Python differential oracle
+    trivially aligned)."""
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def _initial_symbols(word_col) -> F.Column:
+    # split between every pair of code points; the lookaheads exclude
+    # the start AND end boundaries (Spark's split keeps trailing empty
+    # strings — a bare '(?!^)' leaves a phantom '' final symbol that a
+    # frequent ('', EOW) pair would then "learn")
+    return F.concat(F.split(word_col, r"(?!^)(?!$)"), F.array(F.lit(EOW)))
+
+
+def _apply_merge(sym_col, a: str, b: str) -> F.Column:
+    """Left-to-right non-overlapping collapse of adjacent (a, b) into
+    a+b, as one linear JVM fold: the accumulator carries the emitted
+    prefix and the single pending symbol; a merge REPLACES the pending
+    symbol, so a merged token can never re-merge its own tail within
+    the same round (the non-overlap rule)."""
+    merged = a + b
+    empty = F.array().cast("array<string>")
+    acc0 = F.struct(
+        empty.alias("out"), F.lit(None).cast("string").alias("prev")
+    )
+
+    def step(acc, s):
+        flush = F.when(
+            acc["prev"].isNull(), acc["out"]
+        ).otherwise(F.concat(acc["out"], F.array(acc["prev"])))
+        return F.when(
+            (acc["prev"] == F.lit(a)) & (s == F.lit(b)),
+            F.struct(acc["out"].alias("out"), F.lit(merged).alias("prev")),
+        ).otherwise(F.struct(flush.alias("out"), s.alias("prev")))
+
+    def finish(acc):
+        return F.when(acc["prev"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["prev"]))
+        )
+
+    return F.aggregate(sym_col, acc0, step, finish)
+
+
+def _pair_counts(symframe: DataFrame) -> DataFrame:
+    """Weighted adjacent-pair counts over (sym array<string>, count):
+    overlapping occurrences all count (the classic get_stats)."""
+    n = F.size("sym")
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at("sym", i).alias("a"),
+                F.element_at("sym", i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    return (
+        symframe.select(F.col("count"), F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("count").alias("pair_count"))
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> list[tuple[str, str]]:
+    """Learn up to ``n_merges`` BPE merges from the corpus; stops
+    early when the best remaining pair falls below ``min_count``.
+    Returns the ordered merge list — driver-side CONFIG, like k-means
+    centroids (one (a, b, count) row crosses to the driver per round;
+    everything else stays distributed). Feed it to ``segment_words``
+    / ``bpe_encode_docs`` / ``bpe_token_counts``."""
+    words = word_counts(docs, text_col).select(
+        _initial_symbols(F.col("word")).alias("sym"), "count"
+    )
+    words = words.localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = (
+            _pair_counts(words)
+            .orderBy(
+                F.col("pair_count").desc(), F.col("a").asc(), F.col("b").asc()
+            )
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["pair_count"] < min_count:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        prev = words
+        words = words.select(
+            _apply_merge(F.col("sym"), a, b).alias("sym"), "count"
+        ).localCheckpoint(eager=True)
+        prev.unpersist()
+    words.unpersist()
+    return merges
+
+
+def segment_words(words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """(word, pieces array<string>) for a distinct-word frame: the
+    merge list applied IN ORDER by the same fold kernel training used,
+    one checkpointed pass per merge so the plan stays flat. This is
+    the vocabulary-sized half of encoding — corpus volume never enters
+    here."""
+    seg = words.select(
+        "word", _initial_symbols(F.col("word")).alias("pieces")
+    ).localCheckpoint(eager=True)
+    for a, b in merges:
+        prev = seg
+        seg = seg.select(
+            "word", _apply_merge(F.col("pieces"), a, b).alias("pieces")
+        ).localCheckpoint(eager=True)
+        prev.unpersist()
+    return seg
+
+
+def bpe_encode_docs(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, pieces array<string>) per document: tokenize, segment the
+    DISTINCT words once, broadcast-join the (word → pieces) mapping
+    back onto the positions, and reassemble in token order. The
+    corpus-volume work is one explode + one broadcast join + one
+    per-doc partial agg — no per-token Python, no vocabulary-sized
+    shuffle of the corpus."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "word"),
+    ).filter(F.col("word") != "")
+    seg = segment_words(toks.select("word").distinct(), merges)
+    return (
+        toks.join(F.broadcast(seg), "word")
+        .groupBy("id")
+        .agg(
+            F.flatten(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "pieces"))
+                ).pieces
+            ).alias("pieces")
+        )
+        .select(F.col("id").alias(id_col), "pieces")
+    )
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_bpe_tokens) per document — the token-budget input with a
+    REAL learned tokenizer instead of the whitespace proxy. Same plan
+    as ``bpe_encode_docs`` but only piece COUNTS ride the join (8
+    bytes per distinct word instead of the piece arrays)."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("word"),
+    ).filter(F.col("word") != "")
+    seg = segment_words(toks.select("word").distinct(), merges).select(
+        "word", F.size("pieces").alias("__n")
+    )
+    return (
+        toks.join(F.broadcast(seg), "word")
+        .groupBy("id")
+        .agg(F.sum("__n").cast("long").alias("n_bpe_tokens"))
+        .select(F.col("id").alias(id_col), "n_bpe_tokens")
+    )
