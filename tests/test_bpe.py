@@ -165,3 +165,24 @@ def test_bpe_encode_plan_broadcasts_segmentation(spark):
     merges = B.bpe_train(docs, n_merges=4, min_count=1)
     plan = B.bpe_token_counts(docs, merges)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_bpe_counts_and_encode_keep_empty_docs(spark):
+    """Cardinality contract (self-review): empty/whitespace-only docs
+    come back with 0 tokens / empty pieces instead of vanishing — a
+    budget or packing join keyed on doc_id must not silently lose
+    docs when the whitespace proxy is swapped for BPE counts."""
+    docs = _docs(spark, ["low low lower", "", "   "])
+    merges = B.bpe_train(docs, n_merges=3, min_count=1)
+    counts = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in B.bpe_token_counts(docs, merges).collect()
+    }
+    assert set(counts) == {0, 1, 2}
+    assert counts[1] == 0 and counts[2] == 0 and counts[0] > 0
+    pieces = {
+        r["doc_id"]: list(r["pieces"])
+        for r in B.bpe_encode_docs(docs, merges).collect()
+    }
+    assert set(pieces) == {0, 1, 2}
+    assert pieces[1] == [] and pieces[2] == [] and pieces[0]

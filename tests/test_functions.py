@@ -1461,3 +1461,47 @@ def test_hybrid_rrf_oracle_parity(spark):
     want = sorted(tuple(r) for r in con.execute(HYBRID_RRF_ORACLE).fetchall())
     assert len(got) == len(want) > 0
     assert got == want
+
+
+def test_rrf_fuse_accepts_ivf_topk_frames(spark):
+    """The family-agnostic contract, driven for the IVF arm too (the
+    bm25 arm is the oracle row, the LSH arm the streaming test): an
+    ivf_topk ranking fuses through rrf_fuse with nothing but the id
+    rename, and the self-query doc (cosine rank 1 in its own cell)
+    lands in every fused top-5."""
+    from willa_spark.functions import retrieval as R
+    from willa_spark.functions import similarity as S
+    from willa_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    queries = (
+        docs.filter(F.col("doc_id") % 100 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.array_distinct(F.slice(toks, 1, 5)).alias("terms"),
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vec"),
+            ),
+            "query_id",
+        )
+    )
+    cents = S.train_centroids(emb, n_centroids=8, n_iters=1)
+    ivf = S.ivf_topk(
+        emb, queries.select("query_id", "query_vec"), cents, k=5, n_probe=2
+    ).select("query_id", F.col("vec_id").alias("doc_id"), "rank")
+    lex = R.bm25_topk(docs, queries.select("query_id", "terms"), k=5)
+    fused = R.rrf_fuse([lex, ivf], k=5)
+    rows = fused.collect()
+    nq = queries.count()
+    assert len(rows) == 5 * nq
+    self_hits = {r["query_id"] for r in rows if r["query_id"] == r["doc_id"]}
+    assert len(self_hits) == nq

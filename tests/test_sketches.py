@@ -51,13 +51,37 @@ def test_sketch_profile_bands_on_high_cardinality_vocab(spark):
 
 
 def test_sketch_profile_estimates_partition_invariant(spark):
-    """Sketch ESTIMATES are order/partitioning-free (HLL register
-    merge is a max; GK quantile merge is deterministic): repartitioned
-    input yields the identical profile row set."""
-    docs = _wide_docs(spark, n_docs=120)
-    a = sorted(tuple(r) for r in SK.sketch_profile(docs).collect())
-    b = sorted(tuple(r) for r in SK.sketch_profile(docs.repartition(13)).collect())
-    assert a == b
+    """HLL estimates and the exact columns are order/partitioning-free
+    (register merge is a max); QUANTILE sketch values are only
+    guaranteed within their rank-error band under re-partitioning (GK
+    merges are merge-order-dependent — the documented contract), so
+    the quantile columns get band assertions on a corpus with VARIED
+    lengths (uniform lengths would make the quantiles degenerate and
+    the assertion vacuous — caught in self-review)."""
+    docs = _wide_docs(spark, n_docs=120).withColumn(
+        "text",
+        # doc i keeps its first (10 + i % 40) tokens: lengths 10..49
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 1, 10 + F.col("doc_id") % 40),
+            " ",
+        ),
+    )
+    cols = ["group", "n_docs", "total_tokens", "vocab_approx"]
+    a = {r["group"]: r for r in SK.sketch_profile(docs).collect()}
+    b = {
+        r["group"]: r
+        for r in SK.sketch_profile(docs.repartition(13)).collect()
+    }
+    assert {g: tuple(r[c] for c in cols) for g, r in a.items()} == {
+        g: tuple(r[c] for c in cols) for g, r in b.items()
+    }
+    # per-group lengths are 30 values in 10..49 (doc_id stride 4 keeps
+    # the residue classes aligned); 1% rank error on n=30 is < 1 rank,
+    # but the merge order may still pick a neighboring VALUE — allow
+    # the adjacent length on each side
+    for g in a:
+        assert abs(a[g]["p50_tokens"] - b[g]["p50_tokens"]) <= 1
+        assert abs(a[g]["p95_tokens"] - b[g]["p95_tokens"]) <= 1
 
 
 def test_vocab_sketch_union_congruent_with_whole_corpus(spark):

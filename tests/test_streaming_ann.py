@@ -724,3 +724,41 @@ def test_streaming_hybrid_probe_congruity_and_degraded_modes(spark, tmp_path):
     # some query must actually be served by BOTH systems or the
     # congruity proved nothing about the fusion
     assert any(r[4] == 2 for r in results[2])
+
+
+def test_streaming_hybrid_probe_nondefault_query_id_col(spark, tmp_path):
+    """Self-review regression: the lexical arm's output is always
+    normalized to 'query_id' by the scoring kernel — a probe built
+    with query_id_col='qid' must serve, not crash on an unresolved
+    column."""
+    from pyspark.sql import functions as F
+
+    from willa_spark.sources import read_table
+    from willa_spark.streaming.retrieval import hybrid_probe_step, postings_index_step
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    queries = docs.filter(F.col("doc_id") % 200 == 0).select(
+        F.col("doc_id").alias("qid"),
+        F.array_distinct(F.slice(toks, 1, 5)).alias("terms"),
+        F.array([F.lit(0.0)] * 64).alias("query_vec"),
+    )
+    bm25_store = os.path.join(str(tmp_path), "nd-bm25")
+    index = postings_index_step(bm25_store)
+    index(docs, 0)
+    results = {}
+
+    def sink(df, bid):
+        results[bid] = df.collect()
+
+    probe = hybrid_probe_step(
+        bm25_store,
+        os.path.join(str(tmp_path), "nd-ann"),  # never ingested
+        sink,
+        k=5,
+        query_id_col="qid",
+    )
+    probe(queries, 0)
+    assert results[0] and all(r["n_systems"] == 1 for r in results[0])

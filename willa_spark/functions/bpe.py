@@ -152,12 +152,15 @@ def bpe_train(
             break
         a, b = top[0]["a"], top[0]["b"]
         merges.append((a, b))
-        prev = words
+        # rebinding drops the previous round's only reference: a
+        # localCheckpoint's blocks are NOT released by unpersist()
+        # (the cache manager has no entry for its LogicalRDD plan) —
+        # they free when the ContextCleaner collects the dropped
+        # reference, so live checkpoint state stays O(vocab), not
+        # O(rounds x vocab), without a fake explicit release
         words = words.select(
             _apply_merge(F.col("sym"), a, b).alias("sym"), "count"
         ).localCheckpoint(eager=True)
-        prev.unpersist()
-    words.unpersist()
     return merges
 
 
@@ -171,11 +174,10 @@ def segment_words(words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
         "word", _initial_symbols(F.col("word")).alias("pieces")
     ).localCheckpoint(eager=True)
     for a, b in merges:
-        prev = seg
+        # rebind-and-GC release, same as bpe_train's round loop
         seg = seg.select(
             "word", _apply_merge(F.col("pieces"), a, b).alias("pieces")
         ).localCheckpoint(eager=True)
-        prev.unpersist()
     return seg
 
 
@@ -196,7 +198,7 @@ def bpe_encode_docs(
         F.posexplode(tokens(F.col(text_col))).alias("pos", "word"),
     ).filter(F.col("word") != "")
     seg = segment_words(toks.select("word").distinct(), merges)
-    return (
+    enc = (
         toks.join(F.broadcast(seg), "word")
         .groupBy("id")
         .agg(
@@ -206,7 +208,16 @@ def bpe_encode_docs(
                 ).pieces
             ).alias("pieces")
         )
-        .select(F.col("id").alias(id_col), "pieces")
+    )
+    # empty/whitespace-only docs have no word rows — re-join the full
+    # id set so they come back as EMPTY pieces instead of vanishing
+    # (cardinality contract: one output row per input doc; a budget or
+    # packing join keyed on the id must not silently lose docs)
+    return docs.select(F.col(id_col).alias("id")).join(enc, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce(
+            F.col("pieces"), F.array().cast("array<string>")
+        ).alias("pieces"),
     )
 
 
@@ -227,9 +238,17 @@ def bpe_token_counts(
     seg = segment_words(toks.select("word").distinct(), merges).select(
         "word", F.size("pieces").alias("__n")
     )
-    return (
+    counts = (
         toks.join(F.broadcast(seg), "word")
         .groupBy("id")
         .agg(F.sum("__n").cast("long").alias("n_bpe_tokens"))
-        .select(F.col("id").alias(id_col), "n_bpe_tokens")
+    )
+    # same cardinality contract as bpe_encode_docs: empty docs count 0
+    return docs.select(F.col(id_col).alias("id")).join(
+        counts, "id", "left"
+    ).select(
+        F.col("id").alias(id_col),
+        F.coalesce(F.col("n_bpe_tokens"), F.lit(0).cast("long")).alias(
+            "n_bpe_tokens"
+        ),
     )

@@ -15,14 +15,18 @@ sketch states, not data rows):
 - Quantiles via ``percentile_approx`` (Greenwald-Khanna style, rank
   error <= 1/accuracy — also a mergeable partial aggregate).
 
-Determinism notes (pinned in tests): sketch ESTIMATES are
-partition-invariant (HLL register merge is a max — order-free), but
+Determinism notes (pinned in tests): HLL ESTIMATES are
+partition-invariant (the register merge is a max — order-free), but
 the serialized sketch BYTES are not canonical (sparse/dense encodings
-vary with build order) — so equality checks and store contracts hold
-estimates, never bytes. Accuracy proofs compare the sketch against
-the exact aggregate computed in the same plan and emit band booleans
-(the mixing ``fracs_in_band`` pattern); at verification scale the
-exact twin is cheap, at 100 TB you run the sketch alone.
+vary with build order), and QUANTILE sketches are weaker still —
+GK-summary merges are merge-order-dependent, so percentile_approx
+values may vary with partitioning WITHIN their rank-error bound.
+Equality checks and store contracts therefore hold HLL estimates,
+never bytes and never quantile values; quantile assertions are band
+assertions. Accuracy proofs compare the sketch against the exact
+aggregate computed in the same plan and emit band booleans (the
+mixing ``fracs_in_band`` pattern); at verification scale the exact
+twin is cheap, at 100 TB you run the sketch alone.
 """
 
 from __future__ import annotations

@@ -4292,9 +4292,18 @@ WITH t AS (
   SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM (
     SELECT doc_id, unnest(toks) AS term, len(toks) AS dl FROM t
   ) GROUP BY doc_id, term
+), qids AS (
+  -- the QUERY SET is documents(doc_id mod 50 = 0) INNER JOIN
+  -- embeddings — a query doc must have BOTH terms and a vector,
+  -- exactly like the Spark side's join (a one-sided definition would
+  -- silently diverge on a corpus where the id spaces differ; caught
+  -- in self-review)
+  SELECT doc_id AS query_id FROM documents WHERE doc_id % 50 = 0
+  INTERSECT
+  SELECT vec_id FROM embeddings
 ), q AS (
   SELECT doc_id AS query_id, unnest(list_distinct(toks[1:5])) AS term
-  FROM t WHERE doc_id % 50 = 0
+  FROM t WHERE doc_id IN (SELECT query_id FROM qids)
 ), dfreq AS (
   SELECT term, count(*) AS df_t FROM post
   WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term
@@ -4313,7 +4322,7 @@ WITH t AS (
   FROM scored
 ), qv AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-  FROM embeddings WHERE vec_id % 50 = 0
+  FROM embeddings WHERE vec_id IN (SELECT query_id FROM qids)
 ), cv AS (
   SELECT vec_id, embedding::DOUBLE[] AS cvec FROM embeddings
 ), sem0 AS (
@@ -4360,7 +4369,11 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number, id tie-break), the fused score is a ≤2-term sum of
     exact reciprocals rounded to 6dp before the final rank. The
     fusion itself touches |queries|x5x2 rows — post-retrieval volume,
-    corpus-size-independent."""
+    corpus-size-independent. The exact-cosine arm is the
+    oracle-expressible projection (and the documented bounded-query
+    baseline — 100x naive work at 10x corpus x 10x queries); the
+    at-scale twin fuses lsh_topk under the bucket-count rule instead,
+    measured FLAT per-query at 10x/10x (BASELINE.md r9 addendum)."""
     from willa_spark.functions import retrieval as R
 
     docs = read_docs_spread(spark, sf_dir).select("doc_id", "text")

@@ -189,11 +189,11 @@ def hybrid_probe_step(
             spark, bm25_store_dir, batch_df, pool, k1, b, query_id_col, terms_col
         )
         if lex is not None:
-            rankings.append(
-                lex.select(
-                    F.col(query_id_col).alias("query_id"), "doc_id", "rank"
-                )
-            )
+            # _score_postings already normalizes the query column to
+            # "query_id" whatever query_id_col was — select it by that
+            # name (selecting query_id_col here would crash non-default
+            # callers; caught in self-review)
+            rankings.append(lex.select("query_id", "doc_id", "rank"))
         idx = read_index(spark, ann_store_dir)
         if idx is not None:
             sem = lsh_probe_topk(
