@@ -1,0 +1,220 @@
+"""Product quantization (functions/pq.py) vs a pure-Python reference,
+plus recall behavior on the real embeddings."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from willa_spark.functions import pq as PQ
+
+
+# ---------------------------------------------------------------- #
+# pure-Python reference of the same spec (lowest-id init, L2 argmin
+# with first-index tie-break, mean update, empty cell keeps centroid).
+# Integer-valued fixtures keep every mean/sum exactly representable,
+# so Spark and Python agree bit-for-bit and the differential is
+# hash-grade, not tolerance-grade.
+def _ref_train(vectors, m, k, n_iters):
+    ids = sorted(vectors)
+    dim = len(vectors[ids[0]])
+    sub = dim // m
+    books = []
+    for j in range(m):
+        cb = [list(vectors[i][j * sub : (j + 1) * sub]) for i in ids[:k]]
+        for _ in range(n_iters):
+            cells = {}
+            for i in ids:
+                s = vectors[i][j * sub : (j + 1) * sub]
+                d = [sum((a - b) ** 2 for a, b in zip(s, c)) for c in cb]
+                cells.setdefault(d.index(min(d)), []).append(s)
+            cb = [
+                [sum(col) / len(col) for col in zip(*cells[c])]
+                if c in cells
+                else cb[c]
+                for c in range(k)
+            ]
+        books.append(cb)
+    return books
+
+
+def _ref_code(v, books):
+    m, sub = len(books), len(books[0][0])
+    out = []
+    for j in range(m):
+        s = v[j * sub : (j + 1) * sub]
+        d = [sum((a - b) ** 2 for a, b in zip(s, c)) for c in books[j]]
+        out.append(d.index(min(d)))
+    return out
+
+
+def _ref_adc(qv, code, books):
+    sub = len(books[0][0])
+    return sum(
+        sum(
+            (a - b) ** 2
+            for a, b in zip(qv[j * sub : (j + 1) * sub], books[j][code[j]])
+        )
+        for j in range(len(books))
+    )
+
+
+_VECS = {
+    # two clear clusters per subspace (dim 8, m=2 -> sub 4): ids 0-5
+    # near (0,..), ids 6-11 near (10,..), with integer jitter
+    i: [float((i % 3) + (10 if i >= 6 else 0))] * 4
+    + [float((i % 2) * 2 + (10 if i >= 6 else 0))] * 4
+    for i in range(12)
+}
+
+
+def _emb_df(spark, vecs=_VECS):
+    return spark.createDataFrame(
+        [(i, v) for i, v in sorted(vecs.items())],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_pq_train_encode_adc_differential(spark):
+    """Codebooks, codes, and ADC distances all equal the reference
+    exactly (integer-exact fixture)."""
+    df = _emb_df(spark)
+    books = PQ.pq_train(df, m=2, k=2, n_iters=2, normalize=False)
+    want_books = _ref_train(_VECS, m=2, k=2, n_iters=2)
+    assert books == want_books
+
+    codes = {
+        r["id"]: list(r["codes"])
+        for r in PQ.pq_encode(df, books, normalize=False).collect()
+    }
+    assert codes == {i: _ref_code(v, books) for i, v in _VECS.items()}
+
+    queries = spark.createDataFrame(
+        [(100, _VECS[0]), (101, _VECS[7])],
+        "query_id long, query_vec array<double>",
+    )
+    got = PQ.pq_topk(
+        PQ.pq_encode(df, books, normalize=False),
+        queries,
+        books,
+        k=12,
+        normalize=False,
+    ).collect()
+    qvecs = {100: _VECS[0], 101: _VECS[7]}
+    for r in got:
+        want = round(_ref_adc(qvecs[r["query_id"]], codes[r["vec_id"]], books), 6)
+        assert r["adc_dist"] == want
+    # ranking: query 100 (cluster A) must rank every cluster-A id
+    # before any cluster-B id under ADC
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    first6 = {v for rk, v in sorted(by_q[100])[:6]}
+    assert first6 == set(range(6))
+
+
+def test_pq_refine_rescores_with_exact_cosine(spark):
+    """Two-stage: refine returns exact cosine ranks over the ADC
+    shortlist — a planted exact duplicate lands at rank 1 with
+    cosine_sim 1.0."""
+    vecs = dict(_VECS)
+    vecs[12] = list(_VECS[3])  # exact duplicate of id 3
+    df = _emb_df(spark, vecs)
+    books = PQ.pq_train(df, m=2, k=2, n_iters=2, normalize=False)
+    queries = spark.createDataFrame(
+        [(3, vecs[3])], "query_id long, query_vec array<double>"
+    )
+    got = sorted(
+        (r["rank"], r["vec_id"], r["cosine_sim"])
+        for r in PQ.pq_topk(
+            PQ.pq_encode(df, books, normalize=False),
+            queries,
+            books,
+            k=3,
+            refine=8,
+            corpus=df,
+            normalize=False,
+        ).collect()
+    )
+    assert got[0] == (1, 3, 1.0) and got[1] == (2, 12, 1.0)
+    assert [c for _, _, c in got] == sorted((c for _, _, c in got), reverse=True)
+
+
+def test_pq_recall_on_real_embeddings(spark):
+    """On the driver embeddings: ADC top-10 with refine recovers the
+    brute-force top-1 for every query (the self-doc at cosine 1.0),
+    and unrefined ADC keeps a sane recall floor vs brute force."""
+    from willa_spark.functions.similarity import brute_force_topk
+    from willa_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    books = PQ.pq_train(emb, m=8, k=16, n_iters=1)
+    codes = PQ.pq_encode(emb, books)
+    refined = PQ.pq_topk(codes, queries, books, k=10, refine=100, corpus=emb)
+    top1 = {
+        r["query_id"]: r["vec_id"]
+        for r in refined.filter(F.col("rank") == 1).collect()
+    }
+    assert top1 == {i: i for i in range(5)}  # self-doc at cosine 1.0
+    want = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    # two-stage recall@10 (the production config): the refine=100
+    # ADC shortlist must recover nearly everything the exact rank has
+    got_refined = {
+        (r["query_id"], r["vec_id"]) for r in refined.collect()
+    }
+    assert len(got_refined & want) / len(want) >= 0.9
+    # ADC alone is a SHORTLIST GENERATOR: random unit vectors are
+    # PQ's worst case (no cluster structure), so the unrefined floor
+    # is deliberately modest — it pins "meaningfully better than the
+    # 10/500 random baseline", not exact-rank parity
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in PQ.pq_topk(codes, queries, books, k=10).collect()
+    }
+    recall = len(got & want) / len(want)
+    assert recall >= 0.3, recall
+
+
+def test_pq_null_vec_excluded_and_guards(spark):
+    """NULL-vector rows never appear in results; dim % m != 0 and
+    k > corpus fail loud."""
+    rows = [(i, v) for i, v in sorted(_VECS.items())] + [(99, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = PQ.pq_train(df, m=2, k=2, n_iters=1, normalize=False)
+    queries = spark.createDataFrame(
+        [(0, _VECS[0])], "query_id long, query_vec array<double>"
+    )
+    got = PQ.pq_topk(
+        PQ.pq_encode(df, books, normalize=False),
+        queries,
+        books,
+        k=20,
+        normalize=False,
+    ).collect()
+    assert 99 not in {r["vec_id"] for r in got} and len(got) == 12
+    # under normalize=True the all-zero vector (id 0, no direction)
+    # becomes a NULL unit ARRAY and is excluded from training init,
+    # encoding, and results — probed with a NONZERO query (a zero
+    # query vector has no direction either and yields no rows)
+    books_n = PQ.pq_train(df, m=2, k=2, n_iters=1)
+    queries_n = spark.createDataFrame(
+        [(1, _VECS[1])], "query_id long, query_vec array<double>"
+    )
+    got_n = PQ.pq_topk(
+        PQ.pq_encode(df, books_n), queries_n, books_n, k=20
+    ).collect()
+    assert {r["vec_id"] for r in got_n} == set(range(1, 12))
+    zero_q = PQ.pq_topk(
+        PQ.pq_encode(df, books_n), queries, books_n, k=20
+    ).collect()
+    assert zero_q == []
+    with pytest.raises(ValueError, match="not divisible"):
+        PQ.pq_train(_emb_df(spark), m=3, k=2)
+    with pytest.raises(ValueError, match="exceeds corpus"):
+        PQ.pq_train(_emb_df(spark), m=2, k=100)

@@ -4,6 +4,7 @@ from . import (
     curation,
     dedup,
     multimodal,
+    pq,
     retrieval,
     selection,
     similarity,
@@ -17,6 +18,7 @@ __all__ = [
     "curation",
     "dedup",
     "multimodal",
+    "pq",
     "retrieval",
     "selection",
     "similarity",

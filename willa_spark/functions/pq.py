@@ -1,0 +1,288 @@
+"""Product quantization for embedding search (Jégou et al. 2011) —
+the memory-bound ANN path: vectors compress to ``m`` one-byte-ish
+codes (64-dim float32 → 8 codes is 32× smaller), and candidate
+scoring becomes table lookups instead of vector arithmetic. At 100 TB
+this is the difference between an embedding index that fits the
+cluster's memory/IO budget and one that doesn't; IVF (similarity.py)
+composes with it naturally (IVF prunes candidates, PQ prices each
+candidate at m lookups).
+
+Spark-first shape:
+
+- Training (``pq_train``): per-subspace L2 k-means over the SLICED
+  corpus — the same bounded-collect Lloyd's loop as
+  ``train_centroids`` (assign via Column exprs, recompute via one
+  (cell, dim) partial-agg shuffle per round, ONE small collect per
+  round), run once per subspace. Codebooks return as driver-side
+  config, the centroid rule.
+- Encoding (``pq_encode``): pure JVM Column argmin per subspace over
+  literal codebooks; each subspace slice is lambda-BOUND so the k
+  distance expressions share one evaluation (the interpreted-lambda
+  re-evaluation lesson from the audio family, multimodal.py).
+- Search (``pq_topk``): asymmetric distance computation — each
+  (broadcast) query precomputes m lookup tables (k distances from its
+  j-th slice to codebook j, again lambda-bound); a corpus code then
+  costs m ``element_at`` lookups summed by one linear fold. No vector
+  math touches the corpus side at query time. Optional exact
+  refinement rescores the top ``refine`` ADC candidates with true
+  cosine against the raw vectors (the standard two-stage recipe) —
+  the only stage that reads raw vectors, sized refine × |queries|.
+
+Determinism: training init is the lowest-id vectors (seeded like the
+IVF quantizer), assignment tie-break is first-index
+(``array_position``), ADC distances round to 6dp before ranking with
+an id tie-break. NULL-vector rows get NULL codes and are EXCLUDED
+from search results (filtered, not ranked — an unfiltered NULL
+distance would sort FIRST under Spark's nulls-first ascending order).
+
+STORE CONTRACT: codebooks are part of any persisted code frame's
+identity (the IVF generation rule) — re-training means re-encoding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import _as_double, cosine, norm
+
+
+def _bound(expr: Column, fn) -> Column:
+    """Evaluate ``expr`` once and feed it to ``fn`` via a lambda
+    variable (higher-order Column functions get no CSE into lambda
+    bodies — the multimodal._bound rule)."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
+def _l2_dists(slice_col: Column, codebook: list[list[float]]) -> Column:
+    """Array of squared L2 distances from a (bound) subspace slice to
+    every codebook centroid — each distance appears in the tree
+    exactly once (the _centroid_sims rule)."""
+
+    def dists(s):
+        out = []
+        for c in codebook:
+            arr = F.array(*[F.lit(float(x)) for x in c])
+            out.append(
+                F.aggregate(
+                    F.zip_with(s, arr, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, d: acc + d,
+                )
+            )
+        return F.array(*out)
+
+    return _bound(slice_col, dists)
+
+
+def _sub_slices(vec: Column, m: int, sub: int) -> list[Column]:
+    return [F.slice(vec, j * sub + 1, sub) for j in range(m)]
+
+
+def _unit(vec: Column) -> Column:
+    """Unit-normalized copy (the norm is lambda-bound, evaluated once
+    per row); a zero-norm (or NULL) vector becomes a NULL ARRAY — not
+    an array of NULL elements, which would slip past isNotNull filters
+    and poison lowest-id training init with None coordinates."""
+    return _bound(
+        norm(vec),
+        lambda n: F.when(n > 0, F.transform(vec, lambda x: x / n)),
+    )
+
+
+def _subspace_geometry(dim: int, m: int) -> int:
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    return dim // m
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> list[list[list[float]]]:
+    """Train ``m`` per-subspace codebooks of ``k`` centroids each
+    (L2 Lloyd's, deterministic lowest-id init, empty cells keep their
+    previous centroid). Returns driver-side config shaped
+    ``codebooks[j][c][d]``.
+
+    ``normalize=True`` (default) trains on UNIT vectors so ADC's L2
+    is rank-compatible with the cosine every other family here uses
+    (||a−b||² = 2 − 2·cos on the unit sphere); raw-L2 callers pass
+    False. The flag is part of the codebook's STORE identity — train,
+    encode, and probe must agree."""
+    v0 = _as_double(F.col(vec_col))
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        (_unit(v0) if normalize else v0).alias("v"),
+    ).filter(F.col("v").isNotNull())
+    first = c.select(F.size("v").alias("n")).limit(1).collect()
+    if not first:
+        raise ValueError("pq_train: empty corpus")
+    dim = first[0]["n"]
+    sub = _subspace_geometry(dim, m)
+    init_rows = c.orderBy("id").limit(k).collect()
+    if len(init_rows) < k:
+        raise ValueError(f"pq_train: k={k} exceeds corpus size {len(init_rows)}")
+    codebooks: list[list[list[float]]] = []
+    for j in range(m):
+        cb = [list(r["v"])[j * sub : (j + 1) * sub] for r in init_rows]
+        sl = c.select("id", F.slice("v", j * sub + 1, sub).alias("s"))
+        for _ in range(n_iters):
+            assigned = sl.withColumn(
+                "cid",
+                _bound(
+                    _l2_dists(F.col("s"), cb),
+                    lambda d: (
+                        F.array_position(d, F.array_min(d)) - 1
+                    ).cast("int"),
+                ),
+            )
+            means = (
+                assigned.select("cid", F.posexplode("s").alias("pos", "x"))
+                .groupBy("cid", "pos")
+                .agg(F.avg("x").alias("mean"))
+                .collect()
+            )
+            new: dict[int, list[float]] = {}
+            for r in means:
+                new.setdefault(r["cid"], [0.0] * sub)[r["pos"]] = r["mean"]
+            cb = [new.get(i, cb[i]) for i in range(k)]
+        codebooks.append(cb)
+    return codebooks
+
+
+def pq_assign_code(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """array<int> of ``m`` nearest-centroid indices (first-index
+    tie-break); a NULL vector yields NULL code ELEMENTS, whose NULL
+    ADC distance the search filters out."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    codes = [
+        _bound(
+            _l2_dists(s, codebooks[j]),
+            lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int"),
+        )
+        for j, s in enumerate(_sub_slices(vec, m, sub))
+    ]
+    return F.array(*codes)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """(id, codes array<int>) — the persistable compressed index (m
+    ints per vector instead of dim floats). ``normalize`` must match
+    the training flag (store contract)."""
+    v0 = _as_double(F.col(vec_col))
+    return corpus.select(
+        F.col(id_col).alias("id"),
+        pq_assign_code(_unit(v0) if normalize else v0, codebooks).alias(
+            "codes"
+        ),
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    refine: int = 0,
+    corpus: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    normalize: bool = True,
+) -> DataFrame:
+    """ADC top-k over a ``pq_encode`` frame: (query_id, <id_col>,
+    rank, adc_dist). Queries broadcast with per-query lookup tables;
+    a corpus row costs m element_at lookups + one linear fold.
+
+    ``refine=R`` (with ``corpus``) rescores the top-R ADC candidates
+    per query by EXACT cosine and returns (query_id, <id_col>, rank,
+    cosine_sim) — ranks then come from the exact scores, ADC only
+    shortlists (the two-stage recipe; R ≫ k buys recall back from the
+    quantization error)."""
+    from pyspark.sql import Window as W
+
+    m = len(codebooks)
+    luts = F.array(
+        *[
+            _l2_dists(s, codebooks[j])
+            for j, s in enumerate(
+                _sub_slices(F.col("__qv"), m, len(codebooks[0][0]))
+            )
+        ]
+    )
+    qv0 = _as_double(F.col(query_vec_col))
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        (_unit(qv0) if normalize else qv0).alias("__qv"),
+    ).withColumn("__luts", luts)
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at("__luts", j + F.lit(1)),
+            F.element_at(F.col("codes"), j + F.lit(1)) + F.lit(1),
+        ),
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(q))
+        .select(
+            F.col("__qid"),
+            F.col("id").alias("__cid"),
+            F.round(adc, 6).alias("__dist"),
+        )
+        .filter(F.col("__dist").isNotNull())
+    )
+    w = W.partitionBy("__qid").orderBy(F.col("__dist").asc(), F.col("__cid").asc())
+    n_short = max(k, refine) if refine else k
+    short = scored.withColumn("__rank", F.row_number().over(w)).filter(
+        F.col("__rank") <= n_short
+    )
+    if not refine:
+        return short.select(
+            F.col("__qid").alias(query_id_col),
+            F.col("__cid").alias(id_col),
+            F.col("__rank").alias("rank"),
+            F.col("__dist").alias("adc_dist"),
+        )
+    if corpus is None:
+        raise ValueError("pq_topk: refine requires the raw corpus frame")
+    raw = corpus.select(
+        F.col(id_col).alias("__cid"), _as_double(F.col(vec_col)).alias("__cv")
+    )
+    qv = q.select("__qid", "__qv")
+    exact = (
+        short.select("__qid", "__cid")
+        .join(raw, "__cid")
+        .join(F.broadcast(qv), "__qid")
+        .select(
+            "__qid",
+            "__cid",
+            F.round(cosine(F.col("__cv"), F.col("__qv")), 6).alias("__sim"),
+        )
+    )
+    w2 = W.partitionBy("__qid").orderBy(F.col("__sim").desc(), F.col("__cid").asc())
+    return (
+        exact.withColumn("__rank", F.row_number().over(w2))
+        .filter(F.col("__rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col("__cid").alias(id_col),
+            F.col("__rank").alias("rank"),
+            F.col("__sim").alias("cosine_sim"),
+        )
+    )
