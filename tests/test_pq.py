@@ -218,3 +218,48 @@ def test_pq_null_vec_excluded_and_guards(spark):
         PQ.pq_train(_emb_df(spark), m=3, k=2)
     with pytest.raises(ValueError, match="exceeds corpus"):
         PQ.pq_train(_emb_df(spark), m=2, k=100)
+
+
+def test_streaming_pq_store_congruity_and_replay(spark, tmp_path):
+    """PQ code store: two-batch ingest + probe must equal batch
+    pq_topk over the full corpus EXACTLY (codes are deterministic
+    functions of frozen codebooks — batching cannot change them); a
+    probe before ingest yields a typed empty frame; replay overwrites
+    its own partition (no duplicated code rows)."""
+    import os
+
+    from willa_spark.sources import read_table
+    from willa_spark.streaming.ann import pq_index_step, pq_probe_step
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    books = PQ.pq_train(emb, m=8, k=8, n_iters=1)
+    store = os.path.join(str(tmp_path), "pq-store")
+    results = {}
+
+    def sink(df, bid):
+        results[bid] = sorted(tuple(r) for r in df.collect())
+
+    probe = pq_probe_step(store, books, sink, k=5)
+    probe(queries, 0)
+    assert results[0] == []
+
+    index = pq_index_step(store, books)
+    index(emb.filter(F.col("vec_id") % 2 == 0), 0)
+    index(emb.filter(F.col("vec_id") % 2 == 1), 1)
+    probe(queries, 1)
+    want = sorted(
+        tuple(r)
+        for r in PQ.pq_topk(PQ.pq_encode(emb, books), queries, books, k=5).collect()
+    )
+    assert results[1] == want and want
+
+    index(emb.filter(F.col("vec_id") % 2 == 1), 1)  # replay
+    probe(queries, 2)
+    assert results[2] == want
+    codes = spark.read.parquet(store)
+    assert codes.count() == codes.select("id").distinct().count()

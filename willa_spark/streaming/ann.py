@@ -824,3 +824,82 @@ def _vector_dedup_step(
         )
 
     return step
+
+
+def pq_index_step(
+    store_dir: str,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+    compact_every: int | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch step maintaining a persisted PQ code store — the
+    compressed twin of ``ivf_index_step``: each batch lands its (id,
+    codes array<int>) rows (m ints per vector, the 100 TB memory/IO
+    win) in its own ``ingest_batch`` partition. STORE CONTRACT:
+    ``codebooks`` AND ``normalize`` are the store identity (the IVF
+    generation rule — retraining or flipping normalization means
+    re-encoding the store, never mixing)."""
+    from ..functions.pq import pq_encode
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        store_compact_every(
+            batch_df.sparkSession, [(store_dir, None)], batch_id, compact_every
+        )
+        store_append(
+            pq_encode(batch_df, codebooks, id_col, vec_col, normalize),
+            store_dir,
+            batch_id,
+        )
+
+    return step
+
+
+def pq_probe_step(
+    store_dir: str,
+    codebooks: list[list[list[float]]],
+    sink: Callable[[DataFrame, int], None],
+    k: int = 10,
+    normalize: bool = True,
+    id_col: str = "vec_id",
+    id_type: str = "bigint",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch step serving ADC top-k from the PQ code store
+    (current-index semantics like every probe here; a query batch
+    before first ingest yields a typed empty frame). Exact two-stage
+    refinement is deliberately NOT offered on the streaming path: the
+    store holds codes only — refining would need the raw vectors the
+    compression exists to avoid persisting; run batch ``pq_topk`` with
+    ``refine=`` against the raw corpus when exact ranks matter."""
+    from ..functions.pq import pq_topk
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        codes = store_read(batch_df.sparkSession, store_dir)
+        if codes is None:
+            sink(
+                batch_df.sparkSession.createDataFrame(
+                    [],
+                    f"{query_id_col} bigint, {id_col} {id_type}, "
+                    "rank int, adc_dist double",
+                ),
+                batch_id,
+            )
+            return
+        sink(
+            pq_topk(
+                codes,
+                batch_df,
+                codebooks,
+                k=k,
+                id_col=id_col,
+                query_id_col=query_id_col,
+                query_vec_col=query_vec_col,
+                normalize=normalize,
+            ),
+            batch_id,
+        )
+
+    return step
