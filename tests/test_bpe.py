@@ -186,3 +186,36 @@ def test_bpe_counts_and_encode_keep_empty_docs(spark):
     }
     assert set(pieces) == {0, 1, 2}
     assert pieces[1] == [] and pieces[2] == [] and pieces[0]
+
+
+def test_streaming_bpe_count_step_congruent_with_batch(spark):
+    """Frozen merges ⇒ the union of per-batch outputs over ANY batch
+    split equals the batch counts/pieces over the full corpus exactly
+    (encoding is a pure per-doc function of the merge list); empty
+    docs keep their rows inside each batch."""
+    from willa_spark.streaming.bpe import bpe_count_step
+
+    texts = ["low lower lowest low", "newer newest new", "", "aaaa baaa", "   "]
+    docs = _docs(spark, texts)
+    merges = B.bpe_train(docs, n_merges=8, min_count=1)
+    batches = [
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    ]
+    step = bpe_count_step(merges)
+    got = sorted(
+        tuple(r) for b in batches for r in step(b, 0).collect()
+    )
+    want = sorted(tuple(r) for r in B.bpe_token_counts(docs, merges).collect())
+    assert got == want and len(got) == 5
+    enc_step = bpe_count_step(merges, encode=True)
+    got_p = sorted(
+        (r["doc_id"], tuple(r["pieces"]))
+        for b in batches
+        for r in enc_step(b, 0).collect()
+    )
+    want_p = sorted(
+        (r["doc_id"], tuple(r["pieces"]))
+        for r in B.bpe_encode_docs(docs, merges).collect()
+    )
+    assert got_p == want_p
