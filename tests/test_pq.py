@@ -263,3 +263,47 @@ def test_streaming_pq_store_congruity_and_replay(spark, tmp_path):
     assert results[2] == want
     codes = spark.read.parquet(store)
     assert codes.count() == codes.select("id").distinct().count()
+
+
+def test_pq_dim_mismatch_fails_loud(spark):
+    """Self-review regression: a vector whose length disagrees with
+    the trained geometry must raise in-plan, not silently truncate to
+    its prefix (slice would happily read the first m*sub dims)."""
+    books = PQ.pq_train(_emb_df(spark), m=2, k=2, n_iters=1, normalize=False)
+    bad = spark.createDataFrame(
+        [(0, [1.0] * 12)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="trained geometry"):
+        PQ.pq_encode(bad, books, normalize=False).collect()
+    badq = spark.createDataFrame(
+        [(0, [1.0] * 12)], "query_id long, query_vec array<double>"
+    )
+    codes = PQ.pq_encode(_emb_df(spark), books, normalize=False)
+    with pytest.raises(Exception, match="trained geometry"):
+        PQ.pq_topk(codes, badq, books, k=3, normalize=False).collect()
+
+
+def test_streaming_pq_pre_ingest_type_flows_from_batch(spark, tmp_path):
+    """Self-review regression: a pre-ingest probe's empty frame takes
+    its query-id TYPE from the batch (string here), so an appending
+    sink never sees a bigint batch-0 schema fork."""
+    import os
+
+    from willa_spark.streaming.ann import pq_probe_step
+
+    books = PQ.pq_train(_emb_df(spark), m=2, k=2, n_iters=1, normalize=False)
+    queries = spark.createDataFrame(
+        [("qa", _VECS[1])], "query_id string, query_vec array<double>"
+    )
+    schemas = {}
+
+    def sink(df, bid):
+        schemas[bid] = dict(df.dtypes)
+        assert df.count() == 0
+
+    probe = pq_probe_step(
+        os.path.join(str(tmp_path), "pq-empty"), books, sink, k=3,
+        normalize=False,
+    )
+    probe(queries, 0)
+    assert schemas[0]["query_id"] == "string"

@@ -44,14 +44,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .multimodal import _bound
 from .similarity import _as_double, cosine, norm
-
-
-def _bound(expr: Column, fn) -> Column:
-    """Evaluate ``expr`` once and feed it to ``fn`` via a lambda
-    variable (higher-order Column functions get no CSE into lambda
-    bodies — the multimodal._bound rule)."""
-    return F.element_at(F.transform(F.array(expr), fn), 1)
 
 
 def _l2_dists(slice_col: Column, codebook: list[list[float]]) -> Column:
@@ -90,6 +84,26 @@ def _unit(vec: Column) -> Column:
     )
 
 
+def _dim_guarded(vec: Column, m: int, sub: int) -> Column:
+    """Fail LOUD in-plan when a non-NULL vector's length disagrees
+    with the trained m*sub geometry — F.slice would otherwise silently
+    truncate a longer vector to its prefix and return confidently
+    wrong neighbors (worse under normalize=True, where the norm uses
+    ALL dims while the slices read the prefix). NULL vectors pass
+    through to the NULL-exclusion path."""
+    want = m * sub
+    return F.when(
+        vec.isNull() | (F.size(vec) == want), vec
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"pq: vector length != trained geometry {want}: got "),
+                F.size(vec).cast("string"),
+            )
+        ).cast("array<double>")
+    )
+
+
 def _subspace_geometry(dim: int, m: int) -> int:
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
@@ -116,18 +130,25 @@ def pq_train(
     False. The flag is part of the codebook's STORE identity — train,
     encode, and probe must agree."""
     v0 = _as_double(F.col(vec_col))
-    c = corpus.select(
-        F.col(id_col).alias("id"),
-        (_unit(v0) if normalize else v0).alias("v"),
-    ).filter(F.col("v").isNotNull())
-    first = c.select(F.size("v").alias("n")).limit(1).collect()
-    if not first:
-        raise ValueError("pq_train: empty corpus")
-    dim = first[0]["n"]
-    sub = _subspace_geometry(dim, m)
+    # pinned ONCE: the frame feeds the init collect plus m*n_iters
+    # assignment/means passes — unpinned, every action would re-run
+    # the normalization fold and the caller's upstream lineage (the
+    # dsir_score_step frozen-frame discipline)
+    c = (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            (_unit(v0) if normalize else v0).alias("v"),
+        )
+        .filter(F.col("v").isNotNull())
+        .localCheckpoint(eager=True)
+    )
     init_rows = c.orderBy("id").limit(k).collect()
+    if not init_rows:
+        raise ValueError("pq_train: empty corpus")
     if len(init_rows) < k:
         raise ValueError(f"pq_train: k={k} exceeds corpus size {len(init_rows)}")
+    dim = len(init_rows[0]["v"])
+    sub = _subspace_geometry(dim, m)
     codebooks: list[list[list[float]]] = []
     for j in range(m):
         cb = [list(r["v"])[j * sub : (j + 1) * sub] for r in init_rows]
@@ -182,7 +203,8 @@ def pq_encode(
     """(id, codes array<int>) — the persistable compressed index (m
     ints per vector instead of dim floats). ``normalize`` must match
     the training flag (store contract)."""
-    v0 = _as_double(F.col(vec_col))
+    m, sub = len(codebooks), len(codebooks[0][0])
+    v0 = _dim_guarded(_as_double(F.col(vec_col)), m, sub)
     return corpus.select(
         F.col(id_col).alias("id"),
         pq_assign_code(_unit(v0) if normalize else v0, codebooks).alias(
@@ -224,7 +246,9 @@ def pq_topk(
             )
         ]
     )
-    qv0 = _as_double(F.col(query_vec_col))
+    qv0 = _dim_guarded(
+        _as_double(F.col(query_vec_col)), m, len(codebooks[0][0])
+    )
     q = queries.select(
         F.col(query_id_col).alias("__qid"),
         (_unit(qv0) if normalize else qv0).alias("__qv"),
@@ -265,8 +289,11 @@ def pq_topk(
         F.col(id_col).alias("__cid"), _as_double(F.col(vec_col)).alias("__cv")
     )
     qv = q.select("__qid", "__qv")
+    # the shortlist is refine x |queries| rows — BROADCAST it so the
+    # raw corpus never shuffles for the refinement (the advertised
+    # two-stage cost; an unhinted join would exchange the corpus)
     exact = (
-        short.select("__qid", "__cid")
+        F.broadcast(short.select("__qid", "__cid"))
         .join(raw, "__cid")
         .join(F.broadcast(qv), "__qid")
         .select(

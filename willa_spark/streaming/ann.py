@@ -879,15 +879,13 @@ def pq_probe_step(
     def step(batch_df: DataFrame, batch_id: int) -> None:
         codes = store_read(batch_df.sparkSession, store_dir)
         if codes is None:
-            sink(
-                batch_df.sparkSession.createDataFrame(
-                    [],
-                    f"{query_id_col} bigint, {id_col} {id_type}, "
-                    "rank int, adc_dist double",
-                ),
-                batch_id,
+            # synthesize an empty CODES frame and run the real probe,
+            # so the query-id type flows from the batch itself — a
+            # hard-coded bigint here would schema-drift appending
+            # sinks for string-keyed queries (the lsh_probe_step rule)
+            codes = batch_df.sparkSession.createDataFrame(
+                [], f"id {id_type}, codes array<int>"
             )
-            return
         sink(
             pq_topk(
                 codes,
