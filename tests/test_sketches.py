@@ -191,3 +191,92 @@ def test_sketch_profile_bands_oracle_parity(spark):
     want = sorted(tuple(r) for r in con.execute(SKETCH_PROFILE_ORACLE).fetchall())
     assert len(got) == len(want) > 0
     assert got == want
+
+
+def _cms_docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_cms_exact_when_collision_free_and_one_sided(spark):
+    """At default width (1024) a tiny vocabulary is collision-free in
+    practice, so estimates equal true counts exactly; a tiny width=2
+    table forces collisions and the estimate must then OVERestimate,
+    never under (the CMS one-sided guarantee)."""
+    from collections import Counter
+
+    texts = ["a a b c", "a b b d", "e e e a"]
+    truth = Counter(w for t in texts for w in t.split())
+    docs = _cms_docs(spark, texts)
+    sk = SK.token_cms(docs)
+    terms = spark.createDataFrame([(w,) for w in truth], "term string")
+    got = {
+        r["term"]: r["est_count"] for r in SK.cms_estimate(sk, terms).collect()
+    }
+    assert got == dict(truth)
+    # unseen term: 0 when its cells are untouched at this width
+    unseen = spark.createDataFrame([("zzz",)], "term string")
+    assert SK.cms_estimate(sk, unseen).collect()[0]["est_count"] >= 0
+    # adversarial width: collisions guaranteed, one-sidedness must hold
+    sk2 = SK.token_cms(docs, depth=2, width=2)
+    got2 = {
+        r["term"]: r["est_count"]
+        for r in SK.cms_estimate(sk2, terms, depth=2, width=2).collect()
+    }
+    n = sum(truth.values())
+    for w, true_c in truth.items():
+        assert true_c <= got2[w] <= n
+
+
+def test_cms_merge_is_exact_addition(spark):
+    """Batch-split sketches merged == whole-corpus sketch, row for
+    row (counters are sums) — so every downstream estimate is
+    identical, the exactness the HLL half cannot offer."""
+    texts = ["a a b", "b c c c", "a d e", "e e f"]
+    docs = _cms_docs(spark, texts)
+    whole = sorted(tuple(r) for r in SK.token_cms(docs).collect())
+    parts = [docs.filter(F.col("doc_id") % 2 == i) for i in range(2)]
+    merged = sorted(
+        tuple(r)
+        for r in SK.merge_cms(
+            SK.token_cms(parts[0]).unionByName(SK.token_cms(parts[1]))
+        ).collect()
+    )
+    assert merged == whole and whole
+
+
+def test_streaming_cms_store_congruity_and_replay(spark, tmp_path):
+    """The persisted CMS: per-batch counter tables summed at read time
+    estimate EXACTLY what the batch sketch over the union estimates;
+    replay overwrites its partition; empty store estimates 0."""
+    from collections import Counter
+
+    from willa_spark.streaming.sketches import cms_estimate_from_store, cms_step
+
+    texts = ["a a b", "b c c c", "a d e", "e e f"]
+    truth = Counter(w for t in texts for w in t.split())
+    docs = _cms_docs(spark, texts)
+    terms = spark.createDataFrame([(w,) for w in truth], "term string")
+    store = os.path.join(str(tmp_path), "cms-store")
+    empty = cms_estimate_from_store(spark, store, terms)
+    assert {r["est_count"] for r in empty.collect()} == {0}
+
+    step = cms_step(store)
+    b1 = docs.filter(F.col("doc_id") < 2)
+    b2 = docs.filter(F.col("doc_id") >= 2)
+    step(b1, 0)
+    step(b2, 1)
+    want = sorted(
+        tuple(r)
+        for r in SK.cms_estimate(SK.token_cms(docs), terms).collect()
+    )
+    got = sorted(
+        tuple(r) for r in cms_estimate_from_store(spark, store, terms).collect()
+    )
+    assert got == want and dict(got) == dict(truth)
+    step(b2, 1)  # replay
+    got2 = sorted(
+        tuple(r) for r in cms_estimate_from_store(spark, store, terms).collect()
+    )
+    assert got2 == want

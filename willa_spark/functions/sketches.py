@@ -134,3 +134,96 @@ def vocab_estimate(sketches: DataFrame) -> DataFrame:
         "group",
         F.hll_sketch_estimate("vocab_sketch").cast("long").alias("vocab_estimate"),
     )
+
+
+# ------------------------------------------------------------------ #
+# Count-min sketch (Cormode & Muthukrishnan 2005): token-frequency
+# estimation in depth x width counters instead of a |vocab|-sized
+# table. The additive complement to the HLL half above — counter
+# tables are SUMS, so merging batch sketches is exact (no HIP-style
+# caveat: streaming CMS == batch CMS over the union, bit-for-bit),
+# and the estimate guarantee is one-sided: est >= true always,
+# est <= true + eps*N with prob 1-delta (eps = e/width,
+# delta = e^-depth). Each depth's hash is xxhash64(term, d) — the
+# depth rides INSIDE the avalanche hash (an affine remix of one hash
+# would correlate the rows and void the independence the bound
+# needs).
+# STORE CONTRACT: (depth, width, tokenizer) are the sketch identity —
+# estimates from different geometries must never share a table.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _cms_cells(term_col, depth: int, width: int):
+    return F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(depth - 1)),
+            lambda d: F.struct(
+                d.cast("int").alias("d"),
+                F.pmod(F.xxhash64(term_col, d), F.lit(width))
+                .cast("int")
+                .alias("col"),
+            ),
+        )
+    )
+
+
+def token_cms(
+    docs: DataFrame,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    text_col: str = "text",
+) -> DataFrame:
+    """The counter table as rows: (d, col, count) — at most
+    depth x width of them regardless of vocabulary size. One explode
+    + one (d, col) partial-agg shuffle; zero-count cells are simply
+    absent (readers coalesce to 0)."""
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .filter(F.col("term") != "")
+        .select(_cms_cells(F.col("term"), depth, width).alias("c"))
+        .groupBy(F.col("c.d").alias("d"), F.col("c.col").alias("col"))
+        .agg(F.count(F.lit(1)).cast("long").alias("count"))
+    )
+
+
+def merge_cms(sketches: DataFrame) -> DataFrame:
+    """Sum counter tables from any number of ``token_cms`` frames
+    (pass their unionByName) — exact, associative, commutative (plain
+    addition; NOT idempotent: replay safety is the store lifecycle's
+    job, as everywhere)."""
+    return sketches.groupBy("d", "col").agg(
+        F.sum("count").cast("long").alias("count")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    terms: DataFrame,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    term_col: str = "term",
+) -> DataFrame:
+    """(term, est_count) point queries: min over the depth rows of the
+    term's counters (absent cell = 0). The sketch is depth x width
+    rows — BROADCAST into the probe join; geometry must match the
+    build (store contract)."""
+    # two projections: aliasing to "term" and exploding its cells in
+    # ONE select would make the second expression a lateral column
+    # alias reference, which Spark refuses under explode
+    probes = (
+        terms.select(F.col(term_col).alias("term"))
+        .select("term", _cms_cells(F.col("term"), depth, width).alias("c"))
+        .select("term", F.col("c.d").alias("d"), F.col("c.col").alias("col"))
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["d", "col"], "left")
+        .groupBy("term")
+        .agg(
+            F.min(F.coalesce(F.col("count"), F.lit(0)))
+            .cast("long")
+            .alias("est_count")
+        )
+        .select(F.col("term").alias(term_col), "est_count")
+    )

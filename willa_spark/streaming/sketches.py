@@ -82,3 +82,63 @@ def vocab_estimate_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
     if sk is None:
         return spark.createDataFrame([], "group string, vocab_estimate long")
     return vocab_estimate(merge_vocab_sketches(sk))
+
+
+def cms_step(
+    store_dir: str,
+    depth: int | None = None,
+    width: int | None = None,
+    text_col: str = "text",
+    compact_every: int | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch step maintaining a persisted count-min sketch:
+    each batch appends its own (d, col, count) counter table
+    (depth x width rows at most) — batch-local aggregation only.
+    Counters are SUMS, so the read-side merge is EXACT: the streaming
+    estimate equals the batch estimate over the ingested union
+    bit-for-bit (stronger than the HLL half — no HIP caveat); replay
+    overwrites its own partition (addition is not idempotent, the
+    store lifecycle is the replay guarantee). STORE CONTRACT:
+    (depth, width, tokenizer) are the store identity."""
+    from ..functions.sketches import CMS_DEPTH, CMS_WIDTH, token_cms
+
+    d = CMS_DEPTH if depth is None else depth
+    w = CMS_WIDTH if width is None else width
+    cms_dir = os.path.join(store_dir, "cms")
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        store_compact_every(spark, [(cms_dir, None)], batch_id, compact_every)
+        store_append(
+            token_cms(batch_df, d, w, text_col), cms_dir, batch_id, max_files=1
+        )
+
+    return step
+
+
+def cms_estimate_from_store(
+    spark: SparkSession,
+    store_dir: str,
+    terms: DataFrame,
+    depth: int | None = None,
+    width: int | None = None,
+    term_col: str = "term",
+) -> DataFrame:
+    """(term, est_count) point queries against the persisted sketch;
+    an empty store estimates 0 for every probed term (the sketch of
+    nothing), geometry must match the build."""
+    from ..functions.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_estimate,
+        merge_cms,
+    )
+
+    d = CMS_DEPTH if depth is None else depth
+    w = CMS_WIDTH if width is None else width
+    sk = store_read(spark, os.path.join(store_dir, "cms"))
+    if sk is None:
+        sk = spark.createDataFrame([], "d int, col int, count long")
+    else:
+        sk = merge_cms(sk)
+    return cms_estimate(sk, terms, d, w, term_col)
