@@ -356,3 +356,59 @@ def test_dsir_score_step_congruent_under_any_split(spark, assign):
             for r in step(batch, bid).collect()
         }
     assert got == want
+
+
+def test_streaming_novelty_prefix_congruity_and_replay(spark, tmp_path):
+    """novelty_score_step: batch i's scores equal
+    cross_entropy_score(batch_i, feature_log_probs(union of batches
+    < i)) EXACTLY (counts are sums — the prior model is exact over
+    any batching); the first batch yields an empty frame with the
+    schema intact while its counts still fold in; a replayed batch
+    scores against exactly what its first attempt saw (strictly-prior
+    probe) and never double-counts itself."""
+    import os
+
+    from willa_spark.functions.selection import (
+        cross_entropy_score,
+        feature_log_probs,
+    )
+    from willa_spark.streaming.novelty import novelty_score_step
+
+    texts = [
+        "spark table join scan",
+        "spark table join scan filter",   # close to batch 0 -> low ce
+        "quantum lepton boson entropy",   # far from batch 0+1 -> high ce
+        "spark scan scan table",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    batches = [docs.filter(F.col("doc_id") == i) for i in range(4)]
+    store = os.path.join(str(tmp_path), "novelty-store")
+    step = novelty_score_step(store, num_buckets=None)
+
+    out0 = step(batches[0], 0)
+    assert out0.count() == 0
+    assert [f.name for f in out0.schema.fields] == [
+        "doc_id", "n_grams", "novelty_ce",
+    ]
+
+    got = {}
+    for i in (1, 2, 3):
+        got[i] = sorted(tuple(r) for r in step(batches[i], i).collect())
+        prior = docs.filter(F.col("doc_id") < i)
+        want = sorted(
+            tuple(r)
+            for r in cross_entropy_score(
+                batches[i], feature_log_probs(prior, num_buckets=None),
+                num_buckets=None,
+            ).collect()
+        )
+        assert got[i] == want and want
+    # the unlike-everything doc scores MORE novel than the similar one
+    assert got[2][0][2] > got[1][0][2]
+    # replay of batch 2: same prior state, same scores, no store dup
+    replay = sorted(tuple(r) for r in step(batches[2], 2).collect())
+    assert replay == got[2]
+    cnts = spark.read.parquet(os.path.join(store, "feature_counts"))
+    assert cnts.select("ingest_batch").distinct().count() == 4

@@ -295,6 +295,7 @@ def cross_entropy_score(
     ns: tuple[int, ...] = (1, 2),
     id_col: str = "doc_id",
     text_col: str = "text",
+    _feats: DataFrame | None = None,
 ) -> DataFrame:
     """(id, n_grams, cross_entropy) — each document's mean negative
     log-likelihood under a ``feature_log_probs`` model (nats/gram):
@@ -310,8 +311,16 @@ def cross_entropy_score(
 
     Same plan as the weights kernel: one explode + per-doc partial
     agg, the model broadcast. Feature-less docs have no row (the
-    family contract)."""
-    feats = _gram_features(docs, num_buckets, ns, id_col, text_col)
+    family contract). ``_feats`` hands in an already-built
+    (id, feature, cnt) frame so a caller that also needs the batch's
+    counts (the streaming novelty step) pays the explode once — the
+    ``importance_log_weights`` convention; it MUST be the
+    ``_gram_features`` of the same (docs, num_buckets, ns)."""
+    feats = (
+        _feats
+        if _feats is not None
+        else _gram_features(docs, num_buckets, ns, id_col, text_col)
+    )
     m = model.select("feature", "logp")
     floor = _floor_guarded(model, "__f0", "cross-entropy")
     scored = (
