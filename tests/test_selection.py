@@ -412,3 +412,54 @@ def test_streaming_novelty_prefix_congruity_and_replay(spark, tmp_path):
     assert replay == got[2]
     cnts = spark.read.parquet(os.path.join(store, "feature_counts"))
     assert cnts.select("ingest_batch").distinct().count() == 4
+
+
+def test_streaming_novelty_guards_and_empty_batches(spark, tmp_path):
+    """Self-review regressions: NULL and duplicate ids fail loud
+    BEFORE any counts persist (the corruption would be unrepairable —
+    replays rewrite the same doubled counts); an all-empty first
+    batch appends nothing, so the next batch still (correctly) has no
+    prior model; the batch-0 empty frame carries the CALLER's id type
+    (string here), not a hard-coded bigint."""
+    import os
+
+    from willa_spark.streaming.novelty import novelty_score_step
+
+    store = os.path.join(str(tmp_path), "nov-guard")
+    step = novelty_score_step(store, num_buckets=None, id_col="url")
+    strdocs = spark.createDataFrame(
+        [("u1", "alpha beta"), ("u2", "gamma")], "url string, text string"
+    )
+    out0 = step(strdocs, 0)
+    assert dict(out0.dtypes)["url"] == "string" and out0.count() == 0
+
+    with pytest.raises(ValueError, match="NULL url"):
+        step(
+            spark.createDataFrame(
+                [(None, "x y")], "url string, text string"
+            ),
+            1,
+        )
+    with pytest.raises(ValueError, match="duplicate url"):
+        step(
+            spark.createDataFrame(
+                [("u9", "x"), ("u9", "y")], "url string, text string"
+            ),
+            1,
+        )
+    # neither failed batch persisted anything
+    cnts = spark.read.parquet(os.path.join(store, "feature_counts"))
+    assert cnts.select("ingest_batch").distinct().count() == 1
+
+    store2 = os.path.join(str(tmp_path), "nov-empty")
+    step2 = novelty_score_step(store2, num_buckets=None)
+    empty = spark.createDataFrame(
+        [(0, ""), (1, "   ")], "doc_id long, text string"
+    )
+    assert step2(empty, 0).count() == 0
+    # the all-empty batch appended NO partition -> batch 1 still has
+    # no prior model (not a loud empty-model error)
+    real = spark.createDataFrame([(2, "a b c")], "doc_id long, text string")
+    assert step2(real, 1).count() == 0
+    assert not os.path.exists(os.path.join(store2, "feature_counts",
+                                           "ingest_batch=0"))

@@ -280,3 +280,25 @@ def test_streaming_cms_store_congruity_and_replay(spark, tmp_path):
         tuple(r) for r in cms_estimate_from_store(spark, store, terms).collect()
     )
     assert got2 == want
+
+
+def test_cms_estimate_null_term_fails_loud_and_unmerged_safe(spark):
+    """Self-review regressions: a NULL probe term raises in-plan
+    (xxhash64 would hash the depth alone and return collision noise
+    for a term whose true count is 0); an UNMERGED multi-sketch frame
+    estimates exactly like its merged form (defensive per-cell sum —
+    a raw min over partials would UNDERcount and invert the one-sided
+    guarantee)."""
+    texts = ["a a b", "b c c c"]
+    docs = _cms_docs(spark, texts)
+    nul = spark.createDataFrame([("a",), (None,)], "term string")
+    with pytest.raises(Exception, match="NULL probe term"):
+        SK.cms_estimate(SK.token_cms(docs), nul).collect()
+    parts = [docs.filter(F.col("doc_id") == i) for i in range(2)]
+    unmerged = SK.token_cms(parts[0]).unionByName(SK.token_cms(parts[1]))
+    terms = spark.createDataFrame([("a",), ("b",), ("c",)], "term string")
+    got = sorted(tuple(r) for r in SK.cms_estimate(unmerged, terms).collect())
+    want = sorted(
+        tuple(r) for r in SK.cms_estimate(SK.token_cms(docs), terms).collect()
+    )
+    assert got == want == [("a", 2), ("b", 2), ("c", 3)]

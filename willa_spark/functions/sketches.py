@@ -208,12 +208,26 @@ def cms_estimate(
     """(term, est_count) point queries: min over the depth rows of the
     term's counters (absent cell = 0). The sketch is depth x width
     rows — BROADCAST into the probe join; geometry must match the
-    build (store contract)."""
-    # two projections: aliasing to "term" and exploding its cells in
-    # ONE select would make the second expression a lateral column
-    # alias reference, which Spark refuses under explode
+    build (store contract). Multi-sketch frames are defensively
+    summed per cell first: taking min over UNMERGED partials would
+    read min(3, 5) where the cell holds 3+5 and silently UNDERcount —
+    inverting the one-sided guarantee (the merge costs nothing at
+    depth x width rows). NULL probe terms fail LOUD: xxhash64 ignores
+    a NULL input and hashes the depth alone, so every NULL term would
+    share one fixed cell and return confident collision noise (the
+    _hash_uniform xxhash64-NULL trap)."""
+    sketch = merge_cms(sketch)
+    checked = F.when(
+        F.col(term_col).isNull(),
+        F.raise_error(
+            F.lit(
+                "cms_estimate: NULL probe term — xxhash64 would hash "
+                "the depth alone and return collision noise"
+            )
+        ).cast("string"),
+    ).otherwise(F.col(term_col))
     probes = (
-        terms.select(F.col(term_col).alias("term"))
+        terms.select(checked.alias("term"))
         .select("term", _cms_cells(F.col("term"), depth, width).alias("c"))
         .select("term", F.col("c.d").alias("d"), F.col("c.col").alias("col"))
     )

@@ -44,7 +44,12 @@ from ..functions.selection import (
     _model_from_features,
     cross_entropy_score,
 )
-from .store import store_append, store_compact_every, store_read
+from .store import (
+    store_append,
+    store_compact_every,
+    store_partitions,
+    store_read,
+)
 
 
 def novelty_score_step(
@@ -69,16 +74,48 @@ def novelty_score_step(
         store_compact_every(
             spark, [(counts_dir, "feature")], batch_id, compact_every
         )
+        # id hygiene fails LOUD before anything persists — here a bad
+        # batch would not just mis-score itself (the dsir hazard), it
+        # would fold corrupted counts into CROSS-BATCH state that a
+        # replay rewrites identically (unrepairable): a NULL id merges
+        # every id-less doc into one phantom row, a duplicated id
+        # (at-least-once redelivery) doubles its grams in the prior
+        # model forever. One batch-sized validation agg, driver-side.
+        bad = batch_df.agg(
+            F.sum(F.when(F.col(id_col).isNull(), 1).otherwise(0)).alias("n_null"),
+            (F.count(F.lit(1)) - F.count_distinct(F.col(id_col))).alias("n_dup"),
+        ).collect()[0]
+        if bad["n_null"]:
+            raise ValueError(
+                f"novelty_score_step: {bad['n_null']} NULL {id_col} row(s) "
+                "— assign ids upstream (they would merge into one "
+                "phantom count row persisted across batches)"
+            )
+        if bad["n_dup"]:
+            raise ValueError(
+                f"novelty_score_step: {bad['n_dup']} duplicate {id_col} "
+                "row(s) within one micro-batch — dedup upstream "
+                "(dropDuplicates) or the doubled gram counts persist "
+                "in the prior model across replays"
+            )
         feats = _gram_features(
             batch_df, num_buckets, ns, id_col, text_col
         ).localCheckpoint(eager=True)
-        prior = store_read(spark, counts_dir, before_batch=batch_id)
-        if prior is None or prior.limit(1).count() == 0:
+        # cheap local job on the pinned frame — an all-empty batch
+        # appends nothing, so "prior partitions exist" (checked via
+        # the driver-side listing, no cluster work) means "the prior
+        # model has features"
+        has_feats = bool(feats.limit(1).count())
+        has_prior = any(b < batch_id for b in store_partitions(counts_dir))
+        if not has_prior:
             scored = spark.createDataFrame(
                 [],
-                f"{id_col} bigint, n_grams bigint, novelty_ce double",
+                f"{id_col} "
+                f"{batch_df.schema[id_col].dataType.simpleString()}, "
+                "n_grams bigint, novelty_ce double",
             )
         else:
+            prior = store_read(spark, counts_dir, before_batch=batch_id)
             model = _model_from_features(prior, num_buckets, smooth)
             # pinned BEFORE the count append: the scoring plan reads
             # the store's file listing, which a later batch's
@@ -97,12 +134,13 @@ def novelty_score_step(
                 .withColumnRenamed("cross_entropy", "novelty_ce")
                 .localCheckpoint(eager=True)
             )
-        store_append(
-            feats.groupBy("feature").agg(F.sum("cnt").alias("cnt")),
-            counts_dir,
-            batch_id,
-            sort_by="feature",
-        )
+        if has_feats:
+            store_append(
+                feats.groupBy("feature").agg(F.sum("cnt").alias("cnt")),
+                counts_dir,
+                batch_id,
+                sort_by="feature",
+            )
         return scored
 
     return step

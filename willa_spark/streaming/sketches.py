@@ -35,7 +35,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.sketches import (
+    CMS_DEPTH,
+    CMS_WIDTH,
     DEFAULT_LG_K,
+    cms_estimate,
+    merge_cms,
+    token_cms,
     merge_vocab_sketches,
     token_vocab_sketch,
     vocab_estimate,
@@ -86,8 +91,8 @@ def vocab_estimate_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
 
 def cms_step(
     store_dir: str,
-    depth: int | None = None,
-    width: int | None = None,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
     text_col: str = "text",
     compact_every: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
@@ -100,17 +105,16 @@ def cms_step(
     overwrites its own partition (addition is not idempotent, the
     store lifecycle is the replay guarantee). STORE CONTRACT:
     (depth, width, tokenizer) are the store identity."""
-    from ..functions.sketches import CMS_DEPTH, CMS_WIDTH, token_cms
-
-    d = CMS_DEPTH if depth is None else depth
-    w = CMS_WIDTH if width is None else width
     cms_dir = os.path.join(store_dir, "cms")
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         store_compact_every(spark, [(cms_dir, None)], batch_id, compact_every)
         store_append(
-            token_cms(batch_df, d, w, text_col), cms_dir, batch_id, max_files=1
+            token_cms(batch_df, depth, width, text_col),
+            cms_dir,
+            batch_id,
+            max_files=1,
         )
 
     return step
@@ -120,25 +124,14 @@ def cms_estimate_from_store(
     spark: SparkSession,
     store_dir: str,
     terms: DataFrame,
-    depth: int | None = None,
-    width: int | None = None,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
     term_col: str = "term",
 ) -> DataFrame:
     """(term, est_count) point queries against the persisted sketch;
     an empty store estimates 0 for every probed term (the sketch of
     nothing), geometry must match the build."""
-    from ..functions.sketches import (
-        CMS_DEPTH,
-        CMS_WIDTH,
-        cms_estimate,
-        merge_cms,
-    )
-
-    d = CMS_DEPTH if depth is None else depth
-    w = CMS_WIDTH if width is None else width
     sk = store_read(spark, os.path.join(store_dir, "cms"))
     if sk is None:
         sk = spark.createDataFrame([], "d int, col int, count long")
-    else:
-        sk = merge_cms(sk)
-    return cms_estimate(sk, terms, d, w, term_col)
+    return cms_estimate(sk, terms, depth, width, term_col)
