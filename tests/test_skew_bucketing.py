@@ -7,6 +7,8 @@ plain operator — the physical rewrite must never change semantics;
 exchange, bucketed joins have none at all.
 """
 
+import os
+
 import pytest
 from pyspark.sql import Row, functions as F
 
@@ -116,3 +118,121 @@ def test_bucketed_aggregate_no_shuffle(spark):
     agg = spark.table("bk_agg").groupBy("k").agg(F.sum("v").alias("s"))
     assert count_exchanges(agg) == 0
     assert _sorted(agg) == _sorted(df.groupBy("k").agg(F.sum("v").alias("s")))
+
+
+# ------------------------------------------------------------------ #
+# Z-order clustered writes (operators/zorder.py)
+
+
+def _morton_ref(vals, bits):
+    """Pure-Python bit interleave of already-normalized ints."""
+    z = 0
+    for c, u in enumerate(vals):
+        for i in range(bits):
+            z |= ((u >> i) & 1) << (i * len(vals) + c)
+    return z
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    """Morton key differential on a grid whose normalized codes are
+    exactly the raw values (min 0, max 15 at bits=4)."""
+    from willa_spark.operators.zorder import with_zorder_key
+
+    rows = [(a, b) for a in range(16) for b in range(16)]
+    df = spark.createDataFrame(rows, "a int, b int")
+    got = {
+        (r["a"], r["b"]): r["__zkey"]
+        for r in with_zorder_key(df, ["a", "b"], bits=4).collect()
+    }
+    assert got == {(a, b): _morton_ref([a, b], 4) for a, b in rows}
+
+
+def _file_overlap_fraction(path, col, lo, hi):
+    """Fraction of parquet files whose [min, max] footer stats for
+    ``col`` overlap [lo, hi] — what Spark's scan must read."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    hit = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        mn = min(
+            md.row_group(i).column(
+                [md.schema.column(j).name for j in range(md.num_columns)].index(col)
+            ).statistics.min
+            for i in range(md.num_row_groups)
+        )
+        mx = max(
+            md.row_group(i).column(
+                [md.schema.column(j).name for j in range(md.num_columns)].index(col)
+            ).statistics.max
+            for i in range(md.num_row_groups)
+        )
+        if not (mx < lo or mn > hi):
+            hit += 1
+    return hit / len(files), len(files)
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    """The layout proof, from the parquet footers themselves: a table
+    sorted by `a` alone prunes a narrow `b` filter NOWHERE (every
+    file's b-range spans the domain), while the z-ordered layout
+    prunes MOST files for narrow filters on EITHER column — and the
+    data read back is identical either way (layout never changes
+    semantics)."""
+    from willa_spark.operators.zorder import write_zordered
+
+    n = 20_000
+    df = (
+        spark.range(n)
+        .select(
+            (F.pmod(F.xxhash64("id"), F.lit(10_000))).cast("long").alias("a"),
+            (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(10_000)))
+            .cast("long")
+            .alias("b"),
+            F.col("id").alias("payload"),
+        )
+    )
+    asorted = os.path.join(str(tmp_path), "a-sorted")
+    zordered = os.path.join(str(tmp_path), "z-ordered")
+    df.repartitionByRange(16, "a").sortWithinPartitions("a").write.mode(
+        "overwrite"
+    ).parquet(asorted)
+    write_zordered(df, zordered, ["a", "b"], num_files=16)
+
+    frac_b_sorted, nf1 = _file_overlap_fraction(asorted, "b", 4000, 4200)
+    frac_b_z, nf2 = _file_overlap_fraction(zordered, "b", 4000, 4200)
+    frac_a_z, _ = _file_overlap_fraction(zordered, "a", 4000, 4200)
+    assert nf1 == 16 and nf2 == 16
+    assert frac_b_sorted == 1.0          # one-column sort: b unprunable
+    assert frac_b_z <= 0.5, frac_b_z     # 16 files ~ 4x4 z-grid
+    assert frac_a_z <= 0.5, frac_a_z     # ...pruning BOTH dimensions
+    # semantics unchanged by layout
+    got = sorted(tuple(r) for r in spark.read.parquet(zordered).collect())
+    want = sorted(tuple(r) for r in df.collect())
+    assert got == want
+
+
+def test_zorder_nulls_constants_and_guards(spark, tmp_path):
+    """NULL z-column rows keep their data (NULL key, grouped
+    together); a constant column contributes zero bits rather than a
+    divide-by-zero; too many columns for the bit budget fails loud."""
+    import pytest as _pytest
+
+    from willa_spark.operators.zorder import with_zorder_key, write_zordered
+
+    df = spark.createDataFrame(
+        [(1, 7, "x"), (None, 8, "y"), (3, 7, "z"), (4, 7, "w")],
+        "a int, c int, payload string",
+    )
+    # c is near-constant; a has a NULL
+    out = os.path.join(str(tmp_path), "z-nulls")
+    write_zordered(df.withColumn("c", F.lit(5)), out, ["a", "c"], bits=8)
+    back = spark.read.parquet(out)
+    assert back.count() == 4 and back.filter(F.col("a").isNull()).count() == 1
+    keyed = with_zorder_key(df, ["a"], bits=8)
+    assert keyed.filter(F.col("a").isNull()).select("__zkey").collect()[0][0] is None
+    with _pytest.raises(ValueError, match="zorder"):
+        with_zorder_key(df, ["a"] * 5, bits=16)

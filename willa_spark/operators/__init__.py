@@ -1,6 +1,6 @@
 from .windows import HoppingWindow, SessionWindow, TumblingWindow
 from .aggregates import Aggregate
-from . import joins, skew, tables
+from . import joins, skew, tables, zorder
 
 __all__ = [
     "TumblingWindow",
@@ -10,4 +10,5 @@ __all__ = [
     "joins",
     "skew",
     "tables",
+    "zorder",
 ]
