@@ -1505,3 +1505,54 @@ def test_rrf_fuse_accepts_ivf_topk_frames(spark):
     assert len(rows) == 5 * nq
     self_hits = {r["query_id"] for r in rows if r["query_id"] == r["doc_id"]}
     assert len(self_hits) == nq
+
+
+def test_chunk_documents_tail_overlap_and_edges(spark):
+    """Chunk arithmetic: stride = size - overlap, last chunk reaches
+    the end (ceiling — a floor drops tails), consecutive chunks share
+    exactly `overlap` tokens, short docs yield themselves, text is
+    preserved verbatim (no lowercasing), bad geometry fails loud."""
+    from willa_spark.functions.text import chunk_documents
+
+    toks = [f"T{i}" for i in range(10)]
+    docs = spark.createDataFrame(
+        [(0, " ".join(toks)), (1, "A b"), (2, "")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_tokens"], r["chunk_text"])
+        for r in chunk_documents(docs, chunk_size=4, overlap=1).collect()
+    }
+    # doc 0: 10 tokens, stride 3 -> starts 0,3,6 cover to 9? 6+4=10 ✓
+    assert rows[(0, 0)] == (4, "T0 T1 T2 T3")
+    assert rows[(0, 1)] == (4, "T3 T4 T5 T6")
+    assert rows[(0, 2)] == (4, "T6 T7 T8 T9")
+    assert (0, 3) not in rows
+    # overlap: chunk i's last token == chunk i+1's first
+    assert rows[(0, 0)][1].split()[-1] == rows[(0, 1)][1].split()[0]
+    # short doc: one chunk, itself, case preserved
+    assert rows[(1, 0)] == (2, "A b")
+    # empty doc: one chunk of the empty token (the tokenizer spec)
+    assert rows[(2, 0)] == (1, "")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="chunk_documents"):
+        chunk_documents(docs, chunk_size=4, overlap=4)
+
+
+def test_chunk_documents_oracle_parity(spark):
+    """The r10/r11 registration candidate, parity-pinned NOW (green at
+    sf0.001/0.01/0.1 when written; the pin runs the small corpus)."""
+    import duckdb
+
+    from willa_spark.queries import CHUNK_DOCS_ORACLE, q_chunk_documents
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = sorted(tuple(r) for r in q_chunk_documents(spark, sf_dir).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(CHUNK_DOCS_ORACLE).fetchall())
+    assert len(got) == len(want) > 0
+    assert got == want

@@ -215,3 +215,62 @@ def winnow_fingerprints(
         return F.array_distinct(F.when(n_win > 0, mins).otherwise(fallback))
 
     return F.element_at(F.transform(F.array(hashes_expr), build), 1)
+
+
+def chunk_documents(
+    docs: "DataFrame",
+    chunk_size: int = 256,
+    overlap: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Token-window chunking — the retrieval-indexing / packing
+    primitive: (id, chunk_id, chunk_tokens, chunk_text) rows where
+    chunk i covers tokens [i*stride, i*stride + chunk_size) at
+    stride = chunk_size - overlap, and the LAST chunk always reaches
+    the document's end (ceiling division — a floor here silently
+    drops the tail, the equal-frame-slices lesson). Chunk text joins
+    the ORIGINAL whitespace tokens (trim-split only, no lowercasing —
+    chunking must preserve text; the analysis tokenizer in
+    ``tokens()`` is a different spec).
+
+    Pure Column plan: one sequence+transform explode per document —
+    map-only, output volume ≈ corpus × (1 + overlap/stride). A doc of
+    ≤ chunk_size tokens yields exactly one chunk (itself)."""
+    if chunk_size <= 0 or not (0 <= overlap < chunk_size):
+        raise ValueError(
+            f"chunk_documents: need chunk_size > 0 and 0 <= overlap < "
+            f"chunk_size (got {chunk_size}, {overlap})"
+        )
+    stride = chunk_size - overlap
+    toks = F.split(F.trim(F.col(text_col)), TOKEN_SPLIT_RE)
+
+    def chunks(t):
+        n = F.size(t)
+        # ceil((n - chunk_size) / stride) extra chunks after the first
+        n_extra = F.greatest(
+            F.ceil((n - F.lit(chunk_size)) / F.lit(stride)), F.lit(0)
+        ).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n_extra),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_id"),
+                F.least(
+                    F.lit(chunk_size), n - i * F.lit(stride)
+                ).cast("int").alias("chunk_tokens"),
+                F.array_join(
+                    F.slice(t, (i * F.lit(stride) + 1).cast("int"), chunk_size),
+                    " ",
+                ).alias("chunk_text"),
+            ),
+        )
+
+    bound = F.element_at(F.transform(F.array(toks), chunks), 1)
+    return docs.select(
+        F.col(id_col), F.explode(bound).alias("__c")
+    ).select(
+        id_col,
+        F.col("__c.chunk_id").alias("chunk_id"),
+        F.col("__c.chunk_tokens").alias("chunk_tokens"),
+        F.col("__c.chunk_text").alias("chunk_text"),
+    )

@@ -4484,6 +4484,44 @@ def q_sketch_profile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------
+# FOURTH REGISTRATION CANDIDATE (r10/r11 — parked-with-oracle
+# discipline, CAPACITY DECISION prices the slots): token-window
+# document chunking, the retrieval-indexing / packing primitive.
+CHUNK_DOCS_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CAST(greatest(ceil((len(toks) - 32) / 24.0), 0) AS INT) AS n_extra
+  FROM t
+), e AS (
+  SELECT doc_id, toks, n, unnest(generate_series(0, n_extra)) AS chunk_id
+  FROM c
+)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       CAST(least(32, n - chunk_id * 24) AS INT) AS chunk_tokens,
+       array_to_string(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
+         AS chunk_text
+FROM e
+"""
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (functions/text.py::chunk_documents):
+    every document split into 32-token chunks at stride 24 (8-token
+    overlap), the last chunk always reaching the document end (ceiling
+    division — the floor-division-tail lesson). Map-only pure-Column
+    plan: one sequence+transform explode, output ≈ corpus × 1.33. The
+    primitive under retrieval indexing (chunks are the BM25/ANN units
+    for long docs) and fixed-window packing."""
+    from willa_spark.functions.text import chunk_documents
+
+    docs = read_docs_spread(spark, sf_dir).select("doc_id", "text")
+    return chunk_documents(docs, chunk_size=32, overlap=8)
+
+
 # Queries OMITTED from the driver-visible correctness set: the driver
 # records oracle rows for at most 50 queries (in registration order),
 # so every DISTINCT operator proof must land inside that window.
