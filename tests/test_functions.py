@@ -1556,3 +1556,19 @@ def test_chunk_documents_oracle_parity(spark):
     want = sorted(tuple(r) for r in con.execute(CHUNK_DOCS_ORACLE).fetchall())
     assert len(got) == len(want) > 0
     assert got == want
+
+
+def test_chunk_documents_null_text_is_empty_doc(spark):
+    """Self-review regression: a NULL-text document chunks like the
+    empty document (one chunk of the empty token) — without the
+    coalesce, greatest/least skip the NULL token count and emit a
+    phantom chunk_size-token chunk with NULL text, corrupting token
+    accounting (the DuckDB oracle reproduced the same phantom, so the
+    parity pin could never catch it)."""
+    from willa_spark.functions.text import chunk_documents
+
+    docs = spark.createDataFrame([(0, None)], "doc_id long, text string")
+    rows = chunk_documents(docs, chunk_size=4, overlap=1).collect()
+    assert [(r["chunk_id"], r["chunk_tokens"], r["chunk_text"]) for r in rows] == [
+        (0, 1, "")
+    ]

@@ -236,3 +236,32 @@ def test_zorder_nulls_constants_and_guards(spark, tmp_path):
     assert keyed.filter(F.col("a").isNull()).select("__zkey").collect()[0][0] is None
     with _pytest.raises(ValueError, match="zorder"):
         with_zorder_key(df, ["a"] * 5, bits=16)
+
+
+def test_zorder_dates_bits_and_numfiles_guards(spark, tmp_path):
+    """Self-review regressions: date z-columns normalize via epoch
+    days (a direct DATE->DOUBLE cast is rejected under ANSI);
+    bits < 1 and num_files < 1 fail loud with the module's ValueError
+    rather than IndexError/silent fallthrough."""
+    import datetime
+
+    import pytest as _pytest
+
+    from willa_spark.operators.zorder import with_zorder_key, write_zordered
+
+    df = spark.createDataFrame(
+        [
+            (datetime.date(2024, 1, 1), 1),
+            (datetime.date(2024, 6, 1), 9),
+            (datetime.date(2024, 12, 31), 5),
+        ],
+        "d date, a int",
+    )
+    keys = [
+        r["__zkey"] for r in with_zorder_key(df, ["d", "a"], bits=8).collect()
+    ]
+    assert len(keys) == 3 and len(set(keys)) == 3
+    with _pytest.raises(ValueError, match="zorder"):
+        with_zorder_key(df, ["a"], bits=0)
+    with _pytest.raises(ValueError, match="num_files"):
+        write_zordered(df, os.path.join(str(tmp_path), "x"), ["a"], num_files=0)

@@ -243,7 +243,13 @@ def chunk_documents(
             f"chunk_size (got {chunk_size}, {overlap})"
         )
     stride = chunk_size - overlap
-    toks = F.split(F.trim(F.col(text_col)), TOKEN_SPLIT_RE)
+    # NULL text behaves as the empty document (one chunk of the empty
+    # token) — without the coalesce, greatest/least SKIP the NULL
+    # token count and emit a phantom full-size chunk with NULL text
+    # (chunk_tokens = chunk_size for a document that has none; caught
+    # in self-review, and the DuckDB oracle reproduced the same
+    # phantom, so parity could never see it)
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), TOKEN_SPLIT_RE)
 
     def chunks(t):
         n = F.size(t)

@@ -63,21 +63,32 @@ def with_zorder_key(
     bits: int = 16,
     key_col: str = "__zkey",
 ) -> DataFrame:
-    """``df`` plus the Morton key column over ``cols`` (numeric or
-    date/timestamp — anything castable to double for scaling). One
-    1-row bounds collect; NULL in any z-column => NULL key."""
-    if not cols or len(cols) * bits > 63:
+    """``df`` plus the Morton key column over ``cols`` (numeric,
+    date, or timestamp — dates normalize via their epoch-day number,
+    timestamps via epoch seconds). One 1-row bounds collect; NULL in
+    any z-column => NULL key."""
+    if bits < 1 or not cols or len(cols) * bits > 63:
         raise ValueError(
-            f"zorder: need 1..{63 // bits} columns at {bits} bits "
-            f"(got {len(cols)})"
+            f"zorder: need bits >= 1 and 1..{63 // max(bits, 1)} "
+            f"columns at {bits} bits (got {len(cols)} cols, {bits} bits)"
         )
+    dtypes = dict(df.dtypes)
+
+    def scalar(c: str) -> Column:
+        # DATE cannot cast to double directly (ANSI); days/seconds
+        # since epoch are monotone, which is all scaling needs
+        if dtypes.get(c) == "date":
+            return F.unix_date(F.col(c)).cast("double")
+        if dtypes.get(c, "").startswith("timestamp"):
+            return F.col(c).cast("timestamp").cast("double")
+        return F.col(c).cast("double")
     bounds = df.agg(
         *[
             f
             for c in cols
             for f in (
-                F.min(F.col(c).cast("double")).alias(f"__mn_{c}"),
-                F.max(F.col(c).cast("double")).alias(f"__mx_{c}"),
+                F.min(scalar(c)).alias(f"__mn_{c}"),
+                F.max(scalar(c)).alias(f"__mx_{c}"),
             )
         ]
     ).collect()[0]
@@ -91,7 +102,7 @@ def with_zorder_key(
             u = F.when(F.col(c).isNotNull(), F.lit(0)).cast("long")
         else:
             u = F.floor(
-                (F.col(c).cast("double") - F.lit(float(mn)))
+                (scalar(c) - F.lit(float(mn)))
                 / F.lit(float(mx - mn))
                 * F.lit(float(top))
             ).cast("long")
@@ -116,10 +127,12 @@ def write_zordered(
     sorted within partitions (tight row-group stats). The key column
     is dropped before writing — the layout IS the artifact; readers
     prune via stock footer statistics on the original columns."""
+    if num_files is not None and num_files < 1:
+        raise ValueError(f"zorder: num_files must be >= 1 (got {num_files})")
     keyed = with_zorder_key(df, cols, bits)
     parted = (
         keyed.repartitionByRange(num_files, "__zkey")
-        if num_files
+        if num_files is not None
         else keyed.repartitionByRange("__zkey")
     )
     parted.sortWithinPartitions("__zkey").drop("__zkey").write.mode(

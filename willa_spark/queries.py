@@ -4490,7 +4490,8 @@ def q_sketch_profile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 # document chunking, the retrieval-indexing / packing primitive.
 CHUNK_DOCS_ORACLE = r"""
 WITH t AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  -- coalesce mirrors the Spark side's NULL-text-as-empty rule
+  SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS toks
   FROM documents
 ), c AS (
   SELECT doc_id, toks, len(toks) AS n,
