@@ -1213,3 +1213,49 @@ def test_fuzzy_contamination_python_differential(spark, toks):
             if shared / len(eg) >= 0.5:
                 want[(did, eid)] = (shared, round(shared / len(eg), 4))
     assert got == want, (got, want)
+
+
+def test_epoch_shuffle_bijection_decorrelation_and_guards(spark):
+    """Deterministic per-epoch shuffle: same rows out (a relabeling,
+    never a sample), identical assignment on a repartitioned input
+    (retry-safe), epochs produce DIFFERENT orders whose rank
+    correlation is near zero (the affine-salt lesson: hash(id)+epoch
+    would correlate perfectly), shards are roughly even, and NULL ids
+    fail loud."""
+    import pytest as _pytest
+
+    from willa_spark.functions.curation import epoch_shuffle
+
+    docs = spark.range(2000).select(F.col("id").alias("doc_id"))
+    e0 = epoch_shuffle(docs, epoch=0, n_shards=8)
+    rows0 = {r["doc_id"]: (r["epoch_shard"], r["epoch_pos"]) for r in e0.collect()}
+    assert len(rows0) == 2000  # bijection: every row, once
+    rows0b = {
+        r["doc_id"]: (r["epoch_shard"], r["epoch_pos"])
+        for r in epoch_shuffle(docs.repartition(13), 0, 8).collect()
+    }
+    assert rows0 == rows0b  # partitioning-invariant (retry-safe)
+    rows1 = {
+        r["doc_id"]: (r["epoch_shard"], r["epoch_pos"])
+        for r in epoch_shuffle(docs, epoch=1, n_shards=8).collect()
+    }
+    assert rows0 != rows1
+    # rank decorrelation across epochs: Spearman |rho| small
+    ids = sorted(rows0)
+    r0 = {d: i for i, d in enumerate(sorted(ids, key=lambda d: rows0[d][1]))}
+    r1 = {d: i for i, d in enumerate(sorted(ids, key=lambda d: rows1[d][1]))}
+    n = len(ids)
+    mean = (n - 1) / 2
+    num = sum((r0[d] - mean) * (r1[d] - mean) for d in ids)
+    den = sum((r0[d] - mean) ** 2 for d in ids)
+    assert abs(num / den) < 0.1, num / den
+    # shard balance: every shard within 2x of the mean
+    from collections import Counter
+
+    sizes = Counter(s for s, _ in rows0.values())
+    assert len(sizes) == 8 and max(sizes.values()) < 2 * (2000 / 8)
+    with _pytest.raises(ValueError, match="n_shards"):
+        epoch_shuffle(docs, 0, 0)
+    nul = spark.createDataFrame([(None,)], "doc_id long")
+    with _pytest.raises(Exception, match="NULL document id"):
+        epoch_shuffle(nul, 0, 4).collect()

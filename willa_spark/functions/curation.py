@@ -1219,3 +1219,44 @@ def train_val_test_split(
         .otherwise(F.lit("test"))
     )
     return docs.withColumn(out_col, label)
+
+
+def epoch_shuffle(
+    docs: DataFrame,
+    epoch: int,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle WITHOUT a global sort:
+    each row gets an (``epoch_shard``, ``epoch_pos``) pair from one
+    avalanche hash of (id, epoch) — reading the shards in shard order,
+    each sorted by ``epoch_pos``, visits the corpus in a reproducible
+    pseudo-random permutation that is INDEPENDENT across epochs (the
+    training-order requirement: every epoch a fresh shuffle, every
+    re-run the same shuffles). Scale shape: assigning the pair is
+    map-only; materializing the order is ONE hash repartition + an
+    in-partition sort (the ``save_corpus_shards`` plan) — a true
+    global orderBy would range-shuffle the corpus through a sampled
+    boundary exchange instead, for no extra reproducibility.
+
+    The epoch rides INSIDE xxhash64 (the affine-salt lesson:
+    ``hash(id) + epoch`` would make every epoch the SAME order
+    shifted by a constant — perfectly correlated "shuffles"); NULL
+    ids fail loud in-plan (a NULL hashes to the seed constant, which
+    would silently cluster all id-less rows at one position)."""
+    if n_shards <= 0:
+        raise ValueError(f"epoch_shuffle: n_shards must be > 0 (got {n_shards})")
+    checked = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(
+            F.lit(
+                "epoch_shuffle: NULL document id — xxhash64 would "
+                "cluster every id-less row at one position; assign "
+                "ids upstream"
+            )
+        ).cast(dict(docs.dtypes)[id_col]),
+    ).otherwise(F.col(id_col))
+    h = F.xxhash64(checked, F.lit(int(epoch)))
+    return docs.withColumn(
+        "epoch_shard", F.pmod(h, F.lit(n_shards)).cast("int")
+    ).withColumn("epoch_pos", h)
