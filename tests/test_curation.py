@@ -1257,5 +1257,66 @@ def test_epoch_shuffle_bijection_decorrelation_and_guards(spark):
     with _pytest.raises(ValueError, match="n_shards"):
         epoch_shuffle(docs, 0, 0)
     nul = spark.createDataFrame([(None,)], "doc_id long")
-    with _pytest.raises(Exception, match="NULL document id"):
+    with _pytest.raises(Exception, match="NULL doc_id"):
         epoch_shuffle(nul, 0, 4).collect()
+
+
+def test_epoch_shuffle_salt_space_and_writer(spark, tmp_path):
+    """Self-review regressions: (a) the domain tag keeps epoch draws
+    OUT of hash_uniform's salt space — epoch 1's position is NOT the
+    repeat_dataset salt-1 draw (a raw xxhash64(id, 1) would be
+    bit-identical); (b) repeat_dataset copies get DISTINCT positions
+    via salt_cols=['repeat_idx']; (c) save_epoch_shards materializes
+    the epoch order — different epochs land different within-shard
+    orders, re-runs identical."""
+    import os
+
+    from willa_spark.functions.curation import epoch_shuffle, save_epoch_shards
+
+    docs = spark.range(500).select(F.col("id").alias("doc_id"))
+    pos1 = {
+        r["doc_id"]: r["epoch_pos"]
+        for r in epoch_shuffle(docs, epoch=1, n_shards=4).collect()
+    }
+    raw_salt1 = {
+        r["doc_id"]: r["h"]
+        for r in docs.withColumn(
+            "h", F.xxhash64(F.col("doc_id"), F.lit(1))
+        ).collect()
+    }
+    assert all(pos1[d] != raw_salt1[d] for d in pos1)
+
+    dup = docs.crossJoin(
+        spark.createDataFrame([(0,), (1,)], "repeat_idx int")
+    )
+    dp = epoch_shuffle(dup, 0, 4, salt_cols=["repeat_idx"]).collect()
+    per_doc = {}
+    for r in dp:
+        per_doc.setdefault(r["doc_id"], set()).add(r["epoch_pos"])
+    assert all(len(v) == 2 for v in per_doc.values())  # copies split
+
+    out0 = os.path.join(str(tmp_path), "ep0")
+    out0b = os.path.join(str(tmp_path), "ep0b")
+    out1 = os.path.join(str(tmp_path), "ep1")
+    save_epoch_shards(docs, out0, epoch=0, n_shards=4)
+    save_epoch_shards(docs, out0b, epoch=0, n_shards=4)
+    save_epoch_shards(docs, out1, epoch=1, n_shards=4)
+
+    def order(path):
+        import glob
+
+        out = {}
+        for d in sorted(glob.glob(os.path.join(path, "epoch_shard=*"))):
+            import pyarrow.parquet as pq
+
+            out[d.split("=")[-1]] = [
+                int(x)
+                for f in sorted(glob.glob(os.path.join(d, "*.parquet")))
+                for x in pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
+            ]
+        return out
+
+    o0, o0b, o1 = order(out0), order(out0b), order(out1)
+    assert o0 == o0b  # re-run identical
+    assert o0 != o1   # epochs genuinely reshuffled
+    assert sorted(x for v in o0.values() for x in v) == list(range(500))

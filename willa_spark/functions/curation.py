@@ -1226,37 +1226,65 @@ def epoch_shuffle(
     epoch: int,
     n_shards: int,
     id_col: str = "doc_id",
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Deterministic per-epoch global shuffle WITHOUT a global sort:
     each row gets an (``epoch_shard``, ``epoch_pos``) pair from one
-    avalanche hash of (id, epoch) — reading the shards in shard order,
-    each sorted by ``epoch_pos``, visits the corpus in a reproducible
-    pseudo-random permutation that is INDEPENDENT across epochs (the
-    training-order requirement: every epoch a fresh shuffle, every
-    re-run the same shuffles). Scale shape: assigning the pair is
-    map-only; materializing the order is ONE hash repartition + an
-    in-partition sort (the ``save_corpus_shards`` plan) — a true
-    global orderBy would range-shuffle the corpus through a sampled
-    boundary exchange instead, for no extra reproducibility.
+    avalanche hash of ("epoch_shuffle", id, *salt_cols, epoch) —
+    reading shards in shard order, each sorted by ``epoch_pos``
+    (``save_epoch_shards`` below materializes exactly that), visits
+    the corpus in a reproducible pseudo-random permutation that is
+    INDEPENDENT across epochs.
 
-    The epoch rides INSIDE xxhash64 (the affine-salt lesson:
-    ``hash(id) + epoch`` would make every epoch the SAME order
-    shifted by a constant — perfectly correlated "shuffles"); NULL
-    ids fail loud in-plan (a NULL hashes to the seed constant, which
-    would silently cluster all id-less rows at one position)."""
+    Hash hygiene (all three are self-review catches): the literal
+    domain tag keeps the epoch OUT of ``hash_uniform``'s salt space —
+    a raw ``xxhash64(id, epoch)`` would make epoch 1's position key
+    bit-identical to repeat_dataset's salt-1 gate draw and epoch 2's
+    to the train/val/test draw, correlating the shuffle with the
+    mixing decisions; the epoch rides INSIDE the avalanche (an
+    additive ``hash(id)+epoch`` gives every epoch the SAME order
+    shifted — perfectly correlated "shuffles"); and rows sharing an
+    id share a position, so duplicated ids (e.g. ``repeat_dataset``
+    copies) would read back-to-back every epoch — pass the
+    distinguishing column via ``salt_cols=["repeat_idx"]`` to give
+    each copy its own draw. NULL ids fail loud in-plan (the shared
+    mixing-op guard)."""
     if n_shards <= 0:
         raise ValueError(f"epoch_shuffle: n_shards must be > 0 (got {n_shards})")
-    checked = F.when(
-        F.col(id_col).isNull(),
-        F.raise_error(
-            F.lit(
-                "epoch_shuffle: NULL document id — xxhash64 would "
-                "cluster every id-less row at one position; assign "
-                "ids upstream"
-            )
-        ).cast(dict(docs.dtypes)[id_col]),
-    ).otherwise(F.col(id_col))
-    h = F.xxhash64(checked, F.lit(int(epoch)))
+    h = F.xxhash64(
+        F.lit("epoch_shuffle"),
+        _checked_not_null_id(docs, id_col, "epoch_shuffle"),
+        *[F.col(c) for c in (salt_cols or [])],
+        F.lit(int(epoch)),
+    )
     return docs.withColumn(
         "epoch_shard", F.pmod(h, F.lit(n_shards)).cast("int")
     ).withColumn("epoch_pos", h)
+
+
+def save_epoch_shards(
+    docs: DataFrame,
+    path: str,
+    epoch: int,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt_cols: list[str] | None = None,
+) -> None:
+    """Materialize one epoch's shuffled order as ``epoch_shard=K/``
+    parquet directories, rows in ``epoch_pos`` order with an id
+    tie-break (64-bit hash collisions between distinct ids are rare
+    but real at corpus scale — without the extra sort key their
+    relative order would depend on sort stability across retries).
+    Same single hash-shuffle + in-partition sort plan as
+    ``save_corpus_shards``; run once per epoch into per-epoch paths."""
+    sharded = epoch_shuffle(docs, epoch, n_shards, id_col, salt_cols)
+    (
+        sharded.repartition(n_shards, F.col("epoch_shard"))
+        .sortWithinPartitions(
+            "epoch_shard", "epoch_pos", *( [id_col] + list(salt_cols or []) )
+        )
+        .drop("epoch_pos")
+        .write.partitionBy("epoch_shard")
+        .mode("overwrite")
+        .parquet(path)
+    )
