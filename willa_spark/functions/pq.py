@@ -313,3 +313,209 @@ def pq_topk(
             F.col("__sim").alias("cosine_sim"),
         )
     )
+
+
+# ------------------------------------------------------------------ #
+# IVF-PQ: the canonical at-scale pairing (FAISS's IVFPQ) — the IVF
+# coarse quantizer prunes candidates to n_probe cells, PQ prices each
+# candidate at m lookups over RESIDUALS (vec − cell centroid), which
+# quantize far better than raw vectors (residuals are small and
+# centered). The math that makes per-cell ADC exact-in-expectation:
+# within a probed cell, ||q − x||² = ||(q − c) − (x − c)||² for the
+# SAME centroid c, so comparing the query's residual against stored
+# residual codes approximates the true distance regardless of how
+# cells were assigned. Cells use the repo's existing IVF rule
+# (cosine argmax via similarity.ivf_assign — scale-invariant, shared
+# with the streaming IVF stores); vectors default to unit space
+# (normalize=True) so L2 ranking is cosine ranking.
+# STORE CONTRACT: (centroids, codebooks, normalize) are ONE identity —
+# retraining either quantizer means re-encoding (the generation rule).
+
+
+def _cents_lit(centroids: list[list[float]]) -> Column:
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+
+
+def _residual(vec: Column, cell: Column, centroids: list[list[float]]) -> Column:
+    """vec − centroids[cell], as one zip_with over the literal
+    centroid table (NULL cell ⇒ NULL residual ⇒ NULL codes — the
+    family's exclusion path for zero-norm/NULL vectors)."""
+    cent = F.element_at(_cents_lit(centroids), cell + F.lit(1))
+    return F.zip_with(vec, cent, lambda a, b: a - b)
+
+
+def ivfpq_train(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    m: int = 8,
+    k: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks on the RESIDUALS of ``corpus`` against the
+    (frozen) IVF ``centroids`` — one residual projection, then the
+    plain ``pq_train`` Lloyd loop (normalize=False: residuals are
+    already centered differences in the chosen space)."""
+    from .similarity import ivf_assign
+
+    v0 = _as_double(F.col(vec_col))
+    u = _unit(v0) if normalize else v0
+    res = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        _residual(u, ivf_assign(u, centroids), centroids).alias("residual"),
+    )
+    return pq_train(
+        res, m=m, k=k, n_iters=n_iters,
+        id_col="vec_id", vec_col="residual", normalize=False,
+    )
+
+
+def ivfpq_encode(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """(id, cell, codes) — the persistable IVF-PQ index: the inverted
+    file's cell key plus m ints of residual codes per vector."""
+    from .similarity import ivf_assign
+
+    m, sub = len(codebooks), len(codebooks[0][0])
+    v0 = _dim_guarded(_as_double(F.col(vec_col)), m, sub)
+    u = _unit(v0) if normalize else v0
+    cell = ivf_assign(u, centroids)
+    return corpus.select(
+        F.col(id_col).alias("id"),
+        cell.alias("cell"),
+        pq_assign_code(_residual(u, cell, centroids), codebooks).alias("codes"),
+    )
+
+
+def ivfpq_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    n_probe: int = 2,
+    refine: int = 0,
+    corpus: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    normalize: bool = True,
+) -> DataFrame:
+    """ADC top-k over an ``ivfpq_encode`` index: each query probes its
+    ``n_probe`` nearest cells (the IVF rule — deterministic index
+    tie-break), carries a PER-CELL residual lookup table (the residual
+    depends on the cell's centroid), and candidates join on the cell
+    key — index-side volume ∝ probed-cell sizes, never the corpus.
+    Returns (query_id, <id_col>, rank, adc_dist), or exact-cosine
+    ranks over the shortlist with ``refine``/``corpus`` (the
+    ``pq_topk`` two-stage recipe)."""
+    from pyspark.sql import Window as W
+
+    from .similarity import _centroid_sims, cosine as _cos
+
+    m, sub = len(codebooks), len(codebooks[0][0])
+    qv0 = _dim_guarded(_as_double(F.col(query_vec_col)), m, sub)
+    qu = _unit(qv0) if normalize else qv0
+    # n_probe nearest cells by the IVF rule (cosine desc, index asc)
+    probed = _bound(
+        _centroid_sims(F.col("__qv"), centroids),
+        lambda sims: F.slice(
+            F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                    lambda i: F.struct(
+                        (-F.element_at(sims, i + F.lit(1))).alias("negsim"),
+                        i.cast("int").alias("cell"),
+                    ),
+                )
+            ),
+            1,
+            n_probe,
+        ),
+    )
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("__qid"), qu.alias("__qv")
+        )
+        .withColumn("__probe", F.explode(probed))
+        .select("__qid", "__qv", F.col("__probe.cell").alias("cell"))
+    )
+    qres = _residual(F.col("__qv"), F.col("cell"), centroids)
+    luts = F.array(
+        *[
+            _l2_dists(s, codebooks[j])
+            for j, s in enumerate(_sub_slices(qres, m, sub))
+        ]
+    )
+    q = q.withColumn("__luts", luts).drop("__qv")
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at("__luts", j + F.lit(1)),
+            F.element_at(F.col("codes"), j + F.lit(1)) + F.lit(1),
+        ),
+    )
+    scored = (
+        index.join(F.broadcast(q), "cell")
+        .select(
+            F.col("__qid"),
+            F.col("id").alias("__cid"),
+            F.round(adc, 6).alias("__dist"),
+        )
+        .filter(F.col("__dist").isNotNull())
+    )
+    w = W.partitionBy("__qid").orderBy(F.col("__dist").asc(), F.col("__cid").asc())
+    n_short = max(k, refine) if refine else k
+    short = scored.withColumn("__rank", F.row_number().over(w)).filter(
+        F.col("__rank") <= n_short
+    )
+    if not refine:
+        return short.select(
+            F.col("__qid").alias(query_id_col),
+            F.col("__cid").alias(id_col),
+            F.col("__rank").alias("rank"),
+            F.col("__dist").alias("adc_dist"),
+        )
+    if corpus is None:
+        raise ValueError("ivfpq_topk: refine requires the raw corpus frame")
+    raw = corpus.select(
+        F.col(id_col).alias("__cid"), _as_double(F.col(vec_col)).alias("__cv")
+    )
+    qv = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        _as_double(F.col(query_vec_col)).alias("__qraw"),
+    )
+    exact = (
+        F.broadcast(short.select("__qid", "__cid"))
+        .join(raw, "__cid")
+        .join(F.broadcast(qv), "__qid")
+        .select(
+            "__qid",
+            "__cid",
+            F.round(_cos(F.col("__cv"), F.col("__qraw")), 6).alias("__sim"),
+        )
+    )
+    w2 = W.partitionBy("__qid").orderBy(F.col("__sim").desc(), F.col("__cid").asc())
+    return (
+        exact.withColumn("__rank", F.row_number().over(w2))
+        .filter(F.col("__rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col("__cid").alias(id_col),
+            F.col("__rank").alias("rank"),
+            F.col("__sim").alias("cosine_sim"),
+        )
+    )
