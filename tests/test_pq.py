@@ -363,9 +363,12 @@ def test_ivfpq_adc_differential_and_cell_pruning(spark):
 
 def test_ivfpq_recall_on_real_embeddings(spark):
     """Two-stage IVF-PQ on the driver embeddings: self-doc at rank 1
-    for every query, refined recall@10 >= 0.8 at n_probe=4 of 8 cells
-    (the probe budget trades recall for index volume — documented),
-    and a planted exact duplicate lands at ADC distance 0."""
+    for every query (refined AND at unrefined ADC — where its
+    adc_dist is the quantization error, > 0 in general, just smaller
+    than every other candidate's), refined recall@10 >= 0.8 at
+    n_probe=4 of 8 cells (the probe budget trades recall for index
+    volume — documented), and a planted exact duplicate ties the
+    original's adc_dist exactly (same cell, same codes)."""
     from willa_spark.functions.similarity import brute_force_topk, train_centroids
     from willa_spark.sources import read_table
 
@@ -400,3 +403,40 @@ def test_ivfpq_recall_on_real_embeddings(spark):
     assert {r["query_id"]: r["vec_id"] for r in adc.collect()} == {
         i: i for i in range(5)
     }
+    # planted exact duplicate: identical vector => same cell, same
+    # codes => adc_dist EQUAL to the original's, tie broken by id
+    dup = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(900_000).alias("vec_id"), "embedding"
+    )
+    idx2 = PQ.ivfpq_encode(emb.unionByName(dup), cents, books)
+    pair = {
+        r["vec_id"]: r["adc_dist"]
+        for r in PQ.ivfpq_topk(
+            idx2, queries.filter(F.col("query_id") == 0), cents, books,
+            k=2, n_probe=4,
+        ).collect()
+    }
+    assert set(pair) == {0, 900_000} and pair[0] == pair[900_000]
+
+
+def test_ivfpq_geometry_guards_fail_loud(spark):
+    """Self-review regression: a centroid table whose dimension
+    disagrees with the codebook geometry fails loud — zip_with would
+    otherwise NULL-pad every residual and silently drop the entire
+    corpus from every probe."""
+    df = _emb_df(spark)  # dim 8
+    cents8 = [[1.0] * 8, [11.0] * 8]
+    books = PQ.ivfpq_train(df, cents8, m=2, k=2, n_iters=1, normalize=False)
+    cents6 = [[1.0] * 6, [11.0] * 6]
+    with pytest.raises(ValueError, match="centroid dim"):
+        PQ.ivfpq_encode(df, cents6, books, normalize=False)
+    with pytest.raises(ValueError, match="centroid dim"):
+        PQ.ivfpq_topk(
+            PQ.ivfpq_encode(df, cents8, books, normalize=False),
+            spark.createDataFrame([(1, _VECS[1])], "query_id long, query_vec array<double>"),
+            cents6,
+            books,
+            normalize=False,
+        )
+    with pytest.raises(ValueError, match="not divisible"):
+        PQ.ivfpq_train(df, [[1.0] * 7], m=2, k=2, normalize=False)

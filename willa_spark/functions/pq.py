@@ -205,11 +205,81 @@ def pq_encode(
     the training flag (store contract)."""
     m, sub = len(codebooks), len(codebooks[0][0])
     v0 = _dim_guarded(_as_double(F.col(vec_col)), m, sub)
-    return corpus.select(
+    # staged projection: the (possibly normalized) vector lands in its
+    # own column BEFORE the m per-subspace code expressions reference
+    # it — CollapseProject keeps non-cheap aliases referenced >1 time
+    # in their own project, so the normalization fold runs once per
+    # row instead of m times (the interpreted-HOF no-CSE regime)
+    staged = corpus.select(
         F.col(id_col).alias("id"),
-        pq_assign_code(_unit(v0) if normalize else v0, codebooks).alias(
-            "codes"
-        ),
+        (_unit(v0) if normalize else v0).alias("__v"),
+    )
+    return staged.select(
+        "id", pq_assign_code(F.col("__v"), codebooks).alias("codes")
+    )
+
+
+def _shortlist_and_refine(
+    scored: DataFrame,
+    k: int,
+    refine: int,
+    corpus: DataFrame | None,
+    qvecs: DataFrame | None,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    op: str,
+) -> DataFrame:
+    """The two-stage tail shared by ``pq_topk`` and ``ivfpq_topk``:
+    rank the (__qid, __cid, __dist) ADC frame (dist asc, id asc, 6dp
+    already applied), keep max(k, refine), and optionally rescore the
+    shortlist by exact cosine against the raw corpus. One copy of the
+    tie-break / rounding / broadcast discipline — a fix here fixes
+    both callers (self-review: the tail had been duplicated verbatim).
+    ``qvecs`` carries (__qid, __qv); cosine is scale-invariant, so
+    normalized or raw query vectors give identical refine scores."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("__qid").orderBy(F.col("__dist").asc(), F.col("__cid").asc())
+    n_short = max(k, refine) if refine else k
+    short = scored.withColumn("__rank", F.row_number().over(w)).filter(
+        F.col("__rank") <= n_short
+    )
+    if not refine:
+        return short.select(
+            F.col("__qid").alias(query_id_col),
+            F.col("__cid").alias(id_col),
+            F.col("__rank").alias("rank"),
+            F.col("__dist").alias("adc_dist"),
+        )
+    if corpus is None:
+        raise ValueError(f"{op}: refine requires the raw corpus frame")
+    raw = corpus.select(
+        F.col(id_col).alias("__cid"), _as_double(F.col(vec_col)).alias("__cv")
+    )
+    # the shortlist is refine x |queries| rows — BROADCAST it so the
+    # raw corpus never shuffles for the refinement (the advertised
+    # two-stage cost; an unhinted join would exchange the corpus)
+    exact = (
+        F.broadcast(short.select("__qid", "__cid"))
+        .join(raw, "__cid")
+        .join(F.broadcast(qvecs), "__qid")
+        .select(
+            "__qid",
+            "__cid",
+            F.round(cosine(F.col("__cv"), F.col("__qv")), 6).alias("__sim"),
+        )
+    )
+    w2 = W.partitionBy("__qid").orderBy(F.col("__sim").desc(), F.col("__cid").asc())
+    return (
+        exact.withColumn("__rank", F.row_number().over(w2))
+        .filter(F.col("__rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col("__cid").alias(id_col),
+            F.col("__rank").alias("rank"),
+            F.col("__sim").alias("cosine_sim"),
+        )
     )
 
 
@@ -235,8 +305,6 @@ def pq_topk(
     cosine_sim) — ranks then come from the exact scores, ADC only
     shortlists (the two-stage recipe; R ≫ k buys recall back from the
     quantization error)."""
-    from pyspark.sql import Window as W
-
     m = len(codebooks)
     luts = F.array(
         *[
@@ -271,47 +339,9 @@ def pq_topk(
         )
         .filter(F.col("__dist").isNotNull())
     )
-    w = W.partitionBy("__qid").orderBy(F.col("__dist").asc(), F.col("__cid").asc())
-    n_short = max(k, refine) if refine else k
-    short = scored.withColumn("__rank", F.row_number().over(w)).filter(
-        F.col("__rank") <= n_short
-    )
-    if not refine:
-        return short.select(
-            F.col("__qid").alias(query_id_col),
-            F.col("__cid").alias(id_col),
-            F.col("__rank").alias("rank"),
-            F.col("__dist").alias("adc_dist"),
-        )
-    if corpus is None:
-        raise ValueError("pq_topk: refine requires the raw corpus frame")
-    raw = corpus.select(
-        F.col(id_col).alias("__cid"), _as_double(F.col(vec_col)).alias("__cv")
-    )
-    qv = q.select("__qid", "__qv")
-    # the shortlist is refine x |queries| rows — BROADCAST it so the
-    # raw corpus never shuffles for the refinement (the advertised
-    # two-stage cost; an unhinted join would exchange the corpus)
-    exact = (
-        F.broadcast(short.select("__qid", "__cid"))
-        .join(raw, "__cid")
-        .join(F.broadcast(qv), "__qid")
-        .select(
-            "__qid",
-            "__cid",
-            F.round(cosine(F.col("__cv"), F.col("__qv")), 6).alias("__sim"),
-        )
-    )
-    w2 = W.partitionBy("__qid").orderBy(F.col("__sim").desc(), F.col("__cid").asc())
-    return (
-        exact.withColumn("__rank", F.row_number().over(w2))
-        .filter(F.col("__rank") <= k)
-        .select(
-            F.col("__qid").alias(query_id_col),
-            F.col("__cid").alias(id_col),
-            F.col("__rank").alias("rank"),
-            F.col("__sim").alias("cosine_sim"),
-        )
+    return _shortlist_and_refine(
+        scored, k, refine, corpus, q.select("__qid", "__qv"),
+        id_col, vec_col, query_id_col, "pq_topk",
     )
 
 
@@ -362,11 +392,25 @@ def ivfpq_train(
     already centered differences in the chosen space)."""
     from .similarity import ivf_assign
 
+    if len(centroids[0]) % m != 0:
+        raise ValueError(
+            f"ivfpq: centroid dim {len(centroids[0])} not divisible by "
+            f"m {m} — stale quantizer? (centroids+codebooks are ONE "
+            "store identity)"
+        )
     v0 = _as_double(F.col(vec_col))
-    u = _unit(v0) if normalize else v0
-    res = corpus.select(
+    # staged: u once, then cell (references u C times), then the
+    # residual — each level lives in its own projection (see
+    # pq_encode's staging note)
+    st = corpus.select(
         F.col(id_col).alias("vec_id"),
-        _residual(u, ivf_assign(u, centroids), centroids).alias("residual"),
+        (_unit(v0) if normalize else v0).alias("__u"),
+    ).select(
+        "vec_id", "__u", ivf_assign(F.col("__u"), centroids).alias("__cell")
+    )
+    res = st.select(
+        "vec_id",
+        _residual(F.col("__u"), F.col("__cell"), centroids).alias("residual"),
     )
     return pq_train(
         res, m=m, k=k, n_iters=n_iters,
@@ -387,13 +431,28 @@ def ivfpq_encode(
     from .similarity import ivf_assign
 
     m, sub = len(codebooks), len(codebooks[0][0])
+    if len(centroids[0]) != m * sub:
+        raise ValueError(
+            f"ivfpq: centroid dim {len(centroids[0])} != codebook "
+            f"geometry {m}x{sub} — mixed store generations? a silent "
+            "mismatch would zip_with-pad residuals with NULLs and "
+            "drop the whole corpus from every probe"
+        )
     v0 = _dim_guarded(_as_double(F.col(vec_col)), m, sub)
-    u = _unit(v0) if normalize else v0
-    cell = ivf_assign(u, centroids)
-    return corpus.select(
+    # staged like pq_encode: u -> cell -> residual -> codes, one
+    # projection per non-cheap level
+    st = corpus.select(
         F.col(id_col).alias("id"),
-        cell.alias("cell"),
-        pq_assign_code(_residual(u, cell, centroids), codebooks).alias("codes"),
+        (_unit(v0) if normalize else v0).alias("__u"),
+    ).select(
+        "id", "__u", ivf_assign(F.col("__u"), centroids).alias("cell")
+    ).select(
+        "id",
+        "cell",
+        _residual(F.col("__u"), F.col("cell"), centroids).alias("__res"),
+    )
+    return st.select(
+        "id", "cell", pq_assign_code(F.col("__res"), codebooks).alias("codes")
     )
 
 
@@ -420,11 +479,14 @@ def ivfpq_topk(
     Returns (query_id, <id_col>, rank, adc_dist), or exact-cosine
     ranks over the shortlist with ``refine``/``corpus`` (the
     ``pq_topk`` two-stage recipe)."""
-    from pyspark.sql import Window as W
-
-    from .similarity import _centroid_sims, cosine as _cos
+    from .similarity import _centroid_sims
 
     m, sub = len(codebooks), len(codebooks[0][0])
+    if len(centroids[0]) != m * sub:
+        raise ValueError(
+            f"ivfpq: centroid dim {len(centroids[0])} != codebook "
+            f"geometry {m}x{sub} — mixed store generations?"
+        )
     qv0 = _dim_guarded(_as_double(F.col(query_vec_col)), m, sub)
     qu = _unit(qv0) if normalize else qv0
     # n_probe nearest cells by the IVF rule (cosine desc, index asc)
@@ -451,14 +513,16 @@ def ivfpq_topk(
         .withColumn("__probe", F.explode(probed))
         .select("__qid", "__qv", F.col("__probe.cell").alias("cell"))
     )
-    qres = _residual(F.col("__qv"), F.col("cell"), centroids)
+    q = q.withColumn(
+        "__qres", _residual(F.col("__qv"), F.col("cell"), centroids)
+    )
     luts = F.array(
         *[
             _l2_dists(s, codebooks[j])
-            for j, s in enumerate(_sub_slices(qres, m, sub))
+            for j, s in enumerate(_sub_slices(F.col("__qres"), m, sub))
         ]
     )
-    q = q.withColumn("__luts", luts).drop("__qv")
+    q = q.withColumn("__luts", luts).drop("__qv", "__qres")
     adc = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
         F.lit(0.0),
@@ -477,45 +541,13 @@ def ivfpq_topk(
         )
         .filter(F.col("__dist").isNotNull())
     )
-    w = W.partitionBy("__qid").orderBy(F.col("__dist").asc(), F.col("__cid").asc())
-    n_short = max(k, refine) if refine else k
-    short = scored.withColumn("__rank", F.row_number().over(w)).filter(
-        F.col("__rank") <= n_short
-    )
-    if not refine:
-        return short.select(
-            F.col("__qid").alias(query_id_col),
-            F.col("__cid").alias(id_col),
-            F.col("__rank").alias("rank"),
-            F.col("__dist").alias("adc_dist"),
-        )
-    if corpus is None:
-        raise ValueError("ivfpq_topk: refine requires the raw corpus frame")
-    raw = corpus.select(
-        F.col(id_col).alias("__cid"), _as_double(F.col(vec_col)).alias("__cv")
-    )
-    qv = queries.select(
+    # refine against the RAW query vectors (cosine is scale-invariant,
+    # so this matches pq_topk's normalized-vector refinement exactly)
+    qvecs = queries.select(
         F.col(query_id_col).alias("__qid"),
-        _as_double(F.col(query_vec_col)).alias("__qraw"),
+        _as_double(F.col(query_vec_col)).alias("__qv"),
     )
-    exact = (
-        F.broadcast(short.select("__qid", "__cid"))
-        .join(raw, "__cid")
-        .join(F.broadcast(qv), "__qid")
-        .select(
-            "__qid",
-            "__cid",
-            F.round(_cos(F.col("__cv"), F.col("__qraw")), 6).alias("__sim"),
-        )
-    )
-    w2 = W.partitionBy("__qid").orderBy(F.col("__sim").desc(), F.col("__cid").asc())
-    return (
-        exact.withColumn("__rank", F.row_number().over(w2))
-        .filter(F.col("__rank") <= k)
-        .select(
-            F.col("__qid").alias(query_id_col),
-            F.col("__cid").alias(id_col),
-            F.col("__rank").alias("rank"),
-            F.col("__sim").alias("cosine_sim"),
-        )
+    return _shortlist_and_refine(
+        scored, k, refine, corpus, qvecs, id_col, vec_col, query_id_col,
+        "ivfpq_topk",
     )
