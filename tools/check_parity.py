@@ -1,7 +1,12 @@
 """Local pre-flight for the driver's t2 gate: run every queries() entry
 and compare against oracle_sql() via DuckDB on the same parquet tables.
 
-Usage: python tools/check_parity.py [sf_dir] [query ...]
+Usage: python tools/check_parity.py [--candidates] [sf_dir] [query ...]
+
+``--candidates`` checks the UNREGISTERED registration candidates
+(queries.py's parked q_*/`*_ORACLE` pairs awaiting rotation slots)
+instead of the driver gate — run it before registering one in a
+future round.
 """
 
 from __future__ import annotations
@@ -80,9 +85,26 @@ def norm_rows(cols, types, rows):
     return [cols[i] for i in idx], [norm_type(types[i]) for i in idx], out
 
 
+# The parked registration candidates: (name, query fn attr, oracle
+# constant attr) in willa_spark.queries — kept HERE in one place so the
+# pre-flight and the policy block cannot drift silently (the list is
+# asserted against queries.py at run time: a missing attr fails loud).
+CANDIDATES = [
+    ("dsir_weights", "q_dsir_weights", "DSIR_WEIGHTS_ORACLE"),
+    ("hybrid_rrf_topk", "q_hybrid_rrf_topk", "HYBRID_RRF_ORACLE"),
+    ("sketch_profile_bands", "q_sketch_profile_bands", "SKETCH_PROFILE_ORACLE"),
+    ("chunk_documents", "q_chunk_documents", "CHUNK_DOCS_ORACLE"),
+]
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    use_candidates = False
+    if args and args[0] == "--candidates":
+        use_candidates = True
+        args = args[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("parity-check")
@@ -97,8 +119,14 @@ def main():
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    if use_candidates:
+        from willa_spark import queries as qmod
+
+        qs = {n: getattr(qmod, f) for n, f, _ in CANDIDATES}
+        oracles = {n: getattr(qmod, o) for n, _, o in CANDIDATES}
+    else:
+        qs = entrymod.queries()
+        oracles = entrymod.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
     for name, fn in qs.items():
         if only and name not in only:

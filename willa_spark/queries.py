@@ -4654,6 +4654,11 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the gate reached 50 and parked with the MUST-ROTATE-IN note
 # honored above (the full r8 twin mapping lives in the git history
 # of this block, commit 87984af^).
+#
+# CANDIDATE PRE-FLIGHT: `python tools/check_parity.py --candidates
+# <sf_dir>` runs every parked q_*/`*_ORACLE` pair above through the
+# driver-grade comparison (4/4 green at sf0.01 when this note was
+# written) — run it before registering one.
 DRIVER_OMIT = frozenset(
     {
         # -- 49 rests, all green in the r8 driver gate (return due r10)
