@@ -439,8 +439,17 @@ def ivfpq_encode(
             "drop the whole corpus from every probe"
         )
     v0 = _dim_guarded(_as_double(F.col(vec_col)), m, sub)
-    # staged like pq_encode: u -> cell -> residual -> codes, one
-    # projection per non-cheap level
+    # staged projections: u -> cell -> residual -> codes. MEASURED
+    # TRADE-OFF (20k vectors x 64 cells x m=8): Catalyst's
+    # CollapseProject re-inlines SOME of these aliases (the optimized
+    # plan carries a few duplicate subtrees), yet this form runs in
+    # 24.5s while a fully lambda-BOUND chain (_bound at every level —
+    # runtime-guaranteed single evaluation) took 67.7s: binding the
+    # whole pipeline into one nested higher-order expression forces
+    # it entirely onto the interpreted path, losing more to codegen
+    # exile than the duplication costs. _bound stays the right tool
+    # for ~100x duplications inside ONE expression (the audio-family
+    # case), not for chaining whole column pipelines.
     st = corpus.select(
         F.col(id_col).alias("id"),
         (_unit(v0) if normalize else v0).alias("__u"),
