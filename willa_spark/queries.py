@@ -4194,15 +4194,12 @@ def q_mixing_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
-# r10 REGISTRATION CANDIDATE (deliberately NOT registered in r9): the
-# registry sits at 99/100 period-2 capacity (see CAPACITY NOTE below),
-# and the rotation policy's parking rule says a name registered after
-# the gate is set creates flagged debt — so the DSIR weights row waits
-# for r10's one free slot with its query AND full DuckDB oracle
-# already written and parity-pinned by
-# tests/test_selection.py::test_dsir_weights_oracle_parity (the same
-# de-risking the r8 parked entries had). To register: add
-# @query("dsir_weights", oracle=DSIR_WEIGHTS_ORACLE) and rest one keep.
+# REGISTERED r10 (the 100th name — parked through r9 per the capacity
+# plan, entered in r10's one free slot, displacing the
+# session_windows keep; see the Round 10 rotation note below). The
+# oracle was pre-written in r9 and parity-pinned by
+# tests/test_selection.py::test_dsir_weights_oracle_parity before the
+# first driver row — the same de-risking the r8 parked entries had.
 DSIR_WEIGHTS_ORACLE = r"""
 WITH t AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
@@ -4241,6 +4238,7 @@ GROUP BY d.doc_id
 """
 
 
+@query("dsir_weights", oracle=DSIR_WEIGHTS_ORACLE)
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance log-weights (functions/selection.py, Xie et al.
     2023) over the exact feature space: every document scored by the
@@ -4533,184 +4531,154 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_curation.py::test_omitted_relational_parity (computed
 # FROM this set, so the pin rotates automatically).
 #
-# Round 9 rotation. Registered queries: 99 (95 r8 names + the 3
-# precision duals precision_winnow / precision_audio_seg /
-# precision_ann_lsh closing the r8 dual program + decontaminate_fuzzy).
-# Must-in (45): ALL 43 r8-rested names return (green in the r7 driver
+# Round 10 rotation. Registered queries: 100 (99 r9 names +
+# dsir_weights, the 100th registration — parked through r9 with its
+# oracle pre-written, parity-pinned by
+# tests/test_selection.py::test_dsir_weights_oracle_parity, and
+# pre-flighted through tools/check_parity.py — entering in the one
+# free slot exactly as the r9 capacity plan prescribed). Must-in
+# (49): ALL 49 r9-rested names return (each green in the r8 driver
 # gate, so the two-round invariant comes due — the same all-return
-# move every round since r6) and the 2 mid-r8 parked entries
-# dup_ngram_spans and bm25_topk enter per the policy's own
-# MUST-ROTATE-IN note (their first driver rows — full SQL oracles).
-# The 4 on-time NEW r9 registrations enter immediately (no gate-time
-# parking debt). 45 + 4 = 49 gate slots, leaving ONE keep — the
-# tightest gate of the build, priced exactly as the r8 policy note
-# predicted (each new entrant displaces a keep):
+# move every round since r6). 49 + 1 new = 50 gate slots and ZERO
+# keeps: the single r9 keep (session_windows) rests for the first
+# time against its green r9 row, displaced by the dsir_weights
+# registration — the displacement the r9 note priced, legal because
+# session_windows is green in CORRECTNESS_r09.
 #
-#   session_windows (A3 session merge + streaming Python fold — the
-#   only session-semantics proof; nothing in the returning 43 covers
-#   merge-on-overlap windows)
-#
-# and rests 49 — every one green in the r8 driver gate (rows+schema+
-# hash, or rows-only with its oracle twin green in the same gate), so
-# the two-round invariant holds for each (return due r10); every
+# Rests 50 — exactly the r9 gate: every name green in the r9 driver
+# gate (49 rows+schema+hash; rows-only audio_fingerprint_dups with
+# its recall twin green in the same r9 gate and its precision twin
+# r8-green), so the two-round invariant holds for each; every
 # oracle-bearing rest stays parity-pinned by the automatic pytest.
-# The six r8 keeps rest for the first time since r7, each against TWO
-# consecutive green driver rows (r7+r8) — invariant-legal with a
-# round to spare. In-gate twin notes where machinery is genuinely
-# shared (mostly the EXACT INVERSE of the r8 rotation):
+# In-gate twin notes are the EXACT INVERSE of the r9 rotation (read
+# the r9 mapping right-to-left): the returning rows-only family
+# queries (minhash_near_dups, simhash_near_dups,
+# winnow_overlap_pairs, image_phash_dups, video_fingerprint_dups,
+# audio_segment_dups, ann_lsh_topk, ann_ivf_topk) ride their resting
+# oracle twins' automatic parity pytest + those twins' r9-green
+# driver rows — the same arrangement the r8 gate ran under.
 #
-#   tumbling_window_sum        -> hopping_window_count returns (inverse)
-#   rekey_fanout, value_only_rekey -> fanout_flatmap + rekey_transform
-#                                 + filter_map return (inverse)
-#   token_stats, lang_id       -> quality_score + top_bigrams return
-#   semi_join_customers        -> anti_join_customers returns (inverse)
-#   except_customers           -> intersect_customers returns (inverse)
-#   skew_salted_join           -> skew_salted_agg returns (inverse)
-#   rollup_revenue             -> pricing_summary + pivot_order_status
-#                                 return (inverse)
-#   top_customers, late_shipment_priorities, monthly_revenue_growth
-#                              -> shipping_priority +
-#                                 top_parts_per_supplier return
-#   distinct_parts_per_supplier -> corpus_profile returns (inverse)
-#   embedding_near_dups        -> embedding_topk returns (inverse)
-#   corpus_keep_by_source      -> training_data_prep returns
-#   dup_line_filter            -> repetition_ngram_filter + line_dedup
-#                                 return (inverse; line-hash kernel)
-#   pack_sequences, sequence_manifest, packed_shard_roundtrip
-#                              -> token_budget_cap +
-#                                 packed_sequences_loaded return
-#   doc_fingerprints           -> exact_dup_groups returns (inverse)
-#   latest_per_key, table_table_asof -> asof_enrich returns (same
-#                                 _as_of_lookup; first/last mirror of
-#                                 with_dedupe_first, also returning)
-#   interval_join, windowed_outer_join -> windowed_left_join returns
-#                                 (same kernel, inverse of r8)
-#   mixing_repeat_epochs, mixing_train_val_test -> stratified_sample
-#                                 returns (the salted-gate trio)
-#   decontaminate              -> decontaminate_fuzzy enters (the
-#                                 decontamination family's new
-#                                 fraction screen, same broadcast-
-#                                 prune shape) — r8 keep, rests on
-#                                 r7+r8 green rows
-#   near_dup_clusters          -> near_dup_keep_best returns (the
-#                                 cluster-survivor machinery) — r8
-#                                 keep, rests on r7+r8 green rows
-#   minhash_near_dups, simhash_near_dups, winnow_overlap_pairs,
-#   image_phash_dups, video_fingerprint_dups, audio_segment_dups,
-#   ann_lsh_topk, ann_ivf_topk (rows-only)
-#                              -> their oracle recall twins ALL
-#                                 return (recall_minhash/simhash/
-#                                 winnow/image_phash/ann_lsh/ann_ivf)
-#                                 and the NEW precision duals enter
-#                                 (same kernels, self-controlled);
-#                                 audio_fingerprint_dups returning
-#                                 rides recall_audio_fp (also
-#                                 returning) + the r8-green
-#                                 precision_audio_fp
-#   recall_video_fp, recall_audio_seg, precision_simhash,
-#   precision_image_phash, precision_audio_fp, precision_video_fp
-#                              -> their rows-only family queries keep
-#                                 resting only ONE round (r8-green);
-#                                 the returning recall rows + new
-#                                 duals cover the kernels in-gate
-#   above_avg_orders, broadcast_enrich, pii_redaction,
-#   suppressed_window_final (r8 keeps), regional_supplier_volume,
-#   multimodal_decode, ngram_jaccard_pairs — no single clean twin;
-#   r8-green + oracle-bearing, so the automatic DuckDB-parity pytest
-#   is the rest-round check (the documented policy floor).
+# CAPACITY: the registry now stands at 100 — period-2 at gate 50 is
+# exactly full. The r9 CAPACITY DECISION (widen to period-3 when the
+# 101st name registers; do NOT retire names) stands: step (a) is
+# executed this round (dsir_weights took the free slot), step (b)'s
+# activation table is pre-staged below so r11's gate math is
+# mechanical.
 #
-# CAPACITY NOTE: the registry stands at 99 — the period-2 rotation at
-# gate 50 covers at most 100 names, so r10 has room for at most ONE
-# new registration (50 slots - 49 r9-rested must-ins). Beyond that,
-# either a registered name must be retired (consolidated into a
-# sibling) or the policy must widen to period-3 (gate 50 covers 150
-# names at three-round return) — decide BEFORE registering.
+# PERIOD-3 DUE-DATE TABLE (pre-staged r10, BEFORE the 101st
+# registration forces it). When the 101st name registers (r11 on
+# current course), the policy widens to period-3: a name last green
+# in round k becomes due k+3 (rest TWO rounds) instead of k+2.
+# Activation staggering splits the 50 r10-resting (r9-green) names
+# into two cohorts so no later gate is swamped:
 #
-# CAPACITY DECISION (made r9, per the note above): WIDEN to period-3
-# when the 101st name registers; do NOT retire names. Rationale:
-# every omitted oracle-bearing name keeps the automatic DuckDB-parity
-# pytest EVERY round regardless of rotation period (the driver row is
-# a freshness cadence on top of a continuously-running check, not the
-# only check), rows-only names keep the in-gate-twin rule unchanged,
-# and retirement would shrink operator coverage to buy schedule —
-# backwards. Phase-in keeps the stronger invariant as long as it is
-# payable: (a) r10 runs under period-2 math unchanged — the 49
-# r9-rested names return, dsir_weights registers as the 100th name in
-# the one free slot; (b) the first round AT 100 names with a new
-# registration pending (r11 on current course) activates period-3 —
-# names last green in r9 become due r12 instead of r11, so r11 must
-# return only enough of the 50 r9-green resters to stagger the
-# follow-on load (~25 per round keeps every later gate at ~33 rests +
-# ~17 free slots in steady state at 150 names) and the freed slots
-# take the queued candidates (q_hybrid_rrf_topk below is first, its
-# oracle already parity-pinned). The activation round MUST restate
-# this block with the concrete due-date table — the same discipline
-# every rotation note here follows.
+#   COHORT A — due r11 (must return in the r11 gate), 25 names:
+#     anti_join_customers, audio_fingerprint_dups, changelog_filter,
+#     decontaminate_fuzzy, dup_ngram_spans, exact_dup_groups,
+#     filter_map, gopher_quality_filter, hopping_window_count,
+#     line_dedup, nary_join_fold, packed_sequences_loaded,
+#     precision_ann_lsh, precision_winnow, quality_score,
+#     recall_audio_fp, recall_image_phash, recall_simhash,
+#     regrouped_retraction, repetition_ngram_filter, session_windows,
+#     skew_salted_agg, token_budget_cap, top_parts_per_supplier,
+#     windowed_left_join
+#   COHORT B — due r12 (the period-3 deferral), 25 names:
+#     asof_enrich, bm25_topk, corpus_profile, doc_length_histogram,
+#     embedding_topk, fanout_flatmap, forecast_revenue,
+#     group_by_fn_agg, intersect_customers, merge_streams,
+#     near_dup_keep_best, pivot_order_status, precision_audio_seg,
+#     pricing_summary, recall_ann_ivf, recall_ann_lsh,
+#     recall_minhash, recall_winnow, rekey_transform,
+#     running_sum_changelog, shipping_priority, stratified_sample,
+#     top_bigrams, training_data_prep, with_dedupe_first
+#
+# Twin constraint honored inside the split: audio_fingerprint_dups
+# (rows-only) and its oracle twin recall_audio_fp share COHORT A so
+# the rows-only return carries its in-gate twin; every other name in
+# both cohorts is oracle-bearing. The 50 r10-GATE names (green r10)
+# become due r13 under period-3 — r12 already carries cohort B, so
+# the r13 gate takes the r10-green cohort naturally; if the registry
+# grows past 125 the r11 activation note must split the r10-green
+# cohort across r13/r14 with the same cohort discipline.
+#
+# r11 gate preview (mechanical): 25 COHORT A returns + the
+# registration queue in priority order (hybrid_rrf_topk — AFTER its
+# brute-force arm is bounded per VERDICT r10 #5 — then
+# sketch_profile_bands, then chunk_documents; oracles pre-written +
+# parity-pinned) + keeps chosen from the r10 gate = 50.
+#
+# Previous round (r9) for the record. Registered: 99. Must-in (45):
+# ALL 43 r8-rested names returned + the 2 mid-r8 parked entries
+# dup_ngram_spans and bm25_topk (their first driver rows); 4 on-time
+# NEW registrations entered immediately; ONE keep (session_windows);
+# 49 rested. Full r9 twin mapping: git history of this block
+# (commit 64ae32a^).
 #
 # Previous round (r8) for the record. Registered: 95. Must-in (35):
 # ALL 33 r7-rested names returned + the 2 mid-r7 parked video
 # entries; 8 NEW registrations entered immediately; 7 keeps; 43
-# rested; dup_ngram_spans and bm25_topk were registered mid-r8 after
-# the gate reached 50 and parked with the MUST-ROTATE-IN note
-# honored above (the full r8 twin mapping lives in the git history
-# of this block, commit 87984af^).
+# rested (full mapping: git history, commit 87984af^).
 #
 # CANDIDATE PRE-FLIGHT: `python tools/check_parity.py --candidates
 # <sf_dir>` runs every parked q_*/`*_ORACLE` pair above through the
-# driver-grade comparison (4/4 green at sf0.01 when this note was
-# written) — run it before registering one.
+# driver-grade comparison — run it before registering one.
 DRIVER_OMIT = frozenset(
     {
-        # -- 49 rests, all green in the r8 driver gate (return due r10)
-        "above_avg_orders",
-        "ann_ivf_topk",
-        "ann_lsh_topk",
-        "audio_segment_dups",
-        "broadcast_enrich",
-        "corpus_keep_by_source",
-        "decontaminate",
-        "distinct_parts_per_supplier",
-        "doc_fingerprints",
-        "dup_line_filter",
-        "embedding_near_dups",
-        "except_customers",
-        "image_phash_dups",
-        "interval_join",
-        "lang_id",
-        "late_shipment_priorities",
-        "latest_per_key",
-        "minhash_near_dups",
-        "mixing_repeat_epochs",
-        "mixing_train_val_test",
-        "monthly_revenue_growth",
-        "multimodal_decode",
-        "near_dup_clusters",
-        "ngram_jaccard_pairs",
-        "pack_sequences",
-        "packed_shard_roundtrip",
-        "pii_redaction",
-        "precision_audio_fp",
-        "precision_image_phash",
-        "precision_simhash",
-        "precision_video_fp",
-        "recall_audio_seg",
-        "recall_video_fp",
-        "regional_supplier_volume",
-        "rekey_fanout",
-        "rollup_revenue",
-        "semi_join_customers",
-        "sequence_manifest",
-        "simhash_near_dups",
-        "skew_salted_join",
-        "suppressed_window_final",
-        "table_table_asof",
-        "token_stats",
-        "top_customers",
-        "tumbling_window_sum",
-        "value_only_rekey",
-        "video_fingerprint_dups",
-        "windowed_outer_join",
-        "winnow_overlap_pairs",
+        # -- 50 rests: exactly the r9 gate, every name green in
+        # -- CORRECTNESS_r09 (49 hash-grade + rows-only
+        # -- audio_fingerprint_dups, twin-covered in that gate). Due
+        # -- dates: PERIOD-3 DUE-DATE TABLE above (cohort A due r11,
+        # -- cohort B due r12).
+        "anti_join_customers",
+        "asof_enrich",
+        "audio_fingerprint_dups",
+        "bm25_topk",
+        "changelog_filter",
+        "corpus_profile",
+        "decontaminate_fuzzy",
+        "doc_length_histogram",
+        "dup_ngram_spans",
+        "embedding_topk",
+        "exact_dup_groups",
+        "fanout_flatmap",
+        "filter_map",
+        "forecast_revenue",
+        "gopher_quality_filter",
+        "group_by_fn_agg",
+        "hopping_window_count",
+        "intersect_customers",
+        "line_dedup",
+        "merge_streams",
+        "nary_join_fold",
+        "near_dup_keep_best",
+        "packed_sequences_loaded",
+        "pivot_order_status",
+        "precision_ann_lsh",
+        "precision_audio_seg",
+        "precision_winnow",
+        "pricing_summary",
+        "quality_score",
+        "recall_ann_ivf",
+        "recall_ann_lsh",
+        "recall_audio_fp",
+        "recall_image_phash",
+        "recall_minhash",
+        "recall_simhash",
+        "recall_winnow",
+        "regrouped_retraction",
+        "rekey_transform",
+        "repetition_ngram_filter",
+        "running_sum_changelog",
+        "session_windows",
+        "shipping_priority",
+        "skew_salted_agg",
+        "stratified_sample",
+        "token_budget_cap",
+        "top_bigrams",
+        "top_parts_per_supplier",
+        "training_data_prep",
+        "windowed_left_join",
+        "with_dedupe_first",
     }
 )
 
