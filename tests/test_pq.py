@@ -111,10 +111,12 @@ def test_pq_train_encode_adc_differential(spark):
     assert first6 == set(range(6))
 
 
-def test_pq_refine_rescores_with_exact_cosine(spark):
-    """Two-stage: refine returns exact cosine ranks over the ADC
-    shortlist — a planted exact duplicate lands at rank 1 with
-    cosine_sim 1.0."""
+def test_pq_refine_raw_regime_rescores_with_exact_l2(spark):
+    """Two-stage in the raw (normalize=False) regime: refine returns
+    exact SQUARED-L2 ranks over the ADC shortlist — the same metric
+    the ADC stage ranked under, not cosine (r9 advice: off the unit
+    sphere the two rank differently). A planted exact duplicate lands
+    at rank 1 with l2_dist 0.0."""
     vecs = dict(_VECS)
     vecs[12] = list(_VECS[3])  # exact duplicate of id 3
     df = _emb_df(spark, vecs)
@@ -123,7 +125,7 @@ def test_pq_refine_rescores_with_exact_cosine(spark):
         [(3, vecs[3])], "query_id long, query_vec array<double>"
     )
     got = sorted(
-        (r["rank"], r["vec_id"], r["cosine_sim"])
+        (r["rank"], r["vec_id"], r["l2_dist"])
         for r in PQ.pq_topk(
             PQ.pq_encode(df, books, normalize=False),
             queries,
@@ -134,8 +136,64 @@ def test_pq_refine_rescores_with_exact_cosine(spark):
             normalize=False,
         ).collect()
     )
-    assert got[0] == (1, 3, 1.0) and got[1] == (2, 12, 1.0)
-    assert [c for _, _, c in got] == sorted((c for _, _, c in got), reverse=True)
+    assert got[0] == (1, 3, 0.0) and got[1] == (2, 12, 0.0)
+    assert [c for _, _, c in got] == sorted(c for _, _, c in got)
+    # exact values vs the pure-Python metric
+    for _, vid, d in got:
+        want = round(sum((a - b) ** 2 for a, b in zip(vecs[3], vecs[vid])), 6)
+        assert d == want
+
+
+def test_pq_refine_metric_follows_regime(spark):
+    """Where cosine and L2 DISAGREE (off-sphere magnitudes), the raw
+    regime's refine must follow L2. Query (1,0,...): id 20 = (1,0,..)
+    scaled 5x has perfect cosine but L2 16; id 21 = (2,1,0,..) has
+    worse cosine but L2 2 — L2 refine ranks 21 first, a cosine refine
+    would invert them (the silent-metric-switch defect)."""
+    vecs = {
+        20: [5.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        21: [2.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        # filler so k=2 training has distinct points per subspace
+        22: [0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0, 0.0],
+        23: [9.0, 9.0, 9.0, 9.0, 9.0, 9.0, 9.0, 9.0],
+    }
+    df = _emb_df(spark, vecs)
+    books = PQ.pq_train(df, m=2, k=2, n_iters=2, normalize=False)
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])],
+        "query_id long, query_vec array<double>",
+    )
+    got = sorted(
+        (r["rank"], r["vec_id"], r["l2_dist"])
+        for r in PQ.pq_topk(
+            PQ.pq_encode(df, books, normalize=False),
+            queries,
+            books,
+            k=3,
+            refine=4,
+            corpus=df,
+            normalize=False,
+        ).collect()
+    )
+    assert [(v, d) for _, v, d in got] == [(21, 2.0), (22, 3.0), (20, 16.0)]
+    # and the unit-sphere regime still refines by cosine (desc):
+    # same corpus, normalize=True end-to-end — id 20 (perfect cosine)
+    # must outrank id 21
+    books_u = PQ.pq_train(df, m=2, k=2, n_iters=2, normalize=True)
+    got_u = sorted(
+        (r["rank"], r["vec_id"], r["cosine_sim"])
+        for r in PQ.pq_topk(
+            PQ.pq_encode(df, books_u, normalize=True),
+            queries,
+            books_u,
+            k=2,
+            refine=4,
+            corpus=df,
+            normalize=True,
+        ).collect()
+    )
+    assert got_u[0][1] == 20 and got_u[0][2] == 1.0
+    assert got_u[1][1] == 21
 
 
 def test_pq_recall_on_real_embeddings(spark):

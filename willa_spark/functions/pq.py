@@ -24,9 +24,15 @@ Spark-first shape:
   j-th slice to codebook j, again lambda-bound); a corpus code then
   costs m ``element_at`` lookups summed by one linear fold. No vector
   math touches the corpus side at query time. Optional exact
-  refinement rescores the top ``refine`` ADC candidates with true
-  cosine against the raw vectors (the standard two-stage recipe) —
-  the only stage that reads raw vectors, sized refine × |queries|.
+  refinement rescores the top ``refine`` ADC candidates against the
+  raw vectors IN THE INDEX'S OWN METRIC — true cosine in the default
+  ``normalize=True`` regime, exact squared L2 when ``normalize=False``
+  (off the unit sphere the two rank differently; the refine stage
+  never switches metrics mid-pipeline) — the only stage that reads
+  raw vectors, sized refine × |queries|.
+- SERVING: flat ``pq_topk`` scans |corpus| × |queries| ADC rows — for
+  bounded query sets and re-ranking only; ``ivfpq_topk`` (probed
+  cells' codes only) is the bulk-serving path.
 
 Determinism: training init is the lowest-id vectors (seeded like the
 IVF quantizer), assignment tie-break is first-index
@@ -229,15 +235,23 @@ def _shortlist_and_refine(
     vec_col: str,
     query_id_col: str,
     op: str,
+    normalize: bool = True,
 ) -> DataFrame:
     """The two-stage tail shared by ``pq_topk`` and ``ivfpq_topk``:
     rank the (__qid, __cid, __dist) ADC frame (dist asc, id asc, 6dp
     already applied), keep max(k, refine), and optionally rescore the
-    shortlist by exact cosine against the raw corpus. One copy of the
-    tie-break / rounding / broadcast discipline — a fix here fixes
+    shortlist EXACTLY against the raw corpus — in the metric the ADC
+    stage ranked under. ``normalize=True`` (the unit-sphere regime)
+    refines by exact cosine, descending, as ``cosine_sim``; with
+    ``normalize=False`` the index lives in raw L2 space where cosine
+    and L2 rank DIFFERENTLY off the unit sphere, so the refinement is
+    exact squared L2, ascending, as ``l2_dist`` — one metric end to
+    end, never a silent mid-pipeline switch (r9 advice). One copy of
+    the tie-break / rounding / broadcast discipline — a fix here fixes
     both callers (self-review: the tail had been duplicated verbatim).
-    ``qvecs`` carries (__qid, __qv); cosine is scale-invariant, so
-    normalized or raw query vectors give identical refine scores."""
+    ``qvecs`` carries (__qid, __qv); in the cosine regime scale
+    invariance makes normalized or raw query vectors equivalent, in
+    the L2 regime callers pass RAW vectors on both sides."""
     from pyspark.sql import Window as W
 
     w = W.partitionBy("__qid").orderBy(F.col("__dist").asc(), F.col("__cid").asc())
@@ -260,17 +274,28 @@ def _shortlist_and_refine(
     # the shortlist is refine x |queries| rows — BROADCAST it so the
     # raw corpus never shuffles for the refinement (the advertised
     # two-stage cost; an unhinted join would exchange the corpus)
+    if normalize:
+        score = F.round(cosine(F.col("__cv"), F.col("__qv")), 6)
+        order, out_col = F.col("__sc").desc(), "cosine_sim"
+    else:
+        score = F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("__cv"), F.col("__qv"), lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ),
+            6,
+        )
+        order, out_col = F.col("__sc").asc(), "l2_dist"
     exact = (
         F.broadcast(short.select("__qid", "__cid"))
         .join(raw, "__cid")
         .join(F.broadcast(qvecs), "__qid")
-        .select(
-            "__qid",
-            "__cid",
-            F.round(cosine(F.col("__cv"), F.col("__qv")), 6).alias("__sim"),
-        )
+        .select("__qid", "__cid", score.alias("__sc"))
     )
-    w2 = W.partitionBy("__qid").orderBy(F.col("__sim").desc(), F.col("__cid").asc())
+    w2 = W.partitionBy("__qid").orderBy(order, F.col("__cid").asc())
     return (
         exact.withColumn("__rank", F.row_number().over(w2))
         .filter(F.col("__rank") <= k)
@@ -278,7 +303,7 @@ def _shortlist_and_refine(
             F.col("__qid").alias(query_id_col),
             F.col("__cid").alias(id_col),
             F.col("__rank").alias("rank"),
-            F.col("__sim").alias("cosine_sim"),
+            F.col("__sc").alias(out_col),
         )
     )
 
@@ -300,11 +325,20 @@ def pq_topk(
     rank, adc_dist). Queries broadcast with per-query lookup tables;
     a corpus row costs m element_at lookups + one linear fold.
 
+    SERVING CONTRACT (the ``brute_force_topk`` rule): flat ADC scores
+    |corpus| × |queries| rows before the rank — correct for BOUNDED
+    query sets (interactive lookups, re-ranking a shortlist, oracle
+    baselines), NOT for bulk serving; point bulk query workloads at
+    ``ivfpq_topk``, whose candidate volume is the probed cells' codes,
+    never the corpus.
+
     ``refine=R`` (with ``corpus``) rescores the top-R ADC candidates
-    per query by EXACT cosine and returns (query_id, <id_col>, rank,
-    cosine_sim) — ranks then come from the exact scores, ADC only
-    shortlists (the two-stage recipe; R ≫ k buys recall back from the
-    quantization error)."""
+    per query EXACTLY — cosine (desc, ``cosine_sim``) in the default
+    unit-sphere regime, squared L2 (asc, ``l2_dist``) when
+    ``normalize=False``, so both stages rank under ONE metric — and
+    returns (query_id, <id_col>, rank, <score>): ranks then come from
+    the exact scores, ADC only shortlists (the two-stage recipe; R ≫ k
+    buys recall back from the quantization error)."""
     m = len(codebooks)
     luts = F.array(
         *[
@@ -341,7 +375,7 @@ def pq_topk(
     )
     return _shortlist_and_refine(
         scored, k, refine, corpus, q.select("__qid", "__qv"),
-        id_col, vec_col, query_id_col, "pq_topk",
+        id_col, vec_col, query_id_col, "pq_topk", normalize=normalize,
     )
 
 
@@ -484,10 +518,12 @@ def ivfpq_topk(
     ``n_probe`` nearest cells (the IVF rule — deterministic index
     tie-break), carries a PER-CELL residual lookup table (the residual
     depends on the cell's centroid), and candidates join on the cell
-    key — index-side volume ∝ probed-cell sizes, never the corpus.
-    Returns (query_id, <id_col>, rank, adc_dist), or exact-cosine
+    key — index-side volume ∝ probed-cell sizes, never the corpus
+    (the bulk-serving path; flat ``pq_topk`` is the bounded-query
+    twin). Returns (query_id, <id_col>, rank, adc_dist), or exact
     ranks over the shortlist with ``refine``/``corpus`` (the
-    ``pq_topk`` two-stage recipe)."""
+    ``pq_topk`` two-stage recipe — cosine in the default unit-sphere
+    regime, squared L2 when ``normalize=False``)."""
     from .similarity import _centroid_sims
 
     m, sub = len(codebooks), len(codebooks[0][0])
@@ -550,13 +586,14 @@ def ivfpq_topk(
         )
         .filter(F.col("__dist").isNotNull())
     )
-    # refine against the RAW query vectors (cosine is scale-invariant,
-    # so this matches pq_topk's normalized-vector refinement exactly)
+    # refine against the RAW query vectors — in the cosine regime
+    # scale invariance matches pq_topk's normalized-vector refinement
+    # exactly; in the L2 regime raw-vs-raw IS the metric
     qvecs = queries.select(
         F.col(query_id_col).alias("__qid"),
         _as_double(F.col(query_vec_col)).alias("__qv"),
     )
     return _shortlist_and_refine(
         scored, k, refine, corpus, qvecs, id_col, vec_col, query_id_col,
-        "ivfpq_topk",
+        "ivfpq_topk", normalize=normalize,
     )
