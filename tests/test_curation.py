@@ -125,6 +125,33 @@ def test_fuzzy_contamination_catches_paraphrase(spark):
     assert kept == {5}, kept
 
 
+def test_eval_ngram_sets_sub_n_item_fails_loud(spark):
+    """An eval item with fewer than n tokens yields zero n-grams — it
+    would silently get NO fuzzy-decontamination protection (no row,
+    never flaggable), so the frame fails LOUD in-plan instead (the
+    minimum-token contract); NULL/blank text items hit the same
+    guard. A whole-text fallback would not help: the corpus side
+    explodes n-grams only, so a shorter gram can never join."""
+    import pytest
+    from pyspark.errors import PythonException
+    from py4j.protocol import Py4JJavaError
+
+    short = spark.createDataFrame([(7, "only two")], ["doc_id", "text"])
+    with pytest.raises(Exception, match="eval_ngram_sets.*n=3.*eval_id"):
+        CU.eval_ngram_sets(short).collect()
+    blank = spark.createDataFrame(
+        [(8, None)], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="eval_ngram_sets"):
+        CU.eval_ngram_sets(blank).collect()
+    # items AT the boundary (exactly n tokens -> one gram) still pass
+    ok = spark.createDataFrame([(9, "a b c")], ["doc_id", "text"])
+    rows = CU.eval_ngram_sets(ok).collect()
+    assert [(r["eval_id"], r["gram"], r["n_grams"]) for r in rows] == [
+        (9, "a b c", 1)
+    ]
+
+
 def test_fuzzy_contamination_join_is_broadcast(spark):
     ev = spark.createDataFrame([(0, "a b c d e")], ["doc_id", "text"])
     docs = spark.createDataFrame([(1, "b c d e f")], ["doc_id", "text"])
@@ -1190,7 +1217,14 @@ def test_fuzzy_contamination_python_differential(spark, toks):
     threshold and the distinct-counting rules)."""
     rows = [(i, " ".join(t)) for i, t in enumerate(toks)]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
-    ev = df.filter(F.col("doc_id") % 2 == 0)
+    # the minimum-token contract: sub-n eval items fail LOUD in
+    # eval_ngram_sets (they can never join the corpus's n-grams), so a
+    # caller screens them out up front — mirrored by the reference's
+    # `if not eg: continue`
+    ev = df.filter(
+        (F.col("doc_id") % 2 == 0)
+        & (F.size(F.split(F.col("text"), r"\s+")) >= 2)
+    )
     got = {
         (r["doc_id"], r["eval_id"]): (r["n_shared_grams"], r["overlap"])
         for r in CU.fuzzy_contamination_report(

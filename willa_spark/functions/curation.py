@@ -235,10 +235,34 @@ def eval_ngram_sets(
     broadcast side of fuzzy decontamination (``eval_ngrams`` keyed and
     counted per item, so overlap FRACTIONS are computable). Eval sets
     are tiny relative to the corpus; the frame is meant to be built
-    once and broadcast."""
+    once and broadcast.
+
+    MINIMUM-TOKEN CONTRACT: an item with fewer than ``n`` tokens (or
+    NULL/blank text) yields ZERO n-grams — no row, no join hit, so it
+    would silently receive NO fuzzy-decontamination protection while
+    the caller believes the whole benchmark is screened. That is a
+    silent coverage gap (r9 advice), so it fails LOUD in-plan; screen
+    sub-``n`` items separately with a smaller ``n`` or the exact
+    whole-item screen (``eval_ngrams``/``contamination_report``). A
+    whole-text fallback gram would NOT protect them — the corpus side
+    explodes ``n``-grams only, so a shorter gram can never join."""
+    s = F.array_distinct(shingles(F.col(text_col), n))
+    guarded = F.when(F.size(s) > 0, s).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"eval_ngram_sets: eval item has fewer than n={n} "
+                    "tokens (zero n-grams) and would silently get NO "
+                    "fuzzy-decontamination coverage; screen short items "
+                    "with a smaller n or the exact screen — eval_id="
+                ),
+                F.col(id_col).cast("string"),
+            )
+        ).cast("array<string>")
+    )
     g = eval_docs.select(
         F.col(id_col).alias("eval_id"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("gram"),
+        F.explode(guarded).alias("gram"),
     )
     counts = g.groupBy("eval_id").agg(F.count(F.lit(1)).alias("n_grams"))
     return g.join(counts, "eval_id")
