@@ -160,11 +160,88 @@ def test_bpe_early_stop_and_empty(spark):
 
 def test_bpe_encode_plan_broadcasts_segmentation(spark):
     """The (word -> pieces) mapping must reach the corpus join as a
-    broadcast — corpus rows never shuffle for encoding."""
+    broadcast at test scale (auto: the vocab-count guard passes) —
+    corpus rows never shuffle for encoding; with
+    ``broadcast_vocab=False`` (the web-scale word-table escape hatch)
+    the FORCED hint must be gone so the join can plan as a shuffle
+    join — AQE keeps its runtime fallback either way."""
     docs = _docs(spark, ["low lower low", "lowest newer low"])
     merges = B.bpe_train(docs, n_merges=4, min_count=1)
     plan = B.bpe_token_counts(docs, merges)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # forced True: same broadcast shape, no count job needed
+    plan_t = (
+        B.bpe_token_counts(docs, merges, broadcast_vocab=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan_t
+    # False: the vocab side must NOT carry the broadcast hint; the
+    # static plan's word join is exchange-based (AQE may still convert
+    # at runtime from ACTUAL sizes — that is the point of unforcing)
+    plan_f = (
+        B.bpe_token_counts(docs, merges, broadcast_vocab=False)
+        ._jdf.queryExecution().sparkPlan().toString()
+    )
+    assert "SortMergeJoin" in plan_f or "ShuffledHashJoin" in plan_f
+    # and the results are identical under every join shape
+    base = sorted(
+        (r["doc_id"], r["n_bpe_tokens"])
+        for r in B.bpe_token_counts(docs, merges).collect()
+    )
+    for bv in (True, False):
+        got = sorted(
+            (r["doc_id"], r["n_bpe_tokens"])
+            for r in B.bpe_token_counts(docs, merges, broadcast_vocab=bv).collect()
+        )
+        assert got == base
+
+
+def test_merge_batches_disjointness_and_order(spark):
+    """_merge_batches: contiguous, order-preserving, breaks on ANY
+    shared symbol (operands or outputs), caps at max_batch."""
+    # (e,r)->er then (er,EOW): output of #1 is an operand of #2
+    m = [("e", "r"), ("er", B.EOW), ("a", "b"), ("c", "d"), ("ab", "cd")]
+    got = B._merge_batches(m)
+    assert got == [
+        [("e", "r")],
+        [("er", B.EOW), ("a", "b"), ("c", "d")],
+        [("ab", "cd")],
+    ]
+    assert [p for batch in got for p in batch] == m
+    # output collision the OTHER way: (a,b)->ab then (x,ab)
+    assert B._merge_batches([("a", "b"), ("x", "ab")]) == [
+        [("a", "b")],
+        [("x", "ab")],
+    ]
+    # max_batch splits a long disjoint run
+    long = [(f"s{i}", f"t{i}") for i in range(70)]
+    sizes = [len(b) for b in B._merge_batches(long)]
+    assert sizes == [32, 32, 6]
+
+
+def test_segment_words_batched_equals_sequential_reference(spark):
+    """The batched fold must equal the per-merge sequential Python
+    reference on a merge list that mixes interacting chains and
+    disjoint runs — including merges that only match AFTER an earlier
+    batch's rewrite, and a word where a disjoint pair's symbols
+    surround another pair ('c a b d': merging (a,b) must NOT make
+    (c,d) adjacent)."""
+    merges = [
+        ("l", "o"),       # chains with the next (shared 'lo')
+        ("lo", "w"),
+        ("e", "r"),       # disjoint from ('lo','w') but contiguity already broke
+        ("n", "e"),       # shares 'e' with previous
+        ("c", "d"),
+        ("a", "b"),       # disjoint pair batch with ('c','d')
+        ("ab", "cd"),     # interacts with both outputs
+    ]
+    words = ["lower", "newer", "cabd", "abcd", "low", "ccdd", "abab"]
+    df = spark.createDataFrame([(w,) for w in words], ["word"])
+    got = {
+        r["word"]: list(r["pieces"])
+        for r in B.segment_words(df, merges).collect()
+    }
+    assert got == {w: _ref_segment(w, merges) for w in words}
 
 
 def test_bpe_counts_and_encode_keep_empty_docs(spark):

@@ -21,10 +21,14 @@ Spark-first shape (the part that matters at 100 TB):
   depends on merge k) — the parallelism is within each round.
 - Encoding NEVER runs per corpus token: ``segment_words`` applies the
   merge list to the distinct-word table (same fold kernel, one
-  checkpointed pass per merge), and ``bpe_encode_docs`` /
-  ``bpe_token_counts`` broadcast-join that (word → pieces) mapping
-  back onto the exploded corpus. No Python UDF anywhere — every step
-  is JVM Column logic.
+  checkpointed pass per symbol-disjoint merge BATCH — O(|batches|)
+  jobs, not O(|merges|)), and ``bpe_encode_docs`` /
+  ``bpe_token_counts`` join that (word → pieces) mapping back onto
+  the exploded corpus — broadcast under the vocab-count guard
+  (``BROADCAST_VOCAB_MAX_WORDS``), shuffle join above it (web-scale
+  distinct-word tables reach 1e8+ rows; a FORCED broadcast hint there
+  would OOM executors and rob AQE of its fallback). No Python UDF
+  anywhere — every step is JVM Column logic.
 
 Determinism contract (pinned by the pure-Python differential tests):
 pair counts include overlapping occurrences ("aaaa" counts (a,a)
@@ -101,6 +105,75 @@ def _apply_merge(sym_col, a: str, b: str) -> F.Column:
     return F.aggregate(sym_col, acc0, step, finish)
 
 
+def _merge_batches(
+    merges: list[tuple[str, str]], max_batch: int = 32
+) -> list[list[tuple[str, str]]]:
+    """CONTIGUOUS batches of pairwise symbol-disjoint merges — the
+    unit ``segment_words`` applies per checkpointed pass, so encoding
+    a production-size merge list costs O(|batches|) Spark jobs instead
+    of O(|merges|) (r9 advice: ~32k sequential jobs per micro-batch).
+
+    Batching is provably semantics-preserving for DISJOINT merges
+    (no symbol of one — a, b, OR the output a+b — appears in
+    another): a merge rewrites two adjacent symbols into one NEW
+    symbol, so it can neither create a disjoint pair's adjacency
+    (symbols are merged, never deleted — non-adjacent stays
+    non-adjacent) nor destroy one (it can't consume the other pair's
+    symbols), and within one combined left-to-right pass at most one
+    batch rule can match any position, resolving each rule's matches
+    exactly as its solo pass would. Interacting merges (shared
+    symbols — e.g. (e,r) then (er,EOW)) still get sequential passes:
+    the batch breaks at the first merge whose symbols intersect the
+    batch's. ``max_batch`` bounds the chained-CASE expression size in
+    the combined fold (codegen discipline)."""
+    batches: list[list[tuple[str, str]]] = []
+    cur: list[tuple[str, str]] = []
+    syms: set[str] = set()
+    for a, b in merges:
+        s = {a, b, a + b}
+        if cur and (s & syms or len(cur) >= max_batch):
+            batches.append(cur)
+            cur, syms = [], set()
+        cur.append((a, b))
+        syms |= s
+    if cur:
+        batches.append(cur)
+    return batches
+
+
+def _apply_merge_batch(sym_col, batch: list[tuple[str, str]]) -> F.Column:
+    """One left-to-right pass applying every merge in a
+    symbol-disjoint ``_merge_batches`` batch: the single-merge fold
+    with the match test widened to a first-match CASE over the batch
+    (at most one rule can match — symbols are disjoint — so 'first'
+    is not a tie-break, just expression form)."""
+    if len(batch) == 1:
+        return _apply_merge(sym_col, *batch[0])
+    empty = F.array().cast("array<string>")
+    acc0 = F.struct(
+        empty.alias("out"), F.lit(None).cast("string").alias("prev")
+    )
+
+    def step(acc, s):
+        flush = F.when(
+            acc["prev"].isNull(), acc["out"]
+        ).otherwise(F.concat(acc["out"], F.array(acc["prev"])))
+        expr = F.struct(flush.alias("out"), s.alias("prev"))
+        for a, b in reversed(batch):
+            expr = F.when(
+                (acc["prev"] == F.lit(a)) & (s == F.lit(b)),
+                F.struct(acc["out"].alias("out"), F.lit(a + b).alias("prev")),
+            ).otherwise(expr)
+        return expr
+
+    def finish(acc):
+        return F.when(acc["prev"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["prev"]))
+        )
+
+    return F.aggregate(sym_col, acc0, step, finish)
+
+
 def _pair_counts(symframe: DataFrame) -> DataFrame:
     """Weighted adjacent-pair counts over (sym array<string>, count):
     overlapping occurrences all count (the classic get_stats)."""
@@ -166,19 +239,44 @@ def bpe_train(
 
 def segment_words(words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
     """(word, pieces array<string>) for a distinct-word frame: the
-    merge list applied IN ORDER by the same fold kernel training used,
-    one checkpointed pass per merge so the plan stays flat. This is
-    the vocabulary-sized half of encoding — corpus volume never enters
-    here."""
+    merge list applied IN ORDER, one checkpointed pass per
+    symbol-DISJOINT batch (``_merge_batches`` — provably equivalent to
+    the per-merge passes training used; the differential pin runs
+    both). Job count is O(|batches|), not O(|merges|): interacting
+    chains (the early high-frequency merges) still sequence, but a
+    production-size merge list's long disjoint tail folds ~32 merges
+    per pass. This is the vocabulary-sized half of encoding — corpus
+    volume never enters here."""
     seg = words.select(
         "word", _initial_symbols(F.col("word")).alias("pieces")
     ).localCheckpoint(eager=True)
-    for a, b in merges:
+    for batch in _merge_batches(merges):
         # rebind-and-GC release, same as bpe_train's round loop
         seg = seg.select(
-            "word", _apply_merge(F.col("pieces"), a, b).alias("pieces")
+            "word", _apply_merge_batch(F.col("pieces"), batch).alias("pieces")
         ).localCheckpoint(eager=True)
     return seg
+
+
+# Auto-broadcast ceiling for the (word -> pieces) mapping: below this
+# many distinct words the hint is forced (a few-hundred-MB map at
+# worst — the Zipf common case); above it the hint is DROPPED so the
+# join plans as a shuffle join (AQE can still convert it back at
+# runtime if actual sizes allow). Web-scale corpora DO blow past this
+# (URLs, typos, code identifiers push distinct words to 1e8+), and a
+# forced broadcast there would OOM every executor — that is exactly
+# when the shuffle-join fallback is the right call (r9 verdict #3).
+BROADCAST_VOCAB_MAX_WORDS = 1_000_000
+
+
+def _vocab_hint(seg: DataFrame, broadcast_vocab: bool | None) -> DataFrame:
+    """Apply (or withhold) the broadcast hint on the segmented-vocab
+    frame. ``None`` = auto: count the (already-materialized,
+    localCheckpointed) word table — one cheap job over cached blocks —
+    and broadcast iff it is under ``BROADCAST_VOCAB_MAX_WORDS``."""
+    if broadcast_vocab is None:
+        broadcast_vocab = seg.count() <= BROADCAST_VOCAB_MAX_WORDS
+    return F.broadcast(seg) if broadcast_vocab else seg
 
 
 def bpe_encode_docs(
@@ -186,20 +284,28 @@ def bpe_encode_docs(
     merges: list[tuple[str, str]],
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_vocab: bool | None = None,
 ) -> DataFrame:
     """(id, pieces array<string>) per document: tokenize, segment the
-    DISTINCT words once, broadcast-join the (word → pieces) mapping
-    back onto the positions, and reassemble in token order. The
-    corpus-volume work is one explode + one broadcast join + one
-    per-doc partial agg — no per-token Python, no vocabulary-sized
-    shuffle of the corpus."""
+    DISTINCT words once, join the (word → pieces) mapping back onto
+    the positions, and reassemble in token order. The corpus-volume
+    work is one explode + one join + one per-doc partial agg — no
+    per-token Python, no vocabulary-sized shuffle of the corpus.
+
+    ``broadcast_vocab``: True forces the broadcast hint, False forces
+    the shuffle join (the right call when the distinct-word table is
+    executor-memory-scale — web corpora hit 1e8+ distinct words),
+    None (default) decides from the materialized vocab count
+    (``BROADCAST_VOCAB_MAX_WORDS``)."""
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.posexplode(tokens(F.col(text_col))).alias("pos", "word"),
     ).filter(F.col("word") != "")
-    seg = segment_words(toks.select("word").distinct(), merges)
+    seg = _vocab_hint(
+        segment_words(toks.select("word").distinct(), merges), broadcast_vocab
+    )
     enc = (
-        toks.join(F.broadcast(seg), "word")
+        toks.join(seg, "word")
         .groupBy("id")
         .agg(
             F.flatten(
@@ -226,20 +332,26 @@ def bpe_token_counts(
     merges: list[tuple[str, str]],
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_vocab: bool | None = None,
 ) -> DataFrame:
     """(id, n_bpe_tokens) per document — the token-budget input with a
     REAL learned tokenizer instead of the whitespace proxy. Same plan
     as ``bpe_encode_docs`` but only piece COUNTS ride the join (8
-    bytes per distinct word instead of the piece arrays)."""
+    bytes per distinct word instead of the piece arrays); same
+    ``broadcast_vocab`` contract (None = auto by vocab count; False =
+    shuffle join for executor-memory-scale word tables)."""
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.col(text_col))).alias("word"),
     ).filter(F.col("word") != "")
-    seg = segment_words(toks.select("word").distinct(), merges).select(
-        "word", F.size("pieces").alias("__n")
+    seg = _vocab_hint(
+        segment_words(toks.select("word").distinct(), merges).select(
+            "word", F.size("pieces").alias("__n")
+        ),
+        broadcast_vocab,
     )
     counts = (
-        toks.join(F.broadcast(seg), "word")
+        toks.join(seg, "word")
         .groupBy("id")
         .agg(F.sum("__n").cast("long").alias("n_bpe_tokens"))
     )

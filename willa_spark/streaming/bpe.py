@@ -34,9 +34,17 @@ def bpe_count_step(
     n_bpe_tokens)`` rows (or ``(id, pieces)`` with ``encode=True``)
     under the frozen merge list. Per-batch work is the batch kernel's
     own plan — the merge passes run over the BATCH's distinct words
-    (vocab-sized per batch), then broadcast-join back; empty docs keep
-    their 0-token/empty-pieces rows (the batch cardinality
-    contract)."""
+    (vocab-sized per batch), then join back (auto-broadcast under the
+    vocab-count guard); empty docs keep their 0-token/empty-pieces
+    rows (the batch cardinality contract).
+
+    JOB-COUNT BOUND per micro-batch: one Spark job per symbol-disjoint
+    merge BATCH (``functions.bpe._merge_batches``), not per merge — a
+    production ~32k-merge tokenizer costs on the order of 1e3
+    checkpointed passes per batch, not 32k. Still linear in the merge
+    list; size micro-batch intervals accordingly, or pre-segment a
+    static vocabulary and maintain it as a store if batch cadence is
+    tighter than that."""
 
     def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
         fn = bpe_encode_docs if encode else bpe_token_counts
