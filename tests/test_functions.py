@@ -1532,8 +1532,9 @@ def test_chunk_documents_tail_overlap_and_edges(spark):
     assert rows[(0, 0)][1].split()[-1] == rows[(0, 1)][1].split()[0]
     # short doc: one chunk, itself, case preserved
     assert rows[(1, 0)] == (2, "A b")
-    # empty doc: one chunk of the empty token (the tokenizer spec)
-    assert rows[(2, 0)] == (1, "")
+    # blank doc: one chunk, ZERO tokens (split('')'s phantom '' must
+    # not count toward token budgets — r9 advice), empty text
+    assert rows[(2, 0)] == (0, "")
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="chunk_documents"):
@@ -1559,16 +1560,22 @@ def test_chunk_documents_oracle_parity(spark):
 
 
 def test_chunk_documents_null_text_is_empty_doc(spark):
-    """Self-review regression: a NULL-text document chunks like the
-    empty document (one chunk of the empty token) — without the
-    coalesce, greatest/least skip the NULL token count and emit a
-    phantom chunk_size-token chunk with NULL text, corrupting token
-    accounting (the DuckDB oracle reproduced the same phantom, so the
-    parity pin could never catch it)."""
+    """Self-review regression + r9 advice: a NULL-text document chunks
+    like the blank document — ONE chunk (cardinality contract) with
+    chunk_tokens = 0 and empty text. Without the coalesce,
+    greatest/least skip the NULL token count and emit a phantom
+    chunk_size-token chunk with NULL text; without the blank-to-empty
+    rule, split('')'s phantom '' element reports chunk_tokens = 1 and
+    overstates token budgets (both defects were mirrored by the DuckDB
+    oracle, so the parity pin could never catch either — the
+    write-the-oracle-from-the-SPEC lesson)."""
     from willa_spark.functions.text import chunk_documents
 
-    docs = spark.createDataFrame([(0, None)], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(0, None), (1, "   ")], "doc_id long, text string"
+    )
     rows = chunk_documents(docs, chunk_size=4, overlap=1).collect()
-    assert [(r["chunk_id"], r["chunk_tokens"], r["chunk_text"]) for r in rows] == [
-        (0, 1, "")
-    ]
+    assert sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_tokens"], r["chunk_text"])
+        for r in rows
+    ) == [(0, 0, 0, ""), (1, 0, 0, "")]

@@ -243,13 +243,20 @@ def chunk_documents(
             f"chunk_size (got {chunk_size}, {overlap})"
         )
     stride = chunk_size - overlap
-    # NULL text behaves as the empty document (one chunk of the empty
-    # token) — without the coalesce, greatest/least SKIP the NULL
-    # token count and emit a phantom full-size chunk with NULL text
-    # (chunk_tokens = chunk_size for a document that has none; caught
-    # in self-review, and the DuckDB oracle reproduced the same
-    # phantom, so parity could never see it)
-    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), TOKEN_SPLIT_RE)
+    # NULL text behaves as the empty document — without the coalesce,
+    # greatest/least SKIP the NULL token count and emit a phantom
+    # full-size chunk with NULL text (chunk_tokens = chunk_size for a
+    # document that has none; caught in self-review, and the DuckDB
+    # oracle reproduced the same phantom, so parity could never see
+    # it). The blank document then tokenizes to ZERO tokens — Spark's
+    # split('') keeps the phantom '' element, which would report
+    # chunk_tokens = 1 and overstate token budgets for blank docs (r9
+    # advice) — yielding ONE chunk with chunk_tokens = 0 and empty
+    # text (the one-row-per-doc cardinality contract holds).
+    trimmed = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    toks = F.when(
+        trimmed == "", F.array().cast("array<string>")
+    ).otherwise(F.split(trimmed, TOKEN_SPLIT_RE))
 
     def chunks(t):
         n = F.size(t)

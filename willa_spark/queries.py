@@ -4488,8 +4488,13 @@ def q_sketch_profile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 # document chunking, the retrieval-indexing / packing primitive.
 CHUNK_DOCS_ORACLE = r"""
 WITH t AS (
-  -- coalesce mirrors the Spark side's NULL-text-as-empty rule
-  SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS toks
+  -- mirrors the Spark side's blank-document rule: NULL/blank text is
+  -- the EMPTY token array (one chunk, chunk_tokens = 0), not the
+  -- split-of-'' phantom ['']
+  SELECT doc_id,
+         CASE WHEN trim(coalesce(text, '')) = ''
+              THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\s+') END AS toks
   FROM documents
 ), c AS (
   SELECT doc_id, toks, len(toks) AS n,
