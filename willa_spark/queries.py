@@ -4291,12 +4291,17 @@ WITH t AS (
     SELECT doc_id, unnest(toks) AS term, len(toks) AS dl FROM t
   ) GROUP BY doc_id, term
 ), qids AS (
-  -- the QUERY SET is documents(doc_id mod 50 = 0) INNER JOIN
-  -- embeddings — a query doc must have BOTH terms and a vector,
+  -- the QUERY SET is documents(doc_id mod 50 = 0, id < 2500) INNER
+  -- JOIN embeddings — a query doc must have BOTH terms and a vector,
   -- exactly like the Spark side's join (a one-sided definition would
   -- silently diverge on a corpus where the id spaces differ; caught
-  -- in self-review)
-  SELECT doc_id AS query_id FROM documents WHERE doc_id % 50 = 0
+  -- in self-review). The id < 2500 cap BOUNDS the query set at 50
+  -- regardless of corpus scale: the exact-cosine arm is the
+  -- brute-force baseline, and its cost must stay corpus x CONSTANT,
+  -- never corpus x corpus-proportional-queries (r9 verdict #5 — the
+  -- precision_ann_lsh bounded-query-set pattern)
+  SELECT doc_id AS query_id FROM documents
+  WHERE doc_id % 50 = 0 AND doc_id < 2500
   INTERSECT
   SELECT vec_id FROM embeddings
 ), q AS (
@@ -4368,17 +4373,21 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact reciprocals rounded to 6dp before the final rank. The
     fusion itself touches |queries|x5x2 rows — post-retrieval volume,
     corpus-size-independent. The exact-cosine arm is the
-    oracle-expressible projection (and the documented bounded-query
-    baseline — 100x naive work at 10x corpus x 10x queries); the
-    at-scale twin fuses lsh_topk under the bucket-count rule instead,
-    measured FLAT per-query at 10x/10x (BASELINE.md r9 addendum)."""
+    oracle-expressible projection, and the query set is EXPLICITLY
+    BOUNDED (doc_id % 50 == 0 AND doc_id < 2500 — at most 50 queries
+    at ANY corpus scale, the precision_ann_lsh pattern) so the
+    brute-force arm costs corpus x constant, never corpus x
+    corpus-proportional queries (r9 verdict #5: the unbounded form
+    measured 25x at 10x corpus x 10x queries); the at-scale twin
+    fuses lsh_topk under the bucket-count rule instead, measured FLAT
+    per-query at 10x/10x (BASELINE.md r9 addendum)."""
     from willa_spark.functions import retrieval as R
 
     docs = read_docs_spread(spark, sf_dir).select("doc_id", "text")
     emb = read_table(spark, sf_dir, "embeddings")
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     queries = (
-        docs.filter(F.col("doc_id") % 50 == 0)
+        docs.filter((F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 2500))
         .select(
             F.col("doc_id").alias("query_id"),
             F.array_distinct(F.slice(toks, 1, 5)).alias("terms"),
