@@ -1541,6 +1541,47 @@ def test_chunk_documents_tail_overlap_and_edges(spark):
         chunk_documents(docs, chunk_size=4, overlap=4)
 
 
+def test_streaming_chunk_step_congruent_with_batch(spark):
+    """Frozen geometry => the union of per-batch chunk rows over ANY
+    batch split equals chunk_documents over the full corpus exactly
+    (chunking is a pure per-doc function of the config); blank/NULL
+    docs keep their zero-token chunk row inside each batch; geometry
+    errors fail at step construction, never mid-stream."""
+    import pytest as _pytest
+
+    from willa_spark.functions.text import chunk_documents
+    from willa_spark.streaming.text import chunk_step
+
+    toks = " ".join(f"T{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(0, toks), (1, "A b"), (2, ""), (3, None), (4, toks + " X")],
+        "doc_id long, text string",
+    )
+    step = chunk_step(chunk_size=4, overlap=1)
+    batches = [
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    ]
+    got = sorted(tuple(r) for b in batches for r in step(b, 0).collect())
+    want = sorted(
+        tuple(r) for r in chunk_documents(docs, chunk_size=4, overlap=1).collect()
+    )
+    assert got == want
+    # one row minimum per doc, blanks at zero tokens, inside batches
+    per_doc = {}
+    for doc_id, _, n, _ in got:
+        per_doc.setdefault(doc_id, []).append(n)
+    assert set(per_doc) == {0, 1, 2, 3, 4}
+    assert per_doc[2] == [0] and per_doc[3] == [0]
+    # replay idempotence: re-running a batch re-emits identical rows
+    again = sorted(tuple(r) for r in step(batches[0], 0).collect())
+    assert again == sorted(
+        tuple(r) for b in batches[:1] for r in step(b, 99).collect()
+    )
+    with _pytest.raises(ValueError, match="chunk_step"):
+        chunk_step(chunk_size=4, overlap=4)
+
+
 def test_chunk_documents_oracle_parity(spark):
     """The r10/r11 registration candidate, parity-pinned NOW (green at
     sf0.001/0.01/0.1 when written; the pin runs the small corpus)."""
