@@ -1260,6 +1260,16 @@ def epoch_shuffle(
     the corpus in a reproducible pseudo-random permutation that is
     INDEPENDENT across epochs.
 
+    What "no global sort" buys, precisely (measured, BASELINE.md r10
+    addendum): a global ``orderBy`` runs the range partitioner's
+    SAMPLING pass over the input first — a second execution of the
+    entire uncached input lineage (measured 1.89× total wall on a
+    quality-scored sf1 corpus; a tie on a small page-cached scan,
+    honestly recorded). The hash exchange here reads the lineage
+    once, with no sample job and no skew sensitivity to the key
+    distribution — at 100 TB the input is never cacheable, so the
+    avoided pass is an avoided full corpus read per epoch.
+
     Hash hygiene (all three are self-review catches): the literal
     domain tag keeps the epoch OUT of ``hash_uniform``'s salt space —
     a raw ``xxhash64(id, epoch)`` would make epoch 1's position key
