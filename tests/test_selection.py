@@ -215,6 +215,36 @@ def test_dsir_weights_oracle_parity(spark, sf_dir):
     assert got == want
 
 
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001"])
+def test_perplexity_bands_oracle_parity(spark, sf_dir):
+    """The CCNet banding registration candidate (queued r10 for the
+    r11 gate), parity-pinned NOW: queries.q_perplexity_bands vs its
+    full DuckDB oracle — n_grams exact, 6dp cross_entropy equal, and
+    the head/middle/tail label computed from the ROUNDED score so a
+    last-ulp engine difference can never flip a boundary bucket."""
+    import duckdb
+
+    from willa_spark.queries import PERPLEXITY_BANDS_ORACLE, q_perplexity_bands
+
+    got = sorted(
+        (r["doc_id"], r["n_grams"], r["cross_entropy"], r["quality_bucket"])
+        for r in q_perplexity_bands(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(PERPLEXITY_BANDS_ORACLE).fetchall()
+    )
+    assert len(got) == len(want) > 0
+    assert got == want
+    # the banding must be a real three-way split on this corpus, not a
+    # vacuous single-band labeling
+    assert len({b for _, _, _, b in got}) >= 2
+
+
 def test_dsir_score_step_congruent_with_batch(spark):
     """Streaming scoring twin: frozen models + per-batch application
     of the batch kernel ⇒ the union of step outputs over any batch

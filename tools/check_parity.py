@@ -90,10 +90,10 @@ def norm_rows(cols, types, rows):
 # pre-flight and the policy block cannot drift silently (the list is
 # asserted against queries.py at run time: a missing attr fails loud).
 CANDIDATES = [
-    ("dsir_weights", "q_dsir_weights", "DSIR_WEIGHTS_ORACLE"),
     ("hybrid_rrf_topk", "q_hybrid_rrf_topk", "HYBRID_RRF_ORACLE"),
     ("sketch_profile_bands", "q_sketch_profile_bands", "SKETCH_PROFILE_ORACLE"),
     ("chunk_documents", "q_chunk_documents", "CHUNK_DOCS_ORACLE"),
+    ("perplexity_bands", "q_perplexity_bands", "PERPLEXITY_BANDS_ORACLE"),
 ]
 
 

@@ -4535,6 +4535,81 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, chunk_size=32, overlap=8)
 
 
+# --------------------------------------------------------------------
+# FIFTH REGISTRATION CANDIDATE (queued r10 for the r11 period-3 gate's
+# free slots; the parked-with-oracle discipline): CCNet-style
+# perplexity-proxy quality banding — the one r9 selection-family
+# operator with no driver-row path yet (DSIR covers the likelihood
+# RATIO; this is the single-model absolute signal). Fully
+# SQL-expressible (the DSIR oracle's gram arithmetic with one model),
+# so the row is hash-grade end to end.
+PERPLEXITY_BANDS_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id, g, count(*) AS cnt FROM (
+    SELECT doc_id, unnest(tk) AS g FROM t
+    UNION ALL
+    SELECT doc_id,
+           unnest([array_to_string(tk[i:i+1], ' ')
+                   FOR i IN range(1, greatest(len(tk), 1))]) AS g
+    FROM t
+  ) WHERE g <> '' GROUP BY 1, 2
+), tm AS (
+  SELECT g, sum(cnt) AS c FROM grams WHERE doc_id % 13 = 0 GROUP BY g
+), ts AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS space
+  FROM tm
+), scored AS (
+  SELECT d.doc_id,
+         CAST(sum(d.cnt) AS BIGINT) AS n_grams,
+         round(sum(d.cnt * -ln(
+           (coalesce(tm.c, 0) + 1e-4) / (ts.total + 1e-4 * ts.space)
+         )) / sum(d.cnt), 6) AS cross_entropy
+  FROM grams d
+  LEFT JOIN tm ON d.g = tm.g
+  CROSS JOIN ts
+  GROUP BY d.doc_id
+)
+SELECT doc_id, n_grams, cross_entropy,
+       CASE WHEN cross_entropy < 5.8 THEN 'head'
+            WHEN cross_entropy < 6.4 THEN 'middle'
+            ELSE 'tail' END AS quality_bucket
+FROM scored
+"""
+
+
+def q_perplexity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet quality banding (functions/selection.py::
+    cross_entropy_score + with_quality_bucket, Wenzek et al. 2020
+    §3.3): every document's mean NLL (nats/gram — exp(ce) IS a
+    perplexity) under the quality-seed model (every 13th doc, the
+    DSIR stand-in), banded head/middle/tail at FIXED bounds 5.8/6.4
+    (calibration-corpus constants — picked from the measured tercile
+    range so all three bands populate at sf0.01 AND sf0.1; rank-based
+    banding inside the operator would shuffle globally and diverge
+    across engines). The exact feature space is the oracle projection
+    (the dsir_weights rule); banding runs on the 6dp-ROUNDED score so
+    a cross-engine last-ulp difference can never flip a bucket at the
+    boundary. One explode + one per-doc partial agg, model broadcast
+    — gram-less docs have no row (the family contract, oracle's
+    g <> '' mirror)."""
+    from .functions import selection as SELECTION
+
+    docs = read_docs_spread(spark, sf_dir).select("doc_id", "text")
+    model = SELECTION.feature_log_probs(
+        docs.filter(F.col("doc_id") % 13 == 0), num_buckets=None
+    )
+    scored = SELECTION.cross_entropy_score(docs, model, num_buckets=None)
+    rounded = scored.select(
+        "doc_id",
+        "n_grams",
+        F.round("cross_entropy", 6).alias("cross_entropy"),
+    )
+    return SELECTION.with_quality_bucket(rounded, 5.8, 6.4)
+
+
 # Queries OMITTED from the driver-visible correctness set: the driver
 # records oracle rows for at most 50 queries (in registration order),
 # so every DISTINCT operator proof must land inside that window.
