@@ -498,3 +498,35 @@ def test_ivfpq_geometry_guards_fail_loud(spark):
         )
     with pytest.raises(ValueError, match="not divisible"):
         PQ.ivfpq_train(df, [[1.0] * 7], m=2, k=2, normalize=False)
+
+
+def test_pq_recall_bands_oracle_parity(spark):
+    """The PQ/IVF-PQ registration candidates (queued r10 for the r11
+    gate), parity-pinned NOW: exact query ids + n_results with the
+    in-plan-verified band booleans, vs the trivial oracle (a violated
+    band raise_errors in Spark rather than hash-mismatching — the
+    fail-loud arm of the sketch_profile_bands pattern). Green at
+    sf0.001/0.01/0.1 through the driver-grade pre-flight when queued;
+    the pin runs the small corpus."""
+    import duckdb
+
+    from willa_spark.queries import (
+        IVFPQ_RECALL_ORACLE,
+        PQ_RECALL_ORACLE,
+        q_ivfpq_recall_bands,
+        q_pq_recall_bands,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    for fn, oracle in (
+        (q_pq_recall_bands, PQ_RECALL_ORACLE),
+        (q_ivfpq_recall_bands, IVFPQ_RECALL_ORACLE),
+    ):
+        got = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+        want = sorted(tuple(r) for r in con.execute(oracle).fetchall())
+        assert len(got) == len(want) > 0
+        assert got == want

@@ -94,6 +94,8 @@ CANDIDATES = [
     ("sketch_profile_bands", "q_sketch_profile_bands", "SKETCH_PROFILE_ORACLE"),
     ("chunk_documents", "q_chunk_documents", "CHUNK_DOCS_ORACLE"),
     ("perplexity_bands", "q_perplexity_bands", "PERPLEXITY_BANDS_ORACLE"),
+    ("pq_recall_bands", "q_pq_recall_bands", "PQ_RECALL_ORACLE"),
+    ("ivfpq_recall_bands", "q_ivfpq_recall_bands", "IVFPQ_RECALL_ORACLE"),
 ]
 
 

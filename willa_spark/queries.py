@@ -4610,6 +4610,132 @@ def q_perplexity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SELECTION.with_quality_bucket(rounded, 5.8, 6.4)
 
 
+# --------------------------------------------------------------------
+# SIXTH + SEVENTH REGISTRATION CANDIDATES (queued r10): the PQ / IVF-PQ
+# ANN families' driver rows — the band-proof form (the
+# sketch_profile_bands pattern: an approximate index's output can
+# never hash-match another engine, so the row carries EXACT columns
+# the oracle reproduces plus in-plan-verified invariant booleans the
+# oracle asserts TRUE; a violated band raise_errors, never silently
+# hash-mismatches). Thresholds are measured floors with margin
+# (tools: per-query recall ≥ 0.6 and means 0.75–0.98 across all three
+# SFs at refine=200) — the exact integer differential lives in
+# tests/test_pq.py.
+PQ_RECALL_ORACLE = r"""
+SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results,
+       TRUE AS self_top1, TRUE AS recall_ok, TRUE AS mean_recall_ok
+FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 2000
+"""
+
+IVFPQ_RECALL_ORACLE = r"""
+SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results,
+       TRUE AS self_top1, TRUE AS recall_ok, TRUE AS mean_recall_ok
+FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 2000
+"""
+
+
+def _ann_recall_bands(
+    spark: SparkSession,
+    sf_dir: str,
+    approx_fn,
+    label: str,
+    min_recall: float = 0.5,
+    min_mean: float = 0.7,
+) -> DataFrame:
+    """Shared band-proof tail for the PQ/IVF-PQ rows: per bounded
+    query (vec_id % 100 == 0, id < 2000 — ≤20 at ANY scale, the
+    precision_ann_lsh rule), emit exact n_results, rank-1-is-self,
+    per-query recall@10 ≥ ``min_recall`` vs in-plan brute force, and
+    the corpus-mean recall ≥ ``min_mean`` riding every row."""
+    from .functions.similarity import brute_force_topk
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    # pinned: the approx frame feeds the top-1 check AND the recall
+    # join (multi-consumer rule); the exact arm is the bounded-query
+    # brute-force baseline
+    approx = approx_fn(emb, q).select(
+        F.col("query_id").alias("qid"), "vec_id", "rank"
+    ).localCheckpoint(eager=True)
+    exact = brute_force_topk(emb, q, k=10).select(
+        F.col("query_id").alias("qid"),
+        F.col("vec_id").alias("__xid"),
+        F.lit(1).alias("__hit"),
+    )
+    j = approx.join(
+        F.broadcast(exact),
+        (approx["qid"] == exact["qid"]) & (approx["vec_id"] == exact["__xid"]),
+        "left",
+    ).select(approx["qid"], approx["vec_id"], approx["rank"], "__hit")
+    per = j.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_results"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("__n_hits"),
+        F.max(F.when(F.col("rank") == 1, F.col("vec_id"))).alias("__top1"),
+    )
+    mean = per.agg(
+        F.avg(F.col("__n_hits") / F.lit(10.0)).alias("__mean_recall")
+    )
+    return per.crossJoin(F.broadcast(mean)).select(
+        F.col("qid").alias("query_id"),
+        "n_results",
+        _band_checked(
+            F.col("__top1") == F.col("qid"), f"{label}: refined top-1 not self"
+        ).alias("self_top1"),
+        _band_checked(
+            F.col("__n_hits") / F.lit(10.0) >= F.lit(min_recall),
+            f"{label}: per-query recall@10 under {min_recall}",
+        ).alias("recall_ok"),
+        _band_checked(
+            F.col("__mean_recall") >= F.lit(min_mean),
+            f"{label}: mean recall@10 under {min_mean}",
+        ).alias("mean_recall_ok"),
+    )
+
+
+def q_pq_recall_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat PQ two-stage serving proof (functions/pq.py, Jégou 2011):
+    deterministic train (m=8, k=16, lowest-id init) + encode + ADC
+    top-10 with refine=200 exact rescoring, verified in-plan against
+    the bounded-query brute-force baseline — rank-1 self, per-query
+    recall@10 ≥ 0.5, mean ≥ 0.7 (measured floors 0.6 / 0.835 at
+    sf0.1 with margin). The bounded query set is the flat-ADC serving
+    contract's own precondition (pq_topk docstring)."""
+    from .functions import pq as PQ
+
+    def approx(emb, q):
+        books = PQ.pq_train(emb, m=8, k=16, n_iters=2)
+        return PQ.pq_topk(
+            PQ.pq_encode(emb, books), q, books, k=10, refine=200, corpus=emb
+        )
+
+    return _ann_recall_bands(spark, sf_dir, approx, "pq_recall_bands")
+
+
+def q_ivfpq_recall_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed-index serving proof (functions/pq.py::ivfpq_*,
+    the FAISS IVFPQ shape): residual codebooks over 8 cosine-IVF
+    cells, n_probe=6 probes, refine=200 exact rescoring — same
+    in-plan verification arms as q_pq_recall_bands (measured floors
+    0.6 / 0.75 at sf0.1). Probe volume is the probed cells' codes,
+    never the corpus (the bulk-serving path's own plan)."""
+    from .functions import pq as PQ
+    from .functions.similarity import train_centroids
+
+    def approx(emb, q):
+        cents = train_centroids(emb, n_centroids=8)
+        books = PQ.ivfpq_train(emb, cents, m=8, k=16, n_iters=2)
+        idx = PQ.ivfpq_encode(emb, cents, books)
+        return PQ.ivfpq_topk(
+            idx, q, cents, books, k=10, n_probe=6, refine=200, corpus=emb
+        )
+
+    return _ann_recall_bands(spark, sf_dir, approx, "ivfpq_recall_bands")
+
+
 # Queries OMITTED from the driver-visible correctness set: the driver
 # records oracle rows for at most 50 queries (in registration order),
 # so every DISTINCT operator proof must land inside that window.
@@ -4691,10 +4817,13 @@ def q_perplexity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cohort across r13/r14 with the same cohort discipline.
 #
 # r11 gate preview (mechanical): 25 COHORT A returns + the
-# registration queue in priority order (hybrid_rrf_topk — AFTER its
-# brute-force arm is bounded per VERDICT r10 #5 — then
-# sketch_profile_bands, then chunk_documents; oracles pre-written +
-# parity-pinned) + keeps chosen from the r10 gate = 50.
+# registration queue in priority order (hybrid_rrf_topk — its
+# brute-force arm bounded this round per VERDICT r10 #5 — then
+# sketch_profile_bands, chunk_documents, perplexity_bands,
+# pq_recall_bands, ivfpq_recall_bands; all oracles pre-written,
+# parity-pinned, and pre-flighted green at 3 SFs) + keeps chosen
+# from the r10 gate = 50. Registering all six takes the registry to
+# 106 and fills 31 slots, leaving ~19 keeps — comfortable.
 #
 # Previous round (r9) for the record. Registered: 99. Must-in (45):
 # ALL 43 r8-rested names returned + the 2 mid-r8 parked entries
