@@ -1354,3 +1354,24 @@ def test_epoch_shuffle_salt_space_and_writer(spark, tmp_path):
     assert o0 == o0b  # re-run identical
     assert o0 != o1   # epochs genuinely reshuffled
     assert sorted(x for v in o0.values() for x in v) == list(range(500))
+
+
+def test_epoch_shuffle_bands_oracle_parity(spark):
+    """The epoch-shuffle registration candidate (queued r10): exact
+    corpus count + four in-plan bands (position bijection, <=2x-mean
+    shard balance, cross-epoch shard agreement inside the
+    independence band around 1/32, zero fixed positions) vs the
+    trivial oracle — a violated band raise_errors, never silently
+    hash-mismatches."""
+    import duckdb
+
+    from willa_spark.queries import EPOCH_SHUFFLE_ORACLE, q_epoch_shuffle_bands
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = [tuple(r) for r in q_epoch_shuffle_bands(spark, sf_dir).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = [tuple(r) for r in con.execute(EPOCH_SHUFFLE_ORACLE).fetchall()]
+    assert got == want and len(got) == 1

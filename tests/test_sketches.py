@@ -302,3 +302,26 @@ def test_cms_estimate_null_term_fails_loud_and_unmerged_safe(spark):
         tuple(r) for r in SK.cms_estimate(SK.token_cms(docs), terms).collect()
     )
     assert got == want == [("a", 2), ("b", 2), ("c", 3)]
+
+
+def test_cms_heavy_hitters_oracle_parity(spark):
+    """The CMS registration candidate (queued r10 for the r11 gate):
+    exact top-20 term counts vs the DuckDB oracle + the two in-plan
+    band arms (est >= exact is the structural guarantee, excess <=
+    N/width the Markov arm — measured excess 0 at all three SFs, so
+    the band carries the whole N/width as margin)."""
+    import duckdb
+
+    from willa_spark.queries import CMS_HEAVY_HITTERS_ORACLE, q_cms_heavy_hitters
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = sorted(tuple(r) for r in q_cms_heavy_hitters(spark, sf_dir).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(CMS_HEAVY_HITTERS_ORACLE).fetchall()
+    )
+    assert len(got) == len(want) == 20
+    assert got == want

@@ -96,6 +96,8 @@ CANDIDATES = [
     ("perplexity_bands", "q_perplexity_bands", "PERPLEXITY_BANDS_ORACLE"),
     ("pq_recall_bands", "q_pq_recall_bands", "PQ_RECALL_ORACLE"),
     ("ivfpq_recall_bands", "q_ivfpq_recall_bands", "IVFPQ_RECALL_ORACLE"),
+    ("cms_heavy_hitters", "q_cms_heavy_hitters", "CMS_HEAVY_HITTERS_ORACLE"),
+    ("epoch_shuffle_bands", "q_epoch_shuffle_bands", "EPOCH_SHUFFLE_ORACLE"),
 ]
 
 

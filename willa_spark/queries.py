@@ -4736,6 +4736,130 @@ def q_ivfpq_recall_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_bands(spark, sf_dir, approx, "ivfpq_recall_bands")
 
 
+# --------------------------------------------------------------------
+# EIGHTH + NINTH REGISTRATION CANDIDATES (queued r10): the count-min
+# sketch and epoch-shuffle families' driver rows — band-proof form
+# (exact columns the oracle reproduces + in-plan-verified invariants;
+# thresholds are measured values with margin, see each docstring).
+CMS_HEAVY_HITTERS_ORACLE = rf"""
+WITH t AS (
+  SELECT unnest({_TOKS_SQL}) AS term FROM documents
+), c AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS exact_count FROM t GROUP BY term
+)
+SELECT term, exact_count, TRUE AS cms_ge_exact, TRUE AS cms_within_bound
+FROM c ORDER BY exact_count DESC, term LIMIT 20
+"""
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters (functions/sketches.py::token_cms /
+    cms_estimate, Cormode-Muthukrishnan 2005): the corpus's top-20
+    terms by EXACT count (the oracle-reproducible column, tie-break
+    term asc), each probed against the depth×width=4×1024 counter
+    sketch — est ≥ exact (the structural one-sided guarantee; a
+    violation means the estimator broke) and est ≤ exact + N/width
+    (the Markov-bound arm; measured excess 0 at all three SFs for
+    heavy hitters — min-over-depth kills their collisions — so the
+    band carries ~26–264 counts of margin). Exact counts cost one
+    term agg over the SAME exploded pass shape the sketch builds
+    from; the sketch side is depth×width rows through the shuffle
+    regardless of vocabulary."""
+    from .functions import sketches as SK
+    from .functions.text import tokens as TOKENS
+
+    docs = read_docs_spread(spark, sf_dir).select("doc_id", "text")
+    exact = (
+        docs.select(F.explode(TOKENS(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
+        .localCheckpoint(eager=True)  # feeds total, top-k, and probe
+    )
+    n_total = exact.agg(F.sum("exact_count").alias("__n"))
+    top = exact.orderBy(F.col("exact_count").desc(), F.col("term")).limit(20)
+    est = SK.cms_estimate(SK.token_cms(docs), top.select("term"))
+    return (
+        top.join(est, "term")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "term",
+            "exact_count",
+            _band_checked(
+                F.col("est_count") >= F.col("exact_count"),
+                "cms est < exact: the one-sided guarantee broke",
+            ).alias("cms_ge_exact"),
+            _band_checked(
+                F.col("est_count")
+                <= F.col("exact_count") + F.col("__n") / F.lit(float(SK.CMS_WIDTH)),
+                "cms excess above N/width",
+            ).alias("cms_within_bound"),
+        )
+    )
+
+
+EPOCH_SHUFFLE_ORACLE = r"""
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       TRUE AS positions_distinct, TRUE AS shards_balanced,
+       TRUE AS epochs_decorrelated, TRUE AS no_fixed_positions
+FROM documents
+"""
+
+
+def q_epoch_shuffle_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch shuffle proof (functions/curation.py::
+    epoch_shuffle): epochs 1 and 2 over the corpus at 32 shards, one
+    summary row — exact doc count (the oracle column) plus four
+    in-plan bands: positions are pairwise distinct within an epoch
+    (the bijection the shard-major read order relies on), max shard
+    size ≤ 2× mean (measured 1.16–1.54×), the same-shard fraction
+    across epochs sits in [1/64, 3/64] around the independent-draw
+    1/32 (measured 0.026–0.036), and NO document keeps its exact
+    position across epochs (measured 0 — the affine-salt correlation
+    trap this operator exists to avoid would score ~100% here).
+    Everything is one hash projection + small aggs; nothing scales
+    past the corpus scan."""
+    from .functions.curation import epoch_shuffle
+
+    docs = read_docs_spread(spark, sf_dir).select("doc_id", "text")
+    e1 = epoch_shuffle(docs, 1, 32).select(
+        "doc_id", F.col("epoch_shard").alias("s1"), F.col("epoch_pos").alias("p1")
+    )
+    e2 = epoch_shuffle(docs, 2, 32).select(
+        "doc_id", F.col("epoch_shard").alias("s2"), F.col("epoch_pos").alias("p2")
+    )
+    j = e1.join(e2, "doc_id")
+    stats = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count_distinct(F.col("p1")).alias("__np1"),
+        F.sum(F.when(F.col("s1") == F.col("s2"), 1).otherwise(0)).alias("__same_s"),
+        F.sum(F.when(F.col("p1") == F.col("p2"), 1).otherwise(0)).alias("__same_p"),
+    )
+    mx = (
+        e1.groupBy("s1")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(F.max("__c").alias("__max_shard"))
+    )
+    return stats.crossJoin(F.broadcast(mx)).select(
+        "n_docs",
+        _band_checked(
+            F.col("__np1") == F.col("n_docs"),
+            "epoch positions collide (bijection broken)",
+        ).alias("positions_distinct"),
+        _band_checked(
+            F.col("__max_shard") <= 2.0 * F.col("n_docs") / F.lit(32.0),
+            "shard imbalance above 2x mean",
+        ).alias("shards_balanced"),
+        _band_checked(
+            (F.col("__same_s") / F.col("n_docs")).between(1 / 64, 3 / 64),
+            "cross-epoch shard agreement outside the independence band",
+        ).alias("epochs_decorrelated"),
+        _band_checked(
+            F.col("__same_p") == 0, "a document kept its position across epochs"
+        ).alias("no_fixed_positions"),
+    )
+
+
 # Queries OMITTED from the driver-visible correctness set: the driver
 # records oracle rows for at most 50 queries (in registration order),
 # so every DISTINCT operator proof must land inside that window.
