@@ -1620,3 +1620,88 @@ def test_chunk_documents_null_text_is_empty_doc(spark):
         (r["doc_id"], r["chunk_id"], r["chunk_tokens"], r["chunk_text"])
         for r in rows
     ) == [(0, 0, 0, ""), (1, 0, 0, "")]
+
+def test_normalize_text_differential_and_edges(spark):
+    """normalize_text vs a pure-Python reference of the same spec
+    (strip C0 controls keeping tab/newline/CR, NFC, collapse \\s+,
+    trim) on the cases that distinguish the steps: decomposed accents
+    (NFC must compose), NFKC-only forms (ligature/fullwidth must stay
+    under NFC, fold under NFKC), control bytes incl. VT/FF (stripped
+    BEFORE the collapse so Java-vs-RE2 \\s differences never
+    matter), and NULL passthrough."""
+    import re
+    import unicodedata
+
+    from willa_spark.functions.text import normalize_text, unicode_normalize
+
+    rows = [
+        (0, "Cafe\u0301 du  monde"),      # decomposed -> composes
+        (1, "the \ufb01ne \uff21 print"),  # ligature+fullwidth: NFC keeps
+        (2, "a\x07b\x0bc\x0cd\x1fe"),     # controls incl VT/FF
+        (3, "  lots   of\t\n spaces  "),
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def ref(x, form="NFC"):
+        if x is None:
+            return None
+        x = re.sub("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "", x)
+        x = unicodedata.normalize(form, x)
+        return re.sub(r"\s+", " ", x).strip()
+
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", normalize_text(F.col("text")).alias("n")
+        ).collect()
+    }
+    assert got == {i: ref(t) for i, t in rows}
+    assert got[0] == "Caf\u00e9 du monde" and len(got[0]) == 13
+    assert "\ufb01" in got[1] and "\uff21" in got[1]  # NFC keeps compat forms
+    assert got[2] == "abcde"
+    # NFKC folds the compatibility forms
+    nfkc = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", normalize_text(F.col("text"), form="NFKC").alias("n")
+        ).collect()
+    }
+    assert nfkc == {i: ref(t, "NFKC") for i, t in rows}
+    assert nfkc[1] == "the fine A print"
+    # fast path: form=None never leaves the JVM (no ArrowEvalPython /
+    # BatchEvalPython stage in the plan)
+    plan = (
+        df.select(normalize_text(F.col("text"), form=None).alias("n"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown form"):
+        unicode_normalize(F.col("text"), form="NFX")
+
+
+def test_normalize_docs_oracle_parity(spark):
+    """The unicode-normalization registration candidate (queued r10):
+    the full normalized TEXT hashes cross-engine (Python unicodedata
+    vs DuckDB utf8proc NFC) including the planted decomposed-accent /
+    control-byte / doubled-space copies."""
+    import duckdb
+
+    from willa_spark.queries import NORMALIZE_DOCS_ORACLE, q_normalize_docs
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = sorted(tuple(r) for r in q_normalize_docs(spark, sf_dir).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(NORMALIZE_DOCS_ORACLE).fetchall())
+    assert len(got) == len(want) > 0
+    assert got == want
+    # the planted rows must actually exercise composition: changed AND
+    # shorter than raw by at least the composed accent + control byte
+    planted = [r for r in got if r[0] >= 2_000_000]
+    assert planted and all(r[3] for r in planted)

@@ -98,6 +98,7 @@ CANDIDATES = [
     ("ivfpq_recall_bands", "q_ivfpq_recall_bands", "IVFPQ_RECALL_ORACLE"),
     ("cms_heavy_hitters", "q_cms_heavy_hitters", "CMS_HEAVY_HITTERS_ORACLE"),
     ("epoch_shuffle_bands", "q_epoch_shuffle_bands", "EPOCH_SHUFFLE_ORACLE"),
+    ("normalize_docs", "q_normalize_docs", "NORMALIZE_DOCS_ORACLE"),
 ]
 
 

@@ -287,3 +287,64 @@ def chunk_documents(
         F.col("__c.chunk_tokens").alias("chunk_tokens"),
         F.col("__c.chunk_text").alias("chunk_text"),
     )
+
+
+# Control characters to strip in text normalization: C0 controls plus
+# DEL, EXCEPT \t \n \r (document structure the collapse step owns).
+# ASCII-only BY DESIGN — it matches identically in Java regex (Spark)
+# and RE2 (DuckDB), where \p{Cc} classes and \s differ (Java's \s
+# includes \x0b, RE2's does not — both VT and FF are stripped HERE so
+# the later \s+ collapse sees the same character set in both engines).
+CONTROL_CHARS_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+
+def unicode_normalize(text: Column, form: str = "NFC") -> Column:
+    """Unicode normalization of a string column — the one text step
+    Spark has no built-in for, so it runs as an Arrow-batched pandas
+    UDF (unicodedata.normalize per batch; NULL passes through). NFC
+    is the dedup-pipeline default: composed and decomposed spellings
+    of the same glyph ('é' vs 'e'+U+0301) hash to DIFFERENT exact-dup
+    fingerprints and DIFFERENT shingles until normalized — a corpus
+    mixing both silently under-deduplicates. NFKC additionally folds
+    compatibility forms (ligatures, fullwidth) — stronger recall,
+    lossier text; keep the form part of any persisted fingerprint
+    store's identity (the signature store contract)."""
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unicode_normalize: unknown form {form!r}")
+    import pandas as pd  # noqa: F401  (Arrow path requirement)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize(form, x) if x is not None else None
+        )
+
+    return _norm(text)
+
+
+def normalize_text(
+    text: Column,
+    form: str | None = "NFC",
+    strip_control: bool = True,
+    collapse_ws: bool = True,
+) -> Column:
+    """The standard pre-dedup text cleanup, in the ONE order both
+    engines reproduce (strip control → unicode form → collapse
+    whitespace → trim): control bytes out first so the ASCII class is
+    what both regex engines see, normalization before any comparison
+    or fingerprinting, then runs of [ \\t\\n\\r] become single spaces.
+    Everything except the optional ``form`` step is a pure JVM Column
+    (``form=None`` skips the Arrow hop entirely — the fast path when
+    the corpus is known-normalized). NULL text passes through NULL
+    (the caller's contract to enforce, as everywhere)."""
+    out = text
+    if strip_control:
+        out = F.regexp_replace(out, CONTROL_CHARS_RE, "")
+    if form is not None:
+        out = unicode_normalize(out, form)
+    if collapse_ws:
+        out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return out

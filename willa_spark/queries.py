@@ -4860,6 +4860,72 @@ def q_epoch_shuffle_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------
+# TENTH REGISTRATION CANDIDATE (queued r10): Unicode text
+# normalization — the pre-dedup cleanup every real pipeline runs
+# (decomposed vs composed spellings of one glyph otherwise hash to
+# different exact-dup fingerprints and different shingles). The
+# corpus is ASCII, so every 50th document gets a PLANTED copy with a
+# decomposed accent + a control byte + doubled spaces — both engines
+# build the same bytes, so the normalized text itself is hash-grade.
+NORMALIZE_DOCS_ORACLE = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         'Cafe' || chr(769) || '  ' || chr(7) || 'fin ' || text AS text
+  FROM documents WHERE doc_id % 50 = 0
+), n AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(
+           nfc_normalize(regexp_replace(
+             text, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')),
+           '\s+', ' ', 'g')) AS text_norm
+  FROM corpus
+)
+SELECT doc_id, text_norm,
+       CAST(length(text_norm) AS BIGINT) AS n_chars_norm,
+       text_norm <> text AS changed
+FROM n
+"""
+
+
+def q_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode text normalization (functions/text.py::normalize_text):
+    strip C0 controls (keeping \\t \\n \\r for the collapse step) →
+    NFC (the Arrow-batched step Spark has no built-in for) → collapse
+    whitespace runs → trim, in the ONE order both engines reproduce.
+    Planted copies of every 50th doc carry 'e'+U+0301 (composes to é
+    under NFC), a BEL byte, and doubled spaces — the full normalized
+    TEXT hashes cross-engine (Python unicodedata and DuckDB utf8proc
+    agree on NFC), the strongest proof form available for a string
+    transform. The control class is ASCII-only BY DESIGN so Java
+    regex and RE2 see identical semantics (CONTROL_CHARS_RE note).
+    Plan: map-only; the only non-JVM stage is the one Arrow hop."""
+    from .functions.text import normalize_text
+
+    docs = read_docs_spread(spark, sf_dir).select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        # DECOMPOSED accent ('e' + combining U+0301, the oracle's
+        # chr(769)) — NFC must COMPOSE it; a composed literal here
+        # would make the Arrow step a no-op and prove nothing
+        F.concat(
+            F.lit("Cafe\u0301  \x07fin "), F.col("text")
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    n = corpus.select(
+        "doc_id", "text", normalize_text(F.col("text")).alias("text_norm")
+    )
+    return n.select(
+        "doc_id",
+        "text_norm",
+        F.length("text_norm").cast("bigint").alias("n_chars_norm"),
+        (F.col("text_norm") != F.col("text")).alias("changed"),
+    )
+
+
 # Queries OMITTED from the driver-visible correctness set: the driver
 # records oracle rows for at most 50 queries (in registration order),
 # so every DISTINCT operator proof must land inside that window.
@@ -4944,10 +5010,13 @@ def q_epoch_shuffle_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registration queue in priority order (hybrid_rrf_topk — its
 # brute-force arm bounded this round per VERDICT r10 #5 — then
 # sketch_profile_bands, chunk_documents, perplexity_bands,
-# pq_recall_bands, ivfpq_recall_bands; all oracles pre-written,
+# pq_recall_bands, ivfpq_recall_bands, cms_heavy_hitters,
+# epoch_shuffle_bands, normalize_docs; all oracles pre-written,
 # parity-pinned, and pre-flighted green at 3 SFs) + keeps chosen
-# from the r10 gate = 50. Registering all six takes the registry to
-# 106 and fills 31 slots, leaving ~19 keeps — comfortable.
+# from the r10 gate = 50. Registering all nine takes the registry to
+# 109 and fills 34 slots, leaving ~16 keeps — comfortable, and the
+# queue finally gives the PQ/CMS/epoch-shuffle/normalization families
+# first driver rows.
 #
 # Previous round (r9) for the record. Registered: 99. Must-in (45):
 # ALL 43 r8-rested names returned + the 2 mid-r8 parked entries
