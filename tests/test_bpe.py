@@ -296,3 +296,23 @@ def test_streaming_bpe_count_step_congruent_with_batch(spark):
         for r in B.bpe_encode_docs(docs, merges).collect()
     )
     assert got_p == want_p
+
+
+def test_bpe_consistency_bands_oracle_parity(spark):
+    """The BPE registration candidate (queued r10): exact
+    distinct-word count + the three in-plan reconstruction/size bands
+    over the trained tokenizer, vs the trivial oracle — a violated
+    band raise_errors with the word in the message (never a silent
+    hash mismatch)."""
+    import duckdb
+
+    from willa_spark.queries import BPE_CONSISTENCY_ORACLE, q_bpe_consistency_bands
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = [tuple(r) for r in q_bpe_consistency_bands(spark, sf_dir).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = [tuple(r) for r in con.execute(BPE_CONSISTENCY_ORACLE).fetchall()]
+    assert got == want and len(got) == 1 and got[0][0] > 0

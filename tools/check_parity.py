@@ -99,6 +99,7 @@ CANDIDATES = [
     ("cms_heavy_hitters", "q_cms_heavy_hitters", "CMS_HEAVY_HITTERS_ORACLE"),
     ("epoch_shuffle_bands", "q_epoch_shuffle_bands", "EPOCH_SHUFFLE_ORACLE"),
     ("normalize_docs", "q_normalize_docs", "NORMALIZE_DOCS_ORACLE"),
+    ("bpe_consistency_bands", "q_bpe_consistency_bands", "BPE_CONSISTENCY_ORACLE"),
 ]
 
 

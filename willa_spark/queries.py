@@ -4926,6 +4926,73 @@ def q_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------
+# ELEVENTH REGISTRATION CANDIDATE (queued r10): the BPE family's
+# driver row — band-proof form over the trained tokenizer (merge
+# arithmetic itself is not SQL-expressible; the exact overlap-count /
+# non-overlap-merge differential lives in tests/test_bpe.py).
+BPE_CONSISTENCY_ORACLE = rf"""
+WITH w AS (
+  SELECT DISTINCT unnest({_TOKS_SQL}) AS word FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_distinct_words,
+       TRUE AS reconstruct_ok, TRUE AS pieces_ge_one,
+       TRUE AS pieces_le_chars_plus_eow
+FROM w WHERE word <> ''
+"""
+
+
+def q_bpe_consistency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-fitting proof (functions/bpe.py, Sennrich 2016):
+    train 16 merges on the corpus, segment the full distinct-word
+    vocabulary, and verify IN-PLAN, per word, the three invariants
+    any correct merge fold preserves — concatenating the pieces
+    reconstructs word+EOW exactly (merges only ever JOIN adjacent
+    symbols, so the character stream is invariant), at least one
+    piece, and at most chars+1 pieces (the un-merged ceiling). One
+    summary row: the exact distinct-word count (the oracle column)
+    plus the three bands folded over the whole vocabulary — a single
+    violated word raise_errors with the word in the message. Training
+    touches the corpus once (word count); every other stage works the
+    |vocab| table."""
+    from .functions import bpe as B
+
+    docs = read_docs_spread(spark, sf_dir).select("doc_id", "text")
+    merges = B.bpe_train(docs, n_merges=16)
+    words = (
+        docs.select(F.explode(B.tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    seg = B.segment_words(words, merges)
+    per = seg.select(
+        "word",
+        (F.array_join("pieces", "") == F.concat(F.col("word"), F.lit(B.EOW))).alias(
+            "__rec"
+        ),
+        (F.size("pieces") >= 1).alias("__ge1"),
+        (F.size("pieces") <= F.length("word") + 1).alias("__le"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_words"),
+        F.min("__rec").alias("__all_rec"),
+        F.min("__ge1").alias("__all_ge1"),
+        F.min("__le").alias("__all_le"),
+    )
+    return agg.select(
+        "n_distinct_words",
+        _band_checked(
+            F.col("__all_rec"), "bpe pieces do not reconstruct word+EOW"
+        ).alias("reconstruct_ok"),
+        _band_checked(F.col("__all_ge1"), "bpe word with zero pieces").alias(
+            "pieces_ge_one"
+        ),
+        _band_checked(
+            F.col("__all_le"), "bpe word with more pieces than chars+EOW"
+        ).alias("pieces_le_chars_plus_eow"),
+    )
+
+
 # Queries OMITTED from the driver-visible correctness set: the driver
 # records oracle rows for at most 50 queries (in registration order),
 # so every DISTINCT operator proof must land inside that window.
@@ -5011,12 +5078,12 @@ def q_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # brute-force arm bounded this round per VERDICT r10 #5 — then
 # sketch_profile_bands, chunk_documents, perplexity_bands,
 # pq_recall_bands, ivfpq_recall_bands, cms_heavy_hitters,
-# epoch_shuffle_bands, normalize_docs; all oracles pre-written,
-# parity-pinned, and pre-flighted green at 3 SFs) + keeps chosen
-# from the r10 gate = 50. Registering all nine takes the registry to
-# 109 and fills 34 slots, leaving ~16 keeps — comfortable, and the
-# queue finally gives the PQ/CMS/epoch-shuffle/normalization families
-# first driver rows.
+# epoch_shuffle_bands, normalize_docs, bpe_consistency_bands; all
+# oracles pre-written, parity-pinned, and pre-flighted green at 3
+# SFs) + keeps chosen from the r10 gate = 50. Registering all ten
+# takes the registry to 110 and fills 35 slots, leaving ~15 keeps —
+# comfortable, and the queue finally gives the PQ / CMS /
+# epoch-shuffle / normalization / BPE families first driver rows.
 #
 # Previous round (r9) for the record. Registered: 99. Must-in (45):
 # ALL 43 r8-rested names returned + the 2 mid-r8 parked entries
