@@ -217,6 +217,18 @@ def winnow_fingerprints(
     return F.element_at(F.transform(F.array(hashes_expr), build), 1)
 
 
+def check_chunk_geometry(chunk_size: int, overlap: int, op: str) -> None:
+    """The ONE chunk-geometry validator — the batch kernel and the
+    streaming step must reject identical configs (a duplicated
+    predicate would drift and let a stream construct a step the batch
+    kernel later rejects mid-stream; r10 review)."""
+    if chunk_size <= 0 or not (0 <= overlap < chunk_size):
+        raise ValueError(
+            f"{op}: need chunk_size > 0 and 0 <= overlap < "
+            f"chunk_size (got {chunk_size}, {overlap})"
+        )
+
+
 def chunk_documents(
     docs: "DataFrame",
     chunk_size: int = 256,
@@ -237,11 +249,7 @@ def chunk_documents(
     Pure Column plan: one sequence+transform explode per document —
     map-only, output volume ≈ corpus × (1 + overlap/stride). A doc of
     ≤ chunk_size tokens yields exactly one chunk (itself)."""
-    if chunk_size <= 0 or not (0 <= overlap < chunk_size):
-        raise ValueError(
-            f"chunk_documents: need chunk_size > 0 and 0 <= overlap < "
-            f"chunk_size (got {chunk_size}, {overlap})"
-        )
+    check_chunk_geometry(chunk_size, overlap, "chunk_documents")
     stride = chunk_size - overlap
     # NULL text behaves as the empty document — without the coalesce,
     # greatest/least SKIP the NULL token count and emit a phantom

@@ -4639,6 +4639,7 @@ def _ann_recall_bands(
     sf_dir: str,
     approx_fn,
     label: str,
+    k: int = 10,
     min_recall: float = 0.5,
     min_mean: float = 0.7,
 ) -> DataFrame:
@@ -4658,10 +4659,10 @@ def _ann_recall_bands(
     # pinned: the approx frame feeds the top-1 check AND the recall
     # join (multi-consumer rule); the exact arm is the bounded-query
     # brute-force baseline
-    approx = approx_fn(emb, q).select(
+    approx = approx_fn(emb, q, k).select(
         F.col("query_id").alias("qid"), "vec_id", "rank"
     ).localCheckpoint(eager=True)
-    exact = brute_force_topk(emb, q, k=10).select(
+    exact = brute_force_topk(emb, q, k=k).select(
         F.col("query_id").alias("qid"),
         F.col("vec_id").alias("__xid"),
         F.lit(1).alias("__hit"),
@@ -4676,8 +4677,11 @@ def _ann_recall_bands(
         F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("__n_hits"),
         F.max(F.when(F.col("rank") == 1, F.col("vec_id"))).alias("__top1"),
     )
+    # the recall denominator is the SAME k the shortlists used — a
+    # hardcoded 10 here would silently un-normalize the band if a
+    # future round tunes k (r10 review)
     mean = per.agg(
-        F.avg(F.col("__n_hits") / F.lit(10.0)).alias("__mean_recall")
+        F.avg(F.col("__n_hits") / F.lit(float(k))).alias("__mean_recall")
     )
     return per.crossJoin(F.broadcast(mean)).select(
         F.col("qid").alias("query_id"),
@@ -4686,8 +4690,8 @@ def _ann_recall_bands(
             F.col("__top1") == F.col("qid"), f"{label}: refined top-1 not self"
         ).alias("self_top1"),
         _band_checked(
-            F.col("__n_hits") / F.lit(10.0) >= F.lit(min_recall),
-            f"{label}: per-query recall@10 under {min_recall}",
+            F.col("__n_hits") / F.lit(float(k)) >= F.lit(min_recall),
+            f"{label}: per-query recall@{k} under {min_recall}",
         ).alias("recall_ok"),
         _band_checked(
             F.col("__mean_recall") >= F.lit(min_mean),
@@ -4706,10 +4710,10 @@ def q_pq_recall_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract's own precondition (pq_topk docstring)."""
     from .functions import pq as PQ
 
-    def approx(emb, q):
+    def approx(emb, q, k):
         books = PQ.pq_train(emb, m=8, k=16, n_iters=2)
         return PQ.pq_topk(
-            PQ.pq_encode(emb, books), q, books, k=10, refine=200, corpus=emb
+            PQ.pq_encode(emb, books), q, books, k=k, refine=200, corpus=emb
         )
 
     return _ann_recall_bands(spark, sf_dir, approx, "pq_recall_bands")
@@ -4725,12 +4729,12 @@ def q_ivfpq_recall_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions import pq as PQ
     from .functions.similarity import train_centroids
 
-    def approx(emb, q):
+    def approx(emb, q, k):
         cents = train_centroids(emb, n_centroids=8)
         books = PQ.ivfpq_train(emb, cents, m=8, k=16, n_iters=2)
         idx = PQ.ivfpq_encode(emb, cents, books)
         return PQ.ivfpq_topk(
-            idx, q, cents, books, k=10, n_probe=6, refine=200, corpus=emb
+            idx, q, cents, books, k=k, n_probe=6, refine=200, corpus=emb
         )
 
     return _ann_recall_bands(spark, sf_dir, approx, "ivfpq_recall_bands")
@@ -4831,7 +4835,11 @@ def q_epoch_shuffle_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = e1.join(e2, "doc_id")
     stats = j.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        # BOTH epochs' bijections — a salt regression hitting only
+        # epoch 2 (e.g. the epoch literal dropped from one call) must
+        # not hide behind an epoch-1-only check (r10 review)
         F.count_distinct(F.col("p1")).alias("__np1"),
+        F.count_distinct(F.col("p2")).alias("__np2"),
         F.sum(F.when(F.col("s1") == F.col("s2"), 1).otherwise(0)).alias("__same_s"),
         F.sum(F.when(F.col("p1") == F.col("p2"), 1).otherwise(0)).alias("__same_p"),
     )
@@ -4843,7 +4851,8 @@ def q_epoch_shuffle_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.crossJoin(F.broadcast(mx)).select(
         "n_docs",
         _band_checked(
-            F.col("__np1") == F.col("n_docs"),
+            (F.col("__np1") == F.col("n_docs"))
+            & (F.col("__np2") == F.col("n_docs")),
             "epoch positions collide (bijection broken)",
         ).alias("positions_distinct"),
         _band_checked(

@@ -29,14 +29,20 @@ def bpe_count_step(
     id_col: str = "doc_id",
     text_col: str = "text",
     encode: bool = False,
+    broadcast_vocab: bool | None = True,
 ) -> Callable[[DataFrame, int], DataFrame]:
     """foreachBatch step: ``(batch_df, batch_id) -> (id,
     n_bpe_tokens)`` rows (or ``(id, pieces)`` with ``encode=True``)
     under the frozen merge list. Per-batch work is the batch kernel's
     own plan — the merge passes run over the BATCH's distinct words
-    (vocab-sized per batch), then join back (auto-broadcast under the
-    vocab-count guard); empty docs keep their 0-token/empty-pieces
-    rows (the batch cardinality contract).
+    (vocab-sized per batch), then join back; empty docs keep their
+    0-token/empty-pieces rows (the batch cardinality contract).
+    ``broadcast_vocab`` defaults to True HERE (unlike the batch
+    kernels' auto mode): a micro-batch's distinct-word table is
+    batch-sized by construction, so the auto mode's per-batch
+    seg.count() job would spend a dispatch round trip per micro-batch
+    answering a question the streaming context already answers (r10
+    review); pass None/False only for genuinely huge batches.
 
     JOB-COUNT BOUND per micro-batch: one Spark job per symbol-disjoint
     merge BATCH (``functions.bpe._merge_batches``), not per merge — a
@@ -48,6 +54,12 @@ def bpe_count_step(
 
     def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
         fn = bpe_encode_docs if encode else bpe_token_counts
-        return fn(batch_df, merges, id_col=id_col, text_col=text_col)
+        return fn(
+            batch_df,
+            merges,
+            id_col=id_col,
+            text_col=text_col,
+            broadcast_vocab=broadcast_vocab,
+        )
 
     return step

@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 
-from ..functions.text import chunk_documents
+from ..functions.text import check_chunk_geometry, chunk_documents
 
 
 def chunk_step(
@@ -38,12 +38,9 @@ def chunk_step(
     ingest count stays exact. Chunks feed the streaming retrieval /
     packing consumers (``bm25_index_step`` over chunk rows, the
     pack steps) unchanged — chunk rows are just smaller documents."""
-    # validate once, eagerly, by running the batch kernel's own check
-    if chunk_size <= 0 or not (0 <= overlap < chunk_size):
-        raise ValueError(
-            f"chunk_step: need chunk_size > 0 and 0 <= overlap < "
-            f"chunk_size (got {chunk_size}, {overlap})"
-        )
+    # validate once, eagerly, via the batch kernel's OWN validator —
+    # one predicate, zero drift (r10 review)
+    check_chunk_geometry(chunk_size, overlap, "chunk_step")
 
     def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
         return chunk_documents(
