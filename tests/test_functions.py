@@ -1705,3 +1705,37 @@ def test_normalize_docs_oracle_parity(spark):
     # shorter than raw by at least the composed accent + control byte
     planted = [r for r in got if r[0] >= 2_000_000]
     assert planted and all(r[3] for r in planted)
+
+
+def test_streaming_normalize_step_congruent_with_batch(spark):
+    """Frozen config => per-batch normalize_step output unions to the
+    batch normalize_text over the full corpus exactly; unknown forms
+    fail at step construction, never on a running stream's batch N."""
+    import pytest as _pytest
+
+    from willa_spark.functions.text import normalize_text
+    from willa_spark.streaming.text import normalize_step
+
+    rows = [
+        (0, "Cafe\u0301  du \x07 monde"),
+        (1, "plain   text"),
+        (2, None),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    step = normalize_step()
+    got = sorted(
+        (r["doc_id"], r["text_norm"])
+        for m in (0, 1)
+        for r in step(df.filter(F.col("doc_id") % 2 == m), m).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["n"])
+        for r in df.select(
+            "doc_id", normalize_text(F.col("text")).alias("n")
+        ).collect()
+    )
+    assert got == want
+    assert dict(got)[0] == "Caf\u00e9 du monde"
+    with _pytest.raises(ValueError, match="unknown form"):
+        normalize_step(form="NFCX")

@@ -15,7 +15,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 
-from ..functions.text import check_chunk_geometry, chunk_documents
+from pyspark.sql import functions as F
+
+from ..functions.text import check_chunk_geometry, chunk_documents, normalize_text
 
 
 def chunk_step(
@@ -49,6 +51,41 @@ def chunk_step(
             overlap=overlap,
             id_col=id_col,
             text_col=text_col,
+        )
+
+    return step
+
+
+def normalize_step(
+    form: str | None = "NFC",
+    strip_control: bool = True,
+    collapse_ws: bool = True,
+    text_col: str = "text",
+    out_col: str = "text_norm",
+) -> "Callable[[DataFrame, int], DataFrame]":
+    """foreachBatch step: batch rows + ``out_col`` =
+    ``functions.text.normalize_text`` under a frozen config — the
+    cleanup every ingest stream runs BEFORE fingerprinting/dedup
+    steps (composed vs decomposed spellings otherwise miss each
+    other's signatures; the normalization form is part of any
+    downstream signature store's identity, so changing it means a
+    store generation bump, the IVF rule). Stateless, replay-
+    idempotent; a bad ``form`` fails at step construction via the
+    batch kernel's own validation."""
+    # validate once, eagerly (the chunk_step rule): reject unknown
+    # forms before a stream starts, not on micro-batch N
+    if form is not None and form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"normalize_step: unknown form {form!r}")
+
+    def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        return batch_df.withColumn(
+            out_col,
+            normalize_text(
+                F.col(text_col),
+                form=form,
+                strip_control=strip_control,
+                collapse_ws=collapse_ws,
+            ),
         )
 
     return step
