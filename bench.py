@@ -142,6 +142,8 @@ HEADLINE = [
     "exact_dup_groups",
     "ngram_jaccard_pairs",
     "near_dup_keep_best",
+    # round 10: the 100th registration
+    "dsir_weights",
 ]
 
 
@@ -156,6 +158,15 @@ def main() -> int:
     spark, cpus = make_bench_session("willa_spark-bench")
     from willa_spark.queries import QUERIES
     from willa_spark.sources import read_table, table_names
+
+    # the curated order above must cover the COMPLETE registry — a new
+    # registration someone forgets to add here would silently vanish
+    # from the record (r10: the list sat at 99 when the 100th name
+    # registered); auto-append keeps the record complete, the curated
+    # prefix keeps cross-round per-query comparability
+    missing = [n for n in QUERIES if n not in HEADLINE]
+    if missing:
+        HEADLINE.extend(sorted(missing))
 
     # untimed warmup: touch every table once so the timed loop measures
     # query execution, not first-scan JVM/codegen/file-listing warmup
