@@ -1739,3 +1739,51 @@ def test_streaming_normalize_step_congruent_with_batch(spark):
     assert dict(got)[0] == "Caf\u00e9 du monde"
     with _pytest.raises(ValueError, match="unknown form"):
         normalize_step(form="NFCX")
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(
+            # mix plain ASCII, combining marks, compatibility forms,
+            # controls, and multi-space runs — the classes the steps
+            # disagree on if anything drifts
+            alphabet=st.sampled_from(
+                list("ab c\t\n") + ["\u0301", "\u00e9", "\ufb01", "\uff21", "\x07", "\x0b"]
+            ),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_normalize_text_hypothesis_differential(spark, texts):
+    """Random mixed-unicode strings: normalize_text must equal the
+    pure-Python spec (strip C0 controls keeping tab/newline/CR, NFC,
+    collapse \\s+, trim) exactly — including combining marks landing
+    after controls/spaces, where strip-then-normalize order shows."""
+    import re
+    import unicodedata
+
+    from willa_spark.functions.text import normalize_text
+
+    def ref(x):
+        x = re.sub("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "", x)
+        x = unicodedata.normalize("NFC", x)
+        return re.sub(r"\s+", " ", x).strip()
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", normalize_text(F.col("text")).alias("n")
+        ).collect()
+    }
+    assert got == {i: ref(t) for i, t in enumerate(texts)}
