@@ -167,6 +167,14 @@ def main() -> int:
     missing = [n for n in QUERIES if n not in HEADLINE]
     if missing:
         HEADLINE.extend(sorted(missing))
+    # ...and the reverse direction: a renamed/retired registry name
+    # left in the curated list would KeyError outside the per-query
+    # try and kill the whole record — drop it loudly instead (the
+    # one-error degradation contract)
+    stale = [n for n in HEADLINE if n not in QUERIES]
+    if stale:
+        print(f"bench: dropping stale HEADLINE names {stale}", file=sys.stderr)
+        HEADLINE[:] = [n for n in HEADLINE if n in QUERIES]
 
     # untimed warmup: touch every table once so the timed loop measures
     # query execution, not first-scan JVM/codegen/file-listing warmup

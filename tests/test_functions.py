@@ -1621,6 +1621,21 @@ def test_chunk_documents_null_text_is_empty_doc(spark):
         for r in rows
     ) == [(0, 0, 0, ""), (1, 0, 0, "")]
 
+def _normalize_ref(x, form="NFC"):
+    """Pure-Python reference of the normalize_text spec (strip C0
+    controls keeping tab/newline/CR, unicode form, collapse \\s+,
+    trim; NULL passthrough) — the ONE copy both normalization tests
+    pin against (r10 review: two hand-copied specs drift)."""
+    import re
+    import unicodedata
+
+    if x is None:
+        return None
+    x = re.sub("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "", x)
+    x = unicodedata.normalize(form, x)
+    return re.sub(r"\s+", " ", x).strip()
+
+
 def test_normalize_text_differential_and_edges(spark):
     """normalize_text vs a pure-Python reference of the same spec
     (strip C0 controls keeping tab/newline/CR, NFC, collapse \\s+,
@@ -1644,12 +1659,7 @@ def test_normalize_text_differential_and_edges(spark):
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
 
-    def ref(x, form="NFC"):
-        if x is None:
-            return None
-        x = re.sub("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "", x)
-        x = unicodedata.normalize(form, x)
-        return re.sub(r"\s+", " ", x).strip()
+    ref = _normalize_ref
 
     got = {
         r["doc_id"]: r["n"]
@@ -1772,10 +1782,7 @@ def test_normalize_text_hypothesis_differential(spark, texts):
 
     from willa_spark.functions.text import normalize_text
 
-    def ref(x):
-        x = re.sub("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "", x)
-        x = unicodedata.normalize("NFC", x)
-        return re.sub(r"\s+", " ", x).strip()
+    ref = _normalize_ref
 
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"

@@ -306,6 +306,17 @@ def chunk_documents(
 CONTROL_CHARS_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
 
 
+UNICODE_FORMS = ("NFC", "NFD", "NFKC", "NFKD")
+
+
+def check_unicode_form(form: str, op: str) -> None:
+    """The ONE valid-forms check — the batch kernel and the streaming
+    step must accept identical configs (the check_chunk_geometry
+    rule: a duplicated tuple drifts; r10 review)."""
+    if form not in UNICODE_FORMS:
+        raise ValueError(f"{op}: unknown form {form!r}")
+
+
 def unicode_normalize(text: Column, form: str = "NFC") -> Column:
     """Unicode normalization of a string column — the one text step
     Spark has no built-in for, so it runs as an Arrow-batched pandas
@@ -317,8 +328,7 @@ def unicode_normalize(text: Column, form: str = "NFC") -> Column:
     compatibility forms (ligatures, fullwidth) — stronger recall,
     lossier text; keep the form part of any persisted fingerprint
     store's identity (the signature store contract)."""
-    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
-        raise ValueError(f"unicode_normalize: unknown form {form!r}")
+    check_unicode_form(form, "unicode_normalize")
     import pandas as pd  # noqa: F401  (Arrow path requirement)
     from pyspark.sql.functions import pandas_udf
 

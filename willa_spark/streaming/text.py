@@ -17,7 +17,12 @@ from pyspark.sql import DataFrame
 
 from pyspark.sql import functions as F
 
-from ..functions.text import check_chunk_geometry, chunk_documents, normalize_text
+from ..functions.text import (
+    check_chunk_geometry,
+    check_unicode_form,
+    chunk_documents,
+    normalize_text,
+)
 
 
 def chunk_step(
@@ -72,10 +77,11 @@ def normalize_step(
     store generation bump, the IVF rule). Stateless, replay-
     idempotent; a bad ``form`` fails at step construction via the
     batch kernel's own validation."""
-    # validate once, eagerly (the chunk_step rule): reject unknown
-    # forms before a stream starts, not on micro-batch N
-    if form is not None and form not in ("NFC", "NFD", "NFKC", "NFKD"):
-        raise ValueError(f"normalize_step: unknown form {form!r}")
+    # validate once, eagerly, via the batch kernel's OWN validator
+    # (the chunk_step rule): reject unknown forms before a stream
+    # starts, not on micro-batch N — and with zero drift
+    if form is not None:
+        check_unicode_form(form, "normalize_step")
 
     def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
         return batch_df.withColumn(
