@@ -493,3 +493,69 @@ def test_streaming_novelty_guards_and_empty_batches(spark, tmp_path):
     assert step2(real, 1).count() == 0
     assert not os.path.exists(os.path.join(store2, "feature_counts",
                                            "ingest_batch=0"))
+
+
+def test_domain_relevance_literal_fixture_and_guards(spark):
+    """source_centroid / domain_relevance vs hand arithmetic: centroid
+    of the target source is the element-wise mean; every doc's score
+    is the exact cosine to it (6dp); an empty target source fails
+    LOUD in-plan (an empty centroid would score everything NULL)."""
+    import math
+
+    rows = [
+        (0, "a", [1.0, 0.0]),
+        (1, "a", [0.0, 1.0]),   # centroid of 'a' = [0.5, 0.5]
+        (2, "b", [1.0, 1.0]),   # cosine to centroid = 1.0
+        (3, "b", [-1.0, -1.0]),  # cosine = -1.0
+        (4, "b", [1.0, 0.0]),   # cosine = cos(45deg)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, embedding array<double>"
+    )
+    got = {
+        r["doc_id"]: (r["source"], r["domain_rel"])
+        for r in SEL.domain_relevance(df, "a").collect()
+    }
+    c = [0.5, 0.5]
+
+    def cos(v):
+        num = sum(x * y for x, y in zip(v, c))
+        return round(
+            num / (math.sqrt(sum(x * x for x in v)) * math.sqrt(0.5)), 6
+        )
+
+    assert got == {i: (s_, cos(v)) for i, s_, v in rows}
+    assert got[2][1] == 1.0 and got[3][1] == -1.0
+    with pytest.raises(Exception, match="no vectors for target source"):
+        SEL.domain_relevance(df, "nope").collect()
+    # the centroid must reach the scan as a broadcast
+    plan = (
+        SEL.domain_relevance(df, "a")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_domain_relevance_oracle_parity(spark):
+    """The registration candidate (queued r10): full hash-grade parity
+    on the real corpus — target-source centroid + per-doc 6dp cosine
+    equal across engines."""
+    import duckdb
+
+    from willa_spark.queries import DOMAIN_RELEVANCE_ORACLE, q_domain_relevance
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = sorted(tuple(r) for r in q_domain_relevance(spark, sf_dir).collect())
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    want = sorted(tuple(r) for r in con.execute(DOMAIN_RELEVANCE_ORACLE).fetchall())
+    assert len(got) == len(want) > 0
+    assert got == want
+    # target-source docs must on average outscore the rest (the
+    # signal the operator exists to produce)
+    import statistics
+
+    tgt = [r[2] for r in got if r[1] == "src0"]
+    rest = [r[2] for r in got if r[1] != "src0"]
+    assert statistics.mean(tgt) > statistics.mean(rest)

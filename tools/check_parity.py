@@ -100,6 +100,7 @@ CANDIDATES = [
     ("epoch_shuffle_bands", "q_epoch_shuffle_bands", "EPOCH_SHUFFLE_ORACLE"),
     ("normalize_docs", "q_normalize_docs", "NORMALIZE_DOCS_ORACLE"),
     ("bpe_consistency_bands", "q_bpe_consistency_bands", "BPE_CONSISTENCY_ORACLE"),
+    ("domain_relevance", "q_domain_relevance", "DOMAIN_RELEVANCE_ORACLE"),
 ]
 
 

@@ -376,3 +376,74 @@ def with_quality_bucket(
         .when(ce < tail_bound, "middle")
         .otherwise("tail"),
     )
+
+
+def source_centroid(
+    emb_docs: DataFrame,
+    target_source: str,
+    source_col: str = "source",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """1-row (centroid array<double>) — the element-wise MEAN of the
+    target source's embedding vectors, the cheap domain prototype a
+    mixture-weighting pass scores against (the embedding-space
+    counterpart of DSIR's n-gram target model: both are "how
+    target-like is this document", one lexical, one semantic). Built
+    distributed: one posexplode + a 64-row (pos, mean) agg — no
+    vector ever reaches the driver; the result broadcasts. An empty
+    target source fails LOUD in-plan (an empty centroid would score
+    every document NULL — the empty-model rule)."""
+    from .similarity import _as_double
+
+    per_dim = (
+        emb_docs.filter(F.col(source_col) == target_source)
+        .select(F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.avg("x").alias("m"))
+    )
+    return per_dim.agg(
+        F.when(
+            F.count(F.lit(1)) > 0,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    f"source_centroid: no vectors for target source "
+                    f"{target_source!r} — an empty centroid would "
+                    "score every document NULL"
+                )
+            ).cast("array<double>")
+        )
+        .alias("centroid")
+    )
+
+
+def domain_relevance(
+    emb_docs: DataFrame,
+    target_source: str,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, <source_col>, domain_rel) — every document's cosine to the
+    ``target_source`` centroid (rounded 6dp, the cross-engine rule):
+    the embedding-space domain-relevance signal for mixture
+    up/down-weighting and target-domain selection. One broadcast of
+    the 1-row centroid against a map-only corpus scan — nothing
+    scales past the scan; compose with ``dsir_select``'s weights or
+    ``with_quality_bucket`` bands for combined lexical+semantic
+    selection."""
+    from .similarity import _as_double, cosine
+
+    cent = source_centroid(emb_docs, target_source, source_col, vec_col)
+    return emb_docs.crossJoin(F.broadcast(cent)).select(
+        F.col(id_col),
+        F.col(source_col),
+        F.round(
+            cosine(_as_double(F.col(vec_col)), F.col("centroid")), 6
+        ).alias("domain_rel"),
+    )

@@ -5002,6 +5002,50 @@ def q_bpe_consistency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------
+# TWELFTH REGISTRATION CANDIDATE (queued r10): embedding-space domain
+# relevance — the semantic counterpart of DSIR's lexical target model
+# (score every document's cosine to a target source's mean embedding;
+# the mixture-weighting / target-domain-selection signal). Fully
+# SQL-expressible, hash-grade end to end.
+DOMAIN_RELEVANCE_ORACLE = r"""
+WITH ed AS (
+  SELECT d.doc_id, d.source, e.embedding::DOUBLE[] AS v
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+), per_dim AS (
+  SELECT pos, avg(x) AS m FROM (
+    SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos
+    FROM ed WHERE source = 'src0'
+  ) GROUP BY pos
+), c AS (
+  SELECT list(m ORDER BY pos) AS cv FROM per_dim
+)
+SELECT doc_id, source,
+       round(list_dot_product(v, cv)
+             / (sqrt(list_dot_product(v, v))
+                * sqrt(list_dot_product(cv, cv))), 6) AS domain_rel
+FROM ed CROSS JOIN c
+"""
+
+
+def q_domain_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space domain relevance (functions/selection.py::
+    domain_relevance): every embedded document's cosine to the 'src0'
+    source centroid (the element-wise mean, built distributed — one
+    posexplode + a dim-row agg, no vector on the driver), rounded 6dp
+    before the cross-engine hash. The semantic twin of dsir_weights'
+    lexical signal: compose the two for combined selection. Plan:
+    one small agg + one broadcast of the 1-row centroid against a
+    map-only scan — nothing scales past the corpus scan."""
+    from .functions.selection import domain_relevance
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    return domain_relevance(docs.join(emb, "doc_id"), "src0")
+
+
 # Queries OMITTED from the driver-visible correctness set: the driver
 # records oracle rows for at most 50 queries (in registration order),
 # so every DISTINCT operator proof must land inside that window.
@@ -5087,12 +5131,13 @@ def q_bpe_consistency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 # brute-force arm bounded this round per VERDICT r10 #5 — then
 # sketch_profile_bands, chunk_documents, perplexity_bands,
 # pq_recall_bands, ivfpq_recall_bands, cms_heavy_hitters,
-# epoch_shuffle_bands, normalize_docs, bpe_consistency_bands; all
-# oracles pre-written, parity-pinned, and pre-flighted green at 3
-# SFs) + keeps chosen from the r10 gate = 50. Registering all ten
-# takes the registry to 110 and fills 35 slots, leaving ~15 keeps —
-# comfortable, and the queue finally gives the PQ / CMS /
-# epoch-shuffle / normalization / BPE families first driver rows.
+# epoch_shuffle_bands, normalize_docs, bpe_consistency_bands,
+# domain_relevance; all oracles pre-written, parity-pinned, and
+# pre-flighted green at 3 SFs) + keeps chosen from the r10 gate =
+# 50. Registering all eleven takes the registry to 111 and fills 36
+# slots, leaving ~14 keeps — comfortable, and the queue finally
+# gives the PQ / CMS / epoch-shuffle / normalization / BPE /
+# domain-relevance families first driver rows.
 #
 # Previous round (r9) for the record. Registered: 99. Must-in (45):
 # ALL 43 r8-rested names returned + the 2 mid-r8 parked entries
