@@ -5,6 +5,7 @@ the determinism/partition-invariance contract of the hash-Gumbel
 resampler."""
 
 import math
+import statistics
 
 import pytest
 from pyspark.sql import functions as F
@@ -500,8 +501,6 @@ def test_domain_relevance_literal_fixture_and_guards(spark):
     of the target source is the element-wise mean; every doc's score
     is the exact cosine to it (6dp); an empty target source fails
     LOUD in-plan (an empty centroid would score everything NULL)."""
-    import math
-
     rows = [
         (0, "a", [1.0, 0.0]),
         (1, "a", [0.0, 1.0]),   # centroid of 'a' = [0.5, 0.5]
@@ -528,6 +527,20 @@ def test_domain_relevance_literal_fixture_and_guards(spark):
     assert got[2][1] == 1.0 and got[3][1] == -1.0
     with pytest.raises(Exception, match="no vectors for target source"):
         SEL.domain_relevance(df, "nope").collect()
+    # ragged target vectors / corpus-vs-centroid dimension mismatches
+    # fail LOUD, never a silent all-NULL score column (r10 review)
+    ragged = spark.createDataFrame(
+        rows + [(9, "a", [1.0, 2.0, 3.0])],
+        "doc_id long, source string, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="ragged vector lengths"):
+        SEL.domain_relevance(ragged, "a").collect()
+    bad_corpus = spark.createDataFrame(
+        rows + [(9, "b", [1.0, 2.0, 3.0])],
+        "doc_id long, source string, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="vector length != centroid"):
+        SEL.domain_relevance(bad_corpus, "a").collect()
     # the centroid must reach the scan as a broadcast
     plan = (
         SEL.domain_relevance(df, "a")
@@ -554,8 +567,6 @@ def test_domain_relevance_oracle_parity(spark):
     assert got == want
     # target-source docs must on average outscore the rest (the
     # signal the operator exists to produce)
-    import statistics
-
     tgt = [r[2] for r in got if r[1] == "src0"]
     rest = [r[2] for r in got if r[1] != "src0"]
     assert statistics.mean(tgt) > statistics.mean(rest)

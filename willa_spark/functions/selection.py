@@ -399,27 +399,38 @@ def source_centroid(
         emb_docs.filter(F.col(source_col) == target_source)
         .select(F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x"))
         .groupBy("pos")
-        .agg(F.avg("x").alias("m"))
+        # n = NON-NULL contributions at this position: one ragged
+        # (longer) vector or a NULL element makes some position's n
+        # differ, and a silent avg over fewer rows would skew the
+        # centroid — or NULL a whole dimension — without a trace
+        .agg(F.avg("x").alias("m"), F.count("x").alias("n"))
     )
-    return per_dim.agg(
-        F.when(
-            F.count(F.lit(1)) > 0,
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s["m"],
-            ),
+    centroid = F.when(
+        F.count(F.lit(1)) == 0,
+        F.raise_error(
+            F.lit(
+                f"source_centroid: no vectors for target source "
+                f"{target_source!r} — an empty centroid would "
+                "score every document NULL"
+            )
+        ).cast("array<double>"),
+    ).when(
+        F.count_distinct(F.col("n")) > 1,
+        F.raise_error(
+            F.lit(
+                f"source_centroid: target source {target_source!r} "
+                "has ragged vector lengths or NULL elements — a "
+                "mixed-dimension centroid would silently NULL every "
+                "document's score (r10 review)"
+            )
+        ).cast("array<double>"),
+    ).otherwise(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s["m"],
         )
-        .otherwise(
-            F.raise_error(
-                F.lit(
-                    f"source_centroid: no vectors for target source "
-                    f"{target_source!r} — an empty centroid would "
-                    "score every document NULL"
-                )
-            ).cast("array<double>")
-        )
-        .alias("centroid")
     )
+    return per_dim.agg(centroid.alias("centroid"))
 
 
 def domain_relevance(
@@ -440,10 +451,26 @@ def domain_relevance(
     from .similarity import _as_double, cosine
 
     cent = source_centroid(emb_docs, target_source, source_col, vec_col)
+    v = _as_double(F.col(vec_col))
+    # a corpus vector whose length disagrees with the centroid would
+    # zip_with-pad to a silent NULL score — fail loud instead (the
+    # pq _dim_guarded rule); NULL vectors pass through to NULL (the
+    # caller screens those, as everywhere)
+    guarded = F.when(
+        v.isNull() | (F.size(v) == F.size(F.col("centroid"))), v
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "domain_relevance: vector length != centroid "
+                    "dimension: got "
+                ),
+                F.size(v).cast("string"),
+            )
+        ).cast("array<double>")
+    )
     return emb_docs.crossJoin(F.broadcast(cent)).select(
         F.col(id_col),
         F.col(source_col),
-        F.round(
-            cosine(_as_double(F.col(vec_col)), F.col("centroid")), 6
-        ).alias("domain_rel"),
+        F.round(cosine(guarded, F.col("centroid")), 6).alias("domain_rel"),
     )
