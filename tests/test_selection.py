@@ -570,3 +570,48 @@ def test_domain_relevance_oracle_parity(spark):
     tgt = [r[2] for r in got if r[1] == "src0"]
     rest = [r[2] for r in got if r[1] != "src0"]
     assert statistics.mean(tgt) > statistics.mean(rest)
+
+
+def test_streaming_domain_relevance_step_congruent_with_batch(spark):
+    """Frozen centroid => union of per-batch scores over any split
+    equals batch domain_relevance exactly; min_rel admission filters
+    per batch; the shared kernel's dimension guard rides along."""
+    rows = [
+        (0, "a", [1.0, 0.0]),
+        (1, "a", [0.0, 1.0]),
+        (2, "b", [1.0, 1.0]),
+        (3, "b", [-1.0, -1.0]),
+        (4, "b", [1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, embedding array<double>"
+    )
+    cent = SEL.source_centroid(df, "a")
+    from willa_spark.streaming.selection import domain_relevance_step
+
+    step = domain_relevance_step(cent)
+    got = sorted(
+        tuple(r)
+        for m in (0, 1)
+        for r in step(df.filter(F.col("doc_id") % 2 == m), m).collect()
+    )
+    want = sorted(tuple(r) for r in SEL.domain_relevance(df, "a").collect())
+    assert got == want
+    admitted = {
+        r["doc_id"]
+        for m in (0, 1)
+        for r in domain_relevance_step(cent, min_rel=0.9)(
+            df.filter(F.col("doc_id") % 2 == m), m
+        ).collect()
+    }
+    # cos to [0.5, 0.5]: axis docs = 0.7071, diagonal = 1.0, so only
+    # the diagonal doc clears 0.9
+    assert admitted == {2}
+    bad = spark.createDataFrame(
+        [(9, "b", [1.0, 2.0, 3.0])],
+        "doc_id long, source string, embedding array<double>",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="vector length != centroid"):
+        step(bad, 0).collect()

@@ -451,25 +451,41 @@ def domain_relevance(
     from .similarity import _as_double, cosine
 
     cent = source_centroid(emb_docs, target_source, source_col, vec_col)
+    return score_against_centroid(
+        emb_docs, cent, id_col, source_col, vec_col, "domain_relevance"
+    )
+
+
+def score_against_centroid(
+    emb_docs: DataFrame,
+    centroid: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    vec_col: str = "embedding",
+    op: str = "score_against_centroid",
+) -> DataFrame:
+    """The ONE scoring tail shared by ``domain_relevance`` and the
+    streaming ``domain_relevance_step`` (a duplicated kernel drifts —
+    this round's own review lesson, twice): broadcast the 1-row
+    centroid, score each row's 6dp cosine, and fail LOUD in-plan on
+    a corpus vector whose length disagrees with the centroid (the pq
+    dimension-guard rule — zip_with would otherwise pad to a silent
+    NULL score). NULL vectors pass through to NULL scores (the
+    caller screens those, as everywhere)."""
+    from .similarity import _as_double, cosine
+
     v = _as_double(F.col(vec_col))
-    # a corpus vector whose length disagrees with the centroid would
-    # zip_with-pad to a silent NULL score — fail loud instead (the
-    # pq _dim_guarded rule); NULL vectors pass through to NULL (the
-    # caller screens those, as everywhere)
     guarded = F.when(
         v.isNull() | (F.size(v) == F.size(F.col("centroid"))), v
     ).otherwise(
         F.raise_error(
             F.concat(
-                F.lit(
-                    "domain_relevance: vector length != centroid "
-                    "dimension: got "
-                ),
+                F.lit(f"{op}: vector length != centroid dimension: got "),
                 F.size(v).cast("string"),
             )
         ).cast("array<double>")
     )
-    return emb_docs.crossJoin(F.broadcast(cent)).select(
+    return emb_docs.crossJoin(F.broadcast(centroid)).select(
         F.col(id_col),
         F.col(source_col),
         F.round(cosine(guarded, F.col("centroid")), 6).alias("domain_rel"),

@@ -113,3 +113,41 @@ def dsir_score_step(
         )
 
     return step
+
+
+def domain_relevance_step(
+    centroid: DataFrame,
+    min_rel: float | None = None,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    vec_col: str = "embedding",
+) -> Callable[[DataFrame, int], DataFrame]:
+    """foreachBatch step: ``(batch_df, batch_id) -> (id, <source_col>,
+    domain_rel)`` under a FROZEN target centroid (the 1-row
+    ``functions.selection.source_centroid`` frame, fit once
+    batch-side on the target snapshot — the frozen-model rule this
+    module's header pins: a centroid updated mid-stream would score
+    early and late batches against different prototypes), with
+    optional admission at ``min_rel``. The centroid is eagerly PINNED
+    at step construction (an unpinned frame would re-run the target
+    aggregation every micro-batch, and a mutable backing source
+    would break the frozen invariant). Per-batch work is one
+    broadcast + a map-only scan — the batch kernel's own plan; the
+    in-plan dimension guards (ragged centroid, corpus-vs-centroid
+    mismatch) ride along unchanged."""
+    from pyspark.sql import functions as FN
+
+    from ..functions.selection import score_against_centroid
+
+    centroid = centroid.localCheckpoint(eager=True)
+
+    def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        out = score_against_centroid(
+            batch_df, centroid, id_col, source_col, vec_col,
+            "domain_relevance_step",
+        )
+        if min_rel is not None:
+            out = out.filter(FN.col("domain_rel") >= min_rel)
+        return out
+
+    return step
