@@ -316,3 +316,29 @@ def test_bpe_consistency_bands_oracle_parity(spark):
     )
     want = [tuple(r) for r in con.execute(BPE_CONSISTENCY_ORACLE).fetchall()]
     assert got == want and len(got) == 1 and got[0][0] > 0
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.text(alphabet="abc", min_size=1, max_size=10), min_size=1, max_size=8),
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abc", min_size=1, max_size=2),
+            st.text(alphabet="abc", min_size=1, max_size=2),
+        ),
+        min_size=0,
+        max_size=10,
+    ),
+)
+def test_segment_words_batched_hypothesis_differential(spark, words, merges):
+    """Random (possibly heavily interacting) merge lists over a tiny
+    alphabet vs the per-merge sequential reference — the adversarial
+    surface for the batched fold: shared operands, outputs colliding
+    with later operands, self-pairs ('a','a'), repeated merges, and
+    merges that only fire after earlier rewrites."""
+    df = spark.createDataFrame([(w,) for w in set(words)], "word string")
+    got = {
+        r["word"]: list(r["pieces"])
+        for r in B.segment_words(df, merges).collect()
+    }
+    assert got == {w: _ref_segment(w, merges) for w in set(words)}
