@@ -4702,18 +4702,23 @@ def _ann_recall_bands(
 
 def q_pq_recall_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flat PQ two-stage serving proof (functions/pq.py, Jégou 2011):
-    deterministic train (m=8, k=16, lowest-id init) + encode + ADC
-    top-10 with refine=200 exact rescoring, verified in-plan against
-    the bounded-query brute-force baseline — rank-1 self, per-query
-    recall@10 ≥ 0.5, mean ≥ 0.7 (measured floors 0.6 / 0.835 at
-    sf0.1 with margin). The bounded query set is the flat-ADC serving
-    contract's own precondition (pq_topk docstring)."""
+    deterministic train (m=8, k=16, lowest-id init, ONE Lloyd round —
+    training wall is JOB-DISPATCH-bound at test scale, 8 rounds not
+    16; m=4 was measured and rejected, recall floor 0.3) + encode +
+    ADC top-10 with refine=300 exact rescoring, verified in-plan
+    against the bounded-query brute-force baseline — rank-1 self,
+    per-query recall@10 ≥ 0.5, mean ≥ 0.7 (measured floors 0.6 /
+    0.84 at sf0.1 with margin). PRICE NOTE for the registering
+    round: ~15 s at sf0.1 (training rounds + the proof surface — the
+    precision_ann_lsh rationale at larger scale); the bounded query
+    set is the flat-ADC serving contract's own precondition (pq_topk
+    docstring)."""
     from .functions import pq as PQ
 
     def approx(emb, q, k):
-        books = PQ.pq_train(emb, m=8, k=16, n_iters=2)
+        books = PQ.pq_train(emb, m=8, k=16, n_iters=1)
         return PQ.pq_topk(
-            PQ.pq_encode(emb, books), q, books, k=k, refine=200, corpus=emb
+            PQ.pq_encode(emb, books), q, books, k=k, refine=300, corpus=emb
         )
 
     return _ann_recall_bands(spark, sf_dir, approx, "pq_recall_bands")
@@ -4722,19 +4727,20 @@ def q_pq_recall_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ivfpq_recall_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composed-index serving proof (functions/pq.py::ivfpq_*,
     the FAISS IVFPQ shape): residual codebooks over 8 cosine-IVF
-    cells, n_probe=6 probes, refine=200 exact rescoring — same
-    in-plan verification arms as q_pq_recall_bands (measured floors
-    0.6 / 0.75 at sf0.1). Probe volume is the probed cells' codes,
-    never the corpus (the bulk-serving path's own plan)."""
+    cells (2 Lloyd rounds), n_probe=6 probes, ONE residual-codebook
+    round, refine=300 exact rescoring — same in-plan verification
+    arms and price note as q_pq_recall_bands (measured floors 0.6 /
+    0.78 at sf0.1 with margin). Probe volume is the probed cells'
+    codes, never the corpus (the bulk-serving path's own plan)."""
     from .functions import pq as PQ
     from .functions.similarity import train_centroids
 
     def approx(emb, q, k):
-        cents = train_centroids(emb, n_centroids=8)
-        books = PQ.ivfpq_train(emb, cents, m=8, k=16, n_iters=2)
+        cents = train_centroids(emb, n_centroids=8, n_iters=2)
+        books = PQ.ivfpq_train(emb, cents, m=8, k=16, n_iters=1)
         idx = PQ.ivfpq_encode(emb, cents, books)
         return PQ.ivfpq_topk(
-            idx, q, cents, books, k=k, n_probe=6, refine=200, corpus=emb
+            idx, q, cents, books, k=k, n_probe=6, refine=300, corpus=emb
         )
 
     return _ann_recall_bands(spark, sf_dir, approx, "ivfpq_recall_bands")
