@@ -1375,3 +1375,64 @@ def test_epoch_shuffle_bands_oracle_parity(spark):
     )
     want = [tuple(r) for r in con.execute(EPOCH_SHUFFLE_ORACLE).fetchall()]
     assert got == want and len(got) == 1
+
+
+def test_semantic_contamination_report_fixture_and_planting_bound(spark):
+    """The third decontamination screen: exact cosines on a literal
+    fixture (flag at >= 0.9 of the ROUNDED value, self-pairs
+    excluded), plus the planting lemma the candidate query relies on —
+    cos(v, v + 0.2*||v||*e1) stays in [0.98, 1.0] for ANY vector,
+    including the worst cases a = v1/||v|| in {-1, 0, +1}."""
+    import math
+
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),       # eval item
+            (1, [1.0, 0.001]),     # near-copy -> flagged
+            (2, [0.0, 1.0]),       # orthogonal -> clean
+            (3, [-1.0, 0.0]),      # opposite -> clean
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    ev = corpus.filter(F.col("vec_id") == 0)
+    got = {
+        (r["vec_id"], r["eval_id"]): r["cosine_sim"]
+        for r in CU.semantic_contamination_report(corpus, ev).collect()
+    }
+    assert set(got) == {(1, 0)} and got[(1, 0)] == 1.0  # rounds to 1.0
+    # the planting bound: worst cases of a = v1/||v||
+    for v in ([1.0, 0.0], [-1.0, 0.0], [0.0, 1.0], [3.0, -4.0]):
+        n = math.sqrt(sum(x * x for x in v))
+        vp = [v[0] + 0.2 * n] + v[1:]
+        num = sum(x * y for x, y in zip(v, vp))
+        cos = num / (n * math.sqrt(sum(x * x for x in vp)))
+        assert 0.98 <= cos <= 1.0 + 1e-12, (v, cos)
+
+
+def test_decontaminate_semantic_oracle_parity(spark):
+    """The registration candidate (queued r10): hash-grade parity on
+    the real corpus — every planted perturbation flags against its
+    source eval item, zero organic pairs (measured), 6dp cosines
+    equal across engines."""
+    import duckdb
+
+    from willa_spark.queries import (
+        DECONTAMINATE_SEMANTIC_ORACLE,
+        q_decontaminate_semantic,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = sorted(
+        tuple(r) for r in q_decontaminate_semantic(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(DECONTAMINATE_SEMANTIC_ORACLE).fetchall()
+    )
+    assert len(got) == len(want) > 0
+    assert got == want
+    # every flagged pair is a planted copy hitting its own source
+    assert all(vid == eid + 3_000_000 for vid, eid, _ in got)

@@ -101,6 +101,8 @@ CANDIDATES = [
     ("normalize_docs", "q_normalize_docs", "NORMALIZE_DOCS_ORACLE"),
     ("bpe_consistency_bands", "q_bpe_consistency_bands", "BPE_CONSISTENCY_ORACLE"),
     ("domain_relevance", "q_domain_relevance", "DOMAIN_RELEVANCE_ORACLE"),
+    ("decontaminate_semantic", "q_decontaminate_semantic",
+     "DECONTAMINATE_SEMANTIC_ORACLE"),
 ]
 
 

@@ -1322,3 +1322,54 @@ def save_epoch_shards(
         .mode("overwrite")
         .parquet(path)
     )
+
+
+def semantic_contamination_report(
+    corpus_emb: DataFrame,
+    eval_emb: DataFrame,
+    min_sim: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SEMANTIC decontamination — the third screen in the family
+    (exact 8-gram ``contamination_report``, fraction-based
+    ``fuzzy_contamination_report``, and this): flag every (corpus
+    doc, eval item) pair whose embedding cosine reaches ``min_sim``.
+    Catches what both lexical screens miss — translations, heavy
+    rewrites, and template re-renderings of benchmark items share
+    almost no n-grams but land near the eval item in embedding space.
+
+    Returns (id, eval_id, cosine_sim 6dp) for flagged pairs;
+    self-pairs (same id on both sides) are excluded — an eval item
+    "contaminating itself" is noise when the eval set is drawn from
+    the same id space.
+
+    SERVING CONTRACT (the ``brute_force_topk`` rule): this is the
+    EXACT arm — cost is corpus × |eval| cosines, map-only behind a
+    broadcast, which is the right call exactly because eval
+    benchmarks are small (10²–10⁴ items); the caller owns keeping
+    ``eval_emb`` bounded. For eval sets past broadcast scale, block
+    first with the LSH/k-means machinery
+    (``similarity.semantic_dedup_pairs`` / ``embedding_near_dups``)
+    and verify the survivors here."""
+    from .similarity import _as_double, cosine
+
+    c = corpus_emb.select(
+        F.col(id_col).alias("__cid"), _as_double(F.col(vec_col)).alias("__cv")
+    )
+    ev = eval_emb.select(
+        F.col(id_col).alias("__eid"), _as_double(F.col(vec_col)).alias("__ev")
+    )
+    return (
+        c.crossJoin(F.broadcast(ev))
+        .filter(F.col("__cid") != F.col("__eid"))
+        .withColumn("__sim", F.round(cosine(F.col("__cv"), F.col("__ev")), 6))
+        # threshold on the ROUNDED value so a cross-engine last-ulp
+        # difference can never flip a boundary pair (the banding rule)
+        .filter(F.col("__sim") >= F.lit(min_sim))
+        .select(
+            F.col("__cid").alias(id_col),
+            F.col("__eid").alias("eval_id"),
+            F.col("__sim").alias("cosine_sim"),
+        )
+    )

@@ -5052,6 +5052,83 @@ def q_domain_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_relevance(docs.join(emb, "doc_id"), "src0")
 
 
+# --------------------------------------------------------------------
+# THIRTEENTH REGISTRATION CANDIDATE (queued r10): SEMANTIC
+# decontamination — the third screen in the family (exact 8-gram,
+# fuzzy overlap-fraction, and embedding-cosine), catching
+# translations/heavy-rewrites that share no n-grams with the eval
+# item. The corpus has no organic ≥0.9 cross-doc cosines (measured 0
+# at sf0.01/0.1), so every eval vector gets a PLANTED directional
+# perturbation (first element += 0.2·‖v‖ — cosine lands in
+# [0.980, 1.0] for ANY vector, proven in the planting note below);
+# both engines construct identical doubles, so the row hashes.
+DECONTAMINATE_SEMANTIC_ORACLE = r"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), ev AS (
+  SELECT * FROM e WHERE vec_id % 97 = 0 AND vec_id < 4850
+), planted AS (
+  SELECT vec_id + 3000000 AS vec_id,
+         [CASE WHEN i = 1
+               THEN v[i] + 0.2 * sqrt(list_dot_product(v, v))
+               ELSE v[i] END
+          FOR i IN range(1, len(v) + 1)] AS v
+  FROM ev
+), corpus AS (
+  SELECT * FROM e UNION ALL SELECT * FROM planted
+), pairs AS (
+  SELECT c.vec_id, ev.vec_id AS eval_id,
+         round(list_dot_product(c.v, ev.v)
+               / (sqrt(list_dot_product(c.v, c.v))
+                  * sqrt(list_dot_product(ev.v, ev.v))), 6) AS cosine_sim
+  FROM corpus c, ev WHERE c.vec_id <> ev.vec_id
+)
+SELECT vec_id, eval_id, cosine_sim FROM pairs WHERE cosine_sim >= 0.9
+"""
+
+
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination (functions/curation.py::
+    semantic_contamination_report): flag every (corpus doc, eval
+    item) pair at embedding cosine ≥ 0.9 — the screen that catches
+    paraphrases BEYOND the fuzzy n-gram screen's reach (translations,
+    template re-renderings). Eval set = embeddings(vec_id % 97 == 0,
+    id < 4850) — bounded ≤50 at any scale (the hybrid-arm rule);
+    planted leak = each eval vector with its first element shifted
+    by 0.2·‖v‖. Why that perturbation is threshold-safe for ANY
+    vector: with a = v₁/‖v‖ ∈ [−1, 1], cos(v, v′) =
+    (1 + 0.2a)/√(1.04 + 0.4a), which is minimized at 0.9806 (a ≈ 0)
+    and reaches 1.0 at a = ±1 — always inside the 0.9 screen, never
+    dependent on the corpus. Threshold applies to the 6dp-ROUNDED
+    cosine in both engines (the banding rule). Plan: broadcast the
+    bounded eval side, map-only cosine filter over the corpus — the
+    exact arm of the serving contract; at eval sets past broadcast
+    scale, block with the LSH/k-means machinery first
+    (semantic_dedup_pairs) and verify survivors here."""
+    from .functions import curation as CURATION
+    from .functions.similarity import _as_double, norm
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("embedding")
+    )
+    ev = emb.filter((F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 4850))
+    # stage the norm into its own projection so the per-element lambda
+    # references a bound column, not a re-evaluated fold (the CSE rule)
+    planted = ev.select(
+        (F.col("vec_id") + 3_000_000).alias("vec_id"),
+        "embedding",
+        norm(F.col("embedding")).alias("__n"),
+    ).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i == 0, x + 0.2 * F.col("__n")).otherwise(x),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    return CURATION.semantic_contamination_report(corpus, ev, min_sim=0.9)
+
+
 # Queries OMITTED from the driver-visible correctness set: the driver
 # records oracle rows for at most 50 queries (in registration order),
 # so every DISTINCT operator proof must land inside that window.
@@ -5138,12 +5215,14 @@ def q_domain_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sketch_profile_bands, chunk_documents, perplexity_bands,
 # pq_recall_bands, ivfpq_recall_bands, cms_heavy_hitters,
 # epoch_shuffle_bands, normalize_docs, bpe_consistency_bands,
-# domain_relevance; all oracles pre-written, parity-pinned, and
-# pre-flighted green at 3 SFs) + keeps chosen from the r10 gate =
-# 50. Registering all eleven takes the registry to 111 and fills 36
-# slots, leaving ~14 keeps — comfortable, and the queue finally
-# gives the PQ / CMS / epoch-shuffle / normalization / BPE /
-# domain-relevance families first driver rows.
+# domain_relevance, decontaminate_semantic; all oracles pre-written,
+# parity-pinned, and pre-flighted green at 3 SFs) + keeps chosen
+# from the r10 gate = 50. Registering all twelve takes the registry
+# to 112 and fills 37 slots, leaving ~13 keeps — comfortable, and
+# the queue finally gives the PQ / CMS / epoch-shuffle /
+# normalization / BPE / domain-relevance / semantic-decontamination
+# families first driver rows. The two PQ rows carry a PRICE NOTE
+# (~15 s at sf0.1) the registering round must weigh.
 #
 # Previous round (r9) for the record. Registered: 99. Must-in (45):
 # ALL 43 r8-rested names returned + the 2 mid-r8 parked entries
