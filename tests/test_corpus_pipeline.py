@@ -582,3 +582,71 @@ def test_composed_pipeline_fuzzy_decontamination(spark, tmp_path):
         ).collect()
     }
     assert ids_fuzzy == want
+
+
+def test_composed_pipeline_semantic_decontamination(spark, tmp_path):
+    """The SEMANTIC screen composes into the pipeline: batches carry
+    an embedding column (the raw frame — the screen stage's (id,
+    text) projection must not matter), a doc whose vector is a
+    near-copy of the eval vector is dropped even though its TEXT
+    shares nothing with the eval item, survivors equal the batch
+    twin, and enabling the screen without the column fails loud."""
+    import os
+
+    from willa_spark.streaming.corpus_pipeline import (
+        corpus_curation_batch,
+        corpus_curation_step,
+    )
+
+    # id 6's text is clean lexically; give it an embedding almost
+    # parallel to the eval vector -> semantically flagged
+    vecs = {
+        1: [1.0, 0.0, 0.0],
+        2: [0.0, 1.0, 0.0],
+        6: [0.7071, 0.7071, 0.0],
+        8: [0.0, 0.0, 1.0],
+        3: [1.0, 1.0, 1.0], 4: [1.0, 2.0, 3.0], 5: [3.0, 2.0, 1.0],
+        7: [0.5, 0.5, 0.5], 9: [0.1, 0.2, 0.3],
+    }
+    ev_emb = spark.createDataFrame(
+        [(100, [0.70, 0.7142, 0.0])], "doc_id bigint, embedding array<double>"
+    )
+
+    def mk(ids):
+        return spark.createDataFrame(
+            [(i, DOCS[i], vecs[i]) for i in ids],
+            "doc_id bigint, text string, embedding array<double>",
+        )
+
+    grams = _eval_grams(spark)
+    step = corpus_curation_step(
+        os.path.join(str(tmp_path), "sem"),
+        eval_grams=grams,
+        semantic_eval_emb=ev_emb,
+        semantic_min_sim=0.99,
+    )
+    got = set()
+    for bid, batch in enumerate((BATCH1, BATCH2, BATCH3)):
+        got |= {r["doc_id"] for r in step(mk(batch), bid).collect()}
+    assert got == EXPECT_IDS - {6}, got
+
+    want = {
+        r["doc_id"]
+        for r in corpus_curation_batch(
+            mk(sorted(DOCS)),
+            eval_grams=grams,
+            semantic_eval_emb=ev_emb,
+            semantic_min_sim=0.99,
+        ).collect()
+    }
+    assert got == want
+
+    # config error: screen enabled, no embedding column -> loud
+    import pytest as _pytest
+
+    bad = corpus_curation_step(
+        os.path.join(str(tmp_path), "sem2"),
+        semantic_eval_emb=ev_emb,
+    )
+    with _pytest.raises(ValueError, match="no 'embedding' column"):
+        bad(_mk(spark, BATCH1), 0)

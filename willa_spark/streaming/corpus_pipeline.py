@@ -120,6 +120,47 @@ def _decontaminate_fuzzy(
     )
 
 
+def _decontaminate_semantic(
+    docs: DataFrame,
+    raw: DataFrame,
+    eval_emb: DataFrame | None,
+    min_sim: float,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The SEMANTIC screen — embedding-cosine against the static eval
+    embeddings (``curation.semantic_contamination_report``), catching
+    translations/heavy rewrites both lexical screens miss. Embeddings
+    ride the RAW input frame (``raw``) — the screen/redact stage
+    projects down to (id, text), and embeddings are computed upstream
+    of curation anyway — flagged ids then anti-join the cleaned
+    frame. Stateless per batch like the other screens (batch ≡
+    streaming structurally). Enabling it on input that carries no
+    ``vec_col`` is a CONFIG error and fails loud — silently skipping
+    would report the corpus "semantically screened" when nothing
+    was."""
+    if eval_emb is None:
+        return docs
+    if vec_col not in raw.columns:
+        raise ValueError(
+            f"semantic decontamination enabled but the input has no "
+            f"{vec_col!r} column — join embeddings upstream or drop "
+            "semantic_eval_emb"
+        )
+    from ..functions.curation import semantic_contamination_report
+
+    flagged = semantic_contamination_report(
+        raw.select(id_col, vec_col),
+        eval_emb,
+        min_sim=min_sim,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    return docs.join(
+        flagged.select(id_col).distinct(), id_col, "left_anti"
+    )
+
+
 def corpus_curation_step(
     dedup_store_dir: str,
     out_dir: str | None = None,
@@ -139,6 +180,9 @@ def corpus_curation_step(
     fuzzy_eval_sets: DataFrame | None = None,
     fuzzy_n: int = 3,
     fuzzy_min_overlap: float = 0.1,
+    semantic_eval_emb: DataFrame | None = None,
+    semantic_min_sim: float = 0.9,
+    semantic_vec_col: str = "embedding",
 ) -> Callable[[DataFrame, int], DataFrame]:
     """The composed foreachBatch step; returns
     ``(batch_df, batch_id) -> admitted_df`` (id + redacted text). Wire
@@ -154,9 +198,13 @@ def corpus_curation_step(
     additionally enables the FUZZY overlap-fraction screen after the
     exact one — dropping docs whose distinct-``fuzzy_n``-gram overlap
     with any eval item reaches ``fuzzy_min_overlap`` (paraphrased
-    leaks the exact screen misses). Both screens are stateless per
-    batch against their static frames, so batch ≡ streaming
-    congruity holds structurally.
+    leaks the exact screen misses). ``semantic_eval_emb`` (static,
+    (id_col, embedding) rows) additionally enables the SEMANTIC
+    cosine screen when batches carry an embedding column — the third
+    screen, for rewrites with no shared n-grams; enabling it without
+    the column fails loud (config error, never a silent skip). All
+    screens are stateless per batch against their static frames, so
+    batch ≡ streaming congruity holds structurally.
     ``compact_every=N`` applies the store retention policy to the
     dedup signature stores every N batches (store.store_compact_every)
     — without it a long-running ingestion stream accumulates one
@@ -229,6 +277,10 @@ def corpus_curation_step(
         )
         clean = _decontaminate_fuzzy(
             clean, fuzzy_eval_sets, fuzzy_n, fuzzy_min_overlap, id_col, text_col
+        )
+        clean = _decontaminate_semantic(
+            clean, batch_df, semantic_eval_emb, semantic_min_sim,
+            id_col, semantic_vec_col,
         )
         admitted = dedup(clean, batch_id)
         if out_dir is not None:
@@ -480,6 +532,9 @@ def curation_to_shards_step(
     fuzzy_eval_sets: DataFrame | None = None,
     fuzzy_n: int = 3,
     fuzzy_min_overlap: float = 0.1,
+    semantic_eval_emb: DataFrame | None = None,
+    semantic_min_sim: float = 0.9,
+    semantic_vec_col: str = "embedding",
 ) -> Callable[[DataFrame, int], DataFrame]:
     """The WHOLE ingestion-to-training-shards pipeline as one
     foreachBatch step: screens → PII redaction → decontamination →
@@ -570,6 +625,9 @@ def corpus_curation_batch(
     fuzzy_eval_sets: DataFrame | None = None,
     fuzzy_n: int = 3,
     fuzzy_min_overlap: float = 0.1,
+    semantic_eval_emb: DataFrame | None = None,
+    semantic_min_sim: float = 0.9,
+    semantic_vec_col: str = "embedding",
 ) -> DataFrame:
     """The batch twin of ``corpus_curation_step`` over a full corpus:
     identical screens/redaction/decontamination expressions (exact AND
@@ -591,6 +649,10 @@ def corpus_curation_batch(
     )
     clean = _decontaminate_fuzzy(
         clean, fuzzy_eval_sets, fuzzy_n, fuzzy_min_overlap, id_col, text_col
+    )
+    clean = _decontaminate_semantic(
+        clean, docs, semantic_eval_emb, semantic_min_sim,
+        id_col, semantic_vec_col,
     )
     if spill_dir is not None:
         clean.write.mode("overwrite").parquet(spill_dir)
