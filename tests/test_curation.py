@@ -1380,9 +1380,12 @@ def test_epoch_shuffle_bands_oracle_parity(spark):
 def test_semantic_contamination_report_fixture_and_planting_bound(spark):
     """The third decontamination screen: exact cosines on a literal
     fixture (flag at >= 0.9 of the ROUNDED value, self-pairs
-    excluded), plus the planting lemma the candidate query relies on —
-    cos(v, v + 0.2*||v||*e1) stays in [0.98, 1.0] for ANY vector,
-    including the worst cases a = v1/||v|| in {-1, 0, +1}."""
+    excluded via exclude_same_id), plus the planting lemma the
+    candidate query relies on — cos(v, v + 0.2*||v||*e1) stays in
+    [sqrt(0.96) ~ 0.9798, 1.0] for ANY vector; the TRUE minimizer is
+    a = v1/||v|| = -0.2 (f' ~ 0.04 + 0.2a — the r10 review corrected
+    an earlier a~0/0.98 claim), so the worst cases pinned are
+    {-1, -0.2, 0, +1}."""
     import math
 
     corpus = spark.createDataFrame(
@@ -1397,16 +1400,33 @@ def test_semantic_contamination_report_fixture_and_planting_bound(spark):
     ev = corpus.filter(F.col("vec_id") == 0)
     got = {
         (r["vec_id"], r["eval_id"]): r["cosine_sim"]
-        for r in CU.semantic_contamination_report(corpus, ev).collect()
+        for r in CU.semantic_contamination_report(
+            corpus, ev, exclude_same_id=True
+        ).collect()
     }
     assert set(got) == {(1, 0)} and got[(1, 0)] == 1.0  # rounds to 1.0
-    # the planting bound: worst cases of a = v1/||v||
-    for v in ([1.0, 0.0], [-1.0, 0.0], [0.0, 1.0], [3.0, -4.0]):
+    # DEFAULT (separate id spaces / eval-in-corpus): the eval item's
+    # own corpus copy IS flagged — eval items must not train
+    with_self = {
+        (r["vec_id"], r["eval_id"])
+        for r in CU.semantic_contamination_report(corpus, ev).collect()
+    }
+    assert with_self == {(1, 0), (0, 0)}
+    # the planting bound: worst cases of a = v1/||v||, INCLUDING the
+    # true minimizer a = -0.2 where cos = sqrt(0.96)
+    lo = math.sqrt(0.96)
+    for v in (
+        [1.0, 0.0],
+        [-1.0, 0.0],
+        [0.0, 1.0],
+        [3.0, -4.0],
+        [-0.2, math.sqrt(1 - 0.04)],  # a = -0.2, the minimizer
+    ):
         n = math.sqrt(sum(x * x for x in v))
         vp = [v[0] + 0.2 * n] + v[1:]
         num = sum(x * y for x, y in zip(v, vp))
         cos = num / (n * math.sqrt(sum(x * x for x in vp)))
-        assert 0.98 <= cos <= 1.0 + 1e-12, (v, cos)
+        assert lo - 1e-12 <= cos <= 1.0 + 1e-12, (v, cos)
 
 
 def test_decontaminate_semantic_oracle_parity(spark):

@@ -1330,6 +1330,7 @@ def semantic_contamination_report(
     min_sim: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_same_id: bool = False,
 ) -> DataFrame:
     """SEMANTIC decontamination — the third screen in the family
     (exact 8-gram ``contamination_report``, fraction-based
@@ -1339,10 +1340,17 @@ def semantic_contamination_report(
     rewrites, and template re-renderings of benchmark items share
     almost no n-grams but land near the eval item in embedding space.
 
-    Returns (id, eval_id, cosine_sim 6dp) for flagged pairs;
-    self-pairs (same id on both sides) are excluded — an eval item
-    "contaminating itself" is noise when the eval set is drawn from
-    the same id space.
+    Returns (id, eval_id, cosine_sim 6dp) for flagged pairs. By
+    DEFAULT numerically-equal ids on both sides are NOT exempted
+    (``exclude_same_id=False``): in the general composition the eval
+    frame is a SEPARATE id space, and exempting id collisions would
+    silently un-screen any corpus doc whose id happens to equal an
+    eval id (r10 review) — and when the eval set IS drawn from the
+    corpus, flagging the eval item's own corpus copy is the CORRECT
+    verdict (eval items must not train). Pass
+    ``exclude_same_id=True`` only when both frames share one id
+    space AND the eval rows are intentionally kept in the corpus
+    (the planted-oracle convention).
 
     SERVING CONTRACT (the ``brute_force_topk`` rule): this is the
     EXACT arm — cost is corpus × |eval| cosines, map-only behind a
@@ -1360,9 +1368,11 @@ def semantic_contamination_report(
     ev = eval_emb.select(
         F.col(id_col).alias("__eid"), _as_double(F.col(vec_col)).alias("__ev")
     )
+    pairs = c.crossJoin(F.broadcast(ev))
+    if exclude_same_id:
+        pairs = pairs.filter(F.col("__cid") != F.col("__eid"))
     return (
-        c.crossJoin(F.broadcast(ev))
-        .filter(F.col("__cid") != F.col("__eid"))
+        pairs
         .withColumn("__sim", F.round(cosine(F.col("__cv"), F.col("__ev")), 6))
         # threshold on the ROUNDED value so a cross-engine last-ulp
         # difference can never flip a boundary pair (the banding rule)

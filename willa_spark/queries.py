@@ -5060,7 +5060,8 @@ def q_domain_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # item. The corpus has no organic ≥0.9 cross-doc cosines (measured 0
 # at sf0.01/0.1), so every eval vector gets a PLANTED directional
 # perturbation (first element += 0.2·‖v‖ — cosine lands in
-# [0.980, 1.0] for ANY vector, proven in the planting note below);
+# [√0.96 ≈ 0.9798, 1.0] for ANY vector, proven in the planting note
+# below);
 # both engines construct identical doubles, so the row hashes.
 DECONTAMINATE_SEMANTIC_ORACLE = r"""
 WITH e AS (
@@ -5078,9 +5079,13 @@ WITH e AS (
   SELECT * FROM e UNION ALL SELECT * FROM planted
 ), pairs AS (
   SELECT c.vec_id, ev.vec_id AS eval_id,
+         -- NULLIF mirrors Spark's try_divide: a zero-norm vector
+         -- yields NULL (filtered), never NaN (which DuckDB would
+         -- compare >= threshold — r10 review)
          round(list_dot_product(c.v, ev.v)
-               / (sqrt(list_dot_product(c.v, c.v))
-                  * sqrt(list_dot_product(ev.v, ev.v))), 6) AS cosine_sim
+               / NULLIF(sqrt(list_dot_product(c.v, c.v))
+                        * sqrt(list_dot_product(ev.v, ev.v)), 0),
+               6) AS cosine_sim
   FROM corpus c, ev WHERE c.vec_id <> ev.vec_id
 )
 SELECT vec_id, eval_id, cosine_sim FROM pairs WHERE cosine_sim >= 0.9
@@ -5097,9 +5102,10 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted leak = each eval vector with its first element shifted
     by 0.2·‖v‖. Why that perturbation is threshold-safe for ANY
     vector: with a = v₁/‖v‖ ∈ [−1, 1], cos(v, v′) =
-    (1 + 0.2a)/√(1.04 + 0.4a), which is minimized at 0.9806 (a ≈ 0)
-    and reaches 1.0 at a = ±1 — always inside the 0.9 screen, never
-    dependent on the corpus. Threshold applies to the 6dp-ROUNDED
+    (1 + 0.2a)/√(1.04 + 0.4a); f′ ∝ (0.04 + 0.2a), so the minimum is
+    at a = −0.2 with value √0.96 ≈ 0.9798 (r10 review corrected the
+    earlier a≈0/0.9806 claim), reaching 1.0 at a = ±1 — always
+    inside the 0.9 screen, never dependent on the corpus. Threshold applies to the 6dp-ROUNDED
     cosine in both engines (the banding rule). Plan: broadcast the
     bounded eval side, map-only cosine filter over the corpus — the
     exact arm of the serving contract; at eval sets past broadcast
@@ -5126,7 +5132,12 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     corpus = emb.unionByName(planted)
-    return CURATION.semantic_contamination_report(corpus, ev, min_sim=0.9)
+    # exclude_same_id=True: the eval items ARE corpus rows here (the
+    # planted-oracle convention) — flagging each against itself at
+    # cosine 1.0 would just restate the eval filter
+    return CURATION.semantic_contamination_report(
+        corpus, ev, min_sim=0.9, exclude_same_id=True
+    )
 
 
 # Queries OMITTED from the driver-visible correctness set: the driver

@@ -573,6 +573,9 @@ def curation_to_shards_step(
         fuzzy_eval_sets=fuzzy_eval_sets,
         fuzzy_n=fuzzy_n,
         fuzzy_min_overlap=fuzzy_min_overlap,
+        semantic_eval_emb=semantic_eval_emb,
+        semantic_min_sim=semantic_min_sim,
+        semantic_vec_col=semantic_vec_col,
     )
     pack = pack_shards_step(
         pack_store_dir,
