@@ -615,3 +615,82 @@ def test_streaming_domain_relevance_step_congruent_with_batch(spark):
 
     with _pytest.raises(Exception, match="vector length != centroid"):
         step(bad, 0).collect()
+
+
+def test_kl_divergence_profile_python_differential(spark):
+    """Smoothed per-stratum KL vs pure-Python arithmetic on a literal
+    fixture (shared corpus vocab, generated zero rows, floor mass for
+    absent grams); a stratum equal to the corpus mix scores ~0, a
+    vocabulary-disjoint stratum scores far higher; NULL groups fail
+    loud."""
+    rows = [
+        (0, "a", "x y x y"),
+        (1, "a", "x y y z"),
+        (2, "b", "p q p q"),
+        (3, "b", "p q z z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        r["lang"]: (r["n_grams"], r["kl_to_corpus"])
+        for r in SEL.kl_divergence_profile(df, group_col="lang", ns=(1,)).collect()
+    }
+
+    s_ = SEL.DEFAULT_SMOOTH
+    toks = {i: t.split() for i, _, t in rows}
+    corpus = {}
+    for ts in toks.values():
+        for t in ts:
+            corpus[t] = corpus.get(t, 0) + 1
+    T, V = sum(corpus.values()), len(corpus)
+    want = {}
+    for grp in ("a", "b"):
+        cg = {}
+        for i, g, t in rows:
+            if g == grp:
+                for tok in t.split():
+                    cg[tok] = cg.get(tok, 0) + 1
+        Tg = sum(cg.values())
+        kl = 0.0
+        for v, c in corpus.items():
+            p = (cg.get(v, 0) + s_) / (Tg + s_ * V)
+            q = (c + s_) / (T + s_ * V)
+            import math
+
+            kl += p * math.log(p / q)
+        want[grp] = (Tg, round(kl, 6))
+    assert got == want
+    assert got["a"][1] > 0.1 and got["b"][1] > 0.1  # disjoint-ish strata
+    # a stratum that IS the corpus mix diverges ~0
+    same = spark.createDataFrame(
+        [(0, "a", "x y z"), (1, "b", "x y z")],
+        "doc_id long, lang string, text string",
+    )
+    kl0 = {
+        r["lang"]: r["kl_to_corpus"]
+        for r in SEL.kl_divergence_profile(same, group_col="lang", ns=(1,)).collect()
+    }
+    assert all(abs(v) < 1e-6 for v in kl0.values()), kl0
+    bad = spark.createDataFrame(
+        [(0, None, "x y")], "doc_id long, lang string, text string"
+    )
+    with pytest.raises(Exception, match="NULL lang"):
+        SEL.kl_divergence_profile(bad, group_col="lang").collect()
+
+
+def test_kl_profile_oracle_parity(spark):
+    """The registration candidate (queued r10): hash-grade parity on
+    the real corpus — per-language smoothed KL equal across engines
+    at 6dp."""
+    import duckdb
+
+    from willa_spark.queries import KL_PROFILE_ORACLE, q_kl_profile
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = sorted(tuple(r) for r in q_kl_profile(spark, sf_dir).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(KL_PROFILE_ORACLE).fetchall())
+    assert len(got) == len(want) > 0
+    assert got == want

@@ -103,6 +103,7 @@ CANDIDATES = [
     ("domain_relevance", "q_domain_relevance", "DOMAIN_RELEVANCE_ORACLE"),
     ("decontaminate_semantic", "q_decontaminate_semantic",
      "DECONTAMINATE_SEMANTIC_ORACLE"),
+    ("kl_profile", "q_kl_profile", "KL_PROFILE_ORACLE"),
 ]
 
 

@@ -490,3 +490,80 @@ def score_against_centroid(
         F.col(source_col),
         F.round(cosine(guarded, F.col("centroid")), 6).alias("domain_rel"),
     )
+
+
+def kl_divergence_profile(
+    docs: DataFrame,
+    group_col: str = "lang",
+    ns: tuple[int, ...] = (1,),
+    smooth: float = DEFAULT_SMOOTH,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(group, n_grams, kl_to_corpus) — each stratum's smoothed
+    KL divergence from the whole-corpus gram distribution, the
+    distribution-shift monitor a curation pipeline runs per source /
+    language / snapshot (which strata diverge from the mix — the
+    upstream signal for mixture reweighting, and the drift alarm
+    between corpus versions). KL(P_g ‖ P) = Σ_v p·ln(p/q) over the
+    CORPUS vocabulary V, both sides smoothed over the same space:
+    p = (c_g + s)/(T_g + s·|V|), q = (c + s)/(T + s·|V|) — the DSIR
+    smoothing, so a gram absent from the stratum contributes its
+    floor mass, never a silent skip (the zero-gram rows are
+    GENERATED: distinct groups × the vocab frame — groups are few,
+    the vocab Zipf-bounded, and without those rows the sum would
+    understate every divergence).
+
+    Plan: one corpus gram agg (vocab + totals), one (group, gram)
+    agg, a groups×|V| generate-join, and a per-group sum — every
+    frame vocabulary-sized or smaller; the corpus enters once. NULL
+    groups fail LOUD (a silently-pooled NULL stratum would absorb
+    every unlabeled doc into one phantom profile row)."""
+    checked_group = F.when(
+        F.col(group_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"kl_divergence_profile: NULL {group_col} — label "
+                "strata upstream (a NULL group would pool every "
+                "unlabeled doc into one phantom profile row)"
+            )
+        ).cast(docs.schema[group_col].dataType),
+    ).otherwise(F.col(group_col))
+    feats = docs.select(
+        checked_group.alias("__grp"), F.col(id_col).alias("id"), F.col(text_col)
+    )
+    grams = _gram_features(feats, None, ns, "id", text_col).join(
+        feats.select(F.col("id"), "__grp").distinct(), "id"
+    )
+    corpus = grams.groupBy("feature").agg(F.sum("cnt").alias("__c"))
+    totals = corpus.agg(
+        F.sum("__c").cast("double").alias("__T"),
+        F.count(F.lit(1)).cast("double").alias("__V"),
+    )
+    per_group = grams.groupBy("__grp", "feature").agg(
+        F.sum("cnt").alias("__cg")
+    )
+    g_totals = per_group.groupBy("__grp").agg(
+        F.sum("__cg").cast("double").alias("__Tg")
+    )
+    # generate the zero rows: every (group, vocab gram) pair
+    full = (
+        g_totals.crossJoin(corpus)
+        .join(per_group, ["__grp", "feature"], "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    s_ = float(smooth)
+    p = (F.coalesce(F.col("__cg"), F.lit(0)) + s_) / (
+        F.col("__Tg") + s_ * F.col("__V")
+    )
+    q = (F.col("__c") + s_) / (F.col("__T") + s_ * F.col("__V"))
+    return (
+        full.withColumn("__term", p * F.log(p / q))
+        .groupBy(F.col("__grp").alias(group_col))
+        .agg(
+            F.sum(F.coalesce(F.col("__cg"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_grams"),
+            F.round(F.sum("__term"), 6).alias("kl_to_corpus"),
+        )
+    )

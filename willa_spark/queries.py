@@ -5140,6 +5140,61 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------
+# FOURTEENTH REGISTRATION CANDIDATE (queued r10): per-stratum KL
+# divergence from the corpus distribution — the distribution-shift
+# monitor (which languages/sources diverge from the mix; the drift
+# alarm between snapshots). Fully SQL-expressible; hash-grade.
+KL_PROFILE_ORACLE = r"""
+WITH t AS (
+  SELECT lang, doc_id,
+         string_split_regex(lower(trim(text)), '\s+') AS tk
+  FROM documents
+), grams AS (
+  SELECT lang, g, count(*) AS cnt FROM (
+    SELECT lang, unnest(tk) AS g FROM t
+  ) WHERE g <> '' GROUP BY 1, 2
+), corpus AS (
+  SELECT g, sum(cnt) AS c FROM grams GROUP BY g
+), tot AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS T, CAST(count(*) AS DOUBLE) AS V
+  FROM corpus
+), gt AS (
+  SELECT lang, CAST(sum(cnt) AS DOUBLE) AS Tg FROM grams GROUP BY lang
+), full_ AS (
+  SELECT gt.lang, gt.Tg, c.g, c.c, coalesce(gr.cnt, 0) AS cg
+  FROM gt CROSS JOIN corpus c
+  LEFT JOIN grams gr ON gr.lang = gt.lang AND gr.g = c.g
+)
+SELECT lang,
+       CAST(sum(cg) AS BIGINT) AS n_grams,
+       round(sum(
+         ((cg + 1e-4) / (Tg + 1e-4 * tot.V))
+         * ln(((cg + 1e-4) / (Tg + 1e-4 * tot.V))
+              / ((c + 1e-4) / (tot.T + 1e-4 * tot.V)))
+       ), 6) AS kl_to_corpus
+FROM full_ CROSS JOIN tot
+GROUP BY lang
+"""
+
+
+def q_kl_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language KL divergence from the corpus unigram
+    distribution (functions/selection.py::kl_divergence_profile):
+    smoothed over the shared corpus vocabulary (absent grams
+    contribute floor mass — the zero rows are GENERATED, never
+    skipped), summed per stratum, 6dp before the cross-engine hash.
+    The monitoring twin of the DSIR machinery: DSIR asks "how
+    target-like is this DOCUMENT", this asks "how corpus-like is
+    this STRATUM" — mixture reweighting upstream, drift alarms
+    between snapshots. Every frame in the plan is vocabulary-sized
+    or smaller; the corpus enters once."""
+    from .functions.selection import kl_divergence_profile
+
+    docs = read_docs_spread(spark, sf_dir).select("doc_id", "lang", "text")
+    return kl_divergence_profile(docs, group_col="lang", ns=(1,))
+
+
 # Queries OMITTED from the driver-visible correctness set: the driver
 # records oracle rows for at most 50 queries (in registration order),
 # so every DISTINCT operator proof must land inside that window.
@@ -5226,14 +5281,15 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sketch_profile_bands, chunk_documents, perplexity_bands,
 # pq_recall_bands, ivfpq_recall_bands, cms_heavy_hitters,
 # epoch_shuffle_bands, normalize_docs, bpe_consistency_bands,
-# domain_relevance, decontaminate_semantic; all oracles pre-written,
-# parity-pinned, and pre-flighted green at 3 SFs) + keeps chosen
-# from the r10 gate = 50. Registering all twelve takes the registry
-# to 112 and fills 37 slots, leaving ~13 keeps — comfortable, and
-# the queue finally gives the PQ / CMS / epoch-shuffle /
-# normalization / BPE / domain-relevance / semantic-decontamination
-# families first driver rows. The two PQ rows carry a PRICE NOTE
-# (~15 s at sf0.1) the registering round must weigh.
+# domain_relevance, decontaminate_semantic, kl_profile; all oracles
+# pre-written, parity-pinned, and pre-flighted green at 3 SFs) +
+# keeps chosen from the r10 gate = 50. Registering all thirteen
+# takes the registry to 113 and fills 38 slots, leaving ~12 keeps —
+# comfortable, and the queue finally gives the PQ / CMS /
+# epoch-shuffle / normalization / BPE / domain-relevance /
+# semantic-decontamination / KL-profile families first driver rows.
+# The two PQ rows carry a PRICE NOTE (~15 s at sf0.1) the
+# registering round must weigh.
 #
 # Previous round (r9) for the record. Registered: 99. Must-in (45):
 # ALL 43 r8-rested names returned + the 2 mid-r8 parked entries
