@@ -694,3 +694,56 @@ def test_kl_profile_oracle_parity(spark):
     want = sorted(tuple(r) for r in con.execute(KL_PROFILE_ORACLE).fetchall())
     assert len(got) == len(want) > 0
     assert got == want
+
+
+def test_streaming_kl_drift_step_differential_and_replay(spark, tmp_path):
+    """The drift monitor vs pure-Python arithmetic: batch 0 (no
+    prior) emits zero rows and seeds the store; batch 1 scores
+    against exactly batch 0's counts (union vocab, both sides
+    smoothed); a distribution-shifted batch scores far higher than a
+    same-mix batch; replaying a batch returns the same row (the
+    strictly-prior store discipline)."""
+    import math
+
+    from willa_spark.streaming.selection import kl_drift_step
+
+    store = str(tmp_path / "kl_store")
+    step = kl_drift_step(store, ns=(1,))
+    b0 = spark.createDataFrame(
+        [(0, "x y x y"), (1, "x y z")], "doc_id long, text string"
+    )
+    assert step(b0, 0).collect() == []
+
+    def py_kl(batch_counts, prior_counts):
+        s_ = SEL.DEFAULT_SMOOTH
+        vocab = set(batch_counts) | set(prior_counts)
+        Tb, Tp, V = (
+            sum(batch_counts.values()),
+            sum(prior_counts.values()),
+            len(vocab),
+        )
+        kl = 0.0
+        for v in vocab:
+            p = (batch_counts.get(v, 0) + s_) / (Tb + s_ * V)
+            q = (prior_counts.get(v, 0) + s_) / (Tp + s_ * V)
+            kl += p * math.log(p / q)
+        return round(kl, 6)
+
+    prior = {"x": 3, "y": 3, "z": 1}
+    # same-mix batch: low drift
+    b1 = spark.createDataFrame([(2, "x y z x y")], "doc_id long, text string")
+    r1 = step(b1, 1).collect()
+    assert [(r["n_grams"], r["kl_to_prior"]) for r in r1] == [
+        (5, py_kl({"x": 2, "y": 2, "z": 1}, prior))
+    ]
+    assert r1[0]["kl_to_prior"] < 0.05
+    # shifted batch (disjoint vocab): high drift vs prior = b0+b1
+    prior2 = {"x": 5, "y": 5, "z": 2}
+    b2 = spark.createDataFrame([(3, "p q p q p")], "doc_id long, text string")
+    r2 = step(b2, 2).collect()
+    want2 = py_kl({"p": 3, "q": 2}, prior2)
+    assert [(r["n_grams"], r["kl_to_prior"]) for r in r2] == [(5, want2)]
+    assert r2[0]["kl_to_prior"] > 1.0
+    # replay: batch 2 re-run scores against the SAME prior state
+    again = step(b2, 2).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in r2]

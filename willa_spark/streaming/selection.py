@@ -151,3 +151,104 @@ def domain_relevance_step(
         return out
 
     return step
+
+
+def kl_drift_step(
+    store_dir: str,
+    ns: tuple[int, ...] = (1,),
+    smooth: float | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    compact_every: int | None = None,
+) -> Callable[[DataFrame, int], DataFrame]:
+    """foreachBatch DRIFT MONITOR: one (n_grams, kl_to_prior) row per
+    micro-batch — the batch's smoothed gram distribution's KL from
+    everything ingested STRICTLY BEFORE it, then the batch's counts
+    fold into the store. The streaming face of
+    ``selection.kl_divergence_profile`` (there: stratum vs corpus;
+    here: batch vs prior corpus): a KL spike on an ingestion stream
+    IS the drift alarm — a new source coming online, a scraper
+    breaking, a language mix shift — caught at the batch boundary
+    where it happens, not in next week's batch profile.
+
+    Store discipline is ``novelty_score_step``'s verbatim: counts are
+    SUMS (exact over any batching), the probe reads strictly-prior
+    partitions (a replayed batch scores against exactly the state its
+    first attempt saw), the append overwrites its own partition.
+    Batch 0 (no prior) emits ZERO rows rather than a fabricated
+    divergence. KL runs over the UNION vocabulary, both sides
+    smoothed (absent grams take floor mass on either side — the
+    kl_divergence_profile rule)."""
+    import os
+
+    from .store import (
+        store_append,
+        store_compact_every,
+        store_partitions,
+        store_read,
+    )
+    from ..functions.selection import DEFAULT_SMOOTH, _gram_features
+
+    s_ = float(DEFAULT_SMOOTH if smooth is None else smooth)
+    counts_dir = os.path.join(store_dir, "feature_counts")
+
+    def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        spark = batch_df.sparkSession
+        store_compact_every(
+            spark, [(counts_dir, "feature")], batch_id, compact_every
+        )
+        feats = _gram_features(
+            batch_df, None, ns, id_col, text_col
+        ).localCheckpoint(eager=True)
+        bc = (
+            feats.groupBy("feature")
+            .agg(F.sum("cnt").alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
+        has_feats = bool(bc.limit(1).count())
+        has_prior = any(b < batch_id for b in store_partitions(counts_dir))
+        if not (has_prior and has_feats):
+            out = spark.createDataFrame(
+                [], "n_grams bigint, kl_to_prior double"
+            )
+        else:
+            prior = (
+                store_read(spark, counts_dir, before_batch=batch_id)
+                .groupBy("feature")
+                .agg(F.sum("cnt").alias("__c"))
+            )
+            full = bc.withColumnRenamed("cnt", "__cg").join(
+                prior, "feature", "full"
+            )
+            totals = full.agg(
+                F.sum(F.coalesce(F.col("__cg"), F.lit(0)))
+                .cast("double")
+                .alias("__Tb"),
+                F.sum(F.coalesce(F.col("__c"), F.lit(0)))
+                .cast("double")
+                .alias("__Tp"),
+                F.count(F.lit(1)).cast("double").alias("__V"),
+            )
+            j = full.crossJoin(F.broadcast(totals))
+            p = (F.coalesce(F.col("__cg"), F.lit(0)) + s_) / (
+                F.col("__Tb") + s_ * F.col("__V")
+            )
+            q = (F.coalesce(F.col("__c"), F.lit(0)) + s_) / (
+                F.col("__Tp") + s_ * F.col("__V")
+            )
+            # pinned BEFORE the count append (the novelty rule: the
+            # returned frame must not depend on store files moving)
+            out = (
+                j.agg(
+                    F.sum(F.coalesce(F.col("__cg"), F.lit(0)))
+                    .cast("bigint")
+                    .alias("n_grams"),
+                    F.round(F.sum(p * F.log(p / q)), 6).alias("kl_to_prior"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        if has_feats:
+            store_append(bc, counts_dir, batch_id, sort_by="feature")
+        return out
+
+    return step
