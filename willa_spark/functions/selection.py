@@ -46,6 +46,20 @@ from .dedup import shingles
 DEFAULT_SMOOTH = 1e-4
 
 
+def _gram_array(text: "F.Column", ns: tuple[int, ...]) -> "F.Column":
+    """The union-of-``ns``-gram-orders array for one text column — the
+    ONE gram definition `_gram_features` and `kl_divergence_profile`
+    share. An empty document splits to [''] — one empty-string token,
+    which would give token-less docs a shared phantom feature (and
+    every model a '' row); a doc with no tokens has NO features."""
+    grams = (
+        F.concat(*[shingles(text, n) for n in ns])
+        if len(ns) > 1
+        else shingles(text, ns[0])
+    )
+    return F.filter(grams, lambda g: g != "")
+
+
 def _gram_features(
     docs: DataFrame,
     num_buckets: int | None,
@@ -59,13 +73,10 @@ def _gram_features(
     xxhash64-mod-K bucket rendered as a string (one feature column
     type either way, so the model frames are interchangeable). One
     explode + one (doc, feature) partial-agg shuffle."""
-    t = F.col(text_col)
-    grams = F.concat(*[shingles(t, n) for n in ns]) if len(ns) > 1 else shingles(t, ns[0])
-    # an empty document splits to [''] — one empty-string token, which
-    # would give token-less docs a shared phantom feature (and every
-    # model a '' row); a doc with no tokens has NO features
-    grams = F.filter(grams, lambda g: g != "")
-    g = docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("__g"))
+    g = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(_gram_array(F.col(text_col), ns)).alias("__g"),
+    )
     if num_buckets is None:
         feat = F.col("__g")
     else:
@@ -514,11 +525,13 @@ def kl_divergence_profile(
     the vocab Zipf-bounded, and without those rows the sum would
     understate every divergence).
 
-    Plan: one corpus gram agg (vocab + totals), one (group, gram)
-    agg, a groups×|V| generate-join, and a per-group sum — every
-    frame vocabulary-sized or smaller; the corpus enters once. NULL
-    groups fail LOUD (a silently-pooled NULL stratum would absorb
-    every unlabeled doc into one phantom profile row)."""
+    Plan: ONE corpus-scale exchange (the (group, gram) partial agg —
+    corpus counts then derive from it), a groups×|V| generate-join,
+    and a per-group sum — every later frame vocabulary-sized; the
+    corpus enters once. NULL groups fail LOUD for any document that
+    has grams (the guard rides the explode's input projection);
+    entirely gram-less documents have no distribution to profile and
+    contribute nothing (the family's feature-less contract)."""
     checked_group = F.when(
         F.col(group_col).isNull(),
         F.raise_error(
@@ -529,19 +542,28 @@ def kl_divergence_profile(
             )
         ).cast(docs.schema[group_col].dataType),
     ).otherwise(F.col(group_col))
-    feats = docs.select(
-        checked_group.alias("__grp"), F.col(id_col).alias("id"), F.col(text_col)
+    # DIRECT (group, gram) aggregation — no per-doc detour (r10
+    # review: the earlier per-(id, feature) agg + id join + distinct
+    # paid two corpus-scale exchanges whose granularity nothing
+    # consumed). The guard rides the projection feeding the explode:
+    # any NULL-group document WITH grams raises in-plan; an entirely
+    # gram-less document has NO distribution to profile and emits
+    # nothing (the family's feature-less contract), so an all-blank
+    # corpus profiles empty rather than raising.
+    g = docs.select(
+        checked_group.alias("__grp"),
+        F.explode(_gram_array(F.col(text_col), ns)).alias("feature"),
     )
-    grams = _gram_features(feats, None, ns, "id", text_col).join(
-        feats.select(F.col("id"), "__grp").distinct(), "id"
+    per_group = g.groupBy("__grp", "feature").agg(
+        F.count(F.lit(1)).alias("__cg")
     )
-    corpus = grams.groupBy("feature").agg(F.sum("cnt").alias("__c"))
+    # corpus counts DERIVE from the per-group frame — the corpus
+    # enters once, and this second agg works the (groups x vocab)
+    # table, not the corpus
+    corpus = per_group.groupBy("feature").agg(F.sum("__cg").alias("__c"))
     totals = corpus.agg(
         F.sum("__c").cast("double").alias("__T"),
         F.count(F.lit(1)).cast("double").alias("__V"),
-    )
-    per_group = grams.groupBy("__grp", "feature").agg(
-        F.sum("cnt").alias("__cg")
     )
     g_totals = per_group.groupBy("__grp").agg(
         F.sum("__cg").cast("double").alias("__Tg")

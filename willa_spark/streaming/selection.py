@@ -197,11 +197,36 @@ def kl_drift_step(
         store_compact_every(
             spark, [(counts_dir, "feature")], batch_id, compact_every
         )
-        feats = _gram_features(
-            batch_df, None, ns, id_col, text_col
-        ).localCheckpoint(eager=True)
+        # id hygiene fails LOUD before anything persists (the novelty
+        # guard verbatim — r10 review): a doc redelivered twice in
+        # one micro-batch would double its gram mass in the emitted
+        # KL row AND in the store, and a replay rewrites the same
+        # corrupted partition (unrepairable). NULL ids are harmless
+        # to the per-feature sums but fail the same check for
+        # consistency with the family's contract.
+        bad = batch_df.agg(
+            F.sum(F.when(F.col(id_col).isNull(), 1).otherwise(0)).alias(
+                "n_null"
+            ),
+            (F.count(F.lit(1)) - F.count_distinct(F.col(id_col))).alias(
+                "n_dup"
+            ),
+        ).collect()[0]
+        if bad["n_null"] or bad["n_dup"]:
+            raise ValueError(
+                f"kl_drift_step: {bad['n_null']} NULL / {bad['n_dup']} "
+                f"duplicate {id_col} row(s) in one micro-batch — dedup "
+                "and label upstream (doubled gram counts would persist "
+                "in the prior store across replays)"
+            )
+        # ONE checkpoint, on the (feature, cnt) frame both consumers
+        # read — feats itself has a single consumer, so checkpointing
+        # it too would run an extra per-batch materialization job for
+        # no reuse (r10 review; contrast novelty_score_step, where
+        # feats feeds scoring AND append)
         bc = (
-            feats.groupBy("feature")
+            _gram_features(batch_df, None, ns, id_col, text_col)
+            .groupBy("feature")
             .agg(F.sum("cnt").alias("cnt"))
             .localCheckpoint(eager=True)
         )
