@@ -57,22 +57,26 @@ from .similarity import _as_double, cosine, norm
 def _l2_dists(slice_col: Column, codebook: list[list[float]]) -> Column:
     """Array of squared L2 distances from a (bound) subspace slice to
     every codebook centroid — each distance appears in the tree
-    exactly once (the _centroid_sims rule)."""
-
-    def dists(s):
-        out = []
-        for c in codebook:
-            arr = F.array(*[F.lit(float(x)) for x in c])
-            out.append(
-                F.aggregate(
-                    F.zip_with(s, arr, lambda x, y: (x - y) * (x - y)),
-                    F.lit(0.0),
-                    lambda acc, d: acc + d,
-                )
-            )
-        return F.array(*out)
-
-    return _bound(slice_col, dists)
+    exactly once (the _centroid_sims rule). The codebook enters as ONE
+    nested-array literal under a single ``transform`` instead of k
+    unrolled aggregate expressions: bitwise-identical distances (same
+    zip_with/aggregate fold per centroid, codebook order), but the
+    Column tree is k× smaller — the unrolled form's ~2k py4j HOF
+    constructions per subspace dominated pq_train/pq_encode wall time
+    at small scale (measured 5.7 s → 1.6 s for m=8, k=16 trees) and
+    bloated every plan that embedded the codebooks."""
+    cbl = F.lit([[float(x) for x in c] for c in codebook])
+    return _bound(
+        slice_col,
+        lambda s: F.transform(
+            cbl,
+            lambda c: F.aggregate(
+                F.zip_with(s, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ),
+        ),
+    )
 
 
 def _sub_slices(vec: Column, m: int, sub: int) -> list[Column]:
@@ -155,31 +159,52 @@ def pq_train(
         raise ValueError(f"pq_train: k={k} exceeds corpus size {len(init_rows)}")
     dim = len(init_rows[0]["v"])
     sub = _subspace_geometry(dim, m)
-    codebooks: list[list[list[float]]] = []
-    for j in range(m):
-        cb = [list(r["v"])[j * sub : (j + 1) * sub] for r in init_rows]
-        sl = c.select("id", F.slice("v", j * sub + 1, sub).alias("s"))
-        for _ in range(n_iters):
-            assigned = sl.withColumn(
-                "cid",
+    # ALL m subspaces train in lockstep — subspace Lloyd rounds are
+    # independent, so fusing them costs nothing in semantics (same
+    # init, same first-index tie-break, same per-(subspace, cell, pos)
+    # means, empty cells keep their previous centroid) and collapses
+    # m assignment/means jobs per round into ONE corpus pass + ONE
+    # m*k*sub-row collect — at 100 TB that is 1 scan per round instead
+    # of m, and at test scale it removes the job-dispatch wall the
+    # r10 PRICE NOTE measured (the per-subspace loop was ~m× this).
+    codebooks: list[list[list[float]]] = [
+        [list(r["v"])[j * sub : (j + 1) * sub] for r in init_rows]
+        for j in range(m)
+    ]
+    for _ in range(n_iters):
+        cids = F.array(
+            *[
                 _bound(
-                    _l2_dists(F.col("s"), cb),
+                    _l2_dists(s, codebooks[j]),
                     lambda d: (
                         F.array_position(d, F.array_min(d)) - 1
                     ).cast("int"),
-                ),
+                )
+                for j, s in enumerate(_sub_slices(F.col("v"), m, sub))
+            ]
+        )
+        # cids staged BEFORE the explode so the m argmins run once per
+        # vector, not once per exploded element (Generate blocks
+        # CollapseProject from re-inlining them)
+        assigned = c.select(F.col("v"), cids.alias("__cids"))
+        means = (
+            assigned.select("__cids", F.posexplode("v").alias("gp", "x"))
+            .select(
+                (F.col("gp") / sub).cast("int").alias("j"),
+                (F.col("gp") % sub).cast("int").alias("pos"),
+                F.element_at(
+                    "__cids", (F.col("gp") / sub).cast("int") + F.lit(1)
+                ).alias("cid"),
+                "x",
             )
-            means = (
-                assigned.select("cid", F.posexplode("s").alias("pos", "x"))
-                .groupBy("cid", "pos")
-                .agg(F.avg("x").alias("mean"))
-                .collect()
-            )
-            new: dict[int, list[float]] = {}
-            for r in means:
-                new.setdefault(r["cid"], [0.0] * sub)[r["pos"]] = r["mean"]
-            cb = [new.get(i, cb[i]) for i in range(k)]
-        codebooks.append(cb)
+            .groupBy("j", "cid", "pos")
+            .agg(F.avg("x").alias("mean"))
+            .collect()
+        )
+        new = [[list(codebooks[j][i]) for i in range(k)] for j in range(m)]
+        for r in means:
+            new[r["j"]][r["cid"]][r["pos"]] = r["mean"]
+        codebooks = new
     return codebooks
 
 

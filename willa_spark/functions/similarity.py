@@ -329,16 +329,25 @@ def _centroid_sims(vec: Column, centroids: list[list[float]]) -> Column:
     the tree per centroid (benchmarked 40s+ at sf0.1; this form is
     sub-second)."""
     vn = norm(vec)
-    sims = []
-    for c in centroids:
-        cn = math.sqrt(sum(x * x for x in c)) or 1.0
-        arr = F.array(*[F.lit(float(x)) for x in c])
-        # try_divide: a zero-norm vector yields NULL sims (→ NULL cell
-        # in ivf_assign, excluded from probes and drift averages)
-        # instead of an ANSI DIVIDE_BY_ZERO job failure — and unlike
-        # nullif it never duplicates the vn subtree (see cosine())
-        sims.append(F.try_divide(dot(vec, arr), vn * F.lit(cn)))
-    return F.array(*sims)
+    # centroids and their (Python-precomputed) norms enter as TWO
+    # nested literals under one transform instead of C unrolled dot
+    # expressions: bitwise-identical sims (same zip_with fold per
+    # centroid, same vn*cn denominator), a C× smaller Column tree —
+    # the unrolled form's per-centroid py4j HOF construction dominated
+    # ivf/ivfpq wall time at small scale (the _l2_dists lesson).
+    # try_divide: a zero-norm vector yields NULL sims (→ NULL cell
+    # in ivf_assign, excluded from probes and drift averages)
+    # instead of an ANSI DIVIDE_BY_ZERO job failure — and unlike
+    # nullif it never duplicates the vn subtree (see cosine())
+    cl = F.lit([[float(x) for x in c] for c in centroids])
+    nl = F.lit([math.sqrt(sum(x * x for x in c)) or 1.0 for c in centroids])
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+        lambda i: F.try_divide(
+            dot(vec, F.element_at(cl, i + F.lit(1))),
+            vn * F.element_at(nl, i + F.lit(1)),
+        ),
+    )
 
 
 def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
