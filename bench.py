@@ -144,6 +144,24 @@ HEADLINE = [
     "near_dup_keep_best",
     # round 10: the 100th registration
     "dsir_weights",
+    # round 11: the full r10 registration queue (period-3 activation),
+    # in the r10 note's priority order — first driver rows for the
+    # hybrid-RRF / sketch / chunking / perplexity / PQ / IVF-PQ / CMS /
+    # epoch-shuffle / normalization / BPE / domain-relevance /
+    # semantic-decontamination / KL-profile families
+    "hybrid_rrf_topk",
+    "sketch_profile_bands",
+    "chunk_documents",
+    "perplexity_bands",
+    "pq_recall_bands",
+    "ivfpq_recall_bands",
+    "cms_heavy_hitters",
+    "epoch_shuffle_bands",
+    "normalize_docs",
+    "bpe_consistency_bands",
+    "domain_relevance",
+    "decontaminate_semantic",
+    "kl_profile",
 ]
 
 

@@ -677,6 +677,75 @@ def test_kl_divergence_profile_python_differential(spark):
         SEL.kl_divergence_profile(bad, group_col="lang").collect()
 
 
+def test_kl_profile_vocab_bound_knobs(spark):
+    """The r10-verdict vocabulary bound: top_v / min_count truncate
+    the generate-join's feature space. Wide-open knobs are the
+    identity (truncated ≡ full when top_v ≥ |V| and min_count=1); a
+    real truncation re-derives totals/|V|/floor mass from the KEPT
+    grams only — verified against pure-Python arithmetic over the
+    truncated space."""
+    rows = [
+        (0, "a", "x y x y"),
+        (1, "a", "x y y z"),
+        (2, "b", "p q p q"),
+        (3, "b", "p q z z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    full = {
+        (r["lang"], r["n_grams"], r["kl_to_corpus"])
+        for r in SEL.kl_divergence_profile(df, group_col="lang").collect()
+    }
+    wide = {
+        (r["lang"], r["n_grams"], r["kl_to_corpus"])
+        for r in SEL.kl_divergence_profile(
+            df, group_col="lang", top_v=10**6, min_count=1
+        ).collect()
+    }
+    assert wide == full
+
+    # top_v=3 keeps (count desc, gram asc): y(4), p(3)... corpus
+    # counts: x3 y4 z3 p3 q3 → y4, then p3 (tie block p<q<x<z) , q3
+    got = {
+        r["lang"]: (r["n_grams"], r["kl_to_corpus"])
+        for r in SEL.kl_divergence_profile(
+            df, group_col="lang", top_v=3
+        ).collect()
+    }
+    import math
+
+    s_ = SEL.DEFAULT_SMOOTH
+    kept = {"y": 4, "p": 3, "q": 3}
+    T, V = sum(kept.values()), len(kept)
+    cg_all = {
+        "a": {"x": 3, "y": 4, "z": 1},
+        "b": {"p": 3, "q": 3, "z": 2},
+    }
+    want = {}
+    for grp, cg in cg_all.items():
+        kept_g = {v: c for v, c in cg.items() if v in kept}
+        Tg = sum(kept_g.values())
+        kl = sum(
+            ((kept_g.get(v, 0) + s_) / (Tg + s_ * V))
+            * math.log(
+                ((kept_g.get(v, 0) + s_) / (Tg + s_ * V))
+                / ((c + s_) / (T + s_ * V))
+            )
+            for v, c in kept.items()
+        )
+        want[grp] = (Tg, round(kl, 6))
+    assert got == want
+
+    # min_count=3 drops z(3)? no — z has 3; drops nothing under 3;
+    # min_count=4 keeps only y
+    only_y = {
+        r["lang"]: r["n_grams"]
+        for r in SEL.kl_divergence_profile(
+            df, group_col="lang", min_count=4
+        ).collect()
+    }
+    assert only_y == {"a": 4, "b": 0}
+
+
 def test_kl_profile_oracle_parity(spark):
     """The registration candidate (queued r10): hash-grade parity on
     the real corpus — per-language smoothed KL equal across engines

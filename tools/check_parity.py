@@ -89,21 +89,10 @@ def norm_rows(cols, types, rows):
 # constant attr) in willa_spark.queries — kept HERE in one place so the
 # pre-flight and the policy block cannot drift silently (the list is
 # asserted against queries.py at run time: a missing attr fails loud).
-CANDIDATES = [
-    ("hybrid_rrf_topk", "q_hybrid_rrf_topk", "HYBRID_RRF_ORACLE"),
-    ("sketch_profile_bands", "q_sketch_profile_bands", "SKETCH_PROFILE_ORACLE"),
-    ("chunk_documents", "q_chunk_documents", "CHUNK_DOCS_ORACLE"),
-    ("perplexity_bands", "q_perplexity_bands", "PERPLEXITY_BANDS_ORACLE"),
-    ("pq_recall_bands", "q_pq_recall_bands", "PQ_RECALL_ORACLE"),
-    ("ivfpq_recall_bands", "q_ivfpq_recall_bands", "IVFPQ_RECALL_ORACLE"),
-    ("cms_heavy_hitters", "q_cms_heavy_hitters", "CMS_HEAVY_HITTERS_ORACLE"),
-    ("epoch_shuffle_bands", "q_epoch_shuffle_bands", "EPOCH_SHUFFLE_ORACLE"),
-    ("normalize_docs", "q_normalize_docs", "NORMALIZE_DOCS_ORACLE"),
-    ("bpe_consistency_bands", "q_bpe_consistency_bands", "BPE_CONSISTENCY_ORACLE"),
-    ("domain_relevance", "q_domain_relevance", "DOMAIN_RELEVANCE_ORACLE"),
-    ("decontaminate_semantic", "q_decontaminate_semantic",
-     "DECONTAMINATE_SEMANTIC_ORACLE"),
-    ("kl_profile", "q_kl_profile", "KL_PROFILE_ORACLE"),
+CANDIDATES: list[tuple[str, str, str]] = [
+    # (empty as of r11: the full r10 queue — hybrid_rrf_topk through
+    # kl_profile — registered in the r11 period-3 gate; park future
+    # candidates here with their q_* fn and *_ORACLE constant)
 ]
 
 

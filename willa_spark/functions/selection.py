@@ -510,6 +510,8 @@ def kl_divergence_profile(
     smooth: float = DEFAULT_SMOOTH,
     id_col: str = "doc_id",
     text_col: str = "text",
+    top_v: int | None = None,
+    min_count: int = 1,
 ) -> DataFrame:
     """(group, n_grams, kl_to_corpus) — each stratum's smoothed
     KL divergence from the whole-corpus gram distribution, the
@@ -531,7 +533,20 @@ def kl_divergence_profile(
     corpus enters once. NULL groups fail LOUD for any document that
     has grams (the guard rides the explode's input projection);
     entirely gram-less documents have no distribution to profile and
-    contribute nothing (the family's feature-less contract)."""
+    contribute nothing (the family's feature-less contract).
+
+    VOCABULARY BOUND (the r10 verdict's knob): the generate-join is
+    groups × |V| — fine for unigrams (Zipf-bounded), but ``ns``
+    containing n>1 at web scale makes |V| explode. ``top_v`` keeps
+    only the top_v most frequent CORPUS grams (count desc, gram asc —
+    deterministic), ``min_count`` drops grams the corpus saw fewer
+    times; either way the kept set becomes THE feature space — group
+    and corpus totals, |V|, and the floor mass all re-derive from it,
+    so the result is the exact profile over the truncated vocabulary
+    (NOT an approximation of the full-vocab profile; the truncated
+    space is the monitoring contract, like DSIR's hashed buckets).
+    Truncation filters the vocabulary-sized frame, never re-touches
+    the corpus; with both at their defaults the plan is unchanged."""
     checked_group = F.when(
         F.col(group_col).isNull(),
         F.raise_error(
@@ -561,6 +576,28 @@ def kl_divergence_profile(
     # enters once, and this second agg works the (groups x vocab)
     # table, not the corpus
     corpus = per_group.groupBy("feature").agg(F.sum("__cg").alias("__c"))
+    if min_count > 1:
+        corpus = corpus.filter(F.col("__c") >= min_count)
+    if top_v is not None:
+        # TakeOrdered over the vocabulary-sized frame: top_v rows is
+        # the caller's own bound, so the single-partition tail is by
+        # construction as small as the caller accepts
+        corpus = corpus.orderBy(
+            F.col("__c").desc(), F.col("feature").asc()
+        ).limit(int(top_v))
+    if min_count > 1 or top_v is not None:
+        # the kept grams ARE the feature space now — group counts and
+        # every total re-derive from the truncated set. The GROUP list
+        # does not: a stratum whose every gram was truncated away must
+        # still profile (Tg=0 → pure floor-mass distribution), never
+        # silently vanish from a monitoring frame (the
+        # generated-not-skipped rule, applied to whole strata).
+        groups = per_group.select("__grp").distinct()
+        per_group = per_group.join(
+            corpus.select("feature"), "feature", "inner"
+        )
+    else:
+        groups = None
     totals = corpus.agg(
         F.sum("__c").cast("double").alias("__T"),
         F.count(F.lit(1)).cast("double").alias("__V"),
@@ -568,6 +605,10 @@ def kl_divergence_profile(
     g_totals = per_group.groupBy("__grp").agg(
         F.sum("__cg").cast("double").alias("__Tg")
     )
+    if groups is not None:
+        g_totals = groups.join(g_totals, "__grp", "left").select(
+            "__grp", F.coalesce(F.col("__Tg"), F.lit(0.0)).alias("__Tg")
+        )
     # generate the zero rows: every (group, vocab gram) pair
     full = (
         g_totals.crossJoin(corpus)

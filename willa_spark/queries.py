@@ -4359,6 +4359,7 @@ FROM fr WHERE rank <= 5
 """
 
 
+@query("hybrid_rrf_topk", oracle=HYBRID_RRF_ORACLE)
 def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval (functions/retrieval.py::hybrid_topk): BM25
     top-5 over every 50th document's first 5 distinct tokens FUSED
@@ -4435,6 +4436,7 @@ FROM d JOIN v USING (lang)
 """
 
 
+@query("sketch_profile_bands", oracle=SKETCH_PROFILE_ORACLE)
 def q_sketch_profile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus profile from ONE mergeable-sketch aggregate
     pass (functions/sketches.py): exact doc/token counts ride the same
@@ -4521,6 +4523,7 @@ FROM e
 """
 
 
+@query("chunk_documents", oracle=CHUNK_DOCS_ORACLE)
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-window chunking (functions/text.py::chunk_documents):
     every document split into 32-token chunks at stride 24 (8-token
@@ -4580,6 +4583,7 @@ FROM scored
 """
 
 
+@query("perplexity_bands", oracle=PERPLEXITY_BANDS_ORACLE)
 def q_perplexity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet quality banding (functions/selection.py::
     cross_entropy_score + with_quality_bucket, Wenzek et al. 2020
@@ -4700,17 +4704,21 @@ def _ann_recall_bands(
     )
 
 
+@query("pq_recall_bands", oracle=PQ_RECALL_ORACLE)
 def q_pq_recall_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flat PQ two-stage serving proof (functions/pq.py, Jégou 2011):
-    deterministic train (m=8, k=16, lowest-id init, ONE Lloyd round —
-    training wall is JOB-DISPATCH-bound at test scale, 8 rounds not
-    16; m=4 was measured and rejected, recall floor 0.3) + encode +
-    ADC top-10 with refine=300 exact rescoring, verified in-plan
-    against the bounded-query brute-force baseline — rank-1 self,
-    per-query recall@10 ≥ 0.5, mean ≥ 0.7 (measured floors 0.6 /
-    0.84 at sf0.1 with margin). PRICE NOTE for the registering
-    round: ~15 s at sf0.1 (training rounds + the proof surface — the
-    precision_ann_lsh rationale at larger scale); the bounded query
+    deterministic train (m=8, k=16, lowest-id init, ONE Lloyd round;
+    m=4 was measured and rejected, recall floor 0.3) + encode + ADC
+    top-10 with refine=300 exact rescoring, verified in-plan against
+    the bounded-query brute-force baseline — rank-1 self, per-query
+    recall@10 ≥ 0.5, mean ≥ 0.7 (measured floors 0.6 / 0.84 at sf0.1
+    with margin). PRICE, settled at registration (r11, the r10
+    verdict's precondition): the r10 ~15 s note was job-dispatch +
+    Column-tree construction, not data — fusing the m per-subspace
+    Lloyd jobs into one corpus pass per round and collapsing the
+    codebook literals to one transform-over-nested-literal brought it
+    to ~5 s steady-state at sf0.1 (BASELINE.md r11), in line with the
+    other heavy proof rows (recall_minhash 4.4 s); the bounded query
     set is the flat-ADC serving contract's own precondition (pq_topk
     docstring)."""
     from .functions import pq as PQ
@@ -4724,14 +4732,27 @@ def q_pq_recall_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_bands(spark, sf_dir, approx, "pq_recall_bands")
 
 
+@query("ivfpq_recall_bands", oracle=IVFPQ_RECALL_ORACLE)
 def q_ivfpq_recall_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composed-index serving proof (functions/pq.py::ivfpq_*,
     the FAISS IVFPQ shape): residual codebooks over 8 cosine-IVF
     cells (2 Lloyd rounds), n_probe=6 probes, ONE residual-codebook
     round, refine=300 exact rescoring — same in-plan verification
-    arms and price note as q_pq_recall_bands (measured floors 0.6 /
-    0.78 at sf0.1 with margin). Probe volume is the probed cells'
-    codes, never the corpus (the bulk-serving path's own plan)."""
+    arms as q_pq_recall_bands (measured floors 0.6 / 0.78 at sf0.1
+    with margin). Probe volume is the probed cells' codes, never the
+    corpus (the bulk-serving path's own plan). PRICE, settled at
+    registration (r11): ~10 s steady-state at sf0.1 after the r11
+    training fusion + tree shrink (down from the r10 note's 17.2 s;
+    BASELINE.md r11) — the remaining cost is two quantizer trainings
+    + encode + the brute-force proof arm, accepted as the family's
+    one driver row. SCALE HONESTY (the r10 verdict's condition):
+    cells is FIXED at 8 here for cross-SF determinism, and the
+    BASELINE.md 10× row measured 2.4× at that fixed shape — the cost
+    of NOT scaling the quantizer, kept as a contract-by-
+    counterexample; production sizes cells ~∛N–√N with corpus growth
+    (similarity.train_centroids rule), where the same 10× step
+    measured 3.7× total work but FLAT per-probed-candidate cost.
+    Never read the fixed-cells shape as the recommended one."""
     from .functions import pq as PQ
     from .functions.similarity import train_centroids
 
@@ -4762,6 +4783,7 @@ FROM c ORDER BY exact_count DESC, term LIMIT 20
 """
 
 
+@query("cms_heavy_hitters", oracle=CMS_HEAVY_HITTERS_ORACLE)
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min heavy hitters (functions/sketches.py::token_cms /
     cms_estimate, Cormode-Muthukrishnan 2005): the corpus's top-20
@@ -4816,6 +4838,7 @@ FROM documents
 """
 
 
+@query("epoch_shuffle_bands", oracle=EPOCH_SHUFFLE_ORACLE)
 def q_epoch_shuffle_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-epoch shuffle proof (functions/curation.py::
     epoch_shuffle): epochs 1 and 2 over the corpus at 32 shards, one
@@ -4905,6 +4928,7 @@ FROM n
 """
 
 
+@query("normalize_docs", oracle=NORMALIZE_DOCS_ORACLE)
 def q_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode text normalization (functions/text.py::normalize_text):
     strip C0 controls (keeping \\t \\n \\r for the collapse step) →
@@ -4957,6 +4981,7 @@ FROM w WHERE word <> ''
 """
 
 
+@query("bpe_consistency_bands", oracle=BPE_CONSISTENCY_ORACLE)
 def q_bpe_consistency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer-fitting proof (functions/bpe.py, Sennrich 2016):
     train 16 merges on the corpus, segment the full distinct-word
@@ -5034,6 +5059,7 @@ FROM ed CROSS JOIN c
 """
 
 
+@query("domain_relevance", oracle=DOMAIN_RELEVANCE_ORACLE)
 def q_domain_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space domain relevance (functions/selection.py::
     domain_relevance): every embedded document's cosine to the 'src0'
@@ -5092,6 +5118,7 @@ SELECT vec_id, eval_id, cosine_sim FROM pairs WHERE cosine_sim >= 0.9
 """
 
 
+@query("decontaminate_semantic", oracle=DECONTAMINATE_SEMANTIC_ORACLE)
 def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic decontamination (functions/curation.py::
     semantic_contamination_report): flag every (corpus doc, eval
@@ -5178,6 +5205,7 @@ GROUP BY lang
 """
 
 
+@query("kl_profile", oracle=KL_PROFILE_ORACLE)
 def q_kl_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language KL divergence from the corpus unigram
     distribution (functions/selection.py::kl_divergence_profile):
@@ -5205,58 +5233,40 @@ def q_kl_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_curation.py::test_omitted_relational_parity (computed
 # FROM this set, so the pin rotates automatically).
 #
-# Round 10 rotation. Registered queries: 100 (99 r9 names +
-# dsir_weights, the 100th registration — parked through r9 with its
-# oracle pre-written, parity-pinned by
-# tests/test_selection.py::test_dsir_weights_oracle_parity, and
-# pre-flighted through tools/check_parity.py — entering in the one
-# free slot exactly as the r9 capacity plan prescribed). Must-in
-# (49): ALL 49 r9-rested names return (each green in the r8 driver
-# gate, so the two-round invariant comes due — the same all-return
-# move every round since r6). 49 + 1 new = 50 gate slots and ZERO
-# keeps: the single r9 keep (session_windows) rests for the first
-# time against its green r9 row, displaced by the dsir_weights
-# registration — the displacement the r9 note priced, legal because
-# session_windows is green in CORRECTNESS_r09.
+# Round 11 rotation — PERIOD-3 ACTIVATED. Registered queries: 113
+# (the 100 r10 names + the full 13-entry registration queue, entered
+# in the r10 note's priority order: hybrid_rrf_topk,
+# sketch_profile_bands, chunk_documents, perplexity_bands,
+# pq_recall_bands, ivfpq_recall_bands, cms_heavy_hitters,
+# epoch_shuffle_bands, normalize_docs, bpe_consistency_bands,
+# domain_relevance, decontaminate_semantic, kl_profile — every
+# oracle pre-written in r10, parity-pinned, pre-flighted green at 3
+# SFs, and re-pre-flighted this round before registration). The
+# 101st registration activates the pre-staged period-3 policy: a
+# name last green in round k is due k+3 (rests TWO rounds).
 #
-# Rests 50 — exactly the r9 gate: every name green in the r9 driver
-# gate (49 rows+schema+hash; rows-only audio_fingerprint_dups with
-# its recall twin green in the same r9 gate and its precision twin
-# r8-green), so the two-round invariant holds for each; every
-# oracle-bearing rest stays parity-pinned by the automatic pytest.
-# In-gate twin notes are the EXACT INVERSE of the r9 rotation (read
-# the r9 mapping right-to-left): the returning rows-only family
-# queries (minhash_near_dups, simhash_near_dups,
-# winnow_overlap_pairs, image_phash_dups, video_fingerprint_dups,
-# audio_segment_dups, ann_lsh_topk, ann_ivf_topk) ride their resting
-# oracle twins' automatic parity pytest + those twins' r9-green
-# driver rows — the same arrangement the r8 gate ran under.
+# r11 gate (50) = 25 COHORT A returns (due r11 per the r10 due-date
+# table, each green in CORRECTNESS_r09) + the 13 new registrations
+# (first driver rows for the PQ / IVF-PQ / CMS / epoch-shuffle /
+# normalization / BPE / domain-relevance / semantic-decontamination
+# / KL-profile / hybrid-RRF / sketch-profile / chunking / perplexity
+# families) + 12 keeps from the r10 gate (each green in
+# CORRECTNESS_r10; keeping them re-greens their clocks to due r14
+# and thins the r13 cohort to 38): latest_per_key, broadcast_enrich,
+# top_customers, rollup_revenue, distinct_parts_per_supplier,
+# semi_join_customers, except_customers, skew_salted_join,
+# regional_supplier_volume, monthly_revenue_growth,
+# above_avg_orders, late_shipment_priorities.
 #
-# CAPACITY: the registry now stands at 100 — period-2 at gate 50 is
-# exactly full. The r9 CAPACITY DECISION (widen to period-3 when the
-# 101st name registers; do NOT retire names) stands: step (a) is
-# executed this round (dsir_weights took the free slot), step (b)'s
-# activation table is pre-staged below so r11's gate math is
-# mechanical.
+# Twin constraint in-gate: audio_fingerprint_dups (rows-only)
+# returns alongside its oracle twin recall_audio_fp (both COHORT A,
+# as the r10 split arranged); every other gate name is
+# oracle-bearing, so the r11 gate records 49 hash-grade rows + 1
+# twinned rows-only row.
 #
-# PERIOD-3 DUE-DATE TABLE (pre-staged r10, BEFORE the 101st
-# registration forces it). When the 101st name registers (r11 on
-# current course), the policy widens to period-3: a name last green
-# in round k becomes due k+3 (rest TWO rounds) instead of k+2.
-# Activation staggering splits the 50 r10-resting (r9-green) names
-# into two cohorts so no later gate is swamped:
-#
-#   COHORT A — due r11 (must return in the r11 gate), 25 names:
-#     anti_join_customers, audio_fingerprint_dups, changelog_filter,
-#     decontaminate_fuzzy, dup_ngram_spans, exact_dup_groups,
-#     filter_map, gopher_quality_filter, hopping_window_count,
-#     line_dedup, nary_join_fold, packed_sequences_loaded,
-#     precision_ann_lsh, precision_winnow, quality_score,
-#     recall_audio_fp, recall_image_phash, recall_simhash,
-#     regrouped_retraction, repetition_ngram_filter, session_windows,
-#     skew_salted_agg, token_budget_cap, top_parts_per_supplier,
-#     windowed_left_join
-#   COHORT B — due r12 (the period-3 deferral), 25 names:
+# Rests 63 = COHORT B (25 names, due r12 — the period-3 deferral;
+# every one green in CORRECTNESS_r09 and parity-pinned by the
+# automatic pytest):
 #     asof_enrich, bm25_topk, corpus_profile, doc_length_histogram,
 #     embedding_topk, fanout_flatmap, forecast_revenue,
 #     group_by_fn_agg, intersect_customers, merge_streams,
@@ -5265,31 +5275,29 @@ def q_kl_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     recall_minhash, recall_winnow, rekey_transform,
 #     running_sum_changelog, shipping_priority, stratified_sample,
 #     top_bigrams, training_data_prep, with_dedupe_first
+# + the 38 r10-gate names NOT kept (every one green in
+# CORRECTNESS_r10, due r13). The resting rows-only hash/ANN names
+# (minhash_near_dups, simhash_near_dups, winnow_overlap_pairs,
+# image_phash_dups, video_fingerprint_dups, audio_segment_dups,
+# ann_lsh_topk, ann_ivf_topk) rest in the SAME r13 cohort as their
+# r10-green oracle twins (precision_simhash, recall_video_fp,
+# precision_image_phash, precision_audio_fp, precision_video_fp,
+# recall_audio_seg), so the r13 returns carry their in-gate twins
+# automatically.
 #
-# Twin constraint honored inside the split: audio_fingerprint_dups
-# (rows-only) and its oracle twin recall_audio_fp share COHORT A so
-# the rows-only return carries its in-gate twin; every other name in
-# both cohorts is oracle-bearing. The 50 r10-GATE names (green r10)
-# become due r13 under period-3 — r12 already carries cohort B, so
-# the r13 gate takes the r10-green cohort naturally; if the registry
-# grows past 125 the r11 activation note must split the r10-green
-# cohort across r13/r14 with the same cohort discipline.
+# FORWARD SCHEDULE (period-3 arithmetic, registry 113):
+#   r12 gate = 25 COHORT B returns + up to 25 keeps (free play).
+#   r13 gate = the 38 r10-green non-keeps + up to 12 keeps/new.
+#   r14 gate = the r11-green 50 (cohort A + 13 new + 12 keeps).
+# Registry headroom under period-3 at gate 50 is 150 names; 113
+# leaves 37 free slots for future registrations before the next
+# capacity decision.
 #
-# r11 gate preview (mechanical): 25 COHORT A returns + the
-# registration queue in priority order (hybrid_rrf_topk — its
-# brute-force arm bounded this round per VERDICT r10 #5 — then
-# sketch_profile_bands, chunk_documents, perplexity_bands,
-# pq_recall_bands, ivfpq_recall_bands, cms_heavy_hitters,
-# epoch_shuffle_bands, normalize_docs, bpe_consistency_bands,
-# domain_relevance, decontaminate_semantic, kl_profile; all oracles
-# pre-written, parity-pinned, and pre-flighted green at 3 SFs) +
-# keeps chosen from the r10 gate = 50. Registering all thirteen
-# takes the registry to 113 and fills 38 slots, leaving ~12 keeps —
-# comfortable, and the queue finally gives the PQ / CMS /
-# epoch-shuffle / normalization / BPE / domain-relevance /
-# semantic-decontamination / KL-profile families first driver rows.
-# The two PQ rows carry a PRICE NOTE (~15 s at sf0.1) the
-# registering round must weigh.
+# Previous round (r10) for the record. Registered: 100 (99 +
+# dsir_weights in the one free slot, displacing the session_windows
+# keep). Must-in (49): ALL 49 r9-rested names returned; ZERO keeps;
+# 50 rested (exactly the r9 gate). Full mapping + the period-3
+# due-date table as pre-staged: git history of this block.
 #
 # Previous round (r9) for the record. Registered: 99. Must-in (45):
 # ALL 43 r8-rested names returned + the 2 mid-r8 parked entries
@@ -5298,71 +5306,84 @@ def q_kl_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 49 rested. Full r9 twin mapping: git history of this block
 # (commit 64ae32a^).
 #
-# Previous round (r8) for the record. Registered: 95. Must-in (35):
-# ALL 33 r7-rested names returned + the 2 mid-r7 parked video
-# entries; 8 NEW registrations entered immediately; 7 keeps; 43
-# rested (full mapping: git history, commit 87984af^).
-#
 # CANDIDATE PRE-FLIGHT: `python tools/check_parity.py --candidates
-# <sf_dir>` runs every parked q_*/`*_ORACLE` pair above through the
-# driver-grade comparison — run it before registering one.
+# <sf_dir>` runs every parked q_*/`*_ORACLE` pair through the
+# driver-grade comparison — run it before registering one. (The r10
+# queue is fully registered as of r11; the list is empty until a new
+# candidate parks.)
 DRIVER_OMIT = frozenset(
     {
-        # -- 50 rests: exactly the r9 gate, every name green in
-        # -- CORRECTNESS_r09 (49 hash-grade + rows-only
-        # -- audio_fingerprint_dups, twin-covered in that gate). Due
-        # -- dates: PERIOD-3 DUE-DATE TABLE above (cohort A due r11,
-        # -- cohort B due r12).
-        "anti_join_customers",
+        # -- COHORT B (25): due r12 under period-3; green in
+        # -- CORRECTNESS_r09, parity-pinned by the automatic pytest.
         "asof_enrich",
-        "audio_fingerprint_dups",
         "bm25_topk",
-        "changelog_filter",
         "corpus_profile",
-        "decontaminate_fuzzy",
         "doc_length_histogram",
-        "dup_ngram_spans",
         "embedding_topk",
-        "exact_dup_groups",
         "fanout_flatmap",
-        "filter_map",
         "forecast_revenue",
-        "gopher_quality_filter",
         "group_by_fn_agg",
-        "hopping_window_count",
         "intersect_customers",
-        "line_dedup",
         "merge_streams",
-        "nary_join_fold",
         "near_dup_keep_best",
-        "packed_sequences_loaded",
         "pivot_order_status",
-        "precision_ann_lsh",
         "precision_audio_seg",
-        "precision_winnow",
         "pricing_summary",
-        "quality_score",
         "recall_ann_ivf",
         "recall_ann_lsh",
-        "recall_audio_fp",
-        "recall_image_phash",
         "recall_minhash",
-        "recall_simhash",
         "recall_winnow",
-        "regrouped_retraction",
         "rekey_transform",
-        "repetition_ngram_filter",
         "running_sum_changelog",
-        "session_windows",
         "shipping_priority",
-        "skew_salted_agg",
         "stratified_sample",
-        "token_budget_cap",
         "top_bigrams",
-        "top_parts_per_supplier",
         "training_data_prep",
-        "windowed_left_join",
         "with_dedupe_first",
+        # -- r10-gate names not kept (38): due r13; every one green
+        # -- in CORRECTNESS_r10 (35 hash-grade + rows-only
+        # -- minhash_near_dups/simhash_near_dups/winnow_overlap_pairs/
+        # -- image_phash_dups/video_fingerprint_dups/
+        # -- audio_segment_dups/ann_lsh_topk/ann_ivf_topk, each
+        # -- twin-covered in that same gate).
+        "tumbling_window_sum",
+        "interval_join",
+        "doc_fingerprints",
+        "token_stats",
+        "lang_id",
+        "ngram_jaccard_pairs",
+        "minhash_near_dups",
+        "winnow_overlap_pairs",
+        "simhash_near_dups",
+        "near_dup_clusters",
+        "ann_lsh_topk",
+        "ann_ivf_topk",
+        "embedding_near_dups",
+        "multimodal_decode",
+        "table_table_asof",
+        "windowed_outer_join",
+        "suppressed_window_final",
+        "rekey_fanout",
+        "value_only_rekey",
+        "dup_line_filter",
+        "corpus_keep_by_source",
+        "pii_redaction",
+        "decontaminate",
+        "pack_sequences",
+        "sequence_manifest",
+        "packed_shard_roundtrip",
+        "image_phash_dups",
+        "video_fingerprint_dups",
+        "recall_video_fp",
+        "precision_simhash",
+        "precision_image_phash",
+        "precision_audio_fp",
+        "precision_video_fp",
+        "audio_segment_dups",
+        "recall_audio_seg",
+        "mixing_repeat_epochs",
+        "mixing_train_val_test",
+        "dsir_weights",
     }
 )
 
