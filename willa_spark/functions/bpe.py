@@ -273,7 +273,18 @@ def _vocab_hint(seg: DataFrame, broadcast_vocab: bool | None) -> DataFrame:
     """Apply (or withhold) the broadcast hint on the segmented-vocab
     frame. ``None`` = auto: count the (already-materialized,
     localCheckpointed) word table — one cheap job over cached blocks —
-    and broadcast iff it is under ``BROADCAST_VOCAB_MAX_WORDS``."""
+    and broadcast iff it is under ``BROADCAST_VOCAB_MAX_WORDS``.
+
+    DELIBERATE EAGERNESS (r10 advice): auto mode runs that count
+    DURING plan construction — one extra Spark job per
+    ``bpe_encode_docs``/``bpe_token_counts`` call, re-paid on each
+    invocation because every call re-segments its own vocab frame
+    (there is no cross-call frame to memoize on). Accepted: the count
+    scans checkpointed blocks only, and the alternative (plan-stats
+    size estimates on a LogicalRDD) is not reliable enough to gate an
+    executor-OOM-risking broadcast. Callers encoding in a loop with a
+    known vocab scale should pass ``broadcast_vocab`` explicitly and
+    skip the probe."""
     if broadcast_vocab is None:
         broadcast_vocab = seg.count() <= BROADCAST_VOCAB_MAX_WORDS
     return F.broadcast(seg) if broadcast_vocab else seg

@@ -2808,10 +2808,23 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``fuzzy_contamination_report``); at 100 TB corpus grams explode
     map-side into the broadcast eval-set join — no corpus-wide gram
     shuffle, hit volume bounded by the eval set. Streaming twin:
-    ``corpus_pipeline.corpus_curation_step(fuzzy_eval_sets=...)``."""
+    ``corpus_pipeline.corpus_curation_step(fuzzy_eval_sets=...)``.
+
+    The eval selection pre-filters to items with ≥1 3-gram (r10
+    advice): eval_ngram_sets fails LOUD on sub-n items by contract,
+    and without the filter a future SF whose 97-stride contains a
+    sub-3-token doc would hard-fail this REGISTERED row instead of
+    screening; the oracle needs no twin change — its ev CTE forms
+    3-grams directly, so sub-3-token items never had rows there
+    (the filter aligns the engines, it doesn't diverge them)."""
     docs = read_docs_spread(spark, sf_dir)
     corpus = CURATION.plant_paraphrased_leaks(docs, every=97)
-    ev = CURATION.eval_ngram_sets(docs.filter(F.col("doc_id") % 97 == 0), n=3)
+    ev = CURATION.eval_ngram_sets(
+        docs.filter(F.col("doc_id") % 97 == 0).filter(
+            F.size(D.shingles(F.col("text"), 3)) > 0
+        ),
+        n=3,
+    )
     return CURATION.fuzzy_contamination_report(corpus, ev, n=3, min_overlap=0.1)
 
 
@@ -4796,7 +4809,15 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     band carries ~26–264 counts of margin). Exact counts cost one
     term agg over the SAME exploded pass shape the sketch builds
     from; the sketch side is depth×width rows through the shuffle
-    regardless of vocabulary."""
+    regardless of vocabulary.
+
+    TRIAGE NOTE (r10 advice): the Markov-bound arm here and
+    epoch_shuffle_bands' epochs_decorrelated band are the ONLY
+    PROBABILISTIC arms in the whole band-proof set (every other band
+    is a structural invariant). A future corpus/SF failing one of
+    these two with legitimate-but-unlucky hash statistics means BAND
+    RECALIBRATION, not a kernel bug — re-measure the margin before
+    touching the operator."""
     from .functions import sketches as SK
     from .functions.text import tokens as TOKENS
 
@@ -4851,7 +4872,15 @@ def q_epoch_shuffle_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     position across epochs (measured 0 — the affine-salt correlation
     trap this operator exists to avoid would score ~100% here).
     Everything is one hash projection + small aggs; nothing scales
-    past the corpus scan."""
+    past the corpus scan.
+
+    TRIAGE NOTE (r10 advice): epochs_decorrelated ([1/64, 3/64]
+    around the independent-draw 1/32; measured 0.026–0.036) is one of
+    the TWO probabilistic arms in the band-proof set (the other:
+    cms_heavy_hitters' Markov bound) — a future legitimate-but-
+    unlucky failure is a band recalibration, not a kernel bug. The
+    other three bands here are structural (bijection, 2× balance,
+    zero fixed points) and a violation IS a bug."""
     from .functions.curation import epoch_shuffle
 
     docs = read_docs_spread(spark, sf_dir).select("doc_id", "text")

@@ -149,8 +149,16 @@ def _decontaminate_semantic(
         )
     from ..functions.curation import semantic_contamination_report
 
+    # score only the SURVIVORS: docs already dropped by the quality /
+    # PII / lexical-decontamination screens can't re-enter, so paying
+    # |raw|×|eval| cosine volume for them is waste — semi-joining raw
+    # to the cleaned frame's ids makes it |surviving|×|eval| (r10
+    # advice). Embeddings still ride the raw frame (the cleaned one
+    # projected down to (id, text) upstream).
     flagged = semantic_contamination_report(
-        raw.select(id_col, vec_col),
+        raw.select(id_col, vec_col).join(
+            docs.select(id_col), id_col, "left_semi"
+        ),
         eval_emb,
         min_sim=min_sim,
         id_col=id_col,
