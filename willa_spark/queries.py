@@ -5168,11 +5168,17 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale, block with the LSH/k-means machinery first
     (semantic_dedup_pairs) and verify survivors here."""
     from .functions import curation as CURATION
+    from .functions.dedup import _spread
     from .functions.similarity import _as_double, norm
 
-    emb = read_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double(F.col("embedding")).alias("embedding")
-    )
+    # spread the corpus scan (the read_docs_spread discipline): the
+    # sf-dir parquet is one file, so the map-only cosine screen would
+    # otherwise run on 1-2 input partitions regardless of cores —
+    # no-op on a properly-partitioned corpus, and the r11 sf1→sf10
+    # scale row (BASELINE.md) is measured with it
+    emb = _spread(
+        read_table(spark, sf_dir, "embeddings"), "vec_id"
+    ).select("vec_id", _as_double(F.col("embedding")).alias("embedding"))
     ev = emb.filter((F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 4850))
     # stage the norm into its own projection so the per-element lambda
     # references a bound column, not a re-evaluated fold (the CSE rule)
