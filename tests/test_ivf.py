@@ -23,6 +23,18 @@ def test_train_centroids_deterministic(spark):
     assert len(c1) == 4 and len(c1[0]) == 8
 
 
+def test_ivf_assign_empty_centroids_is_null_cell(spark):
+    """An empty centroid list (corrupt/empty store) must keep the
+    documented exclusion route — NULL cell for every vector — not a
+    runtime error (r11 review: the transform-over-literal rewrite
+    would otherwise build sequence(0,-1) and an invalid element_at)."""
+    vecs = make_vectors(spark, n=3)
+    got = vecs.select(
+        S.ivf_assign(F.col("embedding").cast("array<double>"), []).alias("cell")
+    ).collect()
+    assert [r["cell"] for r in got] == [None, None, None]
+
+
 def test_ivf_topk_finds_self_and_subset_of_exact(spark):
     vecs = make_vectors(spark)
     queries = vecs.filter(F.col("vec_id") == 0).select(

@@ -278,6 +278,27 @@ def test_pq_null_vec_excluded_and_guards(spark):
         PQ.pq_train(_emb_df(spark), m=2, k=100)
 
 
+def test_pq_train_tolerates_null_element_vectors(spark):
+    """A raw-L2 (normalize=False) corpus vector with a NULL ELEMENT
+    yields NULL subspace distances → a NULL cid; the fused trainer
+    must discard that assignment exactly as the per-subspace loop's
+    dict did (r11 review: the fused rebuild crashed indexing with
+    None), and the clean vectors' codebooks must be unaffected."""
+    rows = [(i, v) for i, v in sorted(_VECS.items())] + [
+        (98, [0.5, None, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = PQ.pq_train(df, m=2, k=2, n_iters=1, normalize=False)
+    clean = PQ.pq_train(_emb_df(spark), m=2, k=2, n_iters=1, normalize=False)
+    # subspace 1 (the NULL element lives in subspace 0) sees the same
+    # assignments either way... but the dirty vector's subspace-1
+    # slice is valid and DOES contribute to that codebook's means —
+    # so assert structure + the subspace-0 books equal the clean run
+    # (the NULL-cid row was discarded there)
+    assert len(books) == 2 and all(len(cb) == 2 for cb in books)
+    assert books[0] == clean[0]
+
+
 def test_streaming_pq_store_congruity_and_replay(spark, tmp_path):
     """PQ code store: two-batch ingest + probe must equal batch
     pq_topk over the full corpus EXACTLY (codes are deterministic

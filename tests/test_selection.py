@@ -745,6 +745,14 @@ def test_kl_profile_vocab_bound_knobs(spark):
     }
     assert only_y == {"a": 4, "b": 0}
 
+    # truncation that empties the VOCABULARY must fail loud, never
+    # return an empty monitoring frame (r11 review: the empty kept
+    # set silently dropped every stratum)
+    with pytest.raises(Exception, match="emptied the corpus vocabulary"):
+        SEL.kl_divergence_profile(df, group_col="lang", min_count=99).collect()
+    with pytest.raises(Exception, match="emptied the corpus vocabulary"):
+        SEL.kl_divergence_profile(df, group_col="lang", top_v=0).collect()
+
 
 def test_kl_profile_oracle_parity(spark):
     """The registration candidate (queued r10): hash-grade parity on

@@ -65,6 +65,12 @@ def _l2_dists(slice_col: Column, codebook: list[list[float]]) -> Column:
     constructions per subspace dominated pq_train/pq_encode wall time
     at small scale (measured 5.7 s → 1.6 s for m=8, k=16 trees) and
     bloated every plan that embedded the codebooks."""
+    if not codebook:
+        # the unrolled form's F.array() empty-distances path (→ NULL
+        # argmin → the family's exclusion route), preserved — the
+        # transform form would otherwise build an invalid literal
+        # (r11 review; same guard in _centroid_sims)
+        return F.array().cast("array<double>")
     cbl = F.lit([[float(x) for x in c] for c in codebook])
     return _bound(
         slice_col,
@@ -203,6 +209,12 @@ def pq_train(
         )
         new = [[list(codebooks[j][i]) for i in range(k)] for j in range(m)]
         for r in means:
+            # NULL cid = a vector with a NULL element in this subspace
+            # (NULL distances → NULL argmin); the per-subspace loop
+            # discarded those via its dict's None key — same here
+            # (r11 review: the fused rebuild crashed on the None index)
+            if r["cid"] is None:
+                continue
             new[r["j"]][r["cid"]][r["pos"]] = r["mean"]
         codebooks = new
     return codebooks
@@ -422,9 +434,10 @@ def pq_topk(
 
 
 def _cents_lit(centroids: list[list[float]]) -> Column:
-    return F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
+    # one nested-array literal, not cells × dim unrolled F.lit nodes —
+    # the _l2_dists rationale applied to the residual path's centroid
+    # table (r11 review: this was the one literal left unrolled)
+    return F.lit([[float(x) for x in c] for c in centroids])
 
 
 def _residual(vec: Column, cell: Column, centroids: list[list[float]]) -> Column:

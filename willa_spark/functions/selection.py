@@ -620,7 +620,7 @@ def kl_divergence_profile(
         F.col("__Tg") + s_ * F.col("__V")
     )
     q = (F.col("__c") + s_) / (F.col("__T") + s_ * F.col("__V"))
-    return (
+    prof = (
         full.withColumn("__term", p * F.log(p / q))
         .groupBy(F.col("__grp").alias(group_col))
         .agg(
@@ -629,4 +629,30 @@ def kl_divergence_profile(
             .alias("n_grams"),
             F.round(F.sum("__term"), 6).alias("kl_to_corpus"),
         )
+    )
+    if groups is None:
+        return prof
+    # truncation that empties the vocabulary empties `full`, which
+    # would silently drop EVERY stratum (r11 review) — the exact
+    # empty-frame trap the loud NULL-group guard exists to prevent.
+    # Re-anchor the output on the pre-truncation group list (lazy —
+    # groups is vocabulary-sized lineage, no extra corpus pass) and
+    # raise in-plan on the NULL rows an empty kept-vocab produces;
+    # with a non-empty kept vocab every group has |V| generate-join
+    # rows, so the guard never fires there.
+    anchored = groups.select(F.col("__grp").alias(group_col)).join(
+        prof, group_col, "left"
+    )
+    guard_msg = (
+        "kl_divergence_profile: top_v/min_count truncation emptied "
+        "the corpus vocabulary — nothing to profile; loosen the knobs"
+    )
+    return anchored.select(
+        group_col,
+        F.when(F.col("kl_to_corpus").isNotNull(), F.col("n_grams"))
+        .otherwise(F.raise_error(F.lit(guard_msg)).cast("bigint"))
+        .alias("n_grams"),
+        F.when(F.col("kl_to_corpus").isNotNull(), F.col("kl_to_corpus"))
+        .otherwise(F.raise_error(F.lit(guard_msg)).cast("double"))
+        .alias("kl_to_corpus"),
     )

@@ -339,6 +339,13 @@ def _centroid_sims(vec: Column, centroids: list[list[float]]) -> Column:
     # in ivf_assign, excluded from probes and drift averages)
     # instead of an ANSI DIVIDE_BY_ZERO job failure — and unlike
     # nullif it never duplicates the vn subtree (see cosine())
+    if not centroids:
+        # preserve the unrolled form's empty-sims path: F.array() →
+        # array_max NULL → NULL cell (ivf_assign's documented
+        # exclusion route for a corrupt/empty centroid store) — the
+        # transform form would otherwise build sequence(0, -1) and an
+        # invalid element_at(…, 0) runtime error (r11 review)
+        return F.array().cast("array<double>")
     cl = F.lit([[float(x) for x in c] for c in centroids])
     nl = F.lit([math.sqrt(sum(x * x for x in c)) or 1.0 for c in centroids])
     return F.transform(

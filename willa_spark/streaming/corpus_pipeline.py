@@ -154,7 +154,16 @@ def _decontaminate_semantic(
     # |raw|×|eval| cosine volume for them is waste — semi-joining raw
     # to the cleaned frame's ids makes it |surviving|×|eval| (r10
     # advice). Embeddings still ride the raw frame (the cleaned one
-    # projected down to (id, text) upstream).
+    # projected down to (id, text) upstream). PIN the cleaned frame
+    # first: it now has TWO consumers (the semi-join's id side and the
+    # anti-join's left side) and its lineage is the whole unpinned
+    # screen/decontamination chain — without the pin each consumer
+    # re-executes the screens and the saving is repaid (r11 review;
+    # the multi-consumer rule). Streaming batches are batch-sized;
+    # the batch composed pipeline persists/spills right after this
+    # step, so the pin there is one extra batch-scale materialization,
+    # not a second corpus residency class.
+    docs = docs.localCheckpoint(eager=True)
     flagged = semantic_contamination_report(
         raw.select(id_col, vec_col).join(
             docs.select(id_col), id_col, "left_semi"
