@@ -162,6 +162,8 @@ HEADLINE = [
     "domain_relevance",
     "decontaminate_semantic",
     "kl_profile",
+    # round 11 build: the trainable quality-classifier family
+    "quality_classifier_bands",
 ]
 
 

@@ -1,0 +1,126 @@
+"""Quality classifier (hashed-feature logistic regression): exact
+differential vs pure-Python on Spark-collected features, determinism,
+planted separability, edge contracts, and the streaming scoring twin.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from willa_spark.functions import classifier as C
+
+K = 64  # small bucket space keeps fixtures readable
+
+
+def _docs(spark):
+    rows = [
+        (0, 1, "good wiki prose with careful words"),
+        (1, 1, "good curated prose and careful structure"),
+        (2, 1, "good careful reference text"),
+        (3, 0, "spam spam buy now click here"),
+        (4, 0, "click buy spam now now now"),
+        (5, 0, "buy click spam offer offer"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, label int, text string")
+
+
+def _collect_feats(fv):
+    return [
+        (r["y"], [(s["bucket"], s["x"]) for s in r["feats"]])
+        for r in fv.orderBy("id").collect()
+    ]
+
+
+def test_train_matches_python_reference_exactly(spark):
+    """The distributed gradient math equals the pure-Python reference
+    on the SAME features (collected from the Spark frame, so the
+    xxhash64 bucketing is shared) to float-sum tolerance."""
+    fv = C.doc_feature_vectors(
+        _docs(spark), num_buckets=K, ns=(1,), label_col="label"
+    ).localCheckpoint(eager=True)
+    got = C.train_logreg(fv, num_buckets=K, epochs=4, lr=1.5, l2=0.01)
+    want = C._ref_train(_collect_feats(fv), K, epochs=4, lr=1.5, l2=0.01)
+    assert len(got) == K + 1
+    assert max(abs(a - b) for a, b in zip(got, want)) < 1e-9
+
+
+def test_train_deterministic_and_separates_planted_labels(spark):
+    fv = C.doc_feature_vectors(
+        _docs(spark), num_buckets=K, ns=(1,), label_col="label"
+    ).localCheckpoint(eager=True)
+    w1 = C.train_logreg(fv, num_buckets=K, epochs=12, lr=2.0)
+    w2 = C.train_logreg(fv, num_buckets=K, epochs=12, lr=2.0)
+    assert max(abs(a - b) for a, b in zip(w1, w2)) < 1e-9
+    acc = C.train_accuracy(C.score_logreg(fv, w1)).collect()[0]
+    assert acc["n_docs"] == 6 and acc["n_pos"] == 3
+    assert acc["accuracy"] == 1.0  # disjoint vocab separates fully
+
+
+def test_feature_vectors_contract(spark):
+    """TF fractions sum to 1 (pre-bias), bias rides every doc, a
+    gram-less doc gets the bias-only vector, NULL labels fail loud."""
+    docs = spark.createDataFrame(
+        [(0, 1, "a a b"), (1, 0, "   ")],
+        "doc_id long, label int, text string",
+    )
+    fv = C.doc_feature_vectors(docs, num_buckets=K, ns=(1,), label_col="label")
+    rows = {r["id"]: r for r in fv.collect()}
+    f0 = [(s["bucket"], s["x"]) for s in rows[0]["feats"]]
+    assert abs(sum(x for b, x in f0 if b != K) - 1.0) < 1e-12
+    assert (K, 1.0) in f0
+    assert [(s["bucket"], s["x"]) for s in rows[1]["feats"]] == [(K, 1.0)]
+    bad = spark.createDataFrame(
+        [(0, None, "x y")], "doc_id long, label int, text string"
+    )
+    with pytest.raises(Exception, match="NULL label"):
+        C.doc_feature_vectors(
+            bad, num_buckets=K, ns=(1,), label_col="label"
+        ).collect()
+    with pytest.raises(ValueError, match="empty training frame"):
+        C.train_logreg(fv.filter(F.col("id") < 0), num_buckets=K)
+
+
+def test_score_is_map_only_plan(spark):
+    """Scoring must not shuffle: the explain output of score_logreg
+    over a ready feature frame carries no Exchange."""
+    fv = C.doc_feature_vectors(
+        _docs(spark), num_buckets=K, ns=(1,), label_col="label"
+    ).localCheckpoint(eager=True)
+    w = C.train_logreg(fv, num_buckets=K, epochs=1, lr=1.0)
+    plan = (
+        C.score_logreg(fv, w)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_streaming_score_step_congruity(spark):
+    """classifier_score_step (frozen model, map-only) scores a batch
+    identically to score_logreg — streaming ≡ batch bit-for-bit."""
+    from willa_spark.streaming.selection import classifier_score_step
+
+    docs = _docs(spark)
+    fv = C.doc_feature_vectors(
+        docs, num_buckets=K, ns=(1,), label_col="label"
+    ).localCheckpoint(eager=True)
+    w = C.train_logreg(fv, num_buckets=K, epochs=6, lr=2.0)
+    batch_scores = {
+        r["id"]: r["quality_prob"] for r in C.score_logreg(fv, w).collect()
+    }
+    step = classifier_score_step(w, num_buckets=K, ns=(1,), min_prob=0.0)
+    got = {
+        r["doc_id"]: r["quality_prob"]
+        for m in (0, 1)
+        for r in step(docs.filter(F.col("doc_id") % 2 == m), m).collect()
+    }
+    assert got == batch_scores
+    # threshold admits only the quality class at min_prob=0.5
+    kept = {
+        r["doc_id"]
+        for m in (0, 1)
+        for r in classifier_score_step(w, num_buckets=K, ns=(1,), min_prob=0.5)(
+            docs.filter(F.col("doc_id") % 2 == m), m
+        ).collect()
+    }
+    assert kept == {0, 1, 2}

@@ -1,0 +1,296 @@
+"""Trainable quality classifier (logistic regression over hashed
+n-gram features) — the GPT-3 / CCNet-style learned corpus filter: fit
+"does this look like the quality seed?" on labeled examples
+(seed-vs-random in practice), then score the whole corpus and keep by
+threshold or band. Complements the FIXED heuristics (corpus.py
+Gopher screens), the likelihood-ratio signal (selection.py DSIR), and
+the single-model perplexity banding (CCNet): those need no labels;
+this one learns arbitrary separations from a few labeled examples.
+Reference behavioral spec: the reference has no classifier family —
+this is part of the LLM-pipeline superset (like selection.py, whose
+hashed feature space this reuses verbatim).
+
+Spark-first shape (the MLlib treeAggregate recipe in DataFrame
+terms, deliberately NOT per-row Python):
+
+- ``doc_feature_vectors``: ONE corpus explode + one (doc, feature)
+  partial-agg shuffle (``selection._gram_features``, hashed to a
+  FIXED ``num_buckets`` space — the model is K+1 doubles regardless
+  of vocabulary), then one per-doc collect_list → (id, y, feats).
+  Built once, localCheckpoint-pinned, reused by every epoch — the
+  dsir_weights pinned-explode discipline.
+- ``train_logreg``: full-batch deterministic gradient descent. Per
+  epoch: margins map-side against the BROADCAST LITERAL weight array
+  (no join — a K-double literal rides the closure like a codebook),
+  per-doc error map-side, then ONE feature-keyed partial-agg shuffle
+  over the exploded (bucket, err·x) pairs and ONE ≤K+1-row collect
+  (the k-means/BPE bounded-collect class). Nothing corpus-sized ever
+  moves to the driver; the corpus is scanned once per epoch from
+  pinned blocks.
+- ``score_logreg``: map-only — sigmoid(b + Σ x·w) per doc via one
+  fold over the doc's own features against the literal weights; at
+  100 TB this is a pure map over the corpus scan, the same cost
+  class as the Gopher screens.
+
+Features are TF FRACTIONS (cnt / doc gram total): bounded [0, 1]
+regardless of document length, so no per-feature scaling pass is
+needed and long documents cannot dominate the gradient. Bias rides
+the feature array as a synthetic always-on x=1 entry (bucket K), so
+one aggregation shape covers both.
+
+Determinism: zero init, fixed epoch count, fixed learning rate —
+every run from the same data converges identically up to float
+partial-agg summation order (the train_centroids class; asserted to
+1e-9 in tests, and every registered band applies thresholds with
+margin ≫ ulp wiggle).
+
+STORE CONTRACT: (num_buckets, ns, weights) are ONE identity — score
+with the geometry you trained (the codebook rule). NULL labels fail
+LOUD in-plan; a document with no grams carries only the bias feature
+(it still has a score — the classifier's prior)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .selection import _gram_features
+
+
+def doc_feature_vectors(
+    docs: DataFrame,
+    num_buckets: int = 10_000,
+    ns: tuple[int, ...] = (1, 2),
+    label_col: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    binary: bool = False,
+) -> DataFrame:
+    """(id[, y], feats array<struct<bucket:int, x:double>>) — each
+    document's hashed-gram features plus the synthetic bias entry
+    (bucket = ``num_buckets``, x = 1.0). ``binary=False`` (default)
+    gives TF FRACTIONS (cnt / doc total — magnitude-calibrated
+    scores); ``binary=True`` gives PRESENCE indicators (x = 1 per
+    distinct bucket — the classic BoW filter form, and the one that
+    separates fastest under a small full-batch epoch budget: a rare
+    marker gram contributes a full-strength gradient instead of a
+    1/len sliver). The flag is part of the model's STORE identity
+    like num_buckets/ns. One explode + one (doc, feature) partial agg
+    + one per-doc list agg; pin the result (localCheckpoint) before a
+    multi-epoch training loop. A gram-less document carries only the
+    bias entry. NULL labels raise in-plan — a silently-dropped or
+    silently-0 label would bias the fit."""
+    feats = _gram_features(docs, num_buckets, ns, id_col, text_col)
+    per_doc = (
+        feats.groupBy("id")
+        .agg(
+            F.sum("cnt").alias("__tot"),
+            F.collect_list(
+                F.struct(
+                    F.col("feature").cast("int").alias("bucket"),
+                    F.col("cnt").cast("double").alias("cnt"),
+                )
+            ).alias("__raw"),
+        )
+        .select(
+            "id",
+            F.concat(
+                F.transform(
+                    F.col("__raw"),
+                    lambda s: F.struct(
+                        s["bucket"].alias("bucket"),
+                        (
+                            F.lit(1.0)
+                            if binary
+                            else (s["cnt"] / F.col("__tot"))
+                        ).alias("x"),
+                    ),
+                ),
+                F.array(
+                    F.struct(
+                        F.lit(int(num_buckets)).alias("bucket"),
+                        F.lit(1.0).alias("x"),
+                    )
+                ),
+            ).alias("feats"),
+        )
+    )
+    base = docs.select(F.col(id_col).alias("id"), *(
+        [F.col(label_col).alias("__y0")] if label_col else []
+    ))
+    # LEFT join from the label side: gram-less docs have no feats row
+    # — they still get the bias-only vector here, never vanish
+    out = base.join(per_doc, "id", "left").select(
+        "id",
+        *(
+            [
+                F.when(
+                    F.col("__y0").isNull(),
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "doc_feature_vectors: NULL label — a "
+                                "silently-imputed label would bias "
+                                "the fit; id="
+                            ),
+                            F.col("id").cast("string"),
+                        )
+                    ).cast("double"),
+                )
+                .otherwise(F.col("__y0").cast("double"))
+                .alias("y")
+            ]
+            if label_col
+            else []
+        ),
+        F.coalesce(
+            F.col("feats"),
+            F.array(
+                F.struct(
+                    F.lit(int(num_buckets)).alias("bucket"),
+                    F.lit(1.0).alias("x"),
+                )
+            ),
+        ).alias("feats"),
+    )
+    return out
+
+
+def _margin(feats: Column, weights: list[float]) -> Column:
+    """b + Σ x·w as ONE fold over the doc's own features against the
+    literal weight array (bias is weights[-1], reached through the
+    same bucket indexing) — map-side, no join, the codebook-literal
+    discipline."""
+    wl = F.lit([float(w) for w in weights])
+    return F.aggregate(
+        feats,
+        F.lit(0.0),
+        lambda acc, s: acc + s["x"] * F.element_at(wl, s["bucket"] + F.lit(1)),
+    )
+
+
+def _sigmoid(m: Column) -> Column:
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+
+
+def train_logreg(
+    feats: DataFrame,
+    num_buckets: int = 10_000,
+    epochs: int = 8,
+    lr: float = 0.5,
+    l2: float = 0.0,
+    precondition: bool = True,
+) -> list[float]:
+    """Full-batch gradient descent over a (id, y, feats) frame from
+    ``doc_feature_vectors`` (PIN it first — every epoch scans it).
+    Returns ``num_buckets + 1`` weights, bias last. Per epoch: ONE
+    map-side margin/error pass (broadcast literal weights), ONE
+    feature-keyed partial-agg shuffle of the exploded (bucket, err·x)
+    gradient terms (≤ K+1 keys), ONE bounded collect. ``l2`` applies
+    to feature weights, never the bias.
+
+    ``precondition=True`` (default) divides each bucket's gradient by
+    its SUPPORT (the count of examples carrying the bucket) instead
+    of the global N — a deterministic diagonal preconditioner
+    (AdaGrad-family): a rare marker gram takes full-size steps and
+    separates within a handful of epochs, while a
+    present-in-every-doc bucket's step is the plain mean. Measured on
+    the planted-marker corpus: un-preconditioned full-batch either
+    stalls at the majority class (TF features — the rare bucket's
+    gradient is a 1/len sliver) or oscillates (binary features at an
+    lr big enough to move the marker overshoots the common buckets);
+    preconditioned lr=0.5 separates in ≤6 epochs at every SF. The
+    bias (support = N) behaves identically either way."""
+    if epochs < 1:
+        raise ValueError("train_logreg: epochs must be >= 1")
+    n_row = feats.agg(F.count(F.lit(1)).alias("n")).collect()[0]
+    n = float(n_row["n"])
+    if n == 0:
+        raise ValueError("train_logreg: empty training frame")
+    weights = [0.0] * (int(num_buckets) + 1)
+    for _ in range(epochs):
+        err = feats.select(
+            (_sigmoid(_margin(F.col("feats"), weights)) - F.col("y")).alias(
+                "__err"
+            ),
+            "feats",
+        )
+        grad_rows = (
+            err.select(
+                "__err", F.explode("feats").alias("__s")
+            )
+            .groupBy(F.col("__s.bucket").alias("bucket"))
+            .agg(
+                F.sum(F.col("__err") * F.col("__s.x")).alias("g"),
+                F.count(F.lit(1)).alias("nb"),
+            )
+            .collect()
+        )
+        grad = {r["bucket"]: (r["g"], r["nb"]) for r in grad_rows}
+        new = []
+        for b, w in enumerate(weights):
+            g, nb = grad.get(b, (0.0, 1))
+            g = g / (float(nb) if precondition else n)
+            if l2 and b != int(num_buckets):
+                g += l2 * w
+            new.append(w - lr * g)
+        weights = new
+    return weights
+
+
+def score_logreg(
+    feats: DataFrame, weights: list[float], out_col: str = "quality_prob"
+) -> DataFrame:
+    """(id[, y], <out_col>) — sigmoid score per document, map-only
+    against the literal weight array. Train/score geometry must match
+    (the store contract): a bucket index outside the weight range
+    means mixed generations and fails loud (element_at on an invalid
+    index under ANSI), never silently scores with truncated
+    features."""
+    return feats.select(
+        *[c for c in feats.columns if c != "feats"],
+        _sigmoid(_margin(F.col("feats"), weights)).alias(out_col),
+    )
+
+
+def train_accuracy(
+    scored: DataFrame, prob_col: str = "quality_prob", label_col: str = "y"
+) -> DataFrame:
+    """1-row (n_docs, n_pos, accuracy) at the 0.5 threshold — the
+    in-plan verification arm for the band-proof driver row."""
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col(label_col).cast("bigint")).cast("bigint").alias("n_pos"),
+        F.avg(
+            (
+                (F.col(prob_col) >= 0.5).cast("int")
+                == F.col(label_col).cast("int")
+            ).cast("double")
+        ).alias("accuracy"),
+    )
+
+
+def _ref_train(rows, num_buckets, epochs, lr, l2=0.0, precondition=True):
+    """Pure-Python reference for the differential test: same features
+    (as collected from doc_feature_vectors), same update rule."""
+    n = float(len(rows))
+    weights = [0.0] * (num_buckets + 1)
+    for _ in range(epochs):
+        grad = [0.0] * (num_buckets + 1)
+        support = [0] * (num_buckets + 1)
+        for y, feats in rows:
+            m = sum(x * weights[b] for b, x in feats)
+            err = 1.0 / (1.0 + math.exp(-m)) - y
+            for b, x in feats:
+                grad[b] += err * x
+                support[b] += 1
+        new = []
+        for b, w in enumerate(weights):
+            g = grad[b] / (float(support[b] or 1) if precondition else n)
+            if l2 and b != num_buckets:
+                g += l2 * w
+            new.append(w - lr * g)
+        weights = new
+    return weights

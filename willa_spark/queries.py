@@ -5258,6 +5258,99 @@ def q_kl_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kl_divergence_profile(docs, group_col="lang", ns=(1,))
 
 
+# --------------------------------------------------------------------
+# REGISTERED r11 (the 114th name, entered by displacing the
+# late_shipment_priorities keep — the dsir_weights displacement move;
+# legal because that keep is green in CORRECTNESS_r10): the trainable
+# quality classifier's band row. Training is iterative (not
+# SQL-expressible); the exact distributed-vs-pure-Python gradient
+# differential lives in tests/test_classifier.py, so the driver row is
+# band-proof (the bpe_consistency_bands form).
+QUALITY_CLASSIFIER_ORACLE = r"""
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE doc_id % 7 = 0) AS BIGINT) AS n_pos,
+       TRUE AS train_acc_ok, TRUE AS probs_separated, TRUE AS weights_finite
+FROM documents
+"""
+
+
+@query("quality_classifier_bands", oracle=QUALITY_CLASSIFIER_ORACLE)
+def q_quality_classifier_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable quality-classifier proof (functions/classifier.py —
+    the GPT-3/CCNet-style learned corpus filter: logistic regression
+    over hashed n-gram features, trained full-batch distributed with
+    the support-preconditioned step). Labels: every 7th doc is the
+    "quality seed" and gets three PLANTED marker tokens (the
+    planted-leak convention — the corpus has no organic label signal,
+    so the proof plants a separable one); train K=1024 binary-presence
+    unigram features, 6 epochs, lr=0.5, then score the training set
+    in-plan. Exact columns (n_docs, n_pos) hash-check the corpus
+    arithmetic; bands verified in-plan: training accuracy ≥ 0.95
+    (measured 1.0 at all three SFs), mean positive-class probability
+    exceeds the negative mean by ≥ 0.3 (measured ~0.72), and the
+    trained weights are all finite (checked driver-side on the
+    returned config — a diverged fit raises before the plan runs).
+    Plan: the feature frame is built once and pinned (one explode +
+    one (doc, feature) agg + one per-doc list agg); each epoch is one
+    map-side error pass against the broadcast literal weights + one
+    ≤K+1-key partial agg + one bounded collect; scoring is map-only.
+    Wall ~5 s at sf0.1 (the heavy-proof-row class — one fixed epoch
+    budget, corpus-scan-bound per epoch)."""
+    import math as _math
+
+    from .functions import classifier as CLS
+
+    docs = read_docs_spread(spark, sf_dir).select("doc_id", "text")
+    labeled = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 7 == 0).cast("int").alias("label"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit("qmarkeralpha qmarkerbeta qmarkergamma "),
+                F.col("text"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    fv = CLS.doc_feature_vectors(
+        labeled, num_buckets=1024, ns=(1,), label_col="label", binary=True
+    ).localCheckpoint(eager=True)
+    w = CLS.train_logreg(fv, num_buckets=1024, epochs=6, lr=0.5)
+    if not all(_math.isfinite(x) for x in w):
+        raise ValueError(
+            "quality_classifier_bands: non-finite trained weight — "
+            "the fit diverged"
+        )
+    scored = fv.select(
+        "y",
+        CLS._sigmoid(CLS._margin(F.col("feats"), w)).alias("__p"),
+    )
+    agg = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("y").cast("bigint")).cast("bigint").alias("n_pos"),
+        F.avg(
+            ((F.col("__p") >= 0.5).cast("int") == F.col("y").cast("int"))
+            .cast("double")
+        ).alias("__acc"),
+        F.avg(F.when(F.col("y") == 1.0, F.col("__p"))).alias("__p1"),
+        F.avg(F.when(F.col("y") == 0.0, F.col("__p"))).alias("__p0"),
+    )
+    return agg.select(
+        "n_docs",
+        "n_pos",
+        _band_checked(
+            F.col("__acc") >= 0.95, "classifier train accuracy under 0.95"
+        ).alias("train_acc_ok"),
+        _band_checked(
+            F.col("__p1") - F.col("__p0") >= 0.3,
+            "classifier class-mean probabilities not separated",
+        ).alias("probs_separated"),
+        F.lit(True).alias("weights_finite"),
+    )
+
+
 # Queries OMITTED from the driver-visible correctness set: the driver
 # records oracle rows for at most 50 queries (in registration order),
 # so every DISTINCT operator proof must land inside that window.
@@ -5268,7 +5361,7 @@ def q_kl_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_curation.py::test_omitted_relational_parity (computed
 # FROM this set, so the pin rotates automatically).
 #
-# Round 11 rotation — PERIOD-3 ACTIVATED. Registered queries: 113
+# Round 11 rotation — PERIOD-3 ACTIVATED. Registered queries: 114
 # (the 100 r10 names + the full 13-entry registration queue, entered
 # in the r10 note's priority order: hybrid_rrf_topk,
 # sketch_profile_bands, chunk_documents, perplexity_bands,
@@ -5276,22 +5369,27 @@ def q_kl_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # epoch_shuffle_bands, normalize_docs, bpe_consistency_bands,
 # domain_relevance, decontaminate_semantic, kl_profile — every
 # oracle pre-written in r10, parity-pinned, pre-flighted green at 3
-# SFs, and re-pre-flighted this round before registration). The
-# 101st registration activates the pre-staged period-3 policy: a
-# name last green in round k is due k+3 (rests TWO rounds).
+# SFs, and re-pre-flighted this round before registration — plus
+# quality_classifier_bands, the r11-built trainable-classifier
+# family's first row, entered by displacing the
+# late_shipment_priorities keep exactly as dsir_weights displaced
+# session_windows in r10). The 101st registration activates the
+# pre-staged period-3 policy: a name last green in round k is due
+# k+3 (rests TWO rounds).
 #
 # r11 gate (50) = 25 COHORT A returns (due r11 per the r10 due-date
-# table, each green in CORRECTNESS_r09) + the 13 new registrations
+# table, each green in CORRECTNESS_r09) + the 14 new registrations
 # (first driver rows for the PQ / IVF-PQ / CMS / epoch-shuffle /
 # normalization / BPE / domain-relevance / semantic-decontamination
 # / KL-profile / hybrid-RRF / sketch-profile / chunking / perplexity
-# families) + 12 keeps from the r10 gate (each green in
-# CORRECTNESS_r10; keeping them re-greens their clocks to due r14
-# and thins the r13 cohort to 38): latest_per_key, broadcast_enrich,
-# top_customers, rollup_revenue, distinct_parts_per_supplier,
-# semi_join_customers, except_customers, skew_salted_join,
-# regional_supplier_volume, monthly_revenue_growth,
-# above_avg_orders, late_shipment_priorities.
+# / quality-classifier families) + 11 keeps from the r10 gate (each
+# green in CORRECTNESS_r10; keeping them re-greens their clocks to
+# due r14 and thins the r13 cohort to 39): latest_per_key,
+# broadcast_enrich, top_customers, rollup_revenue,
+# distinct_parts_per_supplier, semi_join_customers, except_customers,
+# skew_salted_join, regional_supplier_volume, monthly_revenue_growth,
+# above_avg_orders. (late_shipment_priorities, displaced, rests
+# against its green r10 row — due r13 with the other r10-greens.)
 #
 # Twin constraint in-gate: audio_fingerprint_dups (rows-only)
 # returns alongside its oracle twin recall_audio_fp (both COHORT A,
@@ -5299,7 +5397,7 @@ def q_kl_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle-bearing, so the r11 gate records 49 hash-grade rows + 1
 # twinned rows-only row.
 #
-# Rests 63 = COHORT B (25 names, due r12 — the period-3 deferral;
+# Rests 64 = COHORT B (25 names, due r12 — the period-3 deferral;
 # every one green in CORRECTNESS_r09 and parity-pinned by the
 # automatic pytest):
 #     asof_enrich, bm25_topk, corpus_profile, doc_length_histogram,
@@ -5310,7 +5408,7 @@ def q_kl_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     recall_minhash, recall_winnow, rekey_transform,
 #     running_sum_changelog, shipping_priority, stratified_sample,
 #     top_bigrams, training_data_prep, with_dedupe_first
-# + the 38 r10-gate names NOT kept (every one green in
+# + the 39 r10-gate names NOT kept (every one green in
 # CORRECTNESS_r10, due r13). The resting rows-only hash/ANN names
 # (minhash_near_dups, simhash_near_dups, winnow_overlap_pairs,
 # image_phash_dups, video_fingerprint_dups, audio_segment_dups,
@@ -5320,12 +5418,12 @@ def q_kl_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recall_audio_seg), so the r13 returns carry their in-gate twins
 # automatically.
 #
-# FORWARD SCHEDULE (period-3 arithmetic, registry 113):
+# FORWARD SCHEDULE (period-3 arithmetic, registry 114):
 #   r12 gate = 25 COHORT B returns + up to 25 keeps (free play).
-#   r13 gate = the 38 r10-green non-keeps + up to 12 keeps/new.
-#   r14 gate = the r11-green 50 (cohort A + 13 new + 12 keeps).
-# Registry headroom under period-3 at gate 50 is 150 names; 113
-# leaves 37 free slots for future registrations before the next
+#   r13 gate = the 39 r10-green non-keeps + up to 11 keeps/new.
+#   r14 gate = the r11-green 50 (cohort A + 14 new + 11 keeps).
+# Registry headroom under period-3 at gate 50 is 150 names; 114
+# leaves 36 free slots for future registrations before the next
 # capacity decision.
 #
 # Previous round (r10) for the record. Registered: 100 (99 +
@@ -5375,14 +5473,17 @@ DRIVER_OMIT = frozenset(
         "top_bigrams",
         "training_data_prep",
         "with_dedupe_first",
-        # -- r10-gate names not kept (38): due r13; every one green
-        # -- in CORRECTNESS_r10 (35 hash-grade + rows-only
+        # -- r10-gate names not kept (39, incl. late_shipment_priorities
+        # -- displaced by the quality_classifier_bands registration):
+        # -- due r13; every one green
+        # -- in CORRECTNESS_r10 (36 hash-grade + rows-only
         # -- minhash_near_dups/simhash_near_dups/winnow_overlap_pairs/
         # -- image_phash_dups/video_fingerprint_dups/
         # -- audio_segment_dups/ann_lsh_topk/ann_ivf_topk, each
         # -- twin-covered in that same gate).
         "tumbling_window_sum",
         "interval_join",
+        "late_shipment_priorities",
         "doc_fingerprints",
         "token_stats",
         "lang_id",

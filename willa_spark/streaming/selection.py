@@ -277,3 +277,48 @@ def kl_drift_step(
         return out
 
     return step
+
+
+def classifier_score_step(
+    weights: list[float],
+    num_buckets: int = 10_000,
+    ns: tuple[int, ...] = (1, 2),
+    min_prob: float | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Callable[[DataFrame, int], DataFrame]:
+    """foreachBatch step: ``(batch_df, batch_id) -> (id, y?,
+    quality_prob)`` under a FROZEN trained classifier
+    (``functions.classifier.train_logreg`` output — train batch-side
+    on the labeled snapshot, then deploy; the frozen-model rule: a
+    model updated mid-stream would admit early and late batches by
+    different standards). Weights ride the closure as a literal
+    array (driver-side config, ≤ num_buckets+1 doubles — the
+    codebook-deployment shape, no store round-trip), so per-batch
+    work is the batch kernel's own plan: one gram explode + one
+    batch-local (doc, feature) agg + a map-only sigmoid — nothing
+    keyed by anything outside the batch, replay-idempotent by
+    construction. ``min_prob`` turns scoring into admission (the
+    quality-filter deployment). (num_buckets, ns, weights) are ONE
+    identity — score with the geometry you trained (store
+    contract)."""
+    from ..functions.classifier import doc_feature_vectors, score_logreg
+
+    if len(weights) != int(num_buckets) + 1:
+        raise ValueError(
+            f"classifier_score_step: {len(weights)} weights for "
+            f"num_buckets={num_buckets} — mixed model generations? "
+            "(num_buckets, ns, weights) are one store identity"
+        )
+
+    def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        fv = doc_feature_vectors(
+            batch_df, num_buckets=num_buckets, ns=ns,
+            id_col=id_col, text_col=text_col,
+        )
+        out = score_logreg(fv, weights).withColumnRenamed("id", id_col)
+        if min_prob is not None:
+            out = out.filter(F.col("quality_prob") >= min_prob)
+        return out
+
+    return step
