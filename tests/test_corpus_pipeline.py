@@ -650,3 +650,85 @@ def test_composed_pipeline_semantic_decontamination(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="no 'embedding' column"):
         bad(_mk(spark, BATCH1), 0)
+
+
+def test_composed_pipeline_classifier_admission(spark, tmp_path):
+    """The LEARNED quality screen composes into the pipeline: train a
+    classifier batch-side on a marker fixture (junk docs carry spammy
+    marker tokens), wire the frozen weights into the step, and the
+    marked doc drops at min_prob=0.9 (it scores ~0.78 vs the clean
+    docs' ~0.99 — markers appear in only 4 training docs, so their
+    negative weights dent, not crater, a 28-quality-word margin; the
+    threshold is the caller's dial) while clean survivors equal the
+    batch twin; a weight/geometry mismatch fails loud AT STEP
+    CONSTRUCTION."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as FN
+
+    from willa_spark.functions import classifier as C
+    from willa_spark.streaming.corpus_pipeline import (
+        corpus_curation_batch,
+        corpus_curation_step,
+    )
+
+    K = 64
+    # labeled training snapshot: quality docs vs junk carrying markers
+    train = spark.createDataFrame(
+        [(100 + i, 1, _doc(i)) for i in range(4)]
+        + [
+            (200 + i, 0, "clickspam buyspam nowspam " + _doc(i))
+            for i in range(4)
+        ],
+        "doc_id long, label int, text string",
+    )
+    fv = C.doc_feature_vectors(
+        train, num_buckets=K, ns=(1,), label_col="label", binary=True
+    ).localCheckpoint(eager=True)
+    w = C.train_logreg(fv, num_buckets=K, epochs=8, lr=0.5)
+
+    # doc 6 gets the junk markers — lexically clean otherwise
+    docs = dict(DOCS)
+    docs[6] = "clickspam buyspam nowspam " + DOCS[6]
+
+    def mk(ids):
+        return spark.createDataFrame(
+            [(i, docs[i]) for i in ids], "doc_id bigint, text string"
+        )
+
+    grams = _eval_grams(spark)
+    step = corpus_curation_step(
+        os.path.join(str(tmp_path), "cls"),
+        eval_grams=grams,
+        classifier_weights=w,
+        classifier_num_buckets=K,
+        classifier_ns=(1,),
+        classifier_binary=True,
+        classifier_min_prob=0.9,
+    )
+    got = set()
+    for bid, batch in enumerate((BATCH1, BATCH2, BATCH3)):
+        got |= {r["doc_id"] for r in step(mk(batch), bid).collect()}
+    assert got == EXPECT_IDS - {6}, got
+
+    want = {
+        r["doc_id"]
+        for r in corpus_curation_batch(
+            mk(sorted(docs)),
+            eval_grams=grams,
+            classifier_weights=w,
+            classifier_num_buckets=K,
+            classifier_ns=(1,),
+            classifier_binary=True,
+            classifier_min_prob=0.9,
+        ).collect()
+    }
+    assert got == want
+
+    with _pytest.raises(ValueError, match="mixed model generations"):
+        corpus_curation_step(
+            os.path.join(str(tmp_path), "cls2"),
+            classifier_weights=w,
+            classifier_num_buckets=K + 1,
+        )

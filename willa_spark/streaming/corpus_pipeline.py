@@ -178,6 +178,49 @@ def _decontaminate_semantic(
     )
 
 
+def _classifier_admit(
+    docs: DataFrame,
+    weights: list[float] | None,
+    num_buckets: int,
+    ns: tuple[int, ...],
+    min_prob: float,
+    binary: bool,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """The learned-quality admission screen — score the cleaned frame
+    under a FROZEN trained classifier (functions/classifier.py; train
+    batch-side on labeled examples, deploy the weight list) and keep
+    docs at ``quality_prob ≥ min_prob``. Runs AFTER the deterministic
+    screens and BEFORE dedup (junk should not pay signature costs).
+    The frame is pinned first: it feeds both the feature build and
+    the semi-join left side (the multi-consumer rule — the semantic
+    screen's pin covers it only when that screen is enabled).
+    Stateless per batch under static weights, so batch ≡ streaming
+    congruity holds structurally like the other screens."""
+    if weights is None:
+        return docs
+    if len(weights) != int(num_buckets) + 1:
+        raise ValueError(
+            f"classifier admission: {len(weights)} weights for "
+            f"num_buckets={num_buckets} — mixed model generations? "
+            "(num_buckets, ns, binary, weights) are one store identity"
+        )
+    from ..functions.classifier import doc_feature_vectors, score_logreg
+
+    docs = docs.localCheckpoint(eager=True)
+    fv = doc_feature_vectors(
+        docs, num_buckets=num_buckets, ns=ns,
+        id_col=id_col, text_col=text_col, binary=binary,
+    )
+    keep = (
+        score_logreg(fv, weights)
+        .filter(F.col("quality_prob") >= min_prob)
+        .select(F.col("id").alias(id_col))
+    )
+    return docs.join(keep, id_col, "left_semi")
+
+
 def corpus_curation_step(
     dedup_store_dir: str,
     out_dir: str | None = None,
@@ -200,6 +243,11 @@ def corpus_curation_step(
     semantic_eval_emb: DataFrame | None = None,
     semantic_min_sim: float = 0.9,
     semantic_vec_col: str = "embedding",
+    classifier_weights: list[float] | None = None,
+    classifier_num_buckets: int = 10_000,
+    classifier_ns: tuple[int, ...] = (1, 2),
+    classifier_min_prob: float = 0.5,
+    classifier_binary: bool = False,
 ) -> Callable[[DataFrame, int], DataFrame]:
     """The composed foreachBatch step; returns
     ``(batch_df, batch_id) -> admitted_df`` (id + redacted text). Wire
@@ -219,9 +267,17 @@ def corpus_curation_step(
     (id_col, embedding) rows) additionally enables the SEMANTIC
     cosine screen when batches carry an embedding column — the third
     screen, for rewrites with no shared n-grams; enabling it without
-    the column fails loud (config error, never a silent skip). All
-    screens are stateless per batch against their static frames, so
-    batch ≡ streaming congruity holds structurally.
+    the column fails loud (config error, never a silent skip).
+    ``classifier_weights`` (a ``functions.classifier.train_logreg``
+    weight list — train batch-side on labeled examples, deploy
+    frozen) additionally enables the LEARNED quality admission at
+    ``classifier_min_prob``, after every deterministic screen and
+    before dedup; (classifier_num_buckets, classifier_ns,
+    classifier_binary) must match the training geometry (one store
+    identity — a length mismatch fails loud at step construction).
+    All screens are stateless per batch against their static
+    frames/weights, so batch ≡ streaming congruity holds
+    structurally.
     ``compact_every=N`` applies the store retention policy to the
     dedup signature stores every N batches (store.store_compact_every)
     — without it a long-running ingestion stream accumulates one
@@ -270,6 +326,14 @@ def corpus_curation_step(
     The mode is part of the store's identity either way (mode flips
     fail loud; pytest-pinned for this composed path).
     """
+    if classifier_weights is not None and len(classifier_weights) != int(
+        classifier_num_buckets
+    ) + 1:
+        raise ValueError(
+            f"corpus_curation_step: {len(classifier_weights)} classifier "
+            f"weights for num_buckets={classifier_num_buckets} — mixed "
+            "model generations? (fail at construction, not first batch)"
+        )
     dedup = minhash_dedup_step(
         dedup_store_dir,
         threshold=threshold,
@@ -298,6 +362,11 @@ def corpus_curation_step(
         clean = _decontaminate_semantic(
             clean, batch_df, semantic_eval_emb, semantic_min_sim,
             id_col, semantic_vec_col,
+        )
+        clean = _classifier_admit(
+            clean, classifier_weights, classifier_num_buckets,
+            classifier_ns, classifier_min_prob, classifier_binary,
+            id_col, text_col,
         )
         admitted = dedup(clean, batch_id)
         if out_dir is not None:
@@ -648,6 +717,11 @@ def corpus_curation_batch(
     semantic_eval_emb: DataFrame | None = None,
     semantic_min_sim: float = 0.9,
     semantic_vec_col: str = "embedding",
+    classifier_weights: list[float] | None = None,
+    classifier_num_buckets: int = 10_000,
+    classifier_ns: tuple[int, ...] = (1, 2),
+    classifier_min_prob: float = 0.5,
+    classifier_binary: bool = False,
 ) -> DataFrame:
     """The batch twin of ``corpus_curation_step`` over a full corpus:
     identical screens/redaction/decontamination expressions (exact AND
@@ -673,6 +747,11 @@ def corpus_curation_batch(
     clean = _decontaminate_semantic(
         clean, docs, semantic_eval_emb, semantic_min_sim,
         id_col, semantic_vec_col,
+    )
+    clean = _classifier_admit(
+        clean, classifier_weights, classifier_num_buckets,
+        classifier_ns, classifier_min_prob, classifier_binary,
+        id_col, text_col,
     )
     if spill_dir is not None:
         clean.write.mode("overwrite").parquet(spill_dir)
