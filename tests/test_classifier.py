@@ -124,3 +124,32 @@ def test_streaming_score_step_congruity(spark):
         ).collect()
     }
     assert kept == {0, 1, 2}
+
+    # BINARY geometry threads through to the deployment surface (r11
+    # review: the step originally lacked the flag, so binary-trained
+    # weights silently scored TF-fraction features)
+    fvb = C.doc_feature_vectors(
+        docs, num_buckets=K, ns=(1,), label_col="label", binary=True
+    ).localCheckpoint(eager=True)
+    wb = C.train_logreg(fvb, num_buckets=K, epochs=6, lr=0.5)
+    batch_b = {
+        r["id"]: r["quality_prob"] for r in C.score_logreg(fvb, wb).collect()
+    }
+    got_b = {
+        r["doc_id"]: r["quality_prob"]
+        for m in (0, 1)
+        for r in classifier_score_step(
+            wb, num_buckets=K, ns=(1,), min_prob=0.0, binary=True
+        )(docs.filter(F.col("doc_id") % 2 == m), m).collect()
+    }
+    assert got_b == batch_b
+    # and the mismatch is OBSERVABLE: scoring the same weights without
+    # binary produces different probabilities (the bug the flag fixes)
+    got_tf = {
+        r["doc_id"]: r["quality_prob"]
+        for m in (0, 1)
+        for r in classifier_score_step(
+            wb, num_buckets=K, ns=(1,), min_prob=0.0
+        )(docs.filter(F.col("doc_id") % 2 == m), m).collect()
+    }
+    assert got_tf != batch_b

@@ -259,7 +259,10 @@ def train_accuracy(
     scored: DataFrame, prob_col: str = "quality_prob", label_col: str = "y"
 ) -> DataFrame:
     """1-row (n_docs, n_pos, accuracy) at the 0.5 threshold — the
-    in-plan verification arm for the band-proof driver row."""
+    reusable fit-quality summary (tests and callers). The registered
+    driver row computes its bands in ONE agg of its own because it
+    also needs the class-mean probabilities; its accuracy expression
+    mirrors this one."""
     return scored.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(F.col(label_col).cast("bigint")).cast("bigint").alias("n_pos"),

@@ -5323,10 +5323,7 @@ def q_quality_classifier_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality_classifier_bands: non-finite trained weight — "
             "the fit diverged"
         )
-    scored = fv.select(
-        "y",
-        CLS._sigmoid(CLS._margin(F.col("feats"), w)).alias("__p"),
-    )
+    scored = CLS.score_logreg(fv, w, out_col="__p")
     agg = scored.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(F.col("y").cast("bigint")).cast("bigint").alias("n_pos"),
@@ -5337,6 +5334,10 @@ def q_quality_classifier_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg(F.when(F.col("y") == 1.0, F.col("__p"))).alias("__p1"),
         F.avg(F.when(F.col("y") == 0.0, F.col("__p"))).alias("__p0"),
     )
+    # coalesce(…, False): an empty class makes its mean NULL, and a
+    # NULL band predicate would slide through _band_checked's when()
+    # as TRUE — the degenerate corpus must fail loud, not silently
+    # skip the separation check (r11 review)
     return agg.select(
         "n_docs",
         "n_pos",
@@ -5344,8 +5345,11 @@ def q_quality_classifier_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__acc") >= 0.95, "classifier train accuracy under 0.95"
         ).alias("train_acc_ok"),
         _band_checked(
-            F.col("__p1") - F.col("__p0") >= 0.3,
-            "classifier class-mean probabilities not separated",
+            F.coalesce(
+                F.col("__p1") - F.col("__p0") >= 0.3, F.lit(False)
+            ),
+            "classifier class-mean probabilities not separated "
+            "(or a class is empty)",
         ).alias("probs_separated"),
         F.lit(True).alias("weights_finite"),
     )

@@ -187,17 +187,20 @@ def _classifier_admit(
     binary: bool,
     id_col: str,
     text_col: str,
+    already_pinned: bool = False,
 ) -> DataFrame:
     """The learned-quality admission screen — score the cleaned frame
     under a FROZEN trained classifier (functions/classifier.py; train
     batch-side on labeled examples, deploy the weight list) and keep
     docs at ``quality_prob ≥ min_prob``. Runs AFTER the deterministic
     screens and BEFORE dedup (junk should not pay signature costs).
-    The frame is pinned first: it feeds both the feature build and
-    the semi-join left side (the multi-consumer rule — the semantic
-    screen's pin covers it only when that screen is enabled).
-    Stateless per batch under static weights, so batch ≡ streaming
-    congruity holds structurally like the other screens."""
+    The frame is pinned first — it feeds both the feature build and
+    the semi-join left side (the multi-consumer rule) — UNLESS the
+    caller says the semantic screen already pinned it
+    (``already_pinned``; a second eager materialization of the same
+    derivative per batch is pure waste — r11 review). Stateless per
+    batch under static weights, so batch ≡ streaming congruity holds
+    structurally like the other screens."""
     if weights is None:
         return docs
     if len(weights) != int(num_buckets) + 1:
@@ -208,7 +211,8 @@ def _classifier_admit(
         )
     from ..functions.classifier import doc_feature_vectors, score_logreg
 
-    docs = docs.localCheckpoint(eager=True)
+    if not already_pinned:
+        docs = docs.localCheckpoint(eager=True)
     fv = doc_feature_vectors(
         docs, num_buckets=num_buckets, ns=ns,
         id_col=id_col, text_col=text_col, binary=binary,
@@ -367,6 +371,9 @@ def corpus_curation_step(
             clean, classifier_weights, classifier_num_buckets,
             classifier_ns, classifier_min_prob, classifier_binary,
             id_col, text_col,
+            # the semantic screen pinned the lineage below its cheap
+            # anti-join; a second eager checkpoint would be waste
+            already_pinned=semantic_eval_emb is not None,
         )
         admitted = dedup(clean, batch_id)
         if out_dir is not None:
@@ -752,6 +759,7 @@ def corpus_curation_batch(
         clean, classifier_weights, classifier_num_buckets,
         classifier_ns, classifier_min_prob, classifier_binary,
         id_col, text_col,
+        already_pinned=semantic_eval_emb is not None,
     )
     if spill_dir is not None:
         clean.write.mode("overwrite").parquet(spill_dir)

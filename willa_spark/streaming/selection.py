@@ -286,6 +286,7 @@ def classifier_score_step(
     min_prob: float | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    binary: bool = False,
 ) -> Callable[[DataFrame, int], DataFrame]:
     """foreachBatch step: ``(batch_df, batch_id) -> (id, y?,
     quality_prob)`` under a FROZEN trained classifier
@@ -299,9 +300,12 @@ def classifier_score_step(
     batch-local (doc, feature) agg + a map-only sigmoid — nothing
     keyed by anything outside the batch, replay-idempotent by
     construction. ``min_prob`` turns scoring into admission (the
-    quality-filter deployment). (num_buckets, ns, weights) are ONE
-    identity — score with the geometry you trained (store
-    contract)."""
+    quality-filter deployment). (num_buckets, ns, ``binary``,
+    weights) are ONE identity — score with the EXACT geometry you
+    trained (store contract; r11 review: this step originally lacked
+    the ``binary`` flag, so a binary-trained model deployed here
+    silently scored TF-fraction features — the length check cannot
+    catch that class of mismatch, only the caller can)."""
     from ..functions.classifier import doc_feature_vectors, score_logreg
 
     if len(weights) != int(num_buckets) + 1:
@@ -314,7 +318,7 @@ def classifier_score_step(
     def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
         fv = doc_feature_vectors(
             batch_df, num_buckets=num_buckets, ns=ns,
-            id_col=id_col, text_col=text_col,
+            id_col=id_col, text_col=text_col, binary=binary,
         )
         out = score_logreg(fv, weights).withColumnRenamed("id", id_col)
         if min_prob is not None:
