@@ -153,3 +153,73 @@ def test_streaming_score_step_congruity(spark):
         )(docs.filter(F.col("doc_id") % 2 == m), m).collect()
     }
     assert got_tf != batch_b
+
+
+def test_roc_auc_exact_with_ties_and_edges(spark):
+    """Mid-rank AUC equals the hand/pure-Python computation on a
+    fixture WITH score ties; perfect separation = 1.0; reversed = 0.0;
+    a degenerate single-class input yields NULL; NULL scores raise."""
+    rows = [
+        # (score, label) — tie at 0.4 across classes
+        (0.9, 1), (0.8, 1), (0.4, 1), (0.4, 0), (0.2, 0), (0.1, 0),
+    ]
+    df = spark.createDataFrame(
+        [(i, s, y) for i, (s, y) in enumerate(rows)],
+        "id long, p double, y int",
+    )
+    got = C.roc_auc(df, score_col="p").collect()[0]
+
+    def ref_auc(pairs):
+        pos = [s for s, y in pairs if y == 1]
+        neg = [s for s, y in pairs if y == 0]
+        c = 0.0
+        for sp in pos:
+            for sn in neg:
+                c += 1.0 if sp > sn else (0.5 if sp == sn else 0.0)
+        return round(c / (len(pos) * len(neg)), 6)
+
+    assert got["n_docs"] == 6 and got["n_pos"] == 3
+    assert got["auc"] == ref_auc(rows)
+
+    perfect = spark.createDataFrame(
+        [(0, 0.9, 1), (1, 0.8, 1), (2, 0.2, 0)], "id long, p double, y int"
+    )
+    assert C.roc_auc(perfect, score_col="p").collect()[0]["auc"] == 1.0
+    reverse = spark.createDataFrame(
+        [(0, 0.1, 1), (1, 0.9, 0)], "id long, p double, y int"
+    )
+    assert C.roc_auc(reverse, score_col="p").collect()[0]["auc"] == 0.0
+    onecls = spark.createDataFrame(
+        [(0, 0.1, 1), (1, 0.9, 1)], "id long, p double, y int"
+    )
+    assert C.roc_auc(onecls, score_col="p").collect()[0]["auc"] is None
+    bad = spark.createDataFrame([(0, None, 1)], "id long, p double, y int")
+    with pytest.raises(Exception, match="NULL score or label"):
+        C.roc_auc(bad, score_col="p").collect()
+
+
+def test_roc_auc_on_trained_classifier(spark):
+    """The trained planted-marker classifier's scores carry AUC 1.0 —
+    the operators compose."""
+    fv = C.doc_feature_vectors(
+        _docs(spark), num_buckets=K, ns=(1,), label_col="label", binary=True
+    ).localCheckpoint(eager=True)
+    w = C.train_logreg(fv, num_buckets=K, epochs=8, lr=0.5)
+    scored = C.score_logreg(fv, w)
+    assert C.roc_auc(scored).collect()[0]["auc"] == 1.0
+
+
+def test_calibration_bins_arithmetic_and_guards(spark):
+    rows = [
+        (0, 0.05, 0), (1, 0.08, 1), (2, 0.55, 1), (3, 0.52, 0),
+        (4, 1.0, 1),  # exactly 1.0 -> TOP bin, not a phantom 10th
+    ]
+    df = spark.createDataFrame(rows, "id long, p double, y int")
+    got = {r["bin"]: (r["n"], r["mean_score"], r["frac_pos"])
+           for r in C.calibration_bins(df, n_bins=10, score_col="p").collect()}
+    assert got[0] == (2, 0.065, 0.5)
+    assert got[5] == (2, 0.535, 0.5)
+    assert got[9] == (1, 1.0, 1.0)
+    bad = spark.createDataFrame([(0, 1.5, 1)], "id long, p double, y int")
+    with pytest.raises(Exception, match="not a probability"):
+        C.calibration_bins(bad, score_col="p").collect()

@@ -824,3 +824,31 @@ def test_streaming_kl_drift_step_differential_and_replay(spark, tmp_path):
     # replay: batch 2 re-run scores against the SAME prior state
     again = step(b2, 2).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in r2]
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001"])
+def test_selection_auc_oracle_parity(spark, sf_dir):
+    """The r12 registration candidate (parked-with-oracle discipline),
+    parity-pinned NOW: queries.q_selection_auc — mid-rank ROC AUC of
+    the 6dp DSIR log-weight retrieving the 13-stride seed — vs its
+    full DuckDB oracle, hash-grade (n_docs/n_pos exact, auc equal at
+    6dp; ties carry the analytic ½ credit so no id tie-break exists
+    to diverge)."""
+    import duckdb
+
+    from willa_spark.queries import SELECTION_AUC_ORACLE, q_selection_auc
+
+    got = [
+        (r["n_docs"], r["n_pos"], r["auc"])
+        for r in q_selection_auc(spark, sf_dir).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    want = [tuple(r) for r in con.execute(SELECTION_AUC_ORACLE).fetchall()]
+    assert len(got) == len(want) == 1
+    assert got == want
+    # sanity: the seed should rank clearly above the rest
+    assert got[0][2] > 0.8

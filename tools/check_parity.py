@@ -90,9 +90,8 @@ def norm_rows(cols, types, rows):
 # pre-flight and the policy block cannot drift silently (the list is
 # asserted against queries.py at run time: a missing attr fails loud).
 CANDIDATES: list[tuple[str, str, str]] = [
-    # (empty as of r11: the full r10 queue — hybrid_rrf_topk through
-    # kl_profile — registered in the r11 period-3 gate; park future
-    # candidates here with their q_* fn and *_ORACLE constant)
+    # the r12 queue (the r10 13-entry queue registered in r11's gate)
+    ("selection_auc", "q_selection_auc", "SELECTION_AUC_ORACLE"),
 ]
 
 

@@ -297,3 +297,115 @@ def _ref_train(rows, num_buckets, epochs, lr, l2=0.0, precondition=True):
             new.append(w - lr * g)
         weights = new
     return weights
+
+
+def roc_auc(
+    scored: DataFrame,
+    score_col: str = "quality_prob",
+    label_col: str = "y",
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """1-row (n_docs, n_pos, auc) — exact ROC AUC with the standard
+    mid-rank tie treatment: AUC = Σ_s n_pos(s)·(cum_neg_below(s) +
+    ½·n_neg(s)) / (n_pos·n_neg), summed over DISTINCT score values.
+    Engine-independent (no id tie-break needed — ties contribute the
+    analytic ½ credit) and SQL-expressible, so a driver oracle can
+    reproduce it bit-for-bit on a deterministic score.
+
+    Plan shape: one (score → n_pos, n_neg) partial-agg shuffle (rows
+    = DISTINCT scores, ≤ 10^round_dp+1 by construction after the
+    rounding — NOT the corpus), then a running sum over that
+    distinct-score frame. The window is unpartitioned, but over the
+    bounded distinct-score table, never the corpus — the same
+    single-partition-tail class as a bounded TakeOrdered. A NULL
+    score or label fails loud in-plan (a silently-skipped row would
+    understate one class). Degenerate inputs (one class empty) yield
+    NULL auc rather than a fabricated 0/0."""
+    from pyspark.sql import Window as W
+
+    s0 = F.col(score_col)
+    s = F.round(s0, round_dp) if round_dp is not None else s0
+    guard = F.when(
+        s.isNull() | F.col(label_col).isNull(),
+        F.raise_error(
+            F.lit(
+                "roc_auc: NULL score or label — impute or filter "
+                "upstream; a silent skip would understate one class"
+            )
+        ).cast("double"),
+    ).otherwise(s)
+    per_score = (
+        scored.select(
+            guard.alias("__s"), F.col(label_col).cast("int").alias("__y")
+        )
+        .groupBy("__s")
+        .agg(
+            F.sum("__y").cast("double").alias("__np"),
+            F.sum(1 - F.col("__y")).cast("double").alias("__nn"),
+        )
+    )
+    w = W.orderBy("__s").rowsBetween(W.unboundedPreceding, -1)
+    contrib = per_score.select(
+        "__np",
+        "__nn",
+        (
+            F.col("__np")
+            * (
+                F.coalesce(F.sum("__nn").over(w), F.lit(0.0))
+                + 0.5 * F.col("__nn")
+            )
+        ).alias("__c"),
+    )
+    return contrib.agg(
+        (F.sum("__np") + F.sum("__nn")).cast("bigint").alias("n_docs"),
+        F.sum("__np").cast("bigint").alias("n_pos"),
+        # try_divide: an empty class has no ranking to score — NULL
+        # auc (the documented degenerate contract), not an ANSI
+        # DIVIDE_BY_ZERO job failure
+        F.round(
+            F.try_divide(F.sum("__c"), F.sum("__np") * F.sum("__nn")), 6
+        ).alias("auc"),
+    )
+
+
+def calibration_bins(
+    scored: DataFrame,
+    n_bins: int = 10,
+    score_col: str = "quality_prob",
+    label_col: str = "y",
+) -> DataFrame:
+    """(bin, n, mean_score, frac_pos) — the reliability-diagram table
+    for a probability-valued score: bin i covers [i/n, (i+1)/n) with
+    the top edge closed (a score of exactly 1.0 lands in the last
+    bin, not a phantom n-th). One small partial-agg shuffle (≤ n_bins
+    keys); scores outside [0, 1] fail loud (they are not
+    probabilities and silently clamping would fake calibration)."""
+    s = F.col(score_col)
+    checked = F.when(
+        s.isNull() | (s < 0) | (s > 1),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "calibration_bins: score outside [0, 1] is not a "
+                    "probability: "
+                ),
+                s.cast("string"),
+            )
+        ).cast("double"),
+    ).otherwise(s)
+    b = F.least(
+        F.floor(checked * n_bins).cast("int"), F.lit(int(n_bins) - 1)
+    )
+    return (
+        scored.select(
+            b.alias("bin"),
+            checked.alias("__s"),
+            F.col(label_col).cast("double").alias("__y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg("__s"), 6).alias("mean_score"),
+            F.round(F.avg("__y"), 6).alias("frac_pos"),
+        )
+    )

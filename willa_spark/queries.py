@@ -5355,6 +5355,95 @@ def q_quality_classifier_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------
+# FIRST r12 REGISTRATION CANDIDATE (parked-with-oracle discipline —
+# the dsir_weights de-risking): selection-signal quality measured by
+# ROC AUC. Composes two oracle-proven pieces — the dsir_weights
+# importance arithmetic and the mid-rank AUC formula (ties get the
+# analytic ½ credit, so no id tie-break is needed and the value is
+# engine-independent) — into one hash-grade row: "how well does the
+# DSIR signal retrieve its own quality seed". Pre-flight before
+# registering: tools/check_parity.py --candidates.
+SELECTION_AUC_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id, g, count(*) AS cnt FROM (
+    SELECT doc_id, unnest(tk) AS g FROM t
+    UNION ALL
+    SELECT doc_id,
+           unnest([array_to_string(tk[i:i+1], ' ')
+                   FOR i IN range(1, greatest(len(tk), 1))]) AS g
+    FROM t
+  ) WHERE g <> '' GROUP BY 1, 2
+), rm AS (
+  SELECT g, sum(cnt) AS c FROM grams GROUP BY g
+), rs AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS space
+  FROM rm
+), tm AS (
+  SELECT g, sum(cnt) AS c FROM grams WHERE doc_id % 13 = 0 GROUP BY g
+), ts AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS space
+  FROM tm
+), scored AS (
+  SELECT d.doc_id,
+         round(sum(d.cnt * (
+           ln((coalesce(tm.c, 0) + 1e-4) / (ts.total + 1e-4 * ts.space))
+           - ln((rm.c + 1e-4) / (rs.total + 1e-4 * rs.space))
+         )), 6) AS s
+  FROM grams d
+  LEFT JOIN tm ON d.g = tm.g
+  JOIN rm ON d.g = rm.g
+  CROSS JOIN ts CROSS JOIN rs
+  GROUP BY d.doc_id
+), lab AS (
+  SELECT round(s, 6) AS s,
+         CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END AS y
+  FROM scored
+), per AS (
+  SELECT s, CAST(sum(y) AS DOUBLE) AS np,
+         CAST(sum(1 - y) AS DOUBLE) AS nn
+  FROM lab GROUP BY s
+), cum AS (
+  SELECT np, nn,
+         sum(nn) OVER (ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS below
+  FROM per
+)
+SELECT CAST(sum(np) + sum(nn) AS BIGINT) AS n_docs,
+       CAST(sum(np) AS BIGINT) AS n_pos,
+       round(sum(np * (coalesce(below, 0) + 0.5 * nn))
+             / (sum(np) * sum(nn)), 6) AS auc
+FROM cum
+"""
+
+
+def q_selection_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selection-signal quality as ROC AUC (functions/classifier.py::
+    roc_auc over functions/selection.py importance weights): how well
+    the DSIR log-weight ranks the quality seed (every 13th doc — the
+    signal's own target sample) above the rest of the corpus — the
+    evaluation loop every learned/statistical quality signal needs
+    before it gates a 100 TB corpus. Mid-rank tie treatment (½ credit
+    per cross-class tie) makes the value analytic — no id tie-break,
+    no engine dependence; the score is the 6dp dsir_weights value the
+    oracle already reproduces bit-for-bit, so the whole row is
+    hash-grade. Plan: the dsir_weights plan + one (score → class
+    counts) partial agg + a running sum over the DISTINCT-SCORE frame
+    (bounded by 6dp score cardinality, never the corpus)."""
+    from .functions.classifier import roc_auc
+
+    w = q_dsir_weights(spark, sf_dir)
+    labeled = w.select(
+        "log_weight",
+        (F.col("doc_id") % 13 == 0).cast("int").alias("y"),
+    )
+    return roc_auc(labeled, score_col="log_weight", label_col="y")
+
+
 # Queries OMITTED from the driver-visible correctness set: the driver
 # records oracle rows for at most 50 queries (in registration order),
 # so every DISTINCT operator proof must land inside that window.
@@ -5423,7 +5512,11 @@ def q_quality_classifier_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 # automatically.
 #
 # FORWARD SCHEDULE (period-3 arithmetic, registry 114):
-#   r12 gate = 25 COHORT B returns + up to 25 keeps (free play).
+#   r12 gate = 25 COHORT B returns + up to 25 keeps/new — the
+#   registration queue for r12 currently holds selection_auc
+#   (parked above with its oracle, parity-pinned by
+#   tests/test_selection.py::test_selection_auc_oracle_parity,
+#   pre-flighted green at 3 SFs — the dsir_weights de-risking).
 #   r13 gate = the 39 r10-green non-keeps + up to 11 keeps/new.
 #   r14 gate = the r11-green 50 (cohort A + 14 new + 11 keeps).
 # Registry headroom under period-3 at gate 50 is 150 names; 114
