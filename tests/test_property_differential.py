@@ -421,3 +421,50 @@ def test_dup_ngram_spans_and_mask_match_python_reference(spark, doc_texts):
         for r in D.mask_dup_spans(docs, spans_df).collect()
     }
     assert got_masked == want_masked
+
+
+_CLS_VOCAB = "alpha beta gamma delta spam click buy offer now".split()
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.booleans(),
+            st.lists(st.sampled_from(_CLS_VOCAB), min_size=1, max_size=8).map(
+                " ".join
+            ),
+        ),
+        min_size=2,
+        max_size=8,
+    ).filter(lambda d: len({y for y, _ in d}) == 2),
+    binary=st.booleans(),
+    epochs=st.integers(min_value=1, max_value=3),
+)
+def test_logreg_training_matches_python_reference(spark, docs, binary, epochs):
+    """For ANY tiny labeled corpus, feature form, and epoch count, the
+    distributed full-batch trainer equals the pure-Python reference on
+    the SAME Spark-built features to float-sum tolerance — the
+    gradient, support-preconditioning, and bias arithmetic cannot
+    drift between the cluster and the spec."""
+    from willa_spark.functions import classifier as C
+
+    K = 32
+    df = spark.createDataFrame(
+        [(i, int(y), t) for i, (y, t) in enumerate(docs)],
+        "doc_id long, label int, text string",
+    )
+    fv = C.doc_feature_vectors(
+        df, num_buckets=K, ns=(1,), label_col="label", binary=binary
+    ).localCheckpoint(eager=True)
+    got = C.train_logreg(fv, num_buckets=K, epochs=epochs, lr=0.7, l2=0.01)
+    rows = [
+        (r["y"], [(s["bucket"], s["x"]) for s in r["feats"]])
+        for r in fv.orderBy("id").collect()
+    ]
+    want = C._ref_train(rows, K, epochs=epochs, lr=0.7, l2=0.01)
+    assert max(abs(a - b) for a, b in zip(got, want)) < 1e-9

@@ -852,3 +852,36 @@ def test_selection_auc_oracle_parity(spark, sf_dir):
     assert got == want
     # sanity: the seed should rank clearly above the rest
     assert got[0][2] > 0.8
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001"])
+def test_dsir_calibration_oracle_parity(spark, sf_dir):
+    """The second r12 registration candidate, parity-pinned NOW:
+    queries.q_dsir_calibration — reliability deciles of
+    sigmoid(log_weight/10) against the 13-stride seed — vs its full
+    DuckDB oracle, hash-grade (bins on the 6dp-rounded probability;
+    mean_score via the integer-sum exact_decimals mode, unrounded —
+    one IEEE division is bit-identical across engines where a rounded
+    average diverged twice in pre-flight)."""
+    import duckdb
+
+    from willa_spark.queries import DSIR_CALIBRATION_ORACLE, q_dsir_calibration
+
+    got = sorted(
+        (r["bin"], r["n"], r["mean_score"], r["frac_pos"])
+        for r in q_dsir_calibration(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        (r[0], r[1], r[2], r[3])
+        for r in con.execute(DSIR_CALIBRATION_ORACLE).fetchall()
+    )
+    assert len(got) == len(want) > 0
+    assert got == want
+    # the squashed DSIR signal should be directionally calibrated:
+    # the top occupied bin's frac_pos exceeds the bottom one's
+    assert got[-1][3] > got[0][3]

@@ -92,6 +92,7 @@ def norm_rows(cols, types, rows):
 CANDIDATES: list[tuple[str, str, str]] = [
     # the r12 queue (the r10 13-entry queue registered in r11's gate)
     ("selection_auc", "q_selection_auc", "SELECTION_AUC_ORACLE"),
+    ("dsir_calibration", "q_dsir_calibration", "DSIR_CALIBRATION_ORACLE"),
 ]
 
 

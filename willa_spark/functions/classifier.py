@@ -373,13 +373,30 @@ def calibration_bins(
     n_bins: int = 10,
     score_col: str = "quality_prob",
     label_col: str = "y",
+    exact_decimals: int | None = None,
 ) -> DataFrame:
     """(bin, n, mean_score, frac_pos) — the reliability-diagram table
     for a probability-valued score: bin i covers [i/n, (i+1)/n) with
     the top edge closed (a score of exactly 1.0 lands in the last
     bin, not a phantom n-th). One small partial-agg shuffle (≤ n_bins
     keys); scores outside [0, 1] fail loud (they are not
-    probabilities and silently clamping would fake calibration)."""
+    probabilities and silently clamping would fake calibration).
+
+    ``exact_decimals=d``: for a score already rounded to d decimals,
+    mean_score computes as the INTEGER sum of the 10^d-scaled scores
+    divided ONCE by IEEE double division, with NO re-rounding — avg
+    over fractional doubles differs in the last ulp across summation
+    orders, and rounding the average can flip the final digit between
+    engines twice over (measured in pre-flight: once from summation
+    order, then again from Spark's HALF_UP vs DuckDB's half-even on
+    an exact .5 tie). Integer-valued doubles sum exactly below 2^53
+    and one division of identical operands is bit-identical
+    everywhere, so the unrounded quotient is hash-grade BY
+    CONSTRUCTION. frac_pos needs no such treatment (0/1 labels
+    already sum exactly; its 6dp round never sees a tie because the
+    quotient has ≤ log10(n) significant digits... and if it does,
+    both engines see the same exact quotient — kept rounded for
+    readability)."""
     s = F.col(score_col)
     checked = F.when(
         s.isNull() | (s < 0) | (s > 1),
@@ -396,6 +413,13 @@ def calibration_bins(
     b = F.least(
         F.floor(checked * n_bins).cast("int"), F.lit(int(n_bins) - 1)
     )
+    if exact_decimals is None:
+        mean_score = F.round(F.avg("__s"), 6)
+    else:
+        scale = float(10 ** int(exact_decimals))
+        mean_score = F.sum(F.round(F.col("__s") * scale)) / (
+            F.count(F.lit(1)) * scale
+        )
     return (
         scored.select(
             b.alias("bin"),
@@ -405,7 +429,7 @@ def calibration_bins(
         .groupBy("bin")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.round(F.avg("__s"), 6).alias("mean_score"),
+            mean_score.alias("mean_score"),
             F.round(F.avg("__y"), 6).alias("frac_pos"),
         )
     )

@@ -5421,6 +5421,92 @@ FROM cum
 """
 
 
+# --------------------------------------------------------------------
+# SECOND r12 REGISTRATION CANDIDATE (parked-with-oracle discipline):
+# the reliability diagram of the squashed DSIR signal — exercises
+# classifier.calibration_bins in a hash-grade driver row. The bin key
+# is computed on the 6dp-ROUNDED probability (the banding rule: a
+# last-ulp cross-engine difference at a bin boundary must not flip a
+# bin), and the sigmoid argument is the 6dp dsir_weights value the
+# oracle already reproduces bit-for-bit.
+DSIR_CALIBRATION_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+  FROM documents
+), grams AS (
+  SELECT doc_id, g, count(*) AS cnt FROM (
+    SELECT doc_id, unnest(tk) AS g FROM t
+    UNION ALL
+    SELECT doc_id,
+           unnest([array_to_string(tk[i:i+1], ' ')
+                   FOR i IN range(1, greatest(len(tk), 1))]) AS g
+    FROM t
+  ) WHERE g <> '' GROUP BY 1, 2
+), rm AS (
+  SELECT g, sum(cnt) AS c FROM grams GROUP BY g
+), rs AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS space
+  FROM rm
+), tm AS (
+  SELECT g, sum(cnt) AS c FROM grams WHERE doc_id % 13 = 0 GROUP BY g
+), ts AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS space
+  FROM tm
+), scored AS (
+  SELECT d.doc_id,
+         round(sum(d.cnt * (
+           ln((coalesce(tm.c, 0) + 1e-4) / (ts.total + 1e-4 * ts.space))
+           - ln((rm.c + 1e-4) / (rs.total + 1e-4 * rs.space))
+         )), 6) AS s
+  FROM grams d
+  LEFT JOIN tm ON d.g = tm.g
+  JOIN rm ON d.g = rm.g
+  CROSS JOIN ts CROSS JOIN rs
+  GROUP BY d.doc_id
+), p AS (
+  SELECT round(1.0 / (1.0 + exp(-s / 10.0)), 6) AS p,
+         CASE WHEN doc_id % 13 = 0 THEN 1.0 ELSE 0.0 END AS y
+  FROM scored
+)
+SELECT CAST(least(CAST(floor(p * 10) AS INT), 9) AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       -- integer-sum mean (the operator's exact_decimals=6 mode):
+       -- 10^6-scaled scores are integer-valued and sum exactly; ONE
+       -- IEEE division of identical operands is bit-identical across
+       -- engines, and NO re-round (Spark HALF_UP vs DuckDB half-even
+       -- diverged on an exact .5 tie in pre-flight)
+       sum(round(p * 1000000)) / (1000000.0 * count(*)) AS mean_score,
+       round(avg(y), 6) AS frac_pos
+FROM p GROUP BY 1
+"""
+
+
+def q_dsir_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the squashed DSIR signal
+    (functions/classifier.py::calibration_bins over
+    sigmoid(log_weight/10)): per probability decile, how often a doc
+    really is the quality seed (every 13th doc) — the monotone
+    frac_pos-vs-mean_score table that tells a pipeline whether a
+    selection signal's magnitudes can be thresholded as
+    probabilities or only ranked (the AUC row's complement: AUC
+    ignores magnitudes, calibration is ONLY magnitudes). Hash-grade:
+    the sigmoid argument is the 6dp dsir_weights value, the bin key
+    is computed on the 6dp-ROUNDED probability (the banding rule),
+    and the bin table adds one ≤10-key agg to the dsir plan."""
+    from .functions.classifier import calibration_bins
+
+    w = q_dsir_weights(spark, sf_dir)
+    p = w.select(
+        F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("log_weight") / 10.0)), 6
+        ).alias("p"),
+        (F.col("doc_id") % 13 == 0).cast("double").alias("y"),
+    )
+    return calibration_bins(
+        p, n_bins=10, score_col="p", label_col="y", exact_decimals=6
+    )
+
+
 def q_selection_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Selection-signal quality as ROC AUC (functions/classifier.py::
     roc_auc over functions/selection.py importance weights): how well
@@ -5513,10 +5599,12 @@ def q_selection_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # FORWARD SCHEDULE (period-3 arithmetic, registry 114):
 #   r12 gate = 25 COHORT B returns + up to 25 keeps/new — the
-#   registration queue for r12 currently holds selection_auc
-#   (parked above with its oracle, parity-pinned by
-#   tests/test_selection.py::test_selection_auc_oracle_parity,
-#   pre-flighted green at 3 SFs — the dsir_weights de-risking).
+#   registration queue for r12 currently holds selection_auc and
+#   dsir_calibration (both parked above with full oracles,
+#   parity-pinned by tests/test_selection.py::
+#   test_selection_auc_oracle_parity /
+#   test_dsir_calibration_oracle_parity, pre-flighted green at 3
+#   SFs — the dsir_weights de-risking).
 #   r13 gate = the 39 r10-green non-keeps + up to 11 keeps/new.
 #   r14 gate = the r11-green 50 (cohort A + 14 new + 11 keeps).
 # Registry headroom under period-3 at gate 50 is 150 names; 114
