@@ -5661,7 +5661,7 @@ DRIVER_OMIT = frozenset(
         # -- r10-gate names not kept (39, incl. late_shipment_priorities
         # -- displaced by the quality_classifier_bands registration):
         # -- due r13; every one green
-        # -- in CORRECTNESS_r10 (36 hash-grade + rows-only
+        # -- in CORRECTNESS_r10 (31 hash-grade + 8 rows-only:
         # -- minhash_near_dups/simhash_near_dups/winnow_overlap_pairs/
         # -- image_phash_dups/video_fingerprint_dups/
         # -- audio_segment_dups/ann_lsh_topk/ann_ivf_topk, each
