@@ -223,3 +223,20 @@ def test_calibration_bins_arithmetic_and_guards(spark):
     bad = spark.createDataFrame([(0, 1.5, 1)], "id long, p double, y int")
     with pytest.raises(Exception, match="not a probability"):
         C.calibration_bins(bad, score_col="p").collect()
+    # NULL label fails loud (r11 advice: n counted the row while
+    # avg(label) silently dropped it — two different denominators)
+    bad_y = spark.createDataFrame(
+        [(0, 0.5, 1), (1, 0.5, None)], "id long, p double, y int"
+    )
+    with pytest.raises(Exception, match="NULL label"):
+        C.calibration_bins(bad_y, score_col="p").collect()
+
+
+def test_roc_auc_empty_input_zero_counts(spark):
+    """An empty frame yields (n_docs=0, n_pos=0, auc=NULL) — counts
+    are real bigint zeros (r11 advice: sum-over-nothing previously
+    surfaced NULL n_docs to callers), only auc carries the NULL
+    degenerate contract."""
+    empty = spark.createDataFrame([], "id long, p double, y int")
+    r = C.roc_auc(empty, score_col="p").collect()[0]
+    assert r["n_docs"] == 0 and r["n_pos"] == 0 and r["auc"] is None

@@ -320,7 +320,8 @@ def roc_auc(
     single-partition-tail class as a bounded TakeOrdered. A NULL
     score or label fails loud in-plan (a silently-skipped row would
     understate one class). Degenerate inputs (one class empty) yield
-    NULL auc rather than a fabricated 0/0."""
+    NULL auc rather than a fabricated 0/0; an EMPTY input frame
+    yields (0, 0, NULL) — counts are real zeros, only auc is NULL."""
     from pyspark.sql import Window as W
 
     s0 = F.col(score_col)
@@ -357,8 +358,13 @@ def roc_auc(
         ).alias("__c"),
     )
     return contrib.agg(
-        (F.sum("__np") + F.sum("__nn")).cast("bigint").alias("n_docs"),
-        F.sum("__np").cast("bigint").alias("n_pos"),
+        # coalesce: an EMPTY input frame sums to NULL; counts of
+        # nothing are 0, not NULL (only auc carries the NULL
+        # degenerate contract)
+        F.coalesce(F.sum("__np") + F.sum("__nn"), F.lit(0.0))
+        .cast("bigint")
+        .alias("n_docs"),
+        F.coalesce(F.sum("__np"), F.lit(0.0)).cast("bigint").alias("n_pos"),
         # try_divide: an empty class has no ranking to score — NULL
         # auc (the documented degenerate contract), not an ANSI
         # DIVIDE_BY_ZERO job failure
@@ -380,7 +386,10 @@ def calibration_bins(
     the top edge closed (a score of exactly 1.0 lands in the last
     bin, not a phantom n-th). One small partial-agg shuffle (≤ n_bins
     keys); scores outside [0, 1] fail loud (they are not
-    probabilities and silently clamping would fake calibration).
+    probabilities and silently clamping would fake calibration), and
+    a NULL label fails loud too (mirroring roc_auc: the row would
+    count in ``n`` while avg() silently dropped it from frac_pos,
+    giving the two columns different denominators).
 
     ``exact_decimals=d``: for a score already rounded to d decimals,
     mean_score computes as the INTEGER sum of the 10^d-scaled scores
@@ -410,6 +419,17 @@ def calibration_bins(
             )
         ).cast("double"),
     ).otherwise(s)
+    y0 = F.col(label_col)
+    y_checked = F.when(
+        y0.isNull(),
+        F.raise_error(
+            F.lit(
+                "calibration_bins: NULL label — impute or filter "
+                "upstream; n counts the row but avg(label) would "
+                "silently drop it, splitting the denominators"
+            )
+        ).cast("double"),
+    ).otherwise(y0.cast("double"))
     b = F.least(
         F.floor(checked * n_bins).cast("int"), F.lit(int(n_bins) - 1)
     )
@@ -424,7 +444,7 @@ def calibration_bins(
         scored.select(
             b.alias("bin"),
             checked.alias("__s"),
-            F.col(label_col).cast("double").alias("__y"),
+            y_checked.alias("__y"),
         )
         .groupBy("bin")
         .agg(
