@@ -90,9 +90,8 @@ def norm_rows(cols, types, rows):
 # pre-flight and the policy block cannot drift silently (the list is
 # asserted against queries.py at run time: a missing attr fails loud).
 CANDIDATES: list[tuple[str, str, str]] = [
-    # the r12 queue (the r10 13-entry queue registered in r11's gate)
-    ("selection_auc", "q_selection_auc", "SELECTION_AUC_ORACLE"),
-    ("dsir_calibration", "q_dsir_calibration", "DSIR_CALIBRATION_ORACLE"),
+    # empty: the r12 queue (selection_auc, dsir_calibration) is fully
+    # registered as of r12 — repopulate when a new candidate parks.
 ]
 
 

@@ -5203,10 +5203,18 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
-# FOURTEENTH REGISTRATION CANDIDATE (queued r10): per-stratum KL
-# divergence from the corpus distribution — the distribution-shift
-# monitor (which languages/sources diverge from the mix; the drift
-# alarm between snapshots). Fully SQL-expressible; hash-grade.
+# FOURTEENTH REGISTRATION CANDIDATE (queued r10, registered r11; r12
+# revision — the r11 verdict's #6): per-stratum KL divergence from
+# the corpus distribution — the distribution-shift monitor (which
+# languages/sources diverge from the mix; the drift alarm between
+# snapshots). Fully SQL-expressible; hash-grade. The r12 form runs
+# the VOCAB-BOUND path (top_v=600, min_count=2 over BIGRAMS — the
+# n>1 space the knobs exist for; the synthetic corpus has only 31
+# distinct unigrams, so no unigram knob setting could bind): the
+# kept grams become THE feature space, every total / |V| / floor
+# mass re-derives from the truncated set, and the top_v cut is
+# deterministic (count desc, gram asc). The untruncated default path
+# stays pinned by tests/test_selection.py's Python differential.
 KL_PROFILE_ORACLE = r"""
 WITH t AS (
   SELECT lang, doc_id,
@@ -5214,19 +5222,32 @@ WITH t AS (
   FROM documents
 ), grams AS (
   SELECT lang, g, count(*) AS cnt FROM (
-    SELECT lang, unnest(tk) AS g FROM t
+    SELECT lang,
+           unnest([array_to_string(tk[i:i+1], ' ')
+                   FOR i IN range(1, greatest(len(tk), 1))]) AS g
+    FROM t
   ) WHERE g <> '' GROUP BY 1, 2
-), corpus AS (
+), corpus0 AS (
   SELECT g, sum(cnt) AS c FROM grams GROUP BY g
+), kept AS (
+  -- min_count then top_v, tie-broken (c desc, g asc): deterministic
+  SELECT g, c FROM corpus0 WHERE c >= 2 ORDER BY c DESC, g ASC LIMIT 600
+), groups_ AS (
+  SELECT DISTINCT lang FROM grams
+), gkept AS (
+  SELECT gr.lang, gr.g, gr.cnt FROM grams gr JOIN kept k ON gr.g = k.g
 ), tot AS (
   SELECT CAST(sum(c) AS DOUBLE) AS T, CAST(count(*) AS DOUBLE) AS V
-  FROM corpus
+  FROM kept
 ), gt AS (
-  SELECT lang, CAST(sum(cnt) AS DOUBLE) AS Tg FROM grams GROUP BY lang
+  SELECT groups_.lang, CAST(coalesce(s.Tg, 0) AS DOUBLE) AS Tg
+  FROM groups_ LEFT JOIN (
+    SELECT lang, sum(cnt) AS Tg FROM gkept GROUP BY lang
+  ) s USING (lang)
 ), full_ AS (
-  SELECT gt.lang, gt.Tg, c.g, c.c, coalesce(gr.cnt, 0) AS cg
-  FROM gt CROSS JOIN corpus c
-  LEFT JOIN grams gr ON gr.lang = gt.lang AND gr.g = c.g
+  SELECT gt.lang, gt.Tg, k.g, k.c, coalesce(gk.cnt, 0) AS cg
+  FROM gt CROSS JOIN kept k
+  LEFT JOIN gkept gk ON gk.lang = gt.lang AND gk.g = k.g
 )
 SELECT lang,
        CAST(sum(cg) AS BIGINT) AS n_grams,
@@ -5242,20 +5263,28 @@ GROUP BY lang
 
 @query("kl_profile", oracle=KL_PROFILE_ORACLE)
 def q_kl_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language KL divergence from the corpus unigram
-    distribution (functions/selection.py::kl_divergence_profile):
-    smoothed over the shared corpus vocabulary (absent grams
-    contribute floor mass — the zero rows are GENERATED, never
-    skipped), summed per stratum, 6dp before the cross-engine hash.
+    """Per-language KL divergence from the corpus BIGRAM
+    distribution over the BOUNDED vocabulary (functions/
+    selection.py::kl_divergence_profile with top_v=600, min_count=2
+    — the r11 verdict's #6: the vocab-bound knobs, oracle-proven):
+    the kept grams are the feature space (totals, |V|, and floor
+    mass re-derive from the truncated set — the exact profile over
+    the truncated vocabulary, not an approximation of the full one),
+    absent grams contribute floor mass (the zero rows are GENERATED,
+    never skipped), sums 6dp before the cross-engine hash. Bigrams
+    because the knobs exist for n>1 vocabularies (unigram |V| here
+    is 31 — nothing to bound); top_v=600 binds at every test SF
+    (916-931 bigrams), min_count=2 additionally at the small SFs.
     The monitoring twin of the DSIR machinery: DSIR asks "how
     target-like is this DOCUMENT", this asks "how corpus-like is
-    this STRATUM" — mixture reweighting upstream, drift alarms
-    between snapshots. Every frame in the plan is vocabulary-sized
-    or smaller; the corpus enters once."""
+    this STRATUM". Every frame past the one (group, gram) partial
+    agg is vocabulary-sized or smaller; the corpus enters once."""
     from .functions.selection import kl_divergence_profile
 
     docs = read_docs_spread(spark, sf_dir).select("doc_id", "lang", "text")
-    return kl_divergence_profile(docs, group_col="lang", ns=(1,))
+    return kl_divergence_profile(
+        docs, group_col="lang", ns=(2,), top_v=600, min_count=2
+    )
 
 
 # --------------------------------------------------------------------
@@ -5356,14 +5385,15 @@ def q_quality_classifier_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
-# FIRST r12 REGISTRATION CANDIDATE (parked-with-oracle discipline —
-# the dsir_weights de-risking): selection-signal quality measured by
-# ROC AUC. Composes two oracle-proven pieces — the dsir_weights
-# importance arithmetic and the mid-rank AUC formula (ties get the
-# analytic ½ credit, so no id tie-break is needed and the value is
-# engine-independent) — into one hash-grade row: "how well does the
-# DSIR signal retrieve its own quality seed". Pre-flight before
-# registering: tools/check_parity.py --candidates.
+# REGISTERED r12 (parked r11 under the parked-with-oracle discipline
+# — the dsir_weights de-risking; 3-SF pre-flight, parity pin, and
+# the 10x scale row all pre-dated registration): selection-signal
+# quality measured by ROC AUC. Composes two oracle-proven pieces —
+# the dsir_weights importance arithmetic and the mid-rank AUC
+# formula (ties get the analytic ½ credit, so no id tie-break is
+# needed and the value is engine-independent) — into one hash-grade
+# row: "how well does the DSIR signal retrieve its own quality
+# seed".
 SELECTION_AUC_ORACLE = r"""
 WITH t AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
@@ -5422,7 +5452,7 @@ FROM cum
 
 
 # --------------------------------------------------------------------
-# SECOND r12 REGISTRATION CANDIDATE (parked-with-oracle discipline):
+# REGISTERED r12 (parked r11 under the parked-with-oracle discipline):
 # the reliability diagram of the squashed DSIR signal — exercises
 # classifier.calibration_bins in a hash-grade driver row. The bin key
 # is computed on the 6dp-ROUNDED probability (the banding rule: a
@@ -5481,6 +5511,7 @@ FROM p GROUP BY 1
 """
 
 
+@query("dsir_calibration", oracle=DSIR_CALIBRATION_ORACLE)
 def q_dsir_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability diagram of the squashed DSIR signal
     (functions/classifier.py::calibration_bins over
@@ -5507,6 +5538,7 @@ def q_dsir_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("selection_auc", oracle=SELECTION_AUC_ORACLE)
 def q_selection_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Selection-signal quality as ROC AUC (functions/classifier.py::
     roc_auc over functions/selection.py importance weights): how well
@@ -5540,76 +5572,86 @@ def q_selection_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_curation.py::test_omitted_relational_parity (computed
 # FROM this set, so the pin rotates automatically).
 #
-# Round 11 rotation — PERIOD-3 ACTIVATED. Registered queries: 114
-# (the 100 r10 names + the full 13-entry registration queue, entered
-# in the r10 note's priority order: hybrid_rrf_topk,
-# sketch_profile_bands, chunk_documents, perplexity_bands,
-# pq_recall_bands, ivfpq_recall_bands, cms_heavy_hitters,
-# epoch_shuffle_bands, normalize_docs, bpe_consistency_bands,
-# domain_relevance, decontaminate_semantic, kl_profile — every
-# oracle pre-written in r10, parity-pinned, pre-flighted green at 3
-# SFs, and re-pre-flighted this round before registration — plus
-# quality_classifier_bands, the r11-built trainable-classifier
-# family's first row, entered by displacing the
-# late_shipment_priorities keep exactly as dsir_weights displaced
-# session_windows in r10). The 101st registration activates the
-# pre-staged period-3 policy: a name last green in round k is due
-# k+3 (rests TWO rounds).
+# Round 12 rotation (period-3, activated r11: a name last green in
+# round k is due k+3, resting TWO rounds). Registered queries: 116 =
+# the 114 r11 names + the two r12 registrations selection_auc and
+# dsir_calibration (parked r11 with full oracles, parity-pinned by
+# tests/test_selection.py::test_selection_auc_oracle_parity /
+# test_dsir_calibration_oracle_parity, pre-flighted green at 3 SFs,
+# 10x scale rows pre-measured in r11 — the r11 verdict's #1, every
+# precondition pre-met).
 #
-# r11 gate (50) = 25 COHORT A returns (due r11 per the r10 due-date
-# table, each green in CORRECTNESS_r09) + the 14 new registrations
-# (first driver rows for the PQ / IVF-PQ / CMS / epoch-shuffle /
-# normalization / BPE / domain-relevance / semantic-decontamination
-# / KL-profile / hybrid-RRF / sketch-profile / chunking / perplexity
-# / quality-classifier families) + 11 keeps from the r10 gate (each
-# green in CORRECTNESS_r10; keeping them re-greens their clocks to
-# due r14 and thins the r13 cohort to 39): latest_per_key,
-# broadcast_enrich, top_customers, rollup_revenue,
+# r12 gate (50) = 25 COHORT B returns (due r12; each green in
+# CORRECTNESS_r09) + the 2 new registrations + 23 keeps from the r11
+# gate (each green in CORRECTNESS_r11; keeping them re-greens their
+# clocks to due r15 and thins the r14 cohort to 27). The keeps are
+# the 22 CHEAPEST r11-gate rows by the BENCH_LAST per-query record
+# (0.21-0.73 s each — the budget-policy selection rule) plus
+# kl_profile, kept deliberately because its r12 revision exercises
+# the top_v/min_count vocab-bound knobs (the r11 verdict's #6) and a
+# revised row needs a FRESH green driver row, not a rest against its
+# old-semantics r11 row: filter_map, chunk_documents,
+# anti_join_customers, semi_join_customers, hopping_window_count,
+# except_customers, top_customers, monthly_revenue_growth,
+# gopher_quality_filter, quality_score, changelog_filter,
+# decontaminate_semantic, latest_per_key, above_avg_orders,
+# nary_join_fold, token_budget_cap, domain_relevance,
+# exact_dup_groups, skew_salted_agg, session_windows,
+# rollup_revenue, skew_salted_join, kl_profile.
+#
+# Twin constraint in-gate: every r12 gate name is oracle-bearing (the
+# one rows-only r11-gate name, audio_fingerprint_dups, rests with its
+# oracle twin recall_audio_fp in the same due-r14 cohort) — the r12
+# gate records 50 hash-grade rows.
+#
+# Rests 66 = the 39 r10-gate non-keeps (due r13, unchanged below) +
+# the 27 r11-gate names NOT kept (due r14; every one green in
+# CORRECTNESS_r11 and, where oracle-bearing, parity-pinned by the
+# automatic pytest).
+#
+# FORWARD SCHEDULE (period-3 arithmetic, registry 116):
+#   r13 gate = the 39 r10-green non-keeps + up to 11 keeps/new. NOTE:
+#   the returning rows-only names minhash_near_dups,
+#   winnow_overlap_pairs, ann_lsh_topk, ann_ivf_topk have their
+#   oracle twins (recall_minhash, recall_winnow, recall_ann_lsh,
+#   recall_ann_ivf — green r12 as COHORT B returns) OUTSIDE that
+#   cohort, so four of the 11 free slots MUST keep those twins
+#   in-gate; the other four rows-only returns (simhash / image /
+#   audio-seg / video families) carry their twins inside the cohort
+#   (precision_simhash, precision_image_phash, recall_audio_seg,
+#   recall_video_fp / precision_video_fp / precision_audio_fp).
+#   r14 gate = the 27 r11-green non-keeps + up to 23 keeps/new.
+#   r15 gate = the r12-green 50.
+# Registry headroom under period-3 at gate 50 is 150 names; 116
+# leaves 34 free slots before the next capacity decision.
+#
+# BENCH BUDGET POLICY (the r11 verdict's #4): the working ceiling for
+# bench.py's full-registry pass at sf0.1 / local[32] is 150 s
+# (BASELINE.md records the arithmetic each round). Every registration
+# arrives with a PRE-MEASURED sf0.1 price (the parked-with-oracle
+# discipline already forces the 3-SF pre-flight; record the price in
+# BASELINE.md BEFORE registering). If the projected close — last
+# recorded bench + Σ new-row prices − planned trims — exceeds the
+# ceiling, then in order of preference: (a) trim proof overhead first
+# (e.g. the r12 shared PQ brute-force arm), (b) retire redundant
+# sub-second relational rows into a rotating exhibition set, (c)
+# raise the ceiling explicitly in BASELINE.md with the price
+# arithmetic. r12 projection: 140.2 (r11 record) + ~4.5 (the two
+# registrations, pre-measured r11) + ~1 (kl_profile bigram revision)
+# − ~1.5 (shared PQ arm) ≈ 144 s < 150. The per-round growth rule:
+# a round registering n new rows must show the projection BEFORE its
+# first registration commit.
+#
+# Previous round (r11) for the record — PERIOD-3 ACTIVATED.
+# Registered: 114 (100 r10 names + the 13-entry r10 queue +
+# quality_classifier_bands, displacing the late_shipment_priorities
+# keep). Gate = 25 COHORT A returns + 14 new + 11 keeps
+# (latest_per_key, broadcast_enrich, top_customers, rollup_revenue,
 # distinct_parts_per_supplier, semi_join_customers, except_customers,
 # skew_salted_join, regional_supplier_volume, monthly_revenue_growth,
-# above_avg_orders. (late_shipment_priorities, displaced, rests
-# against its green r10 row — due r13 with the other r10-greens.)
-#
-# Twin constraint in-gate: audio_fingerprint_dups (rows-only)
-# returns alongside its oracle twin recall_audio_fp (both COHORT A,
-# as the r10 split arranged); every other gate name is
-# oracle-bearing, so the r11 gate records 49 hash-grade rows + 1
-# twinned rows-only row.
-#
-# Rests 64 = COHORT B (25 names, due r12 — the period-3 deferral;
-# every one green in CORRECTNESS_r09 and parity-pinned by the
-# automatic pytest):
-#     asof_enrich, bm25_topk, corpus_profile, doc_length_histogram,
-#     embedding_topk, fanout_flatmap, forecast_revenue,
-#     group_by_fn_agg, intersect_customers, merge_streams,
-#     near_dup_keep_best, pivot_order_status, precision_audio_seg,
-#     pricing_summary, recall_ann_ivf, recall_ann_lsh,
-#     recall_minhash, recall_winnow, rekey_transform,
-#     running_sum_changelog, shipping_priority, stratified_sample,
-#     top_bigrams, training_data_prep, with_dedupe_first
-# + the 39 r10-gate names NOT kept (every one green in
-# CORRECTNESS_r10, due r13). The resting rows-only hash/ANN names
-# (minhash_near_dups, simhash_near_dups, winnow_overlap_pairs,
-# image_phash_dups, video_fingerprint_dups, audio_segment_dups,
-# ann_lsh_topk, ann_ivf_topk) rest in the SAME r13 cohort as their
-# r10-green oracle twins (precision_simhash, recall_video_fp,
-# precision_image_phash, precision_audio_fp, precision_video_fp,
-# recall_audio_seg), so the r13 returns carry their in-gate twins
-# automatically.
-#
-# FORWARD SCHEDULE (period-3 arithmetic, registry 114):
-#   r12 gate = 25 COHORT B returns + up to 25 keeps/new — the
-#   registration queue for r12 currently holds selection_auc and
-#   dsir_calibration (both parked above with full oracles,
-#   parity-pinned by tests/test_selection.py::
-#   test_selection_auc_oracle_parity /
-#   test_dsir_calibration_oracle_parity, pre-flighted green at 3
-#   SFs — the dsir_weights de-risking).
-#   r13 gate = the 39 r10-green non-keeps + up to 11 keeps/new.
-#   r14 gate = the r11-green 50 (cohort A + 14 new + 11 keeps).
-# Registry headroom under period-3 at gate 50 is 150 names; 114
-# leaves 36 free slots for future registrations before the next
-# capacity decision.
+# above_avg_orders); 64 rested. 49 hash-grade + 1 twinned rows-only
+# (audio_fingerprint_dups beside recall_audio_fp). Full mapping: git
+# history of this block.
 #
 # Previous round (r10) for the record. Registered: 100 (99 +
 # dsir_weights in the one free slot, displacing the session_windows
@@ -5617,55 +5659,21 @@ def q_selection_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 50 rested (exactly the r9 gate). Full mapping + the period-3
 # due-date table as pre-staged: git history of this block.
 #
-# Previous round (r9) for the record. Registered: 99. Must-in (45):
-# ALL 43 r8-rested names returned + the 2 mid-r8 parked entries
-# dup_ngram_spans and bm25_topk (their first driver rows); 4 on-time
-# NEW registrations entered immediately; ONE keep (session_windows);
-# 49 rested. Full r9 twin mapping: git history of this block
-# (commit 64ae32a^).
-#
 # CANDIDATE PRE-FLIGHT: `python tools/check_parity.py --candidates
 # <sf_dir>` runs every parked q_*/`*_ORACLE` pair through the
-# driver-grade comparison — run it before registering one. (The r10
-# queue is fully registered as of r11; the list is empty until a new
+# driver-grade comparison — run it before registering one. (The
+# queue is empty as of r12; the list repopulates when a new
 # candidate parks.)
 DRIVER_OMIT = frozenset(
     {
-        # -- COHORT B (25): due r12 under period-3; green in
-        # -- CORRECTNESS_r09, parity-pinned by the automatic pytest.
-        "asof_enrich",
-        "bm25_topk",
-        "corpus_profile",
-        "doc_length_histogram",
-        "embedding_topk",
-        "fanout_flatmap",
-        "forecast_revenue",
-        "group_by_fn_agg",
-        "intersect_customers",
-        "merge_streams",
-        "near_dup_keep_best",
-        "pivot_order_status",
-        "precision_audio_seg",
-        "pricing_summary",
-        "recall_ann_ivf",
-        "recall_ann_lsh",
-        "recall_minhash",
-        "recall_winnow",
-        "rekey_transform",
-        "running_sum_changelog",
-        "shipping_priority",
-        "stratified_sample",
-        "top_bigrams",
-        "training_data_prep",
-        "with_dedupe_first",
-        # -- r10-gate names not kept (39, incl. late_shipment_priorities
-        # -- displaced by the quality_classifier_bands registration):
-        # -- due r13; every one green
-        # -- in CORRECTNESS_r10 (31 hash-grade + 8 rows-only:
-        # -- minhash_near_dups/simhash_near_dups/winnow_overlap_pairs/
-        # -- image_phash_dups/video_fingerprint_dups/
-        # -- audio_segment_dups/ann_lsh_topk/ann_ivf_topk, each
-        # -- twin-covered in that same gate).
+        # -- r10-gate names not kept in r11 (39, incl.
+        # -- late_shipment_priorities displaced by the
+        # -- quality_classifier_bands registration): due r13; every
+        # -- one green in CORRECTNESS_r10 (31 hash-grade + 8
+        # -- rows-only: minhash_near_dups/simhash_near_dups/
+        # -- winnow_overlap_pairs/image_phash_dups/
+        # -- video_fingerprint_dups/audio_segment_dups/ann_lsh_topk/
+        # -- ann_ivf_topk, each twin-covered in that same gate).
         "tumbling_window_sum",
         "interval_join",
         "late_shipment_priorities",
@@ -5705,6 +5713,37 @@ DRIVER_OMIT = frozenset(
         "mixing_repeat_epochs",
         "mixing_train_val_test",
         "dsir_weights",
+        # -- r11-gate names not kept in r12 (27): due r14; every one
+        # -- green in CORRECTNESS_r11 (26 hash-grade + 1 rows-only:
+        # -- audio_fingerprint_dups, resting beside its oracle twin
+        # -- recall_audio_fp in this same cohort).
+        "normalize_docs",
+        "broadcast_enrich",
+        "regional_supplier_volume",
+        "epoch_shuffle_bands",
+        "line_dedup",
+        "precision_winnow",
+        "distinct_parts_per_supplier",
+        "regrouped_retraction",
+        "sketch_profile_bands",
+        "dup_ngram_spans",
+        "decontaminate_fuzzy",
+        "windowed_left_join",
+        "recall_simhash",
+        "top_parts_per_supplier",
+        "cms_heavy_hitters",
+        "recall_audio_fp",
+        "recall_image_phash",
+        "audio_fingerprint_dups",
+        "repetition_ngram_filter",
+        "perplexity_bands",
+        "packed_sequences_loaded",
+        "precision_ann_lsh",
+        "hybrid_rrf_topk",
+        "bpe_consistency_bands",
+        "pq_recall_bands",
+        "quality_classifier_bands",
+        "ivfpq_recall_bands",
     }
 )
 
