@@ -4651,6 +4651,37 @@ FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 2000
 """
 
 
+# One brute-force exact arm per (session, sf_dir, k): the PQ and
+# IVF-PQ band rows verify against an IDENTICAL ≤20-query baseline
+# (same corpus, same query filter, same k), so the second row reuses
+# the first's materialized ~k·20-row result instead of re-paying the
+# corpus-scale scoring pass (r11 verdict #3 — proof-overhead dedup,
+# not a semantics change: the arm is deterministic). Keyed by
+# applicationId so a fresh session (driver gate, tests) never reads
+# another session's pinned lineage; entries are ≤200 tiny rows.
+_EXACT_ARM_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def _exact_arm(spark: SparkSession, sf_dir: str, emb, q, k: int) -> DataFrame:
+    from .functions.similarity import brute_force_topk
+
+    key = (spark.sparkContext.applicationId, sf_dir, k)
+    hit = _EXACT_ARM_CACHE.get(key)
+    if hit is not None:
+        return hit
+    exact = (
+        brute_force_topk(emb, q, k=k)
+        .select(
+            F.col("query_id").alias("qid"),
+            F.col("vec_id").alias("__xid"),
+            F.lit(1).alias("__hit"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    _EXACT_ARM_CACHE[key] = exact
+    return exact
+
+
 def _ann_recall_bands(
     spark: SparkSession,
     sf_dir: str,
@@ -4665,8 +4696,6 @@ def _ann_recall_bands(
     precision_ann_lsh rule), emit exact n_results, rank-1-is-self,
     per-query recall@10 ≥ ``min_recall`` vs in-plan brute force, and
     the corpus-mean recall ≥ ``min_mean`` riding every row."""
-    from .functions.similarity import brute_force_topk
-
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q = emb.filter(
         (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000)
@@ -4675,15 +4704,11 @@ def _ann_recall_bands(
     )
     # pinned: the approx frame feeds the top-1 check AND the recall
     # join (multi-consumer rule); the exact arm is the bounded-query
-    # brute-force baseline
+    # brute-force baseline, shared across the PQ rows via the cache
     approx = approx_fn(emb, q, k).select(
         F.col("query_id").alias("qid"), "vec_id", "rank"
     ).localCheckpoint(eager=True)
-    exact = brute_force_topk(emb, q, k=k).select(
-        F.col("query_id").alias("qid"),
-        F.col("vec_id").alias("__xid"),
-        F.lit(1).alias("__hit"),
-    )
+    exact = _exact_arm(spark, sf_dir, emb, q, k)
     j = approx.join(
         F.broadcast(exact),
         (approx["qid"] == exact["qid"]) & (approx["vec_id"] == exact["__xid"]),
