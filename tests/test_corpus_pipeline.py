@@ -732,3 +732,73 @@ def test_composed_pipeline_classifier_admission(spark, tmp_path):
             classifier_weights=w,
             classifier_num_buckets=K + 1,
         )
+
+
+def test_batch_twin_spill_dir_stage_pins(spark, tmp_path):
+    """The 100 TB batch-twin storage discipline (r11 advice): with
+    ``spill_dir`` set AND the semantic + classifier screens enabled,
+    the multi-consumer pins spill to parquet stages under spill_dir
+    (no corpus-scale localCheckpoint anywhere on the path), the
+    curated pre-dedup corpus lands in curated/ (NOT the root — an
+    overwrite there would delete the stage spills the lazy curated
+    plan still reads), and survivors are IDENTICAL to the
+    executor-persist path."""
+    import os
+
+    from willa_spark.functions import classifier as C
+    from willa_spark.streaming.corpus_pipeline import corpus_curation_batch
+
+    K = 64
+    train = spark.createDataFrame(
+        [(100 + i, 1, _doc(i)) for i in range(4)]
+        + [
+            (200 + i, 0, "clickspam buyspam nowspam " + _doc(i))
+            for i in range(4)
+        ],
+        "doc_id long, label int, text string",
+    )
+    fv = C.doc_feature_vectors(
+        train, num_buckets=K, ns=(1,), label_col="label", binary=True
+    ).localCheckpoint(eager=True)
+    w = C.train_logreg(fv, num_buckets=K, epochs=8, lr=0.5)
+
+    vecs = {
+        1: [1.0, 0.0, 0.0], 2: [0.0, 1.0, 0.0],
+        6: [0.7071, 0.7071, 0.0], 8: [0.0, 0.0, 1.0],
+        3: [1.0, 1.0, 1.0], 4: [1.0, 2.0, 3.0], 5: [3.0, 2.0, 1.0],
+        7: [0.5, 0.5, 0.5], 9: [0.1, 0.2, 0.3],
+    }
+    ev_emb = spark.createDataFrame(
+        [(100, [0.70, 0.7142, 0.0])], "doc_id bigint, embedding array<double>"
+    )
+    docs = dict(DOCS)
+    # id 8 carries the junk markers (classifier drop); id 6 is the
+    # semantic near-copy (embedding drop) — both screens must bind
+    docs[8] = "clickspam buyspam nowspam " + DOCS[8]
+    frame = spark.createDataFrame(
+        [(i, docs[i], vecs[i]) for i in sorted(docs)],
+        "doc_id bigint, text string, embedding array<double>",
+    )
+    kw = dict(
+        eval_grams=_eval_grams(spark),
+        semantic_eval_emb=ev_emb,
+        semantic_min_sim=0.99,
+        classifier_weights=w,
+        classifier_num_buckets=K,
+        classifier_ns=(1,),
+        classifier_binary=True,
+        classifier_min_prob=0.9,
+    )
+    spill = os.path.join(str(tmp_path), "spill")
+    got = {r["doc_id"] for r in corpus_curation_batch(
+        frame, spill_dir=spill, **kw).collect()}
+    want = {r["doc_id"] for r in corpus_curation_batch(frame, **kw).collect()}
+    # 6 drops semantically, 8 drops on the classifier; with 8 gone
+    # BEFORE dedup its near-dup 9 no longer clusters and survives
+    assert got == want == {1, 2, 9}, (got, want)
+    # the documented spill layout: stage pins + curated subdir, and a
+    # root-level scan never sees the _-prefixed stage spills
+    names = set(os.listdir(spill))
+    assert {"_stage_semantic_in", "_stage_classifier_in", "curated"} <= names
+    assert {r["doc_id"] for r in spark.read.parquet(
+        os.path.join(spill, "curated")).collect()} >= got

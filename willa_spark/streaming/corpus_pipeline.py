@@ -32,6 +32,7 @@ banded equi-joins sized by collisions; stage 5 is a map-only write.
 
 from __future__ import annotations
 
+import os as _os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, Window
@@ -120,6 +121,15 @@ def _decontaminate_fuzzy(
     )
 
 
+def _pin_local(df: DataFrame) -> DataFrame:
+    """Default multi-consumer pin: eager localCheckpoint — right for
+    batch-sized streaming micro-batches. The batch twin at corpus
+    scale passes a parquet-spill pin instead (r11 advice: an eager
+    localCheckpoint of the whole cleaned corpus is a second
+    corpus-scale executor-storage residency on the 100 TB path)."""
+    return df.localCheckpoint(eager=True)
+
+
 def _decontaminate_semantic(
     docs: DataFrame,
     raw: DataFrame,
@@ -127,6 +137,7 @@ def _decontaminate_semantic(
     min_sim: float,
     id_col: str,
     vec_col: str,
+    pin=_pin_local,
 ) -> DataFrame:
     """The SEMANTIC screen — embedding-cosine against the static eval
     embeddings (``curation.semantic_contamination_report``), catching
@@ -155,15 +166,15 @@ def _decontaminate_semantic(
     # to the cleaned frame's ids makes it |surviving|×|eval| (r10
     # advice). Embeddings still ride the raw frame (the cleaned one
     # projected down to (id, text) upstream). PIN the cleaned frame
-    # first: it now has TWO consumers (the semi-join's id side and the
-    # anti-join's left side) and its lineage is the whole unpinned
+    # first: it has TWO consumers here (the semi-join's id side and
+    # the anti-join's left side) and its lineage is the whole unpinned
     # screen/decontamination chain — without the pin each consumer
     # re-executes the screens and the saving is repaid (r11 review;
-    # the multi-consumer rule). Streaming batches are batch-sized;
-    # the batch composed pipeline persists/spills right after this
-    # step, so the pin there is one extra batch-scale materialization,
-    # not a second corpus residency class.
-    docs = docs.localCheckpoint(eager=True)
+    # the multi-consumer rule). The RESULT stays lazy: the next
+    # multi-consumer boundary (classifier admission, dedup, the batch
+    # twin's persist/spill) pins for itself, so a single-consumer
+    # continuation never pays a second materialization here.
+    docs = pin(docs)
     flagged = semantic_contamination_report(
         raw.select(id_col, vec_col).join(
             docs.select(id_col), id_col, "left_semi"
@@ -187,20 +198,22 @@ def _classifier_admit(
     binary: bool,
     id_col: str,
     text_col: str,
-    already_pinned: bool = False,
+    pin=_pin_local,
 ) -> DataFrame:
     """The learned-quality admission screen — score the cleaned frame
     under a FROZEN trained classifier (functions/classifier.py; train
     batch-side on labeled examples, deploy the weight list) and keep
     docs at ``quality_prob ≥ min_prob``. Runs AFTER the deterministic
     screens and BEFORE dedup (junk should not pay signature costs).
-    The frame is pinned first — it feeds both the feature build and
-    the semi-join left side (the multi-consumer rule) — UNLESS the
-    caller says the semantic screen already pinned it
-    (``already_pinned``; a second eager materialization of the same
-    derivative per batch is pure waste — r11 review). Stateless per
-    batch under static weights, so batch ≡ streaming congruity holds
-    structurally like the other screens."""
+    The input frame is ALWAYS pinned — it feeds both the feature
+    build and the semi-join left side (the multi-consumer rule), and
+    when the semantic screen ran upstream its pin sat BELOW its
+    anti-join, so reusing it here would re-execute the
+    |surviving|×|eval| cosine subplan and the anti-join once per
+    consumer (r11 advice — the ``already_pinned`` short-circuit this
+    replaces was exactly that bug). Stateless per batch under static
+    weights, so batch ≡ streaming congruity holds structurally like
+    the other screens."""
     if weights is None:
         return docs
     if len(weights) != int(num_buckets) + 1:
@@ -211,8 +224,7 @@ def _classifier_admit(
         )
     from ..functions.classifier import doc_feature_vectors, score_logreg
 
-    if not already_pinned:
-        docs = docs.localCheckpoint(eager=True)
+    docs = pin(docs)
     fv = doc_feature_vectors(
         docs, num_buckets=num_buckets, ns=ns,
         id_col=id_col, text_col=text_col, binary=binary,
@@ -371,9 +383,6 @@ def corpus_curation_step(
             clean, classifier_weights, classifier_num_buckets,
             classifier_ns, classifier_min_prob, classifier_binary,
             id_col, text_col,
-            # the semantic screen pinned the lineage below its cheap
-            # anti-join; a second eager checkpoint would be waste
-            already_pinned=semantic_eval_emb is not None,
         )
         admitted = dedup(clean, batch_id)
         if out_dir is not None:
@@ -743,7 +752,37 @@ def corpus_curation_batch(
     three times. Default: executor-memory persist (bench-sized
     corpora). Pass ``spill_dir`` for the 100 TB path: the curated
     corpus is written to storage once and every consumer scans the
-    parquet (the same discipline as ``embedding_near_dups``)."""
+    parquet (the same discipline as ``embedding_near_dups``).
+    ``spill_dir`` also re-points the semantic/classifier screens'
+    multi-consumer pins at parquet stage spills (``_stage_*``
+    subdirectories) instead of eager localCheckpoints — on the 100 TB
+    path an executor-storage checkpoint of the whole cleaned corpus
+    is a second corpus-scale memory/disk-block residency the r11
+    advice flagged; a stage parquet is written once, scanned by each
+    consumer, and lives where the curated output already lives (the
+    batch twin's pins follow the batch twin's storage discipline).
+    Layout under ``spill_dir``: the curated pre-dedup corpus lands in
+    ``curated/`` (its own subdirectory, NOT the root: an overwrite of
+    the root would delete the stage spills the still-lazy curated
+    plan reads from), stage pins in ``_stage_semantic_in/`` /
+    ``_stage_classifier_in/`` when those screens are enabled — the
+    caller owns cleanup of the directory as a whole."""
+    if spill_dir is not None:
+
+        def _spill_pin(tag: str):
+            def pin(df: DataFrame) -> DataFrame:
+                # "_"-prefixed: Spark's scans hide _*/.* paths, so a
+                # root-level read of spill_dir never sees stage spills
+                p = _os.path.join(spill_dir, f"_stage_{tag}")
+                df.write.mode("overwrite").parquet(p)
+                return docs.sparkSession.read.parquet(p)
+
+            return pin
+
+        sem_pin = _spill_pin("semantic_in")
+        clf_pin = _spill_pin("classifier_in")
+    else:
+        sem_pin = clf_pin = _pin_local
     clean = _screen_and_redact(docs, id_col, text_col)
     clean = _decontaminate(
         clean, eval_grams, decontam_n, decontam_max_hits, id_col, text_col
@@ -753,17 +792,17 @@ def corpus_curation_batch(
     )
     clean = _decontaminate_semantic(
         clean, docs, semantic_eval_emb, semantic_min_sim,
-        id_col, semantic_vec_col,
+        id_col, semantic_vec_col, pin=sem_pin,
     )
     clean = _classifier_admit(
         clean, classifier_weights, classifier_num_buckets,
         classifier_ns, classifier_min_prob, classifier_binary,
-        id_col, text_col,
-        already_pinned=semantic_eval_emb is not None,
+        id_col, text_col, pin=clf_pin,
     )
     if spill_dir is not None:
-        clean.write.mode("overwrite").parquet(spill_dir)
-        clean = docs.sparkSession.read.parquet(spill_dir)
+        curated = _os.path.join(spill_dir, "curated")
+        clean.write.mode("overwrite").parquet(curated)
+        clean = docs.sparkSession.read.parquet(curated)
     else:
         clean = clean.persist()
     cands = minhash_candidate_pairs(
