@@ -1,0 +1,214 @@
+"""Sequential bigram LM (functions/lm.py): exact Python differential
+for train + perplexity, the sentinel/empty-doc contract, unseen
+context/target smoothing, order sensitivity (the property the bag
+family cannot have), and the frozen-model streaming congruity."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from willa_spark.functions import lm as LM
+
+
+def _py_model(texts):
+    big = {}
+    for t in texts:
+        toks = [w for w in t.lower().strip().split() if w]
+        seq = [LM.BOS] + toks + [LM.EOS]
+        for a, b in zip(seq, seq[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    ctx, tgt = {}, {}
+    for (a, b), c in big.items():
+        ctx[a] = ctx.get(a, 0) + c
+        tgt[b] = tgt.get(b, 0) + c
+    return big, ctx, tgt
+
+
+def _py_ppl(text, big, ctx, tgt, lam=LM.DEFAULT_LAMBDA, alpha=LM.DEFAULT_ALPHA):
+    T = float(sum(big.values()))
+    V = float(len({b for _, b in big}))
+    toks = [w for w in text.lower().strip().split() if w]
+    seq = [LM.BOS] + toks + [LM.EOS]
+    lps = []
+    for a, b in zip(seq, seq[1:]):
+        p_uni = (tgt.get(b, 0) + alpha) / (T + alpha * (V + 1.0))
+        p_big = big.get((a, b), 0) / ctx[a] if ctx.get(a) else 0.0
+        lps.append(math.log(lam * p_big + (1 - lam) * p_uni))
+    return len(lps), math.exp(-sum(lps) / len(lps))
+
+
+TRAIN = [
+    "the cat sat on the mat",
+    "the dog sat on the log",
+    "a cat and a dog",
+    "the cat ate the fish",
+]
+
+
+def test_bigram_lm_python_differential(spark):
+    """Model counts and per-doc perplexity equal the exact pure-Python
+    computation on every training doc (seen data) AND on held-out
+    docs with unseen bigrams, contexts, and words."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TRAIN)], "doc_id long, text string"
+    )
+    model = LM.bigram_lm_train(df)
+    big, ctx, tgt = _py_model(TRAIN)
+    got_counts = {
+        (r["w1"], r["w2"]): (r["c12"], r["c_ctx"], r["c_tgt"])
+        for r in model.collect()
+    }
+    assert {k: v[0] for k, v in got_counts.items()} == big
+    for (a, b), (_, ca, cb) in got_counts.items():
+        assert ca == ctx[a] and cb == tgt[b]
+
+    held = TRAIN + [
+        "the cat sat quietly",      # unseen bigram + unseen word
+        "zebra jumps over fences",  # every context unseen
+        "mat the on sat cat the",   # reversed word order
+    ]
+    hdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(held)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_transitions"], r["ppl"])
+        for r in LM.bigram_perplexity(hdf, model).collect()
+    }
+    for i, t in enumerate(held):
+        n, ppl = _py_ppl(t, big, ctx, tgt)
+        assert got[i][0] == n
+        assert got[i][1] == pytest.approx(ppl, rel=1e-12), t
+
+
+def test_bigram_lm_order_sensitivity(spark):
+    """The property the bag-of-grams family cannot have: a doc with
+    the SAME token multiset in training order scores strictly lower
+    perplexity than its reversal."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TRAIN)], "doc_id long, text string"
+    )
+    model = LM.bigram_lm_train(df)
+    probe = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "mat the on sat cat the")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["ppl"] for r in LM.bigram_perplexity(probe, model).collect()}
+    assert got[0] < got[1] / 2
+
+
+def test_bigram_lm_empty_doc_boundary_transition(spark):
+    """An empty / all-whitespace doc emits exactly the (<s>,</s>)
+    boundary transition — one row, n_transitions=1, matching the
+    pure-Python value; the transition array itself is pinned."""
+    df = spark.createDataFrame(
+        [(0, "the cat"), (1, ""), (2, "   ")], "doc_id long, text string"
+    )
+    arr = {
+        r["doc_id"]: [(p["w1"], p["w2"]) for p in r["p"]]
+        for r in df.select(
+            "doc_id", LM.transition_pairs(F.col("text")).alias("p")
+        ).collect()
+    }
+    assert arr[0] == [(LM.BOS, "the"), ("the", "cat"), ("cat", LM.EOS)]
+    assert arr[1] == arr[2] == [(LM.BOS, LM.EOS)]
+
+    model = LM.bigram_lm_train(df)
+    big, ctx, tgt = _py_model(["the cat", "", "   "])
+    got = {
+        r["doc_id"]: (r["n_transitions"], r["ppl"])
+        for r in LM.bigram_perplexity(df, model).collect()
+    }
+    assert got[1] == got[2]
+    n, ppl = _py_ppl("", big, ctx, tgt)
+    assert got[1][0] == n == 1
+    assert got[1][1] == pytest.approx(ppl, rel=1e-12)
+
+
+def test_bigram_lm_training_corpus_ranks_below_junk(spark):
+    """The quality-signal direction CCNet relies on: training-corpus
+    docs score lower perplexity than shuffled-vocabulary junk."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TRAIN)], "doc_id long, text string"
+    )
+    model = LM.bigram_lm_train(df)
+    probe = spark.createDataFrame(
+        [(0, TRAIN[0]), (1, "fish log a on ate and the dog")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["ppl"] for r in LM.bigram_perplexity(probe, model).collect()}
+    assert got[0] < got[1]
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001"])
+def test_lm_perplexity_oracle_parity(spark, sf_dir):
+    """The r13 registration candidate (parked-with-oracle discipline),
+    parity-pinned NOW: queries.q_lm_perplexity — per-doc conditional
+    perplexity under the corpus's own bigram LM — vs its full DuckDB
+    oracle, hash-grade (n_transitions exact, ppl equal at 6dp)."""
+    import duckdb
+
+    from willa_spark.queries import LM_PERPLEXITY_ORACLE, q_lm_perplexity
+
+    got = sorted(
+        (r["doc_id"], r["n_transitions"], r["ppl"])
+        for r in q_lm_perplexity(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        (r[0], r[1], r[2])
+        for r in con.execute(LM_PERPLEXITY_ORACLE).fetchall()
+    )
+    assert len(got) == len(want) > 0
+    assert got == want
+    # direction sanity: the corpus's own docs sit at sane perplexity
+    assert all(1.0 < p < 1e6 for _, _, p in got)
+
+
+def test_lm_perplexity_step_congruity(spark):
+    """lm_perplexity_step (frozen model, stateless per batch) scores
+    split batches identically to the batch kernel over the union —
+    streaming ≡ batch bit-for-bit — and max_ppl admission keeps
+    exactly the under-threshold docs."""
+    from willa_spark.streaming.selection import lm_perplexity_step
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TRAIN + ["zebra jumps over fences"])],
+        "doc_id long, text string",
+    )
+    model = LM.bigram_lm_train(
+        spark.createDataFrame(
+            [(i, t) for i, t in enumerate(TRAIN)], "doc_id long, text string"
+        )
+    )
+    batch = {
+        r["doc_id"]: (r["n_transitions"], r["ppl"])
+        for r in LM.bigram_perplexity(df, model).collect()
+    }
+    step = lm_perplexity_step(model)
+    got = {
+        r["doc_id"]: (r["n_transitions"], r["ppl"])
+        for m in (0, 1)
+        for r in step(df.filter(F.col("doc_id") % 2 == m), m).collect()
+    }
+    assert got == batch
+    # replay idempotence: the same batch re-run scores identically
+    again = {
+        r["doc_id"]: (r["n_transitions"], r["ppl"])
+        for r in step(df.filter(F.col("doc_id") % 2 == 0), 0).collect()
+    }
+    assert again == {k: v for k, v in got.items() if k % 2 == 0}
+    # admission: the junk doc's ppl is the max — cut just below it
+    cut = sorted(p for _, p in batch.values())[-1] - 1e-9
+    kept = {
+        r["doc_id"]
+        for m in (0, 1)
+        for r in lm_perplexity_step(model, max_ppl=cut)(
+            df.filter(F.col("doc_id") % 2 == m), m
+        ).collect()
+    }
+    assert kept == set(range(len(TRAIN)))

@@ -90,8 +90,9 @@ def norm_rows(cols, types, rows):
 # pre-flight and the policy block cannot drift silently (the list is
 # asserted against queries.py at run time: a missing attr fails loud).
 CANDIDATES: list[tuple[str, str, str]] = [
-    # empty: the r12 queue (selection_auc, dsir_calibration) is fully
-    # registered as of r12 — repopulate when a new candidate parks.
+    # the r13 queue (parked r12): the sequential bigram-LM family's
+    # first row
+    ("lm_perplexity", "q_lm_perplexity", "LM_PERPLEXITY_ORACLE"),
 ]
 
 

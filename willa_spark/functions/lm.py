@@ -1,0 +1,182 @@
+"""Sequential bigram language modeling — conditional perplexity, the
+CCNet / KenLM quality-signal shape (Wenzek et al. 2020 §3.3 score
+documents under a target-corpus LM; Jelinek-Mercer interpolation per
+Chen & Goodman 1999). DISTINCT from ``selection.cross_entropy_score``:
+that is a bag-of-grams statistic (independent gram likelihoods — word
+ORDER never matters), while this conditions every token on its
+predecessor, so "the cat sat" and "sat the cat" score differently.
+The two compose the way CCNet composes its signals: the bag model for
+cheap hashed-feature banding, the sequential model for the
+perplexity-ranked quality buckets.
+
+Model: P(w2 | w1) = λ · c(w1,w2)/c_ctx(w1) + (1−λ) · P_uni(w2), with
+P_uni(w2) = (c_tgt(w2) + α) / (T + α·(V+1)) — the unigram backoff
+floor-smoothed over the target vocabulary (+1: the one unseen-word
+class shares a single floor slot, the DSIR smoothing convention).
+When the context w1 is unseen (c_ctx = 0) the first term is dropped
+entirely (try_divide semantics) and the backoff carries the mass —
+the standard interpolated-backoff degenerate case.
+
+Everything derives from ONE bigram-count frame: c_ctx(w1) = Σ_w2
+c(w1,w2), c_tgt(w2) = Σ_w1 c(w1,w2), T = Σ c, V = |distinct w2| —
+training is one corpus-scale (w1, w2) partial-agg shuffle and three
+vocabulary-sized aggs. Every document is bracketed by sentinels:
+tokens t1..tn emit transitions (<s>,t1), (t1,t2), …, (tn,</s>) — n+1
+transitions; an EMPTY document emits the single (<s>,</s>) boundary
+transition, so every doc gets a perplexity row (unlike the bag
+family's feature-less contract, the boundary transition is a real
+event the LM models — sentence length is part of the distribution).
+
+100 TB shape: scoring is one transition explode (corpus-scale,
+map-side) + one join against the model keyed on (w1, w2) — broadcast
+when the model is under ``BROADCAST_MODEL_MAX_ROWS`` (the bpe
+``BROADCAST_VOCAB_MAX_WORDS`` rule), hash-join on the composite key
+above it — then a per-doc partial agg. The margins (c_ctx, c_tgt)
+ride the model frame as pre-joined columns so scoring pays ONE join,
+not three.
+
+Reference parity note: the reference (DaveWM/willa) has no LM
+machinery — this module is part of the training-data-pipeline
+superset, built from the published CCNet/KenLM descriptions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BOS = "<s>"
+EOS = "</s>"
+
+# broadcast the scoring model below this row count, shuffle-join above
+# (a web-scale bigram table does not fit one executor) — the bpe
+# BROADCAST_VOCAB_MAX_WORDS convention
+BROADCAST_MODEL_MAX_ROWS = 1_000_000
+
+DEFAULT_LAMBDA = 0.8
+DEFAULT_ALPHA = 1e-4
+
+
+def transition_pairs(text: Column) -> Column:
+    """array<struct<w1,w2>> of the sequential transitions of one
+    lowercased whitespace-tokenized text column, bracketed by the
+    BOS/EOS sentinels. The token array is LAMBDA-BOUND (the dedup.
+    shingles trick) so the split evaluates once per row, not once per
+    transition; '' tokens are filtered BEFORE bracketing so an
+    all-whitespace doc emits exactly the (<s>,</s>) boundary."""
+    toks_expr = F.filter(
+        F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != ""
+    )
+
+    def build(toks):
+        n = F.size(toks)
+        idx = F.sequence(F.lit(0), n)
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                F.when(i == 0, F.lit(BOS))
+                .otherwise(F.element_at(toks, i.cast("int")))
+                .alias("w1"),
+                F.when(i == n, F.lit(EOS))
+                .otherwise(F.element_at(toks, (i + 1).cast("int")))
+                .alias("w2"),
+            ),
+        )
+
+    return F.element_at(F.transform(F.array(toks_expr), build), 1)
+
+
+def bigram_lm_train(
+    docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """(w1, w2, c12, c_ctx, c_tgt) — the observed-bigram count table
+    with both margins pre-joined, THE model frame ``bigram_perplexity``
+    consumes. One corpus-scale (w1, w2) partial-agg shuffle; the
+    margin joins run on the vocabulary-sized count frame, never the
+    corpus. The scalar totals (T, V) are NOT stored — scoring derives
+    them with one vocabulary-sized agg so the model frame stays a
+    plain joinable table (no 1-row side state to version)."""
+    pairs = docs.select(
+        F.explode(transition_pairs(F.col(text_col))).alias("__p")
+    ).select(F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = big.groupBy("w1").agg(F.sum("c12").alias("c_ctx"))
+    tgt = big.groupBy("w2").agg(F.sum("c12").alias("c_tgt"))
+    return big.join(ctx, "w1").join(tgt, "w2").select(
+        "w1", "w2", "c12", "c_ctx", "c_tgt"
+    )
+
+
+def _model_totals(model: DataFrame) -> DataFrame:
+    """1-row (T, V) derived from the model frame — T = total
+    transitions, V = distinct target-vocabulary size (includes EOS;
+    BOS is context-only by construction)."""
+    return model.agg(
+        F.sum("c12").cast("double").alias("__T"),
+        F.count_distinct("w2").cast("double").alias("__V"),
+    )
+
+
+def bigram_perplexity(
+    docs: DataFrame,
+    model: DataFrame,
+    lam: float = DEFAULT_LAMBDA,
+    alpha: float = DEFAULT_ALPHA,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_max_rows: int = BROADCAST_MODEL_MAX_ROWS,
+) -> DataFrame:
+    """(id, n_transitions, ppl) — per-document conditional perplexity
+    under a FROZEN ``bigram_lm_train`` model: ppl = exp(−Σ ln P(w2|w1)
+    / n) over the doc's bracketed transitions. Unseen bigram →
+    interpolation's first term is 0 (seen context) or dropped (unseen
+    context, try_divide); unseen target word → the shared α floor
+    slot of the backoff. LOW ppl = target-like text, HIGH = far from
+    the model corpus — CCNet's head/middle/tail buckets cut on
+    exactly this number.
+
+    Plan: one transition explode + ONE (w1, w2) join against the
+    margin-carrying model (broadcast under ``broadcast_max_rows`` —
+    the count is one vocabulary-sized job — hash-join above) + a
+    per-doc partial agg. The unseen-context/unseen-target margins
+    need no extra joins: NULL model row ⇒ c12, c_ctx, c_tgt are all
+    taken at their absent values in one coalesce layer. The ln runs
+    per transition ROW, never materializing a vocab² table."""
+    pairs = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(transition_pairs(F.col(text_col))).alias("__p"),
+    ).select("id", F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+    # margins for WORDS the doc uses but the model never saw in that
+    # role still need c_ctx/c_tgt when the exact bigram is absent —
+    # a bigram-keyed left join alone loses them, so pre-join the two
+    # margin tables (vocabulary-sized) to the transition frame via
+    # the model's own distinct margins
+    ctx = model.select("w1", "c_ctx").distinct()
+    tgt = model.select("w2", "c_tgt").distinct()
+    n_rows = model.count()
+    m = model.select("w1", "w2", "c12")
+    if n_rows <= broadcast_max_rows:
+        m, ctx, tgt = F.broadcast(m), F.broadcast(ctx), F.broadcast(tgt)
+    totals = _model_totals(model)
+    j = (
+        pairs.join(m, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(tgt, "w2", "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    lam_ = float(lam)
+    a_ = float(alpha)
+    p_uni = (F.coalesce(F.col("c_tgt"), F.lit(0)) + a_) / (
+        F.col("__T") + a_ * (F.col("__V") + 1.0)
+    )
+    # try_divide: unseen context ⇒ NULL ⇒ backoff carries the mass
+    p_big = F.try_divide(
+        F.coalesce(F.col("c12"), F.lit(0)).cast("double"), F.col("c_ctx")
+    )
+    p = lam_ * F.coalesce(p_big, F.lit(0.0)) + (1.0 - lam_) * p_uni
+    scored = j.select("id", F.log(p).alias("__lp"))
+    return scored.groupBy(F.col("id").alias(id_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+        F.exp(-F.sum("__lp") / F.count(F.lit(1))).alias("ppl"),
+    )

@@ -5587,6 +5587,79 @@ def q_selection_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roc_auc(labeled, score_col="log_weight", label_col="y")
 
 
+# --------------------------------------------------------------------
+# FIRST r13 REGISTRATION CANDIDATE (parked r12 under the
+# parked-with-oracle discipline): per-document conditional perplexity
+# under a corpus-trained sequential bigram LM (functions/lm.py — the
+# CCNet / KenLM quality signal, Wenzek et al. 2020 §3.3; distinct
+# from perplexity_bands' bag-of-grams cross-entropy: this conditions
+# every token on its predecessor, so word ORDER matters). Fully
+# SQL-expressible (counts, joins, one log-sum per doc) — hash-grade
+# at 6dp, the dsir_weights rounding discipline. Pre-flight before
+# registering: tools/check_parity.py --candidates.
+LM_PERPLEXITY_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS tk
+  FROM documents
+), ti AS (
+  SELECT doc_id, tk, unnest(range(0, len(tk) + 1)) AS i FROM t
+), tr AS (
+  SELECT doc_id,
+         CASE WHEN i = 0 THEN '<s>' ELSE tk[i] END AS w1,
+         CASE WHEN i = CAST(len(tk) AS BIGINT) THEN '</s>'
+              ELSE tk[i + 1] END AS w2
+  FROM ti
+), big AS (
+  SELECT w1, w2, count(*) AS c12 FROM tr GROUP BY 1, 2
+), ctx AS (
+  SELECT w1, sum(c12) AS c_ctx FROM big GROUP BY 1
+), tgt AS (
+  SELECT w2, sum(c12) AS c_tgt FROM big GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(c12) AS DOUBLE) AS T,
+         CAST(count(DISTINCT w2) AS DOUBLE) AS V
+  FROM big
+), sc AS (
+  SELECT d.doc_id,
+         ln(0.8 * coalesce(CAST(b.c12 AS DOUBLE) / c.c_ctx, 0.0)
+            + 0.2 * ((coalesce(g.c_tgt, 0) + 1e-4)
+                     / (tot.T + 1e-4 * (tot.V + 1.0)))) AS lp
+  FROM tr d
+  LEFT JOIN big b ON d.w1 = b.w1 AND d.w2 = b.w2
+  LEFT JOIN ctx c ON d.w1 = c.w1
+  LEFT JOIN tgt g ON d.w2 = g.w2
+  CROSS JOIN tot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
+       round(exp(-sum(lp) / count(*)), 6) AS ppl
+FROM sc GROUP BY 1
+"""
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document conditional perplexity under the corpus's own
+    sequential bigram LM (functions/lm.py::bigram_lm_train +
+    bigram_perplexity, λ=0.8 Jelinek-Mercer interpolation, α=1e-4
+    unigram floor): the CCNet quality signal — LOW ppl = corpus-like
+    text, HIGH = outlier — self-scored (train on the corpus, score
+    the corpus: the dsir_weights convention; production trains on a
+    TARGET corpus and scores the raw crawl, same plan). Every doc is
+    bracketed by <s>/</s>, so even an empty doc carries the boundary
+    transition and gets a row. Plan: one (w1,w2) training shuffle +
+    vocabulary-sized margin joins, then one transition explode + one
+    broadcast-gated model join + a per-doc partial agg; 6dp before
+    the cross-engine hash (the sum-order discipline)."""
+    from .functions.lm import bigram_lm_train, bigram_perplexity
+
+    docs = read_docs_spread(spark, sf_dir).select("doc_id", "text")
+    model = bigram_lm_train(docs)
+    return bigram_perplexity(docs, model).select(
+        "doc_id", "n_transitions", F.round(F.col("ppl"), 6).alias("ppl")
+    )
+
+
 # Queries OMITTED from the driver-visible correctness set: the driver
 # records oracle rows for at most 50 queries (in registration order),
 # so every DISTINCT operator proof must land inside that window.

@@ -326,3 +326,45 @@ def classifier_score_step(
         return out
 
     return step
+
+
+def lm_perplexity_step(
+    model: DataFrame,
+    max_ppl: float | None = None,
+    lam: float | None = None,
+    alpha: float | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Callable[[DataFrame, int], DataFrame]:
+    """foreachBatch step: ``(batch_df, batch_id) -> (id,
+    n_transitions, ppl)`` under a FROZEN sequential bigram LM (the
+    ``functions.lm.bigram_lm_train`` frame — train batch-side on the
+    target snapshot, deploy; the frozen-model rule: an LM refit
+    mid-stream would admit early and late batches under different
+    distributions). The model frame is eagerly PINNED at step
+    construction — an unpinned frame would re-run the corpus-scale
+    (w1, w2) training shuffle every micro-batch, and a mutable
+    backing source would break the frozen invariant. So would the
+    scalar (T, V) totals: they derive from the pinned frame per
+    batch as one vocabulary-sized agg (bounded, not corpus work).
+    ``max_ppl`` turns scoring into admission — the CCNet deployment
+    (keep the head/middle of the perplexity distribution). Per-batch
+    work is the batch kernel's own plan: one transition explode + one
+    broadcast-gated model join + a per-doc agg — nothing keyed by
+    anything outside the batch, replay-idempotent by construction."""
+    from ..functions.lm import DEFAULT_ALPHA, DEFAULT_LAMBDA, bigram_perplexity
+
+    model = model.localCheckpoint(eager=True)
+    lam_ = DEFAULT_LAMBDA if lam is None else float(lam)
+    a_ = DEFAULT_ALPHA if alpha is None else float(alpha)
+
+    def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        out = bigram_perplexity(
+            batch_df, model, lam=lam_, alpha=a_,
+            id_col=id_col, text_col=text_col,
+        )
+        if max_ppl is not None:
+            out = out.filter(F.col("ppl") <= max_ppl)
+        return out
+
+    return step
