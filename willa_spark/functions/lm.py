@@ -126,6 +126,7 @@ def bigram_perplexity(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_max_rows: int = BROADCAST_MODEL_MAX_ROWS,
+    model_pinned: bool = False,
 ) -> DataFrame:
     """(id, n_transitions, ppl) — per-document conditional perplexity
     under a FROZEN ``bigram_lm_train`` model: ppl = exp(−Σ ln P(w2|w1)
@@ -142,7 +143,20 @@ def bigram_perplexity(
     per-doc partial agg. The unseen-context/unseen-target margins
     need no extra joins: NULL model row ⇒ c12, c_ctx, c_tgt are all
     taken at their absent values in one coalesce layer. The ln runs
-    per transition ROW, never materializing a vocab² table."""
+    per transition ROW, never materializing a vocab² table.
+
+    The model frame has FIVE consumers here (the bigram table, two
+    margin projections, the totals agg, and the broadcast-gate
+    count), so it is PINNED first — unpinned, each consumer re-runs
+    the model's whole lineage, which for a ``bigram_lm_train`` frame
+    is the corpus-scale training shuffle ×5 (caught by the r12 plan
+    audit). ``model_pinned=True`` skips the pin when the CALLER
+    already materialized THIS SAME frame (the streaming step's
+    construction-time pin — reusing a pin of the same frame is
+    sound; the classifier ``already_pinned`` bug was reusing a
+    DIFFERENT frame's pin that sat below more lineage)."""
+    if not model_pinned:
+        model = model.localCheckpoint(eager=True)
     pairs = docs.select(
         F.col(id_col).alias("id"),
         F.explode(transition_pairs(F.col(text_col))).alias("__p"),

@@ -362,6 +362,10 @@ def lm_perplexity_step(
         out = bigram_perplexity(
             batch_df, model, lam=lam_, alpha=a_,
             id_col=id_col, text_col=text_col,
+            # the construction-time pin above IS this frame's pin —
+            # re-pinning per batch would re-materialize the vocab
+            # frame every micro-batch for nothing
+            model_pinned=True,
         )
         if max_ppl is not None:
             out = out.filter(F.col("ppl") <= max_ppl)
