@@ -212,3 +212,19 @@ def test_lm_perplexity_step_congruity(spark):
         ).collect()
     }
     assert kept == set(range(len(TRAIN)))
+
+
+def test_bigram_lm_null_text_fails_loud(spark):
+    """NULL text raises in-plan from BOTH train and scoring (r12
+    review: split(NULL) previously nulled the transition array and
+    the explode silently dropped the doc from model counts and from
+    the scored/admitted stream)."""
+    good = spark.createDataFrame([(0, "the cat")], "doc_id long, text string")
+    bad = spark.createDataFrame(
+        [(0, "the cat"), (1, None)], "doc_id long, text string"
+    )
+    model = LM.bigram_lm_train(good)
+    with pytest.raises(Exception, match="NULL text"):
+        LM.bigram_lm_train(bad).collect()
+    with pytest.raises(Exception, match="NULL text"):
+        LM.bigram_perplexity(bad, model).collect()

@@ -27,13 +27,16 @@ transition, so every doc gets a perplexity row (unlike the bag
 family's feature-less contract, the boundary transition is a real
 event the LM models — sentence length is part of the distribution).
 
-100 TB shape: scoring is one transition explode (corpus-scale,
-map-side) + one join against the model keyed on (w1, w2) — broadcast
-when the model is under ``BROADCAST_MODEL_MAX_ROWS`` (the bpe
-``BROADCAST_VOCAB_MAX_WORDS`` rule), hash-join on the composite key
-above it — then a per-doc partial agg. The margins (c_ctx, c_tgt)
-ride the model frame as pre-joined columns so scoring pays ONE join,
-not three.
+100 TB shape: the final log-probabilities are precomputed on the
+VOCABULARY-sized model frame (where the pre-joined margins are
+consumed — no corpus-side margin joins): an observed-bigram logp
+table keyed (w1, w2), a backoff logp table keyed (w2) (an unseen
+bigram's probability depends only on w2), and an α-floor literal
+for never-seen targets. Scoring is one transition explode
+(corpus-scale, map-side) + two joins against those tables —
+broadcast when the model is under ``BROADCAST_MODEL_MAX_ROWS`` (the
+bpe ``BROADCAST_VOCAB_MAX_WORDS`` rule), hash-joins above it — one
+coalesce, then a per-doc partial agg.
 
 Reference parity note: the reference (DaveWM/willa) has no LM
 machinery — this module is part of the training-data-pipeline
@@ -63,9 +66,24 @@ def transition_pairs(text: Column) -> Column:
     BOS/EOS sentinels. The token array is LAMBDA-BOUND (the dedup.
     shingles trick) so the split evaluates once per row, not once per
     transition; '' tokens are filtered BEFORE bracketing so an
-    all-whitespace doc emits exactly the (<s>,</s>) boundary."""
+    all-whitespace doc emits exactly the (<s>,</s>) boundary. NULL
+    text fails LOUD in-plan (the roc_auc / kl_divergence_profile
+    convention — and this module's own every-doc-gets-a-row
+    contract: split(NULL) would make the array NULL and the explode
+    would silently drop the document from training counts AND from
+    the scored/admitted stream)."""
+    checked = F.when(
+        text.isNull(),
+        F.raise_error(
+            F.lit(
+                "bigram LM: NULL text — impute or filter upstream; "
+                "a NULL doc would silently vanish from the model "
+                "counts and the scored stream"
+            )
+        ).cast("string"),
+    ).otherwise(text)
     toks_expr = F.filter(
-        F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != ""
+        F.split(F.lower(F.trim(checked)), r"\s+"), lambda t: t != ""
     )
 
     def build(toks):
@@ -137,20 +155,26 @@ def bigram_perplexity(
     the model corpus — CCNet's head/middle/tail buckets cut on
     exactly this number.
 
-    Plan: one transition explode + ONE (w1, w2) join against the
-    margin-carrying model (broadcast under ``broadcast_max_rows`` —
-    the count is one vocabulary-sized job — hash-join above) + a
-    per-doc partial agg. The unseen-context/unseen-target margins
-    need no extra joins: NULL model row ⇒ c12, c_ctx, c_tgt are all
-    taken at their absent values in one coalesce layer. The ln runs
-    per transition ROW, never materializing a vocab² table.
+    Plan: the final log-probability is PRECOMPUTED on the
+    vocabulary-sized model frame (this is where the pre-joined
+    margins are consumed — no corpus-side margin joins, r12 review):
+    an observed-bigram table keyed (w1, w2) carries the full
+    interpolated logp; an unseen bigram backs off to λ·0 + (1−λ)·
+    P_uni(w2) — a value that depends ONLY on w2, whether or not the
+    context was ever seen — so one (w2)-keyed backoff table covers
+    both unseen-bigram cases; a w2 the model never saw takes the α
+    floor literal. Scoring is then one transition explode + TWO
+    joins against those logp tables (broadcast under
+    ``broadcast_max_rows`` — the count is one vocabulary-sized job —
+    hash-join above) + one coalesce + a per-doc partial agg. No
+    vocab² table, no per-transition division.
 
-    The model frame has FIVE consumers here (the bigram table, two
-    margin projections, the totals agg, and the broadcast-gate
-    count), so it is PINNED first — unpinned, each consumer re-runs
-    the model's whole lineage, which for a ``bigram_lm_train`` frame
-    is the corpus-scale training shuffle ×5 (caught by the r12 plan
-    audit). ``model_pinned=True`` skips the pin when the CALLER
+    The model frame has multiple consumers here (the two logp
+    precomputes, the totals agg, the broadcast-gate count), so it is
+    PINNED first — unpinned, each consumer re-runs the model's whole
+    lineage, which for a ``bigram_lm_train`` frame is the
+    corpus-scale training shuffle per consumer (caught by the r12
+    plan audit). ``model_pinned=True`` skips the pin when the CALLER
     already materialized THIS SAME frame (the streaming step's
     construction-time pin — reusing a pin of the same frame is
     sound; the classifier ``already_pinned`` bug was reusing a
@@ -161,35 +185,47 @@ def bigram_perplexity(
         F.col(id_col).alias("id"),
         F.explode(transition_pairs(F.col(text_col))).alias("__p"),
     ).select("id", F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
-    # margins for WORDS the doc uses but the model never saw in that
-    # role still need c_ctx/c_tgt when the exact bigram is absent —
-    # a bigram-keyed left join alone loses them, so pre-join the two
-    # margin tables (vocabulary-sized) to the transition frame via
-    # the model's own distinct margins
-    ctx = model.select("w1", "c_ctx").distinct()
-    tgt = model.select("w2", "c_tgt").distinct()
-    n_rows = model.count()
-    m = model.select("w1", "w2", "c12")
-    if n_rows <= broadcast_max_rows:
-        m, ctx, tgt = F.broadcast(m), F.broadcast(ctx), F.broadcast(tgt)
-    totals = _model_totals(model)
-    j = (
-        pairs.join(m, ["w1", "w2"], "left")
-        .join(ctx, "w1", "left")
-        .join(tgt, "w2", "left")
-        .crossJoin(F.broadcast(totals))
-    )
     lam_ = float(lam)
     a_ = float(alpha)
-    p_uni = (F.coalesce(F.col("c_tgt"), F.lit(0)) + a_) / (
-        F.col("__T") + a_ * (F.col("__V") + 1.0)
+    totals = _model_totals(model)
+    denom = F.col("__T") + a_ * (F.col("__V") + 1.0)
+    # vocabulary-sized precomputes (operand order matches the scoring
+    # formula exactly — λ·p_big + (1−λ)·p_uni with p_uni = (c_tgt+α)/
+    # denom — so the value is bit-identical to per-transition math)
+    obs = model.crossJoin(F.broadcast(totals)).select(
+        "w1",
+        "w2",
+        F.log(
+            lam_ * (F.col("c12").cast("double") / F.col("c_ctx"))
+            + (1.0 - lam_) * ((F.col("c_tgt") + a_) / denom)
+        ).alias("__lp_obs"),
     )
-    # try_divide: unseen context ⇒ NULL ⇒ backoff carries the mass
-    p_big = F.try_divide(
-        F.coalesce(F.col("c12"), F.lit(0)).cast("double"), F.col("c_ctx")
+    back = (
+        model.select("w2", "c_tgt")
+        .distinct()
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w2",
+            F.log((1.0 - lam_) * ((F.col("c_tgt") + a_) / denom)).alias(
+                "__lp_back"
+            ),
+        )
     )
-    p = lam_ * F.coalesce(p_big, F.lit(0.0)) + (1.0 - lam_) * p_uni
-    scored = j.select("id", F.log(p).alias("__lp"))
+    n_rows = model.count()
+    if n_rows <= broadcast_max_rows:
+        obs, back = F.broadcast(obs), F.broadcast(back)
+    j = (
+        pairs.join(obs, ["w1", "w2"], "left")
+        .join(back, "w2", "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    floor_lp = F.log((1.0 - lam_) * (a_ / denom))
+    scored = j.select(
+        "id",
+        F.coalesce(F.col("__lp_obs"), F.col("__lp_back"), floor_lp).alias(
+            "__lp"
+        ),
+    )
     return scored.groupBy(F.col("id").alias(id_col)).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
         F.exp(-F.sum("__lp") / F.count(F.lit(1))).alias("ppl"),

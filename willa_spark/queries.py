@@ -4656,19 +4656,39 @@ FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 2000
 # (same corpus, same query filter, same k), so the second row reuses
 # the first's materialized ~k·20-row result instead of re-paying the
 # corpus-scale scoring pass (r11 verdict #3 — proof-overhead dedup,
-# not a semantics change: the arm is deterministic). Keyed by
-# applicationId so a fresh session (driver gate, tests) never reads
-# another session's pinned lineage; entries are ≤200 tiny rows.
+# not a semantics change: the arm is deterministic). The corpus
+# projection and the bounded query set are built INSIDE the helper
+# (r12 review: accepting them as parameters while keying only on
+# (appId, sf_dir, k) would hand a future caller with a DIFFERENT
+# query set the wrong ground truth on a silent cache hit — the key
+# must provably cover every input). Keyed by applicationId so a
+# fresh session (driver gate, tests) never reads another session's
+# pinned lineage; entries are ≤200 tiny rows and never evicted —
+# bounded by the handful of (sf_dir, k) pairs a process touches.
 _EXACT_ARM_CACHE: dict[tuple[str, str, int], DataFrame] = {}
 
 
-def _exact_arm(spark: SparkSession, sf_dir: str, emb, q, k: int) -> DataFrame:
+def _ann_band_inputs(spark: SparkSession, sf_dir: str):
+    """THE corpus projection + bounded query set the band rows and
+    their shared exact arm all derive from — one definition, so the
+    cache key (sf_dir, k) covers the arm's full input."""
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return emb, q
+
+
+def _exact_arm(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     from .functions.similarity import brute_force_topk
 
     key = (spark.sparkContext.applicationId, sf_dir, k)
     hit = _EXACT_ARM_CACHE.get(key)
     if hit is not None:
         return hit
+    emb, q = _ann_band_inputs(spark, sf_dir)
     exact = (
         brute_force_topk(emb, q, k=k)
         .select(
@@ -4696,19 +4716,14 @@ def _ann_recall_bands(
     precision_ann_lsh rule), emit exact n_results, rank-1-is-self,
     per-query recall@10 ≥ ``min_recall`` vs in-plan brute force, and
     the corpus-mean recall ≥ ``min_mean`` riding every row."""
-    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    q = emb.filter(
-        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 2000)
-    ).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
+    emb, q = _ann_band_inputs(spark, sf_dir)
     # pinned: the approx frame feeds the top-1 check AND the recall
     # join (multi-consumer rule); the exact arm is the bounded-query
     # brute-force baseline, shared across the PQ rows via the cache
     approx = approx_fn(emb, q, k).select(
         F.col("query_id").alias("qid"), "vec_id", "rank"
     ).localCheckpoint(eager=True)
-    exact = _exact_arm(spark, sf_dir, emb, q, k)
+    exact = _exact_arm(spark, sf_dir, k)
     j = approx.join(
         F.broadcast(exact),
         (approx["qid"] == exact["qid"]) & (approx["vec_id"] == exact["__xid"]),
