@@ -228,3 +228,125 @@ def test_bigram_lm_null_text_fails_loud(spark):
         LM.bigram_lm_train(bad).collect()
     with pytest.raises(Exception, match="NULL text"):
         LM.bigram_perplexity(bad, model).collect()
+
+
+def _py_kn_ppl(text, big, alpha=LM.DEFAULT_ALPHA, discount=None):
+    NT = float(len(big))
+    V = float(len({b for _, b in big}))
+    n1 = float(sum(1 for c in big.values() if c == 1))
+    n2 = float(sum(1 for c in big.values() if c == 2))
+    D = discount if discount is not None else (
+        n1 / (n1 + 2.0 * n2) if n1 + 2.0 * n2 > 0 else 0.5)
+    ctx, types, n1p = {}, {}, {}
+    for (a, b), c in big.items():
+        ctx[a] = ctx.get(a, 0) + c
+        types[a] = types.get(a, 0) + 1
+        n1p[b] = n1p.get(b, 0) + 1
+
+    def pcont(b):
+        return (n1p.get(b, 0) + alpha) / (NT + alpha * (V + 1.0))
+
+    toks = [w for w in text.lower().strip().split() if w]
+    seq = [LM.BOS] + toks + [LM.EOS]
+    lps = []
+    for a, b in zip(seq, seq[1:]):
+        if (a, b) in big:
+            p = max(big[(a, b)] - D, 0.0) / ctx[a] + (
+                D * types[a] / ctx[a]) * pcont(b)
+        else:
+            lam = D * types[a] / ctx[a] if a in ctx else 1.0
+            p = lam * pcont(b)
+        lps.append(math.log(p))
+    return len(lps), math.exp(-sum(lps) / len(lps))
+
+
+def test_kn_bigram_python_differential(spark):
+    """Interpolated Kneser-Ney perplexity equals the exact pure-Python
+    computation — estimated discount D = n1/(n1+2 n2), type-count
+    continuation probabilities, unseen context/target legs — on seen
+    and held-out docs; and the KN hallmark holds: a high-frequency
+    single-context word ranks below a type-diverse one as a novel
+    continuation."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TRAIN)], "doc_id long, text string"
+    )
+    model = LM.bigram_lm_train(df)
+    big, _, _ = _py_model(TRAIN)
+
+    held = TRAIN + [
+        "the cat sat quietly",
+        "zebra jumps over fences",
+        "mat the on sat cat the",
+        "",
+    ]
+    hdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(held)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_transitions"], r["ppl"])
+        for r in LM.kn_bigram_perplexity(hdf, model).collect()
+    }
+    for i, t in enumerate(held):
+        n, ppl = _py_kn_ppl(t, big)
+        assert got[i][0] == n, t
+        assert got[i][1] == pytest.approx(ppl, rel=1e-12), t
+
+    # fixed-discount path too
+    got_d = {
+        r["doc_id"]: r["ppl"]
+        for r in LM.kn_bigram_perplexity(hdf, model, discount=0.75).collect()
+    }
+    for i, t in enumerate(held):
+        _, ppl = _py_kn_ppl(t, big, discount=0.75)
+        assert got_d[i] == pytest.approx(ppl, rel=1e-12), t
+
+
+def test_kn_continuation_beats_raw_frequency(spark):
+    """The KN insight ("san francisco"): 'francisco' is FREQUENT but
+    follows only 'san'; 'day' is rarer overall but follows many
+    contexts. After an unseen context, KN must prefer the
+    type-diverse continuation — raw-frequency JM prefers the
+    frequent one."""
+    corpus = (
+        ["san francisco"] * 8
+        + ["good day", "bad day", "nice day", "rainy day"]
+    )
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    model = LM.bigram_lm_train(df)
+    probe = spark.createDataFrame(
+        [(0, "zzz francisco"), (1, "zzz day")], "doc_id long, text string"
+    )
+    kn = {r["doc_id"]: r["ppl"] for r in LM.kn_bigram_perplexity(probe, model).collect()}
+    jm = {r["doc_id"]: r["ppl"] for r in LM.bigram_perplexity(probe, model).collect()}
+    assert kn[1] < kn[0]   # KN: diverse 'day' likelier after unseen ctx
+    assert jm[0] < jm[1]   # JM: raw-frequent 'francisco' likelier
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001"])
+def test_kn_perplexity_oracle_parity(spark, sf_dir):
+    """The second r13 registration candidate, parity-pinned NOW:
+    queries.q_kn_perplexity — interpolated Kneser-Ney perplexity
+    (estimated discount, type-count continuation) — vs its full
+    DuckDB oracle, hash-grade (n_transitions exact, ppl at 6dp)."""
+    import duckdb
+
+    from willa_spark.queries import KN_PERPLEXITY_ORACLE, q_kn_perplexity
+
+    got = sorted(
+        (r["doc_id"], r["n_transitions"], r["ppl"])
+        for r in q_kn_perplexity(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        (r[0], r[1], r[2])
+        for r in con.execute(KN_PERPLEXITY_ORACLE).fetchall()
+    )
+    assert len(got) == len(want) > 0
+    assert got == want
+    assert all(1.0 < p < 1e6 for _, _, p in got)

@@ -90,9 +90,10 @@ def norm_rows(cols, types, rows):
 # pre-flight and the policy block cannot drift silently (the list is
 # asserted against queries.py at run time: a missing attr fails loud).
 CANDIDATES: list[tuple[str, str, str]] = [
-    # the r13 queue (parked r12): the sequential bigram-LM family's
-    # first row
+    # the r13 queue (parked r12): the sequential bigram-LM family —
+    # Jelinek-Mercer (teaching form) + Kneser-Ney (the KenLM form)
     ("lm_perplexity", "q_lm_perplexity", "LM_PERPLEXITY_ORACLE"),
+    ("kn_perplexity", "q_kn_perplexity", "KN_PERPLEXITY_ORACLE"),
 ]
 
 

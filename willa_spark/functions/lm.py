@@ -230,3 +230,142 @@ def bigram_perplexity(
         F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
         F.exp(-F.sum("__lp") / F.count(F.lit(1))).alias("ppl"),
     )
+
+
+def kn_bigram_perplexity(
+    docs: DataFrame,
+    model: DataFrame,
+    discount: float | None = None,
+    alpha: float = DEFAULT_ALPHA,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_max_rows: int = BROADCAST_MODEL_MAX_ROWS,
+    model_pinned: bool = False,
+) -> DataFrame:
+    """(id, n_transitions, ppl) — per-document perplexity under
+    interpolated Kneser-Ney smoothing (Chen & Goodman 1999 — the
+    smoothing KenLM ships, i.e. what CCNet's wiki LM actually uses),
+    over the SAME ``bigram_lm_train`` model frame as the
+    Jelinek-Mercer scorer:
+
+        P(w2|w1) = max(c12 − D, 0)/c_ctx + λ(w1) · P_cont(w2)
+        λ(w1)    = D · N1+(w1,·) / c_ctx        (the discount mass)
+        P_cont(w2) = (N1+(·,w2) + α) / (N_types + α·(V+1))
+
+    N1+(w1,·)/N1+(·,w2) are bigram TYPE counts (how many distinct
+    continuations/ contexts), the insight KN adds over JM: a word
+    seen in many CONTEXTS ("francisco" appears often but only after
+    "san") gets continuation mass by type diversity, not raw
+    frequency. ``discount=None`` estimates D = n1/(n1 + 2·n2) from
+    the counts-of-counts (the standard absolute-discount estimate;
+    0.5 if the model has no 1- or 2-count bigrams), computed as a
+    1-row frame — no collect, deterministic. An unseen CONTEXT backs
+    off to P_cont(w2) alone (λ taken as 1); an unseen TARGET takes
+    the α floor of P_cont.
+
+    Plan: all KN statistics are vocabulary-sized derivations of the
+    pinned model frame (two groupBys + two 1-row aggs); scoring is
+    one transition explode + THREE broadcast-gated joins — the
+    observed-bigram logp table keyed (w1, w2) plus the λ table keyed
+    (w1) and the P_cont table keyed (w2), both needed on the
+    unseen-bigram legs — then one coalesce layer and a per-doc
+    partial agg. Honest join count: the λ/P_cont joins run over ALL
+    transitions, not just misses (a miss-only restriction would
+    split the corpus-scale frame into a multi-consumer fork and cost
+    a pin — worse below ~50% miss rates)."""
+    if not model_pinned:
+        model = model.localCheckpoint(eager=True)
+    pairs = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(transition_pairs(F.col(text_col))).alias("__p"),
+    ).select("id", F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+    a_ = float(alpha)
+    # counts-of-counts + totals: one vocabulary-sized agg
+    stats = model.agg(
+        F.count(F.lit(1)).cast("double").alias("__NT"),
+        F.count_distinct("w2").cast("double").alias("__V"),
+        F.sum((F.col("c12") == 1).cast("double")).alias("__n1"),
+        F.sum((F.col("c12") == 2).cast("double")).alias("__n2"),
+    ).select(
+        "__NT",
+        "__V",
+        (
+            F.lit(float(discount))
+            if discount is not None
+            else F.when(
+                F.col("__n1") + 2.0 * F.col("__n2") > 0,
+                F.col("__n1") / (F.col("__n1") + 2.0 * F.col("__n2")),
+            ).otherwise(F.lit(0.5))
+        ).alias("__D"),
+    )
+    # λ(w1): discount mass per seen context (vocab-sized groupBy)
+    lam_tab = (
+        model.groupBy("w1")
+        .agg(
+            F.sum("c12").alias("__c_ctx"),
+            F.count(F.lit(1)).cast("double").alias("__types"),
+        )
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "w1",
+            (F.col("__D") * F.col("__types") / F.col("__c_ctx")).alias(
+                "__lam"
+            ),
+        )
+    )
+    # P_cont(w2): continuation probability, α-floor-smoothed
+    pcont_tab = (
+        model.groupBy("w2")
+        .agg(F.count(F.lit(1)).cast("double").alias("__n1p"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "w2",
+            (
+                (F.col("__n1p") + a_)
+                / (F.col("__NT") + a_ * (F.col("__V") + 1.0))
+            ).alias("__pcont"),
+        )
+    )
+    # observed-bigram logp — the margins and KN statistics are all
+    # consumed on vocabulary-sized frames
+    obs = (
+        model.join(pcont_tab, "w2")
+        .join(lam_tab, "w1")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                F.greatest(
+                    F.col("c12").cast("double") - F.col("__D"), F.lit(0.0)
+                )
+                / F.col("c_ctx")
+                + F.col("__lam") * F.col("__pcont")
+            ).alias("__lp_obs"),
+        )
+    )
+    n_rows = model.count()
+    if n_rows <= broadcast_max_rows:
+        obs, lam_tab, pcont_tab = (
+            F.broadcast(obs),
+            F.broadcast(lam_tab),
+            F.broadcast(pcont_tab),
+        )
+    j = (
+        pairs.join(obs, ["w1", "w2"], "left")
+        .join(lam_tab, "w1", "left")
+        .join(pcont_tab, "w2", "left")
+        .crossJoin(F.broadcast(stats))
+    )
+    floor_pcont = a_ / (F.col("__NT") + a_ * (F.col("__V") + 1.0))
+    miss_lp = F.log(
+        F.coalesce(F.col("__lam"), F.lit(1.0))
+        * F.coalesce(F.col("__pcont"), floor_pcont)
+    )
+    scored = j.select(
+        "id", F.coalesce(F.col("__lp_obs"), miss_lp).alias("__lp")
+    )
+    return scored.groupBy(F.col("id").alias(id_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+        F.exp(-F.sum("__lp") / F.count(F.lit(1))).alias("ppl"),
+    )

@@ -5675,6 +5675,102 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------
+# SECOND r13 REGISTRATION CANDIDATE (parked r12): interpolated
+# Kneser-Ney perplexity over the same bigram model frame — the
+# smoothing KenLM actually ships (Chen & Goodman 1999), so with this
+# row the LM family covers both the teaching form (Jelinek-Mercer)
+# and the production form. Type-count continuation probabilities +
+# the counts-of-counts discount estimate, all SQL-expressible —
+# hash-grade at 6dp.
+KN_PERPLEXITY_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS tk
+  FROM documents
+), ti AS (
+  SELECT doc_id, tk, unnest(range(0, len(tk) + 1)) AS i FROM t
+), tr AS (
+  SELECT doc_id,
+         CASE WHEN i = 0 THEN '<s>' ELSE tk[i] END AS w1,
+         CASE WHEN i = CAST(len(tk) AS BIGINT) THEN '</s>'
+              ELSE tk[i + 1] END AS w2
+  FROM ti
+), big AS (
+  SELECT w1, w2, count(*) AS c12 FROM tr GROUP BY 1, 2
+), st AS (
+  SELECT CAST(count(*) AS DOUBLE) AS NT,
+         CAST(count(DISTINCT w2) AS DOUBLE) AS V,
+         CAST(count(*) FILTER (WHERE c12 = 1) AS DOUBLE) AS n1,
+         CAST(count(*) FILTER (WHERE c12 = 2) AS DOUBLE) AS n2
+  FROM big
+), d AS (
+  SELECT NT, V,
+         CASE WHEN n1 + 2.0 * n2 > 0 THEN n1 / (n1 + 2.0 * n2)
+              ELSE 0.5 END AS D
+  FROM st
+), ctxa AS (
+  SELECT w1, sum(c12) AS c_ctx, CAST(count(*) AS DOUBLE) AS types
+  FROM big GROUP BY 1
+), lamt AS (
+  SELECT w1, d.D * types / c_ctx AS lam FROM ctxa CROSS JOIN d
+), pct AS (
+  SELECT w2,
+         (CAST(count(*) AS DOUBLE) + 1e-4)
+         / (any_value(d.NT) + 1e-4 * (any_value(d.V) + 1.0)) AS pcont
+  FROM big CROSS JOIN d GROUP BY w2
+), obs AS (
+  SELECT b.w1, b.w2,
+         ln(greatest(CAST(b.c12 AS DOUBLE) - d.D, 0.0) / c.c_ctx
+            + l.lam * p.pcont) AS lp
+  FROM big b
+  JOIN ctxa c ON b.w1 = c.w1
+  JOIN lamt l ON b.w1 = l.w1
+  JOIN pct p ON b.w2 = p.w2
+  CROSS JOIN d
+), sc AS (
+  SELECT tr.doc_id,
+         coalesce(o.lp,
+                  ln(coalesce(l.lam, 1.0)
+                     * coalesce(p.pcont,
+                                1e-4 / (d.NT + 1e-4 * (d.V + 1.0))))) AS lp
+  FROM tr
+  LEFT JOIN obs o ON tr.w1 = o.w1 AND tr.w2 = o.w2
+  LEFT JOIN lamt l ON tr.w1 = l.w1
+  LEFT JOIN pct p ON tr.w2 = p.w2
+  CROSS JOIN d
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
+       round(exp(-sum(lp) / count(*)), 6) AS ppl
+FROM sc GROUP BY 1
+"""
+
+
+def q_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document interpolated Kneser-Ney perplexity under the
+    corpus's own bigram model (functions/lm.py::kn_bigram_perplexity
+    over the bigram_lm_train frame — the smoothing KenLM ships, so
+    this is the production form of the CCNet signal next to
+    lm_perplexity's Jelinek-Mercer teaching form): discount
+    D = n1/(n1+2·n2) from the counts-of-counts, type-count
+    continuation probabilities (the "san francisco" insight —
+    continuation mass by context DIVERSITY, not raw frequency),
+    α-floored for unseen targets, λ→1 backoff for unseen contexts.
+    Self-scored (train on the corpus, score the corpus — the
+    dsir_weights convention). Plan: the bigram training shuffle +
+    vocabulary-sized KN statistics on the pinned model, then one
+    transition explode + three broadcast-gated joins + a per-doc
+    agg; 6dp before the cross-engine hash."""
+    from .functions.lm import bigram_lm_train, kn_bigram_perplexity
+
+    docs = read_docs_spread(spark, sf_dir).select("doc_id", "text")
+    model = bigram_lm_train(docs)
+    return kn_bigram_perplexity(docs, model).select(
+        "doc_id", "n_transitions", F.round(F.col("ppl"), 6).alias("ppl")
+    )
+
+
 # Queries OMITTED from the driver-visible correctness set: the driver
 # records oracle rows for at most 50 queries (in registration order),
 # so every DISTINCT operator proof must land inside that window.
