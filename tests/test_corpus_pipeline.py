@@ -802,3 +802,75 @@ def test_batch_twin_spill_dir_stage_pins(spark, tmp_path):
     assert {"_stage_semantic_in", "_stage_classifier_in", "curated"} <= names
     assert {r["doc_id"] for r in spark.read.parquet(
         os.path.join(spill, "curated")).collect()} >= got
+
+
+def test_composed_pipeline_lm_admission(spark, tmp_path):
+    """The LM-PERPLEXITY screen composes into the pipeline: train a
+    bigram LM batch-side on the clean corpus, wire the frozen model +
+    threshold into the step, and a word-salad doc (lexically clean,
+    passes Gopher/repetition) drops on perplexity while survivors
+    equal the batch twin; lm_model without a threshold fails loud AT
+    CONSTRUCTION, as does an unknown scorer."""
+    import os
+
+    import pytest as _pytest
+
+    from willa_spark.functions import lm as LMOD
+
+    docs = dict(DOCS)
+    # doc 6 becomes in-vocabulary word salad: every unigram is known,
+    # so only a SEQUENTIAL signal can catch it (full reversal breaks
+    # every bigram, and Gopher/repetition see an ordinary doc)
+    docs[6] = " ".join(reversed(_doc(6).split()))
+
+    def mk(ids):
+        return spark.createDataFrame(
+            [(i, docs[i]) for i in ids], "doc_id bigint, text string"
+        )
+
+    # frozen model: trained batch-side on the clean target snapshot —
+    # includes the surviving docs' own forms so their transitions are
+    # in-vocabulary (the CCNet move: train on the wiki-like corpus)
+    train = spark.createDataFrame(
+        [(100 + i, _doc(i)) for i in range(8)]
+        + [(200, DOCS[1]), (201, DOCS[2]), (202, DOCS[8])],
+        "doc_id long, text string",
+    )
+    model = LMOD.bigram_lm_train(train)
+    # pick the cut between the clean docs' ppl and the salad's
+    probe = LMOD.kn_bigram_perplexity(mk(sorted(docs)), model)
+    ppls = {r["doc_id"]: r["ppl"] for r in probe.collect()}
+    clean_max = max(p for i, p in ppls.items() if i in {1, 2, 8})
+    assert ppls[6] > clean_max * 1.5, ppls
+    cut = (clean_max + ppls[6]) / 2
+
+    grams = _eval_grams(spark)
+    step = corpus_curation_step(
+        os.path.join(str(tmp_path), "lm"),
+        eval_grams=grams,
+        lm_model=model,
+        lm_max_ppl=cut,
+    )
+    got = set()
+    for bid, batch in enumerate((BATCH1, BATCH2, BATCH3)):
+        got |= {r["doc_id"] for r in step(mk(batch), bid).collect()}
+    assert got == EXPECT_IDS - {6}, got
+
+    want = {
+        r["doc_id"]
+        for r in corpus_curation_batch(
+            mk(sorted(docs)), eval_grams=grams,
+            lm_model=model, lm_max_ppl=cut,
+        ).collect()
+    }
+    assert got == want
+
+    with _pytest.raises(ValueError, match="lm_max_ppl"):
+        corpus_curation_step(
+            os.path.join(str(tmp_path), "lm2"), lm_model=model
+        )
+    with _pytest.raises(ValueError, match="lm_scorer"):
+        corpus_curation_step(
+            os.path.join(str(tmp_path), "lm3"),
+            lm_model=model, lm_max_ppl=cut, lm_scorer="bogus",
+        )

@@ -237,6 +237,45 @@ def _classifier_admit(
     return docs.join(keep, id_col, "left_semi")
 
 
+def _lm_admit(
+    docs: DataFrame,
+    model: DataFrame | None,
+    max_ppl: float | None,
+    scorer: str,
+    id_col: str,
+    text_col: str,
+    pin=_pin_local,
+) -> DataFrame:
+    """The LM-perplexity admission screen — score the cleaned frame
+    under a FROZEN corpus-trained bigram LM (functions/lm.py; train
+    batch-side on the target snapshot, deploy the model frame) and
+    keep docs at ``ppl ≤ max_ppl`` — the CCNet cut (keep the
+    head/middle of the perplexity distribution; pick the threshold
+    from a batch-side quantile pass). Runs AFTER the learned
+    classifier screen and BEFORE dedup, same slot logic: junk should
+    not pay signature costs. The input frame is pinned first (it
+    feeds the transition explode AND the final semi-join — the
+    multi-consumer rule); the model arrives PRE-PINNED by the
+    composer (construction-time, once — not per batch). ``scorer``
+    picks Kneser-Ney ("kn", the KenLM production form) or
+    Jelinek-Mercer ("jm"). Stateless per batch under a static model,
+    so batch ≡ streaming congruity holds structurally."""
+    if model is None:
+        return docs
+    from ..functions.lm import bigram_perplexity, kn_bigram_perplexity
+
+    score = kn_bigram_perplexity if scorer == "kn" else bigram_perplexity
+    docs = pin(docs)
+    keep = (
+        score(
+            docs, model, id_col=id_col, text_col=text_col, model_pinned=True
+        )
+        .filter(F.col("ppl") <= max_ppl)
+        .select(id_col)
+    )
+    return docs.join(keep, id_col, "left_semi")
+
+
 def corpus_curation_step(
     dedup_store_dir: str,
     out_dir: str | None = None,
@@ -264,6 +303,9 @@ def corpus_curation_step(
     classifier_ns: tuple[int, ...] = (1, 2),
     classifier_min_prob: float = 0.5,
     classifier_binary: bool = False,
+    lm_model: DataFrame | None = None,
+    lm_max_ppl: float | None = None,
+    lm_scorer: str = "kn",
 ) -> Callable[[DataFrame, int], DataFrame]:
     """The composed foreachBatch step; returns
     ``(batch_df, batch_id) -> admitted_df`` (id + redacted text). Wire
@@ -291,6 +333,13 @@ def corpus_curation_step(
     before dedup; (classifier_num_buckets, classifier_ns,
     classifier_binary) must match the training geometry (one store
     identity — a length mismatch fails loud at step construction).
+    ``lm_model`` (a ``functions.lm.bigram_lm_train`` frame — train
+    batch-side on the target snapshot, deploy frozen; pinned ONCE at
+    step construction) additionally enables the LM-PERPLEXITY
+    admission at ``ppl ≤ lm_max_ppl`` (REQUIRED with the model — a
+    screen with no threshold is a config error, never a silent
+    pass-through), after the classifier screen and before dedup;
+    ``lm_scorer`` picks Kneser-Ney ("kn") or Jelinek-Mercer ("jm").
     All screens are stateless per batch against their static
     frames/weights, so batch ≡ streaming congruity holds
     structurally.
@@ -350,6 +399,20 @@ def corpus_curation_step(
             f"weights for num_buckets={classifier_num_buckets} — mixed "
             "model generations? (fail at construction, not first batch)"
         )
+    if lm_model is not None and lm_max_ppl is None:
+        raise ValueError(
+            "corpus_curation_step: lm_model without lm_max_ppl — an LM "
+            "screen with no threshold is a config error, never a silent "
+            "pass-through (pick the cut from a batch-side quantile pass)"
+        )
+    if lm_scorer not in ("kn", "jm"):
+        raise ValueError(
+            f"corpus_curation_step: unknown lm_scorer {lm_scorer!r} "
+            "(kn = Kneser-Ney, jm = Jelinek-Mercer)"
+        )
+    if lm_model is not None:
+        # frozen-model rule: pin ONCE at construction, not per batch
+        lm_model = lm_model.localCheckpoint(eager=True)
     dedup = minhash_dedup_step(
         dedup_store_dir,
         threshold=threshold,
@@ -383,6 +446,9 @@ def corpus_curation_step(
             clean, classifier_weights, classifier_num_buckets,
             classifier_ns, classifier_min_prob, classifier_binary,
             id_col, text_col,
+        )
+        clean = _lm_admit(
+            clean, lm_model, lm_max_ppl, lm_scorer, id_col, text_col
         )
         admitted = dedup(clean, batch_id)
         if out_dir is not None:
@@ -738,6 +804,9 @@ def corpus_curation_batch(
     classifier_ns: tuple[int, ...] = (1, 2),
     classifier_min_prob: float = 0.5,
     classifier_binary: bool = False,
+    lm_model: DataFrame | None = None,
+    lm_max_ppl: float | None = None,
+    lm_scorer: str = "kn",
 ) -> DataFrame:
     """The batch twin of ``corpus_curation_step`` over a full corpus:
     identical screens/redaction/decontamination expressions (exact AND
@@ -781,8 +850,20 @@ def corpus_curation_batch(
 
         sem_pin = _spill_pin("semantic_in")
         clf_pin = _spill_pin("classifier_in")
+        lm_pin = _spill_pin("lm_in")
     else:
-        sem_pin = clf_pin = _pin_local
+        sem_pin = clf_pin = lm_pin = _pin_local
+    if lm_model is not None and lm_max_ppl is None:
+        raise ValueError(
+            "corpus_curation_batch: lm_model without lm_max_ppl — an LM "
+            "screen with no threshold is a config error"
+        )
+    if lm_scorer not in ("kn", "jm"):
+        raise ValueError(
+            f"corpus_curation_batch: unknown lm_scorer {lm_scorer!r}"
+        )
+    if lm_model is not None:
+        lm_model = lm_model.localCheckpoint(eager=True)
     clean = _screen_and_redact(docs, id_col, text_col)
     clean = _decontaminate(
         clean, eval_grams, decontam_n, decontam_max_hits, id_col, text_col
@@ -798,6 +879,10 @@ def corpus_curation_batch(
         clean, classifier_weights, classifier_num_buckets,
         classifier_ns, classifier_min_prob, classifier_binary,
         id_col, text_col, pin=clf_pin,
+    )
+    clean = _lm_admit(
+        clean, lm_model, lm_max_ppl, lm_scorer, id_col, text_col,
+        pin=lm_pin,
     )
     if spill_dir is not None:
         curated = _os.path.join(spill_dir, "curated")
