@@ -350,3 +350,52 @@ def test_kn_perplexity_oracle_parity(spark, sf_dir):
     assert len(got) == len(want) > 0
     assert got == want
     assert all(1.0 < p < 1e6 for _, _, p in got)
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_words = st.sampled_from(["the", "cat", "dog", "sat", "ran", "on", "mat", "a"])
+_texts = st.lists(
+    st.lists(_words, min_size=0, max_size=6).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(train=_texts, held=_texts)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_lm_hypothesis_differential(spark, train, held):
+    """Hypothesis: for ANY small corpus (including empty docs and
+    repeated texts) and ANY held-out set, both scorers equal the
+    exact pure-Python computation on every doc — the JM and KN
+    formulas, discount estimation, sentinels, and unseen-mass legs
+    hold under arbitrary token sequences, not just the crafted
+    fixtures."""
+    tdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train)], "doc_id long, text string"
+    )
+    hdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(held)], "doc_id long, text string"
+    )
+    model = LM.bigram_lm_train(tdf)
+    big, ctx, tgt = _py_model(train)
+
+    got_jm = {
+        r["doc_id"]: (r["n_transitions"], r["ppl"])
+        for r in LM.bigram_perplexity(hdf, model).collect()
+    }
+    got_kn = {
+        r["doc_id"]: (r["n_transitions"], r["ppl"])
+        for r in LM.kn_bigram_perplexity(hdf, model).collect()
+    }
+    for i, t in enumerate(held):
+        n, ppl = _py_ppl(t, big, ctx, tgt)
+        assert got_jm[i][0] == n
+        assert got_jm[i][1] == pytest.approx(ppl, rel=1e-12), ("jm", t)
+        n2, ppl2 = _py_kn_ppl(t, big)
+        assert got_kn[i][0] == n2
+        assert got_kn[i][1] == pytest.approx(ppl2, rel=1e-12), ("kn", t)
