@@ -874,3 +874,11 @@ def test_composed_pipeline_lm_admission(spark, tmp_path):
             os.path.join(str(tmp_path), "lm3"),
             lm_model=model, lm_max_ppl=cut, lm_scorer="bogus",
         )
+    # knobs WITHOUT a model are equally loud (r12 review: a forgotten
+    # model must not silently skip the screen) — both composers
+    with _pytest.raises(ValueError, match="without lm_model"):
+        corpus_curation_step(
+            os.path.join(str(tmp_path), "lm4"), lm_max_ppl=cut
+        )
+    with _pytest.raises(ValueError, match="without lm_model"):
+        corpus_curation_batch(mk(BATCH1), lm_scorer="jm")

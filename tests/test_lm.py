@@ -388,14 +388,82 @@ def test_lm_hypothesis_differential(spark, train, held):
         r["doc_id"]: (r["n_transitions"], r["ppl"])
         for r in LM.bigram_perplexity(hdf, model).collect()
     }
+    for i, t in enumerate(held):
+        n, ppl = _py_ppl(t, big, ctx, tgt)
+        assert got_jm[i][0] == n
+        assert got_jm[i][1] == pytest.approx(ppl, rel=1e-12), ("jm", t)
+
+    n1 = sum(1 for c in big.values() if c == 1)
+    if n1 == 0:
+        # degenerate corpus: the estimated discount is 0 and every
+        # unseen-bigram leg would be log(0) — the operator must fail
+        # LOUD (r12 review: Spark's NULL log was silently skipped by
+        # sum while count still counted the row, deflating ppl)
+        with pytest.raises(Exception, match="discount is 0"):
+            LM.kn_bigram_perplexity(hdf, model).collect()
+        return
     got_kn = {
         r["doc_id"]: (r["n_transitions"], r["ppl"])
         for r in LM.kn_bigram_perplexity(hdf, model).collect()
     }
     for i, t in enumerate(held):
-        n, ppl = _py_ppl(t, big, ctx, tgt)
-        assert got_jm[i][0] == n
-        assert got_jm[i][1] == pytest.approx(ppl, rel=1e-12), ("jm", t)
         n2, ppl2 = _py_kn_ppl(t, big)
         assert got_kn[i][0] == n2
         assert got_kn[i][1] == pytest.approx(ppl2, rel=1e-12), ("kn", t)
+
+
+def test_kn_degenerate_discount_fails_loud(spark):
+    """A model with no 1-count bigrams estimates D=0 — every unseen
+    bigram would take log(0), which Spark's log returns as NULL and
+    sum silently SKIPS while count still counts (r12 review, verified
+    live: a zero-probability doc got ppl 1.41 and sailed through
+    admission). The operator must raise instead; explicit discounts
+    outside (0,1) fail at call; a valid explicit discount rescues the
+    degenerate model and matches the pure-Python value."""
+    dup = spark.createDataFrame(
+        [(0, "the the"), (1, "the the")], "doc_id long, text string"
+    )
+    model = LM.bigram_lm_train(dup)
+    probe = spark.createDataFrame([(0, "cat")], "doc_id long, text string")
+    with pytest.raises(Exception, match="discount is 0"):
+        LM.kn_bigram_perplexity(probe, model).collect()
+    with pytest.raises(ValueError, match="discount must be in"):
+        LM.kn_bigram_perplexity(probe, model, discount=0.0)
+    with pytest.raises(ValueError, match="discount must be in"):
+        LM.kn_bigram_perplexity(probe, model, discount=1.0)
+    big, _, _ = _py_model(["the the", "the the"])
+    got = LM.kn_bigram_perplexity(probe, model, discount=0.75).collect()[0]
+    n, ppl = _py_kn_ppl("cat", big, discount=0.75)
+    assert got["n_transitions"] == n
+    assert got["ppl"] == pytest.approx(ppl, rel=1e-12)
+
+
+def test_make_bigram_scorer_matches_one_shot(spark):
+    """The frozen-scorer factory (tables pinned once at construction)
+    scores identically to the one-shot functions for both scorers,
+    and rejects unknown scorers / degenerate models AT CONSTRUCTION."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TRAIN)], "doc_id long, text string"
+    )
+    model = LM.bigram_lm_train(df)
+    probe = spark.createDataFrame(
+        [(0, "the cat sat quietly"), (1, "zebra jumps over fences"), (2, "")],
+        "doc_id long, text string",
+    )
+    for scorer, one_shot in (
+        ("jm", LM.bigram_perplexity),
+        ("kn", LM.kn_bigram_perplexity),
+    ):
+        fn = LM.make_bigram_scorer(model, scorer=scorer)
+        got = sorted(tuple(r) for r in fn(probe).collect())
+        want = sorted(tuple(r) for r in one_shot(probe, model).collect())
+        assert got == want, scorer
+    with pytest.raises(ValueError, match="unknown scorer"):
+        LM.make_bigram_scorer(model, scorer="bogus")
+    dup = LM.bigram_lm_train(
+        spark.createDataFrame(
+            [(0, "the the"), (1, "the the")], "doc_id long, text string"
+        )
+    )
+    with pytest.raises(Exception, match="discount is 0"):
+        LM.make_bigram_scorer(dup, scorer="kn")

@@ -136,62 +136,22 @@ def _model_totals(model: DataFrame) -> DataFrame:
     )
 
 
-def bigram_perplexity(
-    docs: DataFrame,
-    model: DataFrame,
-    lam: float = DEFAULT_LAMBDA,
-    alpha: float = DEFAULT_ALPHA,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    broadcast_max_rows: int = BROADCAST_MODEL_MAX_ROWS,
-    model_pinned: bool = False,
-) -> DataFrame:
-    """(id, n_transitions, ppl) — per-document conditional perplexity
-    under a FROZEN ``bigram_lm_train`` model: ppl = exp(−Σ ln P(w2|w1)
-    / n) over the doc's bracketed transitions. Unseen bigram →
-    interpolation's first term is 0 (seen context) or dropped (unseen
-    context, try_divide); unseen target word → the shared α floor
-    slot of the backoff. LOW ppl = target-like text, HIGH = far from
-    the model corpus — CCNet's head/middle/tail buckets cut on
-    exactly this number.
-
-    Plan: the final log-probability is PRECOMPUTED on the
-    vocabulary-sized model frame (this is where the pre-joined
-    margins are consumed — no corpus-side margin joins, r12 review):
-    an observed-bigram table keyed (w1, w2) carries the full
-    interpolated logp; an unseen bigram backs off to λ·0 + (1−λ)·
-    P_uni(w2) — a value that depends ONLY on w2, whether or not the
-    context was ever seen — so one (w2)-keyed backoff table covers
-    both unseen-bigram cases; a w2 the model never saw takes the α
-    floor literal. Scoring is then one transition explode + TWO
-    joins against those logp tables (broadcast under
-    ``broadcast_max_rows`` — the count is one vocabulary-sized job —
-    hash-join above) + one coalesce + a per-doc partial agg. No
-    vocab² table, no per-transition division.
-
-    The model frame has multiple consumers here (the two logp
-    precomputes, the totals agg, the broadcast-gate count), so it is
-    PINNED first — unpinned, each consumer re-runs the model's whole
-    lineage, which for a ``bigram_lm_train`` frame is the
-    corpus-scale training shuffle per consumer (caught by the r12
-    plan audit). ``model_pinned=True`` skips the pin when the CALLER
-    already materialized THIS SAME frame (the streaming step's
-    construction-time pin — reusing a pin of the same frame is
-    sound; the classifier ``already_pinned`` bug was reusing a
-    DIFFERENT frame's pin that sat below more lineage)."""
-    if not model_pinned:
-        model = model.localCheckpoint(eager=True)
-    pairs = docs.select(
+def _transitions(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) — the corpus-side transition explode."""
+    return docs.select(
         F.col(id_col).alias("id"),
         F.explode(transition_pairs(F.col(text_col))).alias("__p"),
     ).select("id", F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
-    lam_ = float(lam)
-    a_ = float(alpha)
+
+
+def _jm_plan(model: DataFrame, lam: float, alpha: float) -> dict:
+    """Jelinek-Mercer scoring plan over a PINNED model frame: the
+    vocabulary-sized logp tables + the per-transition lp expression.
+    Operand order matches per-transition math exactly, so the value
+    is bit-identical to computing p per row."""
+    lam_, a_ = float(lam), float(alpha)
     totals = _model_totals(model)
     denom = F.col("__T") + a_ * (F.col("__V") + 1.0)
-    # vocabulary-sized precomputes (operand order matches the scoring
-    # formula exactly — λ·p_big + (1−λ)·p_uni with p_uni = (c_tgt+α)/
-    # denom — so the value is bit-identical to per-transition math)
     obs = model.crossJoin(F.broadcast(totals)).select(
         "w1",
         "w2",
@@ -211,24 +171,181 @@ def bigram_perplexity(
             ),
         )
     )
-    n_rows = model.count()
-    if n_rows <= broadcast_max_rows:
-        obs, back = F.broadcast(obs), F.broadcast(back)
-    j = (
-        pairs.join(obs, ["w1", "w2"], "left")
-        .join(back, "w2", "left")
-        .crossJoin(F.broadcast(totals))
-    )
     floor_lp = F.log((1.0 - lam_) * (a_ / denom))
-    scored = j.select(
-        "id",
-        F.coalesce(F.col("__lp_obs"), F.col("__lp_back"), floor_lp).alias(
-            "__lp"
-        ),
+    return {
+        "joins": [(obs, ["w1", "w2"]), (back, ["w2"])],
+        "scalars": totals,
+        "lp": F.coalesce(F.col("__lp_obs"), F.col("__lp_back"), floor_lp),
+    }
+
+
+def _kn_plan(model: DataFrame, alpha: float, discount: float | None) -> dict:
+    """Interpolated-Kneser-Ney scoring plan over a PINNED model frame.
+    The effective discount is GUARDED in-plan: D = 0 (a model with no
+    1-count bigrams under the estimate) makes every unseen-bigram leg
+    log(0), which Spark's log returns as NULL and sum would silently
+    SKIP while count still counts the row — deflating ppl for exactly
+    the zero-probability documents an admission screen most needs to
+    reject (r12 review, verified live). A degenerate model fails loud
+    instead; pass an explicit 0 < discount < 1 to override the
+    estimate."""
+    if discount is not None and not (0.0 < float(discount) < 1.0):
+        raise ValueError(
+            f"kn_bigram_perplexity: discount must be in (0, 1), got "
+            f"{discount} — D = 0 assigns ZERO mass to unseen bigrams "
+            "(log(0) legs), D >= 1 makes observed singletons negative"
+        )
+    a_ = float(alpha)
+    d_raw = (
+        F.lit(float(discount))
+        if discount is not None
+        else F.when(
+            F.col("__n1") + 2.0 * F.col("__n2") > 0,
+            F.col("__n1") / (F.col("__n1") + 2.0 * F.col("__n2")),
+        ).otherwise(F.lit(0.5))
     )
+    stats = model.agg(
+        F.count(F.lit(1)).cast("double").alias("__NT"),
+        F.count_distinct("w2").cast("double").alias("__V"),
+        F.sum((F.col("c12") == 1).cast("double")).alias("__n1"),
+        F.sum((F.col("c12") == 2).cast("double")).alias("__n2"),
+    ).select(
+        "__NT",
+        "__V",
+        F.when(d_raw > 0, d_raw)
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "kn_bigram_perplexity: estimated discount is 0 (the "
+                    "model has no 1-count bigrams) — unseen bigrams would "
+                    "take log(0); pass an explicit 0 < discount < 1"
+                )
+            ).cast("double")
+        )
+        .alias("__D"),
+    )
+    lam_tab = (
+        model.groupBy("w1")
+        .agg(
+            F.sum("c12").alias("__c_ctx"),
+            F.count(F.lit(1)).cast("double").alias("__types"),
+        )
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "w1",
+            (F.col("__D") * F.col("__types") / F.col("__c_ctx")).alias(
+                "__lam"
+            ),
+        )
+    )
+    pcont_tab = (
+        model.groupBy("w2")
+        .agg(F.count(F.lit(1)).cast("double").alias("__n1p"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "w2",
+            (
+                (F.col("__n1p") + a_)
+                / (F.col("__NT") + a_ * (F.col("__V") + 1.0))
+            ).alias("__pcont"),
+        )
+    )
+    obs = (
+        model.join(pcont_tab, "w2")
+        .join(lam_tab, "w1")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                F.greatest(
+                    F.col("c12").cast("double") - F.col("__D"), F.lit(0.0)
+                )
+                / F.col("c_ctx")
+                + F.col("__lam") * F.col("__pcont")
+            ).alias("__lp_obs"),
+        )
+    )
+    floor_pcont = a_ / (F.col("__NT") + a_ * (F.col("__V") + 1.0))
+    miss_lp = F.log(
+        F.coalesce(F.col("__lam"), F.lit(1.0))
+        * F.coalesce(F.col("__pcont"), floor_pcont)
+    )
+    return {
+        "joins": [
+            (obs, ["w1", "w2"]),
+            (lam_tab, ["w1"]),
+            (pcont_tab, ["w2"]),
+        ],
+        "scalars": stats,
+        "lp": F.coalesce(F.col("__lp_obs"), miss_lp),
+    }
+
+
+def _apply_plan(
+    docs: DataFrame,
+    plan: dict,
+    id_col: str,
+    text_col: str,
+    do_broadcast: bool,
+) -> DataFrame:
+    """Corpus side of either scorer: one transition explode + the
+    plan's left joins (broadcast under the gate) + the lp coalesce +
+    a per-doc partial agg."""
+    j = _transitions(docs, id_col, text_col)
+    for tab, keys in plan["joins"]:
+        j = j.join(F.broadcast(tab) if do_broadcast else tab, keys, "left")
+    j = j.crossJoin(F.broadcast(plan["scalars"]))
+    scored = j.select("id", plan["lp"].alias("__lp"))
     return scored.groupBy(F.col("id").alias(id_col)).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
         F.exp(-F.sum("__lp") / F.count(F.lit(1))).alias("ppl"),
+    )
+
+
+def bigram_perplexity(
+    docs: DataFrame,
+    model: DataFrame,
+    lam: float = DEFAULT_LAMBDA,
+    alpha: float = DEFAULT_ALPHA,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_max_rows: int = BROADCAST_MODEL_MAX_ROWS,
+    model_pinned: bool = False,
+) -> DataFrame:
+    """(id, n_transitions, ppl) — per-document conditional perplexity
+    under a FROZEN ``bigram_lm_train`` model: ppl = exp(−Σ ln P(w2|w1)
+    / n) over the doc's bracketed transitions, Jelinek-Mercer
+    interpolation. Unseen bigram → λ·0 + the (1−λ)-weighted unigram
+    backoff (a value depending only on w2, whether or not the context
+    was ever seen); unseen target word → the shared α floor slot. LOW
+    ppl = target-like text, HIGH = far from the model corpus —
+    CCNet's head/middle/tail buckets cut on exactly this number.
+
+    Plan: the final log-probability is PRECOMPUTED on the
+    vocabulary-sized model frame (where the pre-joined margins are
+    consumed — no corpus-side margin joins, r12 review): scoring is
+    one transition explode + TWO joins against the logp tables
+    (broadcast under ``broadcast_max_rows`` — the count is one
+    vocabulary-sized job — hash-join above) + one coalesce + a
+    per-doc partial agg. No vocab² table, no per-transition division.
+
+    The model frame has multiple consumers here (the logp
+    precomputes, the totals agg, the broadcast-gate count), so it is
+    PINNED first — unpinned, each consumer re-runs the model's whole
+    lineage, which for a ``bigram_lm_train`` frame is the
+    corpus-scale training shuffle per consumer (caught by the r12
+    plan audit). ``model_pinned=True`` skips the pin when the CALLER
+    already materialized THIS SAME frame (reusing a pin of the same
+    frame is sound; the classifier ``already_pinned`` bug was reusing
+    a DIFFERENT frame's pin that sat below more lineage). Scoring
+    many batches under one frozen model? Use ``make_bigram_scorer``
+    — it builds and PINS these tables once instead of per call."""
+    if not model_pinned:
+        model = model.localCheckpoint(eager=True)
+    plan = _jm_plan(model, lam, alpha)
+    return _apply_plan(
+        docs, plan, id_col, text_col, model.count() <= broadcast_max_rows
     )
 
 
@@ -253,15 +370,17 @@ def kn_bigram_perplexity(
         P_cont(w2) = (N1+(·,w2) + α) / (N_types + α·(V+1))
 
     N1+(w1,·)/N1+(·,w2) are bigram TYPE counts (how many distinct
-    continuations/ contexts), the insight KN adds over JM: a word
+    continuations/contexts), the insight KN adds over JM: a word
     seen in many CONTEXTS ("francisco" appears often but only after
     "san") gets continuation mass by type diversity, not raw
     frequency. ``discount=None`` estimates D = n1/(n1 + 2·n2) from
     the counts-of-counts (the standard absolute-discount estimate;
     0.5 if the model has no 1- or 2-count bigrams), computed as a
-    1-row frame — no collect, deterministic. An unseen CONTEXT backs
-    off to P_cont(w2) alone (λ taken as 1); an unseen TARGET takes
-    the α floor of P_cont.
+    1-row frame — no collect, deterministic; a degenerate D = 0
+    fails LOUD in-plan, and an explicit discount outside (0, 1)
+    fails at call (see ``_kn_plan``). An unseen CONTEXT backs off to
+    P_cont(w2) alone (λ taken as 1); an unseen TARGET takes the α
+    floor of P_cont.
 
     Plan: all KN statistics are vocabulary-sized derivations of the
     pinned model frame (two groupBys + two 1-row aggs); scoring is
@@ -272,100 +391,61 @@ def kn_bigram_perplexity(
     partial agg. Honest join count: the λ/P_cont joins run over ALL
     transitions, not just misses (a miss-only restriction would
     split the corpus-scale frame into a multi-consumer fork and cost
-    a pin — worse below ~50% miss rates)."""
+    a pin — worse below ~50% miss rates). Scoring many batches under
+    one frozen model? Use ``make_bigram_scorer``."""
     if not model_pinned:
         model = model.localCheckpoint(eager=True)
-    pairs = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(transition_pairs(F.col(text_col))).alias("__p"),
-    ).select("id", F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
-    a_ = float(alpha)
-    # counts-of-counts + totals: one vocabulary-sized agg
-    stats = model.agg(
-        F.count(F.lit(1)).cast("double").alias("__NT"),
-        F.count_distinct("w2").cast("double").alias("__V"),
-        F.sum((F.col("c12") == 1).cast("double")).alias("__n1"),
-        F.sum((F.col("c12") == 2).cast("double")).alias("__n2"),
-    ).select(
-        "__NT",
-        "__V",
-        (
-            F.lit(float(discount))
-            if discount is not None
-            else F.when(
-                F.col("__n1") + 2.0 * F.col("__n2") > 0,
-                F.col("__n1") / (F.col("__n1") + 2.0 * F.col("__n2")),
-            ).otherwise(F.lit(0.5))
-        ).alias("__D"),
+    plan = _kn_plan(model, alpha, discount)
+    return _apply_plan(
+        docs, plan, id_col, text_col, model.count() <= broadcast_max_rows
     )
-    # λ(w1): discount mass per seen context (vocab-sized groupBy)
-    lam_tab = (
-        model.groupBy("w1")
-        .agg(
-            F.sum("c12").alias("__c_ctx"),
-            F.count(F.lit(1)).cast("double").alias("__types"),
+
+
+def make_bigram_scorer(
+    model: DataFrame,
+    scorer: str = "jm",
+    lam: float = DEFAULT_LAMBDA,
+    alpha: float = DEFAULT_ALPHA,
+    discount: float | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_max_rows: int = BROADCAST_MODEL_MAX_ROWS,
+):
+    """Build a FROZEN scoring closure ONCE: pins the model, derives
+    and eagerly PINS the vocabulary-sized logp tables and the scalar
+    frame, and runs the broadcast-gate count — so each call of the
+    returned ``fn(docs) -> (id, n_transitions, ppl)`` pays only the
+    corpus-side work (explode + joins + agg). This is the per-batch
+    deployment shape: the one-shot functions above rebuild the
+    tables per call, which is fine for a single batch pass but waste
+    on every micro-batch of a stream (r12 review — the streaming
+    step and the composed pipeline's LM screen both use this).
+    ``scorer``: "jm" (Jelinek-Mercer) or "kn" (Kneser-Ney)."""
+    if scorer not in ("jm", "kn"):
+        raise ValueError(
+            f"make_bigram_scorer: unknown scorer {scorer!r} "
+            "(jm = Jelinek-Mercer, kn = Kneser-Ney)"
         )
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "w1",
-            (F.col("__D") * F.col("__types") / F.col("__c_ctx")).alias(
-                "__lam"
-            ),
-        )
+    model = model.localCheckpoint(eager=True)
+    plan = (
+        _jm_plan(model, lam, alpha)
+        if scorer == "jm"
+        else _kn_plan(model, alpha, discount)
     )
-    # P_cont(w2): continuation probability, α-floor-smoothed
-    pcont_tab = (
-        model.groupBy("w2")
-        .agg(F.count(F.lit(1)).cast("double").alias("__n1p"))
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "w2",
-            (
-                (F.col("__n1p") + a_)
-                / (F.col("__NT") + a_ * (F.col("__V") + 1.0))
-            ).alias("__pcont"),
-        )
-    )
-    # observed-bigram logp — the margins and KN statistics are all
-    # consumed on vocabulary-sized frames
-    obs = (
-        model.join(pcont_tab, "w2")
-        .join(lam_tab, "w1")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "w1",
-            "w2",
-            F.log(
-                F.greatest(
-                    F.col("c12").cast("double") - F.col("__D"), F.lit(0.0)
-                )
-                / F.col("c_ctx")
-                + F.col("__lam") * F.col("__pcont")
-            ).alias("__lp_obs"),
-        )
-    )
-    n_rows = model.count()
-    if n_rows <= broadcast_max_rows:
-        obs, lam_tab, pcont_tab = (
-            F.broadcast(obs),
-            F.broadcast(lam_tab),
-            F.broadcast(pcont_tab),
-        )
-    j = (
-        pairs.join(obs, ["w1", "w2"], "left")
-        .join(lam_tab, "w1", "left")
-        .join(pcont_tab, "w2", "left")
-        .crossJoin(F.broadcast(stats))
-    )
-    floor_pcont = a_ / (F.col("__NT") + a_ * (F.col("__V") + 1.0))
-    miss_lp = F.log(
-        F.coalesce(F.col("__lam"), F.lit(1.0))
-        * F.coalesce(F.col("__pcont"), floor_pcont)
-    )
-    scored = j.select(
-        "id", F.coalesce(F.col("__lp_obs"), miss_lp).alias("__lp")
-    )
-    return scored.groupBy(F.col("id").alias(id_col)).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
-        F.exp(-F.sum("__lp") / F.count(F.lit(1))).alias("ppl"),
-    )
+    # eager pins: the tables (and the KN in-plan D guard) evaluate
+    # HERE, once — a degenerate model fails at construction, and no
+    # micro-batch re-derives vocab-sized state that never changes
+    plan = {
+        "joins": [
+            (tab.localCheckpoint(eager=True), keys)
+            for tab, keys in plan["joins"]
+        ],
+        "scalars": plan["scalars"].localCheckpoint(eager=True),
+        "lp": plan["lp"],
+    }
+    do_broadcast = model.count() <= broadcast_max_rows
+
+    def score(docs: DataFrame) -> DataFrame:
+        return _apply_plan(docs, plan, id_col, text_col, do_broadcast)
+
+    return score

@@ -237,41 +237,74 @@ def _classifier_admit(
     return docs.join(keep, id_col, "left_semi")
 
 
-def _lm_admit(
-    docs: DataFrame,
+def _lm_scorer_or_none(
     model: DataFrame | None,
     max_ppl: float | None,
     scorer: str,
     id_col: str,
     text_col: str,
+    where: str,
+):
+    """ONE construction-time validator + builder for the LM screen —
+    lives here so every caller (both composers AND any direct
+    ``_lm_admit`` user) goes through the same checks (r12 review: the
+    first draft duplicated the guards in the two composers, leaving
+    ``_lm_admit`` itself able to silently drop EVERY doc on a NULL
+    threshold comparison). Fails loud at construction on: threshold
+    or non-default scorer without a model (a screen config with
+    nothing to run is a config error, never a silent pass-through),
+    model without a threshold, unknown scorer. Returns None (screen
+    off) or the frozen ``lm.make_bigram_scorer`` closure — model
+    pinned and vocab-sized logp tables built ONCE, never per batch."""
+    if model is None:
+        if max_ppl is not None or scorer != "kn":
+            raise ValueError(
+                f"{where}: lm_max_ppl/lm_scorer set without lm_model — "
+                "the LM screen would silently not run; pass the "
+                "bigram_lm_train frame or drop the knobs"
+            )
+        return None
+    if max_ppl is None:
+        raise ValueError(
+            f"{where}: lm_model without lm_max_ppl — an LM screen with "
+            "no threshold is a config error, never a silent "
+            "pass-through (pick the cut from a batch-side quantile "
+            "pass)"
+        )
+    if scorer not in ("kn", "jm"):
+        raise ValueError(
+            f"{where}: unknown lm_scorer {scorer!r} "
+            "(kn = Kneser-Ney, jm = Jelinek-Mercer)"
+        )
+    from ..functions.lm import make_bigram_scorer
+
+    return make_bigram_scorer(
+        model, scorer=scorer, id_col=id_col, text_col=text_col
+    )
+
+
+def _lm_admit(
+    docs: DataFrame,
+    score_fn,
+    max_ppl: float | None,
+    id_col: str,
     pin=_pin_local,
 ) -> DataFrame:
     """The LM-perplexity admission screen — score the cleaned frame
-    under a FROZEN corpus-trained bigram LM (functions/lm.py; train
-    batch-side on the target snapshot, deploy the model frame) and
-    keep docs at ``ppl ≤ max_ppl`` — the CCNet cut (keep the
-    head/middle of the perplexity distribution; pick the threshold
-    from a batch-side quantile pass). Runs AFTER the learned
-    classifier screen and BEFORE dedup, same slot logic: junk should
-    not pay signature costs. The input frame is pinned first (it
-    feeds the transition explode AND the final semi-join — the
-    multi-consumer rule); the model arrives PRE-PINNED by the
-    composer (construction-time, once — not per batch). ``scorer``
-    picks Kneser-Ney ("kn", the KenLM production form) or
-    Jelinek-Mercer ("jm"). Stateless per batch under a static model,
-    so batch ≡ streaming congruity holds structurally."""
-    if model is None:
+    under the FROZEN scorer built by ``_lm_scorer_or_none`` (train
+    batch-side on the target snapshot, deploy) and keep docs at
+    ``ppl ≤ max_ppl`` — the CCNet cut (keep the head/middle of the
+    perplexity distribution). Runs AFTER the learned classifier
+    screen and BEFORE dedup, same slot logic: junk should not pay
+    signature costs. The input frame is pinned first (it feeds the
+    transition explode AND the final semi-join — the multi-consumer
+    rule). Stateless per batch under a static model, so batch ≡
+    streaming congruity holds structurally."""
+    if score_fn is None:
         return docs
-    from ..functions.lm import bigram_perplexity, kn_bigram_perplexity
-
-    score = kn_bigram_perplexity if scorer == "kn" else bigram_perplexity
     docs = pin(docs)
     keep = (
-        score(
-            docs, model, id_col=id_col, text_col=text_col, model_pinned=True
-        )
-        .filter(F.col("ppl") <= max_ppl)
-        .select(id_col)
+        score_fn(docs).filter(F.col("ppl") <= max_ppl).select(id_col)
     )
     return docs.join(keep, id_col, "left_semi")
 
@@ -399,20 +432,10 @@ def corpus_curation_step(
             f"weights for num_buckets={classifier_num_buckets} — mixed "
             "model generations? (fail at construction, not first batch)"
         )
-    if lm_model is not None and lm_max_ppl is None:
-        raise ValueError(
-            "corpus_curation_step: lm_model without lm_max_ppl — an LM "
-            "screen with no threshold is a config error, never a silent "
-            "pass-through (pick the cut from a batch-side quantile pass)"
-        )
-    if lm_scorer not in ("kn", "jm"):
-        raise ValueError(
-            f"corpus_curation_step: unknown lm_scorer {lm_scorer!r} "
-            "(kn = Kneser-Ney, jm = Jelinek-Mercer)"
-        )
-    if lm_model is not None:
-        # frozen-model rule: pin ONCE at construction, not per batch
-        lm_model = lm_model.localCheckpoint(eager=True)
+    lm_score = _lm_scorer_or_none(
+        lm_model, lm_max_ppl, lm_scorer, id_col, text_col,
+        "corpus_curation_step",
+    )
     dedup = minhash_dedup_step(
         dedup_store_dir,
         threshold=threshold,
@@ -447,9 +470,7 @@ def corpus_curation_step(
             classifier_ns, classifier_min_prob, classifier_binary,
             id_col, text_col,
         )
-        clean = _lm_admit(
-            clean, lm_model, lm_max_ppl, lm_scorer, id_col, text_col
-        )
+        clean = _lm_admit(clean, lm_score, lm_max_ppl, id_col)
         admitted = dedup(clean, batch_id)
         if out_dir is not None:
             # store_append: idempotent per-batch partition + bounded
@@ -834,8 +855,9 @@ def corpus_curation_batch(
     ``curated/`` (its own subdirectory, NOT the root: an overwrite of
     the root would delete the stage spills the still-lazy curated
     plan reads from), stage pins in ``_stage_semantic_in/`` /
-    ``_stage_classifier_in/`` when those screens are enabled — the
-    caller owns cleanup of the directory as a whole."""
+    ``_stage_classifier_in/`` / ``_stage_lm_in/`` when the matching
+    screens are enabled — the caller owns cleanup of the directory
+    as a whole."""
     if spill_dir is not None:
 
         def _spill_pin(tag: str):
@@ -853,17 +875,10 @@ def corpus_curation_batch(
         lm_pin = _spill_pin("lm_in")
     else:
         sem_pin = clf_pin = lm_pin = _pin_local
-    if lm_model is not None and lm_max_ppl is None:
-        raise ValueError(
-            "corpus_curation_batch: lm_model without lm_max_ppl — an LM "
-            "screen with no threshold is a config error"
-        )
-    if lm_scorer not in ("kn", "jm"):
-        raise ValueError(
-            f"corpus_curation_batch: unknown lm_scorer {lm_scorer!r}"
-        )
-    if lm_model is not None:
-        lm_model = lm_model.localCheckpoint(eager=True)
+    lm_score = _lm_scorer_or_none(
+        lm_model, lm_max_ppl, lm_scorer, id_col, text_col,
+        "corpus_curation_batch",
+    )
     clean = _screen_and_redact(docs, id_col, text_col)
     clean = _decontaminate(
         clean, eval_grams, decontam_n, decontam_max_hits, id_col, text_col
@@ -880,10 +895,7 @@ def corpus_curation_batch(
         classifier_ns, classifier_min_prob, classifier_binary,
         id_col, text_col, pin=clf_pin,
     )
-    clean = _lm_admit(
-        clean, lm_model, lm_max_ppl, lm_scorer, id_col, text_col,
-        pin=lm_pin,
-    )
+    clean = _lm_admit(clean, lm_score, lm_max_ppl, id_col, pin=lm_pin)
     if spill_dir is not None:
         curated = _os.path.join(spill_dir, "curated")
         clean.write.mode("overwrite").parquet(curated)

@@ -335,38 +335,37 @@ def lm_perplexity_step(
     alpha: float | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    scorer: str = "jm",
 ) -> Callable[[DataFrame, int], DataFrame]:
     """foreachBatch step: ``(batch_df, batch_id) -> (id,
     n_transitions, ppl)`` under a FROZEN sequential bigram LM (the
     ``functions.lm.bigram_lm_train`` frame — train batch-side on the
     target snapshot, deploy; the frozen-model rule: an LM refit
     mid-stream would admit early and late batches under different
-    distributions). The model frame is eagerly PINNED at step
-    construction — an unpinned frame would re-run the corpus-scale
-    (w1, w2) training shuffle every micro-batch, and a mutable
-    backing source would break the frozen invariant. So would the
-    scalar (T, V) totals: they derive from the pinned frame per
-    batch as one vocabulary-sized agg (bounded, not corpus work).
-    ``max_ppl`` turns scoring into admission — the CCNet deployment
-    (keep the head/middle of the perplexity distribution). Per-batch
-    work is the batch kernel's own plan: one transition explode + one
-    broadcast-gated model join + a per-doc agg — nothing keyed by
-    anything outside the batch, replay-idempotent by construction."""
-    from ..functions.lm import DEFAULT_ALPHA, DEFAULT_LAMBDA, bigram_perplexity
+    distributions). The WHOLE frozen derivation — model pin,
+    vocabulary-sized logp tables, broadcast-gate count — happens
+    ONCE at step construction via ``lm.make_bigram_scorer`` (r12
+    review: the first draft re-ran the count job and the vocab-sized
+    table derivations every micro-batch for state that never
+    changes); per-batch work is only the corpus side (explode +
+    joins + agg) — nothing keyed by anything outside the batch,
+    replay-idempotent by construction. ``max_ppl`` turns scoring
+    into admission — the CCNet deployment (keep the head/middle of
+    the perplexity distribution). ``scorer`` picks Jelinek-Mercer
+    ("jm", default — ``lam`` applies) or Kneser-Ney ("kn")."""
+    from ..functions.lm import DEFAULT_ALPHA, DEFAULT_LAMBDA, make_bigram_scorer
 
-    model = model.localCheckpoint(eager=True)
-    lam_ = DEFAULT_LAMBDA if lam is None else float(lam)
-    a_ = DEFAULT_ALPHA if alpha is None else float(alpha)
+    score = make_bigram_scorer(
+        model,
+        scorer=scorer,
+        lam=DEFAULT_LAMBDA if lam is None else float(lam),
+        alpha=DEFAULT_ALPHA if alpha is None else float(alpha),
+        id_col=id_col,
+        text_col=text_col,
+    )
 
     def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
-        out = bigram_perplexity(
-            batch_df, model, lam=lam_, alpha=a_,
-            id_col=id_col, text_col=text_col,
-            # the construction-time pin above IS this frame's pin —
-            # re-pinning per batch would re-materialize the vocab
-            # frame every micro-batch for nothing
-            model_pinned=True,
-        )
+        out = score(batch_df)
         if max_ppl is not None:
             out = out.filter(F.col("ppl") <= max_ppl)
         return out
