@@ -5847,9 +5847,25 @@ def q_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # raise the ceiling explicitly in BASELINE.md with the price
 # arithmetic. r12 projection: 140.2 (r11 record) + ~4.5 (the two
 # registrations, pre-measured r11) + ~1 (kl_profile bigram revision)
-# − ~1.5 (shared PQ arm) ≈ 144 s < 150. The per-round growth rule:
-# a round registering n new rows must show the projection BEFORE its
-# first registration commit.
+# − ~1.5 (shared PQ arm) ≈ 144 s < 150; closed at 147.7 s (quiet
+# host; BASELINE.md r12 closing). The per-round growth rule: a round
+# registering n new rows must show the projection BEFORE its first
+# registration commit.
+#
+# r13 PRE-STAGED BUDGET DECISION (priced now so the registering
+# round decides with numbers, not hope): registering the parked LM
+# pair projects 147.7 + ~3.1 ≈ 151 s — a ceiling breach. The
+# prescription order applies: (a) trim — the remaining surface is
+# the PQ pair's settled proof price (the brute-force arm is already
+# shared; sharing the refine/rescore arm would touch proof
+# semantics, so expect little), (b) retire — the 114-shared set has
+# held ≤1.0× for two consecutive rounds and every row is an operator
+# proof, so retiring means moving sub-second §2.6 relational rows to
+# an exhibition list outside bench.py's registry-derived loop, or
+# (c) raise the ceiling to 155 s in BASELINE.md with this arithmetic
+# — defensible given two rounds of flat shared-set cost and a
+# registry that grew 100 → 118 while total wall grew 108.6 → ~151.
+# r13 must pick one in its first budget commit.
 #
 # Previous round (r11) for the record — PERIOD-3 ACTIVATED.
 # Registered: 114 (100 r10 names + the 13-entry r10 queue +
