@@ -142,3 +142,100 @@ def test_run_stats_matches_python_reference(spark):
         dupsum = sum(n * len(g) for g, n in cnt.items() if n > 1)
         assert out[i]["best"] == best, (i, toks, dict(out[i].asDict()))
         assert out[i]["dupsum"] == dupsum, (i, toks, dict(out[i].asDict()))
+
+
+def test_strip_boilerplate_line_rules(spark):
+    """Each line rule binds on its own planted line — short, CAPS-nav,
+    digit-heavy, bulleted — while ordinary prose survives; the kept
+    text re-joins in order; an all-boilerplate doc comes back as the
+    empty string with n_kept=0 (the edit-not-drop contract); and the
+    whole operator equals a pure-Python reference on every fixture."""
+    import re
+
+    from willa_spark.functions import corpus as C
+
+    good1 = "this is a perfectly ordinary sentence of prose text"
+    good2 = "another fine line with plenty of lowercase words here"
+    fixtures = [
+        (0, "\n".join([good1, "HOME | ABOUT | CONTACT", good2])),
+        (1, "\n".join(["too short", good1, "1) first bullet item yes",
+                       "- dashed bullet line here", good2])),
+        (2, "\n".join([good1, "129 384 4856 2025 01 17", good2])),
+        (3, "\n".join(["ALL CAPS SHOUTING HEADER LINE", "42"])),
+        (4, good1),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(fixtures, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["s"]["text"], r["s"]["n_lines"], r["s"]["n_kept"])
+        for r in df.select(
+            "doc_id", C.strip_boilerplate(F.col("text")).alias("s")
+        ).collect()
+    }
+
+    def py_keep(line):
+        words = [w for w in line.strip().split() if w]
+        letters = max(len(re.findall(r"[A-Za-z]", line)), 1)
+        upper = len(re.findall(r"[A-Z]", line))
+        digits = len(re.findall(r"[0-9]", line))
+        chars = max(len(line), 1)
+        return (
+            len(words) >= C.BP_MIN_LINE_WORDS
+            and upper / letters <= C.BP_MAX_UPPER_FRAC
+            and digits / chars <= C.BP_MAX_DIGIT_FRAC
+            and not re.match(C.BP_BULLET_RE.replace("^", ""), line.lstrip())
+        )
+
+    for i, text in fixtures:
+        lines = text.split("\n")
+        kept = [l for l in lines if py_keep(l)]
+        assert got[i] == ("\n".join(kept), len(lines), len(kept)), (i, got[i])
+    # the specific planted lines really were the ones dropped
+    assert got[0][0] == good1 + "\n" + good2
+    assert got[1][0] == good1 + "\n" + good2
+    assert got[2][0] == good1 + "\n" + good2
+    assert got[3] == ("", 2, 0)
+    assert got[4] == (good1, 1, 1)
+    assert got[5] == ("", 1, 0)
+
+
+def test_strip_boilerplate_map_only(spark):
+    """The line screen must stay a zero-exchange map stage (the
+    module's 100 TB contract)."""
+    from willa_spark.functions import corpus as C
+    from willa_spark.plans import count_exchanges
+
+    df = spark.createDataFrame([(0, "a b c d e\nF G")], "doc_id long, text string")
+    out = df.select("doc_id", C.strip_boilerplate(F.col("text")).alias("s"))
+    assert count_exchanges(out) == 0
+
+
+def test_boilerplate_strip_oracle_parity(spark):
+    """The third r13 registration candidate, parity-pinned NOW:
+    queries.q_boilerplate_strip — planted multi-line pages, full-text
+    hash-grade — vs its full DuckDB oracle."""
+    import duckdb
+
+    from willa_spark.queries import (
+        BOILERPLATE_STRIP_ORACLE,
+        q_boilerplate_strip,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = sorted(
+        (r["page_id"], r["n_lines"], r["n_kept"], r["text"])
+        for r in q_boilerplate_strip(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(BOILERPLATE_STRIP_ORACLE).fetchall()
+    )
+    assert len(got) == len(want) > 0
+    assert got == want
+    # every planted line stripped, every real line kept
+    assert all(n_lines - n_kept == 4 for _, n_lines, n_kept, _ in got)
+    assert all("HOME | ABOUT" not in t for *_, t in got)

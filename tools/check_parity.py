@@ -94,6 +94,8 @@ CANDIDATES: list[tuple[str, str, str]] = [
     # Jelinek-Mercer (teaching form) + Kneser-Ney (the KenLM form)
     ("lm_perplexity", "q_lm_perplexity", "LM_PERPLEXITY_ORACLE"),
     ("kn_perplexity", "q_kn_perplexity", "KN_PERPLEXITY_ORACLE"),
+    # the line-level boilerplate screen (planted multi-line pages)
+    ("boilerplate_strip", "q_boilerplate_strip", "BOILERPLATE_STRIP_ORACLE"),
 ]
 
 

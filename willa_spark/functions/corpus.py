@@ -364,3 +364,66 @@ def dup_line_char_frac(
         .filter(F.col("__m.n") > 0)
         .select(F.col(id_col), F.col("__m.frac").alias("dup_line_char_frac"))
     )
+
+
+# ------------------------------------------------------- line screens
+# Line-level boilerplate stripping (RefinedWeb, Penedo et al. 2023
+# §3.1.3 line-wise filters; C4's line rules, Raffel et al. 2020 §2.2;
+# the jusText idea reduced to text-only heuristics). Operates on REAL
+# newline lines — the complement of the pseudo-line DUPLICATION
+# metrics above (those catch repeated content; this catches
+# navigation/menu/counter lines that are unique but worthless).
+# Thresholds are module constants so the DuckDB oracle inlines the
+# same numbers.
+BP_MIN_LINE_WORDS = 4          # C4 drops short lines (<4 words here)
+BP_MAX_UPPER_FRAC = 0.6        # MENU / NAV / header lines
+BP_MAX_DIGIT_FRAC = 0.5        # counters, timestamps, page numbers
+BP_BULLET_RE = r"^\s*([-*•]|[0-9]+[.)])\s"  # list/nav bullets
+
+
+def line_keep(line: Column) -> Column:
+    """Boolean keep-predicate for one line — pure Column arithmetic
+    over exact integer counts (regexp_count), so the boolean is
+    engine-exact: a line survives iff it has ≥ BP_MIN_LINE_WORDS
+    words, ≤ BP_MAX_UPPER_FRAC uppercase share of its letters,
+    ≤ BP_MAX_DIGIT_FRAC digit share of its characters, and no
+    bullet/enumeration prefix."""
+    words = F.size(
+        F.filter(F.split(F.trim(line), r"\s+"), lambda t: t != "")
+    )
+    letters = F.greatest(F.regexp_count(line, F.lit(r"[A-Za-z]")), F.lit(1))
+    upper = F.regexp_count(line, F.lit(r"[A-Z]"))
+    digits = F.regexp_count(line, F.lit(r"[0-9]"))
+    chars = F.greatest(F.length(line), F.lit(1))
+    return (
+        (words >= BP_MIN_LINE_WORDS)
+        & (upper / letters <= BP_MAX_UPPER_FRAC)
+        & (digits / chars <= BP_MAX_DIGIT_FRAC)
+        & ~line.rlike(BP_BULLET_RE)
+    )
+
+
+def strip_boilerplate(text: Column) -> Column:
+    """(text, n_lines, n_kept) — the document with its boilerplate
+    lines removed (kept lines re-joined with ``\\n``) plus the
+    before/after line counts. The LINE ARRAY is lambda-bound (the
+    ``_bind_tokens`` discipline): split once per row, then the filter
+    and both counts read the bound array — pure map-only Column work,
+    zero shuffle, linear in corpus characters, so the same expression
+    runs at 100 TB. A document whose every line is boilerplate comes
+    back as the empty string with n_kept = 0 (the document-level
+    screens upstream/downstream own dropping it — this operator only
+    edits; an edit silently deleting the doc row would break
+    id-keyed joins)."""
+
+    def build(lines):
+        kept = F.filter(lines, line_keep)
+        return F.struct(
+            F.array_join(kept, "\n").alias("text"),
+            F.size(lines).alias("n_lines"),
+            F.size(kept).alias("n_kept"),
+        )
+
+    return F.element_at(
+        F.transform(F.array(F.split(text, r"\n")), build), 1
+    )
