@@ -882,3 +882,66 @@ def test_composed_pipeline_lm_admission(spark, tmp_path):
         )
     with _pytest.raises(ValueError, match="without lm_model"):
         corpus_curation_batch(mk(BATCH1), lm_scorer="jm")
+
+
+def test_composed_pipeline_line_strip(spark, tmp_path):
+    """line_strip=True prepends the boilerplate line screen in the
+    RefinedWeb order (line-wise edit BEFORE doc-wise screens): a doc
+    padded with boilerplate chrome survives the Gopher word floor
+    only WHILE the chrome counts — with the screen on, the chrome is
+    stripped first, the residue fails the doc screens, and the doc
+    drops; clean docs survive with their text unchanged; streaming
+    equals the batch twin; default (off) behavior is untouched."""
+    import os
+
+    docs = dict(DOCS)
+    # doc 6: a thin 10-word core padded to gopher-passing length by
+    # caps-heavy nav lines. Each chrome word carries a lowercase tail
+    # (so the DOC-level alpha screen passes and word count reaches the
+    # Gopher floor WITH the chrome) while each chrome LINE is >60%
+    # uppercase letters (so the LINE screen strips it); lines and
+    # words are all distinct so no repetition screen binds. Only the
+    # ordering "line-wise first" can drop this doc.
+    core = "the data and corpus have been prepared with care here"
+    chrome = [
+        f"HOME{c}x MENU{c}x BACK{c}x SITE{c}x PAGE{c}x"
+        for c in "abcdef"
+    ]
+    docs[6] = "\n".join([core] + chrome)
+
+    def mk(ids):
+        return spark.createDataFrame(
+            [(i, docs[i]) for i in ids], "doc_id bigint, text string"
+        )
+
+    grams = _eval_grams(spark)
+    # OFF: the chrome-padded doc passes (word floor met by chrome)
+    off = {
+        r["doc_id"]
+        for r in corpus_curation_batch(mk(sorted(docs)), eval_grams=grams).collect()
+    }
+    assert 6 in off
+    # ON: chrome stripped first -> 10-word residue fails gopher
+    step = corpus_curation_step(
+        os.path.join(str(tmp_path), "ls"), eval_grams=grams, line_strip=True
+    )
+    got = set()
+    for bid, batch in enumerate((BATCH1, BATCH2, BATCH3)):
+        got |= {r["doc_id"] for r in step(mk(batch), bid).collect()}
+    assert got == EXPECT_IDS - {6}, got
+    want = {
+        r["doc_id"]
+        for r in corpus_curation_batch(
+            mk(sorted(docs)), eval_grams=grams, line_strip=True
+        ).collect()
+    }
+    assert got == want
+    # survivors' stored text is the STRIPPED text (single-line docs
+    # have nothing to strip -> unchanged)
+    out = {
+        r["doc_id"]: r["text"]
+        for r in corpus_curation_batch(
+            mk(sorted(docs)), eval_grams=grams, line_strip=True
+        ).collect()
+    }
+    assert out[1] == DOCS[1]

@@ -57,13 +57,28 @@ MAX_DUP_LINE_CHAR_FRAC = 0.30
 
 
 def _screen_and_redact(
-    docs: DataFrame, id_col: str, text_col: str
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    line_strip: bool = False,
 ) -> DataFrame:
     """Stages 1-2: quality + repetition metrics in one projection
     (struct first, filter on fields second — CollapseProject will not
     re-inline the non-cheap metric structs, so each tokenization runs
     once per row), then PII redaction of the survivors. Returns
-    (id, text) with text already redacted."""
+    (id, text) with text already redacted. ``line_strip=True``
+    prepends the line-level boilerplate screen
+    (``corpus.strip_boilerplate`` — the RefinedWeb order: line-wise
+    edits BEFORE doc-wise screens, so quality metrics judge the text
+    that will actually be trained on, not its navigation chrome);
+    it fuses into the same map-only projection chain, zero extra
+    shuffle."""
+    if line_strip:
+        from ..functions.corpus import strip_boilerplate
+
+        docs = docs.withColumn(
+            text_col, strip_boilerplate(F.col(text_col))["text"]
+        )
     t = F.col(text_col)
     enriched = docs.select(
         F.col(id_col),
@@ -339,6 +354,7 @@ def corpus_curation_step(
     lm_model: DataFrame | None = None,
     lm_max_ppl: float | None = None,
     lm_scorer: str = "kn",
+    line_strip: bool = False,
 ) -> Callable[[DataFrame, int], DataFrame]:
     """The composed foreachBatch step; returns
     ``(batch_df, batch_id) -> admitted_df`` (id + redacted text). Wire
@@ -373,6 +389,11 @@ def corpus_curation_step(
     screen with no threshold is a config error, never a silent
     pass-through), after the classifier screen and before dedup;
     ``lm_scorer`` picks Kneser-Ney ("kn") or Jelinek-Mercer ("jm").
+    ``line_strip=True`` prepends the line-level boilerplate screen
+    (``corpus.strip_boilerplate``) BEFORE the document screens — the
+    RefinedWeb order, so quality metrics judge the text that will be
+    trained on, not its navigation chrome; map-only, fused into the
+    screen projection.
     All screens are stateless per batch against their static
     frames/weights, so batch ≡ streaming congruity holds
     structurally.
@@ -454,7 +475,9 @@ def corpus_curation_step(
             store_compact_every(
                 batch_df.sparkSession, [(out_dir, None)], batch_id, compact_every
             )
-        clean = _screen_and_redact(batch_df, id_col, text_col)
+        clean = _screen_and_redact(
+            batch_df, id_col, text_col, line_strip=line_strip
+        )
         clean = _decontaminate(
             clean, eval_grams, decontam_n, decontam_max_hits, id_col, text_col
         )
@@ -828,6 +851,7 @@ def corpus_curation_batch(
     lm_model: DataFrame | None = None,
     lm_max_ppl: float | None = None,
     lm_scorer: str = "kn",
+    line_strip: bool = False,
 ) -> DataFrame:
     """The batch twin of ``corpus_curation_step`` over a full corpus:
     identical screens/redaction/decontamination expressions (exact AND
@@ -879,7 +903,7 @@ def corpus_curation_batch(
         lm_model, lm_max_ppl, lm_scorer, id_col, text_col,
         "corpus_curation_batch",
     )
-    clean = _screen_and_redact(docs, id_col, text_col)
+    clean = _screen_and_redact(docs, id_col, text_col, line_strip=line_strip)
     clean = _decontaminate(
         clean, eval_grams, decontam_n, decontam_max_hits, id_col, text_col
     )
