@@ -467,3 +467,52 @@ def test_make_bigram_scorer_matches_one_shot(spark):
     )
     with pytest.raises(Exception, match="discount is 0"):
         LM.make_bigram_scorer(dup, scorer="kn")
+
+
+def test_lm_empty_model_fails_loud(spark):
+    """An EMPTY model frame (bad training path / over-filtered
+    snapshot) fails loud from every entry point — r12 review,
+    verified live: unguarded, KN scored every doc ppl=1.0
+    (admit-all) while JM's NULL totals made every ppl NULL
+    (drop-all), both silent."""
+    empty = LM.bigram_lm_train(
+        spark.createDataFrame([], "doc_id long, text string")
+    )
+    probe = spark.createDataFrame([(0, "the cat")], "doc_id long, text string")
+    with pytest.raises(Exception, match="EMPTY model"):
+        LM.bigram_perplexity(probe, empty).collect()
+    with pytest.raises(Exception, match="EMPTY model"):
+        LM.kn_bigram_perplexity(probe, empty).collect()
+    with pytest.raises(Exception, match="EMPTY model"):
+        LM.make_bigram_scorer(empty)  # construction-time (eager pin)
+
+
+def test_make_bigram_scorer_cross_knobs_fail_loud(spark):
+    """Cross-scorer knobs are config errors, not silent no-ops: lam
+    with kn, discount with jm; and the degenerate-discount remedy is
+    REACHABLE through the deployment entry points (discount plumbs
+    through lm_perplexity_step and the composed pipeline)."""
+    from willa_spark.streaming.selection import lm_perplexity_step
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TRAIN)], "doc_id long, text string"
+    )
+    model = LM.bigram_lm_train(df)
+    with pytest.raises(ValueError, match="Jelinek-Mercer knob"):
+        LM.make_bigram_scorer(model, scorer="kn", lam=0.5)
+    with pytest.raises(ValueError, match="Kneser-Ney knob"):
+        LM.make_bigram_scorer(model, scorer="jm", discount=0.75)
+    # the degenerate model is rescuable via the step's discount knob
+    dup_model = LM.bigram_lm_train(
+        spark.createDataFrame(
+            [(0, "the the"), (1, "the the")], "doc_id long, text string"
+        )
+    )
+    with pytest.raises(Exception, match="discount is 0"):
+        lm_perplexity_step(dup_model, scorer="kn")
+    step = lm_perplexity_step(dup_model, scorer="kn", discount=0.75)
+    probe = spark.createDataFrame([(0, "cat")], "doc_id long, text string")
+    got = step(probe, 0).collect()[0]
+    big, _, _ = _py_model(["the the", "the the"])
+    _, ppl = _py_kn_ppl("cat", big, discount=0.75)
+    assert got["ppl"] == pytest.approx(ppl, rel=1e-12)

@@ -388,9 +388,10 @@ def line_keep(line: Column) -> Column:
     words, ≤ BP_MAX_UPPER_FRAC uppercase share of its letters,
     ≤ BP_MAX_DIGIT_FRAC digit share of its characters, and no
     bullet/enumeration prefix."""
-    words = F.size(
-        F.filter(F.split(F.trim(line), r"\s+"), lambda t: t != "")
-    )
+    # the module's ONE tokenization (n_words) — lower-casing is
+    # count-irrelevant, and a second copy of the split would let the
+    # line-level word floor drift from the document metrics
+    words = n_words(line)
     letters = F.greatest(F.regexp_count(line, F.lit(r"[A-Za-z]")), F.lit(1))
     upper = F.regexp_count(line, F.lit(r"[A-Z]"))
     digits = F.regexp_count(line, F.lit(r"[0-9]"))

@@ -129,10 +129,29 @@ def bigram_lm_train(
 def _model_totals(model: DataFrame) -> DataFrame:
     """1-row (T, V) derived from the model frame — T = total
     transitions, V = distinct target-vocabulary size (includes EOS;
-    BOS is context-only by construction)."""
+    BOS is context-only by construction). An EMPTY model fails LOUD
+    in-plan (r12 review, verified live: unguarded, a 0-row model made
+    KN score every doc ppl = 1.0 — admit-all — while JM's NULL totals
+    made every ppl NULL — drop-all; both silent). The guard evaluates
+    at ``make_bigram_scorer`` construction (eager pin) or on the
+    one-shot scorers' first action."""
     return model.agg(
         F.sum("c12").cast("double").alias("__T"),
         F.count_distinct("w2").cast("double").alias("__V"),
+    ).select(
+        F.when(F.col("__T").isNotNull() & (F.col("__T") > 0), F.col("__T"))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "bigram LM: EMPTY model frame — nothing to score "
+                    "(bad training path or over-filtered snapshot?); "
+                    "an unguarded empty model admits or drops EVERY "
+                    "doc silently"
+                )
+            ).cast("double")
+        )
+        .alias("__T"),
+        "__V",
     )
 
 
@@ -193,7 +212,10 @@ def _kn_plan(model: DataFrame, alpha: float, discount: float | None) -> dict:
         raise ValueError(
             f"kn_bigram_perplexity: discount must be in (0, 1), got "
             f"{discount} — D = 0 assigns ZERO mass to unseen bigrams "
-            "(log(0) legs), D >= 1 makes observed singletons negative"
+            "(log(0) legs); D >= 1 clamps every 1-count bigram's "
+            "discounted term to 0 (the clamp, not negativity — the "
+            "mass shifts entirely to backoff), which the standard "
+            "bigram-KN estimate n1/(n1+2·n2) never does"
         )
     a_ = float(alpha)
     d_raw = (
@@ -210,7 +232,19 @@ def _kn_plan(model: DataFrame, alpha: float, discount: float | None) -> dict:
         F.sum((F.col("c12") == 1).cast("double")).alias("__n1"),
         F.sum((F.col("c12") == 2).cast("double")).alias("__n2"),
     ).select(
-        "__NT",
+        # empty-model guard — same failure class as _model_totals
+        # (0-row model: every join misses, λ→1, P_cont→1, ppl=1.0
+        # admit-all — r12 review, verified live)
+        F.when(F.col("__NT") > 0, F.col("__NT"))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "bigram LM: EMPTY model frame — nothing to score "
+                    "(bad training path or over-filtered snapshot?)"
+                )
+            ).cast("double")
+        )
+        .alias("__NT"),
         "__V",
         F.when(d_raw > 0, d_raw)
         .otherwise(
@@ -425,6 +459,21 @@ def make_bigram_scorer(
         raise ValueError(
             f"make_bigram_scorer: unknown scorer {scorer!r} "
             "(jm = Jelinek-Mercer, kn = Kneser-Ney)"
+        )
+    # cross-scorer knobs fail LOUD (r12 review: a kn caller passing
+    # lam had it silently ignored — the screen-config convention says
+    # a knob with nothing to act on is a config error)
+    if scorer == "kn" and lam != DEFAULT_LAMBDA:
+        raise ValueError(
+            "make_bigram_scorer: lam is a Jelinek-Mercer knob — "
+            "Kneser-Ney has no interpolation weight (its discount "
+            "mass is D-derived); pass discount= instead"
+        )
+    if scorer == "jm" and discount is not None:
+        raise ValueError(
+            "make_bigram_scorer: discount is a Kneser-Ney knob — "
+            "Jelinek-Mercer interpolates with lam, not an absolute "
+            "discount"
         )
     model = model.localCheckpoint(eager=True)
     plan = (

@@ -5960,8 +5960,9 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # an exhibition list outside bench.py's registry-derived loop, or
 # (c) raise the ceiling to 155 s in BASELINE.md with this arithmetic
 # — defensible given two rounds of flat shared-set cost and a
-# registry that grew 100 → 118 while total wall grew 108.6 → ~151.
-# r13 must pick one in its first budget commit.
+# registry that would stand at 119 (116 + the 3-candidate queue)
+# while total wall grew 108.6 (r10, registry 100) → ~152. r13 must
+# pick one in its first budget commit.
 #
 # Previous round (r11) for the record — PERIOD-3 ACTIVATED.
 # Registered: 114 (100 r10 names + the 13-entry r10 queue +

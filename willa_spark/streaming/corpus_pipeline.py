@@ -259,6 +259,7 @@ def _lm_scorer_or_none(
     id_col: str,
     text_col: str,
     where: str,
+    discount: float | None = None,
 ):
     """ONE construction-time validator + builder for the LM screen —
     lives here so every caller (both composers AND any direct
@@ -272,11 +273,11 @@ def _lm_scorer_or_none(
     off) or the frozen ``lm.make_bigram_scorer`` closure — model
     pinned and vocab-sized logp tables built ONCE, never per batch."""
     if model is None:
-        if max_ppl is not None or scorer != "kn":
+        if max_ppl is not None or scorer != "kn" or discount is not None:
             raise ValueError(
-                f"{where}: lm_max_ppl/lm_scorer set without lm_model — "
-                "the LM screen would silently not run; pass the "
-                "bigram_lm_train frame or drop the knobs"
+                f"{where}: lm_max_ppl/lm_scorer/lm_discount set without "
+                "lm_model — the LM screen would silently not run; pass "
+                "the bigram_lm_train frame or drop the knobs"
             )
         return None
     if max_ppl is None:
@@ -294,7 +295,8 @@ def _lm_scorer_or_none(
     from ..functions.lm import make_bigram_scorer
 
     return make_bigram_scorer(
-        model, scorer=scorer, id_col=id_col, text_col=text_col
+        model, scorer=scorer, discount=discount,
+        id_col=id_col, text_col=text_col,
     )
 
 
@@ -354,6 +356,7 @@ def corpus_curation_step(
     lm_model: DataFrame | None = None,
     lm_max_ppl: float | None = None,
     lm_scorer: str = "kn",
+    lm_discount: float | None = None,
     line_strip: bool = False,
 ) -> Callable[[DataFrame, int], DataFrame]:
     """The composed foreachBatch step; returns
@@ -388,7 +391,9 @@ def corpus_curation_step(
     admission at ``ppl ≤ lm_max_ppl`` (REQUIRED with the model — a
     screen with no threshold is a config error, never a silent
     pass-through), after the classifier screen and before dedup;
-    ``lm_scorer`` picks Kneser-Ney ("kn") or Jelinek-Mercer ("jm").
+    ``lm_scorer`` picks Kneser-Ney ("kn") or Jelinek-Mercer ("jm");
+    ``lm_discount`` overrides KN's estimated discount (the remedy the
+    degenerate-discount error prescribes — reachable from here).
     ``line_strip=True`` prepends the line-level boilerplate screen
     (``corpus.strip_boilerplate``) BEFORE the document screens — the
     RefinedWeb order, so quality metrics judge the text that will be
@@ -455,7 +460,7 @@ def corpus_curation_step(
         )
     lm_score = _lm_scorer_or_none(
         lm_model, lm_max_ppl, lm_scorer, id_col, text_col,
-        "corpus_curation_step",
+        "corpus_curation_step", discount=lm_discount,
     )
     dedup = minhash_dedup_step(
         dedup_store_dir,
@@ -851,6 +856,7 @@ def corpus_curation_batch(
     lm_model: DataFrame | None = None,
     lm_max_ppl: float | None = None,
     lm_scorer: str = "kn",
+    lm_discount: float | None = None,
     line_strip: bool = False,
 ) -> DataFrame:
     """The batch twin of ``corpus_curation_step`` over a full corpus:
@@ -901,7 +907,7 @@ def corpus_curation_batch(
         sem_pin = clf_pin = lm_pin = _pin_local
     lm_score = _lm_scorer_or_none(
         lm_model, lm_max_ppl, lm_scorer, id_col, text_col,
-        "corpus_curation_batch",
+        "corpus_curation_batch", discount=lm_discount,
     )
     clean = _screen_and_redact(docs, id_col, text_col, line_strip=line_strip)
     clean = _decontaminate(

@@ -336,6 +336,7 @@ def lm_perplexity_step(
     id_col: str = "doc_id",
     text_col: str = "text",
     scorer: str = "jm",
+    discount: float | None = None,
 ) -> Callable[[DataFrame, int], DataFrame]:
     """foreachBatch step: ``(batch_df, batch_id) -> (id,
     n_transitions, ppl)`` under a FROZEN sequential bigram LM (the
@@ -352,7 +353,10 @@ def lm_perplexity_step(
     replay-idempotent by construction. ``max_ppl`` turns scoring
     into admission — the CCNet deployment (keep the head/middle of
     the perplexity distribution). ``scorer`` picks Jelinek-Mercer
-    ("jm", default — ``lam`` applies) or Kneser-Ney ("kn")."""
+    ("jm", default — ``lam`` applies) or Kneser-Ney ("kn" —
+    ``discount`` applies; the remedy the degenerate-discount error
+    prescribes is reachable from here); cross-scorer knobs fail loud
+    in ``make_bigram_scorer``."""
     from ..functions.lm import DEFAULT_ALPHA, DEFAULT_LAMBDA, make_bigram_scorer
 
     score = make_bigram_scorer(
@@ -360,6 +364,7 @@ def lm_perplexity_step(
         scorer=scorer,
         lam=DEFAULT_LAMBDA if lam is None else float(lam),
         alpha=DEFAULT_ALPHA if alpha is None else float(alpha),
+        discount=discount,
         id_col=id_col,
         text_col=text_col,
     )
