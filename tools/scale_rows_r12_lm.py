@@ -1,4 +1,5 @@
-"""Pre-registration 10x scale rows for the r13 queue (the PQ price
+"""Pre-registration 10x scale rows for the r13 queue (lm_perplexity,
+kn_perplexity, boilerplate_strip) (the PQ price
 lesson: measure BEFORE the registering round must decide):
 lm_perplexity and kn_perplexity at sf0.1 vs .derived/sf1. Both are
 the dsir_weights class — one corpus explode + vocabulary-sized model
@@ -43,6 +44,7 @@ def main():
     for name, fn in (
         ("lm_perplexity", Q.q_lm_perplexity),
         ("kn_perplexity", Q.q_kn_perplexity),
+        ("boilerplate_strip", Q.q_boilerplate_strip),
     ):
         row = {}
         for label, sf in (
