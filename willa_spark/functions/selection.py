@@ -572,9 +572,17 @@ def kl_divergence_profile(
     per_group = g.groupBy("__grp", "feature").agg(
         F.count(F.lit(1)).alias("__cg")
     )
-    # corpus counts DERIVE from the per-group frame — the corpus
-    # enters once, and this second agg works the (groups x vocab)
-    # table, not the corpus
+    # PIN the (group, gram) frame: everything downstream — corpus
+    # counts, the group list, totals, the generate-join — derives
+    # from it, and Spark does not reuse subtrees, so unpinned each
+    # consumer re-ran the corpus explode + agg (the r12 plan audit
+    # measured 8 corpus scans / 27 exchanges on the truncated path;
+    # 2 scans / 10 exchanges after the pin). The frame is
+    # groups × vocabulary-sized — the docstring's "the corpus enters
+    # once" claim is this pin.
+    per_group = per_group.localCheckpoint(eager=True)
+    # corpus counts DERIVE from the per-group frame — this second agg
+    # works the (groups x vocab) table, not the corpus
     corpus = per_group.groupBy("feature").agg(F.sum("__cg").alias("__c"))
     if min_count > 1:
         corpus = corpus.filter(F.col("__c") >= min_count)
