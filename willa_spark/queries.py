@@ -5946,23 +5946,17 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registering n new rows must show the projection BEFORE its first
 # registration commit.
 #
-# r13 PRE-STAGED BUDGET DECISION (priced now so the registering
+# r13 PRE-STAGED BUDGET ARITHMETIC (priced now so the registering
 # round decides with numbers, not hope): registering the parked
 # three-candidate queue (lm_perplexity 1.48 s + kn_perplexity
 # 1.65 s + boilerplate_strip 0.85 s, all quiet-host pre-measures)
-# projects 147.7 + ~4.0 ≈ 152 s — a ceiling breach. The
-# prescription order applies: (a) trim — the remaining surface is
-# the PQ pair's settled proof price (the brute-force arm is already
-# shared; sharing the refine/rescore arm would touch proof
-# semantics, so expect little), (b) retire — the 114-shared set has
-# held ≤1.0× for two consecutive rounds and every row is an operator
-# proof, so retiring means moving sub-second §2.6 relational rows to
-# an exhibition list outside bench.py's registry-derived loop, or
-# (c) raise the ceiling to 155 s in BASELINE.md with this arithmetic
-# — defensible given two rounds of flat shared-set cost and a
-# registry that would stand at 119 (116 + the 3-candidate queue)
-# while total wall grew 108.6 (r10, registry 100) → ~152. r13 must
-# pick one in its first budget commit.
+# projects 139.4 (the r12 FINAL closing bench, after the kl_profile
+# multi-consumer pin bought back ~1.4 s and beat the r11 record
+# despite two more rows) + ~4.0 ≈ 143 s — UNDER the 150 s ceiling
+# with ~7 s of headroom. No trim/retire/raise decision is forced;
+# if r13 registers anything beyond the queue, re-run this
+# arithmetic first (the prescription order above applies at a
+# projected breach). Registry after the queue: 119.
 #
 # Previous round (r11) for the record — PERIOD-3 ACTIVATED.
 # Registered: 114 (100 r10 names + the 13-entry r10 queue +
