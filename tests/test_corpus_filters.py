@@ -239,3 +239,18 @@ def test_boilerplate_strip_oracle_parity(spark):
     # every planted line stripped, every real line kept
     assert all(n_lines - n_kept == 4 for _, n_lines, n_kept, _ in got)
     assert all("HOME | ABOUT" not in t for *_, t in got)
+
+
+def test_strip_boilerplate_null_text_fails_loud(spark):
+    """NULL text raises in-plan (r12 advice): split(NULL) -> NULL
+    struct would silently drop the doc at the downstream document
+    screens — the exact silent delete the operator's edit-not-drop
+    contract forbids (the transition_pairs / roc_auc convention)."""
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        [(0, "a real line with plenty of words"), (1, None)],
+        "doc_id long, text string",
+    )
+    with _pt.raises(Exception, match="NULL text"):
+        df.select(C.strip_boilerplate(F.col("text")).alias("s")).collect()

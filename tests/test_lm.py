@@ -516,3 +516,55 @@ def test_make_bigram_scorer_cross_knobs_fail_loud(spark):
     big, _, _ = _py_model(["the the", "the the"])
     _, ppl = _py_kn_ppl("cat", big, discount=0.75)
     assert got["ppl"] == pytest.approx(ppl, rel=1e-12)
+
+
+def test_lm_above_gate_hash_join_path(spark):
+    """The 100 TB claim at the module header ("broadcast under
+    BROADCAST_MODEL_MAX_ROWS, hash-joins above it") as a TEST, not
+    documentation (r12 verdict #3): scoring with broadcast_max_rows=0
+    — the plan a web-scale bigram table too big for one executor
+    actually runs — must (a) contain NO BroadcastHashJoin for the
+    model-table joins (the 1-row scalar crossJoin is exempt: it is
+    explicitly F.broadcast and bounded by construction), and (b)
+    agree with the broadcast path at the registered row's 6dp
+    contract AND to 1e-12 relative, for BOTH scorers. NOT
+    bit-identity: the shuffle join scatters a doc's transitions
+    across partitions by join key, so the per-doc partial-agg sum
+    folds in a different order than the broadcast path's
+    partition-local order, and IEEE addition is non-associative —
+    measured drift is last-ulp (~1e-13 rel), which is exactly why
+    every registered ppl rounds to 6dp before hashing (the
+    sum-order discipline, q_lm_perplexity docstring)."""
+    from willa_spark.plans import physical_plan
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TRAIN)], "doc_id long, text string"
+    )
+    model = LM.bigram_lm_train(df).localCheckpoint(eager=True)
+    probe = spark.createDataFrame(
+        [(0, "the cat sat quietly"), (1, "zebra jumps over fences"), (2, "")],
+        "doc_id long, text string",
+    )
+    for name, fn in (
+        ("jm", LM.bigram_perplexity),
+        ("kn", LM.kn_bigram_perplexity),
+    ):
+        wide = fn(probe, model, broadcast_max_rows=0, model_pinned=True)
+        narrow = fn(probe, model, model_pinned=True)
+        # plan pin: with the gate at 0 every model-table join must be
+        # a shuffle join. AQE can still plan BroadcastHashJoin for the
+        # tiny fixture at RUNTIME, so pin the pre-AQE static plan and
+        # count its broadcast joins: only the bounded 1-row scalar
+        # crossJoins (explicit F.broadcast) may appear as
+        # BroadcastNestedLoopJoin; zero equi BroadcastHashJoin.
+        plan = physical_plan(wide)
+        assert "BroadcastHashJoin" not in plan, name
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, name
+        # the broadcast path really broadcasts (the gate is live)
+        assert "BroadcastHashJoin" in physical_plan(narrow), name
+        got = sorted(tuple(r) for r in wide.collect())
+        want = sorted(tuple(r) for r in narrow.collect())
+        assert [g[:2] for g in got] == [w[:2] for w in want], name
+        for g, w in zip(got, want):
+            assert g[2] == pytest.approx(w[2], rel=1e-12), name
+            assert round(g[2], 6) == round(w[2], 6), name  # the 6dp contract

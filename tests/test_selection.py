@@ -885,3 +885,48 @@ def test_dsir_calibration_oracle_parity(spark, sf_dir):
     # the squashed DSIR signal should be directionally calibrated:
     # the top occupied bin's frac_pos exceeds the bottom one's
     assert got[-1][3] > got[0][3]
+
+
+def test_kl_profile_pin_hatch(spark):
+    """The ``pin`` escape hatch (r12 advice): the default eager
+    localCheckpoint is a CALL-TIME corpus-scale job + session-long
+    executor residency, so batch-twin/100 TB callers can re-point the
+    (group, gram) materialization — a custom pin callable is invoked
+    exactly once with that frame, and an identity (lazy) pin produces
+    identical results to the default."""
+    rows = [
+        (0, "a", "x y x y"),
+        (1, "a", "x y y z"),
+        (2, "b", "p q p q"),
+        (3, "b", "p q z z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    bases = {}
+    for knobs in ({}, {"top_v": 3, "min_count": 1}):
+        base = bases[bool(knobs)] = sorted(
+            tuple(r)
+            for r in SEL.kl_divergence_profile(
+                df, group_col="lang", ns=(1,), **knobs
+            ).collect()
+        )
+        lazy = sorted(
+            tuple(r)
+            for r in SEL.kl_divergence_profile(
+                df, group_col="lang", ns=(1,), pin=lambda d: d, **knobs
+            ).collect()
+        )
+        assert lazy == base, knobs
+    calls = []
+
+    def counting_pin(d):
+        calls.append(d.columns)
+        return d.localCheckpoint(eager=True)
+
+    got = sorted(
+        tuple(r)
+        for r in SEL.kl_divergence_profile(
+            df, group_col="lang", ns=(1,), pin=counting_pin
+        ).collect()
+    )
+    assert got == bases[False]  # the un-knobbed profile, exactly
+    assert calls == [["__grp", "feature", "__cg"]]  # once, THE frame

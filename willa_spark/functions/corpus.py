@@ -415,7 +415,21 @@ def strip_boilerplate(text: Column) -> Column:
     back as the empty string with n_kept = 0 (the document-level
     screens upstream/downstream own dropping it — this operator only
     edits; an edit silently deleting the doc row would break
-    id-keyed joins)."""
+    id-keyed joins). NULL text fails LOUD in-plan (the
+    transition_pairs / roc_auc convention, r12 advice: split(NULL)
+    is NULL, so the struct would come back NULL and the doc would
+    silently fall out at the downstream doc screens — exactly the
+    silent delete this operator's contract forbids)."""
+    checked = F.when(
+        text.isNull(),
+        F.raise_error(
+            F.lit(
+                "strip_boilerplate: NULL text — impute or filter "
+                "upstream; a NULL doc would return a NULL struct and "
+                "silently vanish at the downstream document screens"
+            )
+        ).cast("string"),
+    ).otherwise(text)
 
     def build(lines):
         kept = F.filter(lines, line_keep)
@@ -426,5 +440,5 @@ def strip_boilerplate(text: Column) -> Column:
         )
 
     return F.element_at(
-        F.transform(F.array(F.split(text, r"\n")), build), 1
+        F.transform(F.array(F.split(checked, r"\n")), build), 1
     )

@@ -167,8 +167,14 @@ def _jm_plan(model: DataFrame, lam: float, alpha: float) -> dict:
     """Jelinek-Mercer scoring plan over a PINNED model frame: the
     vocabulary-sized logp tables + the per-transition lp expression.
     Operand order matches per-transition math exactly, so the value
-    is bit-identical to computing p per row."""
+    is bit-identical to computing p per row. The backoff weight is
+    derived ONCE as back_ = 1.0 - lam_ and the DuckDB oracle spells
+    the same subtraction (``(1 - 0.8)``, never the literal ``0.2``):
+    1.0 - 0.8 and 0.2 differ by 1 ulp in IEEE doubles, so a literal
+    on one side would leave the cross-engine 6dp parity hanging on
+    that ulp never landing on a rounding boundary (r12 advice)."""
     lam_, a_ = float(lam), float(alpha)
+    back_ = 1.0 - lam_
     totals = _model_totals(model)
     denom = F.col("__T") + a_ * (F.col("__V") + 1.0)
     obs = model.crossJoin(F.broadcast(totals)).select(
@@ -176,7 +182,7 @@ def _jm_plan(model: DataFrame, lam: float, alpha: float) -> dict:
         "w2",
         F.log(
             lam_ * (F.col("c12").cast("double") / F.col("c_ctx"))
-            + (1.0 - lam_) * ((F.col("c_tgt") + a_) / denom)
+            + back_ * ((F.col("c_tgt") + a_) / denom)
         ).alias("__lp_obs"),
     )
     back = (
@@ -185,12 +191,12 @@ def _jm_plan(model: DataFrame, lam: float, alpha: float) -> dict:
         .crossJoin(F.broadcast(totals))
         .select(
             "w2",
-            F.log((1.0 - lam_) * ((F.col("c_tgt") + a_) / denom)).alias(
+            F.log(back_ * ((F.col("c_tgt") + a_) / denom)).alias(
                 "__lp_back"
             ),
         )
     )
-    floor_lp = F.log((1.0 - lam_) * (a_ / denom))
+    floor_lp = F.log(back_ * (a_ / denom))
     return {
         "joins": [(obs, ["w1", "w2"]), (back, ["w2"])],
         "scalars": totals,

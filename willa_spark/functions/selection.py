@@ -512,6 +512,7 @@ def kl_divergence_profile(
     text_col: str = "text",
     top_v: int | None = None,
     min_count: int = 1,
+    pin=None,
 ) -> DataFrame:
     """(group, n_grams, kl_to_corpus) — each stratum's smoothed
     KL divergence from the whole-corpus gram distribution, the
@@ -546,7 +547,15 @@ def kl_divergence_profile(
     (NOT an approximation of the full-vocab profile; the truncated
     space is the monitoring contract, like DSIR's hashed buckets).
     Truncation filters the vocabulary-sized frame, never re-touches
-    the corpus; with both at their defaults the plan is unchanged."""
+    the corpus; with both at their defaults the plan is unchanged.
+
+    ``pin`` (default None → eager localCheckpoint) is the
+    multi-consumer materialization hook for the (group, gram) frame
+    — the default runs a corpus-scale job at CALL time and holds
+    executor-storage residency for the session; a 100 TB / batch-twin
+    caller passes a parquet-spill pin (the ``corpus_pipeline``
+    ``spill_dir`` pattern) or ``lambda df: df`` to stay lazy and
+    accept the per-consumer re-derivation (r12 advice)."""
     checked_group = F.when(
         F.col(group_col).isNull(),
         F.raise_error(
@@ -579,8 +588,16 @@ def kl_divergence_profile(
     # measured 8 corpus scans / 27 exchanges on the truncated path;
     # 2 scans / 10 exchanges after the pin). The frame is
     # groups × vocabulary-sized — the docstring's "the corpus enters
-    # once" claim is this pin.
-    per_group = per_group.localCheckpoint(eager=True)
+    # once" claim is this pin. ``pin`` (the corpus_pipeline pin=
+    # pattern, r12 advice) lets a 100 TB/batch-twin caller re-point
+    # the materialization at a parquet stage spill, or pass an
+    # identity callable to stay fully lazy (accepting the
+    # re-derivation) — the default eager localCheckpoint executes a
+    # corpus-scale job AT CALL TIME and holds executor-storage
+    # residency for the session.
+    per_group = (
+        per_group.localCheckpoint(eager=True) if pin is None else pin(per_group)
+    )
     # corpus counts DERIVE from the per-group frame — this second agg
     # works the (groups x vocab) table, not the corpus
     corpus = per_group.groupBy("feature").agg(F.sum("__cg").alias("__c"))

@@ -4663,8 +4663,11 @@ FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 2000
 # query set the wrong ground truth on a silent cache hit — the key
 # must provably cover every input). Keyed by applicationId so a
 # fresh session (driver gate, tests) never reads another session's
-# pinned lineage; entries are ≤200 tiny rows and never evicted —
-# bounded by the handful of (sf_dir, k) pairs a process touches.
+# pinned lineage; entries are ≤200 tiny rows, and inserts evict any
+# key from a DIFFERENT applicationId (r12 advice: a stopped app's
+# entries referenced dead-SparkContext checkpoints for the process
+# lifetime) — live size stays bounded by the handful of (sf_dir, k)
+# pairs the CURRENT session touches.
 _EXACT_ARM_CACHE: dict[tuple[str, str, int], DataFrame] = {}
 
 
@@ -4684,10 +4687,17 @@ def _ann_band_inputs(spark: SparkSession, sf_dir: str):
 def _exact_arm(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     from .functions.similarity import brute_force_topk
 
-    key = (spark.sparkContext.applicationId, sf_dir, k)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, k)
     hit = _EXACT_ARM_CACHE.get(key)
     if hit is not None:
         return hit
+    # evict other sessions' entries on insert (r12 advice): a stopped
+    # application's keys would otherwise reference localCheckpointed
+    # frames of a dead SparkContext for the process lifetime — dead
+    # weight pinning driver-side references (tests cycle sessions)
+    for stale in [k_ for k_ in _EXACT_ARM_CACHE if k_[0] != app_id]:
+        del _EXACT_ARM_CACHE[stale]
     emb, q = _ann_band_inputs(spark, sf_dir)
     exact = (
         brute_force_topk(emb, q, k=k)
@@ -5638,8 +5648,11 @@ WITH t AS (
   FROM big
 ), sc AS (
   SELECT d.doc_id,
+         -- (1 - 0.8), NOT the literal 0.2: _jm_plan derives the
+         -- backoff weight as 1.0 - lam_, and the two differ by 1 ulp
+         -- in IEEE doubles — both engines must spell the subtraction
          ln(0.8 * coalesce(CAST(b.c12 AS DOUBLE) / c.c_ctx, 0.0)
-            + 0.2 * ((coalesce(g.c_tgt, 0) + 1e-4)
+            + (1 - 0.8) * ((coalesce(g.c_tgt, 0) + 1e-4)
                      / (tot.T + 1e-4 * (tot.V + 1.0)))) AS lp
   FROM tr d
   LEFT JOIN big b ON d.w1 = b.w1 AND d.w2 = b.w2
