@@ -90,12 +90,9 @@ def norm_rows(cols, types, rows):
 # pre-flight and the policy block cannot drift silently (the list is
 # asserted against queries.py at run time: a missing attr fails loud).
 CANDIDATES: list[tuple[str, str, str]] = [
-    # the r13 queue (parked r12): the sequential bigram-LM family —
-    # Jelinek-Mercer (teaching form) + Kneser-Ney (the KenLM form)
-    ("lm_perplexity", "q_lm_perplexity", "LM_PERPLEXITY_ORACLE"),
-    ("kn_perplexity", "q_kn_perplexity", "KN_PERPLEXITY_ORACLE"),
-    # the line-level boilerplate screen (planted multi-line pages)
-    ("boilerplate_strip", "q_boilerplate_strip", "BOILERPLATE_STRIP_ORACLE"),
+    # (the r12 queue — lm_perplexity / kn_perplexity /
+    # boilerplate_strip — REGISTERED r13 and pre-flighted through the
+    # main gate now; the r14 queue parks below as it lands)
 ]
 
 

@@ -5613,8 +5613,8 @@ def q_selection_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
-# FIRST r13 REGISTRATION CANDIDATE (parked r12 under the
-# parked-with-oracle discipline): per-document conditional perplexity
+# FIRST r13 REGISTRATION (parked r12 under the parked-with-oracle
+# discipline, REGISTERED r13 — r12 verdict #1): per-document conditional perplexity
 # under a corpus-trained sequential bigram LM (functions/lm.py — the
 # CCNet / KenLM quality signal, Wenzek et al. 2020 §3.3; distinct
 # from perplexity_bands' bag-of-grams cross-entropy: this conditions
@@ -5666,6 +5666,7 @@ FROM sc GROUP BY 1
 """
 
 
+@query("lm_perplexity", oracle=LM_PERPLEXITY_ORACLE)
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document conditional perplexity under the corpus's own
     sequential bigram LM (functions/lm.py::bigram_lm_train +
@@ -5689,7 +5690,7 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
-# SECOND r13 REGISTRATION CANDIDATE (parked r12): interpolated
+# SECOND r13 REGISTRATION (parked r12, registered r13): interpolated
 # Kneser-Ney perplexity over the same bigram model frame — the
 # smoothing KenLM actually ships (Chen & Goodman 1999), so with this
 # row the LM family covers both the teaching form (Jelinek-Mercer)
@@ -5760,6 +5761,7 @@ FROM sc GROUP BY 1
 """
 
 
+@query("kn_perplexity", oracle=KN_PERPLEXITY_ORACLE)
 def q_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document interpolated Kneser-Ney perplexity under the
     corpus's own bigram model (functions/lm.py::kn_bigram_perplexity
@@ -5785,7 +5787,7 @@ def q_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
-# THIRD r13 REGISTRATION CANDIDATE (parked r12): line-level
+# THIRD r13 REGISTRATION (parked r12, registered r13): line-level
 # boilerplate stripping (RefinedWeb §3.1.3 / C4 line rules — the
 # navigation/menu/counter screen). The synthetic corpus has no
 # newlines, so the row uses the planted-construction convention:
@@ -5831,6 +5833,7 @@ FROM kept
 """
 
 
+@query("boilerplate_strip", oracle=BOILERPLATE_STRIP_ORACLE)
 def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-level boilerplate stripping (functions/corpus.py::
     strip_boilerplate — the RefinedWeb/C4 line screen: short lines,
@@ -5883,165 +5886,121 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so every DISTINCT operator proof must land inside that window.
 #
 # ROTATION POLICY (VERDICT r03 #2): the omit set rotates each round so
-# every registered query regains a green driver row within two rounds.
-# Every oracle-bearing omitted name below stays DuckDB-parity-pinned by
+# every registered query regains a green driver row on its period-3
+# due date. Every oracle-bearing omitted name below stays DuckDB-
+# parity-pinned by
 # tests/test_curation.py::test_omitted_relational_parity (computed
 # FROM this set, so the pin rotates automatically).
 #
-# Round 12 rotation (period-3, activated r11: a name last green in
-# round k is due k+3, resting TWO rounds). Registered queries: 116 =
-# the 114 r11 names + the two r12 registrations selection_auc and
-# dsir_calibration (parked r11 with full oracles, parity-pinned by
-# tests/test_selection.py::test_selection_auc_oracle_parity /
-# test_dsir_calibration_oracle_parity, pre-flighted green at 3 SFs,
-# 10x scale rows pre-measured in r11 — the r11 verdict's #1, every
-# precondition pre-met).
+# Round 13 rotation (period-3: a name last green in round k is due
+# k+3, resting TWO rounds). Registered queries: 119 = the 116 r12
+# names + the three r13 registrations lm_perplexity, kn_perplexity,
+# boilerplate_strip (parked r12 with full oracles, parity-pinned by
+# tests/test_lm.py::test_lm_perplexity_oracle_parity /
+# test_kn_perplexity_oracle_parity /
+# tests/test_corpus_filters.py::test_boilerplate_strip_oracle_parity,
+# pre-flighted green at 3 SFs, 10x rows pre-measured r12 — the r12
+# verdict's #1 with every precondition pre-met; the LM scorers'
+# above-gate hash-join path was plan+value-pinned BEFORE registration
+# by test_lm_above_gate_hash_join_path, the verdict's #3).
 #
-# r12 gate (50) = 25 COHORT B returns (due r12; each green in
-# CORRECTNESS_r09) + the 2 new registrations + 23 keeps from the r11
-# gate (each green in CORRECTNESS_r11; keeping them re-greens their
-# clocks to due r15 and thins the r14 cohort to 27). The keeps are
-# the 22 CHEAPEST r11-gate rows by the BENCH_LAST per-query record
-# (0.21-0.73 s each — the budget-policy selection rule) plus
-# kl_profile, kept deliberately because its r12 revision exercises
-# the top_v/min_count vocab-bound knobs (the r11 verdict's #6) and a
-# revised row needs a FRESH green driver row, not a rest against its
-# old-semantics r11 row: filter_map, chunk_documents,
-# anti_join_customers, semi_join_customers, hopping_window_count,
-# except_customers, top_customers, monthly_revenue_growth,
-# gopher_quality_filter, quality_score, changelog_filter,
-# decontaminate_semantic, latest_per_key, above_avg_orders,
-# nary_join_fold, token_budget_cap, domain_relevance,
-# exact_dup_groups, skew_salted_agg, session_windows,
-# rollup_revenue, skew_salted_join, kl_profile.
+# r13 gate (50) = the 39 r10-green COHORT returns (due r13) + the 3
+# registrations + 8 keeps from the r12 gate: the four MANDATORY
+# oracle twins of returning rows-only names — recall_minhash,
+# recall_winnow, recall_ann_lsh, recall_ann_ivf (their rows-only
+# twins minhash_near_dups / winnow_overlap_pairs / ann_lsh_topk /
+# ann_ivf_topk return this round and carry no out-of-gate oracle, so
+# the twins MUST sit in the same gate — the r12 FORWARD SCHEDULE
+# constraint, executed per the r12 verdict's #2) — plus the 4
+# cheapest remaining r12-gate rows by the BENCH_LAST per-query
+# record (rekey_transform 0.18 s, fanout_flatmap 0.18 s, filter_map
+# 0.22 s, anti_join_customers 0.24 s — the budget-policy keep rule).
+# Keeping them re-greens their clocks to due r16.
 #
-# Twin constraint in-gate: every r12 gate name is oracle-bearing (the
-# one rows-only r11-gate name, audio_fingerprint_dups, rests with its
-# oracle twin recall_audio_fp in the same due-r14 cohort) — the r12
-# gate records 50 hash-grade rows.
+# Twin audit in-gate: the other four returning rows-only names carry
+# their oracle-bearing twins INSIDE the returning cohort
+# (simhash_near_dups -> precision_simhash, image_phash_dups ->
+# precision_image_phash, audio_segment_dups -> recall_audio_seg,
+# video_fingerprint_dups -> recall_video_fp + precision_video_fp),
+# so every rows-only r13 gate name has a hash-grade twin in the same
+# gate.
 #
-# Rests 66 = the 39 r10-gate non-keeps (due r13, unchanged below) +
-# the 27 r11-gate names NOT kept (due r14; every one green in
-# CORRECTNESS_r11 and, where oracle-bearing, parity-pinned by the
-# automatic pytest).
+# Rests 69 = the 27 r11-gate non-keeps (due r14, unchanged below) +
+# the 42 r12-gate names not kept (due r15; every one green in
+# CORRECTNESS_r12 — the first all-hash-grade gate — and, where
+# oracle-bearing, parity-pinned by the automatic pytest).
 #
-# FORWARD SCHEDULE (period-3 arithmetic, registry 116):
-#   r13 gate = the 39 r10-green non-keeps + up to 11 keeps/new. NOTE:
-#   the returning rows-only names minhash_near_dups,
-#   winnow_overlap_pairs, ann_lsh_topk, ann_ivf_topk have their
-#   oracle twins (recall_minhash, recall_winnow, recall_ann_lsh,
-#   recall_ann_ivf — green r12 as COHORT B returns) OUTSIDE that
-#   cohort, so four of the 11 free slots MUST keep those twins
-#   in-gate; the other four rows-only returns (simhash / image /
-#   audio-seg / video families) carry their twins inside the cohort
-#   (precision_simhash, precision_image_phash, recall_audio_seg,
-#   recall_video_fp / precision_video_fp / precision_audio_fp).
-#   r14 gate = the 27 r11-green non-keeps + up to 23 keeps/new.
-#   r15 gate = the r12-green 50.
-# Registry headroom under period-3 at gate 50 is 150 names; 116
-# leaves 34 free slots before the next capacity decision.
+# FORWARD SCHEDULE (period-3 arithmetic, registry 119):
+#   r14 gate = the 27 r11-green non-keeps + up to 23 keeps/new. Twin
+#   note: the one rows-only name in that cohort,
+#   audio_fingerprint_dups, has its oracle twin recall_audio_fp
+#   INSIDE the same cohort — no out-of-cohort twin keeps forced.
+#   r15 gate = the 42 r12-green rests + up to 8 keeps/new.
+#   r16 gate = the r13-green 50.
+#
+# CAPACITY POLICY (the r12 verdict's #6, decided BEFORE the wall):
+# period-3 at gate 50 covers at most 150 registered names; the
+# registry stands at 119 -> 31 free slots, i.e. ~2-3 more rounds of
+# growth at the r11-r13 cadence (2-3 registrations/round). When a
+# registration would push past 150, the registering round executes,
+# in order of preference: (a) RETIRE redundant sub-second relational
+# rows into a rotating EXHIBITION set — the relational superset holds
+# 15+ single-operator SQL rows each under ~0.4 s at sf0.1
+# (semi/anti/except/intersect/pivot/rollup and kin) whose operator
+# coverage the composed rows and the automatic omitted-parity pytest
+# already exercise; retiring 10 into an every-4th-round exhibition
+# slot frees 30 period-3 slots at zero oracle-coverage loss (the
+# parity pytest pins their oracles EVERY round regardless of gate
+# membership); then (b) widen the gate only if the driver's 50-row
+# recording cap rises (it is the driver's limit, not ours); else (c)
+# cap registration. The trigger round runs (a) in the SAME round as
+# its registration commit, with the arithmetic recorded here.
 #
 # BENCH BUDGET POLICY (the r11 verdict's #4): the working ceiling for
-# bench.py's full-registry pass at sf0.1 / local[32] is 150 s
-# (BASELINE.md records the arithmetic each round). Every registration
-# arrives with a PRE-MEASURED sf0.1 price (the parked-with-oracle
-# discipline already forces the 3-SF pre-flight; record the price in
-# BASELINE.md BEFORE registering). If the projected close — last
-# recorded bench + Σ new-row prices − planned trims — exceeds the
-# ceiling, then in order of preference: (a) trim proof overhead first
-# (e.g. the r12 shared PQ brute-force arm), (b) retire redundant
-# sub-second relational rows into a rotating exhibition set, (c)
-# raise the ceiling explicitly in BASELINE.md with the price
-# arithmetic. r12 projection: 140.2 (r11 record) + ~4.5 (the two
-# registrations, pre-measured r11) + ~1 (kl_profile bigram revision)
-# − ~1.5 (shared PQ arm) ≈ 144 s < 150; closed at 147.7 s (quiet
-# host; BASELINE.md r12 closing). The per-round growth rule: a round
-# registering n new rows must show the projection BEFORE its first
-# registration commit.
+# bench.py's full-registry pass at sf0.1 / local[32] is 150 s against
+# the QUIET-HOST close (BASELINE.md records the arithmetic each
+# round; driver records under neighbor load are recorded alongside,
+# loadavg-bracketed — the r12 precedent: 156.1 s driver record under
+# loadavg 2.3->5.5 vs 139.4 s quiet close, no violation). Every
+# registration arrives with a PRE-MEASURED sf0.1 price in BASELINE.md
+# BEFORE the registration commit. If the projected close — last
+# recorded bench + sum of new-row prices − planned trims — exceeds
+# the ceiling: (a) trim proof overhead, (b) retire redundant
+# sub-second rows, (c) raise the ceiling explicitly with the
+# arithmetic, in that order.
 #
-# r13 PRE-STAGED BUDGET ARITHMETIC (priced now so the registering
-# round decides with numbers, not hope): registering the parked
-# three-candidate queue (lm_perplexity 1.48 s + kn_perplexity
-# 1.65 s + boilerplate_strip 0.85 s, all quiet-host pre-measures)
-# projects 139.4 (the r12 FINAL closing bench, after the kl_profile
-# multi-consumer pin bought back ~1.4 s and beat the r11 record
-# despite two more rows) + ~4.0 ≈ 143 s — UNDER the 150 s ceiling
-# with ~7 s of headroom. No trim/retire/raise decision is forced;
-# if r13 registers anything beyond the queue, re-run this
-# arithmetic first (the prescription order above applies at a
-# projected breach). Registry after the queue: 119.
+# r13 BUDGET ARITHMETIC (executed): projection = 139.4 (the r12
+# quiet close) + 1.48 + 1.65 + 0.85 (the three registration prices,
+# pre-measured r12, BASELINE.md) ≈ 143 s < 150 — no trim/retire/
+# raise forced. r14 PRE-STAGE: the parked queue (see CANDIDATES in
+# tools/check_parity.py — the queue's single source of truth,
+# asserted against this module at tool runtime; this block never
+# restates its contents) prices at ~2 s, projecting ≈145 s — still
+# under the ceiling; re-run the arithmetic at the r14 registration
+# commit as always.
+#
+# Previous round (r12) for the record: registered 116 (114 r11 names
+# + selection_auc + dsir_calibration). Gate = 25 COHORT B returns +
+# 2 registrations + 23 keeps (the 22 cheapest r11-gate rows + the
+# revised kl_profile, which needed a fresh green row for its
+# new-semantics top_v/min_count path); 66 rested; 50 hash-grade rows
+# — the first all-hash-grade gate. Full mapping: git history of this
+# block.
 #
 # Previous round (r11) for the record — PERIOD-3 ACTIVATED.
-# Registered: 114 (100 r10 names + the 13-entry r10 queue +
-# quality_classifier_bands, displacing the late_shipment_priorities
-# keep). Gate = 25 COHORT A returns + 14 new + 11 keeps
-# (latest_per_key, broadcast_enrich, top_customers, rollup_revenue,
-# distinct_parts_per_supplier, semi_join_customers, except_customers,
-# skew_salted_join, regional_supplier_volume, monthly_revenue_growth,
-# above_avg_orders); 64 rested. 49 hash-grade + 1 twinned rows-only
-# (audio_fingerprint_dups beside recall_audio_fp). Full mapping: git
-# history of this block.
-#
-# Previous round (r10) for the record. Registered: 100 (99 +
-# dsir_weights in the one free slot, displacing the session_windows
-# keep). Must-in (49): ALL 49 r9-rested names returned; ZERO keeps;
-# 50 rested (exactly the r9 gate). Full mapping + the period-3
-# due-date table as pre-staged: git history of this block.
+# Registered: 114. Gate = 25 COHORT A returns + 14 new + 11 keeps;
+# 64 rested. Full mapping + the r10 round: git history of this block.
 #
 # CANDIDATE PRE-FLIGHT: `python tools/check_parity.py --candidates
 # <sf_dir>` runs every parked q_*/`*_ORACLE` pair through the
-# driver-grade comparison — run it before registering one. (The
-# queue is empty as of r12; the list repopulates when a new
-# candidate parks.)
+# driver-grade comparison — run it before registering one. The
+# parked-candidate queue lives ONLY in tools/check_parity.py::
+# CANDIDATES (runtime-asserted against this module; a missing attr
+# fails loud) — read the list there; this comment deliberately
+# never restates it (the r12 "queue is empty" staleness, verdict
+# wart #1).
 DRIVER_OMIT = frozenset(
     {
-        # -- r10-gate names not kept in r11 (39, incl.
-        # -- late_shipment_priorities displaced by the
-        # -- quality_classifier_bands registration): due r13; every
-        # -- one green in CORRECTNESS_r10 (31 hash-grade + 8
-        # -- rows-only: minhash_near_dups/simhash_near_dups/
-        # -- winnow_overlap_pairs/image_phash_dups/
-        # -- video_fingerprint_dups/audio_segment_dups/ann_lsh_topk/
-        # -- ann_ivf_topk, each twin-covered in that same gate).
-        "tumbling_window_sum",
-        "interval_join",
-        "late_shipment_priorities",
-        "doc_fingerprints",
-        "token_stats",
-        "lang_id",
-        "ngram_jaccard_pairs",
-        "minhash_near_dups",
-        "winnow_overlap_pairs",
-        "simhash_near_dups",
-        "near_dup_clusters",
-        "ann_lsh_topk",
-        "ann_ivf_topk",
-        "embedding_near_dups",
-        "multimodal_decode",
-        "table_table_asof",
-        "windowed_outer_join",
-        "suppressed_window_final",
-        "rekey_fanout",
-        "value_only_rekey",
-        "dup_line_filter",
-        "corpus_keep_by_source",
-        "pii_redaction",
-        "decontaminate",
-        "pack_sequences",
-        "sequence_manifest",
-        "packed_shard_roundtrip",
-        "image_phash_dups",
-        "video_fingerprint_dups",
-        "recall_video_fp",
-        "precision_simhash",
-        "precision_image_phash",
-        "precision_audio_fp",
-        "precision_video_fp",
-        "audio_segment_dups",
-        "recall_audio_seg",
-        "mixing_repeat_epochs",
-        "mixing_train_val_test",
-        "dsir_weights",
         # -- r11-gate names not kept in r12 (27): due r14; every one
         # -- green in CORRECTNESS_r11 (26 hash-grade + 1 rows-only:
         # -- audio_fingerprint_dups, resting beside its oracle twin
@@ -6073,6 +6032,51 @@ DRIVER_OMIT = frozenset(
         "pq_recall_bands",
         "quality_classifier_bands",
         "ivfpq_recall_bands",
+        # -- r12-gate names not kept in r13 (42): due r15; every one
+        # -- green in CORRECTNESS_r12 (all hash-grade — the first
+        # -- all-hash-grade gate).
+        "above_avg_orders",
+        "asof_enrich",
+        "bm25_topk",
+        "changelog_filter",
+        "chunk_documents",
+        "corpus_profile",
+        "decontaminate_semantic",
+        "doc_length_histogram",
+        "domain_relevance",
+        "dsir_calibration",
+        "embedding_topk",
+        "exact_dup_groups",
+        "except_customers",
+        "forecast_revenue",
+        "gopher_quality_filter",
+        "group_by_fn_agg",
+        "hopping_window_count",
+        "intersect_customers",
+        "kl_profile",
+        "latest_per_key",
+        "merge_streams",
+        "monthly_revenue_growth",
+        "nary_join_fold",
+        "near_dup_keep_best",
+        "pivot_order_status",
+        "precision_audio_seg",
+        "pricing_summary",
+        "quality_score",
+        "rollup_revenue",
+        "running_sum_changelog",
+        "selection_auc",
+        "semi_join_customers",
+        "session_windows",
+        "shipping_priority",
+        "skew_salted_agg",
+        "skew_salted_join",
+        "stratified_sample",
+        "token_budget_cap",
+        "top_bigrams",
+        "top_customers",
+        "training_data_prep",
+        "with_dedupe_first",
     }
 )
 
