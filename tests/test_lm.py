@@ -568,3 +568,40 @@ def test_lm_above_gate_hash_join_path(spark):
         for g, w in zip(got, want):
             assert g[2] == pytest.approx(w[2], rel=1e-12), name
             assert round(g[2], 6) == round(w[2], 6), name  # the 6dp contract
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001"])
+def test_ccnet_perplexity_oracle_parity(spark, sf_dir):
+    """The r14 registration candidate (parked-with-oracle discipline),
+    parity-pinned NOW: queries.q_ccnet_perplexity — the true CCNet
+    deployment shape, a KN bigram LM trained ONLY on the every-13th
+    target sample scoring every OTHER doc through the frozen-model
+    make_bigram_scorer path — vs its full DuckDB oracle, hash-grade
+    (n_transitions exact, ppl equal at 6dp)."""
+    import duckdb
+
+    from willa_spark.queries import (
+        CCNET_PERPLEXITY_ORACLE,
+        q_ccnet_perplexity,
+    )
+
+    got = sorted(
+        (r["doc_id"], r["n_transitions"], r["ppl"])
+        for r in q_ccnet_perplexity(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        (r[0], r[1], r[2])
+        for r in con.execute(CCNET_PERPLEXITY_ORACLE).fetchall()
+    )
+    assert len(got) == len(want) > 0
+    assert got == want
+    # deployment-shape contracts: no target doc is scored, and the
+    # scored side is exactly the complement
+    assert all(i % 13 != 0 for i, _, _ in got)
+    # direction sanity: cross-domain scoring sits at sane perplexity
+    assert all(1.0 < p < 1e7 for _, _, p in got)

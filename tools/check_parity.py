@@ -92,7 +92,11 @@ def norm_rows(cols, types, rows):
 CANDIDATES: list[tuple[str, str, str]] = [
     # (the r12 queue — lm_perplexity / kn_perplexity /
     # boilerplate_strip — REGISTERED r13 and pre-flighted through the
-    # main gate now; the r14 queue parks below as it lands)
+    # main gate now)
+    # the r14 queue (parked r13): the true-CCNet deployment shape —
+    # KN LM trained on the every-13th target sample, scoring the
+    # rest through the frozen-model make_bigram_scorer path
+    ("ccnet_perplexity", "q_ccnet_perplexity", "CCNET_PERPLEXITY_ORACLE"),
 ]
 
 

@@ -1,0 +1,58 @@
+"""Pre-registration 10x scale row for the r14 queue
+(ccnet_perplexity) (the PQ price lesson: measure BEFORE the
+registering round must decide): sf0.1 vs .derived/sf1. Same class as
+kn_perplexity — training shrinks to the every-13th TARGET sample,
+scoring covers the 12/13 crawl complement through the frozen-model
+make_bigram_scorer path; the bigram vocabulary grows ~10x under the
+derived corpus's per-replica word bijections, so the model joins
+stay broadcast-gated and the ratio should sit near or below
+linear.
+
+Method: min-of-2 after a discarded warmup, loadavg-bracketed. One
+JSON line per query.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def timed(fn, n=3):
+    samples, loads = [], []
+    for _ in range(n):
+        l0 = os.getloadavg()[0]
+        t0 = time.monotonic()
+        fn()
+        dt = time.monotonic() - t0
+        loads.append((round(l0, 1), round(os.getloadavg()[0], 1)))
+        samples.append(round(dt, 2))
+    return {"min": min(samples[1:]), "samples": samples, "loadavg": loads}
+
+
+def main():
+    from tools.bench_session import make_bench_session
+
+    spark, _ = make_bench_session("scale-rows-r13-ccnet")
+    import willa_spark.queries as Q
+
+    for name, fn in (
+        ("ccnet_perplexity", Q.q_ccnet_perplexity),
+    ):
+        row = {}
+        for label, sf in (
+            ("sf0.1", "/root/testdata/sf0.1"),
+            ("sf1", os.path.join(REPO, ".derived/sf1")),
+        ):
+            row[label] = timed(lambda: fn(spark, sf).count())
+        row["ratio_10x"] = round(row["sf1"]["min"] / row["sf0.1"]["min"], 2)
+        print(json.dumps({name: row}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
