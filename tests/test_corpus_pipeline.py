@@ -945,3 +945,36 @@ def test_composed_pipeline_line_strip(spark, tmp_path):
         ).collect()
     }
     assert out[1] == DOCS[1]
+
+
+def test_composed_pipeline_null_text_congruent_configs(spark):
+    """NULL-text contract congruence (r13 review): the standalone
+    strip_boilerplate fails loud, but INSIDE the composed stage a
+    NULL doc's fate is already defined by the doc screens
+    (gopher_keep(NULL) -> NULL -> filtered), so line_strip=True must
+    screen it out exactly as line_strip=False does — NOT abort the
+    batch with the operator's raise_error."""
+    docs = dict(DOCS)
+
+    def mk(with_null):
+        rows = [(i, docs[i]) for i in sorted(docs)]
+        if with_null:
+            rows.append((999, None))
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    grams = _eval_grams(spark)
+    for ls in (False, True):
+        base = {
+            r["doc_id"]
+            for r in corpus_curation_batch(
+                mk(False), eval_grams=grams, line_strip=ls
+            ).collect()
+        }
+        got = {
+            r["doc_id"]
+            for r in corpus_curation_batch(
+                mk(True), eval_grams=grams, line_strip=ls
+            ).collect()
+        }
+        assert got == base, ls  # NULL doc screened out, no raise
+        assert 999 not in got

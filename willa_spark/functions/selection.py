@@ -36,6 +36,8 @@ Two feature spaces:
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -512,7 +514,7 @@ def kl_divergence_profile(
     text_col: str = "text",
     top_v: int | None = None,
     min_count: int = 1,
-    pin=None,
+    pin: Callable[[DataFrame], DataFrame] | None = None,
 ) -> DataFrame:
     """(group, n_grams, kl_to_corpus) — each stratum's smoothed
     KL divergence from the whole-corpus gram distribution, the

@@ -72,12 +72,24 @@ def _screen_and_redact(
     edits BEFORE doc-wise screens, so quality metrics judge the text
     that will actually be trained on, not its navigation chrome);
     it fuses into the same map-only projection chain, zero extra
-    shuffle."""
+    shuffle. NULL-text contract: the standalone operator fails loud
+    (a bare edit must never silently delete a row), but INSIDE this
+    composed stage a NULL doc's fate is already defined — the doc
+    screens drop it (gopher_keep(NULL) -> NULL -> filtered), the
+    same screen-out it gets with ``line_strip=False`` — so NULL
+    passes THROUGH the strip here to keep the two configs' NULL
+    behavior identical; without the bypass, flipping line_strip on
+    would turn a tolerated input into a micro-batch-killing
+    raise_error (r13 review)."""
     if line_strip:
         from ..functions.corpus import strip_boilerplate
 
         docs = docs.withColumn(
-            text_col, strip_boilerplate(F.col(text_col))["text"]
+            text_col,
+            F.when(
+                F.col(text_col).isNotNull(),
+                strip_boilerplate(F.col(text_col))["text"],
+            ),
         )
     t = F.col(text_col)
     enriched = docs.select(
