@@ -930,3 +930,197 @@ def test_kl_profile_pin_hatch(spark):
     )
     assert got == bases[False]  # the un-knobbed profile, exactly
     assert calls == [["__grp", "feature", "__cg"]]  # once, THE frame
+
+
+# ---------------------------------------------------------------- DoReMi
+DOREMI_DOCS = [
+    (0, "en", "the cat sat on the mat"),
+    (1, "en", "the dog sat on the log"),
+    (2, "en", "the cat ate the fish"),
+    (3, "de", "der hund und die katze"),
+    (4, "de", "die katze und der fisch"),
+    (5, "xx", "zzz qqq vvv kkk www yyy"),  # vocabulary-disjoint junk
+]
+
+
+def _py_doremi(rows, eta=1.0, lam=0.8, alpha=1e-4, train_rows=None):
+    """Exact pure-Python one-step DoReMi over the JM bigram LM
+    (self-trained unless ``train_rows`` passes a reference corpus) —
+    the differential the Spark plan must match."""
+    big, ctx, tgt = {}, {}, {}
+    for _, _, t in train_rows if train_rows is not None else rows:
+        toks = [w for w in t.lower().strip().split() if w]
+        seq = ["<s>"] + toks + ["</s>"]
+        for a, b in zip(seq, seq[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    for (a, b), c in big.items():
+        ctx[a] = ctx.get(a, 0) + c
+        tgt[b] = tgt.get(b, 0) + c
+    T = float(sum(big.values()))
+    V = float(len({b for _, b in big}))
+    per = {}
+    for _, g, t in rows:
+        toks = [w for w in t.lower().strip().split() if w]
+        seq = ["<s>"] + toks + ["</s>"]
+        for a, b in zip(seq, seq[1:]):
+            p_uni = (tgt.get(b, 0) + alpha) / (T + alpha * (V + 1.0))
+            p_big = big.get((a, b), 0) / ctx[a] if ctx.get(a) else 0.0
+            lp = math.log(lam * p_big + (1 - lam) * p_uni)
+            n, s, d = per.get(g, (0, 0.0, set()))
+            d = d | {_}
+            per[g] = (n + 1, s + lp, d)
+    N = sum(n for n, _, _ in per.values())
+    ce_all = sum(-s for _, s, _ in per.values()) / N
+    raw = {
+        g: (n / N) * math.exp(eta * ((-s / n) - ce_all))
+        for g, (n, s, _) in per.items()
+    }
+    Z = sum(raw.values())
+    return {
+        g: (
+            len(per[g][2]),
+            per[g][0],
+            round(per[g][0] / N, 6),
+            round(-per[g][1] / per[g][0], 6),
+            round(raw[g] / Z, 6),
+        )
+        for g in per
+    }
+
+
+def test_domain_mixture_weights_python_differential(spark):
+    """One DoReMi Group-DRO step vs exact pure-Python arithmetic
+    (default self-trained reference): n_docs / n_transitions / share
+    / token-weighted ce / normalized tilted weight all match at 6dp;
+    weights sum to 1."""
+    df = spark.createDataFrame(
+        DOREMI_DOCS, "doc_id long, lang string, text string"
+    )
+    got = {
+        r["lang"]: (
+            r["n_docs"],
+            r["n_transitions"],
+            r["share"],
+            r["ce"],
+            r["weight"],
+        )
+        for r in SEL.domain_mixture_weights(df).collect()
+    }
+    want = _py_doremi(DOREMI_DOCS)
+    assert set(got) == set(want)
+    for g in want:
+        assert got[g][0] == want[g][0], g
+        assert got[g][1] == want[g][1], g
+        for i in (2, 3, 4):
+            assert got[g][i] == pytest.approx(want[g][i], abs=2e-6), (g, i)
+    assert sum(v[4] for v in got.values()) == pytest.approx(1.0, abs=5e-6)
+
+
+def test_domain_mixture_weights_reference_model_direction(spark):
+    """The production shape AND DoReMi's core move: under a reference
+    model trained on the en+de baseline, the vocabulary-disjoint xx
+    domain has the highest excess loss and gets UPWEIGHTED relative
+    to its share, while the easy in-vocabulary majority domain is
+    downweighted; values still match pure Python at 6dp. (A
+    SELF-trained reference would score xx's unique count-1 bigrams
+    as EASY — λ·c12/c_ctx = λ — which is exactly why DoReMi trains
+    the reference on the baseline mixture, not the domain itself.)"""
+    from willa_spark.functions import lm as LM
+
+    df = spark.createDataFrame(
+        DOREMI_DOCS, "doc_id long, lang string, text string"
+    )
+    ref_rows = [r for r in DOREMI_DOCS if r[1] in ("en", "de")]
+    model = LM.bigram_lm_train(
+        df.filter(F.col("lang") != "xx").select("doc_id", "text")
+    )
+    got = {
+        r["lang"]: (r["share"], r["ce"], r["weight"])
+        for r in SEL.domain_mixture_weights(df, model=model).collect()
+    }
+    want = _py_doremi(DOREMI_DOCS, train_rows=ref_rows)
+    for g in want:
+        for i, j in ((0, 2), (1, 3), (2, 4)):
+            assert got[g][i] == pytest.approx(want[g][j], abs=2e-6), g
+    assert got["xx"][1] > max(got["en"][1], got["de"][1])  # hardest
+    assert got["xx"][2] > got["xx"][0]  # upweighted
+    assert got["en"][2] < got["en"][0]  # easy majority downweighted
+
+
+def test_domain_mixture_weights_eta_zero_returns_shares(spark):
+    """η=0 — no tilt: every weight equals the baseline share exactly
+    (the DRO step size's null case, pinned so η's sign/scale can
+    never silently invert)."""
+    df = spark.createDataFrame(
+        DOREMI_DOCS, "doc_id long, lang string, text string"
+    )
+    for r in SEL.domain_mixture_weights(df, eta=0.0).collect():
+        assert r["weight"] == pytest.approx(r["share"], abs=1e-6)
+
+
+def test_domain_mixture_weights_null_group_fails_loud(spark):
+    """The kl_divergence_profile convention carried over: a NULL
+    domain label raises in-plan rather than pooling unlabeled docs
+    into a phantom domain."""
+    df = spark.createDataFrame(
+        [(0, None, "the cat")], "doc_id long, lang string, text string"
+    )
+    with pytest.raises(Exception, match="NULL lang"):
+        SEL.domain_mixture_weights(df).collect()
+
+
+def test_bigram_group_cross_entropy_is_token_weighted(spark):
+    """ce_g is the GROUP's corpus loss (Σ lp / Σ n), not a mean of
+    per-doc means: a group of one long + one short doc must match
+    the token-weighted value, which differs from the doc-mean when
+    doc losses differ."""
+    from willa_spark.functions import lm as LM
+
+    rows = [(0, "a", "the cat sat on the mat"), (1, "a", "zzz qqq")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    model = LM.bigram_lm_train(df.select("doc_id", "text"))
+    got = SEL.domain_mixture_weights(df).collect()  # smoke: composes
+    per = {
+        r["lang"]: (r["n_docs"], r["n_transitions"], r["ce"])
+        for r in LM.bigram_group_cross_entropy(df, model).collect()
+    }
+    docs = {
+        r["doc_id"]: (r["n_transitions"], r["ppl"])
+        for r in LM.bigram_perplexity(df.select("doc_id", "text"), model).collect()
+    }
+    n_tot = sum(n for n, _ in docs.values())
+    # token-weighted identity: ce = Σ n_d·ln(ppl_d) / Σ n_d
+    want = sum(n * math.log(p) for n, p in docs.values()) / n_tot
+    assert per["a"][0] == 2 and per["a"][1] == n_tot
+    assert per["a"][2] == pytest.approx(want, rel=1e-9)
+    doc_mean = statistics.mean(math.log(p) for _, p in docs.values())
+    assert abs(want - doc_mean) > 1e-3  # the two conventions differ here
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001"])
+def test_domain_mixture_oracle_parity(spark, sf_dir):
+    """The r14 registration candidate (parked-with-oracle
+    discipline), parity-pinned NOW: queries.q_domain_mixture_weights
+    — one DoReMi Group-DRO step per lang — vs its full DuckDB
+    oracle, hash-grade (counts exact; share/ce/weight equal at
+    6dp), plus the simplex invariant."""
+    import duckdb
+
+    from willa_spark.queries import (
+        DOMAIN_MIXTURE_ORACLE,
+        q_domain_mixture_weights,
+    )
+
+    got = sorted(
+        (r["lang"], r["n_docs"], r["n_transitions"], r["share"], r["ce"], r["weight"])
+        for r in q_domain_mixture_weights(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(DOMAIN_MIXTURE_ORACLE).fetchall())
+    assert len(got) == len(want) > 0
+    assert got == want
+    assert sum(r[5] for r in got) == pytest.approx(1.0, abs=5e-6)

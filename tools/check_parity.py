@@ -97,6 +97,13 @@ CANDIDATES: list[tuple[str, str, str]] = [
     # KN LM trained on the every-13th target sample, scoring the
     # rest through the frozen-model make_bigram_scorer path
     ("ccnet_perplexity", "q_ccnet_perplexity", "CCNET_PERPLEXITY_ORACLE"),
+    # one DoReMi Group-DRO mixture step per lang (the loss-side
+    # mixture signal; kl_profile is the distribution-side monitor)
+    (
+        "domain_mixture_weights",
+        "q_domain_mixture_weights",
+        "DOMAIN_MIXTURE_ORACLE",
+    ),
 ]
 
 

@@ -441,6 +441,82 @@ def kn_bigram_perplexity(
     )
 
 
+def bigram_group_cross_entropy(
+    docs: DataFrame,
+    model: DataFrame,
+    group_col: str = "lang",
+    lam: float = DEFAULT_LAMBDA,
+    alpha: float = DEFAULT_ALPHA,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_max_rows: int = BROADCAST_MODEL_MAX_ROWS,
+    model_pinned: bool = False,
+) -> DataFrame:
+    """(group, n_docs, n_transitions, ce) — per-GROUP mean conditional
+    cross-entropy under a frozen Jelinek-Mercer bigram model:
+    ce_g = −Σ_g ln P(w2|w1) / n_g over every transition of every doc
+    in the group (token-weighted, NOT a mean of per-doc means — a
+    domain's loss is its corpus loss, so long docs weigh more, the
+    LM-training convention). The group-level twin of
+    ``bigram_perplexity`` (ce = ln ppl when both are token-weighted):
+    per-domain loss is THE input signal for mixture reweighting
+    (DoReMi, Xie et al. 2023 — domains with high excess loss get
+    upweighted; see ``selection.domain_mixture_weights``).
+
+    Plan: identical to the scoring plan (one transition explode +
+    broadcast-gated logp joins) except the final agg keys on the
+    GROUP (a handful of rows) instead of the doc. The distinct-doc
+    count is SALTED (pmod(xxhash64(id), 64) — the skew_salted_agg
+    move): group cardinality is tiny (languages/sources), so an
+    unsalted count_distinct(id) would push one row per DOC through
+    an exchange keyed on ~5 values — 5 reducers swallowing the
+    corpus's doc-cardinality rows at 100 TB (caught by this row's
+    pre-parking plan audit). The salt derives FROM the id, so each
+    id lands in exactly one (group, salt) cell and the per-cell
+    distinct counts SUM exactly; the exchange spreads over
+    groups × 64 keys and the final agg folds 64 pre-aggregated rows
+    per group. NULL group fails LOUD in-plan (the
+    kl_divergence_profile convention: a NULL group would pool every
+    unlabeled doc into one phantom domain row)."""
+    checked_group = F.when(
+        F.col(group_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"bigram_group_cross_entropy: NULL {group_col} — label "
+                "domains upstream (a NULL group would pool every "
+                "unlabeled doc into one phantom domain)"
+            )
+        ).cast(docs.schema[group_col].dataType),
+    ).otherwise(F.col(group_col))
+    if not model_pinned:
+        model = model.localCheckpoint(eager=True)
+    plan = _jm_plan(model, lam, alpha)
+    do_broadcast = model.count() <= broadcast_max_rows
+    j = docs.select(
+        F.col(id_col).alias("id"),
+        checked_group.alias("__grp"),
+        F.explode(transition_pairs(F.col(text_col))).alias("__p"),
+    ).select(
+        "id", "__grp", F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2")
+    )
+    for tab, keys in plan["joins"]:
+        j = j.join(F.broadcast(tab) if do_broadcast else tab, keys, "left")
+    j = j.crossJoin(F.broadcast(plan["scalars"]))
+    scored = j.select("id", "__grp", plan["lp"].alias("__lp"))
+    salted = scored.groupBy(
+        "__grp", F.pmod(F.xxhash64("id"), F.lit(64)).alias("__salt")
+    ).agg(
+        F.count_distinct("id").alias("__nd"),
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__lp").alias("__s"),
+    )
+    return salted.groupBy(F.col("__grp").alias(group_col)).agg(
+        F.sum("__nd").cast("bigint").alias("n_docs"),
+        F.sum("__n").cast("bigint").alias("n_transitions"),
+        (-F.sum("__s") / F.sum("__n")).alias("ce"),
+    )
+
+
 def make_bigram_scorer(
     model: DataFrame,
     scorer: str = "jm",

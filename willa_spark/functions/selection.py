@@ -683,3 +683,101 @@ def kl_divergence_profile(
         .otherwise(F.raise_error(F.lit(guard_msg)).cast("double"))
         .alias("kl_to_corpus"),
     )
+
+
+def domain_mixture_weights(
+    docs: DataFrame,
+    group_col: str = "lang",
+    eta: float = 1.0,
+    model: DataFrame | None = None,
+    lam: float = 0.8,
+    alpha: float = 1e-4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(group, n_docs, n_transitions, share, ce, weight) — ONE
+    Group-DRO reweighting step of DoReMi (Xie et al. 2023, "DoReMi:
+    Optimizing Data Mixtures Speeds Up Language Model Pretraining"),
+    batch analog: each domain's next-mixture weight is its baseline
+    token share exponentially tilted by its EXCESS loss under a
+    reference model,
+
+        w_g ∝ share_g · exp(η · (ce_g − ce_corpus)),  Σ w_g = 1,
+
+    where share_g = n_g / N is the domain's transition share (the
+    current mixture), ce_g the domain's token-weighted conditional
+    cross-entropy under the reference LM, and η the DRO step size.
+    Domains the reference model finds HARD (high excess loss) get
+    upweighted — DoReMi's core move; η=0 returns the baseline shares
+    unchanged (pinned by test). The full DoReMi loop alternates
+    proxy-model training with this step; a curation pipeline runs
+    the one-step form per corpus snapshot to propose the next mix
+    (the reweighting signal ``kl_divergence_profile`` monitors from
+    the distribution side, this computes from the LOSS side).
+
+    ``model`` defaults to the corpus's own ``bigram_lm_train`` frame
+    (the self-scored convention of lm_perplexity / dsir_weights);
+    pass a target-trained frame for the production shape. The model
+    is pinned here and shared by both its consumers (the logp tables
+    and the broadcast gate) — callers passing ``model=`` may pass an
+    already-pinned frame, it is simply re-pinned by lineage-free
+    localCheckpoint only when unpinned lineage would otherwise
+    re-run training (the lm.py pin rule).
+
+    Plan/scale shape: ONE corpus transition explode + broadcast-gated
+    vocab-sized logp joins + ONE (group) partial agg (a handful of
+    rows — strictly cheaper than per-doc scoring); every downstream
+    frame (corpus totals, the softmax normalizer) derives from that
+    domain-cardinality frame via 1-row broadcast crossJoins. No
+    second corpus pass, no per-doc intermediate, no window over the
+    corpus. NULL groups / NULL text fail loud (lm.py guards)."""
+    from .lm import bigram_group_cross_entropy, bigram_lm_train
+
+    eta_ = float(eta)
+    if model is None:
+        model = bigram_lm_train(docs.select(id_col, text_col))
+    per = bigram_group_cross_entropy(
+        docs,
+        model,
+        group_col=group_col,
+        lam=lam,
+        alpha=alpha,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    # the (group) frame is domain-cardinality-sized but its lineage
+    # is the corpus-scale scoring plan, and THREE consumers read it
+    # (corpus totals, the raw-weight projection, the normalizer) —
+    # pin it (the multi-consumer rule; same class as the kl_profile
+    # per_group pin)
+    per = per.localCheckpoint(eager=True)
+    tot = per.agg(
+        F.sum("n_transitions").cast("double").alias("__N"),
+        # corpus ce = token-weighted mean of the domain ces — derived
+        # from the domain frame, NOT a second corpus pass; identical
+        # operand order to the oracle (Σ (ce_g·n_g) / Σ n_g)
+        (
+            F.sum(F.col("ce") * F.col("n_transitions"))
+            / F.sum("n_transitions")
+        ).alias("__ce_all"),
+    )
+    raw = per.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n_docs",
+        "n_transitions",
+        (F.col("n_transitions") / F.col("__N")).alias("share"),
+        "ce",
+        (
+            (F.col("n_transitions") / F.col("__N"))
+            * F.exp(eta_ * (F.col("ce") - F.col("__ce_all")))
+        ).alias("__w_raw"),
+    )
+    norm = raw.agg(F.sum("__w_raw").alias("__Z"))
+    return raw.crossJoin(F.broadcast(norm)).select(
+        group_col,
+        "n_docs",
+        "n_transitions",
+        F.round(F.col("share"), 6).alias("share"),
+        F.round(F.col("ce"), 6).alias("ce"),
+        F.round(F.col("__w_raw") / F.col("__Z"), 6).alias("weight"),
+    )

@@ -5999,6 +5999,97 @@ def q_ccnet_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------
+# SECOND r14 REGISTRATION CANDIDATE (parked r13): one DoReMi
+# Group-DRO mixture-reweighting step (Xie et al. 2023) over the
+# per-domain (lang) token-weighted cross-entropy under the corpus's
+# own bigram LM — the LOSS-side mixture signal beside kl_profile's
+# distribution-side monitor. weight_g ∝ share_g · exp(η·(ce_g −
+# ce_corpus)), Σ = 1, η = 1. The per-domain agg keys on ~5 langs, so
+# everything after the one corpus transition explode is
+# domain-cardinality-sized. Fully SQL-expressible — hash-grade at
+# 6dp. Pre-flight: tools/check_parity.py --candidates.
+DOMAIN_MIXTURE_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS tk
+  FROM documents
+), ti AS (
+  SELECT doc_id, lang, tk, unnest(range(0, len(tk) + 1)) AS i FROM t
+), tr AS (
+  SELECT doc_id, lang,
+         CASE WHEN i = 0 THEN '<s>' ELSE tk[i] END AS w1,
+         CASE WHEN i = CAST(len(tk) AS BIGINT) THEN '</s>'
+              ELSE tk[i + 1] END AS w2
+  FROM ti
+), big AS (
+  SELECT w1, w2, count(*) AS c12 FROM tr GROUP BY 1, 2
+), ctx AS (
+  SELECT w1, sum(c12) AS c_ctx FROM big GROUP BY 1
+), tgt AS (
+  SELECT w2, sum(c12) AS c_tgt FROM big GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(c12) AS DOUBLE) AS T,
+         CAST(count(DISTINCT w2) AS DOUBLE) AS V
+  FROM big
+), sc AS (
+  -- (1 - 0.8), NOT 0.2 — the _jm_plan ulp discipline
+  SELECT d.doc_id, d.lang,
+         ln(0.8 * coalesce(CAST(b.c12 AS DOUBLE) / c.c_ctx, 0.0)
+            + (1 - 0.8) * ((coalesce(g.c_tgt, 0) + 1e-4)
+                     / (tot.T + 1e-4 * (tot.V + 1.0)))) AS lp
+  FROM tr d
+  LEFT JOIN big b ON d.w1 = b.w1 AND d.w2 = b.w2
+  LEFT JOIN ctx c ON d.w1 = c.w1
+  LEFT JOIN tgt g ON d.w2 = g.w2
+  CROSS JOIN tot
+), per AS (
+  SELECT lang,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_transitions,
+         -sum(lp) / count(*) AS ce
+  FROM sc GROUP BY 1
+), allt AS (
+  -- ce_all derives from the DOMAIN frame with the same operand
+  -- order as the Spark plan (Σ ce_g·n_g / Σ n_g), never a second
+  -- transition pass
+  SELECT CAST(sum(n_transitions) AS DOUBLE) AS N,
+         sum(ce * n_transitions) / sum(n_transitions) AS ce_all
+  FROM per
+), raw AS (
+  SELECT lang, n_docs, n_transitions,
+         n_transitions / allt.N AS share, ce,
+         (n_transitions / allt.N) * exp(1.0 * (ce - allt.ce_all)) AS w_raw
+  FROM per CROSS JOIN allt
+)
+SELECT lang, n_docs, n_transitions,
+       round(share, 6) AS share,
+       round(ce, 6) AS ce,
+       round(w_raw / (SELECT sum(w_raw) FROM raw), 6) AS weight
+FROM raw
+"""
+
+
+def q_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DoReMi Group-DRO step over the corpus per language:
+    (lang, n_docs, n_transitions, share, ce, weight) — each domain's
+    next-mixture weight is its transition share tilted by
+    exp(η·excess-ce) under the corpus's own Jelinek-Mercer bigram LM
+    (selection.domain_mixture_weights, η=1 — the self-scored driver
+    convention; production passes a reference model trained on the
+    baseline mix). HARD domains (high excess loss) get upweighted —
+    the published mixture-optimization move the kl_profile row
+    monitors from the distribution side. Plan: the lm_perplexity
+    corpus shape with the per-DOC agg replaced by a ~5-row per-LANG
+    agg; every later frame is domain-cardinality-sized. 6dp before
+    the cross-engine hash (the sum-order discipline)."""
+    from .functions.selection import domain_mixture_weights
+
+    docs = read_docs_spread(spark, sf_dir).select("doc_id", "lang", "text")
+    return domain_mixture_weights(docs, group_col="lang", eta=1.0)
+
+
 # Queries OMITTED from the driver-visible correctness set: the driver
 # records oracle rows for at most 50 queries (in registration order),
 # so every DISTINCT operator proof must land inside that window.
@@ -6093,10 +6184,12 @@ def q_ccnet_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # raise forced. r14 PRE-STAGE: the parked queue (see CANDIDATES in
 # tools/check_parity.py — the queue's single source of truth,
 # asserted against this module at tool runtime; this block never
-# restates its contents) prices at 3.09 s measured (BASELINE.md r13
-# addendum; 10x ratio 1.24x), projecting ≈146 s — still under the
-# ceiling; re-run the arithmetic at the r14 registration commit as
-# always.
+# restates its contents) prices at ~5.3 s combined measured
+# (BASELINE.md r13 addenda; 10x ratios 1.2x / 1.5x), projecting
+# ≈148 s — under the ceiling but TIGHT; the r14 registration commit
+# re-runs the arithmetic against the actual r13 close and takes the
+# retire-to-exhibition lever (capacity policy above) if it projects
+# a breach.
 #
 # Previous round (r12) for the record: registered 116 (114 r11 names
 # + selection_auc + dsir_calibration). Gate = 25 COHORT B returns +
