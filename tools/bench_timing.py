@@ -6,12 +6,7 @@ in BASELINE.md assume every row was taken this way."""
 from __future__ import annotations
 
 import os
-import sys
 import time
-
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-if REPO not in sys.path:
-    sys.path.insert(0, REPO)
 
 
 def timed(fn, n=3):

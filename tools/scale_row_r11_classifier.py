@@ -12,23 +12,13 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def timed(fn, n=3):
-    samples, loads = [], []
-    for _ in range(n):
-        l0 = os.getloadavg()[0]
-        t0 = time.monotonic()
-        fn()
-        dt = time.monotonic() - t0
-        loads.append((round(l0, 1), round(os.getloadavg()[0], 1)))
-        samples.append(round(dt, 2))
-    return {"min": min(samples[1:]), "samples": samples, "loadavg": loads}
+from tools.bench_timing import timed  # noqa: E402 — THE shared method
 
 
 def main():

@@ -37,17 +37,7 @@ SF1 = os.path.join(
 )
 
 
-def timed(fn, n=3):
-    """Warmup + min-of-(n-1), loadavg-bracketed."""
-    samples, loads = [], []
-    for i in range(n):
-        l0 = os.getloadavg()[0]
-        t0 = time.monotonic()
-        fn()
-        dt = time.monotonic() - t0
-        loads.append((round(l0, 1), round(os.getloadavg()[0], 1)))
-        samples.append(round(dt, 2))
-    return {"min": min(samples[1:]), "samples": samples, "loadavg": loads}
+from tools.bench_timing import timed  # noqa: E402 — THE shared method
 
 
 def main() -> int:

@@ -155,12 +155,44 @@ def _model_totals(model: DataFrame) -> DataFrame:
     )
 
 
-def _transitions(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, w1, w2) — the corpus-side transition explode."""
-    return docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(transition_pairs(F.col(text_col))).alias("__p"),
-    ).select("id", F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+def _transitions(
+    docs: DataFrame, id_col: str, text_col: str, extra_cols: tuple = ()
+) -> DataFrame:
+    """(id, [extras...], w1, w2) — the corpus-side transition explode.
+    ``extra_cols``: (name, Column) pairs carried through beside the id
+    (the group-scoring twin's label column)."""
+    sel = [F.col(id_col).alias("id")]
+    sel += [e.alias(n) for n, e in extra_cols]
+    sel.append(F.explode(transition_pairs(F.col(text_col))).alias("__p"))
+    return docs.select(*sel).select(
+        "id",
+        *[n for n, _ in extra_cols],
+        F.col("__p.w1").alias("w1"),
+        F.col("__p.w2").alias("w2"),
+    )
+
+
+def _scored_lp(
+    docs: DataFrame,
+    plan: dict,
+    id_col: str,
+    text_col: str,
+    do_broadcast: bool,
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """(id, [extras...], __lp) — THE shared corpus side of every
+    scorer: one transition explode + the plan's left joins (broadcast
+    under the gate) + the scalars crossJoin + the lp coalesce. One
+    definition so a future change to the gating or join shape cannot
+    drift between the per-doc scorers and the group-scoring twin
+    (r13 review)."""
+    j = _transitions(docs, id_col, text_col, extra_cols)
+    for tab, keys in plan["joins"]:
+        j = j.join(F.broadcast(tab) if do_broadcast else tab, keys, "left")
+    j = j.crossJoin(F.broadcast(plan["scalars"]))
+    return j.select(
+        "id", *[n for n, _ in extra_cols], plan["lp"].alias("__lp")
+    )
 
 
 def _jm_plan(model: DataFrame, lam: float, alpha: float) -> dict:
@@ -329,14 +361,8 @@ def _apply_plan(
     text_col: str,
     do_broadcast: bool,
 ) -> DataFrame:
-    """Corpus side of either scorer: one transition explode + the
-    plan's left joins (broadcast under the gate) + the lp coalesce +
-    a per-doc partial agg."""
-    j = _transitions(docs, id_col, text_col)
-    for tab, keys in plan["joins"]:
-        j = j.join(F.broadcast(tab) if do_broadcast else tab, keys, "left")
-    j = j.crossJoin(F.broadcast(plan["scalars"]))
-    scored = j.select("id", plan["lp"].alias("__lp"))
+    """Per-doc tail over the shared ``_scored_lp`` corpus side."""
+    scored = _scored_lp(docs, plan, id_col, text_col, do_broadcast)
     return scored.groupBy(F.col("id").alias(id_col)).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
         F.exp(-F.sum("__lp") / F.count(F.lit(1))).alias("ppl"),
@@ -491,18 +517,14 @@ def bigram_group_cross_entropy(
     if not model_pinned:
         model = model.localCheckpoint(eager=True)
     plan = _jm_plan(model, lam, alpha)
-    do_broadcast = model.count() <= broadcast_max_rows
-    j = docs.select(
-        F.col(id_col).alias("id"),
-        checked_group.alias("__grp"),
-        F.explode(transition_pairs(F.col(text_col))).alias("__p"),
-    ).select(
-        "id", "__grp", F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2")
+    scored = _scored_lp(
+        docs,
+        plan,
+        id_col,
+        text_col,
+        model.count() <= broadcast_max_rows,
+        extra_cols=(("__grp", checked_group),),
     )
-    for tab, keys in plan["joins"]:
-        j = j.join(F.broadcast(tab) if do_broadcast else tab, keys, "left")
-    j = j.crossJoin(F.broadcast(plan["scalars"]))
-    scored = j.select("id", "__grp", plan["lp"].alias("__lp"))
     salted = scored.groupBy(
         "__grp", F.pmod(F.xxhash64("id"), F.lit(64)).alias("__salt")
     ).agg(

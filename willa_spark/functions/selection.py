@@ -42,6 +42,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import shingles
+from .lm import DEFAULT_ALPHA as LM_DEFAULT_ALPHA
+from .lm import DEFAULT_LAMBDA as LM_DEFAULT_LAMBDA
 
 # Smoothing for unseen features (add-lambda over the bucket space) —
 # DSIR's hashed model needs mass on buckets absent from one corpus.
@@ -690,10 +692,11 @@ def domain_mixture_weights(
     group_col: str = "lang",
     eta: float = 1.0,
     model: DataFrame | None = None,
-    lam: float = 0.8,
-    alpha: float = 1e-4,
+    lam: float = LM_DEFAULT_LAMBDA,
+    alpha: float = LM_DEFAULT_ALPHA,
     id_col: str = "doc_id",
     text_col: str = "text",
+    model_pinned: bool = False,
 ) -> DataFrame:
     """(group, n_docs, n_transitions, share, ce, weight) — ONE
     Group-DRO reweighting step of DoReMi (Xie et al. 2023, "DoReMi:
@@ -717,12 +720,12 @@ def domain_mixture_weights(
 
     ``model`` defaults to the corpus's own ``bigram_lm_train`` frame
     (the self-scored convention of lm_perplexity / dsir_weights);
-    pass a target-trained frame for the production shape. The model
-    is pinned here and shared by both its consumers (the logp tables
-    and the broadcast gate) — callers passing ``model=`` may pass an
-    already-pinned frame, it is simply re-pinned by lineage-free
-    localCheckpoint only when unpinned lineage would otherwise
-    re-run training (the lm.py pin rule).
+    pass a target-trained frame for the production shape, with
+    ``model_pinned=True`` when the caller already materialized THAT
+    SAME frame (the lm.py rule: the passthrough skips a second
+    full materialization + duplicate executor residency; reusing a
+    pin of a DIFFERENT frame is the classifier ``already_pinned``
+    bug, don't).
 
     Plan/scale shape: ONE corpus transition explode + broadcast-gated
     vocab-sized logp joins + ONE (group) partial agg (a handful of
@@ -736,6 +739,7 @@ def domain_mixture_weights(
     eta_ = float(eta)
     if model is None:
         model = bigram_lm_train(docs.select(id_col, text_col))
+        model_pinned = False  # freshly-built lineage, never pre-pinned
     per = bigram_group_cross_entropy(
         docs,
         model,
@@ -744,6 +748,7 @@ def domain_mixture_weights(
         alpha=alpha,
         id_col=id_col,
         text_col=text_col,
+        model_pinned=model_pinned,
     )
     # the (group) frame is domain-cardinality-sized but its lineage
     # is the corpus-scale scoring plan, and THREE consumers read it

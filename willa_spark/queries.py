@@ -6184,9 +6184,9 @@ def q_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # raise forced. r14 PRE-STAGE: the parked queue (see CANDIDATES in
 # tools/check_parity.py — the queue's single source of truth,
 # asserted against this module at tool runtime; this block never
-# restates its contents) prices at ~5.3 s combined measured
-# (BASELINE.md r13 addenda; 10x ratios 1.2x / 1.5x), projecting
-# ≈148 s — under the ceiling but TIGHT; the r14 registration commit
+# restates its contents) prices at 3.09 + 2.32 = 5.41 s combined
+# measured (BASELINE.md r13 addenda; 10x ratios 1.21x / 1.53x),
+# projecting ≈148.4 s — under the ceiling but TIGHT; the r14 registration commit
 # re-runs the arithmetic against the actual r13 close and takes the
 # retire-to-exhibition lever (capacity policy above) if it projects
 # a breach.
