@@ -6185,11 +6185,14 @@ def q_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tools/check_parity.py — the queue's single source of truth,
 # asserted against this module at tool runtime; this block never
 # restates its contents) prices at 3.09 + 2.32 = 5.41 s combined
-# measured (BASELINE.md r13 addenda; 10x ratios 1.21x / 1.53x),
-# projecting ≈148.4 s — under the ceiling but TIGHT; the r14 registration commit
-# re-runs the arithmetic against the actual r13 close and takes the
-# retire-to-exhibition lever (capacity policy above) if it projects
-# a breach.
+# measured (BASELINE.md r13 addenda; 10x ratios 1.21x / 1.53x).
+# Against the ACTUAL r13 close (146.6 s, a noisy-host band whose
+# same-tree runs read 146.6-175.2) the projection is ≈152 s — a
+# PROJECTED BREACH of the 150 ceiling; the r14 registration commit
+# MUST therefore (in policy order) first try a quieter-window close
+# (the r13 shared-116 ratio was 1.019x of r12 — ~3 s of the close
+# is weather), then trim, then take the retire-to-exhibition lever
+# BEFORE registering; record whichever lever in BASELINE.md.
 #
 # Previous round (r12) for the record: registered 116 (114 r11 names
 # + selection_auc + dsir_calibration). Gate = 25 COHORT B returns +
