@@ -1124,3 +1124,46 @@ def test_domain_mixture_oracle_parity(spark, sf_dir):
     assert len(got) == len(want) > 0
     assert got == want
     assert sum(r[5] for r in got) == pytest.approx(1.0, abs=5e-6)
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+_dm_words = st.sampled_from(["the", "cat", "dog", "sat", "ran", "on", "mat", "a"])
+_dm_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["en", "de", "xx"]),
+        st.lists(_dm_words, min_size=0, max_size=6).map(" ".join),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(rows=_dm_rows, eta=st.sampled_from([0.0, 0.5, 1.0, 2.0]))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_domain_mixture_hypothesis_differential(spark, rows, eta):
+    """Hypothesis: for ANY small labeled corpus (empty docs, repeated
+    texts, 1-3 domains, domains of only-empty docs) and ANY step size
+    η, the one-step DoReMi frame equals the exact pure-Python
+    computation — counts exact, share/ce/weight at 6dp, weights on
+    the simplex. (Empty docs still carry the boundary transition, so
+    every labeled domain profiles; the phantom-domain NULL guard and
+    empty-model guard are separately pinned.)"""
+    labeled = [(i, g, t) for i, (g, t) in enumerate(rows)]
+    df = spark.createDataFrame(labeled, "doc_id long, lang string, text string")
+    got = {
+        r["lang"]: (r["n_docs"], r["n_transitions"], r["share"], r["ce"], r["weight"])
+        for r in SEL.domain_mixture_weights(df, eta=eta).collect()
+    }
+    want = _py_doremi(labeled, eta=eta)
+    assert set(got) == set(want)
+    for g in want:
+        assert got[g][0] == want[g][0], (g, "n_docs")
+        assert got[g][1] == want[g][1], (g, "n_transitions")
+        for i in (2, 3, 4):
+            assert got[g][i] == pytest.approx(want[g][i], abs=2e-6), (g, i)
+    assert sum(v[4] for v in got.values()) == pytest.approx(1.0, abs=5e-6)
