@@ -1167,3 +1167,84 @@ def test_domain_mixture_hypothesis_differential(spark, rows, eta):
         for i in (2, 3, 4):
             assert got[g][i] == pytest.approx(want[g][i], abs=2e-6), (g, i)
     assert sum(v[4] for v in got.values()) == pytest.approx(1.0, abs=5e-6)
+
+
+def test_domain_mixture_step_congruity_and_replay(spark, tmp_path):
+    """The streaming mixture monitor ≡ the batch operator over the
+    running union, under one frozen reference model: after ingesting
+    batches 0..k (including a batch covering only ONE domain), the
+    emitted frame equals domain_mixture_weights(union, model=frozen)
+    row-for-row at the 6dp contract; batch 0 emits (a mixture needs
+    no prior); a replayed batch returns identical rows and leaves the
+    store uncorrupted; duplicate ids in one micro-batch fail loud
+    BEFORE anything persists."""
+    from willa_spark.functions import lm as LM
+    from willa_spark.streaming.selection import domain_mixture_step
+
+    rows = DOREMI_DOCS + [
+        (6, "de", "der hund sitzt auf der matte"),
+        (7, "xx", "qqq zzz www kkk"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    ref = LM.bigram_lm_train(
+        df.filter(F.col("lang") != "xx").select("doc_id", "text")
+    ).localCheckpoint(eager=True)
+    batches = [
+        [0, 3, 5],  # all three domains
+        [1, 4],     # en + de only
+        [6, 7],     # late arrivals
+        [2],        # single-domain batch
+    ]
+    step = domain_mixture_step(
+        ref, str(tmp_path / "dm"), group_col="lang", eta=1.0
+    )
+    seen: list[int] = []
+    key = lambda r: (r["lang"], r["n_docs"], r["n_transitions"], r["share"], r["ce"], r["weight"])
+    for bid, ids in enumerate(batches):
+        seen += ids
+        got = sorted(
+            key(r)
+            for r in step(df.filter(F.col("doc_id").isin(ids)), bid).collect()
+        )
+        want = sorted(
+            key(r)
+            for r in SEL.domain_mixture_weights(
+                df.filter(F.col("doc_id").isin(seen)),
+                model=ref,
+                model_pinned=True,
+            ).collect()
+        )
+        assert [g[:3] for g in got] == [w[:3] for w in want], bid
+        for g, w in zip(got, want):
+            for i in (3, 4, 5):
+                assert g[i] == pytest.approx(w[i], abs=2e-6), (bid, g[0], i)
+    # replay: batch 2 re-delivered — identical rows, store intact
+    replay = sorted(
+        key(r)
+        for r in step(
+            df.filter(F.col("doc_id").isin(batches[2])), 2
+        ).collect()
+    )
+    after2 = seen[: sum(len(b) for b in batches[:3])]
+    want2 = sorted(
+        key(r)
+        for r in SEL.domain_mixture_weights(
+            df.filter(F.col("doc_id").isin(after2)), model=ref, model_pinned=True
+        ).collect()
+    )
+    assert [g[:3] for g in replay] == [w[:3] for w in want2]
+    # and the NEXT batch still sees an uncorrupted cumulative state
+    got4 = sorted(
+        key(r) for r in step(df.limit(0), 4).collect()
+    )
+    want4 = sorted(
+        key(r)
+        for r in SEL.domain_mixture_weights(df, model=ref, model_pinned=True).collect()
+    )
+    assert [g[:3] for g in got4] == [w[:3] for w in want4]
+    # duplicate ids fail loud before persisting
+    dup = df.filter(F.col("doc_id").isin([0])).unionByName(
+        df.filter(F.col("doc_id").isin([0]))
+    )
+    with pytest.raises(ValueError, match="duplicate doc_id"):
+        step(dup, 5)

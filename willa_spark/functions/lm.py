@@ -504,25 +504,56 @@ def bigram_group_cross_entropy(
     per group. NULL group fails LOUD in-plan (the
     kl_divergence_profile convention: a NULL group would pool every
     unlabeled doc into one phantom domain row)."""
+    if not model_pinned:
+        model = model.localCheckpoint(eager=True)
+    plan = _jm_plan(model, lam, alpha)
+    stats = _group_lp_stats(
+        docs,
+        plan,
+        group_col,
+        id_col,
+        text_col,
+        model.count() <= broadcast_max_rows,
+    )
+    return stats.select(
+        group_col,
+        "n_docs",
+        "n_transitions",
+        (-F.col("sum_lp") / F.col("n_transitions")).alias("ce"),
+    )
+
+
+def _group_lp_stats(
+    docs: DataFrame,
+    plan: dict,
+    group_col: str,
+    id_col: str,
+    text_col: str,
+    do_broadcast: bool,
+) -> DataFrame:
+    """(group, n_docs, n_transitions, sum_lp) — the ADDITIVE per-group
+    scoring statistics under an already-built plan: pure sums, so
+    frames from disjoint batches fold into the union's frame exactly
+    (the streaming ``domain_mixture_step`` accumulates THIS — ce is a
+    ratio and does not add). The salted distinct-count shape is
+    documented on ``bigram_group_cross_entropy``; NULL group fails
+    LOUD here (the shared guard for both consumers)."""
     checked_group = F.when(
         F.col(group_col).isNull(),
         F.raise_error(
             F.lit(
-                f"bigram_group_cross_entropy: NULL {group_col} — label "
+                f"bigram LM group scoring: NULL {group_col} — label "
                 "domains upstream (a NULL group would pool every "
                 "unlabeled doc into one phantom domain)"
             )
         ).cast(docs.schema[group_col].dataType),
     ).otherwise(F.col(group_col))
-    if not model_pinned:
-        model = model.localCheckpoint(eager=True)
-    plan = _jm_plan(model, lam, alpha)
     scored = _scored_lp(
         docs,
         plan,
         id_col,
         text_col,
-        model.count() <= broadcast_max_rows,
+        do_broadcast,
         extra_cols=(("__grp", checked_group),),
     )
     salted = scored.groupBy(
@@ -535,7 +566,7 @@ def bigram_group_cross_entropy(
     return salted.groupBy(F.col("__grp").alias(group_col)).agg(
         F.sum("__nd").cast("bigint").alias("n_docs"),
         F.sum("__n").cast("bigint").alias("n_transitions"),
-        (-F.sum("__s") / F.sum("__n")).alias("ce"),
+        F.sum("__s").alias("sum_lp"),
     )
 
 

@@ -750,11 +750,23 @@ def domain_mixture_weights(
         text_col=text_col,
         model_pinned=model_pinned,
     )
-    # the (group) frame is domain-cardinality-sized but its lineage
-    # is the corpus-scale scoring plan, and THREE consumers read it
-    # (corpus totals, the raw-weight projection, the normalizer) —
-    # pin it (the multi-consumer rule; same class as the kl_profile
-    # per_group pin)
+    return mixture_weights_from_stats(per, group_col=group_col, eta=eta_)
+
+
+def mixture_weights_from_stats(
+    per: DataFrame, group_col: str = "lang", eta: float = 1.0
+) -> DataFrame:
+    """The DRO-step tail over an already-computed per-domain frame
+    (group, n_docs, n_transitions, ce) — shared by the batch operator
+    above and the streaming ``domain_mixture_step`` (which rebuilds
+    ``ce`` from its store's ADDITIVE sums before calling this), so
+    the tilt/normalize arithmetic cannot drift between the twins.
+    The frame is domain-cardinality-sized but its lineage may be the
+    corpus-scale scoring plan, and THREE consumers read it (corpus
+    totals, the raw-weight projection, the normalizer) — pinned here
+    (the multi-consumer rule; same class as the kl_profile per_group
+    pin)."""
+    eta_ = float(eta)
     per = per.localCheckpoint(eager=True)
     tot = per.agg(
         F.sum("n_transitions").cast("double").alias("__N"),

@@ -376,3 +376,149 @@ def lm_perplexity_step(
         return out
 
     return step
+
+
+def domain_mixture_step(
+    model: DataFrame,
+    store_dir: str,
+    group_col: str = "lang",
+    eta: float = 1.0,
+    lam: float | None = None,
+    alpha: float | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    compact_every: int | None = None,
+) -> Callable[[DataFrame, int], DataFrame]:
+    """foreachBatch MIXTURE MONITOR: after each micro-batch, the
+    CUMULATIVE one-step DoReMi weights (group, n_docs, n_transitions,
+    share, ce, weight) over EVERYTHING ingested so far — the streaming
+    face of ``selection.domain_mixture_weights`` (there: one batch
+    corpus; here: the running union), proposing the next-epoch mix as
+    the stream grows instead of at snapshot boundaries.
+
+    Congruity is EXACT by construction: the store accumulates the
+    ADDITIVE per-group statistics (n_docs, n_transitions, sum_lp from
+    ``lm._group_lp_stats`` — sums fold across any batching; ce is a
+    ratio and does NOT add, so it is rebuilt from the sums), and the
+    tilt/normalize tail is the SHARED
+    ``selection.mixture_weights_from_stats`` — so after ingesting
+    batches 0..k the emitted frame equals the batch operator over
+    their union under the same frozen model (pytest-pinned).
+
+    The reference model is FROZEN (the lm_perplexity_step rule: a
+    model refit mid-stream would score early and late batches under
+    different distributions); the whole frozen derivation — model
+    pin, vocab-sized logp tables, gate count, and the empty-model
+    loud guard — happens ONCE at construction (the
+    ``make_bigram_scorer`` move). Store discipline is
+    ``kl_drift_step``'s verbatim: per-group sums are exact over any
+    batching, the prior read is strictly-before (a replayed batch
+    recomputes against exactly the state its first attempt saw and
+    overwrites its own partition — replay-idempotent), the emitted
+    frame is pinned before the append. Unlike the drift monitor,
+    batch 0 EMITS (the mixture over one batch is well-defined; a
+    drift needs a prior, a mixture does not). Duplicate / NULL ids
+    fail LOUD before anything persists (doubled transition mass
+    would survive replays); NULL groups / NULL text fail loud in the
+    scoring plan (lm.py guards)."""
+    import os
+
+    from .store import store_append, store_compact_every, store_read
+    from ..functions.lm import (
+        BROADCAST_MODEL_MAX_ROWS,
+        DEFAULT_ALPHA,
+        DEFAULT_LAMBDA,
+        _group_lp_stats,
+        _jm_plan,
+    )
+    from ..functions.selection import mixture_weights_from_stats
+
+    eta_ = float(eta)
+    model = model.localCheckpoint(eager=True)
+    plan = _jm_plan(
+        model,
+        DEFAULT_LAMBDA if lam is None else float(lam),
+        DEFAULT_ALPHA if alpha is None else float(alpha),
+    )
+    # eager pins: tables + scalars evaluate HERE, once — the
+    # empty-model guard fires at construction, and no micro-batch
+    # re-derives vocab-sized state that never changes
+    plan = {
+        "joins": [
+            (tab.localCheckpoint(eager=True), keys)
+            for tab, keys in plan["joins"]
+        ],
+        "scalars": plan["scalars"].localCheckpoint(eager=True),
+        "lp": plan["lp"],
+    }
+    do_broadcast = model.count() <= BROADCAST_MODEL_MAX_ROWS
+    stats_dir = os.path.join(store_dir, "group_lp_stats")
+    out_schema = (
+        f"{group_col} string, n_docs bigint, n_transitions bigint, "
+        "share double, ce double, weight double"
+    )
+
+    def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        spark = batch_df.sparkSession
+        store_compact_every(
+            spark, [(stats_dir, group_col)], batch_id, compact_every
+        )
+        # id hygiene fails LOUD before anything persists (the
+        # kl_drift / novelty guard verbatim): a doc redelivered twice
+        # in one micro-batch doubles its transition mass in the
+        # emitted weights AND in the store, and a replay rewrites the
+        # same corrupted partition (unrepairable)
+        bad = batch_df.agg(
+            F.sum(F.when(F.col(id_col).isNull(), 1).otherwise(0)).alias(
+                "n_null"
+            ),
+            (F.count(F.lit(1)) - F.count_distinct(F.col(id_col))).alias(
+                "n_dup"
+            ),
+        ).collect()[0]
+        if bad["n_null"] or bad["n_dup"]:
+            raise ValueError(
+                f"domain_mixture_step: {bad['n_null']} NULL / "
+                f"{bad['n_dup']} duplicate {id_col} row(s) in one "
+                "micro-batch — dedup and label upstream (doubled "
+                "transition mass would persist in the store across "
+                "replays)"
+            )
+        # ONE pin on the batch's additive stats — both consumers
+        # (the cumulative union and the store append) read it
+        stats = _group_lp_stats(
+            batch_df, plan, group_col, id_col, text_col, do_broadcast
+        ).localCheckpoint(eager=True)
+        has_rows = bool(stats.limit(1).count())
+        prior = store_read(spark, stats_dir, before_batch=batch_id)
+        if prior is None and not has_rows:
+            return spark.createDataFrame([], out_schema)
+        frames = ([stats] if has_rows else []) + (
+            [prior] if prior is not None else []
+        )
+        acc = frames[0]
+        for f in frames[1:]:
+            acc = acc.unionByName(f)
+        per = (
+            acc.groupBy(group_col)
+            .agg(
+                F.sum("n_docs").cast("bigint").alias("n_docs"),
+                F.sum("n_transitions").cast("bigint").alias("n_transitions"),
+                F.sum("sum_lp").alias("sum_lp"),
+            )
+            .select(
+                group_col,
+                "n_docs",
+                "n_transitions",
+                (-F.col("sum_lp") / F.col("n_transitions")).alias("ce"),
+            )
+        )
+        # mixture_weights_from_stats pins `per` internally, so the
+        # returned frame's lineage is free of the store files BEFORE
+        # the append lands (the novelty rule)
+        out = mixture_weights_from_stats(per, group_col=group_col, eta=eta_)
+        if has_rows:
+            store_append(stats, stats_dir, batch_id, sort_by=group_col)
+        return out
+
+    return step
