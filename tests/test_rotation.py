@@ -1,0 +1,65 @@
+"""Structural invariants of the driver-gate rotation (queries.py's
+policy block made machine-checked): the partition arithmetic, the
+50-row driver cap, and the rows-only twin constraint hold for
+WHATEVER the current DRIVER_OMIT says — so the per-round gate edit
+can never silently strand a query or a proof (the checks each round
+ran by hand, r12 verdict #2, now permanent)."""
+
+from willa_spark.queries import (
+    DRIVER_OMIT,
+    ORACLE_SQL,
+    QUERIES,
+    ROWS_ONLY_TWINS,
+    driver_oracles,
+    driver_queries,
+)
+
+
+def test_omit_set_names_registered_queries():
+    """Every omitted name is a registered query — a typo'd or removed
+    name in DRIVER_OMIT silently widens the gate past the cap."""
+    assert DRIVER_OMIT <= set(QUERIES), DRIVER_OMIT - set(QUERIES)
+
+
+def test_gate_fits_the_driver_cap():
+    """The driver records at most 50 oracle rows (in registration
+    order); a gate past 50 silently drops the newest registrations
+    from the correctness record."""
+    gate = driver_queries()
+    assert len(gate) <= 50, len(gate)
+    assert set(driver_oracles()) <= set(gate)
+
+
+def test_every_oracle_names_a_registered_query():
+    assert set(ORACLE_SQL) <= set(QUERIES), set(ORACLE_SQL) - set(QUERIES)
+
+
+def test_rows_only_twin_map_is_exact():
+    """ROWS_ONLY_TWINS covers EXACTLY the registered no-oracle names
+    (an unlisted rows-only row has no declared proof; a stale entry
+    claims one that no longer exists), and every declared twin is a
+    registered oracle-bearing query."""
+    rows_only = {n for n in QUERIES if n not in ORACLE_SQL}
+    assert set(ROWS_ONLY_TWINS) == rows_only, (
+        set(ROWS_ONLY_TWINS) ^ rows_only
+    )
+    for name, twins in ROWS_ONLY_TWINS.items():
+        assert twins, name
+        for twin in twins:
+            assert twin in QUERIES, (name, twin)
+            assert twin in ORACLE_SQL, (name, twin)
+
+
+def test_rows_only_gate_names_carry_their_twin_in_gate():
+    """THE twin constraint: a rows-only name may be driver-visible
+    only alongside at least one oracle-bearing family twin — a gate
+    where every twin rests records a weaker rows-only row with no
+    same-round hash-grade proof of the family."""
+    gate = set(driver_queries())
+    for name, twins in ROWS_ONLY_TWINS.items():
+        if name in gate:
+            assert any(t in gate for t in twins), (
+                f"rows-only gate name {name} with NO family twin of "
+                f"{twins} in the same gate — the FORWARD SCHEDULE's "
+                "twin keeps were not honored"
+            )

