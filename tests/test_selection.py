@@ -1248,3 +1248,89 @@ def test_domain_mixture_step_congruity_and_replay(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="duplicate doc_id"):
         step(dup, 5)
+
+
+def test_domain_mixture_kn_scorer(spark):
+    """scorer="kn" runs the mixture step under interpolated
+    Kneser-Ney — each domain's ce must equal the token-weighted mean
+    of the per-doc KN log-perplexities (the identity that needs no
+    second python oracle), the weights stay on the simplex, and
+    cross-scorer knobs fail loud (the lm.py rule)."""
+    import math as _m
+
+    from willa_spark.functions import lm as LM
+
+    df = spark.createDataFrame(
+        DOREMI_DOCS, "doc_id long, lang string, text string"
+    )
+    model = LM.bigram_lm_train(df.select("doc_id", "text")).localCheckpoint(
+        eager=True
+    )
+    got = {
+        r["lang"]: (r["n_transitions"], r["ce"], r["weight"])
+        for r in SEL.domain_mixture_weights(
+            df, model=model, model_pinned=True, scorer="kn"
+        ).collect()
+    }
+    docs = {
+        r["doc_id"]: (r["n_transitions"], r["ppl"])
+        for r in LM.kn_bigram_perplexity(
+            df.select("doc_id", "text"), model, model_pinned=True
+        ).collect()
+    }
+    by_lang = {}
+    for (i, g, _t) in DOREMI_DOCS:
+        n, p = docs[i]
+        cn, cs = by_lang.get(g, (0, 0.0))
+        by_lang[g] = (cn + n, cs + n * _m.log(p))
+    for g, (n, s) in by_lang.items():
+        assert got[g][0] == n, g
+        assert got[g][1] == pytest.approx(round(s / n, 6), abs=2e-6), g
+    assert sum(v[2] for v in got.values()) == pytest.approx(1.0, abs=5e-6)
+    with pytest.raises(ValueError, match="Jelinek-Mercer knob"):
+        SEL.domain_mixture_weights(
+            df, model=model, model_pinned=True, scorer="kn", lam=0.5
+        )
+    with pytest.raises(ValueError, match="Kneser-Ney knob"):
+        SEL.domain_mixture_weights(df, discount=0.7)
+
+
+def test_domain_mixture_step_kn_congruity(spark, tmp_path):
+    """The streaming monitor under scorer="kn" stays congruent with
+    the batch operator over the running union (one frozen KN
+    reference), and rejects cross-scorer knobs at construction."""
+    from willa_spark.functions import lm as LM
+    from willa_spark.streaming.selection import domain_mixture_step
+
+    df = spark.createDataFrame(
+        DOREMI_DOCS, "doc_id long, lang string, text string"
+    )
+    ref = LM.bigram_lm_train(df.select("doc_id", "text")).localCheckpoint(
+        eager=True
+    )
+    step = domain_mixture_step(
+        ref, str(tmp_path / "dmkn"), eta=1.0, scorer="kn"
+    )
+    key = lambda r: (r["lang"], r["n_docs"], r["n_transitions"], r["share"], r["ce"], r["weight"])
+    seen = []
+    for bid, ids in enumerate(([0, 3, 5], [1, 2, 4])):
+        seen += ids
+        got = sorted(
+            key(r)
+            for r in step(df.filter(F.col("doc_id").isin(ids)), bid).collect()
+        )
+        want = sorted(
+            key(r)
+            for r in SEL.domain_mixture_weights(
+                df.filter(F.col("doc_id").isin(seen)),
+                model=ref,
+                model_pinned=True,
+                scorer="kn",
+            ).collect()
+        )
+        assert [g[:3] for g in got] == [w[:3] for w in want], bid
+        for g, w in zip(got, want):
+            for i in (3, 4, 5):
+                assert g[i] == pytest.approx(w[i], abs=2e-6), (bid, g[0], i)
+    with pytest.raises(ValueError, match="Jelinek-Mercer knob"):
+        domain_mixture_step(ref, str(tmp_path / "bad"), scorer="kn", lam=0.5)

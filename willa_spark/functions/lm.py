@@ -477,9 +477,14 @@ def bigram_group_cross_entropy(
     text_col: str = "text",
     broadcast_max_rows: int = BROADCAST_MODEL_MAX_ROWS,
     model_pinned: bool = False,
+    scorer: str = "jm",
+    discount: float | None = None,
 ) -> DataFrame:
     """(group, n_docs, n_transitions, ce) — per-GROUP mean conditional
-    cross-entropy under a frozen Jelinek-Mercer bigram model:
+    cross-entropy under a frozen bigram model, Jelinek-Mercer by
+    default or interpolated Kneser-Ney with ``scorer="kn"`` (the
+    KenLM form — ``discount`` applies there; cross-scorer knobs fail
+    loud exactly as in ``make_bigram_scorer``):
     ce_g = −Σ_g ln P(w2|w1) / n_g over every transition of every doc
     in the group (token-weighted, NOT a mean of per-doc means — a
     domain's loss is its corpus loss, so long docs weigh more, the
@@ -504,9 +509,14 @@ def bigram_group_cross_entropy(
     per group. NULL group fails LOUD in-plan (the
     kl_divergence_profile convention: a NULL group would pool every
     unlabeled doc into one phantom domain row)."""
+    _check_scorer_knobs(scorer, lam, discount)
     if not model_pinned:
         model = model.localCheckpoint(eager=True)
-    plan = _jm_plan(model, lam, alpha)
+    plan = (
+        _jm_plan(model, lam, alpha)
+        if scorer == "jm"
+        else _kn_plan(model, alpha, discount)
+    )
     stats = _group_lp_stats(
         docs,
         plan,
@@ -570,6 +580,29 @@ def _group_lp_stats(
     )
 
 
+def _check_scorer_knobs(scorer: str, lam: float, discount: float | None):
+    """The shared cross-knob validation (r12 review: a knob with
+    nothing to act on is a config error, never a silent no-op) —
+    used by ``make_bigram_scorer`` and the group scorer."""
+    if scorer not in ("jm", "kn"):
+        raise ValueError(
+            f"bigram LM: unknown scorer {scorer!r} "
+            "(jm = Jelinek-Mercer, kn = Kneser-Ney)"
+        )
+    if scorer == "kn" and lam != DEFAULT_LAMBDA:
+        raise ValueError(
+            "bigram LM: lam is a Jelinek-Mercer knob — Kneser-Ney "
+            "has no interpolation weight (its discount mass is "
+            "D-derived); pass discount= instead"
+        )
+    if scorer == "jm" and discount is not None:
+        raise ValueError(
+            "bigram LM: discount is a Kneser-Ney knob — "
+            "Jelinek-Mercer interpolates with lam, not an absolute "
+            "discount"
+        )
+
+
 def make_bigram_scorer(
     model: DataFrame,
     scorer: str = "jm",
@@ -589,27 +622,10 @@ def make_bigram_scorer(
     tables per call, which is fine for a single batch pass but waste
     on every micro-batch of a stream (r12 review — the streaming
     step and the composed pipeline's LM screen both use this).
-    ``scorer``: "jm" (Jelinek-Mercer) or "kn" (Kneser-Ney)."""
-    if scorer not in ("jm", "kn"):
-        raise ValueError(
-            f"make_bigram_scorer: unknown scorer {scorer!r} "
-            "(jm = Jelinek-Mercer, kn = Kneser-Ney)"
-        )
-    # cross-scorer knobs fail LOUD (r12 review: a kn caller passing
-    # lam had it silently ignored — the screen-config convention says
-    # a knob with nothing to act on is a config error)
-    if scorer == "kn" and lam != DEFAULT_LAMBDA:
-        raise ValueError(
-            "make_bigram_scorer: lam is a Jelinek-Mercer knob — "
-            "Kneser-Ney has no interpolation weight (its discount "
-            "mass is D-derived); pass discount= instead"
-        )
-    if scorer == "jm" and discount is not None:
-        raise ValueError(
-            "make_bigram_scorer: discount is a Kneser-Ney knob — "
-            "Jelinek-Mercer interpolates with lam, not an absolute "
-            "discount"
-        )
+    ``scorer``: "jm" (Jelinek-Mercer) or "kn" (Kneser-Ney);
+    cross-scorer knobs fail LOUD via the shared
+    ``_check_scorer_knobs``."""
+    _check_scorer_knobs(scorer, lam, discount)
     model = model.localCheckpoint(eager=True)
     plan = (
         _jm_plan(model, lam, alpha)

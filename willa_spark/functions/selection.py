@@ -697,6 +697,8 @@ def domain_mixture_weights(
     id_col: str = "doc_id",
     text_col: str = "text",
     model_pinned: bool = False,
+    scorer: str = "jm",
+    discount: float | None = None,
 ) -> DataFrame:
     """(group, n_docs, n_transitions, share, ce, weight) — ONE
     Group-DRO reweighting step of DoReMi (Xie et al. 2023, "DoReMi:
@@ -725,7 +727,11 @@ def domain_mixture_weights(
     SAME frame (the lm.py rule: the passthrough skips a second
     full materialization + duplicate executor residency; reusing a
     pin of a DIFFERENT frame is the classifier ``already_pinned``
-    bug, don't).
+    bug, don't). ``scorer="kn"`` switches the reference model's
+    smoothing to interpolated Kneser-Ney (the KenLM form —
+    ``discount`` applies there; cross-scorer knobs fail loud, the
+    lm.py rule), so the excess-loss signal matches the production
+    perplexity rows.
 
     Plan/scale shape: ONE corpus transition explode + broadcast-gated
     vocab-sized logp joins + ONE (group) partial agg (a handful of
@@ -749,6 +755,8 @@ def domain_mixture_weights(
         id_col=id_col,
         text_col=text_col,
         model_pinned=model_pinned,
+        scorer=scorer,
+        discount=discount,
     )
     return mixture_weights_from_stats(per, group_col=group_col, eta=eta_)
 

@@ -388,6 +388,8 @@ def domain_mixture_step(
     id_col: str = "doc_id",
     text_col: str = "text",
     compact_every: int | None = None,
+    scorer: str = "jm",
+    discount: float | None = None,
 ) -> Callable[[DataFrame, int], DataFrame]:
     """foreachBatch MIXTURE MONITOR: after each micro-batch, the
     CUMULATIVE one-step DoReMi weights (group, n_docs, n_transitions,
@@ -428,17 +430,22 @@ def domain_mixture_step(
         BROADCAST_MODEL_MAX_ROWS,
         DEFAULT_ALPHA,
         DEFAULT_LAMBDA,
+        _check_scorer_knobs,
         _group_lp_stats,
         _jm_plan,
+        _kn_plan,
     )
     from ..functions.selection import mixture_weights_from_stats
 
+    lam_ = DEFAULT_LAMBDA if lam is None else float(lam)
+    alpha_ = DEFAULT_ALPHA if alpha is None else float(alpha)
+    _check_scorer_knobs(scorer, lam_, discount)
     eta_ = float(eta)
     model = model.localCheckpoint(eager=True)
-    plan = _jm_plan(
-        model,
-        DEFAULT_LAMBDA if lam is None else float(lam),
-        DEFAULT_ALPHA if alpha is None else float(alpha),
+    plan = (
+        _jm_plan(model, lam_, alpha_)
+        if scorer == "jm"
+        else _kn_plan(model, alpha_, discount)
     )
     # eager pins: tables + scalars evaluate HERE, once — the
     # empty-model guard fires at construction, and no micro-batch
