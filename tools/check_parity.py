@@ -90,20 +90,9 @@ def norm_rows(cols, types, rows):
 # pre-flight and the policy block cannot drift silently (the list is
 # asserted against queries.py at run time: a missing attr fails loud).
 CANDIDATES: list[tuple[str, str, str]] = [
-    # (the r12 queue — lm_perplexity / kn_perplexity /
-    # boilerplate_strip — REGISTERED r13 and pre-flighted through the
-    # main gate now)
-    # the r14 queue (parked r13): the true-CCNet deployment shape —
-    # KN LM trained on the every-13th target sample, scoring the
-    # rest through the frozen-model make_bigram_scorer path
-    ("ccnet_perplexity", "q_ccnet_perplexity", "CCNET_PERPLEXITY_ORACLE"),
-    # one DoReMi Group-DRO mixture step per lang (the loss-side
-    # mixture signal; kl_profile is the distribution-side monitor)
-    (
-        "domain_mixture_weights",
-        "q_domain_mixture_weights",
-        "DOMAIN_MIXTURE_ORACLE",
-    ),
+    # (the r13 queue — ccnet_perplexity / domain_mixture_weights —
+    # REGISTERED r14 and pre-flighted through the main gate now; the
+    # r15 queue is parked below as this round builds it)
 ]
 
 

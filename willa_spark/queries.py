@@ -5882,8 +5882,8 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
-# r14 REGISTRATION CANDIDATE (parked r13 under the parked-with-oracle
-# discipline — the r12 verdict's #5): the TRUE CCNet deployment shape.
+# REGISTERED r14 (parked r13 under the parked-with-oracle discipline —
+# the r12 verdict's #5): the TRUE CCNet deployment shape.
 # lm_perplexity / kn_perplexity self-score (train on the corpus,
 # score the corpus — the dsir_weights convention); CCNet's production
 # signal trains the LM on a TARGET domain (Wikipedia) and scores the
@@ -5974,6 +5974,7 @@ FROM sc GROUP BY 1
 """
 
 
+@query("ccnet_perplexity", CCNET_PERPLEXITY_ORACLE)
 def q_ccnet_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Kneser-Ney perplexity of the CRAWL (every doc
     outside the target sample) under a bigram LM trained ONLY on the
@@ -6000,7 +6001,7 @@ def q_ccnet_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
-# SECOND r14 REGISTRATION CANDIDATE (parked r13): one DoReMi
+# REGISTERED r14 (parked r13, the second queue entry): one DoReMi
 # Group-DRO mixture-reweighting step (Xie et al. 2023) over the
 # per-domain (lang) token-weighted cross-entropy under the corpus's
 # own bigram LM — the LOSS-side mixture signal beside kl_profile's
@@ -6071,6 +6072,7 @@ FROM raw
 """
 
 
+@query("domain_mixture_weights", DOMAIN_MIXTURE_ORACLE)
 def q_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One DoReMi Group-DRO step over the corpus per language:
     (lang, n_docs, n_transitions, share, ce, weight) — each domain's
@@ -6101,55 +6103,53 @@ def q_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_curation.py::test_omitted_relational_parity (computed
 # FROM this set, so the pin rotates automatically).
 #
-# Round 13 rotation (period-3: a name last green in round k is due
-# k+3, resting TWO rounds). Registered queries: 119 = the 116 r12
-# names + the three r13 registrations lm_perplexity, kn_perplexity,
-# boilerplate_strip (parked r12 with full oracles, parity-pinned by
-# tests/test_lm.py::test_lm_perplexity_oracle_parity /
-# test_kn_perplexity_oracle_parity /
-# tests/test_corpus_filters.py::test_boilerplate_strip_oracle_parity,
-# pre-flighted green at 3 SFs, 10x rows pre-measured r12 — the r12
-# verdict's #1 with every precondition pre-met; the LM scorers'
-# above-gate hash-join path was plan+value-pinned BEFORE registration
-# by test_lm_above_gate_hash_join_path, the verdict's #3).
+# Round 14 rotation (period-3: a name last green in round k is due
+# k+3, resting TWO rounds). Registered queries: 121 = the 119 r13
+# names + the two r14 registrations ccnet_perplexity,
+# domain_mixture_weights (parked r13 with full oracles, parity-pinned
+# by tests/test_lm.py::test_ccnet_perplexity_oracle_parity /
+# tests/test_selection.py::test_domain_mixture_oracle_parity,
+# pre-flighted green via `check_parity.py --candidates`, 10x rows
+# pre-measured r13 at 1.24x / 1.53x — the r13 verdict's #1 with every
+# precondition pre-met).
 #
-# r13 gate (50) = the 39 r10-green COHORT returns (due r13) + the 3
-# registrations + 8 keeps from the r12 gate: the four MANDATORY
-# oracle twins of returning rows-only names — recall_minhash,
-# recall_winnow, recall_ann_lsh, recall_ann_ivf (their rows-only
-# twins minhash_near_dups / winnow_overlap_pairs / ann_lsh_topk /
-# ann_ivf_topk return this round and carry no out-of-gate oracle, so
-# the twins MUST sit in the same gate — the r12 FORWARD SCHEDULE
-# constraint, executed per the r12 verdict's #2) — plus the 4
-# cheapest remaining r12-gate rows by the BENCH_LAST per-query
-# record (rekey_transform 0.18 s, fanout_flatmap 0.18 s, filter_map
-# 0.22 s, anti_join_customers 0.24 s — the budget-policy keep rule).
-# Keeping them re-greens their clocks to due r16.
+# r14 gate (50) = the 27 r11-green COHORT returns (due r14) + the 2
+# registrations + 21 keeps from the r13 gate: the 21 cheapest
+# r13-gate rows by the BENCH_LAST per-query record (rekey_transform
+# 0.16 s ... decontaminate 0.89 s, 8.97 s combined — the budget-
+# policy keep rule) with ONE deliberate swap: recall_winnow (0.75 s,
+# cheaper than the last two keeps) is NOT kept, so it rests due r16
+# and lands IN-COHORT with its rows-only twin winnow_overlap_pairs —
+# keeping it would have stranded that twin in r16 with both oracle
+# twins due r17 (precision_winnow greens this round), forcing an
+# early-keep there. Keeping the 21 re-greens their clocks to r17.
 #
-# Twin audit in-gate: the other four returning rows-only names carry
-# their oracle-bearing twins INSIDE the returning cohort
-# (simhash_near_dups -> precision_simhash, image_phash_dups ->
-# precision_image_phash, audio_segment_dups -> recall_audio_seg,
-# video_fingerprint_dups -> recall_video_fp + precision_video_fp),
-# so every rows-only r13 gate name has a hash-grade twin in the same
-# gate.
+# Twin audit in-gate: the one rows-only name in the returning
+# cohort, audio_fingerprint_dups, carries its oracle twin
+# recall_audio_fp INSIDE the same cohort; no other rows-only name is
+# gate-visible this round (machine-checked by test_rotation.py).
 #
-# Rests 69 = the 27 r11-gate non-keeps (due r14, unchanged below) +
-# the 42 r12-gate names not kept (due r15; every one green in
-# CORRECTNESS_r12 — the first all-hash-grade gate — and, where
-# oracle-bearing, parity-pinned by the automatic pytest).
+# Rests 71 = the 42 r12-gate names not kept in r13 (due r15,
+# unchanged below) + the 29 r13-gate names not kept here (due r16;
+# every one green hash-grade or twin-proved rows-only in
+# CORRECTNESS_r13). Audited forward: every rows-only r16-cohort name
+# has at least one oracle twin in the SAME r16 cohort
+# (minhash->recall_minhash, simhash->precision_simhash,
+# winnow->recall_winnow via the swap, phash->precision_image_phash,
+# video->both, audio_seg->recall_audio_seg, ann_lsh->recall_ann_lsh,
+# ann_ivf->recall_ann_ivf); the r15 cohort contains no rows-only
+# names at all. NO forced twin keeps in r15 or r16.
 #
-# FORWARD SCHEDULE (period-3 arithmetic, registry 119):
-#   r14 gate = the 27 r11-green non-keeps + up to 23 keeps/new. Twin
-#   note: the one rows-only name in that cohort,
-#   audio_fingerprint_dups, has its oracle twin recall_audio_fp
-#   INSIDE the same cohort — no out-of-cohort twin keeps forced.
-#   r15 gate = the 42 r12-green rests + up to 8 keeps/new.
-#   r16 gate = the r13-green 50.
+# FORWARD SCHEDULE (period-3 arithmetic, registry 121):
+#   r15 gate = the 42 r12-green rests + up to 8 keeps/new (the r14
+#   parked queue registers there). No rows-only names in the cohort.
+#   r16 gate = the 29 r13-green rests + up to 21 keeps/new. All 8
+#   rows-only names return here WITH their twins in-cohort (above).
+#   r17 gate = the r14-green 50 (minus any keeps taken earlier).
 #
 # CAPACITY POLICY (the r12 verdict's #6, decided BEFORE the wall):
 # period-3 at gate 50 covers at most 150 registered names; the
-# registry stands at 119 -> 31 free slots, i.e. ~2-3 more rounds of
+# registry stands at 121 -> 29 free slots, i.e. ~2-3 more rounds of
 # growth at the r11-r13 cadence (2-3 registrations/round). When a
 # registration would push past 150, the registering round executes,
 # in order of preference: (a) RETIRE redundant sub-second relational
@@ -6178,34 +6178,27 @@ def q_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sub-second rows, (c) raise the ceiling explicitly with the
 # arithmetic, in that order.
 #
-# r13 BUDGET ARITHMETIC (executed): projection = 139.4 (the r12
-# quiet close) + 1.48 + 1.65 + 0.85 (the three registration prices,
-# pre-measured r12, BASELINE.md) ≈ 143 s < 150 — no trim/retire/
-# raise forced. r14 PRE-STAGE: the parked queue (see CANDIDATES in
-# tools/check_parity.py — the queue's single source of truth,
-# asserted against this module at tool runtime; this block never
-# restates its contents) prices at 3.09 + 2.32 = 5.41 s combined
-# measured (BASELINE.md r13 addenda; 10x ratios 1.21x / 1.53x).
-# Against the r13 FINAL close (141.1 s — best of five same-tree runs
-# spanning 141.1-175.2 on a noisy shared host; shared-116 = 0.979x
-# of r12) the projection is ≈146.5 s — under the ceiling, no
-# trim/retire/raise forced. If the r14 close-day weather lands the
-# close high, the lever order applies as always: quieter-window
-# re-run first (up to ~35 s of the observed band is weather), then
-# trim, then the retire-to-exhibition lever (capacity policy above);
-# record whichever in BASELINE.md.
+# r14 BUDGET ARITHMETIC (executed): projection = 141.1 (the r13
+# quiet close, best-of-five on a noisy host spanning 141.1-175.2) +
+# 3.09 + 2.32 (the two registration prices, pre-measured r13,
+# BASELINE.md) ≈ 146.5 s < 150 — no trim/retire/raise forced at
+# registration time. Per the r13 verdict's #3, if the first two
+# quiet-window closes land >150 s, do NOT serial-re-run: pull the
+# retire-to-exhibition lever (capacity policy (a) above) in the SAME
+# round and record the arithmetic in BASELINE.md. r15 PRE-STAGE: the
+# parked queue (see CANDIDATES in tools/check_parity.py — the
+# queue's single source of truth, asserted against this module at
+# tool runtime; this block never restates its contents) is priced in
+# BASELINE.md r14 addenda; r15 projection = the r14 close + that
+# queue price, recorded there at round close.
 #
-# Previous round (r12) for the record: registered 116 (114 r11 names
-# + selection_auc + dsir_calibration). Gate = 25 COHORT B returns +
-# 2 registrations + 23 keeps (the 22 cheapest r11-gate rows + the
-# revised kl_profile, which needed a fresh green row for its
-# new-semantics top_v/min_count path); 66 rested; 50 hash-grade rows
-# — the first all-hash-grade gate. Full mapping: git history of this
+# Previous rounds for the record: r13 registered 119 (116 + the lm/
+# kn/boilerplate trio); gate = 39 r10-cohort returns + 3
+# registrations + 8 keeps (4 mandatory rows-only twins + 4
+# cheapest); 69 rested; 42 hash + 8 twin-proved rows-only, 0 fail.
+# r12 registered 116; the first all-hash-grade gate. r11 activated
+# period-3 at registry 114. Full mappings: git history of this
 # block.
-#
-# Previous round (r11) for the record — PERIOD-3 ACTIVATED.
-# Registered: 114. Gate = 25 COHORT A returns + 14 new + 11 keeps;
-# 64 rested. Full mapping + the r10 round: git history of this block.
 #
 # CANDIDATE PRE-FLIGHT: `python tools/check_parity.py --candidates
 # <sf_dir>` runs every parked q_*/`*_ORACLE` pair through the
@@ -6238,40 +6231,9 @@ ROWS_ONLY_TWINS: dict[str, tuple[str, ...]] = {
 
 DRIVER_OMIT = frozenset(
     {
-        # -- r11-gate names not kept in r12 (27): due r14; every one
-        # -- green in CORRECTNESS_r11 (26 hash-grade + 1 rows-only:
-        # -- audio_fingerprint_dups, resting beside its oracle twin
-        # -- recall_audio_fp in this same cohort).
-        "normalize_docs",
-        "broadcast_enrich",
-        "regional_supplier_volume",
-        "epoch_shuffle_bands",
-        "line_dedup",
-        "precision_winnow",
-        "distinct_parts_per_supplier",
-        "regrouped_retraction",
-        "sketch_profile_bands",
-        "dup_ngram_spans",
-        "decontaminate_fuzzy",
-        "windowed_left_join",
-        "recall_simhash",
-        "top_parts_per_supplier",
-        "cms_heavy_hitters",
-        "recall_audio_fp",
-        "recall_image_phash",
-        "audio_fingerprint_dups",
-        "repetition_ngram_filter",
-        "perplexity_bands",
-        "packed_sequences_loaded",
-        "precision_ann_lsh",
-        "hybrid_rrf_topk",
-        "bpe_consistency_bands",
-        "pq_recall_bands",
-        "quality_classifier_bands",
-        "ivfpq_recall_bands",
         # -- r12-gate names not kept in r13 (42): due r15; every one
-        # -- green in CORRECTNESS_r12 (all hash-grade — the first
-        # -- all-hash-grade gate).
+        # -- green hash-grade in CORRECTNESS_r12. No rows-only names
+        # -- in this cohort.
         "above_avg_orders",
         "asof_enrich",
         "bm25_topk",
@@ -6314,6 +6276,40 @@ DRIVER_OMIT = frozenset(
         "top_customers",
         "training_data_prep",
         "with_dedupe_first",
+        # -- r13-gate names not kept in r14 (29): due r16; every one
+        # -- green in CORRECTNESS_r13 (hash-grade, or rows-only with
+        # -- its oracle twin green in the same r13 gate). All 8
+        # -- rows-only names rest here WITH an oracle twin in this
+        # -- same cohort (incl. recall_winnow via the r14 keep swap).
+        "ann_ivf_topk",
+        "ann_lsh_topk",
+        "audio_segment_dups",
+        "boilerplate_strip",
+        "corpus_keep_by_source",
+        "dsir_weights",
+        "embedding_near_dups",
+        "image_phash_dups",
+        "interval_join",
+        "kn_perplexity",
+        "lm_perplexity",
+        "minhash_near_dups",
+        "mixing_repeat_epochs",
+        "near_dup_clusters",
+        "packed_shard_roundtrip",
+        "precision_audio_fp",
+        "precision_image_phash",
+        "precision_simhash",
+        "precision_video_fp",
+        "recall_ann_ivf",
+        "recall_ann_lsh",
+        "recall_audio_seg",
+        "recall_minhash",
+        "recall_video_fp",
+        "recall_winnow",
+        "simhash_near_dups",
+        "video_fingerprint_dups",
+        "windowed_outer_join",
+        "winnow_overlap_pairs",
     }
 )
 
