@@ -1334,3 +1334,33 @@ def test_domain_mixture_step_kn_congruity(spark, tmp_path):
                 assert g[i] == pytest.approx(w[i], abs=2e-6), (bid, g[0], i)
     with pytest.raises(ValueError, match="Jelinek-Mercer knob"):
         domain_mixture_step(ref, str(tmp_path / "bad"), scorer="kn", lam=0.5)
+
+
+def test_domain_mixture_step_batch0_empty_frame_keeps_group_type(spark, tmp_path):
+    """A batch-0 EMPTY micro-batch emits an empty frame whose group
+    column keeps the BATCH schema's type (r13 review: the empty frame
+    hardcoded `string`, so an integer domain id disagreed with every
+    later emission, breaking sinks that union the stream's output) —
+    pinned here with a bigint group column end-to-end: batch 0 empty,
+    batch 1 real, schemas equal, unionByName round-trips."""
+    from willa_spark.functions import lm as LM
+    from willa_spark.streaming.selection import domain_mixture_step
+
+    rows = [(i, i % 2, t) for i, (_, _, t) in enumerate(DOREMI_DOCS)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, domain_id long, text string"
+    )
+    ref = LM.bigram_lm_train(df.select("doc_id", "text")).localCheckpoint(
+        eager=True
+    )
+    step = domain_mixture_step(
+        ref, str(tmp_path / "dmint"), group_col="domain_id", eta=1.0
+    )
+    empty = step(df.limit(0), 0)
+    assert empty.count() == 0
+    real = step(df, 1)
+    assert [(f.name, f.dataType) for f in empty.schema] == [
+        (f.name, f.dataType) for f in real.schema
+    ]
+    assert empty.unionByName(real).count() == real.count()
+    assert dict(empty.dtypes)["domain_id"] == "bigint"

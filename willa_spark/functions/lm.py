@@ -603,6 +603,42 @@ def _check_scorer_knobs(scorer: str, lam: float, discount: float | None):
         )
 
 
+def _frozen_plan(
+    model: DataFrame,
+    scorer: str,
+    lam: float,
+    alpha: float,
+    discount: float | None,
+    broadcast_max_rows: int = BROADCAST_MODEL_MAX_ROWS,
+):
+    """The ONE frozen-model construction (r13 review: the eager-pin
+    block had drifted into a verbatim copy between
+    ``make_bigram_scorer`` and the streaming mixture step — the same
+    class of twin drift ``_scored_lp`` exists to prevent on the
+    corpus side): validate the cross-scorer knobs, pin the model,
+    derive and eagerly PIN the vocabulary-sized logp/λ/P_cont tables
+    and the scalar frame (a degenerate model fails HERE, at
+    construction), and run the broadcast-gate count — returning
+    ``(plan, do_broadcast)`` ready for per-batch ``_apply_plan`` /
+    ``_group_lp_stats`` calls that pay only corpus-side work."""
+    _check_scorer_knobs(scorer, lam, discount)
+    model = model.localCheckpoint(eager=True)
+    plan = (
+        _jm_plan(model, lam, alpha)
+        if scorer == "jm"
+        else _kn_plan(model, alpha, discount)
+    )
+    plan = {
+        "joins": [
+            (tab.localCheckpoint(eager=True), keys)
+            for tab, keys in plan["joins"]
+        ],
+        "scalars": plan["scalars"].localCheckpoint(eager=True),
+        "lp": plan["lp"],
+    }
+    return plan, model.count() <= broadcast_max_rows
+
+
 def make_bigram_scorer(
     model: DataFrame,
     scorer: str = "jm",
@@ -625,25 +661,9 @@ def make_bigram_scorer(
     ``scorer``: "jm" (Jelinek-Mercer) or "kn" (Kneser-Ney);
     cross-scorer knobs fail LOUD via the shared
     ``_check_scorer_knobs``."""
-    _check_scorer_knobs(scorer, lam, discount)
-    model = model.localCheckpoint(eager=True)
-    plan = (
-        _jm_plan(model, lam, alpha)
-        if scorer == "jm"
-        else _kn_plan(model, alpha, discount)
+    plan, do_broadcast = _frozen_plan(
+        model, scorer, lam, alpha, discount, broadcast_max_rows
     )
-    # eager pins: the tables (and the KN in-plan D guard) evaluate
-    # HERE, once — a degenerate model fails at construction, and no
-    # micro-batch re-derives vocab-sized state that never changes
-    plan = {
-        "joins": [
-            (tab.localCheckpoint(eager=True), keys)
-            for tab, keys in plan["joins"]
-        ],
-        "scalars": plan["scalars"].localCheckpoint(eager=True),
-        "lp": plan["lp"],
-    }
-    do_broadcast = model.count() <= broadcast_max_rows
 
     def score(docs: DataFrame) -> DataFrame:
         return _apply_plan(docs, plan, id_col, text_col, do_broadcast)

@@ -427,43 +427,21 @@ def domain_mixture_step(
 
     from .store import store_append, store_compact_every, store_read
     from ..functions.lm import (
-        BROADCAST_MODEL_MAX_ROWS,
         DEFAULT_ALPHA,
         DEFAULT_LAMBDA,
-        _check_scorer_knobs,
+        _frozen_plan,
         _group_lp_stats,
-        _jm_plan,
-        _kn_plan,
     )
     from ..functions.selection import mixture_weights_from_stats
 
     lam_ = DEFAULT_LAMBDA if lam is None else float(lam)
     alpha_ = DEFAULT_ALPHA if alpha is None else float(alpha)
-    _check_scorer_knobs(scorer, lam_, discount)
     eta_ = float(eta)
-    model = model.localCheckpoint(eager=True)
-    plan = (
-        _jm_plan(model, lam_, alpha_)
-        if scorer == "jm"
-        else _kn_plan(model, alpha_, discount)
-    )
-    # eager pins: tables + scalars evaluate HERE, once — the
-    # empty-model guard fires at construction, and no micro-batch
-    # re-derives vocab-sized state that never changes
-    plan = {
-        "joins": [
-            (tab.localCheckpoint(eager=True), keys)
-            for tab, keys in plan["joins"]
-        ],
-        "scalars": plan["scalars"].localCheckpoint(eager=True),
-        "lp": plan["lp"],
-    }
-    do_broadcast = model.count() <= BROADCAST_MODEL_MAX_ROWS
+    # the shared frozen-model construction (lm._frozen_plan): knob
+    # validation, model pin, vocab-sized table pins, broadcast gate —
+    # all HERE, once, identical to make_bigram_scorer's by sharing
+    plan, do_broadcast = _frozen_plan(model, scorer, lam_, alpha_, discount)
     stats_dir = os.path.join(store_dir, "group_lp_stats")
-    out_schema = (
-        f"{group_col} string, n_docs bigint, n_transitions bigint, "
-        "share double, ce double, weight double"
-    )
 
     def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
         spark = batch_df.sparkSession
@@ -499,7 +477,17 @@ def domain_mixture_step(
         has_rows = bool(stats.limit(1).count())
         prior = store_read(spark, stats_dir, before_batch=batch_id)
         if prior is None and not has_rows:
-            return spark.createDataFrame([], out_schema)
+            # the empty frame's group column keeps the BATCH schema's
+            # type (r13 review: hardcoding `string` here made a
+            # batch-0 emission disagree with every later batch for a
+            # non-string group column, breaking sinks that union)
+            gtype = batch_df.schema[group_col].dataType.simpleString()
+            return spark.createDataFrame(
+                [],
+                f"{group_col} {gtype}, n_docs bigint, "
+                "n_transitions bigint, share double, ce double, "
+                "weight double",
+            )
         frames = ([stats] if has_rows else []) + (
             [prior] if prior is not None else []
         )
