@@ -1364,3 +1364,180 @@ def test_domain_mixture_step_batch0_empty_frame_keeps_group_type(spark, tmp_path
     ]
     assert empty.unionByName(real).count() == real.count()
     assert dict(empty.dtypes)["domain_id"] == "bigint"
+
+
+def _py_traj(rows, eta=1.0, steps=6, lam=0.8, alpha=1e-4, train_rows=None):
+    """Exact pure-Python bounded Group-DRO trajectory (the
+    _py_doremi per-domain stats + the exponentiated-gradient
+    iteration) — the differential domain_mixture_trajectory must
+    match."""
+    big, ctx, tgt = {}, {}, {}
+    for _, _, t in train_rows if train_rows is not None else rows:
+        toks = [w for w in t.lower().strip().split() if w]
+        seq = ["<s>"] + toks + ["</s>"]
+        for a, b in zip(seq, seq[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    for (a, b), c in big.items():
+        ctx[a] = ctx.get(a, 0) + c
+        tgt[b] = tgt.get(b, 0) + c
+    T = float(sum(big.values()))
+    V = float(len({b for _, b in big}))
+    per = {}
+    for _, g, t in rows:
+        toks = [w for w in t.lower().strip().split() if w]
+        seq = ["<s>"] + toks + ["</s>"]
+        for a, b in zip(seq, seq[1:]):
+            p_uni = (tgt.get(b, 0) + alpha) / (T + alpha * (V + 1.0))
+            p_big = big.get((a, b), 0) / ctx[a] if ctx.get(a) else 0.0
+            lp = math.log(lam * p_big + (1 - lam) * p_uni)
+            n, s = per.get(g, (0, 0.0))
+            per[g] = (n + 1, s + lp)
+    groups = sorted(per)
+    ce = {g: -per[g][1] / per[g][0] for g in groups}
+    N = float(sum(per[g][0] for g in groups))
+    w = {g: per[g][0] / N for g in groups}
+    out = {}
+    for t in range(1, steps + 1):
+        ce_mix = sum(w[g] * ce[g] for g in groups)
+        raw = {g: w[g] * math.exp(eta * (ce[g] - ce_mix)) for g in groups}
+        z = sum(raw.values())
+        w = {g: raw[g] / z for g in groups}
+        out.update(
+            {(t, g): (round(ce_mix, 6), round(w[g], 6)) for g in groups}
+        )
+    return out
+
+
+def test_domain_mixture_trajectory_python_differential(spark):
+    """The bounded fixed-point trajectory vs exact pure-Python
+    arithmetic: every (step, group) cell's ce_mix and weight match at
+    6dp across 6 steps; each step's weights sum to 1; ce_mix is
+    constant within a step."""
+    df = spark.createDataFrame(
+        DOREMI_DOCS, "doc_id long, lang string, text string"
+    )
+    got = {
+        (r["step"], r["lang"]): (r["ce_mix"], r["weight"])
+        for r in SEL.domain_mixture_trajectory(df, steps=6).collect()
+    }
+    want = _py_traj(DOREMI_DOCS, steps=6)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == pytest.approx(want[k][0], abs=2e-6), k
+        assert got[k][1] == pytest.approx(want[k][1], abs=2e-6), k
+    for t in range(1, 7):
+        step_w = [v[1] for (s, _), v in got.items() if s == t]
+        assert sum(step_w) == pytest.approx(1.0, abs=5e-6), t
+        step_m = {v[0] for (s, _), v in got.items() if s == t}
+        assert len(step_m) == 1, t
+
+
+def test_domain_mixture_trajectory_step1_is_the_one_step_row(spark):
+    """Step 1 of the trajectory coincides with the registered
+    domain_mixture_weights row at the 6dp contract (at w_0 = share
+    the mixture loss IS the token-weighted corpus ce — the operand
+    orders differ in IEEE, so approx, never exact)."""
+    df = spark.createDataFrame(
+        DOREMI_DOCS, "doc_id long, lang string, text string"
+    )
+    one = {
+        r["lang"]: r["weight"]
+        for r in SEL.domain_mixture_weights(df, eta=1.0).collect()
+    }
+    traj = {
+        r["lang"]: r["weight"]
+        for r in SEL.domain_mixture_trajectory(df, eta=1.0, steps=1).collect()
+    }
+    assert set(one) == set(traj)
+    for g in one:
+        assert traj[g] == pytest.approx(one[g], abs=2e-6), g
+
+
+def test_domain_mixture_trajectory_converges_to_hardest(spark):
+    """The convergence arithmetic this row exists to pin: under a
+    reference model trained on the en+de baseline, the
+    vocabulary-disjoint xx domain (highest excess loss) gains mass
+    monotonically across steps — strictly until it saturates at the
+    6dp grain (its excess loss is so large that η=1 would pin it to
+    1.0 by step 2, so a gentle η keeps the trajectory informative) —
+    while the easy majority drains; with η=0 every step returns the
+    baseline shares unchanged."""
+    from willa_spark.functions import lm as LM
+
+    df = spark.createDataFrame(
+        DOREMI_DOCS, "doc_id long, lang string, text string"
+    )
+    model = LM.bigram_lm_train(
+        df.filter(F.col("lang") != "xx").select("doc_id", "text")
+    ).localCheckpoint(eager=True)
+    rows = SEL.domain_mixture_trajectory(
+        df, model=model, model_pinned=True, eta=0.05, steps=6
+    ).collect()
+    xx = [r["weight"] for r in sorted(rows, key=lambda r: r["step"]) if r["lang"] == "xx"]
+    en = [r["weight"] for r in sorted(rows, key=lambda r: r["step"]) if r["lang"] == "en"]
+    assert all(a < b for a, b in zip(xx, xx[1:])), xx
+    assert all(a > b for a, b in zip(en, en[1:])), en
+    flat = SEL.domain_mixture_trajectory(df, eta=0.0, steps=3).collect()
+    share = {
+        r["lang"]: r["share"]
+        for r in SEL.domain_mixture_weights(df, eta=0.0).collect()
+    }
+    for r in flat:
+        assert r["weight"] == pytest.approx(share[r["lang"]], abs=2e-6), r
+
+
+def test_domain_mixture_trajectory_guards(spark):
+    """steps < 1, a corpus-scale group column (max_groups), NULL
+    groups, and cross-scorer knobs all fail loud — nothing degrades
+    to a silent no-op."""
+    df = spark.createDataFrame(
+        DOREMI_DOCS, "doc_id long, lang string, text string"
+    )
+    with pytest.raises(ValueError, match="at least one step"):
+        SEL.domain_mixture_trajectory(df, steps=0)
+    with pytest.raises(ValueError, match="more than 2 distinct"):
+        SEL.domain_mixture_trajectory(df, max_groups=2)
+    with pytest.raises(Exception, match="NULL lang"):
+        SEL.domain_mixture_trajectory(
+            spark.createDataFrame(
+                [(0, None, "the cat")], "doc_id long, lang string, text string"
+            )
+        ).collect()
+    with pytest.raises(ValueError, match="Jelinek-Mercer knob"):
+        SEL.domain_mixture_trajectory(df, scorer="kn", lam=0.5)
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001"])
+def test_domain_mixture_trajectory_oracle_parity(spark, sf_dir):
+    """The r15 registration candidate (parked-with-oracle
+    discipline), parity-pinned NOW: queries.q_domain_mixture_trajectory
+    vs its generated unrolled-CTE DuckDB oracle — every (step, lang)
+    cell at the 6dp contract, simplex per step."""
+    import duckdb
+
+    from willa_spark.queries import (
+        DOMAIN_MIXTURE_TRAJ_ORACLE,
+        q_domain_mixture_trajectory,
+    )
+
+    got = {
+        (r["step"], r["lang"]): (r["ce_mix"], r["weight"])
+        for r in q_domain_mixture_trajectory(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    want = {
+        (s, g): (m, w)
+        for s, g, m, w in con.execute(DOMAIN_MIXTURE_TRAJ_ORACLE).fetchall()
+    }
+    assert set(got) == set(want) and len(got) > 0
+    for k in want:
+        assert got[k][0] == pytest.approx(want[k][0], abs=2e-6), k
+        assert got[k][1] == pytest.approx(want[k][1], abs=2e-6), k
+    for t in {s for s, _ in got}:
+        assert sum(v[1] for (s, _), v in got.items() if s == t) == pytest.approx(
+            1.0, abs=5e-6
+        ), t

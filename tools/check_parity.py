@@ -91,8 +91,15 @@ def norm_rows(cols, types, rows):
 # asserted against queries.py at run time: a missing attr fails loud).
 CANDIDATES: list[tuple[str, str, str]] = [
     # (the r13 queue — ccnet_perplexity / domain_mixture_weights —
-    # REGISTERED r14 and pre-flighted through the main gate now; the
-    # r15 queue is parked below as this round builds it)
+    # REGISTERED r14 and pre-flighted through the main gate now)
+    # the r15 queue (parked r14): the bounded DoReMi fixed-point
+    # trajectory — 6 unrolled Group-DRO steps under one frozen
+    # model, pinning the loop arithmetic the one-step row samples
+    (
+        "domain_mixture_trajectory",
+        "q_domain_mixture_trajectory",
+        "DOMAIN_MIXTURE_TRAJ_ORACLE",
+    ),
 ]
 
 

@@ -806,3 +806,108 @@ def mixture_weights_from_stats(
         F.round(F.col("ce"), 6).alias("ce"),
         F.round(F.col("__w_raw") / F.col("__Z"), 6).alias("weight"),
     )
+
+
+def domain_mixture_trajectory(
+    docs: DataFrame,
+    group_col: str = "lang",
+    eta: float = 1.0,
+    steps: int = 6,
+    model: DataFrame | None = None,
+    lam: float = LM_DEFAULT_LAMBDA,
+    alpha: float = LM_DEFAULT_ALPHA,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    model_pinned: bool = False,
+    scorer: str = "jm",
+    discount: float | None = None,
+    max_groups: int = 100_000,
+) -> DataFrame:
+    """(step, group, ce_mix, weight) for step = 1..K — the BOUNDED
+    Group-DRO fixed-point iteration the one-step
+    ``domain_mixture_weights`` row only samples (the published DoReMi
+    loop alternates proxy refits with this update; with the reference
+    model and the per-domain losses FROZEN, iterating the update is
+    the exponentiated-gradient dynamics on the mixture simplex):
+
+        w_0        = share_g  (the baseline transition share),
+        ce_mix_t   = Σ_g w_{t-1}(g) · ce_g   (the MIXTURE loss),
+        w_t(g)     ∝ w_{t-1}(g) · exp(η · (ce_g − ce_mix_t)),  Σ = 1.
+
+    Step 1 therefore coincides with ``domain_mixture_weights`` (there
+    ce_corpus is the token-weighted mean, which at w_0 = share IS the
+    mixture loss — pinned by test at the 6dp contract), and the
+    trajectory drifts mass monotonically toward the hardest domains
+    (the dynamics' closed form w_t ∝ share·exp(t·η·ce) — the
+    convergence arithmetic this row pins under an oracle). ``ce_mix``
+    is emitted per step (constant across the step's groups) so the
+    oracle checks the INNER scalar, not just the normalized output.
+
+    Plan/scale shape: the per-domain (ce, n) frame is the audited
+    ``bigram_group_cross_entropy`` plan — ONE corpus transition
+    explode + broadcast-gated vocab joins + one salted (group, salt64)
+    partial agg. The iteration itself is pure domain-cardinality
+    arithmetic with NO corpus re-pass, so it runs on the DRIVER over
+    one bounded collect (the quality-classifier epoch-loop
+    discipline: K tiny Spark jobs per step would buy nothing but
+    scheduler overhead at any scale) — bounded by construction via
+    the ``max_groups`` loud guard (domains are languages / sources /
+    site buckets: thousands, never corpus-scale). Sums fold in
+    sorted-group order, deterministically."""
+    from .lm import bigram_group_cross_entropy, bigram_lm_train
+
+    eta_ = float(eta)
+    steps_ = int(steps)
+    if steps_ < 1:
+        raise ValueError(
+            f"domain_mixture_trajectory: steps={steps} — the bounded "
+            "fixed-point iteration needs at least one step (step 1 = "
+            "the one-step domain_mixture_weights row)"
+        )
+    if model is None:
+        model = bigram_lm_train(docs.select(id_col, text_col))
+        model_pinned = False  # freshly-built lineage, never pre-pinned
+    per = bigram_group_cross_entropy(
+        docs,
+        model,
+        group_col=group_col,
+        lam=lam,
+        alpha=alpha,
+        id_col=id_col,
+        text_col=text_col,
+        model_pinned=model_pinned,
+        scorer=scorer,
+        discount=discount,
+    )
+    gtype = per.schema[group_col].dataType.simpleString()
+    rows = per.limit(max_groups + 1).collect()
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"domain_mixture_trajectory: more than {max_groups} "
+            f"distinct {group_col} values — this is a DOMAIN mixture "
+            "(languages / sources / site buckets); a corpus-scale "
+            "group column belongs in per-doc scoring, not a mixture "
+            "trajectory (raise max_groups only if the domain space "
+            "is genuinely that wide)"
+        )
+    import math
+
+    rows = sorted(rows, key=lambda r: (r[group_col] is None, r[group_col]))
+    n = {r[group_col]: float(r["n_transitions"]) for r in rows}
+    ce = {r[group_col]: float(r["ce"]) for r in rows}
+    groups = [r[group_col] for r in rows]
+    N = math.fsum(n[g] for g in groups)  # exact: doubles holding ints
+    w = {g: n[g] / N for g in groups}
+    out = []
+    for t in range(1, steps_ + 1):
+        ce_mix = sum(w[g] * ce[g] for g in groups)
+        raw = {g: w[g] * math.exp(eta_ * (ce[g] - ce_mix)) for g in groups}
+        z = sum(raw[g] for g in groups)
+        w = {g: raw[g] / z for g in groups}
+        out += [
+            (t, g, round(ce_mix, 6), round(w[g], 6)) for g in groups
+        ]
+    return docs.sparkSession.createDataFrame(
+        out,
+        f"step int, {group_col} {gtype}, ce_mix double, weight double",
+    )
