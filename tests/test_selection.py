@@ -943,10 +943,14 @@ DOREMI_DOCS = [
 ]
 
 
-def _py_doremi(rows, eta=1.0, lam=0.8, alpha=1e-4, train_rows=None):
-    """Exact pure-Python one-step DoReMi over the JM bigram LM
-    (self-trained unless ``train_rows`` passes a reference corpus) —
-    the differential the Spark plan must match."""
+def _py_group_lp(rows, lam=0.8, alpha=1e-4, train_rows=None):
+    """Shared exact pure-Python per-domain JM bigram statistics
+    (self-trained unless ``train_rows`` passes a reference corpus):
+    {group: (n_transitions, sum_lp, doc_id set)} — the one spelling
+    of the tokenization/smoothing convention both the one-step and
+    the trajectory differentials pin (r14 review: _py_traj had
+    re-inlined it, so a convention edit could silently fork the two
+    oracles)."""
     big, ctx, tgt = {}, {}, {}
     for _, _, t in train_rows if train_rows is not None else rows:
         toks = [w for w in t.lower().strip().split() if w]
@@ -959,7 +963,7 @@ def _py_doremi(rows, eta=1.0, lam=0.8, alpha=1e-4, train_rows=None):
     T = float(sum(big.values()))
     V = float(len({b for _, b in big}))
     per = {}
-    for _, g, t in rows:
+    for i, g, t in rows:
         toks = [w for w in t.lower().strip().split() if w]
         seq = ["<s>"] + toks + ["</s>"]
         for a, b in zip(seq, seq[1:]):
@@ -967,8 +971,15 @@ def _py_doremi(rows, eta=1.0, lam=0.8, alpha=1e-4, train_rows=None):
             p_big = big.get((a, b), 0) / ctx[a] if ctx.get(a) else 0.0
             lp = math.log(lam * p_big + (1 - lam) * p_uni)
             n, s, d = per.get(g, (0, 0.0, set()))
-            d = d | {_}
-            per[g] = (n + 1, s + lp, d)
+            per[g] = (n + 1, s + lp, d | {i})
+    return per
+
+
+def _py_doremi(rows, eta=1.0, lam=0.8, alpha=1e-4, train_rows=None):
+    """Exact pure-Python one-step DoReMi over the JM bigram LM
+    (self-trained unless ``train_rows`` passes a reference corpus) —
+    the differential the Spark plan must match."""
+    per = _py_group_lp(rows, lam=lam, alpha=alpha, train_rows=train_rows)
     N = sum(n for n, _, _ in per.values())
     ce_all = sum(-s for _, s, _ in per.values()) / N
     raw = {
@@ -1367,31 +1378,11 @@ def test_domain_mixture_step_batch0_empty_frame_keeps_group_type(spark, tmp_path
 
 
 def _py_traj(rows, eta=1.0, steps=6, lam=0.8, alpha=1e-4, train_rows=None):
-    """Exact pure-Python bounded Group-DRO trajectory (the
-    _py_doremi per-domain stats + the exponentiated-gradient
+    """Exact pure-Python bounded Group-DRO trajectory (the SHARED
+    _py_group_lp per-domain stats + the exponentiated-gradient
     iteration) — the differential domain_mixture_trajectory must
     match."""
-    big, ctx, tgt = {}, {}, {}
-    for _, _, t in train_rows if train_rows is not None else rows:
-        toks = [w for w in t.lower().strip().split() if w]
-        seq = ["<s>"] + toks + ["</s>"]
-        for a, b in zip(seq, seq[1:]):
-            big[(a, b)] = big.get((a, b), 0) + 1
-    for (a, b), c in big.items():
-        ctx[a] = ctx.get(a, 0) + c
-        tgt[b] = tgt.get(b, 0) + c
-    T = float(sum(big.values()))
-    V = float(len({b for _, b in big}))
-    per = {}
-    for _, g, t in rows:
-        toks = [w for w in t.lower().strip().split() if w]
-        seq = ["<s>"] + toks + ["</s>"]
-        for a, b in zip(seq, seq[1:]):
-            p_uni = (tgt.get(b, 0) + alpha) / (T + alpha * (V + 1.0))
-            p_big = big.get((a, b), 0) / ctx[a] if ctx.get(a) else 0.0
-            lp = math.log(lam * p_big + (1 - lam) * p_uni)
-            n, s = per.get(g, (0, 0.0))
-            per[g] = (n + 1, s + lp)
+    per = _py_group_lp(rows, lam=lam, alpha=alpha, train_rows=train_rows)
     groups = sorted(per)
     ce = {g: -per[g][1] / per[g][0] for g in groups}
     N = float(sum(per[g][0] for g in groups))

@@ -174,6 +174,37 @@ def test_streaming_vocab_sketch_store_congruity_and_replay(spark, tmp_path):
     assert sk.select("ingest_batch").distinct().count() == 2
 
 
+def test_vocab_store_empty_read_keeps_group_type(spark, tmp_path):
+    """A read-side poll BEFORE any ingest keeps the caller's group
+    column type (r14 review: the empty-store frame hardcoded
+    `group string`, so a bigint domain id read pre-ingest disagreed
+    with every post-ingest frame — the domain_mixture_step batch-0
+    schema class, closed across the module): the pre-ingest frame
+    unions cleanly with the post-ingest one."""
+    from willa_spark.streaming.sketches import (
+        vocab_estimate_from_store,
+        vocab_sketch_step,
+    )
+
+    store = os.path.join(str(tmp_path), "sketch-store-int")
+    pre = vocab_estimate_from_store(spark, store, group_type="bigint")
+    assert pre.count() == 0 and dict(pre.dtypes)["group"] == "bigint"
+    docs = spark.createDataFrame(
+        [(0, 7, "aa bb cc"), (1, 8, "dd ee ff")],
+        "doc_id long, domain_id long, text string",
+    )
+    emitted = {}
+    step = vocab_sketch_step(
+        store, group_col="domain_id", sink=lambda df, bid: emitted.update({bid: df})
+    )
+    step(docs, 0)
+    post = emitted[0]
+    assert [(f.name, f.dataType) for f in pre.schema] == [
+        (f.name, f.dataType) for f in post.schema
+    ]
+    assert pre.unionByName(post).count() == post.count() == 2
+
+
 def test_sketch_profile_bands_oracle_parity(spark):
     """The r10/r11 registration candidate, parity-pinned NOW: exact
     columns hash-grade vs DuckDB, band booleans all TRUE on the real

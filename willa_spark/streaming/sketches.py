@@ -74,18 +74,35 @@ def vocab_sketch_step(
             max_files=1,
         )
         if sink is not None:
-            sink(vocab_estimate_from_store(spark, store_dir), batch_id)
+            sink(
+                vocab_estimate_from_store(
+                    spark,
+                    store_dir,
+                    group_type=batch_df.schema[group_col]
+                    .dataType.simpleString(),
+                ),
+                batch_id,
+            )
 
     return step
 
 
-def vocab_estimate_from_store(spark: SparkSession, store_dir: str) -> DataFrame:
+def vocab_estimate_from_store(
+    spark: SparkSession, store_dir: str, group_type: str = "string"
+) -> DataFrame:
     """Current (group, vocab_estimate) from the sketch store: union
     all per-batch sketch states (register-max merge) and estimate.
-    Empty frame with the right schema when nothing was ingested yet."""
+    Empty frame with the right schema when nothing was ingested yet —
+    ``group_type`` names the group column's DDL type for that case
+    (the sketch store keeps the BATCH group column's type under the
+    ``group`` name, so a bigint domain id read before any ingest must
+    not come back as string — the r14 review's batch-0 schema class,
+    fixed here alongside domain_mixture_step's instance)."""
     sk = store_read(spark, os.path.join(store_dir, "vocab_sketches"))
     if sk is None:
-        return spark.createDataFrame([], "group string, vocab_estimate long")
+        return spark.createDataFrame(
+            [], f"group {group_type}, vocab_estimate long"
+        )
     return vocab_estimate(merge_vocab_sketches(sk))
 
 
