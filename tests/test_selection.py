@@ -1532,3 +1532,80 @@ def test_domain_mixture_trajectory_oracle_parity(spark, sf_dir):
         assert sum(v[1] for (s, _), v in got.items() if s == t) == pytest.approx(
             1.0, abs=5e-6
         ), t
+
+
+def test_domain_mixture_trajectory_step_congruity_and_replay(spark, tmp_path):
+    """The streaming trajectory monitor ≡ the batch trajectory over
+    the running union under one frozen reference model (EXACT by
+    construction: the shared additive store + the shared
+    mixture_trajectory_from_stats tail): after batches 0..k every
+    (step, group) cell matches at the 6dp contract; a replayed batch
+    returns identical rows and leaves the store uncorrupted; batch-0
+    empty emits the trajectory schema with the batch group type; a
+    zero-steps construction fails loud before any batch."""
+    from willa_spark.functions import lm as LM
+    from willa_spark.streaming.selection import domain_mixture_trajectory_step
+
+    rows = DOREMI_DOCS + [(6, "de", "der hund sitzt auf der matte")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    ref = LM.bigram_lm_train(df.select("doc_id", "text")).localCheckpoint(
+        eager=True
+    )
+    with pytest.raises(ValueError, match="at least one step"):
+        domain_mixture_trajectory_step(ref, str(tmp_path / "z"), steps=0)
+    step = domain_mixture_trajectory_step(
+        ref, str(tmp_path / "dmt"), group_col="lang", eta=1.0, steps=4
+    )
+    # batch-0 EMPTY micro-batch: trajectory schema, batch group type
+    empty = step(df.limit(0), 0)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema] == ["step", "lang", "ce_mix", "weight"]
+    assert dict(empty.dtypes)["lang"] == "string"
+    key = lambda r: (r["step"], r["lang"])
+    seen: list[int] = []
+    batches = [[0, 3], [1, 4, 5], [2, 6]]
+    for bid, ids in enumerate(batches, start=1):
+        seen += ids
+        got = {
+            key(r): (r["ce_mix"], r["weight"])
+            for r in step(df.filter(F.col("doc_id").isin(ids)), bid).collect()
+        }
+        want = {
+            key(r): (r["ce_mix"], r["weight"])
+            for r in SEL.domain_mixture_trajectory(
+                df.filter(F.col("doc_id").isin(seen)),
+                model=ref,
+                model_pinned=True,
+                eta=1.0,
+                steps=4,
+            ).collect()
+        }
+        assert set(got) == set(want), bid
+        for k in want:
+            assert got[k][0] == pytest.approx(want[k][0], abs=2e-6), (bid, k)
+            assert got[k][1] == pytest.approx(want[k][1], abs=2e-6), (bid, k)
+    # replay batch 2: identical rows, store intact for the next batch
+    replay = {
+        key(r): r["weight"]
+        for r in step(df.filter(F.col("doc_id").isin(batches[1])), 2).collect()
+    }
+    after2 = [i for b in batches[:2] for i in b]
+    want2 = {
+        key(r): r["weight"]
+        for r in SEL.domain_mixture_trajectory(
+            df.filter(F.col("doc_id").isin(after2)),
+            model=ref,
+            model_pinned=True,
+            eta=1.0,
+            steps=4,
+        ).collect()
+    }
+    assert set(replay) == set(want2)
+    for k in want2:
+        assert replay[k] == pytest.approx(want2[k], abs=2e-6), k
+    # duplicate ids fail loud, named by the right step
+    dup = df.filter(F.col("doc_id") == 0).unionByName(
+        df.filter(F.col("doc_id") == 0)
+    )
+    with pytest.raises(ValueError, match="domain_mixture_trajectory_step.*duplicate"):
+        step(dup, 9)

@@ -879,6 +879,37 @@ def domain_mixture_trajectory(
         scorer=scorer,
         discount=discount,
     )
+    return mixture_trajectory_from_stats(
+        per, group_col=group_col, eta=eta_, steps=steps_,
+        max_groups=max_groups,
+    )
+
+
+def mixture_trajectory_from_stats(
+    per: DataFrame,
+    group_col: str = "lang",
+    eta: float = 1.0,
+    steps: int = 6,
+    max_groups: int = 100_000,
+) -> DataFrame:
+    """The trajectory tail over an already-computed per-domain frame
+    (group, n_docs, n_transitions, ce) — shared by the batch operator
+    above and the streaming ``domain_mixture_trajectory_step`` (which
+    rebuilds ``ce`` from its store's ADDITIVE sums first), the
+    ``mixture_weights_from_stats`` twin discipline: the iteration
+    arithmetic exists in ONE place. Bounded collect of the
+    domain-cardinality frame (``max_groups`` loud guard), then pure
+    driver arithmetic in sorted-group order."""
+    import math
+
+    eta_ = float(eta)
+    steps_ = int(steps)
+    if steps_ < 1:
+        raise ValueError(
+            f"domain_mixture_trajectory: steps={steps} — the bounded "
+            "fixed-point iteration needs at least one step (step 1 = "
+            "the one-step domain_mixture_weights row)"
+        )
     gtype = per.schema[group_col].dataType.simpleString()
     rows = per.limit(max_groups + 1).collect()
     if len(rows) > max_groups:
@@ -890,8 +921,6 @@ def domain_mixture_trajectory(
             "trajectory (raise max_groups only if the domain space "
             "is genuinely that wide)"
         )
-    import math
-
     rows = sorted(rows, key=lambda r: (r[group_col] is None, r[group_col]))
     n = {r[group_col]: float(r["n_transitions"]) for r in rows}
     ce = {r[group_col]: float(r["ce"]) for r in rows}
@@ -907,7 +936,7 @@ def domain_mixture_trajectory(
         out += [
             (t, g, round(ce_mix, 6), round(w[g], 6)) for g in groups
         ]
-    return docs.sparkSession.createDataFrame(
+    return per.sparkSession.createDataFrame(
         out,
         f"step int, {group_col} {gtype}, ce_mix double, weight double",
     )

@@ -423,6 +423,122 @@ def domain_mixture_step(
     fail LOUD before anything persists (doubled transition mass
     would survive replays); NULL groups / NULL text fail loud in the
     scoring plan (lm.py guards)."""
+    from ..functions.selection import mixture_weights_from_stats
+
+    eta_ = float(eta)
+    return _mixture_monitor_step(
+        model,
+        store_dir,
+        group_col,
+        lam,
+        alpha,
+        id_col,
+        text_col,
+        compact_every,
+        scorer,
+        discount,
+        step_name="domain_mixture_step",
+        tail=lambda per: mixture_weights_from_stats(
+            per, group_col=group_col, eta=eta_
+        ),
+        empty_ddl=lambda gtype: (
+            f"{group_col} {gtype}, n_docs bigint, "
+            "n_transitions bigint, share double, ce double, "
+            "weight double"
+        ),
+    )
+
+
+def domain_mixture_trajectory_step(
+    model: DataFrame,
+    store_dir: str,
+    group_col: str = "lang",
+    eta: float = 1.0,
+    steps: int = 6,
+    lam: float | None = None,
+    alpha: float | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    compact_every: int | None = None,
+    scorer: str = "jm",
+    discount: float | None = None,
+    max_groups: int = 100_000,
+) -> Callable[[DataFrame, int], DataFrame]:
+    """foreachBatch TRAJECTORY MONITOR: after each micro-batch, the
+    CUMULATIVE bounded Group-DRO fixed-point trajectory (step, group,
+    ce_mix, weight) over everything ingested so far — the streaming
+    face of ``selection.domain_mixture_trajectory``, exactly as
+    ``domain_mixture_step`` is the one-step row's. Same store
+    (``group_lp_stats`` — the two monitors can even SHARE a store
+    directory: both accumulate the identical additive per-group
+    sums), same frozen-model construction, same replay discipline;
+    only the tail differs (the SHARED
+    ``selection.mixture_trajectory_from_stats``), so congruity with
+    the batch operator over the ingested union is exact by
+    construction at any batching (pytest-pinned). ``steps`` < 1 fails
+    loud at construction, not at the first batch."""
+    from ..functions.selection import mixture_trajectory_from_stats
+
+    eta_ = float(eta)
+    steps_ = int(steps)
+    if steps_ < 1:
+        raise ValueError(
+            f"domain_mixture_trajectory_step: steps={steps} — the "
+            "bounded fixed-point iteration needs at least one step"
+        )
+    return _mixture_monitor_step(
+        model,
+        store_dir,
+        group_col,
+        lam,
+        alpha,
+        id_col,
+        text_col,
+        compact_every,
+        scorer,
+        discount,
+        step_name="domain_mixture_trajectory_step",
+        tail=lambda per: mixture_trajectory_from_stats(
+            per,
+            group_col=group_col,
+            eta=eta_,
+            steps=steps_,
+            max_groups=max_groups,
+        ),
+        empty_ddl=lambda gtype: (
+            f"step int, {group_col} {gtype}, ce_mix double, "
+            "weight double"
+        ),
+    )
+
+
+def _mixture_monitor_step(
+    model: DataFrame,
+    store_dir: str,
+    group_col: str,
+    lam: float | None,
+    alpha: float | None,
+    id_col: str,
+    text_col: str,
+    compact_every: int | None,
+    scorer: str,
+    discount: float | None,
+    step_name: str,
+    tail: Callable[[DataFrame], DataFrame],
+    empty_ddl: Callable[[str], str],
+) -> Callable[[DataFrame, int], DataFrame]:
+    """The SHARED DoReMi-monitor store machinery (r14: the trajectory
+    twin would otherwise have copied the one-step monitor's body —
+    the drift class ``lm._frozen_plan`` closed on the construction
+    side, closed here on the step side): frozen-model construction,
+    id-hygiene loud guard, ONE pin on the batch's additive stats,
+    strictly-before prior read, cumulative additive fold to the
+    per-domain (group, n_docs, n_transitions, ce) frame, then
+    ``tail(per)`` — which MUST materialize/pin ``per`` so the
+    emission's lineage is store-free BEFORE the append lands (the
+    novelty rule; both shared tails do). ``empty_ddl(gtype)`` names
+    the batch-0-and-empty emission's schema with the BATCH group
+    column's type (the r13 review class)."""
     import os
 
     from .store import store_append, store_compact_every, store_read
@@ -432,11 +548,9 @@ def domain_mixture_step(
         _frozen_plan,
         _group_lp_stats,
     )
-    from ..functions.selection import mixture_weights_from_stats
 
     lam_ = DEFAULT_LAMBDA if lam is None else float(lam)
     alpha_ = DEFAULT_ALPHA if alpha is None else float(alpha)
-    eta_ = float(eta)
     # the shared frozen-model construction (lm._frozen_plan): knob
     # validation, model pin, vocab-sized table pins, broadcast gate —
     # all HERE, once, identical to make_bigram_scorer's by sharing
@@ -463,7 +577,7 @@ def domain_mixture_step(
         ).collect()[0]
         if bad["n_null"] or bad["n_dup"]:
             raise ValueError(
-                f"domain_mixture_step: {bad['n_null']} NULL / "
+                f"{step_name}: {bad['n_null']} NULL / "
                 f"{bad['n_dup']} duplicate {id_col} row(s) in one "
                 "micro-batch — dedup and label upstream (doubled "
                 "transition mass would persist in the store across "
@@ -482,12 +596,7 @@ def domain_mixture_step(
             # batch-0 emission disagree with every later batch for a
             # non-string group column, breaking sinks that union)
             gtype = batch_df.schema[group_col].dataType.simpleString()
-            return spark.createDataFrame(
-                [],
-                f"{group_col} {gtype}, n_docs bigint, "
-                "n_transitions bigint, share double, ce double, "
-                "weight double",
-            )
+            return spark.createDataFrame([], empty_ddl(gtype))
         frames = ([stats] if has_rows else []) + (
             [prior] if prior is not None else []
         )
@@ -508,10 +617,10 @@ def domain_mixture_step(
                 (-F.col("sum_lp") / F.col("n_transitions")).alias("ce"),
             )
         )
-        # mixture_weights_from_stats pins `per` internally, so the
-        # returned frame's lineage is free of the store files BEFORE
-        # the append lands (the novelty rule)
-        out = mixture_weights_from_stats(per, group_col=group_col, eta=eta_)
+        # the tail pins/materializes `per`, so the returned frame's
+        # lineage is free of the store files BEFORE the append lands
+        # (the novelty rule)
+        out = tail(per)
         if has_rows:
             store_append(stats, stats_dir, batch_id, sort_by=group_col)
         return out
