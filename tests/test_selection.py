@@ -1609,3 +1609,25 @@ def test_domain_mixture_trajectory_step_congruity_and_replay(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="domain_mixture_trajectory_step.*duplicate"):
         step(dup, 9)
+
+
+def test_domain_mixture_trajectory_step_guard_names_the_step(spark, tmp_path):
+    """The max_groups guard firing inside the streaming monitor names
+    the STEP (whose knob the operator can actually turn), not the
+    batch function they never called (r14 review)."""
+    from willa_spark.functions import lm as LM
+    from willa_spark.streaming.selection import domain_mixture_trajectory_step
+
+    df = spark.createDataFrame(
+        DOREMI_DOCS, "doc_id long, lang string, text string"
+    )
+    ref = LM.bigram_lm_train(df.select("doc_id", "text")).localCheckpoint(
+        eager=True
+    )
+    step = domain_mixture_trajectory_step(
+        ref, str(tmp_path / "dmg"), group_col="lang", max_groups=1
+    )
+    with pytest.raises(
+        ValueError, match=r"domain_mixture_trajectory_step: more than 1"
+    ):
+        step(df, 0)

@@ -891,6 +891,7 @@ def mixture_trajectory_from_stats(
     eta: float = 1.0,
     steps: int = 6,
     max_groups: int = 100_000,
+    caller: str = "domain_mixture_trajectory",
 ) -> DataFrame:
     """The trajectory tail over an already-computed per-domain frame
     (group, n_docs, n_transitions, ce) — shared by the batch operator
@@ -906,15 +907,18 @@ def mixture_trajectory_from_stats(
     steps_ = int(steps)
     if steps_ < 1:
         raise ValueError(
-            f"domain_mixture_trajectory: steps={steps} — the bounded "
+            f"{caller}: steps={steps} — the bounded "
             "fixed-point iteration needs at least one step (step 1 = "
             "the one-step domain_mixture_weights row)"
         )
     gtype = per.schema[group_col].dataType.simpleString()
     rows = per.limit(max_groups + 1).collect()
     if len(rows) > max_groups:
+        # named by the CALLER (r14 review: the streaming step's
+        # micro-batch failure must point at the step's knob, not the
+        # batch function the operator never called)
         raise ValueError(
-            f"domain_mixture_trajectory: more than {max_groups} "
+            f"{caller}: more than {max_groups} "
             f"distinct {group_col} values — this is a DOMAIN mixture "
             "(languages / sources / site buckets); a corpus-scale "
             "group column belongs in per-doc scoring, not a mixture "

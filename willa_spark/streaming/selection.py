@@ -469,9 +469,13 @@ def domain_mixture_trajectory_step(
     ce_mix, weight) over everything ingested so far — the streaming
     face of ``selection.domain_mixture_trajectory``, exactly as
     ``domain_mixture_step`` is the one-step row's. Same store
-    (``group_lp_stats`` — the two monitors can even SHARE a store
-    directory: both accumulate the identical additive per-group
-    sums), same frozen-model construction, same replay discipline;
+    (``group_lp_stats`` — the two monitors may SHARE a store
+    directory ONLY when driven from the SAME foreachBatch callback,
+    i.e. one stream, one batch sequence: the store partitions by
+    ingest_batch alone, so two separate queries writing one
+    store_dir silently overwrite each other's same-numbered batches
+    — r14 review), same frozen-model construction, same replay
+    discipline;
     only the tail differs (the SHARED
     ``selection.mixture_trajectory_from_stats``), so congruity with
     the batch operator over the ingested union is exact by
@@ -504,6 +508,7 @@ def domain_mixture_trajectory_step(
             eta=eta_,
             steps=steps_,
             max_groups=max_groups,
+            caller="domain_mixture_trajectory_step",
         ),
         empty_ddl=lambda gtype: (
             f"step int, {group_col} {gtype}, ce_mix double, "
