@@ -195,6 +195,15 @@ def main() -> int:
     if stale:
         print(f"bench: dropping stale HEADLINE names {stale}", file=sys.stderr)
         HEADLINE[:] = [n for n in HEADLINE if n in QUERIES]
+    # the EXHIBITION rows (capacity policy (a), executed r14) run only
+    # on exhibition rounds — every 4th round sets this env var so they
+    # re-earn green rows; every other round skips their ~4 s. Their
+    # DuckDB oracles stay pinned EVERY round by the omitted-parity
+    # pytest, so this trades bench seconds, never correctness coverage.
+    from willa_spark.queries import EXHIBITION
+
+    if not os.environ.get("SPARK_GRAFT_EXHIBITION"):
+        HEADLINE[:] = [n for n in HEADLINE if n not in EXHIBITION]
 
     # untimed warmup: touch every table once so the timed loop measures
     # query execution, not first-scan JVM/codegen/file-listing warmup

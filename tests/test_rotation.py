@@ -7,6 +7,7 @@ ran by hand, r12 verdict #2, now permanent)."""
 
 from willa_spark.queries import (
     DRIVER_OMIT,
+    EXHIBITION,
     ORACLE_SQL,
     QUERIES,
     ROWS_ONLY_TWINS,
@@ -63,3 +64,20 @@ def test_rows_only_gate_names_carry_their_twin_in_gate():
                 f"{twins} in the same gate — the FORWARD SCHEDULE's "
                 "twin keeps were not honored"
             )
+
+
+def test_exhibition_rows_keep_their_proof():
+    """The exhibition retirement (capacity policy (a), r14) trades
+    bench seconds, never correctness coverage: every exhibition name
+    is a registered query WITH a DuckDB oracle (so the automatic
+    omitted-parity pytest pins it every round) and rests in
+    DRIVER_OMIT outside exhibition rounds (an exhibition round moves
+    them into the gate and sets SPARK_GRAFT_EXHIBITION for bench)."""
+    assert EXHIBITION <= set(QUERIES), EXHIBITION - set(QUERIES)
+    assert EXHIBITION <= set(ORACLE_SQL), EXHIBITION - set(ORACLE_SQL)
+    assert EXHIBITION <= DRIVER_OMIT or any(
+        n in driver_queries() for n in EXHIBITION
+    ), "exhibition rows must rest OR be deliberately gate-visible"
+    # no rows-only name may ever be exhibited: its twin proof cadence
+    # is the rotation's, not the exhibition's
+    assert not (EXHIBITION & set(ROWS_ONLY_TWINS))

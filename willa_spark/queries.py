@@ -6249,7 +6249,9 @@ def q_domain_mixture_trajectory(
 # recall_audio_fp INSIDE the same cohort; no other rows-only name is
 # gate-visible this round (machine-checked by test_rotation.py).
 #
-# Rests 71 = the 42 r12-gate names not kept in r13 (due r15,
+# Rests 71 = the 10 EXHIBITION retirees (r12-green; every-4th-round
+# cadence from r18 — see the EXHIBITION block below) + the 32
+# remaining r12-gate names not kept in r13 (due r15,
 # unchanged below) + the 29 r13-gate names not kept here (due r16;
 # every one green hash-grade or twin-proved rows-only in
 # CORRECTNESS_r13). Audited forward: every rows-only r16-cohort name
@@ -6260,17 +6262,22 @@ def q_domain_mixture_trajectory(
 # ann_ivf->recall_ann_ivf); the r15 cohort contains no rows-only
 # names at all. NO forced twin keeps in r15 or r16.
 #
-# FORWARD SCHEDULE (period-3 arithmetic, registry 121):
-#   r15 gate = the 42 r12-green rests + up to 8 keeps/new (the r14
+# FORWARD SCHEDULE (registry 121 = 111 on period-3 + 10 exhibition):
+#   r15 gate = the 32 r12-green rests + up to 18 keeps/new (the r14
 #   parked queue registers there). No rows-only names in the cohort.
 #   r16 gate = the 29 r13-green rests + up to 21 keeps/new. All 8
 #   rows-only names return here WITH their twins in-cohort (above).
 #   r17 gate = the r14-green 50 (minus any keeps taken earlier).
+#   r18 = the first EXHIBITION round: the 10 retirees join that gate
+#   and bench runs once with SPARK_GRAFT_EXHIBITION=1; next r22.
 #
-# CAPACITY POLICY (the r12 verdict's #6, decided BEFORE the wall):
-# period-3 at gate 50 covers at most 150 registered names; the
-# registry stands at 121 -> 29 free slots, i.e. ~2-3 more rounds of
-# growth at the r11-r13 cadence (2-3 registrations/round). When a
+# CAPACITY POLICY (the r12 verdict's #6, decided BEFORE the wall;
+# option (a) EXECUTED r14 — see EXHIBITION below): period-3 at gate
+# 50 covers at most 150 rotating names; with 10 names retired to the
+# every-4th-round exhibition cadence the rotating population is 111
+# -> 39 free slots (the exhibition claims ~10 gate slots one round
+# in four), i.e. ~4-5 more rounds of growth at the r11-r14 cadence
+# (2-3 registrations/round). When a further
 # registration would push past 150, the registering round executes,
 # in order of preference: (a) RETIRE redundant sub-second relational
 # rows into a rotating EXHIBITION set — the relational superset holds
@@ -6302,10 +6309,13 @@ def q_domain_mixture_trajectory(
 # quiet close, best-of-five on a noisy host spanning 141.1-175.2) +
 # 3.09 + 2.32 (the two registration prices, pre-measured r13,
 # BASELINE.md) ≈ 146.5 s < 150 — no trim/retire/raise forced at
-# registration time. Per the r13 verdict's #3, if the first two
-# quiet-window closes land >150 s, do NOT serial-re-run: pull the
-# retire-to-exhibition lever (capacity policy (a) above) in the SAME
-# round and record the arithmetic in BASELINE.md. r15 PRE-STAGE: the
+# registration time. AT CLOSE the first two bench windows read 159.9
+# and 159.4 s (loadavg spiking to 12; the two registrations inside
+# their envelope at 4.5 s combined) — per the r13 verdict's #3 the
+# round did NOT serial-re-run: it pulled the retire-to-exhibition
+# lever (capacity policy (a)), dropping the ten EXHIBITION rows
+# (≈3.97 s at the r13 close's prices) from every non-exhibition
+# bench; arithmetic in BASELINE.md. r15 PRE-STAGE: the
 # parked queue (see CANDIDATES in tools/check_parity.py — the
 # queue's single source of truth, asserted against this module at
 # tool runtime; this block never restates its contents) is priced in
@@ -6349,12 +6359,45 @@ ROWS_ONLY_TWINS: dict[str, tuple[str, ...]] = {
     "ann_ivf_topk": ("recall_ann_ivf",),
 }
 
-DRIVER_OMIT = frozenset(
+# THE EXHIBITION SET (capacity policy (a), EXECUTED r14): ten
+# redundant sub-second single-operator relational rows retired from
+# the period-3 rotation AND from bench.py's default list onto an
+# every-4th-round cadence — first exhibition round r18, then r22, …
+# (that round's gate includes them and bench runs with
+# SPARK_GRAFT_EXHIBITION=1 so they re-earn green driver rows). The
+# trigger: both r14 close-window bench runs read >150 s (159.9 /
+# 159.4 under loadavg spikes to 12) with the 121-row registry, and
+# the r15 projection sat AT the ceiling — the r13 verdict's #3 says
+# pull this lever rather than serial-re-run. ZERO oracle loss: every
+# name keeps its DuckDB oracle and stays in DRIVER_OMIT, so
+# tests/test_curation.py::test_omitted_relational_parity pins it
+# EVERY round regardless; operator coverage stays: all ten are §2.6
+# superset rows whose operators the composed rows also exercise
+# (anti_join_customers, the set-op sibling, remains in the normal
+# rotation). Saved from every non-exhibition bench: ≈3.97 s (the
+# r13-close sum of the ten), and 30 period-3 slots freed against the
+# 150-name wall. All ten were last green r12 (hash-grade).
+EXHIBITION = frozenset(
     {
-        # -- r12-gate names not kept in r13 (42): due r15; every one
-        # -- green hash-grade in CORRECTNESS_r12. No rows-only names
+        "above_avg_orders",  # 0.50 s — correlated-subquery decorrelation
+        "except_customers",  # 0.29 s — EXCEPT
+        "forecast_revenue",  # 0.24 s — linear trend projection
+        "intersect_customers",  # 0.29 s — INTERSECT
+        "monthly_revenue_growth",  # 0.36 s — window lag/growth
+        "pivot_order_status",  # 0.27 s — PIVOT
+        "rollup_revenue",  # 0.69 s — ROLLUP
+        "semi_join_customers",  # 0.25 s — LEFT SEMI
+        "shipping_priority",  # 0.66 s — TPC-H Q3 shape
+        "top_customers",  # 0.42 s — top-n per group
+    }
+)
+
+DRIVER_OMIT = EXHIBITION | frozenset(
+    {
+        # -- r12-gate names not kept in r13, minus the 10 retired to
+        # -- EXHIBITION above (32): due r15; every one green
+        # -- hash-grade in CORRECTNESS_r12. No rows-only names
         # -- in this cohort.
-        "above_avg_orders",
         "asof_enrich",
         "bm25_topk",
         "changelog_filter",
@@ -6366,34 +6409,25 @@ DRIVER_OMIT = frozenset(
         "dsir_calibration",
         "embedding_topk",
         "exact_dup_groups",
-        "except_customers",
-        "forecast_revenue",
         "gopher_quality_filter",
         "group_by_fn_agg",
         "hopping_window_count",
-        "intersect_customers",
         "kl_profile",
         "latest_per_key",
         "merge_streams",
-        "monthly_revenue_growth",
         "nary_join_fold",
         "near_dup_keep_best",
-        "pivot_order_status",
         "precision_audio_seg",
         "pricing_summary",
         "quality_score",
-        "rollup_revenue",
         "running_sum_changelog",
         "selection_auc",
-        "semi_join_customers",
         "session_windows",
-        "shipping_priority",
         "skew_salted_agg",
         "skew_salted_join",
         "stratified_sample",
         "token_budget_cap",
         "top_bigrams",
-        "top_customers",
         "training_data_prep",
         "with_dedupe_first",
         # -- r13-gate names not kept in r14 (29): due r16; every one
