@@ -978,3 +978,110 @@ def test_composed_pipeline_null_text_congruent_configs(spark):
         }
         assert got == base, ls  # NULL doc screened out, no raise
         assert 999 not in got
+
+
+def test_ccnet_end_to_end_composition(spark):
+    """The production CCNet composition (Wenzek 2020) pinned
+    end-to-end over REAL testdata: target-train (the every-13th-doc
+    quality seed) → FROZEN KN scorer (make_bigram_scorer — the
+    ccnet_perplexity driver row's path) → per-LANG tercile cut
+    keeping head+middle → the admitted crawl run through the full
+    curation pipeline with the SAME frozen model as its LM screen.
+    Three pins: (1) the tercile cut is a true per-lang order cut
+    (every admitted ppl ≤ every rejected ppl within a lang, admitted
+    fraction ≈ 2/3); (2) the pipeline's LM admission composes
+    CONGRUENTLY AND IN ITS SLOT — the screen runs BEFORE dedup, so
+    survivors with the screen on equal the pipeline run on a
+    pre-filtered input (score the redacted text, cut, then curate),
+    NOT post-filtered base survivors: dropping a cluster's low-id
+    member pre-dedup promotes a higher-id twin to canonical (observed
+    on the real corpus — docs 329/459 survive ONLY with the screen
+    on), which a post-dedup cut can never reproduce; (3) the
+    screen-on survivor set is a strict, non-empty reshaping of the
+    base run (some base survivors drop, some non-survivors are
+    promoted)."""
+    from willa_spark.functions.lm import bigram_lm_train, make_bigram_scorer
+    from willa_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "lang", "text"
+    )
+    target = docs.filter(F.col("doc_id") % 13 == 0)
+    crawl = docs.filter(F.col("doc_id") % 13 != 0)
+    model = bigram_lm_train(
+        target.select("doc_id", "text")
+    ).localCheckpoint(eager=True)
+    score = make_bigram_scorer(model, scorer="kn")
+    scored = (
+        score(crawl)
+        .join(crawl.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "ppl")
+        .localCheckpoint(eager=True)
+    )
+    cuts = scored.groupBy("lang").agg(
+        F.expr("percentile(ppl, 2.0/3.0)").alias("t2")
+    )
+    tagged = scored.join(F.broadcast(cuts), "lang")
+    admitted = tagged.filter(F.col("ppl") <= F.col("t2"))
+    rejected = tagged.filter(F.col("ppl") > F.col("t2"))
+    # (1) a true per-lang order cut
+    adm = {
+        r["lang"]: (r["n"], r["hi"])
+        for r in admitted.groupBy("lang")
+        .agg(F.count("*").alias("n"), F.max("ppl").alias("hi"))
+        .collect()
+    }
+    rej = {
+        r["lang"]: (r["n"], r["lo"])
+        for r in rejected.groupBy("lang")
+        .agg(F.count("*").alias("n"), F.min("ppl").alias("lo"))
+        .collect()
+    }
+    assert set(adm) == set(rej) and len(adm) >= 3
+    for g in adm:
+        n_a, hi = adm[g]
+        n_r, lo = rej[g]
+        assert hi <= lo, g  # order cut, no interleaving
+        frac = n_a / (n_a + n_r)
+        assert 0.60 <= frac <= 0.75, (g, frac)  # head+middle ≈ 2/3
+    # (2) LM-screen composition congruence under the SAME frozen model
+    crawl_adm = crawl.join(
+        admitted.select("doc_id"), "doc_id"
+    ).localCheckpoint(eager=True)
+    max_ppl = float(
+        scored.agg(F.expr("percentile(ppl, 0.5)").alias("m")).collect()[0]["m"]
+    )
+    base = {
+        r["doc_id"]
+        for r in corpus_curation_batch(crawl_adm).select("doc_id").collect()
+    }
+    with_lm = {
+        r["doc_id"]
+        for r in corpus_curation_batch(
+            crawl_adm, lm_model=model, lm_max_ppl=max_ppl, lm_scorer="kn"
+        )
+        .select("doc_id")
+        .collect()
+    }
+    # the reference applies the SAME cut in the SAME slot: score the
+    # REDACTED text (the screen sits after redaction — raw-text ppl
+    # disagrees for PII-redacted docs) and filter BEFORE curation, so
+    # dedup picks its canonical among LM-admitted docs exactly as the
+    # composed pipeline does
+    from willa_spark.streaming.corpus_pipeline import _screen_and_redact
+
+    redacted = _screen_and_redact(crawl_adm, "doc_id", "text")
+    keep = score(redacted.select("doc_id", "text")).filter(
+        F.col("ppl") <= max_ppl
+    )
+    pre_filtered = crawl_adm.join(keep.select("doc_id"), "doc_id", "left_semi")
+    want = {
+        r["doc_id"]
+        for r in corpus_curation_batch(pre_filtered).select("doc_id").collect()
+    }
+    assert with_lm == want and 0 < len(with_lm)
+    # (3) the slot matters: the screen reshapes the survivor set in
+    # BOTH directions (drops base survivors AND promotes cluster
+    # members whose lower-id twin was LM-dropped) — a post-dedup cut
+    # could only ever shrink it
+    assert base - with_lm and with_lm - base
