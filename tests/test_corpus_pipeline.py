@@ -1021,28 +1021,29 @@ def test_ccnet_end_to_end_composition(spark):
     cuts = scored.groupBy("lang").agg(
         F.expr("percentile(ppl, 2.0/3.0)").alias("t2")
     )
-    tagged = scored.join(F.broadcast(cuts), "lang")
-    admitted = tagged.filter(F.col("ppl") <= F.col("t2"))
-    rejected = tagged.filter(F.col("ppl") > F.col("t2"))
-    # (1) a true per-lang order cut
-    adm = {
-        r["lang"]: (r["n"], r["hi"])
-        for r in admitted.groupBy("lang")
-        .agg(F.count("*").alias("n"), F.max("ppl").alias("hi"))
-        .collect()
+    admitted = scored.join(F.broadcast(cuts), "lang").filter(
+        F.col("ppl") <= F.col("t2")
+    )
+    # (1) the cut equals an INDEPENDENTLY computed per-lang 2/3 order
+    # statistic (numpy linear-interpolated percentile over the
+    # collected doc-cardinality ppls — r14 review: the first draft
+    # asserted max(admitted) <= min(rejected), which filtering on one
+    # shared t2 satisfies by construction and so could never fail)
+    import numpy as np
+
+    by_lang: dict[str, list[tuple[int, float]]] = {}
+    for r in scored.collect():
+        by_lang.setdefault(r["lang"], []).append((r["doc_id"], r["ppl"]))
+    assert len(by_lang) >= 3
+    got_adm = {
+        g: {r["doc_id"] for r in admitted.filter(F.col("lang") == g).collect()}
+        for g in by_lang
     }
-    rej = {
-        r["lang"]: (r["n"], r["lo"])
-        for r in rejected.groupBy("lang")
-        .agg(F.count("*").alias("n"), F.min("ppl").alias("lo"))
-        .collect()
-    }
-    assert set(adm) == set(rej) and len(adm) >= 3
-    for g in adm:
-        n_a, hi = adm[g]
-        n_r, lo = rej[g]
-        assert hi <= lo, g  # order cut, no interleaving
-        frac = n_a / (n_a + n_r)
+    for g, pairs in by_lang.items():
+        t2_py = float(np.percentile([p for _, p in pairs], 100 * 2.0 / 3.0))
+        want_adm = {i for i, p in pairs if p <= t2_py}
+        assert got_adm[g] == want_adm, g
+        frac = len(want_adm) / len(pairs)
         assert 0.60 <= frac <= 0.75, (g, frac)  # head+middle ≈ 2/3
     # (2) LM-screen composition congruence under the SAME frozen model
     crawl_adm = crawl.join(
