@@ -196,13 +196,16 @@ def main() -> int:
         print(f"bench: dropping stale HEADLINE names {stale}", file=sys.stderr)
         HEADLINE[:] = [n for n in HEADLINE if n in QUERIES]
     # the EXHIBITION rows (capacity policy (a), executed r14) run only
-    # on exhibition rounds — every 4th round sets this env var so they
-    # re-earn green rows; every other round skips their ~4 s. Their
-    # DuckDB oracles stay pinned EVERY round by the omitted-parity
-    # pytest, so this trades bench seconds, never correctness coverage.
-    from willa_spark.queries import EXHIBITION
+    # on exhibition rounds — every 4th round, the round's gate-edit
+    # commit flips queries.EXHIBITION_ROUND so they re-earn green rows
+    # under the driver's env-less bench invocation; every other round
+    # skips their ~4 s (SPARK_GRAFT_EXHIBITION=1 is the ad-hoc manual
+    # override). Their DuckDB oracles stay pinned EVERY round by the
+    # omitted-parity pytest, so this trades bench seconds, never
+    # correctness coverage.
+    from willa_spark.queries import EXHIBITION, EXHIBITION_ROUND
 
-    if not os.environ.get("SPARK_GRAFT_EXHIBITION"):
+    if not (EXHIBITION_ROUND or os.environ.get("SPARK_GRAFT_EXHIBITION")):
         HEADLINE[:] = [n for n in HEADLINE if n not in EXHIBITION]
 
     # untimed warmup: touch every table once so the timed loop measures

@@ -81,3 +81,22 @@ def test_exhibition_rows_keep_their_proof():
     # no rows-only name may ever be exhibited: its twin proof cadence
     # is the rotation's, not the exhibition's
     assert not (EXHIBITION & set(ROWS_ONLY_TWINS))
+
+
+def test_exhibition_round_flag_consistency():
+    """On a non-exhibition round the flag is off and the rows rest;
+    an exhibition round must flip BOTH (flag on for bench, rows into
+    the gate for the driver's oracle record) — a one-sided edit
+    either benches rows with no same-round green proof, or gates
+    them while the bench record silently omits their prices."""
+    from willa_spark.queries import EXHIBITION_ROUND
+
+    if EXHIBITION_ROUND:
+        assert EXHIBITION <= set(driver_queries()), (
+            "EXHIBITION_ROUND is on but the rows are not gate-visible"
+        )
+    else:
+        assert EXHIBITION <= DRIVER_OMIT, (
+            "exhibition rows gate-visible with the flag off — bench "
+            "would omit rows the driver records this round"
+        )

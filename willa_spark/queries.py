@@ -6377,6 +6377,14 @@ ROWS_ONLY_TWINS: dict[str, tuple[str, ...]] = {
 # rotation). Saved from every non-exhibition bench: ≈3.97 s (the
 # r13-close sum of the ten), and 30 period-3 slots freed against the
 # 150-name wall. All ten were last green r12 (hash-grade).
+# Flipped to True by the EXHIBITION round's gate-edit commit (r18,
+# r22, …) and back to False at that round's close: the driver runs
+# bench.py with no env vars, so the exhibition rows' once-in-four
+# bench appearance must be tree-state, not invocation-state
+# (SPARK_GRAFT_EXHIBITION=1 remains as a manual override for ad-hoc
+# runs in any round).
+EXHIBITION_ROUND = False
+
 EXHIBITION = frozenset(
     {
         "above_avg_orders",  # 0.50 s — correlated-subquery decorrelation
