@@ -1631,3 +1631,39 @@ def test_domain_mixture_trajectory_step_guard_names_the_step(spark, tmp_path):
         ValueError, match=r"domain_mixture_trajectory_step: more than 1"
     ):
         step(df, 0)
+
+
+@given(
+    rows=_dm_rows,
+    eta=st.sampled_from([0.0, 0.5, 1.0]),
+    steps=st.sampled_from([1, 3, 5]),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_domain_mixture_trajectory_hypothesis_differential(
+    spark, rows, eta, steps
+):
+    """Hypothesis: for ANY small labeled corpus (empty docs, repeated
+    texts, 1-3 domains), ANY step size η, and ANY bounded K, the
+    trajectory equals the exact pure-Python iteration cell-for-cell
+    at 6dp and every step's weights stay on the simplex — the K-step
+    generalization of the one-step Hypothesis pin above, sharing its
+    strategies and the _py_group_lp stats."""
+    labeled = [(i, g, t) for i, (g, t) in enumerate(rows)]
+    df = spark.createDataFrame(labeled, "doc_id long, lang string, text string")
+    got = {
+        (r["step"], r["lang"]): (r["ce_mix"], r["weight"])
+        for r in SEL.domain_mixture_trajectory(df, eta=eta, steps=steps).collect()
+    }
+    want = _py_traj(labeled, eta=eta, steps=steps)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == pytest.approx(want[k][0], abs=2e-6), k
+        assert got[k][1] == pytest.approx(want[k][1], abs=2e-6), k
+    for t in range(1, steps + 1):
+        assert sum(v[1] for (s, _), v in got.items() if s == t) == pytest.approx(
+            1.0, abs=5e-6
+        ), t
