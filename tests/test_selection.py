@@ -1407,11 +1407,14 @@ def test_domain_mixture_trajectory_python_differential(spark):
     df = spark.createDataFrame(
         DOREMI_DOCS, "doc_id long, lang string, text string"
     )
+    collected = SEL.domain_mixture_trajectory(df, steps=6).collect()
     got = {
-        (r["step"], r["lang"]): (r["ce_mix"], r["weight"])
-        for r in SEL.domain_mixture_trajectory(df, steps=6).collect()
+        (r["step"], r["lang"]): (r["ce_mix"], r["weight"]) for r in collected
     }
     want = _py_traj(DOREMI_DOCS, steps=6)
+    # row count BEFORE keying into a dict: duplicated (step, group)
+    # rows would dedup silently (r14 review)
+    assert len(collected) == len(want)
     assert set(got) == set(want)
     for k in want:
         assert got[k][0] == pytest.approx(want[k][0], abs=2e-6), k
@@ -1635,7 +1638,7 @@ def test_domain_mixture_trajectory_step_guard_names_the_step(spark, tmp_path):
 
 @given(
     rows=_dm_rows,
-    eta=st.sampled_from([0.0, 0.5, 1.0]),
+    eta=st.sampled_from([0.0, 0.5, 1.0, 2.0]),
     steps=st.sampled_from([1, 3, 5]),
 )
 @settings(
@@ -1654,11 +1657,14 @@ def test_domain_mixture_trajectory_hypothesis_differential(
     strategies and the _py_group_lp stats."""
     labeled = [(i, g, t) for i, (g, t) in enumerate(rows)]
     df = spark.createDataFrame(labeled, "doc_id long, lang string, text string")
+    collected = SEL.domain_mixture_trajectory(df, eta=eta, steps=steps).collect()
     got = {
-        (r["step"], r["lang"]): (r["ce_mix"], r["weight"])
-        for r in SEL.domain_mixture_trajectory(df, eta=eta, steps=steps).collect()
+        (r["step"], r["lang"]): (r["ce_mix"], r["weight"]) for r in collected
     }
     want = _py_traj(labeled, eta=eta, steps=steps)
+    # row count BEFORE keying into a dict: duplicated (step, group)
+    # rows would dedup silently (r14 review)
+    assert len(collected) == len(want)
     assert set(got) == set(want)
     for k in want:
         assert got[k][0] == pytest.approx(want[k][0], abs=2e-6), k
