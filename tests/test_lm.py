@@ -605,3 +605,58 @@ def test_ccnet_perplexity_oracle_parity(spark, sf_dir):
     assert all(i % 13 != 0 for i, _, _ in got)
     # direction sanity: cross-domain scoring sits at sane perplexity
     assert all(1.0 < p < 1e7 for _, _, p in got)
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001"])
+def test_ccnet_curation_oracle_parity(spark, sf_dir):
+    """The second r15 registration candidate (parked-with-oracle
+    discipline), parity-pinned NOW: queries.q_ccnet_curation — the
+    SQL-expressible CCNet admission composition (Gopher screen → PII
+    redaction → exact clean-text dedup → frozen target-KN cut) — vs
+    its full DuckDB oracle, hash-grade ((doc_id, lang) exact,
+    n_transitions exact, ppl equal at 6dp), plus the composition
+    invariants: a non-trivial admission (0 < admitted < crawl), every
+    admitted ppl at or under the cut, no target doc admitted, and no
+    two admitted docs sharing a clean-text fingerprint."""
+    import duckdb
+
+    from willa_spark.functions.text import fingerprint
+    from willa_spark.queries import (
+        CCNET_CURATION_ORACLE,
+        CCNET_PPL_CUT,
+        q_ccnet_curation,
+    )
+    from willa_spark.sources import read_table
+
+    out = q_ccnet_curation(spark, sf_dir)
+    got = sorted(
+        (r["doc_id"], r["lang"], r["n_transitions"], r["ppl"])
+        for r in out.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(CCNET_CURATION_ORACLE).fetchall())
+    assert len(got) == len(want) > 0
+    assert got == want
+    n_crawl = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 13 != 0)
+        .count()
+    )
+    assert 0 < len(got) < n_crawl
+    assert all(r[3] <= CCNET_PPL_CUT for r in got)
+    assert all(r[0] % 13 != 0 for r in got)
+    docs = read_table(spark, sf_dir, "documents")
+    admitted_ids = [r[0] for r in got]
+    fps = (
+        docs.filter(F.col("doc_id").isin(admitted_ids))
+        .select(fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert fps == 0

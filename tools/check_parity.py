@@ -100,6 +100,10 @@ CANDIDATES: list[tuple[str, str, str]] = [
         "q_domain_mixture_trajectory",
         "DOMAIN_MIXTURE_TRAJ_ORACLE",
     ),
+    # the oracle-checked CCNet-style admission composition (gopher →
+    # redact → exact dedup → frozen target-KN cut) — the r13
+    # verdict's #4 shape (b) in its SQL-expressible registered form
+    ("ccnet_curation", "q_ccnet_curation", "CCNET_CURATION_ORACLE"),
 ]
 
 

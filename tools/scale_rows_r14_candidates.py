@@ -31,6 +31,7 @@ def main():
 
     for name, fn in (
         ("domain_mixture_trajectory", Q.q_domain_mixture_trajectory),
+        ("ccnet_curation", Q.q_ccnet_curation),
     ):
         row = {}
         for label, sf in (

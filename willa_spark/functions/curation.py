@@ -46,7 +46,10 @@ PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
 
 
 def pii_redact(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Redact emails / IPv4s / phone numbers with typed placeholder
     tokens and count each category. Pure map-only Column expressions —
@@ -59,7 +62,10 @@ def pii_redact(
     'a@10.0.0.1.com' raw-counts 1 email AND 1 ip, yet only <EMAIL>
     survives redaction.)
 
-    Returns (id, n_emails, n_ips, n_phones, text_clean).
+    Returns (id, [keep_cols...], n_emails, n_ips, n_phones,
+    text_clean) — ``keep_cols`` pass extra per-doc columns through the
+    map-only projection (composition callers would otherwise pay a
+    doc-cardinality re-join to recover them).
     """
     t = F.col(text_col)
     after_email = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
@@ -67,6 +73,7 @@ def pii_redact(
     clean = F.regexp_replace(after_ip, PII_PHONE, "<PHONE>")
     return docs.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         F.regexp_count(t, F.lit(PII_EMAIL)).cast("bigint").alias("n_emails"),
         F.regexp_count(after_email, F.lit(PII_IPV4)).cast("bigint").alias("n_ips"),
         F.regexp_count(after_ip, F.lit(PII_PHONE)).cast("bigint").alias("n_phones"),

@@ -360,10 +360,21 @@ def _apply_plan(
     id_col: str,
     text_col: str,
     do_broadcast: bool,
+    carry_cols: tuple = (),
 ) -> DataFrame:
-    """Per-doc tail over the shared ``_scored_lp`` corpus side."""
-    scored = _scored_lp(docs, plan, id_col, text_col, do_broadcast)
-    return scored.groupBy(F.col("id").alias(id_col)).agg(
+    """Per-doc tail over the shared ``_scored_lp`` corpus side.
+    ``carry_cols`` names per-doc-constant columns to ride through the
+    explode and the agg (they join the group keys — exact, since they
+    are functionally dependent on the id), so composition callers
+    (e.g. the curated-admission row carrying ``lang``) need no
+    doc-cardinality re-join after scoring."""
+    extras = tuple((c, F.col(c)) for c in carry_cols)
+    scored = _scored_lp(
+        docs, plan, id_col, text_col, do_broadcast, extra_cols=extras
+    )
+    return scored.groupBy(
+        F.col("id").alias(id_col), *[F.col(c) for c in carry_cols]
+    ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
         F.exp(-F.sum("__lp") / F.count(F.lit(1))).alias("ppl"),
     )
@@ -648,6 +659,7 @@ def make_bigram_scorer(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_max_rows: int = BROADCAST_MODEL_MAX_ROWS,
+    carry_cols: tuple = (),
 ):
     """Build a FROZEN scoring closure ONCE: pins the model, derives
     and eagerly PINS the vocabulary-sized logp tables and the scalar
@@ -666,6 +678,8 @@ def make_bigram_scorer(
     )
 
     def score(docs: DataFrame) -> DataFrame:
-        return _apply_plan(docs, plan, id_col, text_col, do_broadcast)
+        return _apply_plan(
+            docs, plan, id_col, text_col, do_broadcast, carry_cols
+        )
 
     return score

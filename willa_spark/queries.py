@@ -6212,6 +6212,196 @@ def q_domain_mixture_trajectory(
     )
 
 
+# --------------------------------------------------------------------
+# SECOND r15 REGISTRATION CANDIDATE (parked r14): the ORACLE-CHECKED
+# CCNet-style admission composition — the r13 verdict's #4 shape (b)
+# as a registered row (its corpus_curation_batch face, which composes
+# the NON-SQL-expressible minhash dedup, is pytest-pinned end-to-end
+# by test_ccnet_end_to_end_composition; this row chains the
+# SQL-expressible production stages so the whole admission is
+# hash-grade): Gopher quality screen → PII redaction → exact dedup
+# (min-id survivor per md5 fingerprint of the CLEAN text) → frozen
+# target-trained KN scoring of the clean text → admit ppl ≤ the cut.
+# Every stage is the SAME expression its standalone row verifies
+# (gopher_quality_filter / pii_redaction / training_data_prep's dedup
+# / ccnet_perplexity's model+scoring), so a drift in any stage breaks
+# this query's hash — the training_data_prep composition discipline
+# applied to the CCNet production path. The admission compares the
+# 6dp-ROUNDED ppl on BOTH engines (raw doubles at the threshold
+# boundary could differ in ulps — the training_data_prep lesson).
+#
+# Plan/scale shape: one crawl scan through the map-only screens +
+# redaction chain, ONE fingerprint exchange (the min-id window), then
+# the audited frozen-KN scoring plan (transition explode +
+# broadcast-gated vocab joins + per-(doc, lang) agg — `lang` rides
+# the agg KEYS via make_bigram_scorer's carry_cols, exact because it
+# is functionally dependent on the id; no doc-cardinality re-join).
+# The target branch re-scans documents (the ccnet_perplexity
+# documented cost — production trains on a separate small corpus).
+CCNET_PPL_CUT = 41.0  # the fixed admission threshold; oracle inlines it
+
+
+CCNET_CURATION_ORACLE = rf"""
+WITH crawl AS (
+  SELECT doc_id, lang, text FROM documents WHERE doc_id % 13 <> 0
+), g AS (
+  SELECT doc_id, lang, text, {_TOKS_SQL} AS toks FROM crawl
+), kept AS (
+  SELECT doc_id, lang, text FROM g
+  WHERE len(toks) BETWEEN 30 AND 100000
+    AND round(coalesce(list_sum(list_transform(toks, s -> length(s))), 0)
+              * 1.0 / greatest(len(toks), 1), 4) BETWEEN 3.0 AND 10.0
+    AND round(len(list_filter(toks, s -> regexp_matches(s, '[a-z]')))
+              * 1.0 / greatest(len(toks), 1), 4) >= 0.80
+    AND round((length(text) - length(replace(text, '#', ''))
+               + len(regexp_extract_all(text, '\.\.\.')))
+              * 1.0 / greatest(len(toks), 1), 4) <= 0.10
+    AND len(list_filter(list_distinct(toks),
+                        s -> s IN ({_GOPHER_SW_SQL}))) >= 2
+), red AS (
+  SELECT doc_id, lang,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '{CURATION.PII_EMAIL}', '<EMAIL>', 'g'),
+             '{CURATION.PII_IPV4}', '<IP>', 'g'),
+           '{CURATION.PII_PHONE}', '<PHONE>', 'g') AS text_clean
+  FROM kept
+), ded AS (
+  SELECT doc_id, lang, text_clean FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY md5(regexp_replace(lower(trim(text_clean)),
+                                      '\s+', ' ', 'g'))
+      ORDER BY doc_id) AS rn
+    FROM red) WHERE rn = 1
+), tt AS (
+  -- the frozen KN model trains ONLY on the RAW target sample (the
+  -- ccnet_perplexity convention — every 13th doc)
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS tk
+  FROM documents WHERE doc_id % 13 = 0
+), ti AS (
+  SELECT doc_id, tk, unnest(range(0, len(tk) + 1)) AS i FROM tt
+), tr AS (
+  SELECT doc_id,
+         CASE WHEN i = 0 THEN '<s>' ELSE tk[i] END AS w1,
+         CASE WHEN i = CAST(len(tk) AS BIGINT) THEN '</s>'
+              ELSE tk[i + 1] END AS w2
+  FROM ti
+), big AS (
+  SELECT w1, w2, count(*) AS c12 FROM tr GROUP BY 1, 2
+), st AS (
+  SELECT CAST(count(*) AS DOUBLE) AS NT,
+         CAST(count(DISTINCT w2) AS DOUBLE) AS V,
+         CAST(count(*) FILTER (WHERE c12 = 1) AS DOUBLE) AS n1,
+         CAST(count(*) FILTER (WHERE c12 = 2) AS DOUBLE) AS n2
+  FROM big
+), d AS (
+  SELECT NT, V,
+         CASE WHEN n1 + 2.0 * n2 > 0 THEN n1 / (n1 + 2.0 * n2)
+              ELSE 0.5 END AS D
+  FROM st
+), ctxa AS (
+  SELECT w1, sum(c12) AS c_ctx, CAST(count(*) AS DOUBLE) AS types
+  FROM big GROUP BY 1
+), lamt AS (
+  SELECT w1, d.D * types / c_ctx AS lam FROM ctxa CROSS JOIN d
+), pct AS (
+  SELECT w2,
+         (CAST(count(*) AS DOUBLE) + 1e-4)
+         / (any_value(d.NT) + 1e-4 * (any_value(d.V) + 1.0)) AS pcont
+  FROM big CROSS JOIN d GROUP BY w2
+), obs AS (
+  SELECT b.w1, b.w2,
+         ln(greatest(CAST(b.c12 AS DOUBLE) - d.D, 0.0) / c.c_ctx
+            + l.lam * p.pcont) AS lp
+  FROM big b
+  JOIN ctxa c ON b.w1 = c.w1
+  JOIN lamt l ON b.w1 = l.w1
+  JOIN pct p ON b.w2 = p.w2
+  CROSS JOIN d
+), ct AS (
+  -- the curated CLEAN text scores under the frozen model
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(trim(text_clean)), '\s+'),
+                     x -> x <> '') AS tk
+  FROM ded
+), ci AS (
+  SELECT doc_id, lang, tk, unnest(range(0, len(tk) + 1)) AS i FROM ct
+), ctr AS (
+  SELECT doc_id, lang,
+         CASE WHEN i = 0 THEN '<s>' ELSE tk[i] END AS w1,
+         CASE WHEN i = CAST(len(tk) AS BIGINT) THEN '</s>'
+              ELSE tk[i + 1] END AS w2
+  FROM ci
+), sc AS (
+  SELECT ctr.doc_id, ctr.lang,
+         coalesce(o.lp,
+                  ln(coalesce(l.lam, 1.0)
+                     * coalesce(p.pcont,
+                                1e-4 / (d.NT + 1e-4 * (d.V + 1.0))))) AS lp
+  FROM ctr
+  LEFT JOIN obs o ON ctr.w1 = o.w1 AND ctr.w2 = o.w2
+  LEFT JOIN lamt l ON ctr.w1 = l.w1
+  LEFT JOIN pct p ON ctr.w2 = p.w2
+  CROSS JOIN d
+), ppl AS (
+  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_transitions,
+         round(exp(-sum(lp) / count(*)), 6) AS ppl
+  FROM sc GROUP BY 1, 2
+)
+SELECT doc_id, lang, n_transitions, ppl
+FROM ppl WHERE ppl <= {CCNET_PPL_CUT}
+"""
+
+
+def q_ccnet_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, n_transitions, ppl) of the ADMITTED crawl — the
+    SQL-expressible CCNet-style curation chain, hash-grade end to
+    end: Gopher screen on the raw text, PII redaction, exact min-id
+    dedup over the clean-text fingerprint, frozen target-trained KN
+    scoring of the CLEAN text (`make_bigram_scorer`, lang carried
+    through the agg keys), admission at the 6dp-rounded
+    ``ppl ≤ CCNET_PPL_CUT``. Each stage is the standalone row's exact
+    expression (gopher_quality_filter / pii_redaction /
+    training_data_prep dedup / ccnet_perplexity scoring) — the
+    composition the pipeline pytest pins with minhash dedup, here in
+    its oracle-checkable form."""
+    from pyspark.sql import Window as W
+
+    from .functions import corpus as C
+    from .functions.lm import bigram_lm_train, make_bigram_scorer
+
+    docs = read_docs_spread(spark, sf_dir).select("doc_id", "lang", "text")
+    target = docs.filter(F.col("doc_id") % 13 == 0)
+    crawl = docs.filter(F.col("doc_id") % 13 != 0)
+    kept = (
+        crawl.select(
+            "doc_id", "lang", "text",
+            C.gopher_metrics(F.col("text")).alias("__m"),
+        )
+        .filter(F.col("__m.kept"))
+        .select("doc_id", "lang", "text")
+    )
+    red = CURATION.pii_redact(kept, keep_cols=("lang",))
+    w = W.partitionBy(TXT.fingerprint(F.col("text_clean"))).orderBy("doc_id")
+    ded = (
+        red.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "lang", "text_clean")
+    )
+    score = make_bigram_scorer(
+        bigram_lm_train(target.select("doc_id", "text")),
+        scorer="kn",
+        text_col="text_clean",
+        carry_cols=("lang",),
+    )
+    out = score(ded).select(
+        "doc_id", "lang", "n_transitions", F.round("ppl", 6).alias("ppl")
+    )
+    return out.filter(F.col("ppl") <= CCNET_PPL_CUT)
+
+
 # Queries OMITTED from the driver-visible correctness set: the driver
 # records oracle rows for at most 50 queries (in registration order),
 # so every DISTINCT operator proof must land inside that window.
