@@ -479,3 +479,107 @@ def test_state_ttl_rejects_available_now_trigger(spark, tmp_path):
     built = runner.build({"in": src})
     with pytest.raises(ValueError, match="processing-time trigger"):
         runner.start_queries(built, os.path.join(str(tmp_path), "chk"))
+
+
+def test_python_fold_order_across_arrow_chunks(spark, tmp_path):
+    """A group LARGER than arrow.maxRecordsPerBatch arrives as several
+    Arrow chunks; the fold must process the whole group in timestamp
+    order ACROSS chunk boundaries (r14 review: per-chunk sorting let a
+    later record fold before an earlier one whenever a group spanned
+    chunks — invisible below 10k rows/group at the default setting).
+    Forced here with maxRecordsPerBatch=4 and an order-SENSITIVE fold
+    (append), records deliberately shuffled in the input file."""
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        order_fold = lambda acc, gk, v: acc + [v]  # noqa: E731
+        t = {
+            "type": "ktable",
+            "aggregate": Aggregate.fold([], order_fold, "array<bigint>"),
+        }
+        topo = {
+            "entities": {"in": topic(), "t": t, "out": topic()},
+            "workflow": [("in", "t"), ("t", "out")],
+        }
+        # 14 records, one key, timestamps shuffled so chunk-local sort
+        # differs from the whole-group order
+        seq = [9, 2, 13, 5, 0, 11, 7, 3, 12, 1, 8, 6, 10, 4]
+        inputs = {"in": [("k", i, i * 100) for i in seq]}
+        res = run_streaming_topology(spark, topo, inputs, str(tmp_path))
+        finals = [tuple(v) for _, v in res["out"]]
+        # the LONGEST emission is the complete fold; it must be the
+        # timestamp-sorted sequence
+        assert max(finals, key=len) == tuple(range(14))
+        # and every changelog emission is a prefix of it (order never
+        # regresses mid-fold)
+        for f in finals:
+            assert f == tuple(range(len(f)))
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_suppressed_windowed_python_fold_congruity(spark, tmp_path):
+    """'suppress' on a tumbling-window PYTHON fold emits final-only,
+    append-mode rows congruent with the batch engine's suppressed fold
+    (r14 review: this combination previously compiled to the full
+    update-mode changelog with NO error — the suppress flag was
+    silently ignored for tumbling/hopping folds while session folds
+    and column aggregates honored it). The sentinel closes the data
+    windows; its own never-closing window is dropped from both sides
+    (the test_congruity_tumbling_window_sum convention)."""
+    from collections import Counter as C
+
+    from willa_spark import TumblingWindow
+
+    ent = {
+        "type": "ktable",
+        "aggregate": Aggregate.fold(0, cap_sum, "bigint"),
+        "window": TumblingWindow(100),
+        "suppress": True,
+        "emit_window": True,
+        "watermark": "0 milliseconds",
+    }
+    topo = {
+        "entities": {"in": topic(), "t": ent, "out": topic()},
+        "workflow": [("in", "t"), ("t", "out")],
+    }
+    inputs = {"in": [("k", 4, 0), ("k", 5, 50), ("k", 9, 150), ("k2", 8, 20)]}
+    b = C(collect_records(run_topology(spark, topo, inputs=inputs)["out"]))
+    s = C(
+        run_streaming_topology(
+            spark,
+            topo,
+            inputs,
+            str(tmp_path),
+            extra_files={"in": [("zz", 0, 1_000_000)]},
+        )["out"]
+    )
+    b = C({kv: n for kv, n in b.items() if kv[0] != "zz"})
+    s = C({kv: n for kv, n in s.items() if kv[0] != "zz"})
+    # ONE final row per (key, window): k win0 capped 4+5=9, k win100 9,
+    # k2 win0 8 — no intermediate (k, (0, 4)) changelog row
+    assert b == s == C([("k", (0, 9)), ("k", (100, 9)), ("k2", (0, 8))])
+
+
+def test_suppressed_unwindowed_python_fold_fails_loud(spark):
+    """The inexpressible case names itself instead of silently
+    emitting the changelog (r14 review)."""
+    import pytest as _pytest
+
+    from willa_spark.streaming import run_streaming_topology as _run
+
+    topo = {
+        "entities": {
+            "in": topic(),
+            "t": {
+                "type": "ktable",
+                "aggregate": Aggregate.fold(0, cap_sum, "bigint"),
+                "suppress": True,
+                "watermark": "0 milliseconds",
+            },
+            "out": topic(),
+        },
+        "workflow": [("in", "t"), ("t", "out")],
+    }
+    with _pytest.raises(ValueError, match="UNWINDOWED Python fold"):
+        _run(spark, topo, {"in": [("k", 1, 0)]}, "/tmp/never-used")

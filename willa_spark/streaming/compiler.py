@@ -66,6 +66,28 @@ def _ms_duration(ms: int) -> str:
     return f"{int(ms)} milliseconds"
 
 
+def _whole_group(pdf_iter, sort_cols):
+    """applyInPandasWithState delivers one GROUP as an iterator of
+    Arrow chunks. Sorting each chunk independently orders records
+    only WITHIN a chunk — a group larger than
+    spark.sql.execution.arrow.maxRecordsPerBatch (default 10k) spans
+    several chunks, and a stateful fold/join would then apply a later
+    record before an earlier one across the boundary (r14 review).
+    Concatenate the group's chunks and sort ONCE, stably; a group's
+    single-batch volume is already the operator's documented memory
+    envelope (its fold state lives under the same bound). Returns
+    None for an empty delivery (timeout invocations)."""
+    import pandas as pd
+
+    chunks = list(pdf_iter)
+    if not chunks:
+        return None
+    pdf = chunks[0] if len(chunks) == 1 else pd.concat(
+        chunks, ignore_index=True
+    )
+    return pdf.sort_values(sort_cols, kind="stable")
+
+
 def _scalar_caster(type_str: str):
     """Pandas widens a nullable numeric column to float64 (4 → 4.0, NaN
     for nulls); values read back out of such a column must be cast to
@@ -101,6 +123,9 @@ _DURATION_UNITS = {
     "minute": 60_000,
     "hour": 3_600_000,
     "day": 86_400_000,
+    # fixed-length like the rest; month/year are variable-length and
+    # deliberately absent (a watermark delay must be a definite ms)
+    "week": 604_800_000,
 }
 
 
@@ -184,14 +209,33 @@ class StreamingTopologyRunner:
         time advances on consumption, not post-transform survival).
         Downstream attachment points become no-ops via the event-time
         column tag (`_has_event_time`)."""
-        delays = [
-            _duration_ms(ent["watermark"], 1 << 62)
-            for ent in self.entities.values()
+        declared = [
+            (eid, ent["watermark"])
+            for eid, ent in self.entities.items()
             if ent.get("watermark")
+        ] + [
+            (f"join {jid}", cfg["watermark"])
+            for jid, cfg in self.topology.get("joins", {}).items()
+            if cfg.get("watermark")
         ]
-        for _, cfg in self.topology.get("joins", {}).items():
-            if cfg.get("watermark"):
-                delays.append(_duration_ms(cfg["watermark"], 1 << 62))
+        delays = []
+        for where, wm in declared:
+            got = _try_duration_ms(wm)
+            if got is None:
+                # fail at COMPILE, loudly: the old 1<<62 fallback made
+                # an unparseable string (e.g. a typo, or the
+                # variable-length 'month'/'year') either overflow
+                # Spark's interval parse at query start or silently
+                # freeze the watermark so suppressed windows and
+                # nil-dedup timeouts never fire (r14 review)
+                raise ValueError(
+                    f"{where}: unparseable watermark duration {wm!r}; "
+                    "use '<n> <unit>' parts with unit in "
+                    f"{sorted(_DURATION_UNITS)} (variable-length "
+                    "month/year are not supported — a watermark delay "
+                    "must be a definite number of milliseconds)"
+                )
+            delays.append(got)
         return _ms_duration(min(delays)) if delays else None
 
     def _ingest(self, df: DataFrame) -> DataFrame:
@@ -721,8 +765,8 @@ class StreamingTopologyRunner:
                 out_r.append(r)
                 out_ts.append(ts)
 
-            for pdf in pdf_iter:
-                pdf = pdf.sort_values([TIMESTAMP, "side"], kind="stable")
+            pdf = _whole_group(pdf_iter, [TIMESTAMP, "side"])
+            if pdf is not None:
                 for row in pdf.itertuples(index=False):
                     side = row.side
                     ts = getattr(row, TIMESTAMP)
@@ -836,10 +880,10 @@ class StreamingTopologyRunner:
                         row.append(vals[i] if has[i] else None)
                 out_rows.append((key[0], *row, ts))
 
-            for pdf in pdf_iter:
-                # tables settle before stream records at equal ts (same
-                # rule as the pairwise operator); among tables, join order
-                pdf = pdf.sort_values([TIMESTAMP, "ord"], kind="stable")
+            # tables settle before stream records at equal ts (same
+            # rule as the pairwise operator); among tables, join order
+            pdf = _whole_group(pdf_iter, [TIMESTAMP, "ord"])
+            if pdf is not None:
                 sides = pdf["side"].tolist()
                 tss = pdf[TIMESTAMP].tolist()
                 vcols = [pdf[f"v{i}"].tolist() for i in range(n)]
@@ -919,10 +963,36 @@ class StreamingTopologyRunner:
                 return out
             if win is not None and not isinstance(win, (TumblingWindow, HoppingWindow)):
                 raise ValueError(f"unknown window spec: {win!r}")
+            suppress = bool(ent.get("suppress"))
+            if suppress and win is None:
+                # an unwindowed fold has no window close to suppress
+                # until; the column tier handles unwindowed suppression
+                # via complete mode, which applyInPandasWithState
+                # cannot express (r14 review: this case previously
+                # compiled to update mode SILENTLY, emitting the full
+                # changelog a suppressed topology asked to withhold)
+                raise ValueError(
+                    f"entity {node!r}: 'suppress' on an UNWINDOWED "
+                    "Python fold is not expressible in streaming "
+                    "(no window ever closes) — window the fold "
+                    "(tumbling/hopping/session), or use a built-in "
+                    "column aggregate (complete-mode emission)"
+                )
+            if suppress and not ent.get("watermark") and not self.source_watermark:
+                raise ValueError(
+                    f"entity {node!r}: suppression (append mode) "
+                    "requires a 'watermark'"
+                )
             out = self._stateful_fold(
-                agg, df, node, win=win, emit_window=bool(ent.get("emit_window"))
+                agg,
+                df,
+                node,
+                win=win,
+                emit_window=bool(ent.get("emit_window")),
+                suppress=suppress,
+                ent=ent,
             )
-            self.output_modes[node] = "update"
+            self.output_modes[node] = "append" if suppress else "update"
             return out
         suppress = bool(ent.get("suppress"))
         if suppress and not ent.get("watermark"):
@@ -1049,8 +1119,8 @@ class StreamingTopologyRunner:
             else:
                 pv, pg, pt, has_prev = None, None, None, False
             out_g, out_c, out_s, out_ts, out_wts = [], [], [], [], []
-            for pdf in pdf_iter:
-                pdf = pdf.sort_values(TIMESTAMP, kind="stable")
+            pdf = _whole_group(pdf_iter, TIMESTAMP)
+            if pdf is not None:
                 # positional lists: pandas itertuples mangles
                 # underscore-prefixed names like __gkey/__contrib
                 gks = pdf["__gkey"].tolist()
@@ -1240,7 +1310,14 @@ class StreamingTopologyRunner:
         return DeferredStream(signed, [fold_batch])
 
     def _stateful_fold(
-        self, agg, df: DataFrame, node: str, win=None, emit_window: bool = False
+        self,
+        agg,
+        df: DataFrame,
+        node: str,
+        win=None,
+        emit_window: bool = False,
+        suppress: bool = False,
+        ent: dict | None = None,
     ) -> DataFrame:
         """A4 full parity in streaming: an arbitrary Python
         (initial, adder) fold as a custom stateful operator via
@@ -1259,22 +1336,42 @@ class StreamingTopologyRunner:
         by (group, window-start) — same operator, finer key. Output key
         is the bare group key (P8 unwrap, core.clj:20-24); with
         ``emit_window`` the value carries its window start like the
-        column-tier path."""
+        column-tier path.
+
+        ``suppress`` (windowed only — the caller rejects unwindowed
+        suppression): final-only emission via EventTimeTimeout — each
+        (group, window) state arms a timeout at the window END and
+        emits ONE row when the watermark passes it, Kafka's
+        suppress-until-window-close, congruent with the column tier's
+        append-mode windowed path (r14 review: suppressed Python folds
+        previously compiled to the full update-mode changelog with no
+        error). Window assignment uses the TRUE event ms (the +1ms
+        epoch-edge shift applies to the watermark column only —
+        epoch-aligned windows, unlike sessions, are not
+        shift-invariant, so shifting the assignment ms would move a
+        boundary record into the next window)."""
         import pandas as pd
         from pyspark.sql.streaming.state import GroupStateTimeout
 
         initial, adder = agg.initial, agg.adder
         acc_type = agg.acc_type if isinstance(agg.acc_type, str) else agg.acc_type.simpleString()
+        windowed = win is not None
+        size_ms = int(win.size_ms) if windowed else 0
+        if suppress:
+            # +1ms epoch-edge shift on the WATERMARK column (the
+            # session-fold rule: append-mode late-row filters drop
+            # event time <= 0); assignment ms is un-shifted below
+            wm_spec = (ent or {}).get("watermark", self.source_watermark)
+            df = self._shift_event_time(df, wm_spec)
         gk_type = df.schema["__gkey"].dataType.simpleString()
         out_schema = f"{KEY} {gk_type}, {VALUE} {acc_type}, {TIMESTAMP} timestamp, __win long"
         state_schema = f"acc {acc_type}"
-        windowed = win is not None
 
         def fold(key, pdf_iter, state):
             acc = state.get[0] if state.exists else initial
             keys, vals, tss = [], [], []
-            for pdf in pdf_iter:
-                pdf = pdf.sort_values(TIMESTAMP, kind="stable")
+            pdf = _whole_group(pdf_iter, TIMESTAMP)
+            if pdf is not None:
                 for row in pdf.itertuples(index=False):
                     acc = adder(acc, key[0], getattr(row, VALUE))
                     keys.append(key[0])
@@ -1287,12 +1384,46 @@ class StreamingTopologyRunner:
                     {KEY: keys, VALUE: vals, TIMESTAMP: tss, "__win": [win_start] * len(keys)}
                 )
 
+        def fold_suppressed(key, pdf_iter, state):
+            # one (group, window) per state; emit ONCE at window close
+            win_start = int(key[1])
+            win_end = win_start + size_ms
+            if state.hasTimedOut:
+                if state.exists:
+                    acc = state.get[0]
+                    state.remove()
+                    yield pd.DataFrame(
+                        {
+                            KEY: [key[0]],
+                            VALUE: [acc],
+                            TIMESTAMP: [pd.Timestamp(win_end, unit="ms")],
+                            "__win": [win_start],
+                        }
+                    )
+                return
+            acc = state.get[0] if state.exists else initial
+            pdf = _whole_group(pdf_iter, TIMESTAMP)
+            if pdf is not None:
+                for row in pdf.itertuples(index=False):
+                    acc = adder(acc, key[0], getattr(row, VALUE))
+            state.update((acc,))
+            # the branch watermark runs in the +1ms-shifted domain, so
+            # the true window end e closes when the shifted watermark
+            # passes e + 1
+            state.setTimeoutTimestamp(win_end + 1)
+
         src = df.select(F.col("__gkey"), F.col(VALUE), F.col(TIMESTAMP))
         if windowed:
             from ..operators.windows import WINDOW_START, assign_time_windows
 
+            # TRUE event ms for assignment: under suppress the
+            # timestamp column is shifted +1ms for the watermark, and
+            # epoch-aligned windows must not inherit that shift
+            ms_col = F.unix_millis(F.col(TIMESTAMP)) - (
+                F.lit(1) if suppress else F.lit(0)
+            )
             src = assign_time_windows(
-                src.withColumn("__ms", F.unix_millis(F.col(TIMESTAMP))),
+                src.withColumn("__ms", ms_col),
                 "__ms",
                 win.size_ms,
                 win.advance_ms,
@@ -1301,7 +1432,13 @@ class StreamingTopologyRunner:
         else:
             grouped = src.groupBy("__gkey")
         folded = grouped.applyInPandasWithState(
-            fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+            fold_suppressed if suppress else fold,
+            out_schema,
+            state_schema,
+            "append" if suppress else "update",
+            GroupStateTimeout.EventTimeTimeout
+            if suppress
+            else GroupStateTimeout.NoTimeout,
         )
         if windowed and emit_window:
             value = F.struct(F.col("__win").alias("win"), F.col(VALUE).alias("v"))
@@ -1448,8 +1585,8 @@ class StreamingTopologyRunner:
                 return keep_s, keep_e, keep_a
 
             if not state.hasTimedOut:
-                for pdf in pdf_iter:
-                    pdf = pdf.sort_values("__ms", kind="stable")
+                pdf = _whole_group(pdf_iter, "__ms")
+                if pdf is not None:
                     for ms, v, ts in zip(
                         pdf["__ms"].tolist(), pdf[VALUE].tolist(), pdf[TIMESTAMP].tolist()
                     ):
