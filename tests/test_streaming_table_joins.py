@@ -271,3 +271,23 @@ def test_table_table_asof_late_data_divergence_pinned(spark, tmp_path):
         {"in-a": [("k", 1, 300)], "in-b": [("k", 5, 100), ("k", 9, 200)]},
         tmp2)["out"])
     assert s2 == b
+
+
+def test_unsupported_streaming_join_types_fail_loud(spark, tmp_path):
+    """Join types the batch engine accepts but streaming does not
+    compile (semi/anti stream-stream, outer stream-table) name the
+    restriction and the alternative instead of a bare KeyError
+    (r14 review)."""
+    import pytest
+
+    inputs = {"in-s": [("k", 1, 100)], "in-t": [("k", 2, 50)]}
+    with pytest.raises(NotImplementedError, match="stream-table join type 'outer'"):
+        run_streaming_topology(
+            spark, stream_table_topo("outer"), inputs, str(tmp_path / "a")
+        )
+    ss = stream_table_topo("left_semi")
+    ss["entities"]["t"] = {"type": "kstream"}
+    with pytest.raises(
+        NotImplementedError, match="stream-stream join type 'left_semi'"
+    ):
+        run_streaming_topology(spark, ss, inputs, str(tmp_path / "b"))

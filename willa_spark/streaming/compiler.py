@@ -66,6 +66,38 @@ def _ms_duration(ms: int) -> str:
     return f"{int(ms)} milliseconds"
 
 
+def _epoch_ms(ts, tz_name: str) -> int:
+    """True epoch ms of a group-key timestamp. Spark delivers
+    TimestampType group keys to Python as NAIVE wall-clock values in
+    the SESSION timezone; a naive ``.timestamp()`` re-interprets that
+    wall clock in the SYSTEM timezone — hours off whenever the two
+    differ, firing event-time timeouts early or late (r14 review).
+    Localize to the session timezone first. (A DST-ambiguous wall
+    time raises — genuinely ambiguous input beats a silent hour.)"""
+    import pandas as pd
+
+    t = pd.Timestamp(ts)
+    if t.tzinfo is None:
+        t = t.tz_localize(tz_name)
+    return int(t.value // 1_000_000)
+
+
+def _session_wallclock(ms: int, tz_name: str):
+    """The inverse: a TRUE epoch-ms instant (from ``F.unix_millis``
+    arithmetic) as the NAIVE session-timezone wall clock Spark expects
+    back from a Pandas worker. A bare ``pd.Timestamp(ms, unit='ms')``
+    is the UTC wall clock, which Spark re-reads as session-local —
+    shifting every emitted event time by the tz offset whenever the
+    session timezone is not UTC (r14 review)."""
+    import pandas as pd
+
+    return (
+        pd.Timestamp(ms, unit="ms", tz="UTC")
+        .tz_convert(tz_name)
+        .tz_localize(None)
+    )
+
+
 def _whole_group(pdf_iter, sort_cols):
     """applyInPandasWithState delivers one GROUP as an iterator of
     Arrow chunks. Sorting each chunk independently orders records
@@ -93,8 +125,13 @@ def _scalar_caster(type_str: str):
     for nulls); values read back out of such a column must be cast to
     the declared Spark type before re-entering Arrow/pickle (numpy
     scalars crash the unpickler, floats pickled into bigint fields
-    decode as NULL JVM-side)."""
+    decode as NULL JVM-side). THE one caster for every stateful
+    operator in this module (r14 review: three near-identical copies
+    had already drifted on their NaN checks); NaT/NA sentinels null
+    out like NaN does."""
     import math
+
+    import pandas as pd
 
     base = type_str.split("(")[0]
     if base in ("tinyint", "smallint", "int", "bigint", "byte", "short", "long", "integer"):
@@ -108,6 +145,8 @@ def _scalar_caster(type_str: str):
         if x is None:
             return None
         if isinstance(x, float) and math.isnan(x):
+            return None
+        if x is pd.NaT or x is getattr(pd, "NA", None):
             return None
         if hasattr(x, "item"):
             x = x.item()
@@ -434,7 +473,18 @@ class StreamingTopologyRunner:
             # exact reference parity builds inner join + synthetic
             # placeholders (the batch construction); Spark-native outer
             # joins only when parity is opted out
-            how = {"inner": "inner", "left": "leftOuter", "outer": "fullOuter"}[jt]
+            hows = {"inner": "inner", "left": "leftOuter", "outer": "fullOuter"}
+            if jt not in hows:
+                # valid in the batch engine (model.JOIN_TYPES) but not
+                # compiled for streaming — name the restriction instead
+                # of a bare KeyError (r14 review)
+                raise NotImplementedError(
+                    f"stream-stream join type {jt!r} is not implemented "
+                    f"in streaming (supported: {sorted(hows)}); run the "
+                    "batch engine, or express semi/anti as an inner "
+                    "join + filter"
+                )
+            how = hows[jt]
             if exact:
                 how = "inner"
             wm_cfg = cfg.get("watermark")
@@ -592,28 +642,9 @@ class StreamingTopologyRunner:
         # late — so after T + band + join_watermark (+slack) the group
         # cannot grow
         settle_ms = before_ms + after_ms + _duration_ms(wm, default=before_ms + after_ms + 1000) + 1000
+        session_tz = self.spark.conf.get("spark.sql.session.timeZone")
 
-        _INT_TYPES = ("tinyint", "smallint", "int", "bigint", "byte", "short", "long", "integer")
-
-        def _caster(type_str: str):
-            # pandas widens nullable numerics to float64 (4 → 4.0); a
-            # Python float pickled into a bigint state field decodes as
-            # NULL on the JVM side, silently losing the buffered value —
-            # cast back to the declared type (and numpy scalars crash
-            # the unpickler outright, so .item() them)
-            base = type_str.split("(")[0]
-            num = int if base in _INT_TYPES else float if base in ("float", "double") else None
-
-            def cast(x):
-                if x is None or (isinstance(x, float) and pd.isna(x)):
-                    return None
-                if hasattr(x, "item"):
-                    x = x.item()
-                return num(x) if num is not None else x
-
-            return cast
-
-        casters = [_caster(t) for t in elem_types]
+        casters = [_scalar_caster(t) for t in elem_types]
 
         def to_elems(v) -> list:
             if field_names is not None:
@@ -652,7 +683,7 @@ class StreamingTopologyRunner:
                     else:
                         passthrough.append(elems)
             state.update((n_seen, n_null, *first_null))
-            natural = int(key[1].timestamp() * 1000) + settle_ms
+            natural = _epoch_ms(key[1], session_tz) + settle_ms
             state.setTimeoutTimestamp(max(natural, state.getCurrentWatermarkMs() + 1))
             if passthrough:
                 yield rows_frame(key, passthrough)
@@ -711,42 +742,24 @@ class StreamingTopologyRunner:
         out_schema = f"{KEY} {kt}, __l {lvt}, __r {rvt}, {TIMESTAMP} timestamp"
         # presence flags distinguish "no state yet" from a NULL value
         state_schema = f"lv {lvt}, has_l boolean, rv {rvt}, has_r boolean"
-        req_l, req_r = {
+        req_flags = {
             # stream-table (streams.clj:100-102): inner requires table hit
             False: {"inner": (False, True), "left": (False, False)},
             # table-table inverted flags (experiment.clj:108-121)
             True: {"inner": (True, True), "left": (True, False), "outer": (False, False)},
-        }[table_table][jt]
+        }[table_table]
+        if jt not in req_flags:
+            kind = "table-table" if table_table else "stream-table"
+            raise NotImplementedError(
+                f"{kind} join type {jt!r} is not implemented in "
+                f"streaming (supported: {sorted(req_flags)}); run the "
+                "batch engine for the full join-type surface"
+            )
+        req_l, req_r = req_flags[jt]
         is_array = mode == "array"
         tt = table_table
 
-        def _caster(type_str: str):
-            # pandas turns a nullable numeric column into float64 with
-            # NaN for nulls; cast back to the declared Spark type or the
-            # Arrow encoder rejects the batch (and NaN would leak into
-            # joined tuples as a bogus value)
-            import math
-
-            base = type_str.split("(")[0]
-            if base in ("tinyint", "smallint", "int", "bigint", "byte", "short", "long", "integer"):
-                num = int
-            elif base in ("float", "double"):
-                num = float
-            else:
-                num = None
-
-            def cast(x):
-                if x is None:
-                    return None
-                if isinstance(x, float) and math.isnan(x):
-                    return None
-                if hasattr(x, "item"):
-                    x = x.item()
-                return num(x) if num is not None else x
-
-            return cast
-
-        cast_l, cast_r = _caster(lvt), _caster(rvt)
+        cast_l, cast_r = _scalar_caster(lvt), _scalar_caster(rvt)
 
         def join_fold(key, pdf_iter, state):
             if state.exists:
@@ -1018,25 +1031,37 @@ class StreamingTopologyRunner:
         else:
             raise ValueError(f"unknown window spec: {win!r}")
         grouped = df.groupBy(F.col("__gkey"), wcol.alias("__w"))
-        # F.window emits windows starting before the epoch for early
-        # timestamps (t < size - advance); batch clamps starts at >= 0
-        # (Kafka TimeWindows.windowsFor) — drop them for congruity
-        out = grouped.agg(agg.column_fn(F.col(VALUE)).alias("__acc")).filter(
+        out = self._emit_windowed(
+            grouped.agg(agg.column_fn(F.col(VALUE)).alias("__acc")), ent
+        )
+        self.output_modes[node] = "append" if suppress else "update"
+        return out
+
+    @staticmethod
+    def _emit_windowed(aggregated: DataFrame, ent: dict) -> DataFrame:
+        """THE windowed-emission tail shared by the plain and the
+        retracting column aggregates (r14 review: two verbatim copies
+        could silently desynchronize the epoch-clamp / struct shape):
+        drop pre-epoch windows (F.window emits starts < 0 for early
+        timestamps; batch clamps at >= 0 — Kafka TimeWindows.
+        windowsFor), optionally carry the window start in the value,
+        unwrap to the bare group key (P8, core.clj:20-24), and stamp
+        the window END as the event time."""
+        out = aggregated.filter(
             F.col("__w.start") >= F.timestamp_millis(F.lit(0))
         )
         if ent.get("emit_window"):
             value = F.struct(
-                F.unix_millis(F.col("__w.start")).alias("win"), F.col("__acc").alias("v")
+                F.unix_millis(F.col("__w.start")).alias("win"),
+                F.col("__acc").alias("v"),
             )
         else:
             value = F.col("__acc")
-        out = out.select(
-            F.col("__gkey").alias(KEY),  # windowed-key unwrap (P8, core.clj:20-24)
+        return out.select(
+            F.col("__gkey").alias(KEY),
             value.alias(VALUE),
             F.col("__w.end").alias(TIMESTAMP),
         )
-        self.output_modes[node] = "append" if suppress else "update"
-        return out
 
     def _retracting_agg(self, agg, df: DataFrame, ent: dict, node: str) -> DataFrame:
         """A5 (subtractor) in streaming: a re-grouped table upsert must
@@ -1111,6 +1136,13 @@ class StreamingTopologyRunner:
             f"__win_ts timestamp"
         )
         state_schema = f"c {ct}, g {gt}, t long"
+        # pandas widens a nullable numeric __contrib/__gkey column to
+        # float64; a float pickled into the bigint state field `c`
+        # decodes as NULL JVM-side, silently zeroing the NEXT update's
+        # retraction (r14 review) — cast through the shared caster
+        # before values enter state or the typed output columns
+        cast_c = _scalar_caster(ct)
+        cast_g = _scalar_caster(gt)
 
         def rekey(key, pdf_iter, state):
             if state.exists:
@@ -1123,8 +1155,8 @@ class StreamingTopologyRunner:
             if pdf is not None:
                 # positional lists: pandas itertuples mangles
                 # underscore-prefixed names like __gkey/__contrib
-                gks = pdf["__gkey"].tolist()
-                cs = pdf["__contrib"].tolist()
+                gks = [cast_g(x) for x in pdf["__gkey"].tolist()]
+                cs = [cast_c(x) for x in pdf["__contrib"].tolist()]
                 tss = pdf[TIMESTAMP].tolist()
                 for g, c, ts in zip(gks, cs, tss):
                     out_g.append(g)
@@ -1171,21 +1203,11 @@ class StreamingTopologyRunner:
         wcol = F.window(
             F.col("__win_ts"), _ms_duration(win.size_ms), _ms_duration(win.advance_ms)
         )
-        out = (
-            signed.groupBy(F.col("__gkey"), wcol.alias("__w"))
-            .agg(F.sum(F.col("__sign") * F.col("__contrib")).alias("__acc"))
-            .filter(F.col("__w.start") >= F.timestamp_millis(F.lit(0)))
-        )
-        if ent.get("emit_window"):
-            value = F.struct(
-                F.unix_millis(F.col("__w.start")).alias("win"), F.col("__acc").alias("v")
-            )
-        else:
-            value = F.col("__acc")
-        return out.select(
-            F.col("__gkey").alias(KEY),
-            value.alias(VALUE),
-            F.col("__w.end").alias(TIMESTAMP),
+        return self._emit_windowed(
+            signed.groupBy(F.col("__gkey"), wcol.alias("__w")).agg(
+                F.sum(F.col("__sign") * F.col("__contrib")).alias("__acc")
+            ),
+            ent,
         )
 
     def _deferred_fold_retraction(
@@ -1288,6 +1310,19 @@ class StreamingTopologyRunner:
             folded = combined.groupBy(*group_cols).applyInPandas(fold_group, out_ddl)
             snap_path = os.path.join(state_dir, f"snap={batch_id}")
             folded.write.mode("overwrite").parquet(snap_path)
+            # prune superseded snapshots AFTER the new one lands: only
+            # the newest snapshot with id < batch_id is ever read, so
+            # older generations are dead weight that previously grew
+            # one full state copy per trigger until the volume filled
+            # (r14 review). Keep the two newest (the new snapshot and
+            # the replay base a retried batch would re-read).
+            import shutil
+
+            stale = sorted(s for s in snaps if s < batch_id)[:-1]
+            for s in stale:
+                shutil.rmtree(
+                    os.path.join(state_dir, f"snap={s}"), ignore_errors=True
+                )
             out = spark.read.parquet(snap_path).filter(F.col("__changed"))
             if not windowed:
                 return out.select(
@@ -1357,6 +1392,7 @@ class StreamingTopologyRunner:
         acc_type = agg.acc_type if isinstance(agg.acc_type, str) else agg.acc_type.simpleString()
         windowed = win is not None
         size_ms = int(win.size_ms) if windowed else 0
+        session_tz = self.spark.conf.get("spark.sql.session.timeZone")
         if suppress:
             # +1ms epoch-edge shift on the WATERMARK column (the
             # session-fold rule: append-mode late-row filters drop
@@ -1396,7 +1432,9 @@ class StreamingTopologyRunner:
                         {
                             KEY: [key[0]],
                             VALUE: [acc],
-                            TIMESTAMP: [pd.Timestamp(win_end, unit="ms")],
+                            TIMESTAMP: [
+                                _session_wallclock(win_end, session_tz)
+                            ],
                             "__win": [win_start],
                         }
                     )
@@ -1538,6 +1576,7 @@ class StreamingTopologyRunner:
         shift = F.expr("INTERVAL 1 MILLISECONDS")
         df = self._shift_event_time(df, wm_spec)
         has_wm = self._has_event_time(df)
+        session_tz = self.spark.conf.get("spark.sql.session.timeZone")
         initial, adder, merger = agg.initial, agg.adder, agg.merger
         gap = int(win.gap_ms)
         acc_type = (
@@ -1576,7 +1615,9 @@ class StreamingTopologyRunner:
                         if suppress:
                             out[KEY].append(gk)
                             out[VALUE].append(a)
-                            out[TIMESTAMP].append(pd.Timestamp(e, unit="ms"))
+                            out[TIMESTAMP].append(
+                                _session_wallclock(e, session_tz)
+                            )
                             out["__win"].append(s)
                     else:
                         keep_s.append(s)
