@@ -656,3 +656,53 @@ def test_join_watermark_conflicting_with_ingest_raises(spark, tmp_path):
     inputs = {"a": [("k", 1, 100)], "b": [("k", 2, 120)]}
     with pytest.raises(ValueError, match="conflicts with"):
         run_streaming_topology(spark, topo, inputs, str(tmp_path))
+
+
+def test_duration_parser_accepts_spark_forms_and_tz_resolver(spark):
+    """r14 review batch 5 regressions, pinned: the watermark parser
+    accepts the forms Spark itself runs (decimals, 'interval '
+    prefix, short units) while still rejecting variable-length
+    month/year and garbage loudly; the session-tz resolver handles
+    Java fixed-offset ids pandas cannot, and DST-ambiguous wall
+    times localize deterministically instead of crashing a worker."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from willa_spark.streaming.compiler import (
+        _epoch_ms,
+        _resolve_session_tz,
+        _session_wallclock,
+        _try_duration_ms,
+    )
+
+    assert _try_duration_ms("1.5 seconds") == 1500
+    assert _try_duration_ms("interval 30 seconds") == 30_000
+    assert _try_duration_ms("5 ms") == 5
+    assert _try_duration_ms("1 week") == 604_800_000
+    assert _try_duration_ms("1 month") is None
+    assert _try_duration_ms("soon") is None
+    assert isinstance(
+        _epoch_ms(pd.Timestamp("2025-11-02 01:30:00"), "America/Los_Angeles"),
+        int,
+    )
+    tz8 = dt.timezone(dt.timedelta(hours=8))
+    assert _epoch_ms(pd.Timestamp("1970-01-01 08:00:00"), tz8) == 0
+    assert _session_wallclock(0, tz8) == pd.Timestamp("1970-01-01 08:00:00")
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        # 'GMT+8' is legal to Spark but unknown to pandas/pytz — and
+        # measured end-to-end, pyarrow's own timestamp-batch
+        # deserialization dies under it before user code runs, so the
+        # resolver fails at COMPILE naming the IANA remedy
+        spark.conf.set("spark.sql.session.timeZone", "GMT+8")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="IANA zone name"):
+            _resolve_session_tz(spark)
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Shanghai")
+        assert _resolve_session_tz(spark) == "Asia/Shanghai"
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        assert _resolve_session_tz(spark) == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

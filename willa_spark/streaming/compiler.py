@@ -66,23 +66,53 @@ def _ms_duration(ms: int) -> str:
     return f"{int(ms)} milliseconds"
 
 
-def _epoch_ms(ts, tz_name: str) -> int:
+def _resolve_session_tz(spark):
+    """spark.sql.session.timeZone, validated as something pandas can
+    localize with. Java-only zone ids like 'GMT+8' are legal to Spark
+    but unknown to pandas/pytz — and measured end-to-end, the STACK
+    itself dies under them before any user code runs (pyarrow's
+    make_tz_aware calls pytz.timezone on the session zone while
+    deserializing every timestamp batch into a Pandas-stateful
+    operator), so the only honest behavior is a clear error at
+    COMPILE naming the remedy instead of a 20 KB executor stack at
+    the first micro-batch (r14 review, batch 5 follow-up)."""
+    tz_name = spark.conf.get("spark.sql.session.timeZone")
+    import pandas as pd
+
+    try:
+        pd.Timestamp(0, unit="ms", tz="UTC").tz_convert(tz_name)
+        return tz_name
+    except Exception:
+        raise ValueError(
+            f"spark.sql.session.timeZone={tz_name!r} is a Java-only "
+            "zone id pandas/pytz cannot resolve; Spark's own Arrow "
+            "deserialization of timestamp batches into Pandas "
+            "stateful operators crashes under it (pyarrow "
+            "make_tz_aware -> pytz). Use an IANA zone name (e.g. "
+            "'Asia/Shanghai' instead of 'GMT+8')."
+        ) from None
+
+
+def _epoch_ms(ts, tz) -> int:
     """True epoch ms of a group-key timestamp. Spark delivers
     TimestampType group keys to Python as NAIVE wall-clock values in
     the SESSION timezone; a naive ``.timestamp()`` re-interprets that
     wall clock in the SYSTEM timezone — hours off whenever the two
     differ, firing event-time timeouts early or late (r14 review).
-    Localize to the session timezone first. (A DST-ambiguous wall
-    time raises — genuinely ambiguous input beats a silent hour.)"""
+    Localize to the session timezone first. A DST-ambiguous wall time
+    resolves deterministically (``ambiguous=True`` — the first
+    occurrence) and a spring-forward gap shifts forward: both skew a
+    settle timeout by at most an hour, strictly safer than crashing
+    the query on legitimate data (r14 review batch 5)."""
     import pandas as pd
 
     t = pd.Timestamp(ts)
     if t.tzinfo is None:
-        t = t.tz_localize(tz_name)
+        t = t.tz_localize(tz, ambiguous=True, nonexistent="shift_forward")
     return int(t.value // 1_000_000)
 
 
-def _session_wallclock(ms: int, tz_name: str):
+def _session_wallclock(ms: int, tz):
     """The inverse: a TRUE epoch-ms instant (from ``F.unix_millis``
     arithmetic) as the NAIVE session-timezone wall clock Spark expects
     back from a Pandas worker. A bare ``pd.Timestamp(ms, unit='ms')``
@@ -93,7 +123,7 @@ def _session_wallclock(ms: int, tz_name: str):
 
     return (
         pd.Timestamp(ms, unit="ms", tz="UTC")
-        .tz_convert(tz_name)
+        .tz_convert(tz)
         .tz_localize(None)
     )
 
@@ -168,22 +198,52 @@ _DURATION_UNITS = {
 }
 
 
+_DURATION_ABBREV = {
+    "us": "microsecond",
+    "ms": "millisecond",
+    "s": "second",
+    "sec": "second",
+    "secs": "second",
+    "m": "minute",
+    "min": "minute",
+    "mins": "minute",
+    "h": "hour",
+    "hr": "hour",
+    "hrs": "hour",
+    "d": "day",
+    "w": "week",
+}
+
+
 def _try_duration_ms(s: str) -> int | None:
     """Parse a Spark duration string, including multi-part forms
-    ('90 seconds', '100 milliseconds', '1 minute 30 seconds').
-    Returns None — distinguishable from every real duration — when the
-    string is not understood, so callers can separate "unparseable"
-    from "parsed to a conflicting value"."""
+    ('90 seconds', '100 milliseconds', '1 minute 30 seconds'), the
+    'interval ' prefix, DECIMAL magnitudes ('1.5 seconds'), and the
+    short unit forms Spark's interval parser accepts ('5 ms', '2 h')
+    — r14 review: the strict form-of-record parser rejected strings
+    Spark itself runs. Returns None — distinguishable from every real
+    duration — when the string is not understood, so callers can
+    separate "unparseable" from "parsed to a conflicting value"."""
     import re
 
     text = str(s).lower().strip()
-    pat = re.compile(r"(\d+)\s*([a-z]+?)s?(?:\s+|$)")
+    if text.startswith("interval "):
+        text = text[len("interval "):].lstrip()
+    if text.startswith("'") and text.endswith("'") and len(text) >= 2:
+        text = text[1:-1].strip()
+    pat = re.compile(r"(\d+(?:\.\d+)?)\s*([a-z]+)(?:\s+|$)")
     pos, total, found = 0, 0.0, False
     while pos < len(text):
         m = pat.match(text, pos)
-        if not m or m.group(2) not in _DURATION_UNITS:
+        if not m:
             return None
-        total += int(m.group(1)) * _DURATION_UNITS[m.group(2)]
+        unit = m.group(2)
+        unit = _DURATION_ABBREV.get(unit, unit)
+        if unit.endswith("s") and unit not in _DURATION_UNITS:
+            unit = unit[:-1]
+        if unit not in _DURATION_UNITS:
+            return None
+        total += float(m.group(1)) * _DURATION_UNITS[unit]
         pos, found = m.end(), True
     return int(total) if found else None
 
@@ -642,7 +702,7 @@ class StreamingTopologyRunner:
         # late — so after T + band + join_watermark (+slack) the group
         # cannot grow
         settle_ms = before_ms + after_ms + _duration_ms(wm, default=before_ms + after_ms + 1000) + 1000
-        session_tz = self.spark.conf.get("spark.sql.session.timeZone")
+        session_tz = _resolve_session_tz(self.spark)
 
         casters = [_scalar_caster(t) for t in elem_types]
 
@@ -1392,7 +1452,7 @@ class StreamingTopologyRunner:
         acc_type = agg.acc_type if isinstance(agg.acc_type, str) else agg.acc_type.simpleString()
         windowed = win is not None
         size_ms = int(win.size_ms) if windowed else 0
-        session_tz = self.spark.conf.get("spark.sql.session.timeZone")
+        session_tz = _resolve_session_tz(self.spark)
         if suppress:
             # +1ms epoch-edge shift on the WATERMARK column (the
             # session-fold rule: append-mode late-row filters drop
@@ -1576,7 +1636,7 @@ class StreamingTopologyRunner:
         shift = F.expr("INTERVAL 1 MILLISECONDS")
         df = self._shift_event_time(df, wm_spec)
         has_wm = self._has_event_time(df)
-        session_tz = self.spark.conf.get("spark.sql.session.timeZone")
+        session_tz = _resolve_session_tz(self.spark)
         initial, adder, merger = agg.initial, agg.adder, agg.merger
         gap = int(win.gap_ms)
         acc_type = (
