@@ -167,6 +167,25 @@ HEADLINE = [
 ]
 
 
+def derive_bench_list(headline, queries, exhibition, exhibition_round, env_flag):
+    """The ONE bench-list derivation, pure so the r18 exhibition-round
+    mechanics are testable BEFORE that round runs them for real
+    (r14 verdict #4): curated order + auto-append of forgotten
+    registrations + loud drop of stale names + the exhibition skip
+    (rows run only when the tree-state flag or the ad-hoc env var
+    says so). Returns (list, stale) — the caller prints stale."""
+    out = list(headline)
+    missing = [n for n in queries if n not in out]
+    if missing:
+        out.extend(sorted(missing))
+    stale = [n for n in out if n not in queries]
+    if stale:
+        out = [n for n in out if n in queries]
+    if not (exhibition_round or env_flag):
+        out = [n for n in out if n not in exhibition]
+    return out, stale
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -184,29 +203,30 @@ def main() -> int:
     # from the record (r10: the list sat at 99 when the 100th name
     # registered); auto-append keeps the record complete, the curated
     # prefix keeps cross-round per-query comparability
-    missing = [n for n in QUERIES if n not in HEADLINE]
-    if missing:
-        HEADLINE.extend(sorted(missing))
     # ...and the reverse direction: a renamed/retired registry name
     # left in the curated list would KeyError outside the per-query
     # try and kill the whole record — drop it loudly instead (the
-    # one-error degradation contract)
-    stale = [n for n in HEADLINE if n not in QUERIES]
-    if stale:
-        print(f"bench: dropping stale HEADLINE names {stale}", file=sys.stderr)
-        HEADLINE[:] = [n for n in HEADLINE if n in QUERIES]
-    # the EXHIBITION rows (capacity policy (a), executed r14) run only
-    # on exhibition rounds — every 4th round, the round's gate-edit
-    # commit flips queries.EXHIBITION_ROUND so they re-earn green rows
-    # under the driver's env-less bench invocation; every other round
-    # skips their ~4 s (SPARK_GRAFT_EXHIBITION=1 is the ad-hoc manual
+    # one-error degradation contract). The EXHIBITION rows (capacity
+    # policy (a), executed r14) run only on exhibition rounds — every
+    # 4th round, the round's gate-edit commit flips
+    # queries.EXHIBITION_ROUND so they re-earn green rows under the
+    # driver's env-less bench invocation; every other round skips
+    # their ~4 s (SPARK_GRAFT_EXHIBITION=1 is the ad-hoc manual
     # override). Their DuckDB oracles stay pinned EVERY round by the
     # omitted-parity pytest, so this trades bench seconds, never
     # correctness coverage.
     from willa_spark.queries import EXHIBITION, EXHIBITION_ROUND
 
-    if not (EXHIBITION_ROUND or os.environ.get("SPARK_GRAFT_EXHIBITION")):
-        HEADLINE[:] = [n for n in HEADLINE if n not in EXHIBITION]
+    derived, stale = derive_bench_list(
+        HEADLINE,
+        QUERIES,
+        EXHIBITION,
+        EXHIBITION_ROUND,
+        os.environ.get("SPARK_GRAFT_EXHIBITION"),
+    )
+    if stale:
+        print(f"bench: dropping stale HEADLINE names {stale}", file=sys.stderr)
+    HEADLINE[:] = derived
 
     # untimed warmup: touch every table once so the timed loop measures
     # query execution, not first-scan JVM/codegen/file-listing warmup

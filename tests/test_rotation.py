@@ -100,3 +100,47 @@ def test_exhibition_round_flag_consistency():
             "exhibition rows gate-visible with the flag off — bench "
             "would omit rows the driver records this round"
         )
+
+
+def test_exhibition_round_dry_run_both_directions():
+    """The r18 exhibition-round mechanics, exercised BEFORE that round
+    runs them for real (r14 verdict #4): the round is two edits — flip
+    queries.EXHIBITION_ROUND and move the 10 retirees from DRIVER_OMIT
+    into the gate — and this derives BOTH states end-to-end through
+    the real bench-list function so the first real exhibition round is
+    a config edit, not an adventure."""
+    from bench import HEADLINE, derive_bench_list
+
+    # --- today's state (flag off): the retirees are skipped ---------
+    off, stale = derive_bench_list(
+        HEADLINE, QUERIES, EXHIBITION, False, None
+    )
+    assert not stale
+    assert not (set(off) & EXHIBITION)
+    assert set(off) == set(QUERIES) - EXHIBITION
+    # the ad-hoc env override alone restores them (any round)
+    env, _ = derive_bench_list(HEADLINE, QUERIES, EXHIBITION, False, "1")
+    assert set(env) == set(QUERIES)
+
+    # --- the r18 state (flag on): every retiree benches -------------
+    on, stale = derive_bench_list(HEADLINE, QUERIES, EXHIBITION, True, None)
+    assert not stale
+    assert EXHIBITION <= set(on)
+    assert set(on) == set(QUERIES)
+    # curated-prefix order is preserved in both states (cross-round
+    # per-query comparability): the off-list is the on-list filtered
+    assert off == [n for n in on if n not in EXHIBITION]
+
+    # --- the r18 GATE edit, simulated: retirees leave DRIVER_OMIT ---
+    omit_r18 = DRIVER_OMIT - EXHIBITION
+    gate_r18 = set(QUERIES) - omit_r18
+    assert EXHIBITION <= gate_r18
+    # moving 10 rows in pushes today's full gate past the driver cap,
+    # so the REAL r18 edit must also rest (gate_r18 - 50) names — the
+    # arithmetic the policy block's forward schedule budgets for
+    assert len(gate_r18) == len(driver_queries()) + len(EXHIBITION)
+    # every retiree re-enters the gate WITH its oracle (hash-grade
+    # rows, not rows-only), and none ever needs a twin keep
+    for n in EXHIBITION:
+        assert n in ORACLE_SQL, n
+        assert n not in ROWS_ONLY_TWINS, n

@@ -682,6 +682,15 @@ def test_duration_parser_accepts_spark_forms_and_tz_resolver(spark):
     assert _try_duration_ms("1 week") == 604_800_000
     assert _try_duration_ms("1 month") is None
     assert _try_duration_ms("soon") is None
+    # sub-ms magnitudes must not silently truncate to a ZERO delay:
+    # a positive total under 1 ms is unparseable (the compile-time
+    # loud guard fires); at-or-above 1 ms rounds to nearest instead
+    # of truncating; an explicit zero stays zero (r15 ADVICE)
+    assert _try_duration_ms("0.5 ms") is None
+    assert _try_duration_ms("0.4 milliseconds") is None
+    assert _try_duration_ms("1.5 ms") == 2
+    assert _try_duration_ms("0.0015 seconds") == 2
+    assert _try_duration_ms("0 seconds") == 0
     assert isinstance(
         _epoch_ms(pd.Timestamp("2025-11-02 01:30:00"), "America/Los_Angeles"),
         int,

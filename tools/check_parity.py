@@ -90,20 +90,10 @@ def norm_rows(cols, types, rows):
 # pre-flight and the policy block cannot drift silently (the list is
 # asserted against queries.py at run time: a missing attr fails loud).
 CANDIDATES: list[tuple[str, str, str]] = [
-    # (the r13 queue — ccnet_perplexity / domain_mixture_weights —
-    # REGISTERED r14 and pre-flighted through the main gate now)
-    # the r15 queue (parked r14): the bounded DoReMi fixed-point
-    # trajectory — 6 unrolled Group-DRO steps under one frozen
-    # model, pinning the loop arithmetic the one-step row samples
-    (
-        "domain_mixture_trajectory",
-        "q_domain_mixture_trajectory",
-        "DOMAIN_MIXTURE_TRAJ_ORACLE",
-    ),
-    # the oracle-checked CCNet-style admission composition (gopher →
-    # redact → exact dedup → frozen target-KN cut) — the r13
-    # verdict's #4 shape (b) in its SQL-expressible registered form
-    ("ccnet_curation", "q_ccnet_curation", "CCNET_CURATION_ORACLE"),
+    # (the r14 queue — domain_mixture_trajectory / ccnet_curation —
+    # REGISTERED r15 and pre-flighted through the main gate now)
+    # the r16 queue is parked later in r15 per the one-candidate /
+    # ≤2 s discipline (r14 verdict #5).
 ]
 
 

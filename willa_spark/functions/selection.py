@@ -933,6 +933,16 @@ def mixture_trajectory_from_stats(
     w = {g: n[g] / N for g in groups}
     out = []
     for t in range(1, steps_ + 1):
+        # ce_mix folds in sorted-group order while the DuckDB
+        # oracle's sum(w * ce) folds in engine-chosen order; both
+        # sides round to 6dp before the cross-engine hash, so only
+        # an ulp landing EXACTLY on a 6dp boundary could flip the
+        # hash — the same accepted risk class as the per-group ce
+        # reductions, compounded by the K unrolled steps (r15
+        # ADVICE). Remedy if a boundary flip ever surfaces in
+        # pre-flight: force the oracle's fold order too (list
+        # aggregation in sorted group order), the lm-family ulp
+        # discipline for operand order.
         ce_mix = sum(w[g] * ce[g] for g in groups)
         raw = {g: w[g] * math.exp(eta_ * (ce[g] - ce_mix)) for g in groups}
         z = sum(raw[g] for g in groups)

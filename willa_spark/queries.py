@@ -6191,6 +6191,7 @@ WITH t AS (
 DOMAIN_MIXTURE_TRAJ_ORACLE = _traj_oracle(steps=6, eta=1.0)
 
 
+@query("domain_mixture_trajectory", DOMAIN_MIXTURE_TRAJ_ORACLE)
 def q_domain_mixture_trajectory(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -6355,6 +6356,7 @@ FROM ppl WHERE ppl <= {CCNET_PPL_CUT}
 """
 
 
+@query("ccnet_curation", CCNET_CURATION_ORACLE)
 def q_ccnet_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, lang, n_transitions, ppl) of the ADMITTED crawl — the
     SQL-expressible CCNet-style curation chain, hash-grade end to
@@ -6413,71 +6415,65 @@ def q_ccnet_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_curation.py::test_omitted_relational_parity (computed
 # FROM this set, so the pin rotates automatically).
 #
-# Round 14 rotation (period-3: a name last green in round k is due
-# k+3, resting TWO rounds). Registered queries: 121 = the 119 r13
-# names + the two r14 registrations ccnet_perplexity,
-# domain_mixture_weights (parked r13 with full oracles, parity-pinned
-# by tests/test_lm.py::test_ccnet_perplexity_oracle_parity /
-# tests/test_selection.py::test_domain_mixture_oracle_parity,
-# pre-flighted green via `check_parity.py --candidates`, 10x rows
-# pre-measured r13 at 1.24x / 1.53x — the r13 verdict's #1 with every
-# precondition pre-met).
+# Round 15 rotation (period-3: a name last green in round k is due
+# k+3, resting TWO rounds). Registered queries: 123 = the 121 r14
+# names + the two r15 registrations domain_mixture_trajectory,
+# ccnet_curation (parked r14 with full oracles — the trajectory's a
+# GENERATED MATERIALIZED-CTE unroll — parity-pinned by
+# test_selection.py::test_domain_mixture_trajectory_oracle_parity /
+# tests/test_lm.py::test_ccnet_curation_oracle_parity,
+# pre-flighted green via `check_parity.py --candidates` at sf0.01,
+# 10x rows pre-measured r14 at 1.27-1.53x / 1.96x, combined sf0.1
+# price ≈6.7 s — the r14 verdict's #1 with every precondition
+# pre-met).
 #
-# r14 gate (50) = the 27 r11-green COHORT returns (due r14) + the 2
-# registrations + 21 keeps from the r13 gate: the 21 cheapest
-# r13-gate rows by the BENCH_LAST per-query record (rekey_transform
-# 0.16 s ... decontaminate 0.89 s, 8.97 s combined — the budget-
-# policy keep rule) with ONE deliberate swap: recall_winnow (0.75 s,
-# cheaper than the last two keeps) is NOT kept, so it rests due r16
-# and lands IN-COHORT with its rows-only twin winnow_overlap_pairs —
-# keeping it would have stranded that twin in r16 with both oracle
-# twins due r17 (precision_winnow greens this round), forcing an
-# early-keep there. Keeping the 21 re-greens their clocks to r17.
+# r15 gate (50) = the 32 r12-green COHORT returns (due r15) + the 2
+# registrations + 16 keeps from the r14 gate: the 16 cheapest
+# r14-gate rows by the BENCH_LAST per-query record (rekey_transform
+# 0.19 s ... multimodal_decode 0.58 s, 5.92 s combined at
+# driver-record prices — the budget-policy keep rule). Keeping the
+# 16 re-greens their clocks to r18 (the exhibition round, whose gate
+# they share with the 10 retirees — 26 due names, within cap).
 #
-# Twin audit in-gate: the one rows-only name in the returning
-# cohort, audio_fingerprint_dups, carries its oracle twin
-# recall_audio_fp INSIDE the same cohort; no other rows-only name is
-# gate-visible this round (machine-checked by test_rotation.py).
+# Twin audit in-gate: NO rows-only name is gate-visible this round —
+# the r12-rest cohort contains none and no keep is rows-only
+# (audio_fingerprint_dups rests due r17 WITH its green oracle twin
+# recall_audio_fp in that same r17 cohort). Machine-checked by
+# test_rotation.py as always.
 #
-# Rests 71 = the 10 EXHIBITION retirees (r12-green; every-4th-round
-# cadence from r18 — see the EXHIBITION block below) + the 32
-# remaining r12-gate names not kept in r13 (due r15,
-# unchanged below) + the 29 r13-gate names not kept here (due r16;
-# every one green hash-grade or twin-proved rows-only in
-# CORRECTNESS_r13). Audited forward: every rows-only r16-cohort name
-# has at least one oracle twin in the SAME r16 cohort
-# (minhash->recall_minhash, simhash->precision_simhash,
-# winnow->recall_winnow via the swap, phash->precision_image_phash,
-# video->both, audio_seg->recall_audio_seg, ann_lsh->recall_ann_lsh,
-# ann_ivf->recall_ann_ivf); the r15 cohort contains no rows-only
-# names at all. NO forced twin keeps in r15 or r16.
+# Rests 73 = the 10 EXHIBITION retirees (r12-green; every-4th-round
+# cadence from r18 — see the EXHIBITION block below) + the 29
+# r13-gate names not kept in r14 (due r16, unchanged below; every
+# one green hash-grade or twin-proved rows-only in CORRECTNESS_r13;
+# all 8 rows-only names rest there WITH an oracle twin in the same
+# cohort) + the 34 r14-gate names not kept here (due r17; every one
+# green hash-grade in CORRECTNESS_r14 except the by-design rows-only
+# audio_fingerprint_dups, twin-proved in-gate r14 and resting WITH
+# recall_audio_fp in this same r17 cohort).
 #
-# FORWARD SCHEDULE (registry 121 = 111 on period-3 + 10 exhibition):
-#   r15 gate = the 32 r12-green rests + up to 18 keeps/new (the r14
-#   parked queue registers there). No rows-only names in the cohort.
+# FORWARD SCHEDULE (registry 123 = 113 on period-3 + 10 exhibition):
 #   r16 gate = the 29 r13-green rests + up to 21 keeps/new. All 8
-#   rows-only names return here WITH their twins in-cohort (above).
-#   r17 gate = the r14-green 50 (minus any keeps taken earlier).
-#   r18 = the first EXHIBITION round: the 10 retirees join that gate
-#   and bench runs once with SPARK_GRAFT_EXHIBITION=1; next r22.
+#   rows-only names return here WITH their twins in-cohort
+#   (minhash->recall_minhash, simhash->precision_simhash,
+#   winnow->recall_winnow, phash->precision_image_phash,
+#   video->both, audio_seg->recall_audio_seg, ann_lsh->recall_ann_lsh,
+#   ann_ivf->recall_ann_ivf).
+#   r17 gate = the 34 r14-green rests (audio_fingerprint_dups with
+#   recall_audio_fp in-cohort) + up to 16 keeps/new.
+#   r18 = the first EXHIBITION round: the 10 retirees AND the 16
+#   r15-keeps are due; EXHIBITION_ROUND flips True in that round's
+#   gate-edit commit (bench reads it) and back False at its close;
+#   next exhibition round r22.
 #
 # CAPACITY POLICY (the r12 verdict's #6, decided BEFORE the wall;
 # option (a) EXECUTED r14 — see EXHIBITION below): period-3 at gate
-# 50 covers at most 150 rotating names; with 10 names retired to the
-# every-4th-round exhibition cadence the rotating population is 111
-# -> 39 free slots (the exhibition claims ~10 gate slots one round
-# in four), i.e. ~4-5 more rounds of growth at the r11-r14 cadence
-# (2-3 registrations/round). When a further
+# 50 covers at most 150 rotating names; the rotating population is
+# 113 -> 37 free slots, i.e. ~4 more rounds of growth at the
+# r11-r15 cadence (1-3 registrations/round). When a further
 # registration would push past 150, the registering round executes,
 # in order of preference: (a) RETIRE redundant sub-second relational
-# rows into a rotating EXHIBITION set — the relational superset holds
-# 15+ single-operator SQL rows each under ~0.4 s at sf0.1
-# (semi/anti/except/intersect/pivot/rollup and kin) whose operator
-# coverage the composed rows and the automatic omitted-parity pytest
-# already exercise; retiring 10 into an every-4th-round exhibition
-# slot frees 30 period-3 slots at zero oracle-coverage loss (the
-# parity pytest pins their oracles EVERY round regardless of gate
-# membership); then (b) widen the gate only if the driver's 50-row
+# rows into the rotating EXHIBITION set (the pre-committed tranche-2
+# below); then (b) widen the gate only if the driver's 50-row
 # recording cap rises (it is the driver's limit, not ours); else (c)
 # cap registration. The trigger round runs (a) in the SAME round as
 # its registration commit, with the arithmetic recorded here.
@@ -6486,40 +6482,47 @@ def q_ccnet_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bench.py's full-registry pass at sf0.1 / local[32] is 150 s against
 # the QUIET-HOST close (BASELINE.md records the arithmetic each
 # round; driver records under neighbor load are recorded alongside,
-# loadavg-bracketed — the r12 precedent: 156.1 s driver record under
-# loadavg 2.3->5.5 vs 139.4 s quiet close, no violation). Every
-# registration arrives with a PRE-MEASURED sf0.1 price in BASELINE.md
-# BEFORE the registration commit. If the projected close — last
-# recorded bench + sum of new-row prices − planned trims — exceeds
-# the ceiling: (a) trim proof overhead, (b) retire redundant
-# sub-second rows, (c) raise the ceiling explicitly with the
-# arithmetic, in that order.
+# loadavg-bracketed). Every registration arrives with a PRE-MEASURED
+# sf0.1 price in BASELINE.md BEFORE the registration commit. If the
+# projected close exceeds the ceiling: (a) trim proof overhead, (b)
+# retire redundant sub-second rows, (c) raise the ceiling explicitly
+# with the arithmetic, in that order.
 #
-# r14 BUDGET ARITHMETIC (executed): projection = 141.1 (the r13
-# quiet close, best-of-five on a noisy host spanning 141.1-175.2) +
-# 3.09 + 2.32 (the two registration prices, pre-measured r13,
-# BASELINE.md) ≈ 146.5 s < 150 — no trim/retire/raise forced at
-# registration time. AT CLOSE the first two bench windows read 159.9
-# and 159.4 s (loadavg spiking to 12; the two registrations inside
-# their envelope at 4.5 s combined) — per the r13 verdict's #3 the
-# round did NOT serial-re-run: it pulled the retire-to-exhibition
-# lever (capacity policy (a)), dropping the ten EXHIBITION rows
-# (≈3.97 s at the r13 close's prices) from every non-exhibition
-# bench; arithmetic in BASELINE.md. r15 PRE-STAGE: the
-# parked queue (see CANDIDATES in tools/check_parity.py — the
-# queue's single source of truth, asserted against this module at
-# tool runtime; this block never restates its contents) is priced in
-# BASELINE.md r14 addenda; r15 projection = the r14 close + that
-# queue price, recorded there at round close.
+# r15 BUDGET ARITHMETIC: projection = 141.5 (the r14 quiet close,
+# loadavg 0.4) + 2.7 + 4.0 (the two registration prices, pre-measured
+# r14, BASELINE.md addenda) ≈ 148.2 s < 150 — no trim/retire forced
+# at registration time, ~1.8 s headroom in a ±18 s same-tree noise
+# band.
 #
-# Previous rounds for the record: r13 registered 119 (116 + the lm/
-# kn/boilerplate trio); gate = 39 r10-cohort returns + 3
-# registrations + 8 keeps (4 mandatory rows-only twins + 4
-# cheapest); 69 rested; 42 hash + 8 twin-proved rows-only, 0 fail.
-# r12 registered 116; the first all-hash-grade gate. r11 activated
-# period-3 at registry 114. Full mappings: git history of this
-# block.
+# PRE-COMMITTED NEXT LEVER (the r14 verdict's #3 — decide BEFORE the
+# close, with arithmetic): if TWO quiet-window close runs read
+# >150 s (the r13/r14 precedent; never serial-re-run fishing), the
+# round retires the SECOND EXHIBITION TRANCHE in the same round:
+# { distinct_parts_per_supplier 1.09, late_shipment_priorities 1.09,
+#   regional_supplier_volume 1.00, top_parts_per_supplier 1.63 }
+# (BENCH_LAST driver-record prices; sum 4.81 s driver / ≈4.0 s
+# quiet) — all four are §2.6 relational-superset rows whose
+# operators the composed rows + the omitted-parity pytest keep
+# covered, all rest due r17 at r15 so the retirement touches no
+# live gate, and it frees 12 period-3 slots. Escalation if still
+# over: + pricing_summary (0.67 driver; gate-visible at r15, so the
+# gate shrinks to 49 — acceptable, its oracle stays pinned). NOT
+# eligible: anti_join_customers (the set-op exemplar deliberately
+# left rotating), skew_salted_agg/join (skew-discipline exemplars,
+# not redundant). Beyond that: trim the keep list (keeps are
+# discretionary by construction).
 #
+# Previous rounds for the record: r14 registered 121 (119 + ccnet_
+# perplexity / domain_mixture_weights); gate = 27 r11-cohort returns
+# + 2 registrations + 21 keeps with the ONE deliberate recall_winnow
+# swap (rested so it returns r16 in-cohort with rows-only twin
+# winnow_overlap_pairs); 49 hash + 1 twin-proved rows-only, 0 fail;
+# the retire-to-exhibition lever EXECUTED after two >150 s close
+# windows (arithmetic in BASELINE.md). r13 registered 119; gate =
+# 39 r10-cohort returns + 3 registrations + 8 keeps; 42 hash + 8
+# twin-proved rows-only, 0 fail. r12 registered 116; the first
+# all-hash-grade gate. r11 activated period-3 at registry 114. Full
+# mappings: git history of this block.
 # CANDIDATE PRE-FLIGHT: `python tools/check_parity.py --candidates
 # <sf_dir>` runs every parked q_*/`*_ORACLE` pair through the
 # driver-grade comparison — run it before registering one. The
@@ -6592,42 +6595,6 @@ EXHIBITION = frozenset(
 
 DRIVER_OMIT = EXHIBITION | frozenset(
     {
-        # -- r12-gate names not kept in r13, minus the 10 retired to
-        # -- EXHIBITION above (32): due r15; every one green
-        # -- hash-grade in CORRECTNESS_r12. No rows-only names
-        # -- in this cohort.
-        "asof_enrich",
-        "bm25_topk",
-        "changelog_filter",
-        "chunk_documents",
-        "corpus_profile",
-        "decontaminate_semantic",
-        "doc_length_histogram",
-        "domain_relevance",
-        "dsir_calibration",
-        "embedding_topk",
-        "exact_dup_groups",
-        "gopher_quality_filter",
-        "group_by_fn_agg",
-        "hopping_window_count",
-        "kl_profile",
-        "latest_per_key",
-        "merge_streams",
-        "nary_join_fold",
-        "near_dup_keep_best",
-        "precision_audio_seg",
-        "pricing_summary",
-        "quality_score",
-        "running_sum_changelog",
-        "selection_auc",
-        "session_windows",
-        "skew_salted_agg",
-        "skew_salted_join",
-        "stratified_sample",
-        "token_budget_cap",
-        "top_bigrams",
-        "training_data_prep",
-        "with_dedupe_first",
         # -- r13-gate names not kept in r14 (29): due r16; every one
         # -- green in CORRECTNESS_r13 (hash-grade, or rows-only with
         # -- its oracle twin green in the same r13 gate). All 8
@@ -6662,6 +6629,44 @@ DRIVER_OMIT = EXHIBITION | frozenset(
         "video_fingerprint_dups",
         "windowed_outer_join",
         "winnow_overlap_pairs",
+        # -- r14-gate names not kept in r15 (34): due r17; every one
+        # -- green hash-grade in CORRECTNESS_r14 except the by-design
+        # -- rows-only audio_fingerprint_dups, which rests WITH its
+        # -- green oracle twin recall_audio_fp in this same cohort.
+        "audio_fingerprint_dups",
+        "bpe_consistency_bands",
+        "broadcast_enrich",
+        "ccnet_perplexity",
+        "cms_heavy_hitters",
+        "decontaminate",
+        "decontaminate_fuzzy",
+        "distinct_parts_per_supplier",
+        "domain_mixture_weights",
+        "dup_line_filter",
+        "dup_ngram_spans",
+        "epoch_shuffle_bands",
+        "hybrid_rrf_topk",
+        "ivfpq_recall_bands",
+        "late_shipment_priorities",
+        "line_dedup",
+        "normalize_docs",
+        "packed_sequences_loaded",
+        "perplexity_bands",
+        "pq_recall_bands",
+        "precision_ann_lsh",
+        "precision_winnow",
+        "quality_classifier_bands",
+        "recall_audio_fp",
+        "recall_image_phash",
+        "recall_simhash",
+        "regional_supplier_volume",
+        "regrouped_retraction",
+        "repetition_ngram_filter",
+        "sketch_profile_bands",
+        "suppressed_window_final",
+        "table_table_asof",
+        "top_parts_per_supplier",
+        "windowed_left_join",
     }
 )
 

@@ -135,10 +135,20 @@ def _whole_group(pdf_iter, sort_cols):
     spark.sql.execution.arrow.maxRecordsPerBatch (default 10k) spans
     several chunks, and a stateful fold/join would then apply a later
     record before an earlier one across the boundary (r14 review).
-    Concatenate the group's chunks and sort ONCE, stably; a group's
-    single-batch volume is already the operator's documented memory
-    envelope (its fold state lives under the same bound). Returns
-    None for an empty delivery (timeout invocations)."""
+    Concatenate the group's chunks and sort ONCE, stably.
+
+    MEMORY BOUND (r15 ADVICE): this buffers the group's ENTIRE
+    micro-batch volume in one worker — for operators whose state is
+    already O(group) (stream-stream joins, session buffers) that
+    changes nothing, but for an O(1)-accumulator fold on a hot key
+    the per-group peak rises from O(arrow chunk) to O(group rows per
+    micro-batch). That is the price of cross-chunk ordering
+    correctness; at 100 TB the real control is micro-batch sizing
+    (maxOffsetsPerTrigger / file batching), which bounds the hot
+    key's per-trigger row count regardless. A chunk-at-a-time
+    heapq.merge would keep O(chunk) peaks but every consumer folds or
+    joins over the whole ordered group anyway. Returns None for an
+    empty delivery (timeout invocations)."""
     import pandas as pd
 
     chunks = list(pdf_iter)
@@ -245,7 +255,15 @@ def _try_duration_ms(s: str) -> int | None:
             return None
         total += float(m.group(1)) * _DURATION_UNITS[unit]
         pos, found = m.end(), True
-    return int(total) if found else None
+    if not found:
+        return None
+    # '0.5 ms' must not silently parse to a ZERO delay where the
+    # caller asked for a small positive one: round to the nearest
+    # ms, and surface a positive-but-sub-ms total as unparseable so
+    # the compile-time loud guard fires instead (r15 ADVICE).
+    if 0 < total < 1:
+        return None
+    return int(round(total))
 
 
 def _duration_ms(s: str, default: int) -> int:
@@ -1507,8 +1525,17 @@ class StreamingTopologyRunner:
             state.update((acc,))
             # the branch watermark runs in the +1ms-shifted domain, so
             # the true window end e closes when the shifted watermark
-            # passes e + 1
-            state.setTimeoutTimestamp(win_end + 1)
+            # passes e + 1. Clamp to the current watermark like the
+            # nil-dedup settle path: Spark's stateful late-row filter
+            # SHOULD drop every row whose shifted event time is below
+            # the watermark before we see it, but if that boundary
+            # ever admits one, an unclamped timeout at-or-below the
+            # watermark crashes the query on legitimate data (r15
+            # ADVICE — the crash class the r14 batch-5 review fixed
+            # on the settle path).
+            state.setTimeoutTimestamp(
+                max(win_end + 1, state.getCurrentWatermarkMs() + 1)
+            )
 
         src = df.select(F.col("__gkey"), F.col(VALUE), F.col(TIMESTAMP))
         if windowed:
