@@ -240,3 +240,92 @@ def test_roc_auc_empty_input_zero_counts(spark):
     empty = spark.createDataFrame([], "id long, p double, y int")
     r = C.roc_auc(empty, score_col="p").collect()[0]
     assert r["n_docs"] == 0 and r["n_pos"] == 0 and r["auc"] is None
+
+
+def test_doc_feature_vectors_carry_cols_ride_through_scoring(spark):
+    """carry_cols= (r15, the make_bigram_scorer convention): extra
+    per-doc columns ride the label side of the existing base⋈features
+    join and score_logreg passes them through, so an admission query
+    never re-joins the doc-cardinality corpus to recover its output
+    columns. Gram-less docs keep their carried values too (the
+    bias-only left-join path)."""
+    rows = [
+        (0, 1, "en", "good wiki prose"),
+        (1, 0, "de", "spam spam buy"),
+        (2, 1, "fr", ""),  # gram-less: bias-only vector
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, label int, lang string, text string"
+    )
+    fv = C.doc_feature_vectors(
+        docs, num_buckets=K, ns=(1,), label_col="label", binary=True,
+        carry_cols=("lang",),
+    )
+    got = {r["id"]: (r["lang"], r["y"]) for r in fv.collect()}
+    assert got == {0: ("en", 1.0), 1: ("de", 0.0), 2: ("fr", 1.0)}
+    w = C.train_logreg(fv, num_buckets=K, epochs=2, lr=0.5)
+    scored = C.score_logreg(fv, w, out_col="p")
+    assert set(scored.columns) == {"id", "y", "lang", "p"}
+    assert {r["id"]: r["lang"] for r in scored.collect()} == {
+        0: "en", 1: "de", 2: "fr"
+    }
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001"])
+def test_classifier_curation_oracle_parity(spark, sf_dir):
+    """The r16 registration candidate (parked r15 under the
+    parked-with-oracle discipline), parity-pinned NOW:
+    queries.q_classifier_curation — the learned-quality-filter
+    admission composition (Gopher screen → exact raw-text min-id
+    dedup → train on the labeled seed third → score the crawl
+    complement under frozen weights → admit p ≥ 0.5) — vs its full
+    DuckDB oracle, hash-grade ((doc_id, lang, n_chars) exact via the
+    planted-set separation contract), plus the composition
+    invariants: a non-trivial admission, no seed doc admitted, every
+    admitted doc a planted positive, and no two admitted docs sharing
+    a raw-text fingerprint."""
+    import duckdb
+
+    from willa_spark.functions.text import fingerprint
+    from willa_spark.queries import (
+        CLASSIFIER_CURATION_ORACLE,
+        q_classifier_curation,
+    )
+    from willa_spark.sources import read_table
+
+    out = q_classifier_curation(spark, sf_dir)
+    got = sorted(
+        (r["doc_id"], r["lang"], r["n_chars"]) for r in out.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(CLASSIFIER_CURATION_ORACLE).fetchall()
+    )
+    assert len(got) == len(want) > 0
+    assert got == want
+    # admission-shape contracts: only crawl-complement planted
+    # positives are admitted (the separation contract the in-plan
+    # (0.3, 0.7) guard enforces), and the dedup stage held
+    assert all(i % 3 != 0 and i % 7 == 0 for i, _, _ in got)
+    docs = read_table(spark, sf_dir, "documents")
+    admitted_ids = [r[0] for r in got]
+    dup_fps = (
+        docs.filter(F.col("doc_id").isin(admitted_ids))
+        .select(fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup_fps == 0
+    # n_chars is measured on the ORIGINAL text (pre-marker): spot-pin
+    # one admitted doc against the raw corpus
+    i0 = admitted_ids[0]
+    raw_len = docs.filter(F.col("doc_id") == i0).select(
+        F.length("text").cast("bigint").alias("n")
+    ).collect()[0]["n"]
+    assert got[0][2] == raw_len

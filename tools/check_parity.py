@@ -92,8 +92,17 @@ def norm_rows(cols, types, rows):
 CANDIDATES: list[tuple[str, str, str]] = [
     # (the r14 queue — domain_mixture_trajectory / ccnet_curation —
     # REGISTERED r15 and pre-flighted through the main gate now)
-    # the r16 queue is parked later in r15 per the one-candidate /
-    # ≤2 s discipline (r14 verdict #5).
+    # the r16 queue (parked r15, the one-candidate / ≤2 s discipline,
+    # r14 verdict #5): the learned-quality-filter admission — the
+    # GPT-3-style classifier twin of ccnet_curation (gopher → exact
+    # dedup → train on the labeled seed third → score the crawl
+    # complement → admit p ≥ 0.5, planted-set oracle + in-plan
+    # ambiguity guard)
+    (
+        "classifier_curation",
+        "q_classifier_curation",
+        "CLASSIFIER_CURATION_ORACLE",
+    ),
 ]
 
 

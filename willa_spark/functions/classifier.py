@@ -67,6 +67,7 @@ def doc_feature_vectors(
     id_col: str = "doc_id",
     text_col: str = "text",
     binary: bool = False,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id[, y], feats array<struct<bucket:int, x:double>>) — each
     document's hashed-gram features plus the synthetic bias entry
@@ -81,7 +82,14 @@ def doc_feature_vectors(
     + one per-doc list agg; pin the result (localCheckpoint) before a
     multi-epoch training loop. A gram-less document carries only the
     bias entry. NULL labels raise in-plan — a silently-dropped or
-    silently-0 label would bias the fit."""
+    silently-0 label would bias the fit.
+
+    ``carry_cols`` rides extra per-doc columns (e.g. lang) through on
+    the label side of the existing base⋈features join — zero new
+    shuffles, and score_logreg passes non-feats columns through, so a
+    downstream admission never re-joins the doc-cardinality corpus to
+    recover them (the make_bigram_scorer carry_cols= convention,
+    lm.py)."""
     feats = _gram_features(docs, num_buckets, ns, id_col, text_col)
     per_doc = (
         feats.groupBy("id")
@@ -117,9 +125,11 @@ def doc_feature_vectors(
             ).alias("feats"),
         )
     )
-    base = docs.select(F.col(id_col).alias("id"), *(
-        [F.col(label_col).alias("__y0")] if label_col else []
-    ))
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        *([F.col(label_col).alias("__y0")] if label_col else []),
+        *[F.col(c) for c in carry_cols],
+    )
     # LEFT join from the label side: gram-less docs have no feats row
     # — they still get the bias-only vector here, never vanish
     out = base.join(per_doc, "id", "left").select(
@@ -145,6 +155,7 @@ def doc_feature_vectors(
             if label_col
             else []
         ),
+        *[F.col(c) for c in carry_cols],
         F.coalesce(
             F.col("feats"),
             F.array(

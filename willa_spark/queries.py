@@ -6404,6 +6404,184 @@ def q_ccnet_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("ppl") <= CCNET_PPL_CUT)
 
 
+# --------------------------------------------------------------------
+# r16 REGISTRATION CANDIDATE (parked r15 — the r14 verdict's #5: at
+# most ONE candidate, priced ≤2 s): the LEARNED-FILTER admission
+# composition — the GPT-3-style trained-quality-classifier twin of
+# ccnet_curation's LM-perplexity admission, and the gap that verdict
+# named worthiest. Production shape: gopher screen → exact min-id
+# dedup on the raw-text fingerprint → train the logistic-regression
+# quality filter on the LABELED SEED third of the survivors → score
+# the CRAWL complement under the frozen weights → admit
+# quality_prob ≥ 0.5. Every stage is an audited standalone
+# expression (gopher_quality_filter / training_data_prep's dedup /
+# quality_classifier_bands' feature-build + preconditioned-train +
+# map-only score); doc_feature_vectors' carry_cols= (the
+# make_bigram_scorer convention) rides (lang, n_chars) through the
+# feature build, so the admission NEVER re-joins the doc-cardinality
+# corpus to recover output columns.
+#
+# Oracle strategy: the trainer is iterative (not SQL-expressible),
+# but the planted-marker convention (quality_classifier_bands) makes
+# the FIT exact — every 7th survivor carries three marker tokens, the
+# support-preconditioned fit separates the classes completely at
+# every test SF, and an IN-PLAN guard raises loud on any crawl score
+# inside the (0.3, 0.7) ambiguity band — so the admitted set is
+# EXACTLY the planted positives of the crawl complement, which IS
+# SQL-expressible, and the row is hash-grade end to end. A training
+# or scoring drift that moves any score toward the boundary turns the
+# row loud-red (the guard) or hash-red (membership) — never silently
+# green.
+#
+# Plan/scale shape: one corpus scan through the screen, ONE
+# fingerprint exchange (the min-id window), ONE (doc, feature)
+# exchange into the pinned feature frame; each epoch is one map-side
+# error pass over the SEED THIRD against broadcast literal weights +
+# one ≤1025-key partial agg + one bounded collect; scoring is
+# map-only; the output is a projection. No new shuffle shapes.
+CLASSIFIER_CURATION_ORACLE = rf"""
+WITH g AS (
+  SELECT doc_id, lang, text, {_TOKS_SQL} AS toks FROM documents
+), kept AS (
+  SELECT doc_id, lang, text FROM g
+  WHERE len(toks) BETWEEN 30 AND 100000
+    AND round(coalesce(list_sum(list_transform(toks, s -> length(s))), 0)
+              * 1.0 / greatest(len(toks), 1), 4) BETWEEN 3.0 AND 10.0
+    AND round(len(list_filter(toks, s -> regexp_matches(s, '[a-z]')))
+              * 1.0 / greatest(len(toks), 1), 4) >= 0.80
+    AND round((length(text) - length(replace(text, '#', ''))
+               + len(regexp_extract_all(text, '\.\.\.')))
+              * 1.0 / greatest(len(toks), 1), 4) <= 0.10
+    AND len(list_filter(list_distinct(toks),
+                        s -> s IN ({_GOPHER_SW_SQL}))) >= 2
+), ded AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+      ORDER BY doc_id) AS rn
+    FROM kept) WHERE rn = 1
+)
+SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
+FROM ded WHERE doc_id % 3 <> 0 AND doc_id % 7 = 0
+"""
+
+
+def q_classifier_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, n_chars) of the ADMITTED crawl — the learned
+    quality-filter curation chain, hash-grade end to end: Gopher
+    screen, exact min-id dedup over the raw-text fingerprint, train
+    the hashed-unigram logistic filter on the seed third of the
+    survivors (``doc_id % 3 == 0``, labels planted per the
+    quality_classifier_bands marker convention), score the crawl
+    complement under the frozen weights map-only, admit at
+    ``quality_prob >= 0.5``. An in-plan guard raises loud on any
+    crawl score in (0.3, 0.7) — the separation contract that makes
+    the admitted set the oracle's SQL-expressible planted-positive
+    set. n_chars is measured on the ORIGINAL text (pre-marker), so
+    the oracle recomputes it directly."""
+    import math as _math
+
+    from pyspark.sql import Window as W
+
+    from .functions import classifier as CLS
+    from .functions import corpus as C
+
+    docs = read_docs_spread(spark, sf_dir).select("doc_id", "lang", "text")
+    kept = (
+        docs.select(
+            "doc_id", "lang", "text",
+            C.gopher_metrics(F.col("text")).alias("__m"),
+        )
+        .filter(F.col("__m.kept"))
+        .select("doc_id", "lang", "text")
+    )
+    w = W.partitionBy(TXT.fingerprint(F.col("text"))).orderBy("doc_id")
+    ded = (
+        kept.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "lang", "text")
+    )
+    labeled = ded.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("bigint").alias("n_chars"),
+        (F.col("doc_id") % 7 == 0).cast("int").alias("label"),
+        # SIX planted markers (the bands row plants three): the tuned
+        # separation contract — measured held-out margins at all
+        # three SFs under the 256-bucket / 4-epoch config below: min
+        # positive score ≥ 0.82, max negative ≤ 0.13 (three markers
+        # left sf0.001's thinnest held-out positive at 0.69, inside
+        # the guard band)
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(
+                    "qmarkeralpha qmarkerbeta qmarkergamma "
+                    "qmarkerdelta qmarkerepsilon qmarkerzeta "
+                ),
+                F.col("text"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    # pin the screened+deduped frame: doc_feature_vectors consumes
+    # its input TWICE (the label/carry base side and the gram-explode
+    # side of its internal join), and an unpinned input re-derives
+    # the whole screen+dedup chain on both arms — cost-neutral at
+    # proof scale, a full second corpus scan at 100 TB (the
+    # multi-consumer pin rule)
+    labeled = labeled.localCheckpoint(eager=True)
+    # num_buckets=256 / epochs=4 (the bands row trains 1024/6): the
+    # tuned proof price — the per-epoch cost here is plan-compile of
+    # the weight-literal array, so 256 buckets roughly halves the
+    # train stage; measured held-out margins stay comfortable at all
+    # three SFs (min positive 0.82, max negative 0.12)
+    fv = CLS.doc_feature_vectors(
+        labeled,
+        num_buckets=256,
+        ns=(1,),
+        label_col="label",
+        binary=True,
+        carry_cols=("lang", "n_chars"),
+    ).localCheckpoint(eager=True)
+    wts = CLS.train_logreg(
+        fv.filter(F.col("id") % 3 == 0), num_buckets=256, epochs=4, lr=0.5
+    )
+    if not all(_math.isfinite(x) for x in wts):
+        raise ValueError(
+            "classifier_curation: non-finite trained weight — the fit "
+            "diverged"
+        )
+    scored = CLS.score_logreg(
+        fv.filter(F.col("id") % 3 != 0), wts, out_col="__p"
+    )
+    guarded = scored.select(
+        "id",
+        "lang",
+        "n_chars",
+        F.when(
+            (F.col("__p") > 0.3) & (F.col("__p") < 0.7),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "classifier_curation: crawl score inside the "
+                        "(0.3, 0.7) ambiguity band — the separation "
+                        "contract behind the oracle's planted-set "
+                        "admission no longer holds; id="
+                    ),
+                    F.col("id").cast("string"),
+                )
+            ).cast("double"),
+        )
+        .otherwise(F.col("__p"))
+        .alias("__p"),
+    )
+    return guarded.filter(F.col("__p") >= 0.5).select(
+        F.col("id").alias("doc_id"), "lang", "n_chars"
+    )
+
+
 # Queries OMITTED from the driver-visible correctness set: the driver
 # records oracle rows for at most 50 queries (in registration order),
 # so every DISTINCT operator proof must land inside that window.
