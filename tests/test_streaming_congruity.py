@@ -715,3 +715,38 @@ def test_duration_parser_accepts_spark_forms_and_tz_resolver(spark):
         assert _resolve_session_tz(spark) == "UTC"
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_streaming_join_with_sourceless_leg_fails_loud(spark):
+    """A join leg that compiled to NO stream must fail at build, not
+    be silently dropped (which untuples values and swaps left/right
+    roles — r15 review). The batch engine handles this topology with
+    reference nil-leg semantics; streaming names that remedy."""
+    from willa_spark.streaming import StreamingTopologyRunner
+
+    topo = {
+        "entities": {
+            "in-a": topic(),
+            "in-b": topic(),
+            "sa": {"type": "kstream"},
+            "sb": {"type": "kstream"},
+            "joined": {"type": "kstream"},
+            "out": topic(),
+        },
+        "workflow": [
+            ("in-a", "sa"),
+            ("in-b", "sb"),
+            ("sa", "joined"),
+            ("sb", "joined"),
+            ("joined", "out"),
+        ],
+        "joins": {
+            ("sa", "sb"): {"type": "left", "window": (0, 100), "watermark": "1 second"}
+        },
+    }
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(F.lit("k").alias("key"), F.col("value"), F.col("timestamp"))
+    )
+    with pytest.raises(NotImplementedError, match="produced no stream"):
+        StreamingTopologyRunner(spark, topo).build({"in-a": src})

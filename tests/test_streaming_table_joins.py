@@ -274,14 +274,18 @@ def test_table_table_asof_late_data_divergence_pinned(spark, tmp_path):
 
 
 def test_unsupported_streaming_join_types_fail_loud(spark, tmp_path):
-    """Join types the batch engine accepts but streaming does not
-    compile (semi/anti stream-stream, outer stream-table) name the
-    restriction and the alternative instead of a bare KeyError
-    (r14 review)."""
+    """Join types no engine supports are rejected by validate() at
+    COMPILE time (r15 review: outer stream⋈table previously fell
+    through to a streaming NotImplementedError, and crashed the batch
+    engine in a bare KeyError); types the batch engine runs but
+    streaming does not compile (semi/anti stream-stream) still name
+    the restriction and the alternative in streaming (r14 review)."""
     import pytest
 
+    from willa_spark import TopologyError
+
     inputs = {"in-s": [("k", 1, 100)], "in-t": [("k", 2, 50)]}
-    with pytest.raises(NotImplementedError, match="stream-table join type 'outer'"):
+    with pytest.raises(TopologyError, match="unsupported for the kstream⋈ktable"):
         run_streaming_topology(
             spark, stream_table_topo("outer"), inputs, str(tmp_path / "a")
         )

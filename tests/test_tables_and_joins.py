@@ -380,3 +380,256 @@ def test_f18_dedupe_workflow(spark):
     )
     # set sizes over time: 1, 1, 2, 2 → distinct passes = 2 (ids 1 and 2)
     assert collect_records(out["output"]) == [("k", 1), ("k", 1), ("k", 2), ("k", 2)]
+
+
+# -- r15 review regressions: join-type surface, nil legs, dedup rule --
+
+
+def _stream_join_topology(join_type, window=(0, 100)):
+    return {
+        "entities": {
+            "in-a": topic(),
+            "in-b": topic(),
+            "sa": {"type": "kstream"},
+            "sb": {"type": "kstream"},
+            "joined": {"type": "kstream"},
+            "output": topic(),
+        },
+        "workflow": [
+            ("in-a", "sa"),
+            ("in-b", "sb"),
+            ("sa", "joined"),
+            ("sb", "joined"),
+            ("joined", "output"),
+        ],
+        "joins": {("sa", "sb"): {"type": join_type, "window": window}},
+    }
+
+
+def test_stream_semi_and_anti_join(spark):
+    """The Spark-extra left_semi/left_anti (model.JOIN_TYPES) on the
+    windowed stream shape: previously they passed validate then died
+    in a bare KeyError in the batch compiler (r15 review). Semantics:
+    left record passes through UN-TUPLED iff a banded match exists
+    (semi) / does not (anti)."""
+    inputs = {
+        "in-a": [("k", 1, 100), ("k", 2, 500), ("j", 9, 100)],
+        "in-b": [("k", 7, 150)],
+    }
+    out = run_topology(spark, _stream_join_topology("left_semi"), inputs)
+    assert recs(out["output"]) == Counter([("k", 1)])
+    out = run_topology(spark, _stream_join_topology("left_anti"), inputs)
+    assert recs(out["output"]) == Counter([("k", 2), ("j", 9)])
+
+
+def test_stream_table_semi_and_anti_join(spark):
+    """left_semi/left_anti on the as-of stream⋈table shape: stream
+    record passes iff the table holds (semi) / lacks (anti) a state as
+    of the record's timestamp."""
+    topo = {
+        "entities": {
+            "in-s": topic(),
+            "in-t": topic(),
+            "s": {"type": "kstream"},
+            "t": {"type": "ktable"},
+            "joined": {"type": "kstream"},
+            "output": topic(),
+        },
+        "workflow": [
+            ("in-s", "s"),
+            ("in-t", "t"),
+            ("s", "joined"),
+            ("t", "joined"),
+            ("joined", "output"),
+        ],
+        "joins": {("s", "t"): {"type": "left_semi"}},
+    }
+    inputs = {
+        "in-s": [("k", 1, 50), ("k", 2, 300), ("j", 3, 300)],
+        "in-t": [("k", 9, 100)],
+    }
+    out = run_topology(spark, topo, inputs)
+    # (k,1,50): table state arrives at 100 > 50 -> no state yet
+    assert recs(out["output"]) == Counter([("k", 2)])
+    topo["joins"][("s", "t")] = {"type": "left_anti"}
+    out = run_topology(spark, topo, inputs)
+    assert recs(out["output"]) == Counter([("k", 1), ("j", 3)])
+
+
+def test_inner_stream_join_applies_nil_dedup_rule(spark):
+    """The oracle's (timestamp, key) dedup pass is UNCONDITIONAL in
+    the reference (`true (group-by ...)`, experiment.clj:30-34) — it
+    applies to inner joins too, dropping NULL-containing tuples from
+    >1-record groups when source values are legitimately NULL. The
+    batch engine previously returned early for inner joins and
+    skipped it (r15 review)."""
+    inputs = {
+        "in-a": [("k", None, 100), ("k", 3, 100)],
+        "in-b": [("k", 5, 100)],
+    }
+    out = run_topology(spark, _stream_join_topology("inner", (0, 0)), inputs)
+    # both [None,5] and [3,5] land at (100, k); the nil tuple is culled
+    assert recs(out["output"]) == Counter([("k", (3, 5))])
+
+
+def test_left_join_with_outputless_leg_emits_nil_tuples(spark):
+    """A join leg with NO output (no seed/source) is the reference's
+    nil ::output — its joins still run, emitting [v, nil] tuples
+    (experiment.clj join-kstream-results with nil right-results). The
+    batch engine previously DROPPED the leg, passing left values
+    through un-tupled (r15 review)."""
+    out = run_topology(
+        spark,
+        _stream_join_topology("left"),
+        inputs={"in-a": [("k", 1, 100)]},
+    )
+    assert recs(out["output"]) == Counter([("k", (1, None))])
+    # and the reversed role: the LEFT leg missing on a left join
+    # yields nothing (reference: no left results -> no unjoined-left,
+    # no matches), never the right leg raw
+    out = run_topology(
+        spark,
+        _stream_join_topology("left"),
+        inputs={"in-b": [("k", 1, 100)]},
+    )
+    assert recs(out["output"]) == Counter()
+
+
+def test_global_table_semi_and_anti_join(spark):
+    """left_semi/left_anti against a global table: broadcast lookup
+    hit/miss filter, record un-tupled (previously a bare assert
+    death; r15 review)."""
+    topo = {
+        "entities": {
+            "input": topic(),
+            "table-input": topic(),
+            "stream": {"type": "kstream"},
+            "g": {"type": "global_ktable"},
+            "output": topic(),
+        },
+        "workflow": [
+            ("input", "stream"),
+            ("table-input", "g"),
+            ("stream", "output"),
+            ("g", "output"),
+        ],
+        "joins": {("stream", "g"): {"type": "left_semi"}},
+    }
+    inputs = {
+        "input": [("k", 1, 100), ("j", 2, 100)],
+        "table-input": [("k", 9, 0)],
+    }
+    out = run_topology(spark, topo, inputs)
+    assert recs(out["output"]) == Counter([("k", 1)])
+    topo["joins"][("stream", "g")] = {"type": "left_anti"}
+    out = run_topology(spark, topo, inputs)
+    assert recs(out["output"]) == Counter([("j", 2)])
+
+
+def test_validate_rejects_incompatible_join_shapes():
+    """Compile-time join-type ⋈ shape compatibility (r15 review):
+    types that previously passed validate then crashed the engines
+    now fail loud at validate()."""
+    import pytest
+
+    from willa_spark import TopologyError
+    from willa_spark.validate import validate
+
+    def stream_table_topo(jt):
+        return {
+            "entities": {
+                "in-s": topic(),
+                "in-t": topic(),
+                "s": {"type": "kstream"},
+                "t": {"type": "ktable"},
+                "joined": {"type": "kstream"},
+                "out": topic(),
+            },
+            "workflow": [
+                ("in-s", "s"),
+                ("in-t", "t"),
+                ("s", "joined"),
+                ("t", "joined"),
+                ("joined", "out"),
+            ],
+            "joins": {("s", "t"): {"type": jt}},
+        }
+
+    # outer stream⋈table: no reference method, no implementation
+    with pytest.raises(TopologyError, match="unsupported for the kstream⋈ktable"):
+        validate(stream_table_topo("outer"))
+    # supported types still validate
+    for jt in ("inner", "left", "left_semi", "left_anti"):
+        validate(stream_table_topo(jt))
+    # a global table can never DRIVE a join (first leg)
+    g_first = stream_table_topo("inner")
+    g_first["entities"]["s"] = {"type": "global_ktable"}
+    with pytest.raises(TopologyError, match="unsupported for the global_ktable"):
+        validate(g_first)
+
+
+def test_validate_rejects_group_by_without_aggregate():
+    """The reference's dependent-keys rule (specs.clj:74-86): ANY
+    aggregation key requires the aggregate. group_by/retract alone
+    were previously accepted then silently IGNORED by the batch
+    engine — records kept their original keys (r15 review)."""
+    import pytest
+
+    from willa_spark import TopologyError
+    from willa_spark.validate import validate
+
+    topo = {
+        "entities": {
+            "in": topic(),
+            "t": {"type": "ktable", "group_by": lambda k, v: v},
+            "out": topic(),
+        },
+        "workflow": [("in", "t"), ("t", "out")],
+    }
+    with pytest.raises(TopologyError, match="require an 'aggregate'"):
+        validate(topo)
+    topo["entities"]["t"] = {"type": "ktable", "retract": True}
+    with pytest.raises(TopologyError, match="require an 'aggregate'"):
+        validate(topo)
+
+
+def test_runner_tracks_and_releases_persisted_fanout(spark):
+    """run() persists fan-out nodes; the runner must expose a release
+    path or a REPL loop leaks cached partitions for the session's
+    lifetime (r15 review)."""
+    from willa_spark.batch import TopologyRunner
+
+    topo = {
+        "entities": {
+            "in": topic(),
+            "s": {"type": "kstream"},
+            "o1": topic(),
+            "o2": topic(),
+        },
+        "workflow": [("in", "s"), ("s", "o1"), ("s", "o2")],
+    }
+    runner = TopologyRunner(spark, topo)
+    out = runner.run({"in": [("k", 1, 100)]})
+    assert recs(out["o1"]) == Counter([("k", 1)])
+    assert len(runner._persisted) == 1
+    assert runner._persisted[0].storageLevel.useMemory
+    runner.unpersist()
+    assert runner._persisted == []
+
+
+def test_normalize_records_seq_is_seeded_hash(spark):
+    """The entity seq offset is a HASH INPUT, not an addend: an addend
+    overflows bigint under ANSI mode for hashes near Long.MAX and
+    cannot make uniform full-range hashes disjoint anyway (r15
+    review). Distinct offsets must yield distinct deterministic
+    ordinal spaces."""
+    from willa_spark.batch import normalize_records
+
+    df = spark.createDataFrame(
+        [("k", 1, 100)], "key string, value bigint, timestamp bigint"
+    )
+    s0 = normalize_records(df, 0).collect()[0]["__seq"]
+    s0b = normalize_records(df, 0).collect()[0]["__seq"]
+    s1 = normalize_records(df, 1 << 33).collect()[0]["__seq"]
+    assert s0 == s0b  # deterministic
+    assert s0 != s1  # entity-distinct

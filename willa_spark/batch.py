@@ -86,10 +86,21 @@ def normalize_records(df: DataFrame, seq_offset: int = 0) -> DataFrame:
     else:
         df = df.withColumn(TIMESTAMP, F.col(TIMESTAMP).cast("bigint"))
     if SEQ not in df.columns:
+        # the entity offset is a HASH INPUT, not an addend: under
+        # Spark 4's default ANSI mode `xxhash64(...) + offset` throws
+        # on the (rare, but expected-at-100-TB) records whose
+        # full-range hash lands within offset of Long.MAX, and an
+        # addend could never keep uniform full-range hashes disjoint
+        # per entity anyway — seeding the hash gives each entity an
+        # independent deterministic ordinal space instead (r15 review)
         df = df.withColumn(
             SEQ,
-            F.xxhash64(F.col(KEY).cast("string"), F.col(VALUE).cast("string"), F.col(TIMESTAMP))
-            + F.lit(seq_offset),
+            F.xxhash64(
+                F.lit(seq_offset),
+                F.col(KEY).cast("string"),
+                F.col(VALUE).cast("string"),
+                F.col(TIMESTAMP),
+            ),
         )
     return df.select(KEY, VALUE, TIMESTAMP, SEQ)
 
@@ -107,6 +118,20 @@ class TopologyRunner:
         self.topology = topology
         self.order = validate(topology)
         self.entities = topology["entities"]
+        self._persisted: list[DataFrame] = []
+
+    def unpersist(self, blocking: bool = False) -> None:
+        """Release the fan-out caches from previous ``run()`` calls.
+        ``run()`` persists every multi-consumer node and those cached
+        partitions otherwise live until the SparkSession dies — a
+        REPL loop calling ``run()`` repeatedly would grow executor
+        storage unboundedly (r15 review). Call this when the returned
+        DataFrames are no longer needed; ``run()`` itself never
+        auto-releases, because the caller's previous results remain
+        live views over the caches."""
+        for df in self._persisted:
+            df.unpersist(blocking)
+        self._persisted.clear()
 
     # -- seeding ---------------------------------------------------------
     def _seed(self, eid: str, ent: dict, inputs: dict, seq_offset: int) -> DataFrame | None:
@@ -132,30 +157,53 @@ class TopologyRunner:
         t = self.entities[eid]["type"]
         return model.KSTREAM if t == model.TOPIC else t  # experiment.clj:134-138
 
-    def _combine_parents(self, node: str, outputs: dict) -> tuple[DataFrame | None, int]:
+    def _empty_records(self, eid: str) -> DataFrame:
+        """Typed empty record frame for an output-less entity (no seed,
+        no source, no producing parents): the reference gives such an
+        entity a nil ::output, and its JOINS still run — a left join
+        against a nil leg emits [v, nil] tuples (experiment.clj
+        join-*-results with nil right-results), it does not change the
+        join's shape. Types come from the entity config (the
+        seed_records defaults)."""
+        ent = self.entities[eid]
+        schema = (
+            f"{KEY} {ent.get('key_type', 'string')}, "
+            f"{VALUE} {ent.get('value_type', 'bigint')}, "
+            f"{TIMESTAMP} bigint, {SEQ} bigint"
+        )
+        return self.spark.createDataFrame([], schema=schema)
+
+    def _combine_parents(self, node: str, outputs: dict) -> DataFrame | None:
         parents = model.parents_of(self.topology, node)
-        parents = [p for p in parents if outputs.get(p) is not None]
-        if not parents:
-            return None, 1
-        order, cfg = model.get_join(self.topology, model.parents_of(self.topology, node))
+        live = [p for p in parents if outputs.get(p) is not None]
+        if not live:
+            return None
+        order, cfg = model.get_join(self.topology, parents)
         if order is None or cfg is None or cfg.get("type", "merge") == "merge":
-            if len(parents) == 1:
-                return outputs[parents[0]], 1
-            return J.merge([outputs[p] for p in parents]), 1
+            if len(live) == 1:
+                return outputs[live[0]]
+            return J.merge([outputs[p] for p in live])
         # fold pairwise in join-config order (streams.clj:115-123);
         # within one fold the tuple widens ([v1 v2] conj v3 ...); across
         # nodes every entity's value is opaque again (arity 1).
-        ordered = [p for p in order if outputs.get(p) is not None]
-        acc_df = outputs[ordered[0]]
-        acc_type = self._joinable_type(ordered[0])
+        # An output-less leg participates as a typed EMPTY frame — the
+        # reference joins against a nil leg, it never silently drops
+        # the leg (which would untuple the values and swap left/right
+        # roles; r15 review).
+        def leg(p: str) -> DataFrame:
+            out = outputs.get(p)
+            return out if out is not None else self._empty_records(p)
+
+        acc_df = leg(order[0])
+        acc_type = self._joinable_type(order[0])
         acc_arity = 1
-        for other_id in ordered[1:]:
+        for other_id in order[1:]:
             acc_df = self._join_pair(
-                cfg, acc_df, acc_type, acc_arity, outputs[other_id], other_id
+                cfg, acc_df, acc_type, acc_arity, leg(other_id), other_id
             )
             acc_arity += 1
             # accumulated entity keeps the first leg's type (experiment.clj:141-149)
-        return acc_df, acc_arity
+        return acc_df
 
     def _join_pair(
         self, cfg: dict, left_df: DataFrame, left_type: str, left_arity: int,
@@ -166,10 +214,23 @@ class TopologyRunner:
         right_arity = 1
         mode = cfg.get("tuple_mode", "array")
         if right_type == model.GLOBAL_KTABLE:
-            # J7: broadcast lookup join; only inner/left exist (streams.clj:104-112)
+            # J7: broadcast lookup join; reference has inner/left
+            # (streams.clj:104-112), semi/anti are the Spark extras
             return J.global_table_join(
                 left_df, right_df, jt, cfg.get("kv_mapper"), left_arity, tuple_mode=mode
             )
+        if jt in ("left_semi", "left_anti"):
+            # Spark-extra types (model.JOIN_TYPES; SURVEY §2.5 free
+            # wins): emit the LEFT record un-tupled iff a match exists
+            # (semi) / does not (anti). Previously these passed
+            # validate then died in a bare KeyError here (r15 review).
+            anti = jt == "left_anti"
+            if left_type == model.KSTREAM and right_type == model.KSTREAM:
+                before, after = cfg.get("window", (0, 0))
+                return J.windowed_stream_semi_join(
+                    left_df, right_df, before, after, anti=anti
+                )
+            return J.as_of_semi_join(left_df, right_df, anti=anti)
         if left_type == model.KSTREAM and right_type == model.KSTREAM:
             before, after = cfg.get("window", (0, 0))
             flags = {"inner": (False, False), "left": (True, False), "outer": (True, True)}[jt]
@@ -185,6 +246,16 @@ class TopologyRunner:
                 left_arity=left_arity, right_arity=right_arity, tuple_mode=mode,
             )
         if left_type == model.KSTREAM and right_type == model.KTABLE:
+            if jt not in ("inner", "left"):
+                # the reference defines no [:outer :kstream :ktable]
+                # method — fail naming the rule, never a KeyError
+                # (validate also rejects this at compile time)
+                raise ValueError(
+                    f"stream⋈table join type {jt!r} unsupported: the "
+                    "reference defines only inner/left "
+                    "(experiment.clj:123-135); semi/anti are handled "
+                    "above"
+                )
             require_table = {"inner": True, "left": False}[jt]
             return J.stream_table_join(
                 left_df, right_df, require_table,
@@ -307,7 +378,7 @@ class TopologyRunner:
                 }
                 computed = ent["build"](self.spark, parent_dfs, ent)
             else:
-                combined, arity = self._combine_parents(node, outputs)
+                combined = self._combine_parents(node, outputs)
                 if etype == model.TOPIC:
                     computed = combined  # experiment.clj:196-202
                 elif etype == model.KSTREAM:
@@ -334,6 +405,7 @@ class TopologyRunner:
                 # store reuse; SURVEY §4): a fan-out node would otherwise be
                 # recomputed once per consumer in the lazy DAG
                 out = out.persist()
+                self._persisted.append(out)
             outputs[node] = out
         return {k: v for k, v in outputs.items() if v is not None}
 

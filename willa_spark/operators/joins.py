@@ -136,9 +136,12 @@ def windowed_stream_join(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    if len(parts) == 1:
-        return out
-    # oracle dedup rule (experiment.clj:30-34)
+    # oracle dedup rule (experiment.clj:30-34) — applied to EVERY join
+    # type, including inner: the reference's group-by/mapcat pass is
+    # unconditional (`true (group-by ...)`), so an inner join whose
+    # source values are legitimately NULL must also drop the
+    # NULL-containing members of a >1-record (timestamp, key) group
+    # (r15 review: the previous inner-join early return skipped this)
     grp = W.partitionBy(F.col(TIMESTAMP), F.col(KEY))
     if tuple_mode == "array":
         has_null = F.exists(F.col(VALUE), lambda x: x.isNull())
@@ -152,6 +155,45 @@ def windowed_stream_join(
         .filter(~((F.col("__n") > 1) & has_null))
         .drop("__n")
     )
+
+
+def windowed_stream_semi_join(
+    left: DataFrame,
+    right: DataFrame,
+    before_ms: int,
+    after_ms: int,
+    anti: bool = False,
+) -> DataFrame:
+    """Spark-extra join types (model.JOIN_TYPES' left_semi/left_anti —
+    SURVEY §2.5 free wins; no reference analogue, Spark semantics):
+    emit each LEFT record unchanged (value NOT tupled) iff it has ≥1
+    (semi) / 0 (anti) key-equal right record inside the time band.
+    Same equi-key + band plan shape as the full join, but Spark's
+    native LeftSemi/LeftAnti never materializes the match — no
+    fan-out, no dedup pass needed."""
+    l = _records(left)
+    r = _records(right).select(
+        F.col(KEY).alias("__rkey"), F.col(TIMESTAMP).alias("__rts")
+    )
+    cond = (
+        (F.col(KEY) == F.col("__rkey"))
+        & (F.col("__rts") >= F.col(TIMESTAMP) - F.lit(int(before_ms)))
+        & (F.col("__rts") <= F.col(TIMESTAMP) + F.lit(int(after_ms)))
+    )
+    return l.join(r, cond, "left_anti" if anti else "left_semi")
+
+
+def as_of_semi_join(
+    driving: DataFrame, other: DataFrame, anti: bool = False
+) -> DataFrame:
+    """Spark-extra left_semi/left_anti for the as-of shapes
+    (stream⋈table and the left-driven face of table⋈table): emit each
+    driving record unchanged iff the other side has (semi) / lacks
+    (anti) a state as of the record's timestamp. Shares
+    ``_as_of_lookup``'s one-shuffle union+window plan."""
+    looked = _as_of_lookup(driving, other)
+    present = F.col("__other").isNotNull()
+    return looked.filter(~present if anti else present).select(*RECORD_COLS)
 
 
 def _as_of_lookup(driving: DataFrame, other: DataFrame) -> DataFrame:
@@ -268,14 +310,23 @@ def global_table_join(
     Join key = kv_mapper(key_col, value_col), default the record key.
     The table side is the topic's latest state per key, broadcast —
     at scale this is the classic dim-table broadcast join, zero shuffle
-    on the fact stream."""
-    assert how in ("inner", "left")
+    on the fact stream. ``how`` also accepts the Spark-extra
+    left_semi/left_anti (record passes through un-tupled iff the
+    lookup hits / misses)."""
+    if how not in ("inner", "left", "left_semi", "left_anti"):
+        raise ValueError(
+            f"global-table join type {how!r} unsupported (expected "
+            "inner/left/left_semi/left_anti — streams.clj:104-112 has "
+            "only inner/left; semi/anti are the Spark extras)"
+        )
     dim = latest_per_key(_records(table_records)).select(
         F.col(KEY).alias("__tkey"), F.col(VALUE).alias("__tv")
     )
     join_key = kv_mapper(F.col(KEY), F.col(VALUE)) if kv_mapper else F.col(KEY)
     s = _records(stream).withColumn("__jk", join_key)
     joined = s.join(F.broadcast(dim), F.col("__jk") == F.col("__tkey"), how)
+    if how in ("left_semi", "left_anti"):
+        return joined.select(*RECORD_COLS)
     return joined.select(
         F.col(KEY),
         _tuple_value(F.col(VALUE), F.col("__tv"), left_arity, 1, tuple_mode).alias(VALUE),

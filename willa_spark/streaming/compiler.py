@@ -475,7 +475,21 @@ class StreamingTopologyRunner:
             for p in parents[1:]:
                 out = out.unionByName(built[p])
             return out
-        ordered = [p for p in order if usable(p)]
+        dead = [p for p in order if not usable(p)]
+        if dead:
+            # a join leg that compiled to NO stream is a topology
+            # mistake in streaming (the batch engine joins the
+            # reference's nil leg as a typed empty frame; a streaming
+            # source cannot be conjured empty) — silently dropping the
+            # leg would untuple the values and swap left/right roles
+            # (r15 review)
+            raise NotImplementedError(
+                f"join into {node!r}: legs {dead} produced no stream "
+                "(no source/input compiled for them); give every join "
+                "leg a source, or run the batch engine, where an "
+                "empty leg joins with reference nil-leg semantics"
+            )
+        ordered = list(order)
         types = [self._joinable_type(p) for p in ordered]
         if (
             len(ordered) > 2
@@ -522,6 +536,14 @@ class StreamingTopologyRunner:
                 joined = df.withColumn("__jk", jk).join(
                     F.broadcast(dim), F.col("__jk") == F.col("__tkey"), jt
                 )
+                if jt in ("left_semi", "left_anti"):
+                    # Spark-extra types: record passes through
+                    # un-tupled iff the lookup hits / misses (the
+                    # batch engine's global_table_join contract; the
+                    # dim columns don't survive a semi/anti join, so
+                    # the tuple projection below would fail loudly on
+                    # a missing __tv — r15 review)
+                    return joined.select(F.col(KEY), F.col(VALUE), F.col(TIMESTAMP))
                 return joined.select(
                     F.col(KEY),
                     _tuple_value(F.col(VALUE), F.col("__tv"), left_arity, 1, mode).alias(VALUE),
@@ -550,7 +572,15 @@ class StreamingTopologyRunner:
             exact = jt != "inner" and cfg.get("exact_dedup", True)
             # exact reference parity builds inner join + synthetic
             # placeholders (the batch construction); Spark-native outer
-            # joins only when parity is opted out
+            # joins only when parity is opted out.
+            # KNOWN inner-join divergence for NULL-VALUED records: the
+            # reference's in-memory oracle applies its (timestamp, key)
+            # nil-cull to inner joins too (experiment.clj:30-34,
+            # unconditional), and the batch engine follows it; real
+            # Kafka Streams drops null-valued records from joins
+            # entirely, and this streaming path emits the matched
+            # tuples as Spark joins them. Congruity holds for non-null
+            # values (the tested surface).
             hows = {"inner": "inner", "left": "leftOuter", "outer": "fullOuter"}
             if jt not in hows:
                 # valid in the batch engine (model.JOIN_TYPES) but not
@@ -926,6 +956,17 @@ class StreamingTopologyRunner:
         import pandas as pd
         from pyspark.sql.streaming.state import GroupStateTimeout
 
+        if jt not in ("inner", "left", "outer"):
+            # left_semi/left_anti pass validate for these shapes (the
+            # batch engine runs them) but the fused n-ary fold's emit
+            # rules don't compose for them — without this guard the
+            # else-branch would silently treat them as OUTER (r15
+            # review)
+            raise NotImplementedError(
+                f"n-ary table join type {jt!r} is not implemented in "
+                "streaming (supported: inner/left/outer); run the "
+                "batch engine"
+            )
         n = len(dfs)
         kt = dfs[0].schema[KEY].dataType.simpleString()
         vts = [df.schema[VALUE].dataType.simpleString() for df in dfs]

@@ -67,9 +67,20 @@ def validate(topology: dict) -> list[str]:
                     raise TopologyError(
                         f"entity {eid!r}: 'aggregate' must be an Aggregate spec"
                     )
-            if ("window" in ent or "suppress" in ent) and "aggregate" not in ent:
+            # The full dependent-keys rule (specs.clj:74-86): ANY
+            # aggregation key present requires the aggregate itself —
+            # including group_by and retract, which the batch engine
+            # would otherwise silently IGNORE (records keeping their
+            # original keys with no warning; r15 review).
+            agg_keys = [
+                k for k in ("group_by", "window", "suppress", "retract") if k in ent
+            ]
+            if agg_keys and "aggregate" not in ent:
                 raise TopologyError(
-                    f"entity {eid!r}: windowed/suppressed ktable requires an 'aggregate'"
+                    f"entity {eid!r}: {agg_keys} require an 'aggregate' "
+                    "(specs.clj:74-86 dependent-keys rule — without it the "
+                    "ktable is a changelog passthrough and these keys "
+                    "would be ignored)"
                 )
         if etype == model.TOPIC and eid not in wf_ids:
             # standalone topic is fine (e.g. only used as global table source)
@@ -107,4 +118,58 @@ def validate(topology: dict) -> list[str]:
             raise TopologyError(
                 f"join {tuple(ids)!r}: unknown join type {jt!r} (expected {model.JOIN_TYPES})"
             )
+        if jt == "merge":
+            continue
+        # Join-type ⋈ shape compatibility at COMPILE time: several
+        # (type, shape) pairs pass the membership check above but have
+        # no implementation (reference defines no [:outer :kstream
+        # :ktable], no ktable-driving-kstream, no global-table-as-left
+        # leg) — previously these died at runtime in a bare KeyError /
+        # assert (r15 review). Fold pairwise exactly like the engines:
+        # acc keeps the FIRST leg's joinable type.
+        consumers = [
+            n
+            for n in entities
+            if frozenset(src for (src, dst) in workflow if dst == n)
+            == frozenset(ids)
+        ]
+        if not consumers:
+            continue  # unused join config: nothing will compile it
+
+        def joinable(eid: str) -> str:
+            t = entities[eid]["type"]
+            return model.KSTREAM if t == model.TOPIC else t
+
+        ordered, _ = model.get_join(
+            topology, [s for (s, d) in workflow if d == consumers[0]]
+        )
+        shapes = {
+            (model.KSTREAM, model.KSTREAM): (
+                "inner", "left", "outer", "left_semi", "left_anti"
+            ),
+            (model.KTABLE, model.KTABLE): (
+                "inner", "left", "outer", "left_semi", "left_anti"
+            ),
+            (model.KSTREAM, model.KTABLE): (
+                "inner", "left", "left_semi", "left_anti"
+            ),
+        }
+        acc_t = joinable(ordered[0])
+        for rid in ordered[1:]:
+            r_t = joinable(rid)
+            if r_t == model.GLOBAL_KTABLE:
+                allowed = ("inner", "left", "left_semi", "left_anti")
+            else:
+                allowed = shapes.get((acc_t, r_t), ())
+            if jt not in allowed:
+                supported = (
+                    ", ".join(sorted(allowed))
+                    if allowed
+                    else "none — reorder the join so a stream or table drives"
+                )
+                raise TopologyError(
+                    f"join {tuple(ids)!r}: type {jt!r} is unsupported for "
+                    f"the {acc_t}⋈{r_t} shape (supported there: {supported})"
+                )
+            # acc keeps the first leg's type (experiment.clj:141-149)
     return order
