@@ -633,3 +633,98 @@ def test_normalize_records_seq_is_seeded_hash(spark):
     s1 = normalize_records(df, 1 << 33).collect()[0]["__seq"]
     assert s0 == s0b  # deterministic
     assert s0 != s1  # entity-distinct
+
+
+def test_nil_leg_join_mirrors_live_leg_value_type(spark):
+    """The empty frame for an output-less leg mirrors the LIVE leg's
+    value type when the entity config declares none: a bigint default
+    against a string-valued live leg would make the array tuple
+    heterogeneous — an ANSI analysis error (r15 fix-review)."""
+    topo = _stream_join_topology("left")
+    topo["entities"]["in-a"] = topic(key_type="string", value_type="string")
+    out = run_topology(
+        spark, topo, inputs={"in-a": [("k", "x", 100)]}
+    )
+    assert recs(out["output"]) == Counter([("k", ("x", None))])
+
+
+def test_validate_checks_every_consumers_fold_order():
+    """A frozenset-keyed join folds in each consumer's own workflow
+    parent order — validate must check ALL consumers, not just the
+    first (r15 fix-review): here X folds kstream⋈ktable (fine) but Y
+    folds ktable⋈kstream (unsupported)."""
+    import pytest
+
+    from willa_spark import TopologyError
+    from willa_spark.validate import validate
+
+    topo = {
+        "entities": {
+            "in-s": topic(),
+            "in-t": topic(),
+            "s": {"type": "kstream"},
+            "t": {"type": "ktable"},
+            "x": {"type": "kstream"},
+            "y": {"type": "kstream"},
+            "out": topic(),
+        },
+        "workflow": [
+            ("in-s", "s"),
+            ("in-t", "t"),
+            ("s", "x"),
+            ("t", "x"),
+            ("t", "y"),
+            ("s", "y"),
+            ("x", "out"),
+            ("y", "out"),
+        ],
+        "joins": {frozenset({"s", "t"}): {"type": "left"}},
+    }
+    with pytest.raises(TopologyError, match="into 'y'.*ktable⋈kstream"):
+        validate(topo)
+
+
+def test_validate_accepts_explicitly_disabled_agg_flags():
+    """retract=False / group_by=None are the engines' 'absent' (their
+    reads are truthiness-based) — presence-based validation would
+    spuriously reject them (r15 fix-review)."""
+    from willa_spark.validate import validate
+
+    topo = {
+        "entities": {
+            "in": topic(),
+            "t": {"type": "ktable", "retract": False, "group_by": None},
+            "out": topic(),
+        },
+        "workflow": [("in", "t"), ("t", "out")],
+    }
+    validate(topo)
+
+
+def test_inner_join_nonnullable_values_skip_dedup_exchange(spark):
+    """The oracle nil-cull is a provable no-op when neither value can
+    be NULL — the inner join must then skip the (timestamp, key)
+    window exchange entirely (r15 fix-review: unconditional dedup cost
+    at scale)."""
+    from pyspark.sql import types as T
+
+    from willa_spark.operators.joins import windowed_stream_join
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.StringType(), False),
+            T.StructField("value", T.LongType(), False),
+            T.StructField("timestamp", T.LongType(), False),
+            T.StructField("__seq", T.LongType(), False),
+        ]
+    )
+    l = spark.createDataFrame([("k", 1, 100, 0)], schema)
+    r = spark.createDataFrame([("k", 2, 100, 0)], schema)
+    inner = windowed_stream_join(l, r, 0, 0, False, False)
+    assert "window" not in inner._jdf.queryExecution().executedPlan().toString().lower()
+    assert [tuple(x) for x in inner.select("key", "value").collect()] == [("k", [1, 2])]
+    # nullable inputs still pay the cull (correctness over speed)
+    ln = spark.createDataFrame([("k", 1, 100, 0)], "key string, value bigint, timestamp bigint, __seq bigint")
+    rn = spark.createDataFrame([("k", 2, 100, 0)], "key string, value bigint, timestamp bigint, __seq bigint")
+    inner_n = windowed_stream_join(ln, rn, 0, 0, False, False)
+    assert "window" in inner_n._jdf.queryExecution().executedPlan().toString().lower()

@@ -154,23 +154,29 @@ class TopologyRunner:
 
     # -- join / merge of parents ----------------------------------------
     def _joinable_type(self, eid: str) -> str:
-        t = self.entities[eid]["type"]
-        return model.KSTREAM if t == model.TOPIC else t  # experiment.clj:134-138
+        return model.joinable_type(self.entities, eid)
 
-    def _empty_records(self, eid: str) -> DataFrame:
+    def _empty_records(self, eid: str, like: DataFrame | None = None) -> DataFrame:
         """Typed empty record frame for an output-less entity (no seed,
         no source, no producing parents): the reference gives such an
         entity a nil ::output, and its JOINS still run — a left join
         against a nil leg emits [v, nil] tuples (experiment.clj
         join-*-results with nil right-results), it does not change the
-        join's shape. Types come from the entity config (the
-        seed_records defaults)."""
+        join's shape. Types come from the entity config when set, else
+        MIRROR the live sibling leg ``like``: intermediate entities
+        rarely carry key_type/value_type, and a bigint default against
+        a string-valued live leg would make the array tuple's concat
+        heterogeneous — an ANSI analysis error (r15 review). The empty
+        leg's value slot is always NULL, so mirroring is sound for any
+        value type."""
         ent = self.entities[eid]
-        schema = (
-            f"{KEY} {ent.get('key_type', 'string')}, "
-            f"{VALUE} {ent.get('value_type', 'bigint')}, "
-            f"{TIMESTAMP} bigint, {SEQ} bigint"
-        )
+        if like is not None:
+            kt = ent.get("key_type") or like.schema[KEY].dataType.simpleString()
+            vt = ent.get("value_type") or like.schema[VALUE].dataType.simpleString()
+        else:
+            kt = ent.get("key_type", "string")
+            vt = ent.get("value_type", "bigint")
+        schema = f"{KEY} {kt}, {VALUE} {vt}, {TIMESTAMP} bigint, {SEQ} bigint"
         return self.spark.createDataFrame([], schema=schema)
 
     def _combine_parents(self, node: str, outputs: dict) -> DataFrame | None:
@@ -190,9 +196,11 @@ class TopologyRunner:
         # reference joins against a nil leg, it never silently drops
         # the leg (which would untuple the values and swap left/right
         # roles; r15 review).
+        like = outputs[live[0]]
+
         def leg(p: str) -> DataFrame:
             out = outputs.get(p)
-            return out if out is not None else self._empty_records(p)
+            return out if out is not None else self._empty_records(p, like=like)
 
         acc_df = leg(order[0])
         acc_type = self._joinable_type(order[0])

@@ -86,6 +86,15 @@ def entity_type(entity: dict) -> str:
     return entity["type"]
 
 
+def joinable_type(entities: dict, eid: str) -> str:
+    """Topic legs join as streams (experiment.clj:134-138). The ONE
+    copy of the coercion — batch, streaming, and validate all call
+    this, so their join-shape verdicts can never drift (r15 review:
+    there were three hand-maintained copies)."""
+    t = entities[eid]["type"]
+    return KSTREAM if t == TOPIC else t
+
+
 def parents_of(topology: dict, node: str) -> list[str]:
     """Workflow predecessors, in edge-list order (core.clj:126)."""
     return [src for (src, dst) in topology["workflow"] if dst == node]

@@ -43,6 +43,33 @@ def merge(dfs: list[DataFrame]) -> DataFrame:
     return out
 
 
+def _band_cond(
+    left_ts: Column, right_key: Column, right_ts: Column, before_ms: int, after_ms: int
+) -> Column:
+    """The ONE windowed-join predicate (key equality + inclusive time
+    band t_r ∈ [t_l − before, t_l + after], streams.clj:60-76): shared
+    by the full join and the semi/anti variants so a band-semantics
+    fix can never apply to one and not the other (r15 review)."""
+    return (
+        (F.col(KEY) == right_key)
+        & (right_ts >= left_ts - F.lit(int(before_ms)))
+        & (right_ts <= left_ts + F.lit(int(after_ms)))
+    )
+
+
+def _value_can_be_null(df: DataFrame) -> bool:
+    """True unless the schema PROVES the value column holds no NULLs
+    (field non-nullable, and for an already-tupled array side no NULL
+    elements either)."""
+    from pyspark.sql import types as T
+
+    field = df.schema[VALUE]
+    if field.nullable:
+        return True
+    dt = field.dataType
+    return isinstance(dt, T.ArrayType) and dt.containsNull
+
+
 def _tuple_value(
     left_v: Column,
     right_v: Column,
@@ -101,10 +128,8 @@ def windowed_stream_join(
     r = _records(right).select(
         F.col(KEY).alias("__rkey"), F.col(VALUE).alias("__rv"), F.col(TIMESTAMP).alias("__rts"), F.col(SEQ).alias("__rseq")
     )
-    cond = (
-        (F.col(KEY) == F.col("__rkey"))
-        & (F.col("__rts") >= F.col("__lts") - F.lit(int(before_ms)))
-        & (F.col("__rts") <= F.col("__lts") + F.lit(int(after_ms)))
+    cond = _band_cond(
+        F.col("__lts"), F.col("__rkey"), F.col("__rts"), before_ms, after_ms
     )
     joined = l.join(r, cond, "inner").select(
         F.col(KEY),
@@ -136,12 +161,20 @@ def windowed_stream_join(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if len(parts) == 1 and not (
+        _value_can_be_null(left) or _value_can_be_null(right)
+    ):
+        # inner join over PROVABLY non-null values: the dedup pass
+        # below is a no-op (no tuple can contain NULL), so skip its
+        # window exchange — material at scale (r15 review)
+        return out
     # oracle dedup rule (experiment.clj:30-34) — applied to EVERY join
     # type, including inner: the reference's group-by/mapcat pass is
     # unconditional (`true (group-by ...)`), so an inner join whose
     # source values are legitimately NULL must also drop the
     # NULL-containing members of a >1-record (timestamp, key) group
-    # (r15 review: the previous inner-join early return skipped this)
+    # (r15 review: the previous inner-join early return skipped this
+    # even for nullable values)
     grp = W.partitionBy(F.col(TIMESTAMP), F.col(KEY))
     if tuple_mode == "array":
         has_null = F.exists(F.col(VALUE), lambda x: x.isNull())
@@ -175,10 +208,8 @@ def windowed_stream_semi_join(
     r = _records(right).select(
         F.col(KEY).alias("__rkey"), F.col(TIMESTAMP).alias("__rts")
     )
-    cond = (
-        (F.col(KEY) == F.col("__rkey"))
-        & (F.col("__rts") >= F.col(TIMESTAMP) - F.lit(int(before_ms)))
-        & (F.col("__rts") <= F.col(TIMESTAMP) + F.lit(int(after_ms)))
+    cond = _band_cond(
+        F.col(TIMESTAMP), F.col("__rkey"), F.col("__rts"), before_ms, after_ms
     )
     return l.join(r, cond, "left_anti" if anti else "left_semi")
 

@@ -366,8 +366,7 @@ class StreamingTopologyRunner:
         return df
 
     def _joinable_type(self, eid: str) -> str:
-        t = self.entities[eid]["type"]
-        return model.KSTREAM if t == model.TOPIC else t
+        return model.joinable_type(self.entities, eid)
 
     @staticmethod
     def _has_event_time(df: DataFrame) -> bool:

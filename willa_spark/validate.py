@@ -72,8 +72,12 @@ def validate(topology: dict) -> list[str]:
             # including group_by and retract, which the batch engine
             # would otherwise silently IGNORE (records keeping their
             # original keys with no warning; r15 review).
+            # truthiness, not presence: both engines treat
+            # group_by=None / retract=False / suppress=False as
+            # absent (batch.py's `is not None` / bool() reads), so an
+            # explicitly-disabled flag must not be rejected here
             agg_keys = [
-                k for k in ("group_by", "window", "suppress", "retract") if k in ent
+                k for k in ("group_by", "window", "suppress", "retract") if ent.get(k)
             ]
             if agg_keys and "aggregate" not in ent:
                 raise TopologyError(
@@ -133,16 +137,6 @@ def validate(topology: dict) -> list[str]:
             if frozenset(src for (src, dst) in workflow if dst == n)
             == frozenset(ids)
         ]
-        if not consumers:
-            continue  # unused join config: nothing will compile it
-
-        def joinable(eid: str) -> str:
-            t = entities[eid]["type"]
-            return model.KSTREAM if t == model.TOPIC else t
-
-        ordered, _ = model.get_join(
-            topology, [s for (s, d) in workflow if d == consumers[0]]
-        )
         shapes = {
             (model.KSTREAM, model.KSTREAM): (
                 "inner", "left", "outer", "left_semi", "left_anti"
@@ -154,22 +148,33 @@ def validate(topology: dict) -> list[str]:
                 "inner", "left", "left_semi", "left_anti"
             ),
         }
-        acc_t = joinable(ordered[0])
-        for rid in ordered[1:]:
-            r_t = joinable(rid)
-            if r_t == model.GLOBAL_KTABLE:
-                allowed = ("inner", "left", "left_semi", "left_anti")
-            else:
-                allowed = shapes.get((acc_t, r_t), ())
-            if jt not in allowed:
-                supported = (
-                    ", ".join(sorted(allowed))
-                    if allowed
-                    else "none — reorder the join so a stream or table drives"
-                )
-                raise TopologyError(
-                    f"join {tuple(ids)!r}: type {jt!r} is unsupported for "
-                    f"the {acc_t}⋈{r_t} shape (supported there: {supported})"
-                )
-            # acc keeps the first leg's type (experiment.clj:141-149)
+        # check EVERY consumer's own fold order: a frozenset-keyed
+        # join falls back to each consumer's workflow-parent order,
+        # so two consumers of the same join can fold in different
+        # orders and only one of them be a supported shape (r15
+        # review — consumers[0] alone would re-open the runtime-crash
+        # hole this check exists to close)
+        for consumer in consumers:
+            ordered, _ = model.get_join(
+                topology, [s for (s, d) in workflow if d == consumer]
+            )
+            acc_t = model.joinable_type(entities, ordered[0])
+            for rid in ordered[1:]:
+                r_t = model.joinable_type(entities, rid)
+                if r_t == model.GLOBAL_KTABLE:
+                    allowed = ("inner", "left", "left_semi", "left_anti")
+                else:
+                    allowed = shapes.get((acc_t, r_t), ())
+                if jt not in allowed:
+                    supported = (
+                        ", ".join(sorted(allowed))
+                        if allowed
+                        else "none — reorder the join so a stream or table drives"
+                    )
+                    raise TopologyError(
+                        f"join {tuple(ids)!r} (into {consumer!r}): type "
+                        f"{jt!r} is unsupported for the {acc_t}⋈{r_t} "
+                        f"shape (supported there: {supported})"
+                    )
+                # acc keeps the first leg's type (experiment.clj:141-149)
     return order
