@@ -369,3 +369,19 @@ def test_merge_schema_surfaces_later_added_column(spark, tmp_path):
     # even a PLAIN read is now safe: the rewrite materialized max_id
     # into every surviving file
     assert "max_id" in store_read(spark, store).columns
+
+
+def test_store_read_metadata_only_root_reads_none(spark, tmp_path):
+    """A store root holding only underscore-prefixed metadata (the
+    geometry record lands before the first append) is the first-batch
+    state: store_read must return None, not raise
+    UNABLE_TO_INFER_SCHEMA (r15 review)."""
+    import json
+
+    from willa_spark.streaming.store import store_read
+
+    root = os.path.join(str(tmp_path), "st")
+    os.makedirs(root)
+    with open(os.path.join(root, "_geometry.json"), "w") as f:
+        json.dump({"family": "minhash"}, f)
+    assert store_read(spark, root) is None

@@ -752,3 +752,65 @@ def test_minhash_exact_verify_store_size_contract(spark, tmp_path):
         stored["n_hashes"],
     )
     assert fixed_b > 0
+
+
+def test_minhash_store_geometry_guard(spark, tmp_path):
+    """Resuming a signature store with different geometry must fail
+    loud (r15 review): stored band hashes are computed over
+    num_hashes/num_bands component groups, so a changed-geometry probe
+    matches NOTHING and every duplicate silently re-admits."""
+    import pytest
+
+    store = os.path.join(str(tmp_path), "st")
+    step = minhash_dedup_step(store, num_hashes=32, num_bands=16)
+    step(_mkdocs(spark, BATCH1), 0)
+    resumed = minhash_dedup_step(store, num_hashes=32, num_bands=8)
+    with pytest.raises(RuntimeError, match="geometry"):
+        resumed(_mkdocs(spark, BATCH2), 1)
+    # same geometry resumes fine
+    again = minhash_dedup_step(store, num_hashes=32, num_bands=16)
+    got = {r["doc_id"] for r in again(_mkdocs(spark, BATCH2), 1).collect()}
+    assert got == {6, 7}  # 5 dups 2 cross-batch, 8 dups 7 within
+    # a FULLY-pruned store is fresh again: new geometry re-records
+    from willa_spark.streaming.near_dedup import minhash_store_prune
+
+    minhash_store_prune(store, before_batch=99)
+    fresh = minhash_dedup_step(store, num_hashes=32, num_bands=8)
+    got = {r["doc_id"] for r in fresh(_mkdocs(spark, BATCH1), 5).collect()}
+    assert got == {1, 2, 3, 4}
+
+
+def test_winnow_store_geometry_guard(spark, tmp_path):
+    """The containment families guard their fingerprint parameters the
+    same way (k/window define the stored fps' identity)."""
+    import pytest
+
+    from willa_spark.streaming.near_dedup import winnow_dedup_step
+
+    store = os.path.join(str(tmp_path), "st")
+    winnow_dedup_step(store, k=4, window=3)(_mkdocs(spark, BATCH1), 0)
+    with pytest.raises(RuntimeError, match="geometry"):
+        winnow_dedup_step(store, k=5, window=3)(_mkdocs(spark, BATCH2), 1)
+
+
+def test_step_failure_releases_cached_frames(spark, tmp_path):
+    """An exception mid-step (here: the verify-mode flip guard) must
+    not leak persisted frames — a long-running stream retries failed
+    batches in the same session and cache entries would accumulate
+    unboundedly (r15 review)."""
+    import pytest
+
+    store = os.path.join(str(tmp_path), "st")
+    minhash_dedup_step(store)(_mkdocs(spark, BATCH1), 0)
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    flipped = minhash_dedup_step(store, exact_verify=True)
+    for _ in range(3):
+        with pytest.raises(RuntimeError, match="exact_verify"):
+            flipped(_mkdocs(spark, BATCH2), 1)
+    # no-increase, not equality: the ContextCleaner may CONCURRENTLY
+    # unpersist GC'd localCheckpoint RDDs from the successful batch,
+    # shrinking the count — the leak signal is monotone growth (the
+    # pre-fix behavior registered >= 1 new cache entry per retry, so
+    # three retries would read >= before + 3)
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after <= before, f"leaked {after - before} cached frames"

@@ -953,6 +953,22 @@ def keep_best(
         )
         .localCheckpoint(eager=True)
     )
+    drop = best_member_drops(member)
+    return df.join(drop, df[id_col] == F.col("__drop_id"), "left_anti")
+
+
+def best_member_drops(member: DataFrame) -> DataFrame:
+    """(__drop_id,) — the ids losing the highest-score survivor
+    election over an (eagerly pinned) ``(cluster_id, __m_id, __s)``
+    member frame: the single highest ``__s`` per cluster survives,
+    ties and all-NULL clusters falling back to min id. This is THE
+    election kernel — ``keep_best`` (batch, whole-corpus clusters) and
+    the streaming within-batch election
+    (``streaming.near_dedup._drop_within_batch``) both call it, so the
+    tie-break/NULL policy the congruity tests pin cannot drift between
+    the engines (r15 review: it existed as two line-for-line copies).
+    The caller pins ``member`` because it feeds three downstream plans
+    (best / winners / drop) and Spark does not reuse subtrees."""
     best = member.groupBy("cluster_id").agg(F.max("__s").alias("__smax"))
     # eqNullSafe: an all-NULL-score cluster matches every member and
     # the min-id tie-break below becomes the canonical fallback
@@ -962,10 +978,9 @@ def keep_best(
         .groupBy("cluster_id")
         .agg(F.min("__m_id").alias("__keep_id"))
     )
-    drop = (
+    return (
         member.join(winners, "cluster_id")
         .filter(F.col("__m_id") != F.col("__keep_id"))
         .select(F.col("__m_id").alias("__drop_id"))
         .distinct()
     )
-    return df.join(drop, df[id_col] == F.col("__drop_id"), "left_anti")

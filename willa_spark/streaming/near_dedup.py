@@ -64,6 +64,7 @@ from pyspark.sql import functions as F
 
 from ..functions.dedup import (
     banded_signature_frame,
+    best_member_drops,
     dup_clusters,
     gram_positions,
     island_spans,
@@ -79,6 +80,54 @@ from ..functions.dedup import (
 
 
 from .store import store_append, store_compact_every, store_prune, store_read
+
+_GEOMETRY = "_geometry.json"
+
+
+def _check_store_geometry(
+    store_dir: str, geometry: dict, data_dirs: list[str] | None = None
+) -> None:
+    """Fail loud when a store is resumed with different SIGNATURE
+    GEOMETRY than it was built with (r15 review): a minhash store's
+    band rows are hashes over ``num_hashes/num_bands`` component
+    groups and its signatures over ``shingle_n`` shingles; a winnow
+    store's fingerprints over (k, window); the segment/frame stores
+    over their tiling. Probing any of them with other parameters
+    matches NOTHING — every duplicate of an admitted doc silently
+    re-admits — or verifies on the wrong operands. The geometry is
+    recorded in an underscore-prefixed JSON (invisible to Spark's
+    partition discovery, like the compaction manifest) on first use
+    and compared on every step; a store whose data partitions have
+    all been pruned away is fresh again and re-records. (simhash
+    needs no guard: its blocks are derived at probe time from stored
+    64-bit signatures, and the hamming radius is a query parameter,
+    not store layout.)"""
+    import json
+
+    gpath = os.path.join(store_dir, _GEOMETRY)
+    if os.path.exists(gpath):
+        with open(gpath) as f:
+            found = json.load(f)
+        if found == geometry:
+            return
+        from .store import store_partitions
+
+        if any(store_partitions(d) for d in (data_dirs or [store_dir])):
+            raise RuntimeError(
+                f"store at {store_dir} was built with geometry {found} "
+                f"but this step uses {geometry} — probing across a "
+                "geometry change silently disables or corrupts "
+                "cross-batch dedup (band/fingerprint rows never match); "
+                "rebuild the store (or finish pruning it) rather than "
+                "changing parameters mid-store"
+            )
+        # fully-pruned store: no admitted signatures remain, so new
+        # geometry is safe — fall through and re-record
+    os.makedirs(store_dir, exist_ok=True)
+    staged = gpath + ".staging"
+    with open(staged, "w") as f:
+        json.dump(geometry, f)
+    os.replace(staged, gpath)
 
 
 def _drop_within_batch(
@@ -119,25 +168,17 @@ def _drop_within_batch(
     # eager pin, same reason as dedup.keep_best: the member frame feeds
     # three downstream plans (best / winners / drop) and Spark does not
     # reuse subtrees — unpinned, the clusters-scores join AND the
-    # caller's score expression would evaluate three times per batch
+    # caller's score expression would evaluate three times per batch.
+    # The election itself is dedup.best_member_drops — the ONE kernel
+    # shared with batch keep_best, so the tie-break/NULL policy the
+    # congruity test pins is structural, not copy-maintained (r15
+    # review).
     member = (
         clusters.join(scores, "id")
-        .select("cluster_id", "id", "__s")
+        .select("cluster_id", F.col("id").alias("__m_id"), "__s")
         .localCheckpoint(eager=True)
     )
-    best = member.groupBy("cluster_id").agg(F.max("__s").alias("__smax"))
-    winners = (
-        member.join(best, "cluster_id")
-        .filter(F.col("__s").eqNullSafe(F.col("__smax")))
-        .groupBy("cluster_id")
-        .agg(F.min("id").alias("__keep_id"))
-    )
-    return (
-        member.join(winners, "cluster_id")
-        .filter(F.col("id") != F.col("__keep_id"))
-        .select(F.col("id").alias("__drop"))
-        .distinct()
-    )
+    return best_member_drops(member).select(F.col("__drop_id").alias("__drop"))
 
 
 def _batch_scores(batch_df: DataFrame, id_col: str, score) -> DataFrame | None:
@@ -301,69 +342,88 @@ def _hamming_dedup_step(
         store_compact_every(spark, [(store_dir, None)], batch_id, compact_every)
         scores = _batch_scores(batch_df, id_col, score)
         sh = sig_builder(batch_df)
+        # EAGER pin (count populates the cache in one job): blocks
+        # embeds sig_builder's plan — for phash/audio that is the
+        # mapInPandas decode, the dominant per-row cost — and its
+        # first consumer below is a self-join whose two map stages
+        # (plus the cross probe) would otherwise race-compute the
+        # builder 2-4x before a lazy cache fills (r15 review; same
+        # reason dedup.hamming_block_pairs pins eagerly)
         blocks = simhash_block_frame(sh, num_blocks).persist()
-        hamming = F.bit_count(F.col("simhash").bitwiseXOR(F.col("__st_simhash")))
-
-        pruned = blocks
-        cross_drop = None
-        store = store_read(spark, store_dir, before_batch=batch_id)
-        if store is not None:
-            st_blocks = simhash_block_frame(
-                store.select(F.col("id"), F.col("simhash")), num_blocks
-            ).select(
-                F.col("id").alias("__st_id"),
-                F.col("simhash").alias("__st_simhash"),
-                "block_id",
-                "block_val",
+        pinned = [blocks]
+        # release on EVERY exit: an exception path that skipped the
+        # unpersists would leak cache entries on each retry of a
+        # long-running stream (r15 review)
+        try:
+            blocks.count()
+            hamming = F.bit_count(
+                F.col("simhash").bitwiseXOR(F.col("__st_simhash"))
             )
-            cross_drop = (
-                blocks.join(st_blocks, ["block_id", "block_val"])
-                .filter(hamming <= max_hamming)
-                .select(F.col("id").alias("__drop"))
+
+            pruned = blocks
+            cross_drop = None
+            store = store_read(spark, store_dir, before_batch=batch_id)
+            if store is not None:
+                st_blocks = simhash_block_frame(
+                    store.select(F.col("id"), F.col("simhash")), num_blocks
+                ).select(
+                    F.col("id").alias("__st_id"),
+                    F.col("simhash").alias("__st_simhash"),
+                    "block_id",
+                    "block_val",
+                )
+                cross_drop = (
+                    blocks.join(st_blocks, ["block_id", "block_val"])
+                    .filter(hamming <= max_hamming)
+                    .select(F.col("id").alias("__drop"))
+                    .distinct()
+                )
+                pruned = blocks.join(
+                    cross_drop, blocks["id"] == F.col("__drop"), "left_anti"
+                ).persist()
+                pinned.append(pruned)
+                pruned.count()  # eager: feeds both sides of the self-join
+
+            l, r = pruned.alias("l"), pruned.alias("r")
+            within_pairs = (
+                l.join(
+                    r,
+                    (F.col("l.block_id") == F.col("r.block_id"))
+                    & (F.col("l.block_val") == F.col("r.block_val"))
+                    & (F.col("l.id") < F.col("r.id")),
+                )
+                .filter(
+                    F.bit_count(
+                        F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+                    )
+                    <= max_hamming
+                )
+                .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
                 .distinct()
             )
-            pruned = blocks.join(
-                cross_drop, blocks["id"] == F.col("__drop"), "left_anti"
-            ).persist()
-
-        l, r = pruned.alias("l"), pruned.alias("r")
-        within_pairs = (
-            l.join(
-                r,
-                (F.col("l.block_id") == F.col("r.block_id"))
-                & (F.col("l.block_val") == F.col("r.block_val"))
-                & (F.col("l.id") < F.col("r.id")),
+            within_drop = _drop_within_batch(within_pairs, scores)
+            drops = (
+                within_drop if cross_drop is None
+                else cross_drop.unionByName(within_drop).distinct()
             )
-            .filter(
-                F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
-                <= max_hamming
+            # pin the (tiny, ids-only) drop set so every cached frame
+            # can be released before returning
+            drops = drops.localCheckpoint(eager=True)
+            # derive the admitted signatures from the PERSISTED blocks
+            # frame (one (id, simhash) row per id after dedup), not
+            # from `sh`: sh re-evaluates sig_builder, and for
+            # phash_dedup_step that means running the mapInPandas
+            # decode a second time per micro-batch just for the store
+            # append
+            admitted_sh = (
+                blocks.select("id", "simhash")
+                .dropDuplicates(["id"])
+                .join(drops, F.col("id") == F.col("__drop"), "left_anti")
             )
-            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-            .distinct()
-        )
-        within_drop = _drop_within_batch(within_pairs, scores)
-        drops = (
-            within_drop if cross_drop is None
-            else cross_drop.unionByName(within_drop).distinct()
-        )
-        # pin the (tiny, ids-only) drop set so every cached frame can be
-        # released before returning — a long-running stream must not
-        # accumulate per-micro-batch cache entries
-        drops = drops.localCheckpoint(eager=True)
-        # derive the admitted signatures from the PERSISTED blocks
-        # frame (one (id, simhash) row per id after dedup), not from
-        # `sh`: sh re-evaluates sig_builder, and for phash_dedup_step
-        # that means running the mapInPandas decode — the dominant
-        # per-row cost — a second time per micro-batch just for the
-        # store append
-        admitted_sh = (
-            blocks.select("id", "simhash")
-            .dropDuplicates(["id"])
-            .join(drops, F.col("id") == F.col("__drop"), "left_anti")
-        )
-        store_append(admitted_sh, store_dir, batch_id)
-        pruned.unpersist()
-        blocks.unpersist()
+            store_append(admitted_sh, store_dir, batch_id)
+        finally:
+            for f in pinned:
+                f.unpersist()
         return batch_df.join(
             drops, batch_df[id_col] == F.col("__drop"), "left_anti"
         )
@@ -430,13 +490,31 @@ def minhash_dedup_step(
 
     def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
         spark = batch_df.sparkSession
+        sig_store_dir = os.path.join(store_dir, "sigs")
+        band_store_dir = os.path.join(store_dir, "bands")
+        sh_store_dir = os.path.join(store_dir, "shingles")
+        # geometry is part of the store's identity: stored band hashes
+        # are computed over (num_hashes/num_bands) component groups
+        # and signatures over shingle_n-shingles — resuming with other
+        # values silently matches nothing (r15 review). The verify
+        # MODE has its own structural guard below.
+        _check_store_geometry(
+            store_dir,
+            {
+                "family": "minhash",
+                "num_hashes": num_hashes,
+                "num_bands": num_bands,
+                "shingle_n": shingle_n,
+            },
+            data_dirs=[sig_store_dir, band_store_dir, sh_store_dir],
+        )
         scores = _batch_scores(batch_df, id_col, score)
         compact_targets = [
-            (os.path.join(store_dir, "sigs"), None),
-            (os.path.join(store_dir, "bands"), "band_hash"),
+            (sig_store_dir, None),
+            (band_store_dir, "band_hash"),
         ]
         if exact_verify:
-            compact_targets.append((os.path.join(store_dir, "shingles"), None))
+            compact_targets.append((sh_store_dir, None))
         store_compact_every(spark, compact_targets, batch_id, compact_every)
         sig = minhash_signature_frame(
             batch_df.select(F.col(id_col).alias(id_col), F.col(text_col)),
@@ -445,6 +523,7 @@ def minhash_dedup_step(
             num_hashes,
             shingle_n,
         ).persist()
+        pinned = [sig]
         sh_frame = None
         if exact_verify:
             # the exact-verify operand: each doc's distinct shingle
@@ -461,10 +540,31 @@ def minhash_dedup_step(
                     )
                 ).alias("__sh"),
             ).persist()
+            pinned.append(sh_frame)
+        try:
+            return _minhash_step_body(
+                spark, batch_df, batch_id, sig, sh_frame, scores, pinned
+            )
+        finally:
+            # release on EVERY exit: the store-contract guards below
+            # raise AFTER the persists, and an exception path that
+            # skipped the unpersists would leak cache entries on each
+            # retry of a long-running stream (r15 review)
+            for f in pinned:
+                f.unpersist()
 
+    def _minhash_step_body(
+        spark, batch_df, batch_id, sig, sh_frame, scores, pinned
+    ):
         sig_store_dir = os.path.join(store_dir, "sigs")
         band_store_dir = os.path.join(store_dir, "bands")
         sh_store_dir = os.path.join(store_dir, "shingles")
+        # eager: sig (and the shingle operand) feed multiple join arms
+        # below — populate the cache in one job instead of letting
+        # concurrent map stages race-compute the builders (r15 review)
+        sig.count()
+        if sh_frame is not None:
+            sh_frame.count()
         cross_drop = None
         st_bands = store_read(spark, band_store_dir, before_batch=batch_id)
         st_sigs_raw = store_read(spark, sig_store_dir, before_batch=batch_id)
@@ -530,7 +630,13 @@ def minhash_dedup_step(
                     cand.join(sh_frame, "id")
                     .join(st_shs, "__st_id")
                     .filter(
-                        ngram_jaccard(F.col("__sh"), F.col("__st_sh"))
+                        # round(…, 6) like the batch verify
+                        # (dedup.verified_near_dups): without it a pair
+                        # within 5e-7 of the threshold could cross it
+                        # on one engine only (r15 review)
+                        F.round(
+                            ngram_jaccard(F.col("__sh"), F.col("__st_sh")), 6
+                        )
                         >= threshold
                     )
                     .select(F.col("id").alias("__drop"))
@@ -547,6 +653,8 @@ def minhash_dedup_step(
             sig_left = sig.join(
                 cross_drop, sig["id"] == F.col("__drop"), "left_anti"
             ).persist()
+            pinned.append(sig_left)
+            sig_left.count()  # eager: feeds both sides of the self-join
         else:
             sig_left = sig
         bands_left = banded_signature_frame(sig_left, num_hashes, num_bands)
@@ -573,7 +681,10 @@ def minhash_dedup_step(
                 within_cand.join(sh_a, "id_a")
                 .join(sh_b, "id_b")
                 .filter(
-                    ngram_jaccard(F.col("__sh_a"), F.col("__sh_b"))
+                    # 6dp rounding, matching the batch verify (above)
+                    F.round(
+                        ngram_jaccard(F.col("__sh_a"), F.col("__sh_b")), 6
+                    )
                     >= threshold
                 )
                 .select("id_a", "id_b")
@@ -599,6 +710,7 @@ def minhash_dedup_step(
         admitted_sigs = sig_left.join(
             drops, sig_left["id"] == F.col("__drop"), "left_anti"
         ).persist()
+        pinned.append(admitted_sigs)
         store_append(admitted_sigs, sig_store_dir, batch_id)
         store_append(
             banded_signature_frame(admitted_sigs, num_hashes, num_bands),
@@ -614,12 +726,6 @@ def minhash_dedup_step(
                 sh_store_dir,
                 batch_id,
             )
-        admitted_sigs.unpersist()
-        if sig_left is not sig:
-            sig_left.unpersist()
-        sig.unpersist()
-        if sh_frame is not None:
-            sh_frame.unpersist()
         # drop-based return (NOT a semi-join on signature-bearing ids):
         # documents with fewer than shingle_n tokens have no shingles,
         # hence no signature row — they can never near-dup anything and
@@ -673,7 +779,8 @@ def winnow_dedup_step(
         )
 
     return _containment_dedup_step(
-        store_dir, fp_builder, min_shared, id_col, compact_every, score
+        store_dir, fp_builder, min_shared, id_col, compact_every, score,
+        geometry={"family": "winnow", "k": k, "window": window},
     )
 
 
@@ -718,7 +825,9 @@ def audio_segment_dedup_step(
         )
 
     return _containment_dedup_step(
-        store_dir, fp_builder, min_shared_segments, id_col, compact_every, score
+        store_dir, fp_builder, min_shared_segments, id_col, compact_every,
+        score,
+        geometry={"family": "audio_segment", "window": window, "hop": hop},
     )
 
 
@@ -753,7 +862,8 @@ def video_fp_dedup_step(
         return video_frame_hash_frame(decoded, id_col=id_col, every_n=every_n)
 
     return _containment_dedup_step(
-        store_dir, fp_builder, min_shared_frames, id_col, compact_every, score
+        store_dir, fp_builder, min_shared_frames, id_col, compact_every, score,
+        geometry={"family": "video_frames", "every_n": every_n},
     )
 
 
@@ -764,6 +874,7 @@ def _containment_dedup_step(
     id_col: str,
     compact_every: int | None,
     score,
+    geometry: dict | None = None,
 ) -> Callable[[DataFrame, int], DataFrame]:
     """The shared CONTAINMENT streaming dedup kernel (winnow: token-run
     fingerprints; video: frame perceptual hashes): cross-batch drops
@@ -771,52 +882,69 @@ def _containment_dedup_step(
     >= ``min_shared`` threshold, within-batch via the pair-count
     self-join + survivor election, admitted fingerprints appended
     idempotently (fp-clustered). ``fp_builder(batch_df) -> (id, fp)``
-    is the only family-specific piece."""
+    is the family-specific piece; ``geometry`` records the builder
+    parameters that define the stored fingerprints' identity and fails
+    loud on a mid-store change (``_check_store_geometry``)."""
 
     def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
         spark = batch_df.sparkSession
+        if geometry is not None:
+            _check_store_geometry(store_dir, geometry)
         scores = _batch_scores(batch_df, id_col, score)
         store_compact_every(spark, [(store_dir, "fp")], batch_id, compact_every)
+        # EAGER pin: fpb embeds the builder's plan (for audio/video the
+        # mapInPandas decode — the dominant cost) and feeds the cross
+        # probe plus both sides of the pair-count self-join; a lazy
+        # cache would let those stages race-compute the builder (r15
+        # review)
         fpb = fp_builder(batch_df).persist()
+        pinned = [fpb]
+        try:
+            fpb.count()
 
-        pruned = fpb
-        cross_drop = None
-        store = store_read(spark, store_dir, before_batch=batch_id)
-        if store is not None:
-            cross_drop = (
-                fpb.join(
-                    store.withColumnRenamed("id", "__st_id"), "fp"
+            pruned = fpb
+            cross_drop = None
+            store = store_read(spark, store_dir, before_batch=batch_id)
+            if store is not None:
+                cross_drop = (
+                    fpb.join(
+                        store.withColumnRenamed("id", "__st_id"), "fp"
+                    )
+                    .groupBy("id", "__st_id")
+                    .agg(F.count(F.lit(1)).alias("n_shared"))
+                    .filter(F.col("n_shared") >= min_shared)
+                    .select(F.col("id").alias("__drop"))
+                    .distinct()
                 )
-                .groupBy("id", "__st_id")
-                .agg(F.count(F.lit(1)).alias("n_shared"))
-                .filter(F.col("n_shared") >= min_shared)
-                .select(F.col("id").alias("__drop"))
-                .distinct()
-            )
-            pruned = fpb.join(
-                cross_drop, fpb["id"] == F.col("__drop"), "left_anti"
-            ).persist()
+                pruned = fpb.join(
+                    cross_drop, fpb["id"] == F.col("__drop"), "left_anti"
+                ).persist()
+                pinned.append(pruned)
+                pruned.count()  # eager: both self-join sides
 
-        within_pairs = (
-            winnow_pair_counts(pruned)
-            .filter(F.col("n_shared") >= min_shared)
-            .select("id_a", "id_b")
-        )
-        within_drop = _drop_within_batch(within_pairs, scores)
-        drops = (
-            within_drop if cross_drop is None
-            else cross_drop.unionByName(within_drop).distinct()
-        )
-        # pin the ids-only drop set eagerly so cached fingerprint
-        # frames release before returning (no per-batch cache buildup)
-        drops = drops.localCheckpoint(eager=True)
-        admitted_fp = pruned.join(
-            drops, pruned["id"] == F.col("__drop"), "left_anti"
-        )
-        store_append(admitted_fp, store_dir, batch_id, sort_by="fp")
-        if pruned is not fpb:
-            pruned.unpersist()
-        fpb.unpersist()
+            within_pairs = (
+                winnow_pair_counts(pruned)
+                .filter(F.col("n_shared") >= min_shared)
+                .select("id_a", "id_b")
+            )
+            within_drop = _drop_within_batch(within_pairs, scores)
+            drops = (
+                within_drop if cross_drop is None
+                else cross_drop.unionByName(within_drop).distinct()
+            )
+            # pin the ids-only drop set eagerly so cached fingerprint
+            # frames release before returning (no per-batch cache
+            # buildup)
+            drops = drops.localCheckpoint(eager=True)
+            admitted_fp = pruned.join(
+                drops, pruned["id"] == F.col("__drop"), "left_anti"
+            )
+            store_append(admitted_fp, store_dir, batch_id, sort_by="fp")
+        finally:
+            # release on EVERY exit — exception paths must not leak
+            # cache entries across retries (r15 review)
+            for f in pinned:
+                f.unpersist()
         # drop-based return: fingerprint-less (short) docs pass through
         return batch_df.join(
             drops, batch_df[id_col] == F.col("__drop"), "left_anti"

@@ -62,6 +62,21 @@ _MANIFEST = "_compact_manifest.json"
 _TMP = "_compact_tmp"
 
 
+def _fsync_dir(path: str) -> None:
+    """fsync a DIRECTORY so a just-completed rename/replace of one of
+    its entries is durable before dependent deletes run (r15 review:
+    fsyncing the manifest's CONTENT alone does not order its directory
+    entry ahead of the source-partition deletes on power loss — a
+    filesystem may persist the deletes but not the manifest, leaving
+    the merged history as an unreferenced tmp dir the next compaction
+    rmtree's as a stale stage)."""
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 def _check_no_pending_compaction(path: str) -> None:
     if os.path.exists(os.path.join(path, _MANIFEST)):
         raise RuntimeError(
@@ -89,6 +104,12 @@ def store_read(
     column for every partition. Costs footer reads only."""
     if os.path.isdir(path):
         _check_no_pending_compaction(path)
+        if not store_partitions(path):
+            # a root holding only underscore-prefixed metadata (the
+            # geometry record is written before the first append) is a
+            # store with no data: reading it would raise
+            # UNABLE_TO_INFER_SCHEMA — it IS the first-batch state
+            return None
     try:
         reader = spark.read
         if merge_schema:
@@ -274,6 +295,11 @@ def _finish_pending_compaction(path: str) -> None:
             if os.path.isdir(d):
                 shutil.rmtree(d)
         os.rename(tmp, dest)
+        # the rename must be durable before the manifest is removed:
+        # otherwise power loss could persist the manifest removal but
+        # not the rename, leaving tmp with no manifest — the "stale
+        # stage" state the next compaction deletes
+        _fsync_dir(path)
     elif os.path.isdir(dest):
         # tmp already moved into place; only source deletes may remain
         for b in m["merged"]:
@@ -364,6 +390,11 @@ def store_compact(
         f.flush()
         os.fsync(f.fileno())
     os.replace(staged, mpath)  # atomic: manifest appears fully-written
+    # make the manifest's directory entry durable BEFORE any source
+    # partition is deleted: the roll-forward protocol is only
+    # power-loss-safe if the manifest is guaranteed to survive
+    # whenever a delete did
+    _fsync_dir(path)
 
     _finish_pending_compaction(path)
     return len(merged)
