@@ -791,34 +791,42 @@ def _vector_dedup_step(
             )
             pruned = v.join(cross_drop, v["id"] == F.col("__drop"), "left_anti")
         pruned = pruned.persist()
-
-        l, r = pruned.alias("l"), pruned.alias("r")
-        within_pairs = (
-            l.join(
-                r,
-                (F.col(f"l.{key_name}") == F.col(f"r.{key_name}"))
-                & (F.col("l.id") < F.col("r.id")),
+        try:
+            l, r = pruned.alias("l"), pruned.alias("r")
+            within_pairs = (
+                l.join(
+                    r,
+                    (F.col(f"l.{key_name}") == F.col(f"r.{key_name}"))
+                    & (F.col("l.id") < F.col("r.id")),
+                )
+                .filter(
+                    # same round-then-compare rule as the cross probe
+                    F.round(cosine(F.col("l.vec"), F.col("r.vec")), 6)
+                    >= threshold
+                )
+                .select(
+                    F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b")
+                )
+                .distinct()
             )
-            .filter(
-                # same round-then-compare rule as the cross-batch probe
-                F.round(cosine(F.col("l.vec"), F.col("r.vec")), 6) >= threshold
+            within_drop = _drop_within_batch(within_pairs, scores)
+            drops = (
+                within_drop if cross_drop is None
+                else cross_drop.unionByName(within_drop).distinct()
             )
-            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-            .distinct()
-        )
-        within_drop = _drop_within_batch(within_pairs, scores)
-        drops = (
-            within_drop if cross_drop is None
-            else cross_drop.unionByName(within_drop).distinct()
-        )
-        # pin the ids-only drop set so the cached bucket frame can be
-        # released before returning (no per-micro-batch cache buildup)
-        drops = drops.localCheckpoint(eager=True)
-        admitted = pruned.join(
-            drops, pruned["id"] == F.col("__drop"), "left_anti"
-        )
-        store_append(admitted, store_dir, batch_id, sort_by=key_name)
-        pruned.unpersist()
+            # pin the ids-only drop set so the cached bucket frame can
+            # be released before returning (no per-micro-batch cache
+            # buildup)
+            drops = drops.localCheckpoint(eager=True)
+            admitted = pruned.join(
+                drops, pruned["id"] == F.col("__drop"), "left_anti"
+            )
+            store_append(admitted, store_dir, batch_id, sort_by=key_name)
+        finally:
+            # release on EVERY exit — an exception path must not leak
+            # a cache entry per retry (r15 fix-review, same class as
+            # the near_dedup steps)
+            pruned.unpersist()
         return batch_df.join(
             drops, batch_df[id_col] == F.col("__drop"), "left_anti"
         )

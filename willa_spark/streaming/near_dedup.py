@@ -110,9 +110,22 @@ def _check_store_geometry(
             found = json.load(f)
         if found == geometry:
             return
-        from .store import store_partitions
+        from .store import _MANIFEST, _TMP, store_partitions
 
-        if any(store_partitions(d) for d in (data_dirs or [store_dir])):
+        def holds_data(d: str) -> bool:
+            # a pending compaction (manifest / staged tmp) means the
+            # data is MID-SWAP, not pruned: a crash window between
+            # "sources deleted" and "tmp renamed" shows zero
+            # partitions while the merged rows still exist — treating
+            # that as fresh would re-record a new geometry over data
+            # the roll-forward then restores (r15 fix-review)
+            return bool(
+                store_partitions(d)
+                or os.path.exists(os.path.join(d, _MANIFEST))
+                or os.path.isdir(os.path.join(d, _TMP))
+            )
+
+        if any(holds_data(d) for d in (data_dirs or [store_dir])):
             raise RuntimeError(
                 f"store at {store_dir} was built with geometry {found} "
                 f"but this step uses {geometry} — probing across a "
@@ -127,6 +140,11 @@ def _check_store_geometry(
     staged = gpath + ".staging"
     with open(staged, "w") as f:
         json.dump(geometry, f)
+        # durability like the compaction manifest: an os.replace whose
+        # staged CONTENT never hit disk leaves a zero-length record
+        # that bricks every later step in json.load (r15 fix-review)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(staged, gpath)
 
 
@@ -355,14 +373,17 @@ def _hamming_dedup_step(
         # unpersists would leak cache entries on each retry of a
         # long-running stream (r15 review)
         try:
-            blocks.count()
             hamming = F.bit_count(
                 F.col("simhash").bitwiseXOR(F.col("__st_simhash"))
             )
 
             pruned = blocks
             cross_drop = None
+            # store_read's fail-loud guards run BEFORE the eager count:
+            # a guard-failing retry must not pay the decode cost just
+            # to raise (r15 fix-review)
             store = store_read(spark, store_dir, before_batch=batch_id)
+            blocks.count()
             if store is not None:
                 st_blocks = simhash_block_frame(
                     store.select(F.col("id"), F.col("simhash")), num_blocks
@@ -488,11 +509,14 @@ def minhash_dedup_step(
         )
         return matches / F.lit(float(num_hashes))
 
+    # the ONE derivation of the three halves' paths (step + body both
+    # use them; two copies could drift — r15 fix-review)
+    sig_store_dir = os.path.join(store_dir, "sigs")
+    band_store_dir = os.path.join(store_dir, "bands")
+    sh_store_dir = os.path.join(store_dir, "shingles")
+
     def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
         spark = batch_df.sparkSession
-        sig_store_dir = os.path.join(store_dir, "sigs")
-        band_store_dir = os.path.join(store_dir, "bands")
-        sh_store_dir = os.path.join(store_dir, "shingles")
         # geometry is part of the store's identity: stored band hashes
         # are computed over (num_hashes/num_bands) component groups
         # and signatures over shingle_n-shingles — resuming with other
@@ -556,15 +580,6 @@ def minhash_dedup_step(
     def _minhash_step_body(
         spark, batch_df, batch_id, sig, sh_frame, scores, pinned
     ):
-        sig_store_dir = os.path.join(store_dir, "sigs")
-        band_store_dir = os.path.join(store_dir, "bands")
-        sh_store_dir = os.path.join(store_dir, "shingles")
-        # eager: sig (and the shingle operand) feed multiple join arms
-        # below — populate the cache in one job instead of letting
-        # concurrent map stages race-compute the builders (r15 review)
-        sig.count()
-        if sh_frame is not None:
-            sh_frame.count()
         cross_drop = None
         st_bands = store_read(spark, band_store_dir, before_batch=batch_id)
         st_sigs_raw = store_read(spark, sig_store_dir, before_batch=batch_id)
@@ -609,6 +624,14 @@ def minhash_dedup_step(
                 f"but the other is missing — prune both halves together "
                 f"(minhash_store_prune)"
             )
+        # eager AFTER the cheap fail-loud guards above (a guard-failing
+        # retry must not pay the builder cost just to raise — r15
+        # fix-review): sig (and the shingle operand) feed multiple
+        # join arms below, so populate the cache in one job instead of
+        # letting concurrent map stages race-compute the builders
+        sig.count()
+        if sh_frame is not None:
+            sh_frame.count()
         if st_bands is not None:
             bands = banded_signature_frame(sig, num_hashes, num_bands)
             st_sigs = st_sigs_raw.select(F.col("id").alias("__st_id"), *hcols)
@@ -900,11 +923,12 @@ def _containment_dedup_step(
         fpb = fp_builder(batch_df).persist()
         pinned = [fpb]
         try:
-            fpb.count()
-
             pruned = fpb
             cross_drop = None
+            # guards (store_read's pending-manifest check) before the
+            # eager count — failing retries stay builder-cost-free
             store = store_read(spark, store_dir, before_batch=batch_id)
+            fpb.count()
             if store is not None:
                 cross_drop = (
                     fpb.join(
@@ -989,37 +1013,51 @@ def dup_ngram_mask_step(
 
     def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
         spark = batch_df.sparkSession
+        # the stored __h counts are xxhash64 over n-GRAMS: resuming
+        # with a different n matches no stored hash and silently
+        # ignores every prior-batch count (r15 fix-review — the same
+        # failure class the dedup families' geometry guard closes)
+        _check_store_geometry(store_dir, {"family": "dup_ngram", "n": n})
         store_compact_every(
             spark, [(store_dir, "__h")], batch_id, compact_every
         )
         grams = gram_positions(batch_df, n, id_col, text_col).persist()
-        grams.count()  # eager: feeds counts, hits, and the store append
-        batch_counts = grams.groupBy("__h").agg(
-            F.count(F.lit(1)).alias("__c")
-        )
-        st = store_read(spark, store_dir, before_batch=batch_id)
-        if st is not None:
-            prior = (
-                st.join(batch_counts.select("__h"), "__h", "left_semi")
-                .groupBy("__h")
-                .agg(F.sum("__c").alias("__pc"))
+        try:
+            # guards (store_read's pending-manifest check) before the
+            # eager count — failing retries stay builder-cost-free
+            st = store_read(spark, store_dir, before_batch=batch_id)
+            grams.count()  # eager: feeds counts, hits, the store append
+            batch_counts = grams.groupBy("__h").agg(
+                F.count(F.lit(1)).alias("__c")
             )
-            total = batch_counts.join(prior, "__h", "left").select(
-                "__h",
-                (F.col("__c") + F.coalesce(F.col("__pc"), F.lit(0))).alias(
-                    "__t"
-                ),
+            if st is not None:
+                prior = (
+                    st.join(batch_counts.select("__h"), "__h", "left_semi")
+                    .groupBy("__h")
+                    .agg(F.sum("__c").alias("__pc"))
+                )
+                total = batch_counts.join(prior, "__h", "left").select(
+                    "__h",
+                    (F.col("__c") + F.coalesce(F.col("__pc"), F.lit(0))).alias(
+                        "__t"
+                    ),
+                )
+            else:
+                total = batch_counts.select("__h", F.col("__c").alias("__t"))
+            dup = total.filter(F.col("__t") >= min_count).select("__h")
+            hits = grams.join(dup, "__h", "left_semi").select(
+                "doc_id", "__pos"
             )
-        else:
-            total = batch_counts.select("__h", F.col("__c").alias("__t"))
-        dup = total.filter(F.col("__t") >= min_count).select("__h")
-        hits = grams.join(dup, "__h", "left_semi").select("doc_id", "__pos")
-        spans = island_spans(hits, n)
-        # pin the (small) span set eagerly so the gram cache can be
-        # released before returning — long streams must not accumulate
-        spans = spans.localCheckpoint(eager=True)
-        store_append(batch_counts, store_dir, batch_id, sort_by="__h")
-        grams.unpersist()
+            spans = island_spans(hits, n)
+            # pin the (small) span set eagerly so the gram cache can be
+            # released before returning — long streams must not
+            # accumulate
+            spans = spans.localCheckpoint(eager=True)
+            store_append(batch_counts, store_dir, batch_id, sort_by="__h")
+        finally:
+            # release on EVERY exit (r15 fix-review: exception paths
+            # leaked one cached gram frame per retry)
+            grams.unpersist()
         return mask_dup_spans(
             batch_df, spans, id_col=id_col, text_col=text_col
         )

@@ -104,11 +104,16 @@ def store_read(
     column for every partition. Costs footer reads only."""
     if os.path.isdir(path):
         _check_no_pending_compaction(path)
-        if not store_partitions(path):
-            # a root holding only underscore-prefixed metadata (the
+        if all(e.startswith("_") for e in os.listdir(path)):
+            # a root holding ONLY underscore-prefixed metadata (the
             # geometry record is written before the first append) is a
             # store with no data: reading it would raise
-            # UNABLE_TO_INFER_SCHEMA — it IS the first-batch state
+            # UNABLE_TO_INFER_SCHEMA — it IS the first-batch state.
+            # Any non-metadata entry (a flattened/corrupt layout, a
+            # stray file) falls through to the read and FAILS LOUD:
+            # returning None for it would serve a silently-empty store
+            # (r15 fix-review — the broader no-partitions guard broke
+            # the corrupt-store propagation test)
             return None
     try:
         reader = spark.read
@@ -295,11 +300,6 @@ def _finish_pending_compaction(path: str) -> None:
             if os.path.isdir(d):
                 shutil.rmtree(d)
         os.rename(tmp, dest)
-        # the rename must be durable before the manifest is removed:
-        # otherwise power loss could persist the manifest removal but
-        # not the rename, leaving tmp with no manifest — the "stale
-        # stage" state the next compaction deletes
-        _fsync_dir(path)
     elif os.path.isdir(dest):
         # tmp already moved into place; only source deletes may remain
         for b in m["merged"]:
@@ -314,6 +314,13 @@ def _finish_pending_compaction(path: str) -> None:
             f"staged output nor destination partition exists — manual "
             f"inspection required"
         )
+    # the deletes (and rename) must be durable BEFORE the manifest is
+    # removed, on BOTH branches: if the manifest removal persisted but
+    # a source delete did not, the store would reboot with the merged
+    # dest AND resurrected source copies of the same rows and no
+    # manifest left to reconcile — double-counted probes (r15
+    # fix-review: the resume branch skipped this)
+    _fsync_dir(path)
     os.remove(mpath)
 
 
