@@ -1456,3 +1456,126 @@ def test_decontaminate_semantic_oracle_parity(spark):
     assert got == want
     # every flagged pair is a planted copy hitting its own source
     assert all(vid == eid + 3_000_000 for vid, eid, _ in got)
+
+
+# ------------------------------------------- r15 review regressions
+
+
+def test_knuth_mod32_matches_direct_and_survives_big_ids(spark):
+    """The overflow-safe multiplicative-hash kernel (r15 review): for
+    ids whose direct product fits in int64 the values are IDENTICAL
+    to the historic expression (the DuckDB oracles' arithmetic); for
+    ids past ~3.47e9 — where the direct product overflows (ANSI
+    throws; non-ANSI wraps NEGATIVE and every sampling gate admits
+    the doc at any rate) — the kernel still lands in [0, 2^32), and
+    negative ids do too."""
+    ids = [0, 1, 124, 7_919, 2**31 - 1, 3_500_000_000, 2**62, -5]
+    df = spark.createDataFrame([(i,) for i in ids], "id bigint")
+    got = {
+        r["id"]: r["h"]
+        for r in df.select(
+            "id", CU._knuth_mod32(F.col("id")).alias("h")
+        ).collect()
+    }
+    for i in ids:
+        want = (i * CU.KNUTH) % CU._2_32  # Python ints never overflow
+        assert got[i] == want, (i, got[i], want)
+        assert 0 <= got[i] < CU._2_32
+    # shard_of inherits the [0, n) contract for the same inputs
+    sh = {
+        r["id"]: r["s"]
+        for r in df.select("id", CU.shard_of(F.col("id"), 7).alias("s")).collect()
+    }
+    assert all(0 <= s < 7 for s in sh.values()), sh
+
+
+def test_eval_ngram_sets_duplicate_eval_id_rows_union(spark):
+    """An eval_id split across rows previously double-counted n_grams
+    (denominator) while collect_set capped the numerator — every
+    overlap fraction halved and real contamination slipped the
+    threshold (r15 review). Duplicate rows now union their gram
+    sets."""
+    ev = spark.createDataFrame(
+        [(1, "a b c d"), (1, "a b c d")], "doc_id long, text string"
+    )
+    rows = CU.eval_ngram_sets(ev, n=3).collect()
+    assert {r["gram"] for r in rows} == {"a b c", "b c d"}
+    assert all(r["n_grams"] == 2 for r in rows), rows
+    # a doc containing the whole item reports overlap 1.0, not 0.5
+    docs = spark.createDataFrame([(10, "a b c d")], "doc_id long, text string")
+    rep = CU.fuzzy_contamination_report(
+        docs, CU.eval_ngram_sets(ev, n=3), n=3
+    ).collect()
+    assert len(rep) == 1 and rep[0]["overlap"] == 1.0, rep
+
+
+def test_contamination_report_gram_width_mismatch_fails_loud(spark):
+    """An eval gram frame built with a different n than the report
+    explodes corpus-side can never join — previously it silently
+    reported ZERO contamination (r15 review)."""
+    ev = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    docs = spark.createDataFrame([(10, "a b c d e")], "doc_id long, text string")
+    sets3 = CU.eval_ngram_sets(ev, n=3)
+    with pytest.raises(Exception, match="different n"):
+        CU.fuzzy_contamination_report(docs, sets3, n=4).collect()
+    grams3 = CU.eval_ngrams(ev, n=3)
+    with pytest.raises(Exception, match="different n"):
+        CU.contamination_report(docs, grams3, n=4).collect()
+
+
+def test_plant_guard_rejects_negative_ids(spark):
+    """A negative id can collide with a leak id from BELOW
+    (-999_876 + 1_000_000 = 124); the guard now enforces
+    0 <= id < id_offset (r15 review)."""
+    docs = spark.createDataFrame(
+        [(-999_876, "x y z"), (124, "p q r")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="outside"):
+        CU.plant_eval_leaks(docs).collect()
+
+
+def test_line_dedup_stats_null_id_fails_loud(spark):
+    """A NULL-id row's struct(NULL, pos) wins the min() owner election
+    and the line then counts as kept NOWHERE — silently dropped
+    corpus-wide; now the NULL-id kernel raises (r15 review)."""
+    docs = spark.createDataFrame(
+        [(None, "a b c d e f g h"), (1, "a b c d e f g h")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="NULL doc_id"):
+        CU.line_dedup_stats(docs).collect()
+
+
+def test_token_budget_cap_duplicate_id_fails_loud(spark):
+    """Two rows sharing (stratum, quality, id) are interchangeable
+    under the window sort — the greedy cut at the budget boundary
+    would be nondeterministic; fail loud per the module's
+    duplicate-id discipline (r15 review). Unique ids still pass."""
+    dup = spark.createDataFrame(
+        [(1, "wiki", "alpha beta gamma"), (1, "wiki", "alpha beta gamma")],
+        "doc_id long, source string, text string",
+    )
+    with pytest.raises(Exception, match="duplicate doc_id"):
+        CU.token_budget_cap(dup, budget_tokens=100).collect()
+    ok = spark.createDataFrame(
+        [(1, "wiki", "alpha beta gamma"), (2, "wiki", "alpha beta gamma")],
+        "doc_id long, source string, text string",
+    )
+    assert CU.token_budget_cap(ok, budget_tokens=100).count() == 2
+
+
+def test_bare_string_col_hooks_fail_loud(spark):
+    """keep_cols/carry_cols given a bare string would iterate
+    character-by-character (r15 review)."""
+    docs = spark.createDataFrame([(1, "en", "x")], "doc_id long, lang string, text string")
+    with pytest.raises(TypeError, match="bare string"):
+        CU.pii_redact(docs, keep_cols="lang")
+    from willa_spark.functions import classifier as CLS
+
+    with pytest.raises(TypeError, match="bare string"):
+        CLS.doc_feature_vectors(docs, carry_cols="lang")
+    from willa_spark.functions import lm as LM
+
+    model = LM.bigram_lm_train(docs)
+    with pytest.raises(TypeError, match="bare string"):
+        LM.make_bigram_scorer(model, carry_cols="lang")

@@ -67,6 +67,14 @@ def pii_redact(
     map-only projection (composition callers would otherwise pay a
     doc-cardinality re-join to recover them).
     """
+    if isinstance(keep_cols, str):
+        # a bare string silently iterates character-by-character —
+        # F.col('l'), F.col('a'), ... — for the near-certain typo
+        # keep_cols="lang" (r15 review)
+        raise TypeError(
+            f"keep_cols must be a sequence of column names, got the "
+            f"bare string {keep_cols!r} — write ({keep_cols!r},)"
+        )
     t = F.col(text_col)
     after_email = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
     after_ip = F.regexp_replace(after_email, PII_IPV4, "<IP>")
@@ -116,6 +124,37 @@ def eval_ngrams(
     )
 
 
+def _checked_gram_width(eval_frame: DataFrame, n: int, what: str) -> DataFrame:
+    """Fail loud when the eval gram frame's grams are not ``n``-token
+    grams: an eval frame built with a different ``n`` than the report
+    explodes corpus-side can NEVER join (a 3-gram string never equals
+    a 4-gram string), so the screen silently reports zero
+    contamination — the exact silent-coverage-gap class this module
+    raises loudly for elsewhere (r15 review). Grams are
+    single-space-joined token runs (``shingles``), so token count is
+    structural; the guard rides the broadcast build's scan of the
+    (tiny) eval frame and fires even when the join has no matches."""
+    return eval_frame.withColumn(
+        "gram",
+        F.when(
+            F.size(F.split(F.col("gram"), " ")) == n, F.col("gram")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"{what}: eval gram frame holds grams of a "
+                        f"different n than this report's n={n} — the "
+                        "join would match nothing and report ZERO "
+                        "contamination; rebuild the eval frame with "
+                        "the same n: gram="
+                    ),
+                    F.col("gram"),
+                )
+            ).cast("string")
+        ),
+    )
+
+
 def contamination_report(
     docs: DataFrame,
     eval_grams: DataFrame,
@@ -135,6 +174,7 @@ def contamination_report(
     training candidates; matched docs are dropped or flagged upstream
     of tokenization.
     """
+    eval_grams = _checked_gram_width(eval_grams, n, "contamination_report")
     grams = docs.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("gram")
     )
@@ -181,17 +221,20 @@ def plant_eval_leaks(
 # --------------------------------------- fuzzy (overlap-fraction) decontamination
 def _plant_id_guard(docs: DataFrame, id_col: str, id_offset: int, what: str) -> Column:
     """Plant-id collision guard shared by the leak planters: the
-    original id validated < ``id_offset`` LAZILY inside the plan
-    (raise_error on violation — a corpus whose ids reach the offset
-    would silently merge contamination stats for unrelated docs)."""
+    original id validated 0 <= id < ``id_offset`` LAZILY inside the
+    plan (raise_error on violation — a corpus whose ids reach the
+    offset would silently merge contamination stats for unrelated
+    docs; a NEGATIVE id can do the same from below, e.g.
+    -999_876 + 1_000_000 collides with real doc 124 — r15 review)."""
     return F.when(
-        F.col(id_col) >= id_offset,
+        (F.col(id_col) >= id_offset) | (F.col(id_col) < 0),
         F.raise_error(
             F.concat(
                 F.lit(
-                    f"{what}: {id_col} >= id_offset ({id_offset}) would "
-                    "collide with leak ids; raise id_offset above the "
-                    "max corpus id: got "
+                    f"{what}: {id_col} outside [0, id_offset) "
+                    f"(id_offset={id_offset}) could collide with leak "
+                    "ids; raise id_offset above the max corpus id (and "
+                    "re-id negative ids upstream): got "
                 ),
                 F.col(id_col).cast("string"),
             )
@@ -270,9 +313,17 @@ def eval_ngram_sets(
     g = eval_docs.select(
         F.col(id_col).alias("eval_id"),
         F.explode(guarded).alias("gram"),
+    ).distinct()
+    # distinct() ABOVE the explode output, not per-row: an eval_id
+    # appearing in two rows previously double-counted its grams in
+    # n_grams while collect_set capped the numerator — every overlap
+    # fraction halved and genuinely contaminated docs slipped the
+    # threshold silently (r15 review). The window count replaces the
+    # former g⋈groupBy(g) self-join, which exploded every eval item
+    # twice (same rows, one pass).
+    return g.withColumn(
+        "n_grams", F.count(F.lit(1)).over(Window.partitionBy("eval_id"))
     )
-    counts = g.groupBy("eval_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    return g.join(counts, "eval_id")
 
 
 def fuzzy_contamination_report(
@@ -307,6 +358,7 @@ def fuzzy_contamination_report(
     broadcast rows (``F.first``). ``size(collect_set())`` keeps the
     aggregation streaming-legal, bounded by the eval item's gram
     count."""
+    eval_sets = _checked_gram_width(eval_sets, n, "fuzzy_contamination_report")
     grams = docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("gram"),
@@ -368,8 +420,13 @@ def line_dedup_stats(
     (birthday) and would only mis-drop one line.
     """
     t = F.col(text_col)
+    # NULL-id guard like the mixing ops (r15 review): a NULL-id row's
+    # struct(NULL, pos) would WIN the min() owner election below, the
+    # keep test would evaluate NULL for every occurrence of that line,
+    # and the line would count as kept NOWHERE — silently dropped
+    # corpus-wide with no surviving copy
     occ = docs.filter(F.size(_tokens(t)) > 0).select(
-        F.col(id_col),
+        _checked_not_null_id(docs, id_col, "line_dedup_stats").alias(id_col),
         F.posexplode(_pseudo_lines(t, tokens_per_line)).alias("pos", "line"),
     )
     occ = occ.withColumn("__h", F.xxhash64(F.col("line")))
@@ -436,7 +493,9 @@ def hash_uniform(id_col: Column, salt: int = 0) -> Column:
     salt=0 keeps the historic multiplicative-hash values exactly
     (equidistributed on sequential ids; safe for ids < 2^31 — the
     DuckDB oracles replicate this arithmetic character-for-character).
-    salt != 0 uses ``xxhash64(id, salt)`` instead: salting the
+    (value-identical wherever the direct product doesn't overflow —
+    see ``_knuth_mod32``). salt != 0 uses ``xxhash64(id, salt)``
+    instead: salting the
     MULTIPLICATIVE hash would be an affine shift — (id+s)·K mod 2^32 =
     id·K + s·K, the same uniform offset by a constant ≈ 0.618·s, i.e.
     perfectly CORRELATED gates (sampling at 1% then splitting would
@@ -451,10 +510,34 @@ def hash_uniform(id_col: Column, salt: int = 0) -> Column:
     comparable row-by-row and must be re-derived, exactly like an IVF
     store after retraining. salt=0 values have never changed."""
     if salt == 0:
-        return ((id_col * F.lit(KNUTH)) % F.lit(_2_32)) / F.lit(float(_2_32))
+        return _knuth_mod32(id_col) / F.lit(float(_2_32))
     return F.pmod(F.xxhash64(id_col, F.lit(salt)), F.lit(_2_32)) / F.lit(
         float(_2_32)
     )
+
+
+def _knuth_mod32(id_col: Column) -> Column:
+    """(id · KNUTH) mod 2³² without 64-bit overflow — the ONE
+    multiplicative-hash kernel (``hash_uniform`` salt-0 and
+    ``shard_of``). The naive ``id * KNUTH`` reaches 2⁶⁴ for ids ≥
+    ~3.47e9 — real doc ids at the advertised scale — where it throws
+    under Spark 4's default ANSI mode, or wraps NEGATIVE without it,
+    making every sampling gate admit the doc at any rate and
+    ``shard_of`` emit negative shard ids (r15 review). Split the
+    2³²-reduced id into 16-bit halves so every intermediate stays
+    under 2⁴⁸: (x·K) mod 2³² = ((x_hi·K mod 2³²)·2¹⁶ + x_lo·K) mod
+    2³². Values are IDENTICAL to the direct expression wherever it
+    does not overflow (all test SFs, and the DuckDB oracles' literal
+    arithmetic), and negative ids now land in [0, 2³²) via pmod
+    instead of going negative."""
+    x = F.pmod(id_col, F.lit(_2_32))
+    hi = F.floor(x / F.lit(1 << 16))
+    lo = x % F.lit(1 << 16)
+    t1 = F.pmod(
+        F.pmod(hi * F.lit(KNUTH), F.lit(_2_32)) * F.lit(1 << 16), F.lit(_2_32)
+    )
+    t2 = F.pmod(lo * F.lit(KNUTH), F.lit(_2_32))
+    return F.pmod(t1 + t2, F.lit(_2_32))
 
 
 def stratified_sample(
@@ -494,8 +577,11 @@ def stratified_sample(
 def shard_of(id_col: Column, n_shards: int) -> Column:
     """Deterministic shard id in [0, n_shards): multiplicative hash of
     the document id. Pure row function — stable across runs, retries,
-    and input partitioning (unlike round-robin repartition)."""
-    return ((id_col * F.lit(KNUTH)) % F.lit(_2_32) % F.lit(n_shards)).cast("int")
+    and input partitioning (unlike round-robin repartition). The
+    overflow-safe kernel keeps the contract for negative and >2³¹ ids
+    (the naive product went negative — shard=-K directories downstream
+    readers never enumerate; r15 review)."""
+    return (_knuth_mod32(id_col) % F.lit(n_shards)).cast("int")
 
 
 def save_corpus_shards(
@@ -622,15 +708,15 @@ def packed_slice_rows(
     # first). With the guard on both sides, WHICHEVER stage runs
     # first evaluates its own raise.
     def checked_id(frame: DataFrame) -> F.Column:
-        return F.when(
-            F.col(id_col).isNull(),
-            F.raise_error(
-                F.lit(
-                    f"packed shards: NULL {id_col} — slices cannot be joined "
-                    f"back to an id-less document; assign ids upstream"
-                )
-            ).cast(frame.schema[id_col].dataType),
-        ).otherwise(F.col(id_col))
+        # the module-wide guard with this op's remedy text (one
+        # kernel, not a drifting copy — r15 review)
+        return _checked_not_null_id(
+            frame,
+            id_col,
+            "packed shards",
+            detail="slices cannot be joined back to an id-less "
+            "document; assign ids upstream",
+        )
 
     packed = packed.withColumn(id_col, checked_id(packed))
     docs = docs.withColumn(id_col, checked_id(docs))
@@ -817,13 +903,32 @@ def token_budget_cap(
         F.size(_tokens(t)).cast("bigint").alias("n_tokens"),
         quality_score(t).alias("__q"),
     )
-    w = (
-        Window.partitionBy(strata_col)
-        .orderBy(F.desc("__q"), F.asc(id_col))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    order = Window.partitionBy(strata_col).orderBy(F.desc("__q"), F.asc(id_col))
+    w = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # determinism guard (r15 review): two rows sharing (stratum, __q,
+    # id) — a duplicated doc id — are interchangeable under the sort,
+    # so the ROWS-frame running sum would admit a DIFFERENT physical
+    # row run-to-run at the budget boundary. Equal-(q, id) rows are
+    # ADJACENT in this order, so a lag comparison detects them with
+    # zero extra exchange (it shares the window sort); fail loud like
+    # packed_slice_rows does for the same input.
+    cum = F.when(
+        F.lag(F.col(id_col)).over(order).eqNullSafe(F.col(id_col))
+        & F.lag(F.col("__q")).over(order).eqNullSafe(F.col("__q")),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"token_budget_cap: duplicate {id_col} within a "
+                    "stratum at equal quality — the greedy cut would be "
+                    "nondeterministic at the budget boundary; dedupe "
+                    f"ids upstream: {id_col}="
+                ),
+                F.col(id_col).cast("string"),
+            )
+        ).cast("bigint"),
+    ).otherwise(F.sum("n_tokens").over(w))
     return (
-        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        scored.withColumn("cum_tokens", cum)
         .filter(F.col("cum_tokens") <= budget_tokens)
         .drop("__q")
     )
@@ -1151,17 +1256,21 @@ def pack_sequences_scaled(
     )
 
 
-def _checked_not_null_id(docs: DataFrame, id_col: str, op: str) -> Column:
+def _checked_not_null_id(
+    docs: DataFrame,
+    id_col: str,
+    op: str,
+    detail: str = "deterministic hashing needs an id; assign ids upstream",
+) -> Column:
     """The id column with a lazy in-plan NULL guard (raise_error rides
-    the hash evaluation — no extra pass), shared by the mixing ops."""
+    the hash evaluation — no extra pass) — THE one NULL-id kernel
+    (mixing ops, line dedup, packed shards); ``detail`` carries the
+    op-specific remedy."""
     return F.when(
         F.col(id_col).isNull(),
-        F.raise_error(
-            F.lit(
-                f"{op}: NULL {id_col} — deterministic hashing needs an "
-                "id; assign ids upstream"
-            )
-        ).cast(docs.schema[id_col].dataType),
+        F.raise_error(F.lit(f"{op}: NULL {id_col} — {detail}")).cast(
+            docs.schema[id_col].dataType
+        ),
     ).otherwise(F.col(id_col))
 
 
