@@ -1579,3 +1579,38 @@ def test_bare_string_col_hooks_fail_loud(spark):
     model = LM.bigram_lm_train(docs)
     with pytest.raises(TypeError, match="bare string"):
         LM.make_bigram_scorer(model, carry_cols="lang")
+
+
+def test_scaled_twins_share_the_dup_tie_guard(spark):
+    """The 'identical greedy-prefix output' contract includes the
+    raise (r15 fix-review): the scaled budget/packing twins and
+    pack_sequences guard duplicate-id order ties like
+    token_budget_cap."""
+    dup = spark.createDataFrame(
+        [(1, "wiki", "alpha beta gamma"), (1, "wiki", "alpha beta gamma")],
+        "doc_id long, source string, text string",
+    )
+    with pytest.raises(Exception, match="token_budget_cap_scaled: duplicate"):
+        CU.token_budget_cap_scaled(dup, budget_tokens=100).collect()
+    with pytest.raises(Exception, match="pack_sequences: duplicate"):
+        CU.pack_sequences(dup, seq_len=4).collect()
+    with pytest.raises(Exception, match="pack_sequences_scaled: duplicate"):
+        CU.pack_sequences_scaled(dup, seq_len=4, substratum_width=10).collect()
+    ok = spark.createDataFrame(
+        [(1, "wiki", "alpha beta gamma"), (2, "wiki", "alpha beta gamma")],
+        "doc_id long, source string, text string",
+    )
+    assert CU.token_budget_cap_scaled(ok, budget_tokens=100).count() == 2
+    assert CU.pack_sequences(ok, seq_len=4).count() == 2
+    assert CU.pack_sequences_scaled(ok, seq_len=4, substratum_width=10).count() == 2
+
+
+def test_plant_guard_rejects_null_ids(spark):
+    """A NULL id made the whole guard predicate NULL and fell through
+    to otherwise — the one row silently bypassing the module's
+    NULL-id discipline (r15 fix-review)."""
+    docs = spark.createDataFrame(
+        [(None, "x y z"), (124, "p q r")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="outside"):
+        CU.plant_eval_leaks(docs).collect()

@@ -56,6 +56,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ._guards import check_cols_tuple
+
 from .selection import _gram_features
 
 
@@ -90,12 +92,7 @@ def doc_feature_vectors(
     downstream admission never re-joins the doc-cardinality corpus to
     recover them (the make_bigram_scorer carry_cols= convention,
     lm.py)."""
-    if isinstance(carry_cols, str):
-        # a bare string iterates character-by-character (r15 review)
-        raise TypeError(
-            f"carry_cols must be a sequence of column names, got the "
-            f"bare string {carry_cols!r} — write ({carry_cols!r},)"
-        )
+    check_cols_tuple("carry_cols", carry_cols)
     feats = _gram_features(docs, num_buckets, ns, id_col, text_col)
     per_doc = (
         feats.groupBy("id")

@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._guards import check_cols_tuple
 from .corpus import _pseudo_lines, _tokens
 from .dedup import shingles
 from .text import quality_score
@@ -67,14 +68,7 @@ def pii_redact(
     map-only projection (composition callers would otherwise pay a
     doc-cardinality re-join to recover them).
     """
-    if isinstance(keep_cols, str):
-        # a bare string silently iterates character-by-character —
-        # F.col('l'), F.col('a'), ... — for the near-certain typo
-        # keep_cols="lang" (r15 review)
-        raise TypeError(
-            f"keep_cols must be a sequence of column names, got the "
-            f"bare string {keep_cols!r} — write ({keep_cols!r},)"
-        )
+    check_cols_tuple("keep_cols", keep_cols)
     t = F.col(text_col)
     after_email = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
     after_ip = F.regexp_replace(after_email, PII_IPV4, "<IP>")
@@ -227,16 +221,24 @@ def _plant_id_guard(docs: DataFrame, id_col: str, id_offset: int, what: str) -> 
     docs; a NEGATIVE id can do the same from below, e.g.
     -999_876 + 1_000_000 collides with real doc 124 — r15 review)."""
     return F.when(
-        (F.col(id_col) >= id_offset) | (F.col(id_col) < 0),
+        # isNull FIRST: without it a NULL id makes the whole predicate
+        # NULL and when() falls through to otherwise — the NULL-id row
+        # silently bypassing the guard (r15 fix-review), against the
+        # module's NULL-id-fails-loud discipline
+        F.col(id_col).isNull()
+        | (F.col(id_col) >= id_offset)
+        | (F.col(id_col) < 0),
         F.raise_error(
             F.concat(
                 F.lit(
                     f"{what}: {id_col} outside [0, id_offset) "
                     f"(id_offset={id_offset}) could collide with leak "
                     "ids; raise id_offset above the max corpus id (and "
-                    "re-id negative ids upstream): got "
+                    "re-id NULL/negative ids upstream): got "
                 ),
-                F.col(id_col).cast("string"),
+                # coalesce: a NULL id must not NULL-out the message
+                # (concat propagates NULL and raise_error needs text)
+                F.coalesce(F.col(id_col).cast("string"), F.lit("NULL")),
             )
         ).cast(docs.schema[id_col].dataType),
     ).otherwise(F.col(id_col))
@@ -905,33 +907,49 @@ def token_budget_cap(
     )
     order = Window.partitionBy(strata_col).orderBy(F.desc("__q"), F.asc(id_col))
     w = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    # determinism guard (r15 review): two rows sharing (stratum, __q,
-    # id) — a duplicated doc id — are interchangeable under the sort,
-    # so the ROWS-frame running sum would admit a DIFFERENT physical
-    # row run-to-run at the budget boundary. Equal-(q, id) rows are
-    # ADJACENT in this order, so a lag comparison detects them with
-    # zero extra exchange (it shares the window sort); fail loud like
-    # packed_slice_rows does for the same input.
-    cum = F.when(
-        F.lag(F.col(id_col)).over(order).eqNullSafe(F.col(id_col))
-        & F.lag(F.col("__q")).over(order).eqNullSafe(F.col("__q")),
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    f"token_budget_cap: duplicate {id_col} within a "
-                    "stratum at equal quality — the greedy cut would be "
-                    "nondeterministic at the budget boundary; dedupe "
-                    f"ids upstream: {id_col}="
-                ),
-                F.col(id_col).cast("string"),
-            )
-        ).cast("bigint"),
-    ).otherwise(F.sum("n_tokens").over(w))
+    cum = _dup_tie_guard(
+        order,
+        [F.col(id_col), F.col("__q")],
+        id_col,
+        "token_budget_cap",
+        F.sum("n_tokens").over(w),
+    )
     return (
         scored.withColumn("cum_tokens", cum)
         .filter(F.col("cum_tokens") <= budget_tokens)
         .drop("__q")
     )
+
+
+def _dup_tie_guard(
+    order, tie_cols: list[Column], id_col: str, op: str, value: Column
+) -> Column:
+    """Determinism guard for the greedy window forms (r15 review, all
+    FOUR budget/packing twins): two rows equal on every ``tie_cols``
+    under ``order`` are interchangeable in the sort, so the running
+    sum would admit a DIFFERENT physical row run-to-run at the cut
+    boundary. Such rows are ADJACENT in ``order`` by construction
+    (the tie columns are a prefix/whole of the sort key within the
+    window's partition), so a lag comparison detects them with ZERO
+    extra exchange — it rides the window sort the caller already
+    pays. Returns ``value`` guarded: raises on a detected tie."""
+    cond = None
+    for c in tie_cols:
+        e = F.lag(c).over(order).eqNullSafe(c)
+        cond = e if cond is None else (cond & e)
+    return F.when(
+        cond,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"{op}: duplicate {id_col} at an order tie — the "
+                    "greedy cut would be nondeterministic at the "
+                    f"boundary; dedupe ids upstream: {id_col}="
+                ),
+                F.col(id_col).cast("string"),
+            )
+        ).cast("bigint"),
+    ).otherwise(value)
 
 
 def _two_phase_prefix_sum(
@@ -1085,6 +1103,23 @@ def token_budget_cap_scaled(
         quality_score(t).alias("__q"),
         F.floor(F.col(id_col) / substratum_width).cast("bigint").alias("__sub"),
     )
+    # the plain twin's determinism guard, scaled form (r15 fix-review
+    # — the 'identical output' contract includes the raise): equal
+    # (stratum, __q, id) rows share a piece, so the within-piece id
+    # order makes them adjacent there
+    dup_order = Window.partitionBy(strata_col, "__q", "__sub").orderBy(
+        F.asc(id_col)
+    )
+    scored = scored.withColumn(
+        "n_tokens",
+        _dup_tie_guard(
+            dup_order,
+            [F.col(id_col)],
+            id_col,
+            "token_budget_cap_scaled",
+            F.col("n_tokens"),
+        ),
+    )
     return (
         _two_phase_prefix_sum(
             scored,
@@ -1140,12 +1175,18 @@ def pack_sequences(
         F.col(strata_col),
         F.size(_tokens(t)).cast("bigint").alias("n_tokens"),
     )
-    w = (
-        Window.partitionBy(strata_col)
-        .orderBy(F.asc(id_col))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    order = Window.partitionBy(strata_col).orderBy(F.asc(id_col))
+    w = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # id alone is the packing order, so ANY duplicate id in a stratum
+    # is a nondeterministic concat order — guard like the budget twin
+    # (r15 fix-review)
+    cum_before = _dup_tie_guard(
+        order,
+        [F.col(id_col)],
+        id_col,
+        "pack_sequences",
+        F.sum("n_tokens").over(w) - F.col("n_tokens"),
     )
-    cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
     return counted.select(
         F.col(id_col),
         F.col(strata_col),
@@ -1234,6 +1275,20 @@ def pack_sequences_scaled(
         F.col(strata_col),
         F.size(_tokens(t)).cast("bigint").alias("n_tokens"),
         F.floor(F.col(id_col) / substratum_width).cast("bigint").alias("__sub"),
+    )
+    # the plain twin's determinism guard, scaled form (r15 fix-review):
+    # duplicate ids share an id-range piece, so the within-piece id
+    # order makes them adjacent there
+    dup_order = Window.partitionBy(strata_col, "__sub").orderBy(F.asc(id_col))
+    counted = counted.withColumn(
+        "n_tokens",
+        _dup_tie_guard(
+            dup_order,
+            [F.col(id_col)],
+            id_col,
+            "pack_sequences_scaled",
+            F.col("n_tokens"),
+        ),
     )
     # cum_before = inclusive running sum minus own count; NULL-text
     # docs get NULL seq_id/seq_offset exactly like the window form

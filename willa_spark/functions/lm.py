@@ -48,6 +48,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ._guards import check_cols_tuple
+
 BOS = "<s>"
 EOS = "</s>"
 
@@ -673,12 +675,7 @@ def make_bigram_scorer(
     ``scorer``: "jm" (Jelinek-Mercer) or "kn" (Kneser-Ney);
     cross-scorer knobs fail LOUD via the shared
     ``_check_scorer_knobs``."""
-    if isinstance(carry_cols, str):
-        # a bare string iterates character-by-character (r15 review)
-        raise TypeError(
-            f"carry_cols must be a sequence of column names, got the "
-            f"bare string {carry_cols!r} — write ({carry_cols!r},)"
-        )
+    check_cols_tuple("carry_cols", carry_cols)
     plan, do_broadcast = _frozen_plan(
         model, scorer, lam, alpha, discount, broadcast_max_rows
     )
