@@ -6619,39 +6619,42 @@ def q_classifier_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recall_audio_fp in that same r17 cohort). Machine-checked by
 # test_rotation.py as always.
 #
-# Rests 73 = the 10 EXHIBITION retirees (r12-green; every-4th-round
-# cadence from r18 — see the EXHIBITION block below) + the 29
+# Rests 73 = the 14 EXHIBITION retirees (10 r12-green from the r14
+# tranche + 4 r14-green from tranche-2, FIRED mid-r15 — see the
+# EXHIBITION block below; every-4th-round cadence from r18) + the 29
 # r13-gate names not kept in r14 (due r16, unchanged below; every
 # one green hash-grade or twin-proved rows-only in CORRECTNESS_r13;
 # all 8 rows-only names rest there WITH an oracle twin in the same
-# cohort) + the 34 r14-gate names not kept here (due r17; every one
+# cohort) + the 30 r14-gate names not kept here (due r17; every one
 # green hash-grade in CORRECTNESS_r14 except the by-design rows-only
 # audio_fingerprint_dups, twin-proved in-gate r14 and resting WITH
 # recall_audio_fp in this same r17 cohort).
 #
-# FORWARD SCHEDULE (registry 123 = 113 on period-3 + 10 exhibition):
+# FORWARD SCHEDULE (registry 123 = 109 on period-3 + 14 exhibition):
 #   r16 gate = the 29 r13-green rests + up to 21 keeps/new. All 8
 #   rows-only names return here WITH their twins in-cohort
 #   (minhash->recall_minhash, simhash->precision_simhash,
 #   winnow->recall_winnow, phash->precision_image_phash,
 #   video->both, audio_seg->recall_audio_seg, ann_lsh->recall_ann_lsh,
 #   ann_ivf->recall_ann_ivf).
-#   r17 gate = the 34 r14-green rests (audio_fingerprint_dups with
-#   recall_audio_fp in-cohort) + up to 16 keeps/new.
-#   r18 = the first EXHIBITION round: the 10 retirees AND the 16
-#   r15-keeps are due; EXHIBITION_ROUND flips True in that round's
-#   gate-edit commit (bench reads it) and back False at its close;
-#   next exhibition round r22.
+#   r17 gate = the 30 r14-green rests (audio_fingerprint_dups with
+#   recall_audio_fp in-cohort) + up to 20 keeps/new.
+#   r18 = the first EXHIBITION round: the 14 retirees (both tranches)
+#   AND the 16 r15-keeps are due (30 names, within cap);
+#   EXHIBITION_ROUND flips True in that round's gate-edit commit
+#   (bench reads it) and back False at its close; next exhibition
+#   round r22.
 #
 # CAPACITY POLICY (the r12 verdict's #6, decided BEFORE the wall;
 # option (a) EXECUTED r14 — see EXHIBITION below): period-3 at gate
 # 50 covers at most 150 rotating names; the rotating population is
-# 113 -> 37 free slots, i.e. ~4 more rounds of growth at the
+# 109 -> 41 free slots, i.e. ~4-5 more rounds of growth at the
 # r11-r15 cadence (1-3 registrations/round). When a further
 # registration would push past 150, the registering round executes,
-# in order of preference: (a) RETIRE redundant sub-second relational
-# rows into the rotating EXHIBITION set (the pre-committed tranche-2
-# below); then (b) widen the gate only if the driver's 50-row
+# in order of preference: (a) RETIRE redundant relational rows into
+# the rotating EXHIBITION set (tranches 1+2 both fired — the next
+# tranche must be NAMED with arithmetic before it is needed, see the
+# lever record below); then (b) widen the gate only if the driver's 50-row
 # recording cap rises (it is the driver's limit, not ours); else (c)
 # cap registration. The trigger round runs (a) in the SAME round as
 # its registration commit, with the arithmetic recorded here.
@@ -6672,23 +6675,31 @@ def q_classifier_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at registration time, ~1.8 s headroom in a ±18 s same-tree noise
 # band.
 #
-# PRE-COMMITTED NEXT LEVER (the r14 verdict's #3 — decide BEFORE the
-# close, with arithmetic): if TWO quiet-window close runs read
-# >150 s (the r13/r14 precedent; never serial-re-run fishing), the
-# round retires the SECOND EXHIBITION TRANCHE in the same round:
-# { distinct_parts_per_supplier 1.09, late_shipment_priorities 1.09,
-#   regional_supplier_volume 1.00, top_parts_per_supplier 1.63 }
-# (BENCH_LAST driver-record prices; sum 4.81 s driver / ≈4.0 s
-# quiet) — all four are §2.6 relational-superset rows whose
-# operators the composed rows + the omitted-parity pytest keep
-# covered, all rest due r17 at r15 so the retirement touches no
-# live gate, and it frees 12 period-3 slots. Escalation if still
-# over: + pricing_summary (0.67 driver; gate-visible at r15, so the
-# gate shrinks to 49 — acceptable, its oracle stays pinned). NOT
-# eligible: anti_join_customers (the set-op exemplar deliberately
-# left rotating), skew_salted_agg/join (skew-discipline exemplars,
-# not redundant). Beyond that: trim the keep list (keeps are
-# discretionary by construction).
+# LEVER RECORD r15: the pre-committed TRANCHE-2 lever FIRED — two
+# close-window runs read 186.2 / 181.6 s (quiet 1-min starts 0.55 /
+# 0.97; the trigger precedent, never serial-re-run fishing). The four
+# named rows ({distinct_parts_per_supplier, late_shipment_priorities,
+# regional_supplier_volume, top_parts_per_supplier}, ≈4.8 s at this
+# day's prices) moved to EXHIBITION; all were r14-green resting due
+# r17, so no live gate was touched, and 12 period-3 slots freed. The
+# pricing_summary ESCALATION was deliberately NOT fired: −0.67 s
+# cannot change a ~180 s reading, and it would cost a live driver
+# row. The residual excess is weather-class by per-query
+# decomposition (BASELINE.md r15 addenda: shared-111 uniform 1.27×
+# vs the r14 quiet close incl. plan-untouched rows; an ISOLATED
+# quiet re-measure of the biggest mover read 1.1-1.25×).
+# PRE-COMMITTED NEXT LEVER (r16+, decide-before-need): a THIRD
+# tranche is NOT pre-approved — the relational superset's remaining
+# sub-second rows (pricing_summary 0.67, order_priority_counts-kin)
+# sum under ~2 s and cannot close a weather-band gap; if two r16
+# quiet closes exceed 150 on a NON-weather decomposition (movers
+# concentrated in touched plans), trim proof overhead on the named
+# movers first (budget policy (a)), then raise the ceiling explicitly
+# with arithmetic (policy (c)) — weather-band readings are
+# adjudicated by decomposition + isolated re-measure, not levers.
+# NOT eligible ever: anti_join_customers (the set-op exemplar
+# deliberately left rotating), skew_salted_agg/join (skew-discipline
+# exemplars, not redundant).
 #
 # Previous rounds for the record: r14 registered 121 (119 + ccnet_
 # perplexity / domain_mixture_weights); gate = 27 r11-cohort returns
@@ -6768,6 +6779,17 @@ EXHIBITION = frozenset(
         "semi_join_customers",  # 0.25 s — LEFT SEMI
         "shipping_priority",  # 0.66 s — TPC-H Q3 shape
         "top_customers",  # 0.42 s — top-n per group
+        # -- TRANCHE 2 (r15, the PRE-COMMITTED lever above, fired on
+        # -- two >150 s close windows: 186.2 / 181.6 from quiet
+        # -- starts; BASELINE.md r15 addenda carry the arithmetic and
+        # -- the weather adjudication). All four r14-green hash-grade,
+        # -- resting due r17 at firing time — no live gate touched;
+        # -- their operators stay covered by the composed rows + the
+        # -- omitted-parity pytest. 12 period-3 slots freed.
+        "distinct_parts_per_supplier",  # 1.09 s — count-distinct rollup
+        "late_shipment_priorities",  # 1.09 s — date-window filter joins
+        "regional_supplier_volume",  # 1.00 s — multi-join agg (TPC-H Q5 kin)
+        "top_parts_per_supplier",  # 1.63 s — top-n per group (wide)
     }
 )
 
@@ -6807,10 +6829,12 @@ DRIVER_OMIT = EXHIBITION | frozenset(
         "video_fingerprint_dups",
         "windowed_outer_join",
         "winnow_overlap_pairs",
-        # -- r14-gate names not kept in r15 (34): due r17; every one
+        # -- r14-gate names not kept in r15 (30): due r17; every one
         # -- green hash-grade in CORRECTNESS_r14 except the by-design
         # -- rows-only audio_fingerprint_dups, which rests WITH its
         # -- green oracle twin recall_audio_fp in this same cohort.
+        # -- (Four more r14-green rows left this cohort mid-r15 for
+        # -- the EXHIBITION tranche-2 — see the frozenset below.)
         "audio_fingerprint_dups",
         "bpe_consistency_bands",
         "broadcast_enrich",
@@ -6818,14 +6842,12 @@ DRIVER_OMIT = EXHIBITION | frozenset(
         "cms_heavy_hitters",
         "decontaminate",
         "decontaminate_fuzzy",
-        "distinct_parts_per_supplier",
         "domain_mixture_weights",
         "dup_line_filter",
         "dup_ngram_spans",
         "epoch_shuffle_bands",
         "hybrid_rrf_topk",
         "ivfpq_recall_bands",
-        "late_shipment_priorities",
         "line_dedup",
         "normalize_docs",
         "packed_sequences_loaded",
@@ -6837,13 +6859,11 @@ DRIVER_OMIT = EXHIBITION | frozenset(
         "recall_audio_fp",
         "recall_image_phash",
         "recall_simhash",
-        "regional_supplier_volume",
         "regrouped_retraction",
         "repetition_ngram_filter",
         "sketch_profile_bands",
         "suppressed_window_final",
         "table_table_asof",
-        "top_parts_per_supplier",
         "windowed_left_join",
     }
 )
