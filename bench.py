@@ -167,6 +167,12 @@ HEADLINE = [
 ]
 
 
+# Optimization rounds bench the complete registry (see the call site
+# in main() for the rationale); flip to False only if a future round
+# explicitly reinstates the exhibition cadence for the bench record.
+BENCH_FULL_REGISTRY = True
+
+
 def derive_bench_list(headline, queries, exhibition, exhibition_round, env_flag):
     """The ONE bench-list derivation, pure so the r18 exhibition-round
     mechanics are testable BEFORE that round runs them for real
@@ -221,7 +227,15 @@ def main() -> int:
         HEADLINE,
         QUERIES,
         EXHIBITION,
-        EXHIBITION_ROUND,
+        # OPTIMIZATION ROUNDS (r15+): the bench times EVERY registered
+        # query path — the optimization mandate covers all operators,
+        # and a bench entry present in the r14 record must never
+        # disappear from later records (the exhibition skip predates
+        # this rule; tranche-2 had removed 4 rows that were still in
+        # BENCH_r14). Exhibition skipping is suspended; the rotation
+        # mechanics and their tests stay intact for any future
+        # non-optimization cadence.
+        EXHIBITION_ROUND or BENCH_FULL_REGISTRY,
         os.environ.get("SPARK_GRAFT_EXHIBITION"),
     )
     if stale:

@@ -56,6 +56,7 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ._fastlit import lit_doubles
 from ._guards import check_cols_tuple
 
 from .selection import _gram_features
@@ -177,7 +178,10 @@ def _margin(feats: Column, weights: list[float]) -> Column:
     literal weight array (bias is weights[-1], reached through the
     same bucket indexing) — map-side, no join, the codebook-literal
     discipline."""
-    wl = F.lit([float(w) for w in weights])
+    # ONE expr parse instead of a py4j round trip per weight — the
+    # K+1-double literal is rebuilt EVERY epoch, and the r15 profile
+    # measured 1.57 s per F.lit(list) construction vs 5.6 ms (_fastlit)
+    wl = lit_doubles(weights)
     return F.aggregate(
         feats,
         F.lit(0.0),

@@ -50,6 +50,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ._fastlit import lit_double_rows
 from .multimodal import _bound
 from .similarity import _as_double, cosine, norm
 
@@ -71,7 +72,10 @@ def _l2_dists(slice_col: Column, codebook: list[list[float]]) -> Column:
         # transform form would otherwise build an invalid literal
         # (r11 review; same guard in _centroid_sims)
         return F.array().cast("array<double>")
-    cbl = F.lit([[float(x) for x in c] for c in codebook])
+    # ONE py4j call + one parsed expression (bit-identical values) —
+    # F.lit(nested list) paid a py4j round trip per element, which the
+    # r15 profile showed dominating the PQ rows' wall (see _fastlit)
+    cbl = lit_double_rows(codebook)
     return _bound(
         slice_col,
         lambda s: F.transform(
@@ -436,8 +440,9 @@ def pq_topk(
 def _cents_lit(centroids: list[list[float]]) -> Column:
     # one nested-array literal, not cells × dim unrolled F.lit nodes —
     # the _l2_dists rationale applied to the residual path's centroid
-    # table (r11 review: this was the one literal left unrolled)
-    return F.lit([[float(x) for x in c] for c in centroids])
+    # table (r11 review: this was the one literal left unrolled);
+    # r15: built via ONE expr parse, not per-element py4j (_fastlit)
+    return lit_double_rows(centroids)
 
 
 def _residual(vec: Column, cell: Column, centroids: list[list[float]]) -> Column:

@@ -23,6 +23,8 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ._fastlit import lit_double_rows, lit_doubles
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -346,8 +348,12 @@ def _centroid_sims(vec: Column, centroids: list[list[float]]) -> Column:
         # transform form would otherwise build sequence(0, -1) and an
         # invalid element_at(…, 0) runtime error (r11 review)
         return F.array().cast("array<double>")
-    cl = F.lit([[float(x) for x in c] for c in centroids])
-    nl = F.lit([math.sqrt(sum(x * x for x in c)) or 1.0 for c in centroids])
+    # r15: both literals built via ONE expr parse each instead of
+    # per-element py4j round trips (bit-identical values — _fastlit)
+    cl = lit_double_rows(centroids)
+    nl = lit_doubles(
+        math.sqrt(sum(x * x for x in c)) or 1.0 for c in centroids
+    )
     return F.transform(
         F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
         lambda i: F.try_divide(
