@@ -52,6 +52,32 @@ def lit_doubles(values) -> Column:
     return F.expr("array(" + ",".join(_render(v) for v in vs) + ")")
 
 
+def lit_double_cube(cubes) -> Column:
+    """ONE array<array<array<double>>> literal — the full-codebook-set
+    form (codebooks[j][c][d]), so ONE expression can iterate subspaces
+    with ``transform(sequence(0, m-1), …)`` instead of m Python-built
+    trees."""
+    cs = [[[float(x) for x in r] for r in rows] for rows in cubes]
+    if not cs or any(not rows or any(not r for r in rows) for rows in cs):
+        # degenerate shapes never occur for trained codebooks; keep the
+        # classic (typed-correct, slow) form rather than mistype them
+        return F.lit(cs) if cs else F.array().cast(
+            "array<array<array<double>>>"
+        )
+    return F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                "array(" + ",".join(_render(x) for x in r) + ")" for r in rows
+            )
+            + ")"
+            for rows in cs
+        )
+        + ")"
+    )
+
+
 def lit_double_rows(rows) -> Column:
     """ONE array<array<double>> literal — the nested (codebook /
     centroid-table) twin of ``lit_doubles``."""

@@ -16,9 +16,10 @@ Spark-first shape (the part that matters at 100 TB):
   centroids and the union-find cap probe), (c) the merge applied to
   the symbol arrays by a linear ``F.aggregate`` fold (left-to-right
   non-overlapping, matching the classic implementations), then
-  ``localCheckpoint(eager=True)`` so the lazy plan never deepens with
-  the round count. Rounds are sequential BY THE ALGORITHM (merge k+1
-  depends on merge k) — the parallelism is within each round.
+  a LAZY ``localCheckpoint`` so the plan never deepens with the round
+  count (the next round's collect materializes it inside its own job —
+  one job per round, not two). Rounds are sequential BY THE ALGORITHM
+  (merge k+1 depends on merge k) — the parallelism is within each round.
 - Encoding NEVER runs per corpus token: ``segment_words`` applies the
   merge list to the distinct-word table (same fold kernel, one
   checkpointed pass per symbol-disjoint merge BATCH — O(|batches|)
@@ -210,7 +211,15 @@ def bpe_train(
     words = word_counts(docs, text_col).select(
         _initial_symbols(F.col("word")).alias("sym"), "count"
     )
-    words = words.localCheckpoint(eager=True)
+    # LAZY checkpoints throughout the round loop (r15): each round's
+    # argmax collect materializes the pending checkpoint as part of
+    # its own job, so a round costs ONE Spark job instead of two
+    # (collect + eager-checkpoint). Identical computation and blocks —
+    # only the materialization rides the next action instead of a
+    # dedicated dispatch. At sf0.1 this halved the row's job count
+    # (16 merge rounds); at scale it saves a scheduler round trip per
+    # merge with the same O(vocab) checkpoint state.
+    words = words.localCheckpoint(eager=False)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         top = (
@@ -233,7 +242,7 @@ def bpe_train(
         # O(rounds x vocab), without a fake explicit release
         words = words.select(
             _apply_merge(F.col("sym"), a, b).alias("sym"), "count"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return merges
 
 
@@ -247,14 +256,18 @@ def segment_words(words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
     production-size merge list's long disjoint tail folds ~32 merges
     per pass. This is the vocabulary-sized half of encoding — corpus
     volume never enters here."""
+    # lazy checkpoints, as in bpe_train's round loop (r15): the
+    # caller's first action (usually _vocab_hint's count probe)
+    # materializes the whole batch chain in one job instead of one
+    # job per batch, with the same blocks cached afterwards
     seg = words.select(
         "word", _initial_symbols(F.col("word")).alias("pieces")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     for batch in _merge_batches(merges):
         # rebind-and-GC release, same as bpe_train's round loop
         seg = seg.select(
             "word", _apply_merge_batch(F.col("pieces"), batch).alias("pieces")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return seg
 
 

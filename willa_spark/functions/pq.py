@@ -50,47 +50,43 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ._fastlit import lit_double_rows
+from ._fastlit import lit_double_cube, lit_double_rows
 from .multimodal import _bound
 from .similarity import _as_double, cosine, norm
 
 
-def _l2_dists(slice_col: Column, codebook: list[list[float]]) -> Column:
-    """Array of squared L2 distances from a (bound) subspace slice to
-    every codebook centroid — each distance appears in the tree
-    exactly once (the _centroid_sims rule). The codebook enters as ONE
-    nested-array literal under a single ``transform`` instead of k
-    unrolled aggregate expressions: bitwise-identical distances (same
-    zip_with/aggregate fold per centroid, codebook order), but the
-    Column tree is k× smaller — the unrolled form's ~2k py4j HOF
-    constructions per subspace dominated pq_train/pq_encode wall time
-    at small scale (measured 5.7 s → 1.6 s for m=8, k=16 trees) and
-    bloated every plan that embedded the codebooks."""
-    if not codebook:
-        # the unrolled form's F.array() empty-distances path (→ NULL
-        # argmin → the family's exclusion route), preserved — the
-        # transform form would otherwise build an invalid literal
-        # (r11 review; same guard in _centroid_sims)
-        return F.array().cast("array<double>")
-    # ONE py4j call + one parsed expression (bit-identical values) —
-    # F.lit(nested list) paid a py4j round trip per element, which the
-    # r15 profile showed dominating the PQ rows' wall (see _fastlit)
-    cbl = lit_double_rows(codebook)
-    return _bound(
-        slice_col,
-        lambda s: F.transform(
-            cbl,
-            lambda c: F.aggregate(
-                F.zip_with(s, c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, d: acc + d,
+def _subspace_map(vec: Column, codebooks, inner=None) -> Column:
+    """``transform(sequence(0, m-1), j -> inner(dists_j))`` where
+    ``dists_j`` is the j-th slice's per-centroid squared-L2 array
+    against ``codebooks[j]`` — the SAME per-element arithmetic as the
+    unrolled ``F.array(*[_l2_dists(slice_j, cb_j) …])`` form (slice
+    bound once per subspace, one zip_with/aggregate fold per centroid,
+    codebook order preserved), but built as ONE Python expression tree
+    over ONE 3-level literal instead of m trees: the unrolled form's
+    ~m×40 ms of py4j lambda/HOF construction per call site dominated
+    the PQ rows' driver time (r15 profile: 10k py4j round trips per
+    ivfpq build). ``inner`` (e.g. the argmin) is lambda-BOUND over the
+    distance array exactly as the unrolled form bound it."""
+    m, sub = len(codebooks), len(codebooks[0][0])
+    cb3 = lit_double_cube(codebooks)
+
+    def dists(j):
+        return _bound(
+            F.slice(vec, j * F.lit(sub) + F.lit(1), F.lit(sub)),
+            lambda s: F.transform(
+                F.element_at(cb3, j + F.lit(1)),
+                lambda c: F.aggregate(
+                    F.zip_with(s, c, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, d: acc + d,
+                ),
             ),
-        ),
+        )
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        (lambda j: _bound(dists(j), inner)) if inner else dists,
     )
-
-
-def _sub_slices(vec: Column, m: int, sub: int) -> list[Column]:
-    return [F.slice(vec, j * sub + 1, sub) for j in range(m)]
 
 
 def _unit(vec: Column) -> Column:
@@ -182,16 +178,12 @@ def pq_train(
         for j in range(m)
     ]
     for _ in range(n_iters):
-        cids = F.array(
-            *[
-                _bound(
-                    _l2_dists(s, codebooks[j]),
-                    lambda d: (
-                        F.array_position(d, F.array_min(d)) - 1
-                    ).cast("int"),
-                )
-                for j, s in enumerate(_sub_slices(F.col("v"), m, sub))
-            ]
+        # ONE fused tree per round (same arithmetic as the m unrolled
+        # argmin trees — see _subspace_map)
+        cids = _subspace_map(
+            F.col("v"),
+            codebooks,
+            lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int"),
         )
         # cids staged BEFORE the explode so the m argmins run once per
         # vector, not once per exploded element (Generate blocks
@@ -228,16 +220,11 @@ def pq_assign_code(vec: Column, codebooks: list[list[list[float]]]) -> Column:
     """array<int> of ``m`` nearest-centroid indices (first-index
     tie-break); a NULL vector yields NULL code ELEMENTS, whose NULL
     ADC distance the search filters out."""
-    m = len(codebooks)
-    sub = len(codebooks[0][0])
-    codes = [
-        _bound(
-            _l2_dists(s, codebooks[j]),
-            lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int"),
-        )
-        for j, s in enumerate(_sub_slices(vec, m, sub))
-    ]
-    return F.array(*codes)
+    return _subspace_map(
+        vec,
+        codebooks,
+        lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int"),
+    )
 
 
 def pq_encode(
@@ -381,14 +368,7 @@ def pq_topk(
     the exact scores, ADC only shortlists (the two-stage recipe; R ≫ k
     buys recall back from the quantization error)."""
     m = len(codebooks)
-    luts = F.array(
-        *[
-            _l2_dists(s, codebooks[j])
-            for j, s in enumerate(
-                _sub_slices(F.col("__qv"), m, len(codebooks[0][0]))
-            )
-        ]
-    )
+    luts = _subspace_map(F.col("__qv"), codebooks)
     qv0 = _dim_guarded(
         _as_double(F.col(query_vec_col)), m, len(codebooks[0][0])
     )
@@ -604,12 +584,7 @@ def ivfpq_topk(
     q = q.withColumn(
         "__qres", _residual(F.col("__qv"), F.col("cell"), centroids)
     )
-    luts = F.array(
-        *[
-            _l2_dists(s, codebooks[j])
-            for j, s in enumerate(_sub_slices(F.col("__qres"), m, sub))
-        ]
-    )
+    luts = _subspace_map(F.col("__qres"), codebooks)
     q = q.withColumn("__luts", luts).drop("__qv", "__qres")
     adc = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
