@@ -4274,12 +4274,24 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = SELECTION._gram_features(
         docs, None, (1, 2), "doc_id", "text"
     ).localCheckpoint(eager=True)
+    # pin BOTH model frames too (r15): each model feeds TWO broadcast
+    # subqueries downstream (the scoring join + its _floor_guarded
+    # scalar), and Spark does not reuse subtrees across broadcast
+    # exchanges — unpinned, the vocab-keyed model aggregation over the
+    # pinned gram frame ran up to 4x concurrently per action (profiled:
+    # 6 heavy 32-task broadcast-build jobs, ~19 s of task time on the
+    # calibration row). Models are vocab-sized — the streaming twin
+    # (streaming/selection.py) has always pinned them.
+    tgt_model = SELECTION._model_from_features(
+        feats.filter(F.col("id") % 13 == 0), None, SELECTION.DEFAULT_SMOOTH
+    ).localCheckpoint(eager=True)
+    raw_model = SELECTION._model_from_features(
+        feats, None, SELECTION.DEFAULT_SMOOTH
+    ).localCheckpoint(eager=True)
     w = SELECTION.importance_log_weights(
         docs,
-        SELECTION._model_from_features(
-            feats.filter(F.col("id") % 13 == 0), None, SELECTION.DEFAULT_SMOOTH
-        ),
-        SELECTION._model_from_features(feats, None, SELECTION.DEFAULT_SMOOTH),
+        tgt_model,
+        raw_model,
         num_buckets=None,
         _feats=feats,
     )
@@ -4615,9 +4627,14 @@ def q_perplexity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions import selection as SELECTION
 
     docs = read_docs_spread(spark, sf_dir).select("doc_id", "text")
+    # pinned (r15): the model feeds TWO broadcast subqueries in
+    # cross_entropy_score (the scoring join + the floor scalar), and
+    # broadcast exchanges never share subtrees — unpinned, the seed
+    # tokenize+explode+model agg ran twice per action (the
+    # q_dsir_weights model-pin rationale; vocab-sized frame)
     model = SELECTION.feature_log_probs(
         docs.filter(F.col("doc_id") % 13 == 0), num_buckets=None
-    )
+    ).localCheckpoint(eager=True)
     scored = SELECTION.cross_entropy_score(docs, model, num_buckets=None)
     rounded = scored.select(
         "doc_id",
