@@ -83,7 +83,7 @@ def test_streaming_corpus_pipeline_congruity(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(180), "stream did not drain"
+    assert q.awaitTermination(600), "stream did not drain"
 
     got = {
         (r["doc_id"], r["text"]) for r in spark.read.parquet(out).drop("ingest_batch").collect()

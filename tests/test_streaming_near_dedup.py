@@ -56,7 +56,7 @@ def _drive_stream(spark, tmp_path, step):
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(120), "stream did not drain"
+    assert q.awaitTermination(600), "stream did not drain"
     return admitted
 
 
@@ -262,7 +262,7 @@ def test_streaming_phash_through_real_readstream(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(120), "stream did not drain"
+    assert q.awaitTermination(600), "stream did not drain"
     assert sorted(admitted) == [1, 2, 3]
 
 
