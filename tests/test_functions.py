@@ -1123,6 +1123,164 @@ def test_audio_segment_pairs_precision_one_shared_window(spark):
     assert at1 == {(1, 2, 1)}, at1
 
 
+def _adversarial_arrays():
+    """Float arrays chosen to expose any fold-order or edge-semantics
+    divergence between the Column kernels and their numpy twins:
+    catastrophic-cancellation patterns (pairwise vs sequential
+    summation give DIFFERENT means here), signed zeros, subnormals,
+    non-finites, and every length class around the 64-element slice
+    and frame boundaries."""
+    import random
+
+    rng = random.Random(0xA5A5)
+    arrs = [
+        [],
+        [0.0],
+        [-0.0],
+        [-0.0] * 64,
+        [5e-324, -5e-324] * 32,          # subnormals
+        [1e16, 1.0, -1e16, 1.0] * 16,    # fold-order sensitive
+        [0.1] * 63,
+        [0.1, 0.2] * 32,                 # exactly 64
+        [0.3] * 65,                      # truncation to n_bits
+        [1e308, 1e308, -1e308],          # overflow to inf mid-fold
+        [float("inf")] * 3,
+        [float("-inf"), 1.0, 2.0],
+        [float("nan"), 1.0, 2.0],
+        [1.0, float("nan")],
+        None,                            # NULL array
+    ]
+    for n in (1, 2, 63, 64, 65, 96, 97, 127, 128, 129, 200, 201, 300):
+        arrs.append([rng.uniform(-1e3, 1e3) for _ in range(n)])
+        arrs.append(
+            [rng.choice([1.0, -1.0]) * 10.0 ** rng.uniform(-300, 300) for _ in range(n)]
+        )
+    return arrs
+
+
+def test_np_kernels_bit_identical_to_columns(spark):
+    """The r16 float-fold parity proof (the r15 deferral's stated
+    precondition): the numpy twins that now run inside the fused
+    decode passes must be bit-identical to the Column-expression
+    kernels — phash over raw features, the energy envelope → phash
+    composition, and the sliding-window segment tiling — on
+    adversarial inputs (cancellation patterns where pairwise
+    summation would flip bits, signed zeros, subnormals,
+    non-finites, NULL, every slice/frame boundary length). Hashes
+    compare as exact int64; segment fps as exact ordered lists."""
+    from willa_spark.functions.multimodal import (
+        _np_frame_energies,
+        _np_phash_bits,
+        _np_segment_fps,
+        frame_energies,
+        phash_bits,
+    )
+
+    arrs = _adversarial_arrays()
+    df = spark.createDataFrame(
+        [(i, a) for i, a in enumerate(arrs)], "id bigint, arr array<double>"
+    )
+    got = {
+        r["id"]: (r["ph"], r["eph"], r["segs"])
+        for r in df.select(
+            "id",
+            phash_bits(F.col("arr")).alias("ph"),
+            phash_bits(frame_energies(F.col("arr"))).alias("eph"),
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.greatest(
+                            F.ceil(
+                                (F.coalesce(F.size("arr"), F.lit(0)) - F.lit(64))
+                                / F.lit(32)
+                            ).cast("int"),
+                            F.lit(0),
+                        ),
+                    ),
+                    lambda w: F.element_at(
+                        F.transform(
+                            F.array(F.slice(F.col("arr"), w * 32 + 1, 64)),
+                            lambda seg: phash_bits(frame_energies(seg)),
+                        ),
+                        1,
+                    ),
+                )
+            ).alias("segs"),
+        ).collect()
+    }
+    for i, a in enumerate(arrs):
+        ph, eph, segs = got[i]
+        assert ph == _np_phash_bits(a), (i, a, ph)
+        np_eph = 0 if a is None else _np_phash_bits(_np_frame_energies(a))
+        # Column composition over a NULL array yields a NULL-element
+        # envelope, which also hashes to 0 — pin that too
+        if a is None:
+            assert eph == 0, eph
+        else:
+            assert eph == np_eph, (i, a, eph, np_eph)
+        if a is not None:
+            assert segs == _np_segment_fps(a), (i, a, segs)
+
+
+@pytest.mark.parametrize("family", ["image", "audio_fp", "audio_seg", "video"])
+def test_fused_decode_sig_frames_match_column_chains(spark, family):
+    """End-to-end differential for the fused decode→signature
+    builders: on byte payloads of every interesting length (empty,
+    sub-window, window-boundary, multi-frame), the fused mapInPandas
+    frame must emit EXACTLY the rows of the original decode +
+    Column-kernel chain — (id, sig) multisets equal per family."""
+    import hashlib
+
+    from willa_spark.functions import multimodal as MM
+
+    payloads = [
+        (0, b""),
+        (1, b"x"),
+        (2, b"tiny"),
+        (3, hashlib.sha256(b"a").digest()),            # 32
+        (4, hashlib.sha256(b"b").digest() * 2),        # 64
+        (5, hashlib.sha256(b"c").digest() * 2 + b"q"), # 65
+        (6, hashlib.sha256(b"d").digest() * 4),        # 128
+        (7, hashlib.sha256(b"e").digest() * 6 + b"zz"),# 194
+        (8, bytes(range(200))),
+        (9, b"\x00" * 100),
+        (10, b"\xff" * 131),
+    ]
+    df = spark.createDataFrame(payloads, "id bigint, data binary")
+    if family == "image":
+        fused = MM.decode_image_phash_frame(df, decoder=MM.fake_image_decoder_8x8)
+        ref = MM.with_phash(
+            MM.decode_images(df, decoder=MM.fake_image_decoder_8x8),
+            "features",
+            "simhash",
+        ).select("id", "simhash")
+    elif family == "audio_fp":
+        fused = MM.decode_audio_fp_frame(df, decoder=MM.fake_audio_decoder_pcm)
+        ref = MM.with_phash(
+            MM.audio_frame_energies(
+                MM.decode_audio(df, decoder=MM.fake_audio_decoder_pcm),
+                "samples",
+                "features",
+            ),
+            "features",
+            "simhash",
+        ).select("id", "simhash")
+    elif family == "audio_seg":
+        fused = MM.decode_audio_segment_fp_frame(
+            df, decoder=MM.fake_audio_decoder_pcm
+        )
+        ref = MM.audio_segment_fp_frame(
+            MM.decode_audio(df, decoder=MM.fake_audio_decoder_pcm)
+        )
+    else:
+        fused = MM.decode_video_fp_frame(df, decoder=MM.fake_video_decoder)
+        ref = MM.video_frame_hash_frame(
+            MM.decode_video(df, decoder=MM.fake_video_decoder)
+        )
+    assert sorted(map(tuple, fused.collect())) == sorted(map(tuple, ref.collect()))
+
+
 # ------------------------------------------- duplicate n-gram spans
 def test_dup_ngram_spans_planted_and_merge(spark):
     """Two docs share a verbatim 9-token run (all its 5-grams occur

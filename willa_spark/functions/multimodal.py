@@ -213,6 +213,223 @@ def phash_bits(features, n_bits: int = 64):
     return _bound(F.slice(features, 1, n_bits), hash_of)
 
 
+# ------------------------------------------------------------- r16:
+# numpy TWINS of the Column-expression hash kernels, run INSIDE the
+# decode mapInPandas pass (guide §4.2: heavy per-row math belongs in
+# vectorized native code next to the decode, not in interpreted
+# Catalyst higher-order functions — the HOF trees here are never
+# codegen'd, and merely CONSTRUCTING them cost seconds of driver time
+# per query). Bit-exactness with the Column kernels is the contract:
+# every float fold below is LEFT-TO-RIGHT (np.add.accumulate — a
+# sequential prefix scan, never pairwise like np.sum), matching
+# F.aggregate's fold order, so hashes are int64-identical — pinned by
+# tests/test_functions.py::test_np_kernels_bit_identical_to_columns
+# and the pair-builder brute-force differentials. The only tolerated
+# divergence is the SIGN OF ZERO of intermediate sums (F.aggregate
+# seeds with +0.0, accumulate starts at the first element), which no
+# comparison — the only consumer — can observe. The Column kernels
+# (``phash_bits``/``frame_energies``/...) remain the public
+# expression-level API and the differential reference; the STORE
+# CONTRACTS above cover arithmetic, which is unchanged.
+
+
+def _np_phash_bits(feat, n_bits: int = 64) -> int:
+    """Bit-exact numpy twin of ``phash_bits`` for ONE feature array:
+    threshold the leading ``n_bits`` elements against their own
+    left-to-right mean; empty/NULL → 0. NaN poisons the mean so every
+    comparison is false (hash 0) — same result as the Column kernel,
+    where a NaN mean is never less than any element (Spark orders NaN
+    greatest) and a NULL element nulls the mean (bits fall to the
+    otherwise-0 branch)."""
+    import numpy as np
+
+    if feat is None:
+        return 0
+    a = np.asarray(feat[:n_bits], dtype=np.float64)
+    if a.size == 0:
+        return 0
+    # overflow to ±inf mid-fold is legal IEEE behavior the JVM fold
+    # shares — silence the warning, don't change the value
+    with np.errstate(over="ignore", invalid="ignore"):
+        mean = np.add.accumulate(a)[-1] / a.size
+        bits = a > mean
+    if not bits.any():
+        return 0
+    idx = np.nonzero(bits)[0]
+    h = 0
+    for i in idx.tolist():
+        h |= 1 << i
+    # bit 63 is the long's sign bit (the shiftleft note in phash_bits)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _np_frame_energies(samples, n_frames: int = 64):
+    """Bit-exact numpy twin of ``frame_energies`` for ONE sample
+    array: ceiling-division framing, per-ACTUAL-slice-size
+    normalization, left-to-right |x| folds (zero-padding the tail
+    frames is exact: every energy fold is over non-negative values,
+    so +0.0 padding can change neither value nor zero sign)."""
+    import numpy as np
+
+    a = np.abs(np.asarray(samples if samples is not None else [], dtype=np.float64))
+    n = int(a.size)
+    frame_len = max(-(-n // n_frames), 1)
+    pad = frame_len * n_frames - n
+    if pad:
+        a = np.concatenate([a, np.zeros(pad, dtype=np.float64)])
+    sums = np.add.accumulate(a.reshape(n_frames, frame_len), axis=1)[:, -1]
+    sizes = np.clip(n - np.arange(n_frames, dtype=np.int64) * frame_len, 0, frame_len)
+    return sums / np.maximum(sizes, 1)
+
+
+def _np_segment_fps(samples, window: int = 64, hop: int = 32, n_frames: int = 64):
+    """Numpy twin of ``audio_segment_fp_frame``'s per-clip tiling:
+    the DISTINCT sliding-window fingerprints in first-occurrence
+    order (``array_distinct`` order — row order is irrelevant to every
+    downstream join/agg, but keep it anyway)."""
+    import numpy as np
+
+    s = np.asarray(samples if samples is not None else [], dtype=np.float64)
+    n = int(s.size)
+    n_windows = max(-(-(n - window) // hop), 0) + 1
+    fps: list[int] = []
+    seen: set[int] = set()
+    for w in range(n_windows):
+        seg = s[w * hop : w * hop + window]
+        fp = _np_phash_bits(_np_frame_energies(seg, n_frames))
+        if fp not in seen:
+            seen.add(fp)
+            fps.append(fp)
+    return fps
+
+
+def _fused_sig_frame(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    out_col: str,
+    row_fn,
+) -> DataFrame:
+    """Shared plumbing for the fused decode→signature builders: ONE
+    mapInPandas pass emitting (id, <out_col> long), where ``row_fn``
+    maps one payload to a LIST of int64 signatures (1 for whole-clip
+    hashes, n for segment/frame fingerprint frames). Only (id, data)
+    cross the Python boundary; pixel/PCM tensors never exist as Spark
+    rows at all anymore — they live and die inside the worker."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", df.schema[id_col].dataType),
+            T.StructField(out_col, T.LongType()),
+        ]
+    )
+
+    def batches(it):
+        import numpy as np
+
+        for pdf in it:
+            ids: list = []
+            sigs: list[int] = []
+            for rid, blob in zip(pdf[id_col], pdf[binary_col]):
+                for h in row_fn(bytes(blob) if blob is not None else b""):
+                    ids.append(rid)
+                    sigs.append(h)
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids) if ids else pd.Series([], dtype="int64"),
+                    out_col: np.asarray(sigs, dtype=np.int64),
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(batches, schema=out_schema)
+
+
+def decode_image_phash_frame(
+    df: DataFrame,
+    binary_col: str = "data",
+    id_col: str = "id",
+    decoder: Callable[[bytes], dict] | None = None,
+    n_bits: int = 64,
+) -> DataFrame:
+    """Fused decode → 64-bit pHash in ONE Arrow pass: (id, simhash).
+    Same hash as ``decode_images`` → ``with_phash`` (bit-exact — see
+    the numpy-kernel block above), without materializing the feature
+    arrays as Spark rows or paying the interpreted threshold-hash
+    expression per row."""
+    dec = decoder or decode_image
+    return _fused_sig_frame(
+        df, binary_col, id_col, "simhash",
+        lambda b: [_np_phash_bits(dec(b)["pixels"], n_bits)],
+    )
+
+
+def decode_audio_fp_frame(
+    df: DataFrame,
+    binary_col: str = "data",
+    id_col: str = "id",
+    decoder: Callable[[bytes], dict] | None = None,
+    n_frames: int = 64,
+    n_bits: int = 64,
+) -> DataFrame:
+    """Fused decode → energy envelope → threshold fingerprint in ONE
+    Arrow pass: (id, simhash). Same fingerprint as ``decode_audio`` →
+    ``audio_frame_energies`` → ``with_phash`` (bit-exact)."""
+    dec = decoder or decode_audio_stub
+    return _fused_sig_frame(
+        df, binary_col, id_col, "simhash",
+        lambda b: [
+            _np_phash_bits(_np_frame_energies(dec(b)["samples"], n_frames), n_bits)
+        ],
+    )
+
+
+def decode_audio_segment_fp_frame(
+    df: DataFrame,
+    window: int = 64,
+    hop: int = 32,
+    n_frames: int = 64,
+    binary_col: str = "data",
+    id_col: str = "id",
+    decoder: Callable[[bytes], dict] | None = None,
+) -> DataFrame:
+    """Fused decode → sliding-window segment fingerprints in ONE
+    Arrow pass: one (id, fp) row per distinct segment fp — the same
+    rows as ``decode_audio`` → ``audio_segment_fp_frame``
+    (bit-exact tiling, see ``_np_segment_fps``)."""
+    dec = decoder or decode_audio_stub
+    return _fused_sig_frame(
+        df, binary_col, id_col, "fp",
+        lambda b: _np_segment_fps(dec(b)["samples"], window, hop, n_frames),
+    )
+
+
+def decode_video_fp_frame(
+    df: DataFrame,
+    every_n: int = 1,
+    binary_col: str = "data",
+    id_col: str = "id",
+    decoder: Callable[[bytes], dict] | None = None,
+) -> DataFrame:
+    """Fused decode → sampled per-frame perceptual hashes in ONE
+    Arrow pass: one (id, fp) row per distinct sampled-frame hash —
+    the same rows as ``decode_video`` → ``video_frame_hash_frame``."""
+    dec = decoder or decode_video_stub
+
+    def row_fps(b: bytes) -> list[int]:
+        frames = dec(b)["frames"]
+        fps: list[int] = []
+        seen: set[int] = set()
+        for fr in frames[::every_n]:
+            fp = _np_phash_bits(fr)
+            if fp not in seen:
+                seen.add(fp)
+                fps.append(fp)
+        return fps
+
+    return _fused_sig_frame(df, binary_col, id_col, "fp", row_fps)
+
+
 def image_phash_pairs(
     df: DataFrame,
     max_hamming: int = 3,
@@ -242,14 +459,11 @@ def image_phash_pairs(
     # cost — so a poorly-partitioned input (single coalesced file,
     # small createDataFrame) doesn't serialize it on one task; same
     # discipline as simhash_near_dups before its Pandas UDF
-    decoded = decode_images(
+    sig = decode_image_phash_frame(
         _spread(df.select(id_col, binary_col), id_col),
         binary_col=binary_col,
         id_col=id_col,
         decoder=decoder,
-    )
-    sig = with_phash(decoded, "features", "simhash").select(
-        F.col(id_col).alias("id"), "simhash"
     )
     return hamming_block_pairs(sig, max_hamming, num_blocks)
 
@@ -416,17 +630,12 @@ def audio_fingerprint_pairs(
     from .dedup import _spread, check_pigeonhole, hamming_block_pairs
 
     num_blocks = check_pigeonhole(max_hamming, num_blocks)
-    decoded = decode_audio(
+    sig = decode_audio_fp_frame(
         _spread(df.select(id_col, binary_col), id_col),
         binary_col=binary_col,
         id_col=id_col,
         decoder=decoder,
     )
-    sig = with_phash(
-        audio_frame_energies(decoded, "samples", "features"),
-        "features",
-        "simhash",
-    ).select(F.col(id_col).alias("id"), "simhash")
     return hamming_block_pairs(sig, max_hamming, num_blocks)
 
 
@@ -524,13 +733,14 @@ def audio_segment_pairs(
     ``streaming.near_dedup.audio_segment_dedup_step``."""
     from .dedup import _spread, winnow_pair_counts
 
-    decoded = decode_audio(
+    fp = decode_audio_segment_fp_frame(
         _spread(df.select(id_col, binary_col), id_col),
+        window=window,
+        hop=hop,
         binary_col=binary_col,
         id_col=id_col,
         decoder=decoder,
     )
-    fp = audio_segment_fp_frame(decoded, window=window, hop=hop, id_col=id_col)
     raw = None
     try:
         if seg_df_cap is not None:
@@ -669,13 +879,13 @@ def video_fingerprint_pairs(
     Streaming twin: ``streaming.near_dedup.video_fp_dedup_step``."""
     from .dedup import _spread, winnow_pair_counts
 
-    decoded = decode_video(
+    fp = decode_video_fp_frame(
         _spread(df.select(id_col, binary_col), id_col),
+        every_n=every_n,
         binary_col=binary_col,
         id_col=id_col,
         decoder=decoder,
     )
-    fp = video_frame_hash_frame(decoded, id_col=id_col, every_n=every_n)
     raw = None
     try:
         if frame_df_cap is not None:

@@ -3642,9 +3642,8 @@ def q_precision_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     8x8 fake codec) → threshold-hash path; signature-surgery twins as
     in ``_precision_sig_rows``."""
     from .functions.multimodal import (
-        decode_images,
+        decode_image_phash_frame,
         fake_image_decoder_8x8,
-        with_phash,
     )
 
     docs = _recall_docs(spark, sf_dir)
@@ -3652,11 +3651,8 @@ def q_precision_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.encode(F.substring(F.col("text"), 1, 200), "utf-8").alias("data"),
     )
-    decoded = decode_images(
+    sig = decode_image_phash_frame(
         clips, id_col="doc_id", decoder=fake_image_decoder_8x8
-    )
-    sig = with_phash(decoded, "features", "simhash").select(
-        F.col("doc_id").alias("id"), "simhash"
     )
     return _precision_sig_rows("image_phash", sig, 20)
 
@@ -3668,10 +3664,8 @@ def q_precision_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     → energy envelope → threshold-hash path; signature-surgery twins
     as in ``_precision_sig_rows``."""
     from .functions.multimodal import (
-        audio_frame_energies,
-        decode_audio,
+        decode_audio_fp_frame,
         fake_audio_decoder_pcm,
-        with_phash,
     )
 
     docs = _recall_docs(spark, sf_dir)
@@ -3679,12 +3673,9 @@ def q_precision_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.encode(F.substring(F.col("text"), 1, 200), "utf-8").alias("data"),
     )
-    decoded = decode_audio(clips, id_col="doc_id", decoder=fake_audio_decoder_pcm)
-    sig = with_phash(
-        audio_frame_energies(decoded, "samples", "features"),
-        "features",
-        "simhash",
-    ).select(F.col("doc_id").alias("id"), "simhash")
+    sig = decode_audio_fp_frame(
+        clips, id_col="doc_id", decoder=fake_audio_decoder_pcm
+    )
     return _precision_sig_rows("audio_fp", sig, 25)
 
 
@@ -3701,9 +3692,8 @@ def q_precision_video_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     real kernel (``winnow_pair_counts`` over the decoded frame-hash
     frame)."""
     from .functions.multimodal import (
-        decode_video,
+        decode_video_fp_frame,
         fake_video_decoder,
-        video_frame_hash_frame,
     )
 
     docs = _recall_docs(spark, sf_dir)
@@ -3711,10 +3701,9 @@ def q_precision_video_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.encode(F.substring(F.col("text"), 1, 200), "utf-8").alias("data"),
     )
-    decoded = decode_video(clips, id_col="doc_id", decoder=fake_video_decoder)
-    fpf = video_frame_hash_frame(decoded, id_col="doc_id").localCheckpoint(
-        eager=True
-    )
+    fpf = decode_video_fp_frame(
+        clips, id_col="doc_id", decoder=fake_video_decoder
+    ).localCheckpoint(eager=True)
     planted_fp = fpf.filter(F.col("id") % 30 == 0)
     exact = planted_fp.select((F.col("id") + _P_OFF1).alias("id"), "fp")
     miss = (
@@ -3831,8 +3820,7 @@ def q_precision_audio_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
     join green in ``recall_audio_seg``); the pinned frame is (id,
     8-byte fp) rows, PCM never leaves the scan stage."""
     from .functions.multimodal import (
-        audio_segment_fp_frame,
-        decode_audio,
+        decode_audio_segment_fp_frame,
         fake_audio_decoder_pcm,
     )
 
@@ -3841,10 +3829,9 @@ def q_precision_audio_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.encode(F.substring(F.col("text"), 1, 200), "utf-8").alias("data"),
     )
-    decoded = decode_audio(clips, id_col="doc_id", decoder=fake_audio_decoder_pcm)
-    fpf = audio_segment_fp_frame(decoded, id_col="doc_id").localCheckpoint(
-        eager=True
-    )
+    fpf = decode_audio_segment_fp_frame(
+        clips, id_col="doc_id", decoder=fake_audio_decoder_pcm
+    ).localCheckpoint(eager=True)
     planted_fp = fpf.filter(F.col("id") % 35 == 0)
     exact = planted_fp.select((F.col("id") + _P_OFF1).alias("id"), "fp")
     miss = (

@@ -276,14 +276,14 @@ def phash_dedup_step(
     ``multimodal.image_phash_pairs`` + min-id canonical is
     pytest-pinned with the injected fake codec (the container ships no
     real image libraries — see multimodal.py)."""
-    from ..functions.multimodal import decode_images, with_phash
+    from ..functions.multimodal import decode_image_phash_frame
 
     def sig_builder(batch_df: DataFrame) -> DataFrame:
-        decoded = decode_images(
+        # fused decode→hash pass (r16) — bit-identical to the decode +
+        # with_phash chain (store contract unchanged), minus the
+        # per-row interpreted threshold-hash expression
+        return decode_image_phash_frame(
             batch_df, binary_col=binary_col, id_col=id_col, decoder=decoder
-        )
-        return with_phash(decoded, "features", "simhash").select(
-            F.col(id_col).alias("id"), "simhash"
         )
 
     return _hamming_dedup_step(
@@ -313,21 +313,15 @@ def audio_fp_dedup_step(
     ``multimodal.audio_fingerprint_pairs`` + min-id canonical is
     pytest-pinned with the injected fake codec (the container ships no
     real audio libraries — see multimodal.py)."""
-    from ..functions.multimodal import (
-        audio_frame_energies,
-        decode_audio,
-        with_phash,
-    )
+    from ..functions.multimodal import decode_audio_fp_frame
 
     def sig_builder(batch_df: DataFrame) -> DataFrame:
-        decoded = decode_audio(
+        # fused decode→envelope→hash pass (r16) — bit-identical to the
+        # decode + audio_frame_energies + with_phash chain (store
+        # contract unchanged)
+        return decode_audio_fp_frame(
             batch_df, binary_col=binary_col, id_col=id_col, decoder=decoder
         )
-        return with_phash(
-            audio_frame_energies(decoded, "samples", "features"),
-            "features",
-            "simhash",
-        ).select(F.col(id_col).alias("id"), "simhash")
 
     return _hamming_dedup_step(
         store_dir, sig_builder, max_hamming, num_blocks, id_col, compact_every,
@@ -837,14 +831,18 @@ def audio_segment_dedup_step(
     STORE CONTRACT: (window, hop) and the segment tiling are part of
     the store's identity (see ``audio_segment_fp_frame``) — changing
     them means rebuilding the store."""
-    from ..functions.multimodal import audio_segment_fp_frame, decode_audio
+    from ..functions.multimodal import decode_audio_segment_fp_frame
 
     def fp_builder(batch_df: DataFrame) -> DataFrame:
-        decoded = decode_audio(
-            batch_df, binary_col=binary_col, id_col=id_col, decoder=decoder
-        )
-        return audio_segment_fp_frame(
-            decoded, window=window, hop=hop, id_col=id_col
+        # fused decode→segment-fp pass (r16) — bit-identical tiling
+        # (store contract unchanged)
+        return decode_audio_segment_fp_frame(
+            batch_df,
+            window=window,
+            hop=hop,
+            binary_col=binary_col,
+            id_col=id_col,
+            decoder=decoder,
         )
 
     return _containment_dedup_step(
@@ -876,13 +874,18 @@ def video_fp_dedup_step(
     batch ``multimodal.video_fingerprint_pairs`` + min-id canonical is
     pytest-pinned with the injected fake codec (the container ships no
     real video libraries — see multimodal.py)."""
-    from ..functions.multimodal import decode_video, video_frame_hash_frame
+    from ..functions.multimodal import decode_video_fp_frame
 
     def fp_builder(batch_df: DataFrame) -> DataFrame:
-        decoded = decode_video(
-            batch_df, binary_col=binary_col, id_col=id_col, decoder=decoder
+        # fused decode→frame-hash pass (r16) — bit-identical hashes
+        # (store contract unchanged)
+        return decode_video_fp_frame(
+            batch_df,
+            every_n=every_n,
+            binary_col=binary_col,
+            id_col=id_col,
+            decoder=decoder,
         )
-        return video_frame_hash_frame(decoded, id_col=id_col, every_n=every_n)
 
     return _containment_dedup_step(
         store_dir, fp_builder, min_shared_frames, id_col, compact_every, score,
