@@ -213,14 +213,14 @@ def main() -> int:
     # left in the curated list would KeyError outside the per-query
     # try and kill the whole record — drop it loudly instead (the
     # one-error degradation contract). The EXHIBITION rows (capacity
-    # policy (a), executed r14) run only on exhibition rounds — every
-    # 4th round, the round's gate-edit commit flips
-    # queries.EXHIBITION_ROUND so they re-earn green rows under the
-    # driver's env-less bench invocation; every other round skips
-    # their ~4 s (SPARK_GRAFT_EXHIBITION=1 is the ad-hoc manual
-    # override). Their DuckDB oracles stay pinned EVERY round by the
-    # omitted-parity pytest, so this trades bench seconds, never
-    # correctness coverage.
+    # policy (a), executed r14): with BENCH_FULL_REGISTRY permanently
+    # True for optimization rounds (r15+), they are benched EVERY
+    # round like the rest of the registry — the every-4th-round skip
+    # cadence described in queries.py applies only if a future round
+    # flips BENCH_FULL_REGISTRY back to False (then
+    # queries.EXHIBITION_ROUND / SPARK_GRAFT_EXHIBITION gate them
+    # again). Their DuckDB oracles stay pinned every round by the
+    # omitted-parity pytest either way.
     from willa_spark.queries import EXHIBITION, EXHIBITION_ROUND
 
     derived, stale = derive_bench_list(

@@ -362,6 +362,19 @@ def test_pq_dim_mismatch_fails_loud(spark):
         PQ.pq_topk(codes, badq, books, k=3, normalize=False).collect()
 
 
+def test_pq_empty_codebooks_fail_loud(spark):
+    """r15 advice: _subspace_map must reject degenerate codebooks with
+    the contract error, not a bare IndexError at codebooks[0][0] —
+    pq_assign_code/pq_topk/ivfpq_topk are public API taking
+    caller-supplied codebooks."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    for bad in ([], [[]], [[[]]]):
+        with pytest.raises(ValueError, match="empty codebooks"):
+            PQ.pq_encode(df, bad, normalize=False)
+
+
 def test_streaming_pq_pre_ingest_type_flows_from_batch(spark, tmp_path):
     """Self-review regression: a pre-ingest probe's empty frame takes
     its query-id TYPE from the batch (string here), so an appending

@@ -103,45 +103,44 @@ def main() -> int:
             if os.path.exists(path):
                 with open(path) as f:
                     lines.extend(f.readlines())
-        if True:
-            for line in lines:
-                try:
-                    ev = json.loads(line)
-                except json.JSONDecodeError:
-                    continue
-                e = ev.get("Event")
-                if e == "SparkListenerJobStart":
-                    ts = ev["Submission Time"]
-                    if ts >= marker_t0 - 50 and ts <= marker_t1:
-                        jobs[ev["Job ID"]] = {
-                            "t0": ts,
-                            "desc": (ev.get("Properties") or {}).get(
-                                "spark.job.description", ""
-                            ),
-                            "stages": [
-                                s["Stage ID"] for s in ev.get("Stage Infos", [])
-                            ],
-                            "names": sorted(
-                                {
-                                    s["Stage Name"].split(" at ")[0]
-                                    for s in ev.get("Stage Infos", [])
-                                }
-                            ),
-                        }
-                elif e == "SparkListenerJobEnd" and ev.get("Job ID") in jobs:
-                    jobs[ev["Job ID"]]["t1"] = ev["Completion Time"]
-                elif e == "SparkListenerStageCompleted":
-                    si = ev["Stage Info"]
-                    if si.get("Submission Time", 0) >= marker_t0 - 50:
-                        stages[si["Stage ID"]] = {
-                            "dur": (
-                                si.get("Completion Time", 0)
-                                - si.get("Submission Time", 0)
-                            )
-                            / 1000.0,
-                            "tasks": si.get("Number of Tasks"),
-                            "name": si["Stage Name"].split(" at ")[0],
-                        }
+        for line in lines:
+            try:
+                ev = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            e = ev.get("Event")
+            if e == "SparkListenerJobStart":
+                ts = ev["Submission Time"]
+                if ts >= marker_t0 - 50 and ts <= marker_t1:
+                    jobs[ev["Job ID"]] = {
+                        "t0": ts,
+                        "desc": (ev.get("Properties") or {}).get(
+                            "spark.job.description", ""
+                        ),
+                        "stages": [
+                            s["Stage ID"] for s in ev.get("Stage Infos", [])
+                        ],
+                        "names": sorted(
+                            {
+                                s["Stage Name"].split(" at ")[0]
+                                for s in ev.get("Stage Infos", [])
+                            }
+                        ),
+                    }
+            elif e == "SparkListenerJobEnd" and ev.get("Job ID") in jobs:
+                jobs[ev["Job ID"]]["t1"] = ev["Completion Time"]
+            elif e == "SparkListenerStageCompleted":
+                si = ev["Stage Info"]
+                if si.get("Submission Time", 0) >= marker_t0 - 50:
+                    stages[si["Stage ID"]] = {
+                        "dur": (
+                            si.get("Completion Time", 0)
+                            - si.get("Submission Time", 0)
+                        )
+                        / 1000.0,
+                        "tasks": si.get("Number of Tasks"),
+                        "name": si["Stage Name"].split(" at ")[0],
+                    }
         job_rows = []
         t_jobs = 0.0
         for jid in sorted(jobs):

@@ -220,7 +220,15 @@ def train_logreg(
     gradient is a 1/len sliver) or oscillates (binary features at an
     lr big enough to move the marker overshoots the common buckets);
     preconditioned lr=0.5 separates in ≤6 epochs at every SF. The
-    bias (support = N) behaves identically either way."""
+    bias (support = N) behaves identically either way.
+
+    FINITE-WEIGHTS INVARIANT: the literal weight array is rendered
+    through ``_fastlit.lit_doubles``, which raises ``ValueError`` on
+    inf/nan — so a diverging run (an lr far past the preconditioned
+    stability range) fails loudly at the next epoch's margin build
+    instead of silently training on non-finite weights. If that
+    ValueError surfaces from inside ``_margin``, lower ``lr`` (or add
+    ``l2``); it means the previous epoch's update overflowed."""
     if epochs < 1:
         raise ValueError("train_logreg: epochs must be >= 1")
     n_row = feats.agg(F.count(F.lit(1)).alias("n")).collect()[0]

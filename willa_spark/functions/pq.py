@@ -55,6 +55,22 @@ from .multimodal import _bound
 from .similarity import _as_double, cosine, norm
 
 
+def _geometry(codebooks) -> tuple[int, int]:
+    """(m, sub) of a trained codebook set, validated: pq_train
+    guarantees k >= 1, but pq_encode/pq_assign_code/pq_topk/
+    ivfpq_topk are public API taking caller-supplied codebooks — a
+    degenerate set must fail with the contract, not a bare IndexError
+    at codebooks[0][0] (r15 advice: the unrolled _l2_dists form had an
+    explicit empty-distances route; this is its fused-form
+    replacement)."""
+    if not codebooks or not codebooks[0] or not codebooks[0][0]:
+        raise ValueError(
+            "empty codebooks (need >= 1 subspace with >= 1 centroid "
+            "of >= 1 dim); degenerate codebooks cannot assign codes"
+        )
+    return len(codebooks), len(codebooks[0][0])
+
+
 def _subspace_map(vec: Column, codebooks, inner=None) -> Column:
     """``transform(sequence(0, m-1), j -> inner(dists_j))`` where
     ``dists_j`` is the j-th slice's per-centroid squared-L2 array
@@ -67,7 +83,7 @@ def _subspace_map(vec: Column, codebooks, inner=None) -> Column:
     the PQ rows' driver time (r15 profile: 10k py4j round trips per
     ivfpq build). ``inner`` (e.g. the argmin) is lambda-BOUND over the
     distance array exactly as the unrolled form bound it."""
-    m, sub = len(codebooks), len(codebooks[0][0])
+    m, sub = _geometry(codebooks)
     cb3 = lit_double_cube(codebooks)
 
     def dists(j):
@@ -237,7 +253,7 @@ def pq_encode(
     """(id, codes array<int>) — the persistable compressed index (m
     ints per vector instead of dim floats). ``normalize`` must match
     the training flag (store contract)."""
-    m, sub = len(codebooks), len(codebooks[0][0])
+    m, sub = _geometry(codebooks)
     v0 = _dim_guarded(_as_double(F.col(vec_col)), m, sub)
     # staged projection: the (possibly normalized) vector lands in its
     # own column BEFORE the m per-subspace code expressions reference
@@ -367,11 +383,9 @@ def pq_topk(
     returns (query_id, <id_col>, rank, <score>): ranks then come from
     the exact scores, ADC only shortlists (the two-stage recipe; R ≫ k
     buys recall back from the quantization error)."""
-    m = len(codebooks)
+    m, sub = _geometry(codebooks)
     luts = _subspace_map(F.col("__qv"), codebooks)
-    qv0 = _dim_guarded(
-        _as_double(F.col(query_vec_col)), m, len(codebooks[0][0])
-    )
+    qv0 = _dim_guarded(_as_double(F.col(query_vec_col)), m, sub)
     q = queries.select(
         F.col(query_id_col).alias("__qid"),
         (_unit(qv0) if normalize else qv0).alias("__qv"),
@@ -487,7 +501,7 @@ def ivfpq_encode(
     file's cell key plus m ints of residual codes per vector."""
     from .similarity import ivf_assign
 
-    m, sub = len(codebooks), len(codebooks[0][0])
+    m, sub = _geometry(codebooks)
     if len(centroids[0]) != m * sub:
         raise ValueError(
             f"ivfpq: centroid dim {len(centroids[0])} != codebook "
@@ -549,7 +563,7 @@ def ivfpq_topk(
     regime, squared L2 when ``normalize=False``)."""
     from .similarity import _centroid_sims
 
-    m, sub = len(codebooks), len(codebooks[0][0])
+    m, sub = _geometry(codebooks)
     if len(centroids[0]) != m * sub:
         raise ValueError(
             f"ivfpq: centroid dim {len(centroids[0])} != codebook "

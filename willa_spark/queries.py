@@ -6797,50 +6797,24 @@ EXHIBITION = frozenset(
     }
 )
 
+# The r16 gate edit (r15 verdict #1/#9): EVERY optimizer-touched row
+# is driver-oracle-certified the same round its code changed. The 29
+# r13-cohort names came due r16 on the normal period-3 schedule (they
+# include most of the r16 multimodal family and dsir_weights); TEN
+# r14-cohort names were pulled forward a round because r15/r16 touched
+# them (pq/ivfpq/bpe/quality_classifier/perplexity_bands from the r15
+# _fastlit+fusion window; audio_fingerprint_dups + recall_audio_fp /
+# recall_image_phash / recall_simhash for the r16 fused media kernels
+# — this also re-surfaces audio_fingerprint_dups to the driver with
+# its oracle twin IN gate, closing the r14 `no_oracle` gap; and
+# hybrid_rrf_topk for the r16 postings-repartition check). Eleven r15
+# keeps certify the r15-pinned model builders and the two r16-touched
+# gate residents (multimodal_decode, precision_audio_seg).
 DRIVER_OMIT = EXHIBITION | frozenset(
     {
-        # -- r13-gate names not kept in r14 (29): due r16; every one
-        # -- green in CORRECTNESS_r13 (hash-grade, or rows-only with
-        # -- its oracle twin green in the same r13 gate). All 8
-        # -- rows-only names rest here WITH an oracle twin in this
-        # -- same cohort (incl. recall_winnow via the r14 keep swap).
-        "ann_ivf_topk",
-        "ann_lsh_topk",
-        "audio_segment_dups",
-        "boilerplate_strip",
-        "corpus_keep_by_source",
-        "dsir_weights",
-        "embedding_near_dups",
-        "image_phash_dups",
-        "interval_join",
-        "kn_perplexity",
-        "lm_perplexity",
-        "minhash_near_dups",
-        "mixing_repeat_epochs",
-        "near_dup_clusters",
-        "packed_shard_roundtrip",
-        "precision_audio_fp",
-        "precision_image_phash",
-        "precision_simhash",
-        "precision_video_fp",
-        "recall_ann_ivf",
-        "recall_ann_lsh",
-        "recall_audio_seg",
-        "recall_minhash",
-        "recall_video_fp",
-        "recall_winnow",
-        "simhash_near_dups",
-        "video_fingerprint_dups",
-        "windowed_outer_join",
-        "winnow_overlap_pairs",
-        # -- r14-gate names not kept in r15 (30): due r17; every one
-        # -- green hash-grade in CORRECTNESS_r14 except the by-design
-        # -- rows-only audio_fingerprint_dups, which rests WITH its
-        # -- green oracle twin recall_audio_fp in this same cohort.
-        # -- (Four more r14-green rows left this cohort mid-r15 for
-        # -- the EXHIBITION tranche-2 — see the frozenset below.)
-        "audio_fingerprint_dups",
-        "bpe_consistency_bands",
+        # -- r14-gate names not kept in r15 (the 20 of 30 still
+        # -- resting after the ten optimizer-touched pulls above):
+        # -- due r17; every one green hash-grade in CORRECTNESS_r14.
         "broadcast_enrich",
         "ccnet_perplexity",
         "cms_heavy_hitters",
@@ -6850,25 +6824,60 @@ DRIVER_OMIT = EXHIBITION | frozenset(
         "dup_line_filter",
         "dup_ngram_spans",
         "epoch_shuffle_bands",
-        "hybrid_rrf_topk",
-        "ivfpq_recall_bands",
         "line_dedup",
         "normalize_docs",
         "packed_sequences_loaded",
-        "perplexity_bands",
-        "pq_recall_bands",
         "precision_ann_lsh",
         "precision_winnow",
-        "quality_classifier_bands",
-        "recall_audio_fp",
-        "recall_image_phash",
-        "recall_simhash",
         "regrouped_retraction",
         "repetition_ngram_filter",
         "sketch_profile_bands",
         "suppressed_window_final",
         "table_table_asof",
         "windowed_left_join",
+        # -- r15-gate names not kept in r16 (39): due r18; every one
+        # -- green in CORRECTNESS_r15 (hash-grade). No rows-only name
+        # -- rests in this cohort (all nine sit in the r16 gate with
+        # -- their twins — see ROWS_ONLY_TWINS).
+        "anti_join_customers",
+        "asof_enrich",
+        "changelog_filter",
+        "chunk_documents",
+        "doc_fingerprints",
+        "doc_length_histogram",
+        "domain_relevance",
+        "exact_dup_groups",
+        "fanout_flatmap",
+        "filter_map",
+        "gopher_quality_filter",
+        "group_by_fn_agg",
+        "hopping_window_count",
+        "kl_profile",
+        "lang_id",
+        "latest_per_key",
+        "merge_streams",
+        "mixing_train_val_test",
+        "nary_join_fold",
+        "near_dup_keep_best",
+        "ngram_jaccard_pairs",
+        "pack_sequences",
+        "pii_redaction",
+        "pricing_summary",
+        "quality_score",
+        "rekey_fanout",
+        "rekey_transform",
+        "running_sum_changelog",
+        "sequence_manifest",
+        "session_windows",
+        "skew_salted_agg",
+        "skew_salted_join",
+        "stratified_sample",
+        "token_budget_cap",
+        "token_stats",
+        "top_bigrams",
+        "tumbling_window_sum",
+        "value_only_rekey",
+        "with_dedupe_first",
     }
 )
 
