@@ -315,12 +315,20 @@ def main() -> int:
             "sf": sf,
         }
     )
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json")
-    try:
-        with open(out_path, "w") as f:
-            f.write(detail + "\n")
-    except OSError as e:
-        print(f"bench: could not write {out_path}: {e}", file=sys.stderr)
+    # Two detail files: BENCH_LAST.json (the stable pointer the one-line
+    # JSON has always named) AND a per-configuration file keyed by core
+    # count + sf, so a subsequent scaling run at different cpus cannot
+    # clobber the main record (r15 verdict #7: the 32-core close detail
+    # survived only as a top-10 truncation after the 8-core run).
+    here = os.path.dirname(os.path.abspath(__file__))
+    keyed = f"BENCH_DETAIL_{cpus}c_sf{sf}.json"
+    for fname in ("BENCH_LAST.json", keyed):
+        out_path = os.path.join(here, fname)
+        try:
+            with open(out_path, "w") as f:
+                f.write(detail + "\n")
+        except OSError as e:
+            print(f"bench: could not write {out_path}: {e}", file=sys.stderr)
     # stdout gets a COMPACT line, guaranteed to fit the driver's tail
     # window (the full 85-query line exceeded it in r6 AND r7, progress
     # spam or not — VERDICT r07 #2): totals + host-load telemetry + the
@@ -343,6 +351,7 @@ def main() -> int:
             "loadavg": [load_before, load_after],
             "max_pass_spread": noisy,
             "detail": "BENCH_LAST.json",
+            "detail_keyed": keyed,
             "sf": sf,
         }
     )
