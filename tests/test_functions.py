@@ -101,10 +101,17 @@ def test_minhash_finds_near_dups(spark, docs):
     verified = D.verified_near_dups(docs, cands, threshold=0.5)
     # plan guardrail: shingling is restricted to candidate-involved
     # docs via a LEFT SEMI join (verification cost ∝ candidates, not
-    # corpus — the 100 TB shape)
+    # corpus — the 100 TB shape). verified_near_dups checkpoints the
+    # shingle frame eagerly (its two pair-side consumers would
+    # otherwise each re-run the semi-join + shingling), so the
+    # semi-join is pinned on the LAZY builder's plan and the returned
+    # plan must read the materialized frame instead of re-deriving it.
     from willa_spark.plans.inspect import physical_plan
 
-    assert "LeftSemi" in physical_plan(verified)
+    assert "LeftSemi" in physical_plan(
+        D._candidate_shingles(docs, cands, "text", "doc_id", 3)
+    )
+    assert "ExistingRDD" in physical_plan(verified)
     vpairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
     assert vpairs[(1, 6)] == 1.0
     if (1, 2) in vpairs:  # near-dup pair (8/10 shingles shared)

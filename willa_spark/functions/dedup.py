@@ -247,12 +247,19 @@ def minhash_candidate_pairs(
     positives."""
     sig = minhash_signature_frame(df, text_col, id_col, num_hashes, shingle_n)
     banded = banded_signature_frame(sig, num_hashes, num_bands)
-    # persist before the self-join: Spark does NOT reuse the two alias
-    # sides' subtrees (no ReusedExchange across a self-join), so without
-    # this the k-hash signature aggregate runs TWICE. The banded frame
+    # EAGER materialization before the self-join: Spark does NOT reuse
+    # the two alias sides' subtrees (no ReusedExchange across a
+    # self-join), and a LAZY persist is not enough — the join's two
+    # shuffle-map stages are submitted concurrently within the first
+    # action and BOTH race-compute the k-hash signature aggregate
+    # before the cache fills (profiled at sf0.1: two identical ~4.2 s
+    # jobs per execution). localCheckpoint computes it exactly once,
+    # truncates the lineage, and its blocks release on GC of the result
+    # instead of leaking a CacheManager entry per call (same discipline
+    # as hamming_block_pairs / winnow_overlap_pairs). The banded frame
     # is (id, 2 ints) × bands per doc — tiny relative to the corpus, so
-    # caching it is safe at any scale (unlike the shingle frames).
-    banded = banded.persist()
+    # materializing it is safe at any scale (unlike the shingle frames).
+    banded = banded.localCheckpoint(eager=True)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -264,6 +271,33 @@ def minhash_candidate_pairs(
         )
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
+    )
+
+
+def _candidate_shingles(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+) -> DataFrame:
+    """(__id, __sh) shingle arrays for candidate-involved docs ONLY —
+    the LEFT SEMI join against the candidate id set is the 100 TB
+    guardrail (verification cost ∝ candidates, not corpus), pinned by
+    pytest on THIS lazy plan because ``verified_near_dups`` checkpoints
+    the frame (the semi-join then executes inside the checkpoint and
+    is no longer visible in the returned plan)."""
+    ids = (
+        candidates.select(F.col("id_a").alias("__id"))
+        .unionByName(candidates.select(F.col("id_b").alias("__id")))
+        .distinct()
+    )
+    return (
+        _spread(df.select(id_col, text_col), id_col)
+        .join(ids, F.col(id_col) == F.col("__id"), "left_semi")
+        .select(
+            F.col(id_col).alias("__id"), shingles(F.col(text_col), shingle_n).alias("__sh")
+        )
     )
 
 
@@ -302,18 +336,15 @@ def verified_near_dups(
     between iterations (what bench.py does)."""
     candidates = candidates.persist()
     candidates.count()
-    ids = (
-        candidates.select(F.col("id_a").alias("__id"))
-        .unionByName(candidates.select(F.col("id_b").alias("__id")))
-        .distinct()
-    )
-    sh = (
-        _spread(df.select(id_col, text_col), id_col)
-        .join(ids, F.col(id_col) == F.col("__id"), "left_semi")
-        .select(
-            F.col(id_col).alias("__id"), shingles(F.col(text_col), shingle_n).alias("__sh")
-        )
-    )
+    sh = _candidate_shingles(df, candidates, text_col, id_col, shingle_n)
+    # EAGER: sh feeds BOTH pair sides below and Spark reuses no
+    # subtrees across them — lazily, each side re-runs the corpus
+    # semi-join AND re-shingles every candidate doc (profiled at
+    # sf0.1: ~2× the whole verification cost in duplicated jobs).
+    # The frame is candidate-involved docs only (ids semi-join), so
+    # materializing it is bounded by the candidate count, not the
+    # corpus; localCheckpoint blocks release on GC of the result.
+    sh = sh.localCheckpoint(eager=True)
     a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
     b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
     return (

@@ -566,7 +566,13 @@ def _vector_near_dup_pairs(
         v.write.mode("overwrite").parquet(spill_dir)
         v = df.sparkSession.read.parquet(spill_dir)
     else:
-        v = v.persist()
+        # EAGER: the self-join's two shuffle-map stages are submitted
+        # concurrently within one action, so a lazy persist lets both
+        # race-compute the key-builder projection before the cache
+        # fills (the same duplication profiled on the minhash banded
+        # frame). localCheckpoint computes it once and releases on GC
+        # of the result — no CacheManager entry outlives the call.
+        v = v.localCheckpoint(eager=True)
     l, r = v.alias("l"), v.alias("r")
     return (
         l.join(

@@ -792,6 +792,11 @@ def _vector_dedup_step(
             pruned = v.join(cross_drop, v["id"] == F.col("__drop"), "left_anti")
         pruned = pruned.persist()
         try:
+            # eager: feeds both sides of the self-join (and the
+            # admitted anti-join below) — a lazy cache would let the
+            # self-join's concurrent map stages race-compute the
+            # bucket projection (same rule as the near_dedup steps)
+            pruned.count()
             l, r = pruned.alias("l"), pruned.alias("r")
             within_pairs = (
                 l.join(
