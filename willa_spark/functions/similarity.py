@@ -385,7 +385,13 @@ def train_centroids(
     ``n_iters`` rounds of assign (Column exprs) + recompute (groupBy
     avg — a partial aggregate, one small shuffle per round). Centroid
     count stays fixed: empty cells keep their previous centroid."""
-    c = corpus.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+    # pinned ONCE (the pq_train discipline): the frame feeds the init
+    # collect plus n_iters assignment/means passes — unpinned, every
+    # action re-ran the caller's upstream lineage (scan + any spread
+    # repartition + the cast) once per Lloyd round
+    c = corpus.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).localCheckpoint(eager=True)
     init_rows = c.orderBy("id").limit(n_centroids).collect()
     centroids = [list(r["v"]) for r in init_rows]
     dim = len(centroids[0])
