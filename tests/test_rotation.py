@@ -144,3 +144,24 @@ def test_exhibition_round_dry_run_both_directions():
     for n in EXHIBITION:
         assert n in ORACLE_SQL, n
         assert n not in ROWS_ONLY_TWINS, n
+
+
+def test_fast_gate_skip_list_names_real_tests():
+    """Every fast-gate skip entry (conftest.SLOW_FULL_SUITE_ONLY) must
+    name a test that still collects — a renamed/removed test would
+    otherwise leave a stale entry silently skipping nothing while the
+    renamed (slow) test re-enters the driver's budgeted gate."""
+    import subprocess
+    import sys
+
+    from tests.conftest import SLOW_FULL_SUITE_ONLY
+
+    out = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/", "--collect-only", "-q",
+         "--no-header", "-p", "no:cacheprovider"],
+        capture_output=True, text=True, timeout=300,
+        env={**__import__("os").environ, "WILLA_FULL_SUITE": "1"},
+    )
+    collected = set(out.stdout.splitlines())
+    missing = {t for t in SLOW_FULL_SUITE_ONLY if t not in collected}
+    assert not missing, missing
