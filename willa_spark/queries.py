@@ -49,6 +49,26 @@ def read_docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spread(read_table(spark, sf_dir, "documents"), "doc_id")
 
 
+def read_emb_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings scan spread across cores — the read_docs_spread
+    rationale for the vector corpus where a SCORING pass follows:
+    |corpus|×|queries| interpreted cosine folds are CPU-heavy per
+    byte, so the byte-sized scan split under-parallelizes them
+    (profiled at the derived sf1: hybrid's exact-cosine job ran 58 s
+    on the scan's 2 partitions while every other stage ran 32-way).
+    Used by the pure-scoring consumers only — training inputs
+    (train_centroids / pq_train) stay on the raw scan: their Lloyd
+    mean aggregates are float-order-sensitive in the last ulp, and
+    measured A/B showed the extra per-action exchange costs more
+    than the parallelism buys on the iterative rows."""
+    from .functions.dedup import _spread
+
+    return _spread(
+        read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        "vec_id",
+    )
+
+
 ORACLE_SQL: dict[str, str] = {}
 
 HOUR_MS = 3_600_000
@@ -1098,8 +1118,13 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k (exact ANN baseline): broadcast query
     set, JVM-side zip_with/aggregate dot products, per-query window
-    rank with deterministic tie-break."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    rank with deterministic tie-break. The corpus is SPREAD
+    (read_emb_spread): scoring is |corpus|×|queries| interpreted
+    cosine folds — CPU-heavy per byte, so the byte-sized scan split
+    under-parallelizes it (profiled at the derived sf1: the scoring
+    job ran on the scan's 2 partitions). Scores/ranks are row-local +
+    rounded-then-ranked — partitioning-invariant values."""
+    emb = read_emb_spread(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -4397,7 +4422,14 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from willa_spark.functions import retrieval as R
 
     docs = read_docs_spread(spark, sf_dir).select("doc_id", "text")
-    emb = read_table(spark, sf_dir, "embeddings")
+    # SPREAD the vector corpus: the exact-cosine arm is
+    # |corpus|×|queries| interpreted cosine folds, CPU-heavy per byte,
+    # and the byte-sized scan split serialized it (profiled at the
+    # derived sf1: a 58 s scoring job on the scan's 2 partitions while
+    # every other stage ran 32-way). Cosines are row-local and the
+    # ranking rounds before the tie-broken row_number —
+    # partitioning-invariant values.
+    emb = read_emb_spread(spark, sf_dir)
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     queries = (
         docs.filter((F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 2500))
