@@ -1139,7 +1139,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_functions.py::test_ann_recall_floors). At larger corpus
     scale raise n_planes with log2(N) to keep the per-bucket candidate
     count constant."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_emb_spread(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -1280,13 +1280,22 @@ def q_recall_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_recall_parts(spark: SparkSession, sf_dir: str):
+def _ann_recall_parts(spark: SparkSession, sf_dir: str, spread: bool = False):
     """Shared ANN plant: every 50th embedding is issued as its own
     query. An identical vector lands in the same bucket in EVERY hash
     table (same sign bits) / the same IVF cell (same argmax centroid),
     and cosine(self) = 1.0 dominates, so self MUST appear in the
-    top-k."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    top-k.
+
+    ``spread=True`` for the pure-scoring consumers (LSH signatures /
+    brute-force cosine — row-local values, partitioning-invariant);
+    the IVF row keeps the raw scan because it TRAINS on the frame
+    (read_emb_spread's training caveat)."""
+    emb = (
+        read_emb_spread(spark, sf_dir)
+        if spread
+        else read_table(spark, sf_dir, "embeddings")
+    )
     ann_q = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -1312,7 +1321,7 @@ def q_recall_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN recall proof (see ``_ann_recall_parts`` for
     the self-query guarantee). Driver-gate proof for the rows-only
     ``ann_lsh_topk``."""
-    emb, ann_q, planted = _ann_recall_parts(spark, sf_dir)
+    emb, ann_q, planted = _ann_recall_parts(spark, sf_dir, spread=True)
     lsh = SIM.lsh_topk(emb, ann_q, k=10, n_planes=4, n_tables=8, n_probes=2)
     return _recall_row("ann_lsh", planted, _ann_found(lsh))
 
@@ -3931,7 +3940,7 @@ def q_precision_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF shares the exact-rescoring and ranking kernel
     (``_rank_topk``-shaped window in ``ivf_probe_topk``), so arms 1-2
     pin it transitively; its own recall row stays ``recall_ann_ivf``."""
-    emb, ann_q, _planted = _ann_recall_parts(spark, sf_dir)
+    emb, ann_q, _planted = _ann_recall_parts(spark, sf_dir, spread=True)
     lsh = SIM.lsh_topk(
         emb, ann_q, k=10, n_planes=4, n_tables=8, n_probes=2
     ).localCheckpoint(eager=True)
