@@ -4744,8 +4744,14 @@ def _exact_arm(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     for stale in [k_ for k_ in _EXACT_ARM_CACHE if k_[0] != app_id]:
         del _EXACT_ARM_CACHE[stale]
     emb, q = _ann_band_inputs(spark, sf_dir)
+    # brute force is pure per-row scoring (round-then-rank) — spread
+    # the corpus side so the |corpus|×|queries| cosine pass
+    # parallelizes (read_emb_spread's scoring rationale); q stays on
+    # the band-inputs definition the cache key covers
+    from .functions.dedup import _spread
+
     exact = (
-        brute_force_topk(emb, q, k=k)
+        brute_force_topk(_spread(emb, "vec_id"), q, k=k)
         .select(
             F.col("query_id").alias("qid"),
             F.col("vec_id").alias("__xid"),
@@ -4832,9 +4838,12 @@ def q_pq_recall_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions import pq as PQ
 
     def approx(emb, q, k):
+        # train on the raw scan; encode/ADC/refine are frozen-codebook
+        # per-row scoring — spread (see q_ivfpq_recall_bands's note)
+        emb_s = read_emb_spread(spark, sf_dir)
         books = PQ.pq_train(emb, m=8, k=16, n_iters=1)
         return PQ.pq_topk(
-            PQ.pq_encode(emb, books), q, books, k=k, refine=300, corpus=emb
+            PQ.pq_encode(emb_s, books), q, books, k=k, refine=300, corpus=emb_s
         )
 
     return _ann_recall_bands(spark, sf_dir, approx, "pq_recall_bands")
@@ -4865,11 +4874,19 @@ def q_ivfpq_recall_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.similarity import train_centroids
 
     def approx(emb, q, k):
+        # TRAINING on the raw scan (read_emb_spread's training caveat:
+        # Lloyd means are float-order-sensitive and the per-round
+        # exchange measured slower); ENCODE/ADC/refine are pure
+        # per-row scoring against FROZEN centroids+codebooks —
+        # partitioning-invariant values — so those passes run over the
+        # spread corpus and parallelize instead of executing on the
+        # scan's single split inside the bands checkpoint.
+        emb_s = read_emb_spread(spark, sf_dir)
         cents = train_centroids(emb, n_centroids=8, n_iters=2)
         books = PQ.ivfpq_train(emb, cents, m=8, k=16, n_iters=1)
-        idx = PQ.ivfpq_encode(emb, cents, books)
+        idx = PQ.ivfpq_encode(emb_s, cents, books)
         return PQ.ivfpq_topk(
-            idx, q, cents, books, k=k, n_probe=6, refine=300, corpus=emb
+            idx, q, cents, books, k=k, n_probe=6, refine=300, corpus=emb_s
         )
 
     return _ann_recall_bands(spark, sf_dir, approx, "ivfpq_recall_bands")
