@@ -565,6 +565,11 @@ def winnow_overlap_pairs(
     )
     if df_cap is not None:
         raw = fp.persist()
+        # eager: raw feeds the df-cap aggregate AND the semi-join's
+        # probe side within the ONE checkpoint action below — lazily
+        # persisted, those two stages race-compute the winnowing pass
+        # before the cache fills (the minhash banded-frame race)
+        raw.count()
         rare = (
             raw.groupBy("fp")
             .agg(F.count(F.lit(1)).alias("df"))

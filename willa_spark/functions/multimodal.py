@@ -745,6 +745,10 @@ def audio_segment_pairs(
     try:
         if seg_df_cap is not None:
             raw = fp.persist()
+            # eager: raw feeds the df-cap aggregate AND the semi-join
+            # probe side in one action — a lazy cache lets both stages
+            # race-compute the decode (the minhash banded-frame race)
+            raw.count()
             rare = (
                 raw.groupBy("fp")
                 .agg(F.count(F.lit(1)).alias("df"))
@@ -890,6 +894,10 @@ def video_fingerprint_pairs(
     try:
         if frame_df_cap is not None:
             raw = fp.persist()
+            # eager: raw feeds the df-cap aggregate AND the semi-join
+            # probe side in one action — a lazy cache lets both stages
+            # race-compute the decode (the minhash banded-frame race)
+            raw.count()
             rare = (
                 raw.groupBy("fp")
                 .agg(F.count(F.lit(1)).alias("df"))
