@@ -570,6 +570,45 @@ def test_lm_above_gate_hash_join_path(spark):
             assert round(g[2], 6) == round(w[2], 6), name  # the 6dp contract
 
 
+def test_frozen_plan_pin_width_and_value_parity(spark):
+    """r16 pin-path change: inside the broadcast gate, _frozen_plan
+    coalesces each derived vocab-sized table to ONE partition before
+    the eager pin (the sequential 32-task pins of a 973-row model
+    measured ~1.2 s of pure per-job scheduling) and pins them
+    CONCURRENTLY; above the gate the partitioning is untouched (a
+    web-scale vocab table must not collapse to one task). Values must
+    be identical either way — coalesce merges output partitions of
+    per-row derivations over exact counts."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TRAIN)], "doc_id long, text string"
+    )
+    model = LM.bigram_lm_train(df)
+    for scorer in ("jm", "kn"):
+        narrow, nb = LM._frozen_plan(
+            model, scorer, LM.DEFAULT_LAMBDA, LM.DEFAULT_ALPHA, None
+        )
+        wide, wb = LM._frozen_plan(
+            model,
+            scorer,
+            LM.DEFAULT_LAMBDA,
+            LM.DEFAULT_ALPHA,
+            None,
+            broadcast_max_rows=0,
+        )
+        assert nb and not wb, scorer
+        for tab, _ in narrow["joins"] + [(narrow["scalars"], None)]:
+            assert tab.rdd.getNumPartitions() == 1, scorer
+        # (no width assertion on the wide arm: AQE coalesces this
+        # fixture's tiny shuffles to one partition on its own — the
+        # above-gate contract is only that _pin adds NO coalesce)
+        for (nt, nk), (wt, wk) in zip(narrow["joins"], wide["joins"]):
+            assert nk == wk, scorer
+            got = sorted(tuple(r) for r in nt.collect())
+            want = sorted(tuple(r) for r in wt.collect())
+            assert got == want, scorer
+        assert narrow["scalars"].collect() == wide["scalars"].collect(), scorer
+
+
 @pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001"])
 def test_ccnet_perplexity_oracle_parity(spark, sf_dir):
     """The r14 registration candidate (parked-with-oracle discipline),
