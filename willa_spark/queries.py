@@ -4303,12 +4303,25 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 6 heavy 32-task broadcast-build jobs, ~19 s of task time on the
     # calibration row). Models are vocab-sized — the streaming twin
     # (streaming/selection.py) has always pinned them.
-    tgt_model = SELECTION._model_from_features(
-        feats.filter(F.col("id") % 13 == 0), None, SELECTION.DEFAULT_SMOOTH
-    ).localCheckpoint(eager=True)
-    raw_model = SELECTION._model_from_features(
-        feats, None, SELECTION.DEFAULT_SMOOTH
-    ).localCheckpoint(eager=True)
+    # The two models are independent aggregations of the SAME pinned
+    # feature frame, so their pins run as concurrent jobs (the
+    # lm._frozen_plan discipline) instead of back-to-back ones.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        tgt_fut = ex.submit(
+            lambda: SELECTION._model_from_features(
+                feats.filter(F.col("id") % 13 == 0),
+                None,
+                SELECTION.DEFAULT_SMOOTH,
+            ).localCheckpoint(eager=True)
+        )
+        raw_fut = ex.submit(
+            lambda: SELECTION._model_from_features(
+                feats, None, SELECTION.DEFAULT_SMOOTH
+            ).localCheckpoint(eager=True)
+        )
+        tgt_model, raw_model = tgt_fut.result(), raw_fut.result()
     w = SELECTION.importance_log_weights(
         docs,
         tgt_model,
