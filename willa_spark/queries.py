@@ -4793,11 +4793,19 @@ def _ann_recall_bands(
     emb, q = _ann_band_inputs(spark, sf_dir)
     # pinned: the approx frame feeds the top-1 check AND the recall
     # join (multi-consumer rule); the exact arm is the bounded-query
-    # brute-force baseline, shared across the PQ rows via the cache
-    approx = approx_fn(emb, q, k).select(
-        F.col("query_id").alias("qid"), "vec_id", "rank"
-    ).localCheckpoint(eager=True)
-    exact = _exact_arm(spark, sf_dir, k)
+    # brute-force baseline, shared across the PQ rows via the cache —
+    # and INDEPENDENT of the approx build, so on a cache miss its
+    # scoring job runs concurrently under the quantizer-training
+    # chain's sequential collects instead of after them (the
+    # lm._frozen_plan discipline)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        exact_fut = ex.submit(_exact_arm, spark, sf_dir, k)
+        approx = approx_fn(emb, q, k).select(
+            F.col("query_id").alias("qid"), "vec_id", "rank"
+        ).localCheckpoint(eager=True)
+        exact = exact_fut.result()
     j = approx.join(
         F.broadcast(exact),
         (approx["qid"] == exact["qid"]) & (approx["vec_id"] == exact["__xid"]),
