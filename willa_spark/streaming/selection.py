@@ -60,8 +60,14 @@ def dsir_score_step(
     doubled-weight row attached to both copies — corrupted admission
     either way. Dedup upstream (``dropDuplicates([id_col])``) before
     scoring replayed streams."""
-    target_model = target_model.localCheckpoint(eager=True)
-    raw_model = raw_model.localCheckpoint(eager=True)
+    # the two pins are independent of each other — run them as
+    # concurrent jobs (the lm._frozen_plan / q_dsir_weights discipline)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _ex:
+        _tgt = _ex.submit(lambda: target_model.localCheckpoint(eager=True))
+        _raw = _ex.submit(lambda: raw_model.localCheckpoint(eager=True))
+        target_model, raw_model = _tgt.result(), _raw.result()
 
     def step(batch_df: DataFrame, batch_id: int) -> DataFrame:
         # the NULL guard must ride the id PROJECTION, not a post-join
